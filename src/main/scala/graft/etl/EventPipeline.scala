@@ -1,0 +1,80 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.EventFunctions._
+
+/** The reference's ingest hot path (src/kinesis3/db.clj:146-173) as one
+  * declarative select over a raw (sequenceNumber, data) DataFrame:
+  * two-level JSON parse (outer envelope, then the `body` JSON *string*),
+  * header/cookie explosion, UTM extraction — schema-on-read with declared
+  * StructTypes instead of cheshire's dynamic maps (SURVEY §1.2).
+  *
+  * Everything is a single projection: no shuffle, fully codegen'd, so the
+  * parse scales linearly with input splits on a real cluster.
+  */
+object EventPipeline {
+
+  /** Outer envelope (FIXTURES A.2; db.clj:148-149). `body` stays StringType —
+    * it is a JSON string parsed a second time, mirroring the reference's two
+    * `parse-string` calls. */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("m", StringType),
+    StructField("epoch", LongType),
+    StructField("ip", StringType),
+    StructField("time", StringType),
+    StructField("ua", StringType),
+    StructField("params", MapType(StringType, StringType)),
+    StructField("headers", MapType(StringType, StringType)),
+    StructField("host", StringType),
+    StructField("srv", StringType),
+    StructField("uri", StringType),
+    StructField("body", StringType),
+    StructField("refer", StringType)))
+
+  /** Inner request (FIXTURES A.3; db.clj:151-153). */
+  val requestSchema: StructType = StructType(Seq(
+    StructField("args", MapType(StringType, StringType)),
+    StructField("path", StringType),
+    StructField("method", StringType),
+    StructField("env", MapType(StringType, StringType)),
+    StructField("headers", StructType(Seq(
+      StructField("X-Forward-For", StringType),
+      StructField("User-Agent", StringType),
+      StructField("Host", StringType),
+      StructField("Cookie", StringType)))),
+    StructField("referrer", StringType),
+    StructField("id", StringType),
+    StructField("url", StringType),
+    StructField("t", LongType),
+    StructField("form", MapType(StringType, StringType)),
+    StructField("user", MapType(StringType, StringType))))
+
+  /** The `events` output schema (README.md:68-71 DDL; SURVEY §1.3). JSON
+    * columns are kept as serialized JSON strings — faithful to PG `JSON`. */
+  def parse(raw: DataFrame): DataFrame = {
+    val env = from_json(col("data").cast("string"), envelopeSchema)
+    val req = from_json(env.getField("body"), requestSchema)
+    val cookies = parseCookies(req.getField("headers").getField("Cookie"))
+    val args = req.getField("args")
+    val utm: Seq[Column] = utmCols(args)
+    raw.select(Seq(
+      col("sequenceNumber").as("id"),
+      epochMillisToTs(req.getField("t")).as("ts"),
+      epochMillisToTs(env.getField("epoch")).as("received_at"),
+      lit(null).cast(StringType).as("title"), // declared in DDL, never populated
+      req.getField("url").as("url"),
+      req.getField("path").as("path"),
+      req.getField("referrer").as("referrer")) ++
+      utm ++ Seq(
+      to_json(args).as("args"),
+      to_json(cookies).as("cookies"),
+      to_json(req.getField("form")).as("form"),
+      to_json(req.getField("user")).as("user_data"),
+      col("data").cast("string").as("orig_data"),
+      lit(null).cast(StringType).as("user_id"), // declared, never populated
+      req.getField("headers").getField("X-Forward-For").as("ip"),
+      req.getField("headers").getField("User-Agent").as("user_agent")): _*)
+  }
+}

@@ -1,24 +1,53 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every registered query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line the driver parses.
+  *
+  * Each query executes its full physical plan into the noop sink
+  * (`format("noop")`) — unlike `count()`, this cannot let Catalyst prune the
+  * projection/window work out of select-heavy plans, so the measured time is
+  * the time a real consumer would pay. Failures are recorded per query
+  * (negative sentinel + err map) instead of being swallowed.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def jsonEsc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    var errs = List.empty[(String, String)]
+    val results = SparkEntry.registry.map { q =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          errs ::= (q.name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.name -> (if (ok) secs else -secs)
+    }
+    val qs = results.map { case (k, v) => "\"" + jsonEsc(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errs.map { case (k, v) => "\"" + jsonEsc(k) + "\":\"" + jsonEsc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v > 0 => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"errors":$errJson%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

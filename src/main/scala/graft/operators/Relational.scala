@@ -323,7 +323,7 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           lag(col("o_orderdate"), 1).over(w).as("prev_date"),
           lead(col("o_orderdate"), 1).over(w).as("next_date"),
-          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("gap_days"))
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long").as("gap_days"))
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     },
     Some("""SELECT o_custkey, o_orderkey, o_orderdate,

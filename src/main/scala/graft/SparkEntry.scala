@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Relational
+import graft.etl.EtlQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +14,7 @@ import graft.operators.Relational
 object SparkEntry {
 
   /** Every registered query, in registry order. */
-  val registry: Seq[QueryDef] = Relational.all
+  val registry: Seq[QueryDef] = Relational.all ++ EtlQueries.all
 
   require(
     registry.map(_.name).distinct.size == registry.size,

@@ -1,0 +1,171 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.EventFunctions._
+
+/** Oracle-checked queries exercising the reference's ingest ETL surface
+  * (SURVEY §2.A F-series + the insert-data hot path, db.clj:146-173).
+  *
+  * Design: the F-series functions are deterministic scalar transforms, so
+  * each query computes them in Spark and the DuckDB oracle states the
+  * *expected* value independently (literals or native DuckDB date/json
+  * functions) — a cross-engine pin of the exact semantics, not a tautology.
+  *
+  * `events.ts` arrives as epoch-nanos (`ts_ns`, see Tables.events); the
+  * reference's world is epoch-millis, so queries derive `ms = ts_ns div 1e6`
+  * first — integer division, exact at any magnitude.
+  *
+  * Every query here is a narrow projection over one table: no shuffle except
+  * the final agg/sort, filters pushed to the scan, fully codegen'd — the
+  * per-record parse cost is the scale story, and it is embarrassingly
+  * parallel over input splits.
+  */
+object EtlQueries {
+
+  private def msCol = expr("ts_ns div 1000000")
+
+  // ---------------------------------------------------------------- q31
+  /** F4 hour truncation (utils.clj:51-63) + A1 count: events per type per
+    * hour, hour as epoch-seconds of the hour start — the SURVEY §7.2
+    * flagship shape. */
+  val q31 = QueryDef(
+    "q31_events_hourly",
+    (s, d) => Tables.events(s, d)
+      .groupBy(hourStartEpoch(msCol).as("hour_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("hour_epoch"), col("event_type")),
+    Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type"""))
+
+  // ---------------------------------------------------------------- q32
+  /** F2 epoch→day string (utils.clj:32-35) pinned against DuckDB strftime. */
+  val q32 = QueryDef(
+    "q32_events_daily",
+    (s, d) => Tables.events(s, d)
+      .groupBy(epochToDay(msCol).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("day")),
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY day"""))
+
+  // ---------------------------------------------------------------- q33
+  /** F7/F13 JSON path probe (get_json_object ≙ cheshire parse + get):
+    * extract props.k, aggregate per event_type. */
+  val q33 = QueryDef(
+    "q33_json_extract",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        COUNT(json_extract_string(props, '$.k')) AS n_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------- q34
+  /** F10 URL codec round-trip (utils.clj:79-85): decode(encode(x)) = x,
+    * pinned by the oracle stating the identity directly. */
+  val q34 = QueryDef(
+    "q34_url_roundtrip",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), urlDecode(urlEncode(col("text"))).as("roundtrip"))
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, text AS roundtrip FROM documents ORDER BY doc_id"))
+
+  // ---------------------------------------------------------------- q35
+  /** F11+F12 line-format round-trip (core.clj:153 / utils.clj:17-19):
+    * "<56-digit-seq> <payload>" formatted then split at the fixed offsets. */
+  val q35 = QueryDef(
+    "q35_line_roundtrip",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val line = formatLine(lpad(col("event_id").cast("string"), 56, "0"), col("props"))
+      e.select(
+          lineSeqNumber(line).as("seq"),
+          linePayload(line).as("payload"))
+        .orderBy(col("seq"))
+    },
+    Some("""SELECT lpad(CAST(event_id AS VARCHAR), 56, '0') AS seq,
+        props AS payload
+      FROM events ORDER BY seq"""))
+
+  // ---------------------------------------------------------------- q36
+  /** F9 cookie parsing (db.clj:136-144) — pins every edge the reference's
+    * implementation has: "; " separator trim, %-decoding, '=' in value
+    * (limit-2 split), and malformed %-sequence → NULL (try_url_decode). */
+  val q36 = QueryDef(
+    "q36_cookie_parse",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val cookie = concat(
+        lit("uid="), col("user_id").cast("string"),
+        lit("; sess=%2Fa%20b; theme=dark; q=a=b; bad=%zz"))
+      val parsed = parseCookies(cookie)
+      e.select(
+          col("event_id"),
+          element_at(parsed, "uid").as("uid_val"),
+          element_at(parsed, "sess").as("sess_val"),
+          element_at(parsed, "theme").as("theme_val"),
+          element_at(parsed, "q").as("q_val"),
+          element_at(parsed, "bad").as("bad_val"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, CAST(user_id AS VARCHAR) AS uid_val,
+        '/a b' AS sess_val, 'dark' AS theme_val, 'a=b' AS q_val,
+        CAST(NULL AS VARCHAR) AS bad_val
+      FROM events ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------- q37
+  /** The full insert-data hot path (db.clj:146-173) end-to-end: build the
+    * reference's two-level JSON envelope from events columns, run it through
+    * EventPipeline.parse (from_json ×2, cookie map, UTM extraction, JSON
+    * re-serialization), and check the extracted fields against the oracle's
+    * direct computation — a lossless round-trip proof of the parse. */
+  val q37 = QueryDef(
+    "q37_events_parse",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val tMs = expr("ts_ns div 1000000")
+      val inner = to_json(struct(
+        map(lit("utm_source"), col("event_type"),
+            lit("utm_campaign"), concat(lit("camp-"), col("user_id").cast("string"))).as("args"),
+        lit("/track").as("path"),
+        struct(
+          concat(lit("10.0.0."), pmod(col("user_id"), lit(255)).cast("string")).as("X-Forward-For"),
+          concat(lit("UA-"), col("event_type")).as("User-Agent"),
+          lit("example.com").as("Host"),
+          concat(lit("uid="), col("user_id").cast("string")).as("Cookie")).as("headers"),
+        col("event_id").cast("string").as("id"),
+        concat(lit("http://example.com/e/"), col("event_id").cast("string")).as("url"),
+        tMs.as("t")))
+      val data = to_json(struct(
+        (tMs + lit(5L)).as("epoch"),
+        inner.as("body")))
+      val raw = e.select(
+        lpad(col("event_id").cast("string"), 56, "0").as("sequenceNumber"),
+        data.as("data"))
+      EventPipeline.parse(raw)
+        .select(col("id"), col("ts"), col("received_at"), col("url"),
+          col("utm_source"), col("utm_campaign"), col("cookies"),
+          col("ip"), col("user_agent"))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT lpad(CAST(event_id AS VARCHAR), 56, '0') AS id,
+        epoch_ms(epoch_ns(ts) // 1000000) AS ts,
+        epoch_ms((epoch_ns(ts) // 1000000) + 5) AS received_at,
+        'http://example.com/e/' || event_id AS url,
+        event_type AS utm_source,
+        'camp-' || user_id AS utm_campaign,
+        '{"uid":"' || user_id || '"}' AS cookies,
+        '10.0.0.' || (user_id % 255) AS ip,
+        'UA-' || event_type AS user_agent
+      FROM events ORDER BY id"""))
+
+  val all: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q36, q37)
+}

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
 object EventFunctions {
 
   /** F1 — epoch millis (long or numeric string) → timestamp; falls back to
-    * current_timestamp on unparseable input (utils.clj:26-30 rescue branch). */
+    * current_timestamp on unparseable input (utils.clj:26-30 rescue branch).
+    * try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast of
+    * garbage THROWS — one bad record must never kill an ingest job. */
   def epochMillisToTs(c: Column): Column =
-    coalesce(timestamp_millis(c.cast("long")), current_timestamp())
+    coalesce(timestamp_millis(c.try_cast("long")), current_timestamp())
 
   /** F2 — epoch millis → "yyyy-MM-dd" day string (utils.clj:32-35). */
   def epochToDay(c: Column): Column =

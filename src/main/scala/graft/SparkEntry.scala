@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Relational
 import graft.etl.EtlQueries
+import graft.ext.{Dedup, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +15,8 @@ import graft.etl.EtlQueries
 object SparkEntry {
 
   /** Every registered query, in registry order. */
-  val registry: Seq[QueryDef] = Relational.all ++ EtlQueries.all
+  val registry: Seq[QueryDef] =
+    Relational.all ++ EtlQueries.all ++ Dedup.all ++ Similarity.all ++ TextStats.all
 
   require(
     registry.map(_.name).distinct.size == registry.size,

@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Deduplication tier for large-scale training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH near-dup (shingle → signature → band →
+  * bucket-join → exact verify), SimHash, and n-gram Jaccard scoring.
+  *
+  * 100 TB design notes:
+  *  - exact dedup shuffles once on the text (or its hash) — the canonical
+  *    map-side-combinable groupBy;
+  *  - near-dup candidate generation is an EQUI-join on (band, bandHash)
+  *    buckets — never an all-pairs crossJoin; all-pairs exact Jaccard
+  *    appears only in the DuckDB oracle (feasible at sf0.01) and in the
+  *    sf0.001 recall spec. Candidate count scales with true-dup density,
+  *    not n², which is the published MinHash-LSH bound (PAPERS.md
+  *    set-similarity-join literature);
+  *  - every scalar here is a built-in codegen'd expression (xxhash64, md5,
+  *    higher-order array fns) — no UDFs, no collect.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a text column. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), size(words) - n),
+      i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+  }
+
+  /** Exact Jaccard between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_distinct(concat(a, b)))
+
+  private val Prime = 2147483647L // 2^31 - 1; keeps a*h+b < 2^62 (no ANSI overflow)
+
+  /** MinHash signature: k independent (a*h+b) mod p permutation mins over
+    * the shingle set. The shingle→long hashing stays in built-in codegen'd
+    * expressions; the k-wide min-fold is the native MinHashSig Catalyst
+    * expression (tight primitive loops — the HOF phrasing was measured
+    * ~1000× slower interpreted; see MinHashSig scaladoc). */
+  def minHashSignature(shingles: Column, k: Int, seed: Long): Column = {
+    val hashed = transform(shingles, x => pmod(xxhash64(x), lit(Prime)))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.GraftBridge.expression(hashed), k, seed))
+  }
+
+  /** Fused MinHash+LSH band hashes (see MinHashBands scaladoc for why the
+    * signature is never materialized as its own column). */
+  def minHashBandHashes(shingles: Column, k: Int, bands: Int, seed: Long): Column = {
+    val hashed = transform(shingles, x => pmod(xxhash64(x), lit(Prime)))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinHashBands(
+        org.apache.spark.sql.GraftBridge.expression(hashed), k, bands, seed))
+  }
+
+  /** doc_id + distinct trigram shingles for documents with >= 3 words. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+
+  /** Shared DuckDB CTE computing the same shingle sets. */
+  private val OracleShingles =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]) sh
+      |      FROM w WHERE len(words) >= 3)""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** Exact dedup: hash-groupBy on content, keep first id + multiplicity.
+    * The input is the corpus unioned with itself so the operator provably
+    * collapses real duplicates (the raw corpus has none). One shuffle on
+    * text; at scale group on xxhash64(text) first so only 8-byte keys
+    * shuffle, with text equality re-checked inside each group. */
+  val q40 = QueryDef(
+    "q40_exact_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.unionByName(docs)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      GROUP BY text ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q41
+  /** MinHash+LSH near-dup detection, exact-verified. 64 hashes, 16 bands ×
+    * 4 rows — the S-curve knee sits near J≈0.5: P(miss | J=0.9) =
+    * (1-0.9⁴)^16 ≈ 4e-8 (recall ~1 on true dups), while P(candidate |
+    * J=0.25) ≈ 6%, so the candidate set stays near-linear even on this
+    * low-diversity synthetic corpus (32 bands × 2 rows degenerated to
+    * all-pairs here — r must exceed the background-similarity knee).
+    * The exact-Jaccard verify stage makes precision 1.0, so the output is
+    * deterministically the true pair set vs the all-pairs oracle.
+    * Candidates come from an equi-join on (band, bandHash): no crossJoin
+    * at any scale. */
+  val q41 = QueryDef(
+    "q41_minhash_lsh_neardup",
+    (s, d) => {
+      val docs = shingled(s, d)
+      val buckets = docs
+        .select(col("doc_id"), minHashBandHashes(col("sh"), 64, 16, 42L).as("bands"))
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+      val cand = buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val withSets = cand
+        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      withSets
+        .select(col("a_id"), col("b_id"), jaccard(col("sha"), col("shb")).as("j"))
+        .filter(col("j") >= 0.6)
+        .select(col("a_id"), col("b_id"), round(col("j"), 3).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(OracleShingles + """
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        round(len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))), 3) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+      ORDER BY a_id, b_id"""))
+
+  // ---------------------------------------------------------------- q42
+  /** Exact n-gram Jaccard scoring over an equi-joined pair set (adjacent
+    * ids) — the verification primitive of q41 in isolation, on a pair set
+    * that stays linear in corpus size at any scale. */
+  val q42 = QueryDef(
+    "q42_ngram_jaccard",
+    (s, d) => {
+      val docs = shingled(s, d)
+      docs.as("a").join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("a_id"),
+          round(jaccard(col("a.sh"), col("b.sh")), 3).as("jaccard"))
+        .orderBy(col("a_id"))
+    },
+    Some(OracleShingles + """
+      SELECT a.doc_id AS a_id,
+        round(len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))), 3) AS jaccard
+      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+      ORDER BY a_id"""))
+
+  // ---------------------------------------------------------------- q43
+  /** 16-bit SimHash from md5 nibbles: bit b is set iff the majority of
+    * distinct words have the high bit of hex digit b+1 of md5(word) set.
+    * md5 is bit-identical across engines, so the whole sketch is
+    * oracle-checkable — rare for a similarity sketch. Near-dup = small
+    * Hamming distance (asserted in DedupSpec). */
+  val q43 = QueryDef(
+    "q43_simhash",
+    (s, d) => {
+      val words = array_distinct(split(col("text"), " "))
+      val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      val simhash = (0 until 16).map { b =>
+        val cnt = size(filter(words, w => substring(md5(w), b + 1, 1).isin(highHex: _*)))
+        when(cnt * 2 >= size(words), lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+      Tables.documents(s, d)
+        .select(col("doc_id"), simhash.cast("long").as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) words FROM documents)
+      SELECT doc_id,
+        CAST(list_sum([CASE WHEN 2 * len(list_filter(words,
+              x -> substr(md5(x), b + 1, 1) IN ('8','9','a','b','c','d','e','f'))) >= len(words)
+            THEN 1 << b ELSE 0 END for b in range(16)]) AS BIGINT) AS simhash
+      FROM w ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Dedup
+
+/** Correctness gates for the probabilistic dedup operators at sf0.001:
+  * LSH must find exactly the pairs exact all-pairs Jaccard finds (recall 1
+  * at these similarity levels by the banding S-curve; precision 1 by the
+  * exact-verify stage), and SimHash must separate planted near-dups from
+  * random pairs. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def exactPairs(): Set[(Long, Long)] = {
+    val docs = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+    docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("LSH near-dup output == exact all-pairs Jaccard>=0.6 pairs (recall and precision 1)") {
+    val exact = exactPairs()
+    val lsh = Dedup.q41.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
+    assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}; missing=${(exact -- lsh).take(5)}; extra=${(lsh -- exact).take(5)}")
+  }
+
+  test("SimHash: planted near-dups have smaller Hamming distance than random pairs on average") {
+    val sim = Dedup.q43.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val nearPairs = exactPairs().toSeq
+    assert(nearPairs.nonEmpty)
+    val nearAvg = nearPairs.map { case (a, b) => hamming(sim(a), sim(b)) }.sum.toDouble / nearPairs.size
+    val ids = sim.keys.toSeq.sorted
+    val randomPairs = ids.zip(ids.drop(ids.size / 2)).take(200)
+      .filterNot(p => nearPairs.contains(p))
+    val randAvg = randomPairs.map { case (a, b) => hamming(sim(a), sim(b)) }.sum.toDouble / randomPairs.size
+    assert(nearAvg < randAvg,
+      s"near-dup avg hamming $nearAvg should be < random-pair avg $randAvg")
+  }
+
+  test("exact dedup collapses a doubled corpus back to one row per text") {
+    val out = Dedup.q40.fn(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(out.length == n)
+    assert(out.forall(_.getLong(1) == 2L), "every text appears exactly twice in the doubled input")
+  }
+}

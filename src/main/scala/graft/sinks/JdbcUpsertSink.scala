@@ -1,0 +1,102 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** K3 — last-write-wins JDBC upsert, the reference's *effective* sink
+  * semantics (SURVEY §2.A note on flush-events!, db.clj:113-134: the
+  * diff/retry paths are dead code; what it observably does is delete the
+  * incoming ids then insert all incoming rows — LWW keyed on id).
+  *
+  * Spark-first redesign: the reference probes/deletes/inserts PER RECORD
+  * (three round-trips each, db.clj:72,91,122 — its scalability cliff);
+  * here the unit is a partition of a micro-batch: one transaction that
+  * deletes the partition's ids and batch-inserts its rows. Replaying a
+  * batch is a no-op (delete+insert is idempotent), which upgrades the
+  * at-least-once source contract to effectively-once end-to-end.
+  *
+  * Use from Structured Streaming as
+  * `stream.writeStream.foreachBatch { (df, id) => sink.upsertBatch(df) }`.
+  */
+class JdbcUpsertSink(url: String, table: String, keyCol: String) extends Serializable {
+
+  /** One transaction per partition: DELETE the partition's keys, then
+    * batch-INSERT its rows. Batch is deduped to one row per key first
+    * (LWW within the batch), so parallel partitions never race on a key. */
+  def upsertBatch(batch: DataFrame, orderCol: String): Unit = {
+    val deduped = JdbcUpsertSink.lastWriteWins(batch, keyCol, col(orderCol))
+    val schema = deduped.schema
+    val (u, t, k) = (url, table, keyCol)
+    deduped.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) JdbcUpsertSink.writePartition(u, t, k, schema, rows)
+    }
+  }
+}
+
+object JdbcUpsertSink {
+
+  /** LWW dedup: keep, per key, the row with the greatest orderCol
+    * (ties break on nothing — orderCol must be a total order per key,
+    * e.g. the Kinesis sequence number, which is monotone per shard).
+    * One shuffle on the key; map-side nothing to combine (row-level op). */
+  def lastWriteWins(df: DataFrame, keyCol: String, orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCol.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  private def writePartition(
+      url: String, table: String, keyCol: String,
+      schema: StructType, rows: Iterator[Row]): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val buf = rows.toArray
+      deleteKeys(conn, table, keyCol, schema, buf)
+      insertRows(conn, table, schema, buf)
+      conn.commit()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.close()
+  }
+
+  private def deleteKeys(
+      conn: Connection, table: String, keyCol: String,
+      schema: StructType, rows: Array[Row]): Unit = {
+    val keyIdx = schema.fieldIndex(keyCol)
+    val del = conn.prepareStatement(s"DELETE FROM $table WHERE $keyCol = ?")
+    try {
+      rows.foreach { r => setParam(del, 1, schema(keyIdx).dataType, r, keyIdx); del.addBatch() }
+      del.executeBatch()
+    } finally del.close()
+  }
+
+  private def insertRows(
+      conn: Connection, table: String, schema: StructType, rows: Array[Row]): Unit = {
+    val cols = schema.fieldNames.mkString(", ")
+    val qs = schema.fields.map(_ => "?").mkString(", ")
+    val ins = conn.prepareStatement(s"INSERT INTO $table ($cols) VALUES ($qs)")
+    try {
+      rows.foreach { r =>
+        schema.fields.zipWithIndex.foreach { case (f, i) => setParam(ins, i + 1, f.dataType, r, i) }
+        ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally ins.close()
+  }
+
+  private def setParam(st: PreparedStatement, pos: Int, dt: DataType, r: Row, i: Int): Unit =
+    if (r.isNullAt(i)) st.setObject(pos, null)
+    else dt match {
+      case LongType      => st.setLong(pos, r.getLong(i))
+      case IntegerType   => st.setInt(pos, r.getInt(i))
+      case DoubleType    => st.setDouble(pos, r.getDouble(i))
+      case StringType    => st.setString(pos, r.getString(i))
+      case TimestampType => st.setTimestamp(pos, r.getTimestamp(i))
+      case _             => st.setObject(pos, r.get(i))
+    }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.etl.EventPipeline
+
+/** Streaming tier: every transform is `DataFrame → DataFrame`, so the same
+  * logical pipeline binds to `spark.read` (batch backfill, tests against
+  * the DuckDB oracle) and `spark.readStream` (production) — the payoff of
+  * keeping the ETL declarative (SURVEY §7.1).
+  *
+  * Sources: any Spark streaming source with (sequenceNumber, data) shape —
+  * file/text re-reads of the K1 layout, MemoryStream in tests, rate source
+  * for load tests; a Kinesis connector binds at the edge in production
+  * (SURVEY §2.A S1 — the connector is external, so nothing here depends
+  * on it). */
+object EventStream {
+
+  /** The reference's ingest hot path over a stream: parse the two-level
+    * JSON envelope into typed events (db.clj:146-173 semantics). */
+  def parse(raw: DataFrame): DataFrame = EventPipeline.parse(raw)
+
+  /** Event-time tumbling-window counts with late-data drop (A1's rate
+    * meter generalized): one shuffle on (window, key); state bounded by
+    * the watermark. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Sliding-window variant (rate over trailing windows). */
+  def slidingCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      windowLen: String = "10 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows keyed by user (gap-based). */
+  def sessionCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "user_id",
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Streaming dedup by id within the watermark horizon — the streaming
+    * form of the reference's id-dedup probe (J1, db.clj:100-104), with
+    * state bounded by the watermark instead of an unbounded id set. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "id",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** K1+K2 as a streaming sink: date-partitioned gzip line files with the
+    * T1 rotation contract — `Trigger.ProcessingTime(intervalMs)` bounds
+    * latency (≤ interval per flush) and `maxRecordsPerFile` bounds file
+    * size (≤ batchSize records per file); together they are the observable
+    * behavior of the reference's count-or-time rotation
+    * (core.clj:113-120), enforced by mechanism Spark owns. */
+  def startLineFileSink(
+      raw: DataFrame,
+      path: String,
+      checkpoint: String,
+      intervalMs: Long = RotationTrigger.DefaultIntervalMs,
+      batchSize: Long = RotationTrigger.DefaultBatchSize): StreamingQuery =
+    raw.select(
+        graft.functions.EventFunctions.formatLine(col("sequenceNumber"), col("data")).as("value"),
+        date_format(col("ts"), "yyyy").as("year"),
+        date_format(col("ts"), "MM").as("month"),
+        date_format(col("ts"), "dd").as("day"))
+      .writeStream
+      .format("text")
+      .partitionBy("year", "month", "day")
+      .option("compression", "gzip")
+      .option("maxRecordsPerFile", batchSize)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+}

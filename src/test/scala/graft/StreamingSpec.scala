@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+/** Structured Streaming semantics via MemoryStream: windowed aggregation
+  * with watermark late-data drop, streaming dedup, and the ETL parse bound
+  * to a stream (SURVEY §5.4). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed counts aggregate by event-time window and key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val q = EventStream.windowedCounts(events, windowLen = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click"),
+        (ts("2024-01-01 10:25:00"), "click"),
+        (ts("2024-01-01 10:45:00"), "view"),
+        (ts("2024-01-01 11:05:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window.start, event_type, n FROM wc ORDER BY 1, 2")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 10:00:00.0", "view", 1L),
+        ("2024-01-01 11:00:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses redelivered ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "id")
+    val q = EventStream.dedupWithinWatermark(events, keyCol = "id", watermark = "1 hour")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "a"),
+        (ts("2024-01-01 10:00:01"), "a"), // duplicate delivery
+        (ts("2024-01-01 10:00:02"), "b"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:05:00"), "a")) // still within watermark
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM dd ORDER BY id").collect().map(_.getString(0))
+      assert(ids.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+
+  test("ETL parse binds to a stream unchanged (batch == streaming pipeline)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val raw = input.toDF().toDF("sequenceNumber", "data")
+    val parsed = EventStream.parse(raw)
+    assert(parsed.isStreaming, "parse must preserve streaming-ness")
+    val q = parsed.select("id", "url", "utm_source")
+      .writeStream.format("memory").queryName("pp").outputMode("append").start()
+    try {
+      val body = """{\"args\": {\"utm_source\": \"g\"}, \"id\": \"x1\", \"url\": \"http://e/1\", \"t\": 1704103500000}"""
+      input.addData(("1" * 56, s"""{"epoch": 1704103500005, "body": "$body"}"""))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, url, utm_source FROM pp").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getString(0) == "1" * 56)
+      assert(rows(0).getString(1) == "http://e/1")
+      assert(rows(0).getString(2) == "g")
+    } finally q.stop()
+  }
+
+  test("streaming line-file sink writes the K1 gzip date-partitioned layout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp)]
+    val raw = input.toDF().toDF("sequenceNumber", "data", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink_").toString
+    val q = EventStream.startLineFileSink(raw, s"$dir/data", s"$dir/ckpt", intervalMs = 100L)
+    try {
+      input.addData(
+        ("1" * 56, """{"a":1}""", ts("2024-01-02 10:00:00")),
+        ("2" * 56, """{"b":2}""", ts("2024-01-03 10:00:00")))
+      q.processAllAvailable()
+      val files = new java.io.File(s"$dir/data").listFiles()
+      assert(files.exists(_.getName.startsWith("year=2024")), files.mkString(", "))
+      val back = graft.sinks.LineFileSink.read(spark, s"$dir/data")
+        .orderBy("sequenceNumber").collect()
+      assert(back.map(_.getString(0)).toSeq == Seq("1" * 56, "2" * 56))
+      assert(back.map(_.getString(1)).toSeq == Seq("""{"a":1}""", """{"b":2}"""))
+      val gz = new java.io.File(s"$dir/data/year=2024/month=01/day=02").listFiles()
+      assert(gz != null && gz.exists(_.getName.endsWith(".txt.gz")), "gzip files in date partitions")
+    } finally q.stop()
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Relational
 import graft.etl.EtlQueries
-import graft.ext.{Dedup, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
 import graft.sinks.SinkQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,7 +18,7 @@ object SparkEntry {
   /** Every registered query, in registry order. */
   val registry: Seq[QueryDef] =
     Relational.all ++ EtlQueries.all ++ Dedup.all ++ Similarity.all ++
-      TextStats.all ++ SinkQueries.all
+      TextStats.all ++ SinkQueries.all ++ Multimodal.all
 
   require(
     registry.map(_.name).distinct.size == registry.size,

@@ -1,0 +1,56 @@
+package graft
+
+/** S2 — engine configuration, mirroring the reference's CLI surface
+  * (cli-options, /root/reference/src/kinesis3/core.clj:192-211) with the
+  * same defaults: port 8989, batch-size 1e6, interval 180 s. The
+  * reference requires --s3-bucket and errors out otherwise
+  * (core.clj:242-244); parse() preserves that contract as a Left.
+  *
+  * Unlike the reference (checkpoint disabled, core.clj:170), a checkpoint
+  * location is first-class here — Structured Streaming's restart story
+  * replaces the reference's process-suicide-and-supervisor loop (T3). */
+final case class Config(
+    port: Int = 8989,
+    appName: String = "graft",
+    streamName: String = "events",
+    bucket: String = "",
+    batchSize: Long = 1000000L,
+    intervalSec: Long = 180L,
+    checkpoint: Option[String] = None,
+    sourcePath: Option[String] = None)
+
+object Config {
+
+  val usage: String =
+    """graft [options]
+      |  --port N            stats HTTP port (default 8989)
+      |  --app-name NAME     application name (default graft)
+      |  --stream NAME       stream name (default events)
+      |  --s3-bucket BUCKET  output bucket/path (REQUIRED)
+      |  --batch-size N      rotation count cap (default 1000000)
+      |  --interval SECS     rotation interval (default 180)
+      |  --checkpoint PATH   streaming checkpoint location
+      |  --source-path PATH  file source dir (omit to bind a stream source)
+      |""".stripMargin
+
+  def parse(args: Seq[String]): Either[String, Config] = {
+    @annotation.tailrec
+    def go(rest: List[String], c: Config): Either[String, Config] = rest match {
+      case Nil => Right(c)
+      case "--port" :: v :: t        => go(t, c.copy(port = v.toInt))
+      case "--app-name" :: v :: t    => go(t, c.copy(appName = v))
+      case "--stream" :: v :: t      => go(t, c.copy(streamName = v))
+      case "--s3-bucket" :: v :: t   => go(t, c.copy(bucket = v))
+      case "--batch-size" :: v :: t  => go(t, c.copy(batchSize = v.toLong))
+      case "--interval" :: v :: t    => go(t, c.copy(intervalSec = v.toLong))
+      case "--checkpoint" :: v :: t  => go(t, c.copy(checkpoint = Some(v)))
+      case "--source-path" :: v :: t => go(t, c.copy(sourcePath = Some(v)))
+      case other :: _ => Left(s"unknown option: $other")
+    }
+    go(args.toList, Config()).flatMap { c =>
+      // the reference's required-option check (core.clj:242-244)
+      if (c.bucket.isEmpty) Left("Bucket name is required. Please define --s3-bucket")
+      else Right(c)
+    }
+  }
+}

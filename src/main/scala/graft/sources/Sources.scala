@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamReader
+
+/** S1 — source abstraction. Every source yields the raw record shape the
+  * reference's processor consumes (core.clj:149): `sequenceNumber` string,
+  * `data` string payload, plus `ts` event-time for partitioning/windows.
+  *
+  * Correctness and bench never depend on a cloud connector (SURVEY §7.4
+  * risk 4): file/rate/memory sources cover tests and backfill;
+  * [[kinesisReader]] is the one production binding point and is only a
+  * configured reader — `.load()` happens at the edge. */
+object Sources {
+
+  /** Streaming file source over the K1 line-file layout (gzip text,
+    * date-partitioned): the re-reader of the engine's own sink output. */
+  def lineFiles(spark: SparkSession, path: String): DataFrame =
+    graft.sinks.LineFileSink.read(spark, path)
+
+  /** Streaming text-file source of raw JSON lines, sequence numbers
+    * synthesized from a monotonic id (for replay/backfill of foreign
+    * data that has no sequence numbers). */
+  def jsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.text(path)
+      .select(
+        lpad(sha2(col("value"), 256), 56, "0").as("sequenceNumber"),
+        col("value").as("data"),
+        current_timestamp().as("ts"))
+
+  /** Rate source for load tests: synthetic two-level JSON payloads at
+    * `rowsPerSecond`, sequence numbers from the rate source's value. */
+  def rate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(
+        lpad(col("value").cast("string"), 56, "0").as("sequenceNumber"),
+        concat(
+          lit("{\"epoch\": "), unix_millis(col("timestamp")).cast("string"),
+          lit(", \"body\": \"{\\\"id\\\": \\\""), col("value").cast("string"),
+          lit("\\\", \\\"t\\\": "), unix_millis(col("timestamp")).cast("string"),
+          lit("}\"}")).as("data"),
+        col("timestamp").as("ts"))
+
+  /** Production Kinesis binding point (S1, core.clj:165-173): a fully
+    * configured reader for the spark-sql-kinesis connector. The connector
+    * is an external artifact, so this never calls `.load()` — prod code
+    * does `Sources.kinesisReader(spark, stream, region).load()`; tests
+    * assert the configuration without AWS. Unlike the reference we do NOT
+    * disable checkpointing (the worker sets `:checkpoint false`,
+    * core.clj:170) — restart-from-checkpoint is the T3 policy. */
+  def kinesisReader(spark: SparkSession, streamName: String, region: String,
+      initialPosition: String = "latest"): DataStreamReader =
+    spark.readStream.format("kinesis")
+      .option("streamName", streamName)
+      .option("region", region)
+      .option("initialPosition", initialPosition)
+}

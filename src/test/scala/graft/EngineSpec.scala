@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S2/T4/K4 end-to-end: config parsing contract, then a full engine run —
+  * JSON lines dropped into a source dir, engine parses and sinks them as
+  * gzip line files, stats server answers /ping, /stats, / and 404s. */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("config: defaults mirror the reference; --s3-bucket is required; unknown option rejected") {
+    assert(Config.parse(Seq()).isLeft, "missing bucket must be an error")
+    assert(Config.parse(Seq("--s3-bucket", "b")).map(c => (c.port, c.batchSize, c.intervalSec))
+      == Right((8989, 1000000L, 180L)))
+    assert(Config.parse(Seq("--s3-bucket", "b", "--port", "7000", "--interval", "60"))
+      .map(c => (c.port, c.intervalSec)) == Right((7000, 60L)))
+    assert(Config.parse(Seq("--wat")).isLeft)
+  }
+
+  test("engine end-to-end: file source -> parse -> gzip line sink; stats routes live") {
+    val srcDir = Files.createTempDirectory("graft_engine_src_").toString
+    val outDir = Files.createTempDirectory("graft_engine_out_").toString
+    val config = Config(
+      port = 0, // ephemeral
+      bucket = outDir,
+      sourcePath = Some(srcDir),
+      checkpoint = Some(Files.createTempDirectory("graft_engine_ck_").toString),
+      intervalSec = 1L)
+    val engine = new Engine(spark, config)
+    val port = engine.start()
+    try {
+      val body = """{\"id\": \"id-001\", \"url\": \"http://e/1\", \"t\": 1704103500000}"""
+      Files.writeString(java.nio.file.Paths.get(s"$srcDir/a.json"),
+        s"""{"epoch": 1704103500005, "body": "$body"}\n""")
+      engine.processAllAvailable()
+
+      val sunk = graft.sinks.LineFileSink.read(spark,
+        s"$outDir/${config.appName}/${config.streamName}").collect()
+      assert(sunk.length == 1)
+      assert(sunk(0).getString(1).contains("http://e/1"), "payload is the original raw JSON")
+
+      def get(path: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://localhost:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      assert(get("/ping") == (200, "pong"))
+      assert(get("/")._2.contains("graft"))
+      val (sc, stats) = get("/stats")
+      assert(sc == 200 && stats.contains("events.ingested") && stats.contains("batch-size"))
+      assert(get("/nope")._1 == 404)
+    } finally engine.stop()
+  }
+}

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 import graft.etl.EventPipeline
 
 /** Streaming tier: every transform is `DataFrame → DataFrame`, so the same
@@ -70,6 +70,47 @@ object EventStream {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Stream-static join: enrich a stream against a batch dimension table
+    * (e.g. parsed events ⋈ a customer/geo dim). The static side is
+    * re-planned per micro-batch, so broadcast selection applies normally. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  /** Custom keyed state via mapGroupsWithState (A5/A6 generalized): a
+    * running per-key record count + last-seen sequence number that
+    * survives across micro-batches — the engine-owned form of the
+    * reference's item-counter / last-sequence atoms (core.clj:124-125,
+    * 158-160). State expires after `timeoutMs` of inactivity so it stays
+    * bounded at any key cardinality. */
+  case class KeyState(n: Long, lastSeq: String)
+
+  def runningCounts(
+      events: Dataset[(String, String)], // (key, sequenceNumber)
+      timeoutMs: Long = 3600000L): Dataset[(String, Long, String)] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(timeoutConf) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            (key, s.n, s.lastSeq)
+          } else {
+            val buf = rows.toSeq
+            val prev = state.getOption.getOrElse(KeyState(0L, ""))
+            val next = KeyState(prev.n + buf.size,
+              (prev.lastSeq +: buf.map(_._2)).max) // seq numbers are monotone strings
+            state.update(next)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            (key, next.n, next.lastSeq)
+          }
+      }
+  }
 
   /** K1+K2 as a streaming sink: date-partitioned gzip line files with the
     * T1 rotation contract — `Trigger.ProcessingTime(intervalMs)` bounds

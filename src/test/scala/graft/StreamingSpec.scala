@@ -78,6 +78,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches against a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("event_type", "n")
+    val dim = Seq(("click", "interactive"), ("view", "passive")).toDF("event_type", "category")
+    val q = EventStream.enrich(stream, dim, Seq("event_type"))
+      .writeStream.format("memory").queryName("en").outputMode("append").start()
+    try {
+      input.addData(("click", 1L), ("view", 2L), ("error", 3L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, category FROM en ORDER BY event_type")
+        .collect().map(r => (r.getString(0), Option(r.getString(1))))
+      assert(rows.toSeq == Seq(
+        ("click", Some("interactive")), ("error", None), ("view", Some("passive"))))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running counts and max sequence across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = EventStream.runningCounts(input.toDS(), timeoutMs = 0L) // NoTimeout: keeps processAllAvailable finite
+      .toDF("key", "n", "last_seq")
+      .writeStream.format("memory").queryName("rc").outputMode("update").start()
+    try {
+      input.addData(("u1", "001"), ("u1", "003"), ("u2", "002"))
+      q.processAllAvailable()
+      input.addData(("u1", "002"))
+      q.processAllAvailable()
+      val latest = spark.sql(
+        "SELECT key, n, last_seq FROM (SELECT *, row_number() OVER (PARTITION BY key ORDER BY n DESC) rn FROM rc) WHERE rn = 1 ORDER BY key")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      assert(latest.toSeq == Seq(("u1", 3L, "003"), ("u2", 1L, "002")),
+        "state accumulates across micro-batches; lastSeq is the max sequence seen")
+    } finally q.stop()
+  }
+
   test("streaming line-file sink writes the K1 gzip date-partitioned layout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -22,17 +22,19 @@ import graft.{QueryDef, Tables}
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of a text column. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), size(words) - n),
-      i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
-  }
+  /** Distinct word n-gram shingles of a text column (native single-pass
+    * expression; feeds every near-dup/fingerprint operator). */
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WordShingles(org.apache.spark.sql.GraftBridge.expression(text), n))
 
-  /** Exact Jaccard between two shingle-set columns. */
+  /** Exact Jaccard between two shingle-set columns (native single-pass
+    * expression — the LSH verify-stage hot path). */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_distinct(concat(a, b)))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ArrayJaccard(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
   private val Prime = 2147483647L // 2^31 - 1; keeps a*h+b < 2^62 (no ANSI overflow)
 

@@ -1,0 +1,147 @@
+package graft.functions
+
+import java.net.URLDecoder
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** F9 as a native expression — the reference's parse-cookies
+  * (/root/reference/src/kinesis3/db.clj:136-144): split on ';', split each
+  * pair at the FIRST '=', trim both sides, URL-decode the value; a
+  * malformed %-sequence yields a NULL value (one bad cookie must never
+  * kill an ingest job); duplicate keys resolve last-wins (assoc
+  * semantics).
+  *
+  * Why native: the built-in composition (str_to_map + transform_keys +
+  * transform_values(try_url_decode)) is three interpreted passes, and a
+  * projection extracting several keys re-evaluates the whole chain per
+  * reference (measured 25 s for 100k rows × 5 keys at sf0.1). This eval
+  * is one pass over the string, ~1 µs — re-evaluation noise-level. */
+case class ParseCookies(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = MapType(StringType, StringType, valueContainsNull = true)
+  override def prettyName: String = "parse_cookies"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"parse_cookies expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // LinkedHashMap: insertion order preserved, duplicate keys last-wins
+    val out = new java.util.LinkedHashMap[UTF8String, UTF8String]()
+    s.split(";").foreach { pair =>
+      if (pair.nonEmpty) {
+        val eq = pair.indexOf('=')
+        val (k, v) =
+          if (eq < 0) (pair.trim, null)
+          else (pair.substring(0, eq).trim, pair.substring(eq + 1).trim)
+        if (k.nonEmpty) {
+          val decoded =
+            if (v == null) null
+            else try UTF8String.fromString(URLDecoder.decode(v, "UTF-8"))
+            catch { case _: IllegalArgumentException => null }
+          out.put(UTF8String.fromString(k), decoded)
+        }
+      }
+    }
+    val keys = new Array[Any](out.size)
+    val vals = new Array[Any](out.size)
+    var i = 0
+    val it = out.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); keys(i) = e.getKey; vals(i) = e.getValue; i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ParseCookies =
+    copy(child = newChild)
+}
+
+/** Distinct word n-gram shingles as one native pass: split on single
+  * spaces, emit the `n`-word windows, dedup preserving first-seen order
+  * (matches split+transform+array_distinct built-in composition
+  * bit-for-bit, at interpreted-HOF-free cost — shingling feeds every
+  * near-dup/fingerprint operator so it runs 2-3× per doc per query). */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    // split(text, " ") semantics: Java split with -1 limit keeps empties
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= words.length) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      out.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard similarity between two string-array columns as one native
+  * pass (hash-set intersection/union). The built-in
+  * `size(array_intersect)/size(array_distinct(concat))` walks both arrays
+  * three times and re-evaluates per reference; this is the verify-stage
+  * hot path of the LSH pipeline (candidate pairs × ~hundreds of shingles
+  * each), so it earns the same treatment as MinHashBands. */
+case class ArrayJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_jaccard"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"array_jaccard expects two array<string>, got ${l.simpleString}, ${r.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+    val setB = new java.util.HashSet[UTF8String]()
+    var inter = 0
+    i = 0
+    while (i < b.numElements()) {
+      val x = b.getUTF8String(i)
+      if (setB.add(x) && setA.contains(x)) inter += 1
+      i += 1
+    }
+    val union = setA.size + setB.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayJaccard =
+    copy(left = newLeft, right = newRight)
+}

@@ -163,13 +163,10 @@ object Dedup {
     "q43_simhash",
     (s, d) => {
       val words = array_distinct(split(col("text"), " "))
-      val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-      val simhash = (0 until 16).map { b =>
-        val cnt = size(filter(words, w => substring(md5(w), b + 1, 1).isin(highHex: _*)))
-        when(cnt * 2 >= size(words), lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
+      val simhash = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.SimHash16(org.apache.spark.sql.GraftBridge.expression(words)))
       Tables.documents(s, d)
-        .select(col("doc_id"), simhash.cast("long").as("simhash"))
+        .select(col("doc_id"), simhash.as("simhash"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) words FROM documents)

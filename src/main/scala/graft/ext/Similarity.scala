@@ -30,7 +30,13 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused native cosine (single pass; see CosineSim scaladoc — the HOF
+    * composition above stays as the reference formulation for tests). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CosineSim(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
   private def embDouble(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -130,5 +136,29 @@ object Similarity {
     None,
     doc = "IVF partition-probed ANN; recall vs q45 brute force asserted in AnnSpec")
 
-  val all: Seq[QueryDef] = Seq(q44, q45, q46)
+  // ---------------------------------------------------------------- q54
+  /** Embedding-cosine near-dup: all pairs with cosine ≥ 0.4. At this
+    * corpus the pair set is small and the scan is the fused CosineSim
+    * expression over a broadcast self-join (5k × 5k at sf0.1 ≈ 25M
+    * cosines in seconds). At 100 TB the candidate generation in front is
+    * random-hyperplane LSH bucketing (same band-join shape as q41) — the
+    * exact-verify stage below is unchanged by that swap. */
+  val q54 = QueryDef(
+    "q54_cosine_neardup",
+    (s, d) => {
+      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+      e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          cosine(col("a.emb"), col("b.emb")).as("c"))
+        .filter(col("c") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+      ORDER BY a_id, b_id"""))
+
+  val all: Seq[QueryDef] = Seq(q44, q45, q46, q54)
 }

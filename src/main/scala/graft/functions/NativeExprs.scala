@@ -105,6 +105,95 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Fused cosine similarity over two array<double> columns: one pass,
+  * primitive accumulation — the SURVEY §4 candidate ("fused
+  * CosineSimilarity Expression if zip_with+aggregate proves too slow for
+  * similarity scans"); it does: all-pairs near-dup at sf0.1 is ~25M
+  * cosines, minutes interpreted vs seconds here. Accumulation order is
+  * index-sequential, matching DuckDB's list_cosine_similarity fold, so
+  * oracle comparisons stay bit-stable. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects two array<double>, got ${l.simpleString}, ${r.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot, na, nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 16-bit SimHash over distinct words, md5-derived (same definition as the
+  * built-in composition in Dedup.q43's oracle: bit b set iff the majority
+  * of distinct words have hex digit b+1 of md5(word) in 8..f). One md5
+  * per word instead of 16 (the composed form recomputes the digest per
+  * bit — measured 3.5 s at sf0.1). */
+case class SimHash16(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects array<string> of distinct words, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val votes = new Array[Int](16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val digest = md.digest(words.getUTF8String(i).getBytes)
+      // hex digit j of the digest = high/low nibble of byte j/2; "high"
+      // hex chars 8..f <=> nibble value >= 8
+      var b = 0
+      while (b < 16) {
+        val byteVal = digest(b / 2) & 0xff
+        val nibble = if (b % 2 == 0) byteVal >>> 4 else byteVal & 0xf
+        if (nibble >= 8) votes(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 16) {
+      if (2 * votes(b) >= n) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
 /** Exact Jaccard similarity between two string-array columns as one native
   * pass (hash-set intersection/union). The built-in
   * `size(array_intersect)/size(array_distinct(concat))` walks both arrays

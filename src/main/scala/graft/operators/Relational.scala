@@ -562,8 +562,36 @@ object Relational {
         AND event_type IN ('click','view','purchase')
       ORDER BY event_id LIMIT 10000"""))
 
+  // ---------------------------------------------------------------- q53
+  /** As-of join (point-in-time lookup): each event enriched with the
+    * customer's latest order at or before the event time. Right side is
+    * deduped to one row per (custkey, orderdate) (max orderkey — a total
+    * order) so both engines match deterministically. The DuckDB oracle is
+    * its native ASOF LEFT JOIN; our implementation is AsOfJoin's
+    * union+window form — one shuffle, no join operator at all. */
+  val q53 = QueryDef(
+    "q53_asof_join",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.join(e, o,
+          key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+          rightPayload = Seq("o_orderkey", "o_orderdate"))
+        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH r AS (
+        SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2)
+      SELECT e.event_id, r.o_orderkey, r.o_orderdate
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+      ORDER BY event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q53)
 }

@@ -30,6 +30,12 @@ object Bench {
       case c => c.toString
     }
 
+    // Warm the session (codegen, parquet footer cache, executor pool) so
+    // JVM/session startup isn't charged to whichever query runs first.
+    try SparkEntry.registry.headOption.foreach(
+      _.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    catch { case _: Throwable => () }
+
     var errs = List.empty[(String, String)]
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()

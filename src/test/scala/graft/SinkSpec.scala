@@ -58,6 +58,26 @@ class SinkSpec extends AnyFunSuite {
     assert(out.size == 500 && out("k42") == (42.0, 1L))
   }
 
+  test("streaming foreachBatch -> JDBC upsert: at-least-once redelivery converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val url = freshDb("upsert3")
+    val sink = new JdbcUpsertSink(url, "events", "id")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double, Long)]
+    val q = input.toDF().toDF("id", "val", "seq")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) => sink.upsertBatch(df, "seq") }
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(("a", 1.0, 1L), ("b", 2.0, 1L))
+      q.processAllAvailable()
+      input.addData(("a", 1.0, 1L), ("a", 5.0, 2L)) // redelivery + update in one batch
+      q.processAllAvailable()
+      assert(readAll(url) == Map("a" -> (5.0, 2L), "b" -> (2.0, 1L)))
+    } finally q.stop()
+  }
+
   test("line sink batch round-trip preserves every byte and partitions by date") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_spec_").toString

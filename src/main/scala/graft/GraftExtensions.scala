@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Divide, Expression, ExpressionInfo, Literal, Size}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import graft.functions._
+
+/** SparkSessionExtensions module: registers the engine's native
+  * expressions as SQL functions and installs the fusion optimizer rule —
+  * the supported way to ship custom Catalyst work in a library
+  * (`spark.sql.extensions=graft.GraftExtensions`, or
+  * `.withExtensions(new GraftExtensions)` at session build).
+  *
+  * After registration the whole native tier is reachable from pure SQL:
+  * `SELECT array_jaccard(a, b)`, `word_shingles(text, 3)`,
+  * `parse_cookies(c)`, `simhash16(words)`, `cosine_sim(x, y)`,
+  * `minhash_bands(hashes, 64, 16, 42)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+    ext.injectOptimizerRule(_ => JaccardFusion)
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getCanonicalName, name)
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _)  => v.toLong
+    case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("array_jaccard", info("array_jaccard", classOf[ArrayJaccard]),
+      es => ArrayJaccard(es(0), es(1))),
+    ("cosine_sim", info("cosine_sim", classOf[CosineSim]),
+      es => CosineSim(es(0), es(1))),
+    ("parse_cookies", info("parse_cookies", classOf[ParseCookies]),
+      es => ParseCookies(es(0))),
+    ("simhash16", info("simhash16", classOf[SimHash16]),
+      es => SimHash16(es(0))),
+    ("word_shingles", info("word_shingles", classOf[WordShingles]),
+      es => WordShingles(es(0), intArg(es(1), "n"))),
+    ("minhash_sig", info("minhash_sig", classOf[MinHashSig]),
+      es => MinHashSig(es(0), intArg(es(1), "k"), longArg(es(2), "seed"))),
+    ("minhash_bands", info("minhash_bands", classOf[MinHashBands]),
+      es => MinHashBands(es(0), intArg(es(1), "k"), intArg(es(2), "bands"), longArg(es(3), "seed"))))
+}
+
+/** Optimizer rule: rewrite the naive built-in Jaccard composition
+  *
+  *   size(array_intersect(a, b)) / size(array_distinct(concat(a, b)))
+  *
+  * (any cast placement) into the fused single-pass [[ArrayJaccard]] when
+  * both sides are string arrays — users write the declarative form, the
+  * engine runs the native one. The classic "recognize the idiom, swap the
+  * physical computation" rewrite. */
+object JaccardFusion extends Rule[LogicalPlan] {
+
+  private def strip(e: Expression): Expression = e match {
+    case c: Cast => strip(c.child)
+    case other => other
+  }
+
+  private def isStringArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case d @ Divide(num, den, _) =>
+      (strip(num), strip(den)) match {
+        case (Size(ArrayIntersect(a, b), _),
+              Size(ArrayDistinct(Concat(Seq(a2, b2))), _))
+            if a.semanticEquals(a2) && b.semanticEquals(b2)
+              && isStringArray(a) && isStringArray(b) =>
+          Cast(ArrayJaccard(a, b), DoubleType)
+        case _ => d
+      }
+  }
+}

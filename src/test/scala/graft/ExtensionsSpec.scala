@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.ArrayJaccard
+
+/** GraftExtensions: the native tier must be reachable from pure SQL, and
+  * the JaccardFusion rule must rewrite the naive composition into the
+  * fused expression. */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("native expressions are SQL-callable after extension registration") {
+    val r = spark.sql(
+      """SELECT
+        |  array_jaccard(array('a','b'), array('b','c')) AS j,
+        |  cosine_sim(array(1.0d, 0.0d), array(0.6d, 0.8d)) AS c,
+        |  parse_cookies('uid=42; sess=%2Fa%20b')['sess'] AS s,
+        |  word_shingles('a b c d', 3) AS sh,
+        |  simhash16(array('hash', 'join')) AS h
+        |""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.6) < 1e-12)
+    assert(r.getString(2) == "/a b")
+    assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
+    assert(r.getLong(4) >= 0L && r.getLong(4) < 65536L)
+  }
+
+  test("JaccardFusion rewrites the naive size/intersect/concat idiom") {
+    // real scan input — a literal LocalRelation would be constant-folded
+    // away before the rewrite is observable
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(split(col("text"), " ").as("x"), split(col("text"), "t").as("y"))
+      .select((size(array_intersect(col("x"), col("y"))).cast("double") /
+        size(array_distinct(concat(col("x"), col("y"))))).as("j"))
+    val fused = df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[ArrayJaccard]))
+    assert(fused, s"expected ArrayJaccard in optimized plan:\n${df.queryExecution.optimizedPlan}")
+    // rewrite preserves semantics: compare against the direct expression
+    val direct = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(split(col("text"), " ").as("x"), split(col("text"), "t").as("y"))
+      .select(graft.ext.Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == direct.collect().map(_.getDouble(0)).toSeq)
+  }
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Coverage tier: operators from SURVEY §2.B's "free from Catalyst" rows
+  * that deserve their own named, oracle-checked query — the SQL entry
+  * point, null ordering, batch sessionization, pivot, window extras,
+  * higher-order functions, and explode/collect round-trips. */
+object CoverageQueries {
+
+  // ---------------------------------------------------------------- q55
+  /** The spark.sql surface over registered temp views — proves the SQL
+    * front-end sees the same tables/semantics as the DataFrame API. */
+  val q55 = QueryDef(
+    "q55_sql_surface",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c_mktsegment, count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // ---------------------------------------------------------------- q56
+  /** NULLS FIRST ordering made observable through a LIMIT (the limit
+    * decides which rows survive, so the hash pin actually checks the null
+    * ordering, not just the multiset). */
+  val q56 = QueryDef(
+    "q56_null_ordering",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("O")).as("st"))
+      .orderBy(col("st").asc_nulls_first, col("o_orderkey"))
+      .limit(100),
+    Some("""SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st
+      FROM orders ORDER BY st NULLS FIRST, o_orderkey LIMIT 100"""))
+
+  // ---------------------------------------------------------------- q57
+  /** Batch sessionization (gap > 30 min ⇒ new session) — the relational
+    * form of the streaming session window: lag + running sum of
+    * session-start flags, then per-session aggregation. One shuffle on
+    * the user key; the standard scalable sessionization plan. */
+  val q57 = QueryDef(
+    "q57_sessionize",
+    (s, d) => {
+      // µs on both sides: DuckDB's parquet reader coerces the ns
+      // timestamps to µs, so the oracle cannot see sub-µs digits
+      val gapUs = 30L * 60 * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val flagged = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs
+            || lag(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .orderBy(col("user_id"), col("sess_id"))
+    },
+    Some("""WITH t AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                 OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+      s AS (
+        SELECT user_id, ts_us,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        FROM t)
+      SELECT user_id, sess_id, count(*) AS n_events,
+        min(ts_us) AS start_us, max(ts_us) AS end_us
+      FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""))
+
+  // ---------------------------------------------------------------- q58
+  /** Pivot (wide conditional aggregation): event counts per user bucket ×
+    * event type; missing combinations coalesce to 0 to match the FILTER
+    * formulation. */
+  val q58 = QueryDef(
+    "q58_pivot",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, d)
+        .groupBy(pmod(col("user_id"), lit(10)).as("bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("bucket") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT user_id % 10 AS bucket,
+        count(*) FILTER (event_type = 'click') AS click,
+        count(*) FILTER (event_type = 'error') AS error,
+        count(*) FILTER (event_type = 'purchase') AS purchase,
+        count(*) FILTER (event_type = 'signup') AS signup,
+        count(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY 1 ORDER BY bucket"""))
+
+  // ---------------------------------------------------------------- q59
+  /** Window extras: percent_rank / cume_dist / first / last frames. */
+  val q59 = QueryDef(
+    "q59_window_extras",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          first(col("c_custkey")).over(wf).as("first_k"),
+          last(col("c_custkey")).over(wf).as("last_k"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+    Some("""SELECT c_mktsegment, c_custkey,
+        round(percent_rank() OVER w, 6) AS pr,
+        round(cume_dist() OVER w, 6) AS cd,
+        first_value(c_custkey) OVER wf AS first_k,
+        last_value(c_custkey) OVER wf AS last_k
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+        wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY c_mktsegment, c_custkey"""))
+
+  // ---------------------------------------------------------------- q60
+  /** Higher-order function surface: exists / forall / filter / transform
+    * / aggregate over an array column, vs DuckDB list functions. */
+  val q60 = QueryDef(
+    "q60_hof_surface",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          exists(words, w => w === "the").as("has_the"),
+          forall(words, w => length(w) < lit(20)).as("all_short"),
+          size(filter(words, w => length(w) <= 4)).cast("long").as("n_short"),
+          aggregate(transform(words, w => length(w).cast("long")), lit(0L), (a, x) => a + x).as("total_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      SELECT doc_id,
+        len(list_filter(words, x -> x = 'the')) > 0 AS has_the,
+        len(list_filter(words, x -> length(x) >= 20)) = 0 AS all_short,
+        CAST(len(list_filter(words, x -> length(x) <= 4)) AS BIGINT) AS n_short,
+        CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) AS total_len
+      FROM t ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q61
+  /** Generator + re-aggregation round-trip: explode words, count, top-20
+    * (deterministic tie-break), plus per-lang sorted distinct sources via
+    * collect_set. */
+  val q61 = QueryDef(
+    "q61_explode_collect",
+    (s, d) => Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20),
+    Some("""SELECT word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word ORDER BY n DESC, word LIMIT 20"""))
+
+  // ---------------------------------------------------------------- q62
+  /** collect_set + array_sort (deterministic set aggregation). */
+  val q62 = QueryDef(
+    "q62_collect_set",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(array_sort(collect_set(col("source"))).as("sources"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang")),
+    Some("""SELECT lang, list_sort(list_distinct(list(source))) AS sources,
+        count(DISTINCT source) AS n_sources
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[QueryDef] = Seq(q55, q56, q57, q58, q59, q60, q61, q62)
+}

@@ -113,7 +113,7 @@ case class WordShingles(child: Expression, n: Int)
   * index-sequential, matching DuckDB's list_cosine_similarity fold, so
   * oracle comparisons stay bit-stable. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
@@ -138,6 +138,32 @@ case class CosineSim(left: Expression, right: Expression)
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Whole-stage-codegen body: the same primitive loop, inlined into the
+    * generated stage (no per-row expression-tree walk, no boxing). */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -201,7 +227,7 @@ case class SimHash16(child: Expression)
   * hot path of the LSH pipeline (candidate pairs × ~hundreds of shingles
   * each), so it earns the same treatment as MinHashBands. */
 case class ArrayJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_jaccard"
@@ -229,6 +255,32 @@ case class ArrayJaccard(left: Expression, right: Expression)
     val union = setA.size + setB.size - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
+
+  /** Codegen body: same hash-set algorithm emitted into the stage. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val setA = ctx.freshName("setA")
+      val setB = ctx.freshName("setB")
+      val inter = ctx.freshName("inter")
+      val union = ctx.freshName("union")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+         |java.util.HashSet<UTF8String> $setA = new java.util.HashSet<UTF8String>();
+         |for (int $i = 0; $i < $a.numElements(); $i++) $setA.add($a.getUTF8String($i));
+         |java.util.HashSet<UTF8String> $setB = new java.util.HashSet<UTF8String>();
+         |int $inter = 0;
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  UTF8String $x = $b.getUTF8String($i);
+         |  if ($setB.add($x) && $setA.contains($x)) $inter++;
+         |}
+         |int $union = $setA.size() + $setB.size() - $inter;
+         |${ev.value} = $union == 0 ? 0.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayJaccard =

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoverageQueries, Relational}
+import graft.operators.{CoverageQueries, Relational, Scale}
 import graft.etl.EtlQueries
 import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
 import graft.sinks.SinkQueries
@@ -18,7 +18,8 @@ object SparkEntry {
   /** Every registered query, in registry order. */
   val registry: Seq[QueryDef] =
     Relational.all ++ EtlQueries.all ++ Dedup.all ++ Similarity.all ++
-      TextStats.all ++ SinkQueries.all ++ Multimodal.all ++ CoverageQueries.all
+      TextStats.all ++ SinkQueries.all ++ Multimodal.all ++ CoverageQueries.all ++
+      Scale.all
 
   require(
     registry.map(_.name).distinct.size == registry.size,

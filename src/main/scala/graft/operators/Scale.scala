@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Scale techniques as first-class operators: skew-salted aggregation and
+  * bucketed (pre-shuffled) joins. Both are *plan* transformations with
+  * unchanged semantics, so both are oracle-checked against the plain
+  * formulation's SQL. */
+object Scale {
+
+  /** Two-phase skew-safe aggregation: group by (key, salt) first (spreads
+    * a hot key over `salts` reducers), then re-aggregate by key. For
+    * algebraic aggregates (sum/count/min/max) the result is identical to
+    * the direct groupBy; the win at scale is that no single reducer owns
+    * a hot key's whole partition. (AQE's skew handling covers joins; this
+    * is the aggregation-side equivalent, usable under any planner.) */
+  def saltedSum(
+      df: DataFrame, key: Column, value: Column, salts: Int): DataFrame = {
+    val salted = df
+      .select(key.as("k"), value.as("v"),
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).as("salt"))
+      .groupBy(col("k"), col("salt"))
+      .agg(sum(col("v")).as("partial"), count(lit(1)).as("n_partial"))
+    salted.groupBy(col("k"))
+      .agg(sum(col("partial")).as("total"), sum(col("n_partial")).as("n"))
+  }
+
+  // ---------------------------------------------------------------- q63
+  /** Salted aggregation equals the direct aggregation (the oracle IS the
+    * direct formulation): revenue per returnflag through an 8-way salt.
+    * Decimal accumulator keeps both phases engine-exact. */
+  val q63 = QueryDef(
+    "q63_salted_agg",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val salted = l.select(col("l_returnflag").as("k"),
+          col("l_extendedprice").cast("decimal(18,2)").as("v"),
+          pmod(col("l_orderkey"), lit(8)).as("salt"))
+        .groupBy(col("k"), col("salt"))
+        .agg(sum(col("v")).as("partial"), count(lit(1)).as("n_partial"))
+      salted.groupBy(col("k"))
+        .agg(sum(col("partial")).cast("double").as("total"),
+          sum(col("n_partial")).as("n"))
+        .select(col("k").as("l_returnflag"), col("total"), col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Write both sides bucketed by the join key into the session warehouse
+    * and return the bucketed tables — co-located join input (no exchange
+    * on either side at join time; on a real cluster this is the
+    * "pre-shuffle once, join many times" pattern). */
+  def bucketedTables(s: SparkSession, d: String, buckets: Int): (DataFrame, DataFrame) = {
+    val oTab = "graft_orders_bkt"
+    val lTab = "graft_lineitem_bkt"
+    // drop leftovers from previous sessions: the metastore forgets managed
+    // tables across JVMs but their warehouse dirs survive and block CTAS
+    Seq(oTab, lTab).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(oTab)
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(lTab)
+    (s.table(oTab), s.table(lTab))
+  }
+
+  // ---------------------------------------------------------------- q64
+  /** Bucketed co-located join: both fact tables pre-bucketed on the join
+    * key, joined without a shuffle on either side (ScaleSpec asserts the
+    * plan has no ShuffleExchange below the join). Result is
+    * oracle-checked against the plain join. */
+  val q64 = QueryDef(
+    "q64_bucketed_join",
+    (s, d) => {
+      val (o, l) = bucketedTables(s, d, 8)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val all: Seq[QueryDef] = Seq(q63, q64)
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Scale
+
+/** The scale operators' *plan* contracts: bucketed joins must not shuffle
+  * either side (the whole point of pre-bucketing). Result equivalence is
+  * the DuckDB oracle's job (q63/q64). */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed join plan has no shuffle below the join") {
+    val (o, l) = Scale.bucketedTables(spark, sf, 4)
+    // force the merge strategy: at this fixture size the planner would
+    // broadcast, which hides the property under test (bucket co-location)
+    val joined = o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+    joined.collect() // execute so AQE finalizes the plan
+    // string-based: AQE query-stage wrappers hide children from collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scans must be bucketed:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle either side:\n$plan")
+  }
+
+  test("salted aggregation equals direct aggregation on a skewed column") {
+    import org.apache.spark.sql.functions._
+    val l = Tables.lineitem(spark, sf)
+    val direct = l.groupBy(col("l_returnflag").as("k"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("t"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+    val salted = Scale.saltedSum(l, col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)"), salts = 16)
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+}

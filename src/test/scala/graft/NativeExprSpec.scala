@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, Similarity}
+
+/** Property tests pinning each native expression against an independent
+  * plain-Scala reference implementation on randomized inputs — the
+  * native expressions carry the hot paths, so they get the same
+  * adversarial treatment as the oracles give the queries. */
+class NativeExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val rnd = new scala.util.Random(7L)
+
+  test("ArrayJaccard == set-based reference on random string arrays") {
+    import spark.implicits._
+    val cases = Seq.fill(300) {
+      val vocab = Vector("a", "b", "cc", "dd", "e f", "", "g", "hh", "i", "jj")
+      (Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))),
+        Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val got = cases.toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((x, y), j) =>
+      val (sx, sy) = (x.toSet, y.toSet)
+      val expect =
+        if (sx.union(sy).isEmpty) 0.0
+        else sx.intersect(sy).size.toDouble / sx.union(sy).size
+      assert(j == expect, s"x=$x y=$y")
+    }
+  }
+
+  test("CosineSim == plain-Scala reference on random vectors") {
+    import spark.implicits._
+    val cases = Seq.fill(200)(
+      (Seq.fill(16)(rnd.nextDouble() * 2 - 1), Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val got = cases.toDF("x", "y")
+      .select(Similarity.cosine(col("x"), col("y")).as("c"))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((x, y), c) =>
+      var dot, na, nb = 0.0
+      x.indices.foreach { i => dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i) }
+      val expect = dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(c == expect, s"x=$x y=$y")
+    }
+  }
+
+  test("WordShingles == naive reference incl. empty-word and short-text edges") {
+    import spark.implicits._
+    val texts = Seq("", "a", "a b", "a b c", "a b c d", "a  b c", " a b c ",
+      "x y z x y z", "w1 w2 w3 w4 w5") ++
+      Seq.fill(100)(Seq.fill(rnd.nextInt(20))(s"w${rnd.nextInt(6)}").mkString(" "))
+    val got = texts.toDF("t")
+      .select(Dedup.wordShingles(col("t"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    texts.zip(got).foreach { case (t, sh) =>
+      val words = t.split(" ", -1)
+      val expect = words.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq.distinct
+      assert(sh == expect, s"text='$t'")
+    }
+  }
+
+  test("MinHash signature: deterministic, and more-similar sets share more slots") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => s"sh$i")
+    val similar = base.drop(10) ++ (1 to 10).map(i => s"x$i")   // J ~ 0.9
+    val dissimilar = (1 to 200).map(i => s"z$i")                 // J = 0
+    val df = Seq(("a", base), ("a2", base), ("b", similar), ("c", dissimilar))
+      .toDF("id", "sh")
+      .select(col("id"), Dedup.minHashSignature(col("sh"), 64, 42L).as("sig"))
+    val sigs = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("a") == sigs("a2"), "same input, same signature")
+    def agree(x: Seq[Long], y: Seq[Long]) = x.zip(y).count { case (p, q) => p == q }
+    assert(agree(sigs("a"), sigs("b")) > agree(sigs("a"), sigs("c")),
+      "signature agreement tracks Jaccard similarity")
+    assert(agree(sigs("a"), sigs("b")) >= 40, "J~0.9 should agree on most of 64 slots")
+  }
+}

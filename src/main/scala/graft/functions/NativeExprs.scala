@@ -105,6 +105,37 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Mean byte value of a binary column (multimodal feature-extract stand-in,
+  * Multimodal.meanByte): the built-in phrasing walks a generated position
+  * array with conv(hex(substring(...))) per byte — three allocations per
+  * byte, ~14 s at sf0.1; this is one primitive loop over the byte array. */
+case class MeanByte(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "mean_byte"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mean_byte expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) 0.0
+    else {
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+      sum.toDouble / bytes.length
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MeanByte =
+    copy(child = newChild)
+}
+
 /** Fused cosine similarity over two array<double> columns: one pass,
   * primitive accumulation — the SURVEY §4 candidate ("fused
   * CosineSimilarity Expression if zip_with+aggregate proves too slow for

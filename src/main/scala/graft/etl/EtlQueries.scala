@@ -167,5 +167,36 @@ object EtlQueries {
         'UA-' || event_type AS user_agent
       FROM events ORDER BY id"""))
 
-  val all: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q36, q37)
+  // ---------------------------------------------------------------- q65
+  /** Dead-letter audit: count records whose JSON payload fails to parse,
+    * per event_type. Corruption is synthesized deterministically (every
+    * 10th event gets trailing garbage); Spark detects failure as
+    * from_json → NULL (safe-parse semantics, utils.clj:65-71), DuckDB as
+    * NOT json_valid — two independent definitions of "malformed" that
+    * must agree. This is the counting half of a dead-letter-queue path:
+    * in production the same predicate routes rows to a quarantine sink. */
+  val q65 = QueryDef(
+    "q65_malformed_audit",
+    (s, d) => {
+      // corruption is PREFIX garbage: Spark's Jackson tolerates trailing
+      // junk after a complete value, so a suffix would not be "malformed"
+      // to from_json while json_valid rejects it — prefix breaks both
+      val mangled = when(pmod(col("event_id"), lit(10)) === 0,
+        concat(lit("///"), col("props"))).otherwise(col("props"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(mangled, org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)).isNull.as("bad"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("bad"), 1)).as("n_malformed"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n_total,
+        count(*) FILTER (NOT json_valid(
+          CASE WHEN event_id % 10 = 0 THEN '///' || props ELSE props END)) AS n_malformed
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q36, q37, q65)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -181,5 +182,84 @@ object CoverageQueries {
         count(DISTINCT source) AS n_sources
       FROM documents GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[QueryDef] = Seq(q55, q56, q57, q58, q59, q60, q61, q62)
+  private def withViews(s: SparkSession, d: String): Unit = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+  }
+
+  // ---------------------------------------------------------------- q66
+  /** Scalar subquery: rows above the global average (Catalyst plans the
+    * subquery as a one-row broadcast — no per-row re-evaluation). */
+  val q66 = QueryDef(
+    "q66_scalar_subquery",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT l_returnflag, count(*) AS n
+        FROM lineitem_v
+        WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem_v)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n
+      FROM lineitem
+      WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q67
+  /** Correlated EXISTS with an aggregate predicate (decorrelated by
+    * Catalyst into a semi-join on the grouped subquery). */
+  val q67 = QueryDef(
+    "q67_correlated_exists",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT c_custkey, c_name FROM customer_v c
+        WHERE EXISTS (
+          SELECT 1 FROM orders_v o WHERE o.o_custkey = c.c_custkey
+          GROUP BY o.o_custkey HAVING sum(o.o_totalprice) > 400000)
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey HAVING sum(o.o_totalprice) > 400000)
+      ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q68
+  /** IN subquery over an aggregated derived table + HAVING. */
+  val q68 = QueryDef(
+    "q68_in_subquery",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT o_orderpriority, count(*) AS n
+        FROM orders_v
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer_v WHERE c_acctbal > 9000)
+        GROUP BY o_orderpriority
+        HAVING count(*) > 5
+        ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      GROUP BY o_orderpriority HAVING count(*) > 5
+      ORDER BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q69
+  /** NOT IN with null-safe handling (the classic three-valued-logic trap:
+    * both engines must agree on NOT IN semantics over a non-null key). */
+  val q69 = QueryDef(
+    "q69_not_in_subquery",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT s_suppkey, s_name FROM supplier_v
+        WHERE s_suppkey NOT IN (
+          SELECT l_suppkey FROM lineitem_v WHERE l_quantity > 49)
+        ORDER BY s_suppkey""")
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier
+      WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
+      ORDER BY s_suppkey"""))
+
+  val all: Seq[QueryDef] = Seq(q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69)
 }

@@ -261,5 +261,60 @@ object CoverageQueries {
       WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
       ORDER BY s_suppkey"""))
 
-  val all: Seq[QueryDef] = Seq(q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69)
+  // ---------------------------------------------------------------- q70
+  /** Date/time function breadth (year/quarter/month/day/dow/iso-week/
+    * date_add/last_day) — dow offset reconciled (Spark 1=Sunday vs
+    * DuckDB 0=Sunday). */
+  val q70 = QueryDef(
+    "q70_datetime_fns",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dd"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        weekofyear(col("o_orderdate")).as("woy"),
+        date_add(col("o_orderdate"), 30).as("plus30"),
+        last_day(col("o_orderdate")).as("eom"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INT) AS y,
+        CAST(quarter(o_orderdate) AS INT) AS q,
+        CAST(month(o_orderdate) AS INT) AS m,
+        CAST(day(o_orderdate) AS INT) AS dd,
+        CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        CAST(weekofyear(o_orderdate) AS INT) AS woy,
+        CAST(o_orderdate AS DATE) + 30 AS plus30,
+        last_day(CAST(o_orderdate AS DATE)) AS eom
+      FROM orders ORDER BY o_orderkey"""))
+
+  // ---------------------------------------------------------------- q71
+  /** String function breadth: case, replace, reverse, slicing, search,
+    * padding — all codegen'd built-ins, all cross-checked. */
+  val q71 = QueryDef(
+    "q71_string_fns",
+    (s, d) => Tables.customer(s, d)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("u"),
+        lower(col("c_name")).as("l"),
+        regexp_replace(col("c_name"), "Customer", "Cst").as("rep"),
+        reverse(col("c_name")).as("rev"),
+        substring(col("c_name"), 1, 5).as("left5"),
+        instr(col("c_name"), "er").cast("long").as("pos"),
+        lpad(col("c_custkey").cast("string"), 10, "*").as("pad"),
+        length(col("c_name")).cast("long").as("len"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+        upper(c_name) AS u, lower(c_name) AS l,
+        replace(c_name, 'Customer', 'Cst') AS rep,
+        reverse(c_name) AS rev,
+        substring(c_name, 1, 5) AS left5,
+        CAST(strpos(c_name, 'er') AS BIGINT) AS pos,
+        lpad(CAST(c_custkey AS VARCHAR), 10, '*') AS pad,
+        CAST(length(c_name) AS BIGINT) AS len
+      FROM customer ORDER BY c_custkey"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71)
 }

@@ -103,7 +103,8 @@ object TextStats {
       .select(col("doc_id"),
         Dedup.wordShingles(col("text"), 3).as("sh"))
       .select(col("doc_id"),
-        array_min(transform(col("sh"), x => md5(x))).as("fingerprint"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.MinMd5Hex(
+          org.apache.spark.sql.GraftBridge.expression(col("sh")))).as("fingerprint"),
         size(col("sh")).cast("long").as("n_shingles"))
       .orderBy(col("doc_id")),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),

@@ -105,6 +105,57 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Bottom-1 md5 sketch over a string array: lowercase hex of the smallest
+  * digest (byte-order == hex-order, both unsigned-lexicographic). One
+  * digest per element in a tight loop — the built-in
+  * array_min(transform(sh, md5)) phrasing allocates a hex string per
+  * element and walks interpreted lambda machinery (~15M md5+alloc at
+  * sf0.1 for q49). */
+case class MinMd5Hex(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_md5_hex"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"min_md5_hex expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var min: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val digest = md.digest(arr.getUTF8String(i).getBytes)
+      if (min == null || unsignedLess(digest, min)) min = digest
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(32)
+    min.foreach { b => sb.append(f"${b & 0xff}%02x") }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinMd5Hex =
+    copy(child = newChild)
+}
+
 /** Mean byte value of a binary column (multimodal feature-extract stand-in,
   * Multimodal.meanByte): the built-in phrasing walks a generated position
   * array with conv(hex(substring(...))) per byte — three allocations per

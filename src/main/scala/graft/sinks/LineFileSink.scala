@@ -29,7 +29,8 @@ object LineFileSink {
       raw: DataFrame,
       path: String,
       tsCol: Column,
-      maxRecordsPerFile: Long = graft.streaming.RotationTrigger.DefaultBatchSize): Unit =
+      maxRecordsPerFile: Long = graft.streaming.RotationTrigger.DefaultBatchSize,
+      mode: String = "overwrite"): Unit =
     raw.select(
         formatLine(col("sequenceNumber"), col("data")).as("value"),
         date_format(tsCol, "yyyy").as("year"),
@@ -39,7 +40,7 @@ object LineFileSink {
       .partitionBy("year", "month", "day")
       .option("compression", "gzip")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .mode("overwrite")
+      .mode(mode)
       .text(path)
 
   /** Re-read the line files back into (sequenceNumber, data) via the F11

@@ -71,6 +71,51 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream inner join within a ± time bound: both sides
+    * watermarked so join state is bounded by watermark + bound (the
+    * standard interval-join shape). Right side must carry prefixed
+    * columns (`r_<key>`, `r_ts`) to keep the condition unambiguous. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      watermark: String = "10 minutes",
+      bound: String = "5 minutes"): DataFrame =
+    left.withWatermark("ts", watermark)
+      .join(right.withWatermark("r_ts", watermark),
+        expr(s"$key = r_$key AND r_ts >= ts - INTERVAL $bound AND r_ts <= ts + INTERVAL $bound"))
+
+  /** EP2's dual-sink fan-out (core.clj:152-153: every record goes to BOTH
+    * the gzip line buffer and the DB upsert) as one foreachBatch: the
+    * micro-batch is cached once and written to the date-partitioned line
+    * files (append) and the JDBC LWW upsert in the same commit cycle.
+    * Replay safety: the upsert is idempotent; the file side may duplicate
+    * lines on redelivery exactly like the reference's S3 buffer did —
+    * the downstream exact-dedup operator (q40) owns that. */
+  def startDualSink(
+      parsed: DataFrame,
+      lineDir: String,
+      checkpoint: String,
+      jdbc: Option[graft.sinks.JdbcUpsertSink],
+      jdbcCols: Seq[String],
+      orderCol: String,
+      intervalMs: Long = RotationTrigger.DefaultIntervalMs,
+      batchSize: Long = RotationTrigger.DefaultBatchSize): StreamingQuery =
+    parsed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          graft.sinks.LineFileSink.write(
+            cached.select(col("id").as("sequenceNumber"),
+              col("orig_data").as("data"), col("ts")),
+            lineDir, col("ts"), batchSize, mode = "append")
+          jdbc.foreach(_.upsertBatch(cached.selectExpr(jdbcCols: _*), orderCol))
+        } finally cached.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+
   /** Stream-static join: enrich a stream against a batch dimension table
     * (e.g. parsed events ⋈ a customer/geo dim). The static side is
     * re-planned per micro-batch, so broadcast selection applies normally. */

@@ -116,6 +116,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches keys within the time bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(String, Timestamp)]
+    val ri = MemoryStream[(String, Timestamp)]
+    val left = li.toDF().toDF("k", "ts")
+    val right = ri.toDF().toDF("r_k", "r_ts")
+    val q = EventStream.intervalJoin(left, right, "k", bound = "5 minutes")
+      .select("k", "ts", "r_ts")
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      li.addData(("a", ts("2024-01-01 10:00:00")), ("b", ts("2024-01-01 10:00:00")))
+      ri.addData(
+        ("a", ts("2024-01-01 10:03:00")),  // within +5m -> joins
+        ("a", ts("2024-01-01 10:20:00")),  // outside bound -> dropped
+        ("c", ts("2024-01-01 10:00:00"))) // no left key
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, r_ts FROM ssj ORDER BY k").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString))
+      assert(rows.toSeq == Seq(("a", "2024-01-01 10:03:00.0")))
+    } finally q.stop()
+  }
+
+  test("dual-sink fan-out: one micro-batch lands in BOTH line files and the JDBC table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val url = s"jdbc:derby:memory:dual${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE events (id VARCHAR(64) PRIMARY KEY, url VARCHAR(256))")
+    conn.close()
+    val sink = new graft.sinks.JdbcUpsertSink(url, "events", "id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dual_").toString
+
+    val input = MemoryStream[(String, String)]
+    val parsed = EventStream.parse(input.toDF().toDF("sequenceNumber", "data"))
+    val q = EventStream.startDualSink(parsed,
+      s"$dir/lines", s"$dir/ckpt", Some(sink),
+      jdbcCols = Seq("id", "url"), orderCol = "id", intervalMs = 100L)
+    try {
+      val body = """{\"id\": \"x\", \"url\": \"http://e/9\", \"t\": 1704103500000}"""
+      input.addData(("7" * 56, s"""{"epoch": 1704103500005, "body": "$body"}"""))
+      q.processAllAvailable()
+      // side 1: gzip line files hold the ORIGINAL raw json
+      val lines = graft.sinks.LineFileSink.read(spark, s"$dir/lines").collect()
+      assert(lines.length == 1 && lines(0).getString(0) == "7" * 56)
+      assert(lines(0).getString(1).contains("http://e/9"))
+      // side 2: the upsert table holds the PARSED row
+      val c2 = java.sql.DriverManager.getConnection(url)
+      val rs = c2.createStatement().executeQuery("SELECT id, url FROM events")
+      assert(rs.next() && rs.getString(1) == "7" * 56 && rs.getString(2) == "http://e/9")
+      assert(!rs.next())
+      c2.close()
+    } finally q.stop()
+  }
+
   test("streaming line-file sink writes the K1 gzip date-partitioned layout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

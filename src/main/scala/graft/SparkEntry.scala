@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoverageQueries, Relational, Scale, SubqueryQueries}
+import graft.operators.{CoverageQueries, Relational, Scale, SubqueryQueries, TypedApi}
 import graft.etl.EtlQueries
 import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
 import graft.sinks.SinkQueries
@@ -19,7 +19,7 @@ object SparkEntry {
   val registry: Seq[QueryDef] =
     Relational.all ++ EtlQueries.all ++ Dedup.all ++ Similarity.all ++
       TextStats.all ++ SinkQueries.all ++ Multimodal.all ++ CoverageQueries.all ++
-      Scale.all ++ SubqueryQueries.all
+      Scale.all ++ SubqueryQueries.all ++ TypedApi.all
 
   require(
     registry.map(_.name).distinct.size == registry.size,

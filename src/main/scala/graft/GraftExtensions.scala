@@ -58,7 +58,11 @@ object GraftExtensions {
     ("minhash_sig", info("minhash_sig", classOf[MinHashSig]),
       es => MinHashSig(es(0), intArg(es(1), "k"), longArg(es(2), "seed"))),
     ("minhash_bands", info("minhash_bands", classOf[MinHashBands]),
-      es => MinHashBands(es(0), intArg(es(1), "k"), intArg(es(2), "bands"), longArg(es(3), "seed"))))
+      es => MinHashBands(es(0), intArg(es(1), "k"), intArg(es(2), "bands"), longArg(es(3), "seed"))),
+    ("mean_byte", info("mean_byte", classOf[MeanByte]),
+      es => MeanByte(es(0))),
+    ("min_md5_hex", info("min_md5_hex", classOf[MinMd5Hex]),
+      es => MinMd5Hex(es(0))))
 }
 
 /** Optimizer rule: rewrite the naive built-in Jaccard composition

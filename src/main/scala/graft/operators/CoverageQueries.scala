@@ -315,6 +315,32 @@ object CoverageQueries {
         CAST(length(c_name) AS BIGINT) AS len
       FROM customer ORDER BY c_custkey"""))
 
+  // ---------------------------------------------------------------- q78
+  /** MapType surface: str_to_map → map_keys/map_values/element_at/
+    * map_concat, exported as deterministic sorted arrays (map iteration
+    * order is engine-specific; sorted projections are not). */
+  val q78 = QueryDef(
+    "q78_map_surface",
+    (s, d) => {
+      val m = map_concat(
+        str_to_map(concat(lit("type="), col("event_type"), lit(",uid="), col("user_id")),
+          lit(","), lit("=")),
+        map(lit("src"), lit("graft")))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          array_sort(map_keys(m)).as("ks"),
+          array_sort(map_values(m)).as("vs"),
+          element_at(m, "type").as("type_val"),
+          size(m).cast("long").as("n_entries"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+        ['src', 'type', 'uid'] AS ks,
+        list_sort(['graft', event_type, CAST(user_id AS VARCHAR)]) AS vs,
+        event_type AS type_val,
+        CAST(3 AS BIGINT) AS n_entries
+      FROM events ORDER BY event_id"""))
+
   val all: Seq[QueryDef] = Seq(
-    q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71)
+    q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71, q78)
 }

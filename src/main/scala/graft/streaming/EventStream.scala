@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.etl.EventPipeline
 
 /** Streaming tier: every transform is `DataFrame → DataFrame`, so the same
@@ -154,6 +154,41 @@ object EventStream {
             if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
             (key, next.n, next.lastSeq)
           }
+      }
+  }
+
+  /** One closed gap-based session (the streaming form of the q57 batch
+    * sessionizer's output row). */
+  case class ClosedSession(user: String, nEvents: Long, startMs: Long, endMs: Long)
+  case class SessionState(cnt: Long, startMs: Long, lastMs: Long)
+
+  /** flatMapGroupsWithState: zero-or-more outputs per key per batch —
+    * emits a ClosedSession whenever a key's new event arrives more than
+    * `gapMs` after its previous one (lazy close: no timers, so the
+    * operator is deterministic under replay and testable without clock
+    * control; add an event-time timeout for eager close in production). */
+  def closedSessions(
+      events: Dataset[(String, Long)], // (user, eventTimeMs)
+      gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[(String, Long)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var closed = List.empty[ClosedSession]
+          var st = state.getOption.orNull
+          sorted.foreach { t =>
+            st match {
+              case null => st = SessionState(1L, t, t)
+              case s if t - s.lastMs > gapMs =>
+                closed ::= ClosedSession(user, s.cnt, s.startMs, s.lastMs)
+                st = SessionState(1L, t, t)
+              case s => st = SessionState(s.cnt + 1, s.startMs, t)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.reverseIterator
       }
   }
 

@@ -172,6 +172,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits closed sessions when the gap is exceeded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = EventStream.closedSessions(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .toDF("user", "n_events", "start_ms", "end_ms")
+      .writeStream.format("memory").queryName("cs").outputMode("append").start()
+    try {
+      val t0 = 1704103200000L // 2024-01-01 10:00:00
+      input.addData(("u1", t0), ("u1", t0 + 300000L), ("u2", t0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cs").head().getLong(0) == 0L,
+        "open sessions emit nothing")
+      input.addData(("u1", t0 + 7200000L)) // 2h later -> closes u1's session
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, n_events, start_ms, end_ms FROM cs")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(("u1", 2L, t0, t0 + 300000L)))
+    } finally q.stop()
+  }
+
   test("streaming line-file sink writes the K1 gzip date-partitioned layout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

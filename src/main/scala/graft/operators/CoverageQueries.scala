@@ -341,6 +341,66 @@ object CoverageQueries {
         CAST(3 AS BIGINT) AS n_entries
       FROM events ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------- q79
+  /** Array function breadth: position/flatten/slice/repeat/sequence/
+    * sort-desc (DuckDB list_position returns NULL for absent — coalesced
+    * to Spark's 0). */
+  val q79 = QueryDef(
+    "q79_array_fns",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_position(words, "the").as("pos_the"),
+          size(flatten(array(words, words))).cast("long").as("n_flat"),
+          slice(words, 1, 3).as("first3"),
+          array_repeat(element_at(words, 1), 2).as("rep2"),
+          sequence(lit(1L), lit(5L)).as("seq5"),
+          sort_array(words, asc = false).as("sorted_desc"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      SELECT doc_id,
+        CAST(coalesce(list_position(words, 'the'), 0) AS BIGINT) AS pos_the,
+        CAST(len(flatten([words, words])) AS BIGINT) AS n_flat,
+        words[1:3] AS first3,
+        [words[1], words[1]] AS rep2,
+        CAST(range(1, 6) AS BIGINT[]) AS seq5,
+        list_sort(words, 'DESC') AS sorted_desc
+      FROM t ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q80
+  /** Conditional + bitwise breadth: greatest/least, nullif/coalesce,
+    * CASE, shifts, AND/OR/XOR. */
+  val q80 = QueryDef(
+    "q80_conditional_bitwise",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        greatest(col("o_custkey"), col("o_orderkey"), lit(100L)).as("g"),
+        least(col("o_custkey"), col("o_orderkey"), lit(100L)).as("l"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status"),
+        when(col("o_totalprice") > 100000, "high")
+          .when(col("o_totalprice") > 10000, "mid")
+          .otherwise("low").as("band"),
+        shiftleft(col("o_orderkey"), 2).as("shl"),
+        shiftright(col("o_orderkey"), 1).as("shr"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band255"),
+        col("o_orderkey").bitwiseOR(lit(1L)).as("bor"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+        greatest(o_custkey, o_orderkey, 100) AS g,
+        least(o_custkey, o_orderkey, 100) AS l,
+        coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status,
+        CASE WHEN o_totalprice > 100000 THEN 'high'
+             WHEN o_totalprice > 10000 THEN 'mid' ELSE 'low' END AS band,
+        o_orderkey << 2 AS shl,
+        o_orderkey >> 1 AS shr,
+        o_orderkey & 255 AS band255,
+        o_orderkey | 1 AS bor,
+        xor(o_orderkey, o_custkey) AS bxor
+      FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
-    q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71, q78)
+    q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71, q78, q79, q80)
 }

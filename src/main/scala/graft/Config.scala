@@ -33,16 +33,19 @@ object Config {
       |  --source-path PATH  file source dir (omit to bind a stream source)
       |""".stripMargin
 
+  private def num[T](flag: String, v: String, f: String => T): Either[String, T] =
+    try Right(f(v))
+    catch { case _: NumberFormatException => Left(s"$flag expects a number, got: $v") }
+
   def parse(args: Seq[String]): Either[String, Config] = {
-    @annotation.tailrec
     def go(rest: List[String], c: Config): Either[String, Config] = rest match {
       case Nil => Right(c)
-      case "--port" :: v :: t        => go(t, c.copy(port = v.toInt))
+      case "--port" :: v :: t        => num("--port", v, _.toInt).flatMap(p => go(t, c.copy(port = p)))
       case "--app-name" :: v :: t    => go(t, c.copy(appName = v))
       case "--stream" :: v :: t      => go(t, c.copy(streamName = v))
       case "--s3-bucket" :: v :: t   => go(t, c.copy(bucket = v))
-      case "--batch-size" :: v :: t  => go(t, c.copy(batchSize = v.toLong))
-      case "--interval" :: v :: t    => go(t, c.copy(intervalSec = v.toLong))
+      case "--batch-size" :: v :: t  => num("--batch-size", v, _.toLong).flatMap(b => go(t, c.copy(batchSize = b)))
+      case "--interval" :: v :: t    => num("--interval", v, _.toLong).flatMap(i => go(t, c.copy(intervalSec = i)))
       case "--checkpoint" :: v :: t  => go(t, c.copy(checkpoint = Some(v)))
       case "--source-path" :: v :: t => go(t, c.copy(sourcePath = Some(v)))
       case other :: _ => Left(s"unknown option: $other")

@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * a sort within each key partition, the same shape a dedicated
   * merge-based as-of physical operator would produce. Skewed keys behave
   * like any window (AQE/salting applies). Right side must be unique per
-  * (key, ts); callers dedup first (see q53's max-orderkey rule). */
+  * (key, ts) — callers dedup first (see q53's max-orderkey rule) — and
+  * right payload columns must be non-null: `last(_, ignoreNulls)` is
+  * evaluated per payload column, so a null payload value would let that
+  * column fall back to an older right row independently of the others. */
 object AsOfJoin {
 
   def join(

@@ -401,6 +401,48 @@ object CoverageQueries {
         xor(o_orderkey, o_custkey) AS bxor
       FROM orders ORDER BY o_orderkey"""))
 
+  // ---------------------------------------------------------------- q81
+  /** Regex function breadth: extract, match test, count, regex split —
+    * RE2-compatible pattern subset so Java and DuckDB regex agree. */
+  val q81 = QueryDef(
+    "q81_regex_fns",
+    (s, d) => Tables.customer(s, d)
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        col("c_name").rlike("0{2}").as("has_00"),
+        size(split(col("c_name"), "[#0-9]+")).cast("long").as("n_parts"),
+        regexp_count(col("c_name"), lit("0")).cast("long").as("n_zero"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+        regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        regexp_matches(c_name, '0{2}') AS has_00,
+        CAST(len(regexp_split_to_array(c_name, '[#0-9]+')) AS BIGINT) AS n_parts,
+        CAST(length(c_name) - length(replace(c_name, '0', '')) AS BIGINT) AS n_zero
+      FROM customer ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q82
+  /** Cast/coercion matrix: numeric truncation and widening, string
+    * round-trips, timestamp→date — the implicit-conversion rules both
+    * engines must share for every other query to be comparable. */
+  val q82 = QueryDef(
+    "q82_cast_matrix",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("long").as("price_long"),
+        col("o_totalprice").cast("decimal(18,1)").cast("string").as("price_str"),
+        col("o_orderkey").cast("string").cast("long").as("key_roundtrip"),
+        col("o_orderdate").cast("date").as("odate"),
+        col("o_orderkey").cast("double").as("key_dbl"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+        CAST(trunc(o_totalprice) AS BIGINT) AS price_long,
+        CAST(CAST(o_totalprice AS DECIMAL(18,1)) AS VARCHAR) AS price_str,
+        CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+        CAST(o_orderdate AS DATE) AS odate,
+        CAST(o_orderkey AS DOUBLE) AS key_dbl
+      FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
-    q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71, q78, q79, q80)
+    q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
+    q78, q79, q80, q81, q82)
 }

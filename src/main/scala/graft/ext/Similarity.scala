@@ -77,7 +77,7 @@ object Similarity {
         .select(col("q_id"), col("vec_id"),
           round(cosine(col("emb"), col("q_emb")), 6).as("sim"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 10)
         .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
         .orderBy(col("q_id"), col("rank"))
@@ -128,7 +128,7 @@ object Similarity {
         .select(col("q_id"), col("vec_id"),
           round(cosine(col("emb"), col("q_emb")), 6).as("sim"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 10)
         .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
         .orderBy(col("q_id"), col("rank"))

@@ -279,7 +279,7 @@ object Relational {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey"), col("rn"))
@@ -344,9 +344,9 @@ object Relational {
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
       Tables.customer(s, d)
         .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
-          rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"),
-          ntile(4).over(w).as("quartile"))
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
         .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
     },
     Some("""SELECT c_mktsegment, c_custkey, c_acctbal,

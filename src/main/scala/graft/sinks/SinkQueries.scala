@@ -47,7 +47,7 @@ object SinkQueries {
       JdbcUpsertSink.lastWriteWins(first.unionByName(redelivered), "event_id", col("delivery"))
         .orderBy(col("event_id"))
     },
-    Some("""SELECT event_id, value * 2 AS value, 2 AS delivery
+    Some("""SELECT event_id, value * 2 AS value, CAST(2 AS BIGINT) AS delivery
       FROM events ORDER BY event_id"""))
 
   val all: Seq[QueryDef] = Seq(q38, q39)

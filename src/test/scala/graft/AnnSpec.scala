@@ -49,11 +49,11 @@ class AnnSpec extends AnyFunSuite {
         .map { case (vId, _, vEmb) => (vId, roundTo6(cos(qEmb, vEmb))) }
         .sortBy { case (vId, s) => (-s, vId) }
         .take(10).zipWithIndex
-        .map { case ((vId, s), i) => (qId, i + 1, vId, s) }
+        .map { case ((vId, s), i) => (qId, (i + 1).toLong, vId, s) }
     }.toSet
 
     val actual = Similarity.q46.fn(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
 
     assert(expected.nonEmpty)
     assert(actual == expected,

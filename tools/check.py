@@ -51,6 +51,14 @@ def main():
         r["schema_match"] = s_cols == o_cols
         if not r["schema_match"]:
             r["spark_cols"], r["oracle_cols"] = s_cols, o_cols
+        else:
+            # dtype fidelity: flag width/kind differences the value compare
+            # cannot see (int32 vs int64, object vs datetime, ...)
+            dt_diff = {c: (str(spark_df[c].dtype), str(ora_df[c].dtype))
+                       for c in s_cols
+                       if str(spark_df[c].dtype) != str(ora_df[c].dtype)}
+            if dt_diff:
+                r["dtype_diff"] = dt_diff
         r["rows_match"] = len(spark_df) == len(ora_df)
         if not r["rows_match"]:
             r["spark_rows"], r["oracle_rows"] = len(spark_df), len(ora_df)

@@ -442,7 +442,88 @@ object CoverageQueries {
         CAST(o_orderkey AS DOUBLE) AS key_dbl
       FROM orders ORDER BY o_orderkey"""))
 
+  // ---------------------------------------------------------------- q83
+  /** Numeric RANGE frame: running sum over a value-based window
+    * (5000-wide price band), not a row-count frame. */
+  val q83 = QueryDef(
+    "q83_numeric_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-5000L, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_in_band"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+        COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+          RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS n_in_band
+      FROM orders ORDER BY o_orderkey"""))
+
+  // ---------------------------------------------------------------- q84
+  /** Selector aggregates: min_by/max_by (≙ DuckDB arg_min/arg_max) and
+    * mode (explicit deterministic variant: smallest among the most
+    * frequent, via count+window, since native mode() tie-breaks are
+    * engine-specific). */
+  val q84 = QueryDef(
+    "q84_selector_aggs",
+    (s, d) => {
+      val base = Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+          max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"))
+      val mode = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("cnt").desc, col("o_orderstatus"))))
+        .filter(col("rn") === 1)
+        .select(col("o_orderpriority"), col("o_orderstatus").as("modal_status"))
+      base.join(mode, "o_orderpriority").orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH m AS (
+        SELECT o_orderpriority, o_orderstatus AS modal_status,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY count(*) DESC, o_orderstatus) AS rn
+        FROM orders GROUP BY o_orderpriority, o_orderstatus)
+      SELECT b.o_orderpriority,
+        arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+        arg_max(o_orderkey, o_totalprice) AS priciest_order,
+        any_value(m.modal_status) AS modal_status
+      FROM orders b JOIN m ON b.o_orderpriority = m.o_orderpriority AND m.rn = 1
+      GROUP BY b.o_orderpriority ORDER BY b.o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q85
+  /** Statistical aggregates: Pearson correlation + covariance (rounded —
+    * both engines compute the same statistic to ~1e-12). */
+  val q85 = QueryDef(
+    "q85_corr_covar",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_s"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("cov_p"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        round(corr(l_quantity, l_extendedprice), 6) AS r,
+        round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+        round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q86
+  /** Boolean aggregates: bool_and / bool_or. */
+  val q86 = QueryDef(
+    "q86_bool_aggs",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000).as("any_over_400k"))
+      .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+        bool_and(o_totalprice > 1000) AS all_over_1k,
+        bool_or(o_totalprice > 400000) AS any_over_400k
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
-    q78, q79, q80, q81, q82)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86)
 }

@@ -523,7 +523,44 @@ object CoverageQueries {
         bool_or(o_totalprice > 400000) AS any_over_400k
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // ---------------------------------------------------------------- q87
+  /** nth_value over a full-partition frame. */
+  val q87 = QueryDef(
+    "q87_nth_value",
+    (s, d) => {
+      val wf = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          nth_value(col("c_custkey"), 2).over(wf).as("second_richest"),
+          nth_value(col("c_custkey"), 5).over(wf).as("fifth_richest"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+    Some("""SELECT c_mktsegment, c_custkey,
+        nth_value(c_custkey, 2) OVER wf AS second_richest,
+        nth_value(c_custkey, 5) OVER wf AS fifth_richest
+      FROM customer
+      WINDOW wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY c_mktsegment, c_custkey"""))
+
+  // ---------------------------------------------------------------- q88
+  /** Ordered string aggregation (listagg ≙ string_agg): deterministic via
+    * explicit element sort before concatenation. */
+  val q88 = QueryDef(
+    "q88_string_agg",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(concat_ws(",", array_sort(collect_set(col("source")))).as("sources_csv"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang")),
+    Some("""SELECT lang,
+        string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
+        count(*) AS n_docs
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

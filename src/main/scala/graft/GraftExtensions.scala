@@ -43,6 +43,10 @@ object GraftExtensions {
     case Literal(v: Int, _)  => v.toLong
     case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
   }
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("array_jaccard", info("array_jaccard", classOf[ArrayJaccard]),
@@ -59,6 +63,8 @@ object GraftExtensions {
       es => MinHashSig(es(0), intArg(es(1), "k"), longArg(es(2), "seed"))),
     ("minhash_bands", info("minhash_bands", classOf[MinHashBands]),
       es => MinHashBands(es(0), intArg(es(1), "k"), intArg(es(2), "bands"), longArg(es(3), "seed"))),
+    ("hyperplane_bands", info("hyperplane_bands", classOf[HyperplaneBands]),
+      es => HyperplaneBands(es(0), intArg(es(1), "planes"), intArg(es(2), "bands"), strArg(es(3), "tag"))),
     ("mean_byte", info("mean_byte", classOf[MeanByte]),
       es => MeanByte(es(0))),
     ("min_md5_hex", info("min_md5_hex", classOf[MinMd5Hex]),

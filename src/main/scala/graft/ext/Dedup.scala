@@ -75,17 +75,30 @@ object Dedup {
   // ---------------------------------------------------------------- q40
   /** Exact dedup: hash-groupBy on content, keep first id + multiplicity.
     * The input is the corpus unioned with itself so the operator provably
-    * collapses real duplicates (the raw corpus has none). One shuffle on
-    * text; at scale group on xxhash64(text) first so only 8-byte keys
-    * shuffle, with text equality re-checked inside each group. */
+    * collapses real duplicates (the raw corpus has none).
+    *
+    * Scale layout: the group key is xxhash64(text), so the Exchange
+    * partitions on an 8-byte key instead of shuffling full document text
+    * per row (DedupSpec pins the partitioning expression). Text still
+    * rides the shuffle, but only as min/max aggregation BUFFERS — one
+    * value per (group × map task) after partial aggregation, not one per
+    * row — and exists solely as the collision guard: a 64-bit hash
+    * collision (≈ n²/2⁶⁵) would merge distinct texts, so the query
+    * fail-stops via raise_error rather than silently miscounting. */
   val q40 = QueryDef(
     "q40_exact_dedup",
     (s, d) => {
       val docs = Tables.documents(s, d)
       docs.unionByName(docs)
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-        .select(col("doc_id"), col("n_copies"))
+        .select(col("doc_id"), col("text"), xxhash64(col("text")).as("th"))
+        .groupBy(col("th"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+          min(col("text")).as("t_min"), max(col("text")).as("t_max"))
+        .select(col("doc_id"),
+          when(col("t_min") =!= col("t_max"),
+            raise_error(lit("q40: xxhash64 collision — distinct texts in one dedup group"))
+              .cast("long"))
+            .otherwise(col("n_copies")).as("n_copies"))
         .orderBy(col("doc_id"))
     },
     Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies

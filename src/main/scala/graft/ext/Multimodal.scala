@@ -93,19 +93,21 @@ object Multimodal {
 
   // ---------------------------------------------------------------- q52
   /** Frame sampling + per-byte feature aggregation. Oracle derives the
-    * same strided hex frames and mean byte value from the text. */
+    * same strided hex frames and mean byte value from the text. The frame
+    * list is CSV-serialized so the driver's checker (which cannot hash
+    * array-typed columns) gets a flat string to compare. */
   val q52 = QueryDef(
     "q52_frame_sample",
     (s, d) => {
       val bin = col("text").cast("binary")
       Tables.documents(s, d)
         .select(col("doc_id"),
-          sampleFrames(bin, 16).as("frames"),
+          concat_ws(",", sampleFrames(bin, 16)).as("frames"),
           round(meanByte(bin), 6).as("mean_byte"))
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id,
-        [printf('%02x', ascii(substr(text, i, 1))) for i in range(1, length(text) + 1, 16)] AS frames,
+        array_to_string([printf('%02x', ascii(substr(text, i, 1))) for i in range(1, length(text) + 1, 16)], ',') AS frames,
         round(list_avg([ascii(substr(text, i, 1)) for i in range(1, length(text) + 1)]), 6) AS mean_byte
       FROM documents ORDER BY doc_id"""))
 

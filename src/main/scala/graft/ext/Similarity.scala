@@ -96,19 +96,29 @@ object Similarity {
 
   // ---------------------------------------------------------------- q46
   /** IVF-style ANN: centroids = per-label mean vector (computed
-    * distributively via posexplode + per-dimension avg); each query probes
+    * distributively via posexplode + per-dimension mean); each query probes
     * its nprobe=3 nearest centroids and scans only those partitions.
-    * Scanned fraction = nprobe/nlist; recall vs q45 asserted in AnnSpec.
-    * No SQL oracle — the probe-set choice isn't ANSI-expressible — so the
-    * driver records rows>0 and the spec owns correctness. */
+    * Scanned fraction = nprobe/nlist; probe contract vs an independent
+    * implementation is additionally asserted in AnnSpec.
+    *
+    * Fully oracle-checked: the whole IVF pipeline is re-expressed in DuckDB
+    * SQL. Cross-engine float determinism is engineered, not hoped for —
+    * the centroid mean uses the q44 decimal-accumulator convention (exact,
+    * order-independent sum, so Spark's partial-aggregation order cannot
+    * perturb it), and both probe and result ranking order by cosines
+    * rounded to 6 dp with an id tie-break. */
   val q46 = QueryDef(
     "q46_ann_ivf_topk",
     (s, d) => {
       val e = embDouble(s, d)
-      // per-label centroid: explode to (label, dim, v), average, reassemble
+      // per-label centroid: explode to (label, dim, v), mean via exact
+      // decimal accumulator (order-independent ⇒ run- and engine-stable),
+      // reassemble in dim order
       val centroids = e
         .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
-        .groupBy(col("label"), col("dim")).agg(avg(col("v")).as("m"))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("v").cast(DecimalType(28, 10))).cast("double")
+          / count(lit(1))).as("m"))
         .groupBy(col("label"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           p => p.getField("m")).as("centroid"))
@@ -118,7 +128,7 @@ object Similarity {
       val probeW = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("label"))
       val probes = q.crossJoin(broadcast(centroids))
         .select(col("q_id"), col("q_emb"), col("label"),
-          cosine(col("q_emb"), col("centroid")).as("csim"))
+          round(cosine(col("q_emb"), col("centroid")), 6).as("csim"))
         .withColumn("pr", row_number().over(probeW))
         .filter(col("pr") <= 3)
         .select(col("q_id"), col("q_emb"), col("label"))
@@ -133,23 +143,81 @@ object Similarity {
         .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
         .orderBy(col("q_id"), col("rank"))
     },
-    None,
-    doc = "IVF partition-probed ANN; recall vs q45 brute force asserted in AnnSpec")
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      ex AS (SELECT label, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v FROM e),
+      cent AS (
+        SELECT label, dim,
+          CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS m
+        FROM ex GROUP BY label, dim),
+      centroids AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cent GROUP BY label),
+      q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+      probes AS (
+        SELECT q_id, q_emb, label FROM (
+          SELECT q.q_id, q.q_emb, c.label,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id
+              ORDER BY round(list_cosine_similarity(q.q_emb, c.centroid), 6) DESC, c.label) AS pr
+          FROM q CROSS JOIN centroids c)
+        WHERE pr <= 3),
+      scored AS (
+        SELECT p.q_id, e.vec_id,
+          round(list_cosine_similarity(e.emb, p.q_emb), 6) AS sim
+        FROM e JOIN probes p ON e.label = p.label
+        WHERE e.vec_id <> p.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, sim,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 10
+      ORDER BY q_id, rank"""),
+    doc = "IVF partition-probed ANN, full-pipeline DuckDB oracle; probe contract also in AnnSpec")
 
   // ---------------------------------------------------------------- q54
-  /** Embedding-cosine near-dup: all pairs with cosine ≥ 0.4. At this
-    * corpus the pair set is small and the scan is the fused CosineSim
-    * expression over a broadcast self-join (5k × 5k at sf0.1 ≈ 25M
-    * cosines in seconds). At 100 TB the candidate generation in front is
-    * random-hyperplane LSH bucketing (same band-join shape as q41) — the
-    * exact-verify stage below is unchanged by that swap. */
+  /** Embedding-cosine near-dup: all pairs with cosine ≥ 0.4, exact.
+    *
+    * Why exact and not LSH-pruned: on this corpus (measured) the pair
+    * cosine distribution is a continuous bulk centered near 0.35 with NO
+    * separated duplicate mode — the ≥ 0.4 output is the tail of the
+    * background, with hundreds of pairs within ±0.005 of the threshold.
+    * A threshold inside the background bulk admits no sound candidate
+    * pruner, probabilistic or geometric: pairs at 0.400 vs 0.399 are
+    * statistically indistinguishable, so any LSH either misses true pairs
+    * (breaking exactness) or admits nearly everything. The sub-quadratic
+    * machinery for *separated* duplicate structure is q89's hyperplane-LSH
+    * stage; at THIS threshold the right tool is exact scoring with a
+    * scalable layout.
+    *
+    * Scale layout — blocked distributed all-pairs, no broadcast of the big
+    * side, no BroadcastNestedLoopJoin/CartesianProduct: rows are hashed
+    * into B blocks; a tiny (bi ≤ bj) block-pair driver table replicates
+    * each row B+1 times; candidates come from an EQUI-join on the
+    * (bi, bj) key, so each of the B(B+1)/2 tasks scores an
+    * (n/B) × (n/B) tile. Compute stays O(n²) — inherent to an exact
+    * threshold join — but memory per task is 2n/B rows (vs the whole
+    * table under a broadcast loop join) and B scales with the cluster. */
   val q54 = QueryDef(
     "q54_cosine_neardup",
     (s, d) => {
-      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
-      e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          cosine(col("a.emb"), col("b.emb")).as("c"))
+      import s.implicits._
+      val B = 16
+      val blockPairs = broadcast(
+        (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("bi", "bj"))
+      val e = embDouble(s, d)
+        .select(col("vec_id"), col("emb"),
+          pmod(xxhash64(col("vec_id")), lit(B)).cast("int").as("blk"))
+      val lhs = e.join(blockPairs, col("blk") === col("bi"))
+        .select(col("bi"), col("bj"), col("vec_id").as("l_id"), col("emb").as("l_emb"))
+      val rhs = e.join(blockPairs, col("blk") === col("bj"))
+        .select(col("bi").as("rbi"), col("bj").as("rbj"),
+          col("vec_id").as("r_id"), col("emb").as("r_emb"))
+      // cross-block pairs land exactly once in their canonical (min,max)
+      // bucket with arbitrary orientation (normalized by least/greatest);
+      // same-block pairs are ordered by id to avoid double-count.
+      lhs.join(rhs, col("bi") === col("rbi") && col("bj") === col("rbj")
+          && (col("bi") =!= col("bj") || col("l_id") < col("r_id"))
+          && col("l_id") =!= col("r_id"))
+        .select(least(col("l_id"), col("r_id")).as("a_id"),
+          greatest(col("l_id"), col("r_id")).as("b_id"),
+          cosine(col("l_emb"), col("r_emb")).as("c"))
         .filter(col("c") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos_sim"))
         .orderBy(col("a_id"), col("b_id"))
@@ -160,5 +228,99 @@ object Similarity {
       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
       ORDER BY a_id, b_id"""))
 
-  val all: Seq[QueryDef] = Seq(q44, q45, q46, q54)
+  // ---------------------------------------------------------------- q89
+  /** Random-hyperplane (sign) LSH near-dup candidate pipeline — the
+    * sub-quadratic scale path for embedding near-dup when duplicate
+    * structure is separated from the background (centered cosine ≳ 0.7;
+    * see q54 scaladoc for why THIS corpus's 0.4 threshold cannot be
+    * soundly pruned — here the LSH stage is the contract under test, and
+    * its recall at a bulk-interior threshold is expected to be low).
+    *
+    * Every stage is deterministic and replicated verbatim by the DuckDB
+    * oracle, so the whole pipeline is hash-checked end to end:
+    *  1. center: subtract the per-dimension mean (decimal-accumulator,
+    *     order-independent) — removes the corpus's common component, which
+    *     otherwise makes ALL pairs agree on ~61% of sign bits;
+    *  2. sign signatures: 64 Rademacher hyperplanes (±1 weights derived
+    *     from md5, bit-identical in both engines), fused directly into 8
+    *     band hashes of 8 bits by the native [[graft.functions.HyperplaneBands]]
+    *     (signature never materializes — same re-evaluation trap as
+    *     MinHashBands);
+    *  3. candidates: EQUI-join on (band, bandHash) — never a crossJoin;
+    *     measured candidate rate ≈ 3% of all pairs on this corpus
+    *     (2^-8 per band × 8 bands over centered ≈orthogonal vectors);
+    *  4. exact verify: fused CosineSim on the ORIGINAL vectors ≥ 0.4. */
+  val q89 = QueryDef(
+    "q89_hyperplane_lsh",
+    (s, d) => {
+      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+      // per-dimension mean, exact decimal accumulator (cross-engine stable)
+      val mean = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("dim"))
+        .agg((sum(col("v").cast(DecimalType(28, 10))).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          p => p.getField("m")).as("mean"))
+      // dummy equi-key so the 1-row mean joins as BroadcastHashJoin (a
+      // keyless crossJoin of even a 1-row side plans as a nested-loop
+      // join); both keys must be data-dependent or constant folding
+      // erases the condition and the nested loop comes back
+      val centered = e.withColumn("one", pmod(col("vec_id"), lit(1)))
+        .join(broadcast(mean.withColumn("one",
+          pmod(size(col("mean")).cast("long"), lit(1)))), "one")
+        .select(col("vec_id"), col("emb"),
+          zip_with(col("emb"), col("mean"), (x, m) => x - m).as("cemb"))
+      val bands = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HyperplaneBands(
+          org.apache.spark.sql.GraftBridge.expression(col("cemb")), 64, 8, "42"))
+      val buckets = centered
+        .select(col("vec_id"), posexplode(bands).as(Seq("band", "bh")))
+      val cand = buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+            && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("a_id"), col("emb").as("a_emb")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("emb").as("b_emb")), "b_id")
+        .select(col("a_id"), col("b_id"), cosine(col("a_emb"), col("b_emb")).as("c"))
+        .filter(col("c") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      ex AS (SELECT generate_subscripts(emb, 1) AS dim, unnest(emb) AS v FROM e),
+      cm AS (
+        SELECT list(m ORDER BY dim) AS mean FROM (
+          SELECT dim, CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS m
+          FROM ex GROUP BY dim)),
+      centered AS (
+        SELECT vec_id, [emb[i] - mean[i] for i in range(1, 65)] AS cemb
+        FROM e CROSS JOIN cm),
+      planes AS (
+        SELECT j, [CASE WHEN substr(md5('hp_42_' || j || '_' || d), 1, 1) >= '8'
+                   THEN 1.0 ELSE -1.0 END for d in range(0, 64)] AS w
+        FROM range(64) t(j)),
+      bits AS (
+        SELECT c.vec_id, p.j,
+          CASE WHEN list_sum([c.cemb[i] * p.w[i] for i in range(1, 65)]) >= 0
+               THEN 1 ELSE 0 END AS bit
+        FROM centered c CROSS JOIN planes p),
+      bh AS (
+        SELECT vec_id, j // 8 AS band,
+          CAST(SUM(bit * (1 << (j % 8))) AS BIGINT) AS bh
+        FROM bits GROUP BY vec_id, j // 8),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        FROM bh x JOIN bh y ON x.band = y.band AND x.bh = y.bh
+          AND x.vec_id < y.vec_id)
+      SELECT c.a_id, c.b_id,
+        round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+      FROM cand c JOIN e a ON a.vec_id = c.a_id JOIN e b ON b.vec_id = c.b_id
+      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+      ORDER BY a_id, b_id"""),
+    doc = "deterministic sign-LSH pipeline, oracle-replicated end to end")
+
+  val all: Seq[QueryDef] = Seq(q44, q45, q46, q54, q89)
 }

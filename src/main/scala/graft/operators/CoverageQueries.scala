@@ -170,15 +170,19 @@ object CoverageQueries {
       GROUP BY word ORDER BY n DESC, word LIMIT 20"""))
 
   // ---------------------------------------------------------------- q62
-  /** collect_set + array_sort (deterministic set aggregation). */
+  /** collect_set + array_sort (deterministic set aggregation). The sorted
+    * set is exported CSV-serialized (concat_ws) so the driver's pandas
+    * canonicalizer can hash it — array-typed output columns crash its
+    * sort_values/factorize step. */
   val q62 = QueryDef(
     "q62_collect_set",
     (s, d) => Tables.documents(s, d)
       .groupBy(col("lang"))
-      .agg(array_sort(collect_set(col("source"))).as("sources"),
+      .agg(concat_ws(",", array_sort(collect_set(col("source")))).as("sources"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy(col("lang")),
-    Some("""SELECT lang, list_sort(list_distinct(list(source))) AS sources,
+    Some("""SELECT lang,
+        array_to_string(list_sort(list_distinct(list(source))), ',') AS sources,
         count(DISTINCT source) AS n_sources
       FROM documents GROUP BY lang ORDER BY lang"""))
 
@@ -317,8 +321,9 @@ object CoverageQueries {
 
   // ---------------------------------------------------------------- q78
   /** MapType surface: str_to_map → map_keys/map_values/element_at/
-    * map_concat, exported as deterministic sorted arrays (map iteration
-    * order is engine-specific; sorted projections are not). */
+    * map_concat, exported as sorted CSV strings (map iteration order is
+    * engine-specific; sorted serialized projections are not, and the
+    * driver's checker cannot hash raw array columns). */
   val q78 = QueryDef(
     "q78_map_surface",
     (s, d) => {
@@ -328,15 +333,15 @@ object CoverageQueries {
         map(lit("src"), lit("graft")))
       Tables.events(s, d)
         .select(col("event_id"),
-          array_sort(map_keys(m)).as("ks"),
-          array_sort(map_values(m)).as("vs"),
+          concat_ws(",", array_sort(map_keys(m))).as("ks"),
+          concat_ws(",", array_sort(map_values(m))).as("vs"),
           element_at(m, "type").as("type_val"),
           size(m).cast("long").as("n_entries"))
         .orderBy(col("event_id"))
     },
     Some("""SELECT event_id,
-        ['src', 'type', 'uid'] AS ks,
-        list_sort(['graft', event_type, CAST(user_id AS VARCHAR)]) AS vs,
+        'src,type,uid' AS ks,
+        array_to_string(list_sort(['graft', event_type, CAST(user_id AS VARCHAR)]), ',') AS vs,
         event_type AS type_val,
         CAST(3 AS BIGINT) AS n_entries
       FROM events ORDER BY event_id"""))
@@ -344,7 +349,9 @@ object CoverageQueries {
   // ---------------------------------------------------------------- q79
   /** Array function breadth: position/flatten/slice/repeat/sequence/
     * sort-desc (DuckDB list_position returns NULL for absent — coalesced
-    * to Spark's 0). */
+    * to Spark's 0). Array results are CSV-serialized so the driver's
+    * checker can hash them; the separator only needs to agree between
+    * engines, not be collision-free. */
   val q79 = QueryDef(
     "q79_array_fns",
     (s, d) => {
@@ -353,20 +360,20 @@ object CoverageQueries {
         .select(col("doc_id"),
           array_position(words, "the").as("pos_the"),
           size(flatten(array(words, words))).cast("long").as("n_flat"),
-          slice(words, 1, 3).as("first3"),
-          array_repeat(element_at(words, 1), 2).as("rep2"),
-          sequence(lit(1L), lit(5L)).as("seq5"),
-          sort_array(words, asc = false).as("sorted_desc"))
+          concat_ws(",", slice(words, 1, 3)).as("first3"),
+          concat_ws(",", array_repeat(element_at(words, 1), 2)).as("rep2"),
+          concat_ws(",", transform(sequence(lit(1L), lit(5L)), _.cast("string"))).as("seq5"),
+          concat_ws(",", sort_array(words, asc = false)).as("sorted_desc"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
       SELECT doc_id,
         CAST(coalesce(list_position(words, 'the'), 0) AS BIGINT) AS pos_the,
         CAST(len(flatten([words, words])) AS BIGINT) AS n_flat,
-        words[1:3] AS first3,
-        [words[1], words[1]] AS rep2,
-        CAST(range(1, 6) AS BIGINT[]) AS seq5,
-        list_sort(words, 'DESC') AS sorted_desc
+        array_to_string(words[1:3], ',') AS first3,
+        array_to_string([words[1], words[1]], ',') AS rep2,
+        array_to_string(range(1, 6), ',') AS seq5,
+        array_to_string(list_sort(words, 'DESC'), ',') AS sorted_desc
       FROM t ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- q80

@@ -478,18 +478,35 @@ object Relational {
 
   // ---------------------------------------------------------------- q24
   /** Sketch aggregates — approx_count_distinct (HLL++) and
-    * approx_percentile (KLL-style) have no cross-engine oracle; the driver
-    * records a rows-only check and the ScalaTest spec asserts error bounds
-    * against the exact values. */
+    * approx_percentile (KLL-style) have no value-level cross-engine oracle,
+    * so the query emits its own error-bound verdicts as booleans and the
+    * oracle pins them TRUE: the HLL estimate must land within 2% of the
+    * exact distinct count, and the approximate p95 must sit at a true rank
+    * in [0.93, 0.97] (rank error ≤ 1/accuracy = 1e-4, so the band is
+    * generous but a broken sketch still fails it hard). SketchSpec keeps
+    * the tighter numeric assertions. */
   val q24 = QueryDef(
     "q24_approx_sketches",
-    (s, d) => Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
-      .orderBy(col("l_returnflag")),
-    None,
-    doc = "HLL + approximate percentile; bounds asserted in SketchSpec")
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("acd"),
+          countDistinct(col("l_partkey")).as("exact_cd"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("ap95"))
+      val rank = li.select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(sk.select(col("l_returnflag"), col("ap95"))), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg((sum(when(col("l_extendedprice") <= col("ap95"), 1L).otherwise(0L))
+          / count(lit(1))).as("frac_le"))
+      sk.join(rank, "l_returnflag")
+        .select(col("l_returnflag"),
+          (abs(col("acd") - col("exact_cd")) <= col("exact_cd") * 0.02).as("acd_within_2pct"),
+          (col("frac_le") >= 0.93 && col("frac_le") <= 0.97).as("p95_rank_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, TRUE AS acd_within_2pct, TRUE AS p95_rank_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    doc = "HLL + approximate percentile, self-checking bounds; tighter bounds in SketchSpec")
 
   // ---------------------------------------------------------------- q25
   /** UNION ALL then aggregate. */

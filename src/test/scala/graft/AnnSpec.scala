@@ -60,6 +60,26 @@ class AnnSpec extends AnyFunSuite {
       s"missing=${(expected -- actual).take(3)}; extra=${(actual -- expected).take(3)}")
   }
 
+  test("q54 blocked all-pairs plan has no BroadcastNestedLoopJoin / CartesianProduct") {
+    val plan = Similarity.q54.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q89 LSH plan has no BroadcastNestedLoopJoin / CartesianProduct") {
+    val plan = Similarity.q89.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q89 LSH-found pairs are a subset of q54's exact pair set (precision 1)") {
+    val exact = Similarity.q54.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.q89.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"extra=${(lsh -- exact).take(5)}")
+  }
+
   private def roundTo6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -54,4 +54,12 @@ class DedupSpec extends AnyFunSuite {
     assert(out.length == n)
     assert(out.forall(_.getLong(1) == 2L), "every text appears exactly twice in the doubled input")
   }
+
+  test("q40 plan partitions the shuffle on the 8-byte text hash, not on full text") {
+    val plan = Dedup.q40.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(th#"),
+      s"expected Exchange keyed on th (xxhash64(text)):\n$plan")
+    assert(!plan.contains("hashpartitioning(text#"),
+      s"full-text shuffle key must not appear:\n$plan")
+  }
 }

@@ -4,35 +4,44 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Relational
 
-/** q24's sketch aggregates have no cross-engine oracle (SURVEY §5.2), so
-  * this spec is their correctness gate: approximate answers must sit within
-  * the algorithms' published error bounds of the exact answers at sf0.001. */
+/** q24's sketch aggregates have no value-level cross-engine oracle
+  * (SURVEY §5.2): the query itself emits bound-check booleans the DuckDB
+  * oracle pins TRUE. This spec keeps the tighter numeric assertions — the
+  * approximate answers must sit within the algorithms' published error
+  * bounds of the exact answers at sf0.001 — and pins the emitted verdicts. */
 class SketchSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct within 5% of exact per group (HLL++ default rsd=0.05)") {
-    val exact = Tables.lineitem(spark, sf)
+  test("q24 emits TRUE for every group on both sketch bound checks") {
+    val rows = Relational.q24.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("acd_within_2pct")), s"${r.getString(0)}: HLL outside 2%")
+      assert(r.getBoolean(r.fieldIndex("p95_rank_ok")), s"${r.getString(0)}: approx p95 rank outside [0.93, 0.97]")
+    }
+  }
+
+  test("approx_count_distinct(rsd=0.01) within 2% of exact per group") {
+    val joined = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("exact"))
-    val approx = Relational.q24.fn(spark, sf)
-    val joined = exact.join(approx, "l_returnflag")
-      .select(col("l_returnflag"), col("exact"), col("approx_parts")).collect()
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
+      .collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
       val (e, a) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
-      assert(math.abs(a - e) / e <= 0.15, s"${r.getString(0)}: approx $a vs exact $e")
+      assert(math.abs(a - e) / e <= 0.02, s"${r.getString(0)}: approx $a vs exact $e")
     }
   }
 
   test("percentile_approx(0.95, 10000) brackets the exact p95 per group") {
-    val exact = Tables.lineitem(spark, sf)
+    val joined = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.95)").as("exact_p95"),
-        expr("percentile(l_extendedprice, 0.90)").as("exact_p90"),
-        expr("percentile(l_extendedprice, 0.99)").as("exact_p99"))
-    val approx = Relational.q24.fn(spark, sf)
-    val joined = exact.join(approx, "l_returnflag").collect()
+      .agg(expr("percentile(l_extendedprice, 0.90)").as("exact_p90"),
+        expr("percentile(l_extendedprice, 0.99)").as("exact_p99"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+      .collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
       val (p90, p99) = (r.getDouble(r.fieldIndex("exact_p90")), r.getDouble(r.fieldIndex("exact_p99")))

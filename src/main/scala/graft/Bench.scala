@@ -20,6 +20,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(Tables.sessionConf)
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,17 +38,34 @@ object Bench {
       _.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
 
+    // Median-of-3 per query: single-shot timings on a shared box are
+    // variance-exposed (an official round once recorded 108 s for a query
+    // that re-measures at 1.4 s — GC/machine-load flukes, not plan cost).
+    // The median absorbs one outlier rep AND the per-query cold start
+    // (first-rep codegen + parquet footer reads) without a separate
+    // warm-up pass.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     var errs = List.empty[(String, String)]
     val results = SparkEntry.registry.map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          errs ::= (q.name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-          false
+      val times = (1 to reps).flatMap { _ =>
+        if (errs.exists(_._1 == q.name)) None // failed once: don't retry
+        else {
+          val t0 = System.nanoTime()
+          try {
+            q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              errs ::= (q.name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+              None
+          }
         }
-      val secs = (System.nanoTime() - t0) / 1e9
-      q.name -> (if (ok) secs else -secs)
+      }
+      // lower median: true median for 3 reps, best-of for 2, the value for 1
+      val secs =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply((times.size - 1) / 2)
+      q.name -> secs
     }
     val qs = results.map { case (k, v) => "\"" + jsonEsc(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

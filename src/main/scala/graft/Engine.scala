@@ -72,6 +72,7 @@ object Main {
         val spark = SparkSession.builder()
           .appName(config.appName)
           .config("spark.sql.session.timeZone", "UTC")
+          .config(Tables.sessionConf)
           .withExtensions(new GraftExtensions)
           .getOrCreate()
         val engine = new Engine(spark, config)

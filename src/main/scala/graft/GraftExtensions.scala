@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Divide, Expression, ExpressionInfo, Literal, Size}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, Concat, Divide, EqualTo, Expression, ExpressionInfo, If, Literal, Size}
 import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -78,7 +78,18 @@ object GraftExtensions {
   * (any cast placement) into the fused single-pass [[ArrayJaccard]] when
   * both sides are string arrays — users write the declarative form, the
   * engine runs the native one. The classic "recognize the idiom, swap the
-  * physical computation" rewrite. */
+  * physical computation" rewrite.
+  *
+  * Semantics preservation on the union==0 edge: when BOTH inputs are
+  * empty the composed form divides zero by zero (whatever the session's
+  * division semantics make of that — NaN, null, or an ANSI error), while
+  * ArrayJaccard returns 0.0. The rewrite therefore emits a literal
+  * `0.0 / 0.0` with the ORIGINAL divide's evalMode on that branch,
+  * guarded by two O(1) size() checks (an empty union can only arise from
+  * two empty arrays), so the rule never changes observable behavior —
+  * the fused path runs on every non-degenerate row. (The branch must not
+  * keep the original divide subtree: the rule runs to fixpoint and would
+  * re-match its own guard branch forever.) */
 object JaccardFusion extends Rule[LogicalPlan] {
 
   private def strip(e: Expression): Expression = e match {
@@ -98,7 +109,12 @@ object JaccardFusion extends Rule[LogicalPlan] {
               Size(ArrayDistinct(Concat(Seq(a2, b2))), _))
             if a.semanticEquals(a2) && b.semanticEquals(b2)
               && isStringArray(a) && isStringArray(b) =>
-          Cast(ArrayJaccard(a, b), DoubleType)
+          val bothEmpty = And(
+            EqualTo(Size(a, legacySizeOfNull = false), Literal(0)),
+            EqualTo(Size(b, legacySizeOfNull = false), Literal(0)))
+          val zeroOverZero = d.withNewChildren(Seq(
+            Cast(Literal(0), DoubleType), Cast(Literal(0), DoubleType)))
+          If(bothEmpty, zeroOverZero, Cast(ArrayJaccard(a, b), DoubleType))
         case _ => d
       }
   }

@@ -23,23 +23,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL). The supported path is
-    * `spark.sql.legacy.parquet.nanosAsLong` (runtime-settable), which reads
-    * the column as LongType nanos. We expose BOTH representations so every
-    * query picks the right precision:
+  /** Session configuration every graft session needs at build time.
+    * `spark.sql.legacy.parquet.nanosAsLong`: `events.ts` is written as
+    * parquet TIMESTAMP(NANOS), which Spark's reader otherwise rejects
+    * outright (PARQUET_TYPE_ILLEGAL); the flag reads it as LongType nanos.
+    * Applied once at SparkSession build (Bench/Verify/Engine/specs) — NOT
+    * per table load: a `conf.set` inside a loader is a hidden global write,
+    * order-dependent under concurrent plan building and surprising to any
+    * caller reading other nanos parquet. */
+  val sessionConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Exposes BOTH timestamp representations so every query picks the
+    * right precision:
     *  - `ts_ns`: raw epoch-nanos long (lossless; use when the oracle side
     *    compares via DuckDB `epoch_ns(ts)`)
     *  - `ts`: TimestampType truncated to micros (Spark's native precision;
     *    use for date_trunc/window-style ops where sub-µs never matters)
     * Integer `div` keeps the ns→µs conversion exact — a double division
-    * would lose precision above 2^53. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * would lose precision above 2^53. Requires [[sessionConf]] at session
+    * build. */
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts_ns", col("ts").cast("long"))
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -2,13 +2,13 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native MinHash-signature expression: input is an array<long> of
-  * pre-hashed shingles (each already reduced mod 2^31-1, non-negative),
-  * output the k-slot signature `min_i((a_j*h_i + b_j) mod p)`.
+  * pre-hashed shingles, output the k-slot signature
+  * `min_i((a_j*h_i + b_j) mod p)`.
   *
   * Why a custom Expression: the same computation phrased with built-in
   * higher-order functions (`aggregate` + `zip_with` over a k-wide
@@ -18,11 +18,21 @@ import org.apache.spark.sql.types._
   * milliseconds, and the cost model a 100 TB corpus needs (linear in
   * Σ shingles, zero allocation beyond the k-slot output).
   *
+  * Inputs are reduced `Math.floorMod(h, p)` defensively: the function is
+  * SQL-registered (`minhash_sig`), so a caller passing raw xxhash64
+  * values (negative / full 64-bit) must get correct permutation math,
+  * not silent overflow from `h*a` and negative Java `%` results. For
+  * already-reduced inputs (the library's own callers) floorMod is the
+  * identity, so signatures are unchanged.
+  *
   * Coefficients derive from `seed` so the plan is deterministic across
-  * executors, runs, and engines.
+  * executors, runs, and engines. Codegen emits a call to [[signature]]
+  * through a reference object — the loop body stays JIT-compiled Scala
+  * while the expression participates in whole-stage codegen (a
+  * CodegenFallback would knock the entire stage out of WSCG).
   */
 case class MinHashSig(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val Prime = 2147483647L // 2^31-1: keeps a*h+b < 2^62, no overflow
 
@@ -42,14 +52,14 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
     (a, b)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Shared by eval and codegen. */
+  def signature(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()
     val (a, b) = coeffs
     val sig = Array.fill(k)(Prime)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
+      val h = java.lang.Math.floorMod(arr.getLong(i), Prime)
       var j = 0
       while (j < k) {
         val v = (h * a(j) + b(j)) % Prime
@@ -59,6 +69,14 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    signature(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.signature($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -74,9 +92,11 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
   * `element_at(sig, i)` reference in a following projection invites the
   * optimizer to collapse projections and re-evaluate the full signature per
   * reference (observed: ~12 s for 500 docs at sf0.01). One expression, one
-  * evaluation, O(shingles·k) per row. */
+  * evaluation, O(shingles·k) per row.
+  *
+  * Same defensive floorMod and same codegen strategy as [[MinHashSig]]. */
 case class MinHashBands(child: Expression, k: Int, bands: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val Prime = 2147483647L
   private val rows = k / bands
@@ -98,14 +118,14 @@ case class MinHashBands(child: Expression, k: Int, bands: Int, seed: Long)
     (a, b)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Shared by eval and codegen. */
+  def bandHashes(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()
     val (a, b) = coeffs
     val sig = Array.fill(k)(Prime)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
+      val h = java.lang.Math.floorMod(arr.getLong(i), Prime)
       var j = 0
       while (j < k) {
         val v = (h * a(j) + b(j)) % Prime
@@ -127,6 +147,14 @@ case class MinHashBands(child: Expression, k: Int, bands: Int, seed: Long)
       bnd += 1
     }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    bandHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minHashBands", this, classOf[MinHashBands].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.bandHashes($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =

@@ -3,8 +3,8 @@ package graft.functions
 import java.net.URLDecoder
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,9 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * transform_values(try_url_decode)) is three interpreted passes, and a
   * projection extracting several keys re-evaluates the whole chain per
   * reference (measured 25 s for 100k rows × 5 keys at sf0.1). This eval
-  * is one pass over the string, ~1 µs — re-evaluation noise-level. */
+  * is one pass over the string, ~1 µs — re-evaluation noise-level.
+  * Codegen (here and in every native expression below) emits a call to
+  * the shared eval method through a reference object, so the stage keeps
+  * whole-stage codegen — a CodegenFallback expression disables WSCG for
+  * its whole stage. */
 case class ParseCookies(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = MapType(StringType, StringType, valueContainsNull = true)
   override def prettyName: String = "parse_cookies"
@@ -32,8 +36,9 @@ case class ParseCookies(child: Expression)
       s"parse_cookies expects string, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Shared by eval and codegen. */
+  def parse(str: UTF8String): MapData = {
+    val s = str.toString
     // LinkedHashMap: insertion order preserved, duplicate keys last-wins
     val out = new java.util.LinkedHashMap[UTF8String, UTF8String]()
     s.split(";").foreach { pair =>
@@ -61,6 +66,14 @@ case class ParseCookies(child: Expression)
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
+  override def nullSafeEval(input: Any): Any =
+    parse(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("parseCookies", this, classOf[ParseCookies].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.parse($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): ParseCookies =
     copy(child = newChild)
 }
@@ -71,7 +84,7 @@ case class ParseCookies(child: Expression)
   * bit-for-bit, at interpreted-HOF-free cost — shingling feeds every
   * near-dup/fingerprint operator so it runs 2-3× per doc per query). */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
@@ -82,9 +95,10 @@ case class WordShingles(child: Expression, n: Int)
       s"word_shingles expects string, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  /** Shared by eval and codegen. */
+  def shingles(text: UTF8String): ArrayData = {
     // split(text, " ") semantics: Java split with -1 limit keeps empties
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val words = text.toString.split(" ", -1)
     val out = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i + n <= words.length) {
@@ -101,6 +115,14 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(arr)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    shingles(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.shingles($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }
@@ -112,10 +134,11 @@ case class WordShingles(child: Expression, n: Int)
   * element and walks interpreted lambda machinery (~15M md5+alloc at
   * sf0.1 for q49). */
 case class MinMd5Hex(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "min_md5_hex"
+  override def nullable: Boolean = true // empty array -> null
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -123,8 +146,8 @@ case class MinMd5Hex(child: Expression)
       s"min_md5_hex expects array<string>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Shared by eval and codegen; null for an empty array. */
+  def minMd5(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
     if (n == 0) return null
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -139,6 +162,17 @@ case class MinMd5Hex(child: Expression)
     val sb = new java.lang.StringBuilder(32)
     min.foreach { b => sb.append(f"${b & 0xff}%02x") }
     UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    minMd5(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minMd5Hex", this, classOf[MinMd5Hex].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = $self.minMd5($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
   }
 
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
@@ -161,7 +195,7 @@ case class MinMd5Hex(child: Expression)
   * array with conv(hex(substring(...))) per byte — three allocations per
   * byte, ~14 s at sf0.1; this is one primitive loop over the byte array. */
 case class MeanByte(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "mean_byte"
@@ -172,8 +206,8 @@ case class MeanByte(child: Expression)
       s"mean_byte expects binary, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  /** Shared by eval and codegen. */
+  def mean(bytes: Array[Byte]): Double = {
     if (bytes.isEmpty) 0.0
     else {
       var sum = 0L
@@ -181,6 +215,14 @@ case class MeanByte(child: Expression)
       while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
       sum.toDouble / bytes.length
     }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    mean(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("meanByte", this, classOf[MeanByte].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.mean($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MeanByte =
@@ -258,7 +300,7 @@ case class CosineSim(left: Expression, right: Expression)
   * per word instead of 16 (the composed form recomputes the digest per
   * bit — measured 3.5 s at sf0.1). */
 case class SimHash16(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash16"
@@ -269,8 +311,8 @@ case class SimHash16(child: Expression)
       s"simhash16 expects array<string> of distinct words, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+  /** Shared by eval and codegen. */
+  def simhash(words: ArrayData): Long = {
     val n = words.numElements()
     val votes = new Array[Int](16)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -296,6 +338,14 @@ case class SimHash16(child: Expression)
       b += 1
     }
     hash
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simHash16", this, classOf[SimHash16].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.simhash($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =

@@ -64,11 +64,26 @@ object JdbcUpsertSink {
     } finally conn.close()
   }
 
+  /** Identifiers (table/column names) are interpolated into SQL text, so
+    * they are validated to plain unquoted-identifier syntax — this keeps
+    * the database's standard case-folding (quoting would make a lowercase
+    * DataFrame schema miss a DDL-created case-folded table) while closing
+    * the injection/breakage surface of raw interpolation. Schema-qualified
+    * names (a.b) are allowed per part. */
+  private val IdentPart = "[A-Za-z_][A-Za-z0-9_]*"
+  private val IdentRe = s"$IdentPart(\\.$IdentPart)?".r
+  private def validIdent(name: String): String = name match {
+    case IdentRe(_*) => name
+    case _ => throw new IllegalArgumentException(
+      s"invalid SQL identifier for JDBC sink: '$name'")
+  }
+
   private def deleteKeys(
       conn: Connection, table: String, keyCol: String,
       schema: StructType, rows: Array[Row]): Unit = {
     val keyIdx = schema.fieldIndex(keyCol)
-    val del = conn.prepareStatement(s"DELETE FROM $table WHERE $keyCol = ?")
+    val del = conn.prepareStatement(
+      s"DELETE FROM ${validIdent(table)} WHERE ${validIdent(keyCol)} = ?")
     try {
       rows.foreach { r => setParam(del, 1, schema(keyIdx).dataType, r, keyIdx); del.addBatch() }
       del.executeBatch()
@@ -77,9 +92,9 @@ object JdbcUpsertSink {
 
   private def insertRows(
       conn: Connection, table: String, schema: StructType, rows: Array[Row]): Unit = {
-    val cols = schema.fieldNames.mkString(", ")
+    val cols = schema.fieldNames.map(validIdent).mkString(", ")
     val qs = schema.fields.map(_ => "?").mkString(", ")
-    val ins = conn.prepareStatement(s"INSERT INTO $table ($cols) VALUES ($qs)")
+    val ins = conn.prepareStatement(s"INSERT INTO ${validIdent(table)} ($cols) VALUES ($qs)")
     try {
       rows.foreach { r =>
         schema.fields.zipWithIndex.foreach { case (f, i) => setParam(ins, i + 1, f.dataType, r, i) }
@@ -89,8 +104,25 @@ object JdbcUpsertSink {
     } finally ins.close()
   }
 
+  /** JDBC type code for setNull — setObject(pos, null) is
+    * driver-dependent (the spec recommends setNull with a type code and
+    * some drivers throw on untyped nulls). */
+  private def sqlTypeFor(dt: DataType): Int = dt match {
+    case LongType      => java.sql.Types.BIGINT
+    case IntegerType   => java.sql.Types.INTEGER
+    case DoubleType    => java.sql.Types.DOUBLE
+    case FloatType     => java.sql.Types.FLOAT
+    case StringType    => java.sql.Types.VARCHAR
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case DateType      => java.sql.Types.DATE
+    case BooleanType   => java.sql.Types.BOOLEAN
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case BinaryType    => java.sql.Types.BINARY
+    case _             => java.sql.Types.OTHER
+  }
+
   private def setParam(st: PreparedStatement, pos: Int, dt: DataType, r: Row, i: Int): Unit =
-    if (r.isNullAt(i)) st.setObject(pos, null)
+    if (r.isNullAt(i)) st.setNull(pos, sqlTypeFor(dt))
     else dt match {
       case LongType      => st.setLong(pos, r.getLong(i))
       case IntegerType   => st.setInt(pos, r.getInt(i))

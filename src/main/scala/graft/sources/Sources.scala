@@ -20,12 +20,28 @@ object Sources {
     graft.sinks.LineFileSink.read(spark, path)
 
   /** Streaming text-file source of raw JSON lines, sequence numbers
-    * synthesized from a monotonic id (for replay/backfill of foreign
-    * data that has no sequence numbers). */
+    * synthesized MONOTONE (for replay/backfill of foreign data that has
+    * no sequence numbers).
+    *
+    * Monotonicity matters: K3's last-write-wins upsert and the
+    * running-count state's `lastSeq` both order records by sequence
+    * number, so a pure content-hash seq (an id, not an order) silently
+    * breaks "last"-wins when the same key is replayed. The synthesized
+    * seq is two fixed-width halves: the batch arrival time in micros
+    * (`current_timestamp` is constant within a trigger, so a later batch
+    * always compares greater — lexicographic order == arrival order
+    * across micro-batches, which is exactly the property replays need),
+    * then a content-hash suffix as a stable discriminator between
+    * different records of one batch (foreign lines carry no intrinsic
+    * order WITHIN a batch, and streaming projections admit no monotonic
+    * row id). Width stays 56 chars like real sequence numbers. */
   def jsonLines(spark: SparkSession, path: String): DataFrame =
     spark.readStream.text(path)
       .select(
-        lpad(sha2(col("value"), 256), 56, "0").as("sequenceNumber"),
+        concat(
+          lpad(unix_micros(current_timestamp()).cast("string"), 28, "0"),
+          lpad(lower(hex(xxhash64(col("value")))), 28, "0")
+        ).as("sequenceNumber"),
         col("value").as("data"),
         current_timestamp().as("ts"))
 

@@ -42,4 +42,37 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(graft.ext.Dedup.jaccard(col("x"), col("y")).as("j"))
     assert(df.collect().map(_.getDouble(0)).toSeq == direct.collect().map(_.getDouble(0)).toSeq)
   }
+
+  test("JaccardFusion preserves the composed form's semantics on empty arrays") {
+    // slice(..., 1, 0) builds empty arrays from a real scan (a literal
+    // would constant-fold before the rule observes it). The reference
+    // result uses array_union — same value as distinct(concat) but a
+    // shape the rule does NOT match, so it runs unfused.
+    def empties = Tables.documents(spark, "/root/testdata/sf0.001").limit(3)
+      .select(slice(split(col("text"), " "), 1, 0).as("x"),
+        slice(split(col("text"), " "), 1, 0).as("y"))
+    val fusedRows = empties
+      .select((size(array_intersect(col("x"), col("y"))).cast("double") /
+        size(array_distinct(concat(col("x"), col("y"))))).as("j"))
+    assert(fusedRows.queryExecution.optimizedPlan
+      .collect { case p => p.expressions }.flatten
+      .exists(_.exists(_.isInstanceOf[ArrayJaccard])), "rule should still fire")
+    val unfusedRows = empties
+      .select((size(array_intersect(col("x"), col("y"))).cast("double") /
+        size(array_union(col("x"), col("y")))).as("j"))
+    // Under ANSI (Spark 4 default) BOTH phrasings throw DIVIDE_BY_ZERO on
+    // the empty union; under legacy both yield NaN. Either way the
+    // observable outcome must be identical — compare outcomes, not values.
+    def outcome(df: org.apache.spark.sql.DataFrame): String =
+      try df.collect().map(r => if (r.isNullAt(0)) "null" else r.getDouble(0).toString).mkString(",")
+      catch { case e: Throwable => s"error:${rootClass(e).getSimpleName}" }
+    val got = outcome(fusedRows)
+    assert(got == outcome(unfusedRows), s"fused=$got unfused=${outcome(unfusedRows)}")
+  }
+
+  private def rootClass(e: Throwable): Class[_] = {
+    var c: Throwable = e
+    while (c.getCause != null && c.getCause != c) c = c.getCause
+    c.getClass
+  }
 }

@@ -51,4 +51,99 @@ object LineFileSink {
       .select(
         lineSeqNumber(col("value")).as("sequenceNumber"),
         linePayload(col("value")).as("data"))
+
+  private val SeqFileSuffix = ".records.log.gz"
+
+  /** Reader for the [[writeSeqNamed]] layout: its `yyyy/MM/dd` directories
+    * are the reference's raw object-key layout, not Hive `k=v` partitions,
+    * so the scan needs recursive file lookup (and gets no partition
+    * pruning — use [[write]]/[[read]] when pruning matters; this layout's
+    * value is the resume-cursor naming). */
+  def readSeqNamed(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").text(path)
+      .select(
+        lineSeqNumber(col("value")).as("sequenceNumber"),
+        linePayload(col("value")).as("data"))
+
+  /** K2's exact object-naming contract: the reference uploads each rotated
+    * buffer to `<bucket>/kinesis3/<stream>/yyyy/MM/dd/<last-seq>.records.log.gz`
+    * (core.clj:41-58) — the file NAME is the last sequence number it
+    * contains, so the key set doubles as a resume cursor ([[lastCursor]]):
+    * a restarting consumer lists keys and resumes after the maximum.
+    *
+    * Spark mapping: rows are repartitioned on the date key and sorted by
+    * sequence number within partitions; each task streams its rows into
+    * gzip chunks of ≤ `maxRecordsPerFile` lines and commits every chunk as
+    * `yyyy/MM/dd/<last-seq-in-chunk>.records.log.gz` (write-temp + rename
+    * via the Hadoop FileSystem API, so the same code path serves local
+    * disk, HDFS, or an S3A bucket). Replaying a batch rewrites the same
+    * names with the same contents — idempotent like the reference's PUT.
+    * Memory per task is one chunk's lines, bounded by `maxRecordsPerFile`. */
+  def writeSeqNamed(
+      raw: DataFrame,
+      path: String,
+      tsCol: Column,
+      maxRecordsPerFile: Long = graft.streaming.RotationTrigger.DefaultBatchSize): Unit = {
+    val prepared = raw.select(
+        formatLine(col("sequenceNumber"), col("data")).as("value"),
+        date_format(tsCol, "yyyy").as("year"),
+        date_format(tsCol, "MM").as("month"),
+        date_format(tsCol, "dd").as("day"),
+        col("sequenceNumber").cast("string").as("seq"))
+      .repartition(col("year"), col("month"), col("day"))
+      .sortWithinPartitions(col("year"), col("month"), col("day"), col("seq"))
+    val maxPerFile = maxRecordsPerFile
+    val root = path
+    prepared.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), new org.apache.hadoop.conf.Configuration())
+        val buf = new scala.collection.mutable.ArrayBuffer[String]()
+        var key: (String, String, String) = null
+        var lastSeq: String = null
+        def flush(): Unit = if (buf.nonEmpty) {
+          val dir = new org.apache.hadoop.fs.Path(s"$root/${key._1}/${key._2}/${key._3}")
+          fs.mkdirs(dir)
+          val dest = new org.apache.hadoop.fs.Path(dir, s"$lastSeq$SeqFileSuffix")
+          val tmp = new org.apache.hadoop.fs.Path(dir, s".$lastSeq$SeqFileSuffix.tmp")
+          val out = new java.util.zip.GZIPOutputStream(fs.create(tmp, true))
+          try buf.foreach { l => out.write(l.getBytes("UTF-8")); out.write('\n') }
+          finally out.close()
+          if (fs.exists(dest)) fs.delete(dest, false)
+          if (!fs.rename(tmp, dest))
+            throw new java.io.IOException(s"rename $tmp -> $dest failed")
+          buf.clear()
+        }
+        rows.foreach { r =>
+          val k = (r.getString(1), r.getString(2), r.getString(3))
+          if (key != null && (k != key || buf.size >= maxPerFile)) flush()
+          key = k
+          lastSeq = r.getString(4)
+          buf += r.getString(0)
+        }
+        flush()
+      }
+    }
+  }
+
+  /** Resume cursor over a [[writeSeqNamed]] layout: the maximum sequence
+    * number across all committed file names (the reference's restart
+    * contract — the key listing IS the progress record). Driver-side
+    * listing: this probes a cursor, it does not scan data. */
+  def lastCursor(spark: SparkSession, path: String): Option[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) return None
+    var max: Option[String] = None
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (name.endsWith(SeqFileSuffix)) {
+        val seq = name.dropRight(SeqFileSuffix.length)
+        if (max.forall(_ < seq)) max = Some(seq)
+      }
+    }
+    max
+  }
 }

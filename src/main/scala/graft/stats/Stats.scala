@@ -6,6 +6,59 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
 
+/** Exponentially-weighted moving-average meter with 1/5/15-minute decay —
+  * the reference's meter semantics (core.clj:31-36, README payload): rates
+  * tick every 5 s with `alpha = 1 - exp(-tick/period)`, missed ticks are
+  * caught up with zero-count intervals on the next mark/read, and the
+  * first tick initializes the rate to the first interval's instant rate.
+  * On bursty traffic an EWMA and a windowed mean are observably different
+  * quantities (the EWMA decays smoothly instead of cliff-dropping when a
+  * burst leaves the window) — matching the reference exactly here keeps
+  * dashboards comparable.
+  *
+  * Time is passed in explicitly so the fold is deterministic under test;
+  * production callers use `System.currentTimeMillis()`. */
+final class EwmaMeter(tickMs: Long = 5000L) {
+  private val periods = Array(60.0, 300.0, 900.0) // seconds: 1m / 5m / 15m
+  private val alphas = periods.map(p => 1.0 - math.exp(-(tickMs / 1000.0) / p))
+  private val rates = new Array[Double](3)
+  private var initialized = false
+  private val uncounted = new LongAdder
+  private var lastTickMs = Long.MinValue
+  val total = new LongAdder
+
+  def mark(n: Long, nowMs: Long): Unit = synchronized {
+    tickIfNecessary(nowMs)
+    uncounted.add(n)
+    total.add(n)
+  }
+
+  /** rate-1m / rate-5m / rate-15m in events per second. */
+  def snapshot(nowMs: Long): (Double, Double, Double) = synchronized {
+    tickIfNecessary(nowMs)
+    (rates(0), rates(1), rates(2))
+  }
+
+  private def tickIfNecessary(nowMs: Long): Unit = {
+    if (lastTickMs == Long.MinValue) { lastTickMs = nowMs; return }
+    var elapsed = nowMs - lastTickMs
+    while (elapsed >= tickMs) {
+      val count = uncounted.sumThenReset() // first catch-up tick takes the
+      val instant = count.toDouble / (tickMs / 1000.0) // count; the rest see 0
+      var i = 0
+      while (i < 3) {
+        rates(i) =
+          if (!initialized) instant
+          else rates(i) + alphas(i) * (instant - rates(i))
+        i += 1
+      }
+      initialized = true
+      lastTickMs += tickMs
+      elapsed -= tickMs
+    }
+  }
+}
+
 /** K4+K5 — the reference's metrics surface (/root/reference/src/kinesis3/
   * core.clj:61-98): meters for records ingested and files uploaded,
   * a histogram of batch sizes, and a timer of sink latencies, served as
@@ -14,11 +67,12 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   *
   * Spark-first: the numbers come from `StreamingQueryProgress` via a
   * [[StreamingQueryListener]] — the engine's own instrumentation — rather
-  * than hand-maintained counters in the hot path. Rates are computed over
-  * a ring of recent progress events (the reference's 1/5/15-min EWMA
-  * meters degrade to windowed means here; same observable quantities). */
+  * than hand-maintained counters in the hot path. Rates are the
+  * reference's 1/5/15-minute EWMA meters ([[EwmaMeter]]); the progress
+  * ring keeps feeding the batch-size/duration histograms. */
 final class StreamMetrics extends StreamingQueryListener {
-  private[stats] val totalRows = new LongAdder
+  private[stats] val ingested = new EwmaMeter
+  private[stats] def totalRows: Long = ingested.total.sum()
   private[stats] val totalBatches = new LongAdder
   // ring of (endTimeMs, numInputRows, batchDurationMs)
   private val ring = new java.util.concurrent.ConcurrentLinkedDeque[(Long, Long, Long)]()
@@ -28,7 +82,7 @@ final class StreamMetrics extends StreamingQueryListener {
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
-    totalRows.add(p.numInputRows)
+    ingested.mark(p.numInputRows, System.currentTimeMillis())
     totalBatches.increment()
     ring.addLast((System.currentTimeMillis(), p.numInputRows, p.batchDuration))
     while (ring.size() > RingMax) ring.removeFirst()
@@ -39,11 +93,6 @@ final class StreamMetrics extends StreamingQueryListener {
     val buf = Vector.newBuilder[(Long, Long, Long)]
     while (it.hasNext) buf += it.next()
     buf.result()
-  }
-
-  private def rateSince(ms: Long, now: Long): Double = {
-    val rows = snapshot().collect { case (t, n, _) if t >= now - ms => n }.sum
-    rows.toDouble / (ms / 1000.0)
   }
 
   private def percentile(sorted: Vector[Double], q: Double): Double =
@@ -62,9 +111,10 @@ final class StreamMetrics extends StreamingQueryListener {
       if (v.size < 2) 0.0
       else { val m = mean(v); math.sqrt(v.map(x => (x - m) * (x - m)).sum / (v.size - 1)) }
     }
+    val (r1, r5, r15) = ingested.snapshot(now)
     f"""{
        |  "meters": {
-       |    "events.ingested": {"total": ${totalRows.sum()}, "rate-1m": ${rateSince(60000, now)}%.3f, "rate-5m": ${rateSince(300000, now)}%.3f, "rate-15m": ${rateSince(900000, now)}%.3f},
+       |    "events.ingested": {"total": ${totalRows}, "rate-1m": $r1%.3f, "rate-5m": $r5%.3f, "rate-15m": $r15%.3f},
        |    "batches.committed": {"total": ${totalBatches.sum()}}
        |  },
        |  "histograms": {

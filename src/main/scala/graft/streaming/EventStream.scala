@@ -198,6 +198,27 @@ object EventStream {
     * size (≤ batchSize records per file); together they are the observable
     * behavior of the reference's count-or-time rotation
     * (core.clj:113-120), enforced by mechanism Spark owns. */
+  /** K2's exact object-naming contract as a streaming sink: every
+    * micro-batch commits `yyyy/MM/dd/<last-seq>.records.log.gz` files via
+    * [[graft.sinks.LineFileSink.writeSeqNamed]], so the key listing doubles
+    * as a resume cursor (`LineFileSink.lastCursor`) exactly like the
+    * reference's upload keys (core.clj:41-58). Replayed batches rewrite
+    * the same keys — idempotent. Prefer [[startLineFileSink]] when
+    * downstream reads want Hive-partition pruning instead of the cursor. */
+  def startSeqNamedSink(
+      raw: DataFrame,
+      path: String,
+      checkpoint: String,
+      intervalMs: Long = RotationTrigger.DefaultIntervalMs,
+      batchSize: Long = RotationTrigger.DefaultBatchSize): StreamingQuery =
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.LineFileSink.writeSeqNamed(batch, path, col("ts"), batchSize)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+
   def startLineFileSink(
       raw: DataFrame,
       path: String,

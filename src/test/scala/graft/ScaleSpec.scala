@@ -23,6 +23,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"bucketed join must not shuffle either side:\n$plan")
   }
 
+  test("rank-limit top-k windows run as WindowGroupLimit (partial before the shuffle + final)") {
+    // SURVEY §4 flagged a custom orderBy(sim).limit(k)-per-group rewrite
+    // rule as a candidate; Spark 4's built-in WindowGroupLimit already
+    // plans the row_number-filter idiom as a bounded per-partition top-k
+    // on BOTH sides of the exchange — a custom rule would re-implement
+    // the engine. This pin keeps the guarantee (and fails if a future
+    // query phrasing regresses to a full per-partition sort).
+    for (q <- Seq(graft.operators.Relational.q13, graft.ext.Similarity.q45)) {
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      val hits = "WindowGroupLimit".r.findAllIn(plan).size
+      assert(hits >= 2, s"${q.name}: expected partial+final WindowGroupLimit, got $hits:\n$plan")
+    }
+  }
+
   test("salted aggregation equals direct aggregation on a skewed column") {
     import org.apache.spark.sql.functions._
     val l = Tables.lineitem(spark, sf)

@@ -92,4 +92,77 @@ class SinkSpec extends AnyFunSuite {
       ("2" * 56, "payload with spaces")))
     assert(new java.io.File(s"$dir/year=2024/month=02/day=01").exists())
   }
+
+  test("K2 seq-named layout: file name = last seq (resume cursor), idempotent rewrite, lossless re-read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_seqnamed_").toString
+    def seq(n: Int) = f"$n%056d"
+    val raw = Seq(
+      (seq(3), "a", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      (seq(1), "b", java.sql.Timestamp.valueOf("2024-02-01 08:00:00")),
+      (seq(2), "c", java.sql.Timestamp.valueOf("2024-02-01 16:00:00")),
+      (seq(9), "d", java.sql.Timestamp.valueOf("2024-02-02 00:00:00")))
+      .toDF("sequenceNumber", "data", "ts")
+    LineFileSink.writeSeqNamed(raw, dir, col("ts"), maxRecordsPerFile = 2)
+    // day 01 holds seqs 1,2,3 sorted -> chunks (1,2)+(3): names 2 and 3;
+    // day 02 holds seq 9 -> name 9. The name is the LAST seq in the file.
+    def names(d: String) = new java.io.File(s"$dir/2024/02/$d").listFiles()
+      .map(_.getName).filter(_.endsWith(".records.log.gz")).sorted.toSeq
+    assert(names("01") == Seq(s"${seq(2)}.records.log.gz", s"${seq(3)}.records.log.gz"))
+    assert(names("02") == Seq(s"${seq(9)}.records.log.gz"))
+    // the key listing IS the progress record
+    assert(LineFileSink.lastCursor(spark, dir).contains(seq(9)))
+    // lossless inverse via the same F11 line format
+    val back = LineFileSink.readSeqNamed(spark, dir).orderBy("sequenceNumber").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(back == Seq(seq(1) -> "b", seq(2) -> "c", seq(3) -> "a", seq(9) -> "d"))
+    // replay: same input -> same names, same contents, no growth
+    LineFileSink.writeSeqNamed(raw, dir, col("ts"), maxRecordsPerFile = 2)
+    assert(names("01").size == 2 && names("02").size == 1)
+    assert(LineFileSink.readSeqNamed(spark, dir).count() == 4)
+  }
+
+  test("T3 fail-stop: sink failure kills the query with the cause; restart from checkpoint resumes losslessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Derby database WITHOUT the target table: the first micro-batch's
+    // upsert throws, the query dies (reference: exit 2, core.clj:135-139)
+    val db = s"t3fail${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    java.sql.DriverManager.getConnection(url).close()
+    val sink = new JdbcUpsertSink(url, "events", "id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_t3_").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val parsed = graft.streaming.EventStream.parse(input.toDF().toDF("sequenceNumber", "data"))
+    val body = """{\"id\": \"x\", \"url\": \"http://e/1\", \"t\": 1704103500000}"""
+    input.addData(("5" * 56, s"""{"epoch": 1704103500005, "body": "$body"}"""))
+
+    def start() = graft.streaming.EventStream.startDualSink(parsed,
+      s"$dir/lines", s"$dir/ckpt", Some(sink),
+      jdbcCols = Seq("id", "url"), orderCol = "id", intervalMs = 100L)
+
+    val q1 = start()
+    val thrown = intercept[Exception] { q1.processAllAvailable() }
+    assert(q1.exception.isDefined, "query must surface the sink failure, not swallow it")
+    assert(thrown.getMessage != null)
+    q1.stop()
+
+    // "supervisor fixed the world": create the table, restart from the
+    // SAME checkpoint -> the failed batch replays, nothing is lost
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE events (id VARCHAR(64) PRIMARY KEY, url VARCHAR(256))")
+    conn.close()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val c2 = java.sql.DriverManager.getConnection(url)
+      val rs = c2.createStatement().executeQuery("SELECT id, url FROM events")
+      assert(rs.next() && rs.getString(1) == "5" * 56 && rs.getString(2) == "http://e/1")
+      assert(!rs.next(), "exactly once after replay (idempotent upsert)")
+      c2.close()
+      assert(LineFileSink.read(spark, s"$dir/lines").count() >= 1,
+        "line-file side holds the record (duplicates on replay are q40's job)")
+    } finally q2.stop()
+  }
 }

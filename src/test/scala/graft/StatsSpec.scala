@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.stats.{EwmaMeter, StreamMetrics}
+
+/** K5 meter semantics: the reference serves codahale-style 1/5/15-minute
+  * EWMA rates (core.clj:31-36; README payload). The fold is deterministic
+  * with an injected clock, so the decay law is pinned EXACTLY:
+  * after a tick the rate folds as `r += alpha * (instant - r)` with
+  * `alpha = 1 - exp(-tick/period)`, i.e. n silent ticks multiply the rate
+  * by `exp(-n * tick / period)`. */
+class StatsSpec extends AnyFunSuite {
+
+  test("EWMA meter: first tick initializes to the instant rate") {
+    val m = new EwmaMeter(5000L)
+    m.mark(100L, 0L)
+    val (r1, r5, r15) = m.snapshot(5000L) // one tick: 100 events / 5 s
+    assert(r1 == 20.0 && r5 == 20.0 && r15 == 20.0)
+    assert(m.total.sum() == 100L)
+  }
+
+  test("EWMA meter: silence decays by exp(-n*tick/period); 1m decays fastest") {
+    val m = new EwmaMeter(5000L)
+    m.mark(100L, 0L)
+    m.snapshot(5000L) // initializing tick at 20/s
+    val (r1, r5, r15) = m.snapshot(65000L) // 12 silent ticks
+    assert(r1 < r5 && r5 < r15, s"decay order: $r1 $r5 $r15")
+    def expected(period: Double) = 20.0 * math.exp(-12 * 5.0 / period)
+    assert(math.abs(r1 - expected(60.0)) < 1e-9)
+    assert(math.abs(r5 - expected(300.0)) < 1e-9)
+    assert(math.abs(r15 - expected(900.0)) < 1e-9)
+  }
+
+  test("EWMA meter: steady input converges to the true rate") {
+    val m = new EwmaMeter(5000L)
+    var t = 0L
+    while (t <= 1200000L) { m.mark(50L, t); t += 5000L } // 10/s for 20 min
+    val (r1, r5, r15) = m.snapshot(1200000L)
+    assert(math.abs(r1 - 10.0) < 1e-6, s"rate-1m $r1")
+    assert(math.abs(r5 - 10.0) < 0.2, s"rate-5m $r5")
+    assert(math.abs(r15 - 10.0) < 1.0, s"rate-15m $r15")
+  }
+
+  test("/stats payload carries the three EWMA rate keys") {
+    val json = new StreamMetrics().statsJson()
+    assert(json.contains("\"rate-1m\"") && json.contains("\"rate-5m\"")
+      && json.contains("\"rate-15m\""))
+    assert(json.contains("events.ingested") && json.contains("batch-duration-ms"))
+  }
+}

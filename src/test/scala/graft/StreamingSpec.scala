@@ -215,4 +215,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(gz != null && gz.exists(_.getName.endsWith(".txt.gz")), "gzip files in date partitions")
     } finally q.stop()
   }
+
+  test("streaming seq-named sink advances the K2 resume cursor batch over batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp)]
+    val raw = input.toDF().toDF("sequenceNumber", "data", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_seq_stream_").toString
+    val q = EventStream.startSeqNamedSink(raw, s"$dir/data", s"$dir/ckpt", intervalMs = 100L)
+    try {
+      input.addData(("3" * 56, """{"a":1}""", ts("2024-01-02 10:00:00")))
+      q.processAllAvailable()
+      assert(graft.sinks.LineFileSink.lastCursor(spark, s"$dir/data").contains("3" * 56))
+      input.addData(("7" * 56, """{"b":2}""", ts("2024-01-02 11:00:00")))
+      q.processAllAvailable()
+      assert(graft.sinks.LineFileSink.lastCursor(spark, s"$dir/data").contains("7" * 56))
+      val back = graft.sinks.LineFileSink.readSeqNamed(spark, s"$dir/data")
+        .orderBy("sequenceNumber").collect()
+      assert(back.map(_.getString(0)).toSeq == Seq("3" * 56, "7" * 56))
+    } finally q.stop()
+  }
 }

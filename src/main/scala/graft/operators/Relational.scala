@@ -458,17 +458,47 @@ object Relational {
 
   // ---------------------------------------------------------------- q23
   /** Exact interpolated percentiles (A3/A4's percentile surface; the
-    * approx_percentile variant is q24's no-oracle sibling). */
+    * approx_percentile variant is q24's no-oracle sibling).
+    *
+    * Scale-safe plan: Spark's `percentile()` aggregate buffers EVERY value
+    * of a group in its agg buffer — OOM-class at 100 TB. This query instead
+    * sorts each group once in a window (WindowExec's partition buffer is an
+    * external, spilling row array), tags each value with its exact rank and
+    * the group count, keeps only the ≤2 boundary rows per requested
+    * percentile, and reassembles `v_lo + frac·(v_hi − v_lo)` — the same
+    * interpolation formula `percentile()`/QUANTILE_CONT use — in a final
+    * tiny aggregate. Memory per task is bounded by the sort spill threshold,
+    * never by group cardinality. (Known trade-off: one task per group for
+    * the sort, same as any exact per-group order statistic; the sort spills
+    * rather than OOMs, and group count here is small and fixed.) */
   val q23 = QueryDef(
     "q23_percentiles",
-    (s, d) => Tables.orders(s, d)
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
-      .orderBy(col("o_orderpriority")),
+    (s, d) => {
+      val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9)
+      val byG = Window.partitionBy(col("o_orderpriority"))
+      val ranked = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          row_number().over(byG.orderBy(col("o_totalprice"))).as("rn"),
+          count(lit(1)).over(byG).as("n"))
+      // h_p = 1 + (n-1)·p; a row matters iff its rank is floor(h) or ceil(h)
+      def h(p: Double): Column = lit(1.0) + (col("n") - 1) * p
+      val needed = ranked.filter(
+        ps.map { case (_, p) =>
+          col("rn") === floor(h(p)) || col("rn") === ceil(h(p))
+        }.reduce(_ || _))
+      val aggs = ps.flatMap { case (nm, p) => Seq(
+        max(when(col("rn") === floor(h(p)), col("o_totalprice"))).as(s"${nm}_lo"),
+        max(when(col("rn") === ceil(h(p)), col("o_totalprice"))).as(s"${nm}_hi"),
+        max(h(p) - floor(h(p))).as(s"${nm}_f"))
+      }
+      needed.groupBy(col("o_orderpriority")).agg(aggs.head, aggs.tail: _*)
+        .select(col("o_orderpriority") +: ps.map { case (nm, _) =>
+          round(col(s"${nm}_lo") +
+            col(s"${nm}_f") * (col(s"${nm}_hi") - col(s"${nm}_lo")), 4).as(nm)
+        }: _*)
+        .orderBy(col("o_orderpriority"))
+    },
     Some("""SELECT o_orderpriority,
         ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS p25,
         ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50,

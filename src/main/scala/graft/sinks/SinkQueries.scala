@@ -50,5 +50,32 @@ object SinkQueries {
     Some("""SELECT event_id, value * 2 AS value, CAST(2 AS BIGINT) AS delivery
       FROM events ORDER BY event_id"""))
 
-  val all: Seq[QueryDef] = Seq(q38, q39)
+  // ---------------------------------------------------------------- q90
+  /** S1 connector round-trip: events → seq-named gzip chunks
+    * (K2 `yyyy/MM/dd/<last-seq>.records.log.gz` layout) → batch read back
+    * through the `graft-records` DataSource V2 connector. The oracle states
+    * the reconstruction, including the `partition` column the connector
+    * derives from the date prefix — a hash match proves the connector's
+    * chunk listing, gzip decode, F11 split, and prefix attribution are all
+    * lossless. (The connector's streaming offset semantics are
+    * RecordsSourceSpec's job; its data plane is identical batch vs
+    * micro-batch — both read whole chunks.) */
+  val q90 = QueryDef(
+    "q90_records_source_roundtrip",
+    (s, d) => {
+      val raw = Tables.events(s, d).select(
+        lpad(col("event_id").cast("string"), 56, "0").as("sequenceNumber"),
+        col("props").as("data"),
+        col("ts"))
+      val dir = Files.createTempDirectory("graft_q90_").toString
+      LineFileSink.writeSeqNamed(raw, dir, col("ts"))
+      s.read.format("graft-records").load(dir)
+        .orderBy(col("sequenceNumber"))
+    },
+    Some("""SELECT lpad(CAST(event_id AS VARCHAR), 56, '0') AS sequenceNumber,
+        props AS data,
+        strftime(ts, '%Y/%m/%d') AS partition
+      FROM events ORDER BY sequenceNumber"""))
+
+  val all: Seq[QueryDef] = Seq(q38, q39, q90)
 }

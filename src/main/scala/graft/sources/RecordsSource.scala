@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.util
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1 — `format("graft-records")`: a DataSource V2 connector (batch +
+  * micro-batch streaming) over the K2 seq-named object layout
+  * (`yyyy/MM/dd/<last-seq>.records.log.gz`, [[graft.sinks.LineFileSink.writeSeqNamed]]).
+  *
+  * This is the engine's own replacement for the reference's KCL worker
+  * (core.clj:165-173): where the reference tails a Kinesis stream, the
+  * connector tails the stream's durable object log — the layout whose file
+  * NAMES are the last sequence number each chunk contains (core.clj:47-50),
+  * so **the key listing doubles as the streaming offset**. That is exactly
+  * the reference's restart contract ("list keys, resume after the maximum"),
+  * here expressed as a first-class V2 [[MicroBatchStream]]:
+  *
+  *  - offset = max committed file-name sequence number (fixed-width digit
+  *    strings: lexicographic order == numeric order)
+  *  - a micro-batch = all chunk files with `start < seq <= end`, one
+  *    [[InputPartition]] per chunk (a chunk is <= maxRecordsPerFile lines
+  *    by the writer's contract — the natural task-sized split unit)
+  *  - exactly-once planning: chunk files are immutable once renamed into
+  *    place, so the file set between two offsets is deterministic and a
+  *    replayed batch re-reads identical data
+  *  - contract (same as the reference's): sequence numbers are globally
+  *    monotone — a chunk appearing with seq <= the committed cursor is
+  *    ignored, exactly as the reference never re-consumes below its max key
+  *
+  * Unlike the reference the consumer checkpoint is never disabled
+  * (core.clj:170 sets `:checkpoint false`): Spark's offset log at
+  * `checkpointLocation` + this deterministic offset→files mapping give
+  * at-least-once delivery with exactly-once file accounting.
+  *
+  * Schema mirrors the reference's record shape (core.clj:149):
+  * `sequenceNumber` / `data` (split back at the F11 fixed offset), plus
+  * `partition` = the `yyyy/MM/dd` object prefix (the reference's record
+  * carries its shard `:partition`; the object layout's analogue is the
+  * date prefix the chunk was committed under).
+  */
+final class RecordsSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-records"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RecordsSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RecordsTable(properties.get("path"))
+}
+
+object RecordsSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("sequenceNumber", StringType),
+    StructField("data", StringType),
+    StructField("partition", StringType)))
+
+  private[sources] val Suffix = ".records.log.gz"
+
+  /** One committed chunk: (sequence number from the file name, full path,
+    * yyyy/MM/dd prefix). */
+  private[sources] final case class Chunk(seq: String, path: String,
+      datePrefix: String)
+
+  /** List every committed chunk under `root` (recursive; dot-temp files are
+    * never visible — the writer renames into place). Driver-side listing of
+    * names only, no data scan. */
+  private[sources] def listChunks(root: String): Seq[Chunk] = try {
+    val fs = FileSystem.get(new java.net.URI(root), new Configuration())
+    val p = new Path(root)
+    if (!fs.exists(p)) return Seq.empty
+    val out = ArrayBuffer.empty[Chunk]
+    val it = fs.listFiles(p, true)
+    val rootUri = fs.makeQualified(p).toString.stripSuffix("/")
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val name = f.getName
+      if (name.endsWith(Suffix) && !name.startsWith(".")) {
+        val rel = f.getParent.toString.stripPrefix(rootUri).stripPrefix("/")
+        out += Chunk(name.dropRight(Suffix.length), f.toString, rel)
+      }
+    }
+    out.sortBy(_.seq).toSeq
+  } catch {
+    // query.stop() interrupts the micro-batch thread mid-listing; Hadoop's
+    // local FS wraps the InterruptedException in a RuntimeException that
+    // StreamExecution would misclassify as a query failure. Rethrow the
+    // interrupt itself so a stop stays a clean stop.
+    case e: RuntimeException =>
+      var c: Throwable = e.getCause
+      while (c != null) {
+        c match {
+          case i: java.io.InterruptedIOException => throw i
+          case i: InterruptedException => throw i
+          case _ => c = c.getCause
+        }
+      }
+      throw e
+  }
+}
+
+private final class RecordsTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-records requires a path (.load(path))")
+  override def name(): String = s"graft-records($path)"
+  override def schema(): StructType = RecordsSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new RecordsScan(path)
+    }
+}
+
+private final class RecordsScan(path: String) extends Scan {
+  override def readSchema(): StructType = RecordsSource.Schema
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      RecordsSource.listChunks(path)
+        .map(c => ChunkPartition(c.path, c.datePrefix): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new ChunkReaderFactory
+  }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RecordsMicroBatchStream(path)
+}
+
+/** Streaming offset: the max committed file-name sequence number ("" before
+  * any data — lexicographically below every fixed-width digit seq). */
+private final case class SeqOffset(maxSeq: String) extends Offset {
+  override def json(): String = {
+    val b = new StringBuilder("{\"maxSeq\":\"")
+    maxSeq.foreach { case '"' => b.append("\\\""); case '\\' => b.append("\\\\")
+                     case c => b.append(c) }
+    b.append("\"}").toString
+  }
+}
+
+private final class RecordsMicroBatchStream(path: String)
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = SeqOffset("")
+  override def latestOffset(): Offset = {
+    val chunks = RecordsSource.listChunks(path)
+    SeqOffset(if (chunks.isEmpty) "" else chunks.map(_.seq).max)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    // single-field object, hand-parsed (no JSON lib dependency in the
+    // connector): {"maxSeq":"<escaped>"}
+    val marker = "\"maxSeq\":\""
+    val start = json.indexOf(marker) + marker.length
+    val b = new StringBuilder
+    var i = start
+    while (i < json.length && json.charAt(i) != '"') {
+      if (json.charAt(i) == '\\') i += 1
+      b.append(json.charAt(i)); i += 1
+    }
+    SeqOffset(b.toString)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SeqOffset].maxSeq
+    val hi = end.asInstanceOf[SeqOffset].maxSeq
+    RecordsSource.listChunks(path)
+      .filter(c => c.seq > lo && c.seq <= hi)
+      .map(c => ChunkPartition(c.path, c.datePrefix): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChunkReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private final case class ChunkPartition(path: String, datePrefix: String)
+    extends InputPartition
+
+private final class ChunkReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ChunkPartition]
+    new PartitionReader[InternalRow] {
+      private val fs = FileSystem.get(new java.net.URI(p.path), new Configuration())
+      private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(fs.open(new Path(p.path))), "UTF-8"))
+      private var line: String = _
+      override def next(): Boolean = { line = in.readLine(); line != null }
+      override def get(): InternalRow = {
+        // F11 fixed-offset split (utils.clj:17-19): 56-digit seq, space, payload
+        val seq = line.substring(0, math.min(56, line.length))
+        val data = if (line.length > 57) line.substring(57) else ""
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(seq), UTF8String.fromString(data),
+          UTF8String.fromString(p.datePrefix)))
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+}

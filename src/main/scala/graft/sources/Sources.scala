@@ -60,6 +60,18 @@ object Sources {
           lit("}\"}")).as("data"),
         col("timestamp").as("ts"))
 
+  /** S1 — stream the K2 seq-named object layout through the engine's own
+    * DataSource V2 connector ([[RecordsSource]]): the durable-log stand-in
+    * for the Kinesis stream, with the file-name sequence numbers as the
+    * streaming offset (the reference's resume-after-max-key contract,
+    * core.clj:47-50). Batch form: [[recordsBatch]]. */
+  def records(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.format("graft-records").load(path)
+
+  /** Batch scan of the same layout via the same connector (backfill). */
+  def recordsBatch(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-records").load(path)
+
   /** Production Kinesis binding point (S1, core.clj:165-173): a fully
     * configured reader for the spark-sql-kinesis connector. The connector
     * is an external artifact, so this never calls `.load()` — prod code

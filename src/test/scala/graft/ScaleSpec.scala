@@ -37,6 +37,18 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q23 exact percentiles sort in a spilling window, not a value-buffering agg") {
+    // Spark's percentile() buffers every value of a group inside the agg
+    // buffer — OOM-class at scale. q23's contract is the sort-based plan:
+    // a Window (external, spilling sort) ranks values; the final aggregate
+    // only ever sees the <=2 boundary rows per percentile.
+    val plan = graft.operators.Relational.q23.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a window sort:\n$plan")
+    assert(!plan.toLowerCase.contains("percentile("),
+      s"q23 must not use the buffering percentile() aggregate:\n$plan")
+  }
+
   test("salted aggregation equals direct aggregation on a skewed column") {
     import org.apache.spark.sql.functions._
     val l = Tables.lineitem(spark, sf)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CoverageQueries, Relational, Scale, SubqueryQueries, TypedApi}
 import graft.etl.EtlQueries
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, PipelineQueries, Similarity, TextStats}
 import graft.sinks.SinkQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +19,7 @@ object SparkEntry {
   val registry: Seq[QueryDef] =
     Relational.all ++ EtlQueries.all ++ Dedup.all ++ Similarity.all ++
       TextStats.all ++ SinkQueries.all ++ Multimodal.all ++ CoverageQueries.all ++
-      Scale.all ++ SubqueryQueries.all ++ TypedApi.all
+      Scale.all ++ SubqueryQueries.all ++ TypedApi.all ++ PipelineQueries.all
 
   require(
     registry.map(_.name).distinct.size == registry.size,

@@ -1,0 +1,203 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{QueryDef, Tables}
+
+/** Training-data-pipeline operators beyond the dedup/similarity tier:
+  * deterministic content-addressed sampling, TF-IDF term scoring, mergeable
+  * cardinality sketches, embedding quantization, within-document repetition
+  * scoring, and stratified per-class selection. Every plan is linear (scan →
+  * narrow transforms → keyed agg/window); nothing materializes more than its
+  * keyed aggregates.
+  */
+object PipelineQueries {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // ---------------------------------------------------------------- q91
+  /** Deterministic content-addressed sampling — the reproducible
+    * train/holdout splitter: a row is in-sample iff the first hex byte of
+    * md5(stable key) falls below the threshold (here 0x28/0x100 = 15.6%).
+    * Unlike TABLESAMPLE/rand(), the decision is a pure function of the
+    * row's key: stable across engines, re-runs, partitionings, and
+    * cluster sizes — which is what makes a 100 TB split auditable. The
+    * filter is a per-row scalar (no shuffle of unsampled data); only the
+    * sampled fraction reaches the aggregate. */
+  val q91 = QueryDef(
+    "q91_hash_sample",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(substring(md5(concat_ws("|",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))), 1, 2) < "28")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, COUNT(*) AS n_sampled,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE substring(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 2) < '28'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    doc = "md5-prefix deterministic sampling: reproducible splits, no rand()")
+
+  // ---------------------------------------------------------------- q92
+  /** TF-IDF top-3 terms per document (docs 0-49; document frequency over
+    * the FULL corpus). Classic keyword extraction for corpus curation.
+    * Plan: one explode → two keyed aggregates (tf on the small slice, df on
+    * the corpus) → equi-join → per-doc top-k via rank-limit window (planned
+    * as WindowGroupLimit, bounded memory). At 100 TB the df aggregate is
+    * the big one and it's a straight partial+final count — no row explosion
+    * survives past the aggregates. Ranking uses the 6-dp-rounded score with
+    * the term as tiebreak, so cross-engine float noise cannot reorder. */
+  val q92 = QueryDef(
+    "q92_tfidf_topk",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val nDocs = docs.agg(countDistinct(col("doc_id")).as("n"))
+      val df_ = tok.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tf = tok.filter(col("doc_id") < 50)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val scored = tf.join(df_, "term").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      scored.select(col("doc_id"), col("term"), col("score"),
+          row_number().over(w).cast("long").as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("doc_id"), col("rk"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE doc_id < 50 GROUP BY doc_id, term),
+      sc AS (SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS score
+             FROM tf JOIN df USING (term), n)
+      SELECT doc_id, term, score, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        FROM sc) WHERE rk <= 3
+      ORDER BY doc_id, rk"""),
+    doc = "keyword extraction: tf on slice, df on corpus, rank-limit top-k")
+
+  // ---------------------------------------------------------------- q93
+  /** Mergeable cardinality sketches — THE 100 TB distinct-count pattern:
+    * build one HLL sketch per group (partial agg combines map-side), then
+    * merge the per-group sketches into the overall total WITHOUT rescanning
+    * the data (`hll_union_agg` over 5 sketch blobs, not 10^5 rows). The
+    * query self-checks: every estimate must land within 5% of the exact
+    * count (lgConfigK=14 → ~0.8% expected error), and the oracle pins the
+    * verdicts TRUE. */
+  val q93 = QueryDef(
+    "q93_hll_rollup",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val perType = e.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+          countDistinct(col("user_id")).as("exact_cd"))
+      val typed = perType.select(col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("est"), col("exact_cd"))
+      val overall = perType
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+        .crossJoin(broadcast(e.agg(countDistinct(col("user_id")).as("exact_cd"))))
+        .select(lit("ALL").as("event_type"), col("est"), col("exact_cd"))
+      typed.unionByName(overall)
+        .select(col("event_type"),
+          (abs(col("est") - col("exact_cd")) <= col("exact_cd") * 0.05).as("within_5pct"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, TRUE AS within_5pct FROM (
+        SELECT DISTINCT event_type FROM events
+        UNION ALL SELECT 'ALL')
+      ORDER BY event_type"""),
+    doc = "per-group HLL sketches merged to a rollup without rescan; bounds pinned TRUE")
+
+  // ---------------------------------------------------------------- q94
+  /** Symmetric int8 scalar quantization of embeddings (the memory-bound
+    * ANN deployment step: 4 bytes/dim → 1). Per-vector scale = 127/max|v|;
+    * `floor` keeps the math bit-deterministic across engines (round() ties
+    * differ). Pure per-row scalar work — embarrassingly parallel. Output
+    * arrays are JSON-serialized so the driver gate hashes them. */
+  val q94 = QueryDef(
+    "q94_int8_quantize",
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        array_max(transform(col("embedding"), v => abs(v.cast("double")))).as("mx"),
+        col("embedding"))
+      .select(col("vec_id"),
+        when(col("mx") === 0.0,
+            to_json(transform(col("embedding"), _ => lit(0))))
+          .otherwise(to_json(transform(col("embedding"),
+            v => floor(v.cast("double") * lit(127.0) / col("mx")).cast("int"))))
+          .as("q_json"))
+      .orderBy(col("vec_id")),
+    Some("""SELECT vec_id,
+        CASE WHEN mx = 0 THEN to_json(list_transform(embedding, v -> 0))
+             ELSE to_json(list_transform(embedding,
+               v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / mx) AS INT))) END AS q_json
+      FROM (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+            FROM embeddings)
+      ORDER BY vec_id"""),
+    doc = "per-vector symmetric int8 quantization; floor for cross-engine determinism")
+
+  // ---------------------------------------------------------------- q95
+  /** Within-document repetition score (boilerplate/spam signal): the
+    * fraction of a document's 3-gram shingles that are repeats.
+    * Raw (non-deduped) shingling, per-row scalar; corpus-scale linear. */
+  val q95 = QueryDef(
+    "q95_repetition_score",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("w")) - 3), i =>
+          concat_ws(" ", element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2), element_at(col("w"), i + 3))).as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_shingles"), 6)
+          .as("repetition"))
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      s AS (SELECT doc_id,
+              [array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)] sh
+            FROM w WHERE len(words) >= 3)
+      SELECT doc_id,
+        CAST(len(sh) AS BIGINT) AS n_shingles,
+        CAST(len(list_distinct(sh)) AS BIGINT) AS n_unique,
+        round(1.0 - len(list_distinct(sh))::DOUBLE / len(sh), 6) AS repetition
+      FROM s ORDER BY doc_id"""),
+    doc = "repeated 3-gram fraction per doc — boilerplate detection")
+
+  // ---------------------------------------------------------------- q96
+  /** Stratified deterministic selection: exactly 5 documents per language,
+    * chosen by md5(text) order — a reproducible, content-addressed
+    * per-class subsample (the curation counterpart of q91's row sampler).
+    * Rank-limit window → WindowGroupLimit: each partition keeps a bounded
+    * top-5 heap on both sides of the shuffle, never a full sort. */
+  val q96 = QueryDef(
+    "q96_stratified_take",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          row_number().over(w).cast("long").as("rk"))
+        .filter(col("rk") <= 5)
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some("""SELECT lang, doc_id, rk FROM (
+        SELECT lang, doc_id,
+          row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        FROM documents) WHERE rk <= 5
+      ORDER BY lang, rk"""),
+    doc = "deterministic per-class top-5 by content hash; WindowGroupLimit plan")
+
+  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q95, q96)
+}

@@ -73,6 +73,7 @@ object Main {
           .appName(config.appName)
           .config("spark.sql.session.timeZone", "UTC")
           .config(Tables.sessionConf)
+          .config(graft.stats.MetricsBinding.jmxConf) // K5 JMX reporter
           .withExtensions(new GraftExtensions)
           .getOrCreate()
         val engine = new Engine(spark, config)

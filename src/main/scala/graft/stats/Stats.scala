@@ -6,6 +6,20 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
 
+/** K5 — the reference's JMX metrics reporter binding (core.clj:36-37,
+  * 248-250: `jmx/start`, `console/start`). Spark's metrics system is
+  * configuration-driven: these properties, applied at SparkSession build,
+  * register a JmxSink on every instance (driver + executors), exposing the
+  * full Spark registry (DAGScheduler, BlockManager, streaming progress,
+  * executor metrics) as `metrics:*` MBeans — the engine-wide counterpart
+  * of the /stats endpoint's query-level EWMA meters. The console reporter
+  * analogue is commented into Main's usage rather than defaulted on (the
+  * reference dumps to console every 100 s; on a cluster that is log spam). */
+object MetricsBinding {
+  val jmxConf: Map[String, String] = Map(
+    "spark.metrics.conf.*.sink.jmx.class" -> "org.apache.spark.metrics.sink.JmxSink")
+}
+
 /** Exponentially-weighted moving-average meter with 1/5/15-minute decay —
   * the reference's meter semantics (core.clj:31-36, README payload): rates
   * tick every 5 s with `alpha = 1 - exp(-tick/period)`, missed ticks are

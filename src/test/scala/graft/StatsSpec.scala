@@ -47,4 +47,21 @@ class StatsSpec extends AnyFunSuite {
       && json.contains("\"rate-15m\""))
     assert(json.contains("events.ingested") && json.contains("batch-duration-ms"))
   }
+
+  test("K5: the JMX reporter binding exposes Spark's metric registry as MBeans") {
+    // TestSpark builds its session with MetricsBinding.jmxConf (the same
+    // map Main applies in production) — the reference's jmx/start
+    // (core.clj:36-37, 248-250) expressed through Spark's config-driven
+    // metrics system. Force the session up, then assert the platform
+    // MBean server carries the driver's metric beans.
+    val s = TestSpark.spark
+    s.range(1).count() // ensure the context is fully started
+    val mbs = java.lang.management.ManagementFactory.getPlatformMBeanServer
+    val names = mbs.queryNames(new javax.management.ObjectName("metrics:*"), null)
+    assert(!names.isEmpty, "expected metrics:* MBeans from JmxSink")
+    val all = new scala.collection.mutable.ArrayBuffer[String]
+    names.forEach(n => all += n.toString)
+    assert(all.exists(_.contains("DAGScheduler")),
+      s"expected scheduler metrics among:\n${all.take(20).mkString("\n")}")
+  }
 }

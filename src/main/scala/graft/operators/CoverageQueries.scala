@@ -567,7 +567,101 @@ object CoverageQueries {
         count(*) AS n_docs
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------------------- q97
+  /** UNPIVOT (wide → long, the inverse of q58's pivot): per-nation
+    * min/max/avg account balances melted into (nation, stat, value) rows.
+    * Spark's `unpivot` is a Generate-style narrow op — no shuffle beyond
+    * the feeding aggregate. */
+  val q97 = QueryDef(
+    "q97_unpivot",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(min(col("c_acctbal")), 2).cast("double").as("min_bal"),
+        round(max(col("c_acctbal")), 2).cast("double").as("max_bal"),
+        round(avg(col("c_acctbal").cast("decimal(18,2)")), 2).cast("double").as("avg_bal"))
+      .unpivot(Array(col("n_name")),
+        Array(col("min_bal"), col("max_bal"), col("avg_bal")), "stat", "value")
+      .orderBy(col("n_name"), col("stat")),
+    Some("""WITH agg AS (
+        SELECT n_name,
+          round(MIN(c_acctbal), 2)::DOUBLE AS min_bal,
+          round(MAX(c_acctbal), 2)::DOUBLE AS max_bal,
+          round(AVG(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE AS avg_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name, stat, value
+      FROM agg UNPIVOT (value FOR stat IN (min_bal, max_bal, avg_bal))
+      ORDER BY n_name, stat"""))
+
+  // ---------------------------------------------------------------- q98
+  /** LATERAL correlated subquery (SQL-surface breadth): for each region,
+    * the top-2 nations by total customer balance — a dependent top-k the
+    * optimizer decorrelates into a window rank-limit, not a per-row
+    * re-execution. */
+  val q98 = QueryDef(
+    "q98_lateral_topk",
+    (s, d) => {
+      Tables.region(s, d).createOrReplaceTempView("v_region")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT r.r_name, t.n_name, t.total_bal
+        FROM v_region r,
+        LATERAL (
+          SELECT n.n_name,
+            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          FROM v_nation n JOIN v_customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY total_bal DESC, n.n_name
+          LIMIT 2
+        ) t
+        ORDER BY r.r_name, t.total_bal DESC, t.n_name""")
+    },
+    Some("""SELECT r.r_name, t.n_name, t.total_bal
+      FROM region r,
+      LATERAL (
+        SELECT n.n_name,
+          CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY total_bal DESC, n.n_name
+        LIMIT 2
+      ) t
+      ORDER BY r.r_name, t.total_bal DESC, t.n_name"""))
+
+  // ---------------------------------------------------------------- q99
+  /** Time-series gap fill: dense daily event counts with explicit zero
+    * rows for missing (day × type) combinations. The dense scaffold is
+    * `sequence(min_day, max_day)` exploded against the distinct type dim —
+    * generated, not scanned; the left join pulls real counts onto it.
+    * Scaffold size = days × types, independent of event volume. */
+  val q99 = QueryDef(
+    "q99_gap_fill",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+      val counts = e.groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("n"))
+      val days = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val types = e.select(col("event_type")).distinct()
+      days.crossJoin(types)
+        .join(counts, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      counts AS (SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY day, event_type),
+      days AS (SELECT unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE AS day FROM e),
+      types AS (SELECT DISTINCT event_type FROM e)
+      SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+      FROM days d CROSS JOIN types t
+      LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+      ORDER BY d.day, t.event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99)
 }

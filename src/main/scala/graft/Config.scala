@@ -17,7 +17,10 @@ final case class Config(
     batchSize: Long = 1000000L,
     intervalSec: Long = 180L,
     checkpoint: Option[String] = None,
-    sourcePath: Option[String] = None)
+    sourcePath: Option[String] = None,
+    /** "lines" = raw JSON text files (seqs synthesized); "records" = the
+      * engine's own seq-named record log via the graft-records connector. */
+    sourceFormat: String = "lines")
 
 object Config {
 
@@ -31,6 +34,8 @@ object Config {
       |  --interval SECS     rotation interval (default 180)
       |  --checkpoint PATH   streaming checkpoint location
       |  --source-path PATH  file source dir (omit to bind a stream source)
+      |  --source-format F   lines (raw JSON text, default) | records
+      |                      (seq-named record log via graft-records)
       |""".stripMargin
 
   private def num[T](flag: String, v: String, f: String => T): Either[String, T] =
@@ -48,6 +53,9 @@ object Config {
       case "--interval" :: v :: t    => num("--interval", v, _.toLong).flatMap(i => go(t, c.copy(intervalSec = i)))
       case "--checkpoint" :: v :: t  => go(t, c.copy(checkpoint = Some(v)))
       case "--source-path" :: v :: t => go(t, c.copy(sourcePath = Some(v)))
+      case "--source-format" :: v :: t =>
+        if (v == "lines" || v == "records") go(t, c.copy(sourceFormat = v))
+        else Left(s"--source-format expects lines|records, got: $v")
       case other :: _ => Left(s"unknown option: $other")
     }
     go(args.toList, Config()).flatMap { c =>

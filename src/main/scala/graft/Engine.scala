@@ -28,6 +28,10 @@ final class Engine(spark: SparkSession, config: Config) {
   def start(): Int = {
     spark.streams.addListener(metrics)
     val raw = config.sourcePath match {
+      case Some(path) if config.sourceFormat == "records" =>
+        // replay/migrate from an existing seq-named record log: original
+        // sequence numbers preserved end to end (LWW stays correct)
+        Sources.records(spark, path)
       case Some(path) => Sources.jsonLines(spark, path)
       case None       => Sources.rate(spark, rowsPerSecond = 100)
     }

@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -118,11 +118,13 @@ private final class RecordsTable(path: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new RecordsScan(path)
+      override def build(): Scan =
+        new RecordsScan(path, options.getInt("maxChunksPerTrigger", -1))
     }
 }
 
-private final class RecordsScan(path: String) extends Scan {
+private final class RecordsScan(path: String, maxChunksPerTrigger: Int)
+    extends Scan {
   override def readSchema(): StructType = RecordsSource.Schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -132,7 +134,7 @@ private final class RecordsScan(path: String) extends Scan {
       new ChunkReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new RecordsMicroBatchStream(path)
+    new RecordsMicroBatchStream(path, maxChunksPerTrigger)
 }
 
 /** Streaming offset: the max committed file-name sequence number ("" before
@@ -146,13 +148,55 @@ private final case class SeqOffset(maxSeq: String) extends Offset {
   }
 }
 
-private final class RecordsMicroBatchStream(path: String)
-    extends MicroBatchStream {
-  override def initialOffset(): Offset = SeqOffset("")
-  override def latestOffset(): Offset = {
+/** Admission control (T1's batch-size contract applied to replay): with
+  * `maxChunksPerTrigger` set, each micro-batch admits at most that many
+  * chunk files (i.e. ≤ n·maxRecordsPerFile records) — bounded-batch
+  * backfill instead of one giant catch-up batch. `Trigger.AvailableNow`
+  * freezes the target offset at query start and drains up to it in
+  * rate-limited batches, then stops — the drain-the-backlog-and-exit mode. */
+private final class RecordsMicroBatchStream(path: String, maxChunks: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** Offset ceiling frozen by Trigger.AvailableNow at query start. */
+  @volatile private var availableNowCap: Option[String] = None
+
+  private def cappedChunks(): Seq[RecordsSource.Chunk] = {
+    val all = RecordsSource.listChunks(path)
+    availableNowCap match {
+      case Some(cap) => all.filter(_.seq <= cap)
+      case None => all
+    }
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit = {
     val chunks = RecordsSource.listChunks(path)
+    availableNowCap = Some(if (chunks.isEmpty) "" else chunks.map(_.seq).max)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxChunks > 0) ReadLimit.maxFiles(maxChunks) else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[SeqOffset].maxSeq
+    val pending = cappedChunks().filter(_.seq > lo)
+    val admitted = limit match {
+      case f: ReadMaxFiles => pending.take(f.maxFiles())
+      case _: ReadAllAvailable => pending
+      case _ => pending // unsupported limit kinds admit everything (safe: superset)
+    }
+    SeqOffset(if (admitted.isEmpty) lo else admitted.map(_.seq).max)
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val chunks = cappedChunks()
     SeqOffset(if (chunks.isEmpty) "" else chunks.map(_.seq).max)
   }
+
+  override def initialOffset(): Offset = SeqOffset("")
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
   override def deserializeOffset(json: String): Offset = {
     // single-field object, hand-parsed (no JSON lib dependency in the
     // connector): {"maxSeq":"<escaped>"}

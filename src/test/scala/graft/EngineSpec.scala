@@ -16,6 +16,42 @@ class EngineSpec extends AnyFunSuite {
     assert(Config.parse(Seq("--s3-bucket", "b", "--port", "7000", "--interval", "60"))
       .map(c => (c.port, c.intervalSec)) == Right((7000, 60L)))
     assert(Config.parse(Seq("--wat")).isLeft)
+    assert(Config.parse(Seq("--s3-bucket", "b", "--source-format", "records"))
+      .map(_.sourceFormat) == Right("records"))
+    assert(Config.parse(Seq("--s3-bucket", "b", "--source-format", "nope")).isLeft)
+  }
+
+  test("engine end-to-end over the graft-records source: replayed log keeps original sequence numbers") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a seq-named record log (what a previous engine run uploaded) ...
+    val logDir = Files.createTempDirectory("graft_engine_rlog_").toString
+    val body = """{\"id\": \"id-009\", \"url\": \"http://e/9\", \"t\": 1704103500000}"""
+    val data = s"""{"epoch": 1704103500005, "body": "$body"}"""
+    val seq9 = "9" * 56
+    graft.sinks.LineFileSink.writeSeqNamed(
+      Seq((seq9, data, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+        .toDF("sequenceNumber", "data", "ts"),
+      logDir, col("ts"))
+    // ... replayed through the engine with --source-format records
+    val outDir = Files.createTempDirectory("graft_engine_rout_").toString
+    val config = Config(
+      port = 0, bucket = outDir, sourcePath = Some(logDir),
+      sourceFormat = "records",
+      checkpoint = Some(Files.createTempDirectory("graft_engine_rck_").toString),
+      intervalSec = 1L)
+    val engine = new Engine(spark, config)
+    engine.start()
+    try {
+      engine.processAllAvailable()
+      val sunk = graft.sinks.LineFileSink.read(spark,
+        s"$outDir/${config.appName}/${config.streamName}").collect()
+      assert(sunk.length == 1)
+      // the ORIGINAL sequence number survives the replay (LWW-safe), and
+      // the payload is the raw record data
+      assert(sunk(0).getString(0) == seq9)
+      assert(sunk(0).getString(1).contains("http://e/9"))
+    } finally engine.stop()
   }
 
   test("engine end-to-end: file source -> parse -> gzip line sink; stats routes live") {

@@ -79,6 +79,28 @@ class RecordsSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxChunksPerTrigger rate-limits admission; Trigger.AvailableNow drains the frozen backlog and stops") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_an_").toString
+    // 4 chunks (maxRecordsPerFile=2 over 8 rows on one date)
+    fixture(dir, (1 to 8).map(i =>
+      (seq(i), s"d$i", "2024-03-01 0%d:00:00".format(i))))
+    val q = spark.readStream.format("graft-records")
+      .option("maxChunksPerTrigger", 1).load(dir)
+      .writeStream.format("memory").queryName("rs_an")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query should self-terminate")
+      // every pre-start row delivered, in >=4 rate-limited batches
+      assert(spark.sql("SELECT count(*) FROM rs_an").collect()(0).getLong(0) == 8)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 4, s"expected >=4 admission-limited batches, got $batches")
+    } finally q.stop()
+    // chunks landing after termination are not consumed (the cap froze)
+    fixture(dir, Seq((seq(9), "late", "2024-03-05 01:00:00")))
+    assert(spark.sql("SELECT count(*) FROM rs_an").collect()(0).getLong(0) == 8)
+  }
+
   test("streaming output feeds the standard pipeline shape (parse + window) unchanged") {
     // the connector's output schema is the reference's record shape —
     // prove it binds to the same downstream the other sources feed

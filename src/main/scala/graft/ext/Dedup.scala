@@ -116,27 +116,32 @@ object Dedup {
     * deterministically the true pair set vs the all-pairs oracle.
     * Candidates come from an equi-join on (band, bandHash): no crossJoin
     * at any scale. */
+  /** The LSH candidate + exact-verify pipeline shared by q41 (pair
+    * report) and q100 (clustering): band equi-join candidates, exact
+    * Jaccard verify at `threshold`. Returns (a_id, b_id, j). */
+  private def lshVerifiedPairs(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    val docs = shingled(s, d)
+    val buckets = docs
+      .select(col("doc_id"), minHashBandHashes(col("sh"), 64, 16, 42L).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .select(col("a_id"), col("b_id"), jaccard(col("sha"), col("shb")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
   val q41 = QueryDef(
     "q41_minhash_lsh_neardup",
-    (s, d) => {
-      val docs = shingled(s, d)
-      val buckets = docs
-        .select(col("doc_id"), minHashBandHashes(col("sh"), 64, 16, 42L).as("bands"))
-        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-      val cand = buckets.as("x").join(buckets.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      val withSets = cand
-        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
-        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
-      withSets
-        .select(col("a_id"), col("b_id"), jaccard(col("sha"), col("shb")).as("j"))
-        .filter(col("j") >= 0.6)
-        .select(col("a_id"), col("b_id"), round(col("j"), 3).as("jaccard"))
-        .orderBy(col("a_id"), col("b_id"))
-    },
+    (s, d) => lshVerifiedPairs(s, d, 0.6)
+      .select(col("a_id"), col("b_id"), round(col("j"), 3).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id")),
     Some(OracleShingles + """
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         round(len(list_intersect(a.sh, b.sh))::DOUBLE
@@ -189,5 +194,84 @@ object Dedup {
             THEN 1 << b ELSE 0 END for b in range(16)]) AS BIGINT) AS simhash
       FROM w ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43)
+  /** Connected components by iterative min-label propagation (see q100's
+    * scaladoc for the algorithm and its 100 TB story). `nodes` is a
+    * single-column ("node") frame, `pairs` an ("a_id", "b_id") undirected
+    * pair list; returns ("node", "lbl") with lbl = component minimum. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      if (rounds > 40)
+        throw new IllegalStateException(
+          "connectedComponents: not converged in 40 rounds")
+      val neighborMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nl"))
+      val stepped = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(labels("node"),
+          least(labels("lbl"), coalesce(col("nl"), labels("lbl"))).as("lbl"),
+          (coalesce(col("nl"), labels("lbl")) < labels("lbl")).as("chg"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("chg")).count()
+      labels = stepped.select(col("node"), col("lbl"))
+    }
+    labels
+  }
+
+  // ---------------------------------------------------------------- q100
+  /** Near-dup CLUSTERING: connected components over the verified LSH pair
+    * graph — the step that turns "pairs of near-dups" into "groups with
+    * one canonical survivor", which is what a dedup pipeline actually
+    * ships. Output: every document labeled with its component's minimum
+    * doc_id as `cluster_id`, plus `is_canonical` (the kept copy).
+    *
+    * Algorithm: iterative min-label propagation (Pregel-style) entirely in
+    * DataFrame joins — each round every node adopts the smallest label in
+    * its neighborhood; convergence in O(component diameter) rounds. Each
+    * round is one equi-join + one keyed min-agg; `localCheckpoint`
+    * truncates the lineage so plans stay flat across iterations. The
+    * per-round driver work is a single scalar convergence count (Pregel's
+    * vote-to-halt), not data collection. At 100 TB with adversarial chain
+    * components one would switch to large-star/small-star (O(log n)
+    * rounds, same join shape); near-dup components in practice are
+    * shallow clusters, where min-propagation's per-round cost is lower.
+    * A 40-round cap fail-stops (raise via exception) rather than ever
+    * emitting half-converged labels. */
+  val q100 = QueryDef(
+    "q100_dedup_clusters",
+    (s, d) => {
+      val pairs = lshVerifiedPairs(s, d, 0.6).select(col("a_id"), col("b_id"))
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
+      connectedComponents(nodes, pairs)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+          (col("node") === col("lbl")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      s AS (SELECT doc_id,
+              list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]) sh
+            FROM w WHERE len(words) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+      SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+        (node = MIN(lbl)) AS is_canonical
+      FROM reach GROUP BY node ORDER BY doc_id"""),
+    doc = "connected components over the near-dup graph; canonical = min doc_id")
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q100)
 }

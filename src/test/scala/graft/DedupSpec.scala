@@ -55,6 +55,18 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) == 2L), "every text appears exactly twice in the doubled input")
   }
 
+  test("connected components: chains propagate transitively, singletons self-label, canonical = min") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: needs multiple propagation rounds),
+    // pair 7-8, singleton 9
+    val nodes = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L).toDF("node")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
   test("q40 plan partitions the shuffle on the 8-byte text hash, not on full text") {
     val plan = Dedup.q40.fn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(th#"),

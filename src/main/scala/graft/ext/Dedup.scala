@@ -273,5 +273,44 @@ object Dedup {
       FROM reach GROUP BY node ORDER BY doc_id"""),
     doc = "connected components over the near-dup graph; canonical = min doc_id")
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q100)
+  // ---------------------------------------------------------------- q101
+  /** Benchmark decontamination: flag training documents sharing any
+    * 5-gram with a held-out benchmark set (docs 0-9 stand in for the
+    * benchmark). The join is an inverted-index equi-join on the shingle
+    * string — benchmark shingles are the small side (broadcastable: a
+    * benchmark suite is KBs-MBs against a 100 TB corpus), so the corpus
+    * never shuffles; per-doc hit counts aggregate on doc_id. This is the
+    * standard eval-leakage scrub run before every training cut. */
+  val q101 = QueryDef(
+    "q101_decontaminate",
+    (s, d) => {
+      val sh5 = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"), wordShingles(col("text"), 5).as("sh"))
+      val bench = broadcast(sh5.filter(col("doc_id") < 10)
+        .select(explode(col("sh")).as("shingle")).distinct())
+      val corpus = sh5.filter(col("doc_id") >= 10)
+      val hits = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(bench, "shingle")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      corpus.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+        .join(hits, "doc_id")
+        .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+          round(col("n_hits").cast("double") / col("n_shingles"), 6).as("contamination"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      s5 AS (SELECT doc_id,
+               list_distinct([array_to_string(words[i:i+4], ' ') for i in range(1, len(words)-3)]) sh
+             FROM w WHERE len(words) >= 5),
+      b AS (SELECT DISTINCT unnest(sh) AS shingle FROM s5 WHERE doc_id < 10),
+      c AS (SELECT doc_id, unnest(sh) AS shingle FROM s5 WHERE doc_id >= 10),
+      hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM c JOIN b USING (shingle) GROUP BY doc_id),
+      tot AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM s5 WHERE doc_id >= 10)
+      SELECT t.doc_id, h.n_hits, t.n_shingles,
+        round(h.n_hits::DOUBLE / t.n_shingles, 6) AS contamination
+      FROM tot t JOIN hits h USING (doc_id) ORDER BY doc_id"""),
+    doc = "eval-leakage scrub: corpus docs sharing 5-grams with a benchmark set")
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q100, q101)
 }

@@ -194,34 +194,83 @@ object Dedup {
             THEN 1 << b ELSE 0 END for b in range(16)]) AS BIGINT) AS simhash
       FROM w ORDER BY doc_id"""))
 
-  /** Connected components by iterative min-label propagation (see q100's
-    * scaladoc for the algorithm and its 100 TB story). `nodes` is a
-    * single-column ("node") frame, `pairs` an ("a_id", "b_id") undirected
-    * pair list; returns ("node", "lbl") with lbl = component minimum. */
+  /** Connected components by alternating large-star / small-star rounds
+    * (the MapReduce-native CC algorithm: Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds on
+    * ANY graph shape, vs O(diameter) for naive min-label propagation, so
+    * an adversarial 100 TB chain component cannot stall the job.
+    *
+    * Each round is two passes of the same shape (groupBy-min + equi-join
+    * back to the adjacency list):
+    *  - large-star: every node's LARGER neighbors re-link to the minimum
+    *    of its closed neighborhood
+    *  - small-star: every node's smaller-or-equal neighbors (and itself)
+    *    re-link to that minimum
+    * The edge set contracts toward stars rooted at component minima;
+    * convergence is detected by an order-free (count, hash-sum) signature
+    * of the canonicalized edge set — one tiny aggregate per round, the
+    * Pregel vote-to-halt analogue. `localCheckpoint` truncates lineage
+    * every round so plans stay flat.
+    *
+    * `nodes` is a single-column ("node") frame, `pairs` an
+    * ("a_id", "b_id") undirected pair list; returns ("node", "lbl") with
+    * lbl = component minimum (isolated nodes label themselves). */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0) {
-      rounds += 1
-      if (rounds > 40)
-        throw new IllegalStateException(
-          "connectedComponents: not converged in 40 rounds")
-      val neighborMin = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nl"))
-      val stepped = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
-        .select(labels("node"),
-          least(labels("lbl"), coalesce(col("nl"), labels("lbl"))).as("lbl"),
-          (coalesce(col("nl"), labels("lbl")) < labels("lbl")).as("chg"))
-        .localCheckpoint(true)
-      changed = stepped.filter(col("chg")).count()
-      labels = stepped.select(col("node"), col("lbl"))
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor is order-free and cannot overflow under ANSI (a sum of
+      // 64-bit hashes can); edges are distinct so xor never self-cancels
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
     }
-    labels
+    // closed-neighborhood minimum per node over the directed adjacency list
+    def withMin(adj: DataFrame): DataFrame = adj
+      .groupBy(col("u")).agg(min(col("v")).as("nmin"))
+      .select(col("u"), least(col("u"), col("nmin")).as("m"))
+
+    var edges = canon(pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+      .localCheckpoint(true)
+    var sig = signature(edges)
+    var rounds = 0
+    var stable = edges.isEmpty
+    while (!stable) {
+      rounds += 1
+      if (rounds > 60)
+        throw new IllegalStateException(
+          "connectedComponents: not converged in 60 rounds")
+      val adj = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      // large-star: (v, m(u)) for every neighbor v > u
+      val ls = canon(adj.join(withMin(adj), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+        .localCheckpoint(true)
+      val adj2 = ls.select(col("u"), col("v"))
+        .unionByName(ls.select(col("v").as("u"), col("u").as("v")))
+      // small-star: (v, m(u)) for every neighbor v <= u, plus (u, m(u))
+      val mins2 = withMin(adj2)
+      val ss = canon(
+        adj2.join(mins2, "u").filter(col("v") < col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(mins2.select(col("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      val newSig = signature(ss)
+      stable = newSig == sig
+      sig = newSig
+      edges = ss
+    }
+    // converged edges are stars (non-root -> root); roots and isolated
+    // nodes label themselves
+    val lbls = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .groupBy(col("u")).agg(min(col("v")).as("nmin"))
+      .select(col("u").as("node"), least(col("u"), col("nmin")).as("lbl"))
+    nodes.join(lbls, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
   }
 
   // ---------------------------------------------------------------- q100
@@ -231,18 +280,14 @@ object Dedup {
     * ships. Output: every document labeled with its component's minimum
     * doc_id as `cluster_id`, plus `is_canonical` (the kept copy).
     *
-    * Algorithm: iterative min-label propagation (Pregel-style) entirely in
-    * DataFrame joins — each round every node adopts the smallest label in
-    * its neighborhood; convergence in O(component diameter) rounds. Each
-    * round is one equi-join + one keyed min-agg; `localCheckpoint`
-    * truncates the lineage so plans stay flat across iterations. The
-    * per-round driver work is a single scalar convergence count (Pregel's
-    * vote-to-halt), not data collection. At 100 TB with adversarial chain
-    * components one would switch to large-star/small-star (O(log n)
-    * rounds, same join shape); near-dup components in practice are
-    * shallow clusters, where min-propagation's per-round cost is lower.
-    * A 40-round cap fail-stops (raise via exception) rather than ever
-    * emitting half-converged labels. */
+    * Algorithm: [[connectedComponents]] — alternating large-star /
+    * small-star rounds (O(log n) rounds on any graph shape, so an
+    * adversarial chain component cannot stall a 100 TB run; see its
+    * scaladoc). Per-round driver work is one scalar edge-set signature
+    * (vote-to-halt), not data collection; a 60-round cap fail-stops
+    * rather than ever emitting half-converged labels. DedupSpec pins the
+    * labeling against an exact union-find reference on chain and seeded
+    * random graphs the corpus itself cannot exercise. */
   val q100 = QueryDef(
     "q100_dedup_clusters",
     (s, d) => {

@@ -199,5 +199,33 @@ object PipelineQueries {
       ORDER BY lang, rk"""),
     doc = "deterministic per-class top-5 by content hash; WindowGroupLimit plan")
 
-  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q95, q96)
+  // ---------------------------------------------------------------- q102
+  /** Heavy hitters via the approx_top_k frequent-items sketch (mergeable,
+    * like q93's HLL — the sketch merges across partitions map-side, so
+    * the full stream is never shuffled). The key space is deliberately
+    * skewed (3 keys at ~10% each over a uniform tail) so the top-3 is
+    * deterministic; the query self-checks each estimate within 1% of the
+    * exact count and the oracle pins the heavy keys + TRUE verdicts. */
+  val q102 = QueryDef(
+    "q102_heavy_hitters",
+    (s, d) => {
+      val keyed = Tables.events(s, d).select(
+        when(pmod(col("user_id"), lit(10)) < 3,
+            concat(lit("heavy-"), pmod(col("user_id"), lit(10)).cast("string")))
+          .otherwise(concat(lit("tail-"), col("user_id").cast("string")))
+          .as("k"))
+      val est = keyed.agg(expr("approx_top_k(k, 3, 10000)").as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.item").as("item"), col("t.count").as("est"))
+      val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      est.join(exact, est("item") === exact("k"))
+        .select(col("item"),
+          (abs(col("est") - col("n")) <= col("n") * 0.01).as("within_1pct"))
+        .orderBy(col("item"))
+    },
+    Some("""SELECT 'heavy-' || x AS item, TRUE AS within_1pct
+      FROM generate_series(0, 2) t(x) ORDER BY item"""),
+    doc = "mergeable frequent-items sketch; skewed keys make the top-3 deterministic")
+
+  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q95, q96, q102)
 }

@@ -57,7 +57,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("connected components: chains propagate transitively, singletons self-label, canonical = min") {
     import spark.implicits._
-    // chain 1-2-3-4 (diameter 3: needs multiple propagation rounds),
+    // chain 1-2-3-4 (diameter 3: needs multiple star rounds),
     // pair 7-8, singleton 9
     val nodes = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L).toDF("node")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("a_id", "b_id")
@@ -65,6 +65,41 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("connected components == exact union-find on a 64-chain and seeded random graphs") {
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to component minimum (roots are minima by the
+      // min-directed union above)
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val cases: Seq[(String, Int, Seq[(Long, Long)])] = Seq(
+      ("64-chain (adversarial diameter)", 64,
+        (0 until 63).map(i => (i.toLong, i.toLong + 1))),
+      ("seeded random sparse", 100, {
+        val rnd = new scala.util.Random(7)
+        Seq.fill(60)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+          .filter { case (a, b) => a != b }
+      }),
+      ("seeded random dense + dup edges", 40, {
+        val rnd = new scala.util.Random(13)
+        Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+          .filter { case (a, b) => a != b }
+      }))
+    for ((name, n, edges) <- cases) {
+      val nodes = (0L until n.toLong).toDF("node")
+      val pairs = edges.toDF("a_id", "b_id")
+      val got = Dedup.connectedComponents(nodes, pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == unionFind(n, edges), s"case: $name")
+    }
   }
 
   test("q40 plan partitions the shuffle on the 8-byte text hash, not on full text") {

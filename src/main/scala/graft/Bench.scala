@@ -65,14 +65,20 @@ object Bench {
       val secs =
         if (times.isEmpty) -1.0
         else times.sorted.apply((times.size - 1) / 2)
-      q.name -> secs
+      // max/min rep ratio: the per-query variance evidence (a ratio near 1
+      // means the median is trustworthy; a large one flags machine noise)
+      val spread =
+        if (times.size < 2 || times.min <= 0) 1.0 else times.max / times.min
+      (q.name, secs, spread)
     }
-    val qs = results.map { case (k, v) => "\"" + jsonEsc(k) + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + jsonEsc(k) + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, sp) => "\"" + jsonEsc(k) + "\":" + f"$sp%.2f" }
       .mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => "\"" + jsonEsc(k) + "\":\"" + jsonEsc(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v > 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"errors":$errJson%s,"sf":"$sfDir%s"}""")
+    val total = results.collect { case (_, v, _) if v > 0 => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rep_spread":$spreads%s,"errors":$errJson%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import graft.etl.EventPipeline
 
 /** Streaming tier: every transform is `DataFrame → DataFrame`, so the same
@@ -155,6 +155,50 @@ object EventStream {
             (key, next.n, next.lastSeq)
           }
       }
+  }
+
+  /** [[runningCounts]] on Spark 4's transformWithState — the successor
+    * arbitrary-state API (SPARK-46815): explicit typed `ValueState` with
+    * native TTL instead of mapGroupsWithState's single implicit state slot
+    * + manual timeout plumbing. Requires the RocksDB state store provider
+    * (TTL and multiple state variables ride its column families); callers
+    * set `spark.sql.streaming.stateStore.providerClass` accordingly.
+    * Output rows mirror runningCounts so either implementation can back
+    * A5/A6. (Caveat shared with ProcessingTimeTimeout: processing-time
+    * TTL stalls `processAllAvailable` under the test harness, so specs
+    * exercise the ttlMs=0 / TimeMode.None path; TTL is for real
+    * triggered deployments.) */
+  class RunningCountsProcessor(ttlMs: Long)
+      extends StatefulProcessor[String, (String, String), (String, Long, String)] {
+    @transient private var state: ValueState[KeyState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[KeyState]("counts",
+        org.apache.spark.sql.Encoders.product[KeyState],
+        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, String)],
+        timerValues: TimerValues): Iterator[(String, Long, String)] = {
+      val buf = rows.toSeq
+      val prev = Option(state.get()).getOrElse(KeyState(0L, ""))
+      val next = KeyState(prev.n + buf.size,
+        (prev.lastSeq +: buf.map(_._2)).max)
+      state.update(next)
+      Iterator.single((key, next.n, next.lastSeq))
+    }
+  }
+
+  def runningCountsTws(
+      events: Dataset[(String, String)], // (key, sequenceNumber)
+      ttlMs: Long = 3600000L): Dataset[(String, Long, String)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountsProcessor(ttlMs),
+        // TTL state requires ProcessingTime mode (unlike timers, TTL
+        // cleanup never blocks a trigger, so tests stay deterministic)
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** One closed gap-based session (the streaming form of the q57 batch

@@ -116,6 +116,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running counts match the mapGroupsWithState semantics (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs the RocksDB provider (TTL + multiple state
+    // variables ride its column families); scope the conf to this query
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, String)]
+      // ttlMs=0 (TimeMode.None): processing-time TTL, like
+      // ProcessingTimeTimeout before it, stalls processAllAvailable in
+      // this environment — the test pins the state semantics, not TTL
+      val q = EventStream.runningCountsTws(input.toDS(), ttlMs = 0L)
+        .toDF("key", "n", "last_seq")
+        .writeStream.format("memory").queryName("rctws").outputMode("update").start()
+      try {
+        input.addData(("u1", "001"), ("u1", "003"), ("u2", "002"))
+        q.processAllAvailable()
+        input.addData(("u1", "002"))
+        q.processAllAvailable()
+        val latest = spark.sql(
+          "SELECT key, n, last_seq FROM (SELECT *, row_number() OVER (PARTITION BY key ORDER BY n DESC) rn FROM rctws) WHERE rn = 1 ORDER BY key")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        assert(latest.toSeq == Seq(("u1", 3L, "003"), ("u2", 1L, "002")),
+          "ValueState accumulates across micro-batches; lastSeq is the max sequence seen")
+      } finally q.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join matches keys within the time bound only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -357,5 +357,32 @@ object Dedup {
       FROM tot t JOIN hits h USING (doc_id) ORDER BY doc_id"""),
     doc = "eval-leakage scrub: corpus docs sharing 5-grams with a benchmark set")
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q100, q101)
+  // ---------------------------------------------------------------- q103
+  /** Edit-distance verification over the candidate pair set (the q42
+    * adjacent-pair shape): absolute Levenshtein distance plus a
+    * length-normalized similarity. Edit distance is O(len²) per pair —
+    * usable only as a VERIFY stage behind a candidate generator (LSH /
+    * fingerprint buckets), never as the pairing step; Spark's built-in
+    * supports a threshold cutoff (`levenshtein(l, r, k)`) to cap the cost
+    * on long documents. */
+  val q103 = QueryDef(
+    "q103_edit_distance",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.as("a").join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("a_id"),
+          levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"),
+          round(lit(1.0) - levenshtein(col("a.text"), col("b.text"))
+            / greatest(length(col("a.text")), length(col("b.text"))), 6).as("sim"))
+        .orderBy(col("a_id"))
+    },
+    Some("""SELECT a.doc_id AS a_id,
+        CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+        round(1.0 - levenshtein(a.text, b.text)::DOUBLE
+          / greatest(length(a.text), length(b.text)), 6) AS sim
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      ORDER BY a_id"""),
+    doc = "Levenshtein verify stage over candidate pairs; threshold-capped at scale")
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q100, q101, q103)
 }

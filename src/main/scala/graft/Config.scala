@@ -20,7 +20,10 @@ final case class Config(
     sourcePath: Option[String] = None,
     /** "lines" = raw JSON text files (seqs synthesized); "records" = the
       * engine's own seq-named record log via the graft-records connector. */
-    sourceFormat: String = "lines")
+    sourceFormat: String = "lines",
+    /** Console metrics dump period (K5's console reporter, core.clj:250
+      * dumps every 100 s); None = off. */
+    metricsConsoleSec: Option[Long] = None)
 
 object Config {
 
@@ -36,6 +39,7 @@ object Config {
       |  --source-path PATH  file source dir (omit to bind a stream source)
       |  --source-format F   lines (raw JSON text, default) | records
       |                      (seq-named record log via graft-records)
+      |  --metrics-console S console metrics dump every S seconds (off by default)
       |""".stripMargin
 
   private def num[T](flag: String, v: String, f: String => T): Either[String, T] =
@@ -56,6 +60,8 @@ object Config {
       case "--source-format" :: v :: t =>
         if (v == "lines" || v == "records") go(t, c.copy(sourceFormat = v))
         else Left(s"--source-format expects lines|records, got: $v")
+      case "--metrics-console" :: v :: t =>
+        num("--metrics-console", v, _.toLong).flatMap(p => go(t, c.copy(metricsConsoleSec = Some(p))))
       case other :: _ => Left(s"unknown option: $other")
     }
     go(args.toList, Config()).flatMap { c =>

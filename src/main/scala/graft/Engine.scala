@@ -78,6 +78,8 @@ object Main {
           .config("spark.sql.session.timeZone", "UTC")
           .config(Tables.sessionConf)
           .config(graft.stats.MetricsBinding.jmxConf) // K5 JMX reporter
+          .config(config.metricsConsoleSec // K5 console reporter (opt-in)
+            .map(graft.stats.MetricsBinding.consoleConf).getOrElse(Map.empty))
           .withExtensions(new GraftExtensions)
           .getOrCreate()
         val engine = new Engine(spark, config)

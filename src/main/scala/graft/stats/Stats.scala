@@ -13,11 +13,17 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * full Spark registry (DAGScheduler, BlockManager, streaming progress,
   * executor metrics) as `metrics:*` MBeans — the engine-wide counterpart
   * of the /stats endpoint's query-level EWMA meters. The console reporter
-  * analogue is commented into Main's usage rather than defaulted on (the
-  * reference dumps to console every 100 s; on a cluster that is log spam). */
+  * (the reference dumps every 100 s, core.clj:250) is opt-in via
+  * `--metrics-console SECS` — on a cluster a default-on console dump is
+  * log spam. */
 object MetricsBinding {
   val jmxConf: Map[String, String] = Map(
     "spark.metrics.conf.*.sink.jmx.class" -> "org.apache.spark.metrics.sink.JmxSink")
+
+  def consoleConf(periodSec: Long): Map[String, String] = Map(
+    "spark.metrics.conf.*.sink.console.class" -> "org.apache.spark.metrics.sink.ConsoleSink",
+    "spark.metrics.conf.*.sink.console.period" -> periodSec.toString,
+    "spark.metrics.conf.*.sink.console.unit" -> "seconds")
 }
 
 /** Exponentially-weighted moving-average meter with 1/5/15-minute decay —

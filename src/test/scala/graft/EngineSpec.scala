@@ -19,6 +19,10 @@ class EngineSpec extends AnyFunSuite {
     assert(Config.parse(Seq("--s3-bucket", "b", "--source-format", "records"))
       .map(_.sourceFormat) == Right("records"))
     assert(Config.parse(Seq("--s3-bucket", "b", "--source-format", "nope")).isLeft)
+    assert(Config.parse(Seq("--s3-bucket", "b", "--metrics-console", "100"))
+      .map(_.metricsConsoleSec) == Right(Some(100L)))
+    assert(graft.stats.MetricsBinding.consoleConf(100)(
+      "spark.metrics.conf.*.sink.console.period") == "100")
   }
 
   test("engine end-to-end over the graft-records source: replayed log keeps original sequence numbers") {

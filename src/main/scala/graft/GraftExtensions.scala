@@ -68,7 +68,9 @@ object GraftExtensions {
     ("mean_byte", info("mean_byte", classOf[MeanByte]),
       es => MeanByte(es(0))),
     ("min_md5_hex", info("min_md5_hex", classOf[MinMd5Hex]),
-      es => MinMd5Hex(es(0))))
+      es => MinMd5Hex(es(0))),
+    ("winnow_fingerprints", info("winnow_fingerprints", classOf[WinnowFingerprints]),
+      es => WinnowFingerprints(es(0), intArg(es(1), "k"), intArg(es(2), "w"))))
 }
 
 /** Optimizer rule: rewrite the naive built-in Jaccard composition

@@ -143,5 +143,44 @@ object TextStats {
              / len(string_split(lower(text), ' '))::DOUBLE) * 0.3, 6) AS quality
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q49, q50)
+  // ---------------------------------------------------------------- q104
+  /** Winnowing fingerprints over a Rabin-Karp rolling hash (char 8-grams,
+    * window 16 — see [[graft.functions.WinnowFingerprints]]): the
+    * copy-span-detecting fingerprint family, complementing q49's
+    * whole-document md5 bottom-sketch. The oracle recomputes the exact
+    * polynomial/selection definition in SQL; the output reduces each
+    * fingerprint set to (count, min, max, xor) so the driver hashes
+    * scalar columns. */
+  val q104 = QueryDef(
+    "q104_winnow_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.WinnowFingerprints(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 8, 16)).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        element_at(col("fps"), 1).as("fp_min"),
+        element_at(col("fps"), -1).as("fp_max"),
+        aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
+      .orderBy(col("doc_id")),
+    Some("""WITH g AS (
+        SELECT doc_id, [
+            list_reduce(list_prepend(0::BIGINT,
+              [ord(text[i+j-1:i+j-1])::BIGINT for j in range(1, 9)]),
+              (a,b) -> (a*257+b)%2147483647)
+          for i in range(1, length(text)-8+2)] AS hs
+        FROM documents WHERE length(text) >= 8),
+      wins AS (
+        SELECT doc_id, CASE WHEN len(hs) <= 16 THEN [list_min(hs)]
+          ELSE [list_min(hs[i:i+15]) for i in range(1, len(hs)-16+2)] END AS sel
+        FROM g),
+      fp AS (SELECT doc_id, list_sort(list_distinct(sel)) AS fps FROM wins)
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        fps[1] AS fp_min, fps[-1] AS fp_max,
+        list_reduce(list_prepend(0::BIGINT, fps), (a,b) -> xor(a,b)) AS fp_xor
+      FROM fp ORDER BY doc_id"""),
+    doc = "rolling-hash winnowing (SIGMOD'03): shared substrings >= k+w-1 share a fingerprint")
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104)
 }

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints over a Rabin-Karp ROLLING hash
+  * (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+  * Fingerprinting", SIGMOD'03) — the rolling-hash fingerprint family the
+  * md5 bottom-sketch (MinMd5Hex, q49) does not cover: winnowing guarantees
+  * that any shared substring of length ≥ k+w−1 between two documents
+  * yields at least one shared fingerprint, which makes the fingerprint
+  * sets usable for copy-span DETECTION, not just whole-document sketching.
+  *
+  * Definition (replicated verbatim by q104's DuckDB oracle):
+  *  - char k-gram hashes: h(g) = fold over code units, h = (h·257 + c) mod
+  *    (2³¹−1); computed here with the O(n) rolling update
+  *    h' = ((h − c_old·257^(k−1)) · 257 + c_new) mod M — the polynomial
+  *    VALUE is identical however it is computed, so the oracle's direct
+  *    per-gram fold agrees bit-for-bit
+  *  - selection: the minimum hash VALUE of every w-wide window of
+  *    consecutive gram hashes (one window covering everything when there
+  *    are fewer than w grams)
+  *  - fingerprint set: selected values, distinct, ascending
+  *
+  * Per row this is O(n) time (monotonic-deque sliding min), O(w) extra
+  * space — embarrassingly parallel scalar work, no shuffle. Codegen calls
+  * the shared eval through a reference object so the stage keeps
+  * whole-stage codegen. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && w >= 1, "winnow_fingerprints: k and w must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects string, got ${other.simpleString}")
+  }
+
+  private val M = 2147483647L // 2^31 - 1
+  private val B = 257L
+
+  /** Shared by eval and codegen. */
+  def fingerprints(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val m = n - k + 1 // gram count
+    // B^(k-1) mod M for the rolling eviction term
+    var bk = 1L
+    var i = 0
+    while (i < k - 1) { bk = bk * B % M; i += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + s.charAt(i)) % M; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = Math.floorMod(h - s.charAt(i - 1) * bk % M, M) // evict old char
+      h = (h * B + s.charAt(i + k - 1)) % M              // admit new char
+      hs(i) = h
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var mn = hs(0); i = 1
+      while (i < m) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      sel.add(mn)
+    } else {
+      // sliding-window min via monotonic index deque
+      val deque = new Array[Int](m)
+      var head = 0; var tail = 0 // [head, tail)
+      i = 0
+      while (i < m) {
+        while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - w) head += 1
+        if (i >= w - 1) sel.add(hs(deque(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    fingerprints(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnow", this, classOf[WinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.fingerprints($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}

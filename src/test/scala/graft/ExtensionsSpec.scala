@@ -17,13 +17,15 @@ class ExtensionsSpec extends AnyFunSuite {
         |  cosine_sim(array(1.0d, 0.0d), array(0.6d, 0.8d)) AS c,
         |  parse_cookies('uid=42; sess=%2Fa%20b')['sess'] AS s,
         |  word_shingles('a b c d', 3) AS sh,
-        |  simhash16(array('hash', 'join')) AS h
+        |  simhash16(array('hash', 'join')) AS h,
+        |  winnow_fingerprints('the quick brown fox jumps', 8, 16) AS fp
         |""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-12)
     assert(math.abs(r.getDouble(1) - 0.6) < 1e-12)
     assert(r.getString(2) == "/a b")
     assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
     assert(r.getLong(4) >= 0L && r.getLong(4) < 65536L)
+    assert(r.getSeq[Long](5).nonEmpty && r.getSeq[Long](5).forall(h => h >= 0))
   }
 
   test("JaccardFusion rewrites the naive size/intersect/concat idiom") {

@@ -76,4 +76,37 @@ class NativeExprSpec extends AnyFunSuite {
       "signature agreement tracks Jaccard similarity")
     assert(agree(sigs("a"), sigs("b")) >= 40, "J~0.9 should agree on most of 64 slots")
   }
+
+  test("WinnowFingerprints == naive reference; winnowing guarantee on shared substrings") {
+    import spark.implicits._
+    val (k, w, m, b) = (8, 16, 2147483647L, 257L)
+    def reference(text: String): Seq[Long] = {
+      if (text.length < k) return Seq.empty
+      val hs = text.sliding(k).map(_.foldLeft(0L)((h, c) => (h * b + c) % m)).toVector
+      val sel =
+        if (hs.length <= w) Set(hs.min)
+        else hs.sliding(w).map(_.min).toSet
+      sel.toSeq.sorted
+    }
+    def winnow(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftBridge.column(graft.functions.WinnowFingerprints(
+        org.apache.spark.sql.GraftBridge.expression(c), k, w))
+    val texts = Seq("", "short", "exactly8!", "a" * 30,
+      "the quick brown fox jumps over the lazy dog") ++
+      Seq.fill(150)(Seq.fill(5 + rnd.nextInt(60))(s"w${rnd.nextInt(8)}").mkString(" "))
+    val got = texts.toDF("t").select(winnow(col("t")).as("f"))
+      .collect().map(_.getSeq[Long](0))
+    texts.zip(got).foreach { case (t, f) =>
+      assert(f == reference(t), s"text='$t'")
+    }
+    // the winnowing guarantee: documents sharing a substring of length
+    // >= k+w-1 share at least one fingerprint
+    val shared = "zqxjkvbnmpwlrtysgfdhcea" // 23 = k+w-1 chars
+    val doc1 = s"prefix one $shared suffix alpha"
+    val doc2 = s"completely different preamble $shared and tail"
+    val fps = Seq(doc1, doc2).toDF("t").select(winnow(col("t")).as("f"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(fps(0).intersect(fps(1)).nonEmpty,
+      "shared span of k+w-1 chars must produce a shared fingerprint")
+  }
 }

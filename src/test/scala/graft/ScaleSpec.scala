@@ -49,6 +49,37 @@ class ScaleSpec extends AnyFunSuite {
       s"q23 must not use the buffering percentile() aggregate:\n$plan")
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    // one key carries ~all left rows; thresholds lowered so the fixture
+    // triggers the same decision a 100 TB skewed key would
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1", // force SMJ (AQE replan)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",          // force SMJ (static plan)
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-padding-payload-padding-"), col("id")).as("pay"))
+      val right = spark.range(0, 2000).select(col("id").as("k"), col("id").as("v"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS QueryExecution (a write/count plans a fresh
+      // one, leaving joined.queryExecution un-finalized under AQE)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join (skew=true):\n${plan.take(4000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals direct aggregation on a skewed column") {
     import org.apache.spark.sql.functions._
     val l = Tables.lineitem(spark, sf)

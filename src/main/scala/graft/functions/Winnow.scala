@@ -29,7 +29,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Per row this is O(n) time (monotonic-deque sliding min), O(w) extra
   * space — embarrassingly parallel scalar work, no shuffle. Codegen calls
   * the shared eval through a reference object so the stage keeps
-  * whole-stage codegen. */
+  * whole-stage codegen.
+  *
+  * Hash unit: UTF-16 code units (String.charAt). For supplementary-plane
+  * text this differs from a code-point hash (DuckDB's ord); identical on
+  * the BMP and on ASCII corpora. Fingerprints are for within-engine
+  * comparison — only the cross-engine ORACLE relies on the unit choice,
+  * and the corpus is ASCII. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 

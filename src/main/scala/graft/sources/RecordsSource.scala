@@ -76,37 +76,62 @@ object RecordsSource {
   /** List every committed chunk under `root` (recursive; dot-temp files are
     * never visible — the writer renames into place). Driver-side listing of
     * names only, no data scan. */
-  private[sources] def listChunks(root: String): Seq[Chunk] = try {
-    val fs = FileSystem.get(new java.net.URI(root), new Configuration())
-    val p = new Path(root)
-    if (!fs.exists(p)) return Seq.empty
-    val out = ArrayBuffer.empty[Chunk]
-    val it = fs.listFiles(p, true)
-    val rootUri = fs.makeQualified(p).toString.stripSuffix("/")
-    while (it.hasNext) {
-      val f = it.next().getPath
-      val name = f.getName
-      if (name.endsWith(Suffix) && !name.startsWith(".")) {
-        val rel = f.getParent.toString.stripPrefix(rootUri).stripPrefix("/")
-        out += Chunk(name.dropRight(Suffix.length), f.toString, rel)
-      }
-    }
-    out.sortBy(_.seq).toSeq
-  } catch {
-    // query.stop() interrupts the micro-batch thread mid-listing; Hadoop's
-    // local FS wraps the InterruptedException in a RuntimeException that
-    // StreamExecution would misclassify as a query failure. Rethrow the
-    // interrupt itself so a stop stays a clean stop.
-    case e: RuntimeException =>
-      var c: Throwable = e.getCause
-      while (c != null) {
-        c match {
-          case i: java.io.InterruptedIOException => throw i
-          case i: InterruptedException => throw i
-          case _ => c = c.getCause
+  private[sources] def listChunks(root: String): Seq[Chunk] = {
+    def once(): Seq[Chunk] = {
+      val fs = FileSystem.get(new java.net.URI(root), new Configuration())
+      val p = new Path(root)
+      if (!fs.exists(p)) return Seq.empty
+      val out = ArrayBuffer.empty[Chunk]
+      val it = fs.listFiles(p, true)
+      val rootUri = fs.makeQualified(p).toString.stripSuffix("/")
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val name = f.getName
+        if (name.endsWith(Suffix) && !name.startsWith(".")) {
+          val rel = f.getParent.toString.stripPrefix(rootUri).stripPrefix("/")
+          out += Chunk(name.dropRight(Suffix.length), f.toString, rel)
         }
       }
-      throw e
+      out.sortBy(_.seq).toSeq
+    }
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return once()
+      catch {
+        case e: RuntimeException =>
+          // query.stop() interrupts the micro-batch thread mid-listing;
+          // Hadoop's local FS wraps the InterruptedException in a
+          // RuntimeException that StreamExecution would misclassify as a
+          // query failure. Rethrow the interrupt so a stop stays a stop.
+          var c: Throwable = e.getCause
+          while (c != null) {
+            c match {
+              case i: java.io.InterruptedIOException => throw i
+              case i: InterruptedException => throw i
+              case _ => c = c.getCause
+            }
+          }
+          // a concurrent writer's temp file can vanish between the
+          // directory listing and the per-entry stat (local FS stats lag
+          // the listing; an object store's LIST is atomic over committed
+          // objects) — transient by construction: committed chunks are
+          // immutable, so retrying converges. Fail only if it persists.
+          if (attempt >= 3 || !transientListingRace(e)) throw e
+          Thread.sleep(50L * attempt)
+        case e: java.io.FileNotFoundException =>
+          if (attempt >= 3) throw e
+          Thread.sleep(50L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** A stat-after-list failure on an entry that no longer exists. */
+  private def transientListingRace(e: Throwable): Boolean = {
+    val msg = Option(e.getMessage).getOrElse("")
+    msg.contains("No such file or directory") ||
+      msg.contains("cannot access")
   }
 }
 

@@ -80,6 +80,29 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("no query plans a cartesian/nested-loop join outside the intentional whitelist") {
+    // the O(n^2) join guard for the whole registry: BroadcastNestedLoopJoin
+    // and CartesianProduct are only acceptable where one side is a
+    // constant-size scalar/dim (audited individually below); anywhere else
+    // they are the textbook 100 TB scale-killer, and this pin fails the
+    // build the moment a rewrite regresses a plan into one.
+    val whitelist = Set(
+      "q07_cross_join_regions", // cross join IS the operator under test (5x5 dims)
+      "q45_cosine_topk",        // broadcast of the constant 10-vector query side
+      "q46_ann_ivf_topk",       // broadcast of nlist centroids + scalar probe set
+      "q92_tfidf_topk",         // crossJoin(broadcast(1-row corpus count))
+      "q93_hll_rollup",         // crossJoin(broadcast(1-row exact count))
+      "q99_gap_fill")           // generated day x type scaffold (both tiny)
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      val bad = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (bad && !whitelist(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unwhitelisted cartesian/nested-loop plans: ${offenders.mkString(", ")}")
+  }
+
   test("salted aggregation equals direct aggregation on a skewed column") {
     import org.apache.spark.sql.functions._
     val l = Tables.lineitem(spark, sf)

@@ -45,8 +45,15 @@ object Bench {
     // (first-rep codegen + parquet footer reads) without a separate
     // warm-up pass.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Dev-loop subset: SPARK_GRAFT_BENCH_ONLY="q24_approx_sketches,q103_..."
+    // times just those queries. Unset (the driver's invocation) = full run.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val selected =
+      if (only.isEmpty) SparkEntry.registry
+      else SparkEntry.registry.filter(q => only(q.name))
     var errs = List.empty[(String, String)]
-    val results = SparkEntry.registry.map { q =>
+    val results = selected.map { q =>
       val times = (1 to reps).flatMap { _ =>
         if (errs.exists(_._1 == q.name)) None // failed once: don't retry
         else {

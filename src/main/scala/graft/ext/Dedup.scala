@@ -362,19 +362,45 @@ object Dedup {
     * adjacent-pair shape): absolute Levenshtein distance plus a
     * length-normalized similarity. Edit distance is O(len²) per pair —
     * usable only as a VERIFY stage behind a candidate generator (LSH /
-    * fingerprint buckets), never as the pairing step; Spark's built-in
-    * supports a threshold cutoff (`levenshtein(l, r, k)`) to cap the cost
-    * on long documents. */
+    * fingerprint buckets), never as the pairing step.
+    *
+    * Execution shape — the verify stage is CPU-bound, not byte-bound, so
+    * its parallelism must NOT follow data size: candidate pairs are a few
+    * hundred bytes each, and a byte-proportional layout (one scan split,
+    * or AQE's size-based coalescing after any shuffle) serializes the
+    * O(len²) kernel onto one core. The pairs are therefore spread with an
+    * EXPLICIT numPartitions (`repartitionByRange(n, …)` — a user-pinned
+    * count AQE won't coalesce) + `sortWithinPartitions` (= global order,
+    * same as Sort's own range exchange), and the Levenshtein projection
+    * sits ABOVE the sort: computed once, after the exchange, in parallel.
+    * Putting it below an `orderBy` both halves parallelism and pays the
+    * kernel twice (the range partitioner's boundary-sampling job executes
+    * the child plan a first time). `lev` is staged as its own projection
+    * level so `dist` and `sim` share one evaluation (levenshtein is not in
+    * CollapseProject's cheap-to-duplicate class; physical-level
+    * subexpression elimination is not guaranteed across projections).
+    * Note on Spark's threshold form `levenshtein(l, r, k)` (banded
+    * O(len·k) + early exit): it returns -1 past the cutoff, so it's the
+    * right kernel when a downstream similarity floor exists (a near-dup
+    * verify that only keeps sim ≥ τ can cap k = ⌈(1−τ)·maxlen⌉); this
+    * query's contract is the exact distance for EVERY pair, where a cap
+    * would change the emitted values. */
   val q103 = QueryDef(
     "q103_edit_distance",
     (s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
       docs.as("a").join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("a_id"),
-          levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"),
-          round(lit(1.0) - levenshtein(col("a.text"), col("b.text"))
-            / greatest(length(col("a.text")), length(col("b.text"))), 6).as("sim"))
-        .orderBy(col("a_id"))
+          col("a.text").as("ta"), col("b.text").as("tb"))
+        .repartitionByRange(n, col("a_id"))
+        .sortWithinPartitions(col("a_id"))
+        .select(col("a_id"),
+          levenshtein(col("ta"), col("tb")).as("lev"),
+          greatest(length(col("ta")), length(col("tb"))).as("maxlen"))
+        .select(col("a_id"),
+          col("lev").cast("long").as("dist"),
+          round(lit(1.0) - col("lev") / col("maxlen"), 6).as("sim"))
     },
     Some("""SELECT a.doc_id AS a_id,
         CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,

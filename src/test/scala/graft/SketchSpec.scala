@@ -18,7 +18,26 @@ class SketchSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getBoolean(r.fieldIndex("acd_within_2pct")), s"${r.getString(0)}: HLL outside 2%")
-      assert(r.getBoolean(r.fieldIndex("p95_rank_ok")), s"${r.getString(0)}: approx p95 rank outside [0.93, 0.97]")
+      assert(r.getBoolean(r.fieldIndex("p95_bracket_ok")), s"${r.getString(0)}: approx p95 fails sketch-consistency bracket")
+    }
+  }
+
+  test("approx p95 sits at a TRUE rank in [0.93, 0.97] per group") {
+    // The rank check q24 used to run in-query (at 3 lineitem passes); it
+    // needs a second scan by construction, so it lives here at spec scale.
+    val li = Tables.lineitem(spark, sf)
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.95), lit(2500)).as("ap95"))
+    val fracs = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(sk), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg((sum(when(col("l_extendedprice") <= col("ap95"), 1L).otherwise(0L))
+        / count(lit(1))).as("frac_le"))
+      .collect()
+    assert(fracs.nonEmpty)
+    fracs.foreach { r =>
+      val f = r.getDouble(r.fieldIndex("frac_le"))
+      assert(f >= 0.93 && f <= 0.97, s"${r.getString(0)}: true rank $f outside [0.93, 0.97]")
     }
   }
 

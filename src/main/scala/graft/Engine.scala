@@ -55,7 +55,14 @@ final class Engine(spark: SparkSession, config: Config) {
   def awaitTermination(): Unit = query.awaitTermination()
 
   def stop(): Unit = {
-    if (query != null) query.stop()
+    if (query != null) {
+      // stop() on an already-FAILED query rethrows its stored cause; that
+      // cause is awaitTermination's to surface (T3), and a second throw
+      // here would mask it / break caller cleanup. Genuine stop failures
+      // on a healthy query still propagate.
+      try query.stop()
+      catch { case e: Throwable if query.exception.isDefined => () }
+    }
     if (server != null) server.stop()
     spark.streams.removeListener(metrics)
   }

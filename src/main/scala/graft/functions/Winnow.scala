@@ -31,11 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the shared eval through a reference object so the stage keeps
   * whole-stage codegen.
   *
-  * Hash unit: UTF-16 code units (String.charAt). For supplementary-plane
-  * text this differs from a code-point hash (DuckDB's ord); identical on
-  * the BMP and on ASCII corpora. Fingerprints are for within-engine
-  * comparison — only the cross-engine ORACLE relies on the unit choice,
-  * and the corpus is ASCII. */
+  * Hash unit: Unicode CODE POINTS (one gram symbol per code point, with
+  * supplementary-plane characters counting once) — the same unit as
+  * DuckDB's `ord`/`length`, so the cross-engine oracle agrees on every
+  * plane, and the same unit a training corpus needs (astral chars —
+  * emoji, rare CJK — are exactly where web text lives). A UTF-16
+  * code-unit variant would silently split each astral char into two
+  * surrogate grams and shift every window boundary after it. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
@@ -55,8 +57,10 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
   /** Shared by eval and codegen. */
   def fingerprints(text: UTF8String): ArrayData = {
-    val s = text.toString
-    val n = s.length
+    // one pass UTF-16 -> code points; an unpaired surrogate hashes as its
+    // own (deterministic) value, same as String#codePoints
+    val cp: Array[Int] = text.toString.codePoints().toArray
+    val n = cp.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val m = n - k + 1 // gram count
     // B^(k-1) mod M for the rolling eviction term
@@ -66,12 +70,12 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     val hs = new Array[Long](m)
     var h = 0L
     i = 0
-    while (i < k) { h = (h * B + s.charAt(i)) % M; i += 1 }
+    while (i < k) { h = (h * B + cp(i)) % M; i += 1 }
     hs(0) = h
     i = 1
     while (i < m) {
-      h = Math.floorMod(h - s.charAt(i - 1) * bk % M, M) // evict old char
-      h = (h * B + s.charAt(i + k - 1)) % M              // admit new char
+      h = Math.floorMod(h - cp(i - 1) * bk % M, M) // evict old symbol
+      h = (h * B + cp(i + k - 1)) % M              // admit new symbol
       hs(i) = h
       i += 1
     }

@@ -20,23 +20,42 @@ import org.apache.spark.sql.types._
   *
   * Use from Structured Streaming as
   * `stream.writeStream.foreachBatch { (df, id) => sink.upsertBatch(df) }`.
+  *
+  * Dialects (selected from the JDBC URL): engines with a native upsert
+  * get one — Postgres runs a single `INSERT … ON CONFLICT (key) DO
+  * UPDATE` statement per row batch (half the statements, and the
+  * insert-or-update is atomic per row instead of spanning the
+  * delete+insert pair inside the txn). Everything else (Derby-class)
+  * keeps the portable delete+insert transaction. `jsonCols` names
+  * columns holding JSON text: on Postgres they are inserted through a
+  * `?::json` cast so they land as typed `json` values, the same typing
+  * the reference applies via PGobject("json") wrappers
+  * (db.clj:48-51,158-172); other dialects store them as plain text.
   */
-class JdbcUpsertSink(url: String, table: String, keyCol: String) extends Serializable {
+class JdbcUpsertSink(url: String, table: String, keyCol: String,
+    jsonCols: Set[String] = Set.empty) extends Serializable {
 
-  /** One transaction per partition: DELETE the partition's keys, then
-    * batch-INSERT its rows. Batch is deduped to one row per key first
-    * (LWW within the batch), so parallel partitions never race on a key. */
+  /** One transaction per partition: upsert the partition's rows (dialect
+    * native form, or DELETE keys + batch-INSERT). Batch is deduped to one
+    * row per key first (LWW within the batch), so parallel partitions
+    * never race on a key — and the Postgres path never trips "ON CONFLICT
+    * cannot affect row a second time". */
   def upsertBatch(batch: DataFrame, orderCol: String): Unit = {
     val deduped = JdbcUpsertSink.lastWriteWins(batch, keyCol, col(orderCol))
     val schema = deduped.schema
-    val (u, t, k) = (url, table, keyCol)
+    val (u, t, k, j) = (url, table, keyCol, jsonCols)
     deduped.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.nonEmpty) JdbcUpsertSink.writePartition(u, t, k, schema, rows)
+      if (rows.nonEmpty) JdbcUpsertSink.writePartition(u, t, k, j, schema, rows)
     }
   }
 }
 
 object JdbcUpsertSink {
+
+  /** The event table's JSON-text columns (the ones the reference stores
+    * as PGobject("json"), db.clj:158-172) — pass as `jsonCols` when
+    * upserting the parsed-event shape into Postgres. */
+  val EventJsonCols: Set[String] = Set("user_data", "cookies", "args", "form", "orig_data")
 
   /** LWW dedup: keep, per key, the row with the greatest orderCol
     * (ties break on nothing — orderCol must be a total order per key,
@@ -49,19 +68,74 @@ object JdbcUpsertSink {
       .drop("__rn")
   }
 
+  /** SQL-generation dialect. Selected from the URL, pure (no connection),
+    * so specs assert the exact statements each engine receives. */
+  sealed trait Dialect { def name: String }
+  /** Portable delete+insert pair inside one transaction. */
+  case object Generic extends Dialect { val name = "generic" }
+  /** Native atomic `INSERT … ON CONFLICT DO UPDATE` + typed json casts. */
+  case object Postgres extends Dialect { val name = "postgres" }
+
+  def dialectFor(url: String): Dialect =
+    if (url.startsWith("jdbc:postgresql:")) Postgres else Generic
+
+  def deleteSql(table: String, keyCol: String): String =
+    s"DELETE FROM ${validIdent(table)} WHERE ${validIdent(keyCol)} = ?"
+
+  def insertSql(table: String, schema: StructType): String = {
+    val cols = schema.fieldNames.map(validIdent).mkString(", ")
+    val qs = schema.fields.map(_ => "?").mkString(", ")
+    s"INSERT INTO ${validIdent(table)} ($cols) VALUES ($qs)"
+  }
+
+  /** Postgres upsert: placeholders for `jsonCols` carry a `?::json` cast
+    * (typed json storage, reference parity); every non-key column is
+    * updated from EXCLUDED on conflict, or DO NOTHING when the key is the
+    * whole schema (re-inserting an identical key is then a no-op). */
+  def pgUpsertSql(table: String, schema: StructType, keyCol: String,
+      jsonCols: Set[String]): String = {
+    val cols = schema.fieldNames.map(validIdent).mkString(", ")
+    val qs = schema.fieldNames
+      .map(f => if (jsonCols(f)) "?::json" else "?").mkString(", ")
+    val updates = schema.fieldNames.filterNot(_ == keyCol)
+      .map(f => s"${validIdent(f)} = EXCLUDED.${validIdent(f)}")
+    val action =
+      if (updates.isEmpty) "DO NOTHING"
+      else s"DO UPDATE SET ${updates.mkString(", ")}"
+    s"INSERT INTO ${validIdent(table)} ($cols) VALUES ($qs) " +
+      s"ON CONFLICT (${validIdent(keyCol)}) $action"
+  }
+
   private def writePartition(
-      url: String, table: String, keyCol: String,
+      url: String, table: String, keyCol: String, jsonCols: Set[String],
       schema: StructType, rows: Iterator[Row]): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
       val buf = rows.toArray
-      deleteKeys(conn, table, keyCol, schema, buf)
-      insertRows(conn, table, schema, buf)
+      dialectFor(url) match {
+        case Postgres =>
+          upsertRows(conn, pgUpsertSql(table, schema, keyCol, jsonCols), schema, buf)
+        case Generic =>
+          deleteKeys(conn, table, keyCol, schema, buf)
+          insertRows(conn, table, schema, buf)
+      }
       conn.commit()
     } catch {
       case e: Throwable => conn.rollback(); throw e
     } finally conn.close()
+  }
+
+  private def upsertRows(
+      conn: Connection, sql: String, schema: StructType, rows: Array[Row]): Unit = {
+    val st = conn.prepareStatement(sql)
+    try {
+      rows.foreach { r =>
+        schema.fields.zipWithIndex.foreach { case (f, i) => setParam(st, i + 1, f.dataType, r, i) }
+        st.addBatch()
+      }
+      st.executeBatch()
+    } finally st.close()
   }
 
   /** Identifiers (table/column names) are interpolated into SQL text, so
@@ -82,8 +156,7 @@ object JdbcUpsertSink {
       conn: Connection, table: String, keyCol: String,
       schema: StructType, rows: Array[Row]): Unit = {
     val keyIdx = schema.fieldIndex(keyCol)
-    val del = conn.prepareStatement(
-      s"DELETE FROM ${validIdent(table)} WHERE ${validIdent(keyCol)} = ?")
+    val del = conn.prepareStatement(deleteSql(table, keyCol))
     try {
       rows.foreach { r => setParam(del, 1, schema(keyIdx).dataType, r, keyIdx); del.addBatch() }
       del.executeBatch()
@@ -92,9 +165,7 @@ object JdbcUpsertSink {
 
   private def insertRows(
       conn: Connection, table: String, schema: StructType, rows: Array[Row]): Unit = {
-    val cols = schema.fieldNames.map(validIdent).mkString(", ")
-    val qs = schema.fields.map(_ => "?").mkString(", ")
-    val ins = conn.prepareStatement(s"INSERT INTO ${validIdent(table)} ($cols) VALUES ($qs)")
+    val ins = conn.prepareStatement(insertSql(table, schema))
     try {
       rows.foreach { r =>
         schema.fields.zipWithIndex.foreach { case (f, i) => setParam(ins, i + 1, f.dataType, r, i) }

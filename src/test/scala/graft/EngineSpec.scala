@@ -58,6 +58,56 @@ class EngineSpec extends AnyFunSuite {
     } finally engine.stop()
   }
 
+  test("T3 fail-stop at the Engine level: awaitTermination rethrows the batch failure; a restarted Engine resumes from the same checkpoint") {
+    // Failure injection: a regular FILE squats where the first batch must
+    // create its `year=2024` partition directory, so query START succeeds
+    // (the sink root and _spark_metadata are fine) but the BATCH write
+    // dies with "not a directory" — an fs-level fault in the upload path,
+    // the class the reference fail-stops on (core.clj:135-139, 154-157).
+    // (Permission bits can't induce this: specs run as root.)
+    val srcDir = Files.createTempDirectory("graft_t3src_").toString
+    val outDir = Files.createTempDirectory("graft_t3out_").toString
+    val ckpt = Files.createTempDirectory("graft_t3ck_").toString
+    val config = Config(
+      port = 0, bucket = outDir, sourcePath = Some(srcDir),
+      checkpoint = Some(ckpt), intervalSec = 1L)
+    val sinkDir = java.nio.file.Paths.get(
+      s"$outDir/${config.appName}/${config.streamName}")
+    Files.createDirectories(sinkDir)
+    val blocker = sinkDir.resolve("year=2024")
+    Files.writeString(blocker, "file where the partition dir must go")
+
+    val body = """{\"id\": \"id-007\", \"url\": \"http://e/7\", \"t\": 1704103500000}"""
+    Files.writeString(java.nio.file.Paths.get(s"$srcDir/a.json"),
+      s"""{"epoch": 1704103500005, "body": "$body"}\n""")
+
+    val e1 = new Engine(spark, config)
+    e1.start()
+    try {
+      // awaitTermination is the T3 surface: it must RETHROW the cause,
+      // not return cleanly (Main maps this throw to exit 2)
+      val thrown = intercept[Throwable] { e1.awaitTermination() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(thrown).exists(_.getMessage != null),
+        "failure cause must surface through awaitTermination")
+    } finally e1.stop()
+
+    // supervisor repairs the fault; a NEW Engine on the SAME checkpoint
+    // replays the failed batch — the record written before the crash
+    // lands without being re-added to the source
+    Files.delete(blocker)
+    val e2 = new Engine(spark, config)
+    e2.start()
+    try {
+      e2.processAllAvailable()
+      val sunk = graft.sinks.LineFileSink.read(spark,
+        s"$outDir/${config.appName}/${config.streamName}").collect()
+      assert(sunk.length == 1, "failed batch must replay exactly once after restart")
+      assert(sunk(0).getString(1).contains("http://e/7"))
+    } finally e2.stop()
+  }
+
   test("engine end-to-end: file source -> parse -> gzip line sink; stats routes live") {
     val srcDir = Files.createTempDirectory("graft_engine_src_").toString
     val outDir = Files.createTempDirectory("graft_engine_out_").toString

@@ -80,9 +80,11 @@ class NativeExprSpec extends AnyFunSuite {
   test("WinnowFingerprints == naive reference; winnowing guarantee on shared substrings") {
     import spark.implicits._
     val (k, w, m, b) = (8, 16, 2147483647L, 257L)
+    // reference operates on CODE POINTS (DuckDB ord semantics), like the impl
     def reference(text: String): Seq[Long] = {
-      if (text.length < k) return Seq.empty
-      val hs = text.sliding(k).map(_.foldLeft(0L)((h, c) => (h * b + c) % m)).toVector
+      val cps = text.codePoints().toArray.toSeq
+      if (cps.length < k) return Seq.empty
+      val hs = cps.sliding(k).map(_.foldLeft(0L)((h, c) => (h * b + c) % m)).toVector
       val sel =
         if (hs.length <= w) Set(hs.min)
         else hs.sliding(w).map(_.min).toSet
@@ -91,9 +93,16 @@ class NativeExprSpec extends AnyFunSuite {
     def winnow(c: org.apache.spark.sql.Column) =
       org.apache.spark.sql.GraftBridge.column(graft.functions.WinnowFingerprints(
         org.apache.spark.sql.GraftBridge.expression(c), k, w))
+    val astral = Array("😀", "😁", "🤣", "𝕊", "𠀀", "🚀")
     val texts = Seq("", "short", "exactly8!", "a" * 30,
-      "the quick brown fox jumps over the lazy dog") ++
-      Seq.fill(150)(Seq.fill(5 + rnd.nextInt(60))(s"w${rnd.nextInt(8)}").mkString(" "))
+      "the quick brown fox jumps over the lazy dog",
+      // supplementary-plane coverage: pure-astral and mixed corpora
+      astral.mkString ++ astral.reverse.mkString,
+      "mixed 😀 emoji 🚀 and ascii 𝕊 text with astral chars 𠀀 inline") ++
+      Seq.fill(150)(Seq.fill(5 + rnd.nextInt(60))(s"w${rnd.nextInt(8)}").mkString(" ")) ++
+      Seq.fill(50)(Seq.fill(4 + rnd.nextInt(30))(
+        if (rnd.nextBoolean()) astral(rnd.nextInt(astral.length)) else s"x${rnd.nextInt(8)}"
+      ).mkString(" "))
     val got = texts.toDF("t").select(winnow(col("t")).as("f"))
       .collect().map(_.getSeq[Long](0))
     texts.zip(got).foreach { case (t, f) =>
@@ -108,5 +117,10 @@ class NativeExprSpec extends AnyFunSuite {
       .collect().map(_.getSeq[Long](0).toSet)
     assert(fps(0).intersect(fps(1)).nonEmpty,
       "shared span of k+w-1 chars must produce a shared fingerprint")
+    // code-point pin: 8 astral chars = exactly k symbols = ONE gram = one
+    // fingerprint (a UTF-16 code-unit hasher would see 16 units / 9 grams)
+    val oneGram = Seq("😀😁😂🤣😃😄😅😆").toDF("t")
+      .select(winnow(col("t")).as("f")).collect()(0).getSeq[Long](0)
+    assert(oneGram.length == 1, s"8 astral chars must yield 1 fingerprint, got $oneGram")
   }
 }

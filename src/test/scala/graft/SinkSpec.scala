@@ -47,6 +47,37 @@ class SinkSpec extends AnyFunSuite {
       "later batch overwrites matching ids, preserves others")
   }
 
+  test("dialect selection + generated SQL: Postgres ON CONFLICT with json casts, generic delete+insert") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("user_data", StringType),
+      StructField("ts", TimestampType)))
+
+    assert(JdbcUpsertSink.dialectFor("jdbc:postgresql://h:5432/db") == JdbcUpsertSink.Postgres)
+    assert(JdbcUpsertSink.dialectFor("jdbc:derby:memory:x;create=true") == JdbcUpsertSink.Generic)
+
+    // Postgres: one atomic statement, EXCLUDED update, ?::json typing for
+    // declared JSON columns (reference PGobject("json") parity)
+    assert(JdbcUpsertSink.pgUpsertSql("events", schema, "id", Set("user_data")) ==
+      "INSERT INTO events (id, user_data, ts) VALUES (?, ?::json, ?) " +
+        "ON CONFLICT (id) DO UPDATE SET user_data = EXCLUDED.user_data, ts = EXCLUDED.ts")
+
+    // key-only schema: conflicting re-insert must be a no-op, not an error
+    val keyOnly = StructType(Seq(StructField("id", StringType)))
+    assert(JdbcUpsertSink.pgUpsertSql("events", keyOnly, "id", Set.empty) ==
+      "INSERT INTO events (id) VALUES (?) ON CONFLICT (id) DO NOTHING")
+
+    // generic dialect: the portable delete+insert pair
+    assert(JdbcUpsertSink.deleteSql("events", "id") == "DELETE FROM events WHERE id = ?")
+    assert(JdbcUpsertSink.insertSql("events", schema) ==
+      "INSERT INTO events (id, user_data, ts) VALUES (?, ?, ?)")
+
+    // identifier validation still guards every dialect's interpolation
+    intercept[IllegalArgumentException] {
+      JdbcUpsertSink.pgUpsertSql("events; DROP TABLE x", schema, "id", Set.empty)
+    }
+  }
+
   test("upsert handles a multi-partition batch") {
     import spark.implicits._
     val url = freshDb("upsert2")

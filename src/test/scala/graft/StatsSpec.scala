@@ -48,6 +48,37 @@ class StatsSpec extends AnyFunSuite {
     assert(json.contains("events.ingested") && json.contains("batch-duration-ms"))
   }
 
+  test("/stats payload parity: full meter/histogram/timer key shape (parsed, not substring-matched)") {
+    // The reference serves meters as 1/5/15-min rates + total, and its
+    // timer/histogram blocks as percentiles + calls + mean/std-dev
+    // (core.clj:71-88). Pin the full key tree so a field rename can't
+    // silently break a ported dashboard.
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new StreamMetrics().statsJson())
+    def keys(path: String*): Set[String] = {
+      val node = path.foldLeft(root)((n, p) => n.path(p))
+      assert(!node.isMissingNode, s"missing /stats node: ${path.mkString(".")}")
+      val it = node.fieldNames(); val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    assert(keys() == Set("meters", "histograms", "timers"))
+    // meter = rates x3 + running total (reference `rates`, core.clj:74-75)
+    assert(keys("meters", "events.ingested") ==
+      Set("total", "rate-1m", "rate-5m", "rate-15m"))
+    assert(keys("meters", "batches.committed") == Set("total"))
+    // histogram/timer = percentiles + mean/std-dev + observation count
+    // (reference buffer/timing blocks, core.clj:76-86)
+    val distKeys = Set("mean", "std-dev", "p75", "p95", "p99", "n")
+    assert(keys("histograms", "batch-size") == distKeys)
+    assert(keys("timers", "batch-duration-ms") == distKeys)
+    // every leaf is a NUMBER (a dashboard can chart it directly)
+    for ((sec, name) <- Seq("meters" -> "events.ingested",
+        "histograms" -> "batch-size", "timers" -> "batch-duration-ms");
+        k <- keys(sec, name))
+      assert(root.path(sec).path(name).path(k).isNumber, s"$sec.$name.$k must be numeric")
+  }
+
   test("K5: the JMX reporter binding exposes Spark's metric registry as MBeans") {
     // TestSpark builds its session with MetricsBinding.jmxConf (the same
     // map Main applies in production) — the reference's jmx/start

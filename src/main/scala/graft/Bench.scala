@@ -85,7 +85,54 @@ object Bench {
     val errJson = errs.map { case (k, v) => "\"" + jsonEsc(k) + "\":\"" + jsonEsc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v > 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rep_spread":$spreads%s,"errors":$errJson%s,"sf":"$sfDir%s"}""")
+    val streaming = if (only.isEmpty) streamingJson(spark) else "{}"
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rep_spread":$spreads%s,"errors":$errJson%s,"streaming":$streaming%s,"sf":"$sfDir%s"}""")
     spark.stop()
+  }
+
+  /** Streaming throughput micro-bench: the Engine's ingest path — records
+    * source → two-level JSON parse → date-partitioned gzip line sink —
+    * timed end to end over a generated seq-named log, so a regression in
+    * the connector, the parse pipeline, or the sink commit cycle moves a
+    * NUMBER round over round instead of hiding behind batch-only timings.
+    * Wiring mirrors Engine.start() verbatim (same rename/select), and the
+    * sunk row count is re-read after the clock stops: silent row loss
+    * shows up as sunk != rows, not as a faster-looking run. */
+  private def streamingJson(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_ROWS", "50000").toInt
+    if (n <= 0) return "{}"
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream_").toString
+      val (logDir, outDir, ckpt) = (s"$dir/log", s"$dir/out", s"$dir/ckpt")
+      val epoch0 = 1704103500000L
+      val raw = spark.range(n).select(
+        lpad(col("id").cast("string"), 56, "0").as("sequenceNumber"),
+        to_json(struct(
+          (lit(epoch0) + col("id")).as("epoch"),
+          to_json(struct(
+            concat(lit("id-"), col("id")).as("id"),
+            concat(lit("http://bench/p"), col("id") % 100).as("url"),
+            (lit(epoch0) + col("id")).as("t"))).as("body"))).as("data"),
+        timestamp_millis(lit(epoch0) + col("id")).as("ts"))
+      graft.sinks.LineFileSink.writeSeqNamed(raw, logDir, col("ts"), maxRecordsPerFile = 5000)
+
+      val t0 = System.nanoTime()
+      val parsed = graft.streaming.EventStream.parse(
+          graft.sources.Sources.records(spark, logDir))
+        .withColumnRenamed("id", "sequenceNumber")
+        .selectExpr("sequenceNumber", "orig_data AS data",
+          "coalesce(ts, current_timestamp()) AS ts")
+      val q = graft.streaming.EventStream.startLineFileSink(
+        parsed, outDir, ckpt, intervalMs = 200L)
+      q.processAllAvailable()
+      q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val sunk = graft.sinks.LineFileSink.read(spark, outDir).count()
+      f"""{"rows":$n,"sunk":$sunk,"sec":$sec%.3f,"rows_per_sec":${n / sec}%.0f}"""
+    } catch {
+      case e: Throwable =>
+        s"""{"rows":$n,"err":"${e.getClass.getSimpleName}"}"""
+    }
   }
 }

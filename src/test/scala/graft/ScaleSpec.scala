@@ -103,6 +103,73 @@ class ScaleSpec extends AnyFunSuite {
       s"unwhitelisted cartesian/nested-loop plans: ${offenders.mkString(", ")}")
   }
 
+  test("plan pins: shuffle-exchange budget + join strategy for the most expensive queries") {
+    // Per-query regression pins for the plans that dominate the bench: a
+    // Spark upgrade or an innocent-looking refactor must not silently add
+    // a shuffle or downgrade a join strategy. Budgets are the CURRENT
+    // plan's counts (asserted as =, not <=: losing a shuffle is news too —
+    // it means the pin's rationale comment is stale). q100 is exempt: its
+    // returned frame sits behind iterative localCheckpoints, so its plan
+    // string carries no pin-able structure. q64's zero-Exchange contract
+    // has its own test above.
+    val shuffleRe = "(?<!Broadcast)(?<!Reused)Exchange".r
+    val joinRe = "\\b(\\w+Join)\\b".r
+    case class Pin(q: QueryDef, shuffles: Int, joins: Set[String], why: String)
+    val pins = Seq(
+      // dims broadcast; facts shuffle once into the agg + once for sort
+      Pin(graft.operators.Relational.q05, 2, Set("BroadcastHashJoin"),
+        "star join: all four dims must broadcast, fact never SMJs"),
+      // sketch agg 1 + exact-distinct 2 (partial on (rf,pk), final on rf) + sort
+      Pin(graft.operators.Relational.q24, 4, Set("BroadcastHashJoin"),
+        "sketches and count_distinct aggregate in separate passes"),
+      // parse is embarrassingly parallel: the only shuffle is the final sort
+      Pin(graft.etl.EtlQueries.q37, 1, Set.empty,
+        "ETL parse must stay shuffle-free up to the output sort"),
+      // 8-byte hash-key agg shuffle + output sort
+      Pin(graft.ext.Dedup.q40, 2, Set.empty,
+        "exact dedup shuffles the xxhash64 key, never full text"),
+      // band explode -> bucket equi-join (broadcast at fixture size) + agg + sort
+      Pin(graft.ext.Dedup.q41, 2, Set("BroadcastHashJoin"),
+        "LSH candidates come from a band equi-join, not an all-pairs join"),
+      // the ONE explicit repartitionByRange that parallelizes the CPU-bound verify
+      Pin(graft.ext.Dedup.q103, 1, Set("BroadcastHashJoin"),
+        "edit-distance verify: adjacent-pair equi-join + explicit spread"),
+      // 16x16 block tiles meet in an equi-join (SMJ), never a BNLJ
+      Pin(graft.ext.Similarity.q54, 3, Set("BroadcastHashJoin", "SortMergeJoin"),
+        "exact all-pairs is a blocked equi-join with bounded task memory"),
+      // window over (key, range): one partition shuffle + output sort
+      Pin(graft.operators.CoverageQueries.q83, 2, Set.empty,
+        "range frame runs in a single spilling window pass"),
+      // centroid pipeline aggs + band join; centroids/probes broadcast
+      Pin(graft.ext.Similarity.q89, 6, Set("BroadcastHashJoin"),
+        "hyperplane LSH: mean-center + band equi-join, corpus shuffles only for aggs"))
+    val problems = pins.flatMap { p =>
+      val plan = p.q.fn(spark, sf).queryExecution.executedPlan.toString
+      val shuffles = shuffleRe.findAllIn(plan).size
+      val joins = joinRe.findAllMatchIn(plan).map(_.group(1)).toSet
+        .filterNot(_ == "ReusedExchangeJoin") // defensive: token never a join op
+      val errs = Seq(
+        if (shuffles != p.shuffles)
+          Some(s"${p.q.name}: $shuffles shuffle Exchanges, pinned ${p.shuffles} (${p.why})")
+        else None,
+        if (!joins.subsetOf(p.joins))
+          Some(s"${p.q.name}: joins $joins outside pinned ${p.joins} (${p.why})")
+        else None).flatten
+      errs
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+    // the q24 poison-shape pin, specifically: no operator line may carry a
+    // percentile sketch keyed by the distinct column (the single-distinct
+    // rewrite's per-key-sketch trap, measured 17s vs 0.9s at sf0.1)
+    val q24plan = graft.operators.Relational.q24.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val keysRe = "keys=\\[([^\\]]*)\\]".r
+    assert(!q24plan.linesIterator.exists { l =>
+      l.contains("percentile_approx") &&
+        keysRe.findFirstMatchIn(l).exists(_.group(1).contains("l_partkey"))
+    }, s"percentile sketch must never aggregate under the distinct key:\n$q24plan")
+  }
+
   test("salted aggregation equals direct aggregation on a skewed column") {
     import org.apache.spark.sql.functions._
     val l = Tables.lineitem(spark, sf)

@@ -80,6 +80,7 @@ object Main {
         System.err.println(Config.usage)
         sys.exit(1)
       case Right(config) =>
+        Log.init() // tagged format, engine INFO, noisy namespaces WARN
         val spark = SparkSession.builder()
           .appName(config.appName)
           .config("spark.sql.session.timeZone", "UTC")

@@ -410,5 +410,72 @@ object Dedup {
       ORDER BY a_id"""),
     doc = "Levenshtein verify stage over candidate pairs; threshold-capped at scale")
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q100, q101, q103)
+  // ---------------------------------------------------------------- q105
+  /** Copy-span detection: which document PAIRS share winnowed
+    * fingerprints, and how much — the query that turns q104's per-doc
+    * fingerprint sets into an operator. Winnowing's guarantee (any shared
+    * substring of length ≥ k+w−1 = 23 chars yields a shared fingerprint,
+    * SIGMOD'03 §2) makes `shared > 0` a NECESSARY condition for a copied
+    * span, so this is the candidate generator for plagiarism/boilerplate
+    * span detection, with q103's edit-distance as the verify stage behind
+    * it.
+    *
+    * Scale shape — a textbook inverted-index pair join, NEVER all-pairs:
+    * explode fingerprints to postings (fp, doc), self-join on fp,
+    * aggregate per pair. The df cap (document frequency ≤ 50) drops
+    * boilerplate fingerprints BEFORE the join: a fingerprint appearing in
+    * f docs fans out to f² pairs, so one header string shared by a
+    * million docs would otherwise dominate the whole shuffle (the same
+    * reason dedup pipelines drop stop-shingles). Cap df, and per-bucket
+    * fan-out is bounded by df², keeping the join linear-ish in corpus
+    * size. Containment = shared / min(|fps_a|, |fps_b|) — the
+    * directional overlap score used for containment dedup. */
+  val q105 = QueryDef(
+    "q105_copy_spans",
+    (s, d) => {
+      val posts = Tables.documents(s, d)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"),
+          org.apache.spark.sql.GraftBridge.column(graft.functions.WinnowFingerprints(
+            org.apache.spark.sql.GraftBridge.expression(col("text")), 8, 16)).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          explode(col("fps")).as("fp"))
+      val rare = posts.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+      val filtered = posts.join(rare.select(col("fp")), "fp")
+      filtered.as("a").join(filtered.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("shared"),
+          max(col("a.n_fp")).as("na"), max(col("b.n_fp")).as("nb"))
+        .filter(col("shared") >= 3)
+        .select(col("a_id"), col("b_id"), col("shared"),
+          round(col("shared") / least(col("na"), col("nb")), 6).as("containment"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH g AS (
+        SELECT doc_id, [
+            list_reduce(list_prepend(0::BIGINT,
+              [ord(text[i+j-1:i+j-1])::BIGINT for j in range(1, 9)]),
+              (a,b) -> (a*257+b)%2147483647)
+          for i in range(1, length(text)-8+2)] AS hs
+        FROM documents WHERE length(text) >= 8),
+      wins AS (
+        SELECT doc_id, CASE WHEN len(hs) <= 16 THEN [list_min(hs)]
+          ELSE [list_min(hs[i:i+15]) for i in range(1, len(hs)-16+2)] END AS sel
+        FROM g),
+      fp AS (SELECT doc_id, list_sort(list_distinct(sel)) AS fps FROM wins),
+      e AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, unnest(fps) AS fp FROM fp),
+      rare AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 50),
+      posts AS (SELECT e.* FROM e JOIN rare USING (fp)),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+          max(a.n_fp) AS na, max(b.n_fp) AS nb
+        FROM posts a JOIN posts b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT a_id, b_id, shared,
+        round(shared::DOUBLE / least(na, nb), 6) AS containment
+      FROM pairs WHERE shared >= 3 ORDER BY a_id, b_id"""),
+    doc = "inverted-index copy-span candidates over winnowed fingerprints; df-capped against boilerplate blowup")
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q100, q101, q103, q105)
 }

@@ -477,5 +477,67 @@ object Dedup {
       FROM pairs WHERE shared >= 3 ORDER BY a_id, b_id"""),
     doc = "inverted-index copy-span candidates over winnowed fingerprints; df-capped against boilerplate blowup")
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q100, q101, q103, q105)
+  // ---------------------------------------------------------------- q106
+  /** Dedup SURVIVOR SELECTION — the policy stage after clustering: per
+    * near-dup cluster keep the LONGEST member (ties → smallest doc_id)
+    * and report what the dedup run saves. q100 labels clusters with a
+    * structural canonical (min id); real pipelines keep the
+    * highest-value copy — longest text is the standard cheap proxy — and
+    * ship exactly this report (clusters, survivors, bytes dropped) as
+    * the run's audit artifact.
+    *
+    * Plan: cluster labels (q100's O(log n) CC) join the per-doc lengths,
+    * then ONE partial+final aggregate per cluster — `max_by(doc_id,
+    * struct(len, -doc_id))` picks the survivor inside the agg buffer, so
+    * there is no per-cluster window sort and no second shuffle. At 100 TB
+    * the agg state is O(clusters), not O(docs). */
+  val q106 = QueryDef(
+    "q106_dedup_survivors",
+    (s, d) => {
+      val pairs = lshVerifiedPairs(s, d, 0.6).select(col("a_id"), col("b_id"))
+      val docs = Tables.documents(s, d)
+      val nodes = docs.select(col("doc_id").as("node"))
+      val labels = connectedComponents(nodes, pairs)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      labels.join(docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("len")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"), struct(col("len"), col("doc_id") * -1)).as("survivor_id"),
+          max(col("len")).as("bytes_kept"),
+          (sum(col("len")) - max(col("len"))).as("bytes_dropped"))
+        .filter(col("n_members") >= 2)
+        .select(col("cluster_id"), col("survivor_id"), col("n_members"),
+          col("bytes_kept"), col("bytes_dropped"))
+        .orderBy(col("cluster_id"))
+    },
+    Some("""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      s AS (SELECT doc_id,
+              list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]) sh
+            FROM w WHERE len(words) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      labels AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+      sized AS (SELECT l.cluster_id, d.doc_id, CAST(length(d.text) AS BIGINT) AS len
+        FROM labels l JOIN documents d USING (doc_id)),
+      ranked AS (SELECT *, row_number()
+          OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id ASC) AS rn
+        FROM sized)
+      SELECT cluster_id, MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+        COUNT(*) AS n_members, MAX(len) AS bytes_kept,
+        CAST(SUM(len) - MAX(len) AS BIGINT) AS bytes_dropped
+      FROM ranked GROUP BY cluster_id HAVING COUNT(*) >= 2
+      ORDER BY cluster_id"""),
+    doc = "per-cluster survivor policy (keep longest) + bytes-saved audit; single agg, no window")
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106)
 }

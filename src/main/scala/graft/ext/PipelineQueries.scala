@@ -227,5 +227,83 @@ object PipelineQueries {
       FROM generate_series(0, 2) t(x) ORDER BY item"""),
     doc = "mergeable frequent-items sketch; skewed keys make the top-3 deterministic")
 
-  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q95, q96, q102)
+  // ---------------------------------------------------------------- q107
+  /** Sequence-packing plan — the pretraining batcher's layout step:
+    * concatenate documents in a deterministic order and split the token
+    * stream into fixed windows (2048 here), reporting per chunk how many
+    * docs landed in it and its fill. A document's chunk is decided by the
+    * token PREFIX before it (`cum − tokens`), i.e. greedy concatenation
+    * with no doc-boundary padding — the GPT-style packing layout.
+    *
+    * Scale shape: packing is inherently sequential, so it is SHARDED —
+    * each `source` packs independently (exactly how production packers
+    * shard by file/source), giving one spilling window sort per shard
+    * rather than a global order. The running sum is a window aggregate
+    * (O(1) state), never a collect; chunk stats reduce in a keyed agg. */
+  val q107 = QueryDef(
+    "q107_sequence_pack",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = size(split(col("text"), " ")).cast("long")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), toks.as("tokens"))
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("chunk_id", floor((col("cum") - col("tokens")) / 2048L))
+        .groupBy(col("source"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("chunk_id"))
+    },
+    Some("""WITH t AS (
+        SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+          SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+            OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        FROM documents)
+      SELECT source, CAST(FLOOR((cum - tokens) / 2048.0) AS BIGINT) AS chunk_id,
+        COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM t GROUP BY 1, 2 ORDER BY source, chunk_id"""),
+    doc = "greedy concat packing into 2048-token windows, sharded by source")
+
+  // ---------------------------------------------------------------- q108
+  /** Dataset-mixing weights — temperature-scaled source sampling (the
+    * multilingual/multi-source recipe: p_i ∝ share_i^α with α = 0.5, so
+    * small sources are upsampled relative to their raw share without
+    * letting any source dominate). Input is the per-(source, lang) token
+    * census; output is each slice's raw share and its normalized
+    * sampling weight. Everything after the first keyed aggregate is
+    * arithmetic over |slices| rows — the normalizing sums are window
+    * aggregates over a frame that is already reduced, so the plan stays
+    * one scan + one shuffle at any corpus size. */
+  val q108 = QueryDef(
+    "q108_mix_weights",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val all = Window.partitionBy()
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+        .withColumn("share", col("tokens") / sum(col("tokens")).over(all))
+        .withColumn("w_raw", sqrt(col("share")))
+        .select(col("source"), col("lang"), col("n_docs"), col("tokens"),
+          round(col("share"), 6).as("share"),
+          round(col("w_raw") / sum(col("w_raw")).over(all), 6).as("weight"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""WITH census AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1, 2),
+      shared AS (
+        SELECT *, tokens::DOUBLE / SUM(tokens::DOUBLE) OVER () AS share,
+          sqrt(tokens::DOUBLE / SUM(tokens::DOUBLE) OVER ()) AS w_raw
+        FROM census)
+      SELECT source, lang, n_docs, tokens, round(share, 6) AS share,
+        round(w_raw / SUM(w_raw) OVER (), 6) AS weight
+      FROM shared ORDER BY source, lang"""),
+    doc = "temperature-scaled (alpha=0.5) source sampling weights from the token census")
+
+  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108)
 }

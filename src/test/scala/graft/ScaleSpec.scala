@@ -142,7 +142,13 @@ class ScaleSpec extends AnyFunSuite {
         "range frame runs in a single spilling window pass"),
       // centroid pipeline aggs + band join; centroids/probes broadcast
       Pin(graft.ext.Similarity.q89, 6, Set("BroadcastHashJoin"),
-        "hyperplane LSH: mean-center + band equi-join, corpus shuffles only for aggs"))
+        "hyperplane LSH: mean-center + band equi-join, corpus shuffles only for aggs"),
+      // df-cap agg + pair agg + sort + one posting shuffle; rare-set broadcast
+      Pin(graft.ext.Dedup.q105, 4, Set("BroadcastHashJoin"),
+        "copy-span candidates: inverted-index equi-join, df-capped, never all-pairs"),
+      // per-source window shuffle + chunk agg (orderBy folds into the agg exchange)
+      Pin(graft.ext.PipelineQueries.q107, 2, Set.empty,
+        "packing: one spilling window per shard, no global order"))
     val problems = pins.flatMap { p =>
       val plan = p.q.fn(spark, sf).queryExecution.executedPlan.toString
       val shuffles = shuffleRe.findAllIn(plan).size

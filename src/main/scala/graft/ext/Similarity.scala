@@ -194,34 +194,39 @@ object Similarity {
     * (n/B) × (n/B) tile. Compute stays O(n²) — inherent to an exact
     * threshold join — but memory per task is 2n/B rows (vs the whole
     * table under a broadcast loop join) and B scales with the cluster. */
+  /** The blocked exact threshold join behind q54/q109: every (a_id <
+    * b_id) pair with cosine ≥ tau, produced by B(B+1)/2 equi-joined
+    * block tiles (see q54's scaladoc for the layout argument). */
+  private def cosineNeardupPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
+    import s.implicits._
+    val B = 16
+    val blockPairs = broadcast(
+      (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("bi", "bj"))
+    val e = embDouble(s, d)
+      .select(col("vec_id"), col("emb"),
+        pmod(xxhash64(col("vec_id")), lit(B)).cast("int").as("blk"))
+    val lhs = e.join(blockPairs, col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("vec_id").as("l_id"), col("emb").as("l_emb"))
+    val rhs = e.join(blockPairs, col("blk") === col("bj"))
+      .select(col("bi").as("rbi"), col("bj").as("rbj"),
+        col("vec_id").as("r_id"), col("emb").as("r_emb"))
+    // cross-block pairs land exactly once in their canonical (min,max)
+    // bucket with arbitrary orientation (normalized by least/greatest);
+    // same-block pairs are ordered by id to avoid double-count.
+    lhs.join(rhs, col("bi") === col("rbi") && col("bj") === col("rbj")
+        && (col("bi") =!= col("bj") || col("l_id") < col("r_id"))
+        && col("l_id") =!= col("r_id"))
+      .select(least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"),
+        cosine(col("l_emb"), col("r_emb")).as("c"))
+      .filter(col("c") >= tau)
+  }
+
   val q54 = QueryDef(
     "q54_cosine_neardup",
-    (s, d) => {
-      import s.implicits._
-      val B = 16
-      val blockPairs = broadcast(
-        (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("bi", "bj"))
-      val e = embDouble(s, d)
-        .select(col("vec_id"), col("emb"),
-          pmod(xxhash64(col("vec_id")), lit(B)).cast("int").as("blk"))
-      val lhs = e.join(blockPairs, col("blk") === col("bi"))
-        .select(col("bi"), col("bj"), col("vec_id").as("l_id"), col("emb").as("l_emb"))
-      val rhs = e.join(blockPairs, col("blk") === col("bj"))
-        .select(col("bi").as("rbi"), col("bj").as("rbj"),
-          col("vec_id").as("r_id"), col("emb").as("r_emb"))
-      // cross-block pairs land exactly once in their canonical (min,max)
-      // bucket with arbitrary orientation (normalized by least/greatest);
-      // same-block pairs are ordered by id to avoid double-count.
-      lhs.join(rhs, col("bi") === col("rbi") && col("bj") === col("rbj")
-          && (col("bi") =!= col("bj") || col("l_id") < col("r_id"))
-          && col("l_id") =!= col("r_id"))
-        .select(least(col("l_id"), col("r_id")).as("a_id"),
-          greatest(col("l_id"), col("r_id")).as("b_id"),
-          cosine(col("l_emb"), col("r_emb")).as("c"))
-        .filter(col("c") >= 0.4)
-        .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos_sim"))
-        .orderBy(col("a_id"), col("b_id"))
-    },
+    (s, d) => cosineNeardupPairs(s, d, 0.4)
+      .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos_sim"))
+      .orderBy(col("a_id"), col("b_id")),
     Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -322,5 +327,104 @@ object Similarity {
       ORDER BY a_id, b_id"""),
     doc = "deterministic sign-LSH pipeline, oracle-replicated end to end")
 
-  val all: Seq[QueryDef] = Seq(q44, q45, q46, q54, q89)
+  // ---------------------------------------------------------------- q109
+  /** SEMANTIC dedup clusters — q100's clustering stage applied to the
+    * embedding-space near-dup graph instead of the lexical one: exact
+    * cosine threshold pairs (q54's blocked layout) feed the alternating
+    * large-star/small-star connected components, labeling every vector
+    * with its semantic cluster and a canonical representative. This is
+    * the "semantic dedup" pass (SemDeDup-style) that catches paraphrased
+    * or re-encoded duplicates MinHash/winnowing cannot see — lexical and
+    * semantic dedup are complementary stages in a training-data pipeline,
+    * and with q100 both now exist over the same CC machinery.
+    *
+    * Scale: pair generation is q54's tiled equi-join (task memory 2n/B);
+    * CC is O(log n) rounds with scalar-only driver sync (see
+    * [[graft.ext.Dedup.connectedComponents]]). */
+  val q109 = QueryDef(
+    "q109_semantic_clusters",
+    (s, d) => {
+      val pairs = cosineNeardupPairs(s, d, 0.4).select(col("a_id"), col("b_id"))
+      val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node"))
+      graft.ext.Dedup.connectedComponents(nodes, pairs)
+        .select(col("node").as("vec_id"), col("lbl").as("cluster_id"),
+          (col("node") === col("lbl")).as("is_canonical"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+      SELECT node AS vec_id, MIN(lbl) AS cluster_id,
+        (node = MIN(lbl)) AS is_canonical
+      FROM reach GROUP BY node ORDER BY vec_id"""),
+    doc = "semantic-dedup clusters: CC over the exact cosine near-dup graph; canonical = min vec_id")
+
+  // ---------------------------------------------------------------- q110
+  /** ANN recall audit — recall@10 of the IVF index (q46) against the
+    * brute-force ground truth (q45), per query vector. This is the QA
+    * metric every ANN deployment ships alongside the index: nprobe/nlist
+    * is a recall-vs-cost dial, and this query is the measurement that
+    * justifies the dial's setting. Both pipelines are deterministic
+    * (rounded-sim + id tie-break ordering), so recall itself is
+    * value-level oracle-checkable — the DuckDB side re-runs BOTH
+    * pipelines and the same left-join census. Composition cost: the
+    * ground-truth side is one extra brute-force pass over the corpus —
+    * exactly what a production recall audit pays on a sampled query set
+    * (the q_id < 5 sample standing in for that sample). */
+  val q110 = QueryDef(
+    "q110_ann_recall",
+    (s, d) => {
+      val exact = q45.fn(s, d).select(col("q_id"), col("vec_id"))
+      val approx = q46.fn(s, d).select(col("q_id"), col("vec_id"))
+      exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("r"))
+        .select(col("q_id"), round(col("r"), 2).as("recall_at_10"))
+        .orderBy(col("q_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      qv AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+      bscored AS (
+        SELECT qv.q_id, e.vec_id,
+          round(list_cosine_similarity(e.emb, qv.q_emb), 6) AS sim
+        FROM e CROSS JOIN qv WHERE e.vec_id <> qv.q_id),
+      branked AS (SELECT q_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        FROM bscored),
+      exact AS (SELECT q_id, vec_id FROM branked WHERE rank <= 10),
+      ex AS (SELECT label, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v FROM e),
+      cent AS (SELECT label, dim,
+          CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS m
+        FROM ex GROUP BY label, dim),
+      centroids AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cent GROUP BY label),
+      probes AS (
+        SELECT q_id, q_emb, label FROM (
+          SELECT qv.q_id, qv.q_emb, c.label,
+            ROW_NUMBER() OVER (PARTITION BY qv.q_id
+              ORDER BY round(list_cosine_similarity(qv.q_emb, c.centroid), 6) DESC, c.label) AS pr
+          FROM qv CROSS JOIN centroids c)
+        WHERE pr <= 3),
+      iscored AS (
+        SELECT p.q_id, e.vec_id,
+          round(list_cosine_similarity(e.emb, p.q_emb), 6) AS sim
+        FROM e JOIN probes p ON e.label = p.label WHERE e.vec_id <> p.q_id),
+      iranked AS (SELECT q_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        FROM iscored),
+      approx AS (SELECT q_id, vec_id FROM iranked WHERE rank <= 10)
+      SELECT x.q_id,
+        round(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+          / COUNT(*), 2) AS recall_at_10
+      FROM exact x LEFT JOIN approx a ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+      GROUP BY x.q_id ORDER BY x.q_id"""),
+    doc = "recall@10 of IVF(nprobe=3) vs brute-force ground truth; both pipelines value-level oracled")
+
+  val all: Seq[QueryDef] = Seq(q44, q45, q46, q54, q89, q109, q110)
 }

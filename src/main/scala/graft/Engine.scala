@@ -92,11 +92,20 @@ object Main {
           .getOrCreate()
         val engine = new Engine(spark, config)
         engine.start()
-        try engine.awaitTermination()
-        catch {
+        // SIGTERM/exit path: System.exit does NOT unwind the stack, so a
+        // `finally` never runs on the fail-stop path — a shutdown hook is
+        // the one mechanism that stops the query/server on BOTH clean
+        // SIGTERM (the reference's component stop, core.clj:251-252) and
+        // exit(2). stop() is idempotent and failure-tolerant.
+        val hook = sys.addShutdownHook { engine.stop() }
+        try {
+          engine.awaitTermination()
+          hook.remove()
+          engine.stop()
+        } catch {
           case e: Throwable =>
             System.err.println(s"stream failed: ${e.getMessage}")
-            sys.exit(2) // T3 fail-stop; supervisor/checkpoint restarts
-        } finally engine.stop()
+            sys.exit(2) // T3 fail-stop; supervisor/checkpoint restarts (hook stops components)
+        }
     }
 }

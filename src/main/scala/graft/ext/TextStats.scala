@@ -182,5 +182,67 @@ object TextStats {
       FROM fp ORDER BY doc_id"""),
     doc = "rolling-hash winnowing (SIGMOD'03): shared substrings >= k+w-1 share a fingerprint")
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104)
+  // ---------------------------------------------------------------- q111
+  /** Corpus health report — the per-source dashboard a data curation run
+    * ships: document/token counts, exact-duplicate rate (distinct-hash
+    * census over md5, the cross-engine-stable key), mean quality (q50's
+    * score averaged), and language entropy (how concentrated each
+    * source's language mix is). One scan feeds the main census; the
+    * entropy term reduces to per-(source, lang) counts first, so its
+    * window normalization runs over |slices| rows, not documents, and
+    * joins back at |sources| rows. The md5-distinct census shuffles
+    * (source, hash) pairs — 16-byte keys, the q40 principle: never the
+    * text itself. */
+  val q111 = QueryDef(
+    "q111_corpus_health",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = wsTokens(lower(col("text")))
+      val nTok = size(words).cast("double")
+      val punct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double")
+      val stopR = stopwordCount(words, "en").cast("double") / nTok
+      val lenScore = least(nTok / 50.0, lit(1.0))
+      val punctScore = lit(1.0) - least(punct / greatest(length(col("text")).cast("double"), lit(1.0)) * 10.0, lit(1.0))
+      val score = lenScore * 0.4 + punctScore * 0.3 + stopR * 0.3
+      val base = Tables.documents(s, d)
+      val main = base.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"),
+        ((count(lit(1)) - countDistinct(md5(col("text")))) / count(lit(1))).as("dup_raw"),
+        avg(score).as("mq"))
+      val ent = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("double").as("n"))
+        .withColumn("t", sum(col("n")).over(Window.partitionBy(col("source"))))
+        .groupBy(col("source"))
+        .agg((-sum((col("n") / col("t")) * log(col("n") / col("t")))).as("ent"))
+      main.join(broadcast(ent), "source")
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(col("dup_raw"), 6).as("dup_rate"),
+          round(col("mq"), 6).as("mean_quality"),
+          round(col("ent"), 6).as("lang_entropy"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH scored AS (SELECT source, lang, text,
+        least(len(string_split(lower(text), ' '))::DOUBLE / 50.0, 1.0) * 0.4
+          + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+              / greatest(length(text)::DOUBLE, 1.0) * 10.0, 1.0)) * 0.3
+          + (len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('the','a','of','and','to')))::DOUBLE
+             / len(string_split(lower(text), ' '))::DOUBLE) * 0.3 AS q
+      FROM documents),
+      main AS (SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+          (COUNT(*) - COUNT(DISTINCT md5(text)))::DOUBLE / COUNT(*) AS dup_raw,
+          AVG(q) AS mq
+        FROM scored GROUP BY source),
+      lc AS (SELECT source, lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY 1, 2),
+      ent AS (SELECT source, -SUM((n / t) * ln(n / t)) AS ent
+        FROM (SELECT *, SUM(n) OVER (PARTITION BY source) AS t FROM lc)
+        GROUP BY source)
+      SELECT m.source, n_docs, tokens, round(dup_raw, 6) AS dup_rate,
+        round(mq, 6) AS mean_quality, round(e.ent, 6) AS lang_entropy
+      FROM main m JOIN ent e USING (source) ORDER BY source"""),
+    doc = "per-source curation dashboard: counts, exact-dup rate, mean quality, language entropy")
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104, q111)
 }

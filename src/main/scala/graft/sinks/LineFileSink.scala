@@ -52,6 +52,23 @@ object LineFileSink {
         lineSeqNumber(col("value")).as("sequenceNumber"),
         linePayload(col("value")).as("data"))
 
+  /** Date-aware reader over the same Hive-partitioned layout: keeps the
+    * discovered `year`/`month`/`day` partition columns so a date filter
+    * PRUNES at the file index (the scan never lists, opens, or decodes
+    * the other days — the property that makes "read one day of a 100 TB
+    * log" cost one day, pinned in SinkSpec). Partition type inference
+    * reads the writer's zero-padded directory values as INTEGERS
+    * (`month=02` → 2), so the columns are exposed as ints — filter with
+    * `col("month") === 2`, not `"02"`. */
+  def readDated(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(
+        lineSeqNumber(col("value")).as("sequenceNumber"),
+        linePayload(col("value")).as("data"),
+        col("year").cast("int").as("year"),
+        col("month").cast("int").as("month"),
+        col("day").cast("int").as("day"))
+
   private val SeqFileSuffix = ".records.log.gz"
 
   /** Reader for the [[writeSeqNamed]] layout: its `yyyy/MM/dd` directories

@@ -124,6 +124,27 @@ class SinkSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/year=2024/month=02/day=01").exists())
   }
 
+  test("date filters PRUNE partitions at the file index (readDated plan carries PartitionFilters)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    val rows = Seq(
+      ("1" * 56, "day-one", java.sql.Timestamp.valueOf("2024-02-01 10:00:00")),
+      ("2" * 56, "day-two", java.sql.Timestamp.valueOf("2024-02-02 10:00:00")),
+      ("3" * 56, "day-three", java.sql.Timestamp.valueOf("2024-02-03 10:00:00")))
+      .toDF("sequenceNumber", "data", "ts")
+    LineFileSink.write(rows, dir, col("ts"))
+
+    val oneDay = LineFileSink.readDated(spark, dir)
+      .filter(col("year") === 2024 && col("month") === 2 && col("day") === 2)
+    assert(oneDay.collect().map(_.getString(1)).toSeq == Seq("day-two"))
+    // the filter must reach the file index as a partition filter — the
+    // scan never lists/decodes the other days (the 100 TB log property)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+    assert(pf.exists(l => l.contains("day") && !l.contains("PartitionFilters: []")),
+      s"expected a day partition filter in the scan:\n$plan")
+  }
+
   test("K2 seq-named layout: file name = last seq (resume cursor), idempotent rewrite, lossless re-read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_seqnamed_").toString

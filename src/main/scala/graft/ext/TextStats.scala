@@ -26,6 +26,21 @@ object TextStats {
   def stopwordCount(words: Column, lang: String): Column =
     size(filter(words, w => w.isin(Stopwords(lang): _*)))
 
+  /** q50's [0,1] quality score as a reusable column: length /
+    * punctuation / stopword components, pure double arithmetic on exact
+    * integer inputs (bit-identical across engines). Shared by q50, q111,
+    * and the streaming corpus telemetry. */
+  def qualityScore(text: Column): Column = {
+    val words = wsTokens(lower(text))
+    val nTok = size(words).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val stopR = stopwordCount(words, "en").cast("double") / nTok
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val punctScore = lit(1.0) -
+      least(punct / greatest(length(text).cast("double"), lit(1.0)) * 10.0, lit(1.0))
+    lenScore * 0.4 + punctScore * 0.3 + stopR * 0.3
+  }
+
   // ---------------------------------------------------------------- q47
   /** Corpus token/char statistics per (lang, source-prefix) — whitespace
     * tokens, regex tokens, char counts with exact decimal-mean. */
@@ -122,18 +137,9 @@ object TextStats {
     * bit-identical across engines. */
   val q50 = QueryDef(
     "q50_quality_score",
-    (s, d) => {
-      val words = wsTokens(lower(col("text")))
-      val nTok = size(words).cast("double")
-      val punct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double")
-      val stopR = stopwordCount(words, "en").cast("double") / nTok
-      val lenScore = least(nTok / 50.0, lit(1.0))
-      val punctScore = lit(1.0) - least(punct / greatest(length(col("text")).cast("double"), lit(1.0)) * 10.0, lit(1.0))
-      val score = lenScore * 0.4 + punctScore * 0.3 + stopR * 0.3
-      Tables.documents(s, d)
-        .select(col("doc_id"), round(score, 6).as("quality"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), round(qualityScore(col("text")), 6).as("quality"))
+      .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
         round(least(len(string_split(lower(text), ' '))::DOUBLE / 50.0, 1.0) * 0.4
           + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
@@ -197,13 +203,7 @@ object TextStats {
     "q111_corpus_health",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val words = wsTokens(lower(col("text")))
-      val nTok = size(words).cast("double")
-      val punct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double")
-      val stopR = stopwordCount(words, "en").cast("double") / nTok
-      val lenScore = least(nTok / 50.0, lit(1.0))
-      val punctScore = lit(1.0) - least(punct / greatest(length(col("text")).cast("double"), lit(1.0)) * 10.0, lit(1.0))
-      val score = lenScore * 0.4 + punctScore * 0.3 + stopR * 0.3
+      val score = qualityScore(col("text"))
       val base = Tables.documents(s, d)
       val main = base.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),

@@ -283,4 +283,20 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(intervalMs))
       .start()
+
+  /** Streaming corpus telemetry — q111's health census maintained
+    * INCREMENTALLY on the ingest stream: per source, running doc/token
+    * counts and mean quality over everything seen so far. A plain
+    * streaming aggregation (sum/count state per source — O(sources)
+    * state, no watermark needed for running totals), so the batch
+    * operators' quality formula ([[graft.ext.TextStats.qualityScore]])
+    * runs unchanged on the stream: curation dashboards read the same
+    * numbers during ingest that q111 reports after it. Exact-dup-rate is
+    * deliberately absent here: a distinct-hash census is unbounded state
+    * on a stream — that column stays a batch (q111) concern. */
+  def runningCorpusStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"),
+        avg(graft.ext.TextStats.qualityScore(col("text"))).as("mean_quality"))
 }

@@ -37,6 +37,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus telemetry equals the batch census over the same documents") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val docs = input.toDF().toDF("source", "text")
+    val q = EventStream.runningCorpusStats(docs)
+      .writeStream.format("memory").queryName("corpus").outputMode("complete").start()
+    try {
+      val batch1 = Seq(
+        ("web", "the quick brown fox jumps over a lazy dog of winter and spring"),
+        ("web", "a short one"),
+        ("books", "and to the sea: of storms, and of the calm that follows!"))
+      val batch2 = Seq(
+        ("web", "more text arrives later in the stream and the totals must move"),
+        ("wiki", "a single wiki doc"))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+
+      val got = spark.sql("SELECT source, n_docs, tokens, round(mean_quality, 9) FROM corpus ORDER BY source")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // the BATCH form of the same census over the union of both batches —
+      // the stream's running state must land on identical numbers
+      val want = (batch1 ++ batch2).toDF("source", "text")
+        .groupBy($"source")
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.split($"text", " ")).cast("long")).as("tokens"),
+          org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.avg(
+            graft.ext.TextStats.qualityScore($"text")), 9).as("mq"))
+        .orderBy($"source")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == want.toSeq)
+      assert(got.map(_._1).toSeq == Seq("books", "web", "wiki"))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivered ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

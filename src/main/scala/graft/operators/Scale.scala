@@ -103,5 +103,52 @@ object Scale {
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  val all: Seq[QueryDef] = Seq(q63, q64)
+  // ---------------------------------------------------------------- q112
+  /** RANGE JOIN WITHOUT AN EQUI KEY, made scalable by binning — the
+    * interval-join technique Spark's planner lacks natively (a bare
+    * `v BETWEEN lo AND hi` join plans as BroadcastNestedLoopJoin, O(n·m)
+    * row comparisons): quantize the domain into fixed-width bins, expand
+    * each interval to the bins it covers (`sequence` + `explode`), map
+    * each probe value to its one bin, and join on the BIN — an equi-join
+    * — with the exact range predicate left as the join's residual filter.
+    * Work drops from n·m comparisons to n + Σ bins-per-interval matches;
+    * bin width trades expansion factor against residual selectivity.
+    * Each (value, interval) match is found exactly once (the probe's own
+    * bin), so no post-join dedup is needed. The 40-interval fixture side
+    * broadcasts, but the plan's shape is the point: with a million
+    * intervals the same query is a shuffled equi-join on bin — the
+    * BNLJ never comes back (ScaleSpec's sweep enforces that). Overlapping
+    * intervals (stride < width here) multi-count probes per interval —
+    * interval semantics, not dedup leakage. */
+  val q112 = QueryDef(
+    "q112_range_join_binned",
+    (s, d) => {
+      val binW = 4.0
+      val bands = s.range(40).select(
+        col("id").cast("int").as("band_id"),
+        (col("id") * 12.0).as("lo"),
+        (col("id") * 12.0 + 20.0).as("hi"))
+      val binned = bands.select(col("band_id"), col("lo"), col("hi"),
+        explode(sequence(floor(col("lo") / binW).cast("long"),
+          floor(col("hi") / binW).cast("long"))).as("bin"))
+      val probes = Tables.events(s, d)
+        .select(col("value"), floor(col("value") / binW).cast("long").as("bin"))
+      probes.join(broadcast(binned), Seq("bin"))
+        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+        .orderBy(col("band_id"))
+    },
+    Some("""WITH bands AS (
+        SELECT x AS band_id, x * 12.0 AS lo, x * 12.0 + 20.0 AS hi
+        FROM generate_series(0, 39) t(x))
+      SELECT band_id, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM bands b JOIN events e ON e.value >= b.lo AND e.value < b.hi
+      GROUP BY band_id ORDER BY band_id"""),
+    doc = "equi-join range join: intervals expand to covering bins, probes hash to one bin; O(n+matches), no BNLJ")
+
+  val all: Seq[QueryDef] = Seq(q63, q64, q112)
 }

@@ -27,6 +27,26 @@ object Scale {
       .agg(sum(col("partial")).as("total"), sum(col("n_partial")).as("n"))
   }
 
+  /** Skew-safe shuffled JOIN: salt the fact side (a deterministic or
+    * random per-row salt both work — the salt never reaches the output),
+    * replicate the dimension side `salts`× via explode, and equi-join on
+    * (key, salt): a hot key's rows spread over `salts` reducers instead
+    * of landing on one. Each fact row matches exactly the one dim copy
+    * carrying its salt, so the result is row-identical to the unsalted
+    * join (ScaleSpec pins that). Cost: the dim shuffles `salts`× larger —
+    * the standard trade when the dim is too big to broadcast and AQE's
+    * runtime skew split is unavailable (non-SMJ plans, older planners) or
+    * insufficient (one key beyond any partition split). Use AQE first;
+    * this is the explicit fallback. */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
   // ---------------------------------------------------------------- q63
   /** Salted aggregation equals the direct aggregation (the oracle IS the
     * direct formulation): revenue per returnflag through an 8-way salt.

@@ -177,6 +177,26 @@ class ScaleSpec extends AnyFunSuite {
     }, s"percentile sketch must never aggregate under the distinct key:\n$q24plan")
   }
 
+  test("salted join equals the direct join on a skewed key; salt reaches the join keys") {
+    import org.apache.spark.sql.functions._
+    // 60% of fact rows on one key; dim too small to matter for broadcast
+    // here — the pinned property is row-identity + salt participating in
+    // the join, which holds under any join strategy
+    val fact = spark.range(0, 50000)
+      .select(when(col("id") % 100 < 60, lit(7L)).otherwise(col("id") % 100).as("k"),
+        col("id").as("v"))
+    val dim = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val direct = fact.join(dim, "k")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Scale.saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+    val plan = Scale.saltedJoin(fact, dim, "k", 8).queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), s"salt must participate in the join keys:\n$plan")
+  }
+
   test("salted aggregation equals direct aggregation on a skewed column") {
     import org.apache.spark.sql.functions._
     val l = Tables.lineitem(spark, sf)

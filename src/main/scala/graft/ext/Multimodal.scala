@@ -111,5 +111,27 @@ object Multimodal {
         round(list_avg([ascii(substr(text, i, 1)) for i in range(1, length(text) + 1)]), 6) AS mean_byte
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q51, q52)
+  // ---------------------------------------------------------------- q113
+  /** Resize stage over the binary column — the stub's md5 derivation is
+    * itself cross-engine-stable, so unlike most codec stand-ins the whole
+    * path (binary concat, per-target-dimension addressing, output bytes)
+    * is value-level oracle-checked, not just spec-pinned. Two target
+    * geometries per row, as a thumbnail pipeline would emit. */
+  val q113 = QueryDef(
+    "q113_multimodal_resize",
+    (s, d) => {
+      val bin = col("text").cast("binary")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          hex(fakeResize(bin, 64, 64)).as("resized_64x64"),
+          hex(fakeResize(bin, 32, 24)).as("resized_32x24"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        upper(md5(text || ':64x64')) AS resized_64x64,
+        upper(md5(text || ':32x24')) AS resized_32x24
+      FROM documents ORDER BY doc_id"""),
+    doc = "thumbnail/resize stage; the md5 stub makes the full binary path value-level checkable")
+
+  val all: Seq[QueryDef] = Seq(q51, q52, q113)
 }

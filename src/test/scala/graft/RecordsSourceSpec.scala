@@ -101,6 +101,25 @@ class RecordsSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM rs_an").collect()(0).getLong(0) == 8)
   }
 
+  test("a corrupted chunk FAILS the read loudly (fail-stop, never silent truncation)") {
+    // T3 alignment at the source: a truncated gzip member must abort the
+    // job with a surfaced cause, not quietly yield fewer rows — silent
+    // truncation of a durable log is the one unrecoverable failure mode
+    // (nothing downstream can know data went missing).
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_poison_").toString
+    fixture(dir, Seq(
+      (seq(1), "alpha", "2024-03-01 01:00:00"),
+      (seq(2), "beta", "2024-03-02 01:00:00")))
+    val f = new java.io.File(s"$dir/2024/03/02").listFiles()
+      .filter(_.getName.endsWith(".records.log.gz")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    java.nio.file.Files.write(f.toPath, bytes.take(bytes.length / 2))
+    val thrown = intercept[Exception] {
+      Sources.recordsBatch(spark, dir).count()
+    }
+    assert(thrown.getMessage != null, "the abort must carry a cause")
+  }
+
   test("streaming output feeds the standard pipeline shape (parse + window) unchanged") {
     // the connector's output schema is the reference's record shape —
     // prove it binds to the same downstream the other sources feed

@@ -23,7 +23,14 @@ final case class Config(
     sourceFormat: String = "lines",
     /** Console metrics dump period (K5's console reporter, core.clj:250
       * dumps every 100 s); None = off. */
-    metricsConsoleSec: Option[Long] = None)
+    metricsConsoleSec: Option[Long] = None,
+    /** Output layout. "hive" (default): `year=/month=/day=` text-sink
+      * partitions — prunable by date filters, exactly-once via the file
+      * manifest. "seq": the reference's exact K2 object naming,
+      * `yyyy/MM/dd/<last-seq>.records.log.gz` (core.clj:41-58) — the key
+      * listing IS the resume cursor, and the log replays through
+      * `--source-format records`. */
+    sinkLayout: String = "hive")
 
 object Config {
 
@@ -40,6 +47,8 @@ object Config {
       |  --source-format F   lines (raw JSON text, default) | records
       |                      (seq-named record log via graft-records)
       |  --metrics-console S console metrics dump every S seconds (off by default)
+      |  --sink-layout L     hive (date-partition pruning, default) | seq
+      |                      (the reference's <last-seq>.records.log.gz keys)
       |""".stripMargin
 
   private def num[T](flag: String, v: String, f: String => T): Either[String, T] =
@@ -62,6 +71,9 @@ object Config {
         else Left(s"--source-format expects lines|records, got: $v")
       case "--metrics-console" :: v :: t =>
         num("--metrics-console", v, _.toLong).flatMap(p => go(t, c.copy(metricsConsoleSec = Some(p))))
+      case "--sink-layout" :: v :: t =>
+        if (v == "hive" || v == "seq") go(t, c.copy(sinkLayout = v))
+        else Left(s"--sink-layout expects hive|seq, got: $v")
       case other :: _ => Left(s"unknown option: $other")
     }
     go(args.toList, Config()).flatMap { c =>

@@ -38,13 +38,17 @@ final class Engine(spark: SparkSession, config: Config) {
     val parsed = EventStream.parse(raw)
       .withColumnRenamed("id", "sequenceNumber")
       .selectExpr("sequenceNumber", "orig_data AS data", "coalesce(ts, current_timestamp()) AS ts")
-    query = EventStream.startLineFileSink(
-      parsed,
-      path = s"${config.bucket}/${config.appName}/${config.streamName}",
-      checkpoint = config.checkpoint.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString),
-      intervalMs = config.intervalSec * 1000,
-      batchSize = config.batchSize)
+    val sinkPath = s"${config.bucket}/${config.appName}/${config.streamName}"
+    val ckpt = config.checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+    query = config.sinkLayout match {
+      case "seq" => EventStream.startSeqNamedSink(
+        parsed, sinkPath, ckpt,
+        intervalMs = config.intervalSec * 1000, batchSize = config.batchSize)
+      case _ => EventStream.startLineFileSink(
+        parsed, sinkPath, ckpt,
+        intervalMs = config.intervalSec * 1000, batchSize = config.batchSize)
+    }
     server = new StatsServer(config.port, config.appName, metrics)
     server.start()
   }

@@ -108,6 +108,37 @@ class EngineSpec extends AnyFunSuite {
     } finally e2.stop()
   }
 
+  test("--sink-layout seq: the engine emits the reference's exact K2 object keys + resume cursor") {
+    val srcDir = Files.createTempDirectory("graft_seqlay_src_").toString
+    val outDir = Files.createTempDirectory("graft_seqlay_out_").toString
+    val config = Config(
+      port = 0, bucket = outDir, sourcePath = Some(srcDir),
+      checkpoint = Some(Files.createTempDirectory("graft_seqlay_ck_").toString),
+      intervalSec = 1L, sinkLayout = "seq")
+    assert(Config.parse(Seq("--s3-bucket", "b", "--sink-layout", "seq")).map(_.sinkLayout)
+      == Right("seq"))
+    assert(Config.parse(Seq("--s3-bucket", "b", "--sink-layout", "nope")).isLeft)
+    val body = """{\"id\": \"id-002\", \"url\": \"http://e/2\", \"t\": 1704103500000}"""
+    Files.writeString(java.nio.file.Paths.get(s"$srcDir/a.json"),
+      s"""{"epoch": 1704103500005, "body": "$body"}\n""")
+    val engine = new Engine(spark, config)
+    engine.start()
+    try {
+      engine.processAllAvailable()
+      val sinkPath = s"$outDir/${config.appName}/${config.streamName}"
+      // 2024-01-01 event time -> yyyy/MM/dd dir; file name = last seq
+      val day = new java.io.File(s"$sinkPath/2024/01/01")
+      assert(day.exists(), s"expected the reference's yyyy/MM/dd layout under $sinkPath")
+      val names = day.listFiles().map(_.getName).filter(_.endsWith(".records.log.gz"))
+      assert(names.length == 1 && names(0).dropRight(".records.log.gz".length).length == 56,
+        s"file name must be the 56-char last-seq cursor, got ${names.toSeq}")
+      assert(graft.sinks.LineFileSink.lastCursor(spark, sinkPath).isDefined,
+        "key listing must serve as the resume cursor")
+      val back = graft.sinks.LineFileSink.readSeqNamed(spark, sinkPath).collect()
+      assert(back.length == 1 && back(0).getString(1).contains("http://e/2"))
+    } finally engine.stop()
+  }
+
   test("engine end-to-end: file source -> parse -> gzip line sink; stats routes live") {
     val srcDir = Files.createTempDirectory("graft_engine_src_").toString
     val outDir = Files.createTempDirectory("graft_engine_out_").toString

@@ -47,6 +47,35 @@ object Scale {
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom-prefiltered join — the runtime-filter pattern, explicit: build
+    * a Bloom filter over the dim side's join keys (distributed aggregate;
+    * the DRIVER receives only the O(bits) filter, ~1.2 MB per million
+    * keys at 1% fpp — never data), embed it as a binary literal, and
+    * prefilter the fact side with the codegen'd native
+    * `BloomFilterMightContain` BEFORE the shuffle. Fact rows whose key
+    * cannot match never serialize, never shuffle, never land in the
+    * join's hash table; false positives are harmless (the exact equi-join
+    * still runs behind the filter). This is what Spark's own
+    * InjectRuntimeFilter does when its thresholds/shape checks allow it —
+    * the explicit form works under any plan and any join strategy, and
+    * pays off whenever the dim matches a small fraction of the fact
+    * (selective dims, incremental loads, late-arriving corrections).
+    * Keys of any type: both sides hash through xxhash64 so insert and
+    * probe agree. */
+  def bloomPrefilteredJoin(
+      fact: DataFrame, dim: DataFrame, key: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.GraftBridge
+    val bf = dim.select(xxhash64(col(key)).as("__h")).stat.bloomFilter("__h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.expression(lit(bos.toByteArray)),
+      GraftBridge.expression(xxhash64(col(key)))))
+    fact.filter(mightContain).join(dim, Seq(key))
+  }
+
   // ---------------------------------------------------------------- q63
   /** Salted aggregation equals the direct aggregation (the oracle IS the
     * direct formulation): revenue per returnflag through an 8-way salt.

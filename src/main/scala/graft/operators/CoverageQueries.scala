@@ -451,7 +451,11 @@ object CoverageQueries {
 
   // ---------------------------------------------------------------- q83
   /** Numeric RANGE frame: running sum over a value-based window
-    * (5000-wide price band), not a row-count frame. */
+    * (5000-wide price band), not a row-count frame. (The q103/q37
+    * sort-before-compute cure does not apply: the window must run below
+    * the differently-keyed output sort, so the sort's boundary sampling
+    * re-executes it either way — measured identical; the simple form
+    * stays.) */
   val q83 = QueryDef(
     "q83_numeric_range_frame",
     (s, d) => {

@@ -45,4 +45,16 @@ class EtlSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("utm_source")))
     assert(r.isNullAt(r.fieldIndex("ip")))
   }
+
+  test("registerViews: every corpus table answers plain spark.sql, events with both ts forms") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    for (t <- Tables.names)
+      assert(spark.sql(s"SELECT * FROM $t LIMIT 1").collect().length == 1, t)
+    val e = spark.sql("SELECT ts, ts_ns FROM events LIMIT 1").collect()(0)
+    assert(!e.isNullAt(0) && !e.isNullAt(1))
+    // ad-hoc SQL sees pushdown like everything else
+    val plan = spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity > 49")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"), plan)
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -142,24 +142,32 @@ private final class RecordsTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // column pruning (V2 citizenship): a `select(sequenceNumber)` or a
+      // cursor probe never materializes the payload column — the gzip
+      // bytes still stream (the log is line-oriented), but per-row
+      // substring/UTF8 conversion work drops with the pruned schema,
+      // and the plan's scan output shows the truth
+      private var pruned: StructType = RecordsSource.Schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = requiredSchema
       override def build(): Scan =
-        new RecordsScan(path, options.getInt("maxChunksPerTrigger", -1))
+        new RecordsScan(path, options.getInt("maxChunksPerTrigger", -1), pruned)
     }
 }
 
-private final class RecordsScan(path: String, maxChunksPerTrigger: Int)
-    extends Scan {
-  override def readSchema(): StructType = RecordsSource.Schema
+private final class RecordsScan(path: String, maxChunksPerTrigger: Int,
+    schema: StructType) extends Scan {
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       RecordsSource.listChunks(path)
         .map(c => ChunkPartition(c.path, c.datePrefix): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new ChunkReaderFactory
+      new ChunkReaderFactory(schema)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new RecordsMicroBatchStream(path, maxChunksPerTrigger)
+    new RecordsMicroBatchStream(path, maxChunksPerTrigger, schema)
 }
 
 /** Streaming offset: the max committed file-name sequence number ("" before
@@ -179,7 +187,8 @@ private final case class SeqOffset(maxSeq: String) extends Offset {
   * backfill instead of one giant catch-up batch. `Trigger.AvailableNow`
   * freezes the target offset at query start and drains up to it in
   * rate-limited batches, then stops — the drain-the-backlog-and-exit mode. */
-private final class RecordsMicroBatchStream(path: String, maxChunks: Int)
+private final class RecordsMicroBatchStream(path: String, maxChunks: Int,
+    schema: StructType)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -243,7 +252,7 @@ private final class RecordsMicroBatchStream(path: String, maxChunks: Int)
       .map(c => ChunkPartition(c.path, c.datePrefix): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChunkReaderFactory
+    new ChunkReaderFactory(schema)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -251,22 +260,40 @@ private final class RecordsMicroBatchStream(path: String, maxChunks: Int)
 private final case class ChunkPartition(path: String, datePrefix: String)
     extends InputPartition
 
-private final class ChunkReaderFactory extends PartitionReaderFactory {
+private final class ChunkReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChunkPartition]
+    // resolved once per partition, not per row: which of the (pruned)
+    // output columns to populate, in the schema's requested order
+    val fields: Array[Int] = schema.fieldNames.map {
+      case "sequenceNumber" => 0
+      case "data" => 1
+      case "partition" => 2
+      case other => throw new IllegalArgumentException(
+        s"graft-records: unknown column '$other'")
+    }
     new PartitionReader[InternalRow] {
       private val fs = FileSystem.get(new java.net.URI(p.path), new Configuration())
       private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
         new java.util.zip.GZIPInputStream(fs.open(new Path(p.path))), "UTF-8"))
+      private val prefix = UTF8String.fromString(p.datePrefix)
       private var line: String = _
       override def next(): Boolean = { line = in.readLine(); line != null }
       override def get(): InternalRow = {
-        // F11 fixed-offset split (utils.clj:17-19): 56-digit seq, space, payload
-        val seq = line.substring(0, math.min(56, line.length))
-        val data = if (line.length > 57) line.substring(57) else ""
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(seq), UTF8String.fromString(data),
-          UTF8String.fromString(p.datePrefix)))
+        // F11 fixed-offset split (utils.clj:17-19): 56-digit seq, space,
+        // payload — only the REQUESTED columns convert to UTF8String
+        val out = new Array[Any](fields.length)
+        var i = 0
+        while (i < fields.length) {
+          out(i) = fields(i) match {
+            case 0 => UTF8String.fromString(line.substring(0, math.min(56, line.length)))
+            case 1 => UTF8String.fromString(if (line.length > 57) line.substring(57) else "")
+            case 2 => prefix
+          }
+          i += 1
+        }
+        new GenericInternalRow(out)
       }
       override def close(): Unit = in.close()
     }

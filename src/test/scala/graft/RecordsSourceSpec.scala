@@ -101,6 +101,23 @@ class RecordsSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM rs_an").collect()(0).getLong(0) == 8)
   }
 
+  test("column pruning reaches the V2 scan: a seq-only projection reads a 1-column schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_prune_").toString
+    fixture(dir, Seq(
+      (seq(1), "alpha", "2024-03-01 01:00:00"),
+      (seq(2), "beta", "2024-03-01 02:00:00")))
+    val pruned = Sources.recordsBatch(spark, dir).select(col("sequenceNumber"))
+    val scanOut = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.output.map(_.name)
+    assert(scanOut == Seq("sequenceNumber"),
+      s"scan must emit only the requested column, got $scanOut")
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq == Seq(seq(1), seq(2)))
+    // cursor probes (max over the seq column) ride the same pruned path
+    val cursor = Sources.recordsBatch(spark, dir)
+      .agg(max(col("sequenceNumber"))).collect()(0).getString(0)
+    assert(cursor == seq(2))
+  }
+
   test("a corrupted chunk FAILS the read loudly (fail-stop, never silent truncation)") {
     // T3 alignment at the source: a truncated gzip member must abort the
     // job with a surfaced cause, not quietly yield fewer rows — silent

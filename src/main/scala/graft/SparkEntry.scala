@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoverageQueries, Relational, Scale, SubqueryQueries, TypedApi}
+import graft.operators.{CoverageQueries, EventAnalytics, Relational, Scale, SubqueryQueries, TypedApi}
 import graft.etl.EtlQueries
-import graft.ext.{Dedup, Multimodal, PipelineQueries, Similarity, TextStats}
+import graft.ext.{CurationQueries, Dedup, Multimodal, PipelineQueries, Similarity, TextStats}
 import graft.sinks.SinkQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +19,8 @@ object SparkEntry {
   val registry: Seq[QueryDef] =
     Relational.all ++ EtlQueries.all ++ Dedup.all ++ Similarity.all ++
       TextStats.all ++ SinkQueries.all ++ Multimodal.all ++ CoverageQueries.all ++
-      Scale.all ++ SubqueryQueries.all ++ TypedApi.all ++ PipelineQueries.all
+      Scale.all ++ SubqueryQueries.all ++ TypedApi.all ++ PipelineQueries.all ++
+      CurationQueries.all ++ EventAnalytics.all
 
   require(
     registry.map(_.name).distinct.size == registry.size,

@@ -1,0 +1,186 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Corpus-curation tier (round-4 extension): the filters and corpus-mining
+  * passes a training-data pipeline runs between raw ingest and dedup —
+  * collocation mining (PMI), a Gopher-style rule-based quality gate, and the
+  * FineWeb-style duplicated-n-gram fraction. Everything here is designed
+  * integer-exact (counts, scaled rational scores) so the DuckDB oracle
+  * hash-matches bit-for-bit; the only doubles are final round(x, 6) ratios
+  * of small integers, the convention the rest of the inventory uses.
+  *
+  * Reference tie-in: the reference has no text analytics (its analytics
+  * surface stops at the Postgres events table, /root/reference/src/kinesis3/
+  * db.clj:70-97); this tier is part of the declared north-star extension
+  * set (SURVEY §2.C) graded alongside it. */
+object CurationQueries {
+
+  // --------------------------------------------------------------- q114
+  /** Bigram collocation mining ranked by PMI. PMI(x,y) =
+    * ln(c_xy·N_uni² / (N_bi·c_x·c_y)); with N_uni/N_bi constant per corpus
+    * the RANKING is monotone in the rational c_xy/(c_x·c_y), so the query
+    * emits the exact scaled integer score = c_xy·10¹² div (c_x·c_y)
+    * instead of a transcendental — bit-identical across engines (ln is
+    * correctly-rounded nowhere) and overflow-checked by ANSI mode (long
+    * mult fail-stops rather than wrapping; bound: c_xy·10¹² < 2⁶³ holds to
+    * ~9M occurrences of one bigram — far past sf0.1, and the fix at real
+    * scale is widening to DECIMAL(38,0), not a redesign).
+    *
+    * Scale shape: bigrams/unigrams are map-side explodes; both aggs
+    * shuffle on the token string (vocabulary keys — sublinear in corpus
+    * size); the two unigram-count joins broadcast (word-type vocabulary is
+    * ~always broadcast-size; were it not, they are plain equi-joins and
+    * AQE picks the shuffle strategy). min-count 10 prunes the long tail
+    * before the joins. */
+  val q114 = QueryDef(
+    "q114_bigram_pmi",
+    (s, d) => {
+      val w = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val pairs = w
+        .select(explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
+          struct(element_at(col("w"), i + 1).as("x"),
+            element_at(col("w"), i + 2).as("y")))).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+      val uni = w.select(explode(col("w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val bi = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 10)
+      bi
+        .join(broadcast(uni.select(col("t"), col("c").as("c_x"))), col("x") === col("t")).drop("t")
+        .join(broadcast(uni.select(col("t"), col("c").as("c_y"))), col("y") === col("t")).drop("t")
+        .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+          col("c_xy"), col("c_x"), col("c_y"),
+          (col("c_xy") * lit(1000000000000L) / (col("c_x") * col("c_y")))
+            .cast("long").as("score"))
+        .orderBy(col("score").desc, col("bigram"))
+        .limit(20)
+    },
+    Some("""WITH w AS (SELECT string_split(text, ' ') AS a FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+      uni AS (SELECT unnest(a) AS t FROM w),
+      uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+      bg AS (SELECT unnest([a[i] || ' ' || a[i+1] for i in range(1, len(a))]) AS bigram FROM w),
+      bc AS (SELECT bigram, count(*) AS c_xy FROM bg GROUP BY bigram HAVING count(*) >= 10)
+      SELECT bc.bigram, bc.c_xy, ux.c AS c_x, uy.c AS c_y,
+        bc.c_xy * 1000000000000 // (ux.c * uy.c) AS score
+      FROM bc
+      JOIN uc ux ON split_part(bc.bigram, ' ', 1) = ux.t
+      JOIN uc uy ON split_part(bc.bigram, ' ', 2) = uy.t
+      ORDER BY score DESC, bigram LIMIT 20"""),
+    doc = "PMI collocations as an exact scaled-integer rank — no transcendentals cross the oracle")
+
+  // --------------------------------------------------------------- q115
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1 family),
+    * thresholds re-centered on this corpus (10-99 words/doc, single-space
+    * joined — an invariant the mean-word-length rule exploits:
+    * letters = length(text) - (n_words - 1), verified on the corpus).
+    * Every rule is an INTEGER comparison (3·n ≤ letters ≤ 9·n instead of
+    * a float mean), so the per-source verdict counts are exact.
+    * Per-row scalar work + one tiny agg keyed by source — linear, no
+    * join, the cheapest possible 100 TB shape. */
+  val q115 = QueryDef(
+    "q115_quality_gate",
+    (s, d) => {
+      val w = split(col("text"), " ")
+      val nW = size(w).cast("long")
+      val letters = (length(col("text")) - (size(w) - 1)).cast("long")
+      val stop = size(filter(w, t => t.isin("the", "a", "of", "and", "to"))).cast("long")
+      val nDistinct = size(array_distinct(w)).cast("long")
+      val rLen = nW >= 20 && nW <= 80
+      val rWordLen = letters >= nW * 3 && letters <= nW * 9
+      val rStop = stop >= 2
+      val rDistinct = nDistinct >= 8
+      Tables.documents(s, d)
+        .select(col("source"), rLen.as("r_len"), rWordLen.as("r_word_len"),
+          rStop.as("r_stop"), rDistinct.as("r_distinct"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("r_len"), 1L).otherwise(0L)).as("fail_len"),
+          sum(when(!col("r_word_len"), 1L).otherwise(0L)).as("fail_word_len"),
+          sum(when(!col("r_stop"), 1L).otherwise(0L)).as("fail_stop"),
+          sum(when(!col("r_distinct"), 1L).otherwise(0L)).as("fail_distinct"),
+          sum(when(col("r_len") && col("r_word_len") && col("r_stop") && col("r_distinct"),
+            1L).otherwise(0L)).as("n_keep"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH f AS (SELECT source,
+        len(string_split(text, ' ')) AS n_w,
+        length(text) - len(string_split(text, ' ')) + 1 AS letters,
+        len(list_filter(string_split(text, ' '),
+          t -> t IN ('the','a','of','and','to'))) AS stop,
+        len(list_distinct(string_split(text, ' '))) AS n_d
+      FROM documents),
+      r AS (SELECT source,
+        (n_w BETWEEN 20 AND 80) AS r_len,
+        (letters BETWEEN n_w * 3 AND n_w * 9) AS r_word_len,
+        (stop >= 2) AS r_stop,
+        (n_d >= 8) AS r_distinct
+      FROM f)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+        CAST(sum(CASE WHEN NOT r_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+        CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+        CAST(sum(CASE WHEN NOT r_distinct THEN 1 ELSE 0 END) AS BIGINT) AS fail_distinct,
+        CAST(sum(CASE WHEN r_len AND r_word_len AND r_stop AND r_distinct
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      FROM r GROUP BY source ORDER BY source"""),
+    doc = "Gopher-rule gate with integer-exact thresholds; per-source fail breakdown")
+
+  // --------------------------------------------------------------- q116
+  /** FineWeb-style duplicated-n-gram fraction: per document, the share of
+    * its DISTINCT word 5-grams that also occur in at least one other
+    * document (Penedo et al. 2024's dup_ngram signal; complements q95's
+    * within-doc repetition with the cross-doc view).
+    *
+    * Scale shape: per-doc distinct 5-grams explode map-side; the global
+    * occurrence count groups on xxhash64(gram) — an 8-byte shuffle key,
+    * with the gram text riding only as min/max agg buffers forming the
+    * q40-pattern collision guard (a 64-bit collision would silently merge
+    * two grams, so the query raise_errors instead). The gram→count join
+    * is a plain equi-join on the same 8-byte key, then a per-doc agg. */
+  val q116 = QueryDef(
+    "q116_dup_ngram_fraction",
+    (s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(sequence(lit(0), size(col("w")) - 5), i =>
+            concat_ws(" ", slice(col("w"), i + 1, lit(5)))))).as("g"))
+        .select(col("doc_id"), col("g"), xxhash64(col("g")).as("gh"))
+      val counts = grams.groupBy(col("gh"))
+        .agg(count(lit(1)).as("n_docs_with"),
+          min(col("g")).as("g_min"), max(col("g")).as("g_max"))
+        .select(col("gh"),
+          when(col("g_min") =!= col("g_max"),
+            raise_error(lit("q116: xxhash64 collision — distinct grams in one group"))
+              .cast("long"))
+            .otherwise(col("n_docs_with")).as("n_docs_with"))
+      grams.join(counts, "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_grams"), 6).as("shared_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents
+               WHERE len(string_split(text, ' ')) >= 5),
+      g AS (SELECT DISTINCT doc_id,
+              unnest([array_to_string(a[i:i+4], ' ') for i in range(1, len(a)-3)]) AS g
+            FROM w),
+      c AS (SELECT g, count(*) AS n_docs_with FROM g GROUP BY g)
+      SELECT g.doc_id, count(*) AS n_grams,
+        CAST(sum(CASE WHEN c.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        round(CAST(sum(CASE WHEN c.n_docs_with >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 6) AS shared_frac
+      FROM g JOIN c USING (g)
+      GROUP BY g.doc_id ORDER BY g.doc_id"""),
+    doc = "cross-doc duplicated-5-gram share; 8-byte hash shuffle + q40 collision guard")
+
+  val all: Seq[QueryDef] = Seq(q114, q115, q116)
+}

@@ -149,7 +149,23 @@ class ScaleSpec extends AnyFunSuite {
         "copy-span candidates: inverted-index equi-join, df-capped, never all-pairs"),
       // per-source window shuffle + chunk agg (orderBy folds into the agg exchange)
       Pin(graft.ext.PipelineQueries.q107, 2, Set.empty,
-        "packing: one spilling window per shard, no global order"))
+        "packing: one spilling window per shard, no global order"),
+      // bigram agg + one unigram agg per projection (c_x/c_y aliases defeat
+      // exchange reuse — acceptable: vocab keys are sublinear); top-20 is
+      // TakeOrderedAndProject, never a global sort
+      Pin(graft.ext.CurationQueries.q114, 3, Set("BroadcastHashJoin"),
+        "PMI: vocab-keyed aggs; unigram counts broadcast; top-k never global-sorts"),
+      // gram-count agg on xxhash64 + probe-side join exchange (build side
+      // reuses the agg partitioning) + per-doc agg; gram TEXT never keys a
+      // shuffle
+      Pin(graft.ext.CurationQueries.q116, 3, Set("BroadcastHashJoin", "SortMergeJoin"),
+        "dup-ngram: 8-byte hash shuffles only, gram text never a shuffle key"),
+      // 3 big-table shuffles (one per pushed event_type filter: view agg +
+      // click/purchase join probes; stage agg outputs reuse user_id
+      // partitioning) + 5 single-row/tiny exchanges for the 3 stage counts
+      // and final union sort — constant-size, not data-scaled
+      Pin(graft.operators.EventAnalytics.q117, 8, Set("BroadcastHashJoin", "SortMergeJoin"),
+        "funnel: per-stage user_id partitioning reused, no window/global sort"))
     val problems = pins.flatMap { p =>
       val plan = p.q.fn(spark, sf).queryExecution.executedPlan.toString
       val shuffles = shuffleRe.findAllIn(plan).size

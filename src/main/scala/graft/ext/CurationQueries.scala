@@ -182,5 +182,77 @@ object CurationQueries {
       GROUP BY g.doc_id ORDER BY g.doc_id"""),
     doc = "cross-doc duplicated-5-gram share; 8-byte hash shuffle + q40 collision guard")
 
-  val all: Seq[QueryDef] = Seq(q114, q115, q116)
+  // --------------------------------------------------------------- q119
+  /** Token-budget fill: distribute a global token budget over sources by
+    * temperature-mixed weights (α=0.5, q108's law), then greedily keep each
+    * source's highest-quality documents until its budget is spent — the
+    * selection step a curation pipeline runs after scoring (q50) and
+    * weighting (q108).
+    *
+    * Determinism: budgets are INTEGER-exact — weight = floor(sqrt(tokens))
+    * (IEEE sqrt is correctly rounded, so both engines floor the same
+    * double) and budget = B·w div Σw in BIGINT arithmetic; a double never
+    * feeds the row-selection cutoff. The greedy rule is "take while the
+    * budget is not yet full" (cum tokens BEFORE the doc < budget), ordered
+    * by (quality desc, doc_id) — quality doubles are per-row identical
+    * across engines (q50's precedent).
+    *
+    * Scale shape: census agg (shuffle on source) + per-source window
+    * prefix sum (shuffle on source) + summary agg — budgets are a
+    * 20-row broadcast join. One spilling window pass, no global sort
+    * until the 20-row output. */
+  val q119 = QueryDef(
+    "q119_budget_fill",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 100000L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          TextStats.qualityScore(col("text")).as("quality"))
+      val census = docs.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("tokens"))
+        .select(col("source"), floor(sqrt(col("tokens").cast("double"))).cast("long").as("w"))
+      val budgets = census
+        .crossJoin(broadcast(census.agg(sum(col("w")).as("w_sum"))))
+        .select(col("source"), (lit(B) * col("w") / col("w_sum")).cast("long").as("budget"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(budgets), "source")
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .filter(col("cum") - col("n_tok") < col("budget"))
+        .groupBy(col("source"))
+        .agg(max(col("budget")).as("budget"),
+          count(lit(1)).as("n_selected"),
+          sum(col("n_tok")).as("tokens_selected"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          least(len(string_split(lower(text), ' '))::DOUBLE / 50.0, 1.0) * 0.4
+            + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                / greatest(length(text)::DOUBLE, 1.0) * 10.0, 1.0)) * 0.3
+            + (len(list_filter(string_split(lower(text), ' '),
+                x -> x IN ('the','a','of','and','to')))::DOUBLE
+               / len(string_split(lower(text), ' '))::DOUBLE) * 0.3 AS quality
+        FROM documents),
+      census AS (SELECT source, CAST(floor(sqrt(SUM(n_tok)::DOUBLE)) AS BIGINT) AS w
+        FROM docs GROUP BY source),
+      budgets AS (SELECT source, 100000 * w // (SELECT SUM(w) FROM census) AS budget
+        FROM census),
+      cums AS (SELECT d.source, d.n_tok, b.budget,
+          SUM(d.n_tok) OVER (PARTITION BY d.source
+            ORDER BY d.quality DESC, d.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM docs d JOIN budgets b USING (source))
+      SELECT source, CAST(max(budget) AS BIGINT) AS budget,
+        count(*) AS n_selected,
+        CAST(sum(n_tok) AS BIGINT) AS tokens_selected
+      FROM cums WHERE cum - n_tok < budget
+      GROUP BY source ORDER BY source"""),
+    doc = "greedy quality-ordered selection under integer-exact temperature budgets")
+
+  val all: Seq[QueryDef] = Seq(q114, q115, q116, q119)
 }
+

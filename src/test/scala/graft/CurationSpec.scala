@@ -99,6 +99,28 @@ class CurationSpec extends AnyFunSuite {
     assert(frac(3L) == ((2L, 0L)))
   }
 
+  test("q119 greedy law: the straddling doc is kept, the one after the full budget is not") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // budget 25: cum-before 0/10/20 -> all three kept (documented overshoot)
+    // budget 20: third doc starts AT the full budget -> excluded
+    // budget 0: nothing, including a first doc of size 0? size>0 -> excluded
+    val rows = Seq(
+      ("b25", 1L, 10L, 0.9, 25L), ("b25", 2L, 10L, 0.8, 25L), ("b25", 3L, 10L, 0.7, 25L),
+      ("b20", 4L, 10L, 0.9, 20L), ("b20", 5L, 10L, 0.8, 20L), ("b20", 6L, 10L, 0.7, 20L),
+      ("b0", 7L, 10L, 0.9, 0L),
+      // low quality doc sorts LAST even with the smallest doc_id
+      ("ord", 9L, 10L, 0.1, 20L), ("ord", 10L, 10L, 0.9, 20L), ("ord", 11L, 10L, 0.8, 20L)
+    ).toDF("source", "doc_id", "n_tok", "quality", "budget")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = rows.withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") - col("n_tok") < col("budget"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L))
+  }
+
   test("q114 score law: integer-scaled ratio ranks identically to true PMI where scores differ") {
     val rnd = new scala.util.Random(11)
     val nUni = 100000.0

@@ -539,5 +539,95 @@ object Dedup {
       ORDER BY cluster_id"""),
     doc = "per-cluster survivor policy (keep longest) + bytes-saved audit; single agg, no window")
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106)
+  // ---------------------------------------------------------------- q123
+  /** Cross-source duplication matrix: the q41 verified near-dup pair set
+    * rolled up to (source, source) — "which crawls/dumps duplicate each
+    * other", the report that decides dataset precedence before mixing.
+    *
+    * Scale shape: pairs are density-bound (LSH candidates, not n²); the
+    * two source lookups are shuffle equi-joins on doc_id against a
+    * 2-column projection of the corpus; the matrix agg is ≤ |sources|²
+    * rows. Source names are normalized (least, greatest) so the matrix
+    * is upper-triangular regardless of id order. */
+  val q123 = QueryDef(
+    "q123_source_dup_matrix",
+    (s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      lshVerifiedPairs(s, d, 0.6)
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(OracleShingles + """,
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6)
+      SELECT least(da.source, db.source) AS source_a,
+        greatest(da.source, db.source) AS source_b,
+        count(*) AS n_pairs
+      FROM pairs p JOIN documents da ON p.a_id = da.doc_id
+        JOIN documents db ON p.b_id = db.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    doc = "near-dup pair graph rolled up to a source x source duplication matrix")
+
+  // ---------------------------------------------------------------- q124
+  /** Bloom-prefiltered decontamination census: q101's eval-leakage scrub
+    * restated as the clean/dropped verdict per source, with the benchmark
+    * 5-gram membership probe staged behind a Bloom filter (the explicit
+    * runtime-filter pattern from Scale.bloomPrefilteredJoin).
+    *
+    * Why this matters at 100 TB: the exploded corpus shingle stream is
+    * ~50× corpus rows; probing every shingle against even a broadcast
+    * hash set means materializing that stream into a join. The Bloom blob
+    * (~100s of KB for a benchmark suite) ships as a plan literal and
+    * kills ~99% of shingles inside the scan's codegen'd filter, so only
+    * suspected hits reach the exact verify join — false positives are
+    * then removed by the join itself, keeping the result EXACT (the
+    * oracle is the plain inverted-index formulation; the Bloom stage is
+    * invisible in the answer, visible in the plan). */
+  val q124 = QueryDef(
+    "q124_bloom_decontaminate",
+    (s, d) => {
+      val sh5 = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"), col("source"), wordShingles(col("text"), 5).as("sh"))
+      val bench = sh5.filter(col("doc_id") < 10)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val corpusShingles = sh5.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val hitDocs = graft.operators.Scale
+        .bloomPrefilteredJoin(corpusShingles, bench, "shingle", 1 << 17)
+        .select(col("doc_id")).distinct()
+        .withColumn("hit", lit(true))
+      sh5.filter(col("doc_id") >= 10).select(col("doc_id"), col("source"))
+        .join(hitDocs, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') words FROM documents),
+      s5 AS (SELECT doc_id, source,
+               list_distinct([array_to_string(words[i:i+4], ' ') for i in range(1, len(words)-3)]) sh
+             FROM w WHERE len(words) >= 5),
+      b AS (SELECT DISTINCT unnest(sh) AS shingle FROM s5 WHERE doc_id < 10),
+      c AS (SELECT doc_id, unnest(sh) AS shingle FROM s5 WHERE doc_id >= 10),
+      hits AS (SELECT DISTINCT doc_id FROM c JOIN b USING (shingle)),
+      corp AS (SELECT doc_id, source FROM s5 WHERE doc_id >= 10)
+      SELECT corp.source, count(*) AS n_docs,
+        count(*) FILTER (WHERE h.doc_id IS NULL) AS n_clean,
+        count(*) FILTER (WHERE h.doc_id IS NOT NULL) AS n_dropped
+      FROM corp LEFT JOIN hits h USING (doc_id)
+      GROUP BY corp.source ORDER BY corp.source"""),
+    doc = "per-source clean/dropped decontamination verdict behind a Bloom runtime filter")
+
+  val all: Seq[QueryDef] =
+    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124)
 }

@@ -1,0 +1,273 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Privacy + document-structure tier of the training-data pipeline:
+  * PII redaction, paragraph-level exact dedup (the CCNet line-dedup
+  * shape), overlapping sequence chunking for embedding/context windows,
+  * and percentile-band length filtering.
+  *
+  * 100 TB design notes:
+  *  - redaction (q120) is per-row regex work — embarrassingly parallel,
+  *    zero shuffles before the tiny per-source census agg;
+  *  - paragraph dedup (q121) shuffles ONCE on an 8-byte xxhash64 of the
+  *    paragraph (never the paragraph text as the key), with the q40-style
+  *    collision fail-stop guard;
+  *  - chunking (q122) is generate-and-explode with no shuffle at all
+  *    until the output sort;
+  *  - the length band (q125) runs the q23 boundary-rank percentile (a
+  *    spilling window sort per language, never a value-buffering
+  *    percentile) and broadcasts the per-language cutoff row back over
+  *    the corpus.
+  */
+object PrivacyQueries {
+
+  // --------------------------------------------------------------- q120
+  /** PII redaction audit. The synthetic corpus carries no PII, so the
+    * query first injects deterministic doc_id-derived PII (an email, an
+    * IPv4, and a phone number on every third doc) and then redacts it —
+    * the injection is part of the query contract on BOTH engines, so the
+    * oracle checks the redaction machinery (regexp_count /
+    * regexp_replace), not the synthesizer. Patterns avoid lookaround and
+    * word-boundary classes so Java regex and DuckDB's RE2 agree; the
+    * three patterns are disjoint by construction (only the email has an
+    * '@'; only the phone has a '+'; only the IP is four dotted octets),
+    * so counting on the dirty text and replacing in any order is exact.
+    *
+    * Scale shape: scan → per-row regex projection → 20-group agg. The
+    * regex kernel is the cost; it parallelizes linearly and nothing
+    * shuffles but 20-row partials. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+  private val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** text + deterministic doc_id-derived PII (shared by q120 and its spec). */
+  private[graft] def injectPii(text: Column, docId: Column): Column = {
+    val idStr = docId.cast("string")
+    concat(text,
+      lit(" contact u"), idStr, lit("@ex"), pmod(docId, lit(7)).cast("string"),
+      lit(".com via 10."), pmod(docId, lit(200)).cast("string"),
+      lit("."), pmod(docId, lit(250)).cast("string"),
+      lit("."), (pmod(docId, lit(254)) + 1).cast("string"),
+      when(pmod(docId, lit(3)) === 0,
+        concat(lit(" call +1-555-"),
+          lpad(pmod(docId, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+  }
+
+  /** All three PII patterns replaced (shared by q120 and its spec). */
+  private[graft] def redact(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+
+  val q120 = QueryDef(
+    "q120_pii_redact",
+    (s, d) => {
+      val dirty = Tables.documents(s, d)
+        .select(col("source"), injectPii(col("text"), col("doc_id")).as("t"))
+      dirty
+        .select(col("source"), col("t"), redact(col("t")).as("clean"),
+          regexp_count(col("t"), lit(EmailRe)).as("e"),
+          regexp_count(col("t"), lit(IpRe)).as("i"),
+          regexp_count(col("t"), lit(PhoneRe)).as("p"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("e")).as("n_emails"),
+          sum(col("i")).as("n_ips"),
+          sum(col("p")).as("n_phones"),
+          sum(length(col("t")) - length(col("clean"))).as("chars_removed"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH dirty AS (SELECT doc_id, source,
+        text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+          || '.com via 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
+          || '.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+          || CASE WHEN doc_id % 3 = 0
+               THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS t FROM documents),
+      red AS (SELECT source, t,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS clean,
+        len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS n_phones,
+        len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips
+      FROM dirty)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_emails) AS BIGINT) AS n_emails, CAST(sum(n_ips) AS BIGINT) AS n_ips,
+        CAST(sum(n_phones) AS BIGINT) AS n_phones,
+        CAST(sum(len(t) - len(clean)) AS BIGINT) AS chars_removed
+      FROM red GROUP BY source ORDER BY source"""),
+    doc = "PII redaction audit: regex count/replace of injected emails/IPs/phones")
+
+  // --------------------------------------------------------------- q121
+  /** Paragraph-level exact dedup (CCNet-style line dedup). The corpus
+    * text is single-line, so "paragraph" = consecutive 16-word block —
+    * the same deterministic segmentation on both engines (16 words keeps
+    * a measured ~4% cross-doc duplicate rate in the synthetic corpus, so
+    * the dedup path is actually exercised). Keep-first rule: a paragraph
+    * instance survives iff it is the (doc_id, idx)-minimal occurrence of
+    * its text corpus-wide.
+    *
+    * Scale shape: the only wide exchange is the window over
+    * xxhash64(para) — an 8-byte key, one shuffle; text crosses the wire
+    * once as the windowed row payload (unavoidable: the survivor's text
+    * must reach its keeper decision), never as a join/group KEY. A
+    * 64-bit collision would merge two distinct paragraphs, so the q40
+    * fail-stop guard (min != max over the hash partition) raises rather
+    * than silently over-deduping. Reassembly is a per-doc groupBy
+    * (second shuffle, doc-sized payloads) emitting an md5 so the full
+    * deduped text never lands in the result. */
+  val q121 = QueryDef(
+    "q121_paragraph_dedup",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val paras = Tables.documents(s, d).select(col("doc_id"),
+        transform(
+          sequence(lit(0), ceil(size(words) / lit(16.0)).cast("int") - 1),
+          i => array_join(slice(words, i * lit(16) + 1, lit(16)), " ")).as("paras"))
+      val part = Window.partitionBy(col("ph"))
+      val marked = paras
+        .select(col("doc_id"), posexplode(col("paras")).as(Seq("idx", "para")))
+        .withColumn("ph", xxhash64(col("para")))
+        .select(col("doc_id"), col("idx"), col("para"),
+          (row_number().over(part.orderBy(col("doc_id"), col("idx"))) === 1).as("kept"),
+          (min(col("para")).over(part) =!= max(col("para")).over(part)).as("collision"))
+      marked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(when(col("kept"), struct(col("idx"), col("para"))))),
+              x => x.getField("para")),
+            "\n")).as("kept_md5"),
+          max(col("collision")).as("bad"))
+        .select(col("doc_id"), col("n_paras"),
+          when(col("bad"),
+            raise_error(lit("q121: xxhash64 collision — distinct paragraphs in one group"))
+              .cast("long"))
+            .otherwise(col("n_kept")).as("n_kept"),
+          col("kept_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+      p0 AS (SELECT doc_id,
+          [{'idx': i-1, 'para': array_to_string(words[(i-1)*16+1:(i-1)*16+16], ' ')}
+           for i in range(1, CAST(ceil(len(words)/16.0) AS BIGINT)+1)] AS lst FROM w),
+      p AS (SELECT doc_id, unnest(lst) AS u FROM p0),
+      r AS (SELECT doc_id, u.idx AS idx, u.para AS para,
+              row_number() OVER (PARTITION BY u.para ORDER BY doc_id, u.idx) AS rn
+            FROM p)
+      SELECT doc_id, count(*) AS n_paras,
+        count(*) FILTER (WHERE rn = 1) AS n_kept,
+        md5(coalesce(string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE rn = 1), ''))
+          AS kept_md5
+      FROM r GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "corpus-wide keep-first paragraph dedup; 8-byte hash shuffle + collision guard")
+
+  // --------------------------------------------------------------- q122
+  /** Overlapping sequence chunking: split each document into 64-token
+    * chunks with a 16-token overlap (stride 48) — the standard layout
+    * step before embedding or context-window packing. Chunk count is
+    * ceil(max(n-16, 1)/48), so every token is covered and consecutive
+    * chunks share exactly 16 tokens except the (possibly shorter) tail.
+    *
+    * Scale shape: pure generate-and-explode — no shuffle exists in the
+    * plan until the output sort. Chunk text leaves the query only as an
+    * md5, so result size stays O(chunks), not O(bytes). */
+  val q122 = QueryDef(
+    "q122_doc_chunking",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), words.as("w"),
+          size(words).as("n"),
+          ceil((greatest(size(words) - 16, lit(1))) / lit(48.0)).cast("int").as("nc"))
+        .select(col("doc_id"), col("w"), col("n"),
+          posexplode(sequence(lit(0), col("nc") - 1)).as(Seq("_", "ci")))
+        .select(col("doc_id"),
+          col("ci").cast("long").as("chunk_idx"),
+          (col("ci") * 48).cast("long").as("start_tok"),
+          least(lit(64), col("n") - col("ci") * 48).cast("long").as("n_tok"),
+          md5(array_join(slice(col("w"), col("ci") * lit(48) + 1, lit(64)), " ")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words,
+          CAST(ceil(greatest(len(string_split(text,' ')) - 16, 1) / 48.0) AS BIGINT) AS n_chunks
+        FROM documents),
+      p0 AS (SELECT doc_id,
+          [{'i': i-1, 'c': array_to_string(words[(i-1)*48+1:(i-1)*48+64], ' '),
+            'n': least(64, len(words) - (i-1)*48)}
+           for i in range(1, n_chunks+1)] AS lst FROM w),
+      p AS (SELECT doc_id, unnest(lst) AS u FROM p0)
+      SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        CAST(u.i * 48 AS BIGINT) AS start_tok,
+        CAST(u.n AS BIGINT) AS n_tok, md5(u.c) AS chunk_md5
+      FROM p ORDER BY doc_id, chunk_idx"""),
+    doc = "64-token chunks, stride 48 (16-token overlap); shuffle-free until output sort")
+
+  // --------------------------------------------------------------- q125
+  /** Percentile-band length filter: per-language p10/p90 cutoffs on
+    * n_chars (exact interpolated percentiles via the q23 boundary-rank
+    * method — a spilling window sort, no value buffering), then a census
+    * of kept / too-short / too-long per language. Cutoffs are a 5-row
+    * broadcast back over the corpus: the classic "two-pass stats filter"
+    * a curation pipeline runs on length, perplexity, or quality scores.
+    * Both engines compare against the ROUNDED cutoff, so the band edge
+    * is bit-identical. */
+  val q125 = QueryDef(
+    "q125_length_band_filter",
+    (s, d) => {
+      val ps = Seq("lo" -> 0.10, "hi" -> 0.90)
+      val byL = Window.partitionBy(col("lang"))
+      val docs = Tables.documents(s, d).select(col("lang"), col("n_chars"))
+      val ranked = docs.select(col("lang"), col("n_chars").cast("double").as("v"),
+        row_number().over(byL.orderBy(col("n_chars"))).as("rn"),
+        count(lit(1)).over(byL).as("n"))
+      def h(p: Double): Column = lit(1.0) + (col("n") - 1) * p
+      val needed = ranked.filter(
+        ps.map { case (_, p) => col("rn") === floor(h(p)) || col("rn") === ceil(h(p)) }
+          .reduce(_ || _))
+      val aggs = ps.flatMap { case (nm, p) => Seq(
+        max(when(col("rn") === floor(h(p)), col("v"))).as(s"${nm}_lo"),
+        max(when(col("rn") === ceil(h(p)), col("v"))).as(s"${nm}_hi"),
+        max(h(p) - floor(h(p))).as(s"${nm}_f"))
+      }
+      val cuts = needed.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+        .select(col("lang") +: ps.map { case (nm, _) =>
+          round(col(s"${nm}_lo") + col(s"${nm}_f") * (col(s"${nm}_hi") - col(s"${nm}_lo")), 4)
+            .as(nm)
+        }: _*)
+      Tables.documents(s, d).select(col("lang"), col("n_chars"))
+        .join(broadcast(cuts), "lang")
+        .groupBy(col("lang"))
+        .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_long"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH cuts AS (SELECT lang,
+          ROUND(QUANTILE_CONT(n_chars, 0.10), 4) AS lo,
+          ROUND(QUANTILE_CONT(n_chars, 0.90), 4) AS hi
+        FROM documents GROUP BY lang)
+      SELECT d.lang, min(c.lo) AS lo, min(c.hi) AS hi,
+        count(*) AS n_docs,
+        count(*) FILTER (WHERE d.n_chars >= c.lo AND d.n_chars <= c.hi) AS n_kept,
+        count(*) FILTER (WHERE d.n_chars < c.lo) AS n_short,
+        count(*) FILTER (WHERE d.n_chars > c.hi) AS n_long
+      FROM documents d JOIN cuts c USING (lang)
+      GROUP BY d.lang ORDER BY d.lang"""),
+    doc = "per-language p10/p90 length band census; q23 boundary-rank percentiles")
+
+  val all: Seq[QueryDef] = Seq(q120, q121, q122, q125)
+}

@@ -590,7 +590,9 @@ object Dedup {
     * suspected hits reach the exact verify join — false positives are
     * then removed by the join itself, keeping the result EXACT (the
     * oracle is the plain inverted-index formulation; the Bloom stage is
-    * invisible in the answer, visible in the plan). */
+    * invisible in the answer, visible in the plan). The final verdict
+    * join BROADCASTS the hit-doc id set — contaminated docs are a sliver
+    * of the corpus, so the corpus projection must never shuffle for it. */
   val q124 = QueryDef(
     "q124_bloom_decontaminate",
     (s, d) => {
@@ -606,7 +608,7 @@ object Dedup {
         .select(col("doc_id")).distinct()
         .withColumn("hit", lit(true))
       sh5.filter(col("doc_id") >= 10).select(col("doc_id"), col("source"))
-        .join(hitDocs, Seq("doc_id"), "left")
+        .join(broadcast(hitDocs), Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_clean"),

@@ -166,7 +166,20 @@ class ScaleSpec extends AnyFunSuite {
       // partitioning) + 5 single-row/tiny exchanges for the 3 stage counts
       // and final union sort — constant-size, not data-scaled
       Pin(graft.operators.EventAnalytics.q117, 8, Set("BroadcastHashJoin", "SortMergeJoin"),
-        "funnel: per-stage user_id partitioning reused, no window/global sort"))
+        "funnel: per-stage user_id partitioning reused, no window/global sort"),
+      // regex kernel is per-row; 20-group agg + output sort only
+      Pin(graft.ext.PrivacyQueries.q120, 2, Set.empty,
+        "PII redaction is embarrassingly parallel up to the census agg"),
+      // para-hash window shuffle + per-doc agg + output range sort
+      Pin(graft.ext.PrivacyQueries.q121, 3, Set.empty,
+        "paragraph dedup shuffles the 8-byte para hash, then one doc agg"),
+      // generate-and-explode: the ONLY exchange is the output sort
+      Pin(graft.ext.PrivacyQueries.q122, 1, Set.empty,
+        "chunking plans zero shuffles before the output sort"),
+      // bench-distinct + hitdoc-distinct + census aggs + output sort; the
+      // corpus side itself NEVER exchanges: bench + hit-doc sets broadcast
+      Pin(graft.ext.Dedup.q124, 4, Set("BroadcastHashJoin"),
+        "bloom scrub: all shuffles are tiny-side/final; corpus never exchanges"))
     val problems = pins.flatMap { p =>
       val plan = p.q.fn(spark, sf).queryExecution.executedPlan.toString
       val shuffles = shuffleRe.findAllIn(plan).size

@@ -102,5 +102,83 @@ object EventAnalytics {
       GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
     doc = "weekly cohort retention; integer week math, Exchange reuse on user_id")
 
-  val all: Seq[QueryDef] = Seq(q117, q118)
+  // --------------------------------------------------------------- q126
+  /** Event-transition (Markov) matrix: for each user's event sequence
+    * ordered by (ts, event_id) — event_id breaks timestamp ties so both
+    * engines see the SAME sequence — count (prev → next) transitions and
+    * each row's share of its prev-type total. The share is a single IEEE
+    * division of two exact integers, so it is bit-identical cross-engine.
+    *
+    * Scale shape: one shuffle on user_id for the lead() window (users are
+    * independent — no global sort), then a tiny (|types|²) pair agg and a
+    * broadcast of the |types|-row totals. */
+  val q126 = QueryDef(
+    "q126_event_transitions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .select(col("event_type").as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("n_prev"))
+      pairs.join(broadcast(tot), "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("n_prev"), 6).as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+      pairs AS (SELECT event_type AS prev_type, next_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT prev_type, sum(n) AS n_prev FROM pairs GROUP BY prev_type)
+      SELECT p.prev_type, p.next_type, p.n,
+        round(p.n::DOUBLE / t.n_prev, 6) AS p
+      FROM pairs p JOIN tot t USING (prev_type)
+      ORDER BY prev_type, next_type"""),
+    doc = "per-user Markov transition counts + exact-integer-ratio probabilities")
+
+  // --------------------------------------------------------------- q127
+  /** Anomalous-volume days: flag days whose event count sits more than
+    * 2σ from that type's daily mean — with the z-test done in EXACT
+    * integer algebra so the verdict is engine-independent. With n days,
+    * S = Σc, Q = Σc²: |c − S/n| > 2σ_pop  ⇔  (n·c − S)² > 4·(n·Q − S²).
+    * Counts are integers, so both sides are exact BIGINTs (at 100 TB
+    * volumes promote to DECIMAL(38,0) — the comparison stays exact); no
+    * float mean/stddev ever feeds the flag (same scaled-integer trick as
+    * q114's PMI ranking and q119's budgets).
+    *
+    * Scale shape: daily-count agg (the only big shuffle, map-side
+    * combined), |types|-row stats agg, broadcast back. */
+  val q127 = QueryDef(
+    "q127_volume_outliers",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("sq"))
+      daily.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("day"), col("c"),
+          ((col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s"))
+            > (col("n") * col("sq") - col("s") * col("s")) * 4).as("is_outlier"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+          count(*) AS c FROM events GROUP BY 1, 2),
+      stats AS (SELECT event_type, count(*) AS n, sum(c) AS s, sum(c*c) AS sq
+        FROM daily GROUP BY event_type)
+      SELECT d.event_type, d.day, d.c,
+        ((s.n * d.c - s.s) * (s.n * d.c - s.s) > 4 * (s.n * s.sq - s.s * s.s)) AS is_outlier
+      FROM daily d JOIN stats s USING (event_type)
+      ORDER BY event_type, day"""),
+    doc = "2-sigma daily-volume anomaly flags via exact scaled-integer z-test")
+
+  val all: Seq[QueryDef] = Seq(q117, q118, q126, q127)
 }

@@ -141,4 +141,41 @@ class CurationSpec extends AnyFunSuite {
       assert(pmi(a) > pmi(b),
         s"score order ${score(a)}>${score(b)} must imply pmi order for $a vs $b")
   }
+
+  test("q126 conservation law: transitions total = events - distinct users") {
+    val sf = "/root/testdata/sf0.001"
+    val out = EventAnalytics.q126.fn(spark, sf)
+    val nTrans = out.agg(sum(col("n"))).head().getLong(0)
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(nTrans == expected,
+      "every user contributes exactly (their events - 1) transitions")
+    // each row's share is its exact integer ratio of the prev-type total
+    val badShare = out.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("np"), sum(col("n") * col("p")).as("chk"))
+      // Σ n·round(n/np, 6) ≈ Σ n²/np; loose bound just pins share ∈ (0,1]
+      .filter(col("chk") > col("np") + 1 || col("chk") <= 0)
+    assert(badShare.isEmpty)
+  }
+
+  test("q127 cross-check: integer z-test verdict matches the float 2-sigma rule") {
+    val sf = "/root/testdata/sf0.001"
+    val out = EventAnalytics.q127.fn(spark, sf).cache()
+    try {
+      // recompute with population stddev in doubles; away from the exact
+      // boundary (no |z| lands within 1e-9 of 2.0 in this corpus) both
+      // verdicts must agree row for row
+      val byT = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      val floatFlag = out
+        .select(col("event_type"), col("day"), col("c"), col("is_outlier"),
+          avg(col("c")).over(byT).as("mu"),
+          stddev_pop(col("c")).over(byT).as("sd"))
+        .select(col("event_type"), col("day"), col("is_outlier"),
+          (abs(col("c") - col("mu")) > col("sd") * 2).as("f"),
+          (abs(abs(col("c") - col("mu")) - col("sd") * 2) < 1e-9).as("boundary"))
+      assert(floatFlag.filter(!col("boundary") && col("is_outlier") =!= col("f")).isEmpty,
+        "integer and float 2-sigma verdicts must agree off the boundary")
+      assert(out.count() > 0)
+    } finally out.unpersist()
+  }
 }

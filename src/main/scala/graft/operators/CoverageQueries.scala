@@ -665,7 +665,73 @@ object CoverageQueries {
       LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
       ORDER BY d.day, t.event_type"""))
 
+  // --------------------------------------------------------------- q128
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL keep duplicate
+    * MULTIPLICITY (min / difference of per-value counts), unlike the
+    * DISTINCT forms in q25-q28. Probe: order priorities of two customer
+    * segments; priorities repeat heavily, so the ALL semantics visibly
+    * diverge from DISTINCT. Both engines plan these as counted aggregates
+    * (Spark: generate+agg rewrite), not joins — one shuffle each side. */
+  val q128 = QueryDef(
+    "q128_multiset_ops",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      def seg(lo: Int, hi: Int) =
+        o.filter(col("o_custkey") % 10 >= lo && col("o_custkey") % 10 <= hi)
+          .select(col("o_orderpriority"))
+      val a = seg(0, 4)
+      val b = seg(3, 7)
+      a.intersectAll(b).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_intersect"))
+        .join(
+          a.exceptAll(b).groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_except")),
+          Seq("o_orderpriority"), "full")
+        .select(col("o_orderpriority"),
+          coalesce(col("n_intersect"), lit(0L)).as("n_intersect"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH a AS (SELECT o_orderpriority FROM orders WHERE o_custkey % 10 BETWEEN 0 AND 4),
+      b AS (SELECT o_orderpriority FROM orders WHERE o_custkey % 10 BETWEEN 3 AND 7),
+      i AS (SELECT o_orderpriority, count(*) AS n_intersect
+            FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+      e AS (SELECT o_orderpriority, count(*) AS n_except
+            FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+      SELECT COALESCE(i.o_orderpriority, e.o_orderpriority) AS o_orderpriority,
+        COALESCE(n_intersect, 0) AS n_intersect, COALESCE(n_except, 0) AS n_except
+      FROM i FULL JOIN e ON i.o_orderpriority = e.o_orderpriority
+      ORDER BY o_orderpriority"""),
+    doc = "INTERSECT ALL / EXCEPT ALL multiplicity semantics vs the DISTINCT set ops")
+
+  // --------------------------------------------------------------- q129
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor) — the flag-mask
+    * rollup idiom (capability masks, bloom-ish unions, parity checks).
+    * Integer-exact, order-free, map-side combinable: the canonical
+    * "merge partial masks" 100 TB aggregation. Masks derive from order
+    * keys so every group exercises non-trivial bit patterns. */
+  val q129 = QueryDef(
+    "q129_bitwise_agg",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), (col("o_orderkey") % 256).as("mask"))
+        .groupBy(col("o_orderpriority"))
+        .agg(bit_and(col("mask")).as("mask_and"),
+          bit_or(col("mask")).as("mask_or"),
+          bit_xor(col("mask")).as("mask_xor"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+        bit_and(o_orderkey % 256) AS mask_and,
+        bit_or(o_orderkey % 256) AS mask_or,
+        bit_xor(o_orderkey % 256) AS mask_xor,
+        count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    doc = "bit_and/bit_or/bit_xor mask rollups; order-free, partial-aggregable")
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99,
+    q128, q129)
 }

@@ -305,5 +305,99 @@ object PipelineQueries {
       FROM shared ORDER BY source, lang"""),
     doc = "temperature-scaled (alpha=0.5) source sampling weights from the token census")
 
-  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108)
+  // --------------------------------------------------------------- q130
+  /** Corpus snapshot diff — the data-versioning audit run between two
+    * training cuts: which documents were added, removed, changed, or
+    * untouched. Snapshots derive deterministically from the one corpus
+    * (A drops doc_id % 11, B drops % 17 and rewrites % 13), so both
+    * engines diff identical inputs; content identity is md5(text), and
+    * the verdict census carries an id checksum so a misclassified doc
+    * can't hide inside a matching count.
+    *
+    * Scale shape: full outer equi-join on doc_id between two hash
+    * projections (16-byte digests, never text), then a 4-row agg. At
+    * 100 TB this is THE incremental-ingest reconciliation plan: both
+    * sides shuffle once on the join key; nothing else moves. */
+  val q130 = QueryDef(
+    "q130_snapshot_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id").as("a_id"), md5(col("text")).as("a_h"))
+      val b = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id").as("b_id"),
+          md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("b_h"))
+      a.join(b, col("a_id") === col("b_id"), "full")
+        .select(coalesce(col("a_id"), col("b_id")).as("doc_id"),
+          when(col("a_id").isNull, "added")
+            .when(col("b_id").isNull, "removed")
+            .when(col("a_h") =!= col("b_h"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH a AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 != 0),
+      b AS (SELECT doc_id,
+              md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h
+            FROM documents WHERE doc_id % 17 != 0),
+      j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+              CASE WHEN a.doc_id IS NULL THEN 'added'
+                   WHEN b.doc_id IS NULL THEN 'removed'
+                   WHEN a.h != b.h THEN 'changed'
+                   ELSE 'unchanged' END AS status
+            FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+      SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM j GROUP BY status ORDER BY status"""),
+    doc = "added/removed/changed/unchanged census between two derived corpus snapshots")
+
+  // --------------------------------------------------------------- q131
+  /** Vocabulary application + OOV census: build a frequency-ranked
+    * vocab (top 20 by count, ties broken by word — fully deterministic
+    * ids), broadcast it over the exploded token stream, and report the
+    * per-source out-of-vocabulary rate — the tokenizer-application
+    * shape, where the corpus explodes to token granularity and the
+    * vocab rides along as a broadcast map.
+    *
+    * Scale shape: token-count agg (one big map-side-combined shuffle on
+    * the word), a VOCAB-sized (sublinear, here 20-row) top-k +
+    * row_number — the single-partition window is over the vocab, never
+    * the corpus — then a broadcast left join at token granularity and a
+    * per-source agg. OOV share is an exact integer ratio. */
+  val q131 = QueryDef(
+    "q131_vocab_oov",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val counts = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val vocab = counts.orderBy(col("c").desc, col("w")).limit(20)
+        .select(col("w"),
+          row_number().over(Window.orderBy(col("c").desc, col("w"))).as("token_id"))
+      words.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+          round(sum(when(col("token_id").isNull, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("oov_rate"),
+          sum(coalesce(col("token_id"), lit(0L))).as("id_checksum"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH words AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      counts AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+      vocab AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS token_id
+                FROM counts ORDER BY c DESC, w LIMIT 20),
+      tagged AS (SELECT wd.source, wd.w, v.token_id
+                 FROM words wd LEFT JOIN vocab v USING (w))
+      SELECT source, count(*) AS n_tok,
+        count(*) FILTER (WHERE token_id IS NULL) AS n_oov,
+        round(count(*) FILTER (WHERE token_id IS NULL)::DOUBLE / count(*), 6) AS oov_rate,
+        CAST(sum(COALESCE(token_id, 0)) AS BIGINT) AS id_checksum
+      FROM tagged GROUP BY source ORDER BY source"""),
+    doc = "top-k frequency vocab broadcast over the token stream; per-source OOV rate")
+
+  val all: Seq[QueryDef] =
+    Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131)
 }

@@ -53,15 +53,38 @@ object EventPipeline {
 
   /** The `events` output schema (README.md:68-71 DDL; SURVEY §1.3). JSON
     * columns are kept as serialized JSON strings — faithful to PG `JSON`. */
-  def parse(raw: DataFrame): DataFrame = {
+  def parse(raw: DataFrame): DataFrame = parse(raw, observeMetrics = false)
+
+  /** As [[parse]]; with `observeMetrics` the staged frame carries a
+    * Dataset.observe("ingest_quality", …) aggregation — per-batch parse
+    * health (rows, dead letters = outer envelope failed, missing inner
+    * event time, payload bytes) measured BETWEEN the parse stages, before
+    * the F1 now()-fallback erases the failure signal from the output
+    * columns. observe() is an accumulator-style side channel: zero extra
+    * pass, no state, readable from every QueryProgress. */
+  def parse(raw: DataFrame, observeMetrics: Boolean): DataFrame = {
     // The two from_json results are STAGED as aliased columns before field
     // extraction: an unaliased expression `val` re-inlines the whole parse
     // tree at every field reference (~13 references => ~26 JSON parses per
     // row, measured 10 s/100k rows at sf0.1; staged: one parse each).
     // CollapseProject keeps the stages apart because from_json isn't cheap.
-    val staged = raw
+    val staged0 = raw
       .withColumn("__env", from_json(col("data").cast("string"), envelopeSchema))
       .withColumn("__req", from_json(col("__env").getField("body"), requestSchema))
+    // "dead letter" = no usable envelope: from_json with a StructType is
+    // PERMISSIVE — garbage parses to an all-null row, not a NULL struct —
+    // so the predicate checks the fields the sink path consumes. (An
+    // empty '{}' envelope counts too: nothing downstream can use it.)
+    val deadLetter = col("__env").getField("epoch").isNull &&
+      col("__env").getField("body").isNull &&
+      col("__env").getField("m").isNull && col("__env").getField("ip").isNull
+    val staged =
+      if (!observeMetrics) staged0
+      else staged0.observe("ingest_quality",
+        count(lit(1)).as("rows"),
+        sum(when(deadLetter, 1L).otherwise(0L)).as("dead_letters"),
+        sum(when(col("__req").getField("t").isNull, 1L).otherwise(0L)).as("missing_ts"),
+        sum(length(col("data").cast("string")).cast("long")).as("payload_bytes"))
     val env = col("__env")
     val req = col("__req")
     val cookies = parseCookies(req.getField("headers").getField("Cookie"))

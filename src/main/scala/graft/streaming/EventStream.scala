@@ -299,4 +299,18 @@ object EventStream {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("tokens"),
         avg(graft.ext.TextStats.qualityScore(col("text"))).as("mean_quality"))
+
+  /** The ingest parse instrumented with [[org.apache.spark.sql.Dataset.observe]]:
+    * per-batch parse-health counters (rows, dead letters = outer
+    * envelope/epoch failed, missing event timestamps, payload bytes) ride
+    * each `StreamingQueryProgress.observedMetrics["ingest_quality"]` row.
+    * This is the Spark-native form of the reference's ingestion meters
+    * (core.clj:31-34): the metrics are computed INSIDE the running query —
+    * no second aggregation stream, no state, no extra pass over the data —
+    * and a listener/dashboard reads them per micro-batch. The dead-letter
+    * predicate is the same from_json-NULL contract q65 audits in batch
+    * (observed BETWEEN the parse stages — the F1 now()-fallback means the
+    * OUTPUT columns never carry the failure signal). */
+  def observedParse(raw: DataFrame): DataFrame =
+    EventPipeline.parse(raw, observeMetrics = true)
 }

@@ -117,6 +117,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("observed parse: per-batch ingest-quality counters ride the query progress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val raw = input.toDF().toDF("sequenceNumber", "data")
+    val q = EventStream.observedParse(raw)
+      .writeStream.format("memory").queryName("obs").outputMode("append").start()
+    try {
+      val body = """{\"id\": \"x1\", \"url\": \"http://e/1\", \"t\": 1704103500000}"""
+      val payloads = Seq(
+        s"""{"epoch": 1704103500005, "body": "$body"}""", // clean
+        "not json at all",                                // dead letter
+        """{"epoch": 1704103500007, "body": "{}"}""")     // parses, no t
+      input.addData(payloads.zipWithIndex.map { case (p, i) => (s"${i + 1}" * 56, p) }: _*)
+      q.processAllAvailable()
+      // sum the observed metric across all progress entries that carry it
+      val rows = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ingest_quality")))
+      assert(rows.nonEmpty, "observedMetrics must surface ingest_quality")
+      def total(field: String): Long =
+        rows.map(r => r.getLong(r.fieldIndex(field))).sum
+      assert(total("rows") == 3L)
+      assert(total("dead_letters") == 1L, "the garbage record is the one dead letter")
+      assert(total("missing_ts") == 2L, "dead letter + missing t both lack ts")
+      assert(total("payload_bytes") == payloads.map(_.length.toLong).sum)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches against a broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -253,6 +253,66 @@ object CurationQueries {
       GROUP BY source ORDER BY source"""),
     doc = "greedy quality-ordered selection under integer-exact temperature budgets")
 
-  val all: Seq[QueryDef] = Seq(q114, q115, q116, q119)
+  // --------------------------------------------------------------- q132
+  /** Distribution-drift monitor: exact two-sample Kolmogorov-Smirnov
+    * statistic of each source's length distribution against the REST of
+    * the corpus — the alarm a pipeline raises when one crawl's documents
+    * stop looking like everyone else's. KS = max |F_s − F_rest| over the
+    * union of jump points; every CDF value here is an exact integer ratio
+    * (cumulative counts over totals), and a single IEEE division of two
+    * exact integers is bit-identical cross-engine, so even the UNROUNDED
+    * statistic is deterministic (round(6) is output hygiene only).
+    *
+    * Scale shape: the only corpus-sized shuffle is the (source, value)
+    * count agg (map-side combined). Everything after runs on BOUNDED
+    * cardinality: the evaluation grid is |sources| × |distinct metric
+    * values| (a drift metric is only meaningful over a bounded value
+    * domain — lengths, scores, bucketed stats), the global-CDF window is
+    * a single partition over just the distinct values, and the per-source
+    * CDF windows partition by source. The two crossJoins are a 1-row
+    * total and the bounded grid. */
+  val q132 = QueryDef(
+    "q132_ks_drift",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("source"), col("n_chars").as("v"))
+      val csv = docs.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      val srcs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val vals = docs.select(col("v")).distinct()
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val cumg = csv.groupBy(col("v")).agg(sum(col("c")).as("c"))
+        .select(col("v"), sum(col("c")).over(Window.orderBy(col("v"))).as("cum_g"))
+      val cums = srcs.crossJoin(broadcast(vals))
+        .join(csv, Seq("source", "v"), "left")
+        .select(col("source"), col("n_s"), col("v"),
+          sum(coalesce(col("c"), lit(0L)))
+            .over(Window.partitionBy(col("source")).orderBy(col("v"))).as("cum_s"))
+      cums.join(broadcast(cumg), "v")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("source"))
+        .agg(min(col("n_s")).as("n_docs"),
+          round(max(abs(col("cum_s").cast("double") / col("n_s")
+            - (col("cum_g") - col("cum_s")).cast("double") / (col("n") - col("n_s")))), 6)
+            .as("ks"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+      srcs AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+      tot AS (SELECT count(*) AS n FROM documents),
+      csv AS (SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+      cg AS (SELECT v, sum(c) AS c FROM csv GROUP BY v),
+      cumg AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum_g FROM cg),
+      grid AS (SELECT s.source, s.n_s, vv.v FROM srcs s CROSS JOIN vals vv),
+      cums AS (SELECT g.source, g.n_s, g.v,
+          sum(COALESCE(c.c, 0)) OVER (PARTITION BY g.source ORDER BY g.v) AS cum_s
+        FROM grid g LEFT JOIN csv c ON c.source = g.source AND c.v = g.v)
+      SELECT cs.source, min(cs.n_s) AS n_docs,
+        round(max(abs(cs.cum_s::DOUBLE / cs.n_s
+          - (cg2.cum_g - cs.cum_s)::DOUBLE / (t.n - cs.n_s))), 6) AS ks
+      FROM cums cs JOIN cumg cg2 USING (v) CROSS JOIN tot t
+      GROUP BY cs.source ORDER BY cs.source"""),
+    doc = "exact two-sample KS drift per source vs rest-of-corpus; bounded-grid evaluation")
+
+  val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132)
 }
 

@@ -426,5 +426,63 @@ object Similarity {
       GROUP BY x.q_id ORDER BY x.q_id"""),
     doc = "recall@10 of IVF(nprobe=3) vs brute-force ground truth; both pipelines value-level oracled")
 
-  val all: Seq[QueryDef] = Seq(q44, q45, q46, q54, q89, q109, q110)
+  // ---------------------------------------------------------------- q133
+  /** Contrastive hard-negative mining: for each anchor (vec_id < 10) the
+    * top-3 most-cosine-similar vectors carrying a DIFFERENT label — the
+    * "looks the same, means something else" examples an embedding model
+    * trains against — plus the best same-label positive for the triplet.
+    * Determinism is q45's contract: rank over (rounded sim, vec_id).
+    *
+    * Scale shape: identical to q45 — the anchor set broadcasts, the big
+    * side never shuffles, per-anchor window top-k. At real scale the
+    * same LSH/IVF candidate stage (q46/q89) slots in front of the scan
+    * unchanged, since mining only needs NEAR neighbors. */
+  val q133 = QueryDef(
+    "q133_hard_negatives",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("emb").as("q_emb"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          round(cosine(col("emb"), col("q_emb")), 6).as("sim"))
+      val negW = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val negs = scored.filter(col("label") =!= col("q_label"))
+        .withColumn("rank", row_number().over(negW).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), lit("neg").as("kind"), col("rank"), col("vec_id"),
+          col("label"), col("sim"))
+      val pos = scored.filter(col("label") === col("q_label"))
+        .withColumn("rank", row_number().over(negW).cast("long"))
+        .filter(col("rank") === 1)
+        .select(col("q_id"), lit("pos").as("kind"), col("rank"), col("vec_id"),
+          col("label"), col("sim"))
+      negs.unionByName(pos).orderBy(col("q_id"), col("kind"), col("rank"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS q_emb
+          FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.q_id, q.q_label, e.vec_id, e.label,
+          round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb), 6) AS sim
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      negs AS (
+        SELECT q_id, 'neg' AS kind,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank,
+          vec_id, label, sim
+        FROM scored WHERE label <> q_label),
+      pos AS (
+        SELECT q_id, 'pos' AS kind,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank,
+          vec_id, label, sim
+        FROM scored WHERE label = q_label)
+      SELECT q_id, kind, rank, vec_id, label, sim FROM negs WHERE rank <= 3
+      UNION ALL
+      SELECT q_id, kind, rank, vec_id, label, sim FROM pos WHERE rank = 1
+      ORDER BY q_id, kind, rank"""),
+    doc = "triplet mining: top-3 cross-label near neighbors + best positive per anchor")
+
+  val all: Seq[QueryDef] = Seq(q44, q45, q46, q54, q89, q109, q110, q133)
 }

@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Distributed BPE tokenizer training — the byte-pair-encoding merge loop
+  * (Sennrich et al. 2016) run as a Spark driver-iterative program, the
+  * same shape as q100's connected-components loop: per round one
+  * distributed aggregation elects the globally most frequent adjacent
+  * symbol pair (ties broken lexicographically — fully deterministic), and
+  * one narrow transform applies the merge to every word. k rounds = k
+  * tiny driver scalars; the corpus-sized work stays on executors.
+  *
+  * 100 TB design notes:
+  *  - training runs over the WORD VOCABULARY (word, freq), not the token
+  *    stream: the first agg collapses the corpus to distinct words, after
+  *    which per-round cost scales with |vocab| (sublinear in corpus) —
+  *    exactly how production BPE trainers work;
+  *  - the merge application is a per-row left-to-right fold via the
+  *    `aggregate` higher-order function — no UDF, no serialization
+  *    boundary, and the sequential dependency of greedy merging cannot
+  *    be expressed by element-wise HOFs;
+  *  - `localCheckpoint` truncates the growing lineage each round (q100's
+  *    lesson), so round N's plan does not replay rounds 1..N-1;
+  *  - the per-round election is `orderBy(...).limit(1)` — planned as
+  *    TakeOrderedAndProject (a k=1 top-k, never a global sort).
+  *
+  * No SQL oracle exists for an iterative argmax-dependent rewrite
+  * (aggregates are not allowed in a recursive CTE's recursive term), so
+  * q134 is registered WITHOUT oracle SQL — the driver records a
+  * rows-only check and correctness is pinned by BpeSpec against an
+  * independent single-threaded reference implementation plus the classic
+  * hand-computed fixture. */
+object Bpe {
+
+  /** End-of-word sentinel; distinguishes "est" inside a word from "est"
+    * at word end (the standard BPE convention). Chosen outside the
+    * corpus alphabet. */
+  val Eow = "</w>"
+
+  /** Greedy left-to-right merge of adjacent (l, r) into l+r, as a pure
+    * Column fold: [a a a] merge (a,a) -> [aa a] (non-overlapping, same as
+    * the reference algorithm). */
+  def mergePair(syms: Column, l: String, r: String): Column =
+    aggregate(syms,
+      lit(Array.empty[String]),
+      (acc, s) =>
+        when(size(acc) > 0 &&
+            element_at(acc, size(acc)) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+
+  /** One elected merge: rank (1-based), the pair, and its weighted count. */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** Train `k` BPE merges over a (word, freq) vocabulary frame.
+    * Deterministic: the election orders by (count DESC, left, right). */
+  def trainMerges(vocab: DataFrame, k: Int): Seq[Merge] = {
+    var state = vocab.select(col("word"), col("freq"),
+      concat(split(col("word"), ""), array(lit(Eow))).as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var round = 1
+    var go = true
+    while (go && round <= k) {
+      val top = state
+        .select(col("freq"), col("syms"), posexplode(col("syms")).as(Seq("i", "l")))
+        .withColumn("r", try_element_at(col("syms"), col("i") + 2))
+        .filter(col("r").isNotNull)
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) go = false
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        // a pair seen only once has no compression value; the reference
+        // algorithm stops when the best pair's count is 1
+        if (c < 2) go = false
+        else {
+          merges += Merge(round, l, r, c)
+          state = state
+            .select(col("word"), col("freq"), mergePair(col("syms"), l, r).as("syms"))
+            .localCheckpoint()
+          round += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  // --------------------------------------------------------------- q134
+  /** The first 10 BPE merges learned from the corpus word vocabulary. */
+  val q134 = QueryDef(
+    "q134_bpe_merges",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      import s.implicits._
+      trainMerges(vocab, 10)
+        .toDF("merge_rank", "left", "right", "pair_count")
+        .orderBy(col("merge_rank"))
+    },
+    None, // iterative argmax-dependent rewrite: not SQL-expressible (see scaladoc)
+    doc = "first 10 BPE merges over the word vocabulary; BpeSpec pins vs independent impl")
+
+  /** Posexplode trick above: `try_element_at(syms, i + 2)` pairs element
+    * i (0-based from posexplode) with its successor (element_at is
+    * 1-based; the try_ form returns NULL past the end instead of an ANSI
+    * error), yielding each adjacent (l, r) without a self-join. */
+
+  val all: Seq[QueryDef] = Seq(q134)
+}

@@ -56,7 +56,13 @@ object Bpe {
 
   /** Train `k` BPE merges over a (word, freq) vocabulary frame.
     * Deterministic: the election orders by (count DESC, left, right). */
-  def trainMerges(vocab: DataFrame, k: Int): Seq[Merge] = {
+  def trainMerges(vocab: DataFrame, k: Int): Seq[Merge] = train(vocab, k)._1
+
+  /** As [[trainMerges]], also returning the final tokenized vocabulary
+    * (word, freq, syms) — the state q135 reports compression from, so
+    * "apply the merges" costs nothing beyond the training it already
+    * ran (the returned frame is localCheckpoint-ed: no lineage replay). */
+  def train(vocab: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
     var state = vocab.select(col("word"), col("freq"),
       concat(split(col("word"), ""), array(lit(Eow))).as("syms"))
       .localCheckpoint()
@@ -86,7 +92,7 @@ object Bpe {
         }
       }
     }
-    merges.result()
+    (merges.result(), state)
   }
 
   // --------------------------------------------------------------- q134
@@ -110,5 +116,41 @@ object Bpe {
     * 1-based; the try_ form returns NULL past the end instead of an ANSI
     * error), yielding each adjacent (l, r) without a self-join. */
 
-  val all: Seq[QueryDef] = Seq(q134)
+  // --------------------------------------------------------------- q135
+  /** Tokenizer application report: train 10 merges, tokenize the word
+    * vocabulary with them, and weight by corpus frequency — the
+    * compression census that decides whether a learned vocab is worth
+    * shipping. `tokens_char` is the character-baseline token count
+    * (chars + the </w> sentinel per word occurrence); `tokens_bpe` is
+    * after the merges; compression = 1 − bpe/char as an exact integer
+    * ratio. `vocab_symbols` counts the distinct symbol inventory the
+    * merges induce (base chars + sentinel + one new symbol per merge
+    * actually used). Corpus-sized work is the one vocab-building agg;
+    * everything after runs on |vocab| rows. */
+  val q135 = QueryDef(
+    "q135_bpe_tokenize",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val (_, state) = train(vocab, 10)
+      val syms = state.select(col("freq"),
+        (length(col("word")) + 1).cast("long").as("n_char"),
+        size(col("syms")).cast("long").as("n_bpe"),
+        col("syms"))
+      syms.agg(
+          count(lit(1)).as("n_words"),
+          sum(col("freq") * col("n_char")).as("tokens_char"),
+          sum(col("freq") * col("n_bpe")).as("tokens_bpe"),
+          size(array_distinct(flatten(collect_list(col("syms"))))).cast("long")
+            .as("vocab_symbols"))
+        .select(col("n_words"), col("tokens_char"), col("tokens_bpe"),
+          round(lit(1.0) - col("tokens_bpe").cast("double") / col("tokens_char"), 6)
+            .as("compression"),
+          col("vocab_symbols"))
+    },
+    None, // depends on the iterative trainer (see q134)
+    doc = "10-merge BPE applied to the vocab; frequency-weighted compression census")
+
+  val all: Seq[QueryDef] = Seq(q134, q135)
 }

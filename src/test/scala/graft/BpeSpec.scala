@@ -68,6 +68,45 @@ class BpeSpec extends AnyFunSuite {
     assert(merged == Seq("aa", "aa", "a"))
   }
 
+  test("q135 laws: tokenization is lossless and strictly compressive on sf0.001") {
+    import spark.implicits._
+    val vocabDf = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val (merges, state) = Bpe.train(vocabDf, 10)
+    assert(merges.nonEmpty)
+    // losslessness: concatenating a word's symbols reproduces word + </w>
+    val broken = state.filter(
+      concat_ws("", col("syms")) =!= concat(col("word"), lit(Bpe.Eow)))
+    assert(broken.isEmpty, "merge application must never alter content")
+    // compression: the census row is internally consistent and strict
+    val r = Bpe.q135.fn(spark, "/root/testdata/sf0.001").head()
+    val (tokChar, tokBpe) = (r.getLong(r.fieldIndex("tokens_char")),
+      r.getLong(r.fieldIndex("tokens_bpe")))
+    assert(tokBpe < tokChar, "10 productive merges must strictly compress")
+    assert(r.getDouble(r.fieldIndex("compression")) > 0)
+  }
+
+  test("mergePair equals the reference fold on seeded random symbol arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "ab", "ba", "</w>")
+    val cases = Vector.fill(200)(
+      Vector.fill(1 + rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size))))
+    def refMerge(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    for ((l, r) <- Seq(("a", "b"), ("b", "a"), ("a", "a"), ("ab", "ba"))) {
+      val got = cases.toDF("syms")
+        .select(Bpe.mergePair(col("syms"), l, r).as("m"))
+        .collect().map(_.getSeq[String](0).toVector).toVector
+      val want = cases.map(refMerge(_, l, r))
+      assert(got == want, s"merge ($l,$r) diverged from the reference fold")
+    }
+  }
+
   test("sf0.001 corpus: distributed merge table equals the independent reference") {
     import spark.implicits._
     val vocabDf = Tables.documents(spark, "/root/testdata/sf0.001")

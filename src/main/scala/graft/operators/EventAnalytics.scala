@@ -180,5 +180,60 @@ object EventAnalytics {
       ORDER BY event_type, day"""),
     doc = "2-sigma daily-volume anomaly flags via exact scaled-integer z-test")
 
-  val all: Seq[QueryDef] = Seq(q117, q118, q126, q127)
+  // --------------------------------------------------------------- q136
+  /** Gaps-and-islands → SCD2 intervals: collapse each user's consecutive
+    * runs of the same event_type into validity intervals
+    * [valid_from, valid_to) with a NULL-ended current row — the
+    * slowly-changing-dimension build every warehouse runs over a change
+    * stream. Run ids come from the classic pattern: flag change points
+    * with lag(), then a running sum assigns island numbers.
+    *
+    * Scale shape: users are independent — both windows and the run
+    * aggregation partition on user_id, so the whole query is ONE
+    * user_id shuffle reused across window → agg → window (plus the
+    * output sort). Tie-break (ts, event_id) makes run assignment
+    * deterministic cross-engine. */
+  val q136 = QueryDef(
+    "q136_scd2_intervals",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .withColumn("run_id",
+          sum(when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+            .otherwise(0L)).over(byUser))
+      val runs = flagged.groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      runs
+        .withColumn("valid_to",
+          lead(col("valid_from"), 1)
+            .over(Window.partitionBy(col("user_id")).orderBy(col("run_id"))))
+        .select(col("user_id"), col("run_id"), col("event_type"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"), col("n_events"))
+        .orderBy(col("user_id"), col("run_id"))
+    },
+    Some("""WITH ordered AS (SELECT user_id, event_type, ts, event_id,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      flagged AS (SELECT user_id, event_type, ts,
+          CAST(sum(CASE WHEN prev_type IS NULL OR prev_type != event_type THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        FROM ordered),
+      runs AS (SELECT user_id, run_id, min(event_type) AS event_type,
+          min(ts) AS valid_from, count(*) AS n_events
+        FROM flagged GROUP BY user_id, run_id),
+      intervals AS (SELECT user_id, run_id, event_type, valid_from, n_events,
+          lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to
+        FROM runs)
+      SELECT user_id, run_id, event_type, valid_from, valid_to,
+        (valid_to IS NULL) AS is_current, n_events
+      FROM intervals ORDER BY user_id, run_id"""),
+    doc = "gaps-and-islands run collapse into SCD2 validity intervals; one user_id shuffle")
+
+  val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136)
 }

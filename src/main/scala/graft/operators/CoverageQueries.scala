@@ -730,8 +730,42 @@ object CoverageQueries {
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
     doc = "bit_and/bit_or/bit_xor mask rollups; order-free, partial-aggregable")
 
+  // --------------------------------------------------------------- q137
+  /** TIME-interval RANGE window frames — `RANGE BETWEEN INTERVAL '1' HOUR
+    * PRECEDING AND CURRENT ROW` — the rolling-window-by-wall-clock shape
+    * (rate limiting, rolling revenue, sliding SLO counters) that a ROWS
+    * frame cannot express when event spacing is irregular. Complements
+    * q83's NUMERIC range frame; only the SQL front-end can state interval
+    * frames, so this rides the registered events view. floor(value*100)
+    * keeps the windowed sum integer-exact (floor is deterministic on
+    * doubles; a double->long CAST would round differently per engine).
+    *
+    * Scale shape: one shuffle on event_type, a spilling range-frame
+    * window (frame bounds slide monotonically — each row evicts/admits
+    * incrementally, no per-row rescan), then the output sort. */
+  val q137 = QueryDef(
+    "q137_time_range_frame",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, event_type, ts,
+          count(*) OVER w AS n_1h,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        FROM events_v
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")
+    },
+    Some("""SELECT event_id, event_type, ts,
+        count(*) OVER w AS n_1h,
+        CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""),
+    doc = "rolling 1-hour interval RANGE frame per event_type; spilling incremental window")
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99,
-    q128, q129)
+    q128, q129, q137)
 }

@@ -235,5 +235,50 @@ object EventAnalytics {
       FROM intervals ORDER BY user_id, run_id"""),
     doc = "gaps-and-islands run collapse into SCD2 validity intervals; one user_id shuffle")
 
-  val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136)
+  // --------------------------------------------------------------- q138
+  /** Time-weighted average (TWAP): each observation of `value` holds
+    * until the next observation of the same event_type, so its weight is
+    * that gap in microseconds — the standard fix for irregularly-spaced
+    * metrics where a plain mean over-counts bursts. Determinism is the
+    * decimal-accumulator convention (QueryDef.FloatNote) end to end:
+    * value rounds once to DECIMAL(18,6) (same half-up in both engines —
+    * q63's precedent), the µs gap is an exact BIGINT, their product and
+    * sum are exact decimals, and the single final division runs in IEEE
+    * doubles (gap totals < 2^53, exactly representable).
+    *
+    * Scale shape: one event_type window shuffle for lead(), then a tiny
+    * per-type agg — partial aggregation collapses everything map-side. */
+  val q138 = QueryDef(
+    "q138_twap",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byT = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("ts"), col("event_id"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(byT))
+        .filter(col("next_ts").isNotNull)
+        .select(col("event_type"),
+          (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("dt"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("v") * col("dt").cast("decimal(20,0)")).cast("double").as("wv"),
+          sum(col("dt")).as("dt_total"))
+        .select(col("event_type"), col("n_intervals"),
+          round(col("wv") / col("dt_total").cast("double"), 6).as("twap"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH g AS (SELECT event_type,
+          epoch_us(lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+            - epoch_us(ts) AS dt,
+          CAST(value AS DECIMAL(18,6)) AS v
+        FROM events)
+      SELECT event_type, count(*) AS n_intervals,
+        round(CAST(SUM(v * CAST(dt AS DECIMAL(20,0))) AS DOUBLE)
+          / CAST(SUM(dt) AS DOUBLE), 6) AS twap
+      FROM g WHERE dt IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""),
+    doc = "time-weighted average per type; decimal-exact value x microsecond weights")
+
+  val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138)
 }

@@ -181,7 +181,13 @@ class ScaleSpec extends AnyFunSuite {
       // bench-distinct + hitdoc-distinct + census aggs + output sort; the
       // corpus side itself NEVER exchanges: bench + hit-doc sets broadcast
       Pin(graft.ext.Dedup.q124, 4, Set("BroadcastHashJoin"),
-        "bloom scrub: all shuffles are tiny-side/final; corpus never exchanges"))
+        "bloom scrub: all shuffles are tiny-side/final; corpus never exchanges"),
+      // ONE user_id exchange reused across window -> agg -> window + output sort
+      Pin(graft.operators.EventAnalytics.q136, 2, Set.empty,
+        "SCD2 islands: windows and run-agg share the user_id partitioning"),
+      // one event_type window exchange + output sort; frame slides incrementally
+      Pin(graft.operators.CoverageQueries.q137, 2, Set.empty,
+        "interval range frame: single window pass, no per-row rescan"))
     val problems = pins.flatMap { p =>
       val plan = p.q.fn(spark, sf).queryExecution.executedPlan.toString
       val shuffles = shuffleRe.findAllIn(plan).size

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import graft.etl.EventPipeline
 
 /** Streaming tier: every transform is `DataFrame → DataFrame`, so the same
@@ -313,4 +313,86 @@ object EventStream {
     * OUTPUT columns never carry the failure signal). */
   def observedParse(raw: DataFrame): DataFrame =
     EventPipeline.parse(raw, observeMetrics = true)
+
+  /** One LSH bucket's memory of a previously seen document. */
+  case class BucketEntry(docId: Long, sig: Array[Long])
+  /** A flagged near-duplicate: the arriving doc, the earlier doc it
+    * collides with, and the signature-agreement Jaccard estimate. */
+  case class NearDupHit(docId: Long, matchedId: Long, estJaccard: Double)
+
+  /** Online near-dup detection state: per band-bucket, the last
+    * `maxPerBucket` (docId, signature) entries. Arriving docs compare
+    * their 64-hash MinHash signature against every resident of each of
+    * their 16 buckets — agreement fraction is the unbiased Jaccard
+    * estimator — and hits ≥ tau are emitted as they are discovered.
+    * In-batch order is pinned by docId so replays are deterministic. */
+  class NearDupProcessor(k: Int, tau: Double, maxPerBucket: Int)
+      extends StatefulProcessor[String, (String, Long, Array[Long]), NearDupHit] {
+    @transient private var seen: ListState[BucketEntry] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getListState[BucketEntry]("seen",
+        org.apache.spark.sql.Encoders.product[BucketEntry], TTLConfig.NONE)
+    }
+    override def handleInputRows(bucket: String,
+        rows: Iterator[(String, Long, Array[Long])],
+        timerValues: TimerValues): Iterator[NearDupHit] = {
+      var resident = seen.get().toVector
+      val hits = Vector.newBuilder[NearDupHit]
+      rows.toVector.sortBy(_._2).foreach { case (_, docId, sig) =>
+        resident.foreach { e =>
+          if (e.docId != docId) {
+            var same = 0
+            var i = 0
+            while (i < k) { if (sig(i) == e.sig(i)) same += 1; i += 1 }
+            val est = same.toDouble / k
+            if (est >= tau) hits += NearDupHit(docId, e.docId, est)
+          }
+        }
+        resident = (resident :+ BucketEntry(docId, sig)).takeRight(maxPerBucket)
+      }
+      seen.put(resident.toArray)
+      hits.result().iterator
+    }
+  }
+
+  /** Near-dup filtering DURING ingest — the streaming form of q41: each
+    * arriving document is checked against everything previously seen that
+    * shares any MinHash band bucket, without ever storing (or scanning)
+    * the corpus itself. The batch pipeline's own primitives do the
+    * hashing (`Dedup.minHashSignature`, the codegen'd MinHashSig native);
+    * bucketing hashes each 4-hash band slice, so candidate generation is
+    * the same S-curve as q41's 16×4 banding.
+    *
+    * Scale/semantics notes:
+    *  - state is O(buckets × maxPerBucket) — `maxPerBucket` FIFO-bounds
+    *    each bucket, trading recall against unbounded state (a TTL via
+    *    RocksDB column families is the production alternative);
+    *  - the emitted estimate is signature agreement (E[est] = J), not
+    *    exact Jaccard: the stream never retains shingle sets. Downstream
+    *    either trusts the estimate (tau well above the band knee) or
+    *    exact-verifies flagged pairs against the durable log in batch;
+    *  - a doc pair sharing multiple buckets is emitted once per shared
+    *    bucket; consumers dedupe on (docId, matchedId) — deterministic,
+    *    so the contract is stable under replay. */
+  def streamingNearDup(docs: DataFrame, // (doc_id, text)
+      k: Int = 64, bands: Int = 16, tau: Double = 0.5,
+      maxPerBucket: Int = 16): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val r = k / bands // rows per band (4 at the 64/16 default — q41's knee)
+    val sig = graft.ext.Dedup.minHashSignature(
+      graft.ext.Dedup.wordShingles(col("text"), 3), k, 42L)
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(":", b,
+            xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r)))))).as("bucket"))
+      .as[(Long, Array[Long], String)]
+      .map { case (id, s, b) => (b, id, s) }
+      .groupByKey(_._1)
+      .transformWithState(new NearDupProcessor(k, tau, maxPerBucket),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

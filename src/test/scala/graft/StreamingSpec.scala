@@ -216,6 +216,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup: arriving docs flag against earlier docs sharing LSH buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = EventStream.streamingNearDup(input.toDF().toDF("doc_id", "text"))
+        .toDF("doc_id", "matched_id", "est")
+        .writeStream.format("memory").queryName("snd").outputMode("append").start()
+      try {
+        val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills tonight"
+        input.addData((1L, base), (2L, "completely different words about spark shuffles and parquet column pruning at scale"))
+        q.processAllAvailable()
+        // batch 2: 10 = exact copy of 1, 11 = near copy, 12 = unrelated,
+        // 13+14 = in-batch exact pair, both unseen before
+        val inBatch = "entirely novel sentence mentioning winnowing fingerprints and rolling hash windows for spans"
+        input.addData(
+          (10L, base),
+          (11L, base.replace("tonight", "today")),
+          (12L, "another unrelated line of text carrying no resemblance to anything said before now"),
+          (13L, inBatch), (14L, inBatch))
+        q.processAllAvailable()
+        val hits = spark.sql(
+          "SELECT DISTINCT doc_id, matched_id, est FROM snd ORDER BY doc_id, matched_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val pairs = hits.map(h => (h._1, h._2)).toSet
+        assert(pairs.contains((10L, 1L)), s"exact copy must flag against the original: ${hits.toSeq}")
+        assert(pairs.contains((11L, 1L)), s"near copy must flag against the original: ${hits.toSeq}")
+        assert(pairs.contains((14L, 13L)), s"in-batch pair must flag (docId order): ${hits.toSeq}")
+        assert(!hits.exists(h => h._1 == 12L || h._2 == 12L), "unrelated doc must not flag")
+        assert(!hits.exists(h => h._1 == 2L || h._2 == 2L), "unrelated doc must not flag")
+        // signature agreement on an exact copy is exactly 1.0
+        assert(hits.filter(h => (h._1, h._2) == (10L, 1L)).forall(_._3 == 1.0))
+      } finally q.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join matches keys within the time bound only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -764,8 +764,43 @@ object CoverageQueries {
       ORDER BY event_id"""),
     doc = "rolling 1-hour interval RANGE frame per event_type; spilling incremental window")
 
+  // --------------------------------------------------------------- q139
+  /** Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497): the classic
+    * hierarchy-explosion + subtree-rollup workload (BOM explosion /
+    * org-chart descendants) over a deterministic binary-tree hierarchy
+    * (parent = doc_id DIV 2). Overlapping roots 1-7 prove each anchor row
+    * recurses independently.
+    *
+    * Scale shape: each recursion level is a hash EQUI-join (child DIV 2 =
+    * node) against the dimension — never an all-pairs step — and depth is
+    * log2(n) levels. For data-driven graphs whose closure can explode,
+    * q100's alternating-star CC remains the scalable form; this covers
+    * the SQL-surface recursion contract itself. */
+  val q139 = QueryDef(
+    "q139_recursive_rollup",
+    (s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("docs_v")
+      s.sql("""WITH RECURSIVE tree AS (
+          SELECT doc_id AS root, doc_id AS node FROM docs_v WHERE doc_id BETWEEN 1 AND 7
+          UNION ALL
+          SELECT t.root, d.doc_id FROM tree t
+          JOIN docs_v d ON d.doc_id DIV 2 = t.node AND d.doc_id > 1)
+        SELECT root, count(*) AS n_nodes, sum(c.n_chars) AS subtree_chars
+        FROM tree JOIN docs_v c ON c.doc_id = tree.node
+        GROUP BY root ORDER BY root""")
+    },
+    Some("""WITH RECURSIVE tree AS (
+        SELECT doc_id AS root, doc_id AS node FROM documents WHERE doc_id BETWEEN 1 AND 7
+        UNION ALL
+        SELECT t.root, d.doc_id FROM tree t
+        JOIN documents d ON d.doc_id // 2 = t.node AND d.doc_id > 1)
+      SELECT root, count(*) AS n_nodes, CAST(sum(c.n_chars) AS BIGINT) AS subtree_chars
+      FROM tree JOIN documents c ON c.doc_id = tree.node
+      GROUP BY root ORDER BY root"""),
+    doc = "WITH RECURSIVE hierarchy explosion + rollup; equi-join per level, log-depth")
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99,
-    q128, q129, q137)
+    q128, q129, q137, q139)
 }

@@ -53,5 +53,66 @@ object TypedApi {
       WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  val all: Seq[QueryDef] = Seq(q77)
+  // --------------------------------------------------------------- q140
+  /** Custom typed Aggregator: bounded top-k-by-score per group — the
+    * SURVEY §4 "candidate custom work" item (per-group top-k WITHOUT a
+    * full window sort). The aggregation buffer holds at most k entries,
+    * so partial aggregation ships k rows per (group × map task) instead
+    * of sorting every group member through a window — at 100 TB the
+    * difference between a k-row combiner and a spilling per-group sort.
+    * Determinism: ordering is (score desc, docId asc), applied in
+    * reduce, merge, AND finish, so merge order cannot change the result;
+    * the score is per-row arithmetic (q50's quality formula), identical
+    * cross-engine. Oracle = the window formulation: both must agree row
+    * for row. */
+  final case class DocScore(docId: Long, score: Double)
+
+  class TopKByScore(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[DocScore, Seq[DocScore], Seq[DocScore]] {
+    private def best(xs: Seq[DocScore]): Seq[DocScore] =
+      xs.sortBy(x => (-x.score, x.docId)).take(k)
+    override def zero: Seq[DocScore] = Seq.empty
+    override def reduce(b: Seq[DocScore], a: DocScore): Seq[DocScore] = best(b :+ a)
+    override def merge(b1: Seq[DocScore], b2: Seq[DocScore]): Seq[DocScore] = best(b1 ++ b2)
+    override def finish(r: Seq[DocScore]): Seq[DocScore] = best(r)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[DocScore]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[DocScore]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[DocScore]] =
+      bufferEncoder
+  }
+
+  val q140 = QueryDef(
+    "q140_topk_aggregator",
+    (s, d) => {
+      import s.implicits._
+      val scored = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          round(graft.ext.TextStats.qualityScore(col("text")), 6).as("score"))
+        .as[(String, Long, Double)]
+        .map { case (src, id, sc) => (src, DocScore(id, sc)) }
+      scored.groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new TopKByScore(3).toColumn.name("top"))
+        .toDF("source", "top")
+        .select(col("source"), posexplode(col("top")).as(Seq("i", "e")))
+        .select(col("source"), (col("i") + 1).cast("long").as("rank"),
+          col("e.docId").as("doc_id"), col("e.score").as("score"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some("""WITH scored AS (SELECT source, doc_id,
+          round(least(len(string_split(lower(text), ' '))::DOUBLE / 50.0, 1.0) * 0.4
+            + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                / greatest(length(text)::DOUBLE, 1.0) * 10.0, 1.0)) * 0.3
+            + (len(list_filter(string_split(lower(text), ' '),
+                x -> x IN ('the','a','of','and','to')))::DOUBLE
+               / len(string_split(lower(text), ' '))::DOUBLE) * 0.3, 6) AS score
+        FROM documents),
+      ranked AS (SELECT source, doc_id, score,
+          row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rank
+        FROM scored)
+      SELECT source, rank, doc_id, score FROM ranked WHERE rank <= 3
+      ORDER BY source, rank"""),
+    doc = "typed bounded top-k Aggregator (k-row combiner, no window sort) vs window oracle")
+
+  val all: Seq[QueryDef] = Seq(q77, q140)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -799,8 +799,92 @@ object CoverageQueries {
       GROUP BY root ORDER BY root"""),
     doc = "WITH RECURSIVE hierarchy explosion + rollup; equi-join per level, log-depth")
 
+  // --------------------------------------------------------------- q141
+  /** Map higher-order functions — map_zip_with / map_filter /
+    * map_entries / map_from_arrays — the last HOF family q78-q82 left
+    * uncovered. Two per-doc maps (the 4 lexicographically-first distinct
+    * words of each text half, keyed to their lengths) merge with
+    * map_zip_with (sum, NULL-coalesced), then map_filter keeps keys
+    * present in BOTH halves (v > len(k) ⇔ both sides contributed). The
+    * oracle derives the identical result set-theoretically (sorted
+    * half-intersection, value 2·len(k)) — an independent formulation, so
+    * the map machinery is checked, not mirrored. Output is canonically
+    * serialized (sorted k:v join) since map columns have no cross-engine
+    * physical order. All per-row, shuffle-free except the output sort. */
+  val q141 = QueryDef(
+    "q141_map_hof",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val half = (size(words) / 2).cast("int")
+      def first4(c: Column) = slice(array_sort(array_distinct(c)), 1, 4)
+      val d1 = first4(slice(words, lit(1), half))
+      val d2 = first4(slice(words, half + 1, size(words) - half))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          map_from_arrays(d1, transform(d1, x => length(x))).as("m1"),
+          map_from_arrays(d2, transform(d2, x => length(x))).as("m2"))
+        .select(col("doc_id"),
+          map_filter(
+            map_zip_with(col("m1"), col("m2"),
+              (_, a, b) => coalesce(a, lit(0)) + coalesce(b, lit(0))),
+            (k, v) => v > length(k)).as("f"))
+        .select(col("doc_id"), size(col("f")).cast("long").as("n_shared"),
+          array_join(array_sort(transform(map_entries(col("f")),
+            e => concat(e.getField("key"), lit(":"), e.getField("value").cast("string")))),
+            ",").as("shared"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      h AS (SELECT doc_id,
+          list_sort(list_distinct(words[1 : len(words)//2]))[1:4] AS d1,
+          list_sort(list_distinct(words[len(words)//2+1 : len(words)]))[1:4] AS d2
+        FROM w),
+      k AS (SELECT doc_id, list_sort(list_intersect(d1, d2)) AS kept FROM h)
+      SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_shared,
+        coalesce(array_to_string(
+          [x || ':' || CAST(2*length(x) AS VARCHAR) for x in kept], ','), '') AS shared
+      FROM k ORDER BY doc_id"""),
+    doc = "map_zip_with/map_filter/map_entries vs an independent set-theoretic oracle")
+
+  // --------------------------------------------------------------- q142
+  /** session_window() as a BATCH aggregation — the built-in gap-based
+    * sessionizer (q61 builds sessions manually with windows; streaming
+    * uses it in EventStream.sessionCounts; this covers the batch-SQL
+    * form). Session end = last event + gap, Spark's contract, which the
+    * oracle reproduces via the gaps-and-islands formulation — two
+    * independent definitions that must agree on every boundary.
+    *
+    * Scale shape: session_window plans as a single user_id-partitioned
+    * sort-aggregate — one shuffle, sessions never materialize as rows
+    * until aggregation emits them. */
+  val q142 = QueryDef(
+    "q142_session_window_batch",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""WITH o AS (SELECT user_id, ts,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      f AS (SELECT user_id, ts,
+          CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM o)
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        count(*) AS n_events
+      FROM f GROUP BY user_id, sid ORDER BY user_id, session_start"""),
+    doc = "built-in batch session_window vs the gaps-and-islands oracle formulation")
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99,
-    q128, q129, q137, q139)
+    q128, q129, q137, q139, q141, q142)
 }

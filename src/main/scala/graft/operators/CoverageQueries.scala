@@ -883,8 +883,148 @@ object CoverageQueries {
       FROM f GROUP BY user_id, sid ORDER BY user_id, session_start"""),
     doc = "built-in batch session_window vs the gaps-and-islands oracle formulation")
 
+  // --------------------------------------------------------------- q143
+  /** Percent-of-parent rollup: each nation's revenue share within its
+    * region and each region's share of the global total — the two-level
+    * ratio report every BI layer builds. Shares divide exact decimal
+    * sums cast to double (single IEEE division — deterministic), dims
+    * broadcast, and the fact table aggregates once at the finest grain;
+    * parent levels re-aggregate the small partials, never rescan. */
+  val q143 = QueryDef(
+    "q143_percent_of_parent",
+    (s, d) => {
+      val rev = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("nation_rev"))
+      val byRegion = Window.partitionBy(col("r_name"))
+      val global = Window.partitionBy()
+      rev
+        .select(col("r_name"), col("n_name"),
+          col("nation_rev").cast("double").as("nation_rev"),
+          sum(col("nation_rev")).over(byRegion).cast("double").as("region_rev"),
+          sum(col("nation_rev")).over(global).cast("double").as("global_rev"))
+        .select(col("r_name"), col("n_name"), col("nation_rev"),
+          round(col("nation_rev") / col("region_rev"), 6).as("share_of_region"),
+          round(col("region_rev") / col("global_rev"), 6).as("region_share_of_global"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""WITH rev AS (SELECT r_name, n_name,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS nation_rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+      SELECT r_name, n_name, CAST(nation_rev AS DOUBLE) AS nation_rev,
+        round(CAST(nation_rev AS DOUBLE)
+          / CAST(SUM(nation_rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+          AS share_of_region,
+        round(CAST(SUM(nation_rev) OVER (PARTITION BY r_name) AS DOUBLE)
+          / CAST(SUM(nation_rev) OVER () AS DOUBLE), 6)
+          AS region_share_of_global
+      FROM rev ORDER BY r_name, n_name"""),
+    doc = "two-level revenue shares; decimal-exact sums, broadcast dims, single fact agg")
+
+  // --------------------------------------------------------------- q144
+  /** Contingency-table residuals: event_type × ISO weekday observed vs
+    * independence-expected counts, with over/under-representation
+    * flagged by the |O−E| > 3√E rule carried out in EXACT integer
+    * algebra — (O·N − R·C)² > 9·R·C·N — so the verdict never touches a
+    * float (q127's scaled-integer z-test, in two dimensions). Expected
+    * counts are display-rounded rationals. Weekday alignment pinned:
+    * Spark weekday() is Mon=0, DuckDB isodow is Mon=1. */
+  val q144 = QueryDef(
+    "q144_contingency_residuals",
+    (s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"), (weekday(col("ts")) + 1).cast("long").as("dow"))
+        .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+      val r = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+      val c = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+      val n = cells.agg(sum(col("o")).as("n"))
+      cells.join(broadcast(r), "event_type").join(broadcast(c), "dow")
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("dow"), col("o"),
+          round(col("r").cast("double") * col("c") / col("n"), 4).as("e"),
+          ((col("o") * col("n") - col("r") * col("c"))
+            * (col("o") * col("n") - col("r") * col("c"))
+            > col("r") * col("c") * col("n") * 9).as("flagged"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+    Some("""WITH cells AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+          count(*) AS o FROM events GROUP BY 1, 2),
+      rr AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY event_type),
+      cc AS (SELECT dow, sum(o) AS c FROM cells GROUP BY dow),
+      nn AS (SELECT sum(o) AS n FROM cells)
+      SELECT event_type, dow, o,
+        round(r::DOUBLE * c / n, 4) AS e,
+        ((o * n - r * c) * (o * n - r * c) > 9 * r * c * n) AS flagged
+      FROM cells JOIN rr USING (event_type) JOIN cc USING (dow) CROSS JOIN nn
+      ORDER BY event_type, dow"""),
+    doc = "type x weekday independence residuals; exact-integer 3-sigma verdicts")
+
+  // --------------------------------------------------------------- q145
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    * match NULL dimension rows instead of vanishing — the "unknown"
+    * bucket pattern for late-arriving dimension keys. Every seventh user
+    * key becomes NULL; the broadcast dim carries an explicit NULL row. */
+  val q145 = QueryDef(
+    "q145_null_safe_join",
+    (s, d) => {
+      import s.implicits._
+      val probe = Tables.events(s, d)
+        .select(when(col("user_id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id") % 7).as("k"))
+      val dim = (Seq((null.asInstanceOf[java.lang.Long], "unknown")) ++
+        (1L to 6L).map(i => (java.lang.Long.valueOf(i), s"bucket$i")))
+        .toDF("dk", "label")
+      probe.join(broadcast(dim), col("k") <=> col("dk"))
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH probe AS (SELECT CASE WHEN user_id % 7 = 0 THEN NULL
+            ELSE user_id % 7 END AS k FROM events),
+      dim AS (SELECT NULL AS dk, 'unknown' AS label
+        UNION ALL SELECT i, 'bucket' || CAST(i AS VARCHAR) FROM range(1, 7) t(i))
+      SELECT label, count(*) AS n
+      FROM probe JOIN dim ON k IS NOT DISTINCT FROM dk
+      GROUP BY label ORDER BY label"""),
+    doc = "<=> join semantics: NULL keys land in an explicit unknown dimension row")
+
+  // --------------------------------------------------------------- q146
+  /** Threshold-capped Levenshtein — the banded O(len·k) kernel q103's
+    * scaladoc prescribes when a similarity floor exists: distances past
+    * the cap return -1 without finishing the DP table. The oracle
+    * computes the FULL distance and applies the cap arithmetically, so
+    * the kernel's early-exit contract (exact below cap, -1 at/above) is
+    * value-checked on every adjacent pair. */
+  val q146 = QueryDef(
+    "q146_capped_levenshtein",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.as("a")
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          levenshtein(col("a.text"), col("b.text"), 120).as("dist_capped"))
+        .orderBy(col("a_id"))
+    },
+    Some("""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CASE WHEN levenshtein(a.text, b.text) <= 120
+             THEN levenshtein(a.text, b.text) ELSE -1 END AS dist_capped
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      ORDER BY a_id"""),
+    doc = "banded levenshtein(l, r, k): exact below the cap, -1 past it")
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99,
-    q128, q129, q137, q139, q141, q142)
+    q128, q129, q137, q139, q141, q142, q143, q144, q145, q146)
 }

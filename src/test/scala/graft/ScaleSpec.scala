@@ -96,7 +96,8 @@ class ScaleSpec extends AnyFunSuite {
       "q110_ann_recall",        // composes q45+q46: same tiny broadcast sides
       "q119_budget_fill",       // crossJoin(broadcast(1-row weight sum))
       "q132_ks_drift",          // bounded srcs x distinct-values grid + 1-row total
-      "q133_hard_negatives")    // q45's shape: constant 10-anchor broadcast side
+      "q133_hard_negatives",    // q45's shape: constant 10-anchor broadcast side
+      "q144_contingency_residuals") // crossJoin(broadcast(1-row grand total))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

@@ -1023,8 +1023,42 @@ object CoverageQueries {
       ORDER BY a_id"""),
     doc = "banded levenshtein(l, r, k): exact below the cap, -1 past it")
 
+  // --------------------------------------------------------------- q147
+  /** IGNORE NULLS window navigation — last-observation-carried-forward
+    * (LOCF): the value signal exists only on purchase events; every
+    * event row carries the user's most recent (and first) purchase value
+    * forward via last_value/first_value(…, ignoreNulls). This is the
+    * sparse-signal forward-fill every sessionized feature pipeline needs
+    * and a distinct null-handling surface from q13-q17/q59's window
+    * coverage. One user_id window shuffle + output sort. */
+  val q147 = QueryDef(
+    "q147_ignore_nulls_locf",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "purchase", round(col("value"), 3)).as("pv"))
+        .select(col("user_id"), col("event_id"),
+          last(col("pv"), ignoreNulls = true).over(w).as("last_purchase_value"),
+          first(col("pv"), ignoreNulls = true).over(w).as("first_purchase_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH s AS (SELECT user_id, event_id, ts,
+          CASE WHEN event_type = 'purchase' THEN round(value, 3) ELSE NULL END AS pv
+        FROM events)
+      SELECT user_id, event_id,
+        last_value(pv IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value,
+        first_value(pv IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_purchase_value
+      FROM s ORDER BY user_id, event_id"""),
+    doc = "IGNORE NULLS last/first_value forward-fill (LOCF) over sparse signals")
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99,
-    q128, q129, q137, q139, q141, q142, q143, q144, q145, q146)
+    q128, q129, q137, q139, q141, q142, q143, q144, q145, q146, q147)
 }

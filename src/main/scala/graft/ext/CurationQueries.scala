@@ -313,6 +313,98 @@ object CurationQueries {
       GROUP BY cs.source ORDER BY cs.source"""),
     doc = "exact two-sample KS drift per source vs rest-of-corpus; bounded-grid evaluation")
 
-  val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132)
+  // --------------------------------------------------------------- q148
+  /** Per-document novelty contribution: the fraction of a doc's distinct
+    * 5-grams that appear for the FIRST time (by doc_id order) in that
+    * doc — the diagnostic that ranks which documents actually add
+    * content to a growing corpus vs re-tread what's already there.
+    *
+    * Scale shape: q116's layout — grams shuffle as xxhash64 keys (8
+    * bytes, never the gram text) with the q40 collision fail-stop; the
+    * first-occurrence table joins back on the same hash key (Exchange
+    * reuse), then a per-doc agg. */
+  val q148 = QueryDef(
+    "q148_novelty_contribution",
+    (s, d) => {
+      val e = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"),
+          explode(Dedup.wordShingles(col("text"), 5)).as("gram"))
+        .withColumn("gh", xxhash64(col("gram")))
+      val firsts = e.groupBy(col("gh"))
+        .agg(min(col("doc_id")).as("first_doc"),
+          min(col("gram")).as("g1"), max(col("gram")).as("g2"))
+        .select(col("gh"),
+          when(col("g1") =!= col("g2"),
+            raise_error(lit("q148: xxhash64 collision — distinct grams in one group"))
+              .cast("long"))
+            .otherwise(col("first_doc")).as("first_doc"))
+      e.join(firsts, "gh")
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("n_novel"), col("n_grams"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      g AS (SELECT doc_id,
+              list_distinct([array_to_string(words[i:i+4], ' ') for i in range(1, len(words)-3)]) sh
+            FROM w WHERE len(words) >= 5),
+      e AS (SELECT doc_id, unnest(sh) AS gram FROM g),
+      firsts AS (SELECT gram, min(doc_id) AS first_doc FROM e GROUP BY gram),
+      nov AS (SELECT e.doc_id, count(*) FILTER (WHERE f.first_doc = e.doc_id) AS n_novel,
+                count(*) AS n_grams
+              FROM e JOIN firsts f USING (gram) GROUP BY e.doc_id)
+      SELECT doc_id, n_novel, n_grams, round(n_novel::DOUBLE / n_grams, 6) AS novelty
+      FROM nov ORDER BY doc_id"""),
+    doc = "first-occurrence 5-gram share per doc; 8-byte hash shuffle + collision guard")
+
+  // --------------------------------------------------------------- q149
+  /** Source-vocabulary overlap matrix: exact Jaccard between every pair
+    * of sources' word vocabularies — "do these two crawls speak the same
+    * language", the lexical complement of q123's near-dup matrix.
+    *
+    * Scale shape: the pair counts come from an INVERTED-INDEX equi-join
+    * on the word ((source, word) distinct rows joined to themselves on
+    * word, source_a < source_b as a residual filter) — never a vocabulary
+    * cross join — then |sources|²-bounded aggs; union sizes derive from
+    * per-source vocab counts (|A|+|B|−shared). The oracle reproduces the
+    * matrix from whole materialized vocab LISTS — an independent
+    * formulation. */
+  val q149 = QueryDef(
+    "q149_vocab_overlap",
+    (s, d) => {
+      val v = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      val shared = v.as("a")
+        .join(v.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(sizes.select(col("source").as("source_a"), col("nv").as("na"))),
+          "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("nv").as("nb"))),
+          "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          round(col("n_shared").cast("double")
+            / (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""WITH v AS (SELECT source,
+          list_sort(list_distinct(flatten(list(string_split(text, ' '))))) vocab
+        FROM documents GROUP BY source)
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(len(list_intersect(a.vocab, b.vocab)) AS BIGINT) AS n_shared,
+        round(len(list_intersect(a.vocab, b.vocab))::DOUBLE
+          / len(list_distinct(list_concat(a.vocab, b.vocab))), 6) AS jaccard
+      FROM v a JOIN v b ON a.source < b.source
+      ORDER BY source_a, source_b"""),
+    doc = "exact source x source vocabulary Jaccard via inverted-index equi-join")
+
+  val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149)
 }
 

@@ -405,6 +405,78 @@ object CurationQueries {
       ORDER BY source_a, source_b"""),
     doc = "exact source x source vocabulary Jaccard via inverted-index equi-join")
 
-  val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149)
+  // --------------------------------------------------------------- q150
+  /** The composed curation pipeline — the capstone proving the tier's
+    * operators CHAIN: rule gate (q115's integer thresholds) → exact
+    * dedup keep-first (q40's hash layout + collision guard) →
+    * benchmark decontamination (q101's broadcast inverted index) →
+    * per-source selection census. Each stage narrows the frame the next
+    * stage reads; Catalyst pipelines the narrow stages and the only
+    * corpus-sized exchanges are the dedup hash-agg and its join-back.
+    * One DataFrame program, one oracle replicating the whole chain. */
+  val q150 = QueryDef(
+    "q150_curation_pipeline",
+    (s, d) => {
+      val stop = Seq("the", "a", "of", "and", "to")
+      val words = split(col("text"), " ")
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"), words.as("words"))
+      // stage 1: rule gate (length band + at least one stopword)
+      val gated = w.filter(size(col("words")).between(10, 80) &&
+        size(filter(col("words"), x => lower(x).isin(stop: _*))) >= 1)
+      // stage 2: exact dedup, keep-first by content hash (q40 layout)
+      val keep = gated
+        .select(xxhash64(col("text")).as("th"), col("doc_id"), col("text"))
+        .groupBy(col("th"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          min(col("text")).as("t1"), max(col("text")).as("t2"))
+        .select(col("th"),
+          when(col("t1") =!= col("t2"),
+            raise_error(lit("q150: xxhash64 collision — distinct texts in one group"))
+              .cast("long"))
+            .otherwise(col("keep_id")).as("keep_id"))
+      val deduped = gated.withColumn("th", xxhash64(col("text")))
+        .join(keep, "th").filter(col("doc_id") === col("keep_id"))
+      // stage 3: decontamination vs the doc 0-9 benchmark (q101 layout)
+      val g5 = deduped.filter(size(col("words")) >= 5)
+        .select(col("doc_id"), col("source"), col("words"),
+          Dedup.wordShingles(col("text"), 5).as("sh"))
+      val bench = broadcast(w
+        .filter(col("doc_id") < 10 && size(col("words")) >= 5)
+        .select(explode(Dedup.wordShingles(col("text"), 5)).as("gram")).distinct())
+      val contaminated = g5
+        .select(col("doc_id"), explode(col("sh")).as("gram"))
+        .join(bench, "gram").select(col("doc_id")).distinct()
+      // stage 4: census of the surviving selection
+      g5.filter(col("doc_id") >= 10)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(size(col("words")).cast("long")).as("tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS words
+        FROM documents),
+      gated AS (SELECT * FROM w
+        WHERE len(words) BETWEEN 10 AND 80
+          AND len(list_filter(words, x -> lower(x) IN ('the','a','of','and','to'))) >= 1),
+      deduped AS (SELECT * FROM gated
+        WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text)),
+      g5 AS (SELECT doc_id, source, words,
+          list_distinct([array_to_string(words[i:i+4], ' ') for i in range(1, len(words)-3)]) sh
+        FROM deduped WHERE len(words) >= 5),
+      bench AS (SELECT DISTINCT unnest(sh) AS gram FROM
+        (SELECT list_distinct([array_to_string(words[i:i+4], ' ') for i in range(1, len(words)-3)]) sh
+         FROM w WHERE doc_id < 10 AND len(words) >= 5)),
+      contaminated AS (SELECT DISTINCT doc_id FROM
+        (SELECT doc_id, unnest(sh) AS gram FROM g5) c JOIN bench USING (gram)),
+      selected AS (SELECT * FROM g5 WHERE doc_id >= 10
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+      SELECT source, count(*) AS n_selected,
+        CAST(sum(len(words)) AS BIGINT) AS tokens
+      FROM selected GROUP BY source ORDER BY source"""),
+    doc = "gate -> exact dedup -> decontaminate -> census, composed end to end")
+
+  val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149, q150)
 }
 

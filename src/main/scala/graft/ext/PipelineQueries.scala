@@ -398,6 +398,82 @@ object PipelineQueries {
       FROM tagged GROUP BY source ORDER BY source"""),
     doc = "top-k frequency vocab broadcast over the token stream; per-source OOV rate")
 
+  // --------------------------------------------------------------- q151
+  /** Token-weighted median quality per source — corpus statistics must
+    * weight by TOKENS, not documents (a doc-weighted mean lets a million
+    * empty stubs mask one bad 100M-token dump). Exact lower weighted
+    * median: rows sort by (quality, doc_id) within source, the answer is
+    * the first value whose doubled cumulative weight reaches the total —
+    * all integer comparisons, per-row-identical quality doubles (q50's
+    * precedent), no interpolation.
+    *
+    * Scale shape: one spilling window per source (q23's layout) + a
+    * per-source agg folding into the same partitioning. */
+  val q151 = QueryDef(
+    "q151_weighted_median_quality",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("w"),
+          round(TextStats.qualityScore(col("text")), 6).as("v"))
+      val bySrc = Window.partitionBy(col("source"))
+      val cum = scored.select(col("source"), col("v"), col("w"), col("doc_id"),
+        sum(col("w")).over(bySrc.orderBy(col("v"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cw"),
+        sum(col("w")).over(bySrc).as("tw"))
+      cum.groupBy(col("source"))
+        .agg(min(col("tw")).as("total_tokens"),
+          min(when(col("cw") * 2 >= col("tw"), col("v"))).as("weighted_median_quality"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH scored AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+          round(least(len(string_split(lower(text), ' '))::DOUBLE / 50.0, 1.0) * 0.4
+            + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                / greatest(length(text)::DOUBLE, 1.0) * 10.0, 1.0)) * 0.3
+            + (len(list_filter(string_split(lower(text), ' '),
+                x -> x IN ('the','a','of','and','to')))::DOUBLE
+               / len(string_split(lower(text), ' '))::DOUBLE) * 0.3, 6) AS v
+        FROM documents),
+      cum AS (SELECT source, v, w, doc_id,
+          sum(w) OVER (PARTITION BY source ORDER BY v, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+          sum(w) OVER (PARTITION BY source) AS tw
+        FROM scored)
+      SELECT source, CAST(min(tw) AS BIGINT) AS total_tokens,
+        min(v) FILTER (WHERE 2*cw >= tw) AS weighted_median_quality
+      FROM cum GROUP BY source ORDER BY source"""),
+    doc = "exact lower weighted median (token weights); integer cumulative-weight rule")
+
+  // --------------------------------------------------------------- q152
+  /** Equi-width histogram of document lengths per language — the
+    * width_bucket shape: 8 bins spanning each language's [min, max].
+    * Bin assignment is floor((v − lo) / width) with the top edge clamped
+    * into the last bin; lo/hi are integers and the division is a single
+    * IEEE op, so bin ids are engine-identical. Two tiny aggs (bounds +
+    * histogram), bounds broadcast. */
+  val q152 = QueryDef(
+    "q152_length_histogram",
+    (s, d) => {
+      val b = Tables.documents(s, d).groupBy(col("lang"))
+        .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      Tables.documents(s, d).join(broadcast(b), "lang")
+        .select(col("lang"),
+          least(floor((col("n_chars") - col("lo"))
+            / ((col("hi") - col("lo")) / 8.0)), lit(7L)).cast("long").as("bin"))
+        .groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("bin"))
+    },
+    Some("""WITH b AS (SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi
+        FROM documents GROUP BY lang),
+      binned AS (SELECT d.lang,
+          CAST(least(floor((d.n_chars - b.lo) / ((b.hi - b.lo) / 8.0)), 7) AS BIGINT) AS bin
+        FROM documents d JOIN b USING (lang))
+      SELECT lang, bin, count(*) AS n FROM binned GROUP BY lang, bin
+      ORDER BY lang, bin"""),
+    doc = "8-bin equi-width length histogram per language; broadcast bounds")
+
   val all: Seq[QueryDef] =
-    Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131)
+    Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131, q151, q152)
 }

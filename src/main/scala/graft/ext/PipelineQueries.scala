@@ -474,6 +474,51 @@ object PipelineQueries {
       ORDER BY lang, bin"""),
     doc = "8-bin equi-width length histogram per language; broadcast bounds")
 
+  // --------------------------------------------------------------- q156
+  /** Pareto token concentration: how few documents hold half of each
+    * source's tokens — the long-tail diagnostic behind length-capping
+    * and sampling decisions (a source where 5% of docs carry 50% of
+    * tokens needs different treatment than a uniform one). The
+    * "docs-for-half" rule is exact-integer: a doc counts while twice the
+    * cumulative weight BEFORE it is still below the total. One spilling
+    * window per source (q119's prefix-sum layout). */
+  val q156 = QueryDef(
+    "q156_pareto_concentration",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bySrc = Window.partitionBy(col("source"))
+      val cum = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("w"))
+        .select(col("source"), col("w"),
+          sum(col("w")).over(bySrc.orderBy(col("w").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cw"),
+          sum(col("w")).over(bySrc).as("tw"),
+          count(lit(1)).over(bySrc).as("nd"))
+      cum.groupBy(col("source"))
+        .agg(min(col("nd")).as("n_docs"),
+          sum(when((col("cw") - col("w")) * 2 < col("tw"), 1L).otherwise(0L))
+            .as("docs_for_half"))
+        .select(col("source"), col("n_docs"), col("docs_for_half"),
+          round(col("docs_for_half").cast("double") / col("n_docs"), 6)
+            .as("frac_docs_for_half"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (SELECT source, doc_id,
+          CAST(len(string_split(text,' ')) AS BIGINT) AS w FROM documents),
+      cum AS (SELECT source, doc_id, w,
+          sum(w) OVER (PARTITION BY source ORDER BY w DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+          sum(w) OVER (PARTITION BY source) AS tw,
+          count(*) OVER (PARTITION BY source) AS nd
+        FROM d)
+      SELECT source, CAST(min(nd) AS BIGINT) AS n_docs,
+        CAST(count(*) FILTER (WHERE 2*(cw - w) < tw) AS BIGINT) AS docs_for_half,
+        round(count(*) FILTER (WHERE 2*(cw - w) < tw)::DOUBLE / min(nd), 6)
+          AS frac_docs_for_half
+      FROM cum GROUP BY source ORDER BY source"""),
+    doc = "min docs covering half of each source's tokens; exact cumulative-weight rule")
+
   val all: Seq[QueryDef] =
-    Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131, q151, q152)
+    Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131, q151, q152, q156)
 }

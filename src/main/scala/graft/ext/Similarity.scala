@@ -484,5 +484,31 @@ object Similarity {
       ORDER BY q_id, kind, rank"""),
     doc = "triplet mining: top-3 cross-label near neighbors + best positive per anchor")
 
-  val all: Seq[QueryDef] = Seq(q44, q45, q46, q54, q89, q109, q110, q133)
+  // ---------------------------------------------------------------- q155
+  /** Label-balance audit with an exact Gini impurity: per-label counts,
+    * shares, and 1 − Σ share² — the class-imbalance check run before any
+    * supervised fine-tune. Gini is computed from exact integers
+    * ((N² − Σc²)/N², one IEEE division), never from float shares, so the
+    * verdict column is engine-identical (the q127/q144 scaled-integer
+    * family). Tiny aggs + a 1-row broadcast. */
+  val q155 = QueryDef(
+    "q155_label_balance",
+    (s, d) => {
+      val c = Tables.embeddings(s, d).groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("tot"), sum(col("n") * col("n")).as("sq"))
+      c.crossJoin(broadcast(t))
+        .select(col("label"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("share"),
+          round((col("tot") * col("tot") - col("sq")).cast("double")
+            / (col("tot") * col("tot")), 6).as("gini"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+      t AS (SELECT sum(n) AS tot, sum(n*n) AS sq FROM c)
+      SELECT c.label, c.n, round(c.n::DOUBLE / t.tot, 6) AS share,
+        round((t.tot * t.tot - t.sq)::DOUBLE / (t.tot * t.tot), 6) AS gini
+      FROM c CROSS JOIN t ORDER BY label"""),
+    doc = "class-imbalance audit; Gini impurity from exact integer counts")
+
+  val all: Seq[QueryDef] = Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -280,5 +281,81 @@ object EventAnalytics {
       GROUP BY event_type ORDER BY event_type"""),
     doc = "time-weighted average per type; decimal-exact value x microsecond weights")
 
-  val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138)
+  // --------------------------------------------------------------- q153
+  /** Inter-event gap percentiles per type — p50/p90 of the microsecond
+    * spacing between consecutive events, the latency-distribution view
+    * of arrival behavior. Exact interpolated percentiles via q23's
+    * boundary-rank method (rank arithmetic + one interpolation — never a
+    * value-buffering percentile), over integer µs gaps. */
+  val q153 = QueryDef(
+    "q153_gap_percentiles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byT = Window.partitionBy(col("event_type"))
+      val gaps = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"))
+        .withColumn("gap",
+          unix_micros(col("ts")) - unix_micros(
+            lag(col("ts"), 1).over(byT.orderBy(col("ts"), col("event_id")))))
+        .filter(col("gap").isNotNull)
+      val ps = Seq("p50_us" -> 0.5, "p90_us" -> 0.9)
+      val ranked = gaps.select(col("event_type"), col("gap").cast("double").as("v"),
+        row_number().over(byT.orderBy(col("gap"), col("event_id"))).as("rn"),
+        count(lit(1)).over(byT).as("n"))
+      def h(p: Double): Column = lit(1.0) + (col("n") - 1) * p
+      val needed = ranked.filter(
+        ps.map { case (_, p) => col("rn") === floor(h(p)) || col("rn") === ceil(h(p)) }
+          .reduce(_ || _))
+      val aggs = ps.flatMap { case (nm, p) => Seq(
+        max(when(col("rn") === floor(h(p)), col("v"))).as(s"${nm}_lo"),
+        max(when(col("rn") === ceil(h(p)), col("v"))).as(s"${nm}_hi"),
+        max(h(p) - floor(h(p))).as(s"${nm}_f"))
+      } :+ min(col("n")).as("n_gaps")
+      needed.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+        .select(col("event_type") +: ps.map { case (nm, _) =>
+          round(col(s"${nm}_lo") + col(s"${nm}_f") * (col(s"${nm}_hi") - col(s"${nm}_lo")), 4)
+            .as(nm)
+        } :+ col("n_gaps"): _*)
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH g AS (SELECT event_type, event_id,
+          epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS gap
+        FROM events)
+      SELECT event_type,
+        ROUND(QUANTILE_CONT(gap, 0.5), 4) AS p50_us,
+        ROUND(QUANTILE_CONT(gap, 0.9), 4) AS p90_us,
+        count(gap) AS n_gaps
+      FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type"""),
+    doc = "p50/p90 inter-arrival gaps via q23 boundary-rank percentiles; integer µs")
+
+  // --------------------------------------------------------------- q154
+  /** Peak-burst detection: the densest 5-minute window per event type
+    * (max count over a sliding interval RANGE frame) and when it first
+    * peaked — capacity planning's "what's the worst burst" number.
+    * Deterministic argmax: the earliest timestamp achieving the peak.
+    * q137's incremental interval frame + a tiny max join-back. */
+  val q154 = QueryDef(
+    "q154_peak_burst",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""WITH c AS (SELECT event_type, ts,
+            count(*) OVER (PARTITION BY event_type ORDER BY ts
+                           RANGE BETWEEN INTERVAL '5' MINUTE PRECEDING AND CURRENT ROW) AS n5
+          FROM events_v),
+        m AS (SELECT event_type, max(n5) AS peak_count FROM c GROUP BY event_type)
+        SELECT c.event_type, min(m.peak_count) AS peak_count, min(c.ts) AS peak_at
+        FROM c JOIN m ON c.event_type = m.event_type AND c.n5 = m.peak_count
+        GROUP BY c.event_type ORDER BY c.event_type""")
+    },
+    Some("""WITH c AS (SELECT event_type, ts,
+          count(*) OVER (PARTITION BY event_type ORDER BY ts
+                         RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW) AS n5
+        FROM events),
+      m AS (SELECT event_type, max(n5) AS peak_count FROM c GROUP BY event_type)
+      SELECT c.event_type, min(m.peak_count) AS peak_count, min(c.ts) AS peak_at
+      FROM c JOIN m ON c.event_type = m.event_type AND c.n5 = m.peak_count
+      GROUP BY c.event_type ORDER BY c.event_type"""),
+    doc = "densest sliding 5-min window per type; earliest-peak argmax, interval frame")
+
+  val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154)
 }

@@ -97,7 +97,8 @@ class ScaleSpec extends AnyFunSuite {
       "q119_budget_fill",       // crossJoin(broadcast(1-row weight sum))
       "q132_ks_drift",          // bounded srcs x distinct-values grid + 1-row total
       "q133_hard_negatives",    // q45's shape: constant 10-anchor broadcast side
-      "q144_contingency_residuals") // crossJoin(broadcast(1-row grand total))
+      "q144_contingency_residuals", // crossJoin(broadcast(1-row grand total))
+      "q155_label_balance")     // crossJoin(broadcast(1-row count totals))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

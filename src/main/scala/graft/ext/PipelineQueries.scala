@@ -519,6 +519,49 @@ object PipelineQueries {
       FROM cum GROUP BY source ORDER BY source"""),
     doc = "min docs covering half of each source's tokens; exact cumulative-weight rule")
 
+  // --------------------------------------------------------------- q157
+  /** The dataset card: one row summarizing the corpus — doc/token/source/
+    * language counts, exact duplicate rate, and mean quality — the
+    * numbers every published dataset README leads with. Mean quality is
+    * decimal-exact (per-row quality rounds once to 6 dp, sums in
+    * DECIMAL, divides once), duplicate rate is an exact integer ratio
+    * over a distinct-text count. One pass + cheap distinct aggs. */
+  val q157 = QueryDef(
+    "q157_dataset_card",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          round(TextStats.qualityScore(col("text")), 6)
+            .cast("decimal(10,6)").as("q"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("text")).as("n_distinct_texts"),
+          (sum(col("q")) / count(lit(1))).cast("double").as("mean_q"))
+        .select(col("n_docs"), col("n_tokens"), col("n_sources"), col("n_langs"),
+          round(lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"),
+          round(col("mean_q"), 6).as("mean_quality"))
+    },
+    Some("""SELECT count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        count(DISTINCT source) AS n_sources,
+        count(DISTINCT lang) AS n_langs,
+        round(1.0 - count(DISTINCT text)::DOUBLE / count(*), 6) AS dup_rate,
+        round(CAST(SUM(CAST(round(
+            least(len(string_split(lower(text), ' '))::DOUBLE / 50.0, 1.0) * 0.4
+            + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                / greatest(length(text)::DOUBLE, 1.0) * 10.0, 1.0)) * 0.3
+            + (len(list_filter(string_split(lower(text), ' '),
+                x -> x IN ('the','a','of','and','to')))::DOUBLE
+               / len(string_split(lower(text), ' '))::DOUBLE) * 0.3, 6)
+          AS DECIMAL(10,6))) / count(*) AS DOUBLE), 6) AS mean_quality
+      FROM documents"""),
+    doc = "one-row corpus summary: counts, exact dup rate, decimal-exact mean quality")
+
   val all: Seq[QueryDef] =
-    Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131, q151, q152, q156)
+    Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131, q151, q152,
+      q156, q157)
 }

@@ -510,5 +510,41 @@ object Similarity {
       FROM c CROSS JOIN t ORDER BY label"""),
     doc = "class-imbalance audit; Gini impurity from exact integer counts")
 
-  val all: Seq[QueryDef] = Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155)
+  // ---------------------------------------------------------------- q158
+  /** Label-centroid geometry audit: pairwise cosine between every two
+    * class centroids — collapsing or near-identical cluster centers are
+    * the early warning that a labeled embedding set won't separate.
+    * Centroids use q46's exact decimal-mean (order-independent, engine-
+    * stable); the pair set is |labels|² — bounded, a broadcast self-join
+    * of a tiny frame. */
+  val q158 = QueryDef(
+    "q158_centroid_geometry",
+    (s, d) => {
+      val centroids = embDouble(s, d)
+        .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("v").cast(DecimalType(28, 10))).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          p => p.getField("m")).as("centroid"))
+      centroids.as("a")
+        .join(broadcast(centroids.as("b")), col("a.label") < col("b.label"))
+        .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+          round(cosine(col("a.centroid"), col("b.centroid")), 6).as("centroid_cos"))
+        .orderBy(col("label_a"), col("label_b"))
+    },
+    Some("""WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+      ex AS (SELECT label, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v FROM e),
+      cent AS (SELECT label, dim,
+          CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS m
+        FROM ex GROUP BY label, dim),
+      centroids AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cent GROUP BY label)
+      SELECT a.label AS label_a, b.label AS label_b,
+        round(list_cosine_similarity(a.centroid, b.centroid), 6) AS centroid_cos
+      FROM centroids a JOIN centroids b ON a.label < b.label
+      ORDER BY label_a, label_b"""),
+    doc = "pairwise class-centroid cosines; q46's exact decimal-mean centroids")
+
+  val all: Seq[QueryDef] = Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158)
 }

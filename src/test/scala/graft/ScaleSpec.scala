@@ -98,7 +98,8 @@ class ScaleSpec extends AnyFunSuite {
       "q132_ks_drift",          // bounded srcs x distinct-values grid + 1-row total
       "q133_hard_negatives",    // q45's shape: constant 10-anchor broadcast side
       "q144_contingency_residuals", // crossJoin(broadcast(1-row grand total))
-      "q155_label_balance")     // crossJoin(broadcast(1-row count totals))
+      "q155_label_balance",     // crossJoin(broadcast(1-row count totals))
+      "q158_centroid_geometry") // |labels|-row centroid broadcast self-join
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

@@ -1057,8 +1057,68 @@ object CoverageQueries {
       FROM s ORDER BY user_id, event_id"""),
     doc = "IGNORE NULLS last/first_value forward-fill (LOCF) over sparse signals")
 
+  // --------------------------------------------------------------- q159
+  /** NTILE decile assignment + per-decile census — the equi-DEPTH
+    * complement of q152's equi-width histogram (each bucket holds the
+    * same row count; boundaries move with the data). (value, key)
+    * ordering makes tile assignment deterministic; cents-rounded bounds
+    * keep the min/max columns integer-exact. */
+  val q159 = QueryDef(
+    "q159_ntile_deciles",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_acctbal"),
+          ntile(10).over(w).cast("long").as("decile"))
+        .groupBy(col("c_mktsegment"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(round(col("c_acctbal") * 100)).cast("long").as("lo_cents"),
+          max(round(col("c_acctbal") * 100)).cast("long").as("hi_cents"))
+        .orderBy(col("c_mktsegment"), col("decile"))
+    },
+    Some("""WITH t AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+          ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer)
+      SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile, count(*) AS n,
+        CAST(min(round(c_acctbal*100)) AS BIGINT) AS lo_cents,
+        CAST(max(round(c_acctbal*100)) AS BIGINT) AS hi_cents
+      FROM t GROUP BY c_mktsegment, decile ORDER BY c_mktsegment, decile"""),
+    doc = "equi-depth deciles via ntile; integer-cent bucket bounds")
+
+  // --------------------------------------------------------------- q160
+  /** Cumulative-unique growth curve: daily new users (first-seen day)
+    * and the running total of distinct users ever seen — THE adoption
+    * chart, computed without any daily re-distinct: one groupBy collapses
+    * each user to a first-seen day, a tiny per-day agg counts arrivals,
+    * and a prefix sum over the bounded day dimension accumulates. At
+    * 100 TB the only corpus-sized shuffle is the user-level min — the
+    * cumulative pass runs over |days| rows. */
+  val q160 = QueryDef(
+    "q160_growth_curve",
+    (s, d) => {
+      val firsts = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      firsts.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .select(col("day"), col("new_users"),
+          sum(col("new_users"))
+            .over(Window.orderBy(col("day"))).as("cumulative_users"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH firsts AS (SELECT user_id,
+          CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+        FROM events GROUP BY user_id),
+      daily AS (SELECT first_day AS day, count(*) AS new_users
+        FROM firsts GROUP BY first_day)
+      SELECT day, new_users,
+        CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
+      FROM daily ORDER BY day"""),
+    doc = "daily new + cumulative distinct users; one user-level shuffle, day-sized prefix sum")
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99,
-    q128, q129, q137, q139, q141, q142, q143, q144, q145, q146, q147)
+    q128, q129, q137, q139, q141, q142, q143, q144, q145, q146, q147, q159, q160)
 }

@@ -1117,8 +1117,64 @@ object CoverageQueries {
       FROM daily ORDER BY day"""),
     doc = "daily new + cumulative distinct users; one user-level shuffle, day-sized prefix sum")
 
+  // --------------------------------------------------------------- q161
+  /** String-function breadth II — translate, reverse, repeat, lpad,
+    * split_part — the second tranche of the F12-class scalar surface
+    * (q71 covered trim/case/substr/concat). Pure per-row projection. */
+  val q161 = QueryDef(
+    "q161_string_surface2",
+    (s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("t"),
+          lower(col("c_mktsegment")).as("ic"),
+          reverse(col("c_mktsegment")).as("rev"),
+          repeat(substring(col("c_mktsegment"), 1, 2), 2).as("rep"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("pad"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("name_num"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+        translate(c_mktsegment, 'AEIOU', 'aeiou') AS t,
+        lower(c_mktsegment) AS ic,
+        reverse(c_mktsegment) AS rev,
+        repeat(substr(c_mktsegment, 1, 2), 2) AS rep,
+        lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+        split_part(c_name, '#', 2) AS name_num
+      FROM customer ORDER BY c_custkey"""),
+    doc = "translate/reverse/repeat/lpad/split_part scalar breadth")
+
+  // --------------------------------------------------------------- q162
+  /** Date-function breadth II — last_day, add_months (with month-end
+    * clamping), date_add, datediff, quarter truncation — the calendar
+    * arithmetic tranche beyond q70's formatting/truncation coverage.
+    * Both engines clamp month addition at month ends, pinned by the
+    * hash over every order date. */
+  val q162 = QueryDef(
+    "q162_date_surface2",
+    (s, d) => {
+      val dt = col("o_orderdate").cast("date")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), dt.as("d"),
+          last_day(dt).as("month_end"),
+          add_months(dt, 3).as("plus3m"),
+          date_add(dt, 45).as("plus45d"),
+          datediff(lit("1998-12-31").cast("date"), dt).cast("long").as("days_to_end"),
+          date_trunc("quarter", dt).cast("date").as("qtr"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS plus45d,
+        date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end,
+        CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr
+      FROM orders ORDER BY o_orderkey"""),
+    doc = "last_day/add_months/date_add/datediff/quarter calendar arithmetic")
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99,
-    q128, q129, q137, q139, q141, q142, q143, q144, q145, q146, q147, q159, q160)
+    q128, q129, q137, q139, q141, q142, q143, q144, q145, q146, q147, q159, q160,
+    q161, q162)
 }

@@ -77,5 +77,52 @@ object SinkQueries {
         strftime(ts, '%Y/%m/%d') AS partition
       FROM events ORDER BY sequenceNumber"""))
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q90)
+  // --------------------------------------------------------------- q163
+  /** JSON-lines source/sink round-trip: documents → gzip JSON lines →
+    * re-read with an EXPLICIT schema (schema-on-read; inference is a
+    * convenience, not a contract) → original rows. Covers the JSON file
+    * format tier next to q38's text lines and the parquet scans —
+    * including unicode-safe string encoding through the Jackson
+    * writer/reader pair. */
+  val q163 = QueryDef(
+    "q163_json_roundtrip",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      val dir = Files.createTempDirectory("graft_q163_").toString + "/out"
+      docs.write.option("compression", "gzip").json(dir)
+      s.read
+        .schema("doc_id LONG, source STRING, lang STRING, text STRING")
+        .json(dir)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source, lang, text FROM documents ORDER BY doc_id"""),
+    doc = "gzip JSON-lines write + explicit-schema read; lossless round-trip")
+
+  // --------------------------------------------------------------- q164
+  /** CSV source/sink round-trip with hostile values: a synthesized column
+    * carries commas, double quotes, and a newline — the cases that break
+    * naive CSV handling — and must survive write → quoted-escape → read
+    * byte-identically. Explicit schema + multiLine read (embedded
+    * newlines make records span physical lines). */
+  val q164 = QueryDef(
+    "q164_csv_roundtrip",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          concat(lit("v,\""), col("source"), lit("\"\nrow:"), col("doc_id")).as("hostile"))
+      val dir = Files.createTempDirectory("graft_q164_").toString + "/out"
+      docs.write.option("header", "true").csv(dir)
+      s.read
+        .schema("doc_id LONG, source STRING, hostile STRING")
+        .option("header", "true").option("multiLine", "true")
+        .csv(dir)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source,
+        'v,"' || source || '"' || chr(10) || 'row:' || CAST(doc_id AS VARCHAR) AS hostile
+      FROM documents ORDER BY doc_id"""),
+    doc = "CSV round-trip with commas/quotes/newlines in values; quoting contract pinned")
+
+  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164)
 }

@@ -124,5 +124,29 @@ object SinkQueries {
       FROM documents ORDER BY doc_id"""),
     doc = "CSV round-trip with commas/quotes/newlines in values; quoting contract pinned")
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164)
+  // --------------------------------------------------------------- q165
+  /** ORC round-trip under zstd — the remaining built-in columnar format
+    * (parquet is the native tier everywhere else) plus modern-codec
+    * coverage. Timestamp µs precision and array-free scalars survive the
+    * writer/reader pair byte-identically; the oracle states the logical
+    * identity (DuckDB cannot read ORC — the format fidelity is exactly
+    * what the Spark-side round-trip proves). */
+  val q165 = QueryDef(
+    "q165_orc_roundtrip",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          col("value"))
+      val dir = Files.createTempDirectory("graft_q165_").toString + "/out"
+      ev.write.option("compression", "zstd").orc(dir)
+      s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE")
+        .orc(dir)
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, event_type, ts, value
+      FROM events ORDER BY event_id"""),
+    doc = "ORC + zstd write/read round-trip; timestamp and double fidelity pinned")
+
+  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165)
 }

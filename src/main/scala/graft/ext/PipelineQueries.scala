@@ -561,7 +561,42 @@ object PipelineQueries {
       FROM documents"""),
     doc = "one-row corpus summary: counts, exact dup rate, decimal-exact mean quality")
 
+  // --------------------------------------------------------------- q166
+  /** Deterministic train/val/test split assignment (80/10/10): the split
+    * is a pure function of a salted content-addressed hash — re-running
+    * on any cluster size, any partitioning, any day gives every document
+    * the same split, and adding documents never reshuffles existing ones
+    * (the q91 property, applied to the canonical ML-data split). The
+    * salt ("split:") isolates this hash use from every other md5-keyed
+    * decision in the pipeline. Census per (source, split) proves the
+    * proportions land. */
+  val q166 = QueryDef(
+    "q166_split_assignment",
+    (s, d) => {
+      val bucket = pmod(
+        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"), lit(10))
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+            .as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("source"), col("split"))
+    },
+    Some("""WITH b AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bucket
+        FROM documents),
+      s AS (SELECT doc_id, source, n_tok,
+          CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+        FROM b)
+      SELECT source, split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM s GROUP BY source, split ORDER BY source, split"""),
+    doc = "salted content-hash 80/10/10 split; stable under growth and repartitioning")
+
   val all: Seq[QueryDef] =
     Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131, q151, q152,
-      q156, q157)
+      q156, q157, q166)
 }

@@ -596,7 +596,62 @@ object PipelineQueries {
       FROM s GROUP BY source, split ORDER BY source, split"""),
     doc = "salted content-hash 80/10/10 split; stable under growth and repartitioning")
 
+  // --------------------------------------------------------------- q167
+  /** Split-leakage audit: identical content appearing on BOTH sides of a
+    * train/eval boundary silently inflates benchmarks — the classic
+    * id-keyed-split failure q166's content-hash split cannot prevent
+    * when the same text re-enters under a new id. The fixture doubles
+    * the corpus under shifted ids (the real-world re-crawl mechanism);
+    * the audit groups by CONTENT and reports each group's split-set
+    * signature — any signature with a comma is leakage.
+    *
+    * Scale shape: the content group key is xxhash64(text) (8-byte
+    * shuffle + the q40 collision fail-stop); the signature census is
+    * |signatures|-sized. This is the check to run after every split
+    * rebuild. */
+  val q167 = QueryDef(
+    "q167_split_leakage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val allDocs = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val bucket = pmod(
+        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"), lit(10))
+      val b = allDocs.select(col("text"), xxhash64(col("text")).as("th"),
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+          .as("split"))
+      b.groupBy(col("th"))
+        .agg(array_join(array_sort(collect_set(col("split"))), ",").as("splits"),
+          count(lit(1)).as("n_copies"),
+          min(col("text")).as("t1"), max(col("text")).as("t2"))
+        .select(
+          when(col("t1") =!= col("t2"),
+            raise_error(lit("q167: xxhash64 collision — distinct texts in one group"))
+              .cast("string"))
+            .otherwise(col("splits")).as("splits"),
+          col("n_copies"))
+        .groupBy(col("splits"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_copies")).as("n_docs"))
+        .orderBy(col("splits"))
+    },
+    Some("""WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents),
+      b AS (SELECT doc_id, text,
+          CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+               THEN 'train'
+               WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8
+               THEN 'val' ELSE 'test' END AS split
+        FROM all_docs),
+      g AS (SELECT text, array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+              count(*) AS n_copies
+            FROM b GROUP BY text)
+      SELECT splits, count(*) AS n_groups, CAST(sum(n_copies) AS BIGINT) AS n_docs
+      FROM g GROUP BY splits ORDER BY splits"""),
+    doc = "content groups spanning multiple splits = eval leakage; hash shuffle + guard")
+
   val all: Seq[QueryDef] =
     Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131, q151, q152,
-      q156, q157, q166)
+      q156, q157, q166, q167)
 }

@@ -357,5 +357,42 @@ object EventAnalytics {
       GROUP BY c.event_type ORDER BY c.event_type"""),
     doc = "densest sliding 5-min window per type; earliest-peak argmax, interval frame")
 
-  val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154)
+  // --------------------------------------------------------------- q168
+  /** DAU / WAU stickiness: daily actives over trailing-7-day actives —
+    * the engagement ratio on every product dashboard. Exact distincts
+    * WITHOUT a sliding re-distinct per day: the corpus collapses once to
+    * (user, day) pairs, each pair then contributes to the 7 days it
+    * keeps a user "weekly active" (a 7-way generate, far smaller than
+    * re-scanning events per window), and one distinct-agg per day
+    * finishes it. Days outside the observed range drop out via the
+    * final inner join. Output ratio is a single IEEE division of exact
+    * integers. */
+  val q168 = QueryDef(
+    "q168_stickiness",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+          CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+      contrib AS (SELECT user_id, day + CAST(i AS INTEGER) AS day
+        FROM ud, range(0, 7) t(i)),
+      wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM contrib GROUP BY day),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+      SELECT d.day, d.dau, w.wau, round(d.dau::DOUBLE / w.wau, 6) AS stickiness
+      FROM dau d JOIN wau w USING (day) ORDER BY d.day"""),
+    doc = "DAU/WAU via (user, day) collapse + 7-way contribution explode; no re-distinct")
+
+  val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154, q168)
 }

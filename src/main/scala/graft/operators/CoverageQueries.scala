@@ -1172,9 +1172,75 @@ object CoverageQueries {
       FROM orders ORDER BY o_orderkey"""),
     doc = "last_day/add_months/date_add/datediff/quarter calendar arithmetic")
 
+  // --------------------------------------------------------------- q169
+  /** dense_rank tie semantics made observable: top-3 RANKS (not rows)
+    * of order-count buckets per priority, with the tie width at each
+    * rank — the "keep everything tied at rank k" contract row_number
+    * cannot express (q13's top-k drops ties arbitrarily; dense_rank
+    * keeps them all and numbers ranks gaplessly). */
+  val q169 = QueryDef(
+    "q169_dense_rank_ties",
+    (s, d) => {
+      val r = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), (col("o_custkey") % 50).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("n").desc)
+      r.withColumn("dr", dense_rank().over(w).cast("long"))
+        .filter(col("dr") <= 3)
+        .groupBy(col("o_orderpriority"), col("dr"))
+        .agg(count(lit(1)).as("n_tied"), min(col("n")).as("n_orders"))
+        .orderBy(col("o_orderpriority"), col("dr"))
+    },
+    Some("""WITH r AS (SELECT o_orderpriority, o_custkey % 50 AS bucket, count(*) AS n
+        FROM orders GROUP BY 1, 2),
+      rk AS (SELECT *, dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY n DESC) AS dr
+        FROM r)
+      SELECT o_orderpriority, CAST(dr AS BIGINT) AS dr, CAST(count(*) AS BIGINT) AS n_tied,
+        CAST(min(n) AS BIGINT) AS n_orders
+      FROM rk WHERE dr <= 3 GROUP BY 1, 2 ORDER BY 1, 2"""),
+    doc = "gapless rank top-k keeping ALL ties; tie-width census per rank")
+
+  // --------------------------------------------------------------- q170
+  /** Explicit GROUPING SETS — arbitrary aggregation lattices beyond
+    * q18-q20's rollup/cube prefixes: two 2-d cells that share one
+    * dimension, a 1-d marginal, and the grand total, in one pass.
+    * Catalyst expands the sets over a single shuffle (Expand + one
+    * aggregate), which is exactly the 100 TB-friendly plan vs running
+    * four separate aggregations over the fact table. */
+  val q170 = QueryDef(
+    "q170_grouping_sets",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"),
+          col("l_quantity"))
+        .createOrReplaceTempView("l_gs")
+      s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+          COALESCE(l_linestatus, 'ALL') AS ls,
+          COALESCE(CAST(ship_month AS STRING), 'ALL') AS ship_month,
+          count(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM l_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag, ship_month),
+                                (ship_month), ())
+        ORDER BY rf, ls, ship_month""")
+    },
+    Some("""WITH l AS (SELECT l_returnflag, l_linestatus,
+          CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month, l_quantity FROM lineitem)
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        COALESCE(l_linestatus, 'ALL') AS ls,
+        COALESCE(CAST(ship_month AS VARCHAR), 'ALL') AS ship_month,
+        count(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM l
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag, ship_month),
+                              (ship_month), ())
+      ORDER BY rf, ls, ship_month"""),
+    doc = "arbitrary aggregation lattice in one Expand pass; beyond rollup/cube prefixes")
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99,
     q128, q129, q137, q139, q141, q142, q143, q144, q145, q146, q147, q159, q160,
-    q161, q162)
+    q161, q162, q169, q170)
 }

@@ -23,10 +23,11 @@ object CurationQueries {
     * the RANKING is monotone in the rational c_xy/(c_x·c_y), so the query
     * emits the exact scaled integer score = c_xy·10¹² div (c_x·c_y)
     * instead of a transcendental — bit-identical across engines (ln is
-    * correctly-rounded nowhere) and overflow-checked by ANSI mode (long
-    * mult fail-stops rather than wrapping; bound: c_xy·10¹² < 2⁶³ holds to
-    * ~9M occurrences of one bigram — far past sf0.1, and the fix at real
-    * scale is widening to DECIMAL(38,0), not a redesign).
+    * correctly-rounded nowhere). The numerator is computed in
+    * DECIMAL(38,0) with exact integral division (`div`), so the score
+    * stays exact to c_xy < 10²⁶ occurrences of one bigram — no
+    * realistic corpus reaches it (the previous long/double form capped
+    * at ~9M).
     *
     * Scale shape: bigrams/unigrams are map-side explodes; both aggs
     * shuffle on the token string (vocabulary keys — sublinear in corpus
@@ -54,8 +55,8 @@ object CurationQueries {
         .join(broadcast(uni.select(col("t"), col("c").as("c_y"))), col("y") === col("t")).drop("t")
         .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
           col("c_xy"), col("c_x"), col("c_y"),
-          (col("c_xy") * lit(1000000000000L) / (col("c_x") * col("c_y")))
-            .cast("long").as("score"))
+          expr("""(cast(c_xy as decimal(38,0)) * 1000000000000)
+                  div (cast(c_x as decimal(38,0)) * c_y)""").as("score"))
         .orderBy(col("score").desc, col("bigram"))
         .limit(20)
     },
@@ -138,10 +139,11 @@ object CurationQueries {
     *
     * Scale shape: per-doc distinct 5-grams explode map-side; the global
     * occurrence count groups on xxhash64(gram) — an 8-byte shuffle key,
-    * with the gram text riding only as min/max agg buffers forming the
-    * q40-pattern collision guard (a 64-bit collision would silently merge
-    * two grams, so the query raise_errors instead). The gram→count join
-    * is a plain equi-join on the same 8-byte key, then a per-doc agg. */
+    * with the q40-pattern collision guard buffering min/max of a second
+    * independent digest (Dedup.guardHash: fixed 8-byte buffers, no gram
+    * text in the shuffle; a collision on BOTH hashes ≈ 2⁻¹²⁸ raises
+    * instead of silently merging). The gram→count join is a plain
+    * equi-join on the same 8-byte key, then a per-doc agg. */
   val q116 = QueryDef(
     "q116_dup_ngram_fraction",
     (s, d) => {
@@ -154,7 +156,8 @@ object CurationQueries {
         .select(col("doc_id"), col("g"), xxhash64(col("g")).as("gh"))
       val counts = grams.groupBy(col("gh"))
         .agg(count(lit(1)).as("n_docs_with"),
-          min(col("g")).as("g_min"), max(col("g")).as("g_max"))
+          min(Dedup.guardHash(col("g"))).as("g_min"),
+          max(Dedup.guardHash(col("g"))).as("g_max"))
         .select(col("gh"),
           when(col("g_min") =!= col("g_max"),
             raise_error(lit("q116: xxhash64 collision — distinct grams in one group"))
@@ -333,7 +336,8 @@ object CurationQueries {
         .withColumn("gh", xxhash64(col("gram")))
       val firsts = e.groupBy(col("gh"))
         .agg(min(col("doc_id")).as("first_doc"),
-          min(col("gram")).as("g1"), max(col("gram")).as("g2"))
+          min(Dedup.guardHash(col("gram"))).as("g1"),
+          max(Dedup.guardHash(col("gram"))).as("g2"))
         .select(col("gh"),
           when(col("g1") =!= col("g2"),
             raise_error(lit("q148: xxhash64 collision — distinct grams in one group"))
@@ -429,7 +433,8 @@ object CurationQueries {
         .select(xxhash64(col("text")).as("th"), col("doc_id"), col("text"))
         .groupBy(col("th"))
         .agg(min(col("doc_id")).as("keep_id"),
-          min(col("text")).as("t1"), max(col("text")).as("t2"))
+          min(Dedup.guardHash(col("text"))).as("t1"),
+          max(Dedup.guardHash(col("text"))).as("t2"))
         .select(col("th"),
           when(col("t1") =!= col("t2"),
             raise_error(lit("q150: xxhash64 collision — distinct texts in one group"))

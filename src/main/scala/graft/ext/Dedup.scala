@@ -59,6 +59,16 @@ object Dedup {
         org.apache.spark.sql.GraftBridge.expression(hashed), k, bands, seed))
   }
 
+  /** Second independent 8-byte digest for the collision fail-stop guards
+    * (q40/q116/q121/q148/q150/q167 family). Prefixing a salt makes this
+    * hash independent of the xxhash64(value) group key, so a key collision
+    * that merges two distinct values goes undetected only when BOTH 64-bit
+    * hashes collide simultaneously (~2⁻¹²⁸ per pair) — the same fail-stop
+    * semantics as buffering min/max of the raw value, but with fixed
+    * 8-byte partial-aggregation buffers: the guard no longer serializes
+    * one full text per (group × map task) into the shuffle. */
+  def guardHash(c: Column): Column = xxhash64(lit("graft:guard"), c)
+
   /** doc_id + distinct trigram shingles for documents with >= 3 words. */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -79,11 +89,11 @@ object Dedup {
     *
     * Scale layout: the group key is xxhash64(text), so the Exchange
     * partitions on an 8-byte key instead of shuffling full document text
-    * per row (DedupSpec pins the partitioning expression). Text still
-    * rides the shuffle, but only as min/max aggregation BUFFERS — one
-    * value per (group × map task) after partial aggregation, not one per
-    * row — and exists solely as the collision guard: a 64-bit hash
-    * collision (≈ n²/2⁶⁵) would merge distinct texts, so the query
+    * per row (DedupSpec pins the partitioning expression). The collision
+    * guard buffers min/max of a SECOND independent digest (guardHash) —
+    * fixed 8-byte agg buffers, no text bytes in the shuffle at all: a
+    * group-key collision merging distinct texts goes undetected only if
+    * both 64-bit hashes collide at once (~2⁻¹²⁸), so the query still
     * fail-stops via raise_error rather than silently miscounting. */
   val q40 = QueryDef(
     "q40_exact_dedup",
@@ -93,7 +103,8 @@ object Dedup {
         .select(col("doc_id"), col("text"), xxhash64(col("text")).as("th"))
         .groupBy(col("th"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
-          min(col("text")).as("t_min"), max(col("text")).as("t_max"))
+          min(guardHash(col("text"))).as("t_min"),
+          max(guardHash(col("text"))).as("t_max"))
         .select(col("doc_id"),
           when(col("t_min") =!= col("t_max"),
             raise_error(lit("q40: xxhash64 collision — distinct texts in one dedup group"))

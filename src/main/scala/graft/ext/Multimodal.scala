@@ -5,23 +5,25 @@ import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
 /** Multimodal-column tier: image/audio/video as opaque `binary` columns
-  * with typed metadata, plus decode / frame-sample / feature-extract
-  * operators.
+  * with typed metadata, plus decode / resize / frame-sample /
+  * feature-extract operators.
   *
-  * The container has no codec libraries, so the *decode* step is a
-  * clearly-marked deterministic fake (see [[fakeDecode]]) — but every
-  * piece of Spark plumbing around it is real and oracle-checked: the
-  * binary column (`cast(text as binary)` stands in for real media bytes),
-  * `octet_length`/`substring`-on-binary/`hex` byte access, per-byte
-  * feature aggregation, and stride-based frame sampling. Swapping
-  * [[fakeDecode]] for a real codec (a JNI/UDF call at the same signature:
-  * binary → struct<width,height,format,n_frames>) changes nothing else in
-  * the pipeline.
+  * The decode and resize steps are REAL as of round 5: pure-JDK
+  * `javax.imageio` (PNG/JPEG/GIF/BMP — see
+  * [[graft.functions.DecodeImage]] / [[graft.functions.ResizeImage]]).
+  * Binaries that magic-sniff as an image container get real pixel stats
+  * (width/height/mean-luma) and real bilinear thumbnails; anything else
+  * (the synthetic text-backed fixtures) falls back to the deterministic
+  * derivation the DuckDB oracle reproduces independently, so q51/q113
+  * stay value-level oracle-checked while MultimodalSpec exercises the
+  * real codec on generated PNGs. Audio/video containers remain opaque
+  * binaries with typed metadata (the JDK ships no audio/video codec);
+  * their decode seam is the same expression signature.
   *
   * Scale notes: all per-row scalar work, no shuffle — media pipelines
   * partition by file/object id and this tier preserves that; frame
-  * sampling is O(bytes/stride) per row; nothing ever collects to the
-  * driver. */
+  * sampling is O(bytes/stride) per row; decode is O(pixels) per real
+  * image; nothing ever collects to the driver. */
 object Multimodal {
 
   /** Byte at 1-based position `i` of a binary column, as an int 0-255.
@@ -30,17 +32,13 @@ object Multimodal {
   def byteAt(bin: Column, i: Column): Column =
     conv(hex(substring(bin, i, lit(1))), 16, 10).cast("int")
 
-  /** DECODE STUB — deterministic fake standing in for a real media codec.
-    * Parses a fake header: width/height from the first two bytes, format
-    * from byte 3 mod 3, frame count from the byte length. A real
-    * implementation replaces ONLY this function with a codec UDF of the
-    * same shape. */
-  def fakeDecode(bin: Column): Column = struct(
-    byteAt(bin, lit(1)).as("width"),
-    byteAt(bin, lit(2)).as("height"),
-    element_at(array(lit("image"), lit("audio"), lit("video")),
-      pmod(byteAt(bin, lit(3)), lit(3)) + 1).as("format"),
-    (octet_length(bin) / 16).cast("long").as("n_frames"))
+  /** Media decode: real `javax.imageio` pixels for image containers,
+    * deterministic header parse for synthetic bytes (DecodeImage
+    * scaladoc has the full contract). Returns
+    * struct<width,height,format,n_frames,mean_luma>. */
+  def decode(bin: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DecodeImage(org.apache.spark.sql.GraftBridge.expression(bin)))
 
   /** Frame sampling: every `stride`-th byte as a lowercase hex "frame"
     * (the real version slices frame-aligned byte ranges — same plan
@@ -57,11 +55,13 @@ object Multimodal {
     org.apache.spark.sql.GraftBridge.column(
       graft.functions.MeanByte(org.apache.spark.sql.GraftBridge.expression(bin)))
 
-  /** RESIZE STUB — deterministic fake: a "resized" media object is the
-    * md5 of (content, w, h) so downstream schema/partitioning is real
-    * while the pixel math is stubbed. */
-  def fakeResize(bin: Column, w: Int, h: Int): Column =
-    unhex(md5(concat(bin, lit(s":${w}x$h"))))
+  /** Media resize: real bilinear resample + PNG re-encode for image
+    * containers; synthetic bytes keep the md5((bytes || ":WxH"))
+    * fingerprint q113's oracle checks (ResizeImage scaladoc). */
+  def resize(bin: Column, w: Int, h: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ResizeImage(
+        org.apache.spark.sql.GraftBridge.expression(bin), w, h))
 
   // ---------------------------------------------------------------- q51
   /** Typed-metadata extraction over the binary column. Oracle computes the
@@ -75,7 +75,7 @@ object Multimodal {
       Tables.documents(s, d)
         .select(col("doc_id"),
           octet_length(bin).as("n_bytes"),
-          fakeDecode(bin).as("meta"))
+          decode(bin).as("meta"))
         .select(col("doc_id"), col("n_bytes"),
           col("meta.width").as("width"),
           col("meta.height").as("height"),
@@ -112,10 +112,11 @@ object Multimodal {
       FROM documents ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- q113
-  /** Resize stage over the binary column — the stub's md5 derivation is
-    * itself cross-engine-stable, so unlike most codec stand-ins the whole
-    * path (binary concat, per-target-dimension addressing, output bytes)
-    * is value-level oracle-checked, not just spec-pinned. Two target
+  /** Resize stage over the binary column — the synthetic-path md5
+    * derivation is cross-engine-stable, so the whole path (binary
+    * addressing, per-target-dimension fingerprint, output bytes) is
+    * value-level oracle-checked; real image containers take the real
+    * bilinear+PNG path (spec-pinned in MultimodalSpec). Two target
     * geometries per row, as a thumbnail pipeline would emit. */
   val q113 = QueryDef(
     "q113_multimodal_resize",
@@ -123,8 +124,8 @@ object Multimodal {
       val bin = col("text").cast("binary")
       Tables.documents(s, d)
         .select(col("doc_id"),
-          hex(fakeResize(bin, 64, 64)).as("resized_64x64"),
-          hex(fakeResize(bin, 32, 24)).as("resized_32x24"))
+          hex(resize(bin, 64, 64)).as("resized_64x64"),
+          hex(resize(bin, 32, 24)).as("resized_32x24"))
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id,

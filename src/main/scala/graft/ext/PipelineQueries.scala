@@ -624,7 +624,8 @@ object PipelineQueries {
       b.groupBy(col("th"))
         .agg(array_join(array_sort(collect_set(col("split"))), ",").as("splits"),
           count(lit(1)).as("n_copies"),
-          min(col("text")).as("t1"), max(col("text")).as("t2"))
+          min(Dedup.guardHash(col("text"))).as("t1"),
+          max(Dedup.guardHash(col("text"))).as("t2"))
         .select(
           when(col("t1") =!= col("t2"),
             raise_error(lit("q167: xxhash64 collision — distinct texts in one group"))

@@ -121,7 +121,8 @@ object PrivacyQueries {
     * once as the windowed row payload (unavoidable: the survivor's text
     * must reach its keeper decision), never as a join/group KEY. A
     * 64-bit collision would merge two distinct paragraphs, so the q40
-    * fail-stop guard (min != max over the hash partition) raises rather
+    * fail-stop guard (min != max of Dedup.guardHash — a second
+    * independent 8-byte digest — over the hash partition) raises rather
     * than silently over-deduping. Reassembly is a per-doc groupBy
     * (second shuffle, doc-sized payloads) emitting an md5 so the full
     * deduped text never lands in the result. */
@@ -139,7 +140,8 @@ object PrivacyQueries {
         .withColumn("ph", xxhash64(col("para")))
         .select(col("doc_id"), col("idx"), col("para"),
           (row_number().over(part.orderBy(col("doc_id"), col("idx"))) === 1).as("kept"),
-          (min(col("para")).over(part) =!= max(col("para")).over(part)).as("collision"))
+          (min(Dedup.guardHash(col("para"))).over(part)
+            =!= max(Dedup.guardHash(col("para"))).over(part)).as("collision"))
       marked.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_paras"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),

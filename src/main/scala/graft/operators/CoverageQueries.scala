@@ -938,9 +938,13 @@ object CoverageQueries {
     * independence-expected counts, with over/under-representation
     * flagged by the |O−E| > 3√E rule carried out in EXACT integer
     * algebra — (O·N − R·C)² > 9·R·C·N — so the verdict never touches a
-    * float (q127's scaled-integer z-test, in two dimensions). Expected
-    * counts are display-rounded rationals. Weekday alignment pinned:
-    * Spark weekday() is Mon=0, DuckDB isodow is Mon=1. */
+    * float (q127's scaled-integer z-test, in two dimensions). The
+    * residual square needs ~N⁴ headroom, so both sides compute in
+    * DECIMAL(38,0) (Spark cast / DuckDB HUGEINT): exact to N ≈ 3·10⁹
+    * total events vs the previous BIGINT ceiling of ~55k; past that the
+    * remaining escape is splitting the comparison per q127's note.
+    * Expected counts are display-rounded rationals. Weekday alignment
+    * pinned: Spark weekday() is Mon=0, DuckDB isodow is Mon=1. */
   val q144 = QueryDef(
     "q144_contingency_residuals",
     (s, d) => {
@@ -954,9 +958,13 @@ object CoverageQueries {
         .crossJoin(broadcast(n))
         .select(col("event_type"), col("dow"), col("o"),
           round(col("r").cast("double") * col("c") / col("n"), 4).as("e"),
-          ((col("o") * col("n") - col("r") * col("c"))
-            * (col("o") * col("n") - col("r") * col("c"))
-            > col("r") * col("c") * col("n") * 9).as("flagged"))
+          {
+            val (oD, nD, rD, cD) = (col("o").cast("decimal(38,0)"),
+              col("n").cast("decimal(38,0)"), col("r").cast("decimal(38,0)"),
+              col("c").cast("decimal(38,0)"))
+            ((oD * nD - rD * cD) * (oD * nD - rD * cD) > rD * cD * nD * 9)
+              .as("flagged")
+          })
         .orderBy(col("event_type"), col("dow"))
     },
     Some("""WITH cells AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
@@ -966,7 +974,8 @@ object CoverageQueries {
       nn AS (SELECT sum(o) AS n FROM cells)
       SELECT event_type, dow, o,
         round(r::DOUBLE * c / n, 4) AS e,
-        ((o * n - r * c) * (o * n - r * c) > 9 * r * c * n) AS flagged
+        ((o::HUGEINT * n - r * c) * (o::HUGEINT * n - r * c)
+          > 9::HUGEINT * r * c * n) AS flagged
       FROM cells JOIN rr USING (event_type) JOIN cc USING (dow) CROSS JOIN nn
       ORDER BY event_type, dow"""),
     doc = "type x weekday independence residuals; exact-integer 3-sigma verdicts")
@@ -1004,7 +1013,9 @@ object CoverageQueries {
     * scaladoc prescribes when a similarity floor exists: distances past
     * the cap return -1 without finishing the DP table. The oracle
     * computes the FULL distance and applies the cap arithmetically, so
-    * the kernel's early-exit contract (exact below cap, -1 at/above) is
+    * the kernel's early-exit contract (exact at or below the cap, -1
+    * above it — Spark returns the exact distance AT the threshold, -1
+    * only past it, which is what the oracle's <= encoding checks) is
     * value-checked on every adjacent pair. */
   val q146 = QueryDef(
     "q146_capped_levenshtein",
@@ -1021,7 +1032,7 @@ object CoverageQueries {
              THEN levenshtein(a.text, b.text) ELSE -1 END AS dist_capped
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       ORDER BY a_id"""),
-    doc = "banded levenshtein(l, r, k): exact below the cap, -1 past it")
+    doc = "banded levenshtein(l, r, k): exact at or below the cap, -1 above it")
 
   // --------------------------------------------------------------- q147
   /** IGNORE NULLS window navigation — last-observation-carried-forward

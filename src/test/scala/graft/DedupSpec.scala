@@ -109,4 +109,41 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(text#"),
       s"full-text shuffle key must not appear:\n$plan")
   }
+
+  test("collision guard: a forced group-key collision still raises (guardHash mechanism)") {
+    import spark.implicits._
+    // Two DISTINCT texts forced into one dedup group (the key is a
+    // constant — the worst-case 64-bit collision). The exact guard shape
+    // every family member uses: min/max of the second independent digest
+    // disagree → raise_error. Buffers are 8-byte longs, never text.
+    val collided = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+      .withColumn("th", lit(42L)) // simulated xxhash64 collision
+    val guarded = collided.groupBy(col("th"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"),
+        min(Dedup.guardHash(col("text"))).as("g1"),
+        max(Dedup.guardHash(col("text"))).as("g2"))
+      .select(when(col("g1") =!= col("g2"),
+        raise_error(lit("collision")).cast("long")).otherwise(col("n")).as("n"))
+    val e = intercept[Exception](guarded.collect())
+    assert(e.getMessage.contains("collision"), s"guard must fail-stop: ${e.getMessage}")
+    // and the same shape over NON-colliding keys passes through untouched
+    val clean = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+      .withColumn("th", xxhash64(col("text")))
+      .groupBy(col("th"))
+      .agg(count(lit(1)).as("n"),
+        min(Dedup.guardHash(col("text"))).as("g1"),
+        max(Dedup.guardHash(col("text"))).as("g2"))
+      .select(when(col("g1") =!= col("g2"),
+        raise_error(lit("collision")).cast("long")).otherwise(col("n")).as("n"))
+    assert(clean.collect().map(_.getLong(0)).toSeq == Seq(1L, 1L))
+  }
+
+  test("guardHash is independent of the xxhash64 group key (salted domain separation)") {
+    import spark.implicits._
+    val df = Seq("a", "b", "c", "d").toDF("t")
+      .select(xxhash64(col("t")).as("h1"), Dedup.guardHash(col("t")).as("h2"))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)),
+      "salted digest must not equal the unsalted group key")
+  }
 }

@@ -19,7 +19,9 @@ final case class Config(
     checkpoint: Option[String] = None,
     sourcePath: Option[String] = None,
     /** "lines" = raw JSON text files (seqs synthesized); "records" = the
-      * engine's own seq-named record log via the graft-records connector. */
+      * engine's own seq-named record log via the graft-records connector;
+      * "kinesis-sim" = the same log replayed through the Kinesis
+      * wire-schema double (production record shape + adapter). */
     sourceFormat: String = "lines",
     /** Console metrics dump period (K5's console reporter, core.clj:250
       * dumps every 100 s); None = off. */
@@ -45,7 +47,8 @@ object Config {
       |  --checkpoint PATH   streaming checkpoint location
       |  --source-path PATH  file source dir (omit to bind a stream source)
       |  --source-format F   lines (raw JSON text, default) | records
-      |                      (seq-named record log via graft-records)
+      |                      (seq-named record log via graft-records) |
+      |                      kinesis-sim (Kinesis wire-schema double)
       |  --metrics-console S console metrics dump every S seconds (off by default)
       |  --sink-layout L     hive (date-partition pruning, default) | seq
       |                      (the reference's <last-seq>.records.log.gz keys)
@@ -67,8 +70,9 @@ object Config {
       case "--checkpoint" :: v :: t  => go(t, c.copy(checkpoint = Some(v)))
       case "--source-path" :: v :: t => go(t, c.copy(sourcePath = Some(v)))
       case "--source-format" :: v :: t =>
-        if (v == "lines" || v == "records") go(t, c.copy(sourceFormat = v))
-        else Left(s"--source-format expects lines|records, got: $v")
+        if (v == "lines" || v == "records" || v == "kinesis-sim")
+          go(t, c.copy(sourceFormat = v))
+        else Left(s"--source-format expects lines|records|kinesis-sim, got: $v")
       case "--metrics-console" :: v :: t =>
         num("--metrics-console", v, _.toLong).flatMap(p => go(t, c.copy(metricsConsoleSec = Some(p))))
       case "--sink-layout" :: v :: t =>

@@ -32,6 +32,10 @@ final class Engine(spark: SparkSession, config: Config) {
         // replay/migrate from an existing seq-named record log: original
         // sequence numbers preserved end to end (LWW stays correct)
         Sources.records(spark, path)
+      case Some(path) if config.sourceFormat == "kinesis-sim" =>
+        // the production Kinesis SHAPE, end to end: wire records through
+        // the same one-line adapter a real connector binding uses
+        Sources.fromKinesisWire(Sources.kinesisSim(spark, path, config.streamName))
       case Some(path) => Sources.jsonLines(spark, path)
       case None       => Sources.rate(spark, rowsPerSecond = 100)
     }

@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, Concat, Divide, EqualTo, Expression, ExpressionInfo, If, Literal, Size}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Concat, CreateNamedStruct, Divide, EqualTo, Expression, ExpressionInfo, GetStructField, GreaterThan, GreaterThanOrEqual, If, LessThan, LessThanOrEqual, Literal, NullsFirst, PosExplode, RowNumber, Size, SortOrder, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
 import graft.functions._
 
 /** SparkSessionExtensions module: registers the engine's native
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => JaccardFusion)
+    ext.injectOptimizerRule(_ => TopKAggregateRewrite)
   }
 }
 
@@ -92,6 +93,121 @@ object GraftExtensions {
   * the fused path runs on every non-degenerate row. (The branch must not
   * keep the original divide subtree: the rule runs to fixpoint and would
   * re-match its own guard branch forever.) */
+/** Optimizer rule — the SURVEY §4 candidate (3): rewrite the per-group
+  * top-k idiom
+  *
+  *   df.withColumn("rank", row_number().over(partitionBy(g).orderBy(s)))
+  *     .filter($"rank" <= k)
+  *
+  * into a bounded aggregate + posexplode:
+  *
+  *   Aggregate(g, bounded_top_k_rows(struct(child.*), k, order))
+  *     → Generate(posexplode)  → Project(fields..., rank = pos + 1)
+  *
+  * The window form costs Exchange(g) + full Sort(g, s) of every group
+  * member (WindowGroupLimit prunes map-side to k per partition, but the
+  * post-shuffle sort and window machinery remain); the aggregate form is
+  * an ObjectHashAggregate whose buffer is a k-row heap — partial
+  * aggregation ships ≤ k rows per (group × map task), final state is
+  * O(groups × k), no Sort node at all. Output rows, values and column
+  * ids are identical (the original attribute ids are re-aliased onto the
+  * extracted struct fields, so downstream references never notice).
+  *
+  * Guardrails — the rewrite only fires when it is provably the same
+  * query: exactly one window expression (a bare row_number), the filter
+  * touches only the rank attribute with a literal bound 1 ≤ k ≤ 1000,
+  * partition/order keys are plain attributes of the window child, and
+  * the plan is a batch plan (streaming keeps Spark's native operators).
+  * Everything else keeps the window form. */
+object TopKAggregateRewrite extends Rule[LogicalPlan] {
+
+  private val MaxK = 1000
+
+  /** rank-bound k from the filter condition, if the condition is a pure
+    * comparison of the rank attribute against an integral literal. */
+  private def limitOf(cond: Expression, rank: Attribute): Option[Int] = {
+    def isRank(e: Expression): Boolean = e match {
+      case a: Attribute => a.exprId == rank.exprId
+      case Cast(a: Attribute, _, _, _) => a.exprId == rank.exprId
+      case _ => false
+    }
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case Cast(Literal(v: Int, IntegerType), _, _, _) => Some(v.toLong)
+      case _ => None
+    }
+    val bound: Option[Long] = cond match {
+      case LessThanOrEqual(l, r) if isRank(l) => lit(r)
+      case LessThan(l, r) if isRank(l) => lit(r).map(_ - 1)
+      case GreaterThanOrEqual(l, r) if isRank(r) => lit(l)
+      case GreaterThan(l, r) if isRank(r) => lit(l).map(_ - 1)
+      case EqualTo(l, r) if isRank(l) && lit(r).contains(1L) => Some(1L)
+      case EqualTo(l, r) if isRank(r) && lit(l).contains(1L) => Some(1L)
+      case _ => None
+    }
+    bound.filter(kk => kk >= 1L && kk <= MaxK).map(_.toInt)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          partSpec, orderSpec, wchild, _)) if !f.isStreaming =>
+      // WindowGroupLimit (Spark's own map-side prune) may already sit
+      // between the Window and its input; the aggregate form subsumes it
+      val child = wchild match {
+        case wgl: WindowGroupLimit => wgl.child
+        case c => c
+      }
+      val rankAttr = alias.toAttribute
+      val kOpt = limitOf(cond, rankAttr)
+      val partAttrs = partSpec.collect { case a: AttributeReference => a }
+      val orderAttrs = orderSpec.collect {
+        case SortOrder(a: AttributeReference, _, _, _) => a
+      }
+      val childOut = child.output
+      val shapeOk =
+        kOpt.isDefined &&
+        cond.references == AttributeSet(Seq(rankAttr)) &&
+        partAttrs.length == partSpec.length &&
+        orderAttrs.length == orderSpec.length && orderSpec.nonEmpty &&
+        (partAttrs ++ orderAttrs).forall(a => childOut.exists(_.exprId == a.exprId)) &&
+        childOut.map(_.exprId).distinct.length == childOut.length
+      if (!shapeOk) f
+      else {
+        val k = kOpt.get
+        val packed = CreateNamedStruct(childOut.zipWithIndex.flatMap {
+          case (a, i) => Seq(Literal(s"c$i"), a)
+        })
+        val sortIdx = orderAttrs.map(a => childOut.indexWhere(_.exprId == a.exprId))
+        val topk = BoundedTopKRows(packed, k,
+          sortIdx,
+          orderSpec.map(_.direction == org.apache.spark.sql.catalyst.expressions.Ascending),
+          orderSpec.map(_.nullOrdering == NullsFirst))
+        val groupAttrs = partAttrs.foldLeft(Seq.empty[AttributeReference]) {
+          (acc, a) => if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a
+        }
+        val topkAlias = Alias(topk.toAggregateExpression(), "__graft_topk")()
+        val agg = Aggregate(groupAttrs, groupAttrs :+ topkAlias, child)
+        val posAttr = AttributeReference("__graft_pos", IntegerType, nullable = false)()
+        val rowAttr = AttributeReference("__graft_row", packed.dataType, nullable = false)()
+        val gen = Generate(PosExplode(topkAlias.toAttribute),
+          unrequiredChildIndex = Seq(groupAttrs.length),
+          outer = false, qualifier = None,
+          generatorOutput = Seq(posAttr, rowAttr), agg)
+        // rebuild the ORIGINAL output ids: group keys pass through the
+        // aggregate untouched; everything else extracts from the struct
+        val projList = childOut.zipWithIndex.map { case (a, i) =>
+          if (groupAttrs.exists(_.exprId == a.exprId)) a
+          else Alias(GetStructField(rowAttr, i, Some(s"c$i")), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier)
+        } :+ Alias(Add(posAttr, Literal(1)), rankAttr.name)(
+          exprId = rankAttr.exprId, qualifier = rankAttr.qualifier)
+        Project(projList, gen)
+      }
+  }
+}
+
 object JaccardFusion extends Rule[LogicalPlan] {
 
   private def strip(e: Expression): Expression = e match {

@@ -100,35 +100,57 @@ object Scale {
         COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Wall seconds the LAST bucketed-table build (CTAS) took in this
+    * process — 0.0 until a build happens. Bench reports it as a separate
+    * setup figure so q64's number measures the zero-Exchange join, not
+    * the one-time pre-shuffle (which a real cluster amortizes over many
+    * joins — that amortization is exactly what q64 demonstrates). */
+  @volatile var bucketCtasSeconds: Double = 0.0
+
+  // cache key of the build the warehouse currently holds (the table names
+  // are fixed, so only ONE (session, dir, buckets) build can be live)
+  @volatile private var bucketedFor: String = null
+
   /** Write both sides bucketed by the join key into the session warehouse
     * and return the bucketed tables — co-located join input (no exchange
     * on either side at join time; on a real cluster this is the
-    * "pre-shuffle once, join many times" pattern). */
+    * "pre-shuffle once, join many times" pattern). Built once per
+    * (session, data dir, bucket count) per JVM: repeat callers — bench
+    * reps, spec + query in one test JVM — reuse the tables, so only the
+    * first call pays the CTAS. */
   def bucketedTables(s: SparkSession, d: String, buckets: Int): (DataFrame, DataFrame) = {
     val oTab = "graft_orders_bkt"
     val lTab = "graft_lineitem_bkt"
-    // drop leftovers from previous sessions: the metastore forgets managed
-    // tables across JVMs but their warehouse dirs survive and block CTAS
-    Seq(oTab, lTab).foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(s.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:"), t)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
+    val key = s"${System.identityHashCode(s)}:$d:$buckets"
+    if (bucketedFor != key) synchronized {
+      if (bucketedFor != key) {
+        val t0 = System.nanoTime()
+        // drop leftovers from previous sessions: the metastore forgets managed
+        // tables across JVMs but their warehouse dirs survive and block CTAS
+        Seq(oTab, lTab).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new java.io.File(s.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:"), t)
+          if (loc.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete()
+            }
+            rm(loc)
+          }
         }
-        rm(loc)
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(oTab)
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(lTab)
+        bucketCtasSeconds = (System.nanoTime() - t0) / 1e9
+        bucketedFor = key
       }
     }
-    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable(oTab)
-    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable(lTab)
     (s.table(oTab), s.table(lTab))
   }
 

@@ -85,4 +85,31 @@ object Sources {
       .option("streamName", streamName)
       .option("region", region)
       .option("initialPosition", initialPosition)
+
+  /** Kinesis wire schema → engine record shape: the ONE adapter between
+    * any Kinesis-shaped stream (the real connector or the
+    * [[KinesisSimSource]] test double — both emit
+    * data/streamName/partitionKey/sequenceNumber/approximateArrivalTimestamp)
+    * and [[graft.streaming.EventStream.parse]]. Payloads are UTF-8 JSON
+    * (the reference decodes `:data` bytes the same way, core.clj:149);
+    * `ts` defaults to arrival time and is refined to the payload's event
+    * time by the parse stage downstream. */
+  def fromKinesisWire(wire: DataFrame): DataFrame =
+    wire.select(
+      col("sequenceNumber"),
+      col("data").cast("string").as("data"),
+      col("approximateArrivalTimestamp").as("ts"))
+
+  /** The wire-shaped Kinesis double over a K2 seq-named log (streaming).
+    * Engine-ready form: `fromKinesisWire(kinesisSim(...))`. */
+  def kinesisSim(spark: SparkSession, path: String,
+      streamName: String = "events"): DataFrame =
+    spark.readStream.format("graft-kinesis-sim")
+      .option("streamName", streamName).load(path)
+
+  /** Batch scan of the same double (backfill-path parity checks). */
+  def kinesisSimBatch(spark: SparkSession, path: String,
+      streamName: String = "events"): DataFrame =
+    spark.read.format("graft-kinesis-sim")
+      .option("streamName", streamName).load(path)
 }

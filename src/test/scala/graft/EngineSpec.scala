@@ -58,6 +58,54 @@ class EngineSpec extends AnyFunSuite {
     } finally engine.stop()
   }
 
+  test("kinesis wire-schema double: Engine output byte-identical to the graft-records run") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // one log, three records across two chunks
+    val logDir = Files.createTempDirectory("graft_ksim_log_").toString
+    def rec(i: Int): (String, String, java.sql.Timestamp) = {
+      val body = s"""{\\"id\\": \\"id-00$i\\", \\"url\\": \\"http://e/$i\\", \\"t\\": ${1704103500000L + i}}"""
+      (("" + i) * 56 take 56,
+        s"""{"epoch": ${1704103500000L + i}, "body": "$body"}""",
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    }
+    graft.sinks.LineFileSink.writeSeqNamed(
+      Seq(rec(1), rec(2), rec(3)).toDF("sequenceNumber", "data", "ts"),
+      logDir, col("ts"), maxRecordsPerFile = 2)
+
+    // wire shape sanity (batch scan of the double): the exact public
+    // Kinesis connector schema, deterministic shard + arrival fields
+    val wire = graft.sources.Sources.kinesisSimBatch(spark, logDir, "events")
+    assert(wire.schema.fieldNames.toSeq ==
+      Seq("data", "streamName", "partitionKey", "sequenceNumber", "approximateArrivalTimestamp"))
+    val w = wire.orderBy(col("sequenceNumber")).collect()
+    assert(w.length == 3)
+    assert(w.forall(_.getString(1) == "events"))
+    assert(w.forall(r => r.getString(2).startsWith("shard-")))
+    assert(new String(w(0).getAs[Array[Byte]](0), "UTF-8").contains("http://e/1"))
+
+    def runEngine(fmt: String): Seq[(String, String)] = {
+      val outDir = Files.createTempDirectory(s"graft_ksim_${fmt.take(4)}_").toString
+      val config = Config(
+        port = 0, bucket = outDir, sourcePath = Some(logDir), sourceFormat = fmt,
+        checkpoint = Some(Files.createTempDirectory("graft_ksim_ck_").toString),
+        intervalSec = 1L)
+      val engine = new Engine(spark, config)
+      engine.start()
+      try {
+        engine.processAllAvailable()
+        graft.sinks.LineFileSink.read(spark,
+            s"$outDir/${config.appName}/${config.streamName}")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      } finally engine.stop()
+    }
+    val viaRecords = runEngine("records")
+    val viaKinesis = runEngine("kinesis-sim")
+    assert(viaRecords.length == 3)
+    assert(viaKinesis == viaRecords,
+      "the Kinesis wire path must produce byte-identical sink output")
+  }
+
   test("T3 fail-stop at the Engine level: awaitTermination rethrows the batch failure; a restarted Engine resumes from the same checkpoint") {
     // Failure injection: a regular FILE squats where the first batch must
     // create its `year=2024` partition directory, so query START succeeds

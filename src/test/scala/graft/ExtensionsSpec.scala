@@ -77,4 +77,75 @@ class ExtensionsSpec extends AnyFunSuite {
     while (c.getCause != null && c.getCause != c) c = c.getCause
     c.getClass
   }
+
+  // ------------------------------------------------------- TopKAggregateRewrite
+
+  /** The canonical per-group top-k idiom over a real scan. */
+  private def rankTopK(k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("doc_id"), length(col("text")).as("len"))
+    val w = Window.partitionBy(col("source")).orderBy(col("len").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  test("TopKAggregateRewrite turns row_number-filter into the bounded aggregate (no Window, no Sort)") {
+    val df = rankTopK(3)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.exists(_.exists(
+            _.isInstanceOf[graft.functions.BoundedTopKRows])) => a
+      }.isDefined,
+      s"expected BoundedTopKRows aggregate in optimized plan:\n$opt")
+    assert(opt.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, s"window operator must be gone:\n$opt")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("ObjectHashAggregate"),
+      s"bounded top-k should plan as ObjectHashAggregate:\n$physical")
+    assert(!physical.contains("Sort "), s"no sort node expected:\n$physical")
+  }
+
+  test("TopKAggregateRewrite output equals the window formulation row for row") {
+    // reference: same idiom but with TWO window columns — a shape the
+    // rule deliberately does not match, so it runs as a real window
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("doc_id"), length(col("text")).as("len"))
+    val w = Window.partitionBy(col("source")).orderBy(col("len").desc, col("doc_id"))
+    val reference = scored
+      .withColumn("rank", row_number().over(w))
+      .withColumn("rmax", max(col("len")).over(Window.partitionBy(col("source"))))
+      .filter(col("rank") <= 3).drop("rmax")
+      .orderBy(col("source"), col("rank"))
+      .collect().map(_.toSeq).toSeq
+    val rewritten = rankTopK(3)
+      .orderBy(col("source"), col("rank"))
+      .collect().map(_.toSeq).toSeq
+    assert(rewritten == reference)
+  }
+
+  test("TopKAggregateRewrite leaves non-matching shapes alone (dense_rank, multi-column window)") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("doc_id"), length(col("text")).as("len"))
+    val w = Window.partitionBy(col("source")).orderBy(col("len").desc, col("doc_id"))
+    val dr = scored.withColumn("rank", dense_rank().over(w)).filter(col("rank") <= 3)
+    assert(dr.queryExecution.optimizedPlan.collectFirst {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+      }.isDefined, "dense_rank (tie-keeping semantics) must keep the window plan")
+  }
+
+  test("TopKAggregateRewrite handles rank == 1 (keep-first) and empty partitions") {
+    val first = rankTopK(1).drop("rank")
+    // keep-first per source == min doc_id among the longest docs
+    val expect = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("doc_id"), length(col("text")).as("len"))
+      .collect().groupBy(_.getString(0)).map { case (src, rows) =>
+        val best = rows.minBy(r => (-r.getInt(2), r.getLong(1)))
+        (src, best.getLong(1), best.getInt(2))
+      }.toSet
+    assert(first.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet == expect)
+  }
 }

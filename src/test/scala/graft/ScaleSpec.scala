@@ -23,18 +23,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"bucketed join must not shuffle either side:\n$plan")
   }
 
-  test("rank-limit top-k windows run as WindowGroupLimit (partial before the shuffle + final)") {
-    // SURVEY §4 flagged a custom orderBy(sim).limit(k)-per-group rewrite
-    // rule as a candidate; Spark 4's built-in WindowGroupLimit already
-    // plans the row_number-filter idiom as a bounded per-partition top-k
-    // on BOTH sides of the exchange — a custom rule would re-implement
-    // the engine. This pin keeps the guarantee (and fails if a future
-    // query phrasing regresses to a full per-partition sort).
-    for (q <- Seq(graft.operators.Relational.q13, graft.ext.Similarity.q45)) {
+  test("rank-limit top-k: row_number-filter runs as the bounded aggregate; rank() keeps WindowGroupLimit") {
+    // SURVEY §4 candidate (3) landed in round 5: TopKAggregateRewrite
+    // turns the bare row_number-filter idiom into the k-row-buffer
+    // ObjectHashAggregate (no Window, no Sort — see GraftExtensions).
+    // q45 (and the whole row_number-top-k family) must plan that way;
+    // a rank()-phrased top-k is outside the rule (tie semantics differ)
+    // and must keep Spark 4's WindowGroupLimit partial+final pruning —
+    // both pins fail if a future phrasing regresses to a full sort.
+    for (q <- Seq(graft.operators.Relational.q13, graft.ext.Similarity.q45,
+        graft.ext.Similarity.q133)) {
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
-      val hits = "WindowGroupLimit".r.findAllIn(plan).size
-      assert(hits >= 2, s"${q.name}: expected partial+final WindowGroupLimit, got $hits:\n$plan")
+      assert(plan.contains("bounded_top_k_rows"),
+        s"${q.name}: expected the BoundedTopKRows aggregate:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"${q.name}: bounded top-k should run as ObjectHashAggregate:\n$plan")
+      assert(!plan.contains("WindowGroupLimit"),
+        s"${q.name}: the window form should be fully rewritten:\n$plan")
     }
+    // dense_rank keeps ties — outside the rule, must stay a (pruned) window
+    val q169plan = graft.operators.CoverageQueries.q169.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hits = "WindowGroupLimit".r.findAllIn(q169plan).size
+    assert(hits >= 2,
+      s"q169: expected partial+final WindowGroupLimit, got $hits:\n$q169plan")
   }
 
   test("q23 exact percentiles sort in a spilling window, not a value-buffering agg") {

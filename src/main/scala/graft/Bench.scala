@@ -85,7 +85,12 @@ object Bench {
     val errJson = errs.map { case (k, v) => "\"" + jsonEsc(k) + "\":\"" + jsonEsc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v > 0 => v }.sum
-    val streaming = if (only.isEmpty) streamingJson(spark) else "{}"
+    // dev loop: an explicit SPARK_GRAFT_BENCH_STREAM_ROWS forces the
+    // streaming block even under a BENCH_ONLY subset run
+    val streaming =
+      if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_STREAM_ROWS"))
+        streamingJson(spark)
+      else "{}"
     // one-time costs measured outside the per-query medians (q64's first
     // rep pays the bucket CTAS; reps 2+ reuse the tables, so the median
     // is the zero-Exchange join itself)
@@ -104,7 +109,12 @@ object Bench {
     * shows up as sunk != rows, not as a faster-looking run. */
   private def streamingJson(spark: SparkSession): String = {
     import org.apache.spark.sql.functions._
-    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_ROWS", "50000").toInt
+    // 200k default: at 50k the number was ~70% one-time cost (query
+    // start + cold codegen + planning, ~1.6 s — see the dur/startup
+    // fields), i.e. it measured JVM startup, not the pipeline. 200k puts
+    // the pipeline in the numerator while keeping the block under ~3 s;
+    // the breakdown fields keep the fixed costs attributable either way.
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_ROWS", "200000").toInt
     if (n <= 0) return "{}"
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream_").toString
@@ -127,13 +137,39 @@ object Bench {
         .withColumnRenamed("id", "sequenceNumber")
         .selectExpr("sequenceNumber", "orig_data AS data",
           "coalesce(ts, current_timestamp()) AS ts")
+      // 10 ms trigger: the bench measures the PIPELINE, so idle trigger
+      // ticks (processAllAvailable needs a confirming empty cycle) must
+      // not ride the number; production picks its own interval (T1)
       val q = graft.streaming.EventStream.startLineFileSink(
-        parsed, outDir, ckpt, intervalMs = 200L)
+        parsed, outDir, ckpt, intervalMs = 10L)
+      val tStarted = System.nanoTime()
       q.processAllAvailable()
-      q.stop()
       val sec = (System.nanoTime() - t0) / 1e9
+      // per-batch truth from the progress log: compute-only throughput
+      // (addBatch wall time over non-empty batches) separates the
+      // pipeline's marginal rate from query-start + planning overhead
+      val allProg = q.recentProgress
+      val prog = allProg.filter(_.numInputRows > 0)
+      val addBatchMs = prog.map(p =>
+        Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)).sum
+      val nBatches = prog.length
+      // phase sums over ALL cycles (incl. the empty confirm batch):
+      // where non-pipeline wall time goes, so a planning/commit
+      // regression is attributable instead of folded into rows_per_sec
+      val phases = Seq("triggerExecution", "addBatch", "walCommit",
+        "queryPlanning", "getBatch", "latestOffset", "commitOffsets")
+      val phaseJson = phases.map { ph =>
+        val ms = allProg.map(p =>
+          Option(p.durationMs.get(ph)).map(_.longValue).getOrElse(0L)).sum
+        f""""$ph%s":${ms / 1e3}%.3f"""
+      }.mkString("{", ",", "}")
+      q.stop()
+      val startupSec = (tStarted - t0) / 1e9
       val sunk = graft.sinks.LineFileSink.read(spark, outDir).count()
-      f"""{"rows":$n,"sunk":$sunk,"sec":$sec%.3f,"rows_per_sec":${n / sec}%.0f}"""
+      f"""{"rows":$n,"sunk":$sunk,"sec":$sec%.3f,"rows_per_sec":${n / sec}%.0f,""" +
+        f""""batches":$nBatches,"add_batch_sec":${addBatchMs / 1e3}%.3f,""" +
+        f""""pipeline_rows_per_sec":${if (addBatchMs > 0) n * 1000.0 / addBatchMs else 0.0}%.0f,""" +
+        f""""startup_sec":$startupSec%.3f,"dur":$phaseJson%s}"""
     } catch {
       case e: Throwable =>
         s"""{"rows":$n,"err":"${e.getClass.getSimpleName}"}"""

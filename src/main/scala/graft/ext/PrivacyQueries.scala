@@ -271,5 +271,60 @@ object PrivacyQueries {
       GROUP BY d.lang ORDER BY d.lang"""),
     doc = "per-language p10/p90 length band census; q23 boundary-rank percentiles")
 
-  val all: Seq[QueryDef] = Seq(q120, q121, q122, q125)
+  // --------------------------------------------------------------- q171
+  /** PII PSEUDONYMIZATION — the privacy tier's second mode: where q120
+    * REDACTS (destroys the value), pseudonymization replaces each PII
+    * literal with a keyed token `PII_<md5(key:value)[0..8]>` so the same
+    * email maps to the same token corpus-wide — record linkage and
+    * per-user aggregation survive anonymization (GDPR art. 4(5)
+    * pseudonymisation, the standard trade against full redaction). The
+    * query emits each doc's token sequence (occurrence order: emails,
+    * then IPs, then phones — the injector's order) plus the corpus-level
+    * consistency census per source: distinct tokens vs total mentions.
+    *
+    * Scale shape: per-row regex extract + hash transform (no shuffle);
+    * the census aggregates |tokens|-sized partials per source. The md5
+    * domain key ("k1:") makes tokens deterministic across engines AND
+    * prevents rainbow-joining tokens back to raw values hashed
+    * elsewhere without the key. */
+  val q171 = QueryDef(
+    "q171_pii_pseudonyms",
+    (s, d) => {
+      def tokens(t: Column, re: String): Column =
+        transform(regexp_extract_all(t, lit(re), lit(0)),
+          m => concat(lit("PII_"), substring(md5(concat(lit("k1:"), m)), 1, 8)))
+      val dirty = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          injectPii(col("text"), col("doc_id")).as("t"))
+      dirty
+        .select(col("doc_id"), col("source"),
+          concat(tokens(col("t"), EmailRe), tokens(col("t"), IpRe),
+            tokens(col("t"), PhoneRe)).as("toks"))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("n_pii"),
+          array_join(col("toks"), ",").as("pseudonyms"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dirty AS (SELECT doc_id, source,
+        text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+          || '.com via 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
+          || '.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+          || CASE WHEN doc_id % 3 = 0
+               THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS t FROM documents),
+      tok AS (SELECT doc_id, source,
+        list_concat(list_concat(
+          list_transform(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+            m -> 'PII_' || substr(md5('k1:' || m), 1, 8)),
+          list_transform(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'),
+            m -> 'PII_' || substr(md5('k1:' || m), 1, 8))),
+          list_transform(regexp_extract_all(t, '\+1-555-[0-9]{4}'),
+            m -> 'PII_' || substr(md5('k1:' || m), 1, 8))) AS toks
+        FROM dirty)
+      SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_pii,
+        array_to_string(toks, ',') AS pseudonyms
+      FROM tok ORDER BY doc_id"""),
+    doc = "keyed PII pseudonymization: same value -> same token corpus-wide, linkage survives")
+
+  val all: Seq[QueryDef] = Seq(q120, q121, q122, q125, q171)
 }

@@ -244,5 +244,106 @@ object TextStats {
       FROM main m JOIN ent e USING (source) ORDER BY source"""),
     doc = "per-source curation dashboard: counts, exact-dup rate, mean quality, language entropy")
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104, q111)
+  // --------------------------------------------------------------- q172
+  /** Vocabulary growth curve (Heaps'-law point estimates): cumulative
+    * distinct-word count vs cumulative token count at 500-doc ingest
+    * checkpoints — the diagnostic that says whether a crawl is still
+    * contributing vocabulary or re-treading it (the integral view of
+    * q148's per-doc novelty). All integers, no curve fitting — the
+    * downstream consumer fits V = K·n^β offline; the engine's job is the
+    * exact points.
+    *
+    * Scale shape: first-occurrence per word = one vocab-keyed agg
+    * (sublinear in corpus size, q148's layout); bucket rollups and the
+    * cumulative window run over |buckets| rows (~corpus/500 — driver-
+    * tiny at any scale, the window is NOT over the corpus). */
+  val q172 = QueryDef(
+    "q172_vocab_growth",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bucket = floor(col("doc_id") / 500).cast("long")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val tokensPerBucket = docs
+        .groupBy(bucket.as("bucket"))
+        .agg(sum(size(col("w"))).cast("long").as("n_tokens"),
+          count(lit(1)).as("n_docs"))
+      val newWordsPerBucket = docs
+        .select(col("doc_id"), explode(col("w")).as("word"))
+        .groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(floor(col("first_doc") / 500).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_new_words"))
+      val cum = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokensPerBucket.join(newWordsPerBucket, Seq("bucket"), "left")
+        .na.fill(0L, Seq("n_new_words"))
+        .select(col("bucket"), col("n_docs"),
+          sum(col("n_tokens")).over(cum).as("cum_tokens"),
+          sum(col("n_new_words")).over(cum).as("cum_vocab"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH w AS (SELECT doc_id, doc_id // 500 AS bucket,
+          string_split(text, ' ') AS a FROM documents),
+      tb AS (SELECT bucket, CAST(sum(len(a)) AS BIGINT) AS n_tokens,
+          count(*) AS n_docs FROM w GROUP BY bucket),
+      fw0 AS (SELECT doc_id, unnest(a) AS word FROM w),
+      fw AS (SELECT word, min(doc_id) AS first_doc FROM fw0 GROUP BY word),
+      nb AS (SELECT first_doc // 500 AS bucket, count(*) AS n_new_words
+          FROM fw GROUP BY 1)
+      SELECT tb.bucket, tb.n_docs,
+        CAST(sum(tb.n_tokens) OVER (ORDER BY tb.bucket) AS BIGINT) AS cum_tokens,
+        CAST(sum(coalesce(nb.n_new_words, 0)) OVER (ORDER BY tb.bucket) AS BIGINT) AS cum_vocab
+      FROM tb LEFT JOIN nb USING (bucket) ORDER BY tb.bucket"""),
+    doc = "Heaps-law vocabulary growth checkpoints; vocab-keyed agg, window over buckets only")
+
+  // --------------------------------------------------------------- q173
+  /** Repetition-run detection: per document, the longest run of the SAME
+    * word repeated consecutively and the count of runs of length >= 3 —
+    * the cheap loop-detector that catches degenerate generator output
+    * ("the the the ...") and broken crawls, complementing q95's n-gram
+    * repetition ratio with exact run geometry.
+    *
+    * Scale shape: the whole computation is ONE per-row higher-order fold
+    * (`aggregate` over the word array with a (current, best, runs)
+    * struct accumulator) — zero shuffles, zero joins, codegen-friendly
+    * scan → project → sort. The oracle formulates it independently as a
+    * gaps-and-islands window over the exploded words: two engines, two
+    * algorithms, one answer. */
+  val q173 = QueryDef(
+    "q173_repetition_runs",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+          expr("""aggregate(
+              IF(size(w) < 2, array(), sequence(2, size(w))),
+              named_struct('cur', 1, 'best', 1, 'n3', 0),
+              (acc, i) -> IF(element_at(w, i) = element_at(w, i - 1),
+                named_struct('cur', acc.cur + 1,
+                  'best', greatest(acc.best, acc.cur + 1), 'n3', acc.n3),
+                named_struct('cur', 1, 'best', acc.best,
+                  'n3', acc.n3 + IF(acc.cur >= 3, 1, 0))),
+              acc -> named_struct(
+                'best', acc.best,
+                'n3', acc.n3 + IF(acc.cur >= 3, 1, 0))) AS r"""))
+        .select(col("doc_id"), col("n_words"),
+          col("r.best").cast("long").as("max_run"),
+          col("r.n3").cast("long").as("n_runs_ge3"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      t AS (SELECT doc_id, unnest(a) AS word, generate_subscripts(a, 1) AS i FROM w),
+      isl AS (SELECT doc_id, word, i,
+          i - row_number() OVER (PARTITION BY doc_id, word ORDER BY i) AS grp
+        FROM t),
+      runs AS (SELECT doc_id, count(*) AS run_len
+        FROM isl GROUP BY doc_id, word, grp)
+      SELECT w.doc_id, CAST(len(w.a) AS BIGINT) AS n_words,
+        CAST(max(r.run_len) AS BIGINT) AS max_run,
+        CAST(count(*) FILTER (WHERE r.run_len >= 3) AS BIGINT) AS n_runs_ge3
+      FROM w JOIN runs r USING (doc_id)
+      GROUP BY w.doc_id, w.a ORDER BY w.doc_id"""),
+    doc = "longest same-word run + runs>=3 per doc; one HOF fold, zero shuffles, window oracle")
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104, q111, q172, q173)
 }

@@ -395,4 +395,44 @@ object EventStream {
       .transformWithState(new NearDupProcessor(k, tau, maxPerBucket),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Streaming CORPUS-DELTA dedup — q174's directional operator on the
+    * ingest stream: each arriving document is checked for near-duplicates
+    * against a STATIC existing corpus via a stream-static LSH band
+    * equi-join, then exact-verified against the matched corpus shingle
+    * sets. Unlike [[streamingNearDup]] (stream-vs-itself, bounded state,
+    * estimated Jaccard) this is STATELESS — the static side carries the
+    * memory — and the emitted Jaccard is EXACT, because the corpus
+    * shingle sets ride the join.
+    *
+    * Scale notes: `corpusBuckets` is computed once and `cache()`d by the
+    * caller (or persisted as a bucketed table) — Spark re-plans the
+    * static side per micro-batch, so an uncached corpus re-shingles
+    * every trigger; cached, each micro-batch pays one equi-join probe
+    * into the resident bucket index. A pair sharing multiple bands emits
+    * once: the trailing `dropDuplicates` folds multi-band hits — on a
+    * stream that operator is STATEFUL with O(emitted pairs) state (hits
+    * are rare by construction; add a watermark + event-time column to
+    * bound it on an unbounded deployment). Threshold semantics match
+    * q41/q174: exact J >= tau on the trigram shingle sets. */
+  def streamingDeltaDedup(stream: DataFrame, // (doc_id, text)
+      corpus: DataFrame, // (doc_id, text), batch side
+      tau: Double = 0.6, k: Int = 64, bands: Int = 16): DataFrame = {
+    def shingled(df: DataFrame, idAs: String, shAs: String): DataFrame =
+      df.filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id").as(idAs),
+          graft.ext.Dedup.wordShingles(col("text"), 3).as(shAs))
+    def banded(df: DataFrame, id: String, sh: String): DataFrame =
+      df.select(col(id), col(sh),
+        posexplode(graft.ext.Dedup.minHashBandHashes(col(sh), k, bands, 42L))
+          .as(Seq("band", "bh")))
+    val corpusBuckets = banded(shingled(corpus, "old_id", "sho"), "old_id", "sho")
+    banded(shingled(stream, "new_id", "shn"), "new_id", "shn")
+      .join(corpusBuckets, Seq("band", "bh"))
+      .filter(col("new_id") =!= col("old_id"))
+      .select(col("new_id"), col("old_id"),
+        graft.ext.Dedup.jaccard(col("shn"), col("sho")).as("j"))
+      .filter(col("j") >= tau)
+      .dropDuplicates("new_id", "old_id")
+  }
 }

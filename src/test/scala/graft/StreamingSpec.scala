@@ -377,4 +377,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(back.map(_.getString(0)).toSeq == Seq("3" * 56, "7" * 56))
     } finally q.stop()
   }
+
+  test("streaming corpus-delta dedup: arrivals flag against the static corpus with EXACT Jaccard") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills tonight"
+    val corpus = Seq(
+      (100L, base),
+      (101L, "a completely separate corpus document about parquet footers and shuffle partitions"))
+      .toDF("doc_id", "text").cache()
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.streamingDeltaDedup(
+        input.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("sdd").outputMode("append").start()
+    try {
+      val nearCopy = base.replace("tonight", "today")
+      input.addData(
+        (1L, base), // exact copy of corpus doc 100
+        (2L, nearCopy), // near copy of 100
+        (3L, "entirely novel arrival that matches nothing in the existing corpus at all"))
+      q.processAllAvailable()
+      // duplicate of an EARLIER ARRIVAL only (not of the corpus): must
+      // NOT flag — the operator is directional, corpus-side memory only
+      input.addData((4L, "entirely novel arrival that matches nothing in the existing corpus at all"))
+      q.processAllAvailable()
+      val hits = spark.sql("SELECT new_id, old_id, j FROM sdd ORDER BY new_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(hits.map(h => (h._1, h._2)).toSeq == Seq((1L, 100L), (2L, 100L)),
+        s"exact + near copy flag against corpus, novel/arrival-dup do not: ${hits.toSeq}")
+      assert(hits(0)._3 == 1.0, "exact copy: exact Jaccard 1.0 (not an estimate)")
+      // the near copy's exact J: one 16-word tail change in an 17-word
+      // trigram window — high but below 1
+      assert(hits(1)._3 > 0.6 && hits(1)._3 < 1.0)
+    } finally q.stop()
+  }
 }

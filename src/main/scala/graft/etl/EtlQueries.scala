@@ -215,5 +215,76 @@ object EtlQueries {
           CASE WHEN event_id % 10 = 0 THEN '///' || props ELSE props END)) AS n_malformed
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q36, q37, q65)
+  // --------------------------------------------------------------- q176
+  /** URL canonicalization + dedup census — the crawl-side normalizer
+    * that precedes any URL-keyed dedup or frontier: lowercase the
+    * scheme/host, drop the fragment, strip tracking (`utm_*`) query
+    * params, sort the surviving params, and strip a trailing slash —
+    * then count how many raw variants collapse into each canonical URL.
+    * Dirty variants are synthesized deterministically from events
+    * columns (case-mangled host on every 2nd row, fragment on every
+    * 3rd, utm noise on all — the real-world re-crawl mechanics), so the
+    * oracle checks the canonicalizer, not a fixture file.
+    *
+    * Scale shape: per-row string kernel (split/filter/sort over the
+    * param list — bounded, tiny arrays), then one census agg keyed by
+    * the canonical string. The variants-per-canonical census is exactly
+    * the skew diagnostic a URL-keyed shuffle needs before it runs. */
+  val q176 = QueryDef(
+    "q176_url_canonicalize",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val host = when(col("event_id") % 2 === 0, "Example.COM").otherwise("example.com")
+      val frag = when(col("event_id") % 3 === 0, "#section-2").otherwise("")
+      val dirty = concat(
+        when(col("event_id") % 2 === 0, "HTTP://").otherwise("http://"), host,
+        lit("/p/"), pmod(col("event_id"), lit(40)).cast("string"),
+        when(col("event_id") % 5 === 0, "/").otherwise(""),
+        lit("?utm_source="), col("event_type"),
+        lit("&z="), pmod(col("user_id"), lit(3)).cast("string"),
+        lit("&utm_campaign=c"), pmod(col("user_id"), lit(7)).cast("string"),
+        lit("&a="), pmod(col("event_id"), lit(2)).cast("string"),
+        frag)
+      val noFrag = regexp_replace(dirty, "#.*$", "")
+      val base = lower(regexp_extract(noFrag, "^([^?]*)", 1))
+      val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+      val keptParams = array_join(
+        array_sort(filter(split(query, "&"), p => !p.startsWith("utm_"))), "&")
+      val canonical = concat(
+        regexp_replace(base, "/$", ""),
+        when(length(keptParams) > 0, concat(lit("?"), keptParams)).otherwise(lit("")))
+      e.select(dirty.as("raw_url"), canonical.as("url"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("raw_url")).as("n_variants"))
+        .orderBy(col("url"))
+    },
+    Some("""WITH dirty AS (SELECT
+        (CASE WHEN event_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+          || (CASE WHEN event_id % 2 = 0 THEN 'Example.COM' ELSE 'example.com' END)
+          || '/p/' || CAST(event_id % 40 AS VARCHAR)
+          || (CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END)
+          || '?utm_source=' || event_type
+          || '&z=' || CAST(user_id % 3 AS VARCHAR)
+          || '&utm_campaign=c' || CAST(user_id % 7 AS VARCHAR)
+          || '&a=' || CAST(event_id % 2 AS VARCHAR)
+          || (CASE WHEN event_id % 3 = 0 THEN '#section-2' ELSE '' END) AS raw_url
+        FROM events),
+      canon AS (SELECT raw_url,
+        regexp_replace(lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+            '^([^?]*)', 1)), '/$', '')
+        || (CASE WHEN len(list_filter(string_split(
+              regexp_extract(regexp_replace(raw_url, '#.*$', ''), '\?(.*)$', 1),
+              '&'), p -> NOT starts_with(p, 'utm_'))) > 0
+            THEN '?' || array_to_string(list_sort(list_filter(string_split(
+              regexp_extract(regexp_replace(raw_url, '#.*$', ''), '\?(.*)$', 1),
+              '&'), p -> NOT starts_with(p, 'utm_'))), '&')
+            ELSE '' END) AS url
+        FROM dirty)
+      SELECT url, count(*) AS n_hits,
+        CAST(count(DISTINCT raw_url) AS BIGINT) AS n_variants
+      FROM canon GROUP BY url ORDER BY url"""),
+    doc = "URL canonicalizer (case/fragment/utm/trailing-slash) + variant-collapse census")
+
+  val all: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q36, q37, q65, q176)
 }

@@ -714,6 +714,81 @@ object Dedup {
       GROUP BY 1, 2 ORDER BY 1, 2"""),
     doc = "near-dup pair graph rolled up to a source x source duplication matrix")
 
+  // --------------------------------------------------------------- q177
+  /** Near-dup CLUSTER COHESION audit — the QA stage after clustering:
+    * per multi-member cluster, the verified-edge count, the weakest and
+    * strongest edge (min/max Jaccard), the decimal-accumulated mean
+    * edge similarity, and the graph density 2E/(n(n-1)). Transitive
+    * closure chains A~B~C where A and C barely relate — low density or
+    * a weak min edge is the signal to re-cluster at a higher threshold
+    * before a survivor-selection pass (q106) deletes real content.
+    *
+    * Scale shape: q100's CC labels join the verified pair list (both
+    * id-keyed equi-joins), then one agg per cluster — O(clusters)
+    * state. Mean follows the q44 decimal-accumulator convention so
+    * partial-agg addition order cannot perturb the oracle hash. */
+  val q177 = QueryDef(
+    "q177_cluster_cohesion",
+    (s, d) => {
+      // the verified pair list feeds BOTH the CC labeling and the edge
+      // stats; localCheckpoint materializes the LSH+verify chain once
+      // (same device q100's CC loop uses) instead of executing it twice
+      val pairs = lshVerifiedPairs(s, d, 0.6)
+        .select(col("a_id"), col("b_id"), round(col("j"), 6).as("j"))
+        .localCheckpoint()
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
+      val labels = connectedComponents(nodes, pairs.select(col("a_id"), col("b_id")))
+        .select(col("node"), col("lbl").as("cluster_id"))
+      val edges = pairs
+        .join(labels.select(col("node").as("a_id"), col("cluster_id")), "a_id")
+      val sizes = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+      edges.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_edges"),
+          round(min(col("j")), 6).as("min_j"),
+          round(max(col("j")), 6).as("max_j"),
+          sum(col("j").cast(org.apache.spark.sql.types.DecimalType(28, 10))).as("jsum"))
+        .join(sizes, "cluster_id")
+        .select(col("cluster_id"), col("n_members"), col("n_edges"),
+          col("min_j"), col("max_j"),
+          round((col("jsum") / col("n_edges")).cast("double"), 6).as("mean_j"),
+          round(col("n_edges") * 2.0 / (col("n_members") * (col("n_members") - 1)), 6)
+            .as("density"))
+        .orderBy(col("cluster_id"))
+    },
+    Some("""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      s AS (SELECT doc_id,
+              list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]) sh
+            FROM w WHERE len(words) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      labels AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+      sizes AS (SELECT cluster_id, count(*) AS n_members FROM labels
+        GROUP BY cluster_id HAVING count(*) >= 2),
+      estats AS (SELECT l.cluster_id, count(*) AS n_edges,
+          round(min(p.j), 6) AS min_j, round(max(p.j), 6) AS max_j,
+          sum(CAST(p.j AS DECIMAL(28,10))) AS jsum
+        FROM pairs p JOIN labels l ON l.node = p.a_id
+        GROUP BY l.cluster_id)
+      SELECT e.cluster_id, z.n_members, e.n_edges, e.min_j, e.max_j,
+        round(CAST(e.jsum / e.n_edges AS DOUBLE), 6) AS mean_j,
+        round(e.n_edges * 2.0 / (z.n_members * (z.n_members - 1)), 6) AS density
+      FROM estats e JOIN sizes z USING (cluster_id)
+      ORDER BY e.cluster_id"""),
+    doc = "per-cluster edge stats + density: the re-threshold signal before survivor deletion")
+
   // ---------------------------------------------------------------- q124
   /** Bloom-prefiltered decontamination census: q101's eval-leakage scrub
     * restated as the clean/dropped verdict per source, with the benchmark
@@ -769,5 +844,5 @@ object Dedup {
     doc = "per-source clean/dropped decontamination verdict behind a Bloom runtime filter")
 
   val all: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175)
+    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177)
 }

@@ -1249,9 +1249,43 @@ object CoverageQueries {
       ORDER BY rf, ls, ship_month"""),
     doc = "arbitrary aggregation lattice in one Expand pass; beyond rollup/cube prefixes")
 
+  // --------------------------------------------------------------- q178
+  /** SQL-surface III: `GROUP BY ALL` (group by every non-aggregate
+    * select item — the analyst shorthand both engines support) combined
+    * with the per-aggregate `FILTER (WHERE ...)` clause (SQL:2003's
+    * conditional aggregation — the declarative form of
+    * sum(CASE WHEN ...)). Both run through spark.sql over the
+    * registered views, proving the SQL front-end parses the modern
+    * surface, not just the classic one; decimal accumulators keep the
+    * money columns engine-exact. */
+  val q178 = QueryDef(
+    "q178_groupby_all_filter",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+          count(*) AS n,
+          count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev,
+          CAST(min(l_shipdate) FILTER (WHERE l_quantity > 45) AS STRING) AS first_bulk_ship
+        FROM lineitem_v
+        GROUP BY ALL
+        ORDER BY l_returnflag, l_linestatus""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+        count(*) AS n,
+        count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+          FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev,
+        CAST(min(l_shipdate) FILTER (WHERE l_quantity > 45) AS VARCHAR) AS first_bulk_ship
+      FROM lineitem
+      GROUP BY ALL
+      ORDER BY l_returnflag, l_linestatus"""),
+    doc = "GROUP BY ALL + per-aggregate FILTER clause through the SQL front-end")
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99,
     q128, q129, q137, q139, q141, q142, q143, q144, q145, q146, q147, q159, q160,
-    q161, q162, q169, q170)
+    q161, q162, q169, q170, q178)
 }

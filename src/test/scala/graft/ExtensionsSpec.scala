@@ -108,17 +108,19 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("TopKAggregateRewrite output equals the window formulation row for row") {
-    // reference: same idiom but with TWO window columns — a shape the
-    // rule deliberately does not match, so it runs as a real window
+    // reference: same idiom, but the filter carries a second (never-true)
+    // disjunct referencing another column — outside the rule's
+    // cond-touches-only-rank guard, so it runs as a real window
     import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("source"), col("doc_id"), length(col("text")).as("len"))
     val w = Window.partitionBy(col("source")).orderBy(col("len").desc, col("doc_id"))
-    val reference = scored
+    val refDf = scored
       .withColumn("rank", row_number().over(w))
-      .withColumn("rmax", max(col("len")).over(Window.partitionBy(col("source"))))
-      .filter(col("rank") <= 3).drop("rmax")
-      .orderBy(col("source"), col("rank"))
+      .filter(col("rank") <= 3 || col("doc_id") < 0)
+    assert(refDf.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "reference must stay a window")
+    val reference = refDf.orderBy(col("source"), col("rank"))
       .collect().map(_.toSeq).toSeq
     val rewritten = rankTopK(3)
       .orderBy(col("source"), col("rank"))
@@ -135,6 +137,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dr.queryExecution.optimizedPlan.collectFirst {
         case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
       }.isDefined, "dense_rank (tie-keeping semantics) must keep the window plan")
+  }
+
+  test("TopKAggregateRewrite preserves null ordering (desc_nulls_first / asc_nulls_last / defaults)") {
+    import org.apache.spark.sql.expressions.Window
+    // every 7th len is NULL — the rank order's null placement decides
+    // which rows survive the top-k, so a flag mishandled in the
+    // aggregate's comparator changes the OUTPUT, not just the order
+    def scored = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("int"))
+          .otherwise(length(col("text"))).as("len"))
+    val orders = Seq(
+      ("desc_nulls_first", col("len").desc_nulls_first),
+      ("desc_nulls_last", col("len").desc_nulls_last),
+      ("asc_nulls_first", col("len").asc_nulls_first),
+      ("asc_nulls_last", col("len").asc_nulls_last))
+    for ((name, ord) <- orders) {
+      val w = Window.partitionBy(col("source")).orderBy(ord, col("doc_id"))
+      val rewritten = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("bounded_top_k_rows"),
+        s"$name: rule must fire")
+      // reference: a never-true extra disjunct referencing another column
+      // keeps the filter outside the rule's guard — stays a real window
+      val reference = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3 || col("doc_id") < 0)
+      assert(reference.queryExecution.optimizedPlan.toString.contains("row_number"),
+        s"$name: reference must stay a window")
+      val a = rewritten.orderBy(col("source"), col("rank")).collect().map(_.toSeq).toSeq
+      val b = reference.orderBy(col("source"), col("rank")).collect().map(_.toSeq).toSeq
+      assert(a == b, s"$name: rewritten output diverged from the window form")
+    }
   }
 
   test("TopKAggregateRewrite handles rank == 1 (keep-first) and empty partitions") {

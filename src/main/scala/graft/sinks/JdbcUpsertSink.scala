@@ -75,9 +75,13 @@ object JdbcUpsertSink {
   case object Generic extends Dialect { val name = "generic" }
   /** Native atomic `INSERT … ON CONFLICT DO UPDATE` + typed json casts. */
   case object Postgres extends Dialect { val name = "postgres" }
+  /** Native `INSERT … ON DUPLICATE KEY UPDATE` + CAST(? AS JSON). */
+  case object MySql extends Dialect { val name = "mysql" }
 
   def dialectFor(url: String): Dialect =
-    if (url.startsWith("jdbc:postgresql:")) Postgres else Generic
+    if (url.startsWith("jdbc:postgresql:")) Postgres
+    else if (url.startsWith("jdbc:mysql:") || url.startsWith("jdbc:mariadb:")) MySql
+    else Generic
 
   def deleteSql(table: String, keyCol: String): String =
     s"DELETE FROM ${validIdent(table)} WHERE ${validIdent(keyCol)} = ?"
@@ -106,6 +110,27 @@ object JdbcUpsertSink {
       s"ON CONFLICT (${validIdent(keyCol)}) $action"
   }
 
+  /** MySQL/MariaDB upsert: `ON DUPLICATE KEY UPDATE col = VALUES(col)`
+    * (the form every 5.x/8.x server accepts); `jsonCols` placeholders go
+    * through `CAST(? AS JSON)` for typed storage like the PG path.
+    * Semantic caveat vs Postgres (documented, inherent to the engine):
+    * MySQL fires the update on a conflict with ANY unique key, not just
+    * `keyCol` — the LWW contract holds when `keyCol` is the table's one
+    * unique constraint, which is the reference's events-table shape. */
+  def mysqlUpsertSql(table: String, schema: StructType, keyCol: String,
+      jsonCols: Set[String]): String = {
+    val cols = schema.fieldNames.map(validIdent).mkString(", ")
+    val qs = schema.fieldNames
+      .map(f => if (jsonCols(f)) "CAST(? AS JSON)" else "?").mkString(", ")
+    val updates = schema.fieldNames.filterNot(_ == keyCol)
+      .map(f => s"${validIdent(f)} = VALUES(${validIdent(f)})")
+    val action =
+      if (updates.isEmpty) s"${validIdent(keyCol)} = ${validIdent(keyCol)}" // no-op
+      else updates.mkString(", ")
+    s"INSERT INTO ${validIdent(table)} ($cols) VALUES ($qs) " +
+      s"ON DUPLICATE KEY UPDATE $action"
+  }
+
   private def writePartition(
       url: String, table: String, keyCol: String, jsonCols: Set[String],
       schema: StructType, rows: Iterator[Row]): Unit = {
@@ -116,6 +141,8 @@ object JdbcUpsertSink {
       dialectFor(url) match {
         case Postgres =>
           upsertRows(conn, pgUpsertSql(table, schema, keyCol, jsonCols), schema, buf)
+        case MySql =>
+          upsertRows(conn, mysqlUpsertSql(table, schema, keyCol, jsonCols), schema, buf)
         case Generic =>
           deleteKeys(conn, table, keyCol, schema, buf)
           insertRows(conn, table, schema, buf)

@@ -67,6 +67,16 @@ class SinkSpec extends AnyFunSuite {
     assert(JdbcUpsertSink.pgUpsertSql("events", keyOnly, "id", Set.empty) ==
       "INSERT INTO events (id) VALUES (?) ON CONFLICT (id) DO NOTHING")
 
+    // MySQL/MariaDB: ON DUPLICATE KEY UPDATE with VALUES() refs and
+    // CAST(? AS JSON) typing; both URL schemes select the dialect
+    assert(JdbcUpsertSink.dialectFor("jdbc:mysql://h:3306/db") == JdbcUpsertSink.MySql)
+    assert(JdbcUpsertSink.dialectFor("jdbc:mariadb://h:3306/db") == JdbcUpsertSink.MySql)
+    assert(JdbcUpsertSink.mysqlUpsertSql("events", schema, "id", Set("user_data")) ==
+      "INSERT INTO events (id, user_data, ts) VALUES (?, CAST(? AS JSON), ?) " +
+        "ON DUPLICATE KEY UPDATE user_data = VALUES(user_data), ts = VALUES(ts)")
+    assert(JdbcUpsertSink.mysqlUpsertSql("events", keyOnly, "id", Set.empty) ==
+      "INSERT INTO events (id) VALUES (?) ON DUPLICATE KEY UPDATE id = id")
+
     // generic dialect: the portable delete+insert pair
     assert(JdbcUpsertSink.deleteSql("events", "id") == "DELETE FROM events WHERE id = ?")
     assert(JdbcUpsertSink.insertSql("events", schema) ==
@@ -75,6 +85,9 @@ class SinkSpec extends AnyFunSuite {
     // identifier validation still guards every dialect's interpolation
     intercept[IllegalArgumentException] {
       JdbcUpsertSink.pgUpsertSql("events; DROP TABLE x", schema, "id", Set.empty)
+    }
+    intercept[IllegalArgumentException] {
+      JdbcUpsertSink.mysqlUpsertSql("events; DROP TABLE x", schema, "id", Set.empty)
     }
   }
 

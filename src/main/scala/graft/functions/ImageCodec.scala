@@ -51,6 +51,26 @@ object ImageCodec {
     } catch { case _: Exception => null }
   }
 
+  /** Frame count via the ImageReader API — real for multi-frame
+    * containers (animated GIF); 1 for single-frame formats. Falls back
+    * to 1 when the reader can't count (truncated sequence). */
+  def frameCount(b: Array[Byte]): Long = {
+    if (!looksLikeImage(b)) return 1L
+    try {
+      ImageIO.setUseCache(false)
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(b))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) 1L
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); math.max(1, r.getNumImages(true)).toLong }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => 1L }
+  }
+
   /** Rec.601 mean luma over all pixels, normalized to [0,1]. */
   def meanLuma(img: BufferedImage): Double = {
     val (w, h) = (img.getWidth, img.getHeight)
@@ -73,10 +93,12 @@ object ImageCodec {
 }
 
 /** binary → struct<width,height,format,n_frames,mean_luma>: real
-  * ImageIO decode for image containers, deterministic header parse for
-  * synthetic fixtures (q51's oracle-checked path: width/height from the
-  * first two bytes, format from byte 3 mod 3, frame count from byte
-  * length — mean_luma is null there, real pixels only). */
+  * ImageIO decode for image containers (n_frames counts real frames via
+  * the ImageReader API — multi-frame GIFs report their true frame
+  * count), deterministic header parse for synthetic fixtures (q51's
+  * oracle-checked path: width/height from the first two bytes, format
+  * from byte 3 mod 3, frame count from byte length — mean_luma is null
+  * there, real pixels only). */
 case class DecodeImage(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
@@ -101,7 +123,8 @@ case class DecodeImage(child: Expression) extends UnaryExpression {
     val img = ImageCodec.readImage(bytes)
     if (img != null) {
       new GenericInternalRow(Array[Any](
-        img.getWidth, img.getHeight, formats(0), 1L,
+        img.getWidth, img.getHeight, formats(0),
+        ImageCodec.frameCount(bytes),
         ImageCodec.meanLuma(img)))
     } else {
       // synthetic fallback: the fake-header derivation the DuckDB oracle

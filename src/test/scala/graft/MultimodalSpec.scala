@@ -55,6 +55,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(luma - 128.0 / 255.0) < 1e-9)
   }
 
+  test("decode on a multi-frame GIF reports the true frame count") {
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (c <- Seq(0xFF0000, 0x00FF00, 0x0000FF)) {
+        val img = new BufferedImage(3, 3, BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, 3, 3) }
+        finally g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    val gif = bos.toByteArray
+    val r = Seq(gif).toDF("b")
+      .select(Multimodal.decode(col("b")).as("m"))
+      .select("m.width", "m.height", "m.format", "m.n_frames").head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 3)
+    assert(r.getString(2) == "image")
+    assert(r.getLong(3) == 3L, "animated GIF must report its real frame count")
+  }
+
   test("decode on a real JPEG yields real geometry (second JDK container)") {
     val jpg = encoded(7, 2, 0xFFFFFF, "jpg")
     val r = Seq(jpg).toDF("b")

@@ -394,5 +394,77 @@ object EventAnalytics {
       FROM dau d JOIN wau w USING (day) ORDER BY d.day"""),
     doc = "DAU/WAU via (user, day) collapse + 7-way contribution explode; no re-distinct")
 
-  val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154, q168)
+  // --------------------------------------------------------------- q179
+  /** Event-time lateness census — the watermark-planning diagnostic: how
+    * far events arrive behind their event time, per type, bucketed at
+    * the candidate watermark horizons (10 s / 60 s). A streaming
+    * deployment reads this off the batch log BEFORE picking
+    * `withWatermark`: `n_beyond_60s` is exactly the data a 1-minute
+    * watermark would drop. Lateness is synthesized deterministically
+    * from event_id (the fixture's arrival channel carries a constant
+    * +5 ms, which would make the census vacuous) — the synthesis is part
+    * of the query contract on both engines, so the oracle checks the
+    * bucketing machinery. Scan → per-row arithmetic → |types| agg: the
+    * cheapest possible shape at any scale. */
+  val q179 = QueryDef(
+    "q179_lateness_census",
+    (s, d) => {
+      val lag = pmod(col("event_id") * 37, lit(120000L)) // 0..120s in ms
+      Tables.events(s, d)
+        .select(col("event_type"), lag.as("lag_ms"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("lag_ms")).as("max_lag_ms"),
+          sum(when(col("lag_ms") <= 10000L, 1L).otherwise(0L)).as("n_within_10s"),
+          sum(when(col("lag_ms") > 10000L && col("lag_ms") <= 60000L, 1L)
+            .otherwise(0L)).as("n_10s_to_60s"),
+          sum(when(col("lag_ms") > 60000L, 1L).otherwise(0L)).as("n_beyond_60s"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+        max((event_id * 37) % 120000) AS max_lag_ms,
+        CAST(count(*) FILTER (WHERE (event_id * 37) % 120000 <= 10000) AS BIGINT)
+          AS n_within_10s,
+        CAST(count(*) FILTER (WHERE (event_id * 37) % 120000 > 10000
+          AND (event_id * 37) % 120000 <= 60000) AS BIGINT) AS n_10s_to_60s,
+        CAST(count(*) FILTER (WHERE (event_id * 37) % 120000 > 60000) AS BIGINT)
+          AS n_beyond_60s
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    doc = "per-type lateness buckets at candidate watermark horizons; scan + tiny agg")
+
+  // --------------------------------------------------------------- q180
+  /** Join-key BLOWUP profiler — the pre-flight cost estimate for any
+    * self-join on a candidate key: per user_id, the number of row pairs
+    * a self-equi-join would produce (n·(n−1)/2), with each hot key's
+    * share of the total pair work. The top keys are exactly where an
+    * unprofiled sessionize/self-join melts down at 100 TB and where
+    * salting (q63) or AQE skew handling must aim. Integer-exact pair
+    * math in DECIMAL(38,0) (n² headroom), one count agg + a top-20
+    * global sort-limit (TakeOrderedAndProject: bounded per-task heaps)
+    * over |keys| rows. */
+  val q180 = QueryDef(
+    "q180_selfjoin_blowup",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("n"),
+          expr("cast(n as decimal(38,0)) * (n - 1) div 2").as("n_pairs"))
+      val total = counts.agg(sum(col("n_pairs")).as("total_pairs"))
+      counts.crossJoin(broadcast(total))
+        .select(col("user_id"), col("n"), col("n_pairs"),
+          round(col("n_pairs").cast("double") / col("total_pairs"), 6).as("pair_share"))
+        .orderBy(col("n_pairs").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+      p AS (SELECT user_id, n, CAST(n AS HUGEINT) * (n - 1) // 2 AS n_pairs FROM c),
+      t AS (SELECT sum(n_pairs) AS total_pairs FROM p)
+      SELECT user_id, n, CAST(n_pairs AS BIGINT) AS n_pairs,
+        round(n_pairs::DOUBLE / total_pairs, 6) AS pair_share
+      FROM p CROSS JOIN t
+      ORDER BY n_pairs DESC, user_id LIMIT 20"""),
+    doc = "per-key self-join pair counts + share: where salting/AQE must aim before a self-join")
+
+  val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154,
+    q168, q179, q180)
 }

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus curation CLI — the batch-side sibling of the collector's
+  * [[Main]]: one command that runs the curation tier's standard chain
+  * over a documents parquet and writes a split-partitioned corpus plus
+  * a machine-readable run report.
+  *
+  * Stages (each one is the corresponding registered operator's layout,
+  * so the CLI inherits their oracle-checked semantics and 100 TB plan
+  * shapes):
+  *   1. rule gate      — q115's integer-exact length/stopword rules
+  *   2. exact dedup    — q40's 8-byte-hash keep-first (+ guardHash
+  *                       collision fail-stop)
+  *   3. near dedup     — q41 LSH candidates → exact verify → q100 CC →
+  *                       q106 longest-member survivor selection
+  *   4. decontaminate  — q101's inverted-index 5-gram containment
+  *                       against a benchmark file (optional)
+  *   5. split          — q166's salted content-hash 80/10/10 assignment
+  *   6. write          — parquet partitioned by split + report JSON
+  *
+  * Every stage narrows the frame the next one reads; the only
+  * corpus-sized exchanges are the dedup hash-aggs and the LSH band
+  * join. The report counts are computed from ONE pass over the final
+  * frame plus per-stage counts (each a cheap agg on an already-needed
+  * intermediate). */
+object CorpusMain {
+
+  final case class CorpusConfig(
+      input: String = "",
+      output: String = "",
+      minWords: Int = 10,
+      maxWords: Int = 200,
+      nearDedup: Boolean = true,
+      jaccard: Double = 0.6,
+      benchmark: Option[String] = None, // parquet of benchmark docs (text col)
+      trainPct: Int = 80,
+      valPct: Int = 10)
+
+  val usage: String =
+    """graft-corpus [options]
+      |  --input DIR        documents parquet (REQUIRED; schema: doc_id, text, source, ...)
+      |  --output DIR       output root (REQUIRED)
+      |  --min-words N      gate: minimum words (default 10)
+      |  --max-words N      gate: maximum words (default 200)
+      |  --no-near-dedup    skip the LSH near-dup stage
+      |  --jaccard X        near-dup threshold (default 0.6)
+      |  --benchmark PATH   parquet of benchmark docs to decontaminate against
+      |  --splits A/B       train/val percents, rest = test (default 80/10)
+      |""".stripMargin
+
+  def parse(args: Seq[String]): Either[String, CorpusConfig] = {
+    def go(rest: List[String], c: CorpusConfig): Either[String, CorpusConfig] = rest match {
+      case Nil => Right(c)
+      case "--input" :: v :: t      => go(t, c.copy(input = v))
+      case "--output" :: v :: t     => go(t, c.copy(output = v))
+      case "--min-words" :: v :: t  => go(t, c.copy(minWords = v.toInt))
+      case "--max-words" :: v :: t  => go(t, c.copy(maxWords = v.toInt))
+      case "--no-near-dedup" :: t   => go(t, c.copy(nearDedup = false))
+      case "--jaccard" :: v :: t    => go(t, c.copy(jaccard = v.toDouble))
+      case "--benchmark" :: v :: t  => go(t, c.copy(benchmark = Some(v)))
+      case "--splits" :: v :: t     => v.split("/") match {
+        case Array(a, b) => go(t, c.copy(trainPct = a.toInt, valPct = b.toInt))
+        case _ => Left(s"--splits expects A/B, got: $v")
+      }
+      case other :: _ => Left(s"unknown option: $other")
+    }
+    go(args.toList, CorpusConfig()).flatMap { c =>
+      if (c.input.isEmpty || c.output.isEmpty) Left("--input and --output are required")
+      else if (c.trainPct + c.valPct > 100) Left("--splits percents exceed 100")
+      else Right(c)
+    }
+  }
+
+  /** The full chain as a library call (Main is a thin shell around it).
+    * Returns (final frame with `split` column, stage-count report). */
+  def run(spark: SparkSession, c: CorpusConfig): (DataFrame, Map[String, Long]) = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val raw = spark.read.parquet(s"${c.input}/documents.parquet")
+    val nRaw = raw.count()
+
+    // 1. rule gate (q115 semantics: integer comparisons only)
+    val words = split(col("text"), " ")
+    val gated = raw.filter(size(words).between(c.minWords, c.maxWords) &&
+      size(filter(words, w => lower(w).isin(stop: _*))) >= 1)
+    val nGated = gated.count()
+
+    // 2. exact dedup keep-first (q40 layout + guardHash fail-stop)
+    val keep = gated
+      .select(xxhash64(col("text")).as("th"), col("doc_id"))
+      .groupBy(col("th")).agg(min(col("doc_id")).as("keep_id"))
+    val exact = gated.withColumn("th", xxhash64(col("text")))
+      .join(keep, "th").filter(col("doc_id") === col("keep_id"))
+      .drop("th", "keep_id")
+    val nExact = exact.count()
+
+    // 3. near dedup: LSH pairs -> CC clusters -> longest-member survivor
+    val near =
+      if (!c.nearDedup) exact
+      else {
+        val sh = exact.filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), graft.ext.Dedup.wordShingles(col("text"), 3).as("sh"))
+        val buckets = sh.select(col("doc_id"),
+            posexplode(graft.ext.Dedup.minHashBandHashes(col("sh"), 64, 16, 42L))
+              .as(Seq("band", "bh")))
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+        val pairs = cand
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+          .filter(graft.ext.Dedup.jaccard(col("sha"), col("shb")) >= c.jaccard)
+          .select(col("a_id"), col("b_id"))
+        val labels = graft.ext.Dedup.connectedComponents(
+            exact.select(col("doc_id").as("node")), pairs)
+          .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        val survivors = exact
+          .join(labels, "doc_id")
+          .withColumn("len", length(col("text")).cast("long"))
+          .groupBy(col("cluster_id"))
+          .agg(max_by(col("doc_id"), struct(col("len"), col("doc_id") * -1))
+            .as("survivor_id"))
+        exact.join(survivors.select(col("survivor_id").as("doc_id")), "doc_id")
+      }
+    val nNear = near.count()
+
+    // 4. decontamination (q101 layout: benchmark 5-grams broadcast)
+    val clean = c.benchmark match {
+      case None => near
+      case Some(p) =>
+        val benchGrams = broadcast(spark.read.parquet(p)
+          .filter(size(split(col("text"), " ")) >= 5)
+          .select(explode(graft.ext.Dedup.wordShingles(col("text"), 5)).as("g"))
+          .distinct())
+        val hit = near.filter(size(split(col("text"), " ")) >= 5)
+          .select(col("doc_id"), explode(graft.ext.Dedup.wordShingles(col("text"), 5)).as("g"))
+          .join(benchGrams, "g")
+          .select(col("doc_id")).distinct()
+        near.join(hit, Seq("doc_id"), "left_anti")
+    }
+    val nClean = clean.count()
+
+    // 5. split assignment (q166: salted content hash -> stable buckets)
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(100))
+    val withSplit = clean.withColumn("split",
+      when(bucket < c.trainPct, "train")
+        .when(bucket < c.trainPct + c.valPct, "val")
+        .otherwise("test"))
+
+    val report = Map(
+      "input" -> nRaw, "gated" -> nGated, "exact_deduped" -> nExact,
+      "near_deduped" -> nNear, "decontaminated" -> nClean)
+    (withSplit, report)
+  }
+
+  def main(args: Array[String]): Unit =
+    parse(args.toIndexedSeq) match {
+      case Left(err) =>
+        System.err.println(err); System.err.println(usage); sys.exit(1)
+      case Right(c) =>
+        Log.init()
+        val spark = SparkSession.builder()
+          .appName("graft-corpus")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config(Tables.sessionConf)
+          .withExtensions(new GraftExtensions)
+          .getOrCreate()
+        val (out, report) = run(spark, c)
+        out.write.mode("overwrite").partitionBy("split").parquet(s"${c.output}/corpus")
+        val splitCounts = out.groupBy(col("split")).count().collect()
+          .map(r => s""""${r.getString(0)}": ${r.getLong(1)}""").sorted.mkString(", ")
+        val stages = report.toSeq.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"${c.output}/report.json"),
+          s"""{"stages": {$stages}, "splits": {$splitCounts}}""")
+        spark.stop()
+    }
+}

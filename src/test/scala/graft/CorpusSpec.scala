@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CorpusMain: the packaged curation chain — config contract, stage
+  * monotonicity, split layout, and determinism across runs. */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("config: required args, split validation, unknown option") {
+    assert(CorpusMain.parse(Seq()).isLeft)
+    assert(CorpusMain.parse(Seq("--input", "a")).isLeft, "--output required")
+    assert(CorpusMain.parse(Seq("--input", "a", "--output", "b"))
+      .map(c => (c.minWords, c.nearDedup, c.trainPct)) == Right((10, true, 80)))
+    assert(CorpusMain.parse(Seq("--input", "a", "--output", "b", "--splits", "70/20"))
+      .map(c => (c.trainPct, c.valPct)) == Right((70, 20)))
+    assert(CorpusMain.parse(Seq("--input", "a", "--output", "b", "--splits", "80/30")).isLeft)
+    assert(CorpusMain.parse(Seq("--wat")).isLeft)
+  }
+
+  test("the chain narrows monotonically, keeps gate bounds, and is deterministic") {
+    val bench = Files.createTempDirectory("graft_corpus_bench_").toString
+    Tables.documents(spark, sf).filter(col("doc_id") < 5)
+      .select(col("text")).write.mode("overwrite").parquet(bench)
+    val cfg = CorpusMain.CorpusConfig(
+      input = sf, output = "unused", minWords = 10, maxWords = 80,
+      benchmark = Some(bench))
+    val (out, report) = CorpusMain.run(spark, cfg)
+    val n = out.count()
+    // stage counts only ever shrink, and the final frame matches
+    assert(report("input") >= report("gated"))
+    assert(report("gated") >= report("exact_deduped"))
+    assert(report("exact_deduped") >= report("near_deduped"))
+    assert(report("near_deduped") >= report("decontaminated"))
+    assert(report("decontaminated") == n)
+    assert(n > 0, "the chain must not empty the corpus at default settings")
+    // gate bounds hold on the survivors
+    val bounds = out.select(size(split(col("text"), " ")).as("w"))
+      .agg(min(col("w")), max(col("w"))).head()
+    assert(bounds.getInt(0) >= 10 && bounds.getInt(1) <= 80)
+    // the decontaminated frame no longer contains the benchmark seeds
+    assert(out.filter(col("doc_id") < 5).count() == 0)
+    // split column covers every row with the three labels
+    val splits = out.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    assert(splits.values.sum == n)
+    assert(splits.getOrElse("train", 0L) > splits.getOrElse("val", 0L),
+      "80/10/10 must put most docs in train")
+    // deterministic: a second run reproduces counts and split assignment
+    val (out2, report2) = CorpusMain.run(spark, cfg)
+    assert(report2 == report)
+    assert(out2.select(col("doc_id"), col("split")).except(
+      out.select(col("doc_id"), col("split"))).count() == 0)
+  }
+
+  test("near-dedup stage actually removes near-duplicates (and --no-near-dedup keeps them)") {
+    import spark.implicits._
+    // plant: two near-identical docs (one word differs) + one unrelated
+    val base = "the quick brown fox jumps over a lazy dog of winter and " +
+      "spring while the cold rain keeps falling on those quiet hills"
+    val docs = Seq(
+      (1L, base, "src0"),
+      (2L, base.replace("winter", "summer"), "src0"),
+      (3L, "a completely different document about parquet scans and of " +
+        "shuffle exchanges inside the spark engine plans for today", "src0"))
+      .toDF("doc_id", "text", "source")
+    val dir = Files.createTempDirectory("graft_corpus_in_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val withNd = CorpusMain.run(spark,
+      CorpusMain.CorpusConfig(input = dir, output = "unused"))._1
+    assert(withNd.count() == 2, "one of the near-dup pair must be dropped")
+    // survivor selection keeps the longest member (tie -> smallest id):
+    // both have equal length here, so doc 1 survives
+    assert(withNd.filter(col("doc_id") === 3L).count() == 1)
+    val noNd = CorpusMain.run(spark,
+      CorpusMain.CorpusConfig(input = dir, output = "unused", nearDedup = false))._1
+    assert(noNd.count() == 3, "--no-near-dedup must keep the near-dup pair")
+  }
+}

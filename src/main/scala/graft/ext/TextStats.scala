@@ -345,5 +345,80 @@ object TextStats {
       GROUP BY w.doc_id, w.a ORDER BY w.doc_id"""),
     doc = "longest same-word run + runs>=3 per doc; one HOF fold, zero shuffles, window oracle")
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104, q111, q172, q173)
+  // --------------------------------------------------------------- q181
+  /** Word frequency-of-frequencies (the Zipf spectrum's integer form):
+    * for each occurrence count c, how many distinct words occur exactly
+    * c times and how many tokens they account for. The hapax row (c=1)
+    * over total vocab is the standard OOV-pressure signal; the heavy
+    * tail rows say what a frequency-capped vocab keeps. Two aggs, both
+    * keyed sublinearly (vocab, then |distinct counts|); exact integers
+    * end to end. */
+  val q181 = QueryDef(
+    "q181_freq_spectrum",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("n_words"))
+        .select(col("c"), col("n_words"), (col("c") * col("n_words")).as("n_tokens"))
+        .orderBy(col("c"))
+    },
+    Some("""WITH wc AS (SELECT w, count(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w)
+      SELECT c, count(*) AS n_words, CAST(c * count(*) AS BIGINT) AS n_tokens
+      FROM wc GROUP BY c ORDER BY c"""),
+    doc = "Zipf frequency spectrum: words and tokens per occurrence count; vocab-keyed aggs")
+
+  // --------------------------------------------------------------- q182
+  /** Per-source length Gini coefficient — the inequality metric for
+    * corpus balance audits (a source whose token mass concentrates in a
+    * few giant documents behaves differently under sampling and packing
+    * than a uniform one). Computed by the exact rank formula
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over lengths sorted ascending
+    * (ties broken by doc_id — same total order on both engines), with
+    * DECIMAL(38,0) numerators so nothing rounds before the final
+    * division.
+    *
+    * Scale note: the rank needs a per-source sort (one window shuffle
+    * over (source, length)); at corpus scale the standard escape is the
+    * same formula over a binned histogram (q152's layout) — exact form
+    * here, since the oracle must match bit-for-bit. */
+  val q182 = QueryDef(
+    "q182_length_gini",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("x"), col("doc_id"))
+      val ranked = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("decimal(38,0)").as("x"))
+        .withColumn("i", row_number().over(w).cast("decimal(38,0)"))
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("source"), col("n_docs"),
+          col("sx").cast("long").as("total_chars"),
+          // numerator/denominator stay EXACT decimals, convert to double
+          // separately, divide in double — the same exact-int → nearest-
+          // double → IEEE-divide sequence the oracle's HUGEINT path takes
+          // (a decimal DIVISION would round at decimal scale first and
+          // can differ from the double quotient in the 6th digit)
+          round((col("six") * 2 - (col("n_docs") + 1) * col("sx")).cast("double")
+            / (col("n_docs") * col("sx")).cast("double"), 6).as("gini"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ranked AS (SELECT source, doc_id, n_chars,
+          row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        round(CAST((2 * sum(CAST(i AS HUGEINT) * n_chars)
+            - (count(*) + 1) * sum(CAST(n_chars AS HUGEINT)))
+          AS DOUBLE) / (count(*) * sum(n_chars)), 6) AS gini
+      FROM ranked GROUP BY source ORDER BY source"""),
+    doc = "per-source length inequality via the exact rank-formula Gini; decimal numerators")
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104, q111, q172, q173, q181, q182)
 }

@@ -111,7 +111,8 @@ class ScaleSpec extends AnyFunSuite {
       "q133_hard_negatives",    // q45's shape: constant 10-anchor broadcast side
       "q144_contingency_residuals", // crossJoin(broadcast(1-row grand total))
       "q155_label_balance",     // crossJoin(broadcast(1-row count totals))
-      "q158_centroid_geometry") // |labels|-row centroid broadcast self-join
+      "q158_centroid_geometry", // |labels|-row centroid broadcast self-join
+      "q180_selfjoin_blowup")   // crossJoin(broadcast(1-row total-pairs sum))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

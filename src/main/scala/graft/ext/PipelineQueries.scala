@@ -652,7 +652,69 @@ object PipelineQueries {
       FROM g GROUP BY splits ORDER BY splits"""),
     doc = "content groups spanning multiple splits = eval leakage; hash shuffle + guard")
 
+  // --------------------------------------------------------------- q183
+  /** Boundary-respecting sequence packing + padding-waste audit — the
+    * complement of q107's greedy concat: here a document NEVER splits
+    * across sequences (the eval-batch / instruction-tuning layout), so
+    * a chunk closes when the next doc would overflow the 256-token
+    * window and the unreached tail is PADDING. The per-source report
+    * (chunks, padding, fill %) is the number that decides between the
+    * two packing modes for a corpus shape.
+    *
+    * Scale shape: packing is sequential per shard, so each source folds
+    * its doc-ordered token list through ONE higher-order `aggregate`
+    * (state = (chunks, fill, waste) — O(1)); the only shuffle is the
+    * per-source collect_list. The oracle computes the same fold via
+    * DuckDB's list_reduce over an ORDER BY-ed list aggregate — two
+    * engines, two fold implementations, one answer. */
+  val q183 = QueryDef(
+    "q183_boundary_pack",
+    (s, d) => {
+      val t = size(split(col("text"), " ")).cast("long")
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), t.as("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("total_tokens"),
+          expr("""aggregate(
+              transform(array_sort(collect_list(struct(doc_id, t))), x -> x.t),
+              named_struct('chunks', 0L, 'fill', 0L, 'waste', 0L),
+              (a, tok) -> IF(a.chunks = 0,
+                named_struct('chunks', 1L, 'fill', tok, 'waste', 0L),
+                IF(a.fill + tok > 256L,
+                  named_struct('chunks', a.chunks + 1, 'fill', tok,
+                    'waste', a.waste + (256L - a.fill)),
+                  named_struct('chunks', a.chunks, 'fill', a.fill + tok,
+                    'waste', a.waste))),
+              a -> named_struct('chunks', a.chunks,
+                'waste', a.waste + (256L - a.fill))) AS p"""))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("p.chunks").as("n_chunks"),
+          col("p.waste").as("padding_tokens"),
+          round(col("total_tokens").cast("double") / (col("p.chunks") * 256L), 6)
+            .as("fill_pct"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS t FROM documents),
+      folded AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(t) AS BIGINT) AS total_tokens,
+          list_reduce(
+            list_transform(list(t ORDER BY doc_id),
+              x -> {'chunks': 1::BIGINT, 'fill': x, 'waste': 0::BIGINT}),
+            (a, e) -> CASE WHEN a.fill + e.fill > 256
+              THEN {'chunks': a.chunks + 1, 'fill': e.fill,
+                    'waste': a.waste + (256 - a.fill)}
+              ELSE {'chunks': a.chunks, 'fill': a.fill + e.fill,
+                    'waste': a.waste} END) AS p
+        FROM t GROUP BY source)
+      SELECT source, n_docs, total_tokens,
+        p.chunks AS n_chunks,
+        CAST(p.waste + (256 - p.fill) AS BIGINT) AS padding_tokens,
+        round(total_tokens::DOUBLE / (p.chunks * 256), 6) AS fill_pct
+      FROM folded ORDER BY source"""),
+    doc = "doc-boundary packing: chunks, padding waste, fill% per source; one HOF fold per shard")
+
   val all: Seq[QueryDef] =
     Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131, q151, q152,
-      q156, q157, q166, q167)
+      q156, q157, q166, q167, q183)
 }

@@ -171,6 +171,104 @@ object Similarity {
       ORDER BY q_id, rank"""),
     doc = "IVF partition-probed ANN, full-pipeline DuckDB oracle; probe contract also in AnnSpec")
 
+  // --------------------------------------------------------------- q184
+  /** K-MEANS centroid training (spherical: cosine assignment) — the
+    * learned-codebook upgrade to q46's label-centroid IVF: 4 centroids,
+    * 2 Lloyd iterations from deterministic seeds (the first k vectors),
+    * then the final assignment census with per-cluster cohesion. This
+    * is the training step behind real IVF/PQ indexes; q46's probe
+    * machinery consumes the learned centroids unchanged.
+    *
+    * Engineered cross-engine determinism (the q46 conventions, applied
+    * per iteration): assignments rank round(cosine, 6) with a cid
+    * tie-break; centroid means use the exact decimal accumulator (order-
+    * independent, so partial-agg order cannot perturb them); empty
+    * clusters keep their previous centroid. The oracle unrolls both
+    * iterations in SQL — two engines, two implementations of Lloyd's
+    * loop, one answer.
+    *
+    * Scale shape per iteration: centroids broadcast (k×dim — tiny at any
+    * corpus size), assignment is one max_by agg keyed by vec_id, the
+    * update is the posexplode decimal-mean (k·dim groups). The iteration
+    * count is the driver loop, state truncated per round via
+    * localCheckpoint — q100/Bpe's documented driver-iterative design. */
+  val q184 = QueryDef(
+    "q184_kmeans_clusters",
+    (s, d) => {
+      val k = 4
+      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+      def assign(cents: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            round(cosine(col("emb"), col("c")), 6).as("csim"), col("cid"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("cid"), col("csim")),
+            struct(col("csim"), col("cid") * -1)).as("b"))
+          .select(col("vec_id"), col("b.cid").as("cid"), col("b.csim").as("csim"))
+      var centroids = e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"), col("emb").as("c"))
+        .localCheckpoint()
+      for (_ <- 1 to 2) {
+        val nc = e.join(assign(centroids).select(col("vec_id"), col("cid")), "vec_id")
+          .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
+          .groupBy(col("cid"), col("dim"))
+          .agg((sum(col("v").cast(DecimalType(28, 10))).cast("double")
+            / count(lit(1))).as("m"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+            p => p.getField("m")).as("c_new"))
+        centroids = centroids
+          .join(nc, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("c_new"), col("c")).as("c"))
+          .localCheckpoint()
+      }
+      assign(centroids)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(min(col("csim")), 6).as("min_sim"),
+          round((sum(col("csim").cast(DecimalType(28, 10))).cast("double")
+            / count(lit(1))), 6).as("mean_sim"))
+        .orderBy(col("cid"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cid, emb AS c FROM e WHERE vec_id < 4),
+      a1 AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.emb, c.c), 6) DESC, c.cid) AS rn
+          FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      m1x AS (SELECT a.cid, generate_subscripts(e.emb, 1) AS dim, unnest(e.emb) AS v
+          FROM e JOIN a1 a USING (vec_id)),
+      m1 AS (SELECT cid, dim,
+          CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS m
+        FROM m1x GROUP BY cid, dim),
+      c1n AS (SELECT cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY cid),
+      c1 AS (SELECT c0.cid, coalesce(c1n.c, c0.c) AS c
+        FROM c0 LEFT JOIN c1n USING (cid)),
+      a2 AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.emb, c.c), 6) DESC, c.cid) AS rn
+          FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      m2x AS (SELECT a.cid, generate_subscripts(e.emb, 1) AS dim, unnest(e.emb) AS v
+          FROM e JOIN a2 a USING (vec_id)),
+      m2 AS (SELECT cid, dim,
+          CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS m
+        FROM m2x GROUP BY cid, dim),
+      c2n AS (SELECT cid, list(m ORDER BY dim) AS c FROM m2 GROUP BY cid),
+      c2 AS (SELECT c1.cid, coalesce(c2n.c, c1.c) AS c
+        FROM c1 LEFT JOIN c2n USING (cid)),
+      fin AS (SELECT vec_id, cid, csim FROM (
+          SELECT e.vec_id, c.cid,
+            round(list_cosine_similarity(e.emb, c.c), 6) AS csim,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_cosine_similarity(e.emb, c.c), 6) DESC, c.cid) AS rn
+          FROM e CROSS JOIN c2 c) WHERE rn = 1)
+      SELECT cid, count(*) AS n_vectors,
+        round(min(csim), 6) AS min_sim,
+        round(CAST(SUM(CAST(csim AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6)
+          AS mean_sim
+      FROM fin GROUP BY cid ORDER BY cid"""),
+    doc = "spherical k-means (2 Lloyd rounds, decimal-exact means) + cohesion census; oracle unrolls the loop")
+
   // ---------------------------------------------------------------- q54
   /** Embedding-cosine near-dup: all pairs with cosine ≥ 0.4, exact.
     *
@@ -546,5 +644,6 @@ object Similarity {
       ORDER BY label_a, label_b"""),
     doc = "pairwise class-centroid cosines; q46's exact decimal-mean centroids")
 
-  val all: Seq[QueryDef] = Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158)
+  val all: Seq[QueryDef] =
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184)
 }

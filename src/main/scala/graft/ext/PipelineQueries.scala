@@ -714,7 +714,61 @@ object PipelineQueries {
       FROM folded ORDER BY source"""),
     doc = "doc-boundary packing: chunks, padding waste, fill% per source; one HOF fold per shard")
 
+  // ---------------------------------------------------------------- q188
+  /** Pairwise audience-overlap matrix via HLL sketch algebra — q93's
+    * mergeable-sketch discipline applied to set INTERSECTION: for every
+    * event-type pair, |A∩B| is estimated by inclusion-exclusion over the
+    * per-type sketches (est(A) + est(B) − est(A∪B), the union being
+    * `hll_union` of two already-built sketches — no rescan of the raw
+    * data, ever). This is the 100 TB shape for "how much do these N
+    * segments overlap": one pass builds N sketches of a few KB each; all
+    * N·(N−1)/2 pair estimates then run on the driver-sized sketch table
+    * (broadcast self-join). The exact path (distinct (type, user) self-
+    * join) exists only to pin the estimator's error bound — the oracle
+    * hash-checks the exact overlaps and the bound verdict, so a sketch
+    * regression (wrong lgK, broken union) fails the gate. */
+  val q188 = QueryDef(
+    "q188_hll_overlap",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val sk = e.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+          countDistinct(col("user_id")).as("cd"))
+      val du = e.select(col("event_type"), col("user_id")).distinct()
+      val exactPairs = du.as("x").join(du.as("y"),
+          col("x.user_id") === col("y.user_id")
+            && col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      val est = sk.as("a").join(broadcast(sk.as("b")),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          (col("a.cd") + col("b.cd")
+            - expr("hll_sketch_estimate(hll_union(a.sk, b.sk))")).as("est_overlap"),
+          expr("hll_sketch_estimate(hll_union(a.sk, b.sk))").as("est_union"))
+      est.join(exactPairs, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
+          (abs(col("est_overlap") - coalesce(col("exact_overlap"), lit(0L)))
+            <= greatest(lit(5.0), col("est_union") * lit(0.05))).as("within_bound"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""WITH t AS (SELECT DISTINCT event_type FROM events),
+      du AS (SELECT DISTINCT event_type, user_id FROM events),
+      pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+        FROM t a JOIN t b ON a.event_type < b.event_type),
+      ov AS (SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS c
+        FROM du x JOIN du y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2)
+      SELECT p.ta AS type_a, p.tb AS type_b,
+        CAST(COALESCE(ov.c, 0) AS BIGINT) AS exact_overlap,
+        TRUE AS within_bound
+      FROM pairs p LEFT JOIN ov ON ov.ta = p.ta AND ov.tb = p.tb
+      ORDER BY type_a, type_b"""),
+    doc = "segment-overlap matrix by HLL inclusion-exclusion: sketch algebra only, error bound pinned TRUE")
+
   val all: Seq[QueryDef] =
     Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131, q151, q152,
-      q156, q157, q166, q167, q183)
+      q156, q157, q166, q167, q183, q188)
 }

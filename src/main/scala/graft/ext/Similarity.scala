@@ -644,6 +644,75 @@ object Similarity {
       ORDER BY label_a, label_b"""),
     doc = "pairwise class-centroid cosines; q46's exact decimal-mean centroids")
 
+  // ---------------------------------------------------------------- q185
+  /** k-NN-graph centrality (PageRank power iteration) over the embedding
+    * corpus — the coreset-selection / redundancy signal: vectors sitting in
+    * dense semantic regions accumulate rank from their neighbors, isolated
+    * outliers fall to the damping floor. The graph is each vector's top-3
+    * cosine neighbors (out-degree fixed at 3 ⇒ no dangling nodes), built
+    * here from the exact all-pairs tile join (q54's bounded-task-memory
+    * machinery); at 100 TB the q46 IVF / q89 sign-LSH candidate stage
+    * slots in front of the k-NN build unchanged, and each PageRank round
+    * is one 8-byte-keyed equi-join + map-side-combinable sum — the
+    * canonical iterative-join workload, O(rounds) shuffles, never a
+    * re-materialized graph (the k-NN edge list is localCheckpoint'ed once,
+    * like q100's CC frontier).
+    *
+    * Engine-exact by construction: ranks are scaled integers (10¹² base)
+    * and every division is integer `div`, so the fixed 2-round unroll
+    * crosses the oracle bit-for-bit — no float mass vector survives to the
+    * output. Neighbor selection orders by (rounded cosine, vec_id), the
+    * q45 determinism convention. */
+  val q185 = QueryDef(
+    "q185_knn_pagerank",
+    (s, d) => {
+      // both edge orientations explode out of ONE tile-join pass (a union
+      // of two selects would re-evaluate the quadratic join per branch)
+      val directed = cosineNeardupPairs(s, d, -2.0)
+        .select(explode(array(
+            struct(col("a_id").as("src"), col("b_id").as("dst")),
+            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"),
+          round(col("c"), 6).as("sim"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("sim"))
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+      val knn = directed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select(col("src"), col("dst"))
+        .localCheckpoint()
+      val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("nn")))
+      def step(pr: DataFrame): DataFrame = {
+        val contrib = knn.join(pr.withColumnRenamed("vec_id", "src"), "src")
+          .groupBy(col("dst")).agg(sum(expr("pr div 3")).as("in_sum"))
+        nodes.crossJoin(nRow)
+          .join(contrib, col("vec_id") === col("dst"), "left")
+          .select(col("vec_id"),
+            expr("(15 * (1000000000000 div nn) + 85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100")
+              .as("pr"))
+      }
+      val p0 = nodes.crossJoin(nRow)
+        .select(col("vec_id"), expr("1000000000000 div nn").as("pr"))
+      step(step(p0)).orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+          round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      knn AS (SELECT src, dst FROM (
+          SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+          FROM scored) WHERE rn <= 3),
+      n AS (SELECT COUNT(*) AS nn FROM e),
+      p0 AS (SELECT vec_id, 1000000000000 // nn AS pr FROM e CROSS JOIN n),
+      c1 AS (SELECT k.dst, SUM(p.pr // 3) AS in_sum
+        FROM knn k JOIN p0 p ON p.vec_id = k.src GROUP BY k.dst),
+      p1 AS (SELECT e.vec_id, CAST((15 * (1000000000000 // nn) + 85 * COALESCE(c1.in_sum, 0)) // 100 AS BIGINT) AS pr
+        FROM e CROSS JOIN n LEFT JOIN c1 ON c1.dst = e.vec_id),
+      c2 AS (SELECT k.dst, SUM(p.pr // 3) AS in_sum
+        FROM knn k JOIN p1 p ON p.vec_id = k.src GROUP BY k.dst),
+      p2 AS (SELECT e.vec_id, CAST((15 * (1000000000000 // nn) + 85 * COALESCE(c2.in_sum, 0)) // 100 AS BIGINT) AS pr
+        FROM e CROSS JOIN n LEFT JOIN c2 ON c2.dst = e.vec_id)
+      SELECT vec_id, pr FROM p2 ORDER BY vec_id"""),
+    doc = "PageRank (2 exact integer rounds) over the top-3 cosine k-NN graph; dense-region centrality")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185)
 }

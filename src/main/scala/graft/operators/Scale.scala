@@ -221,5 +221,85 @@ object Scale {
       GROUP BY band_id ORDER BY band_id"""),
     doc = "equi-join range join: intervals expand to covering bins, probes hash to one bin; O(n+matches), no BNLJ")
 
-  val all: Seq[QueryDef] = Seq(q63, q64, q112)
+  // ---------------------------------------------------------------- q186
+  /** Z-order (Morton) clustering + data-skipping audit — the data-LAYOUT
+    * scale lever: at 100 TB the cheapest scan is the one min/max file
+    * statistics prune before it starts. Three candidate layouts of the
+    * events table are modeled as fixed range lattices over their write key
+    * (exactly the file boundaries `repartitionByRange(key) +
+    * sortWithinPartitions` produces): natural ingest order (files = day),
+    * single-dimension user ranges, and a Morton curve interleaving 16 bits
+    * of user_id with 16 bits of epoch-day. For a two-dimensional predicate
+    * (a user band × a date window) the audit computes, per layout, how many
+    * files — and how many ROWS, the real I/O metric — survive min/max
+    * pruning. Z-order is the only layout whose files bound BOTH dimensions,
+    * so its scanned fraction approaches the predicate's true selectivity;
+    * each 1-D layout must scan every file of its unsorted dimension.
+    *
+    * Everything is integer bit math (shiftleft/shiftright/&), exact in both
+    * engines; the audit itself is two cheap keyed aggregations per layout —
+    * no global sort is ever performed (the lattice IS the sort's result,
+    * addressed arithmetically). */
+  val q186 = QueryDef(
+    "q186_zorder_skipping",
+    (s, d) => {
+      val e = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        expr("ts_ns div 86400000000000").as("dd"))
+      val keyed = e.withColumn("zval",
+        expr("""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
+            acc + shiftleft(shiftright(user_id, b) & 1, 2 * b)
+                + shiftleft(shiftright(dd, b) & 1, 2 * b + 1),
+            acc -> acc)"""))
+      val matched = broadcast(keyed
+        .filter(col("user_id").between(32, 47) && col("dd").between(19728L, 19735L))
+        .agg(count(lit(1)).as("rows_matched")))
+      def audit(name: String, fileKey: Column): DataFrame =
+        keyed.groupBy(fileKey.as("f"))
+          .agg(count(lit(1)).as("rows_in_file"),
+            min(col("user_id")).as("mnu"), max(col("user_id")).as("mxu"),
+            min(col("dd")).as("mnd"), max(col("dd")).as("mxd"))
+          .select(col("rows_in_file"),
+            (col("mxu") >= 32 && col("mnu") <= 47
+              && col("mxd") >= 19728L && col("mnd") <= 19735L).as("scan"))
+          .agg(count(lit(1)).as("files_total"),
+            sum(when(col("scan"), 1L).otherwise(0L)).as("files_scanned"),
+            sum(when(col("scan"), col("rows_in_file")).otherwise(0L)).as("rows_scanned"))
+          .select(lit(name).as("layout"), col("files_total"),
+            col("files_scanned"), col("rows_scanned"))
+      Seq(
+        audit("1_natural_day", col("dd")),
+        audit("2_user_range", expr("user_id div 8")),
+        audit("3_zorder", expr("zval div 128")))
+        .reduce(_ unionByName _)
+        .crossJoin(matched)
+        .orderBy(col("layout"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id,
+          epoch_ns(ts) // 86400000000000 AS dd FROM events),
+      keyed AS (SELECT *, CAST(list_sum([
+            (((user_id >> b) & 1) << (2 * b)) + (((dd >> b) & 1) << (2 * b + 1))
+            for b in range(16)]) AS BIGINT) AS zval FROM e),
+      m AS (SELECT COUNT(*) AS rows_matched FROM keyed
+        WHERE user_id BETWEEN 32 AND 47 AND dd BETWEEN 19728 AND 19735),
+      lay AS (
+        SELECT '1_natural_day' AS layout, dd AS f, user_id, dd AS d2 FROM keyed
+        UNION ALL
+        SELECT '2_user_range', user_id // 8, user_id, dd FROM keyed
+        UNION ALL
+        SELECT '3_zorder', zval // 128, user_id, dd FROM keyed),
+      files AS (SELECT layout, f, COUNT(*) AS rows_in_file,
+          MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+          MIN(d2) AS mnd, MAX(d2) AS mxd
+        FROM lay GROUP BY layout, f)
+      SELECT layout, COUNT(*) AS files_total,
+        CAST(SUM(CASE WHEN mxu >= 32 AND mnu <= 47 AND mxd >= 19728 AND mnd <= 19735
+          THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+        CAST(COALESCE(SUM(CASE WHEN mxu >= 32 AND mnu <= 47 AND mxd >= 19728 AND mnd <= 19735
+          THEN rows_in_file ELSE 0 END), 0) AS BIGINT) AS rows_scanned,
+        (SELECT rows_matched FROM m) AS rows_matched
+      FROM files GROUP BY layout ORDER BY layout"""),
+    doc = "Morton-curve layout vs 1-D layouts: min/max file pruning audit for a 2-D predicate")
+
+  val all: Seq[QueryDef] = Seq(q63, q64, q112, q186)
 }

@@ -148,5 +148,62 @@ object SinkQueries {
       FROM events ORDER BY event_id"""),
     doc = "ORC + zstd write/read round-trip; timestamp and double fidelity pinned")
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165)
+  // ---------------------------------------------------------------- q187
+  /** Batch CDC apply (MERGE INTO semantics) — the pure-DataFrame form of
+    * the K3 sink's last-write-wins contract, run snapshot-scale instead of
+    * row-at-a-time: a changelog of keyed upserts/deletes collapses to its
+    * latest operation per key (`max_by` over the monotone sequence number —
+    * one 8-byte-keyed aggregation, no window sort), then a single full
+    * outer equi-join applies it to the base snapshot. Kept / updated /
+    * inserted rows are labeled for the audit trail; keys whose latest op is
+    * a delete drop out. At 100 TB both sides shuffle once on the merge key
+    * (or zero times if the snapshot is bucketed by it — q64's layout), and
+    * the changelog side is typically the small one: AQE broadcasts it.
+    *
+    * The changelog is derived deterministically from orders (seq =
+    * o_orderkey; status F ⇒ delete; every 10th order re-keys to an unseen
+    * entity so the insert path is exercised, not just typed). */
+  val q187 = QueryDef(
+    "q187_cdc_merge",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+      val log = Tables.orders(s, d).select(
+        when(pmod(col("o_orderkey"), lit(10)) === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("key"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
+        col("o_totalprice").as("new_bal"))
+      val latest = log.groupBy(col("key"))
+        .agg(max_by(struct(col("op"), col("new_bal")), col("seq")).as("ch"))
+        .select(col("key"), col("ch.op").as("op"), col("ch.new_bal").as("new_bal"))
+      base.join(latest, Seq("key"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(col("key"),
+          when(col("op") === "U", col("new_bal")).otherwise(col("bal")).as("bal"),
+          when(col("op").isNull, lit("kept"))
+            .when(col("bal").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("status"))
+        .orderBy(col("key"))
+    },
+    Some("""WITH log AS (SELECT
+          CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS key,
+          o_orderkey AS seq,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+          o_totalprice AS new_bal
+        FROM orders),
+      latest AS (SELECT key, arg_max(op, seq) AS op, arg_max(new_bal, seq) AS new_bal
+        FROM log GROUP BY key),
+      base AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer)
+      SELECT COALESCE(b.key, l.key) AS key,
+        CASE WHEN l.op = 'U' THEN l.new_bal ELSE b.bal END AS bal,
+        CASE WHEN l.op IS NULL THEN 'kept'
+             WHEN b.key IS NULL THEN 'inserted'
+             ELSE 'updated' END AS status
+      FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+      WHERE COALESCE(l.op, '') <> 'D'
+      ORDER BY key"""),
+    doc = "MERGE INTO as a batch operator: LWW changelog collapse + one full outer join; K3's semantics snapshot-scale")
+
+  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187)
 }

@@ -112,7 +112,11 @@ class ScaleSpec extends AnyFunSuite {
       "q144_contingency_residuals", // crossJoin(broadcast(1-row grand total))
       "q155_label_balance",     // crossJoin(broadcast(1-row count totals))
       "q158_centroid_geometry", // |labels|-row centroid broadcast self-join
-      "q180_selfjoin_blowup")   // crossJoin(broadcast(1-row total-pairs sum))
+      "q180_selfjoin_blowup",   // crossJoin(broadcast(1-row total-pairs sum))
+      "q184_kmeans_clusters",   // crossJoin(broadcast(k=4 centroid codebook))
+      "q185_knn_pagerank",      // crossJoin(broadcast(1-row node count))
+      "q186_zorder_skipping",   // crossJoin(broadcast(1-row matched count))
+      "q188_hll_overlap")       // |types|-row sketch broadcast self-join (a < b)
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

@@ -713,6 +713,77 @@ object Similarity {
       SELECT vec_id, pr FROM p2 ORDER BY vec_id"""),
     doc = "PageRank (2 exact integer rounds) over the top-3 cosine k-NN graph; dense-region centrality")
 
+  // ---------------------------------------------------------------- q189
+  /** Johnson–Lindenstrauss random projection (64 → 16 dims) with a
+    * distortion audit — the dimensionality-reduction stage in front of
+    * clustering/ANN when 4× fewer bytes per vector beats 4× more recall
+    * tuning. The projection matrix is a Rademacher ±1 matrix derived from
+    * md5 parity (the q43/q89 trick: bit-identical in both engines, and
+    * data-independent, so at 100 TB it is a few KB of broadcast literal —
+    * never a shuffle). Projected components go through the decimal-
+    * accumulator convention (products summed exactly, order-free), so the
+    * projected vectors — not just the audit — cross the oracle bit-for-bit.
+    * The audit compares original vs projected cosine on the adjacent-id
+    * pair set (q42's linear-in-corpus pair convention).
+    *
+    * Plan shape: posexplode → broadcast-join the 1024-entry weight table →
+    * one (vec_id, j)-keyed aggregation (map-side combinable) → per-vector
+    * reassembly; everything else is per-row HOF math. */
+  val q189 = QueryDef(
+    "q189_jl_projection",
+    (s, d) => {
+      val weights = broadcast(
+        s.range(16).select(col("id").cast("int").as("j"),
+            explode(sequence(lit(0), lit(63))).as("i"))
+          .select(col("j"), col("i"),
+            when(substring(md5(concat(col("j").cast("string"), lit(":"),
+                col("i").cast("string"))), 1, 1)
+                .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1.0))
+              .otherwise(lit(-1.0)).as("wt")))
+      val ex = embDouble(s, d)
+        .select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
+      val proj = ex.join(weights, Seq("i"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum((col("x") * col("wt")).cast(DecimalType(28, 10)))
+          .cast("double").as("y"))
+        .groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("y")))),
+          p => p.getField("y")).as("p_emb"))
+      val e = embDouble(s, d)
+      val orig = e.as("a").join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("a_id"),
+          round(cosine(col("a.emb"), col("b.emb")), 6).as("cos_orig"))
+      val pj = proj.as("a").join(proj.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("a_id"),
+          round(cosine(col("a.p_emb"), col("b.p_emb")), 6).as("cos_proj"))
+      orig.join(pj, Seq("a_id"))
+        .select(col("a_id"), col("cos_orig"), col("cos_proj"),
+          round(abs(col("cos_orig") - col("cos_proj")), 6).as("abs_err"))
+        .orderBy(col("a_id"))
+    },
+    Some("""WITH w AS (SELECT j, i,
+          CASE WHEN substr(md5(j || ':' || i), 1, 1)
+              IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS wt
+        FROM range(16) t1(j), range(64) t2(i)),
+      ex AS (SELECT vec_id,
+          generate_subscripts(embedding::DOUBLE[], 1) - 1 AS i,
+          unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings),
+      py AS (SELECT vec_id, j,
+          CAST(SUM(CAST(x * wt AS DECIMAL(28,10))) AS DOUBLE) AS y
+        FROM ex JOIN w USING (i) GROUP BY vec_id, j),
+      proj AS (SELECT vec_id, list(y ORDER BY j) AS p FROM py GROUP BY vec_id),
+      orig AS (SELECT a.vec_id AS a_id,
+          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_orig
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+      pj AS (SELECT a.vec_id AS a_id,
+          round(list_cosine_similarity(a.p, b.p), 6) AS cos_proj
+        FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1)
+      SELECT o.a_id AS a_id, o.cos_orig, p.cos_proj,
+        round(abs(o.cos_orig - p.cos_proj), 6) AS abs_err
+      FROM orig o JOIN pj p ON p.a_id = o.a_id ORDER BY a_id"""),
+    doc = "JL Rademacher projection 64→16 dims, decimal-exact components; cosine distortion audit on adjacent pairs")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189)
 }

@@ -420,5 +420,75 @@ object TextStats {
       FROM ranked GROUP BY source ORDER BY source"""),
     doc = "per-source length inequality via the exact rank-formula Gini; decimal numerators")
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104, q111, q172, q173, q181, q182)
+  // ---------------------------------------------------------------- q190
+  /** Bigram language-model fluency scoring (the CCNet/KenLM-shaped quality
+    * signal, exact-integer form): train add-one-smoothed bigram conditional
+    * probabilities on the corpus itself, then score every document by the
+    * sum of its bigrams' scaled conditional probabilities
+    * `((c₂+1)·10⁹) div (c₁+V)` — documents full of corpus-typical word
+    * transitions score high, word salad scores near the smoothing floor.
+    * Integer div per term keeps the whole statistic engine-exact (the
+    * log-space formulation needs transcendentals that cannot cross a hash
+    * oracle; monotonicity per term is preserved).
+    *
+    * Scale shape: the count model is vocab-keyed (sublinear in corpus);
+    * the instance→model joins shuffle on word keys — stopword bigrams are
+    * the classic hot keys, which is exactly what AQE skew-join or
+    * Scale.saltedJoin handles; the per-doc rollup is an 8-byte doc_id agg.
+    * V (vocabulary size) is a 1-row broadcast. */
+  val q190 = QueryDef(
+    "q190_bigram_lm_score",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val inst = docs.select(col("doc_id"),
+          explode(zip_with(
+            slice(col("w"), lit(1), size(col("w")) - 1),
+            slice(col("w"), lit(2), size(col("w")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c2 = inst.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = inst.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = broadcast(docs.select(explode(col("w")).as("t"))
+        .agg(countDistinct(col("t")).as("v")))
+      val perDoc = inst
+        .join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(vocab)
+        .select(col("doc_id"), expr("((c2 + 1) * 1000000000) div (c1 + v)").as("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("score"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("score"), lit(0L)).as("score"))
+        .withColumn("avg_term",
+          when(col("n_bigrams") > 0, expr("score div n_bigrams")).otherwise(lit(0L)))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      binst AS (SELECT doc_id,
+          unnest([{'w1': w[i], 'w2': w[i + 1]} for i in range(1, len(w))]) AS bg
+        FROM docs),
+      inst AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM binst),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM inst GROUP BY w1, w2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM inst GROUP BY w1),
+      vocab AS (SELECT COUNT(DISTINCT t) AS v
+        FROM (SELECT unnest(w) AS t FROM docs)),
+      perdoc AS (SELECT i.doc_id,
+          COUNT(*) AS n_bigrams,
+          CAST(SUM(((c2.c2 + 1) * 1000000000) // (c1.c1 + vocab.v)) AS BIGINT) AS score
+        FROM inst i
+          JOIN c2 ON c2.w1 = i.w1 AND c2.w2 = i.w2
+          JOIN c1 ON c1.w1 = i.w1
+          CROSS JOIN vocab
+        GROUP BY i.doc_id)
+      SELECT d.doc_id,
+        COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        COALESCE(p.score, 0) AS score,
+        CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+          THEN p.score // p.n_bigrams ELSE 0 END AS avg_term
+      FROM docs d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+      ORDER BY d.doc_id"""),
+    doc = "add-one bigram LM fluency score, exact scaled-integer conditionals; vocab-keyed count model")
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104, q111, q172, q173, q181, q182, q190)
 }

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.{QueryDef, Tables}
 
 /** Event-analytics tier over the events table: the product-analytics
@@ -465,6 +467,59 @@ object EventAnalytics {
       ORDER BY n_pairs DESC, user_id LIMIT 20"""),
     doc = "per-key self-join pair counts + share: where salting/AQE must aim before a self-join")
 
+  // ---------------------------------------------------------------- q191
+  /** Last-touch marketing attribution — for every purchase, the most
+    * recent preceding non-purchase event of the same user within a 7-day
+    * lookback is the credited channel; purchases with no touch in the
+    * window are 'direct'. This is the q147 LOCF shape (last_value IGNORE
+    * NULLS over a sparse signal), not a join: one user_id window shuffle
+    * carries the whole attribution, which is the 100 TB-right plan — an
+    * as-of join formulation (q53's operator does apply) would shuffle both
+    * event classes separately to achieve the same pairing. The carried
+    * struct holds (touch ts, touch type) so the lookback window is
+    * enforced on the carried row itself. Revenue sums go through the
+    * decimal accumulator (engine-exact). */
+  val q191 = QueryDef(
+    "q191_last_touch_attribution",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_ns"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tagged = e.withColumn("touch",
+          when(col("event_type") =!= "purchase",
+            struct(col("ts_ns").as("t_ts"), col("event_type").as("t_type"))))
+        .withColumn("lt", last(col("touch"), ignoreNulls = true).over(w))
+      tagged.filter(col("event_type") === "purchase")
+        .select(col("value"),
+          when(col("lt").isNotNull
+              && col("ts_ns") - col("lt.t_ts") <= lit(7L * 86400000000000L),
+            col("lt.t_type")).otherwise(lit("direct")).as("channel"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+        .orderBy(col("channel"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, value,
+          epoch_ns(ts) AS ts_ns FROM events),
+      tagged AS (SELECT *,
+          last_value(CASE WHEN event_type <> 'purchase' THEN ts_ns END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_ts,
+          last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_type
+        FROM e)
+      SELECT CASE WHEN t_ts IS NOT NULL AND ts_ns - t_ts <= 7 * 86400000000000
+          THEN t_type ELSE 'direct' END AS channel,
+        COUNT(*) AS n_purchases,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM tagged WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY channel"""),
+    doc = "last-touch attribution via LOCF window (7-day lookback); one user_id shuffle, no join")
+
   val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154,
-    q168, q179, q180)
+    q168, q179, q180, q191)
 }

@@ -134,5 +134,67 @@ object Multimodal {
       FROM documents ORDER BY doc_id"""),
     doc = "thumbnail/resize stage; the md5 stub makes the full binary path value-level checkable")
 
-  val all: Seq[QueryDef] = Seq(q51, q52, q113)
+  /** Audio decode: real `javax.sound` parse for audio containers,
+    * deterministic byte-derived stand-in otherwise (DecodeAudio scaladoc
+    * has the full contract). Returns
+    * struct<sample_rate,channels,bits,n_samples,rms,peak>. */
+  def decodeAudio(bin: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DecodeAudio(org.apache.spark.sql.GraftBridge.expression(bin)))
+
+  // ---------------------------------------------------------------- q193
+  /** REAL audio decode, oracle-checked end to end: each document's text is
+    * packed in-query into a genuine RIFF/WAVE container (mono, 8 kHz,
+    * 16-bit PCM; sample i = (ascii(charᵢ) − 64)·256, built with pure hex
+    * string expressions + unhex — no UDF), and [[graft.functions.DecodeAudio]]
+    * parses it back through `javax.sound.sampled.AudioSystem` — the real
+    * production path, not the synthetic fallback. The oracle recomputes
+    * sample count, RMS and peak amplitude in closed form from the text, so
+    * a codec regression (endianness flip, off-by-one in the data chunk,
+    * broken sign handling) hash-fails the gate. RMS crosses the oracle
+    * bit-stably because Σv² is an exact integer in both engines (see
+    * AudioCodec determinism note); real-world WAVs (AudioSystem-written
+    * stereo fixtures, corrupt containers) are additionally pinned in
+    * MultimodalSpec. Per-row scalar work only — no shuffle. */
+  val q193 = QueryDef(
+    "q193_audio_decode",
+    (s, d) => {
+      val wav = expr("""unhex(concat(
+          '52494646',
+          format_string('%02x%02x%02x%02x',
+            (36 + 2 * length(text)) & 255,
+            ((36 + 2 * length(text)) >> 8) & 255,
+            ((36 + 2 * length(text)) >> 16) & 255,
+            ((36 + 2 * length(text)) >> 24) & 255),
+          '57415645666d74201000000001000100401f0000803e00000200100064617461',
+          format_string('%02x%02x%02x%02x',
+            (2 * length(text)) & 255,
+            ((2 * length(text)) >> 8) & 255,
+            ((2 * length(text)) >> 16) & 255,
+            ((2 * length(text)) >> 24) & 255),
+          array_join(transform(split(text, ''),
+            c -> concat('00', lpad(hex(pmod(ascii(c) - 64, 256)), 2, '0'))), '')))""")
+      Tables.documents(s, d)
+        .select(col("doc_id"), decodeAudio(wav).as("a"))
+        .select(col("doc_id"),
+          col("a.sample_rate").as("sample_rate"),
+          col("a.channels").as("channels"),
+          col("a.bits").as("bits"),
+          col("a.n_samples").as("n_samples"),
+          round(col("a.rms"), 6).as("rms"),
+          col("a.peak").as("peak"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        8000 AS sample_rate, 1 AS channels, 16 AS bits,
+        CAST(length(text) AS BIGINT) AS n_samples,
+        round(sqrt(CAST(list_sum([
+            ((ascii(substr(text, i, 1)) - 64) * 256) * ((ascii(substr(text, i, 1)) - 64) * 256)
+            for i in range(1, length(text) + 1)]) AS DOUBLE) / length(text)), 6) AS rms,
+        CAST(list_max([abs((ascii(substr(text, i, 1)) - 64) * 256)
+            for i in range(1, length(text) + 1)]) AS INT) AS peak
+      FROM documents ORDER BY doc_id"""),
+    doc = "real javax.sound WAV decode over in-query-built PCM containers; RMS/peak closed-form oracle")
+
+  val all: Seq[QueryDef] = Seq(q51, q52, q113, q193)
 }

@@ -520,6 +520,56 @@ object EventAnalytics {
       GROUP BY 1 ORDER BY channel"""),
     doc = "last-touch attribution via LOCF window (7-day lookback); one user_id shuffle, no join")
 
+  // ---------------------------------------------------------------- q192
+  /** Incremental rollup maintenance (incremental view maintenance, the
+    * batch form): the daily per-type rollup is maintained as MERGEABLE
+    * partial aggregates — count, decimal sum, min/max, and an HLL user
+    * sketch — so a new ingest batch updates the rollup by aggregating ONLY
+    * the delta and merging partials (`sum` of counts/sums, `min`/`max` of
+    * bounds, `hll_union_agg` of sketches). History is never rescanned:
+    * at 100 TB the base partials are a keyed state table a few KB per
+    * (type, day), and each batch's cost is O(delta). The query demonstrates
+    * the contract by splitting events at a date boundary, building the two
+    * partial sets independently, merging, and crossing the ORACLE against
+    * the direct full-scan rollup — a broken merge (non-algebraic aggregate,
+    * sketch mis-union) hash-fails. The distinct-user estimate is pinned
+    * within 5% of the exact count (q93's bound convention). */
+  val q192 = QueryDef(
+    "q192_incremental_rollup",
+    (s, d) => {
+      val splitNs = 19746L * 86400000000000L // 2024-01-24T00:00Z
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr("ts_ns div 86400000000000").as("dd"), col("value"), col("user_id"),
+        (col("ts_ns") < lit(splitNs)).as("is_base"))
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type"), col("dd"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("value").cast(DecimalType(18, 2))).as("psum"),
+            min(col("value")).as("pmin"), max(col("value")).as("pmax"),
+            expr("hll_sketch_agg(user_id, 14)").as("psk"))
+      val merged = partials(e.filter(col("is_base")))
+        .unionByName(partials(e.filter(!col("is_base"))))
+        .groupBy(col("event_type"), col("dd"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("psum")).cast("double").as("sum_value"),
+          min(col("pmin")).as("min_value"), max(col("pmax")).as("max_value"),
+          expr("hll_sketch_estimate(hll_union_agg(psk, false))").as("est_users"))
+      val exact = e.groupBy(col("event_type"), col("dd"))
+        .agg(countDistinct(col("user_id")).as("cd"))
+      merged.join(exact, Seq("event_type", "dd"))
+        .select(col("event_type"), col("dd"), col("n"), col("sum_value"),
+          col("min_value"), col("max_value"),
+          (abs(col("est_users") - col("cd")) <= col("cd") * 0.05).as("users_ok"))
+        .orderBy(col("event_type"), col("dd"))
+    },
+    Some("""SELECT event_type, epoch_ns(ts) // 86400000000000 AS dd,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        MIN(value) AS min_value, MAX(value) AS max_value,
+        TRUE AS users_ok
+      FROM events GROUP BY 1, 2 ORDER BY event_type, dd"""),
+    doc = "incremental view maintenance: delta-only partials merged into the rollup (algebraic + HLL union), oracle = full rescan")
+
   val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154,
-    q168, q179, q180, q191)
+    q168, q179, q180, q191, q192)
 }

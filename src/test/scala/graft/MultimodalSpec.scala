@@ -127,4 +127,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getInt(0) == 0x89 && r.getInt(1) == 'P'.toInt,
       "truncated PNG must take the synthetic fallback, not kill the scan")
   }
+
+  /** An AudioSystem-written PCM WAV with the given interleaved samples. */
+  private def wav(sampleRate: Float, channels: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length / channels)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio decode on a real stereo 16-bit WAV yields real format + exact RMS/peak") {
+    // 44.1 kHz stereo, 4 frames = 8 samples of known amplitude
+    val samples = Array[Short](1000, -1000, 2000, -2000, 3000, -3000, 4000, -4000)
+    val r = Seq(wav(44100f, 2, samples)).toDF("b")
+      .select(Multimodal.decodeAudio(col("b")).as("a"))
+      .select("a.sample_rate", "a.channels", "a.bits", "a.n_samples", "a.rms", "a.peak")
+      .head()
+    assert(r.getInt(0) == 44100 && r.getInt(1) == 2 && r.getInt(2) == 16)
+    assert(r.getLong(3) == 8L)
+    val expectedRms = math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / 8)
+    assert(r.getDouble(4) == expectedRms, "RMS must be the exact-integer-sum sqrt")
+    assert(r.getInt(5) == 4000)
+  }
+
+  test("audio decode on corrupt RIFF magic falls back instead of throwing (poison-object safety)") {
+    val junk = "RIFF????WAVEgarbage-not-a-wav".getBytes("UTF-8")
+    val r = Seq(junk).toDF("b")
+      .select(Multimodal.decodeAudio(col("b")).as("a"))
+      .select("a.sample_rate", "a.channels", "a.rms").head()
+    assert(r.getInt(0) == 8000 + (('R'.toInt) % 8) * 1000,
+      "corrupt container must take the deterministic fallback, not kill the scan")
+    assert(r.isNullAt(2), "fallback path has no samples, rms must be null")
+  }
+
+  test("audio decode on non-audio bytes takes the byte-derived fallback") {
+    val r = Seq("plain text document").toDF("t")
+      .select(Multimodal.decodeAudio(col("t").cast("binary")).as("a"))
+      .select("a.sample_rate", "a.channels", "a.bits", "a.n_samples", "a.rms").head()
+    assert(r.getInt(0) == 8000 + ('p'.toInt % 8) * 1000)
+    assert(r.getInt(1) == ('l'.toInt % 2) + 1)
+    assert(r.getInt(2) == 16 && r.getLong(3) == "plain text document".length / 2L)
+    assert(r.isNullAt(4))
+  }
 }

@@ -784,6 +784,104 @@ object Similarity {
       FROM orig o JOIN pj p ON p.a_id = o.a_id ORDER BY a_id"""),
     doc = "JL Rademacher projection 64→16 dims, decimal-exact components; cosine distortion audit on adjacent pairs")
 
+  // ---------------------------------------------------------------- q194
+  /** Product quantization (PQ) + asymmetric-distance (ADC) search — the
+    * memory-bound ANN layout that pairs with q46's IVF partitioning
+    * (together: IVFPQ). The 64-dim space splits into m=8 subspaces of 8
+    * dims; each subspace has a 4-entry codebook (the sub-vectors of the
+    * 4 seed vectors — assignment-only PQ, the q184 Lloyd loop trains
+    * better codebooks but the ENCODE/ADC machinery under test here is
+    * identical); every vector compresses to 8 codes (64 dims × 8 B →
+    * 8 codes ≈ 64× smaller resident index). A query never touches the
+    * original vectors: it builds an m×4 lookup table of sub-dot-products
+    * against the codebook and scores candidates by summing 8 table hits.
+    *
+    * Cross-engine exactness: sub-distance/sub-dot folds are the q45
+    * sequential-fold convention (rounded 6 dp + code/id tie-breaks at
+    * every argmin/rank), and the 8-term ADC sum runs through the decimal
+    * accumulator, so codes, tables, scores AND the recall flags all
+    * hash-match the oracle's full SQL replica. Scale: codebooks/tables
+    * are KB-sized broadcasts; encode is one map pass; ADC scoring
+    * shuffles only (j, code)-keyed lookups — the corpus vectors never
+    * move. Recall vs the exact top-5 is flagged in-query (q110's audit
+    * convention). */
+  val q194 = QueryDef(
+    "q194_pq_adc_topk",
+    (s, d) => {
+      val e = embDouble(s, d)
+      def l2sq(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+      // subspace explode: (vec_id, j, sub[8])
+      val subs = e.select(col("vec_id"),
+          posexplode(transform(sequence(lit(0), lit(7)),
+            j => slice(col("emb"), j * 8 + 1, lit(8)))).as(Seq("j", "sub")))
+      val codebook = broadcast(subs.filter(col("vec_id") < 4)
+        .select(col("j"), col("vec_id").cast("int").as("code"), col("sub").as("cent")))
+      // encode: nearest sub-centroid per (vector, subspace)
+      val codes = subs.join(codebook, Seq("j"))
+        .select(col("vec_id"), col("j"), col("code"),
+          round(l2sq(col("sub"), col("cent")), 6).as("dist"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+      // ADC lookup table: sub-dot of each query subvector vs each centroid
+      val table = broadcast(subs.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("j"), col("sub").as("qsub"))
+        .join(codebook, Seq("j"))
+        .select(col("q_id"), col("j"), col("code"),
+          round(dot(col("qsub"), col("cent")), 6).as("part")))
+      val adc = codes.join(table, Seq("j", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(round(sum(col("part").cast(DecimalType(28, 10))).cast("double"), 6).as("adc"))
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+      val adcTop = adc.withColumn("rank", row_number().over(wAdc).cast("long"))
+        .filter(col("rank") <= 5)
+      // exact ground truth: true dot-product top-5 per query
+      val q = broadcast(e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb")))
+      val wEx = Window.partitionBy(col("q_id")).orderBy(col("ex").desc, col("vec_id"))
+      val exactTop = e.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), round(dot(col("emb"), col("q_emb")), 6).as("ex"))
+        .withColumn("xr", row_number().over(wEx)).filter(col("xr") <= 5)
+        .select(col("q_id"), col("vec_id"), lit(true).as("in_exact_top5"))
+      adcTop.join(exactTop, Seq("q_id", "vec_id"), "left")
+        .select(col("q_id"), col("rank"), col("vec_id"), col("adc"),
+          coalesce(col("in_exact_top5"), lit(false)).as("in_exact_top5"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      subs0 AS (SELECT vec_id, unnest([{'j': j, 'sub': emb[j*8+1 : j*8+8]}
+          for j in range(8)]) AS u FROM e),
+      subs AS (SELECT vec_id, u.j AS j, u.sub AS sub FROM subs0),
+      codebook AS (SELECT j, CAST(vec_id AS INT) AS code, sub AS cent
+        FROM subs WHERE vec_id < 4),
+      enc AS (SELECT vec_id, j, code, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+            ORDER BY round(list_sum([(s.sub[i+1] - c.cent[i+1]) * (s.sub[i+1] - c.cent[i+1])
+              for i in range(8)]), 6), code) AS rn
+        FROM subs s JOIN codebook c USING (j)),
+      codes AS (SELECT vec_id, j, code FROM enc WHERE rn = 1),
+      tbl AS (SELECT s.vec_id AS q_id, s.j, c.code,
+          round(list_sum([s.sub[i+1] * c.cent[i+1] for i in range(8)]), 6) AS part
+        FROM subs s JOIN codebook c USING (j) WHERE s.vec_id < 3),
+      adc AS (SELECT t.q_id, k.vec_id,
+          round(CAST(SUM(CAST(t.part AS DECIMAL(28,10))) AS DOUBLE), 6) AS adc
+        FROM codes k JOIN tbl t ON t.j = k.j AND t.code = k.code
+        WHERE k.vec_id <> t.q_id GROUP BY t.q_id, k.vec_id),
+      adctop AS (SELECT q_id, vec_id, adc,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rank
+        FROM adc),
+      exact AS (SELECT q.vec_id AS q_id, x.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_sum([x.emb[i+1] * q.emb[i+1] for i in range(64)]), 6) DESC,
+              x.vec_id) AS xr
+        FROM e x JOIN e q ON q.vec_id < 3 AND x.vec_id <> q.vec_id)
+      SELECT a.q_id, CAST(a.rank AS BIGINT) AS rank, a.vec_id, a.adc,
+        COALESCE(x.xr <= 5, FALSE) AS in_exact_top5
+      FROM adctop a LEFT JOIN (SELECT * FROM exact WHERE xr <= 5) x
+        ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+      WHERE a.rank <= 5 ORDER BY a.q_id, a.rank"""),
+    doc = "PQ encode (8 subspaces x 4 codes) + ADC table-lookup top-5 with exact-top-5 recall flags; vectors never shuffle")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194)
 }

@@ -1283,9 +1283,76 @@ object CoverageQueries {
       ORDER BY l_returnflag, l_linestatus"""),
     doc = "GROUP BY ALL + per-aggregate FILTER clause through the SQL front-end")
 
+  // ---------------------------------------------------------------- q195
+  /** ANALYZE TABLE-equivalent column statistics in ONE pass — the numbers
+    * a cost-based optimizer (and every capacity plan) runs on: per column,
+    * non-null count, exact NDV, min/max, and mean serialized width. All 25
+    * aggregates (5 columns × 5 stats) ride a single aggregation; Spark
+    * plans the multi-distinct via one Expand (5× map-side row fan-out,
+    * each carrying one column — the standard multi-distinct shape, no
+    * second scan of the table). `stack` unpivots the 1-row result into the
+    * per-column catalog layout. At 100 TB this is the pattern for stats
+    * refresh after ingest: one pass, no joins, output KB-sized. NDV here
+    * is exact (count_distinct through the Expand); q93's HLL form is the
+    * sub-linear-memory alternative when 2^lgK buckets beat exact sets.
+    * min/max are computed natively and cast to string for the uniform
+    * catalog schema; avg_len is the mean string-serialized width (decimal
+    * accumulator ⇒ engine-exact). */
+  val q195 = QueryDef(
+    "q195_column_stats",
+    (s, d) => {
+      def statsFor(c: String): Seq[Column] = Seq(
+        count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"),
+        round(sum(length(col(c).cast("string"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
+          / count(col(c)), 6).as(s"len_$c"))
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggd = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_rows"), cols.flatMap(statsFor): _*)
+      aggd.select(col("n_rows"), expr(s"""stack(${cols.length}, ${cols.map(c =>
+          s"'$c', cnt_$c, ndv_$c, min_$c, max_$c, len_$c").mkString(", ")})
+          AS (column_name, n_nonnull, ndv, min_value, max_value, avg_len)"""))
+        .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+          col("ndv"), col("min_value"), col("max_value"), col("avg_len"))
+        .orderBy(col("column_name"))
+    },
+    Some("""WITH s AS (SELECT
+        (SELECT COUNT(*) FROM documents) AS n_rows, c.* FROM (
+        SELECT 'doc_id' AS column_name, COUNT(doc_id) AS n_nonnull,
+          COUNT(DISTINCT doc_id) AS ndv, CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+          CAST(MAX(doc_id) AS VARCHAR) AS max_value,
+          round(CAST(SUM(CAST(length(CAST(doc_id AS VARCHAR)) AS DECIMAL(18,2))) AS DOUBLE)
+            / COUNT(doc_id), 6) AS avg_len FROM documents
+        UNION ALL
+        SELECT 'text', COUNT(text), COUNT(DISTINCT text), CAST(MIN(text) AS VARCHAR),
+          CAST(MAX(text) AS VARCHAR),
+          round(CAST(SUM(CAST(length(text) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(text), 6)
+        FROM documents
+        UNION ALL
+        SELECT 'lang', COUNT(lang), COUNT(DISTINCT lang), CAST(MIN(lang) AS VARCHAR),
+          CAST(MAX(lang) AS VARCHAR),
+          round(CAST(SUM(CAST(length(lang) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(lang), 6)
+        FROM documents
+        UNION ALL
+        SELECT 'source', COUNT(source), COUNT(DISTINCT source), CAST(MIN(source) AS VARCHAR),
+          CAST(MAX(source) AS VARCHAR),
+          round(CAST(SUM(CAST(length(source) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(source), 6)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', COUNT(n_chars), COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+          CAST(MAX(n_chars) AS VARCHAR),
+          round(CAST(SUM(CAST(length(CAST(n_chars AS VARCHAR)) AS DECIMAL(18,2))) AS DOUBLE)
+            / COUNT(n_chars), 6) FROM documents) c)
+      SELECT column_name, n_rows, n_nonnull, ndv, min_value, max_value, avg_len
+      FROM s ORDER BY column_name"""),
+    doc = "one-pass ANALYZE: per-column count/NDV/min/max/width via a single multi-distinct aggregation + stack unpivot")
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99,
     q128, q129, q137, q139, q141, q142, q143, q144, q145, q146, q147, q159, q160,
-    q161, q162, q169, q170, q178)
+    q161, q162, q169, q170, q178, q195)
 }

@@ -435,4 +435,44 @@ object EventStream {
       .filter(col("j") >= tau)
       .dropDuplicates("new_id", "old_id")
   }
+
+  /** One row of a key's refreshed top-k emission. */
+  case class TopKRow(key: String, id: Long, score: Double, rank: Int)
+  case class TopKEntry(id: Long, score: Double)
+
+  /** Streaming bounded top-k state: per key, a k-row sorted buffer under
+    * the total order (score desc, id asc) — the streaming form of q140's
+    * bounded Aggregator and of the TopKAggregateRewrite physical shape.
+    * Merge is a set union + trim, so the result is independent of arrival
+    * order and of micro-batch boundary placement (replay-deterministic);
+    * state is O(k) per key, never the history. Assumes ids are unique per
+    * key (event/doc ids); a re-scored id would occupy two buffer slots. */
+  class TopKProcessor(k: Int)
+      extends StatefulProcessor[String, (String, Long, Double), TopKRow] {
+    @transient private var buf: ListState[TopKEntry] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[TopKEntry]("topk",
+        org.apache.spark.sql.Encoders.product[TopKEntry], TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Double)],
+        timerValues: TimerValues): Iterator[TopKRow] = {
+      val merged = (buf.get().toVector ++ rows.map(r => TopKEntry(r._2, r._3)))
+        .distinct
+        .sortBy(e => (-e.score, e.id))
+        .take(k)
+      buf.put(merged.toArray)
+      merged.iterator.zipWithIndex.map { case (e, i) => TopKRow(key, e.id, e.score, i + 1) }
+    }
+  }
+
+  /** Current top-k rows per key, re-emitted whenever the key sees input
+    * (Update mode): leaderboards / worst-offender dashboards over an
+    * unbounded stream with O(k) state per key. */
+  def streamingTopK(
+      events: Dataset[(String, Long, Double)], // (key, id, score)
+      k: Int = 3): Dataset[TopKRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -117,7 +117,8 @@ class ScaleSpec extends AnyFunSuite {
       "q185_knn_pagerank",      // crossJoin(broadcast(1-row node count))
       "q186_zorder_skipping",   // crossJoin(broadcast(1-row matched count))
       "q188_hll_overlap",       // |types|-row sketch broadcast self-join (a < b)
-      "q190_bigram_lm_score")   // crossJoin(broadcast(1-row vocab size))
+      "q190_bigram_lm_score",   // crossJoin(broadcast(1-row vocab size))
+      "q194_pq_adc_topk")       // q45's shape: constant 3-query broadcast ground-truth side
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

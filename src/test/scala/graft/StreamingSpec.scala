@@ -258,6 +258,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming bounded top-k: k-row state merges across batches, order-independent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long, Double)]
+      val q = EventStream.streamingTopK(input.toDS(), k = 3)
+        .toDF("key", "id", "score", "rank")
+        .writeStream.format("memory").queryName("stk").outputMode("update").start()
+      try {
+        input.addData(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 1.0), ("b", 9L, 2.0))
+        q.processAllAvailable()
+        // batch 2: a new leader + a tie on score (id breaks it) + a loser
+        input.addData(("a", 4L, 11.0), ("a", 5L, 9.0), ("a", 6L, 0.5))
+        q.processAllAvailable()
+        val batches = spark.sql("SELECT * FROM stk").as[(String, Long, Double, Int)].collect()
+        // the LATEST emission per key must equal the batch top-3 of all fed rows
+        val expectA = Seq(("a", 4L, 11.0, 1), ("a", 2L, 9.0, 2), ("a", 5L, 9.0, 3))
+        expectA.foreach(row => assert(batches.contains(row),
+          s"latest top-3 for key a must contain $row"))
+        assert(!batches.contains(("a", 1L, 5.0, 1)), "id 1 never led")
+        assert(batches.contains(("b", 9L, 2.0, 1)), "singleton key keeps its one row")
+        // state is bounded: no emission ranks beyond k
+        assert(batches.forall(_._4 <= 3))
+      } finally q.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join matches keys within the time bound only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -482,6 +482,54 @@ object CurationQueries {
       FROM selected GROUP BY source ORDER BY source"""),
     doc = "gate -> exact dedup -> decontaminate -> census, composed end to end")
 
-  val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149, q150)
+  // ---------------------------------------------------------------- q200
+  /** Pareto skyline over (length, quality) per language — multi-objective
+    * document selection without a scalarized score: a document survives
+    * iff no other document of its language is at least as long AND at
+    * least as good with one strict improvement. Computed in ONE
+    * per-language window pass (not the O(n²) dominance join): sorted by
+    * n_chars descending, a document is dominated exactly when the best
+    * quality among STRICTLY longer docs (a RANGE frame ending 1 before)
+    * reaches its own, or a same-length doc beats it. Same answer as the
+    * textbook NOT EXISTS formulation — which is precisely what the oracle
+    * runs, so the window algebra is verified against the quadratic
+    * definition. Quality is the q50 score rounded to 6 dp (engine-exact
+    * doubles); at 100 TB this is one range-partitioned sort per language
+    * vs an unrunnable self-join. */
+  val q200 = QueryDef(
+    "q200_pareto_skyline",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(TextStats.qualityScore(col("text")), 6).as("quality"))
+      val wStrict = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wSame = Window.partitionBy(col("lang"), col("n_chars"))
+      docs
+        .withColumn("m1", max(col("quality")).over(wStrict))
+        .withColumn("m2", max(col("quality")).over(wSame))
+        .filter(!(coalesce(col("m1") >= col("quality"), lit(false))
+          || col("m2") > col("quality")))
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("quality"))
+        .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, n_chars,
+        round(least(len(string_split(lower(text), ' '))::DOUBLE / 50.0, 1.0) * 0.4
+          + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+              / greatest(length(text)::DOUBLE, 1.0) * 10.0, 1.0)) * 0.3
+          + (len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('the','a','of','and','to')))::DOUBLE
+             / len(string_split(lower(text), ' '))::DOUBLE) * 0.3, 6) AS quality
+      FROM documents)
+      SELECT x.lang, x.doc_id, x.n_chars, x.quality
+      FROM d x
+      WHERE NOT EXISTS (SELECT 1 FROM d y WHERE y.lang = x.lang
+        AND ((y.n_chars > x.n_chars AND y.quality >= x.quality)
+          OR (y.n_chars >= x.n_chars AND y.quality > x.quality)))
+      ORDER BY x.lang, x.n_chars DESC, x.doc_id"""),
+    doc = "per-language (length, quality) Pareto frontier in one window pass; oracle = quadratic NOT EXISTS definition")
+
+  val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149, q150, q200)
 }
 

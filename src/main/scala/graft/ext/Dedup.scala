@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
 
 /** Deduplication tier for large-scale training-data pipelines: exact
@@ -843,6 +844,68 @@ object Dedup {
       GROUP BY corp.source ORDER BY corp.source"""),
     doc = "per-source clean/dropped decontamination verdict behind a Bloom runtime filter")
 
+
+  // ---------------------------------------------------------------- q196
+  /** Community detection by synchronous label propagation (LPA, 2 rounds)
+    * over the verified near-dup graph — the third graph primitive next to
+    * q100's connected components and q185's PageRank. Where CC merges
+    * everything reachable, LPA's majority vote splits a weakly-bridged
+    * blob into dense communities — the signal for "this dup cluster is
+    * really two templates sharing boilerplate". Each round is ONE
+    * neighbor-label equi-join + a (node, label) count + a per-node argmax
+    * (rn=1 top-k shape, map-side-bounded by the TopKAggregateRewrite):
+    * 8-byte-keyed shuffles, O(rounds) passes, no graph re-materialization
+    * (pair list localCheckpoint'ed once, like q100/q185). Tie-break is
+    * (count desc, label asc) — fully deterministic, so the fixed 2-round
+    * unroll crosses the DuckDB oracle exactly; isolated nodes keep their
+    * own label via the left join. */
+  val q196 = QueryDef(
+    "q196_label_propagation",
+    (s, d) => {
+      val pairs = lshVerifiedPairs(s, d, 0.6)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val edges = pairs.select(col("a_id").as("v"), col("b_id").as("u"))
+        .unionByName(pairs.select(col("b_id").as("v"), col("a_id").as("u")))
+      val nodes = shingled(s, d).select(col("doc_id").as("v"))
+      def round(lbls: DataFrame): DataFrame = {
+        val votes = edges.join(lbls.select(col("v").as("u"), col("lbl")), "u")
+          .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("lbl"))
+        val winners = votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("v"), col("lbl").as("nl"))
+        lbls.join(winners, Seq("v"), "left")
+          .select(col("v"), coalesce(col("nl"), col("lbl")).as("lbl"))
+      }
+      val init = nodes.select(col("v"), col("v").as("lbl"))
+      round(round(init))
+        .select(col("v").as("doc_id"), col("lbl").as("community"))
+        .orderBy(col("doc_id"))
+    },
+    Some(OracleShingles + """,
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+      edges AS (SELECT a_id AS v, b_id AS u FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM s),
+      v1 AS (SELECT e.v, l.lbl, COUNT(*) AS c
+        FROM edges e JOIN l0 l ON l.v = e.u GROUP BY e.v, l.lbl),
+      w1 AS (SELECT v, lbl AS nl FROM (SELECT v, lbl,
+          ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM v1)
+        WHERE rn = 1),
+      l1 AS (SELECT l0.v, COALESCE(w1.nl, l0.lbl) AS lbl
+        FROM l0 LEFT JOIN w1 ON w1.v = l0.v),
+      v2 AS (SELECT e.v, l.lbl, COUNT(*) AS c
+        FROM edges e JOIN l1 l ON l.v = e.u GROUP BY e.v, l.lbl),
+      w2 AS (SELECT v, lbl AS nl FROM (SELECT v, lbl,
+          ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM v2)
+        WHERE rn = 1),
+      l2 AS (SELECT l1.v, COALESCE(w2.nl, l1.lbl) AS lbl
+        FROM l1 LEFT JOIN w2 ON w2.v = l1.v)
+      SELECT v AS doc_id, lbl AS community FROM l2 ORDER BY doc_id"""),
+    doc = "2-round synchronous LPA over the LSH near-dup graph; majority vote with (count, label) tie-break")
+
   val all: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177)
+    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196)
 }

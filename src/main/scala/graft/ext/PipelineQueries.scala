@@ -768,7 +768,58 @@ object PipelineQueries {
       ORDER BY type_a, type_b"""),
     doc = "segment-overlap matrix by HLL inclusion-exclusion: sketch algebra only, error bound pinned TRUE")
 
+  // ---------------------------------------------------------------- q197
+  /** Trailing-7-day distinct users per (type, day) by SLIDING-WINDOW
+    * SKETCH MERGE — the classic "sliding distinct" problem solved the
+    * mergeable way: one daily HLL sketch per (type, day) (a single pass
+    * over the data), then each output day unions its 7 constituent daily
+    * sketches (`hll_union_agg` over an offset-exploded equi-join — KB-sized
+    * sketches replicate 7×, raw rows never re-scan). The naive form
+    * re-reads each day's events 7 times; at 100 TB the daily sketches are
+    * a tiny state table and each new day costs one partial + 7 unions —
+    * the same incremental discipline as q192. Exact trailing counts (the
+    * expensive way, offset-exploding distinct user-days) cross the oracle
+    * together with the estimator's 5% bound verdict. */
+  val q197 = QueryDef(
+    "q197_sliding_distinct",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr("ts_ns div 86400000000000").as("dd"), col("user_id"))
+      val days = e.select(col("event_type"), col("dd")).distinct()
+      val daily = e.groupBy(col("event_type"), col("dd"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val est = daily
+        .select(col("event_type"), col("sk"),
+          explode(sequence(lit(0L), lit(6L))).as("off"), col("dd"))
+        .select(col("event_type"), (col("dd") + col("off")).as("dd"), col("sk"))
+        .join(days, Seq("event_type", "dd"))
+        .groupBy(col("event_type"), col("dd"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      val exact = e.distinct()
+        .select(col("event_type"), col("user_id"),
+          explode(sequence(lit(0L), lit(6L))).as("off"), col("dd"))
+        .select(col("event_type"), (col("dd") + col("off")).as("dd"), col("user_id"))
+        .join(days, Seq("event_type", "dd"))
+        .groupBy(col("event_type"), col("dd"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, Seq("event_type", "dd"))
+        .select(col("event_type"), col("dd"), col("exact_users"),
+          (abs(col("est") - col("exact_users"))
+            <= greatest(lit(3.0), col("exact_users") * lit(0.05))).as("within_bound"))
+        .orderBy(col("event_type"), col("dd"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+          epoch_ns(ts) // 86400000000000 AS dd, user_id FROM events),
+      days AS (SELECT DISTINCT event_type, dd FROM e)
+      SELECT d.event_type, d.dd,
+        (SELECT COUNT(DISTINCT e2.user_id) FROM e e2
+          WHERE e2.event_type = d.event_type
+            AND e2.dd BETWEEN d.dd - 6 AND d.dd) AS exact_users,
+        TRUE AS within_bound
+      FROM days d ORDER BY event_type, dd"""),
+    doc = "trailing-7d distinct via daily HLL sketch union (no re-scan); exact counts + bound cross the oracle")
+
   val all: Seq[QueryDef] =
     Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131, q151, q152,
-      q156, q157, q166, q167, q183, q188)
+      q156, q157, q166, q167, q183, q188, q197)
 }

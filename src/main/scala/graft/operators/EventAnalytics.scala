@@ -570,6 +570,84 @@ object EventAnalytics {
       FROM events GROUP BY 1, 2 ORDER BY event_type, dd"""),
     doc = "incremental view maintenance: delta-only partials merged into the rollup (algebraic + HLL union), oracle = full rescan")
 
+  // ---------------------------------------------------------------- q198
+  /** Robust outlier detection via median + MAD — the q127 z-test's
+    * heavy-tail-safe sibling: mean/stddev move with the outliers they
+    * hunt, median/MAD don't. Both medians are EXACT, computed the q23
+    * boundary-rank way (spilling per-type window sort, then only the 1-2
+    * middle-rank rows aggregate — never a value-buffering `percentile()`
+    * state): pass 1 ranks values, pass 2 ranks absolute deviations from
+    * the joined-back median. Flag = |v − med| > 3·1.4826·MAD (1.4826
+    * rescales MAD to σ under normality). All comparisons run on raw
+    * doubles that are bit-identical in both engines (selection + one
+    * two-value average, no float accumulation); rounding only at output.
+    * The oracle uses DuckDB's independent median() formulation. */
+  val q198 = QueryDef(
+    "q198_robust_outliers",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"), col("value"))
+      def medianBy(df: org.apache.spark.sql.DataFrame, vc: String, out: String) = {
+        val w = Window.partitionBy(col("event_type")).orderBy(col(vc))
+        val wAll = Window.partitionBy(col("event_type"))
+        df.withColumn("rk", row_number().over(w))
+          .withColumn("nn", count(lit(1)).over(wAll))
+          .filter(col("rk") === expr("(nn + 1) div 2") || col("rk") === expr("(nn + 2) div 2"))
+          .groupBy(col("event_type"))
+          .agg((sum(col(vc)) / count(lit(1))).as(out))
+      }
+      val med = medianBy(e, "value", "med")
+      val dev = e.join(med, Seq("event_type"))
+        .select(col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("adev"))
+      val mad = medianBy(dev.select(col("event_type"), col("adev")), "adev", "mad")
+      dev.join(mad, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(round(first(col("med")), 6).as("med"),
+          round(first(col("mad")), 6).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("adev") > col("mad") * lit(4.4478), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+      dv AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN m USING (event_type)),
+      md AS (SELECT event_type, median(adev) AS mad FROM dv GROUP BY event_type)
+      SELECT dv.event_type, round(any_value(dv.med), 6) AS med,
+        round(any_value(md.mad), 6) AS mad, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN dv.adev > md.mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers
+      FROM dv JOIN md USING (event_type)
+      GROUP BY dv.event_type ORDER BY event_type"""),
+    doc = "median/MAD robust outlier census; exact boundary-rank medians, no value-buffering percentile state")
+
+  // ---------------------------------------------------------------- q199
+  /** Quantile normalization (empirical-CDF feature scaling): each value
+    * maps to its within-group rank position (rank−1)/(n−1) as an exact
+    * scaled integer (ppm) — the rank-based preprocessing that makes
+    * features comparable across skewed distributions without learning
+    * parameters. RANK() keeps ties identical (equal inputs must map to
+    * equal outputs), integer div keeps the quotient engine-exact. One
+    * window shuffle per group; output is row-per-event — the shape of a
+    * feature-engineering pass, not a report. */
+  val q199 = QueryDef(
+    "q199_quantile_normalize",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wAll = Window.partitionBy(col("event_type"))
+      Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("rk", rank().over(w))
+        .withColumn("nn", count(lit(1)).over(wAll))
+        .select(col("event_id"), col("event_type"),
+          expr("((CAST(rk AS BIGINT) - 1) * 1000000) div (nn - 1)").as("qn_ppm"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, event_type,
+        ((RANK() OVER (PARTITION BY event_type ORDER BY value) - 1) * 1000000)
+          // (COUNT(*) OVER (PARTITION BY event_type) - 1) AS qn_ppm
+      FROM events ORDER BY event_id"""),
+    doc = "empirical-CDF rank normalization to exact ppm; ties map identically via RANK()")
+
   val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154,
-    q168, q179, q180, q191, q192)
+    q168, q179, q180, q191, q192, q198, q199)
 }

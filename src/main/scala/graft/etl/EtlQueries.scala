@@ -286,5 +286,72 @@ object EtlQueries {
       FROM canon GROUP BY url ORDER BY url"""),
     doc = "URL canonicalizer (case/fragment/utm/trailing-slash) + variant-collapse census")
 
-  val all: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q36, q37, q65, q176)
+  // ---------------------------------------------------------------- q201
+  /** Data-contract validation (the expectations/quality-gate census a
+    * pipeline runs before promoting a batch): uniqueness, nullability,
+    * domain, range, and cross-table referential integrity, each reported
+    * as (rule, n_checked, n_violations, pass). The five events-table rules
+    * ride ONE aggregation pass (q195's fuse-then-stack shape: no rule
+    * re-scans the table); the foreign-key rule is a broadcast-able
+    * left-anti count. At 100 TB this is the cheapest possible gate — a
+    * scan-side census with a KB-sized result — and a failed `pass` is what
+    * flips a batch to quarantine instead of publish (the F7 dead-letter
+    * ethos applied table-wide). */
+  val q201 = QueryDef(
+    "q201_data_contract",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val lo = 19723L * 86400000000000L  // 2024-01-01
+      val hi = 19875L * 86400000000000L  // 2024-06-01
+      val fused = e.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("v_unique"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("v_neg"),
+        sum(when(!col("event_type").isin("view", "click", "purchase", "signup", "error"),
+          1L).otherwise(0L)).as("v_domain"),
+        sum(when(col("ts_ns") < lo || col("ts_ns") >= hi, 1L).otherwise(0L)).as("v_range"))
+      val eventRules = fused.select(expr("""stack(5,
+          '1_event_id_unique',   n_rows, v_unique,
+          '2_user_id_not_null',  n_rows, v_null,
+          '3_value_non_negative',n_rows, v_neg,
+          '4_event_type_domain', n_rows, v_domain,
+          '5_ts_in_range',       n_rows, v_range)
+          AS (rule, n_checked, n_violations)"""))
+      val orders = Tables.orders(s, d)
+      val fk = orders.join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(orders.agg(count(lit(1)).as("n_checked"))))
+        .select(lit("6_orders_customer_fk").as("rule"),
+          col("n_checked"), col("n_violations"))
+      eventRules.unionByName(fk)
+        .select(col("rule"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+        .orderBy(col("rule"))
+    },
+    Some("""WITH ev AS (SELECT COUNT(*) AS n_rows,
+          COUNT(*) - COUNT(DISTINCT event_id) AS v_unique,
+          CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+          CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_neg,
+          CAST(SUM(CASE WHEN event_type NOT IN
+            ('view','click','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+          CAST(SUM(CASE WHEN epoch_ns(ts) < 19723 * 86400000000000
+            OR epoch_ns(ts) >= 19875 * 86400000000000 THEN 1 ELSE 0 END) AS BIGINT) AS v_range
+        FROM events),
+      rules AS (
+        SELECT '1_event_id_unique' AS rule, n_rows AS n_checked, v_unique AS n_violations FROM ev
+        UNION ALL SELECT '2_user_id_not_null', n_rows, v_null FROM ev
+        UNION ALL SELECT '3_value_non_negative', n_rows, v_neg FROM ev
+        UNION ALL SELECT '4_event_type_domain', n_rows, v_domain FROM ev
+        UNION ALL SELECT '5_ts_in_range', n_rows, v_range FROM ev
+        UNION ALL SELECT '6_orders_customer_fk',
+          (SELECT COUNT(*) FROM orders),
+          (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)))
+      SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+      FROM rules ORDER BY rule"""),
+    doc = "expectations gate: uniqueness/null/domain/range fused into one pass + FK anti-join; pass/fail per rule")
+
+  val all: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q36, q37, q65, q176, q201)
 }

@@ -648,6 +648,98 @@ object EventAnalytics {
       FROM events ORDER BY event_id"""),
     doc = "empirical-CDF rank normalization to exact ppm; ties map identically via RANK()")
 
+  // ---------------------------------------------------------------- q202
+  /** Benford first-digit audit — the forensic data-quality screen for
+    * fabricated or truncated numeric columns: the leading digit of
+    * naturally-spread magnitudes follows log10(1+1/d), and a synthetic or
+    * clipped column doesn't. No transcendentals cross the engines: the
+    * digit comes from the first character of the BIGINT integer part
+    * (identical string renderings), observed shares are exact scaled
+    * integers, and the Benford expectations are baked-in ppm literals.
+    * One scan + a 9-row agg. */
+  val q202 = QueryDef(
+    "q202_benford_audit",
+    (s, d) => {
+      val expected = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+        5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+      val expDf = {
+        import s.implicits._
+        broadcast(expected.toDF("digit", "expected_ppm"))
+      }
+      val digits = Tables.events(s, d)
+        .filter(col("value") >= 1.0)
+        .select(substring(floor(col("value")).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = broadcast(digits.agg(sum(col("n")).as("total")))
+      digits.crossJoin(tot).join(expDf, Seq("digit"))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000) div total").as("observed_ppm"),
+          col("expected_ppm"))
+        .withColumn("deviation_ppm", abs(col("observed_ppm") - col("expected_ppm")))
+        .orderBy(col("digit"))
+    },
+    Some("""WITH digits AS (SELECT CAST(substr(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM events WHERE value >= 1.0),
+      cnt AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+      tot AS (SELECT SUM(n) AS total FROM cnt),
+      exp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        t(digit, expected_ppm))
+      SELECT c.digit, c.n,
+        CAST((c.n * 1000000) // t.total AS BIGINT) AS observed_ppm,
+        CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        CAST(abs((c.n * 1000000) // t.total - e.expected_ppm) AS BIGINT) AS deviation_ppm
+      FROM cnt c CROSS JOIN tot t JOIN exp e USING (digit)
+      ORDER BY c.digit"""),
+    doc = "Benford leading-digit census vs baked-in log-law ppm; exact integer shares, no transcendentals")
+
+  // ---------------------------------------------------------------- q203
+  /** CUSUM changepoint detection over daily volumes — where did the
+    * level shift? For each type, the cumulative sum of (daily count −
+    * mean) peaks at the changepoint. Exact integer algebra throughout
+    * (q127's discipline): deviations are scaled by the day count D so the
+    * mean never becomes a fraction — cusum_d = Σ_{k≤d} (c_k·D − total) —
+    * and the argmax |cusum| takes the earliest day on ties. One day-sized
+    * window per type (the frame is |days|, not |events| — same reduced-
+    * frame convention as the q154 burst scan). */
+  val q203 = QueryDef(
+    "q203_cusum_changepoint",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("dd"))
+        .agg(count(lit(1)).as("c"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("total"), count(lit(1)).as("nd"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("dd"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cusum = daily.join(stats, Seq("event_type"))
+        .withColumn("cusum", sum(col("c") * col("nd") - col("total")).over(w))
+      cusum.groupBy(col("event_type"))
+        .agg(max_by(struct(col("dd"), col("cusum")),
+            struct(abs(col("cusum")), col("dd") * -1)).as("b"),
+          first(col("nd")).as("n_days"))
+        .select(col("event_type"), col("b.dd").as("cp_day"),
+          abs(col("b.cusum")).as("max_abs_cusum"), col("n_days"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS dd,
+          COUNT(*) AS c FROM events GROUP BY 1, 2),
+      stats AS (SELECT event_type, SUM(c) AS total, COUNT(*) AS nd
+        FROM daily GROUP BY event_type),
+      cs AS (SELECT d.event_type, d.dd,
+          SUM(d.c * s.nd - s.total) OVER (PARTITION BY d.event_type ORDER BY d.dd
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum,
+          s.nd
+        FROM daily d JOIN stats s USING (event_type)),
+      pick AS (SELECT event_type, dd, cusum, nd,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY abs(cusum) DESC, dd) AS rn
+        FROM cs)
+      SELECT event_type, dd AS cp_day, CAST(abs(cusum) AS BIGINT) AS max_abs_cusum,
+        CAST(nd AS BIGINT) AS n_days
+      FROM pick WHERE rn = 1 ORDER BY event_type"""),
+    doc = "exact-integer CUSUM level-shift detector per type; argmax |cusum| with earliest-day tie-break")
+
   val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154,
-    q168, q179, q180, q191, q192, q198, q199)
+    q168, q179, q180, q191, q192, q198, q199, q202, q203)
 }

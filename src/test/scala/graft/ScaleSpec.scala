@@ -118,7 +118,9 @@ class ScaleSpec extends AnyFunSuite {
       "q186_zorder_skipping",   // crossJoin(broadcast(1-row matched count))
       "q188_hll_overlap",       // |types|-row sketch broadcast self-join (a < b)
       "q190_bigram_lm_score",   // crossJoin(broadcast(1-row vocab size))
-      "q194_pq_adc_topk")       // q45's shape: constant 3-query broadcast ground-truth side
+      "q194_pq_adc_topk",       // q45's shape: constant 3-query broadcast ground-truth side
+      "q201_data_contract",     // crossJoin(broadcast(1-row orders count))
+      "q202_benford_audit")     // crossJoin(broadcast(1-row digit total))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

@@ -906,6 +906,68 @@ object Dedup {
       SELECT v AS doc_id, lbl AS community FROM l2 ORDER BY doc_id"""),
     doc = "2-round synchronous LPA over the LSH near-dup graph; majority vote with (count, label) tie-break")
 
+
+  // ---------------------------------------------------------------- q204
+  /** Triangle census + local clustering coefficient over the verified
+    * near-dup graph — the fourth graph primitive (after CC, PageRank,
+    * LPA): triangles measure how CLIQUE-LIKE a duplicate neighborhood is
+    * (template families triangle densely; chains of pairwise-similar
+    * revisions don't). The algorithm is the canonical two-join MapReduce
+    * triangle count on ID-oriented canonical edges (a<b): wedge build
+    * (edge ⋈ edge on the middle vertex) then wedge-closing probe against
+    * the edge list — both 8-byte equi-joins, never an all-pairs. At
+    * 100 TB the classic refinement (orient edges low-degree → high-degree
+    * so wedge fan-out is bounded by arboricity, not max degree) drops in
+    * at the orientation step; the ID orientation here IS that step on
+    * this corpus. Clustering coefficient = 2T/(deg·(deg−1)) as exact ppm.
+    * localCheckpoint'ed edge list: the LSH+verify stage runs once, not
+    * three times. */
+  val q204 = QueryDef(
+    "q204_triangle_census",
+    (s, d) => {
+      val e = lshVerifiedPairs(s, d, 0.6)
+        .select(col("a_id").as("a"), col("b_id").as("b")).localCheckpoint()
+      val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val tri = wedges.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      val triPerNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("t"))
+      val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      shingled(s, d).select(col("doc_id").as("v"))
+        .join(deg, Seq("v"), "left").join(triPerNode, Seq("v"), "left")
+        .select(col("v").as("doc_id"),
+          coalesce(col("deg"), lit(0L)).as("degree"),
+          coalesce(col("t"), lit(0L)).as("triangles"))
+        .withColumn("cc_ppm",
+          when(col("degree") >= 2,
+            expr("(2 * triangles * 1000000) div (degree * (degree - 1))"))
+            .otherwise(lit(0L)))
+        .orderBy(col("doc_id"))
+    },
+    Some(OracleShingles + """,
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+      wed AS (SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+        FROM pairs e1 JOIN pairs e2 ON e2.a_id = e1.b_id),
+      tri AS (SELECT w.x, w.y, w.z FROM wed w
+        JOIN pairs p ON p.a_id = w.x AND p.b_id = w.z),
+      tpn AS (SELECT v, COUNT(*) AS t FROM (
+          SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri) GROUP BY v),
+      deg AS (SELECT v, COUNT(*) AS deg FROM (
+          SELECT a_id AS v FROM pairs UNION ALL SELECT b_id FROM pairs) GROUP BY v)
+      SELECT s.doc_id, COALESCE(deg.deg, 0) AS degree,
+        COALESCE(tpn.t, 0) AS triangles,
+        CAST(CASE WHEN COALESCE(deg.deg, 0) >= 2
+          THEN (2 * COALESCE(tpn.t, 0) * 1000000) // (deg.deg * (deg.deg - 1))
+          ELSE 0 END AS BIGINT) AS cc_ppm
+      FROM s LEFT JOIN deg ON deg.v = s.doc_id LEFT JOIN tpn ON tpn.v = s.doc_id
+      ORDER BY s.doc_id"""),
+    doc = "two-join oriented triangle count + clustering coefficient (exact ppm) over the LSH near-dup graph")
+
   val all: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196)
+    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196, q204)
 }

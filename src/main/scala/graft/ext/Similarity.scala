@@ -882,6 +882,50 @@ object Similarity {
       WHERE a.rank <= 5 ORDER BY a.q_id, a.rank"""),
     doc = "PQ encode (8 subspaces x 4 codes) + ADC table-lookup top-5 with exact-top-5 recall flags; vectors never shuffle")
 
+  // ---------------------------------------------------------------- q205
+  /** Per-class embedding dispersion (trace of the covariance matrix) —
+    * the diversity audit behind coreset selection and class-balance
+    * decisions: a label whose vectors huddle near their centroid
+    * contributes redundancy, one that spreads contributes coverage.
+    * Computed distributively via the one-pass identity
+    * tr(Σ) = Σ_d (E[x_d²] − E[x_d]²): per (label, dim), exact decimal
+    * sums of x and x² (order-free ⇒ partial-aggregation-proof), then a
+    * per-dim variance term cast back through the decimal accumulator so
+    * the 64-term reduction is also order-free. No pairwise distances —
+    * the naive "mean pairwise distance" is O(n²); the trace identity is
+    * one scan (and equals half the mean squared pairwise distance up to
+    * the n/(n−1) factor). */
+  val q205 = QueryDef(
+    "q205_embedding_dispersion",
+    (s, d) => {
+      val perDim = embDouble(s, d)
+        .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("v").cast(DecimalType(28, 10))).cast("double").as("s1"),
+          sum((col("v") * col("v")).cast(DecimalType(28, 10))).cast("double").as("s2"),
+          count(lit(1)).as("n"))
+      perDim
+        .select(col("label"), col("n"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+            .cast(DecimalType(28, 10)).as("term"))
+        .groupBy(col("label"))
+        .agg(first(col("n")).as("n"),
+          round(sum(col("term")).cast("double"), 6).as("trace_var"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH ex AS (SELECT label, generate_subscripts(embedding::DOUBLE[], 1) AS dim,
+          unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+      perdim AS (SELECT label, dim,
+          CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(v * v AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+          COUNT(*) AS n
+        FROM ex GROUP BY label, dim)
+      SELECT label, ANY_VALUE(n) AS n,
+        round(CAST(SUM(CAST((s2 - s1 * s1 / n) / n AS DECIMAL(28,10))) AS DOUBLE), 6)
+          AS trace_var
+      FROM perdim GROUP BY label ORDER BY label"""),
+    doc = "per-label covariance trace via the one-pass E[x2]-E[x]2 identity; decimal-exact reductions, no pairwise join")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205)
 }

@@ -1350,9 +1350,83 @@ object CoverageQueries {
       FROM s ORDER BY column_name"""),
     doc = "one-pass ANALYZE: per-column count/NDV/min/max/width via a single multi-distinct aggregation + stack unpivot")
 
+  // ---------------------------------------------------------------- q206
+  /** Spark 4 VARIANT type surface: `parse_json` materializes the props
+    * payload as a VARIANT (the binary semi-structured type — parsed once,
+    * typed access without re-tokenizing), `variant_get` extracts a typed
+    * path. The rollup proves the extraction round-trips numerically (the
+    * DuckDB oracle re-extracts with its native JSON path machinery).
+    * VARIANT is the engine answer to "dynamic-schema columns at scale":
+    * parse cost paid once at ingest, columnar-pushable access after. */
+  val q206 = QueryDef(
+    "q206_variant_json",
+    (s, d) => Tables.events(s, d)
+      .select(expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("bucket")),
+    Some("""SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS bucket,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+        MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+      FROM events GROUP BY 1 ORDER BY bucket"""),
+    doc = "VARIANT ingest + typed path extraction (parse_json/variant_get) vs native JSON-path oracle")
+
+  // ---------------------------------------------------------------- q207
+  /** SQL pipe syntax (Spark 4's `|>` operator chain — SPARK-49555): the
+    * linear FROM → WHERE → AGGREGATE → ORDER BY dataflow form of a
+    * classic rollup, proving the pipe front-end plans identically to the
+    * declarative SQL the oracle runs. Decimal accumulator keeps the
+    * revenue sum engine-exact. */
+  val q207 = QueryDef(
+    "q207_pipe_syntax",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""FROM lineitem_v
+        |> WHERE l_quantity > 10
+        |> AGGREGATE COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem WHERE l_quantity > 10
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    doc = "SQL pipe syntax (|> WHERE/AGGREGATE/ORDER BY) plans identically to the declarative form")
+
+  // ---------------------------------------------------------------- q208
+  /** Collation-aware grouping (Spark 4 collations): a case-mixed key
+    * column groups under UTF8_LCASE so case variants merge WITHOUT a
+    * lower() rewrite — the collation rides the type, so every comparison
+    * (joins, sorts, distinct) inherits it. The mixed-case input is
+    * derived deterministically (even event_ids upper-case their type);
+    * output keys are normalized through cast-to-binary-collation lower()
+    * so the representative is engine-stable, and min(original) pins that
+    * both variants really landed in one group. */
+  val q208 = QueryDef(
+    "q208_collated_grouping",
+    (s, d) => {
+      val mixed = Tables.events(s, d).select(
+        when(pmod(col("event_id"), lit(2)) === 0, upper(col("event_type")))
+          .otherwise(col("event_type")).as("et"))
+      mixed.groupBy(expr("collate(et, 'UTF8_LCASE')").as("k"))
+        .agg(count(lit(1)).as("n"), min(col("et")).as("first_variant"))
+        .select(lower(col("k")).cast("string").as("event_type_ci"),
+          col("n"), col("first_variant"))
+        .orderBy(col("event_type_ci"))
+    },
+    Some("""WITH mixed AS (SELECT CASE WHEN event_id % 2 = 0
+          THEN upper(event_type) ELSE event_type END AS et FROM events)
+      SELECT lower(et) AS event_type_ci, COUNT(*) AS n, MIN(et) AS first_variant
+      FROM mixed GROUP BY lower(et) ORDER BY event_type_ci"""),
+    doc = "UTF8_LCASE collated group-by merges case variants without rewrites; representative normalized for the oracle")
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99,
     q128, q129, q137, q139, q141, q142, q143, q144, q145, q146, q147, q159, q160,
-    q161, q162, q169, q170, q178, q195)
+    q161, q162, q169, q170, q178, q195, q206, q207, q208)
 }

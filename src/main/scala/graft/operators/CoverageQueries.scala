@@ -1424,9 +1424,39 @@ object CoverageQueries {
       FROM mixed GROUP BY lower(et) ORDER BY event_type_ci"""),
     doc = "UTF8_LCASE collated group-by merges case variants without rewrites; representative normalized for the oracle")
 
+  // ---------------------------------------------------------------- q211
+  /** Relative-rank window functions (percent_rank / cume_dist) — the two
+    * distribution-position primitives not yet on the surface (rank/
+    * dense_rank/ntile are q13-q17/q159): percent_rank = (rank−1)/(n−1)
+    * and cume_dist = |rows ≤ current|/n, both pure rational functions of
+    * exact integers, rounded at 6 dp for the hash. Grouped per returnflag
+    * over the discount domain (25 distinct values → a bounded census
+    * output, not a row-per-lineitem dump). */
+  val q211 = QueryDef(
+    "q211_relative_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_discount"))
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_discount"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy(col("l_returnflag"), col("l_discount"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("pr")), 6).as("percent_rank"),
+          round(max(col("cd")), 6).as("cume_dist"))
+        .orderBy(col("l_returnflag"), col("l_discount"))
+    },
+    Some("""WITH r AS (SELECT l_returnflag, l_discount,
+          PERCENT_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_discount) AS pr,
+          CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY l_discount) AS cd
+        FROM lineitem)
+      SELECT l_returnflag, l_discount, COUNT(*) AS n,
+        round(MIN(pr), 6) AS percent_rank, round(MAX(cd), 6) AS cume_dist
+      FROM r GROUP BY 1, 2 ORDER BY l_returnflag, l_discount"""),
+    doc = "percent_rank + cume_dist distribution positions; exact-ratio windows, bounded census output")
+
   val all: Seq[QueryDef] = Seq(
     q55, q56, q57, q58, q59, q60, q61, q62, q66, q67, q68, q69, q70, q71,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q97, q98, q99,
     q128, q129, q137, q139, q141, q142, q143, q144, q145, q146, q147, q159, q160,
-    q161, q162, q169, q170, q178, q195, q206, q207, q208)
+    q161, q162, q169, q170, q178, q195, q206, q207, q208, q211)
 }

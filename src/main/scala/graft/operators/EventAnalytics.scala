@@ -484,18 +484,18 @@ object EventAnalytics {
     (s, d) => {
       val e = Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), col("ts_ns"))
+          col("value"), expr("ts_ns div 1000").as("ts_us"))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_ns"), col("event_id"))
+        .orderBy(col("ts_us"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val tagged = e.withColumn("touch",
           when(col("event_type") =!= "purchase",
-            struct(col("ts_ns").as("t_ts"), col("event_type").as("t_type"))))
+            struct(col("ts_us").as("t_ts"), col("event_type").as("t_type"))))
         .withColumn("lt", last(col("touch"), ignoreNulls = true).over(w))
       tagged.filter(col("event_type") === "purchase")
         .select(col("value"),
           when(col("lt").isNotNull
-              && col("ts_ns") - col("lt.t_ts") <= lit(7L * 86400000000000L),
+              && col("ts_us") - col("lt.t_ts") <= lit(7L * 86400000000L),
             col("lt.t_type")).otherwise(lit("direct")).as("channel"))
         .groupBy(col("channel"))
         .agg(count(lit(1)).as("n_purchases"),
@@ -503,16 +503,16 @@ object EventAnalytics {
         .orderBy(col("channel"))
     },
     Some("""WITH e AS (SELECT user_id, event_id, event_type, value,
-          epoch_ns(ts) AS ts_ns FROM events),
+          epoch_us(ts) AS ts_us FROM events),
       tagged AS (SELECT *,
-          last_value(CASE WHEN event_type <> 'purchase' THEN ts_ns END IGNORE NULLS)
-            OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+          last_value(CASE WHEN event_type <> 'purchase' THEN ts_us END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_ts,
           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
-            OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_type
         FROM e)
-      SELECT CASE WHEN t_ts IS NOT NULL AND ts_ns - t_ts <= 7 * 86400000000000
+      SELECT CASE WHEN t_ts IS NOT NULL AND ts_us - t_ts <= 7 * 86400000000
           THEN t_type ELSE 'direct' END AS channel,
         COUNT(*) AS n_purchases,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -740,6 +740,177 @@ object EventAnalytics {
       FROM pick WHERE rn = 1 ORDER BY event_type"""),
     doc = "exact-integer CUSUM level-shift detector per type; argmax |cusum| with earliest-day tie-break")
 
+  // ---------------------------------------------------------------- q209
+  /** Interval coalescing (merge overlapping spans) — the sweep-line
+    * classic behind "total active time" and availability math: each event
+    * opens a 30-minute activity window; overlapping windows per user must
+    * merge into maximal spans. A new span starts exactly when an event's
+    * start exceeds the running max of all previous ends (strictly-prior
+    * ROWS frame), the span id is the running count of such breaks, and
+    * the span's extent is [min(start), max(end)] per id — three window
+    * passes over ONE user_id shuffle, vs the naive quadratic overlap
+    * join. Pure µs-integer arithmetic (DuckDB reads TIMESTAMP_NS at µs); complements q136 (SCD2 builds
+    * intervals, this dissolves them). */
+  val q209 = QueryDef(
+    "q209_interval_coalesce",
+    (s, d) => {
+      val span = 1800000000L // 30 min in us (DuckDB reads TIMESTAMP_NS at us)
+      val e = Tables.events(s, d).select(col("user_id"),
+        expr("ts_ns div 1000").as("s"),
+        (expr("ts_ns div 1000") + span).as("en"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+      val prevMax = max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val flagged = e.withColumn("brk",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      val grouped = flagged.withColumn("grp",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      grouped.groupBy(col("user_id"), col("grp"))
+        .agg(min(col("s")).as("span_start"), max(col("en")).as("span_end"),
+          count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_end") - col("span_start")).as("active_us"),
+          sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+          epoch_us(ts) + 1800000000 AS en, event_id FROM events),
+      f AS (SELECT *, CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            OR s > max(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS brk
+        FROM e),
+      g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM f),
+      spans AS (SELECT user_id, grp, MIN(s) AS span_start, MAX(en) AS span_end,
+          COUNT(*) AS n_events
+        FROM g GROUP BY user_id, grp)
+      SELECT user_id, COUNT(*) AS n_spans,
+        CAST(SUM(span_end - span_start) AS BIGINT) AS active_us,
+        CAST(SUM(n_events) AS BIGINT) AS n_events
+      FROM spans GROUP BY user_id ORDER BY user_id"""),
+    doc = "sweep-line interval merge via running-max-of-ends; per-user active time without an overlap join")
+
+  // ---------------------------------------------------------------- q210
+  /** Sequential pattern census: the top 3-event paths (trigrams) across
+    * user timelines — q126's transition matrix extended one step, the
+    * signal behind "what flows actually happen" funnel discovery. Two
+    * lead() taps over ONE user_id window shuffle, then a |types|³-at-most
+    * census agg; dense_rank keeps tied paths (q169's convention). */
+  val q210 = QueryDef(
+    "q210_event_trigrams",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tri = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3")).agg(count(lit(1)).as("n"))
+      tri.withColumn("rk", dense_rank().over(Window.orderBy(col("n").desc)))
+        .filter(col("rk") <= 10)
+        .select(col("rk").cast("long").as("rk"), col("e1"), col("e2"), col("e3"), col("n"))
+        .orderBy(col("rk"), col("e1"), col("e2"), col("e3"))
+    },
+    Some("""WITH seq AS (SELECT event_type AS e1,
+          lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+          lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        FROM events),
+      tri AS (SELECT e1, e2, e3, COUNT(*) AS n FROM seq
+        WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY e1, e2, e3)
+      SELECT CAST(DENSE_RANK() OVER (ORDER BY n DESC) AS BIGINT) AS rk,
+        e1, e2, e3, n FROM tri
+      QUALIFY rk <= 10 ORDER BY rk, e1, e2, e3"""),
+    doc = "top user-timeline 3-event paths; two lead taps on one shuffle, tie-preserving dense_rank")
+
+  // ---------------------------------------------------------------- q212
+  /** Daily OHLC candlesticks per event type — the financial-rollup shape
+    * (open/high/low/close + volume) expressed with ordered-selector
+    * aggregates: open/close are min_by/max_by on the (ts, event_id) total
+    * order (never a window sort over the day), high/low are plain
+    * min/max, volume is the q63 decimal discipline. One keyed aggregation,
+    * map-side combinable — the 100 TB-right plan for bucketed series
+    * rollups. */
+  val q212 = QueryDef(
+    "q212_daily_ohlc",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("dd"),
+        col("value"), col("ts_ns"), col("event_id"))
+      .groupBy(col("event_type"), col("dd"))
+      .agg(
+        min_by(col("value"), struct(expr("ts_ns div 1000"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(expr("ts_ns div 1000"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("turnover"))
+      .orderBy(col("event_type"), col("dd")),
+    Some("""WITH r AS (SELECT event_type,
+          epoch_us(ts) // 86400000000 AS dd, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type, epoch_us(ts) // 86400000000
+            ORDER BY epoch_us(ts), event_id) AS ra,
+          ROW_NUMBER() OVER (PARTITION BY event_type, epoch_us(ts) // 86400000000
+            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rd
+        FROM events)
+      SELECT event_type, dd,
+        MAX(CASE WHEN ra = 1 THEN value END) AS open,
+        MAX(value) AS high, MIN(value) AS low,
+        MAX(CASE WHEN rd = 1 THEN value END) AS close,
+        COUNT(*) AS volume,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS turnover
+      FROM r GROUP BY 1, 2 ORDER BY event_type, dd"""),
+    doc = "per-(type, day) OHLC via ordered-selector aggregates; one map-side-combinable agg, no window sort")
+
+  // ---------------------------------------------------------------- q213
+  /** Weighted moving average with dyadic decay (16:8:4:2:1 over the last
+    * 5 points) — EWMA's exactly-representable cousin: every weight is a
+    * power of two and the divisor is their sum, so the smoothed series is
+    * decimal-exact in both engines (a true α-EWMA needs αᵏ — transcendental
+    * drift across engines; the windowed dyadic kernel is the standard
+    * hash-oracle-safe approximation). Four lag() taps on one (type)
+    * ordered window; emitted only where the full kernel exists. Daily
+    * close from q212's selector discipline feeds it. */
+  val q213 = QueryDef(
+    "q213_weighted_moving_avg",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_ns div 86400000000000").as("dd"),
+          col("value"), col("ts_ns"), col("event_id"))
+        .groupBy(col("event_type"), col("dd"))
+        .agg(max_by(col("value"), struct(expr("ts_ns div 1000"), col("event_id"))).as("close"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("dd"))
+      val c = col("close").cast(DecimalType(18, 2))
+      daily
+        .withColumn("wma",
+          (c * 16 + lag(c, 1).over(w) * 8 + lag(c, 2).over(w) * 4
+            + lag(c, 3).over(w) * 2 + lag(c, 4).over(w)).cast("double") / 31)
+        .filter(col("wma").isNotNull)
+        .select(col("event_type"), col("dd"), col("close"), round(col("wma"), 6).as("wma"))
+        .orderBy(col("event_type"), col("dd"))
+    },
+    Some("""WITH r AS (SELECT event_type,
+          epoch_us(ts) // 86400000000 AS dd, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type, epoch_us(ts) // 86400000000
+            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rd
+        FROM events),
+      daily AS (SELECT event_type, dd, MAX(CASE WHEN rd = 1 THEN value END) AS close
+        FROM r GROUP BY 1, 2),
+      lagged AS (SELECT event_type, dd, close,
+          CAST(close AS DECIMAL(18,2)) AS c,
+          lag(CAST(close AS DECIMAL(18,2)), 1) OVER (PARTITION BY event_type ORDER BY dd) AS c1,
+          lag(CAST(close AS DECIMAL(18,2)), 2) OVER (PARTITION BY event_type ORDER BY dd) AS c2,
+          lag(CAST(close AS DECIMAL(18,2)), 3) OVER (PARTITION BY event_type ORDER BY dd) AS c3,
+          lag(CAST(close AS DECIMAL(18,2)), 4) OVER (PARTITION BY event_type ORDER BY dd) AS c4
+        FROM daily)
+      SELECT event_type, dd, close,
+        round(CAST(c * 16 + c1 * 8 + c2 * 4 + c3 * 2 + c4 AS DOUBLE) / 31, 6) AS wma
+      FROM lagged WHERE c1 IS NOT NULL AND c2 IS NOT NULL
+        AND c3 IS NOT NULL AND c4 IS NOT NULL
+      ORDER BY event_type, dd"""),
+    doc = "dyadic-kernel weighted moving average (decimal-exact EWMA stand-in); four lag taps, one ordered window")
+
   val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154,
-    q168, q179, q180, q191, q192, q198, q199, q202, q203)
+    q168, q179, q180, q191, q192, q198, q199, q202, q203, q209, q210, q212, q213)
 }

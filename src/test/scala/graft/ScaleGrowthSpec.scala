@@ -94,14 +94,24 @@ class ScaleGrowthSpec extends AnyFunSuite {
       .map(j => j -> j.r.findAllIn(plan).size).filter(_._2 > 0).toMap
   }
 
-  private def checkChain(q: QueryDef, ratio: Int, budgetRatio: Double): Unit = {
+  /** pinShape=false: for chains whose broadcast sides legitimately
+    * outgrow the auto-broadcast threshold with the data (q185's k-NN
+    * edge list), a BHJ→SMJ flip at the bigger scale is the PLANNER
+    * working as designed, not a regression — only the cartesian guard
+    * and the growth budget are meaningful there. */
+  private def checkChain(q: QueryDef, ratio: Int, budgetRatio: Double,
+      pinShape: Boolean = true): Unit = {
     val baseShape = joinShape(q, base)
     val bigShape = joinShape(q, bigDir)
-    assert(bigShape == baseShape,
-      s"${q.name}: join strategy flipped at ${ratio}x: base=$baseShape big=$bigShape")
-    assert(!bigShape.contains("BroadcastNestedLoopJoin") &&
-      !bigShape.contains("CartesianProduct"),
-      s"${q.name}: O(n·m) join at ${ratio}x: $bigShape")
+    if (pinShape) {
+      assert(bigShape == baseShape,
+        s"${q.name}: join strategy flipped at ${ratio}x: base=$baseShape big=$bigShape")
+      assert(!bigShape.contains("BroadcastNestedLoopJoin") &&
+        !bigShape.contains("CartesianProduct"),
+        s"${q.name}: O(n·m) join at ${ratio}x: $bigShape")
+    } else
+      assert(!bigShape.contains("CartesianProduct"),
+        s"${q.name}: cartesian at ${ratio}x: $bigShape")
     val tBase = time(q, base)
     val tBig = time(q, bigDir)
     val budget = budgetRatio * tBase + 1.0
@@ -135,5 +145,22 @@ class ScaleGrowthSpec extends AnyFunSuite {
 
   test("q109 (exact semantic dedup, quadratic by design) stays within its quadratic budget") {
     checkChain(graft.ext.Similarity.q109, EmbRatio, 1.5 * EmbRatio * EmbRatio)
+  }
+
+  test("graph chains (LPA communities, triangle census) grow near-linearly on the 10x corpus") {
+    // vocabulary renaming makes the 10x near-dup graph exactly 10 disjoint
+    // copies of the base graph: edges, wedges and triangles all scale
+    // linearly, so these must track the linear budget like q100/q106
+    for (q <- Seq(graft.ext.Dedup.q196, graft.ext.Dedup.q204))
+      checkChain(q, DocRatio, 1.5 * DocRatio)
+  }
+
+  test("q185 (k-NN PageRank over the exact all-pairs build, quadratic by design) stays within its quadratic budget") {
+    // pinShape=false: the localCheckpoint'ed k-NN edge list crosses the
+    // auto-broadcast threshold at 3x, so its PR-round joins flip BHJ->SMJ —
+    // the size-based planner choice the chain is designed to tolerate
+    // (its 1-row count broadcasts stay BNLJ by construction).
+    checkChain(graft.ext.Similarity.q185, EmbRatio, 1.5 * EmbRatio * EmbRatio,
+      pinShape = false)
   }
 }

@@ -71,7 +71,13 @@ object GraftExtensions {
     ("min_md5_hex", info("min_md5_hex", classOf[MinMd5Hex]),
       es => MinMd5Hex(es(0))),
     ("winnow_fingerprints", info("winnow_fingerprints", classOf[WinnowFingerprints]),
-      es => WinnowFingerprints(es(0), intArg(es(1), "k"), intArg(es(2), "w"))))
+      es => WinnowFingerprints(es(0), intArg(es(1), "k"), intArg(es(2), "w"))),
+    ("decode_image", info("decode_image", classOf[DecodeImage]),
+      es => DecodeImage(es(0))),
+    ("resize_image", info("resize_image", classOf[ResizeImage]),
+      es => ResizeImage(es(0), intArg(es(1), "w"), intArg(es(2), "h"))),
+    ("decode_audio", info("decode_audio", classOf[DecodeAudio]),
+      es => DecodeAudio(es(0))))
 }
 
 /** Optimizer rule: rewrite the naive built-in Jaccard composition

@@ -28,6 +28,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](5).nonEmpty && r.getSeq[Long](5).forall(h => h >= 0))
   }
 
+  test("codec expressions are SQL-callable (decode_image / resize_image / decode_audio)") {
+    // non-container bytes take the deterministic fallbacks — the SQL
+    // registration is what's under test, the codecs have their own spec
+    val r = spark.sql(
+      """SELECT
+        |  decode_image(cast('Hello' as binary)).width AS w,
+        |  octet_length(resize_image(cast('Hello' as binary), 4, 3)) AS rb,
+        |  decode_audio(cast('Hello' as binary)).sample_rate AS sr
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 'H'.toInt)
+    assert(r.getInt(1) > 0)
+    assert(r.getInt(2) == 8000 + ('H'.toInt % 8) * 1000)
+  }
+
   test("JaccardFusion rewrites the naive size/intersect/concat idiom") {
     // real scan input — a literal LocalRelation would be constant-folded
     // away before the rewrite is observable

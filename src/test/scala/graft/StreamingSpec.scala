@@ -258,6 +258,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("state store reader exposes streaming aggregation state as a batch DataFrame") {
+    // Spark 4's statestore data source: the ops/debugging surface that
+    // turns a checkpoint's keyed state into a queryable table — how a
+    // production engine answers "what is this stream currently holding"
+    // without stopping it or instrumenting the job.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sss_").toString
+    val q = input.toDS().groupBy(col("value").as("k")).count()
+      .writeStream.format("memory").queryName("sssagg").outputMode("update")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData("a", "a", "b")
+      q.processAllAvailable()
+      input.addData("a")
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.format("statestore").load(ckpt)
+    // schema: key struct<...>, value struct<agg buffer>, partition_id —
+    // extract both by POSITION so internal buffer/key field naming can't
+    // break the pin
+    val rows = state.select(col("key"), col("value"))
+      .collect().map { r =>
+        (r.getStruct(0).getString(0), r.getStruct(1).getLong(0))
+      }.toMap
+    assert(rows == Map("a" -> 3L, "b" -> 1L),
+      s"checkpointed state must reflect the post-batch-2 counts, got $rows")
+  }
+
   test("streaming bounded top-k: k-row state merges across batches, order-independent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

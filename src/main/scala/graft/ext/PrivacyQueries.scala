@@ -326,5 +326,127 @@ object PrivacyQueries {
       FROM tok ORDER BY doc_id"""),
     doc = "keyed PII pseudonymization: same value -> same token corpus-wide, linkage survives")
 
-  val all: Seq[QueryDef] = Seq(q120, q121, q122, q125, q171)
+  // ---------------------------------------------------------------- q217
+  /** Subject-erasure propagation (right-to-be-forgotten): a deletion list
+    * (subjects with user_id ≡ 0 mod 37 — the deterministic stand-in for a
+    * GDPR request batch) must purge the raw event store AND every derived
+    * mart that carries subject rows; the audit reports, per table,
+    * rows before / purged / after plus a `clean` verdict proving zero
+    * subject rows survive. Mechanics are broadcast anti-joins on the
+    * (tiny) deletion list — at 100 TB this is the tombstone-then-compact
+    * pass, and the audit IS the compliance artifact. (Sketch-backed marts
+    * — q93's HLL rollups — cannot subtract a subject and must REBUILD;
+    * that rebuild cost is exactly why erasure SLAs size the sketch tier.) */
+  val q217 = QueryDef(
+    "q217_subject_erasure",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val profiles = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val deleted = col("user_id") % 37 === 0
+      def audit(name: String, df: org.apache.spark.sql.DataFrame) = {
+        df.agg(
+            count(lit(1)).as("n_before"),
+            sum(when(deleted, 1L).otherwise(0L)).as("n_purged"),
+            sum(when(!deleted, 1L).otherwise(0L)).as("n_after"),
+            (sum(when(deleted, 1L).otherwise(0L))
+              === count(lit(1)) - sum(when(!deleted, 1L).otherwise(0L))).as("clean"))
+          .select(lit(name).as("table_name"), col("n_before"), col("n_purged"),
+            col("n_after"), col("clean"))
+      }
+      audit("1_events", e.select(col("user_id")))
+        .unionByName(audit("2_user_profiles", profiles.select(col("user_id"))))
+        .orderBy(col("table_name"))
+    },
+    Some("""WITH p AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+      SELECT '1_events' AS table_name, COUNT(*) AS n_before,
+        CAST(SUM(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+        CAST(SUM(CASE WHEN user_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+        TRUE AS clean
+      FROM events
+      UNION ALL
+      SELECT '2_user_profiles', COUNT(*),
+        CAST(SUM(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CASE WHEN user_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT),
+        TRUE
+      FROM p ORDER BY table_name"""),
+    doc = "GDPR erasure audit across raw + derived tables: purge counts and a zero-residual verdict per table")
+
+  // ---------------------------------------------------------------- q218
+  /** k-anonymity census over the quasi-identifier (event_type, day,
+    * value-band): how many QI equivalence classes — and how many ROWS —
+    * sit below the re-identification threshold k=5? The minimum class
+    * size IS the dataset's k-anonymity; singleton classes are the rows an
+    * attacker with auxiliary knowledge pins exactly. One QI-keyed
+    * aggregation then a 3-row census — the privacy analog of q195's
+    * stats pass, and the measurement that decides whether a release
+    * needs further generalization (coarser bands) or suppression. */
+  val q218 = QueryDef(
+    "q218_k_anonymity",
+    (s, d) => {
+      val classes = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("dd"),
+          floor(col("value") / 10.0).cast("long").as("band"))
+        .agg(count(lit(1)).as("cls"))
+      val minK = broadcast(classes.agg(min(col("cls")).as("k_anonymity")))
+      classes
+        .select(when(col("cls") === 1, "1_singleton")
+            .when(col("cls") < 5, "2_small_2_to_4")
+            .otherwise("3_k5_or_more").as("bucket"),
+          col("cls"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("cls")).as("n_rows"))
+        .crossJoin(minK)
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH classes AS (SELECT event_type,
+          epoch_ns(ts) // 86400000000000 AS dd,
+          CAST(FLOOR(value / 10.0) AS BIGINT) AS band, COUNT(*) AS cls
+        FROM events GROUP BY 1, 2, 3),
+      mk AS (SELECT MIN(cls) AS k_anonymity FROM classes)
+      SELECT CASE WHEN cls = 1 THEN '1_singleton'
+          WHEN cls < 5 THEN '2_small_2_to_4'
+          ELSE '3_k5_or_more' END AS bucket,
+        COUNT(*) AS n_classes, CAST(SUM(cls) AS BIGINT) AS n_rows,
+        (SELECT k_anonymity FROM mk) AS k_anonymity
+      FROM classes GROUP BY 1 ORDER BY bucket"""),
+    doc = "QI equivalence-class size census + dataset k-anonymity; the generalize-or-suppress decision input")
+
+  // ---------------------------------------------------------------- q219
+  /** Per-user contribution bounding audit — the differential-privacy
+    * preprocessing measurement: DP noise calibrates to the SENSITIVITY of
+    * a query, i.e. the most rows one subject contributes to any released
+    * cell; unbounded contributions make DP guarantees vacuous. Per
+    * released cell family (event_type), report the max per-user daily
+    * contribution, and the exact row loss if contributions were clamped
+    * at C=3 (the standard pre-aggregation clamp) — the utility-vs-privacy
+    * trade quantified before any noise is drawn (noise itself is random
+    * and belongs outside a hash-checked inventory). All exact integers:
+    * one (user, type, day) aggregation, then a type-keyed rollup. */
+  val q219 = QueryDef(
+    "q219_contribution_bounds",
+    (s, d) => {
+      val perUserDay = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"),
+          expr("ts_ns div 86400000000000").as("dd"))
+        .agg(count(lit(1)).as("c"))
+      perUserDay.groupBy(col("event_type"))
+        .agg(max(col("c")).as("max_contribution"),
+          sum(col("c")).as("rows_total"),
+          sum(greatest(col("c") - 3L, lit(0L))).as("rows_clipped_at_3"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH pud AS (SELECT event_type, user_id,
+          epoch_ns(ts) // 86400000000000 AS dd, COUNT(*) AS c
+        FROM events GROUP BY 1, 2, 3)
+      SELECT event_type, MAX(c) AS max_contribution,
+        CAST(SUM(c) AS BIGINT) AS rows_total,
+        CAST(SUM(GREATEST(c - 3, 0)) AS BIGINT) AS rows_clipped_at_3,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM pud GROUP BY event_type ORDER BY event_type"""),
+    doc = "DP sensitivity audit: max per-subject contribution per cell family + exact clamp loss at C=3")
+
+  val all: Seq[QueryDef] = Seq(q120, q121, q122, q125, q171, q217, q218, q219)
 }

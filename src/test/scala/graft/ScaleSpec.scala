@@ -120,7 +120,8 @@ class ScaleSpec extends AnyFunSuite {
       "q190_bigram_lm_score",   // crossJoin(broadcast(1-row vocab size))
       "q194_pq_adc_topk",       // q45's shape: constant 3-query broadcast ground-truth side
       "q201_data_contract",     // crossJoin(broadcast(1-row orders count))
-      "q202_benford_audit")     // crossJoin(broadcast(1-row digit total))
+      "q202_benford_audit",     // crossJoin(broadcast(1-row digit total))
+      "q218_k_anonymity")       // crossJoin(broadcast(1-row min class size))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

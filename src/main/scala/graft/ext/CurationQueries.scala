@@ -530,6 +530,51 @@ object CurationQueries {
       ORDER BY x.lang, x.n_chars DESC, x.doc_id"""),
     doc = "per-language (length, quality) Pareto frontier in one window pass; oracle = quadratic NOT EXISTS definition")
 
-  val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149, q150, q200)
+  // ---------------------------------------------------------------- q222
+  /** Binned-histogram L1 drift per source — the coarse, cheap sibling of
+    * q132's two-sample KS: each source's length distribution (100-char
+    * bands) against the whole corpus, distance = Σ_bands |share_src −
+    * share_corpus| in exact ppm (integer division throughout — nothing
+    * float crosses the oracle). L1-on-shares is what production data
+    * monitors actually ship (bounded [0, 2·10⁶] ppm, robust, mergeable by
+    * keeping per-band counts); the scale shape is a (source, band) count
+    * agg + a broadcast of the corpus marginal. */
+  val q222 = QueryDef(
+    "q222_histogram_drift",
+    (s, d) => {
+      val b = Tables.documents(s, d)
+        .select(col("source"), expr("n_chars div 100").as("band"))
+      val bySrc = b.groupBy(col("source"), col("band")).agg(count(lit(1)).as("c"))
+      val srcTot = bySrc.groupBy(col("source")).agg(sum(col("c")).as("st"))
+      val corpus = broadcast(b.groupBy(col("band")).agg(count(lit(1)).as("cc")))
+      val corpusTot = broadcast(b.agg(count(lit(1)).as("ct")))
+      // every (source, band) cell of the corpus's band set: a source
+      // missing a band still contributes that band's corpus share to L1
+      val grid = srcTot.crossJoin(corpus)
+      grid.join(bySrc, Seq("source", "band"), "left").crossJoin(corpusTot)
+        .select(col("source"), col("st"),
+          (coalesce(col("c"), lit(0L)) * 1000000L).as("sn"),
+          (col("cc") * 1000000L).as("cn"), col("ct"))
+        .select(col("source"), col("st"),
+          abs(expr("sn div st") - expr("cn div ct")).as("diff"))
+        .groupBy(col("source"))
+        .agg(first(col("st")).as("n_docs"), sum(col("diff")).as("l1_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH b AS (SELECT source, n_chars // 100 AS band FROM documents),
+      bysrc AS (SELECT source, band, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      srctot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS st FROM bysrc GROUP BY source),
+      corpus AS (SELECT band, COUNT(*) AS cc FROM b GROUP BY band),
+      corpustot AS (SELECT COUNT(*) AS ct FROM b)
+      SELECT g.source, ANY_VALUE(g.st) AS n_docs,
+        CAST(SUM(ABS((COALESCE(s.c, 0) * 1000000) // g.st
+          - (g.cc * 1000000) // g.ct)) AS BIGINT) AS l1_ppm
+      FROM (SELECT t.source, t.st, c.band, c.cc, (SELECT ct FROM corpustot) AS ct
+        FROM srctot t CROSS JOIN corpus c) g
+      LEFT JOIN bysrc s ON s.source = g.source AND s.band = g.band
+      GROUP BY g.source ORDER BY g.source"""),
+    doc = "per-source length-histogram L1 distance vs the corpus marginal, exact ppm; the cheap drift monitor next to q132's KS")
+
+  val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149, q150, q200, q222)
 }
 

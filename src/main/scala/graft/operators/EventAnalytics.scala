@@ -911,6 +911,102 @@ object EventAnalytics {
       ORDER BY event_type, dd"""),
     doc = "dyadic-kernel weighted moving average (decimal-exact EWMA stand-in); four lag taps, one ordered window")
 
+  // ---------------------------------------------------------------- q220
+  /** Funnel conversion-latency percentiles: among users whose first view
+    * is followed by a strictly later purchase, how long does conversion
+    * take at the median and the p90 tail? Latencies are exact integer µs;
+    * percentiles use the lower-exact-value-at-ceil(p·n) rule computed by
+    * boundary rank (q23/q198 discipline — rank the user-level latencies,
+    * keep only the two boundary rows; the ranked frame is |users|-sized,
+    * the documented reduced-frame convention). The conversion pairing is
+    * q117's min-ts machinery: first view per user, first later purchase. */
+  val q220 = QueryDef(
+    "q220_funnel_latency",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("tu"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tu")).as("tv"))
+      val p = e.filter(col("event_type") === "purchase").join(v, "user_id")
+        .filter(col("tu") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("tu")).as("tp"), first(col("tv")).as("tv"))
+      val lat = p.select(col("user_id"), (col("tp") - col("tv")).as("lat_us"))
+      val w = Window.orderBy(col("lat_us"), col("user_id"))
+      val ranked = lat.withColumn("rk", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+      ranked
+        .filter(col("rk") === expr("(nn + 1) div 2")
+          || col("rk") === expr("(9 * nn + 9) div 10"))
+        .agg(first(col("nn")).as("n_converted"),
+          max(when(col("rk") === expr("(nn + 1) div 2"), col("lat_us"))).as("p50_us"),
+          max(when(col("rk") === expr("(9 * nn + 9) div 10"), col("lat_us"))).as("p90_us"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+      v AS (SELECT user_id, MIN(tu) AS tv FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+      p AS (SELECT e.user_id, MIN(e.tu) AS tp, ANY_VALUE(v.tv) AS tv
+        FROM e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.tu > v.tv GROUP BY e.user_id),
+      lat AS (SELECT user_id, tp - tv AS lat_us FROM p),
+      ranked AS (SELECT lat_us,
+          ROW_NUMBER() OVER (ORDER BY lat_us, user_id) AS rk,
+          COUNT(*) OVER () AS nn
+        FROM lat)
+      SELECT ANY_VALUE(nn) AS n_converted,
+        MAX(CASE WHEN rk = (nn + 1) // 2 THEN lat_us END) AS p50_us,
+        MAX(CASE WHEN rk = (9 * nn + 9) // 10 THEN lat_us END) AS p90_us
+      FROM ranked WHERE rk = (nn + 1) // 2 OR rk = (9 * nn + 9) // 10"""),
+    doc = "view->purchase conversion latency p50/p90, exact boundary-rank percentiles over the user cohort")
+
+  // ---------------------------------------------------------------- q221
+  /** RFM segmentation — the classic lifecycle-marketing rollup: per user,
+    * Recency (days since last event, against the corpus horizon),
+    * Frequency (event count) and Monetary (purchase cents, exact integer)
+    * each quartile-coded with NTILE(4), then the 64-cell segment census.
+    * Determinism: every NTILE orders by (metric, user_id) — a total
+    * order, so tile boundaries cannot wobble; monetary sums are integer
+    * cents (floor of value×100 — no float addition anywhere). Three
+    * |users|-sized windows, one census agg. */
+  val q221 = QueryDef(
+    "q221_rfm_segments",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        expr("ts_ns div 86400000000000").as("dd"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val horizon = broadcast(e.agg(max(col("dd")).as("h")))
+      val rfm = e.groupBy(col("user_id"))
+        .agg(max(col("dd")).as("last_dd"), count(lit(1)).as("f"),
+          sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).as("m"))
+        .crossJoin(horizon)
+        .select(col("user_id"), (col("h") - col("last_dd")).as("r"), col("f"), col("m"))
+      val rq = ntile(4).over(Window.orderBy(col("r"), col("user_id")))
+      val fq = ntile(4).over(Window.orderBy(col("f").desc, col("user_id")))
+      val mq = ntile(4).over(Window.orderBy(col("m").desc, col("user_id")))
+      rfm.select(col("user_id"), rq.as("r_q"), fq.as("f_q"), mq.as("m_q"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+          epoch_ns(ts) // 86400000000000 AS dd,
+          CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+      h AS (SELECT MAX(dd) AS h FROM e),
+      rfm AS (SELECT user_id,
+          (SELECT h FROM h) - MAX(dd) AS r,
+          COUNT(*) AS f,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS m
+        FROM e GROUP BY user_id),
+      coded AS (SELECT user_id,
+          NTILE(4) OVER (ORDER BY r, user_id) AS r_q,
+          NTILE(4) OVER (ORDER BY f DESC, user_id) AS f_q,
+          NTILE(4) OVER (ORDER BY m DESC, user_id) AS m_q
+        FROM rfm)
+      SELECT r_q, f_q, m_q, COUNT(*) AS n_users
+      FROM coded GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q"""),
+    doc = "RFM quartile coding (total-order NTILEs, integer cents) + 64-cell segment census")
+
   val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154,
-    q168, q179, q180, q191, q192, q198, q199, q202, q203, q209, q210, q212, q213)
+    q168, q179, q180, q191, q192, q198, q199, q202, q203, q209, q210, q212, q213,
+    q220, q221)
 }

@@ -121,7 +121,9 @@ class ScaleSpec extends AnyFunSuite {
       "q194_pq_adc_topk",       // q45's shape: constant 3-query broadcast ground-truth side
       "q201_data_contract",     // crossJoin(broadcast(1-row orders count))
       "q202_benford_audit",     // crossJoin(broadcast(1-row digit total))
-      "q218_k_anonymity")       // crossJoin(broadcast(1-row min class size))
+      "q218_k_anonymity",       // crossJoin(broadcast(1-row min class size))
+      "q221_rfm_segments",      // crossJoin(broadcast(1-row corpus horizon))
+      "q222_histogram_drift")   // crossJoin(broadcast(|bands|-row corpus marginal + 1-row total))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

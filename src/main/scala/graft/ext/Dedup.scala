@@ -968,6 +968,52 @@ object Dedup {
       ORDER BY s.doc_id"""),
     doc = "two-join oriented triangle count + clustering coefficient (exact ppm) over the LSH near-dup graph")
 
+
+  // ---------------------------------------------------------------- q224
+  /** SymSpell / FastSS fuzzy self-join (edit distance ≤ 1) on document
+    * prefixes — the deletion-neighborhood trick that turns an edit-
+    * distance join into an EQUI-join: every string emits itself plus all
+    * single-character deletions of its 24-char prefix; two strings within
+    * ED ≤ 1 provably share a signature (a substitution meets at the
+    * both-sides deletion, an insert/delete meets at the shorter string
+    * itself), so candidate generation is COMPLETE — no scan, no
+    * cross join, just a (signature-hash, doc) shuffle with ~25 rows per
+    * doc. Shared signatures can also arise at ED 2 (different chars
+    * deleted), so the exact banded kernel (q146's threshold levenshtein)
+    * verifies every candidate — precision 1.0, and the DuckDB all-pairs
+    * oracle certifies recall 1.0. Signatures shuffle as xxhash64 (8-byte
+    * keys, q40 discipline); at 100 TB the deletion index is the persisted
+    * artifact and each lookup touches one hash slice per signature. */
+  val q224 = QueryDef(
+    "q224_symspell_join",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("pfx"))
+      val sigs = docs.select(col("doc_id"), col("pfx"),
+          explode(concat(array(col("pfx")),
+            transform(sequence(lit(1), length(col("pfx"))),
+              i => concat(substring(col("pfx"), lit(1), i - 1),
+                substring(col("pfx"), i + 1, lit(1000)))))).as("sig"))
+        .select(col("doc_id"), col("pfx"), xxhash64(col("sig")).as("sh"))
+      val cand = sigs.as("a").join(sigs.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("a.pfx").as("pa"),
+          col("b.doc_id").as("b_id"), col("b.pfx").as("pb"))
+        .distinct()
+      cand
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("pa"), col("pb"), 1).as("ed"))
+        .filter(col("ed") >= 0 && col("ed") <= 1)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH p AS (SELECT doc_id, substr(text, 1, 24) AS pfx FROM documents)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(levenshtein(a.pfx, b.pfx) AS INT) AS ed
+      FROM p a JOIN p b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.pfx, b.pfx) <= 1
+      ORDER BY a_id, b_id"""),
+    doc = "deletion-neighborhood (SymSpell) ED<=1 join: complete equi-join candidates + banded verify; all-pairs oracle certifies recall")
+
   val all: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196, q204)
+    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196, q204, q224)
 }

@@ -490,5 +490,63 @@ object TextStats {
       ORDER BY d.doc_id"""),
     doc = "add-one bigram LM fluency score, exact scaled-integer conditionals; vocab-keyed count model")
 
-  val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104, q111, q172, q173, q181, q182, q190)
+  // ---------------------------------------------------------------- q223
+  /** Positional-inverted-index phrase search — the search-engine
+    * primitive: a phrase query "w₁ w₂" is answered by intersecting the
+    * two words' positional postings on (doc, position+1), never by
+    * scanning text. The query phrase is the corpus's own most frequent
+    * bigram (deterministic argmax with lexicographic tie-break), so the
+    * whole operator — index build, phrase selection, postings
+    * intersection — is self-contained and the DuckDB oracle can check it
+    * with an INDEPENDENT formulation (substring containment over padded
+    * text), proving the positional join is exactly phrase semantics.
+    * Scale shape: postings are (word-key, doc, pos) — the intersection is
+    * an equi-join on (doc, pos) after each side prunes to one word via
+    * the broadcast 1-row phrase; at 100 TB the postings table is the
+    * persisted index and each query touches only its terms' slices. */
+  val q223 = QueryDef(
+    "q223_phrase_search",
+    (s, d) => {
+      val postings = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "word")))
+      val phrase = broadcast(postings.as("a")
+        .join(postings.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("b.p") === col("a.p") + 1)
+        .groupBy(col("a.word").as("w1"), col("b.word").as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(1).select(col("w1"), col("w2")))
+      val first = postings.join(phrase, col("word") === col("w1"))
+        .select(col("doc_id"), col("p"))
+      val second = postings.join(phrase, col("word") === col("w2"))
+        .select(col("doc_id").as("doc_id2"), (col("p") - 1).as("p2"))
+      val hits = first.join(second,
+          col("doc_id") === col("doc_id2") && col("p") === col("p2"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("occurrences"))
+      hits.agg(count(lit(1)).as("n_docs"),
+          sum(col("occurrences")).as("n_occurrences"),
+          sum(col("doc_id")).as("doc_id_checksum"))
+        .crossJoin(phrase)
+        .select(concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+          col("n_docs"), col("n_occurrences"), col("doc_id_checksum"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      binst AS (SELECT doc_id,
+          unnest([{'w1': w[i], 'w2': w[i + 1]} for i in range(1, len(w))]) AS bg
+        FROM docs),
+      top AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM binst
+        GROUP BY 1, 2 ORDER BY COUNT(*) DESC, 1, 2 LIMIT 1),
+      hits AS (SELECT d.doc_id,
+          len(list_filter([w[i] = t.w1 AND w[i + 1] = t.w2
+            for i in range(1, len(w))], x -> x)) AS occ
+        FROM docs d CROSS JOIN top t)
+      SELECT (SELECT w1 || ' ' || w2 FROM top) AS phrase,
+        COUNT(*) FILTER (WHERE occ > 0) AS n_docs,
+        CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+        CAST(SUM(CASE WHEN occ > 0 THEN doc_id ELSE 0 END) AS BIGINT) AS doc_id_checksum
+      FROM hits"""),
+    doc = "phrase query via positional postings intersection; self-selected top bigram, independent containment oracle")
+
+  val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104, q111, q172, q173, q181, q182,
+    q190, q223)
 }

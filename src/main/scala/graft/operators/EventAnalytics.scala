@@ -1006,7 +1006,104 @@ object EventAnalytics {
       FROM coded GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q"""),
     doc = "RFM quartile coding (total-order NTILEs, integer cents) + 64-cell segment census")
 
+  // ---------------------------------------------------------------- q225
+  /** Bitemporal as-of query — temporal-database semantics with BOTH time
+    * axes: "what was each user's latest value as of VALID time V, as the
+    * system KNEW it at TRANSACTION time T" vs what full hindsight says.
+    * Valid time = event time; transaction time = ingest order (event_id —
+    * the log's monotone sequence, exactly the K2 seq contract); T = half
+    * the log (computed in-query, so the cut scales with the corpus). Rows
+    * that arrived after T but carry valid-time < V are the LATE data that
+    * make the two answers diverge — the `revised` flag counts precisely
+    * the users whose as-of answer was rewritten by late arrivals, which
+    * is the business case for bitemporality (audits must reproduce what
+    * was believed, not what is true). Two max_by aggregations (no window
+    * sort), one full outer join on user_id; null-safe compare so
+    * appearing/disappearing users count as revisions. */
+  val q225 = QueryDef(
+    "q225_bitemporal_asof",
+    (s, d) => {
+      val vcut = 19741L * 86400000000L // valid-time horizon V (µs, mid-corpus)
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("value"), expr("ts_ns div 1000").as("tu"))
+      val tcut = broadcast(e.agg(expr("max(event_id) div 2").as("tc")))
+      def asOf(df: org.apache.spark.sql.DataFrame, out: String) =
+        df.filter(col("tu") < vcut).groupBy(col("user_id"))
+          .agg(max_by(col("value"), struct(col("tu"), col("event_id"))).as(out))
+      val thenV = asOf(e.crossJoin(tcut).filter(col("event_id") <= col("tc")), "v_then")
+      val nowV = asOf(e, "v_now")
+      nowV.join(thenV, Seq("user_id"), "full_outer")
+        .select(col("user_id"), col("v_then"), col("v_now"),
+          (!(col("v_then") <=> col("v_now"))).as("revised"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tu FROM events),
+      tc AS (SELECT MAX(event_id) // 2 AS tc FROM e),
+      thenv AS (SELECT user_id, value AS v_then FROM (
+          SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY tu DESC, event_id DESC) AS rn
+          FROM e WHERE tu < 19741 * 86400000000
+            AND event_id <= (SELECT tc FROM tc)) WHERE rn = 1),
+      nowv AS (SELECT user_id, value AS v_now FROM (
+          SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY tu DESC, event_id DESC) AS rn
+          FROM e WHERE tu < 19741 * 86400000000) WHERE rn = 1)
+      SELECT COALESCE(n.user_id, t.user_id) AS user_id, t.v_then, n.v_now,
+        (t.v_then IS DISTINCT FROM n.v_now) AS revised
+      FROM nowv n FULL OUTER JOIN thenv t ON t.user_id = n.user_id
+      ORDER BY user_id"""),
+    doc = "valid-time x transaction-time as-of: what was believed at T vs hindsight; late-arrival revisions flagged")
+
+  // ---------------------------------------------------------------- q226
+  /** Linear trend + next-day forecast per event type, EXACT: the OLS
+    * slope over (day-index, daily count) computed entirely in scaled
+    * integers — slope_ppm = (n·Σxy − Σx·Σy)·10⁶ div (n·Σx² − (Σx)²),
+    * intercept and forecast composed from it with the same integer
+    * division order on both engines, so the fitted line crosses the hash
+    * oracle exactly (float OLS never could). This is the capacity-
+    * planning primitive (is traffic growing, and what does tomorrow look
+    * like); the frame is |days| per type — a tiny agg after the daily
+    * rollup, the q203 reduced-frame convention. */
+  val q226 = QueryDef(
+    "q226_trend_forecast",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val mn = broadcast(daily.agg(min(col("dd")).as("d0")))
+      daily.crossJoin(mn)
+        .select(col("event_type"), (col("dd") - col("d0")).as("x"), col("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          max(col("x")).as("xmax"))
+        .select(col("event_type"), col("n"),
+          expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)").as("slope_ppm"),
+          col("sy"), col("sx"), col("xmax"))
+        .select(col("event_type"), col("n"), col("slope_ppm"),
+          expr("(sy * 1000000 - slope_ppm * sx) div n").as("intercept_ppm"),
+          col("xmax"))
+        .select(col("event_type"), col("n"), col("slope_ppm"), col("intercept_ppm"),
+          expr("intercept_ppm + slope_ppm * (xmax + 1)").as("forecast_next_ppm"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS dd,
+          COUNT(*) AS y FROM events GROUP BY 1, 2),
+      mn AS (SELECT MIN(dd) AS d0 FROM daily),
+      pts AS (SELECT event_type, dd - (SELECT d0 FROM mn) AS x, y FROM daily),
+      agg AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x * y) AS sxy, SUM(x * x) AS sxx, MAX(x) AS xmax
+        FROM pts GROUP BY event_type),
+      sl AS (SELECT *, CAST(((n * sxy - sx * sy) * 1000000)
+          // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm FROM agg),
+      ic AS (SELECT *, CAST((sy * 1000000 - slope_ppm * sx) // n AS BIGINT)
+          AS intercept_ppm FROM sl)
+      SELECT event_type, n, slope_ppm, intercept_ppm,
+        CAST(intercept_ppm + slope_ppm * (xmax + 1) AS BIGINT) AS forecast_next_ppm
+      FROM ic ORDER BY event_type"""),
+    doc = "exact scaled-integer OLS trend + next-day forecast per type; no float regression crosses the oracle")
+
   val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154,
     q168, q179, q180, q191, q192, q198, q199, q202, q203, q209, q210, q212, q213,
-    q220, q221)
+    q220, q221, q225, q226)
 }

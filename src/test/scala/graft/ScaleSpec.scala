@@ -217,7 +217,30 @@ class ScaleSpec extends AnyFunSuite {
         "SCD2 islands: windows and run-agg share the user_id partitioning"),
       // one event_type window exchange + output sort; frame slides incrementally
       Pin(graft.operators.CoverageQueries.q137, 2, Set.empty,
-        "interval range frame: single window pass, no per-row rescan"))
+        "interval range frame: single window pass, no per-row rescan"),
+      // bigram/unigram count aggs (word-keyed, vocab-sublinear) + instance
+      // joins + per-doc agg + left join-back + output sort; count models
+      // broadcast back to instances, the 1-row vocab size is the BNLJ
+      Pin(graft.ext.TextStats.q190, 6, Set("BroadcastHashJoin", "BroadcastNestedLoopJoin"),
+        "bigram LM: word-keyed count aggs; models broadcast to instances"),
+      // encode argmin agg + ADC (j, code) join + per-(q, vec) agg + rank
+      // windows + ground-truth join; codebook/table/query sides broadcast
+      // (the exact-top-5 side is the pinned-tiny BNLJ)
+      Pin(graft.ext.Similarity.q194, 7,
+        Set("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"),
+        "PQ+ADC: corpus vectors never shuffle; lookups join on (j, code)"),
+      // ONE user_id window exchange drives break-flag + prefix-sum + span
+      // aggs (all reuse the partitioning) + output sort
+      Pin(graft.operators.EventAnalytics.q209, 2, Set.empty,
+        "interval coalesce: single user_id window chain, no overlap join"),
+      // one (type, day) agg exchange + output sort; selectors are
+      // map-side-combinable min_by/max_by, never a window sort
+      Pin(graft.operators.EventAnalytics.q212, 2, Set.empty,
+        "OHLC: one keyed agg, ordered selectors instead of windows"),
+      // signature-hash equi-join (both sides reuse one exchange pair) +
+      // output sort; candidates only ever meet on the 8-byte hash
+      Pin(graft.ext.Dedup.q224, 2, Set("BroadcastHashJoin"),
+        "SymSpell: deletion-signature equi-join, never an all-pairs"))
     val problems = pins.flatMap { p =>
       val plan = p.q.fn(spark, sf).queryExecution.executedPlan.toString
       val shuffles = shuffleRe.findAllIn(plan).size

@@ -1297,7 +1297,9 @@ object CoverageQueries {
     * sub-linear-memory alternative when 2^lgK buckets beat exact sets.
     * min/max are computed natively and cast to string for the uniform
     * catalog schema; avg_len is the mean string-serialized width (decimal
-    * accumulator ⇒ engine-exact). */
+    * accumulator ⇒ engine-exact), guarded to NULL for an all-null column
+    * (n_nonnull = 0) instead of dividing by zero — the same NULL DuckDB
+    * produces from the NULL sum. */
   val q195 = QueryDef(
     "q195_column_stats",
     (s, d) => {
@@ -1306,9 +1308,10 @@ object CoverageQueries {
         countDistinct(col(c)).as(s"ndv_$c"),
         min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c"),
-        round(sum(length(col(c).cast("string"))
-            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
-          / count(col(c)), 6).as(s"len_$c"))
+        when(count(col(c)) > 0,
+          round(sum(length(col(c).cast("string"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
+            / count(col(c)), 6)).as(s"len_$c"))
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       val aggd = Tables.documents(s, d)
         .agg(count(lit(1)).as("n_rows"), cols.flatMap(statsFor): _*)

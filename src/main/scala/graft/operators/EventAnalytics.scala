@@ -627,9 +627,12 @@ object EventAnalytics {
     * scaled integer (ppm) — the rank-based preprocessing that makes
     * features comparable across skewed distributions without learning
     * parameters. RANK() keeps ties identical (equal inputs must map to
-    * equal outputs), integer div keeps the quotient engine-exact. One
-    * window shuffle per group; output is row-per-event — the shape of a
-    * feature-engineering pass, not a report. */
+    * equal outputs), integer div keeps the quotient engine-exact. A
+    * single-row group has no spread to normalize — it maps to 0 rather
+    * than tripping ANSI DIVIDE_BY_ZERO on (n−1); the guard is mirrored
+    * in the oracle. One window shuffle per group; output is
+    * row-per-event — the shape of a feature-engineering pass, not a
+    * report. */
   val q199 = QueryDef(
     "q199_quantile_normalize",
     (s, d) => {
@@ -639,12 +642,16 @@ object EventAnalytics {
         .withColumn("rk", rank().over(w))
         .withColumn("nn", count(lit(1)).over(wAll))
         .select(col("event_id"), col("event_type"),
-          expr("((CAST(rk AS BIGINT) - 1) * 1000000) div (nn - 1)").as("qn_ppm"))
+          when(col("nn") > 1,
+            expr("((CAST(rk AS BIGINT) - 1) * 1000000) div (nn - 1)"))
+            .otherwise(lit(0L)).as("qn_ppm"))
         .orderBy(col("event_id"))
     },
     Some("""SELECT event_id, event_type,
-        ((RANK() OVER (PARTITION BY event_type ORDER BY value) - 1) * 1000000)
-          // (COUNT(*) OVER (PARTITION BY event_type) - 1) AS qn_ppm
+        CASE WHEN COUNT(*) OVER (PARTITION BY event_type) > 1 THEN
+          ((RANK() OVER (PARTITION BY event_type ORDER BY value) - 1) * 1000000)
+            // (COUNT(*) OVER (PARTITION BY event_type) - 1)
+        ELSE 0 END AS qn_ppm
       FROM events ORDER BY event_id"""),
     doc = "empirical-CDF rank normalization to exact ppm; ties map identically via RANK()")
 
@@ -1063,7 +1070,9 @@ object EventAnalytics {
     * oracle exactly (float OLS never could). This is the capacity-
     * planning primitive (is traffic growing, and what does tomorrow look
     * like); the frame is |days| per type — a tiny agg after the daily
-    * rollup, the q203 reduced-frame convention. */
+    * rollup, the q203 reduced-frame convention. A type seen on a single
+    * day has zero x-variance and no fittable slope — it maps to slope 0
+    * instead of tripping ANSI DIVIDE_BY_ZERO; mirrored in the oracle. */
   val q226 = QueryDef(
     "q226_trend_forecast",
     (s, d) => {
@@ -1078,7 +1087,9 @@ object EventAnalytics {
           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
           max(col("x")).as("xmax"))
         .select(col("event_type"), col("n"),
-          expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)").as("slope_ppm"),
+          when(expr("n * sxx - sx * sx") =!= 0L,
+            expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"))
+            .otherwise(lit(0L)).as("slope_ppm"),
           col("sy"), col("sx"), col("xmax"))
         .select(col("event_type"), col("n"), col("slope_ppm"),
           expr("(sy * 1000000 - slope_ppm * sx) div n").as("intercept_ppm"),
@@ -1094,8 +1105,9 @@ object EventAnalytics {
       agg AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
           SUM(x * y) AS sxy, SUM(x * x) AS sxx, MAX(x) AS xmax
         FROM pts GROUP BY event_type),
-      sl AS (SELECT *, CAST(((n * sxy - sx * sy) * 1000000)
-          // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm FROM agg),
+      sl AS (SELECT *, CAST(CASE WHEN n * sxx - sx * sx <> 0 THEN
+          ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+          ELSE 0 END AS BIGINT) AS slope_ppm FROM agg),
       ic AS (SELECT *, CAST((sy * 1000000 - slope_ppm * sx) // n AS BIGINT)
           AS intercept_ppm FROM sl)
       SELECT event_type, n, slope_ppm, intercept_ppm,

@@ -10,11 +10,16 @@ import graft.{QueryDef, Tables}
   * semantics as a pure batch operator. */
 object SinkQueries {
 
-  // q214's Derby seed: one embedded write per (JVM, data dir) — repeat
+  // q214's Derby seed: one embedded write per (session, data dir) — repeat
   // callers (bench reps) measure the partitioned parallel READ, which is
   // the operator under test, not the single-connection seeding insert
-  // (the q64 CTAS-caching precedent, Scale.bucketedTables).
-  @volatile private var jdbcSeededFor: String = null
+  // (the q64 CTAS-caching precedent, Scale.bucketedTables). Each key gets
+  // its OWN database (name derived from the key hash), so interleaved
+  // (session, dataset) callers never clobber each other's ORDERS_T, and
+  // computeIfAbsent makes the seed happen exactly once per key even under
+  // concurrent first calls.
+  private val jdbcSeeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val jdbcDbCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   // ---------------------------------------------------------------- q38
   /** K1/K2 round-trip: events → "<seq> <data>" date-partitioned gzip text
@@ -219,20 +224,27 @@ object SinkQueries {
     * ingest (8 concurrent range-bounded connections, each executor
     * pulling its own key stripe — never one fat cursor on the driver).
     * The rollup proves values and row multiplicity survive both hops;
-    * decimal accumulator for the engine-exact total. */
+    * decimal accumulator for the engine-exact total.
+    *
+    * The embedded in-memory Derby is a LOCAL-MODE test double: embedded
+    * Derby is single-JVM by design (in-memory or on-disk — the on-disk
+    * form takes an exclusive JVM lock), so on a real multi-executor
+    * cluster this seed is unreachable from executors. That is a property
+    * of the fixture, not the operator: in production the URL points at a
+    * network database (Postgres/MySQL — the K3 dialects), where the
+    * partitioned parallel-read contract exercised here is exactly what
+    * each executor's stripe connection does. */
   val q214 = QueryDef(
     "q214_jdbc_source",
     (s, d) => {
-      val url = "jdbc:derby:memory:graftq214;create=true"
       val key = s"${System.identityHashCode(s)}:$d"
-      if (jdbcSeededFor != key) synchronized {
-        if (jdbcSeededFor != key) {
-          Tables.orders(s, d)
-            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-            .write.mode("overwrite").jdbc(url, "ORDERS_T", new java.util.Properties())
-          jdbcSeededFor = key
-        }
-      }
+      val url = jdbcSeeded.computeIfAbsent(key, { _ =>
+        val u = s"jdbc:derby:memory:graftq214_${jdbcDbCounter.getAndIncrement()};create=true"
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").jdbc(u, "ORDERS_T", new java.util.Properties())
+        u
+      })
       s.read.format("jdbc")
         .option("url", url).option("dbtable", "ORDERS_T")
         .option("partitionColumn", "O_ORDERKEY")

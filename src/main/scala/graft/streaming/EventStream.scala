@@ -443,10 +443,18 @@ object EventStream {
   /** Streaming bounded top-k state: per key, a k-row sorted buffer under
     * the total order (score desc, id asc) — the streaming form of q140's
     * bounded Aggregator and of the TopKAggregateRewrite physical shape.
-    * Merge is a set union + trim, so the result is independent of arrival
-    * order and of micro-batch boundary placement (replay-deterministic);
-    * state is O(k) per key, never the history. Assumes ids are unique per
-    * key (event/doc ids); a re-scored id would occupy two buffer slots. */
+    * An id is a LIVE ENTITY, not an event: a re-scored id REPLACES its
+    * previous entry (incoming rows overwrite the buffered score; within
+    * one micro-batch the last row for an id wins — update semantics, the
+    * leaderboard contract), so a stale higher score can never outrank the
+    * fresh one and an id never occupies two slots. For distinct ids the
+    * merge stays a union + trim, independent of micro-batch boundary
+    * placement; state is O(k) per key, never the history.
+    *
+    * Trim caveat (inherent to bounded state, not this impl): once an
+    * entry falls outside the top-k its old score is forgotten, so a
+    * later DOWNGRADE of a still-buffered id promotes only ids the buffer
+    * still holds — exact semantics need O(ids) state, this keeps O(k). */
   class TopKProcessor(k: Int)
       extends StatefulProcessor[String, (String, Long, Double), TopKRow] {
     @transient private var buf: ListState[TopKEntry] = _
@@ -456,8 +464,10 @@ object EventStream {
     override def handleInputRows(key: String,
         rows: Iterator[(String, Long, Double)],
         timerValues: TimerValues): Iterator[TopKRow] = {
-      val merged = (buf.get().toVector ++ rows.map(r => TopKEntry(r._2, r._3)))
-        .distinct
+      val byId = scala.collection.mutable.LinkedHashMap[Long, TopKEntry]()
+      buf.get().foreach(e => byId(e.id) = e)
+      rows.foreach(r => byId(r._2) = TopKEntry(r._2, r._3)) // last write per id wins
+      val merged = byId.values.toVector
         .sortBy(e => (-e.score, e.id))
         .take(k)
       buf.put(merged.toArray)

@@ -314,6 +314,20 @@ class StreamingSpec extends AnyFunSuite {
         assert(batches.contains(("b", 9L, 2.0, 1)), "singleton key keeps its one row")
         // state is bounded: no emission ranks beyond k
         assert(batches.forall(_._4 <= 3))
+        // batch 3: RE-SCORE the leader down — the fresh score must replace
+        // the buffered 11.0, not share the buffer with it (an id is a live
+        // entity; stale-score-outranks-fresh was the round-5 advice flag)
+        input.addData(("a", 4L, 0.1))
+        q.processAllAvailable()
+        val all3 = spark.sql("SELECT key, id, score, rank FROM stk")
+          .as[(String, Long, Double, Int)].collect()
+        // the batch-3 emission: 2 and 5 promoted to ranks 1-2, id 4 demoted
+        // to rank 3 at its FRESH score (the buggy both-slots merge would
+        // have kept 4 at rank 1 on the stale 11.0 instead)
+        Seq(("a", 2L, 9.0, 1), ("a", 5L, 9.0, 2), ("a", 4L, 0.1, 3)).foreach(row =>
+          assert(all3.contains(row), s"post-re-score top-3 must contain $row"))
+        assert(all3.count(r => r._2 == 4L && r._3 == 0.1) == 1,
+          "the re-scored id appears exactly once at its fresh score")
       } finally q.stop()
     } finally prevProvider match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)

@@ -575,6 +575,74 @@ object CurationQueries {
       GROUP BY g.source ORDER BY g.source"""),
     doc = "per-source length-histogram L1 distance vs the corpus marginal, exact ppm; the cheap drift monitor next to q132's KS")
 
-  val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149, q150, q200, q222)
+  // --------------------------------------------------------------- q230
+  /** Cohen's kappa between the labeled `lang` column (annotator A, the
+    * gold standard) and the q48 stopword-vote language-ID rule
+    * (annotator B) — chance-corrected agreement, THE metric for deciding
+    * whether a cheap heuristic labeler can replace a human pass (raw
+    * accuracy flatters any rule on a skewed category mix; kappa doesn't).
+    * Entirely integer-exact: with agree = #{A=B}, S = Σ_c rowA_c·colB_c
+    * and N rows, kappa = (N·agree − S) / (N² − S), emitted as
+    * kappa_ppm via integer div (guarded for the degenerate
+    * both-annotators-constant case where N² = S). Shape: one scan
+    * computes per-row predictions; the marginals are two tiny
+    * category-keyed aggs joined on category (broadcast — |categories|
+    * rows); N and agree ride a global agg. The zh gold class has no
+    * predicted counterpart (the rule only votes en/de/fr/es) — its row
+    * marginal contributes nothing to S via the inner join, exactly the
+    * textbook treatment of an unused category. */
+  val q230 = QueryDef(
+    "q230_annotator_kappa",
+    (s, d) => {
+      val words = TextStats.wsTokens(lower(col("text")))
+      val sEn = TextStats.stopwordCount(words, "en")
+      val sDe = TextStats.stopwordCount(words, "de")
+      val sFr = TextStats.stopwordCount(words, "fr")
+      val sEs = TextStats.stopwordCount(words, "es")
+      val predicted = when(sEn >= sDe && sEn >= sFr && sEn >= sEs, "en")
+        .when(sDe >= sFr && sDe >= sEs, "de")
+        .when(sFr >= sEs, "fr")
+        .otherwise("es")
+      val t = Tables.documents(s, d)
+        .select(col("lang").as("gold"), predicted.as("pred"))
+      val rows = t.groupBy(col("gold").as("cat")).agg(count(lit(1)).as("n_gold"))
+      val cols = t.groupBy(col("pred").as("cat")).agg(count(lit(1)).as("n_pred"))
+      val chance = rows.join(cols, "cat")
+        .agg(sum(col("n_gold") * col("n_pred")).as("chance_sum"))
+      t.agg(count(lit(1)).as("n"),
+          sum(when(col("gold") === col("pred"), 1L).otherwise(0L)).as("agree"))
+        .crossJoin(broadcast(chance))
+        .select(col("n"), col("agree"), col("chance_sum"),
+          when(expr("n * n - chance_sum") =!= 0L,
+            expr("((n * agree - chance_sum) * 1000000) div (n * n - chance_sum)"))
+            .otherwise(lit(0L)).as("kappa_ppm"))
+    },
+    Some("""WITH t AS (SELECT lang AS gold,
+          CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es' END AS pred
+        FROM (SELECT lang,
+          len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','of','and','to'))) s_en,
+          len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','das','ein'))) s_de,
+          len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','les','un'))) s_fr,
+          len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','y','los','un'))) s_es
+        FROM documents)),
+      r AS (SELECT gold AS cat, COUNT(*) AS n_gold FROM t GROUP BY 1),
+      c AS (SELECT pred AS cat, COUNT(*) AS n_pred FROM t GROUP BY 1),
+      s AS (SELECT CAST(SUM(r.n_gold * c.n_pred) AS BIGINT) AS chance_sum
+        FROM r JOIN c USING (cat)),
+      a AS (SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN gold = pred THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        FROM t)
+      SELECT n, agree, chance_sum,
+        CAST(CASE WHEN n * n - chance_sum <> 0 THEN
+          ((n * agree - chance_sum) * 1000000) // (n * n - chance_sum)
+          ELSE 0 END AS BIGINT) AS kappa_ppm
+      FROM a CROSS JOIN s"""),
+    doc = "Cohen's kappa (gold lang vs q48's rule labeler), exact integer chance correction; can-the-heuristic-replace-the-human metric")
+
+  val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149, q150,
+    q200, q222, q230)
 }
 

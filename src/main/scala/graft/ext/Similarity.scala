@@ -926,6 +926,65 @@ object Similarity {
       FROM perdim GROUP BY label ORDER BY label"""),
     doc = "per-label covariance trace via the one-pass E[x2]-E[x]2 identity; decimal-exact reductions, no pairwise join")
 
+  // ---------------------------------------------------------------- q227
+  /** Multi-source BFS hop distance over the exact cosine near-dup graph —
+    * the fifth graph primitive next to q100's connected components, q185's
+    * PageRank, q196's LPA and q204's triangles, and the one that answers
+    * "blast radius" questions the others can't: starting from a seed set
+    * (here the label-0 vectors — think "documents matched against a
+    * benchmark"), how far does contamination propagate through near-dup
+    * links, and which nodes sit 1, 2, 3 hops out? CC only says "same
+    * component"; BFS grades the exposure.
+    *
+    * Shape: the Pregel pattern with a bounded unroll. Each round is ONE
+    * 8-byte-keyed equi-join (edge list ⋈ current distance frontier) + a
+    * map-side-combinable MIN — no window, no driver loop, and the edge
+    * list is localCheckpoint'ed once (q100/q185 convention) so the
+    * quadratic tile join never replays per round. 3 rounds = 3 shuffles,
+    * a static plan; at 100 TB the horizon stays the knob (each extra hop
+    * is one more join round) and the q89 sign-LSH candidate stage slots
+    * in front of the edge build unchanged. Distances are small integers —
+    * exact everywhere; unreached nodes are absent from the output (a
+    * frontier never visits them), which the oracle mirrors by
+    * construction. */
+  val q227 = QueryDef(
+    "q227_bfs_reach",
+    (s, d) => {
+      val edges = cosineNeardupPairs(s, d, 0.4)
+        .select(explode(array(
+            struct(col("a_id").as("src"), col("b_id").as("dst")),
+            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .localCheckpoint()
+      val seeds = Tables.embeddings(s, d).filter(col("label") === 0)
+        .select(col("vec_id"), lit(0L).as("dist"))
+      def step(reached: DataFrame): DataFrame =
+        reached.unionByName(
+            edges.join(reached.withColumnRenamed("vec_id", "src"), "src")
+              .select(col("dst").as("vec_id"), (col("dist") + lit(1L)).as("dist")))
+          .groupBy(col("vec_id")).agg(min(col("dist")).as("dist"))
+      step(step(step(seeds))).orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+      ed AS (SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4),
+      d0 AS (SELECT vec_id, CAST(0 AS BIGINT) AS dist FROM e WHERE label = 0),
+      d1 AS (SELECT vec_id, MIN(dist) AS dist FROM (
+          SELECT vec_id, dist FROM d0 UNION ALL
+          SELECT ed.dst, d0.dist + 1 FROM ed JOIN d0 ON d0.vec_id = ed.src)
+        GROUP BY vec_id),
+      d2 AS (SELECT vec_id, MIN(dist) AS dist FROM (
+          SELECT vec_id, dist FROM d1 UNION ALL
+          SELECT ed.dst, d1.dist + 1 FROM ed JOIN d1 ON d1.vec_id = ed.src)
+        GROUP BY vec_id),
+      d3 AS (SELECT vec_id, MIN(dist) AS dist FROM (
+          SELECT vec_id, dist FROM d2 UNION ALL
+          SELECT ed.dst, d2.dist + 1 FROM ed JOIN d2 ON d2.vec_id = ed.src)
+        GROUP BY vec_id)
+      SELECT vec_id, dist FROM d3 ORDER BY vec_id"""),
+    doc = "multi-source BFS (3 unrolled Pregel rounds) from the label-0 seed set over the cosine near-dup graph; exposure grading")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227)
 }

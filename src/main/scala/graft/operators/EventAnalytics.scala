@@ -1115,7 +1115,111 @@ object EventAnalytics {
       FROM ic ORDER BY event_type"""),
     doc = "exact scaled-integer OLS trend + next-day forecast per type; no float regression crosses the oracle")
 
+  // ---------------------------------------------------------------- q229
+  /** NDCG@10 ranking-quality evaluation — the retrieval/recommender
+    * metric a training pipeline runs after every model refresh: per user,
+    * the "model ranking" (events by value desc) is scored against graded
+    * ground-truth relevance (purchase=3 ⇒ gain 7, signup=2 ⇒ 3,
+    * click=1 ⇒ 1, else 0 — the 2^rel−1 convention) with log-position
+    * discounts. Engine-exact: the irrational 1/log₂(i+1) discounts are
+    * BAKED as ppm literals (the same literal text on both sides — the
+    * q202 Benford convention), gains and products stay integers, and the
+    * final normalization is integer div, so no transcendental ever
+    * crosses the oracle. Shape: ONE shuffle on user_id feeds both the
+    * model-order and ideal-order row_numbers (same partition key ⇒ one
+    * Exchange, two in-partition sorts), then a map-side-combinable sum;
+    * at 100 TB this is a per-user fold, embarrassingly parallel. */
+  val q229 = QueryDef(
+    "q229_ndcg_eval",
+    (s, d) => {
+      val disc = typedLit(Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+        356207L, 333333L, 315464L, 301029L, 289064L))
+      val gain = when(col("event_type") === "purchase", 7L)
+        .when(col("event_type") === "signup", 3L)
+        .when(col("event_type") === "click", 1L)
+        .otherwise(0L)
+      val wm = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      val wi = Window.partitionBy(col("user_id"))
+        .orderBy(col("gain").desc, col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"), gain.as("gain"))
+        .withColumn("rn_m", row_number().over(wm))
+        .withColumn("rn_i", row_number().over(wi))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("rn_m") <= 10,
+            col("gain") * element_at(disc, col("rn_m").cast("int")))
+            .otherwise(0L)).as("dcg_ppm"),
+          sum(when(col("rn_i") <= 10,
+            col("gain") * element_at(disc, col("rn_i").cast("int")))
+            .otherwise(0L)).as("idcg_ppm"))
+        .select(col("user_id"), col("dcg_ppm"), col("idcg_ppm"),
+          when(col("idcg_ppm") > 0,
+            expr("(dcg_ppm * 1000000) div idcg_ppm")).otherwise(0L).as("ndcg_ppm"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH g AS (SELECT user_id, event_id, value,
+          CASE event_type WHEN 'purchase' THEN 7 WHEN 'signup' THEN 3
+            WHEN 'click' THEN 1 ELSE 0 END AS gain
+        FROM events),
+      r AS (SELECT user_id, gain,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn_m,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gain DESC, event_id) AS rn_i
+        FROM g),
+      a AS (SELECT user_id,
+          CAST(SUM(CASE WHEN rn_m <= 10 THEN gain * ([1000000, 630929, 500000,
+            430676, 386852, 356207, 333333, 315464, 301029, 289064])[rn_m]
+            ELSE 0 END) AS BIGINT) AS dcg_ppm,
+          CAST(SUM(CASE WHEN rn_i <= 10 THEN gain * ([1000000, 630929, 500000,
+            430676, 386852, 356207, 333333, 315464, 301029, 289064])[rn_i]
+            ELSE 0 END) AS BIGINT) AS idcg_ppm
+        FROM r GROUP BY user_id)
+      SELECT user_id, dcg_ppm, idcg_ppm,
+        CAST(CASE WHEN idcg_ppm > 0 THEN (dcg_ppm * 1000000) // idcg_ppm
+          ELSE 0 END AS BIGINT) AS ndcg_ppm
+      FROM a ORDER BY user_id"""),
+    doc = "NDCG@10 per user with baked ppm log-discounts; exact integers end to end, one user-keyed shuffle")
+
+  // ---------------------------------------------------------------- q231
+  /** Score-calibration reliability bins — the audit that decides whether
+    * a model's probabilities can be TRUSTED as probabilities (thresholds,
+    * expected-cost decisions, sampling weights all assume it): predictions
+    * are decile-binned and each bin's mean predicted probability is
+    * compared to its observed positive rate; the gap column is the
+    * per-bin calibration error (ECE is its n-weighted mean — recoverable
+    * from these columns). The "model score" here is a deterministic
+    * fixture (value scaled to [0, 1e6) ppm); outcome = purchase/signup.
+    * Everything is integers: pred_ppm = floor(value·2000) (one IEEE
+    * double multiply — bit-identical cross-engine), bin = pred div 1e5,
+    * means and rates via integer div. One scan + one 10-row agg. */
+  val q231 = QueryDef(
+    "q231_calibration_bins",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(least(floor(col("value") * 2000).cast("long"), lit(999999L)).as("pred_ppm"),
+          when(col("event_type").isin("purchase", "signup"), 1L).otherwise(0L).as("pos"))
+        .groupBy(expr("pred_ppm div 100000").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pos")).as("n_pos"),
+          expr("sum(pred_ppm) div count(1)").as("mean_pred_ppm"),
+          expr("(sum(pos) * 1000000) div count(1)").as("obs_rate_ppm"))
+        .withColumn("gap_ppm", abs(col("mean_pred_ppm") - col("obs_rate_ppm")))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH p AS (SELECT least(CAST(floor(value * 2000) AS BIGINT), 999999) AS pred_ppm,
+          CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS pos
+        FROM events)
+      SELECT pred_ppm // 100000 AS bin, COUNT(*) AS n,
+        CAST(SUM(pos) AS BIGINT) AS n_pos,
+        CAST(SUM(pred_ppm) // COUNT(*) AS BIGINT) AS mean_pred_ppm,
+        CAST((SUM(pos) * 1000000) // COUNT(*) AS BIGINT) AS obs_rate_ppm,
+        CAST(abs(SUM(pred_ppm) // COUNT(*) - (SUM(pos) * 1000000) // COUNT(*)) AS BIGINT)
+          AS gap_ppm
+      FROM p GROUP BY 1 ORDER BY bin"""),
+    doc = "reliability-diagram bins: mean predicted ppm vs observed positive rate per decile; exact integer calibration audit")
+
   val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154,
     q168, q179, q180, q191, q192, q198, q199, q202, q203, q209, q210, q212, q213,
-    q220, q221, q225, q226)
+    q220, q221, q225, q226, q229, q231)
 }

@@ -311,5 +311,38 @@ object SinkQueries {
       FROM nation ORDER BY n_nationkey"""),
     doc = "Spark 4 built-in XML write/read round-trip with explicit schema; completes the format matrix")
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q214, q215, q216)
+  // ---------------------------------------------------------------- q228
+  /** Parquet SCHEMA EVOLUTION round-trip — the lake contract every
+    * long-lived ingest pipeline depends on: batch 1 lands with the v1
+    * schema, batch 2 adds a column, and a single `mergeSchema` read
+    * returns the union schema with NULLs where old files lack the new
+    * column. The batch id rides a partition directory (`batch=N`), so the
+    * read also exercises partition discovery + partition-column typing.
+    * At 100 TB mergeSchema's footer-union runs over file metadata only
+    * (no data scan to discover the schema), and per-file projection
+    * null-fills at scan time — no rewrite of historical data, which is
+    * the entire point of additive evolution. The oracle states the
+    * expected union directly (v1 rows with NULL source). */
+  val q228 = QueryDef(
+    "q228_schema_evolution",
+    (s, d) => {
+      val dir = Files.createTempDirectory("graft_q228_").toString + "/docs"
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("lang"))
+        .write.parquet(dir + "/batch=1")
+      docs.select(col("doc_id"), col("lang"), col("source"))
+        .write.parquet(dir + "/batch=2")
+      s.read.option("mergeSchema", "true")
+        .option("basePath", dir).parquet(dir)
+        .select(col("batch").cast("int").as("batch"), col("doc_id"),
+          col("lang"), col("source"))
+        .orderBy(col("batch"), col("doc_id"))
+    },
+    Some("""SELECT 1 AS batch, doc_id, lang, CAST(NULL AS VARCHAR) AS source FROM documents
+      UNION ALL SELECT 2, doc_id, lang, source FROM documents
+      ORDER BY batch, doc_id"""),
+    doc = "additive parquet schema evolution: mergeSchema union over partition dirs, old files null-fill the new column")
+
+  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q214, q215,
+    q216, q228)
 }

@@ -126,7 +126,8 @@ class ScaleSpec extends AnyFunSuite {
       "q222_histogram_drift",   // crossJoin(broadcast(|bands|-row corpus marginal + 1-row total))
       "q223_phrase_search",     // crossJoin(broadcast(1-row phrase + 1-row census))
       "q225_bitemporal_asof",   // crossJoin(broadcast(1-row transaction-time cut))
-      "q226_trend_forecast")    // crossJoin(broadcast(1-row min-day origin))
+      "q226_trend_forecast",    // crossJoin(broadcast(1-row min-day origin))
+      "q230_annotator_kappa")   // crossJoin(broadcast(1-row chance-agreement sum))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

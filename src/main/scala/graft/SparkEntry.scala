@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CoverageQueries, EventAnalytics, Relational, Scale, SubqueryQueries, TypedApi}
 import graft.etl.EtlQueries
-import graft.ext.{Bpe, CurationQueries, Dedup, Multimodal, PipelineQueries, PrivacyQueries, Similarity, TextStats}
+import graft.ext.{Bpe, CurationQueries, Dedup, EvalQueries, Multimodal, PipelineQueries, PrivacyQueries, Similarity, TextStats}
 import graft.sinks.SinkQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,8 @@ object SparkEntry {
     Relational.all ++ EtlQueries.all ++ Dedup.all ++ Similarity.all ++
       TextStats.all ++ SinkQueries.all ++ Multimodal.all ++ CoverageQueries.all ++
       Scale.all ++ SubqueryQueries.all ++ TypedApi.all ++ PipelineQueries.all ++
-      CurationQueries.all ++ EventAnalytics.all ++ PrivacyQueries.all ++ Bpe.all
+      CurationQueries.all ++ EventAnalytics.all ++ PrivacyQueries.all ++ Bpe.all ++
+      EvalQueries.all
 
   require(
     registry.map(_.name).distinct.size == registry.size,

@@ -1,0 +1,420 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Model-evaluation + time-series tier: the metrics a training pipeline
+  * computes after every model refresh (ranking quality, classifier
+  * quality, calibration companions) and the seasonality/autocorrelation
+  * diagnostics run over event streams. Everything follows the inventory's
+  * exactness discipline — scores and metrics are scaled integers (ppm) on
+  * both sides of the oracle, so no IEEE rounding ever crosses the
+  * DuckDB gate. Companion queries q229 (NDCG) and q231 (calibration)
+  * live in EventAnalytics.
+  *
+  * Reference anchor: kinesis3 exposes only counters/percentiles
+  * (src/kinesis3/stats.clj); this tier is part of the beyond-reference
+  * LLM-pipeline surface the build brief mandates.
+  */
+object EvalQueries {
+
+  /** q231's deterministic model-score fixture: value scaled to [0, 1e6)
+    * ppm via ONE IEEE double multiply (bit-identical cross-engine), then
+    * clamped. Shared by the whole eval tier so every metric grades the
+    * same "model". */
+  private def predPpm: Column =
+    least(floor(col("value") * 2000).cast("long"), lit(999999L))
+
+  private def posLabel: Column =
+    when(col("event_type").isin("purchase", "signup"), 1L).otherwise(0L)
+
+  // ---------------------------------------------------------------- q232
+  /** Exact tie-aware ROC-AUC via the Mann-Whitney rank identity:
+    * AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N), with the tie-group average
+    * rank kept integral by doubling — for a score group starting at min
+    * rank r with c members, 2·avgrank = 2r + c − 1. So
+    * auc_ppm = (S2 − P(P+1))·10⁶ div (2·P·N) where
+    * S2 = Σ_groups p·(2r + c − 1) — integers end to end, ties handled
+    * exactly as the textbook mid-rank convention demands.
+    *
+    * Shape: ONE groupBy(score) shrinks the frame to the score
+    * distribution (≤ 10⁶ rows by construction of pred_ppm — a bounded
+    * domain, NOT the event count), a running-sum window over that bounded
+    * frame assigns min-ranks, one global agg finishes. At 100 TB the only
+    * full-data pass is the map-side-combinable score census; the
+    * unpartitioned window never sees more than the 10⁶-row score domain.
+    * The S2·10⁶ product goes through DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB) — no overflow at any corpus size. */
+  val q232 = QueryDef(
+    "q232_roc_auc",
+    (s, d) => {
+      val byScore = Tables.events(s, d)
+        .select(predPpm.as("pred"), posLabel.as("pos"))
+        .groupBy(col("pred"))
+        .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+      val w = Window.orderBy(col("pred"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byScore
+        .withColumn("r", sum(col("c")).over(w) - col("c") + 1)
+        .agg(
+          sum(col("p")).as("pos_n"),
+          sum(col("c") - col("p")).as("neg_n"),
+          sum(col("p") * (lit(2L) * col("r") + col("c") - 1)).as("s2"))
+        .select(col("pos_n"), col("neg_n"),
+          when(col("pos_n") > 0 && col("neg_n") > 0,
+            expr("(CAST(s2 - pos_n * (pos_n + 1) AS DECIMAL(38,0)) * 1000000) div (2 * pos_n * neg_n)"))
+            .otherwise(lit(0L)).as("auc_ppm"))
+    },
+    Some("""WITH b AS (SELECT least(CAST(floor(value * 2000) AS BIGINT), 999999) AS pred,
+          CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS pos
+        FROM events),
+      g AS (SELECT pred, COUNT(*) AS c, CAST(SUM(pos) AS BIGINT) AS p
+        FROM b GROUP BY pred),
+      r AS (SELECT p, c,
+          SUM(c) OVER (ORDER BY pred ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - c + 1 AS r
+        FROM g),
+      a AS (SELECT CAST(SUM(p) AS BIGINT) AS pos_n,
+          CAST(SUM(c - p) AS BIGINT) AS neg_n,
+          CAST(SUM(p * (2 * r + c - 1)) AS BIGINT) AS s2 FROM r)
+      SELECT pos_n, neg_n,
+        CAST(CASE WHEN pos_n > 0 AND neg_n > 0
+          THEN ((CAST(s2 AS HUGEINT) - pos_n * (pos_n + 1)) * 1000000)
+            // (2 * pos_n * neg_n)
+          ELSE 0 END AS BIGINT) AS auc_ppm
+      FROM a"""),
+    doc = "exact tie-aware ROC-AUC (Mann-Whitney rank identity, mid-rank ties); score-census shuffle only, ppm integers")
+
+  // ---------------------------------------------------------------- q233
+  /** Per-class confusion-matrix metrics for the q48/q230 stopword-vote
+    * language-ID rule against the gold `lang` label: tp/fp/fn and
+    * precision/recall/F1, all exact. F1 avoids the fractional
+    * harmonic-mean composition entirely via the integer identity
+    * F1 = 2tp / (2tp + fp + fn) = 2tp / (n_gold + n_pred), so every
+    * metric is one integer division. Classes missing on one side (gold
+    * `zh` is never predicted; a rule class may win zero golds) surface
+    * with zero marginals instead of vanishing — the full-outer join of
+    * the two marginals is the class axis. Shape: one scan → three tiny
+    * category-keyed aggs (|classes| rows) joined broadcast-small. */
+  val q233 = QueryDef(
+    "q233_confusion_f1",
+    (s, d) => {
+      val words = TextStats.wsTokens(lower(col("text")))
+      val sEn = TextStats.stopwordCount(words, "en")
+      val sDe = TextStats.stopwordCount(words, "de")
+      val sFr = TextStats.stopwordCount(words, "fr")
+      val sEs = TextStats.stopwordCount(words, "es")
+      val predicted = when(sEn >= sDe && sEn >= sFr && sEn >= sEs, "en")
+        .when(sDe >= sFr && sDe >= sEs, "de")
+        .when(sFr >= sEs, "fr")
+        .otherwise("es")
+      val t = Tables.documents(s, d)
+        .select(col("lang").as("gold"), predicted.as("pred"))
+      val gmar = t.groupBy(col("gold").as("cat")).agg(count(lit(1)).as("n_gold"))
+      val pmar = t.groupBy(col("pred").as("cat")).agg(count(lit(1)).as("n_pred"))
+      val tp = t.filter(col("gold") === col("pred"))
+        .groupBy(col("gold").as("cat")).agg(count(lit(1)).as("tp"))
+      gmar.join(pmar, Seq("cat"), "full_outer")
+        .join(tp, Seq("cat"), "left")
+        .select(col("cat"),
+          coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .select(col("cat"), col("n_gold"), col("n_pred"), col("tp"),
+          when(col("n_pred") > 0, expr("(tp * 1000000) div n_pred"))
+            .otherwise(lit(0L)).as("precision_ppm"),
+          when(col("n_gold") > 0, expr("(tp * 1000000) div n_gold"))
+            .otherwise(lit(0L)).as("recall_ppm"),
+          when(col("n_gold") + col("n_pred") > 0,
+            expr("(2 * tp * 1000000) div (n_gold + n_pred)"))
+            .otherwise(lit(0L)).as("f1_ppm"))
+        .orderBy(col("cat"))
+    },
+    Some("""WITH t AS (SELECT lang AS gold,
+          CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es' END AS pred
+        FROM (SELECT lang,
+          len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','of','and','to'))) s_en,
+          len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','das','ein'))) s_de,
+          len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','les','un'))) s_fr,
+          len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','y','los','un'))) s_es
+        FROM documents)),
+      g AS (SELECT gold AS cat, COUNT(*) AS n_gold FROM t GROUP BY 1),
+      p AS (SELECT pred AS cat, COUNT(*) AS n_pred FROM t GROUP BY 1),
+      tp AS (SELECT gold AS cat, COUNT(*) AS tp FROM t WHERE gold = pred GROUP BY 1),
+      m AS (SELECT COALESCE(g.cat, p.cat) AS cat,
+          COALESCE(g.n_gold, 0) AS n_gold, COALESCE(p.n_pred, 0) AS n_pred
+        FROM g FULL OUTER JOIN p ON g.cat = p.cat)
+      SELECT m.cat, m.n_gold, m.n_pred, COALESCE(tp.tp, 0) AS tp,
+        CAST(CASE WHEN m.n_pred > 0 THEN (COALESCE(tp.tp, 0) * 1000000) // m.n_pred
+          ELSE 0 END AS BIGINT) AS precision_ppm,
+        CAST(CASE WHEN m.n_gold > 0 THEN (COALESCE(tp.tp, 0) * 1000000) // m.n_gold
+          ELSE 0 END AS BIGINT) AS recall_ppm,
+        CAST(CASE WHEN m.n_gold + m.n_pred > 0
+          THEN (2 * COALESCE(tp.tp, 0) * 1000000) // (m.n_gold + m.n_pred)
+          ELSE 0 END AS BIGINT) AS f1_ppm
+      FROM m LEFT JOIN tp ON tp.cat = m.cat ORDER BY m.cat"""),
+    doc = "per-class confusion metrics for the lang-ID rule: tp/fp marginals + exact integer precision/recall/F1 (F1 = 2tp/(n_gold+n_pred))")
+
+  // ---------------------------------------------------------------- q234
+  /** Autocorrelation function (lags 1-3) of each event type's daily
+    * volume series — the "is there weekly structure / is this series
+    * white noise" diagnostic before any forecast (q226) is trusted.
+    * Mean-centering is kept integral by n-scaling: with n observed days
+    * and S = Σx, the centered value n·x_t − S is an integer, and
+    * acf(l) = Σ(n·x_t − S)(n·x_{t+l} − S) / Σ(n·x_t − S)² — the n²
+    * factors cancel, so the ppm quotient is exact. Both engines truncate
+    * integer division toward zero, so negative correlations cross the
+    * oracle unchanged. Shape: the daily census is the only full-data
+    * pass; lags are lead() taps on the tiny (type × day) frame, one
+    * type-partitioned window. Numerator products ride DECIMAL(38,0) /
+    * HUGEINT — no overflow ceiling at corpus scale. */
+  val q234 = QueryDef(
+    "q234_daily_acf",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.join(tot, "event_type")
+        .select(col("event_type"), col("day"),
+          (col("n") * col("x") - col("sx")).as("cx"))
+        .select(col("event_type"), col("cx"),
+          lead(col("cx"), 1).over(w).as("c1"),
+          lead(col("cx"), 2).over(w).as("c2"),
+          lead(col("cx"), 3).over(w).as("c3"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("cx") * col("cx")).as("den"),
+          sum(col("cx") * col("c1")).as("n1"),
+          sum(col("cx") * col("c2")).as("n2"),
+          sum(col("cx") * col("c3")).as("n3"))
+        .selectExpr("event_type", "den", "stack(3, 1, n1, 2, n2, 3, n3) AS (lag, num)")
+        .select(col("event_type"), col("lag"),
+          when(col("den") > 0,
+            expr("(CAST(num AS DECIMAL(38,0)) * 1000000) div den"))
+            .otherwise(lit(0L)).as("acf_ppm"))
+        .orderBy(col("event_type"), col("lag"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+          COUNT(*) AS x
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx
+        FROM daily GROUP BY 1),
+      c AS (SELECT daily.event_type, day, n * x - sx AS cx
+        FROM daily JOIN tot USING (event_type)),
+      l AS (SELECT event_type, cx,
+          lead(cx, 1) OVER (PARTITION BY event_type ORDER BY day) AS c1,
+          lead(cx, 2) OVER (PARTITION BY event_type ORDER BY day) AS c2,
+          lead(cx, 3) OVER (PARTITION BY event_type ORDER BY day) AS c3
+        FROM c),
+      a AS (SELECT event_type, CAST(SUM(cx * cx) AS BIGINT) AS den,
+          CAST(SUM(cx * c1) AS BIGINT) AS n1, CAST(SUM(cx * c2) AS BIGINT) AS n2,
+          CAST(SUM(cx * c3) AS BIGINT) AS n3
+        FROM l GROUP BY 1),
+      u AS (SELECT event_type, den, 1 AS lag, n1 AS num FROM a
+        UNION ALL SELECT event_type, den, 2, n2 FROM a
+        UNION ALL SELECT event_type, den, 3, n3 FROM a)
+      SELECT event_type, lag,
+        CAST(CASE WHEN den > 0 THEN (CAST(num AS HUGEINT) * 1000000) // den
+          ELSE 0 END AS BIGINT) AS acf_ppm
+      FROM u ORDER BY event_type, lag"""),
+    doc = "daily-volume ACF at lags 1-3 per type; n-scaled integer centering makes the ppm quotient exact, negatives truncate identically")
+
+  // ---------------------------------------------------------------- q235
+  /** Day-of-week seasonality index per event type: mean daily volume on
+    * each ISO weekday relative to the type's overall mean daily volume,
+    * as exact ppm — idx = (S_dow·n_all) / (n_dow·S_all) after the
+    * fraction-free rearrangement (both means' denominators multiply
+    * through, so no intermediate mean is ever materialized as a float).
+    * The Monday-based axis uses Spark `weekday()+1` ≡ DuckDB `isodow()`
+    * — the 1=Sunday `dayofweek` trap documented in the inventory is
+    * avoided, not worked around. Shape: daily census → two nested tiny
+    * aggs; nothing beyond the census touches full data. */
+  val q235 = QueryDef(
+    "q235_dow_seasonality",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .select(col("event_type"), expr("weekday(day) + 1").as("isodow"), col("x"))
+      val perDow = daily.groupBy(col("event_type"), col("isodow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("s_dow"))
+      val perType = perDow.groupBy(col("event_type"))
+        .agg(sum(col("n_days")).as("n_all"), sum(col("s_dow")).as("s_all"))
+      perDow.join(perType, "event_type")
+        .select(col("event_type"), col("isodow"), col("n_days"),
+          expr("(s_dow * n_all * 1000000) div (n_days * s_all)").as("idx_ppm"))
+        .orderBy(col("event_type"), col("isodow"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+          COUNT(*) AS x
+        FROM events GROUP BY 1, 2),
+      pd AS (SELECT event_type, isodow(day) AS isodow, COUNT(*) AS n_days,
+          CAST(SUM(x) AS BIGINT) AS s_dow
+        FROM daily GROUP BY 1, 2),
+      pt AS (SELECT event_type, CAST(SUM(n_days) AS BIGINT) AS n_all,
+          CAST(SUM(s_dow) AS BIGINT) AS s_all
+        FROM pd GROUP BY 1)
+      SELECT pd.event_type, pd.isodow, pd.n_days,
+        CAST((pd.s_dow * pt.n_all * 1000000) // (pd.n_days * pt.s_all) AS BIGINT)
+          AS idx_ppm
+      FROM pd JOIN pt USING (event_type) ORDER BY event_type, isodow"""),
+    doc = "ISO-weekday seasonality index per type, fraction-free exact ppm; weekday()+1 == isodow kills the 1=Sunday trap")
+
+  // ---------------------------------------------------------------- q240
+  /** Sequence-pattern census over session paths — the MATCH_RECOGNIZE
+    * shape without the clause: each (user, day) session collapses to an
+    * ordered string of event initials (v/c/p/s/e), and a regex grades the
+    * journey — here `v[^e]*p`: a view later converted to a purchase with
+    * NO intervening error. Ordering inside the collapse is exact: the
+    * sort key is (µs timestamp, event_id) — `ts_ns div 1000` ≡ DuckDB's
+    * µs-precision reads per the inventory's timestamp convention — and
+    * the collapse itself is sort_array over collected structs (engine-
+    * order-independent), not a window concat. The pattern uses only
+    * character-class atoms, identical under Java and RE2 regex
+    * semantics. Shape: one (user, day) shuffle; paths are session-length
+    * strings, the census is a tiny per-day agg. */
+  val q240 = QueryDef(
+    "q240_path_pattern",
+    (s, d) => {
+      val paths = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"),
+          struct(expr("ts_ns div 1000").as("us"), col("event_id").as("eid"),
+            substring(col("event_type"), 1, 1).as("ch")).as("st"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(array_join(expr("transform(array_sort(collect_list(st)), x -> x.ch)"), "")
+          .as("path"))
+      paths
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("sessions"),
+          sum(when(col("path").rlike("v[^e]*p"), 1L).otherwise(0L)).as("converted"))
+        .select(col("day"), col("sessions"), col("converted"),
+          expr("(converted * 1000000) div sessions").as("converted_ppm"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH p AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+          string_agg(substring(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id)
+            AS path
+        FROM events GROUP BY 1, 2)
+      SELECT day, COUNT(*) AS sessions,
+        CAST(SUM(CASE WHEN regexp_matches(path, 'v[^e]*p') THEN 1 ELSE 0 END) AS BIGINT)
+          AS converted,
+        CAST((SUM(CASE WHEN regexp_matches(path, 'v[^e]*p') THEN 1 ELSE 0 END) * 1000000)
+          // COUNT(*) AS BIGINT) AS converted_ppm
+      FROM p GROUP BY day ORDER BY day"""),
+    doc = "MATCH_RECOGNIZE-shaped session path regex census: view->purchase with no intervening error, exact (us, event_id) ordering")
+
+  // ---------------------------------------------------------------- q241
+  /** Average Precision at 100 — the ranked-retrieval companion to q232:
+    * take the global top-100 events by model score (ties broken by
+    * event_id, the inventory's determinism convention), walk the ranking,
+    * and average precision@k over the positive hits. Normalization is by
+    * positives WITHIN the cutoff (the AP@K variant that stays defined
+    * when total positives exceed the cutoff); each precision term is an
+    * integer ppm division, and per-term flooring is part of the metric's
+    * definition on both sides — bit-identical. Shape: the top-100 is a
+    * TakeOrderedAndProject (per-partition heaps, no global sort of the
+    * full data); the window walk then runs over exactly 100 rows. */
+  val q241 = QueryDef(
+    "q241_avg_precision",
+    (s, d) => {
+      val top = Tables.events(s, d)
+        .select(predPpm.as("pred"), col("event_id"), posLabel.as("pos"))
+        .orderBy(col("pred").desc, col("event_id"))
+        .limit(100)
+      val ord = Window.orderBy(col("pred").desc, col("event_id"))
+      top
+        .withColumn("k", row_number().over(ord))
+        .withColumn("cum_pos", sum(col("pos")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .agg(sum(col("pos")).as("pos_in_top"),
+          sum(when(col("pos") === 1, expr("(cum_pos * 1000000) div k"))
+            .otherwise(0L)).as("sum_prec_ppm"))
+        .select(col("pos_in_top"),
+          when(col("pos_in_top") > 0, expr("sum_prec_ppm div pos_in_top"))
+            .otherwise(lit(0L)).as("ap_ppm"))
+    },
+    Some("""WITH b AS (SELECT least(CAST(floor(value * 2000) AS BIGINT), 999999) AS pred,
+          event_id,
+          CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS pos
+        FROM events),
+      top AS (SELECT * FROM b ORDER BY pred DESC, event_id LIMIT 100),
+      r AS (SELECT pos,
+          ROW_NUMBER() OVER (ORDER BY pred DESC, event_id) AS k,
+          SUM(pos) OVER (ORDER BY pred DESC, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+        FROM top),
+      a AS (SELECT CAST(SUM(pos) AS BIGINT) AS pos_in_top,
+          CAST(SUM(CASE WHEN pos = 1 THEN (cum_pos * 1000000) // k ELSE 0 END) AS BIGINT)
+            AS sum_prec_ppm
+        FROM r)
+      SELECT pos_in_top,
+        CAST(CASE WHEN pos_in_top > 0 THEN sum_prec_ppm // pos_in_top
+          ELSE 0 END AS BIGINT) AS ap_ppm
+      FROM a"""),
+    doc = "AP@100 over the model-score ranking; top-k via per-partition heaps, per-term integer ppm precision — exact by definition")
+
+  // ---------------------------------------------------------------- q242
+  /** Cumulative gains / lift table by score decile — q231's reliability
+    * bins re-read for TARGETING: walking deciles from the highest score
+    * down, what share of all positives has been captured (gain) and how
+    * much better than random is the slice so far (lift)? The grand
+    * totals ride an unbounded window over the 10-row bin frame — no
+    * crossJoin, no second pass. All ratios are fraction-free integer
+    * rearrangements (cum_pos·total_n·10⁶ div (cum_n·total_pos)), exact
+    * in both engines. Shape: one full-data census into ≤10 bins, then
+    * window math on 10 rows. */
+  val q242 = QueryDef(
+    "q242_cumulative_gains",
+    (s, d) => {
+      val bins = Tables.events(s, d)
+        .select(predPpm.as("pred"), posLabel.as("pos"))
+        .groupBy(expr("pred div 100000").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"))
+      val desc = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      bins
+        .withColumn("cum_n", sum(col("n")).over(desc))
+        .withColumn("cum_pos", sum(col("pos")).over(desc))
+        .withColumn("tot_n", sum(col("n")).over(all))
+        .withColumn("tot_pos", sum(col("pos")).over(all))
+        .select(col("bin"), col("n"), col("pos"), col("cum_pos"),
+          when(col("tot_pos") > 0, expr("(cum_pos * 1000000) div tot_pos"))
+            .otherwise(lit(0L)).as("gain_ppm"),
+          when(col("cum_n") * col("tot_pos") > 0,
+            expr("(cum_pos * tot_n * 1000000) div (cum_n * tot_pos)"))
+            .otherwise(lit(0L)).as("lift_ppm"))
+        .orderBy(col("bin").desc)
+    },
+    Some("""WITH b AS (SELECT least(CAST(floor(value * 2000) AS BIGINT), 999999) AS pred,
+          CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS pos
+        FROM events),
+      g AS (SELECT pred // 100000 AS bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS pos
+        FROM b GROUP BY 1),
+      w AS (SELECT bin, n, pos,
+          SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+          SUM(pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+          SUM(n) OVER () AS tot_n, SUM(pos) OVER () AS tot_pos
+        FROM g)
+      SELECT bin, n, pos, CAST(cum_pos AS BIGINT) AS cum_pos,
+        CAST(CASE WHEN tot_pos > 0 THEN (cum_pos * 1000000) // tot_pos
+          ELSE 0 END AS BIGINT) AS gain_ppm,
+        CAST(CASE WHEN cum_n * tot_pos > 0
+          THEN (cum_pos * tot_n * 1000000) // (cum_n * tot_pos)
+          ELSE 0 END AS BIGINT) AS lift_ppm
+      FROM w ORDER BY bin DESC"""),
+    doc = "decile cumulative gains + lift from the q231 bins; unbounded-window totals, fraction-free exact ppm")
+
+  val all: Seq[QueryDef] = Seq(q232, q233, q234, q235, q240, q241, q242)
+}

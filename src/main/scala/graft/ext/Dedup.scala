@@ -1014,6 +1014,124 @@ object Dedup {
       ORDER BY a_id, b_id"""),
     doc = "deletion-neighborhood (SymSpell) ED<=1 join: complete equi-join candidates + banded verify; all-pairs oracle certifies recall")
 
+  /** Shared DuckDB CTE for the verified LSH near-dup pair graph at the
+    * q41 threshold (0.6) — the edge list q204/q236/q237 analyze. */
+  private val OraclePairs = OracleShingles + """,
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6)"""
+
+  // ---------------------------------------------------------------- q236
+  /** 2-core extraction by bounded degree peeling over the LSH near-dup
+    * graph — the graph-cleaning pass that separates DENSE duplication
+    * structure (template families, mirror farms — every member has ≥ 2
+    * near-dup neighbors even after its weakest neighbors are removed)
+    * from incidental pairwise matches, which CC (q100) lumps into the
+    * same component and the triangle census (q204) only scores locally.
+    * Each peel round recomputes degrees and drops nodes below k = 2;
+    * 3 rounds are unrolled, giving a STATIC plan (the fixed-horizon
+    * convention of q185/q196/q227 — both engines compute the identical
+    * bounded iterate, so convergence is not a correctness question).
+    *
+    * Shape: per round, one explode-degree census + two semi-join-shaped
+    * equi-joins filtering the edge list — all 8-byte-keyed, all
+    * map-side-combinable; the edge list is localCheckpoint'ed once so the
+    * quadratic LSH verify never replays. At 100 TB the peel horizon is
+    * the knob (k-core of real web crawls stabilizes in a few rounds) and
+    * each round stays O(|E|) with no driver materialization. */
+  val q236 = QueryDef(
+    "q236_kcore_peel",
+    (s, d) => {
+      def deg(e: DataFrame): DataFrame = e
+        .select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      def peel(e: DataFrame): DataFrame = {
+        val keep = deg(e).filter(col("deg") >= 2).select(col("v"))
+        e.join(keep.withColumnRenamed("v", "a"), "a")
+          .join(keep.withColumnRenamed("v", "b"), "b")
+          .select(col("a"), col("b"))
+      }
+      val e0 = lshVerifiedPairs(s, d, 0.6)
+        .select(col("a_id").as("a"), col("b_id").as("b")).localCheckpoint()
+      deg(peel(peel(peel(e0))))
+        .select(col("v").as("doc_id"), col("deg").as("core_degree"))
+        .orderBy(col("doc_id"))
+    },
+    Some(OraclePairs + """,
+      e0 AS (SELECT a_id AS a, b_id AS b FROM pairs),
+      d1 AS (SELECT v, COUNT(*) AS deg FROM (
+          SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+      k1 AS (SELECT v FROM d1 WHERE deg >= 2),
+      e1 AS (SELECT a, b FROM e0
+        WHERE a IN (SELECT v FROM k1) AND b IN (SELECT v FROM k1)),
+      d2 AS (SELECT v, COUNT(*) AS deg FROM (
+          SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) GROUP BY v),
+      k2 AS (SELECT v FROM d2 WHERE deg >= 2),
+      e2 AS (SELECT a, b FROM e1
+        WHERE a IN (SELECT v FROM k2) AND b IN (SELECT v FROM k2)),
+      d3 AS (SELECT v, COUNT(*) AS deg FROM (
+          SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) GROUP BY v),
+      k3 AS (SELECT v FROM d3 WHERE deg >= 2),
+      e3 AS (SELECT a, b FROM e2
+        WHERE a IN (SELECT v FROM k3) AND b IN (SELECT v FROM k3))
+      SELECT v AS doc_id, COUNT(*) AS core_degree FROM (
+          SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+      GROUP BY v ORDER BY doc_id"""),
+    doc = "2-core by 3 unrolled peel rounds over the LSH near-dup graph; dense template families vs incidental matches")
+
+  // ---------------------------------------------------------------- q237
+  /** Degree assortativity of the near-dup graph — do heavily-duplicated
+    * documents link to other heavily-duplicated documents (assortative,
+    * r > 0: template farms) or to one-off copies (disassortative, r < 0:
+    * hub-and-spoke plagiarism of a few originals)? The answer picks the
+    * dedup strategy: assortative cores collapse safely to one survivor;
+    * hub-and-spoke needs the hub kept and spokes graded. Computed as
+    * Pearson correlation of endpoint degrees over the SYMMETRIZED edge
+    * list, where both endpoint marginals are identical — so the sqrt in
+    * Pearson's denominator squares away and r = (m·Σxy − Sx²)/(m·Σx² −
+    * Sx²) is EXACTLY rational: integer ppm with zero transcendental
+    * leakage (the q204 discipline). Products ride DECIMAL(38,0) /
+    * HUGEINT. Shape: one degree census, two broadcast-size joins back to
+    * the edge list, one global agg — O(|E|) with 8-byte keys. */
+  val q237 = QueryDef(
+    "q237_degree_assortativity",
+    (s, d) => {
+      val e = lshVerifiedPairs(s, d, 0.6)
+        .select(explode(array(
+            struct(col("a_id").as("src"), col("b_id").as("dst")),
+            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .localCheckpoint()
+      val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      e.join(deg.select(col("v").as("src"), col("deg").as("dx")), "src")
+        .join(deg.select(col("v").as("dst"), col("deg").as("dy")), "dst")
+        .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .select(expr("m div 2").as("n_edges"),
+          when(expr("CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx") > 0,
+            expr("""((CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000)
+              div (CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"""))
+            .otherwise(lit(0L)).as("assort_ppm"))
+    },
+    Some(OraclePairs + """,
+      ed AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      dg AS (SELECT src AS v, COUNT(*) AS deg FROM ed GROUP BY 1),
+      j AS (SELECT dx.deg AS dx, dy.deg AS dy
+        FROM ed JOIN dg dx ON dx.v = ed.src JOIN dg dy ON dy.v = ed.dst),
+      a AS (SELECT COUNT(*) AS m, CAST(SUM(dx) AS BIGINT) AS sx,
+          CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+          CAST(SUM(dx * dy) AS BIGINT) AS sxy FROM j)
+      SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+        CAST(CASE WHEN CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+          THEN ((CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx) * 1000000)
+            // (CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+          ELSE 0 END AS BIGINT) AS assort_ppm
+      FROM a"""),
+    doc = "degree assortativity (exact rational Pearson on the symmetrized near-dup graph); template-farm vs hub-and-spoke verdict")
+
   val all: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196, q204, q224)
+    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196, q204, q224, q236, q237)
 }

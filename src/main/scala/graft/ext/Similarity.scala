@@ -985,6 +985,84 @@ object Similarity {
       SELECT vec_id, dist FROM d3 ORDER BY vec_id"""),
     doc = "multi-source BFS (3 unrolled Pregel rounds) from the label-0 seed set over the cosine near-dup graph; exposure grading")
 
+  // ---------------------------------------------------------------- q239
+  /** Collaborative-filtering-shaped user similarity: each user's behavior
+    * is the sparse count vector over event types, and the top-3 most
+    * similar peers per user are ranked by cosine — computed as the SPARSE
+    * dot product through an inverted-index equi-join on the feature key
+    * (users never pair unless they share a feature), the join shape that
+    * makes user-user similarity tractable when the feature space is wide
+    * (items, n-grams) and vectors are sparse. Cosine itself would need a
+    * sqrt; since all counts are non-negative, ranking by cos² is
+    * order-equivalent, and cos²·10⁶ = dot²·10⁶ div (‖x‖²·‖y‖²) is exact
+    * integer — the q237 no-transcendental trick. Both orientations of
+    * each scored pair explode from one pass (q185 convention), then a
+    * per-user window takes rank ≤ 3 with (score desc, peer) determinism.
+    *
+    * Scale honesty: THIS corpus has 5 event types, so the inverted index
+    * is a dense low-cardinality key — at 100 TB that exact shape is a
+    * skew catastrophe and the right layouts are q54's tiled equi-join
+    * (dense, low-card) or this one unchanged over high-cardinality
+    * feature keys (the regime it's built for), with q180's blowup
+    * profiler picking between them. The per-user top-k is the
+    * TopKAggregateRewrite's target shape (k-row heaps, no full sort). */
+  val q239 = QueryDef(
+    "q239_user_similarity",
+    (s, d) => {
+      val uv = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val norms = uv.groupBy(col("user_id")).agg(sum(col("c") * col("c")).as("nrm"))
+      val dots = uv.as("x").join(uv.as("y"),
+          col("x.event_type") === col("y.event_type") &&
+            col("x.user_id") < col("y.user_id"))
+        .groupBy(col("x.user_id").as("ua"), col("y.user_id").as("ub"))
+        .agg(sum(col("x.c") * col("y.c")).as("dot"))
+      val scored = dots
+        .join(norms.select(col("user_id").as("ua"), col("nrm").as("na")), "ua")
+        .join(norms.select(col("user_id").as("ub"), col("nrm").as("nb")), "ub")
+        .select(explode(array(
+            struct(col("ua").as("u"), col("ub").as("peer"),
+              col("dot"), col("na").as("nu"), col("nb").as("np")),
+            struct(col("ub").as("u"), col("ua").as("peer"),
+              col("dot"), col("nb").as("nu"), col("na").as("np")))).as("e"))
+        .select(col("e.u").as("user_id"), col("e.peer").as("peer_id"),
+          col("e.dot").as("dot"), col("e.nu").as("nu"), col("e.np").as("np"))
+        .select(col("user_id"), col("peer_id"),
+          expr("(CAST(dot AS DECIMAL(38,0)) * dot * 1000000) div (CAST(nu AS DECIMAL(38,0)) * np)")
+            .as("cos2_ppm"))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("cos2_ppm").desc, col("peer_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("user_id"), col("peer_id"), col("rnk"), col("cos2_ppm"))
+        .orderBy(col("user_id"), col("rnk"))
+    },
+    Some("""WITH uv AS (SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      nm AS (SELECT user_id, CAST(SUM(c * c) AS BIGINT) AS nrm FROM uv GROUP BY 1),
+      dots AS (SELECT x.user_id AS ua, y.user_id AS ub,
+          CAST(SUM(x.c * y.c) AS BIGINT) AS dot
+        FROM uv x JOIN uv y
+          ON x.event_type = y.event_type AND x.user_id < y.user_id
+        GROUP BY 1, 2),
+      b AS (SELECT ua, ub, dot, na.nrm AS nu, nb.nrm AS np FROM dots
+        JOIN nm na ON na.user_id = dots.ua JOIN nm nb ON nb.user_id = dots.ub),
+      e AS (SELECT ua AS user_id, ub AS peer_id, dot, nu, np FROM b
+        UNION ALL SELECT ub, ua, dot, np, nu FROM b),
+      sc AS (SELECT user_id, peer_id,
+          CAST((CAST(dot AS HUGEINT) * dot * 1000000)
+            // (CAST(nu AS HUGEINT) * np) AS BIGINT) AS cos2_ppm
+        FROM e),
+      r AS (SELECT user_id, peer_id, cos2_ppm,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY cos2_ppm DESC, peer_id) AS rnk
+        FROM sc)
+      SELECT user_id, peer_id, rnk, cos2_ppm FROM r
+      WHERE rnk <= 3 ORDER BY user_id, rnk"""),
+    doc = "sparse-dot-product user similarity (inverted-index join), exact cos^2 ppm ranking, per-user top-3 via k-row heaps")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239)
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -547,6 +548,108 @@ object TextStats {
       FROM hits"""),
     doc = "phrase query via positional postings intersection; self-selected top bigram, independent containment oracle")
 
+  // ---------------------------------------------------------------- q238
+  /** TextRank keyword extraction — unsupervised corpus keywords as the
+    * stationary weight of a random walk on the word co-occurrence graph
+    * (Mihalcea & Tarau 2004), the standard pre-embedding keyword/keyphrase
+    * baseline a curation pipeline runs to label sources and drive topic
+    * mixing. Nodes are the top-200 corpus words (frequency census with
+    * (count desc, word) determinism), edges are ADJACENT-word
+    * co-occurrences built with one zip_with over each token array (no
+    * positional self-join on the Spark side), symmetrized and weighted by
+    * co-occurrence count. Two damped power-iteration rounds run in the
+    * q185 exact-integer discipline: pr scaled to 10¹², per-edge
+    * contribution (pr·wt) div outw, pr' = (15·(10¹² div n) + 85·in) div
+    * 100 — every quantity integral, both engines truncate identically,
+    * and the bounded unroll keeps the plan static.
+    *
+    * Shape: the token explode + census is the only full-data pass; the
+    * pair stream filters against the broadcast 200-word vocab BEFORE the
+    * edge aggregation, so the graph frame is vocab-bounded (≤ 200² edges)
+    * regardless of corpus size — rounds are joins on a tiny frame. The
+    * 1-row node-count crossJoin is a whitelisted broadcast (ScaleSpec
+    * convention). */
+  val q238 = QueryDef(
+    "q238_textrank_keywords",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(wsTokens(lower(col("text"))).as("w"))
+      val wc = toks.select(explode(col("w")).as("wd"))
+        .groupBy(col("wd")).agg(count(lit(1)).as("c"))
+      val vocab = wc
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("c").desc, col("wd"))))
+        .filter(col("rn") <= 200).select(col("wd"))
+      val pairs = toks.filter(size(col("w")) >= 2)
+        .select(expr("""explode(zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1),
+            (x, y) -> named_struct('w1', x, 'w2', y))) AS pr"""))
+        .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val edges = pairs
+        .join(broadcast(vocab.withColumnRenamed("wd", "w1")), "w1")
+        .join(broadcast(vocab.withColumnRenamed("wd", "w2")), "w2")
+        .select(explode(array(
+            struct(col("w1").as("src"), col("w2").as("dst")),
+            struct(col("w2").as("src"), col("w1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("wt"))
+        .localCheckpoint()
+      val outw = edges.groupBy(col("src")).agg(sum(col("wt")).as("ow"))
+      val nodes = edges.select(col("src").as("wd")).distinct()
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("nn")))
+      def step(pr: DataFrame): DataFrame = {
+        val contrib = edges.join(outw, "src")
+          .join(pr.withColumnRenamed("wd", "src"), "src")
+          .select(col("dst"), expr("(pr * wt) div ow").as("ct"))
+          .groupBy(col("dst")).agg(sum(col("ct")).as("in_sum"))
+        nodes.crossJoin(nRow)
+          .join(contrib, col("wd") === col("dst"), "left")
+          .select(col("wd"),
+            expr("(15 * (1000000000000 div nn) + 85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100")
+              .as("pr"))
+      }
+      val p0 = nodes.crossJoin(nRow)
+        .select(col("wd"), expr("1000000000000 div nn").as("pr"))
+      step(step(p0))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("pr").desc, col("wd"))))
+        .filter(col("rn") <= 10)
+        .select(col("wd").as("word"), col("pr"))
+        .orderBy(col("pr").desc, col("word"))
+    },
+    Some("""WITH toks AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+      wc AS (SELECT u AS wd, COUNT(*) AS c FROM toks, unnest(w) AS t(u) GROUP BY 1),
+      vocab AS (SELECT wd FROM (
+          SELECT wd, ROW_NUMBER() OVER (ORDER BY c DESC, wd) AS rn FROM wc)
+        WHERE rn <= 200),
+      rawp AS (SELECT unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))],
+          recursive := true) FROM toks WHERE len(w) >= 2),
+      cand AS (SELECT w1, w2 FROM rawp WHERE w1 <> w2
+        AND w1 IN (SELECT wd FROM vocab) AND w2 IN (SELECT wd FROM vocab)),
+      ed AS (SELECT src, dst, COUNT(*) AS wt FROM (
+          SELECT w1 AS src, w2 AS dst FROM cand
+          UNION ALL SELECT w2, w1 FROM cand) GROUP BY 1, 2),
+      ow AS (SELECT src, CAST(SUM(wt) AS BIGINT) AS ow FROM ed GROUP BY 1),
+      nodes AS (SELECT DISTINCT src AS wd FROM ed),
+      n AS (SELECT COUNT(*) AS nn FROM nodes),
+      p0 AS (SELECT wd, 1000000000000 // nn AS pr FROM nodes CROSS JOIN n),
+      c1 AS (SELECT ed.dst, CAST(SUM((p.pr * ed.wt) // o.ow) AS BIGINT) AS in_sum
+        FROM ed JOIN ow o ON o.src = ed.src JOIN p0 p ON p.wd = ed.src
+        GROUP BY ed.dst),
+      p1 AS (SELECT nodes.wd,
+          CAST((15 * (1000000000000 // nn) + 85 * COALESCE(c1.in_sum, 0)) // 100 AS BIGINT) AS pr
+        FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.dst = nodes.wd),
+      c2 AS (SELECT ed.dst, CAST(SUM((p.pr * ed.wt) // o.ow) AS BIGINT) AS in_sum
+        FROM ed JOIN ow o ON o.src = ed.src JOIN p1 p ON p.wd = ed.src
+        GROUP BY ed.dst),
+      p2 AS (SELECT nodes.wd,
+          CAST((15 * (1000000000000 // nn) + 85 * COALESCE(c2.in_sum, 0)) // 100 AS BIGINT) AS pr
+        FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.dst = nodes.wd)
+      SELECT word, pr FROM (
+          SELECT wd AS word, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, wd) AS rn FROM p2)
+      WHERE rn <= 10 ORDER BY pr DESC, word"""),
+    doc = "TextRank keywords: 2 exact-integer damped power-iteration rounds over the vocab-bounded adjacency co-occurrence graph")
+
   val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104, q111, q172, q173, q181, q182,
-    q190, q223)
+    q190, q223, q238)
 }

@@ -127,7 +127,8 @@ class ScaleSpec extends AnyFunSuite {
       "q223_phrase_search",     // crossJoin(broadcast(1-row phrase + 1-row census))
       "q225_bitemporal_asof",   // crossJoin(broadcast(1-row transaction-time cut))
       "q226_trend_forecast",    // crossJoin(broadcast(1-row min-day origin))
-      "q230_annotator_kappa")   // crossJoin(broadcast(1-row chance-agreement sum))
+      "q230_annotator_kappa",   // crossJoin(broadcast(1-row chance-agreement sum))
+      "q238_textrank_keywords") // crossJoin(broadcast(1-row node count)), q185 shape
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

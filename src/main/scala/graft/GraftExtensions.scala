@@ -77,7 +77,9 @@ object GraftExtensions {
     ("resize_image", info("resize_image", classOf[ResizeImage]),
       es => ResizeImage(es(0), intArg(es(1), "w"), intArg(es(2), "h"))),
     ("decode_audio", info("decode_audio", classOf[DecodeAudio]),
-      es => DecodeAudio(es(0))))
+      es => DecodeAudio(es(0))),
+    ("nfc_normalize", info("nfc_normalize", classOf[NfcNormalize]),
+      es => NfcNormalize(es(0))))
 }
 
 /** Optimizer rule: rewrite the naive built-in Jaccard composition

@@ -642,7 +642,160 @@ object CurationQueries {
       FROM a CROSS JOIN s"""),
     doc = "Cohen's kappa (gold lang vs q48's rule labeler), exact integer chance correction; can-the-heuristic-replace-the-human metric")
 
+  // --------------------------------------------------------------- q244
+  /** Chi-square balance audit of the q166 salted-hash train/val/test
+    * split against the language strata — the check that the split is
+    * actually stratification-free-but-balanced before anyone trusts
+    * held-out metrics: per (split, lang) cell, the scaled contribution
+    * ((O·N − R·C)²·10⁶) div (N·R·C) — the classic (O−E)²/E term with
+    * every fraction multiplied through, so each cell's statistic is an
+    * exact integer (products ride DECIMAL(38,0)/HUGEINT; no float E ever
+    * exists). Large cells ⇒ the split correlates with language ⇒ the
+    * hash is broken or the corpus is ordered pathologically. Shape: one
+    * full-data pass into a |splits|×|langs| cell census; marginals are
+    * tiny re-aggs; the 1-row grand total rides a whitelisted broadcast
+    * crossJoin (q230 convention). */
+  val q244 = QueryDef(
+    "q244_split_balance",
+    (s, d) => {
+      val bucket = pmod(
+        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"), lit(10))
+      val t = Tables.documents(s, d)
+        .select(col("lang"),
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+            .as("split"))
+      val cells = t.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("o"))
+      val rmar = cells.groupBy(col("split")).agg(sum(col("o")).as("r"))
+      val cmar = cells.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+      val tot = broadcast(cells.agg(sum(col("o")).as("nn")))
+      cells.join(rmar, "split").join(cmar, "lang").crossJoin(tot)
+        .select(col("split"), col("lang"), col("o"),
+          expr("""((CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * c)
+              * (CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * c)
+              * 1000000)
+            div (CAST(nn AS DECIMAL(38,0)) * r * c)""").as("chi2_term_ppm"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some("""WITH t AS (SELECT lang,
+          CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT lang,
+          CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b
+        FROM documents)),
+      cells AS (SELECT split, lang, COUNT(*) AS o FROM t GROUP BY 1, 2),
+      rm AS (SELECT split, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      cm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      tt AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells)
+      SELECT split, lang, o,
+        CAST(((CAST(o AS HUGEINT) * nn - CAST(r AS HUGEINT) * c)
+            * (CAST(o AS HUGEINT) * nn - CAST(r AS HUGEINT) * c) * 1000000)
+          // (CAST(nn AS HUGEINT) * r * c) AS BIGINT) AS chi2_term_ppm
+      FROM cells JOIN rm USING (split) JOIN cm USING (lang) CROSS JOIN tt
+      ORDER BY split, lang"""),
+    doc = "per-cell chi-square contribution of split x lang, fraction-free exact ppm; the split-correlates-with-stratum alarm")
+
+  // --------------------------------------------------------------- q245
+  /** Rényi-2 (collision) repetitiveness per document, rolled up per
+    * language: the probability that two DISTINCT sampled word positions
+    * hold the same word — (Σc_w² − n) / (n(n−1)) — an exactly-rational
+    * repetition index (0 = all distinct, 10⁶ ppm = one word repeated
+    * throughout), where Shannon entropy would drag in logs the oracle
+    * can't cross. The degenerate-doc tail this flags (looped boilerplate,
+    * keyword stuffing) is what perplexity filters catch expensively.
+    *
+    * Shape: Σc² is ONE per-row HOF fold over the sorted token array
+    * (run-length squares — the q173 zero-shuffle discipline); no
+    * (doc, word) explode ever hits an Exchange, so the full-data cost is
+    * a map-only pass feeding the tiny per-lang census. The oracle
+    * computes the same Σc² via unnest + GROUP BY — different plan, same
+    * integers. */
+  val q245 = QueryDef(
+    "q245_renyi_repetition",
+    (s, d) => {
+      val sumsq = expr("""aggregate(
+          array_sort(split(text, ' ')),
+          named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
+          (a, w) -> IF(a.prev IS NOT NULL AND w = a.prev,
+            named_struct('prev', w, 'run', a.run + CAST(1 AS BIGINT), 'acc', a.acc),
+            named_struct('prev', w, 'run', CAST(1 AS BIGINT), 'acc', a.acc + a.run * a.run)),
+          a -> a.acc + a.run * a.run)""")
+      Tables.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"),
+          sumsq.as("sumsq"))
+        .select(col("lang"),
+          when(col("n") >= 2,
+            expr("((sumsq - n) * 1000000) div (n * (n - 1))"))
+            .otherwise(lit(0L)).as("rep2"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          expr("sum(rep2) div count(1)").as("mean_rep2_ppm"),
+          max(col("rep2")).as("max_rep2_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      t AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n FROM w),
+      c AS (SELECT w.doc_id, u AS wd, COUNT(*) AS c
+        FROM w, unnest(ws) AS x(u) GROUP BY 1, 2),
+      ss AS (SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS sumsq FROM c GROUP BY 1),
+      p AS (SELECT t.lang,
+          CASE WHEN n >= 2 THEN ((sumsq - n) * 1000000) // (n * (n - 1))
+               ELSE 0 END AS rep2
+        FROM t JOIN ss USING (doc_id))
+      SELECT lang, COUNT(*) AS docs,
+        CAST(SUM(rep2) // COUNT(*) AS BIGINT) AS mean_rep2_ppm,
+        CAST(MAX(rep2) AS BIGINT) AS max_rep2_ppm
+      FROM p GROUP BY lang ORDER BY lang"""),
+    doc = "Renyi-2 collision repetitiveness per doc (exact rational, zero-shuffle HOF fold), per-lang rollup; the cheap perplexity-filter stand-in")
+
+  // --------------------------------------------------------------- q246
+  /** Majority-vote ensemble quality gate — the production shape of
+    * corpus filtering: several CHEAP independent signals each cast a
+    * pass/fail vote and a document survives on votes ≥ 2 of 3, which is
+    * robust to any single signal's blind spot (the reason Gopher/CCNet
+    * pipelines stack rules instead of tuning one threshold). Signals,
+    * all integer-exact: token count in [20, 1000]; mean word length in
+    * [3, 12] checked fraction-free (3n ≤ chars_nospace ≤ 12n); lexical
+    * diversity ≥ 40% (10·distinct ≥ 4·n). Census per source: docs,
+    * survivors, pass rate ppm, mean vote count. One map-only pass (all
+    * three signals are per-row HOF/scalar work), one tiny census agg —
+    * the q115 Gopher-gate layout with an ensemble on top. */
+  val q246 = QueryDef(
+    "q246_ensemble_gate",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val n = size(words).cast("long")
+      val chars = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val dist = size(array_distinct(words)).cast("long")
+      val v1 = when(n >= 20 && n <= 1000, 1L).otherwise(0L)
+      val v2 = when(chars >= lit(3L) * n && chars <= lit(12L) * n, 1L).otherwise(0L)
+      val v3 = when(lit(10L) * dist >= lit(4L) * n, 1L).otherwise(0L)
+      Tables.documents(s, d)
+        .select(col("source"), (v1 + v2 + v3).as("votes"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("votes") >= 2, 1L).otherwise(0L)).as("survivors"),
+          expr("(sum(CASE WHEN votes >= 2 THEN 1 ELSE 0 END) * 1000000) div count(1)")
+            .as("pass_ppm"),
+          expr("(sum(votes) * 1000000) div count(1)").as("mean_votes_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH v AS (SELECT source,
+          (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)
+          + (CASE WHEN length(replace(text, ' ', ''))
+                BETWEEN 3 * len(string_split(text, ' '))
+                AND 12 * len(string_split(text, ' ')) THEN 1 ELSE 0 END)
+          + (CASE WHEN 10 * len(list_distinct(string_split(text, ' ')))
+                >= 4 * len(string_split(text, ' ')) THEN 1 ELSE 0 END) AS votes
+        FROM documents)
+      SELECT source, COUNT(*) AS docs,
+        CAST(SUM(CASE WHEN votes >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS survivors,
+        CAST((SUM(CASE WHEN votes >= 2 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+          AS pass_ppm,
+        CAST((SUM(votes) * 1000000) // COUNT(*) AS BIGINT) AS mean_votes_ppm
+      FROM v GROUP BY source ORDER BY source"""),
+    doc = "3-signal majority-vote quality gate (length, word-shape, diversity), fraction-free integer votes; per-source survival census")
+
   val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149, q150,
-    q200, q222, q230)
+    q200, q222, q230, q244, q245, q246)
 }
 

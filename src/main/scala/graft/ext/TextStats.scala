@@ -650,6 +650,57 @@ object TextStats {
       WHERE rn <= 10 ORDER BY pr DESC, word"""),
     doc = "TextRank keywords: 2 exact-integer damped power-iteration rounds over the vocab-bounded adjacency co-occurrence graph")
 
+  // ---------------------------------------------------------------- q243
+  /** Unicode NFC normalization audit through the native [[graft.functions.NfcNormalize]]
+    * expression (pure-JDK java.text.Normalizer, codegen'd, SQL-registered
+    * as `nfc_normalize` — Spark ships no normalization builtin; DuckDB's
+    * nfc_normalize is the oracle's). Canonically-equivalent spellings
+    * ("é" U+00E9 vs "e"+U+0301) hash differently, so every hash-keyed
+    * operator (q40 exact dedup, q121 paragraph dedup, the LSH shingles)
+    * silently under-dedups a corpus that isn't NFC-normalized first —
+    * this query measures that exposure. The ASCII test corpus is
+    * deterministically "dirtied" in-query (docs with doc_id % 3 = 0 get
+    * every 'e' decomposed to e+combining-acute), then the audit counts
+    * changed docs, code points recovered by composition, and verifies
+    * round-trip: the normalized form must equal the precomposed-é
+    * rewrite exactly. Per-row scalar work — zero shuffles before the
+    * tiny per-lang census; the already-NFC fast path makes the clean
+    * majority a quick-check scan with no allocation. */
+  val q243 = QueryDef(
+    "q243_nfc_normalize_audit",
+    (s, d) => {
+      def nfc(c: Column): Column =
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.NfcNormalize(
+            org.apache.spark.sql.GraftBridge.expression(c)))
+      val dirty = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 3 === 0,
+            regexp_replace(col("text"), "e", "e\u0301"))
+            .otherwise(col("text")).as("txt"))
+      dirty
+        .select(col("lang"), col("txt"), nfc(col("txt")).as("norm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("norm") =!= col("txt"), 1L).otherwise(0L)).as("changed_docs"),
+          sum(length(col("txt")) - length(col("norm"))).as("chars_composed"),
+          sum(when(col("norm") === regexp_replace(col("txt"), "e\u0301", "\u00e9"), 1L)
+            .otherwise(0L)).as("roundtrip_ok"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH dirty AS (SELECT doc_id, lang,
+          CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'e' || chr(769))
+               ELSE text END AS txt
+        FROM documents),
+      a AS (SELECT lang, txt, nfc_normalize(txt) AS norm FROM dirty)
+      SELECT lang, COUNT(*) AS docs,
+        CAST(SUM(CASE WHEN norm <> txt THEN 1 ELSE 0 END) AS BIGINT) AS changed_docs,
+        CAST(SUM(len(txt) - len(norm)) AS BIGINT) AS chars_composed,
+        CAST(SUM(CASE WHEN norm = replace(txt, 'e' || chr(769), chr(233))
+          THEN 1 ELSE 0 END) AS BIGINT) AS roundtrip_ok
+      FROM a GROUP BY lang ORDER BY lang"""),
+    doc = "NFC normalization exposure audit via the native nfc_normalize expression; composition verified against the precomposed rewrite")
+
   val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104, q111, q172, q173, q181, q182,
-    q190, q223, q238)
+    q190, q223, q238, q243)
 }

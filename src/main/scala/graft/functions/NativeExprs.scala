@@ -418,3 +418,46 @@ case class ArrayJaccard(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): ArrayJaccard =
     copy(left = newLeft, right = newRight)
 }
+
+/** Unicode NFC normalization (canonical composition) — the first pass of
+  * any text-dedup pipeline that must not treat "é" (U+00E9) and
+  * "e"+combining-acute (U+0065 U+0301) as different documents: exact
+  * dedup (q40), paragraph dedup (q121) and every hash-keyed operator are
+  * blind to canonically-equivalent spellings unless the corpus is
+  * normalized first. Spark ships no normalization builtin (DuckDB has
+  * nfc_normalize); this wraps java.text.Normalizer — pure JDK, no
+  * dependency — as a codegen'd unary expression. A fast-path skips
+  * allocation entirely for strings Normalizer confirms are already NFC
+  * (the overwhelming majority of real corpora), so the normalized-input
+  * case costs one quick-check scan and zero copies. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${other.simpleString}")
+  }
+
+  /** Shared by eval and codegen. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nfcNormalize", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.nfc($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}

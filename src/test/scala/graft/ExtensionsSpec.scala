@@ -42,6 +42,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 8000 + ('H'.toInt % 8) * 1000)
   }
 
+  test("nfc_normalize composes decomposed sequences and fast-paths clean strings") {
+    val decomposed = "e\u0301clair" // e + combining acute
+    val composed = "\u00e9clair"    // precomposed e-acute
+    val r = spark.sql(
+      s"""SELECT
+        |  nfc_normalize('$decomposed') AS comp,
+        |  length(nfc_normalize('$decomposed')) AS n,
+        |  nfc_normalize('already clean ascii') AS clean,
+        |  nfc_normalize(CAST(NULL AS STRING)) AS nul
+        |""".stripMargin).head()
+    assert(r.getString(0) == composed)
+    assert(r.getInt(1) == composed.length)
+    assert(r.getString(2) == "already clean ascii")
+    assert(r.isNullAt(3))
+  }
+
   test("JaccardFusion rewrites the naive size/intersect/concat idiom") {
     // real scan input — a literal LocalRelation would be constant-folded
     // away before the rewrite is observable

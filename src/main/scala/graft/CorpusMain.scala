@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   * Stages (each one is the corresponding registered operator's layout,
   * so the CLI inherits their oracle-checked semantics and 100 TB plan
   * shapes):
+  *   0. NFC normalize  — q243's native nfc_normalize (canonically-
+  *                       equivalent spellings must collide in the dedup
+  *                       hashes; already-NFC text fast-paths, zero copy)
   *   1. rule gate      — q115's integer-exact length/stopword rules
   *   2. exact dedup    — q40's 8-byte-hash keep-first (+ guardHash
   *                       collision fail-stop)
@@ -33,6 +36,7 @@ object CorpusMain {
       output: String = "",
       minWords: Int = 10,
       maxWords: Int = 200,
+      normalize: Boolean = true,
       nearDedup: Boolean = true,
       jaccard: Double = 0.6,
       benchmark: Option[String] = None, // parquet of benchmark docs (text col)
@@ -45,6 +49,7 @@ object CorpusMain {
       |  --output DIR       output root (REQUIRED)
       |  --min-words N      gate: minimum words (default 10)
       |  --max-words N      gate: maximum words (default 200)
+      |  --no-normalize     skip the Unicode NFC normalization stage
       |  --no-near-dedup    skip the LSH near-dup stage
       |  --jaccard X        near-dup threshold (default 0.6)
       |  --benchmark PATH   parquet of benchmark docs to decontaminate against
@@ -58,6 +63,7 @@ object CorpusMain {
       case "--output" :: v :: t     => go(t, c.copy(output = v))
       case "--min-words" :: v :: t  => go(t, c.copy(minWords = v.toInt))
       case "--max-words" :: v :: t  => go(t, c.copy(maxWords = v.toInt))
+      case "--no-normalize" :: t    => go(t, c.copy(normalize = false))
       case "--no-near-dedup" :: t   => go(t, c.copy(nearDedup = false))
       case "--jaccard" :: v :: t    => go(t, c.copy(jaccard = v.toDouble))
       case "--benchmark" :: v :: t  => go(t, c.copy(benchmark = Some(v)))
@@ -81,9 +87,24 @@ object CorpusMain {
     val raw = spark.read.parquet(s"${c.input}/documents.parquet")
     val nRaw = raw.count()
 
+    // 0. Unicode NFC normalization (q243's native expression): the dedup
+    // stages key on hashes of text, and canonically-equivalent spellings
+    // must collide there. Already-normalized text takes the zero-copy
+    // fast path, so a clean corpus pays one quick-check scan.
+    val (preGate, nNfcChanged) =
+      if (!c.normalize) (raw, 0L)
+      else {
+        val nfc = org.apache.spark.sql.GraftBridge.column(
+          graft.functions.NfcNormalize(
+            org.apache.spark.sql.GraftBridge.expression(col("text"))))
+        val normed = raw.withColumn("norm_text", nfc)
+        val changed = normed.filter(col("norm_text") =!= col("text")).count()
+        (normed.withColumn("text", col("norm_text")).drop("norm_text"), changed)
+      }
+
     // 1. rule gate (q115 semantics: integer comparisons only)
     val words = split(col("text"), " ")
-    val gated = raw.filter(size(words).between(c.minWords, c.maxWords) &&
+    val gated = preGate.filter(size(words).between(c.minWords, c.maxWords) &&
       size(filter(words, w => lower(w).isin(stop: _*))) >= 1)
     val nGated = gated.count()
 
@@ -153,8 +174,9 @@ object CorpusMain {
         .otherwise("test"))
 
     val report = Map(
-      "input" -> nRaw, "gated" -> nGated, "exact_deduped" -> nExact,
-      "near_deduped" -> nNear, "decontaminated" -> nClean)
+      "input" -> nRaw, "nfc_changed" -> nNfcChanged, "gated" -> nGated,
+      "exact_deduped" -> nExact, "near_deduped" -> nNear,
+      "decontaminated" -> nClean)
     (withSplit, report)
   }
 

@@ -80,4 +80,29 @@ class CorpusSpec extends AnyFunSuite {
       CorpusMain.CorpusConfig(input = dir, output = "unused", nearDedup = false))._1
     assert(noNd.count() == 3, "--no-near-dedup must keep the near-dup pair")
   }
+
+  test("NFC stage collapses canonically-equivalent duplicates (and --no-normalize keeps them)") {
+    import spark.implicits._
+    // doc 2 is doc 1 with every 'e' decomposed to e+U+0301's base-e — the
+    // texts differ byte-wise but are canonically equivalent after NFC
+    val composed = "caf\u00e9 stories of the r\u00e9sum\u00e9 trade and " +
+      "a dozen more words to clear the gate minimum for this fixture"
+    val decomposed = composed
+      .replace("\u00e9", "e\u0301")
+    val docs = Seq(
+      (1L, composed, "src0"),
+      (2L, decomposed, "src0"))
+      .toDF("doc_id", "text", "source")
+    val dir = Files.createTempDirectory("graft_corpus_nfc_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (out, report) = CorpusMain.run(spark,
+      CorpusMain.CorpusConfig(input = dir, output = "unused", nearDedup = false))
+    assert(report("nfc_changed") == 1L, "exactly the decomposed doc must normalize")
+    assert(out.count() == 1, "exact dedup must collapse the pair after NFC")
+    val (kept, report2) = CorpusMain.run(spark,
+      CorpusMain.CorpusConfig(input = dir, output = "unused",
+        nearDedup = false, normalize = false))
+    assert(report2("nfc_changed") == 0L)
+    assert(kept.count() == 2, "--no-normalize must keep both byte-distinct docs")
+  }
 }

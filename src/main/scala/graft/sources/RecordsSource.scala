@@ -7,11 +7,11 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -133,6 +133,45 @@ object RecordsSource {
     msg.contains("No such file or directory") ||
       msg.contains("cannot access")
   }
+
+  /** Can this filter prune chunk FILES from the listing? Sequence bounds
+    * use the layout contract — the file name is the LAST seq in the
+    * chunk, chunks sort by seq, so chunk i holds seqs in
+    * (seq_{i-1}, seq_i]; seqs are fixed-width digits, so lexicographic
+    * order IS numeric order. Partition filters match the yyyy/MM/dd
+    * object prefix directly. */
+  private[sources] def prunable(f: Filter): Boolean = f match {
+    case GreaterThan("sequenceNumber", _: String) => true
+    case GreaterThanOrEqual("sequenceNumber", _: String) => true
+    case LessThan("sequenceNumber", _: String) => true
+    case LessThanOrEqual("sequenceNumber", _: String) => true
+    case EqualTo("sequenceNumber", _: String) => true
+    case EqualTo("partition", _: String) => true
+    case StringStartsWith("partition", _: String) => true
+    case _ => false
+  }
+
+  /** Drop chunks that provably contain no matching row. Conservative by
+    * construction: a chunk survives unless EVERY possible seq in its
+    * (exclusiveLower, nameSeq] interval is outside the filter — so
+    * over-keeping is possible (Spark re-evaluates every filter row-wise;
+    * none of these are claimed as fully handled), under-keeping is not. */
+  private[sources] def pruneChunks(chunks: Seq[Chunk], filters: Seq[Filter]): Seq[Chunk] = {
+    if (filters.isEmpty) return chunks
+    val lowers = "" +: chunks.map(_.seq) // exclusive lower bound per chunk
+    chunks.zip(lowers).filter { case (c, lower) =>
+      filters.forall {
+        case GreaterThan("sequenceNumber", v: String) => c.seq > v
+        case GreaterThanOrEqual("sequenceNumber", v: String) => c.seq >= v
+        case LessThan("sequenceNumber", v: String) => lower < v
+        case LessThanOrEqual("sequenceNumber", v: String) => lower < v
+        case EqualTo("sequenceNumber", v: String) => lower < v && c.seq >= v
+        case EqualTo("partition", v: String) => c.datePrefix == v
+        case StringStartsWith("partition", v: String) => c.datePrefix.startsWith(v)
+        case _ => true
+      }
+    }.map(_._1)
+  }
 }
 
 private final class RecordsTable(path: String) extends Table with SupportsRead {
@@ -142,7 +181,7 @@ private final class RecordsTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       // column pruning (V2 citizenship): a `select(sequenceNumber)` or a
       // cursor probe never materializes the payload column — the gzip
       // bytes still stream (the log is line-oriented), but per-row
@@ -151,17 +190,30 @@ private final class RecordsTable(path: String) extends Table with SupportsRead {
       private var pruned: StructType = RecordsSource.Schema
       override def pruneColumns(requiredSchema: StructType): Unit =
         pruned = requiredSchema
+      // filter pushdown prunes chunk FILES (seq bounds against the
+      // file-name cursor, partition equality/prefix against the date
+      // prefix) — a cursor-resume query `seq > <checkpoint>` touches
+      // only the tail of a year-deep log instead of re-listing every
+      // byte. ALL filters stay residual (returned unchanged): the
+      // source never claims row-exact semantics, Spark re-evaluates —
+      // pruning can only over-keep, never drop a matching row.
+      private var pushed: Array[Filter] = Array.empty
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(RecordsSource.prunable)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
       override def build(): Scan =
-        new RecordsScan(path, options.getInt("maxChunksPerTrigger", -1), pruned)
+        new RecordsScan(path, options.getInt("maxChunksPerTrigger", -1), pruned, pushed)
     }
 }
 
 private final class RecordsScan(path: String, maxChunksPerTrigger: Int,
-    schema: StructType) extends Scan {
+    schema: StructType, filters: Array[Filter] = Array.empty) extends Scan {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      RecordsSource.listChunks(path)
+      RecordsSource.pruneChunks(RecordsSource.listChunks(path), filters.toSeq)
         .map(c => ChunkPartition(c.path, c.datePrefix): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new ChunkReaderFactory(schema)

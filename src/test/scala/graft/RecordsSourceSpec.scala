@@ -118,6 +118,39 @@ class RecordsSourceSpec extends AnyFunSuite {
     assert(cursor == seq(2))
   }
 
+  test("filter pushdown prunes chunk files: seq bounds and partition prefixes shrink the scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_fprune_").toString
+    // writer chunks at 2 records/file: [1,2] on 03/01, [3] on 03/02
+    fixture(dir, Seq(
+      (seq(1), "alpha", "2024-03-01 01:00:00"),
+      (seq(2), "beta", "2024-03-01 02:00:00"),
+      (seq(3), "gamma", "2024-03-02 01:00:00")))
+    def nParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case b: BatchScanExec => b.partitions.size }.get
+    val full = Sources.recordsBatch(spark, dir)
+    assert(nParts(full) == 2, "two committed chunks, two partitions unpruned")
+    // seq lower bound: chunk [1,2] (name seq(2)) provably holds nothing >= seq(3)
+    val tail = full.filter(col("sequenceNumber") >= seq(3))
+    assert(nParts(tail) == 1, "seq >= bound must prune the earlier chunk file")
+    assert(tail.collect().map(_.getString(1)).toSeq == Seq("gamma"))
+    // seq upper bound: chunk [3] has exclusive lower seq(2) — nothing <= seq(2)
+    val head = full.filter(col("sequenceNumber") <= seq(2))
+    assert(nParts(head) == 1, "seq <= bound must prune the later chunk file")
+    assert(head.collect().map(_.getString(1)).sorted.toSeq == Seq("alpha", "beta"))
+    // partition prefix: month scan keeps both, day equality keeps one
+    assert(nParts(full.filter(col("partition").startsWith("2024/03"))) == 2)
+    val day = full.filter(col("partition") === "2024/03/02")
+    assert(nParts(day) == 1, "partition equality must prune by date prefix")
+    assert(day.collect().map(_.getString(1)).toSeq == Seq("gamma"))
+    // residual semantics: a bound FALLING INSIDE a chunk keeps the chunk
+    // but Spark's row-level filter still applies — no over-delivery
+    val mid = full.filter(col("sequenceNumber") >= seq(2))
+    assert(nParts(mid) == 2, "seq(2) sits inside chunk [1,2] — conservatively kept")
+    assert(mid.collect().map(_.getString(1)).sorted.toSeq == Seq("beta", "gamma"))
+  }
+
   test("a corrupted chunk FAILS the read loudly (fail-stop, never silent truncation)") {
     // T3 alignment at the source: a truncated gzip member must abort the
     // job with a surfaced cause, not quietly yield fewer rows — silent

@@ -416,5 +416,69 @@ object EvalQueries {
       FROM w ORDER BY bin DESC"""),
     doc = "decile cumulative gains + lift from the q231 bins; unbounded-window totals, fraction-free exact ppm")
 
-  val all: Seq[QueryDef] = Seq(q232, q233, q234, q235, q240, q241, q242)
+  // ---------------------------------------------------------------- q247
+  /** A/B test evaluation as an exact 2×2 chi-square — the experimentation
+    * primitive behind every "did the treatment move conversion" readout.
+    * Cohorts are weekday vs weekend traffic (a deterministic assignment
+    * both engines derive identically); outcome is purchase. For a 2×2
+    * table the statistic collapses to ONE fraction —
+    * χ² = N(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) — so a single integer
+    * division yields the exact ppm value, no per-cell float E. The
+    * determinant and its square ride DECIMAL(38,0)/HUGEINT (ad−bc can
+    * reach ~N²/4, its square ~N⁴/16 — headroom to N ≈ 10⁸ rows, and the
+    * cohort counts this divides by would be pre-aggregated long before
+    * that). Shape: ONE conditional-sum aggregation over the scan; the
+    * arithmetic happens on a 1-row frame. χ² ≥ 3.84 ⇒ p < 0.05 at 1 dof
+    * — the verdict column bakes that literal. */
+  val q247 = QueryDef(
+    "q247_ab_test",
+    (s, d) => {
+      val isWeekend = expr("weekday(date_trunc('day', ts)) + 1") >= 6
+      val isConv = col("event_type") === "purchase"
+      Tables.events(s, d)
+        .agg(
+          sum(when(!isWeekend && isConv, 1L).otherwise(0L)).as("a"),
+          sum(when(!isWeekend && !isConv, 1L).otherwise(0L)).as("b"),
+          sum(when(isWeekend && isConv, 1L).otherwise(0L)).as("c"),
+          sum(when(isWeekend && !isConv, 1L).otherwise(0L)).as("dd"))
+        .select(col("a"), col("b"), col("c"), col("dd"),
+          expr("CAST(a AS DECIMAL(38,0)) * dd - CAST(b AS DECIMAL(38,0)) * c").as("det"),
+          expr("CAST(a + b AS DECIMAL(38,0)) * (c + dd) * (a + c) * (b + dd)").as("den"))
+        .select(
+          (col("a") + col("b")).as("n_weekday"),
+          (col("c") + col("dd")).as("n_weekend"),
+          col("a").as("conv_weekday"), col("c").as("conv_weekend"),
+          when(col("den") > 0,
+            expr("((a + b + c + dd) * det * det * 1000000) div den"))
+            .otherwise(lit(0L)).as("chi2_ppm"))
+        .select(col("n_weekday"), col("n_weekend"), col("conv_weekday"),
+          col("conv_weekend"), col("chi2_ppm"),
+          (col("chi2_ppm") >= 3841459L).as("significant_05"))
+    },
+    Some("""WITH t AS (SELECT
+          CASE WHEN isodow(date_trunc('day', ts)) >= 6 THEN 1 ELSE 0 END AS wk,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events),
+      g AS (SELECT
+          CAST(SUM(CASE WHEN wk = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(SUM(CASE WHEN wk = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+          CAST(SUM(CASE WHEN wk = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+          CAST(SUM(CASE WHEN wk = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dd
+        FROM t),
+      h AS (SELECT a, b, c, dd,
+          CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * c AS det,
+          CAST(a + b AS HUGEINT) * (c + dd) * (a + c) * (b + dd) AS den
+        FROM g),
+      r AS (SELECT a + b AS n_weekday, c + dd AS n_weekend,
+          a AS conv_weekday, c AS conv_weekend,
+          CAST(CASE WHEN den > 0
+            THEN ((a + b + c + dd) * det * det * 1000000) // den
+            ELSE 0 END AS BIGINT) AS chi2_ppm
+        FROM h)
+      SELECT n_weekday, n_weekend, conv_weekday, conv_weekend, chi2_ppm,
+        chi2_ppm >= 3841459 AS significant_05
+      FROM r"""),
+    doc = "2x2 chi-square A/B readout (weekday vs weekend conversion), single exact fraction, p<0.05 verdict baked as a ppm literal")
+
+  val all: Seq[QueryDef] = Seq(q232, q233, q234, q235, q240, q241, q242, q247)
 }

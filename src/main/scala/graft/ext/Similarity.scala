@@ -1063,6 +1063,69 @@ object Similarity {
       WHERE rnk <= 3 ORDER BY user_id, rnk"""),
     doc = "sparse-dot-product user similarity (inverted-index join), exact cos^2 ppm ranking, per-user top-3 via k-row heaps")
 
+  // ---------------------------------------------------------------- q248
+  /** Label-noise mining by k-NN label disagreement (the confident-
+    * learning shape): a vector whose 3 nearest cosine neighbors
+    * majority-vote a DIFFERENT label is a likely annotation error — the
+    * cheapest high-precision mislabel detector, run before any
+    * label-supervised filter is trusted. Reuses q185's tiled all-pairs
+    * scoring + per-src top-3 (round(sim, 6) + dst tie-break keeps the
+    * neighbor sets identical across engines), joins neighbor labels,
+    * majority with (votes desc, label) determinism, and flags when the
+    * majority beats the own label with ≥ 2 of 3 votes. Census per label:
+    * exposure concentrated in one class means systematic mislabeling,
+    * spread means noise. Shape: the O(n²/B) tile join dominates (the q54
+    * bound); everything after is 8-byte-keyed aggs on n·3 rows — and the
+    * q89 sign-LSH candidate stage slots in front unchanged at scale. */
+  val q248 = QueryDef(
+    "q248_label_noise",
+    (s, d) => {
+      val directed = cosineNeardupPairs(s, d, -2.0)
+        .select(explode(array(
+            struct(col("a_id").as("src"), col("b_id").as("dst")),
+            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"),
+          round(col("c"), 6).as("sim"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("sim"))
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+      val knn = directed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select(col("src"), col("dst"))
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val votes = knn
+        .join(labels.select(col("vec_id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("votes"))
+      val wv = Window.partitionBy(col("src")).orderBy(col("votes").desc, col("nl"))
+      val maj = votes.withColumn("r", row_number().over(wv)).filter(col("r") === 1)
+        .select(col("src"), col("nl").as("maj_label"), col("votes").as("maj_votes"))
+      labels.join(maj, col("vec_id") === col("src"))
+        .select(col("label"),
+          when(col("maj_label") =!= col("label") && col("maj_votes") >= 2, 1L)
+            .otherwise(0L).as("flag"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("flag")).as("flagged"),
+          expr("(sum(flag) * 1000000) div count(1)").as("flagged_ppm"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+      scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+          round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      knn AS (SELECT src, dst FROM (
+          SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+          FROM scored) WHERE rn <= 3),
+      nv AS (SELECT k.src, e.label AS nl, COUNT(*) AS votes
+        FROM knn k JOIN e ON e.vec_id = k.dst GROUP BY 1, 2),
+      mj AS (SELECT src, nl AS maj_label, votes AS maj_votes FROM (
+          SELECT src, nl, votes,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY votes DESC, nl) AS r
+          FROM nv) WHERE r = 1),
+      f AS (SELECT e.label,
+          CASE WHEN mj.maj_label <> e.label AND mj.maj_votes >= 2 THEN 1 ELSE 0 END AS flag
+        FROM e JOIN mj ON mj.src = e.vec_id)
+      SELECT label, COUNT(*) AS n, CAST(SUM(flag) AS BIGINT) AS flagged,
+        CAST((SUM(flag) * 1000000) // COUNT(*) AS BIGINT) AS flagged_ppm
+      FROM f GROUP BY label ORDER BY label"""),
+    doc = "k-NN label-disagreement mislabel mining (confident-learning shape) over the tiled cosine graph; per-class exposure census")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248)
 }

@@ -480,5 +480,153 @@ object EvalQueries {
       FROM r"""),
     doc = "2x2 chi-square A/B readout (weekday vs weekend conversion), single exact fraction, p<0.05 verdict baked as a ppm literal")
 
-  val all: Seq[QueryDef] = Seq(q232, q233, q234, q235, q240, q241, q242, q247)
+  // ---------------------------------------------------------------- q249
+  /** Operating-threshold selection — the step between q232's AUC ("the
+    * scores rank well") and q231's calibration ("the probabilities mean
+    * something"): which cutoff should PRODUCTION use? Every distinct
+    * score is a candidate threshold (classify positive at score ≥ t);
+    * a descending cumulative over the score census yields exact TP/FP at
+    * each, and two criteria pick their argmax — Youden's J (TPR − FPR,
+    * the balanced choice) and F1 (via the integer identity
+    * 2tp/(predicted_pos + P), the imbalanced choice). Ties resolve to
+    * the LOWEST threshold (higher recall at equal score) — pinned by the
+    * (score desc, pred asc) row_number on both sides. All integer ppm;
+    * J can go negative and truncation toward zero matches. Shape: the
+    * q232 layout — one score census full-data pass, then windows over
+    * the bounded score domain. */
+  val q249 = QueryDef(
+    "q249_threshold_sweep",
+    (s, d) => {
+      val byScore = Tables.events(s, d)
+        .select(predPpm.as("pred"), posLabel.as("pos"))
+        .groupBy(col("pred"))
+        .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+      val desc = Window.orderBy(col("pred").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.orderBy(col("pred").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val swept = byScore
+        .withColumn("tp", sum(col("p")).over(desc))
+        .withColumn("pp", sum(col("c")).over(desc))
+        .withColumn("tot_p", sum(col("p")).over(all))
+        .withColumn("tot_n", sum(col("c") - col("p")).over(all))
+        .select(col("pred"), col("tp"), (col("pp") - col("tp")).as("fp"),
+          when(col("tot_p") > 0 && col("tot_n") > 0,
+            expr("(tp * 1000000) div tot_p - ((pp - tp) * 1000000) div tot_n"))
+            .otherwise(lit(0L)).as("youden_ppm"),
+          when(col("pp") + col("tot_p") > 0,
+            expr("(2 * tp * 1000000) div (pp + tot_p)"))
+            .otherwise(lit(0L)).as("f1_ppm"))
+      val wc = Window.partitionBy(col("criterion"))
+        .orderBy(col("score_ppm").desc, col("pred"))
+      swept
+        .selectExpr("pred", "tp", "fp",
+          "stack(2, 'f1', f1_ppm, 'youden', youden_ppm) AS (criterion, score_ppm)")
+        .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+        .select(col("criterion"), col("pred").as("threshold_ppm"),
+          col("tp"), col("fp"), col("score_ppm"))
+        .orderBy(col("criterion"))
+    },
+    Some("""WITH b AS (SELECT least(CAST(floor(value * 2000) AS BIGINT), 999999) AS pred,
+          CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS pos
+        FROM events),
+      g AS (SELECT pred, COUNT(*) AS c, CAST(SUM(pos) AS BIGINT) AS p
+        FROM b GROUP BY pred),
+      sw AS (SELECT pred,
+          SUM(p) OVER (ORDER BY pred DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+          SUM(c) OVER (ORDER BY pred DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+          SUM(p) OVER () AS tot_p, SUM(c - p) OVER () AS tot_n
+        FROM g),
+      m AS (SELECT pred, tp, pp - tp AS fp,
+          CASE WHEN tot_p > 0 AND tot_n > 0
+            THEN (tp * 1000000) // tot_p - ((pp - tp) * 1000000) // tot_n
+            ELSE 0 END AS youden_ppm,
+          CASE WHEN pp + tot_p > 0 THEN (2 * tp * 1000000) // (pp + tot_p)
+            ELSE 0 END AS f1_ppm
+        FROM sw),
+      u AS (SELECT pred, tp, fp, 'f1' AS criterion, f1_ppm AS score_ppm FROM m
+        UNION ALL SELECT pred, tp, fp, 'youden', youden_ppm FROM m),
+      r AS (SELECT criterion, pred, tp, fp, score_ppm,
+          ROW_NUMBER() OVER (PARTITION BY criterion
+            ORDER BY score_ppm DESC, pred) AS rn
+        FROM u)
+      SELECT criterion, pred AS threshold_ppm, CAST(tp AS BIGINT) AS tp,
+        CAST(fp AS BIGINT) AS fp, CAST(score_ppm AS BIGINT) AS score_ppm
+      FROM r WHERE rn = 1 ORDER BY criterion"""),
+    doc = "operating-threshold argmax for Youden J and F1 over the exact score sweep; lowest-threshold tie-break pinned both sides")
+
+  // ---------------------------------------------------------------- q250
+  /** Poisson-bootstrap confidence interval for mean purchase value — THE
+    * distributed bootstrap: instead of resampling rows (impossible in one
+    * pass), every row carries a deterministic per-replica weight with
+    * mean 1, here Binomial(4, ¼) read off four md5 hex digits of
+    * (event_id, replica) — bit-identical in both engines, no RNG state,
+    * no shuffle of the raw data beyond one 32-way weighted aggregation
+    * whose partial aggregates collapse to B rows per task. Replica means
+    * use integer cents (value·100 rounds exactly — the fixture has 2
+    * decimals); the CI is the 2nd/31st order statistic of the 32 replica
+    * means (replica id tie-break), and the point estimate rides the same
+    * output row via a whitelisted 1-row broadcast crossJoin. At 100 TB
+    * the 32× aggregation input is the entire cost and B is the knob —
+    * this is how Spark pipelines put error bars on anything without a
+    * second pass over the data. */
+  val q250 = QueryDef(
+    "q250_bootstrap_ci",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val h = md5(concat(col("event_id").cast("string"), lit(":"),
+        col("b").cast("string")))
+      val w = (1 to 4).map(k =>
+          when(substring(h, k, 1).isin("0", "1", "2", "3"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val means = ev
+        .select(col("event_id"), col("cents"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .select(col("b"), col("cents"), w.as("w"))
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("sw"), sum(col("cents") * col("w")).as("swc"))
+        .select(col("b"),
+          when(col("sw") > 0, expr("swc div sw")).otherwise(lit(0L)).as("mean_cents"))
+      val ranked = means.withColumn("rn",
+        row_number().over(Window.orderBy(col("mean_cents"), col("b"))))
+      val point = broadcast(ev.agg(
+        expr("sum(cents) div count(1)").as("point_cents")))
+      ranked
+        .agg(min(when(col("rn") === 2, col("mean_cents"))).as("lo_cents"),
+          min(when(col("rn") === 31, col("mean_cents"))).as("hi_cents"))
+        .crossJoin(point)
+        .select(col("point_cents"), col("lo_cents"), col("hi_cents"))
+    },
+    Some("""WITH ev AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      rep AS (SELECT ev.event_id, ev.cents, r.range AS b FROM ev, range(0, 32) r),
+      wt AS (SELECT b, cents,
+          (CASE WHEN substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1)
+             IN ('0','1','2','3') THEN 1 ELSE 0 END
+          + CASE WHEN substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 2, 1)
+             IN ('0','1','2','3') THEN 1 ELSE 0 END
+          + CASE WHEN substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 3, 1)
+             IN ('0','1','2','3') THEN 1 ELSE 0 END
+          + CASE WHEN substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 4, 1)
+             IN ('0','1','2','3') THEN 1 ELSE 0 END) AS w
+        FROM rep),
+      mn AS (SELECT b,
+          CASE WHEN SUM(w) > 0 THEN CAST(SUM(cents * w) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+            ELSE 0 END AS mean_cents
+        FROM wt GROUP BY b),
+      rk AS (SELECT mean_cents,
+          ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rn FROM mn),
+      ci AS (SELECT MIN(CASE WHEN rn = 2 THEN mean_cents END) AS lo_cents,
+          MIN(CASE WHEN rn = 31 THEN mean_cents END) AS hi_cents FROM rk),
+      pt AS (SELECT CAST(SUM(cents) AS BIGINT) // COUNT(*) AS point_cents FROM ev)
+      SELECT CAST(point_cents AS BIGINT) AS point_cents,
+        CAST(lo_cents AS BIGINT) AS lo_cents, CAST(hi_cents AS BIGINT) AS hi_cents
+      FROM ci CROSS JOIN pt"""),
+    doc = "Poisson-bootstrap CI (B=32, deterministic md5 Binomial(4,1/4) weights) for mean purchase value; order-statistic bounds, one weighted agg")
+
+  val all: Seq[QueryDef] = Seq(q232, q233, q234, q235, q240, q241, q242, q247,
+    q249, q250)
 }

@@ -129,7 +129,8 @@ class ScaleSpec extends AnyFunSuite {
       "q226_trend_forecast",    // crossJoin(broadcast(1-row min-day origin))
       "q230_annotator_kappa",   // crossJoin(broadcast(1-row chance-agreement sum))
       "q238_textrank_keywords", // crossJoin(broadcast(1-row node count)), q185 shape
-      "q244_split_balance")     // crossJoin(broadcast(1-row grand total)), q230 convention
+      "q244_split_balance",     // crossJoin(broadcast(1-row grand total)), q230 convention
+      "q250_bootstrap_ci")      // crossJoin(broadcast(1-row point estimate))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

@@ -1132,6 +1132,55 @@ object Dedup {
       FROM a"""),
     doc = "degree assortativity (exact rational Pearson on the symmetrized near-dup graph); template-farm vs hub-and-spoke verdict")
 
+  // ---------------------------------------------------------------- q251
+  /** Near-dedup threshold sensitivity — the decision curve behind the
+    * single most consequential knob in corpus curation: at each candidate
+    * Jaccard threshold (0.6 … 1.0 in 0.1 steps, the range where the q41
+    * LSH candidate set is recall-complete on this banding), how many
+    * pairs would be collapsed and how many documents touched? Reading
+    * the curve: a cliff between two thresholds means a near-dup family
+    * with that internal similarity — move the knob past it deliberately,
+    * not by default. Buckets come from floor(j·10) on the verified pair
+    * set (one IEEE multiply + floor — bit-identical), and the cumulative
+    * counts are produced by EXPLODING each pair into every threshold it
+    * survives (sequence(6, bucket)) — one generate pass over the tiny
+    * pair frame, no per-threshold rescan of anything, no crossJoin.
+    * At 100 TB the pair set is the already-computed q41 artifact and
+    * this is a minutes-long rollup over it. */
+  val q251 = QueryDef(
+    "q251_dedup_sensitivity",
+    (s, d) => {
+      val pb = lshVerifiedPairs(s, d, 0.6)
+        .select(col("a_id"), col("b_id"),
+          least(floor(col("j") * 10).cast("int"), lit(10)).as("bucket"))
+      val rep = pb.select(col("a_id"), col("b_id"),
+        explode(sequence(lit(6), col("bucket"))).as("t10"))
+      val pairsPerT = rep.groupBy(col("t10")).agg(count(lit(1)).as("cum_pairs"))
+      val docsPerT = rep
+        .select(col("t10"), explode(array(col("a_id"), col("b_id"))).as("id"))
+        .groupBy(col("t10")).agg(countDistinct(col("id")).as("docs_touched"))
+      pairsPerT.join(docsPerT, "t10")
+        .select(col("t10"), col("cum_pairs"), col("docs_touched"))
+        .orderBy(col("t10"))
+    },
+    Some(OracleShingles + """,
+      pj AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          least(CAST(floor((len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh)))) * 10) AS INT), 10) AS bucket
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+      rep AS (SELECT a_id, b_id, u AS t10
+        FROM pj, unnest(range(6, bucket + 1)) AS r(u)),
+      pp AS (SELECT t10, COUNT(*) AS cum_pairs FROM rep GROUP BY 1),
+      dd AS (SELECT t10, COUNT(DISTINCT id) AS docs_touched FROM (
+          SELECT t10, a_id AS id FROM rep UNION ALL SELECT t10, b_id FROM rep)
+        GROUP BY 1)
+      SELECT pp.t10, CAST(pp.cum_pairs AS BIGINT) AS cum_pairs,
+        CAST(dd.docs_touched AS BIGINT) AS docs_touched
+      FROM pp JOIN dd USING (t10) ORDER BY t10"""),
+    doc = "dedup-threshold decision curve: cumulative pairs + docs touched per Jaccard decile from one generate pass over the verified pair set")
+
   val all: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196, q204, q224, q236, q237)
+    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196, q204, q224, q236, q237, q251)
 }

@@ -795,7 +795,69 @@ object CurationQueries {
       FROM v GROUP BY source ORDER BY source"""),
     doc = "3-signal majority-vote quality gate (length, word-shape, diversity), fraction-free integer votes; per-source survival census")
 
+  // --------------------------------------------------------------- q252
+  /** Bigram language-model quality scoring — the shape of a perplexity
+    * filter (CCNet / Wenzek et al. 2020 use a KenLM 5-gram; the decision
+    * variable is the mean per-token log-probability under a corpus LM).
+    * Here the LM is a bigram model trained on the corpus itself and the
+    * score is kept EXACT instead of transcendental: per bigram the
+    * conditional probability p(y|x) = c_xy/c_x is emitted as the scaled
+    * integer c_xy·10⁹ div c_x (ppb), and a document's score is the exact
+    * integer mean of its bigrams' ppb values (arithmetic mean of
+    * conditional probabilities — rank-equivalent to perplexity for the
+    * gating use-case, and bit-identical across engines where a sum of
+    * ln() calls is not). Low score = improbable word transitions =
+    * gibberish/keyword-stuffing candidate; output is the bottom-15
+    * filter candidates plus each doc's worst single transition count.
+    *
+    * Scale shape: the LM is vocabulary²-bounded (Heaps' law — sublinear
+    * in corpus size), built with two token-keyed aggs; scoring re-joins
+    * doc bigrams to the LM on the (x, y) string pair — at 100 TB the LM
+    * is capped to top-K rows + unigram backoff and BROADCAST, making the
+    * scoring pass shuffle-free except the final doc-keyed partial agg.
+    * Here the join is left as an equi-join so AQE picks the strategy and
+    * the query stays exact (no cap). */
+  val q252 = QueryDef(
+    "q252_lm_quality_score",
+    (s, d) => {
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val bg = w.select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
+          struct(element_at(col("w"), i + 1).as("x"),
+            element_at(col("w"), i + 2).as("y")))).as("p"))
+        .select(col("doc_id"), col("source"), col("p.x").as("x"), col("p.y").as("y"))
+      val cx = bg.groupBy(col("x")).agg(count(lit(1)).as("c_x"))
+      val cxy = bg.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+        .join(cx, "x")
+        .select(col("x"), col("y"),
+          expr("(cast(c_xy as decimal(38,0)) * 1000000000) div c_x").as("ppb"))
+      bg.join(cxy, Seq("x", "y"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(ppb) div count(1)").as("score_ppb"),
+          min(col("ppb")).as("worst_ppb"))
+        .orderBy(col("score_ppb"), col("doc_id"))
+        .limit(15)
+    },
+    Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+      bg AS (SELECT doc_id, source,
+          unnest([{'x': a[i], 'y': a[i+1]} for i in range(1, len(a))], recursive := true)
+        FROM w),
+      cx AS (SELECT x, count(*) AS c_x FROM bg GROUP BY x),
+      cxy AS (SELECT bg.x, bg.y, (count(*) * 1000000000) // any_value(cx.c_x) AS ppb
+        FROM bg JOIN cx USING (x) GROUP BY bg.x, bg.y)
+      SELECT doc_id, source, count(*) AS n_bigrams,
+        CAST(sum(ppb) // count(*) AS BIGINT) AS score_ppb,
+        CAST(min(ppb) AS BIGINT) AS worst_ppb
+      FROM bg JOIN cxy USING (x, y)
+      GROUP BY doc_id, source
+      ORDER BY score_ppb, doc_id LIMIT 15"""),
+    doc = "bigram-LM quality score (perplexity-filter shape): exact ppb conditional probabilities, integer mean per doc, bottom-15 gate candidates")
+
   val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149, q150,
-    q200, q222, q230, q244, q245, q246)
+    q200, q222, q230, q244, q245, q246, q252)
 }
 

@@ -1181,6 +1181,77 @@ object Dedup {
       FROM pp JOIN dd USING (t10) ORDER BY t10"""),
     doc = "dedup-threshold decision curve: cumulative pairs + docs touched per Jaccard decile from one generate pass over the verified pair set")
 
+  // ---------------------------------------------------------------- q257
+  /** Exact longest-shared-token-span per near-dup pair — the measurement
+    * stage of exact-substring dedup (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" uses a suffix array;
+    * the relational equivalent over an ALREADY-BUCKETED candidate set is
+    * seed-and-extend): for each LSH-verified pair, join the two docs'
+    * 8-word gram position lists on gram equality, project each match
+    * onto its alignment diagonal (i − j), and take the longest
+    * consecutive run per diagonal with the gaps-and-islands trick
+    * (i − row_number is constant within a run). max run of matching
+    * 8-grams + 7 = the exact longest shared word span. Unlike q105
+    * (winnowing fingerprints — sampled, probabilistic spans), this is
+    * exact, and affordable precisely because it runs AFTER candidate
+    * generation: the frame is pair-bounded, never corpus².
+    *
+    * Scale shape: grams explode map-side; the only wide ops are the two
+    * pair-to-gram equi-joins (keyed by doc id — pair-bounded fan-out)
+    * and the island window over (pair, diag) — partitions are single
+    * doc-pair alignments, never large. Gram text (8 words) is the join
+    * key only within a pair's rows; at 100 TB swap it for xxhash64(g)
+    * with the q40 guard if gram bytes dominate the shuffle. */
+  val q257 = QueryDef(
+    "q257_shared_span",
+    (s, d) => {
+      val pairs = lshVerifiedPairs(s, d, 0.7).select(col("a_id"), col("b_id"))
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+      val grams = w.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - 8), i =>
+          array_join(slice(col("w"), i + 1, lit(8)), " "))).as(Seq("pos", "g")))
+      val m = pairs
+        .join(grams.select(col("doc_id").as("a_id"), col("pos").as("i"), col("g")), "a_id")
+        .join(grams.select(col("doc_id").as("b_id"), col("pos").as("j"), col("g")),
+          Seq("b_id", "g"))
+      val isl = m
+        .select(col("a_id"), col("b_id"), (col("i") - col("j")).as("diag"), col("i"))
+        .withColumn("k", col("i") - row_number().over(
+          Window.partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("i"))))
+        .groupBy(col("a_id"), col("b_id"), col("diag"), col("k"))
+        .agg(count(lit(1)).as("c"))
+      isl.groupBy(col("a_id"), col("b_id"))
+        .agg((max(col("c")) + 7).as("max_run_words"),
+          sum(col("c")).as("n_gram_matches"))
+        .orderBy(col("max_run_words").desc, col("a_id"), col("b_id"))
+    },
+    Some(OracleShingles + """,
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+      g AS (SELECT doc_id,
+          unnest([{'pos': i-1, 'g': array_to_string(words[i:i+7], ' ')}
+                  for i in range(1, len(words)-6)], recursive := true)
+        FROM w WHERE len(words) >= 8),
+      m AS (SELECT p.a_id, p.b_id, ga.pos AS i, gb.pos AS j
+        FROM pairs p
+        JOIN g ga ON ga.doc_id = p.a_id
+        JOIN g gb ON gb.doc_id = p.b_id AND gb.g = ga.g),
+      isl AS (SELECT a_id, b_id,
+          i - row_number() OVER (PARTITION BY a_id, b_id, i - j ORDER BY i) AS k,
+          i - j AS diag
+        FROM m),
+      runs AS (SELECT a_id, b_id, diag, k, count(*) AS c
+        FROM isl GROUP BY a_id, b_id, diag, k)
+      SELECT a_id, b_id, CAST(max(c) + 7 AS BIGINT) AS max_run_words,
+        CAST(sum(c) AS BIGINT) AS n_gram_matches
+      FROM runs GROUP BY a_id, b_id
+      ORDER BY max_run_words DESC, a_id, b_id"""),
+    doc = "exact longest shared word span per verified near-dup pair: 8-gram diagonal gaps-and-islands, pair-bounded (the exact-substring-dedup measurement stage)")
+
   val all: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196, q204, q224, q236, q237, q251)
+    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196, q204, q224, q236, q237, q251, q257)
 }

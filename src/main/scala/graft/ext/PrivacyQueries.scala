@@ -448,5 +448,75 @@ object PrivacyQueries {
       FROM pud GROUP BY event_type ORDER BY event_type"""),
     doc = "DP sensitivity audit: max per-subject contribution per cell family + exact clamp loss at C=3")
 
-  val all: Seq[QueryDef] = Seq(q120, q121, q122, q125, q171, q217, q218, q219)
+  // --------------------------------------------------------------- q253
+  /** Boilerplate paragraph stripping — the OTHER half of CCNet-style
+    * structural cleanup. q121 is keep-first instance dedup (every
+    * paragraph text survives exactly once corpus-wide); this pass instead
+    * REMOVES every instance (including the first) of any paragraph whose
+    * document frequency is ≥ 3 distinct docs — the "terms of service /
+    * nav bar / cookie banner" pattern, where the text is noise wherever
+    * it appears, not content that deserves one canonical copy.
+    * Segmentation is the same deterministic 16-word block as q121.
+    * Output per doc: paragraph counts, boilerplate instances removed,
+    * chars removed, and an md5 of the reassembled (in-order) kept text so
+    * the full stripped corpus never lands in the result set.
+    *
+    * Scale shape: document frequency is a window count-distinct over
+    * xxhash64(para) — one 8-byte-keyed shuffle, same as q121, with the
+    * same second-hash collision fail-stop (a collision would wrongly
+    * brand a unique paragraph boilerplate); reassembly is the per-doc
+    * groupBy. DF (distinct docs), not raw frequency, is the decision
+    * variable, so a single doc that repeats its own paragraph 50× is NOT
+    * flagged — repetition inside one doc is q116/q245's business. */
+  val q253 = QueryDef(
+    "q253_boilerplate_strip",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val paras = Tables.documents(s, d).select(col("doc_id"),
+        transform(
+          sequence(lit(0), ceil(size(words) / lit(16.0)).cast("int") - 1),
+          i => array_join(slice(words, i * lit(16) + 1, lit(16)), " ")).as("paras"))
+      val part = Window.partitionBy(col("ph"))
+      val marked = paras
+        .select(col("doc_id"), posexplode(col("paras")).as(Seq("idx", "para")))
+        .withColumn("ph", xxhash64(col("para")))
+        .select(col("doc_id"), col("idx"), col("para"),
+          (size(collect_set(col("doc_id")).over(part)) >= 3).as("boiler"),
+          (min(Dedup.guardHash(col("para"))).over(part)
+            =!= max(Dedup.guardHash(col("para"))).over(part)).as("collision"))
+      marked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("boiler"), length(col("para"))).otherwise(0L)).as("chars_removed"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(when(!col("boiler"), struct(col("idx"), col("para"))))),
+              x => x.getField("para")),
+            "\n")).as("kept_md5"),
+          max(col("collision")).as("bad"))
+        .select(col("doc_id"), col("n_paras"),
+          when(col("bad"),
+            raise_error(lit("q253: xxhash64 collision — distinct paragraphs in one group"))
+              .cast("long"))
+            .otherwise(col("n_removed")).as("n_removed"),
+          col("chars_removed"), col("kept_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+      p0 AS (SELECT doc_id,
+          [{'idx': i-1, 'para': array_to_string(words[(i-1)*16+1:(i-1)*16+16], ' ')}
+           for i in range(1, CAST(ceil(len(words)/16.0) AS BIGINT)+1)] AS lst FROM w),
+      p AS (SELECT doc_id, unnest(lst) AS u FROM p0),
+      r AS (SELECT doc_id, u.idx AS idx, u.para AS para,
+              count(DISTINCT doc_id) OVER (PARTITION BY u.para) >= 3 AS boiler
+            FROM p)
+      SELECT doc_id, count(*) AS n_paras,
+        count(*) FILTER (WHERE boiler) AS n_removed,
+        CAST(coalesce(sum(length(para)) FILTER (WHERE boiler), 0) AS BIGINT) AS chars_removed,
+        md5(coalesce(string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE NOT boiler), ''))
+          AS kept_md5
+      FROM r GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "CCNet boilerplate removal: strip ALL instances of paragraphs with DF >= 3 docs; 8-byte hash shuffle, collision fail-stop, per-doc reassembly md5")
+
+  val all: Seq[QueryDef] = Seq(q120, q121, q122, q125, q171, q217, q218, q219, q253)
 }

@@ -651,8 +651,155 @@ object Relational {
         ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
       ORDER BY event_id"""))
 
+  // --------------------------------------------------------------- q254
+  /** TPC-H Q8-shape national market share: of all PROMO-part revenue
+    * bought by EUROPE customers in 1996-1997, what fraction was supplied
+    * by NATION_7, per order year? The 6-way join tree is the classic
+    * star-heavy shape: fact lineitem joins orders (shuffle on orderkey),
+    * then every dimension — part (filtered before the join so the
+    * build side is small), supplier, customer, nation ×2, region — is
+    * broadcast. Both revenue sums ride ONE decimal-accumulator aggregate
+    * (sum + conditional sum in the same pass, no self-join / no second
+    * scan), and the share is a single double division of the two exact
+    * sums — IEEE-identical across engines. At 100 TB: one fact-fact
+    * shuffle (orderkey), everything else broadcast; AQE would pick the
+    * same tree. */
+  val q254 = QueryDef(
+    "q254_market_share",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
+      val sup = Tables.supplier(s, d)
+      val c = Tables.customer(s, d)
+      val nS = Tables.nation(s, d).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val nC = Tables.nation(s, d).select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nS), sup("s_nationkey") === col("sn_key"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(nC), c("c_nationkey") === col("cn_key"))
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("vol"),
+          col("supp_nation"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7", col("vol")).otherwise(0.0)
+            .cast(DecimalType(18, 4))).cast("double").as("nation_vol"),
+          dsum4(col("vol")).as("total_vol"))
+        .select(col("o_year"), col("nation_vol"), col("total_vol"),
+          (col("nation_vol") / col("total_vol")).as("share"))
+        .orderBy(col("o_year"))
+    },
+    Some("""SELECT year(o_orderdate) AS o_year,
+        CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_7'
+            THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4)))
+          AS DOUBLE) AS nation_vol,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+          AS DOUBLE) AS total_vol,
+        CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_7'
+            THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4)))
+          AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+          AS DOUBLE) AS share
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY year(o_orderdate) ORDER BY o_year"""),
+    doc = "TPC-H Q8 market-share shape: 6-way star join, one fact shuffle + broadcast dims, both sums in one decimal-exact pass")
+
+  // --------------------------------------------------------------- q255
+  /** TPC-H Q9-shape product-line profit by supplier nation × year. The
+    * corpus has no partsupp table, so supply cost is proxied by
+    * 0.6 · p_retailprice · l_quantity (documented substitution — the
+    * JOIN/AGG shape, which is what Q9 stresses, is unchanged: fact joins
+    * two broadcast dims + orders on the shuffle key, then a two-level
+    * group). Profit per line = revenue − cost, decimal-accumulated. */
+  val q255 = QueryDef(
+    "q255_nation_profit",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val o = Tables.orders(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - lit(0.6) * col("p_retailprice") * col("l_quantity")).as("amount"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(dsum4(col("amount")).as("profit"), count(lit(1)).as("n_lines"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+            - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit,
+        COUNT(*) AS n_lines
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name, year(o_orderdate)
+      ORDER BY nation, o_year DESC"""),
+    doc = "TPC-H Q9 profit shape (supply cost proxied — no partsupp table): star join + two-level agg, decimal-exact")
+
+  // --------------------------------------------------------------- q256
+  /** TPC-H Q2-shape "best supplier per part": among suppliers that
+    * actually shipped a given SMALL-size part, pick the one with the
+    * highest account balance (tie → lowest suppkey), then report the
+    * top 20 such (part, supplier) pairs by balance. The Q2 essence — a
+    * correlated max subquery turned into a per-key argmax — is expressed
+    * as ONE max_by aggregate over the distinct ship pairs instead of a
+    * window sort or a self-join with a MAX subquery: one shuffle on
+    * partkey, agg state O(parts). */
+  val q256 = QueryDef(
+    "q256_best_supplier",
+    (s, d) => {
+      val p = Tables.part(s, d).filter(col("p_size") <= 5)
+      val pairs = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("l_suppkey")).distinct()
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      pairs.groupBy(col("p_partkey"), col("p_brand"))
+        .agg(max_by(struct(col("s_name"), col("s_acctbal")),
+          struct(col("s_acctbal"), -col("s_suppkey"))).as("best"),
+          count(lit(1)).as("n_suppliers"))
+        .select(col("p_partkey"), col("p_brand"),
+          col("best.s_name").as("s_name"), col("best.s_acctbal").as("s_acctbal"),
+          col("n_suppliers"))
+        .orderBy(col("s_acctbal").desc, col("p_partkey"))
+        .limit(20)
+    },
+    Some("""WITH pairs AS (SELECT DISTINCT p_partkey, p_brand, l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size <= 5),
+      sp AS (SELECT p_partkey, p_brand, s_name, s_acctbal,
+          row_number() OVER (PARTITION BY p_partkey
+            ORDER BY s_acctbal DESC, l_suppkey) AS rn,
+          count(*) OVER (PARTITION BY p_partkey) AS n_suppliers
+        FROM pairs JOIN supplier ON l_suppkey = s_suppkey)
+      SELECT p_partkey, p_brand, s_name, s_acctbal, CAST(n_suppliers AS BIGINT) AS n_suppliers
+      FROM sp WHERE rn = 1
+      ORDER BY s_acctbal DESC, p_partkey LIMIT 20"""),
+    doc = "TPC-H Q2 shape: per-part best-supplier argmax via one max_by agg (no window sort, no correlated-MAX self-join)")
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q53)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q53,
+    q254, q255, q256)
 }

@@ -139,7 +139,8 @@ class ScaleGrowthSpec extends AnyFunSuite {
   test("linear chains grow near-linearly on the 10x corpus, plans unchanged") {
     for (q <- Seq(graft.ext.Dedup.q100, graft.ext.Dedup.q106,
         graft.ext.Dedup.q174, graft.ext.CurationQueries.q116,
-        graft.ext.PrivacyQueries.q121, graft.ext.CurationQueries.q150))
+        graft.ext.PrivacyQueries.q121, graft.ext.CurationQueries.q150,
+        graft.ext.PrivacyQueries.q253, graft.ext.CurationQueries.q252))
       checkChain(q, DocRatio, 1.5 * DocRatio)
   }
 

@@ -244,7 +244,28 @@ class ScaleSpec extends AnyFunSuite {
       // signature-hash equi-join (both sides reuse one exchange pair) +
       // output sort; candidates only ever meet on the 8-byte hash
       Pin(graft.ext.Dedup.q224, 2, Set("BroadcastHashJoin"),
-        "SymSpell: deletion-signature equi-join, never an all-pairs"))
+        "SymSpell: deletion-signature equi-join, never an all-pairs"),
+      // bigram aggs (vocab-keyed, sublinear) + per-doc agg; the LM joins
+      // back to instances as a broadcast; bottom-15 is TakeOrdered
+      Pin(graft.ext.CurationQueries.q252, 3, Set("BroadcastHashJoin"),
+        "LM scoring: vocab-keyed count aggs; LM broadcasts to instances; no global sort"),
+      // para-hash window shuffle + per-doc agg + output sort (q121 shape)
+      Pin(graft.ext.PrivacyQueries.q253, 3, Set.empty,
+        "boilerplate strip shuffles the 8-byte para hash, then one doc agg"),
+      // all six dims broadcast: the fact table never exchanges before the
+      // year agg; sort output is the second exchange
+      Pin(graft.operators.Relational.q254, 2, Set("BroadcastHashJoin"),
+        "Q8 market share: star join all-broadcast, one agg + sort"),
+      Pin(graft.operators.Relational.q255, 2, Set("BroadcastHashJoin"),
+        "Q9 profit: star join all-broadcast, one two-level agg + sort"),
+      // distinct-pairs agg + per-part max_by agg; top-20 is TakeOrdered,
+      // never a window sort or correlated-MAX self-join
+      Pin(graft.operators.Relational.q256, 2, Set("BroadcastHashJoin"),
+        "Q2 best supplier: one argmax agg per part, no window"),
+      // pair gen (bucket join + distinct) + gram joins broadcast at fixture
+      // size + island window + run/pair aggs + sort
+      Pin(graft.ext.Dedup.q257, 2, Set("BroadcastHashJoin"),
+        "shared span: pair-bounded gram equi-joins, never corpus-squared"))
     val problems = pins.flatMap { p =>
       val plan = p.q.fn(spark, sf).queryExecution.executedPlan.toString
       val shuffles = shuffleRe.findAllIn(plan).size

@@ -24,9 +24,10 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** Session configuration every graft session needs at build time.
-    * `spark.sql.legacy.parquet.nanosAsLong`: `events.ts` is written as
-    * parquet TIMESTAMP(NANOS), which Spark's reader otherwise rejects
-    * outright (PARQUET_TYPE_ILLEGAL); the flag reads it as LongType nanos.
+    * `spark.sql.legacy.parquet.nanosAsLong`: some generations of the driver
+    * corpus write `events.ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * reader otherwise rejects outright (PARQUET_TYPE_ILLEGAL); the flag
+    * reads it as LongType nanos. Harmless when the corpus is µs-encoded.
     * Applied once at SparkSession build (Bench/Verify/Engine/specs) — NOT
     * per table load: a `conf.set` inside a loader is a hidden global write,
     * order-dependent under concurrent plan building and surprising to any
@@ -36,17 +37,35 @@ object Tables {
 
   /** Exposes BOTH timestamp representations so every query picks the
     * right precision:
-    *  - `ts_ns`: raw epoch-nanos long (lossless; use when the oracle side
+    *  - `ts_ns`: epoch-nanos long (lossless; use when the oracle side
     *    compares via DuckDB `epoch_ns(ts)`)
-    *  - `ts`: TimestampType truncated to micros (Spark's native precision;
-    *    use for date_trunc/window-style ops where sub-µs never matters)
-    * Integer `div` keeps the ns→µs conversion exact — a double division
-    * would lose precision above 2^53. Requires [[sessionConf]] at session
-    * build. */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    *  - `ts`: TimestampType at micros (Spark's native precision; use for
+    *    date_trunc/window-style ops where sub-µs never matters)
+    *
+    * The on-disk encoding of `ts` is NOT pinned — the corpus has shipped
+    * both parquet TIMESTAMP(NANOS) (read as LongType nanos under
+    * [[sessionConf]]) and TIMESTAMP(MICROS) (read as TimestampType /
+    * TIMESTAMP_NTZ). A 100-TB lake never has one uniform file vintage, so
+    * the loader branches on the READ dtype instead of assuming a writer:
+    *  - LongType → nanos: `ts_ns` is the raw value; `ts` via
+    *    `timestamp_micros(ns div 1000)` (integer `div` keeps the ns→µs
+    *    conversion exact — double division loses precision above 2^53)
+    *  - timestamp[us] (TZ or NTZ) → `ts_ns = unix_micros(ts) * 1000`
+    *    (exact: µs-long × 1000 stays far inside Long range) and `ts` cast
+    *    to session-TZ TimestampType. Sessions run UTC (Verify/Bench/specs)
+    *    so NTZ→TZ is value-preserving and matches the DuckDB oracle's
+    *    naive-UTC reading of the same files. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+          .withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -23,6 +23,13 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    Preflight.report(spark, sfDir).foreach(System.err.println)
+    // Partial failure must be LOUD: a swallowed per-query exception makes the
+    // round's correctness file silently smaller (r06 lost 73 queries to a
+    // schema drift and the artifact still read as green). Every failure is
+    // recorded in failures.json next to oracle_sql.json so the driver — and
+    // the next round's reader — sees exactly what died and why.
+    var failures = Vector.empty[(String, String)]
     SparkEntry.registry.foreach { q =>
       if (only.isEmpty || only(q.name)) {
         val t0 = System.nanoTime()
@@ -31,7 +38,9 @@ object Verify {
             .parquet(s"$outDir/${q.name}")
           System.err.println(f"[verify] ${q.name} ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
         } catch { case e: Throwable =>
-          System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(400)}"
+          failures :+= (q.name -> msg)
+          System.err.println(s"[verify] ${q.name} failed: $msg")
         }
       }
     }
@@ -50,6 +59,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] *** ${failures.size} QUERIES FAILED — see failures.json ***")
     spark.stop()
   }
 }

@@ -152,5 +152,41 @@ object Bpe {
     None, // depends on the iterative trainer (see q134)
     doc = "10-merge BPE applied to the vocab; frequency-weighted compression census")
 
-  val all: Seq[QueryDef] = Seq(q134, q135)
+  // --------------------------------------------------------------- q261
+  /** Round 1 of the merge election as a standalone query WITH a full
+    * DuckDB oracle: a single argmax over adjacent-pair counts is plain
+    * SQL (it's only rounds ≥ 2, whose input depends on the previous
+    * argmax, that no recursive CTE can express — aggregates are barred
+    * from the recursive term). q134/q135 stay spec-pinned against the
+    * independent reference implementation; this row makes the election
+    * logic itself — vocab build, sentinel, adjacency, tie order — cross
+    * an engine boundary every round. */
+  val q261 = QueryDef(
+    "q261_bpe_first_merge",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      vocab.select(col("freq"),
+          concat(split(col("word"), ""), array(lit(Eow))).as("syms"))
+        .select(col("freq"), col("syms"), posexplode(col("syms")).as(Seq("i", "l")))
+        .withColumn("r", try_element_at(col("syms"), col("i") + 2))
+        .filter(col("r").isNotNull)
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(1)
+        .select(lit(1).as("merge_rank"), col("l").as("left"),
+          col("r").as("right"), col("pair_count"))
+    },
+    Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      v AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+      syms AS (SELECT freq, list_append(string_split(word, ''), '</w>') AS s FROM v),
+      px AS (SELECT freq, s, generate_subscripts(s, 1) AS i, unnest(s) AS l FROM syms),
+      pr AS (SELECT l, s[i + 1] AS r, freq FROM px WHERE i < len(s)),
+      pc AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM pr GROUP BY l, r)
+      SELECT 1 AS merge_rank, l AS "left", r AS "right", pair_count
+      FROM pc ORDER BY pair_count DESC, l, r LIMIT 1"""),
+    doc = "round-1 BPE pair election, fully oracle-checked (the one round a non-iterative engine can replicate)")
+
+  val all: Seq[QueryDef] = Seq(q134, q135, q261)
 }

@@ -353,46 +353,55 @@ object Similarity {
     *     measured candidate rate ≈ 3% of all pairs on this corpus
     *     (2^-8 per band × 8 bands over centered ≈orthogonal vectors);
     *  4. exact verify: fused CosineSim on the ORIGINAL vectors ≥ 0.4. */
-  val q89 = QueryDef(
-    "q89_hyperplane_lsh",
-    (s, d) => {
-      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
-      // per-dimension mean, exact decimal accumulator (cross-engine stable)
-      val mean = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
-        .groupBy(col("dim"))
-        .agg((sum(col("v").cast(DecimalType(28, 10))).cast("double")
-          / count(lit(1))).as("m"))
-        .groupBy()
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          p => p.getField("m")).as("mean"))
-      // dummy equi-key so the 1-row mean joins as BroadcastHashJoin (a
-      // keyless crossJoin of even a 1-row side plans as a nested-loop
-      // join); both keys must be data-dependent or constant folding
-      // erases the condition and the nested loop comes back
-      val centered = e.withColumn("one", pmod(col("vec_id"), lit(1)))
-        .join(broadcast(mean.withColumn("one",
-          pmod(size(col("mean")).cast("long"), lit(1)))), "one")
-        .select(col("vec_id"), col("emb"),
-          zip_with(col("emb"), col("mean"), (x, m) => x - m).as("cemb"))
-      val bands = org.apache.spark.sql.GraftBridge.column(
-        graft.functions.HyperplaneBands(
-          org.apache.spark.sql.GraftBridge.expression(col("cemb")), 64, 8, "42"))
-      val buckets = centered
-        .select(col("vec_id"), posexplode(bands).as(Seq("band", "bh")))
-      val cand = buckets.as("x").join(buckets.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
-            && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-        .distinct()
-      cand
-        .join(e.select(col("vec_id").as("a_id"), col("emb").as("a_emb")), "a_id")
-        .join(e.select(col("vec_id").as("b_id"), col("emb").as("b_emb")), "b_id")
-        .select(col("a_id"), col("b_id"), cosine(col("a_emb"), col("b_emb")).as("c"))
-        .filter(col("c") >= 0.4)
-        .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos_sim"))
-        .orderBy(col("a_id"), col("b_id"))
-    },
-    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+  /** The sign-LSH candidate stage shared by q89 and the composed ANN-graph
+    * tier (q258/q259/q260): distinct band-collision pairs (a_id < b_id)
+    * scored with the exact fused cosine on the ORIGINAL vectors. No
+    * threshold here — each consumer applies its own (q89: ≥ 0.4 near-dup;
+    * q258: per-src top-3; q260: ≥ 0.4 then CC). Candidates come from an
+    * EQUI-join on (band, bandHash) — never a crossJoin — so exact scoring
+    * runs on ~3% of all pairs on this corpus (8 bands × 2⁻⁸ over centered
+    * ≈orthogonal vectors). At larger corpora the bits-per-band setting
+    * scales as log₂(n) to hold the per-bucket occupancy constant. */
+  private def signLshCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+    // per-dimension mean, exact decimal accumulator (cross-engine stable)
+    val mean = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg((sum(col("v").cast(DecimalType(28, 10))).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        p => p.getField("m")).as("mean"))
+    // dummy equi-key so the 1-row mean joins as BroadcastHashJoin (a
+    // keyless crossJoin of even a 1-row side plans as a nested-loop
+    // join); both keys must be data-dependent or constant folding
+    // erases the condition and the nested loop comes back
+    val centered = e.withColumn("one", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(mean.withColumn("one",
+        pmod(size(col("mean")).cast("long"), lit(1)))), "one")
+      .select(col("vec_id"), col("emb"),
+        zip_with(col("emb"), col("mean"), (x, m) => x - m).as("cemb"))
+    val bands = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.HyperplaneBands(
+        org.apache.spark.sql.GraftBridge.expression(col("cemb")), 64, 8, "42"))
+    val buckets = centered
+      .select(col("vec_id"), posexplode(bands).as(Seq("band", "bh")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("emb").as("a_emb")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("emb").as("b_emb")), "b_id")
+      .select(col("a_id"), col("b_id"), cosine(col("a_emb"), col("b_emb")).as("c"))
+  }
+
+  /** DuckDB replica of [[signLshCandidatePairs]] as a CTE list (no leading
+    * WITH): ends at `scored(a_id, b_id, c)`. Consumers append their own
+    * CTEs/SELECT. One shared string — q89/q258/q259/q260 must never drift
+    * from each other or from the Spark pipeline. */
+  private val lshCandSql = """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       ex AS (SELECT generate_subscripts(emb, 1) AS dim, unnest(emb) AS v FROM e),
       cm AS (
         SELECT list(m ORDER BY dim) AS mean FROM (
@@ -417,12 +426,20 @@ object Similarity {
       cand AS (
         SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
         FROM bh x JOIN bh y ON x.band = y.band AND x.bh = y.bh
-          AND x.vec_id < y.vec_id)
-      SELECT c.a_id, c.b_id,
-        round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
-      FROM cand c JOIN e a ON a.vec_id = c.a_id JOIN e b ON b.vec_id = c.b_id
-      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
-      ORDER BY a_id, b_id"""),
+          AND x.vec_id < y.vec_id),
+      scored AS (
+        SELECT c.a_id, c.b_id, list_cosine_similarity(a.emb, b.emb) AS c
+        FROM cand c JOIN e a ON a.vec_id = c.a_id JOIN e b ON b.vec_id = c.b_id)"""
+
+  val q89 = QueryDef(
+    "q89_hyperplane_lsh",
+    (s, d) => signLshCandidatePairs(s, d)
+      .filter(col("c") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos_sim"))
+      .orderBy(col("a_id"), col("b_id")),
+    Some(s"""WITH $lshCandSql
+      SELECT a_id, b_id, round(c, 6) AS cos_sim FROM scored
+      WHERE c >= 0.4 ORDER BY a_id, b_id"""),
     doc = "deterministic sign-LSH pipeline, oracle-replicated end to end")
 
   // ---------------------------------------------------------------- q109
@@ -663,36 +680,53 @@ object Similarity {
     * crosses the oracle bit-for-bit — no float mass vector survives to the
     * output. Neighbor selection orders by (rounded cosine, vec_id), the
     * q45 determinism convention. */
+  /** Directed top-3 neighbor list from canonical (a_id < b_id, c) pairs:
+    * both edge orientations explode out of ONE pass over the pair list (a
+    * union of two selects would re-evaluate the upstream join per branch);
+    * rank by (round(c, 6) desc, dst) — the q45 determinism convention
+    * shared by q185/q248/q258/q259. */
+  private def top3Knn(pairs: DataFrame): DataFrame = {
+    val directed = pairs
+      .select(explode(array(
+          struct(col("a_id").as("src"), col("b_id").as("dst")),
+          struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"),
+        round(col("c"), 6).as("sim"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("sim"))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    directed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select(col("src"), col("dst"))
+  }
+
+  /** q185/q258's shared rank machinery: 2 exact integer PageRank rounds
+    * (damping 0.85, 10¹² base) over a directed k-NN edge list. Out-degree
+    * is fixed at 3 by convention (`pr div 3`); a node with fewer than 3
+    * neighbors (possible under the LSH candidate graph) leaks the
+    * remainder mass — replicated exactly by the oracle, matching the
+    * classical dangling-mass treatment. Each round is one 8-byte-keyed
+    * equi-join + map-side-combinable sum — the canonical iterative-join
+    * workload, O(rounds) shuffles; callers localCheckpoint the edge list
+    * once so the graph is never re-derived per round. */
+  private def integerPagerank2(s: SparkSession, d: String, knn: DataFrame): DataFrame = {
+    val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("nn")))
+    def step(pr: DataFrame): DataFrame = {
+      val contrib = knn.join(pr.withColumnRenamed("vec_id", "src"), "src")
+        .groupBy(col("dst")).agg(sum(expr("pr div 3")).as("in_sum"))
+      nodes.crossJoin(nRow)
+        .join(contrib, col("vec_id") === col("dst"), "left")
+        .select(col("vec_id"),
+          expr("(15 * (1000000000000 div nn) + 85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100")
+            .as("pr"))
+    }
+    val p0 = nodes.crossJoin(nRow)
+      .select(col("vec_id"), expr("1000000000000 div nn").as("pr"))
+    step(step(p0)).orderBy(col("vec_id"))
+  }
+
   val q185 = QueryDef(
     "q185_knn_pagerank",
-    (s, d) => {
-      // both edge orientations explode out of ONE tile-join pass (a union
-      // of two selects would re-evaluate the quadratic join per branch)
-      val directed = cosineNeardupPairs(s, d, -2.0)
-        .select(explode(array(
-            struct(col("a_id").as("src"), col("b_id").as("dst")),
-            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"),
-          round(col("c"), 6).as("sim"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("sim"))
-      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
-      val knn = directed.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3).select(col("src"), col("dst"))
-        .localCheckpoint()
-      val nodes = Tables.embeddings(s, d).select(col("vec_id"))
-      val nRow = broadcast(nodes.agg(count(lit(1)).as("nn")))
-      def step(pr: DataFrame): DataFrame = {
-        val contrib = knn.join(pr.withColumnRenamed("vec_id", "src"), "src")
-          .groupBy(col("dst")).agg(sum(expr("pr div 3")).as("in_sum"))
-        nodes.crossJoin(nRow)
-          .join(contrib, col("vec_id") === col("dst"), "left")
-          .select(col("vec_id"),
-            expr("(15 * (1000000000000 div nn) + 85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100")
-              .as("pr"))
-      }
-      val p0 = nodes.crossJoin(nRow)
-        .select(col("vec_id"), expr("1000000000000 div nn").as("pr"))
-      step(step(p0)).orderBy(col("vec_id"))
-    },
+    (s, d) => integerPagerank2(s, d,
+      top3Knn(cosineNeardupPairs(s, d, -2.0)).localCheckpoint()),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
           round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
@@ -1080,15 +1114,7 @@ object Similarity {
   val q248 = QueryDef(
     "q248_label_noise",
     (s, d) => {
-      val directed = cosineNeardupPairs(s, d, -2.0)
-        .select(explode(array(
-            struct(col("a_id").as("src"), col("b_id").as("dst")),
-            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"),
-          round(col("c"), 6).as("sim"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("sim"))
-      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
-      val knn = directed.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3).select(col("src"), col("dst"))
+      val knn = top3Knn(cosineNeardupPairs(s, d, -2.0))
       val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
       val votes = knn
         .join(labels.select(col("vec_id").as("dst"), col("label").as("nl")), "dst")
@@ -1126,6 +1152,115 @@ object Similarity {
       FROM f GROUP BY label ORDER BY label"""),
     doc = "k-NN label-disagreement mislabel mining (confident-learning shape) over the tiled cosine graph; per-class exposure census")
 
+  // ------------------------------------------------------- q258/q259/q260
+  /** The composed ANN-graph tier — the 100-TB answer to q185/q109's one
+    * soft spot: the registered exact forms build their graph from the
+    * O(n²) tile join, correct but quadratic-compute at any scale. These
+    * variants put the q89 sign-LSH candidate stage IN FRONT: exact cosine
+    * runs only on band-collision pairs (~3% of all pairs here; bits/band
+    * scales as log₂(n) at larger corpora), so the kNN build is candidate-
+    * pruned end to end and the only quadratic anywhere is in q259's audit
+    * side, whose entire job is to measure the approximation.
+    *
+    * Semantics are APPROXIMATE-kNN by construction, not a lossy stand-in
+    * for q185: the corpus's full top-3 graph includes bulk-interior edges
+    * (centered cosine down to ~0.25, measured) that NO hashing scheme can
+    * recover without admitting everything — the same argument as q54's
+    * scaladoc. So the composed operators are registered as first-class
+    * deterministic pipelines with their OWN DuckDB oracle replicating the
+    * LSH stage bit-for-bit (q89's pattern), and q259 reports the edge
+    * recall against the exact graph — the number an ANN deployment
+    * actually monitors (q110's pattern, applied to the graph tier). */
+  val q258 = QueryDef(
+    "q258_ann_knn_pagerank",
+    (s, d) => integerPagerank2(s, d,
+      top3Knn(signLshCandidatePairs(s, d)).localCheckpoint()),
+    Some(s"""WITH $lshCandSql,
+      dir AS (SELECT a_id AS src, b_id AS dst, round(c, 6) AS sim FROM scored
+        UNION ALL SELECT b_id, a_id, round(c, 6) FROM scored),
+      knn AS (SELECT src, dst FROM (
+          SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+          FROM dir) WHERE rn <= 3),
+      n AS (SELECT COUNT(*) AS nn FROM e),
+      p0 AS (SELECT vec_id, 1000000000000 // nn AS pr FROM e CROSS JOIN n),
+      c1 AS (SELECT k.dst, SUM(p.pr // 3) AS in_sum
+        FROM knn k JOIN p0 p ON p.vec_id = k.src GROUP BY k.dst),
+      p1 AS (SELECT e.vec_id, CAST((15 * (1000000000000 // nn) + 85 * COALESCE(c1.in_sum, 0)) // 100 AS BIGINT) AS pr
+        FROM e CROSS JOIN n LEFT JOIN c1 ON c1.dst = e.vec_id),
+      c2 AS (SELECT k.dst, SUM(p.pr // 3) AS in_sum
+        FROM knn k JOIN p1 p ON p.vec_id = k.src GROUP BY k.dst),
+      p2 AS (SELECT e.vec_id, CAST((15 * (1000000000000 // nn) + 85 * COALESCE(c2.in_sum, 0)) // 100 AS BIGINT) AS pr
+        FROM e CROSS JOIN n LEFT JOIN c2 ON c2.dst = e.vec_id)
+      SELECT vec_id, pr FROM p2 ORDER BY vec_id"""),
+    doc = "PageRank over the sign-LSH candidate top-3 graph — q185's rank machinery with the sub-quadratic ANN front-end wired in")
+
+  val q259 = QueryDef(
+    "q259_ann_graph_recall",
+    (s, d) => {
+      // materialize candidates once — reused for the census and the ANN
+      // kNN side (without this the LSH pipeline would evaluate twice)
+      val cand = signLshCandidatePairs(s, d).localCheckpoint()
+      val annKnn = top3Knn(cand)
+      val exactKnn = top3Knn(cosineNeardupPairs(s, d, -2.0))
+      val nodes = Tables.embeddings(s, d).agg(count(lit(1)).as("nodes"))
+      val candN = cand.agg(count(lit(1)).as("cand_pairs"))
+      val exactN = exactKnn.agg(count(lit(1)).as("exact_edges"))
+      val hits = exactKnn.join(annKnn, Seq("src", "dst"))
+        .agg(count(lit(1)).as("hit_edges"))
+      nodes.crossJoin(candN).crossJoin(exactN).crossJoin(hits)
+        .select(col("nodes"), col("cand_pairs"),
+          expr("cand_pairs * 1000000 div (nodes * (nodes - 1) div 2)").as("cand_ppm"),
+          col("exact_edges"), col("hit_edges"),
+          expr("hit_edges * 1000000 div exact_edges").as("recall_ppm"))
+    },
+    Some(s"""WITH $lshCandSql,
+      exact_scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+          round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      exact_knn AS (SELECT src, dst FROM (
+          SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+          FROM exact_scored) WHERE rn <= 3),
+      dir AS (SELECT a_id AS src, b_id AS dst, round(c, 6) AS sim FROM scored
+        UNION ALL SELECT b_id, a_id, round(c, 6) FROM scored),
+      ann_knn AS (SELECT src, dst FROM (
+          SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+          FROM dir) WHERE rn <= 3),
+      n AS (SELECT COUNT(*) AS nodes FROM e),
+      cn AS (SELECT COUNT(*) AS cand_pairs FROM scored),
+      en AS (SELECT COUNT(*) AS exact_edges FROM exact_knn),
+      hn AS (SELECT COUNT(*) AS hit_edges
+        FROM exact_knn x JOIN ann_knn a ON a.src = x.src AND a.dst = x.dst)
+      SELECT nodes, cand_pairs,
+        CAST(cand_pairs * 1000000 // (nodes * (nodes - 1) // 2) AS BIGINT) AS cand_ppm,
+        exact_edges, hit_edges,
+        CAST(hit_edges * 1000000 // exact_edges AS BIGINT) AS recall_ppm
+      FROM n CROSS JOIN cn CROSS JOIN en CROSS JOIN hn"""),
+    doc = "edge-recall audit of the LSH-candidate top-3 graph vs the exact graph, plus the candidate-pruning census (ppm of all pairs scored)")
+
+  val q260 = QueryDef(
+    "q260_ann_semantic_clusters",
+    (s, d) => {
+      val pairs = signLshCandidatePairs(s, d).filter(col("c") >= 0.4)
+        .select(col("a_id"), col("b_id"))
+      val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node"))
+      graft.ext.Dedup.connectedComponents(nodes, pairs)
+        .select(col("node").as("vec_id"), col("lbl").as("cluster_id"),
+          (col("node") === col("lbl")).as("is_canonical"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE $lshCandSql,
+      pairs AS (SELECT a_id, b_id FROM scored WHERE c >= 0.4),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+        UNION
+        SELECT g.dst AS node, r.lbl FROM reach r JOIN edges g ON g.src = r.node)
+      SELECT node AS vec_id, MIN(lbl) AS cluster_id,
+        (node = MIN(lbl)) AS is_canonical
+      FROM reach GROUP BY node ORDER BY vec_id"""),
+    doc = "semantic-dedup clusters over LSH-verified pairs — q109's CC with the sub-quadratic candidate stage in front")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260)
 }

@@ -106,6 +106,50 @@ class EngineSpec extends AnyFunSuite {
       "the Kinesis wire path must produce byte-identical sink output")
   }
 
+  test("kinesis-sim resharding: restart with a changed shard count resumes from the checkpoint with no loss/dup, new shard map applies to new records only") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // A real Kinesis reshard (split/merge) changes the shard map between
+    // consumer restarts; the source contract is that offsets (file-name
+    // seqs) — not shard identities — drive resume, so records are neither
+    // lost nor duplicated and only records READ AFTER the restart see the
+    // new shard assignment. The double's deterministic shardOf makes the
+    // expected assignment computable in the spec.
+    val logDir = Files.createTempDirectory("graft_reshard_log_").toString
+    val outDir = Files.createTempDirectory("graft_reshard_out_").toString
+    val ckpt = Files.createTempDirectory("graft_reshard_ck_").toString
+    def rec(i: Int): (String, String, java.sql.Timestamp) =
+      (f"$i%056d", s"""{"epoch": ${1704103500000L + i}, "body": "b$i"}""",
+        new java.sql.Timestamp(1704103500000L + i))
+    def run(nShards: Int): Unit = {
+      val q = spark.readStream.format("graft-kinesis-sim")
+        .option("nShards", nShards.toString).load(logDir)
+        .select(col("sequenceNumber"), col("partitionKey"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.sinks.LineFileSink.writeSeqNamed(
+      (1 to 4).map(rec).toDF("sequenceNumber", "data", "ts"),
+      logDir, col("ts"), maxRecordsPerFile = 2)
+    run(nShards = 4)
+    // reshard: 4 -> 8 shards, plus new records arriving after the split
+    graft.sinks.LineFileSink.writeSeqNamed(
+      (5 to 8).map(rec).toDF("sequenceNumber", "data", "ts"),
+      logDir, col("ts"), maxRecordsPerFile = 2)
+    run(nShards = 8)
+    val out = spark.read.parquet(outDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1 to 8).map(i => f"$i%056d"),
+      s"exactly-once across the reshard restart, got ${out.map(_._1).mkString(",")}")
+    def shardOf(seq: String, n: Int) = s"shard-${math.floorMod(seq.hashCode, n)}"
+    out.foreach { case (seq, pk) =>
+      val n = if (seq.takeRight(2).toInt <= 4) 4 else 8
+      assert(pk == shardOf(seq, n), s"$seq assigned $pk, expected ${shardOf(seq, n)} (n=$n)")
+    }
+  }
+
   test("T3 fail-stop at the Engine level: awaitTermination rethrows the batch failure; a restarted Engine resumes from the same checkpoint") {
     // Failure injection: a regular FILE squats where the first batch must
     // create its `year=2024` partition directory, so query START succeeds

@@ -164,4 +164,33 @@ class ScaleGrowthSpec extends AnyFunSuite {
     checkChain(graft.ext.Similarity.q185, EmbRatio, 1.5 * EmbRatio * EmbRatio,
       pinShape = false)
   }
+
+  test("q258 (ANN-composed k-NN PageRank) is materially cheaper than the exact build at 3x; candidate stage stays an equi-join") {
+    // The composed form's whole point: exact cosine on band-collision
+    // candidates (~3% of pairs) instead of the O(n²) tile join. Candidate
+    // COUNT still grows ~quadratically on near-orthogonal data (background
+    // collisions at a fixed 2⁻⁸ rate) — the win is the 30×-odd constant,
+    // which widens with bits-per-band at real scale — so the honest pins
+    // are (a) the plan never degrades to a cartesian (candidates come
+    // from the (band, bandHash) equi-join) and (b) the composed chain is
+    // materially cheaper than the exact one on the SAME grown corpus.
+    val q258 = graft.ext.Similarity.q258
+    // q258's edge list is localCheckpoint'ed (eager), so its executed plan
+    // shows only the PageRank stages — pin the candidate stage's shape via
+    // q89, which runs the IDENTICAL signLshCandidatePairs pipeline inline
+    val candPlan = graft.ext.Similarity.q89.fn(spark, bigDir)
+      .queryExecution.executedPlan.toString
+    assert(!candPlan.contains("CartesianProduct"),
+      s"LSH candidate stage must never plan a cartesian: ${candPlan.take(2000)}")
+    assert(candPlan.contains("band"),
+      "the LSH candidate stage must join on the band key")
+    val prPlan = q258.fn(spark, bigDir).queryExecution.executedPlan.toString
+    assert(!prPlan.contains("CartesianProduct"),
+      s"q258 PageRank stages must never plan a cartesian: ${prPlan.take(2000)}")
+    val tExact = time(graft.ext.Similarity.q185, bigDir)
+    val tAnn = time(q258, bigDir)
+    info(f"big(${EmbRatio}x): exact q185=$tExact%.2fs ann-composed q258=$tAnn%.2fs")
+    assert(tAnn <= 0.7 * tExact + 1.0,
+      f"ANN-composed build ($tAnn%.2fs) must be materially cheaper than the exact tile join ($tExact%.2fs)")
+  }
 }

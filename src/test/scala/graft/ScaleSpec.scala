@@ -130,7 +130,9 @@ class ScaleSpec extends AnyFunSuite {
       "q230_annotator_kappa",   // crossJoin(broadcast(1-row chance-agreement sum))
       "q238_textrank_keywords", // crossJoin(broadcast(1-row node count)), q185 shape
       "q244_split_balance",     // crossJoin(broadcast(1-row grand total)), q230 convention
-      "q250_bootstrap_ci")      // crossJoin(broadcast(1-row point estimate))
+      "q250_bootstrap_ci",      // crossJoin(broadcast(1-row point estimate))
+      "q258_ann_knn_pagerank",  // q185's pagerank: crossJoin(broadcast(1-row node count))
+      "q259_ann_graph_recall")  // audit: 4-way crossJoin of 1-row census aggregates
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *                       collision fail-stop)
   *   3. near dedup     — q41 LSH candidates → exact verify → q100 CC →
   *                       q106 longest-member survivor selection
+  *   3.5 semantic dedup— q260's sign-LSH candidates → exact cosine →
+  *                       CC → survivor, over a user-supplied embeddings
+  *                       parquet (optional; SemDeDup-style — catches
+  *                       paraphrases the lexical stages cannot)
   *   4. decontaminate  — q101's inverted-index 5-gram containment
   *                       against a benchmark file (optional)
   *   5. split          — q166's salted content-hash 80/10/10 assignment
@@ -39,6 +43,8 @@ object CorpusMain {
       normalize: Boolean = true,
       nearDedup: Boolean = true,
       jaccard: Double = 0.6,
+      embeddings: Option[String] = None, // parquet (vec_id, embedding) keyed by doc_id
+      cosine: Double = 0.92,
       benchmark: Option[String] = None, // parquet of benchmark docs (text col)
       trainPct: Int = 80,
       valPct: Int = 10)
@@ -52,6 +58,8 @@ object CorpusMain {
       |  --no-normalize     skip the Unicode NFC normalization stage
       |  --no-near-dedup    skip the LSH near-dup stage
       |  --jaccard X        near-dup threshold (default 0.6)
+      |  --embeddings PATH  parquet of (vec_id, embedding) keyed by doc_id; enables semantic dedup
+      |  --cosine X         semantic-dup threshold (default 0.92)
       |  --benchmark PATH   parquet of benchmark docs to decontaminate against
       |  --splits A/B       train/val percents, rest = test (default 80/10)
       |""".stripMargin
@@ -66,6 +74,8 @@ object CorpusMain {
       case "--no-normalize" :: t    => go(t, c.copy(normalize = false))
       case "--no-near-dedup" :: t   => go(t, c.copy(nearDedup = false))
       case "--jaccard" :: v :: t    => go(t, c.copy(jaccard = v.toDouble))
+      case "--embeddings" :: v :: t => go(t, c.copy(embeddings = Some(v)))
+      case "--cosine" :: v :: t     => go(t, c.copy(cosine = v.toDouble))
       case "--benchmark" :: v :: t  => go(t, c.copy(benchmark = Some(v)))
       case "--splits" :: v :: t     => v.split("/") match {
         case Array(a, b) => go(t, c.copy(trainPct = a.toInt, valPct = b.toInt))
@@ -148,19 +158,52 @@ object CorpusMain {
       }
     val nNear = near.count()
 
+    // 3.5 semantic dedup (SemDeDup shape, q260's layout): sign-LSH
+    // candidates over the SURVIVING docs' embeddings → exact cosine ≥
+    // threshold → CC → longest-text survivor (the q106 convention, same
+    // as stage 3). Catches paraphrased/re-encoded duplicates the lexical
+    // stages cannot see; runs after them so the candidate stage scores
+    // the already-shrunk frame. Docs without a vector pass through
+    // untouched — an embedding join must never silently drop text.
+    val sem = c.embeddings match {
+      case None => near
+      case Some(p) =>
+        val emb = spark.read.parquet(p)
+          .select(col("vec_id").as("doc_id"),
+            col("embedding").cast("array<double>").as("emb"))
+        val nd = near.select(col("doc_id")).join(emb, "doc_id")
+          .select(col("doc_id").as("vec_id"), col("emb"))
+        val pairs = graft.ext.Similarity.signLshCandidatePairsOf(nd)
+          .filter(col("c") >= c.cosine)
+          .select(col("a_id"), col("b_id"))
+        val labels = graft.ext.Dedup.connectedComponents(
+            nd.select(col("vec_id").as("node")), pairs)
+          .select(col("node").as("doc_id"), col("lbl").as("sem_cluster"))
+        val survivors = near.join(labels, "doc_id")
+          .withColumn("len", length(col("text")).cast("long"))
+          .groupBy(col("sem_cluster"))
+          .agg(max_by(col("doc_id"), struct(col("len"), col("doc_id") * -1))
+            .as("survivor_id"))
+          .select(col("survivor_id").as("doc_id"))
+        // keep: semantic survivors + docs that had no vector at all
+        near.join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(near.join(survivors, "doc_id"))
+      }
+    val nSem = sem.count()
+
     // 4. decontamination (q101 layout: benchmark 5-grams broadcast)
     val clean = c.benchmark match {
-      case None => near
+      case None => sem
       case Some(p) =>
         val benchGrams = broadcast(spark.read.parquet(p)
           .filter(size(split(col("text"), " ")) >= 5)
           .select(explode(graft.ext.Dedup.wordShingles(col("text"), 5)).as("g"))
           .distinct())
-        val hit = near.filter(size(split(col("text"), " ")) >= 5)
+        val hit = sem.filter(size(split(col("text"), " ")) >= 5)
           .select(col("doc_id"), explode(graft.ext.Dedup.wordShingles(col("text"), 5)).as("g"))
           .join(benchGrams, "g")
           .select(col("doc_id")).distinct()
-        near.join(hit, Seq("doc_id"), "left_anti")
+        sem.join(hit, Seq("doc_id"), "left_anti")
     }
     val nClean = clean.count()
 
@@ -176,7 +219,7 @@ object CorpusMain {
     val report = Map(
       "input" -> nRaw, "nfc_changed" -> nNfcChanged, "gated" -> nGated,
       "exact_deduped" -> nExact, "near_deduped" -> nNear,
-      "decontaminated" -> nClean)
+      "semantic_deduped" -> nSem, "decontaminated" -> nClean)
     (withSplit, report)
   }
 

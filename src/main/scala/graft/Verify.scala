@@ -24,16 +24,26 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     Preflight.report(spark, sfDir).foreach(System.err.println)
+    // derived counts, not hand-tallied (coverage denominators drift otherwise)
+    System.err.println(s"[verify] registry=${SparkEntry.registry.size} " +
+      s"oracle_eligible=${SparkEntry.oracleSql.size} " +
+      s"no_oracle=${SparkEntry.registry.size - SparkEntry.oracleSql.size}")
     // Partial failure must be LOUD: a swallowed per-query exception makes the
     // round's correctness file silently smaller (r06 lost 73 queries to a
     // schema drift and the artifact still read as green). Every failure is
     // recorded in failures.json next to oracle_sql.json so the driver — and
     // the next round's reader — sees exactly what died and why.
     var failures = Vector.empty[(String, String)]
+    // HarnessSpec's loudness contract: named queries fail on purpose so the
+    // spec can assert a broken query is visible in failures.json (never a
+    // silently smaller artifact). No-op unless the property is set.
+    val injectFail: Set[String] = sys.props.get("graft.verify.injectFail")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     SparkEntry.registry.foreach { q =>
       if (only.isEmpty || only(q.name)) {
         val t0 = System.nanoTime()
         try {
+          if (injectFail(q.name)) sys.error(s"injected failure for ${q.name}")
           q.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/${q.name}")
           System.err.println(f"[verify] ${q.name} ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
@@ -63,6 +73,8 @@ object Verify {
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     if (failures.nonEmpty)
       System.err.println(s"[verify] *** ${failures.size} QUERIES FAILED — see failures.json ***")
-    spark.stop()
+    // HarnessSpec drives main() inside the shared test session; stopping it
+    // there would kill every later suite
+    if (!sys.props.contains("graft.verify.noStop")) spark.stop()
   }
 }

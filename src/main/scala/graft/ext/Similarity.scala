@@ -362,8 +362,13 @@ object Similarity {
     * runs on ~3% of all pairs on this corpus (8 bands × 2⁻⁸ over centered
     * ≈orthogonal vectors). At larger corpora the bits-per-band setting
     * scales as log₂(n) to hold the per-bucket occupancy constant. */
-  private def signLshCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+  private def signLshCandidatePairs(s: SparkSession, d: String): DataFrame =
+    signLshCandidatePairsOf(embDouble(s, d).select(col("vec_id"), col("emb")))
+
+  /** As above over an arbitrary `(vec_id: long, emb: array<double>)` frame —
+    * the reusable form CorpusMain's semantic-dedup stage calls (its vectors
+    * come from a user-supplied embeddings parquet, not the corpus table). */
+  def signLshCandidatePairsOf(e: DataFrame): DataFrame = {
     // per-dimension mean, exact decimal accumulator (cross-engine stable)
     val mean = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
       .groupBy(col("dim"))

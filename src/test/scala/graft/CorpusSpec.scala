@@ -81,6 +81,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(noNd.count() == 3, "--no-near-dedup must keep the near-dup pair")
   }
 
+  test("semantic-dedup stage drops embedding near-dups, keeps vectorless docs, and is off without --embeddings") {
+    import spark.implicits._
+    // three lexically DISTINCT docs; 1 and 2 are paraphrases (near-equal
+    // vectors, cosine ≈ 1), 3 is semantically unrelated (orthogonal-ish
+    // vector), 4 has no vector at all and must pass through untouched
+    def doc(id: Long, text: String) = (id, text + " plus the filler words " +
+      "of a corpus gate and some more to clear the minimum easily", "src0")
+    val docs = Seq(
+      doc(1L, "the cat sat on a warm mat"),
+      doc(2L, "a feline rested upon the heated rug"),
+      doc(3L, "quarterly parquet shuffle plans of the spark engine"),
+      doc(4L, "this document never got an embedding at all today"))
+      .toDF("doc_id", "text", "source")
+    val v1 = Array.tabulate(64)(i => if (i < 8) 1.0f else 0.01f * i)
+    val v2 = v1.updated(63, v1(63) + 0.001f) // cosine(v1, v2) ≈ 1
+    val v3 = Array.tabulate(64)(i => if (i >= 56) 1.0f else -0.01f * i)
+    val emb = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_corpus_sem_").toString
+    val embDir = Files.createTempDirectory("graft_corpus_semv_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    emb.write.mode("overwrite").parquet(embDir)
+    val (out, report) = CorpusMain.run(spark, CorpusMain.CorpusConfig(
+      input = dir, output = "unused", embeddings = Some(embDir)))
+    assert(report("semantic_deduped") == 3L,
+      s"one of the paraphrase pair must drop, got $report")
+    // survivor = longest text of the pair (doc 2 here); 3 and 4 survive
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+    val (noSem, report2) = CorpusMain.run(spark,
+      CorpusMain.CorpusConfig(input = dir, output = "unused"))
+    assert(report2("semantic_deduped") == 4L && noSem.count() == 4,
+      "without --embeddings the stage must be a no-op")
+  }
+
   test("NFC stage collapses canonically-equivalent duplicates (and --no-normalize keeps them)") {
     import spark.implicits._
     // doc 2 is doc 1 with every 'e' decomposed to e+U+0301's base-e — the

@@ -857,7 +857,177 @@ object CurationQueries {
       ORDER BY score_ppb, doc_id LIMIT 15"""),
     doc = "bigram-LM quality score (perplexity-filter shape): exact ppb conditional probabilities, integer mean per doc, bottom-15 gate candidates")
 
+  // --------------------------------------------------------------- q262
+  /** Hashing-trick linear classifier gate — the fastText-shaped serving
+    * path of a learned quality filter (CCNet/LLaMA-style pipelines gate on
+    * a linear classifier over hashed word features). Words hash into 4096
+    * feature buckets; each bucket carries a fixed md5-derived integer
+    * coefficient in [-1000, 1000] standing in for learned weights (the
+    * SCORING path — hash, lookup, accumulate, threshold — is what the
+    * engine must run at 100 TB; training happens offline). The weight is
+    * computed INLINE from the bucket hash, so scoring is a pure per-row
+    * map + one doc-keyed agg: no join, no shuffle beyond the final
+    * aggregation, fully codegen. A learned model swaps in as a broadcast
+    * 4096-row weight table without changing the plan class. The gate
+    * thresholds the margin SUM (not the mean): integer-exact, and no
+    * negative division whose floor-vs-truncate semantics differ across
+    * engines. */
+  val q262 = QueryDef(
+    "q262_hashed_classifier_gate",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+      words
+        .withColumn("b",
+          expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 4096"))
+        .withColumn("wt",
+          expr("cast(conv(substring(md5(concat('clf:', cast(b as string))), 1, 8), 16, 10) as bigint) % 2001 - 1000"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_words"), sum(col("wt")).as("margin"))
+        .withColumn("kept", col("margin") >= 0L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      f AS (SELECT doc_id, source,
+          CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 4096 AS b
+        FROM w),
+      sc AS (SELECT doc_id, source,
+          CAST(('0x' || substr(md5('clf:' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000 AS wt
+        FROM f)
+      SELECT doc_id, source, count(*) AS n_words,
+        CAST(sum(wt) AS BIGINT) AS margin, (sum(wt) >= 0) AS kept
+      FROM sc GROUP BY doc_id, source ORDER BY doc_id"""),
+    doc = "fastText-shaped hashed linear classifier gate: inline md5 weights, per-doc margin, shuffle-free scoring pass")
+
+  // --------------------------------------------------------------- q263
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw document
+    * by how much more likely its hashed-unigram features are under a
+    * TARGET domain (here lang='en') than under the raw corpus, then keep
+    * the top-k. DSIR proper uses the log-ratio Σ n_b·(ln p_t(b) − ln
+    * p_r(b)); this query keeps the same structure but scores in the
+    * LINEAR domain — w_b = smoothed-ppb_target(b) − smoothed-ppb_raw(b),
+    * all exact integers — so the result hash-matches across engines with
+    * no transcendental in sight (swap the w_b column to a rounded
+    * log-ratio double for literal DSIR; the plan is unchanged).
+    *
+    * Scale shape: both feature distributions are 4096-row aggs (broadcast
+    * weight table); scoring is one map-side join + doc-keyed agg. The
+    * corpus never shuffles on anything wider than (doc_id). */
+  val q263 = QueryDef(
+    "q263_dsir_importance",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("b",
+          expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 4096"))
+      val raw = words.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+      val tgt = words.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+      val totals = broadcast(words.agg(
+        count(lit(1)).as("tot_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tot_t")))
+      // add-one smoothing over the 4096-bucket space; ppb = parts-per-1e9
+      val wts = broadcast(raw.join(tgt, Seq("b"), "left").crossJoin(totals)
+        .select(col("b"),
+          (expr("(coalesce(c_t, 0L) + 1L) * 1000000000 div (tot_t + 4096)")
+            - expr("(c_r + 1L) * 1000000000 div (tot_r + 4096)")).as("w_b")))
+      words.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("n_b"))
+        .join(wts, "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("n_b")).as("n_tokens"),
+          sum(col("n_b") * col("w_b")).as("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH w AS (SELECT doc_id, lang,
+          CAST(('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8)) AS BIGINT) % 4096 AS b
+        FROM documents),
+      raw AS (SELECT b, count(*) AS c_r FROM w GROUP BY b),
+      tgt AS (SELECT b, count(*) AS c_t FROM w WHERE lang = 'en' GROUP BY b),
+      tot AS (SELECT count(*) AS tot_r,
+          count(*) FILTER (lang = 'en') AS tot_t FROM w),
+      wts AS (SELECT raw.b,
+          (COALESCE(tgt.c_t, 0) + 1) * 1000000000 // (tot.tot_t + 4096)
+            - (raw.c_r + 1) * 1000000000 // (tot.tot_r + 4096) AS w_b
+        FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot),
+      db AS (SELECT doc_id, lang, b, count(*) AS n_b FROM w GROUP BY 1, 2, 3)
+      SELECT db.doc_id, db.lang, CAST(sum(db.n_b) AS BIGINT) AS n_tokens,
+        CAST(sum(db.n_b * wts.w_b) AS BIGINT) AS dsir_score
+      FROM db JOIN wts ON wts.b = db.b
+      GROUP BY db.doc_id, db.lang
+      ORDER BY dsir_score DESC, doc_id LIMIT 20"""),
+    doc = "DSIR-shaped importance scoring vs a target domain (hashed unigram features, integer-exact linear-domain weights); top-20 selection")
+
+  // --------------------------------------------------------------- q264
+  /** BM25 ranked retrieval over the corpus for a fixed conjunctive term
+    * set — the retrieval primitive behind search-based decontamination
+    * and eval-set mining. Lucene-form idf = ln(1 + (N−df+0.5)/(df+0.5)),
+    * k1 = 1.2, b = 0.75; dl/avgdl is computed as the exact rational
+    * dl·N/R before the one double evaluation per (doc, term). Per-doc
+    * scores add the ≤3 per-term contributions as named columns (a FIXED
+    * addition order — no nondeterministic double sum), rounded to 6
+    * decimals, the q54 convention for transcendental outputs.
+    *
+    * Scale shape: df/N/R are one tiny broadcast census; tf is one
+    * explode+filter agg over the corpus (the filter prunes to query
+    * terms BEFORE the shuffle); top-10 plans as TakeOrderedAndProject. */
+  val q264 = QueryDef(
+    "q264_bm25_topk",
+    (s, d) => {
+      val terms = Seq("shuffle", "join", "scan")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val dl = docs.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+      val census = broadcast(dl.agg(
+        count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens")))
+      val tf = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = broadcast(tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
+      val contrib = tf.join(df, "w").join(dl, "doc_id").crossJoin(census)
+        .select(col("doc_id"), col("w"),
+          (expr("ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))")
+            * col("tf") * lit(2.2)
+            / (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("tot_tokens"))))
+            .as("c"))
+      contrib.groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("w") === "join", col("c"))).as("c_join"),
+          sum(when(col("w") === "scan", col("c"))).as("c_scan"),
+          sum(when(col("w") === "shuffle", col("c"))).as("c_shuffle"),
+          count(lit(1)).as("n_terms"))
+        .select(col("doc_id"), col("n_terms"),
+          round(coalesce(col("c_join"), lit(0.0))
+            + coalesce(col("c_scan"), lit(0.0))
+            + coalesce(col("c_shuffle"), lit(0.0)), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+      census AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM (
+          SELECT doc_id, unnest(ws) AS w FROM d)
+        WHERE w IN ('shuffle', 'join', 'scan') GROUP BY doc_id, w),
+      df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      contrib AS (SELECT tf.doc_id, tf.w,
+          ln(1.0 + (census.n_docs - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * census.n_docs / census.tot_tokens)) AS c
+        FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN census)
+      SELECT doc_id, count(*) AS n_terms,
+        round(COALESCE(sum(c) FILTER (w = 'join'), 0)
+          + COALESCE(sum(c) FILTER (w = 'scan'), 0)
+          + COALESCE(sum(c) FILTER (w = 'shuffle'), 0), 6) AS bm25
+      FROM contrib GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 10"""),
+    doc = "BM25 top-10 retrieval (Lucene idf, k1=1.2 b=0.75): broadcast df census, term-pruned tf agg, fixed-order double sum")
+
   val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149, q150,
-    q200, q222, q230, q244, q245, q246, q252)
+    q200, q222, q230, q244, q245, q246, q252, q262, q263, q264)
 }
 

@@ -132,7 +132,9 @@ class ScaleSpec extends AnyFunSuite {
       "q244_split_balance",     // crossJoin(broadcast(1-row grand total)), q230 convention
       "q250_bootstrap_ci",      // crossJoin(broadcast(1-row point estimate))
       "q258_ann_knn_pagerank",  // q185's pagerank: crossJoin(broadcast(1-row node count))
-      "q259_ann_graph_recall")  // audit: 4-way crossJoin of 1-row census aggregates
+      "q259_ann_graph_recall",  // audit: 4-way crossJoin of 1-row census aggregates
+      "q263_dsir_importance",   // crossJoin(broadcast(1-row token totals))
+      "q264_bm25_topk")         // crossJoin(broadcast(1-row doc/token census))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

@@ -436,6 +436,46 @@ object EventStream {
       .dropDuplicates("new_id", "old_id")
   }
 
+  /** Streaming SEMANTIC near-dup against a static corpus — the embedding
+    * sibling of [[streamingDeltaDedup]] and the streaming form of q260:
+    * each arriving vector is checked against the corpus's sign-LSH index
+    * (band equi-join, exact cosine only on band collisions). Index
+    * parameters are FROZEN AT BUILD TIME, the production contract for a
+    * streaming ANN index: the centering mean is computed once from the
+    * static corpus and embedded as a 64-double literal, so the stream
+    * side needs NO join to center — band hashing is a pure per-row map
+    * (codegen'd native HyperplaneBands), and the only stream-side shuffle
+    * is the band-bucket join against the (broadcastable) corpus index.
+    * Directional like the lexical form: corpus-side memory only; two
+    * arrivals that duplicate each other do not flag. */
+  def streamingSemanticDedup(stream: DataFrame, // (vec_id, embedding)
+      corpus: DataFrame, // (vec_id, embedding), batch side
+      tau: Double = 0.92): DataFrame = {
+    val corpusE = corpus.select(col("vec_id").as("old_id"),
+      col("embedding").cast("array<double>").as("old_emb"))
+    val mean: Array[Double] = corpusE
+      .select(posexplode(col("old_emb")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(avg(col("v")).as("m"))
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    val meanLit = array(mean.map(lit).toIndexedSeq: _*)
+    def banded(df: DataFrame, id: String, emb: String): DataFrame = {
+      val cemb = zip_with(col(emb), meanLit, (x, m) => x - m)
+      val bands = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HyperplaneBands(
+          org.apache.spark.sql.GraftBridge.expression(cemb), 64, 8, "42"))
+      df.select(col(id), col(emb), posexplode(bands).as(Seq("band", "bh")))
+    }
+    val corpusBuckets = banded(corpusE, "old_id", "old_emb")
+    banded(stream.select(col("vec_id").as("new_id"),
+        col("embedding").cast("array<double>").as("new_emb")), "new_id", "new_emb")
+      .join(corpusBuckets, Seq("band", "bh"))
+      .filter(col("new_id") =!= col("old_id"))
+      .select(col("new_id"), col("old_id"),
+        graft.ext.Similarity.cosine(col("new_emb"), col("old_emb")).as("cos"))
+      .filter(col("cos") >= tau)
+      .dropDuplicates("new_id", "old_id")
+  }
+
   /** One row of a key's refreshed top-k emission. */
   case class TopKRow(key: String, id: Long, score: Double, rank: Int)
   case class TopKEntry(id: Long, score: Double)

@@ -488,4 +488,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(hits(1)._3 > 0.6 && hits(1)._3 < 1.0)
     } finally q.stop()
   }
+
+  test("streaming semantic dedup: arriving vector flags against the corpus LSH index; unrelated and arrival-dup vectors do not") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val v = Array.tabulate(64)(i => if (i < 8) 1.0f else 0.02f * i)
+    val vNear = v.updated(62, v(62) + 0.002f) // cosine ≈ 1 vs v
+    val vFar = Array.tabulate(64)(i => if (i >= 56) 1.0f else -0.015f * i)
+    val corpus = Seq((100L, v), (101L, vFar)).toDF("vec_id", "embedding").cache()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EventStream.streamingSemanticDedup(
+        input.toDF().toDF("vec_id", "embedding"), corpus)
+      .writeStream.format("memory").queryName("ssd").outputMode("append").start()
+    try {
+      val novel = Array.tabulate(64)(i => (if (i % 2 == 0) -1.0f else 1.0f) * 0.5f)
+      input.addData((1L, vNear), (2L, novel))
+      q.processAllAvailable()
+      // duplicate of arrival 2, NOT of the corpus: directional contract
+      input.addData((3L, novel))
+      q.processAllAvailable()
+      val hits = spark.sql("SELECT new_id, old_id, cos FROM ssd ORDER BY new_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(hits.map(h => (h._1, h._2)).toSeq == Seq((1L, 100L)),
+        s"only the planted near-vector flags, got: ${hits.toSeq}")
+      assert(hits(0)._3 > 0.99, s"exact cosine on the flagged pair: ${hits(0)._3}")
+    } finally q.stop()
+  }
 }

@@ -192,45 +192,10 @@ object Similarity {
     * update is the posexplode decimal-mean (k·dim groups). The iteration
     * count is the driver loop, state truncated per round via
     * localCheckpoint — q100/Bpe's documented driver-iterative design. */
-  val q184 = QueryDef(
-    "q184_kmeans_clusters",
-    (s, d) => {
-      val k = 4
-      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
-      def assign(cents: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cents))
-          .select(col("vec_id"),
-            round(cosine(col("emb"), col("c")), 6).as("csim"), col("cid"))
-          .groupBy(col("vec_id"))
-          .agg(max_by(struct(col("cid"), col("csim")),
-            struct(col("csim"), col("cid") * -1)).as("b"))
-          .select(col("vec_id"), col("b.cid").as("cid"), col("b.csim").as("csim"))
-      var centroids = e.filter(col("vec_id") < k)
-        .select(col("vec_id").cast("int").as("cid"), col("emb").as("c"))
-        .localCheckpoint()
-      for (_ <- 1 to 2) {
-        val nc = e.join(assign(centroids).select(col("vec_id"), col("cid")), "vec_id")
-          .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
-          .groupBy(col("cid"), col("dim"))
-          .agg((sum(col("v").cast(DecimalType(28, 10))).cast("double")
-            / count(lit(1))).as("m"))
-          .groupBy(col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-            p => p.getField("m")).as("c_new"))
-        centroids = centroids
-          .join(nc, Seq("cid"), "left")
-          .select(col("cid"), coalesce(col("c_new"), col("c")).as("c"))
-          .localCheckpoint()
-      }
-      assign(centroids)
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_vectors"),
-          round(min(col("csim")), 6).as("min_sim"),
-          round((sum(col("csim").cast(DecimalType(28, 10))).cast("double")
-            / count(lit(1))), 6).as("mean_sim"))
-        .orderBy(col("cid"))
-    },
-    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+  /** DuckDB replica of [[kmeansAssignment]] as a CTE list (no leading
+    * WITH): unrolls both Lloyd rounds and ends at `fin(vec_id, cid,
+    * csim)`. Shared by q184/q265 — the training replica must never fork. */
+  private val kmeansAssignSql = """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       c0 AS (SELECT CAST(vec_id AS INT) AS cid, emb AS c FROM e WHERE vec_id < 4),
       a1 AS (SELECT vec_id, cid FROM (
           SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -261,7 +226,57 @@ object Similarity {
             round(list_cosine_similarity(e.emb, c.c), 6) AS csim,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id
               ORDER BY round(list_cosine_similarity(e.emb, c.c), 6) DESC, c.cid) AS rn
-          FROM e CROSS JOIN c2 c) WHERE rn = 1)
+          FROM e CROSS JOIN c2 c) WHERE rn = 1)"""
+
+  /** The 2-round spherical k-means assignment shared by q184 (cohesion
+    * census) and q265 (IVF-composed kNN graph): returns (vec_id, cid,
+    * csim) after 2 Lloyd rounds with decimal-exact means and the (csim
+    * desc, cid) determinism convention. Centroids stay a broadcast k-row
+    * side; per round the corpus is touched by one assignment pass + one
+    * mean agg — the standard distributed Lloyd shape. */
+  private def kmeansAssignment(s: SparkSession, d: String): DataFrame = {
+    val k = 4
+    val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          round(cosine(col("emb"), col("c")), 6).as("csim"), col("cid"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("csim")),
+          struct(col("csim"), col("cid") * -1)).as("b"))
+        .select(col("vec_id"), col("b.cid").as("cid"), col("b.csim").as("csim"))
+    var centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("emb").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to 2) {
+      val nc = e.join(assign(centroids).select(col("vec_id"), col("cid")), "vec_id")
+        .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("v").cast(DecimalType(28, 10))).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          p => p.getField("m")).as("c_new"))
+      centroids = centroids
+        .join(nc, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("c_new"), col("c")).as("c"))
+        .localCheckpoint()
+    }
+    assign(centroids)
+  }
+
+  val q184 = QueryDef(
+    "q184_kmeans_clusters",
+    (s, d) => {
+      kmeansAssignment(s, d)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(min(col("csim")), 6).as("min_sim"),
+          round((sum(col("csim").cast(DecimalType(28, 10))).cast("double")
+            / count(lit(1))), 6).as("mean_sim"))
+        .orderBy(col("cid"))
+    },
+    Some(s"""WITH $kmeansAssignSql
       SELECT cid, count(*) AS n_vectors,
         round(min(csim), 6) AS min_sim,
         round(CAST(SUM(CAST(csim AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6)
@@ -1266,6 +1281,53 @@ object Similarity {
       FROM reach GROUP BY node ORDER BY vec_id"""),
     doc = "semantic-dedup clusters over LSH-verified pairs — q109's CC with the sub-quadratic candidate stage in front")
 
+  // --------------------------------------------------------------- q265
+  /** The OTHER candidate front-end composed into the kNN-graph tier:
+    * IVF (inverted-file) candidates from the q184 k-means codebook —
+    * exact cosine only on pairs CO-ASSIGNED to a centroid (probe=1), the
+    * classic partition-pruned ANN layout where each cluster is one
+    * posting list. With k centroids the scoring work is Σ|cluster|²
+    * instead of n² (k scales with n at real corpora, holding posting
+    * lists ~constant; here k=4 for oracle parity with q184). Same
+    * deterministic training (oracle replays both Lloyd rounds via the
+    * shared CTE prefix), same rank machinery as q185/q258 — sign-LSH
+    * (q258) and IVF (q265) are the two standard ANN index families, and
+    * both now drive the identical graph tier. */
+  val q265 = QueryDef(
+    "q265_ivf_knn_pagerank",
+    (s, d) => {
+      val asg = kmeansAssignment(s, d).select(col("vec_id"), col("cid"))
+      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+      val withEmb = asg.join(e, "vec_id")
+      val pairs = withEmb.as("x").join(withEmb.as("y"),
+          col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+          cosine(col("x.emb"), col("y.emb")).as("c"))
+      integerPagerank2(s, d, top3Knn(pairs).localCheckpoint())
+    },
+    Some(s"""WITH $kmeansAssignSql,
+      co AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+          list_cosine_similarity(ex.emb, ey.emb) AS c
+        FROM fin x JOIN fin y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        JOIN e ex ON ex.vec_id = x.vec_id JOIN e ey ON ey.vec_id = y.vec_id),
+      dir AS (SELECT a_id AS src, b_id AS dst, round(c, 6) AS sim FROM co
+        UNION ALL SELECT b_id, a_id, round(c, 6) FROM co),
+      knn AS (SELECT src, dst FROM (
+          SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+          FROM dir) WHERE rn <= 3),
+      n AS (SELECT COUNT(*) AS nn FROM e),
+      p0 AS (SELECT vec_id, 1000000000000 // nn AS pr FROM e CROSS JOIN n),
+      s1 AS (SELECT k.dst, SUM(p.pr // 3) AS in_sum
+        FROM knn k JOIN p0 p ON p.vec_id = k.src GROUP BY k.dst),
+      p1 AS (SELECT e.vec_id, CAST((15 * (1000000000000 // nn) + 85 * COALESCE(s1.in_sum, 0)) // 100 AS BIGINT) AS pr
+        FROM e CROSS JOIN n LEFT JOIN s1 ON s1.dst = e.vec_id),
+      s2 AS (SELECT k.dst, SUM(p.pr // 3) AS in_sum
+        FROM knn k JOIN p1 p ON p.vec_id = k.src GROUP BY k.dst),
+      p2 AS (SELECT e.vec_id, CAST((15 * (1000000000000 // nn) + 85 * COALESCE(s2.in_sum, 0)) // 100 AS BIGINT) AS pr
+        FROM e CROSS JOIN n LEFT JOIN s2 ON s2.dst = e.vec_id)
+      SELECT vec_id, pr FROM p2 ORDER BY vec_id"""),
+    doc = "PageRank over the IVF (k-means posting-list) candidate top-3 graph — the partition-pruned ANN family driving the same graph tier as q258")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265)
 }

@@ -131,8 +131,9 @@ object Dedup {
   /** The LSH candidate + exact-verify pipeline shared by q41 (pair
     * report) and q100 (clustering): band equi-join candidates, exact
     * Jaccard verify at `threshold`. Returns (a_id, b_id, j). */
-  private def lshVerifiedPairs(s: SparkSession, d: String,
-      threshold: Double): DataFrame = {
+  /** Band-collision candidates carrying both shingle sets — the stage
+    * q41/q100 (Jaccard) and q267 (containment) score differently. */
+  private def lshCandidateShingles(s: SparkSession, d: String): DataFrame = {
     val docs = shingled(s, d)
     val buckets = docs
       .select(col("doc_id"), minHashBandHashes(col("sh"), 64, 16, 42L).as("bands"))
@@ -145,9 +146,13 @@ object Dedup {
     cand
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+  }
+
+  private def lshVerifiedPairs(s: SparkSession, d: String,
+      threshold: Double): DataFrame =
+    lshCandidateShingles(s, d)
       .select(col("a_id"), col("b_id"), jaccard(col("sha"), col("shb")).as("j"))
       .filter(col("j") >= threshold)
-  }
 
   val q41 = QueryDef(
     "q41_minhash_lsh_neardup",
@@ -162,6 +167,49 @@ object Dedup {
       WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
       ORDER BY a_id, b_id"""))
+
+  // --------------------------------------------------------------- q267
+  /** DIRECTIONAL containment near-dup — C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    * — the metric for quote/inclusion structure that symmetric Jaccard
+    * under-scores: a short document fully quoted inside a long one has
+    * containment 1.0 but Jaccard ≈ |A|/|B|. Emits every candidate pair
+    * where EITHER direction reaches 0.8, with both containments and the
+    * Jaccard for triage.
+    *
+    * Candidate stage: the q41 MinHash band join. Its collision rate
+    * tracks JACCARD, so on a corpus with genuine short-in-long quoting
+    * (high containment, low Jaccard) it under-recalls and the candidate
+    * stage must become a size-partitioned index (LSH Ensemble, Zhu et
+    * al., VLDB'16) — same verify stage, different bucketing. On THIS
+    * corpus the concern is measured away: every containment-≥0.8 pair
+    * has Jaccard ≥ 0.9 (the oracle is the exact all-pairs join, so any
+    * recall miss is a red row, not a silent one). */
+  val q267 = QueryDef(
+    "q267_containment_neardup",
+    (s, d) => {
+      val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+      lshCandidateShingles(s, d)
+        .select(col("a_id"), col("b_id"),
+          (inter / size(col("sha"))).as("c_ab"),
+          (inter / size(col("shb"))).as("c_ba"),
+          jaccard(col("sha"), col("shb")).as("j"))
+        .filter(greatest(col("c_ab"), col("c_ba")) >= 0.8)
+        .select(col("a_id"), col("b_id"),
+          round(col("c_ab"), 3).as("cont_ab"), round(col("c_ba"), 3).as("cont_ba"),
+          round(col("j"), 3).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(OracleShingles + """
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 3) AS cont_ab,
+        round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh), 3) AS cont_ba,
+        round(len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))), 3) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE greatest(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh),
+                     len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)) >= 0.8
+      ORDER BY a_id, b_id"""),
+    doc = "directional shingle containment (quote/inclusion detection) on LSH candidates; exact all-pairs oracle pins recall")
 
   // ---------------------------------------------------------------- q42
   /** Exact n-gram Jaccard scoring over an equi-joined pair set (adjacent
@@ -1253,5 +1301,5 @@ object Dedup {
     doc = "exact longest shared word span per verified near-dup pair: 8-gram diagonal gaps-and-islands, pair-bounded (the exact-substring-dedup measurement stage)")
 
   val all: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196, q204, q224, q236, q237, q251, q257)
+    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196, q204, q224, q236, q237, q251, q257, q267)
 }

@@ -857,6 +857,76 @@ object CurationQueries {
       ORDER BY score_ppb, doc_id LIMIT 15"""),
     doc = "bigram-LM quality score (perplexity-filter shape): exact ppb conditional probabilities, integer mean per doc, bottom-15 gate candidates")
 
+  // --------------------------------------------------------------- q268
+  /** The 100-TB serving form q252's scaladoc promises: the bigram LM
+    * CAPPED to the top-3 continuations per left token (count desc, y —
+    * deterministic), with every off-cap transition backing off to the
+    * unigram probability c_y·10⁹ div T. The capped table is ≤ 3·|vocab|
+    * rows — broadcastable at any corpus size — so the scoring pass is one
+    * broadcast left-join + doc-keyed agg, never a vocabulary²-sized
+    * shuffle. Scores stay exact scaled integers; `lm_hits` counts
+    * in-cap transitions so the cap's coverage is observable next to the
+    * score it produced. q252 (uncapped, exact) remains the reference;
+    * this is the pair q185/q258 form for the LM tier. */
+  val q268 = QueryDef(
+    "q268_capped_lm_score",
+    (s, d) => {
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val bg = w.select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
+          struct(element_at(col("w"), i + 1).as("x"),
+            element_at(col("w"), i + 2).as("y")))).as("p"))
+        .select(col("doc_id"), col("source"), col("p.x").as("x"), col("p.y").as("y"))
+      val cx = bg.groupBy(col("x")).agg(count(lit(1)).as("c_x"))
+      val tot = broadcast(bg.agg(count(lit(1)).as("t")))
+      val cy = bg.groupBy(col("y")).agg(count(lit(1)).as("c_y"))
+      import org.apache.spark.sql.expressions.Window
+      val wnd = Window.partitionBy(col("x"))
+        .orderBy(col("c_xy").desc, col("y"))
+      val capped = broadcast(bg.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("c_xy"))
+        .withColumn("rk", row_number().over(wnd))
+        .filter(col("rk") <= 3)
+        .join(cx, "x")
+        .select(col("x"), col("y"),
+          expr("(cast(c_xy as decimal(38,0)) * 1000000000) div c_x").as("lm_ppb")))
+      bg.join(capped, Seq("x", "y"), "left")
+        .join(cy, "y").crossJoin(tot)
+        .select(col("doc_id"), col("source"),
+          coalesce(col("lm_ppb"),
+            expr("(cast(c_y as decimal(38,0)) * 1000000000) div t")).as("ppb"),
+          col("lm_ppb").isNotNull.as("hit"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(ppb) div count(1)").as("score_ppb"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("lm_hits"))
+        .orderBy(col("score_ppb"), col("doc_id"))
+        .limit(15)
+    },
+    Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+      bg AS (SELECT doc_id, source,
+          unnest([{'x': a[i], 'y': a[i+1]} for i in range(1, len(a))], recursive := true)
+        FROM w),
+      cx AS (SELECT x, count(*) AS c_x FROM bg GROUP BY x),
+      tot AS (SELECT count(*) AS t FROM bg),
+      cy AS (SELECT y, count(*) AS c_y FROM bg GROUP BY y),
+      capped AS (SELECT x, y, (c_xy * 1000000000) // c_x AS lm_ppb FROM (
+          SELECT bg.x, bg.y, count(*) AS c_xy, any_value(cx.c_x) AS c_x,
+            ROW_NUMBER() OVER (PARTITION BY bg.x
+              ORDER BY count(*) DESC, bg.y) AS rk
+          FROM bg JOIN cx USING (x) GROUP BY bg.x, bg.y) WHERE rk <= 3)
+      SELECT doc_id, source, count(*) AS n_bigrams,
+        CAST(sum(COALESCE(capped.lm_ppb, (cy.c_y * 1000000000) // tot.t))
+          // count(*) AS BIGINT) AS score_ppb,
+        CAST(sum(CASE WHEN capped.lm_ppb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lm_hits
+      FROM bg LEFT JOIN capped USING (x, y) JOIN cy USING (y) CROSS JOIN tot
+      GROUP BY doc_id, source
+      ORDER BY score_ppb, doc_id LIMIT 15"""),
+    doc = "top-3-capped bigram LM + unigram backoff (broadcastable serving form of q252); exact ppb scores, cap coverage observable via lm_hits")
+
   // --------------------------------------------------------------- q262
   /** Hashing-trick linear classifier gate — the fastText-shaped serving
     * path of a learned quality filter (CCNet/LLaMA-style pipelines gate on
@@ -1028,6 +1098,6 @@ object CurationQueries {
     doc = "BM25 top-10 retrieval (Lucene idf, k1=1.2 b=0.75): broadcast df census, term-pruned tf agg, fixed-order double sum")
 
   val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149, q150,
-    q200, q222, q230, q244, q245, q246, q252, q262, q263, q264)
+    q200, q222, q230, q244, q245, q246, q252, q262, q263, q264, q268)
 }
 

@@ -135,7 +135,8 @@ class ScaleSpec extends AnyFunSuite {
       "q259_ann_graph_recall",  // audit: 4-way crossJoin of 1-row census aggregates
       "q263_dsir_importance",   // crossJoin(broadcast(1-row token totals))
       "q264_bm25_topk",         // crossJoin(broadcast(1-row doc/token census))
-      "q265_ivf_knn_pagerank")  // q184's k-row centroid broadcast + 1-row node count
+      "q265_ivf_knn_pagerank",  // q184's k-row centroid broadcast + 1-row node count
+      "q268_capped_lm_score")   // crossJoin(broadcast(1-row bigram total))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

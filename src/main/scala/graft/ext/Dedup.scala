@@ -211,6 +211,66 @@ object Dedup {
       ORDER BY a_id, b_id"""),
     doc = "directional shingle containment (quote/inclusion detection) on LSH candidates; exact all-pairs oracle pins recall")
 
+  // --------------------------------------------------------------- q269
+  /** LSH bucket-size census + candidate-blowup audit — the monitoring
+    * query a dedup deployment runs BEFORE the band join: a hot bucket
+    * (boilerplate text hashing thousands of docs into one (band, hash))
+    * contributes m(m−1)/2 candidate pairs, so one pathological bucket
+    * can turn the "sub-quadratic" stage quadratic. Per band: bucket
+    * count, max bucket size, implied candidate pairs, and what a
+    * cap-at-32 policy would drop (buckets, pairs) — the observability
+    * that justifies (or vetoes) capping on a given corpus.
+    *
+    * The census is one groupBy over a (doc, band, bandHash) table and is
+    * hash-family-parametric; HERE the banding is the md5-derived MinHash
+    * family (the q43/q89 cross-engine convention: 64 hashes h_j(g) =
+    * hex8(md5(j ‖ ':' ‖ g)), 16 bands packing 4×15-bit truncated mins)
+    * so DuckDB replays it bit-for-bit. Production's xxhash64 banding
+    * (q41) plugs into the same census by swapping the band column —
+    * collision statistics of the two families agree in expectation. */
+  val q269 = QueryDef(
+    "q269_lsh_bucket_census",
+    (s, d) => {
+      def h(j: Column, g: Column): Column =
+        conv(substring(md5(concat(j.cast("string"), lit(":"), g)), 1, 8), 16, 10)
+          .cast("long")
+      val mins = transform(sequence(lit(0), lit(63)), j =>
+        array_min(transform(col("sh"), g => h(j, g))))
+      val bands = transform(sequence(lit(0), lit(15)), b =>
+        ((element_at(col("mins"), b * 4 + 1) % 32768 * 32768
+          + element_at(col("mins"), b * 4 + 2) % 32768) * 32768
+          + element_at(col("mins"), b * 4 + 3) % 32768) * 32768
+          + element_at(col("mins"), b * 4 + 4) % 32768)
+      val buckets = shingled(s, d)
+        .select(col("doc_id"), mins.as("mins"))
+        .select(col("doc_id"), posexplode(bands).as(Seq("band", "bh")))
+        .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("m"))
+      buckets.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("m")).as("max_bucket"),
+          sum(expr("m * (m - 1) div 2")).as("cand_pairs"),
+          sum(when(col("m") > 32, 1L).otherwise(0L)).as("capped_buckets"),
+          sum(when(col("m") > 32, expr("m * (m - 1) div 2")).otherwise(0L))
+            .as("capped_pairs"))
+        .orderBy(col("band"))
+    },
+    Some(OracleShingles + """,
+      mh AS (SELECT doc_id,
+          [list_min([CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 8)) AS BIGINT) for g in sh]) for j in range(0, 64)] AS mins
+        FROM s),
+      bx AS (SELECT doc_id, t.b AS band,
+          (((mins[4*t.b+1] % 32768) * 32768 + (mins[4*t.b+2] % 32768)) * 32768
+            + (mins[4*t.b+3] % 32768)) * 32768 + (mins[4*t.b+4] % 32768) AS bh
+        FROM mh, range(0, 16) t(b)),
+      b AS (SELECT band, bh, count(*) AS m FROM bx GROUP BY band, bh)
+      SELECT band, count(*) AS n_buckets,
+        CAST(max(m) AS BIGINT) AS max_bucket,
+        CAST(sum(m * (m - 1) // 2) AS BIGINT) AS cand_pairs,
+        CAST(sum(CASE WHEN m > 32 THEN 1 ELSE 0 END) AS BIGINT) AS capped_buckets,
+        CAST(sum(CASE WHEN m > 32 THEN m * (m - 1) // 2 ELSE 0 END) AS BIGINT) AS capped_pairs
+      FROM b GROUP BY band ORDER BY band"""),
+    doc = "per-band LSH bucket census: max size, implied candidate pairs, and the cap-at-32 drop — the pre-join blowup audit (md5 band family, oracle-replayed)")
+
   // ---------------------------------------------------------------- q42
   /** Exact n-gram Jaccard scoring over an equi-joined pair set (adjacent
     * ids) — the verification primitive of q41 in isolation, on a pair set
@@ -1301,5 +1361,5 @@ object Dedup {
     doc = "exact longest shared word span per verified near-dup pair: 8-gram diagonal gaps-and-islands, pair-bounded (the exact-substring-dedup measurement stage)")
 
   val all: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196, q204, q224, q236, q237, q251, q257, q267)
+    Seq(q40, q41, q42, q43, q100, q101, q103, q105, q106, q123, q124, q174, q175, q177, q196, q204, q224, q236, q237, q251, q257, q267, q269)
 }

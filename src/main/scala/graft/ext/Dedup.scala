@@ -222,28 +222,46 @@ object Dedup {
     * that justifies (or vetoes) capping on a given corpus.
     *
     * The census is one groupBy over a (doc, band, bandHash) table and is
-    * hash-family-parametric; HERE the banding is the md5-derived MinHash
-    * family (the q43/q89 cross-engine convention: 64 hashes h_j(g) =
-    * hex8(md5(j ‖ ':' ‖ g)), 16 bands packing 4×15-bit truncated mins)
-    * so DuckDB replays it bit-for-bit. Production's xxhash64 banding
-    * (q41) plugs into the same census by swapping the band column —
-    * collision statistics of the two families agree in expectation. */
+    * hash-family-parametric; HERE the banding is a md5-seeded MinHash
+    * family DuckDB replays bit-for-bit: each shingle is digested ONCE
+    * (h(g) = hex8(md5(g)) — one digest per shingle, the same cost shape
+    * as production's xxhash64), then 64 linear permutations
+    * (a_j·h + b_j) mod 2³¹−1 with md5-derived constant coefficients,
+    * 16 bands packing 4×15-bit truncated mins. Production's xxhash64
+    * banding (q41) plugs into the same census by swapping the band
+    * column — collision statistics of the two families agree in
+    * expectation. a_j < 2³⁰ keeps a·h + b < 2⁶² (no overflow). */
   val q269 = QueryDef(
     "q269_lsh_bucket_census",
     (s, d) => {
-      def h(j: Column, g: Column): Column =
-        conv(substring(md5(concat(j.cast("string"), lit(":"), g)), 1, 8), 16, 10)
-          .cast("long")
-      val mins = transform(sequence(lit(0), lit(63)), j =>
-        array_min(transform(col("sh"), g => h(j, g))))
-      val bands = transform(sequence(lit(0), lit(15)), b =>
-        ((element_at(col("mins"), b * 4 + 1) % 32768 * 32768
-          + element_at(col("mins"), b * 4 + 2) % 32768) * 32768
-          + element_at(col("mins"), b * 4 + 3) % 32768) * 32768
-          + element_at(col("mins"), b * 4 + 4) % 32768)
-      val buckets = shingled(s, d)
-        .select(col("doc_id"), mins.as("mins"))
-        .select(col("doc_id"), posexplode(bands).as(Seq("band", "bh")))
+      def hex8(sx: String): Long = {
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(sx.getBytes("UTF-8"))
+        java.lang.Long.parseLong(dig.take(4).map(bb => f"$bb%02x").mkString, 16)
+      }
+      val aC = Array.tabulate(64)(j => hex8(s"a:$j") % 1073741824L + 1L)
+      val bC = Array.tabulate(64)(j => hex8(s"b:$j"))
+      // Shape note: the 64 per-document minima are 64 codegen'd `min`
+      // AGGREGATES over the exploded (doc, shingleHash) table — NOT a
+      // nested `transform(transform(...))`: higher-order functions are
+      // CodegenFallback, and the interpreted 64×|shingles| lambda walk
+      // measured 20 s at sf0.1 where this agg shape runs in ~1.5 s. Same
+      // reason the production family uses the native MinHashSig loop.
+      val ex = shingled(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("h"))
+      val minCols = (0 until 64).map(j =>
+        min((lit(aC(j)) * col("h") + lit(bC(j))) % 2147483647L).as(s"m$j"))
+      val mh = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bandCols = (0 until 16).map { b =>
+        (((col(s"m${4 * b}") % 32768 * 32768
+          + col(s"m${4 * b + 1}") % 32768) * 32768
+          + col(s"m${4 * b + 2}") % 32768) * 32768
+          + col(s"m${4 * b + 3}") % 32768)
+      }
+      val buckets = mh
+        .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
         .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("m"))
       buckets.groupBy(col("band"))
         .agg(count(lit(1)).as("n_buckets"),
@@ -255,9 +273,17 @@ object Dedup {
         .orderBy(col("band"))
     },
     Some(OracleShingles + """,
-      mh AS (SELECT doc_id,
-          [list_min([CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 8)) AS BIGINT) for g in sh]) for j in range(0, 64)] AS mins
+      coef AS (SELECT j,
+          CAST(('0x' || substr(md5('a:' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 1073741824 + 1 AS a,
+          CAST(('0x' || substr(md5('b:' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+        FROM range(0, 64) t(j)),
+      hs AS (SELECT doc_id,
+          [CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) for g in sh] AS hs
         FROM s),
+      mh AS (SELECT doc_id, list(mn ORDER BY j) AS mins FROM (
+          SELECT hs.doc_id, c.j,
+            list_min([(c.a * h + c.b) % 2147483647 for h in hs.hs]) AS mn
+          FROM hs CROSS JOIN coef c) GROUP BY doc_id),
       bx AS (SELECT doc_id, t.b AS band,
           (((mins[4*t.b+1] % 32768) * 32768 + (mins[4*t.b+2] % 32768)) * 32768
             + (mins[4*t.b+3] % 32768)) * 32768 + (mins[4*t.b+4] % 32768) AS bh

@@ -690,29 +690,46 @@ object PipelineQueries {
         .select(col("source"), col("n_docs"), col("total_tokens"),
           col("p.chunks").as("n_chunks"),
           col("p.waste").as("padding_tokens"),
-          round(col("total_tokens").cast("double") / (col("p.chunks") * 256L), 6)
-            .as("fill_pct"))
+          // exact ppm, not a rounded double: chunk capacities are powers
+          // of two, so total/(chunks·256) lands on exact binary halves
+          // where Spark's HALF_UP and DuckDB's double-round disagree
+          // (bit one such case at sf0.001)
+          expr("total_tokens * 1000000 div (p.chunks * 256)").as("fill_ppm"))
         .orderBy(col("source"))
     },
-    Some("""WITH t AS (SELECT source, doc_id,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS t FROM documents),
-      folded AS (SELECT source, count(*) AS n_docs,
-          CAST(sum(t) AS BIGINT) AS total_tokens,
-          list_reduce(
-            list_transform(list(t ORDER BY doc_id),
-              x -> {'chunks': 1::BIGINT, 'fill': x, 'waste': 0::BIGINT}),
-            (a, e) -> CASE WHEN a.fill + e.fill > 256
-              THEN {'chunks': a.chunks + 1, 'fill': e.fill,
-                    'waste': a.waste + (256 - a.fill)}
-              ELSE {'chunks': a.chunks, 'fill': a.fill + e.fill,
-                    'waste': a.waste} END) AS p
+    Some("""WITH RECURSIVE t AS (SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+      -- the fold is a recursive CTE, NOT list_reduce: DuckDB 1.0.0's
+      -- list_reduce mis-evaluates inside a multi-group aggregate (same
+      -- sorted input list folds to 7 chunks grouped vs 6 single-group —
+      -- reproduced on src9 at sf0.001 with the list itself verified
+      -- identical), so a grouped lambda fold cannot be the oracle for an
+      -- order-sensitive computation. The recursion advances all sources
+      -- in lockstep, one element per step, and is bug-path-free.
+      fold AS (
+        SELECT source, rn, 1::BIGINT AS chunks, t AS fill, 0::BIGINT AS waste
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT s.source, s.rn,
+          CASE WHEN f.fill + s.t > 256 THEN f.chunks + 1 ELSE f.chunks END,
+          CASE WHEN f.fill + s.t > 256 THEN s.t ELSE f.fill + s.t END,
+          CASE WHEN f.fill + s.t > 256 THEN f.waste + 256 - f.fill ELSE f.waste END
+        FROM fold f JOIN t s ON s.source = f.source AND s.rn = f.rn + 1),
+      fin AS (SELECT source, chunks, fill, waste FROM (
+          SELECT source, chunks, fill, waste,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY rn DESC) AS r
+          FROM fold) WHERE r = 1),
+      tot AS (SELECT source, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS total_tokens
         FROM t GROUP BY source)
-      SELECT source, n_docs, total_tokens,
-        p.chunks AS n_chunks,
-        CAST(p.waste + (256 - p.fill) AS BIGINT) AS padding_tokens,
-        round(total_tokens::DOUBLE / (p.chunks * 256), 6) AS fill_pct
-      FROM folded ORDER BY source"""),
-    doc = "doc-boundary packing: chunks, padding waste, fill% per source; one HOF fold per shard")
+      SELECT tot.source, n_docs, total_tokens,
+        fin.chunks AS n_chunks,
+        CAST(fin.waste + (256 - fin.fill) AS BIGINT) AS padding_tokens,
+        CAST(total_tokens * 1000000 // (fin.chunks * 256) AS BIGINT) AS fill_ppm
+      FROM tot JOIN fin ON fin.source = tot.source
+      ORDER BY tot.source"""),
+    doc = "doc-boundary packing: chunks, padding waste, fill ppm per source; one HOF fold per shard (oracle folds via recursive CTE)")
 
   // ---------------------------------------------------------------- q188
   /** Pairwise audience-overlap matrix via HLL sketch algebra — q93's

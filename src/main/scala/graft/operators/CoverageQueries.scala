@@ -583,19 +583,25 @@ object CoverageQueries {
       .groupBy(col("n_name"))
       .agg(round(min(col("c_acctbal")), 2).cast("double").as("min_bal"),
         round(max(col("c_acctbal")), 2).cast("double").as("max_bal"),
-        round(avg(col("c_acctbal").cast("decimal(18,2)")), 2).cast("double").as("avg_bal"))
+        // exact cents: Spark's decimal avg rounds HALF_UP where DuckDB's
+        // AVG returns a double — a half-cent mean diverged at sf0.001.
+        // Money is 2-decimal by construction, so cents are exact longs
+        // and the truncating integer mean agrees everywhere.
+        (expr("sum(cast(round(c_acctbal * 100, 0) as bigint)) div count(1)")
+          .cast("double") / 100.0).as("avg_bal_cents"))
       .unpivot(Array(col("n_name")),
-        Array(col("min_bal"), col("max_bal"), col("avg_bal")), "stat", "value")
+        Array(col("min_bal"), col("max_bal"), col("avg_bal_cents")), "stat", "value")
       .orderBy(col("n_name"), col("stat")),
     Some("""WITH agg AS (
         SELECT n_name,
           round(MIN(c_acctbal), 2)::DOUBLE AS min_bal,
           round(MAX(c_acctbal), 2)::DOUBLE AS max_bal,
-          round(AVG(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE AS avg_bal
+          (CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+            // COUNT(*))::DOUBLE / 100.0 AS avg_bal_cents
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name)
       SELECT n_name, stat, value
-      FROM agg UNPIVOT (value FOR stat IN (min_bal, max_bal, avg_bal))
+      FROM agg UNPIVOT (value FOR stat IN (min_bal, max_bal, avg_bal_cents))
       ORDER BY n_name, stat"""))
 
   // ---------------------------------------------------------------- q98

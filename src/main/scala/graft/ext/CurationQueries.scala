@@ -1097,7 +1097,56 @@ object CurationQueries {
       ORDER BY bm25 DESC, doc_id LIMIT 10"""),
     doc = "BM25 top-10 retrieval (Lucene idf, k1=1.2 b=0.75): broadcast df census, term-pruned tf agg, fixed-order double sum")
 
+  // --------------------------------------------------------------- q272
+  /** Temperature-based mixture reweighting (the multilingual-LM sampling
+    * scheme: sample source s with p_s ∝ n_s^α, α = 0.5 here — upweights
+    * tail sources, damps the head; α→1 recovers natural sampling, α→0
+    * uniform). Weights stay integer-exact across engines by using
+    * ⌊√n⌋ (sqrt is correctly rounded IEEE on identical int inputs, floor
+    * kills the last-ulp question entirely); shares and a 100k-doc quota
+    * come from BIGINT div against the weight total. `boost_x1000` =
+    * resampled share / natural share — the number a mixture designer
+    * reads to see how hard each tail source is being pulled up.
+    *
+    * Scale shape: one per-source agg (≤ thousands of groups at any
+    * corpus size), then a 1-row total broadcast back over the census —
+    * the corpus itself is touched exactly once, and never wider than
+    * (source). The quota table is what a downstream weighted sampler
+    * (q91's hash-sample with per-stratum rates) consumes as a broadcast. */
+  val q272 = QueryDef(
+    "q272_temperature_mixture",
+    (s, d) => {
+      val census = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .withColumn("w_sqrt", expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"))
+      val totals = broadcast(census.agg(
+        sum(col("n_docs")).as("tot_docs"), sum(col("w_sqrt")).as("tot_w")))
+      census.crossJoin(totals)
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
+          expr("n_docs * 1000000 div tot_docs").as("natural_ppm"),
+          expr("w_sqrt * 1000000 div tot_w").as("sampled_ppm"),
+          expr("w_sqrt * 100000 div tot_w").as("quota_docs"),
+          expr("(w_sqrt * 1000000 div tot_w) * 1000 div (n_docs * 1000000 div tot_docs)")
+            .as("boost_x1000"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      cw AS (SELECT *, CAST(floor(sqrt(n_docs)) AS BIGINT) AS w_sqrt FROM c),
+      t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+          CAST(SUM(w_sqrt) AS BIGINT) AS tot_w FROM cw)
+      SELECT source, n_docs, n_tokens, w_sqrt,
+        CAST(n_docs * 1000000 // tot_docs AS BIGINT) AS natural_ppm,
+        CAST(w_sqrt * 1000000 // tot_w AS BIGINT) AS sampled_ppm,
+        CAST(w_sqrt * 100000 // tot_w AS BIGINT) AS quota_docs,
+        CAST((w_sqrt * 1000000 // tot_w) * 1000 // (n_docs * 1000000 // tot_docs) AS BIGINT) AS boost_x1000
+      FROM cw CROSS JOIN t ORDER BY source"""),
+    doc = "α=0.5 temperature mixture weights per source (p ∝ n^α, integer ⌊√n⌋ form): natural vs resampled share, 100k-doc quotas, tail boost")
+
   val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149, q150,
-    q200, q222, q230, q244, q245, q246, q252, q262, q263, q264, q268)
+    q200, q222, q230, q244, q245, q246, q252, q262, q263, q264, q268, q272)
 }
 

@@ -836,7 +836,68 @@ object PipelineQueries {
       FROM days d ORDER BY event_type, dd"""),
     doc = "trailing-7d distinct via daily HLL sketch union (no re-scan); exact counts + bound cross the oracle")
 
+  // --------------------------------------------------------------- q273
+  /** T5-style span-corruption accounting — the preprocessing pass that
+    * turns raw documents into denoising-objective training examples:
+    * ~15% of token positions are marked for masking by a deterministic
+    * per-(doc, position) hash (the corruption must be reproducible
+    * across re-runs and engines — no RNG state), consecutive masked
+    * positions coalesce into SPANS (gaps-and-islands: pos − row_number
+    * over masked positions is constant within a run), and each span is
+    * replaced by one sentinel token, so the encoder-side length after
+    * corruption is n_tokens − n_masked + n_spans. This query emits the
+    * per-document census (token/mask/span counts, post-corruption
+    * length, realized mask ppm) that both the example writer and the
+    * token-budget planner (q119) consume.
+    *
+    * Scale shape: everything is keyed by doc_id — the explode, the
+    * island window, and the census agg all partition on the same 8-byte
+    * key, so the whole pass is one shuffle of (doc_id, pos) pairs and
+    * every window is narrow. No driver state, no RNG, no UDF. */
+  val q273 = QueryDef(
+    "q273_span_corruption",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val toks = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      val masked = words.filter(
+        expr("cast(conv(substring(md5(concat(cast(doc_id as string), ':', cast(pos as string))), 1, 8), 16, 10) as bigint) % 1000 < 150"))
+      val wI = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spans = masked
+        .withColumn("island", col("pos") - row_number().over(wI))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_masked"),
+          countDistinct(col("island")).as("n_spans"))
+      toks.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+        .withColumn("n_after", col("n_tokens") - col("n_masked") + col("n_spans"))
+        .withColumn("mask_ppm", expr("n_masked * 1000000 div n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, i - 1 AS pos FROM (
+          SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i
+          FROM documents)),
+      toks AS (SELECT doc_id, COUNT(*) AS n_tokens FROM w GROUP BY doc_id),
+      m AS (SELECT doc_id, pos FROM w
+        WHERE CAST(('0x' || substr(md5(doc_id || ':' || pos), 1, 8)) AS BIGINT) % 1000 < 150),
+      isl AS (SELECT doc_id, pos,
+          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM m),
+      sp AS (SELECT doc_id, COUNT(*) AS n_masked,
+          COUNT(DISTINCT island) AS n_spans
+        FROM isl GROUP BY doc_id)
+      SELECT t.doc_id, t.n_tokens,
+        COALESCE(sp.n_masked, 0) AS n_masked,
+        COALESCE(sp.n_spans, 0) AS n_spans,
+        t.n_tokens - COALESCE(sp.n_masked, 0) + COALESCE(sp.n_spans, 0) AS n_after,
+        CAST(COALESCE(sp.n_masked, 0) * 1000000 // t.n_tokens AS BIGINT) AS mask_ppm
+      FROM toks t LEFT JOIN sp USING (doc_id) ORDER BY t.doc_id"""),
+    doc = "deterministic T5 span-corruption census: hash-marked 15% positions, gaps-and-islands span coalescing, sentinel-adjusted lengths")
+
   val all: Seq[QueryDef] =
     Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131, q151, q152,
-      q156, q157, q166, q167, q183, q188, q197)
+      q156, q157, q166, q167, q183, q188, q197, q273)
 }

@@ -1131,26 +1131,32 @@ object Similarity {
     * spread means noise. Shape: the O(n²/B) tile join dominates (the q54
     * bound); everything after is 8-byte-keyed aggs on n·3 rows — and the
     * q89 sign-LSH candidate stage slots in front unchanged at scale. */
+  /** q248/q270's shared vote census: neighbor-label majority per src
+    * ((votes desc, label) determinism), flag when the majority beats the
+    * own label with ≥ 2 of 3 votes, per-class exposure census. Takes the
+    * kNN edge list so the exact (q248) and ANN-composed (q270) graphs
+    * drive identical downstream machinery. */
+  private def labelNoiseCensus(s: SparkSession, d: String, knn: DataFrame): DataFrame = {
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = knn
+      .join(labels.select(col("vec_id").as("dst"), col("label").as("nl")), "dst")
+      .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("src")).orderBy(col("votes").desc, col("nl"))
+    val maj = votes.withColumn("r", row_number().over(wv)).filter(col("r") === 1)
+      .select(col("src"), col("nl").as("maj_label"), col("votes").as("maj_votes"))
+    labels.join(maj, col("vec_id") === col("src"))
+      .select(col("label"),
+        when(col("maj_label") =!= col("label") && col("maj_votes") >= 2, 1L)
+          .otherwise(0L).as("flag"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("flag")).as("flagged"),
+        expr("(sum(flag) * 1000000) div count(1)").as("flagged_ppm"))
+      .orderBy(col("label"))
+  }
+
   val q248 = QueryDef(
     "q248_label_noise",
-    (s, d) => {
-      val knn = top3Knn(cosineNeardupPairs(s, d, -2.0))
-      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-      val votes = knn
-        .join(labels.select(col("vec_id").as("dst"), col("label").as("nl")), "dst")
-        .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("votes"))
-      val wv = Window.partitionBy(col("src")).orderBy(col("votes").desc, col("nl"))
-      val maj = votes.withColumn("r", row_number().over(wv)).filter(col("r") === 1)
-        .select(col("src"), col("nl").as("maj_label"), col("votes").as("maj_votes"))
-      labels.join(maj, col("vec_id") === col("src"))
-        .select(col("label"),
-          when(col("maj_label") =!= col("label") && col("maj_votes") >= 2, 1L)
-            .otherwise(0L).as("flag"))
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n"), sum(col("flag")).as("flagged"),
-          expr("(sum(flag) * 1000000) div count(1)").as("flagged_ppm"))
-        .orderBy(col("label"))
-    },
+    (s, d) => labelNoiseCensus(s, d, top3Knn(cosineNeardupPairs(s, d, -2.0))),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
       scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
           round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
@@ -1328,6 +1334,99 @@ object Similarity {
       SELECT vec_id, pr FROM p2 ORDER BY vec_id"""),
     doc = "PageRank over the IVF (k-means posting-list) candidate top-3 graph — the partition-pruned ANN family driving the same graph tier as q258")
 
+  // --------------------------------------------------------------- q270
+  /** Label-noise mining over the ANN candidate graph — the last of the
+    * graph-tier queries to get its composed form (q185→q258, q109→q260,
+    * q110→q259 came first). Same confident-learning census as q248, but
+    * the top-3 neighbor graph is built from sign-LSH band-collision
+    * candidates instead of the exact O(n²) tile join, so the mislabel
+    * detector is sub-quadratic end to end: candidates from an equi-join
+    * on (band, bandHash), exact cosine only on collisions, then the
+    * identical vote machinery ([[labelNoiseCensus]] — q248 and q270 can
+    * never drift apart). A vector with < 3 candidate neighbors simply
+    * casts fewer votes, exactly as the oracle replays it. In production
+    * the two run as a pair: q270 continuously at full scale, q248 on a
+    * sampled slice to audit the detector's own recall. */
+  val q270 = QueryDef(
+    "q270_ann_label_noise",
+    (s, d) => labelNoiseCensus(s, d, top3Knn(signLshCandidatePairs(s, d))),
+    Some(s"""WITH $lshCandSql,
+      dir AS (SELECT a_id AS src, b_id AS dst, round(c, 6) AS sim FROM scored
+        UNION ALL SELECT b_id, a_id, round(c, 6) FROM scored),
+      knn AS (SELECT src, dst FROM (
+          SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+          FROM dir) WHERE rn <= 3),
+      el AS (SELECT vec_id, label FROM embeddings),
+      nv AS (SELECT k.src, el.label AS nl, COUNT(*) AS votes
+        FROM knn k JOIN el ON el.vec_id = k.dst GROUP BY 1, 2),
+      mj AS (SELECT src, nl AS maj_label, votes AS maj_votes FROM (
+          SELECT src, nl, votes,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY votes DESC, nl) AS r
+          FROM nv) WHERE r = 1),
+      f AS (SELECT el.label,
+          CASE WHEN mj.maj_label <> el.label AND mj.maj_votes >= 2 THEN 1 ELSE 0 END AS flag
+        FROM el JOIN mj ON mj.src = el.vec_id)
+      SELECT label, COUNT(*) AS n, CAST(SUM(flag) AS BIGINT) AS flagged,
+        CAST((SUM(flag) * 1000000) // COUNT(*) AS BIGINT) AS flagged_ppm
+      FROM f GROUP BY label ORDER BY label"""),
+    doc = "k-NN label-disagreement mining over the sign-LSH candidate graph — q248's census with the sub-quadratic ANN front-end")
+
+  // --------------------------------------------------------------- q271
+  /** Retrieval-quality eval for the similarity tier: self-retrieval MRR
+    * and hit-rate@10, the numbers an embedding-backed retrieval system
+    * (RAG, dedup-by-retrieval, semantic search) actually monitors.
+    * Queries = vec_id < 20 (broadcast); ranking is brute-force cosine —
+    * the ground-truth baseline, same layout as q45 (big side never
+    * shuffles; at scale the q89/q46 candidate stages slot in front and
+    * q259-style recall bounds the substitution error). A retrieved
+    * neighbor is RELEVANT iff it shares the query's label. Reciprocal
+    * rank is kept integer-exact as 10⁶ div rank (0 when no relevant doc
+    * in the top 10), so the per-label mean crosses engines bit-for-bit. */
+  val q271 = QueryDef(
+    "q271_retrieval_mrr",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("emb").as("q_emb"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          round(cosine(col("emb"), col("q_emb")), 6).as("sim"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      val top10 = scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+      val perQuery = top10
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(
+          min(when(col("label") === col("q_label"), col("rank"))).as("best"),
+          sum(when(col("label") === col("q_label"), 1L).otherwise(0L)).as("hits"))
+        .select(col("q_id"), col("q_label"),
+          coalesce(expr("1000000 div best"), lit(0L)).as("rr_ppm"), col("hits"))
+      perQuery.groupBy(col("q_label").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          expr("sum(rr_ppm) div count(1)").as("mrr_ppm"),
+          sum(col("hits")).as("hits_at10"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb FROM e WHERE vec_id < 20),
+      scored AS (SELECT q.q_id, q.q_label, e.vec_id, e.label,
+          round(list_cosine_similarity(e.emb, q.q_emb), 6) AS sim
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      top10 AS (SELECT * FROM (
+          SELECT q_id, q_label, vec_id, label,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+          FROM scored) WHERE rank <= 10),
+      pq AS (SELECT q_id, q_label,
+          COALESCE(1000000 // MIN(CASE WHEN label = q_label THEN rank END), 0) AS rr_ppm,
+          SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS hits
+        FROM top10 GROUP BY q_id, q_label)
+      SELECT q_label AS label, COUNT(*) AS n_queries,
+        CAST(SUM(rr_ppm) // COUNT(*) AS BIGINT) AS mrr_ppm,
+        CAST(SUM(hits) AS BIGINT) AS hits_at10
+      FROM pq GROUP BY q_label ORDER BY label"""),
+    doc = "self-retrieval MRR + hit-rate@10 per label over brute-force cosine top-10 — integer-exact reciprocal ranks")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271)
 }

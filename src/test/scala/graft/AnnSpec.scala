@@ -80,6 +80,62 @@ class AnnSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), s"extra=${(lsh -- exact).take(5)}")
   }
 
+  test("q270 ANN label-noise census: equi-join plan (no cartesian), conservation vs node count, ppm algebra") {
+    val df = Similarity.q270.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val nVectors = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val totalN = rows.map(_.getLong(1)).sum
+    // census covers exactly the vectors with >= 1 LSH candidate edge
+    assert(totalN <= nVectors)
+    rows.foreach { r =>
+      val (n, flagged, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(flagged <= n)
+      assert(ppm == flagged * 1000000L / n, s"ppm algebra broke: $r")
+    }
+  }
+
+  test("q271 retrieval MRR: 20 queries conserved, integer bounds, and rr_ppm matches a driver-side replay") {
+    val rows = Similarity.q271.fn(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == 20L, "query census must cover vec_id < 20 exactly")
+    rows.foreach { r =>
+      val (n, mrr, hits) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mrr >= 0L && mrr <= 1000000L)
+      assert(hits >= 0L && hits <= 10L * n)
+    }
+    // independent replay of one query's reciprocal rank from raw vectors
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    val (qid, qemb, qlabel) = vecs.find(_._1 == 0L).get
+    val top10 = vecs.filter(_._1 != qid)
+      .map { case (id, emb, lbl) => (id, lbl, roundTo6(cos(qemb, emb))) }
+      .sortBy { case (id, _, sim) => (-sim, id) }
+      .take(10)
+    val best = top10.zipWithIndex.collectFirst { case ((_, lbl, _), i) if lbl == qlabel => i + 1L }
+    val expectedRr = best.map(1000000L / _).getOrElse(0L)
+    // q0's label group mean must be consistent with the replayed member:
+    // recompute the whole group from the replay and compare the mean
+    val groupQ = vecs.filter(v => v._1 < 20 && v._3 == qlabel).map(_._1)
+    val rrs = groupQ.map { gq =>
+      val (_, ge, gl) = vecs.find(_._1 == gq).get
+      val t = vecs.filter(_._1 != gq)
+        .map { case (id, emb, lbl) => (id, lbl, roundTo6(cos(ge, emb))) }
+        .sortBy { case (id, _, sim) => (-sim, id) }.take(10)
+      t.zipWithIndex.collectFirst { case ((_, lbl, _), i) if lbl == gl => 1000000L / (i + 1L) }
+        .getOrElse(0L)
+    }
+    assert(rrs.contains(expectedRr))
+    val expectedMean = rrs.sum / rrs.length
+    val got = rows.find(_.getInt(0) == qlabel).get
+    assert(got.getLong(2) == expectedMean,
+      s"label $qlabel mrr_ppm: engine=${got.getLong(2)} replay=$expectedMean")
+  }
+
   private def roundTo6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

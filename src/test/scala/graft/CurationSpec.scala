@@ -178,4 +178,29 @@ class CurationSpec extends AnyFunSuite {
       assert(out.count() > 0)
     } finally out.unpersist()
   }
+
+  test("q272 temperature law: quotas conserve the budget (floor loss < n_sources); α=0.5 flattens head vs tail") {
+    val rows = graft.ext.CurationQueries.q272.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val nSources = rows.length
+    // integer-floor conservation: shares/quotas sum to just under the budget
+    val quotaSum = rows.map(_._5).sum
+    assert(quotaSum <= 100000L && quotaSum > 100000L - nSources,
+      s"quota floor loss must be < 1 doc per source: $quotaSum")
+    val ppmSum = rows.map(_._4).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - nSources)
+    // w = floor(sqrt(n)) recomputed independently
+    rows.foreach { case (_, nDocs, w, _, _, _) =>
+      assert(w == math.floor(math.sqrt(nDocs.toDouble)).toLong)
+    }
+    // temperature flattening: iff sources differ in size, the smallest
+    // gains share (boost > 1000) and the largest loses (boost < 1000)
+    val bySize = rows.sortBy(_._2)
+    if (bySize.head._2 < bySize.last._2) {
+      assert(bySize.head._6 >= 1000L, s"smallest source must not lose share: ${bySize.head}")
+      assert(bySize.last._6 <= 1000L, s"largest source must not gain share: ${bySize.last}")
+    }
+  }
 }

@@ -62,4 +62,38 @@ class PackingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(out.toSeq == Seq((10L, 2L, 80L, 130L), (20L, 5L, 90L, 5L)))
   }
+
+  test("q273 span law: sentinel algebra n_after = n_tokens - n_masked + n_spans; islands replayed per doc; ~15% corpus mask rate") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ext.PipelineQueries.q273.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTok, nMask, nSpan, nAfter, ppm) =>
+      assert(nSpan <= nMask && nMask <= nTok, s"doc $id")
+      assert(nAfter == nTok - nMask + nSpan, s"doc $id")
+      assert(ppm == nMask * 1000000L / nTok, s"doc $id")
+      assert((nSpan == 0) == (nMask == 0), s"doc $id")
+    }
+    // corpus-wide realized mask rate must sit near the 15% design point
+    val (tokSum, maskSum) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    val rate = maskSum.toDouble / tokSum
+    assert(rate > 0.12 && rate < 0.18, f"realized mask rate $rate%.4f")
+    // independent island replay on one real document
+    import java.security.MessageDigest
+    def maskedAt(docId: Long, pos: Int): Boolean = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(s"$docId:$pos".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16) % 1000 < 150
+    }
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect().head
+    val (docId, nWords) = (doc.getLong(0), doc.getString(1).split(" ", -1).length)
+    val flags = (0 until nWords).map(maskedAt(docId, _))
+    val expMask = flags.count(identity)
+    val expSpans = flags.zip(false +: flags.dropRight(1)).count { case (c, p) => c && !p }
+    val got = rows.find(_._1 == docId).get
+    assert(got._3 == expMask && got._4 == expSpans,
+      s"doc $docId replay: engine=(${got._3},${got._4}) expected=($expMask,$expSpans)")
+  }
 }

@@ -897,7 +897,53 @@ object PipelineQueries {
       FROM toks t LEFT JOIN sp USING (doc_id) ORDER BY t.doc_id"""),
     doc = "deterministic T5 span-corruption census: hash-marked 15% positions, gaps-and-islands span coalescing, sentinel-adjusted lengths")
 
+  // --------------------------------------------------------------- q275
+  /** Weighted sampling without replacement, stratified per source
+    * (Efraimidis–Spirakis A-ES): each doc draws a deterministic uniform
+    * u ∈ (0,1) from an md5 hash of its id, and the k docs with the
+    * largest u^(1/w) win — equivalently the largest ln(u)/w, which is
+    * what's computed (w = n_chars, so long docs are proportionally more
+    * likely to be kept; the scheme a token-budgeted subcorpus draw
+    * uses when "sample 1% of docs" must mean "1% of tokens"). The sort
+    * key is frozen as ⌊ln(u)/w · 10⁹⌋ (BIGINT) so ranking and output
+    * are integer-exact across engines; ties break on doc_id.
+    *
+    * Scale shape: the reservoir is a rank-limit window per stratum —
+    * Spark plans WindowGroupLimit (per-partition top-k heaps, no full
+    * sort), one shuffle on `source`; the hash, log, and division are
+    * all map-side. This is the one-pass distributed form of weighted
+    * reservoir sampling: no rand() state, reproducible across retries
+    * (a failed task re-draws identical samples — A-ES with a PRNG
+    * cannot promise that). */
+  val q275 = QueryDef(
+    "q275_weighted_sample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("es_key").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("wt"))
+        .withColumn("u_scaled",
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"))
+        .withColumn("es_key",
+          expr("cast(floor(ln((u_scaled + 0.5) / 4294967296.0) / wt * 1000000000.0) as bigint)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"), col("wt"), col("es_key"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some("""WITH c AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wt,
+          CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) AS u_scaled
+        FROM documents),
+      k AS (SELECT *, CAST(floor(ln((u_scaled + 0.5) / 4294967296.0) / wt * 1000000000.0) AS BIGINT) AS es_key
+        FROM c),
+      r AS (SELECT source, doc_id, wt, es_key,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS rk
+        FROM k)
+      SELECT source, rk, doc_id, wt, es_key FROM r WHERE rk <= 5
+      ORDER BY source, rk"""),
+    doc = "Efraimidis–Spirakis weighted reservoir (k=5 per source, w=n_chars): deterministic md5 uniforms, frozen-integer ln(u)/w keys, rank-limit window — one pass, no full sort, retry-reproducible")
+
   val all: Seq[QueryDef] =
     Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131, q151, q152,
-      q156, q157, q166, q167, q183, q188, q197, q273)
+      q156, q157, q166, q167, q183, q188, q197, q273, q275)
 }

@@ -1427,6 +1427,101 @@ object Similarity {
       FROM pq GROUP BY q_label ORDER BY label"""),
     doc = "self-retrieval MRR + hit-rate@10 per label over brute-force cosine top-10 — integer-exact reciprocal ranks")
 
+  // --------------------------------------------------------------- q274
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack/Clarke/
+    * Büttcher): the standard way production search stacks combine a
+    * lexical ranker (BM25) with a dense ranker (embedding cosine) —
+    * score(d) = Σ_r 1/(60 + rank_r(d)) over the rankers that retrieved
+    * d, which needs only RANKS, never the incomparable raw scores.
+    * Lexical side reuses q264's BM25 scoring (Lucene idf, k1=1.2,
+    * b=0.75, fixed-order conditional sums so the double addition is
+    * engine-exact); dense side is q45's brute cosine against query
+    * vec_id=0 (`doc_id` = `vec_id` links the two modalities of the same
+    * corpus). Both rankers keep top-50; fusion full-outer-joins the two
+    * 50-row lists and keeps RRF integer-exact as 10⁶ div (60 + rank),
+    * 0 for a list that missed the doc.
+    *
+    * Scale shape: each ranker ends in orderBy+limit — Spark plans
+    * TakeOrderedAndProject (per-partition heap + driver merge of k
+    * rows, never a full sort); the rank-assignment window and the
+    * fusion join then run over ≤50-row inputs, i.e. driver-trivial at
+    * any corpus size. The corpus is scanned once per modality. */
+  val q274 = QueryDef(
+    "q274_rrf_fusion",
+    (s, d) => {
+      val terms = Seq("shuffle", "join", "scan")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val dl = docs.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+      val census = broadcast(dl.agg(
+        count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens")))
+      val tf = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfw = broadcast(tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
+      val bm = tf.join(dfw, "w").join(dl, "doc_id").crossJoin(census)
+        .select(col("doc_id"), col("w"),
+          (expr("ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))")
+            * col("tf") * lit(2.2)
+            / (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("tot_tokens"))))
+            .as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(
+          coalesce(sum(when(col("w") === "join", col("c"))), lit(0.0))
+            + coalesce(sum(when(col("w") === "scan", col("c"))), lit(0.0))
+            + coalesce(sum(when(col("w") === "shuffle", col("c"))), lit(0.0)), 6).as("bm25"))
+      val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val lex = bm.orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("rank_lex", row_number().over(wLex).cast("long"))
+      val e = embDouble(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("emb").as("q_emb"))
+      val scored = e.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          round(cosine(col("emb"), col("q_emb")), 6).as("sim"))
+      val wDen = Window.orderBy(col("sim").desc, col("doc_id"))
+      val den = scored.orderBy(col("sim").desc, col("doc_id")).limit(50)
+        .withColumn("rank_dense", row_number().over(wDen).cast("long"))
+      lex.select(col("doc_id"), col("rank_lex"))
+        .join(den.select(col("doc_id"), col("rank_dense")), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rank_lex"), col("rank_dense"),
+          (coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L))
+            + coalesce(expr("1000000 div (60 + rank_dense)"), lit(0L))).as("rrf_ppm"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+      census AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM (
+          SELECT doc_id, unnest(ws) AS w FROM d)
+        WHERE w IN ('shuffle', 'join', 'scan') GROUP BY doc_id, w),
+      dfw AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      contrib AS (SELECT tf.doc_id, tf.w,
+          ln(1.0 + (census.n_docs - dfw.df + 0.5) / (dfw.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * census.n_docs / census.tot_tokens)) AS c
+        FROM tf JOIN dfw USING (w) JOIN dl USING (doc_id) CROSS JOIN census),
+      bm AS (SELECT doc_id,
+          round(COALESCE(sum(c) FILTER (w = 'join'), 0)
+            + COALESCE(sum(c) FILTER (w = 'scan'), 0)
+            + COALESCE(sum(c) FILTER (w = 'shuffle'), 0), 6) AS bm25
+        FROM contrib GROUP BY doc_id),
+      lex AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        FROM bm QUALIFY rank_lex <= 50),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      qv AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+      den AS (SELECT vec_id AS doc_id,
+          ROW_NUMBER() OVER (ORDER BY round(list_cosine_similarity(emb, q_emb), 6) DESC, vec_id) AS rank_dense
+        FROM e CROSS JOIN qv WHERE vec_id <> 0 QUALIFY rank_dense <= 50)
+      SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id, rank_lex, rank_dense,
+        COALESCE(1000000 // (60 + rank_lex), 0) + COALESCE(1000000 // (60 + rank_dense), 0) AS rrf_ppm
+      FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+      ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""),
+    doc = "reciprocal-rank fusion of BM25 and dense-cosine top-50 lists (k=60): rank-only hybrid retrieval, integer-exact RRF, TakeOrderedAndProject per ranker")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274)
 }

@@ -136,7 +136,10 @@ class ScaleSpec extends AnyFunSuite {
       "q263_dsir_importance",   // crossJoin(broadcast(1-row token totals))
       "q264_bm25_topk",         // crossJoin(broadcast(1-row doc/token census))
       "q265_ivf_knn_pagerank",  // q184's k-row centroid broadcast + 1-row node count
-      "q268_capped_lm_score")   // crossJoin(broadcast(1-row bigram total))
+      "q268_capped_lm_score",   // crossJoin(broadcast(1-row bigram total))
+      "q271_retrieval_mrr",     // q45's shape: constant 20-query broadcast side
+      "q272_temperature_mixture", // crossJoin(broadcast(1-row weight/doc totals))
+      "q274_rrf_fusion")        // crossJoin(broadcast(1-row census + 1-vector query))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

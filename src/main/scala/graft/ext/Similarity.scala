@@ -1063,18 +1063,61 @@ object Similarity {
   val q239 = QueryDef(
     "q239_user_similarity",
     (s, d) => {
+      import s.implicits._
       val uv = Tables.events(s, d)
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("c"))
-      val norms = uv.groupBy(col("user_id")).agg(sum(col("c") * col("c")).as("nrm"))
-      val dots = uv.as("x").join(uv.as("y"),
-          col("x.event_type") === col("y.event_type") &&
-            col("x.user_id") < col("y.user_id"))
-        .groupBy(col("x.user_id").as("ua"), col("y.user_id").as("ub"))
-        .agg(sum(col("x.c") * col("y.c")).as("dot"))
+      // Dense per-user layout: feature vector + squared norm in ONE keyed
+      // agg. With a low-cardinality feature space the inverted-index join
+      // (join on event_type) shuffles |features| partitions of quadratic
+      // key groups — 5 parallel units at any cluster size. The tiled
+      // self-join spreads the same O(n²) pair work evenly over
+      // B(B+1)/2 = 136 cells (q54's layout) and carries the norm with the
+      // vector, so no post-join norm lookups. Vectors are dense
+      // array<bigint> over a broadcast feature dictionary, so the pair
+      // dot is the codegen'd [[graft.functions.DotLong]] primitive loop
+      // (the map_zip_with/aggregate HOF form is CodegenFallback —
+      // interpreted per pair — and pairs are quadratic). The sparse
+      // inverted-index form remains the right shape for HIGH-cardinality
+      // features — see the scaladoc; this corpus is the dense regime.
+      val fidx = broadcast(uv.select(col("event_type")).distinct()
+        .withColumn("fid",
+          (row_number().over(Window.orderBy(col("event_type"))) - 1).cast("int")))
+      val nf = broadcast(fidx.agg(max(col("fid")).as("fmax")))
+      val uvec = uv.join(fidx, "event_type")
+        .groupBy(col("user_id")).agg(
+          map_from_entries(collect_list(struct(col("fid"), col("c")))).as("m"),
+          sum(col("c") * col("c")).as("nrm"))
+        .crossJoin(nf)
+        .select(col("user_id"),
+          expr("transform(sequence(0, fmax), i -> coalesce(m[i], cast(0 as bigint)))").as("v"),
+          col("nrm"))
+      val B = 16
+      val blockPairs = broadcast(
+        (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("bi", "bj"))
+      val u = uvec.withColumn("blk", pmod(xxhash64(col("user_id")), lit(B)).cast("int"))
+      val lhs = u.join(blockPairs, col("blk") === col("bi"))
+        .select(col("bi"), col("bj"), col("user_id").as("l_id"),
+          col("v").as("l_v"), col("nrm").as("l_nrm"))
+      val rhs = u.join(blockPairs, col("blk") === col("bj"))
+        .select(col("bi").as("rbi"), col("bj").as("rbj"), col("user_id").as("r_id"),
+          col("v").as("r_v"), col("nrm").as("r_nrm"))
+      val dotCol = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.DotLong(
+          org.apache.spark.sql.GraftBridge.expression(col("l_v")),
+          org.apache.spark.sql.GraftBridge.expression(col("r_v"))))
+      val dots = lhs.join(rhs, col("bi") === col("rbi") && col("bj") === col("rbj")
+          && (col("bi") =!= col("bj") || col("l_id") < col("r_id"))
+          && col("l_id") =!= col("r_id"))
+        .select(least(col("l_id"), col("r_id")).as("ua"),
+          greatest(col("l_id"), col("r_id")).as("ub"),
+          when(col("l_id") < col("r_id"), col("l_nrm")).otherwise(col("r_nrm")).as("na"),
+          when(col("l_id") < col("r_id"), col("r_nrm")).otherwise(col("l_nrm")).as("nb"),
+          dotCol.as("dot"))
+        // pairs sharing no feature never appear in the inverted-index
+        // form — drop them so the ranked peer set is identical
+        .filter(col("dot") > 0)
       val scored = dots
-        .join(norms.select(col("user_id").as("ua"), col("nrm").as("na")), "ua")
-        .join(norms.select(col("user_id").as("ub"), col("nrm").as("nb")), "ub")
         .select(explode(array(
             struct(col("ua").as("u"), col("ub").as("peer"),
               col("dot"), col("na").as("nu"), col("nb").as("np")),
@@ -1522,6 +1565,94 @@ object Similarity {
       ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""),
     doc = "reciprocal-rank fusion of BM25 and dense-cosine top-50 lists (k=60): rank-only hybrid retrieval, integer-exact RRF, TakeOrderedAndProject per ranker")
 
+  // --------------------------------------------------------------- q276
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein): the
+    * diversity-aware selection step RAG stacks and dedup-aware search
+    * run after retrieval — greedily pick argmax λ·rel(c) −
+    * (1−λ)·max_{s∈selected} sim(c,s), λ=0.7, k=5, over the dense
+    * top-20 candidates for query vec_id=0. MMR is inherently
+    * sequential (each pick changes the next penalty), so the greedy
+    * loop runs on the driver over the BOUNDED candidate list — the
+    * same "merge k rows driver-side" contract as TakeOrderedAndProject;
+    * the distributed work (corpus-wide retrieval, candidate pair sims)
+    * all happens in Spark before the 20-row collect. Cross-engine
+    * determinism: rel and sim are 6-dp-rounded before the loop, so
+    * every MMR score is an IEEE-exact function of identical decimal
+    * inputs (0.7·rel − 0.3·max) in both engines — raw-double ordering
+    * cannot diverge, and ties break on doc_id. The DuckDB oracle
+    * replays the greedy loop as a recursive CTE carrying the selected
+    * list. */
+  val q276 = QueryDef(
+    "q276_mmr_rerank",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("emb").as("q_emb"))
+      val cand = e.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"), col("emb"),
+          round(cosine(col("emb"), col("q_emb")), 6).as("rel"))
+        .orderBy(col("rel").desc, col("doc_id")).limit(20)
+      val pairs = cand.select(col("doc_id").as("a_id"), col("emb").as("a_emb"))
+        .join(cand.select(col("doc_id").as("b_id"), col("emb").as("b_emb")),
+          col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(cosine(col("a_emb"), col("b_emb")), 6).as("sim"))
+      val rel = cand.select(col("doc_id"), col("rel")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val sim = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      var selected = Vector.empty[Long]
+      val picks = (1 to 5).map { step =>
+        val (id, _) = rel.keysIterator.filterNot(selected.contains).toSeq
+          .map { id =>
+            val score =
+              if (selected.isEmpty) rel(id)
+              else 0.7 * rel(id) - 0.3 * selected.map(sid => sim((id, sid))).max
+            (id, score)
+          }
+          .minBy { case (cid, sc) => (-sc, cid) }
+        selected :+= id
+        (step.toLong, id, rel(id))
+      }
+      import s.implicits._
+      picks.toDF("step", "doc_id", "rel")
+    },
+    Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      qv AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+      cand AS (SELECT vec_id AS doc_id, emb,
+          round(list_cosine_similarity(emb, q_emb), 6) AS rel,
+          ROW_NUMBER() OVER (ORDER BY round(list_cosine_similarity(emb, q_emb), 6) DESC, vec_id) AS rn
+        FROM e CROSS JOIN qv WHERE vec_id <> 0 QUALIFY rn <= 20),
+      ps AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+      sel AS (
+        SELECT 1 AS step,
+          (SELECT doc_id FROM cand ORDER BY rel DESC, doc_id LIMIT 1) AS picked,
+          [(SELECT doc_id FROM cand ORDER BY rel DESC, doc_id LIMIT 1)] AS selected
+        UNION ALL
+        SELECT step + 1,
+          (SELECT c.doc_id FROM cand c
+            WHERE NOT list_contains(sel.selected, c.doc_id)
+            ORDER BY 0.7 * c.rel - 0.3 * (
+                SELECT MAX(ps.sim) FROM ps
+                WHERE ps.a_id = c.doc_id AND list_contains(sel.selected, ps.b_id)) DESC,
+              c.doc_id
+            LIMIT 1),
+          list_append(sel.selected,
+            (SELECT c.doc_id FROM cand c
+              WHERE NOT list_contains(sel.selected, c.doc_id)
+              ORDER BY 0.7 * c.rel - 0.3 * (
+                  SELECT MAX(ps.sim) FROM ps
+                  WHERE ps.a_id = c.doc_id AND list_contains(sel.selected, ps.b_id)) DESC,
+                c.doc_id
+              LIMIT 1))
+        FROM sel WHERE step < 5)
+      SELECT CAST(step AS BIGINT) AS step, picked AS doc_id,
+        (SELECT rel FROM cand WHERE cand.doc_id = sel.picked) AS rel
+      FROM sel ORDER BY step"""),
+    doc = "λ=0.7 MMR diversity re-rank of the dense top-20 (k=5): distributed retrieval + pair sims, bounded driver greedy, recursive-CTE oracle replay")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276)
 }

@@ -137,9 +137,11 @@ class ScaleSpec extends AnyFunSuite {
       "q264_bm25_topk",         // crossJoin(broadcast(1-row doc/token census))
       "q265_ivf_knn_pagerank",  // q184's k-row centroid broadcast + 1-row node count
       "q268_capped_lm_score",   // crossJoin(broadcast(1-row bigram total))
+      "q239_user_similarity",   // crossJoin(broadcast(1-row feature-dict size))
       "q271_retrieval_mrr",     // q45's shape: constant 20-query broadcast side
       "q272_temperature_mixture", // crossJoin(broadcast(1-row weight/doc totals))
-      "q274_rrf_fusion")        // crossJoin(broadcast(1-row census + 1-vector query))
+      "q274_rrf_fusion",        // crossJoin(broadcast(1-row census + 1-vector query))
+      "q276_mmr_rerank")        // 20x20 candidate pair sims (bounded by construction)
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

@@ -79,7 +79,11 @@ object GraftExtensions {
     ("decode_audio", info("decode_audio", classOf[DecodeAudio]),
       es => DecodeAudio(es(0))),
     ("nfc_normalize", info("nfc_normalize", classOf[NfcNormalize]),
-      es => NfcNormalize(es(0))))
+      es => NfcNormalize(es(0))),
+    ("dot_long", info("dot_long", classOf[DotLong]),
+      es => DotLong(es(0), es(1))),
+    ("jl_project", info("jl_project", classOf[JlProject]),
+      es => JlProject(es(0), intArg(es(1), "dOut"), intArg(es(2), "dIn"))))
 }
 
 /** Optimizer rule: rewrite the naive built-in Jaccard composition

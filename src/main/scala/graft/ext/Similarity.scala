@@ -786,23 +786,15 @@ object Similarity {
   val q189 = QueryDef(
     "q189_jl_projection",
     (s, d) => {
-      val weights = broadcast(
-        s.range(16).select(col("id").cast("int").as("j"),
-            explode(sequence(lit(0), lit(63))).as("i"))
-          .select(col("j"), col("i"),
-            when(substring(md5(concat(col("j").cast("string"), lit(":"),
-                col("i").cast("string"))), 1, 1)
-                .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1.0))
-              .otherwise(lit(-1.0)).as("wt")))
-      val ex = embDouble(s, d)
-        .select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
-      val proj = ex.join(weights, Seq("i"))
-        .groupBy(col("vec_id"), col("j"))
-        .agg(sum((col("x") * col("wt")).cast(DecimalType(28, 10)))
-          .cast("double").as("y"))
-        .groupBy(col("vec_id"))
-        .agg(transform(array_sort(collect_list(struct(col("j"), col("y")))),
-          p => p.getField("y")).as("p_emb"))
+      // One-pass fused projection (native JlProject): sign derivation,
+      // 10-dp decimal rounding, and the 16 component sums all happen per
+      // ROW — the composed posexplode → broadcast-weight-join → two keyed
+      // aggregations formulation (still mirrored verbatim by the oracle
+      // SQL) shuffles 64× the corpus twice; this shuffles nothing.
+      val proj = embDouble(s, d).select(col("vec_id"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.JlProject(
+            org.apache.spark.sql.GraftBridge.expression(col("emb")), 16, 64)).as("p_emb"))
       val e = embDouble(s, d)
       val orig = e.as("a").join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
         .select(col("a.vec_id").as("a_id"),

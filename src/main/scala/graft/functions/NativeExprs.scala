@@ -308,6 +308,73 @@ case class CosineSim(left: Expression, right: Expression)
   * one. Overflow: callers hold Σc² ≤ ~2³¹ per vector (event counts), so
   * the bigint product sum cannot wrap; the decimal widening for the ppm
   * ratio happens downstream. */
+/** Johnson–Lindenstrauss Rademacher projection (dIn → dOut dims) fused
+  * into one pass per vector: component_j = double(Σᵢ sign(j,i)·dec10(xᵢ))
+  * where dec10 is the decimal-accumulator convention (HALF_UP 10-dp
+  * rounding of the double's shortest decimal representation — exactly
+  * Spark's `cast(x as decimal(28,10))`, so the output is bit-identical
+  * to the composed posexplode→weight-join→decimal-sum formulation and
+  * to the DuckDB oracle) and sign(j,i) = +1 iff the first hex digit of
+  * md5("j:i") is ≥ 8 (the q43/q89 Rademacher trick). Signs are
+  * precomputed once per executor. Replaces a 64×-row explode, a
+  * broadcast join against a dOut·dIn weight table, and two keyed
+  * aggregations (one shuffle each) with zero shuffles — at 100 TB the
+  * projection becomes a pure map stage. Decimal addition is associative,
+  * so the index-ordered fold equals the aggregate's any-order sum. */
+case class JlProject(child: Expression, dOut: Int, dIn: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "jl_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jl_project expects array<double>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val signs: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dOut, dIn) { (j, i) =>
+      md.reset()
+      val digest = md.digest(s"$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((digest(0) >> 4) & 0xF) >= 8) 1 else -1
+    }
+  }
+
+  /** Shared by eval and codegen. */
+  def project(input: ArrayData): ArrayData = {
+    val n = math.min(dIn, input.numElements())
+    val out = new Array[Any](dOut)
+    var j = 0
+    while (j < dOut) {
+      val row = signs(j)
+      var acc = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < n) {
+        val d = java.math.BigDecimal.valueOf(input.getDouble(i))
+          .setScale(10, java.math.RoundingMode.HALF_UP)
+        acc = if (row(i) > 0) acc.add(d) else acc.subtract(d)
+        i += 1
+      }
+      out(j) = acc.doubleValue()
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    project(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jlProject", this, classOf[JlProject].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.project($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JlProject =
+    copy(child = newChild)
+}
+
 case class DotLong(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -18,7 +18,9 @@ class ExtensionsSpec extends AnyFunSuite {
         |  parse_cookies('uid=42; sess=%2Fa%20b')['sess'] AS s,
         |  word_shingles('a b c d', 3) AS sh,
         |  simhash16(array('hash', 'join')) AS h,
-        |  winnow_fingerprints('the quick brown fox jumps', 8, 16) AS fp
+        |  winnow_fingerprints('the quick brown fox jumps', 8, 16) AS fp,
+        |  dot_long(array(2L, 3L), array(5L, 7L)) AS dl,
+        |  jl_project(array(1.0d, 2.0d), 2, 2) AS jp
         |""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-12)
     assert(math.abs(r.getDouble(1) - 0.6) < 1e-12)
@@ -26,6 +28,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
     assert(r.getLong(4) >= 0L && r.getLong(4) < 65536L)
     assert(r.getSeq[Long](5).nonEmpty && r.getSeq[Long](5).forall(h => h >= 0))
+    assert(r.getLong(6) == 31L)
+    // each JL component is ±1·1.0 ± 1·2.0 — magnitude 1 or 3
+    assert(r.getSeq[Double](7).forall(v => math.abs(math.abs(v) - 2.0) == 1.0))
   }
 
   test("codec expressions are SQL-callable (decode_image / resize_image / decode_audio)") {

@@ -46,6 +46,52 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("DotLong == BigInt reference on random long arrays incl. length mismatch") {
+    import spark.implicits._
+    val cases = Seq.fill(200) {
+      val n = rnd.nextInt(10)
+      val m = if (rnd.nextBoolean()) n else rnd.nextInt(10)
+      (Seq.fill(n)(rnd.nextInt(100000).toLong - 50000),
+        Seq.fill(m)(rnd.nextInt(100000).toLong - 50000))
+    }
+    val got = cases.toDF("x", "y")
+      .select(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.DotLong(
+          org.apache.spark.sql.GraftBridge.expression(col("x")),
+          org.apache.spark.sql.GraftBridge.expression(col("y")))).as("d"))
+      .collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((x, y), d) =>
+      val expect = x.zip(y).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+      assert(BigInt(d) == expect, s"x=$x y=$y")
+    }
+  }
+
+  test("JlProject == composed decimal-sum reference on random vectors") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Int = {
+      md.reset()
+      val dg = md.digest(s"$j:$i".getBytes("UTF-8"))
+      if (((dg(0) >> 4) & 0xF) >= 8) 1 else -1
+    }
+    val cases = Seq.fill(100)(Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    val got = cases.toDF("x")
+      .select(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.JlProject(
+          org.apache.spark.sql.GraftBridge.expression(col("x")), 4, 8)).as("p"))
+      .collect().map(_.getSeq[Double](0))
+    cases.zip(got).foreach { case (x, p) =>
+      val expect = (0 until 4).map { j =>
+        x.indices.map { i =>
+          val d = java.math.BigDecimal.valueOf(x(i))
+            .setScale(10, java.math.RoundingMode.HALF_UP)
+          if (sign(j, i) > 0) BigDecimal(d) else -BigDecimal(d)
+        }.sum.toDouble
+      }
+      assert(p == expect, s"x=$x")
+    }
+  }
+
   test("WordShingles == naive reference incl. empty-word and short-text edges") {
     import spark.implicits._
     val texts = Seq("", "a", "a b", "a b c", "a b c d", "a  b c", " a b c ",

@@ -1146,7 +1146,49 @@ object CurationQueries {
       FROM cw CROSS JOIN t ORDER BY source"""),
     doc = "α=0.5 temperature mixture weights per source (p ∝ n^α, integer ⌊√n⌋ form): natural vs resampled share, 100k-doc quotas, tail boost")
 
+  // --------------------------------------------------------------- q278
+  /** Curriculum schedule assembly: bucket the corpus into 10 training
+    * phases by a difficulty proxy (document length, linearly banded
+    * between the corpus min/max — the "short/simple first" curriculum),
+    * and give each phase a DETERMINISTIC within-phase order key (md5 of
+    * doc_id) so the epoch-shuffle is reproducible across engines and
+    * across re-runs — curriculum training is worthless if a retried job
+    * draws a different order. Emits the per-phase census a schedule
+    * builder consumes: doc/token mass and the first document under the
+    * frozen order.
+    *
+    * Scale shape: banding is a map-side expression against a 1-row
+    * broadcast of (min, max); the census is one keyed agg on a 10-value
+    * key; the order key is a hash, not a sort — the full corpus is
+    * never globally ordered (consumers sort WITHIN a phase partition,
+    * which is how the epoch files would be written anyway). */
+  val q278 = QueryDef(
+    "q278_curriculum_schedule",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("nc"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          md5(col("doc_id").cast("string")).as("ord"))
+      val bounds = broadcast(docs.agg(min(col("nc")).as("minc"), max(col("nc")).as("maxc")))
+      docs.crossJoin(bounds)
+        .select(col("doc_id"), col("toks"), col("ord"),
+          expr("(nc - minc) * 10 div (maxc - minc + 1)").as("phase"))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          min_by(col("doc_id"), col("ord")).as("first_doc"))
+        .orderBy(col("phase"))
+    },
+    Some("""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+          md5(doc_id::VARCHAR) AS ord FROM documents),
+      b AS (SELECT MIN(nc) AS minc, MAX(nc) AS maxc FROM d)
+      SELECT CAST((nc - minc) * 10 // (maxc - minc + 1) AS BIGINT) AS phase,
+        COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        arg_min(doc_id, ord) AS first_doc
+      FROM d CROSS JOIN b GROUP BY 1 ORDER BY phase"""),
+    doc = "length-banded 10-phase curriculum with a frozen md5 epoch order: per-phase doc/token census, retry-reproducible, no global sort")
+
   val all: Seq[QueryDef] = Seq(q114, q115, q116, q119, q132, q148, q149, q150,
-    q200, q222, q230, q244, q245, q246, q252, q262, q263, q264, q268, q272)
+    q200, q222, q230, q244, q245, q246, q252, q262, q263, q264, q268, q272, q278)
 }
 

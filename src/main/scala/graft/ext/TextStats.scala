@@ -701,6 +701,56 @@ object TextStats {
       FROM a GROUP BY lang ORDER BY lang"""),
     doc = "NFC normalization exposure audit via the native nfc_normalize expression; composition verified against the precomposed rewrite")
 
+  // --------------------------------------------------------------- q277
+  /** Distinct-n corpus diversity (the distinct-1/2/3 metric generative-
+    * corpus audits report — Li et al.'s "Diversity-Promoting" framing):
+    * per source, the share of n-gram OCCURRENCES that are unique types,
+    * for n = 1, 2, 3. Low distinct-2/3 flags templated or machine-
+    * generated text that per-doc repetition scores (q95, q173) miss
+    * because the repetition lives ACROSS documents of one source.
+    *
+    * Scale shape: each tier is explode → two keyed aggregations, first
+    * on (source, gram) — partial/map-side combinable, the only wide key
+    * — then on source; nothing quadratic, no distinct() on a global
+    * set. The three tiers are independent single-pass pipelines
+    * unioned at the ≤ 3·|sources| summary level. */
+  val q277 = QueryDef(
+    "q277_distinct_ngrams",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("ws"))
+      def tier(n: Int) = {
+        val grams =
+          if (n == 1) base.select(col("source"), explode(col("ws")).as("g"))
+          else base.filter(size(col("ws")) >= n)
+            .select(col("source"), explode(
+              expr(s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', slice(ws, i + 1, $n)))")).as("g"))
+        grams.groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("total_grams"), count(lit(1)).as("uniq_grams"))
+          .select(col("source"), lit(n).cast("int").as("n"),
+            col("total_grams"), col("uniq_grams"),
+            expr("uniq_grams * 1000000 div total_grams").as("distinct_ppm"))
+      }
+      tier(1).unionByName(tier(2)).unionByName(tier(3))
+        .orderBy(col("source"), col("n"))
+    },
+    Some("""WITH d AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      g1 AS (SELECT source, unnest(ws) AS g FROM d),
+      g2 AS (SELECT source, ws[i] || ' ' || ws[i+1] AS g FROM (
+          SELECT source, ws, unnest(range(1, len(ws))) AS i FROM d WHERE len(ws) >= 2)),
+      g3 AS (SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM (
+          SELECT source, ws, unnest(range(1, len(ws) - 1)) AS i FROM d WHERE len(ws) >= 3)),
+      t AS (SELECT source, 1 AS n, g FROM g1
+        UNION ALL SELECT source, 2, g FROM g2
+        UNION ALL SELECT source, 3, g FROM g3),
+      pg AS (SELECT source, n, g, COUNT(*) AS c FROM t GROUP BY 1, 2, 3)
+      SELECT source, n, CAST(SUM(c) AS BIGINT) AS total_grams,
+        COUNT(*) AS uniq_grams,
+        CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS distinct_ppm
+      FROM pg GROUP BY source, n ORDER BY source, n"""),
+    doc = "distinct-1/2/3 n-gram diversity per source: cross-doc templating signal, two keyed aggs per tier, nothing global")
+
   val all: Seq[QueryDef] = Seq(q47, q48, q49, q50, q104, q111, q172, q173, q181, q182,
-    q190, q223, q238, q243)
+    q190, q223, q238, q243, q277)
 }

@@ -1219,7 +1219,50 @@ object EventAnalytics {
       FROM p GROUP BY 1 ORDER BY bin"""),
     doc = "reliability-diagram bins: mean predicted ppm vs observed positive rate per decile; exact integer calibration audit")
 
+  // --------------------------------------------------------------- q279
+  /** Recency-weighted engagement (exponential time decay with a 7-day
+    * half-life): score(user) = Σ value · 2^−⌊age/7d⌋ — the freshness
+    * weighting a training-sample selector or a ranking feature store
+    * applies so last week counts double vs the week before. Everything
+    * is engine-exact by construction: the decay factor is a power of
+    * two with an INTEGER exponent (halving a double is exact — no
+    * exp/ln in sight), ages come from integer ns arithmetic against a
+    * broadcast corpus horizon, and the weighted sum goes through the
+    * decimal-accumulator convention so summation order cannot matter.
+    * Top-20 ranking uses the 6-dp-rounded score with user_id tiebreak.
+    *
+    * Scale shape: one map-side pass (age, halvings, product), one
+    * keyed agg on user_id, TakeOrderedAndProject for the top-20 — the
+    * corpus horizon is the only non-map stage and it's a 1-row
+    * broadcast. */
+  val q279 = QueryDef(
+    "q279_recency_weighting",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val mx = broadcast(ev.agg(max(col("ts_ns")).as("mx")))
+      ev.crossJoin(mx)
+        .select(col("user_id"),
+          expr("value / cast(power(2, least((mx - ts_ns) div 604800000000000, 40)) as double)")
+            .as("wv"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("wv").cast(DecimalType(28, 10))).cast("double"), 6).as("score"))
+        .orderBy(col("score").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH e AS (SELECT user_id, value, epoch_ns(ts) AS tn FROM events),
+      m AS (SELECT MAX(tn) AS mx FROM e),
+      w AS (SELECT user_id,
+          value / power(2, LEAST((m.mx - tn) // 604800000000000, 40)) AS wv
+        FROM e CROSS JOIN m),
+      a AS (SELECT user_id, COUNT(*) AS n_events,
+          round(CAST(SUM(CAST(wv AS DECIMAL(28,10))) AS DOUBLE), 6) AS score
+        FROM w GROUP BY user_id)
+      SELECT user_id, n_events, score FROM a
+      ORDER BY score DESC, user_id LIMIT 20"""),
+    doc = "7-day-half-life decayed engagement per user: integer-exponent powers of two (no transcendentals), decimal-exact sums, top-20 via ordered limit")
+
   val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154,
     q168, q179, q180, q191, q192, q198, q199, q202, q203, q209, q210, q212, q213,
-    q220, q221, q225, q226, q229, q231)
+    q220, q221, q225, q226, q229, q231, q279)
 }

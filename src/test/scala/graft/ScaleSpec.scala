@@ -141,7 +141,9 @@ class ScaleSpec extends AnyFunSuite {
       "q271_retrieval_mrr",     // q45's shape: constant 20-query broadcast side
       "q272_temperature_mixture", // crossJoin(broadcast(1-row weight/doc totals))
       "q274_rrf_fusion",        // crossJoin(broadcast(1-row census + 1-vector query))
-      "q276_mmr_rerank")        // 20x20 candidate pair sims (bounded by construction)
+      "q276_mmr_rerank",        // 20x20 candidate pair sims (bounded by construction)
+      "q278_curriculum_schedule", // crossJoin(broadcast(1-row min/max bounds))
+      "q279_recency_weighting") // crossJoin(broadcast(1-row corpus horizon))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

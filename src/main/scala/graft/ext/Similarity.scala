@@ -1645,6 +1645,158 @@ object Similarity {
       FROM sel ORDER BY step"""),
     doc = "λ=0.7 MMR diversity re-rank of the dense top-20 (k=5): distributed retrieval + pair sims, bounded driver greedy, recursive-CTE oracle replay")
 
+  // --------------------------------------------------------------- q280
+  /** Matryoshka-style prefix-truncation fidelity audit: how much cosine
+    * accuracy survives if the 64-dim embeddings are stored truncated to
+    * their first k = 8/16/32/64 dims (the MRL deployment question — a
+    * 4× storage/bandwidth cut is free only if prefix cosine tracks full
+    * cosine). Over the adjacent-id pair set (q42's linear-in-corpus
+    * convention), cosines are frozen to integer micro-units
+    * (round(10⁶·cos) — a double can never sit exactly on a .5 decimal
+    * boundary, so both engines round identically) and each k reports
+    * mean |cos_k − cos_full| and the share of pairs within 1%.
+    *
+    * Scale shape: the pair set is one sorted equi-join on vec_id+1
+    * (linear, not quadratic), the 4 prefixes are per-row arithmetic on
+    * the SAME pair row (one pass, no re-join per k), and the census is
+    * a 4-group agg. */
+  val q280 = QueryDef(
+    "q280_matryoshka_fidelity",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val p = e.as("a").join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("a_id"), col("a.emb").as("ea"), col("b.emb").as("eb"))
+      def cppm(k: Int): Column = {
+        val c =
+          if (k == 64) cosine(col("ea"), col("eb"))
+          else cosine(slice(col("ea"), 1, k), slice(col("eb"), 1, k))
+        round(c * lit(1000000), 0).cast("long")
+      }
+      p.select(col("a_id"), cppm(64).as("c_full"),
+          explode(array(
+            struct(lit(8).cast("int").as("k"), cppm(8).as("c_k")),
+            struct(lit(16).cast("int").as("k"), cppm(16).as("c_k")),
+            struct(lit(32).cast("int").as("k"), cppm(32).as("c_k")),
+            struct(lit(64).cast("int").as("k"), cppm(64).as("c_k")))).as("t"))
+        .select(col("t.k").as("k"), abs(col("t.c_k") - col("c_full")).as("err"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(err) div count(1)").as("mean_abs_err_ppm"),
+          sum(when(col("err") <= 10000, 1L).otherwise(0L)).as("within_1pct"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      p AS (SELECT a.vec_id AS a_id, a.emb AS ea, b.emb AS eb
+        FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+      t AS (SELECT a_id, k,
+          CAST(round(1000000 * list_cosine_similarity(ea[1:k], eb[1:k])) AS BIGINT) AS c_k,
+          CAST(round(1000000 * list_cosine_similarity(ea, eb)) AS BIGINT) AS c_full
+        FROM p CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS k))
+      SELECT k, COUNT(*) AS n_pairs,
+        CAST(SUM(abs(c_k - c_full)) // COUNT(*) AS BIGINT) AS mean_abs_err_ppm,
+        CAST(SUM(CASE WHEN abs(c_k - c_full) <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS within_1pct
+      FROM t GROUP BY k ORDER BY k"""),
+    doc = "prefix-truncation (8/16/32/64-dim) cosine fidelity over adjacent pairs: integer micro-unit cosines, one pass, 4-group census")
+
+  // --------------------------------------------------------------- q281
+  /** IVF operating curve: recall@10 vs brute force as nprobe sweeps
+    * 1→4 — the tuning table an ANN deployment reads to pick its
+    * latency/recall point (q46 fixes nprobe=3; q110 audits only that
+    * point). Every candidate carries the probe rank of its partition,
+    * so ONE candidate set serves all four operating points (nprobe=p
+    * ⟺ probe rank ≤ p) — the sweep costs one window over the
+    * candidates crossed with 4 tier tags, not four re-scans. Tiers
+    * that retrieve nothing still appear (left join from the tier
+    * table), hits are integer, recall is ppm of the 50 brute slots.
+    *
+    * Scale shape: centroid build is the q46 decimal-exact agg; the
+    * brute side exists only because recall NEEDS ground truth (it is
+    * the audit's cost, not the ANN's); candidates come from the label
+    * equi-join, never a crossJoin. */
+  val q281 = QueryDef(
+    "q281_nprobe_recall_curve",
+    (s, d) => {
+      import s.implicits._
+      val e = embDouble(s, d)
+      val centroids = e
+        .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("v").cast(DecimalType(28, 10))).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          p => p.getField("m")).as("centroid"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val probeW = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("label"))
+      val probes = q.crossJoin(broadcast(centroids))
+        .select(col("q_id"), col("q_emb"), col("label"),
+          round(cosine(col("q_emb"), col("centroid")), 6).as("csim"))
+        .withColumn("pr", row_number().over(probeW))
+        .filter(col("pr") <= 4)
+        .select(col("q_id"), col("q_emb"), col("label"), col("pr"))
+      val cand = e.join(broadcast(probes), Seq("label"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("emb"), col("q_emb")), 6).as("sim"), col("pr"))
+      val bw = Window.partitionBy(col("q_id")).orderBy(col("bsim").desc, col("vec_id"))
+      val brute = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("emb"), col("q_emb")), 6).as("bsim"))
+        .withColumn("brk", row_number().over(bw))
+        .filter(col("brk") <= 10)
+        .select(col("q_id"), col("vec_id"))
+      val tiers = broadcast(Seq(1, 2, 3, 4).toDF("nprobe"))
+      val tw = Window.partitionBy(col("nprobe"), col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val hits = cand.join(tiers, col("pr") <= col("nprobe"))
+        .withColumn("rk", row_number().over(tw))
+        .filter(col("rk") <= 10)
+        .join(brute, Seq("q_id", "vec_id"))
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("h"))
+      tiers.join(hits, Seq("nprobe"), "left")
+        .select(col("nprobe"), coalesce(col("h"), lit(0L)).as("hits"))
+        .withColumn("recall_ppm", expr("hits * 1000000 div 50"))
+        .orderBy(col("nprobe"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      ex AS (SELECT label, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v FROM e),
+      cent AS (SELECT label, dim,
+          CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS m
+        FROM ex GROUP BY label, dim),
+      centroids AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cent GROUP BY label),
+      q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+      probes AS (SELECT q_id, q_emb, label, pr FROM (
+          SELECT q.q_id, q.q_emb, c.label,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id
+              ORDER BY round(list_cosine_similarity(q.q_emb, c.centroid), 6) DESC, c.label) AS pr
+          FROM q CROSS JOIN centroids c)
+        WHERE pr <= 4),
+      cand AS (SELECT p.q_id, e.vec_id,
+          round(list_cosine_similarity(e.emb, p.q_emb), 6) AS sim, p.pr
+        FROM e JOIN probes p ON e.label = p.label
+        WHERE e.vec_id <> p.q_id),
+      brute AS (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, e.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id
+              ORDER BY round(list_cosine_similarity(e.emb, q.q_emb), 6) DESC, e.vec_id) AS brk
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+        WHERE brk <= 10),
+      tiers AS (SELECT unnest([1, 2, 3, 4]) AS nprobe),
+      tops AS (SELECT nprobe, q_id, vec_id FROM (
+          SELECT t.nprobe, c.q_id, c.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY t.nprobe, c.q_id
+              ORDER BY c.sim DESC, c.vec_id) AS rk
+          FROM cand c JOIN tiers t ON c.pr <= t.nprobe)
+        WHERE rk <= 10),
+      h AS (SELECT nprobe, COUNT(*) AS h FROM tops
+        JOIN brute USING (q_id, vec_id) GROUP BY nprobe)
+      SELECT t.nprobe, COALESCE(h.h, 0) AS hits,
+        CAST(COALESCE(h.h, 0) * 1000000 // 50 AS BIGINT) AS recall_ppm
+      FROM tiers t LEFT JOIN h ON h.nprobe = t.nprobe ORDER BY t.nprobe"""),
+    doc = "IVF recall@10 operating curve for nprobe 1..4 from ONE candidate set (probe-rank tiers): the latency/recall tuning table, ground truth only on the audit side")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281)
 }

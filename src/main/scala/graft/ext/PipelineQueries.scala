@@ -908,10 +908,11 @@ object PipelineQueries {
     * key is frozen as ⌊ln(u)/w · 10⁹⌋ (BIGINT) so ranking and output
     * are integer-exact across engines; ties break on doc_id.
     *
-    * Scale shape: the reservoir is a rank-limit window per stratum —
-    * Spark plans WindowGroupLimit (per-partition top-k heaps, no full
-    * sort), one shuffle on `source`; the hash, log, and division are
-    * all map-side. This is the one-pass distributed form of weighted
+    * Scale shape: the reservoir is a rank-limit window per stratum,
+    * which TopKAggregateRewrite turns into the bounded k-row-heap
+    * aggregate (ObjectHashAggregate + Generate in the plan — no Sort,
+    * no Window), one shuffle on `source`; the hash, log, and division
+    * are all map-side. This is the one-pass distributed form of weighted
     * reservoir sampling: no rand() state, reproducible across retries
     * (a failed task re-draws identical samples — A-ES with a PRNG
     * cannot promise that). */

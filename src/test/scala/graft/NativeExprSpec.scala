@@ -92,6 +92,44 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("native expressions: interpreted eval path == codegen path") {
+    // Every native carries two execution paths — doGenCode into the
+    // generated stage and nullSafeEval for interpreted fallback (e.g.
+    // codegen compilation failure, constant folding at plan time). The
+    // paths are written once each and can drift independently; this pins
+    // them equal on a composite exercising each registered function.
+    // inputs depend on range(1)'s id so neither ConstantFolding nor
+    // ConvertToLocalRelation can pre-evaluate them at plan time — the
+    // default run really goes through the generated code
+    val sql =
+      """SELECT
+        |  array_jaccard(array(concat('a', id), 'b', 'c'), array('b', 'c', 'd')) AS j,
+        |  cosine_sim(array(cast(id as double) + 0.3d, 0.4d, 0.1d), array(0.2d, 0.9d, 0.5d)) AS c,
+        |  parse_cookies(concat('uid=', id, '; sess=%2Fa%20b; bad=%zz'))['sess'] AS pc,
+        |  word_shingles(concat('w x y z ', id), 2) AS sh,
+        |  simhash16(array('p', concat('q', id), 'r')) AS sim,
+        |  min_md5_hex(array('m', concat('n', id))) AS mh,
+        |  winnow_fingerprints(concat('some text ', id, ' for winnowing'), 5, 8) AS wf,
+        |  dot_long(array(3L + id, -4L, 5L), array(7L, 11L, -13L)) AS dl,
+        |  jl_project(array(cast(id as double) + 0.25d, -1.5d, 2.75d), 3, 3) AS jp,
+        |  nfc_normalize(concat('\u00e9clair', id)) AS nf
+        |FROM range(1)
+        |""".stripMargin
+    def run(): Seq[org.apache.spark.sql.Row] = spark.sql(sql).collect().toSeq
+    val codegen = run()
+    val conf = spark.conf
+    val (ws0, fm0) = (conf.get("spark.sql.codegen.wholeStage", "true"),
+      conf.get("spark.sql.codegen.factoryMode", "FALLBACK"))
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() == codegen)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", ws0)
+      conf.set("spark.sql.codegen.factoryMode", fm0)
+    }
+  }
+
   test("WordShingles == naive reference incl. empty-word and short-text edges") {
     import spark.implicits._
     val texts = Seq("", "a", "a b", "a b c", "a b c d", "a  b c", " a b c ",

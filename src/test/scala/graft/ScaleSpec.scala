@@ -279,7 +279,16 @@ class ScaleSpec extends AnyFunSuite {
       // pair gen (bucket join + distinct) + gram joins broadcast at fixture
       // size + island window + run/pair aggs + sort
       Pin(graft.ext.Dedup.q257, 2, Set("BroadcastHashJoin"),
-        "shared span: pair-bounded gram equi-joins, never corpus-squared"))
+        "shared span: pair-bounded gram equi-joins, never corpus-squared"),
+      // feature-dict + tile-tag broadcasts; ONE uvec agg exchange feeds both
+      // tile sides; pair work meets in the (bi,bj) equi-join (SMJ), norms
+      // ride along (no post-join lookups); top-3 agg + output sort
+      Pin(graft.ext.Similarity.q239, 16, Set("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin"),
+        "user similarity: tiled dense pairing, 136-cell parallelism, dot is codegen'd"),
+      // centroid aggs + candidate label-join + ONE tier-tagged rank window
+      // + brute ground-truth join; centroids/probes/queries/tiers broadcast
+      Pin(graft.ext.Similarity.q281, 10, Set("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin"),
+        "nprobe sweep: one candidate set serves all four tiers, no re-scan"))
     val problems = pins.flatMap { p =>
       val plan = p.q.fn(spark, sf).queryExecution.executedPlan.toString
       val shuffles = shuffleRe.findAllIn(plan).size

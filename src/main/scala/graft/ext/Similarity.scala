@@ -1333,7 +1333,12 @@ object Similarity {
     * deterministic training (oracle replays both Lloyd rounds via the
     * shared CTE prefix), same rank machinery as q185/q258 — sign-LSH
     * (q258) and IVF (q265) are the two standard ANN index families, and
-    * both now drive the identical graph tier. */
+    * both now drive the identical graph tier. Bench note: at bench SF
+    * this query's wall-clock is dominated by the 2-round Lloyd TRAINING
+    * (two full assignment passes + decimal-mean aggs + checkpoints), an
+    * index-build cost a deployment pays once and amortizes across
+    * queries — the per-query candidate stage is the co-assignment
+    * equi-join, which is the part that scales. */
   val q265 = QueryDef(
     "q265_ivf_knn_pagerank",
     (s, d) => {
@@ -1481,43 +1486,56 @@ object Similarity {
     * rows, never a full sort); the rank-assignment window and the
     * fusion join then run over ≤50-row inputs, i.e. driver-trivial at
     * any corpus size. The corpus is scanned once per modality. */
+  /** BM25 top-50 rank list (doc_id, rank_lex) for the fixed 3-term query —
+    * q264's scoring; shared by q274 (RRF fusion) and q283 (rank
+    * correlation). Ends in orderBy+limit → TakeOrderedAndProject. */
+  private def bm25Ranks(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("shuffle", "join", "scan")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val dl = docs.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val census = broadcast(dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens")))
+    val tf = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfw = broadcast(tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
+    val bm = tf.join(dfw, "w").join(dl, "doc_id").crossJoin(census)
+      .select(col("doc_id"), col("w"),
+        (expr("ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))")
+          * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("tot_tokens"))))
+          .as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        coalesce(sum(when(col("w") === "join", col("c"))), lit(0.0))
+          + coalesce(sum(when(col("w") === "scan", col("c"))), lit(0.0))
+          + coalesce(sum(when(col("w") === "shuffle", col("c"))), lit(0.0)), 6).as("bm25"))
+    val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+    bm.orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      .withColumn("rank_lex", row_number().over(wLex).cast("long"))
+  }
+
+  /** Dense-cosine top-50 rank list (doc_id, rank_dense) against query
+    * vec_id=0 — q45's layout; shared by q274 and q283. */
+  private def denseRanks(s: SparkSession, d: String): DataFrame = {
+    val e = embDouble(s, d)
+    val qv = e.filter(col("vec_id") === 0).select(col("emb").as("q_emb"))
+    val scored = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"),
+        round(cosine(col("emb"), col("q_emb")), 6).as("sim"))
+    val wDen = Window.orderBy(col("sim").desc, col("doc_id"))
+    scored.orderBy(col("sim").desc, col("doc_id")).limit(50)
+      .withColumn("rank_dense", row_number().over(wDen).cast("long"))
+  }
+
   val q274 = QueryDef(
     "q274_rrf_fusion",
     (s, d) => {
-      val terms = Seq("shuffle", "join", "scan")
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val dl = docs.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
-      val census = broadcast(dl.agg(
-        count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens")))
-      val tf = docs.select(col("doc_id"), explode(col("ws")).as("w"))
-        .filter(col("w").isin(terms: _*))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val dfw = broadcast(tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
-      val bm = tf.join(dfw, "w").join(dl, "doc_id").crossJoin(census)
-        .select(col("doc_id"), col("w"),
-          (expr("ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))")
-            * col("tf") * lit(2.2)
-            / (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("tot_tokens"))))
-            .as("c"))
-        .groupBy(col("doc_id"))
-        .agg(round(
-          coalesce(sum(when(col("w") === "join", col("c"))), lit(0.0))
-            + coalesce(sum(when(col("w") === "scan", col("c"))), lit(0.0))
-            + coalesce(sum(when(col("w") === "shuffle", col("c"))), lit(0.0)), 6).as("bm25"))
-      val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
-      val lex = bm.orderBy(col("bm25").desc, col("doc_id")).limit(50)
-        .withColumn("rank_lex", row_number().over(wLex).cast("long"))
-      val e = embDouble(s, d)
-      val qv = e.filter(col("vec_id") === 0).select(col("emb").as("q_emb"))
-      val scored = e.crossJoin(broadcast(qv))
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id").as("doc_id"),
-          round(cosine(col("emb"), col("q_emb")), 6).as("sim"))
-      val wDen = Window.orderBy(col("sim").desc, col("doc_id"))
-      val den = scored.orderBy(col("sim").desc, col("doc_id")).limit(50)
-        .withColumn("rank_dense", row_number().over(wDen).cast("long"))
+      val lex = bm25Ranks(s, d)
+      val den = denseRanks(s, d)
       lex.select(col("doc_id"), col("rank_lex"))
         .join(den.select(col("doc_id"), col("rank_dense")), Seq("doc_id"), "full_outer")
         .select(col("doc_id"), col("rank_lex"), col("rank_dense"),
@@ -1797,6 +1815,71 @@ object Similarity {
       FROM tiers t LEFT JOIN h ON h.nprobe = t.nprobe ORDER BY t.nprobe"""),
     doc = "IVF recall@10 operating curve for nprobe 1..4 from ONE candidate set (probe-rank tiers): the latency/recall tuning table, ground truth only on the audit side")
 
+  // --------------------------------------------------------------- q283
+  /** Kendall-τ rank correlation between the lexical (BM25) and dense
+    * (cosine) rankers over their common retrieved set — the
+    * ranker-agreement diagnostic a hybrid-retrieval stack watches: τ near
+    * 1 means the dense model just re-learned lexical overlap (fusion
+    * adds nothing), τ near 0 means the rankers are complementary (RRF
+    * fusion q274 is earning its keep). Ranks are distinct integers so
+    * there are no ties: τ = (C − D) / (m(m−1)/2) exactly, kept integer
+    * as ppm.
+    *
+    * Scale shape: both rank lists are top-50 TakeOrderedAndProject
+    * outputs; the pair enumeration is a ≤50×50 self-join of a bounded
+    * list (constant work at any corpus size) and the result is one row. */
+  val q283 = QueryDef(
+    "q283_rank_correlation",
+    (s, d) => {
+      val common = bm25Ranks(s, d).select(col("doc_id"), col("rank_lex"))
+        .join(denseRanks(s, d).select(col("doc_id"), col("rank_dense")), "doc_id")
+      val mrow = broadcast(common.agg(count(lit(1)).as("m")))
+      val pairs = common.as("a").join(common.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(when((col("a.rank_lex") - col("b.rank_lex"))
+            * (col("a.rank_dense") - col("b.rank_dense")) > 0, 1L).otherwise(0L).as("conc"))
+      pairs.agg(sum(col("conc")).as("concordant"), count(lit(1)).as("p"))
+        .crossJoin(mrow)
+        .select(col("m"), col("concordant"),
+          (col("p") - col("concordant")).as("discordant"),
+          expr("(2 * concordant - p) * 1000000 div nullif(p, 0)").as("tau_ppm"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+      census AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM (
+          SELECT doc_id, unnest(ws) AS w FROM d)
+        WHERE w IN ('shuffle', 'join', 'scan') GROUP BY doc_id, w),
+      dfw AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      contrib AS (SELECT tf.doc_id, tf.w,
+          ln(1.0 + (census.n_docs - dfw.df + 0.5) / (dfw.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * census.n_docs / census.tot_tokens)) AS c
+        FROM tf JOIN dfw USING (w) JOIN dl USING (doc_id) CROSS JOIN census),
+      bm AS (SELECT doc_id,
+          round(COALESCE(sum(c) FILTER (w = 'join'), 0)
+            + COALESCE(sum(c) FILTER (w = 'scan'), 0)
+            + COALESCE(sum(c) FILTER (w = 'shuffle'), 0), 6) AS bm25
+        FROM contrib GROUP BY doc_id),
+      lex AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        FROM bm QUALIFY rank_lex <= 50),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      qv AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+      den AS (SELECT vec_id AS doc_id,
+          ROW_NUMBER() OVER (ORDER BY round(list_cosine_similarity(emb, q_emb), 6) DESC, vec_id) AS rank_dense
+        FROM e CROSS JOIN qv WHERE vec_id <> 0 QUALIFY rank_dense <= 50),
+      common AS (SELECT lex.doc_id, rank_lex, rank_dense
+        FROM lex JOIN den ON lex.doc_id = den.doc_id),
+      pairs AS (SELECT CASE WHEN (a.rank_lex - b.rank_lex)
+            * (a.rank_dense - b.rank_dense) > 0 THEN 1 ELSE 0 END AS conc
+        FROM common a JOIN common b ON a.doc_id < b.doc_id)
+      SELECT (SELECT COUNT(*) FROM common) AS m,
+        CAST(SUM(conc) AS BIGINT) AS concordant,
+        CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
+        CAST((2 * SUM(conc) - COUNT(*)) * 1000000 // NULLIF(COUNT(*), 0) AS BIGINT) AS tau_ppm
+      FROM pairs"""),
+    doc = "Kendall tau between BM25 and dense ranks on the common top-50 set: exact tie-free C/D counts, bounded pair join, one-row diagnostic")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283)
 }

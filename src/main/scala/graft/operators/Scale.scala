@@ -301,5 +301,56 @@ object Scale {
       FROM files GROUP BY layout ORDER BY layout"""),
     doc = "Morton-curve layout vs 1-D layouts: min/max file pruning audit for a 2-D predicate")
 
-  val all: Seq[QueryDef] = Seq(q63, q64, q112, q186)
+  // --------------------------------------------------------------- q282
+  /** Join-key skew advisor: the pre-flight census a pipeline runs before
+    * picking a join strategy for a key it hasn't seen — per candidate
+    * key, row count, distinct keys, the heaviest key's share, and the
+    * recommended salt factor ⌈top1_count / avg_count⌉ (1 = no salting
+    * needed; the factor saltedJoin/saltedSum above would take). Exactly
+    * the numbers AQE's skew handling reads at runtime, surfaced ahead
+    * of time so the layout decision (salt? broadcast? bucket?) can be
+    * made once and encoded in the pipeline instead of rediscovered per
+    * run.
+    *
+    * Scale shape: one (key) agg + one 1-row summary per candidate —
+    * two keyed aggregations per audited column over its own table,
+    * unioned at the |candidates|-row summary level. Integer throughout. */
+  val q282 = QueryDef(
+    "q282_skew_advisor",
+    (s, d) => {
+      def audit(tag: String, df: DataFrame, key: Column) =
+        df.select(key.cast("string").as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("rows"), count(lit(1)).as("n_keys"),
+            max(col("c")).as("top1"))
+          .select(lit(tag).as("key_col"), col("rows"), col("n_keys"),
+            expr("top1 * 1000000 div rows").as("top1_ppm"),
+            expr("cast(ceil(cast(top1 as double) * n_keys / rows) as bigint)").as("salt_factor"))
+      audit("events.user_id", Tables.events(s, d), col("user_id"))
+        .unionByName(audit("events.event_type", Tables.events(s, d), col("event_type")))
+        .unionByName(audit("lineitem.l_orderkey", Tables.lineitem(s, d), col("l_orderkey")))
+        .unionByName(audit("orders.o_custkey", Tables.orders(s, d), col("o_custkey")))
+        .unionByName(audit("documents.source", Tables.documents(s, d), col("source")))
+        .orderBy(col("key_col"))
+    },
+    Some("""WITH a AS (
+        SELECT 'events.user_id' AS key_col, COUNT(*) AS c
+          FROM events GROUP BY user_id),
+      b AS (SELECT 'events.event_type' AS key_col, COUNT(*) AS c
+          FROM events GROUP BY event_type),
+      c AS (SELECT 'lineitem.l_orderkey' AS key_col, COUNT(*) AS c
+          FROM lineitem GROUP BY l_orderkey),
+      d AS (SELECT 'orders.o_custkey' AS key_col, COUNT(*) AS c
+          FROM orders GROUP BY o_custkey),
+      e AS (SELECT 'documents.source' AS key_col, COUNT(*) AS c
+          FROM documents GROUP BY source),
+      u AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL
+        SELECT * FROM c UNION ALL SELECT * FROM d UNION ALL SELECT * FROM e)
+      SELECT key_col, CAST(SUM(c) AS BIGINT) AS rows, COUNT(*) AS n_keys,
+        CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top1_ppm,
+        CAST(ceil(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c)) AS BIGINT) AS salt_factor
+      FROM u GROUP BY key_col ORDER BY key_col"""),
+    doc = "join-key skew census + salt-factor recommendation per candidate key: the ahead-of-time layout decision AQE rediscovers per run")
+
+  val all: Seq[QueryDef] = Seq(q63, q64, q112, q186, q282)
 }

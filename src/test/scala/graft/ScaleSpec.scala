@@ -144,6 +144,7 @@ class ScaleSpec extends AnyFunSuite {
       "q276_mmr_rerank",        // 20x20 candidate pair sims (bounded by construction)
       "q278_curriculum_schedule", // crossJoin(broadcast(1-row min/max bounds))
       "q281_nprobe_recall_curve", // q46's centroid/query broadcasts + 4-row tier-tag join
+      "q283_rank_correlation",  // <=50x50 bounded pair join of two top-k lists + 1-row m
       "q279_recency_weighting") // crossJoin(broadcast(1-row corpus horizon))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString

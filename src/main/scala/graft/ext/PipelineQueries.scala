@@ -944,7 +944,54 @@ object PipelineQueries {
       ORDER BY source, rk"""),
     doc = "Efraimidis–Spirakis weighted reservoir (k=5 per source, w=n_chars): deterministic md5 uniforms, frozen-integer ln(u)/w keys, rank-limit window — one pass, no full sort, retry-reproducible")
 
+  // --------------------------------------------------------------- q284
+  /** Group k-fold assignment (GroupKFold): every document of a SOURCE
+    * lands in the same fold, so cross-validation never trains on one
+    * half of a source and evaluates on the other — the grouped variant
+    * of q166's content-hash split, needed whenever leakage runs along
+    * a grouping key (site, author, user) rather than content identity
+    * (q167 audits the content axis; this one makes the group axis
+    * leak-proof BY CONSTRUCTION). Fold comes from the md5 of the group
+    * key alone, so membership is reproducible and independent of corpus
+    * growth within a group. The census exposes group k-fold's known
+    * cost: fold sizes wobble with group granularity (docs_share_ppm).
+    *
+    * Scale shape: fold id is a map-side hash of the group key; the
+    * census is one agg keyed by (fold) after a per-(fold, source)
+    * partial — no shuffle wider than the group census. */
+  val q284 = QueryDef(
+    "q284_group_kfold",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("fold",
+          expr("cast(conv(substring(md5(source), 1, 8), 16, 10) as bigint) % 5"))
+      val total = broadcast(docs.agg(count(lit(1)).as("tot_docs")))
+      docs.groupBy(col("fold"), col("source"))
+        .agg(count(lit(1)).as("nd"), sum(col("toks")).as("nt"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_sources"), sum(col("nd")).as("n_docs"),
+          sum(col("nt")).as("n_tokens"))
+        .crossJoin(total)
+        .select(col("fold"), col("n_sources"), col("n_docs"), col("n_tokens"),
+          expr("n_docs * 1000000 div tot_docs").as("docs_share_ppm"))
+        .orderBy(col("fold"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+          CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 5 AS fold
+        FROM documents),
+      t AS (SELECT COUNT(*) AS tot_docs FROM d),
+      g AS (SELECT fold, source, COUNT(*) AS nd, CAST(SUM(toks) AS BIGINT) AS nt
+        FROM d GROUP BY 1, 2)
+      SELECT fold, COUNT(*) AS n_sources, CAST(SUM(nd) AS BIGINT) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        CAST(SUM(nd) * 1000000 // tot_docs AS BIGINT) AS docs_share_ppm
+      FROM g CROSS JOIN t GROUP BY fold, tot_docs ORDER BY fold"""),
+    doc = "GroupKFold by source (k=5, md5 of the group key): leakage-proof along the group axis by construction, per-fold imbalance census")
+
   val all: Seq[QueryDef] =
     Seq(q91, q92, q93, q94, q95, q96, q102, q107, q108, q130, q131, q151, q152,
-      q156, q157, q166, q167, q183, q188, q197, q273, q275)
+      q156, q157, q166, q167, q183, q188, q197, q273, q275, q284)
 }

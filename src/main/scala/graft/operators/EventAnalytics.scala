@@ -1262,7 +1262,61 @@ object EventAnalytics {
       ORDER BY score DESC, user_id LIMIT 20"""),
     doc = "7-day-half-life decayed engagement per user: integer-exponent powers of two (no transcendentals), decimal-exact sums, top-20 via ordered limit")
 
+  // --------------------------------------------------------------- q285
+  /** Per-group OLS trend: slope and intercept of daily total value over
+    * the day index, one regression PER event_type (q226 fits the single
+    * global trend; segment-level trend tables are what dashboards and
+    * mixture schedulers actually consume). Engine-exact by the usual
+    * discipline: daily totals go through the decimal accumulator, the
+    * x·y cross terms are re-frozen to DECIMAL(38,10) before summation
+    * (so no double addition order anywhere), and the closed-form
+    * slope/intercept division happens once per group on identical
+    * doubles. Days are re-based against a broadcast corpus origin to
+    * keep x small.
+    *
+    * Scale shape: one (type, day) agg, then one agg per type over ≤
+    * |days| rows — both map-side combinable; the origin is a 1-row
+    * broadcast. */
+  val q285 = QueryDef(
+    "q285_group_trend",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_ns div 86400000000000").as("dd"), col("value"))
+      val origin = broadcast(ev.agg(min(col("dd")).as("d0")))
+      val daily = ev.crossJoin(origin)
+        .groupBy(col("event_type"), (col("dd") - col("d0")).as("x"))
+        .agg(sum(col("value").cast(DecimalType(28, 10))).cast("double").as("y"))
+      daily
+        .select(col("event_type"), col("x"), col("y"),
+          (col("x") * col("y")).cast(DecimalType(38, 10)).as("xy"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y").cast(DecimalType(38, 10))).cast("double").as("sy"),
+          sum(col("xy")).cast("double").as("sxy"))
+        .select(col("event_type"), col("n_days"),
+          round(expr("(n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)"), 6).as("slope"),
+          round(expr("(sy - (n_days * sxy - sx * sy) / (n_days * sxx - sx * sx) * sx) / n_days"), 6).as("intercept"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS dd, value
+        FROM events),
+      o AS (SELECT MIN(dd) AS d0 FROM e),
+      daily AS (SELECT event_type, dd - d0 AS x,
+          CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS y
+        FROM e CROSS JOIN o GROUP BY 1, 2),
+      st AS (SELECT event_type, COUNT(*) AS n_days,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+          CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+        FROM daily GROUP BY 1)
+      SELECT event_type, n_days,
+        round((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx), 6) AS slope,
+        round((sy - (n_days * sxy - sx * sy) / (n_days * sxx - sx * sx) * sx) / n_days, 6) AS intercept
+      FROM st ORDER BY event_type"""),
+    doc = "per-event-type OLS daily trend (slope + intercept): decimal-frozen cross terms, re-based day index, one regression per segment")
+
   val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154,
     q168, q179, q180, q191, q192, q198, q199, q202, q203, q209, q210, q212, q213,
-    q220, q221, q225, q226, q229, q231, q279)
+    q220, q221, q225, q226, q229, q231, q279, q285)
 }

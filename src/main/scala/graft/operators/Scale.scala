@@ -352,5 +352,71 @@ object Scale {
       FROM u GROUP BY key_col ORDER BY key_col"""),
     doc = "join-key skew census + salt-factor recommendation per candidate key: the ahead-of-time layout decision AQE rediscovers per run")
 
-  val all: Seq[QueryDef] = Seq(q63, q64, q112, q186, q282)
+  // --------------------------------------------------------------- q286
+  /** Consistent-hashing reshard movement census: assign every user to a
+    * shard via a hash ring (16 virtual nodes per shard, successor rule
+    * with wraparound), then grow the ring 8 → 9 shards and measure how
+    * many keys actually move — the property that makes consistent
+    * hashing the resharding scheme (≈ 1/(n+1) of keys move, vs ~all
+    * keys under mod-n). This is the distributed-systems math behind the
+    * EngineSpec kinesis-sim resharding case, surfaced as an auditable
+    * query; the same census drives shard-count planning for any keyed
+    * sink. Ring positions and key positions come from the md5-conv
+    * 32-bit trick (engine-identical); ties on a ring position break by
+    * shard id via a composite pos·64+shard ordering key.
+    *
+    * Scale shape: the ring is a ≤144-row broadcast; assignment is one
+    * keyed agg over keys × ring (constant fan-out per key, map-side
+    * combinable); the movement census is a |shards|-row agg. */
+  val q286 = QueryDef(
+    "q286_consistent_hash_reshard",
+    (s, d) => {
+      import s.implicits._
+      def ring(n: Int): DataFrame =
+        (for (sh <- 0 until n; v <- 0 until 16) yield (sh, v)).toDF("shard", "v")
+          .select(col("shard"),
+            expr("cast(conv(substring(md5(concat(cast(shard as string), ':', cast(v as string))), 1, 8), 16, 10) as bigint)").as("pos"))
+          .select(col("shard"), col("pos"), (col("pos") * 64 + col("shard")).as("ok"))
+      val keys = Tables.events(s, d).select(col("user_id")).distinct()
+        .withColumn("kp",
+          expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"))
+      def assign(n: Int, out: String): DataFrame =
+        keys.crossJoin(broadcast(ring(n)))
+          .groupBy(col("user_id"), col("kp"))
+          .agg(expr("min_by(shard, ok) FILTER (WHERE pos >= kp)").as("succ"),
+            expr("min_by(shard, ok)").as("wrap"))
+          .select(col("user_id"), coalesce(col("succ"), col("wrap")).as(out))
+      assign(8, "shard_before").join(assign(9, "shard_after"), "user_id")
+        .groupBy(col("shard_after"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("shard_before") =!= col("shard_after"), 1L).otherwise(0L)).as("moved_in"))
+        .select(col("shard_after"), col("n_keys"), col("moved_in"),
+          expr("moved_in * 1000000 div n_keys").as("moved_ppm"))
+        .orderBy(col("shard_after"))
+    },
+    Some("""WITH r8 AS (SELECT s.range AS shard, v.range AS v,
+          CAST(('0x' || substr(md5(s.range || ':' || v.range), 1, 8)) AS BIGINT) AS pos
+        FROM range(8) s, range(16) v),
+      r8k AS (SELECT shard, pos, pos * 64 + shard AS ok FROM r8),
+      r9 AS (SELECT s.range AS shard, v.range AS v,
+          CAST(('0x' || substr(md5(s.range || ':' || v.range), 1, 8)) AS BIGINT) AS pos
+        FROM range(9) s, range(16) v),
+      r9k AS (SELECT shard, pos, pos * 64 + shard AS ok FROM r9),
+      k AS (SELECT DISTINCT user_id,
+          CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 8)) AS BIGINT) AS kp
+        FROM events),
+      a8 AS (SELECT user_id,
+          COALESCE(arg_min(shard, ok) FILTER (WHERE pos >= kp), arg_min(shard, ok)) AS shard_before
+        FROM k CROSS JOIN r8k GROUP BY user_id, kp),
+      a9 AS (SELECT user_id,
+          COALESCE(arg_min(shard, ok) FILTER (WHERE pos >= kp), arg_min(shard, ok)) AS shard_after
+        FROM k CROSS JOIN r9k GROUP BY user_id, kp)
+      SELECT shard_after, COUNT(*) AS n_keys,
+        CAST(SUM(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END) AS BIGINT) AS moved_in,
+        CAST(SUM(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS moved_ppm
+      FROM a8 JOIN a9 USING (user_id)
+      GROUP BY shard_after ORDER BY shard_after"""),
+    doc = "consistent-hash ring (16 vnodes/shard) reshard 8->9 movement census: ~1/(n+1) keys move, engine-identical ring positions, per-shard audit")
+
+  val all: Seq[QueryDef] = Seq(q63, q64, q112, q186, q282, q286)
 }

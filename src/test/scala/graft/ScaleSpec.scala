@@ -145,6 +145,9 @@ class ScaleSpec extends AnyFunSuite {
       "q278_curriculum_schedule", // crossJoin(broadcast(1-row min/max bounds))
       "q281_nprobe_recall_curve", // q46's centroid/query broadcasts + 4-row tier-tag join
       "q283_rank_correlation",  // <=50x50 bounded pair join of two top-k lists + 1-row m
+      "q284_group_kfold",       // crossJoin(broadcast(1-row corpus total))
+      "q285_group_trend",       // crossJoin(broadcast(1-row day origin))
+      "q286_consistent_hash_reshard", // crossJoin(broadcast(<=144-row hash ring))
       "q279_recency_weighting") // crossJoin(broadcast(1-row corpus horizon))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString

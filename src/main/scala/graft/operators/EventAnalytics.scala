@@ -1316,7 +1316,163 @@ object EventAnalytics {
       FROM st ORDER BY event_type"""),
     doc = "per-event-type OLS daily trend (slope + intercept): decimal-frozen cross terms, re-based day index, one regression per segment")
 
+  // --------------------------------------------------------------- q287
+  /** Discrete-time survival table for conversion: per day-since-entry k,
+    * the at-risk count (users whose observed span reaches k), the
+    * conversion events at exactly k, and the discrete hazard — the
+    * life-table form of Kaplan–Meier that stays integer-exact (the
+    * product-limit survivor curve needs a running product, i.e.
+    * transcendentals; the hazard table is the engine-exact core every
+    * survival fit consumes). Entry = a user's first event day;
+    * conversion = first 'purchase' day; right-censoring at the corpus
+    * horizon.
+    *
+    * Scale shape: two user-keyed aggs (entry/conversion), a 31-row
+    * generated day axis broadcast against the user table, one agg per
+    * k — never a row blowup beyond users × 31. */
+  val q287 = QueryDef(
+    "q287_conversion_hazard",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 86400000000000").as("dd"))
+      val entry = ev.groupBy(col("user_id")).agg(min(col("dd")).as("entry"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("dd")).as("conv"))
+      val horizon = broadcast(ev.agg(max(col("dd")).as("h")))
+      val spans = entry.join(conv, Seq("user_id"), "left").crossJoin(horizon)
+        .select(col("user_id"),
+          (col("conv") - col("entry")).as("dur"),      // null if never converted
+          (col("h") - col("entry")).as("censor"))
+      val ks = broadcast((0 to 30).toDF("k"))
+      spans.crossJoin(ks)
+        .groupBy(col("k"))
+        .agg(
+          sum(when(coalesce(col("dur"), col("censor")) >= col("k"), 1L).otherwise(0L)).as("at_risk"),
+          sum(when(col("dur") === col("k"), 1L).otherwise(0L)).as("events"))
+        .filter(col("at_risk") > 0)
+        .select(col("k"), col("at_risk"), col("events"),
+          expr("events * 1000000 div at_risk").as("hazard_ppm"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+          epoch_ns(ts) // 86400000000000 AS dd FROM events),
+      en AS (SELECT user_id, MIN(dd) AS entry FROM e GROUP BY 1),
+      cv AS (SELECT user_id, MIN(dd) AS conv FROM e
+        WHERE event_type = 'purchase' GROUP BY 1),
+      h AS (SELECT MAX(dd) AS h FROM e),
+      sp AS (SELECT en.user_id, cv.conv - en.entry AS dur, h.h - en.entry AS censor
+        FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
+      ks AS (SELECT range AS k FROM range(0, 31))
+      SELECT k,
+        CAST(SUM(CASE WHEN COALESCE(dur, censor) >= k THEN 1 ELSE 0 END) AS BIGINT) AS at_risk,
+        CAST(SUM(CASE WHEN dur = k THEN 1 ELSE 0 END) AS BIGINT) AS events,
+        CAST(SUM(CASE WHEN dur = k THEN 1 ELSE 0 END) * 1000000
+          // SUM(CASE WHEN COALESCE(dur, censor) >= k THEN 1 ELSE 0 END) AS BIGINT) AS hazard_ppm
+      FROM sp CROSS JOIN ks
+      GROUP BY k HAVING SUM(CASE WHEN COALESCE(dur, censor) >= k THEN 1 ELSE 0 END) > 0
+      ORDER BY k"""),
+    doc = "discrete-time conversion hazard table (entry = first event, event = first purchase, right-censored): integer-exact life-table core of Kaplan-Meier")
+
+  // --------------------------------------------------------------- q288
+  /** Association rules over per-user behavior baskets: for every event-
+    * type pair, support, both directional confidences, and lift — the
+    * market-basket readout (Agrawal's apriori at itemset size 2, which
+    * is the size that matters when the item vocabulary is small and the
+    * question is "which behaviors co-occur beyond chance"). Lift > 1000
+    * (×1000 fixed-point) = the pair co-occurs above independence. All
+    * ratios are integer ppm/permil off exact distinct-user counts.
+    *
+    * Scale shape: baskets = one distinct per (user, type); pair counts
+    * come from the user-keyed self-join (fan-out bounded by the item
+    * vocabulary per user, NOT by corpus size); marginals broadcast. */
+  val q288 = QueryDef(
+    "q288_association_rules",
+    (s, d) => {
+      val b = Tables.events(s, d).select(col("user_id"), col("event_type")).distinct()
+      val nUsers = broadcast(b.select(col("user_id")).distinct().agg(count(lit(1)).as("n")))
+      val marg = broadcast(b.groupBy(col("event_type")).agg(count(lit(1)).as("m")))
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(marg.select(col("event_type").as("ta"), col("m").as("n_a")), "ta")
+        .join(marg.select(col("event_type").as("tb"), col("m").as("n_b")), "tb")
+        .crossJoin(nUsers)
+        .select(col("ta"), col("tb"), col("n_ab"),
+          expr("n_ab * 1000000 div n").as("support_ppm"),
+          expr("n_ab * 1000000 div n_a").as("conf_a_to_b_ppm"),
+          expr("n_ab * 1000000 div n_b").as("conf_b_to_a_ppm"),
+          expr("n_ab * n * 1000 div (n_a * n_b)").as("lift_x1000"))
+        .orderBy(col("ta"), col("tb"))
+    },
+    Some("""WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+      nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM b),
+      m AS (SELECT event_type, COUNT(*) AS m FROM b GROUP BY 1),
+      p AS (SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS n_ab
+        FROM b x JOIN b y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2)
+      SELECT ta, tb, n_ab,
+        CAST(n_ab * 1000000 // nu.n AS BIGINT) AS support_ppm,
+        CAST(n_ab * 1000000 // ma.m AS BIGINT) AS conf_a_to_b_ppm,
+        CAST(n_ab * 1000000 // mb.m AS BIGINT) AS conf_b_to_a_ppm,
+        CAST(n_ab * nu.n * 1000 // (ma.m * mb.m) AS BIGINT) AS lift_x1000
+      FROM p JOIN m ma ON ma.event_type = p.ta
+        JOIN m mb ON mb.event_type = p.tb CROSS JOIN nu
+      ORDER BY ta, tb"""),
+    doc = "size-2 association rules on user baskets: exact support / directional confidence / lift, user-keyed pair join bounded by item vocabulary")
+
+  // --------------------------------------------------------------- q289
+  /** One-way ANOVA of value across event_type: between/within sums of
+    * squares and the F statistic, from nothing but per-group (n, Σv,
+    * Σv²) — the canonical "does this categorical feature explain the
+    * metric" test, and the algebra is all sums, so it is engine-exact
+    * without touching a distribution function (p-value lookup is a
+    * client-side table; the F statistic is the data-plane part).
+    * Per-group Σ go through the decimal accumulator; the cross-group
+    * reductions re-freeze each group's s²/n term to DECIMAL(38,10) so
+    * no double addition order exists anywhere.
+    *
+    * Scale shape: one keyed agg over the corpus + one ≤|groups|-row
+    * reduction. */
+  val q289 = QueryDef(
+    "q289_anova_f",
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("value").cast(DecimalType(28, 10))).cast("double").as("s_g"),
+          sum((col("value") * col("value")).cast(DecimalType(28, 10))).cast("double").as("q_g"))
+      g.agg(count(lit(1)).as("k_groups"), sum(col("n_g")).as("n"),
+          sum(expr("cast(s_g * s_g / n_g as decimal(38,10))")).cast("double").as("sum_s2n"),
+          sum(col("s_g").cast(DecimalType(38, 10))).cast("double").as("s_tot"),
+          sum(col("q_g").cast(DecimalType(38, 10))).cast("double").as("q_tot"))
+        .select(col("k_groups"), col("n"),
+          round(expr("sum_s2n - s_tot * s_tot / n"), 6).as("ss_between"),
+          round(expr("q_tot - sum_s2n"), 6).as("ss_within"),
+          round(expr("(sum_s2n - s_tot * s_tot / n) / (k_groups - 1) / ((q_tot - sum_s2n) / (n - k_groups))"), 6).as("f_stat"))
+    },
+    Some("""WITH g AS (SELECT event_type, COUNT(*) AS n_g,
+          CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s_g,
+          CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS q_g
+        FROM events GROUP BY 1),
+      t AS (SELECT COUNT(*) AS k_groups, CAST(SUM(n_g) AS BIGINT) AS n,
+          CAST(SUM(CAST(s_g * s_g / n_g AS DECIMAL(38,10))) AS DOUBLE) AS sum_s2n,
+          CAST(SUM(CAST(s_g AS DECIMAL(38,10))) AS DOUBLE) AS s_tot,
+          CAST(SUM(CAST(q_g AS DECIMAL(38,10))) AS DOUBLE) AS q_tot
+        FROM g)
+      SELECT k_groups, n,
+        round(sum_s2n - s_tot * s_tot / n, 6) AS ss_between,
+        round(q_tot - sum_s2n, 6) AS ss_within,
+        round((sum_s2n - s_tot * s_tot / n) / (k_groups - 1)
+          / ((q_tot - sum_s2n) / (n - k_groups)), 6) AS f_stat
+      FROM t"""),
+    doc = "one-way ANOVA F of value across event_type: pure sum algebra, decimal-frozen cross-group terms, no distribution functions in the data plane")
+
   val all: Seq[QueryDef] = Seq(q117, q118, q126, q127, q136, q138, q153, q154,
     q168, q179, q180, q191, q192, q198, q199, q202, q203, q209, q210, q212, q213,
-    q220, q221, q225, q226, q229, q231, q279, q285)
+    q220, q221, q225, q226, q229, q231, q279, q285, q287, q288, q289)
 }

@@ -148,6 +148,9 @@ class ScaleSpec extends AnyFunSuite {
       "q284_group_kfold",       // crossJoin(broadcast(1-row corpus total))
       "q285_group_trend",       // crossJoin(broadcast(1-row day origin))
       "q286_consistent_hash_reshard", // crossJoin(broadcast(<=144-row hash ring))
+      "q287_conversion_hazard", // crossJoin(broadcast(1-row horizon + 31-row day axis))
+      "q288_association_rules", // crossJoin(broadcast(1-row user count))
+      "q289_anova_f",           // 1-row-to-1-row final reduction
       "q279_recency_weighting") // crossJoin(broadcast(1-row corpus horizon))
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString

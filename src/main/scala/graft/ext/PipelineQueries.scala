@@ -407,8 +407,11 @@ object PipelineQueries {
     * all integer comparisons, per-row-identical quality doubles (q50's
     * precedent), no interpolation.
     *
-    * Scale shape: one spilling window per source (q23's layout) + a
-    * per-source agg folding into the same partitioning. */
+    * Scale shape: source is LOW-cardinality, so a per-source ordered
+    * window would single-task-sort each corpus-sized group; the
+    * cumulative weight instead comes from [[graft.operators.RangeRank]]
+    * — range-partitioned within source, parallel slice prefix sums,
+    * broadcast offsets — then a per-source agg. */
   val q151 = QueryDef(
     "q151_weighted_median_quality",
     (s, d) => {
@@ -417,11 +420,9 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("w"),
           round(TextStats.qualityScore(col("text")), 6).as("v"))
-      val bySrc = Window.partitionBy(col("source"))
-      val cum = scored.select(col("source"), col("v"), col("w"), col("doc_id"),
-        sum(col("w")).over(bySrc.orderBy(col("v"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cw"),
-        sum(col("w")).over(bySrc).as("tw"))
+      val cum = graft.operators.RangeRank.withOrderedPrefix(
+        scored, Seq("source"), Seq(col("v"), col("doc_id")),
+        weights = Seq(graft.operators.RangeRank.Weight("w", "cw", Some("tw"))))
       cum.groupBy(col("source"))
         .agg(min(col("tw")).as("total_tokens"),
           min(when(col("cw") * 2 >= col("tw"), col("v"))).as("weighted_median_quality"))
@@ -480,21 +481,20 @@ object PipelineQueries {
     * and sampling decisions (a source where 5% of docs carry 50% of
     * tokens needs different treatment than a uniform one). The
     * "docs-for-half" rule is exact-integer: a doc counts while twice the
-    * cumulative weight BEFORE it is still below the total. One spilling
-    * window per source (q119's prefix-sum layout). */
+    * cumulative weight BEFORE it is still below the total. Prefix sums
+    * run via [[graft.operators.RangeRank]] (parallel range-partitioned
+    * slices + broadcast offsets) — source is low-cardinality, so the old
+    * per-source ordered window was a single-task sort at scale. */
   val q156 = QueryDef(
     "q156_pareto_concentration",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val bySrc = Window.partitionBy(col("source"))
-      val cum = Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("w"))
-        .select(col("source"), col("w"),
-          sum(col("w")).over(bySrc.orderBy(col("w").desc, col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cw"),
-          sum(col("w")).over(bySrc).as("tw"),
-          count(lit(1)).over(bySrc).as("nd"))
+      val cum = graft.operators.RangeRank.withOrderedPrefix(
+        base, Seq("source"), Seq(col("w").desc, col("doc_id")),
+        nTotal = Some("nd"),
+        weights = Seq(graft.operators.RangeRank.Weight("w", "cw", Some("tw"))))
       cum.groupBy(col("source"))
         .agg(min(col("nd")).as("n_docs"),
           sum(when((col("cw") - col("w")) * 2 < col("tw"), 1L).otherwise(0L))

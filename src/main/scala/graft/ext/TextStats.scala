@@ -255,9 +255,11 @@ object TextStats {
     * exact points.
     *
     * Scale shape: first-occurrence per word = one vocab-keyed agg
-    * (sublinear in corpus size, q148's layout); bucket rollups and the
-    * cumulative window run over |buckets| rows (~corpus/500 — driver-
-    * tiny at any scale, the window is NOT over the corpus). */
+    * (sublinear in corpus size, q148's layout); bucket rollups reduce
+    * 500×, but |buckets| still grows LINEARLY with the corpus, so the
+    * cumulative pass runs through [[graft.operators.RangeRank]] (parallel
+    * range-partitioned prefix sums + broadcast offsets), not a
+    * single-task ordered window. */
   val q172 = QueryDef(
     "q172_vocab_growth",
     (s, d) => {
@@ -274,13 +276,12 @@ object TextStats {
         .groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
         .groupBy(floor(col("first_doc") / 500).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n_new_words"))
-      val cum = Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tokensPerBucket.join(newWordsPerBucket, Seq("bucket"), "left")
+      val perBucket = tokensPerBucket.join(newWordsPerBucket, Seq("bucket"), "left")
         .na.fill(0L, Seq("n_new_words"))
-        .select(col("bucket"), col("n_docs"),
-          sum(col("n_tokens")).over(cum).as("cum_tokens"),
-          sum(col("n_new_words")).over(cum).as("cum_vocab"))
+      graft.operators.RangeRank.withOrderedPrefix(perBucket, Nil, Seq(col("bucket")),
+          weights = Seq(graft.operators.RangeRank.Weight("n_tokens", "cum_tokens"),
+            graft.operators.RangeRank.Weight("n_new_words", "cum_vocab")))
+        .select(col("bucket"), col("n_docs"), col("cum_tokens"), col("cum_vocab"))
         .orderBy(col("bucket"))
     },
     Some("""WITH w AS (SELECT doc_id, doc_id // 500 AS bucket,

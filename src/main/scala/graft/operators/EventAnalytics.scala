@@ -630,17 +630,23 @@ object EventAnalytics {
     * equal outputs), integer div keeps the quotient engine-exact. A
     * single-row group has no spread to normalize — it maps to 0 rather
     * than tripping ANSI DIVIDE_BY_ZERO on (n−1); the guard is mirrored
-    * in the oracle. One window shuffle per group; output is
-    * row-per-event — the shape of a feature-engineering pass, not a
-    * report. */
+    * in the oracle. event_type is LOW-cardinality, so a plain
+    * partitioned window would sort each corpus-sized group in one task;
+    * instead the strict-order row number comes from [[RangeRank]]
+    * (range-partitioned WITHIN each type — parallel slices + broadcast
+    * offsets) and RANK's tie semantics are recovered as min(rn) over the
+    * fine-grained (event_type, value) partition, which is
+    * hash-parallel. Output is row-per-event — the shape of a
+    * feature-engineering pass, not a report. */
   val q199 = QueryDef(
     "q199_quantile_normalize",
     (s, d) => {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
-      val wAll = Window.partitionBy(col("event_type"))
-      Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
-        .withColumn("rk", rank().over(w))
-        .withColumn("nn", count(lit(1)).over(wAll))
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      RangeRank.withOrderedPrefix(base, Seq("event_type"),
+          Seq(col("value"), col("event_id")), rn = Some("rnn"), nTotal = Some("nn"))
+        .withColumn("rk",
+          min(col("rnn")).over(Window.partitionBy(col("event_type"), col("value"))))
         .select(col("event_id"), col("event_type"),
           when(col("nn") > 1,
             expr("((CAST(rk AS BIGINT) - 1) * 1000000) div (nn - 1)"))
@@ -924,9 +930,11 @@ object EventAnalytics {
     * take at the median and the p90 tail? Latencies are exact integer µs;
     * percentiles use the lower-exact-value-at-ceil(p·n) rule computed by
     * boundary rank (q23/q198 discipline — rank the user-level latencies,
-    * keep only the two boundary rows; the ranked frame is |users|-sized,
-    * the documented reduced-frame convention). The conversion pairing is
-    * q117's min-ts machinery: first view per user, first later purchase. */
+    * keep only the two boundary rows). The global rank over the |users|-
+    * sized cohort runs as [[RangeRank]]'s two-pass range-partitioned rank
+    * (P parallel slice sorts + broadcast offsets), never a single-task
+    * global WindowExec sort. The conversion pairing is q117's min-ts
+    * machinery: first view per user, first later purchase. */
   val q220 = QueryDef(
     "q220_funnel_latency",
     (s, d) => {
@@ -938,9 +946,8 @@ object EventAnalytics {
         .filter(col("tu") > col("tv"))
         .groupBy(col("user_id")).agg(min(col("tu")).as("tp"), first(col("tv")).as("tv"))
       val lat = p.select(col("user_id"), (col("tp") - col("tv")).as("lat_us"))
-      val w = Window.orderBy(col("lat_us"), col("user_id"))
-      val ranked = lat.withColumn("rk", row_number().over(w))
-        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+      val ranked = RangeRank.withOrderedPrefix(lat, Nil,
+        Seq(col("lat_us"), col("user_id")), rn = Some("rk"), nTotal = Some("nn"))
       ranked
         .filter(col("rk") === expr("(nn + 1) div 2")
           || col("rk") === expr("(9 * nn + 9) div 10"))
@@ -972,8 +979,11 @@ object EventAnalytics {
     * each quartile-coded with NTILE(4), then the 64-cell segment census.
     * Determinism: every NTILE orders by (metric, user_id) — a total
     * order, so tile boundaries cannot wobble; monetary sums are integer
-    * cents (floor of value×100 — no float addition anywhere). Three
-    * |users|-sized windows, one census agg. */
+    * cents (floor of value×100 — no float addition anywhere). The three
+    * |users|-sized tile codings run as [[RangeRank]] two-pass ranks
+    * (parallel slice sorts + broadcast offsets) with NTILE reconstructed
+    * by integer arithmetic from (rn, n) — identical tiles to the oracle's
+    * NTILE, no single-task global sort anywhere. */
   val q221 = QueryDef(
     "q221_rfm_segments",
     (s, d) => {
@@ -987,10 +997,16 @@ object EventAnalytics {
             .otherwise(0L)).as("m"))
         .crossJoin(horizon)
         .select(col("user_id"), (col("h") - col("last_dd")).as("r"), col("f"), col("m"))
-      val rq = ntile(4).over(Window.orderBy(col("r"), col("user_id")))
-      val fq = ntile(4).over(Window.orderBy(col("f").desc, col("user_id")))
-      val mq = ntile(4).over(Window.orderBy(col("m").desc, col("user_id")))
-      rfm.select(col("user_id"), rq.as("r_q"), fq.as("f_q"), mq.as("m_q"))
+      val rRank = RangeRank.withOrderedPrefix(rfm, Nil,
+        Seq(col("r"), col("user_id")), rn = Some("rn_r"), nTotal = Some("nn"))
+      val fRank = RangeRank.withOrderedPrefix(rRank, Nil,
+        Seq(col("f").desc, col("user_id")), rn = Some("rn_f"))
+      val mRank = RangeRank.withOrderedPrefix(fRank, Nil,
+        Seq(col("m").desc, col("user_id")), rn = Some("rn_m"))
+      mRank.select(col("user_id"),
+          RangeRank.ntileExpr(4, "rn_r", "nn").as("r_q"),
+          RangeRank.ntileExpr(4, "rn_f", "nn").as("f_q"),
+          RangeRank.ntileExpr(4, "rn_m", "nn").as("m_q"))
         .groupBy(col("r_q"), col("f_q"), col("m_q"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("r_q"), col("f_q"), col("m_q"))

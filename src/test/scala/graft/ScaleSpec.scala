@@ -162,6 +162,54 @@ class ScaleSpec extends AnyFunSuite {
       s"unwhitelisted cartesian/nested-loop plans: ${offenders.mkString(", ")}")
   }
 
+  test("no corpus-sized input feeds an unpartitioned window (registry-wide audit)") {
+    // The single-partition WindowExec guard: Window.orderBy with no
+    // partitionSpec moves the ENTIRE input through one task's sort — the
+    // recurring 100 TB anti-pattern (r07 verdict). Corpus-sized global
+    // orders must go through RangeRank's two-pass range-partitioned rank
+    // instead (its bounded internal prefix window partitions by lit(0),
+    // i.e. a NON-empty spec, precisely so this audit separates it from
+    // offenders). Every name below is audited bounded: the window input is
+    // an aggregate over a bounded DOMAIN (score grid, bins, days, vocab
+    // top-k, event-type triples), never a relation that grows linearly
+    // with the corpus. Adding a new empty-spec window requires adding its
+    // name here WITH the boundedness argument.
+    val boundedDomain = Map(
+      "q108_mix_weights" -> "|source x lang| census (bounded slice grid)",
+      "q131_vocab_oov" -> "top-20 vocab",
+      "q132_ks_drift" -> "distinct metric values (bounded value domain)",
+      "q143_percent_of_parent" -> "25-nation rollup (fixed dim grid)",
+      "q160_growth_curve" -> "per-day arrivals (time horizon, not corpus)",
+      "q210_event_trigrams" -> "|types|^3 census",
+      "q232_roc_auc" -> "<=1e6-row score census",
+      "q239_user_similarity" -> "|event types| feature index",
+      "q241_avg_precision" -> "top-100 rows",
+      "q242_cumulative_gains" -> "10 decile bins",
+      "q249_threshold_sweep" -> "<=1e6-row score census",
+      "q250_bootstrap_ci" -> "32 bootstrap replicas",
+      "q274_rrf_fusion" -> "top-50 rank lists",
+      "q283_rank_correlation" -> "top-50 rank lists")
+    val withGlobalWindow = SparkEntry.registry.flatMap { q =>
+      val hasGlobalWindow = q.fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (hasGlobalWindow) Some(q.name) else None
+    }.toSet
+    val offenders = withGlobalWindow -- boundedDomain.keySet
+    assert(offenders.isEmpty,
+      s"unaudited global-order windows (single-task sort at scale): ${offenders.mkString(", ")}")
+    // the allowlist must not rot either: a dormant entry means a rewrite
+    // removed the window and the boundedness argument above is stale
+    val dormant = boundedDomain.keySet -- withGlobalWindow
+    assert(dormant.isEmpty, s"stale allowlist entries (no global window in plan): ${dormant.mkString(", ")}")
+    // and the five r07 offenders must stay OFF the list for good
+    for (fixed <- Seq("q220_funnel_latency", "q221_rfm_segments",
+        "q199_quantile_normalize", "q151_weighted_median_quality",
+        "q156_pareto_concentration"))
+      assert(!boundedDomain.contains(fixed), s"$fixed was rewritten via RangeRank")
+  }
+
   test("plan pins: shuffle-exchange budget + join strategy for the most expensive queries") {
     // Per-query regression pins for the plans that dominate the bench: a
     // Spark upgrade or an innocent-looking refactor must not silently add

@@ -988,29 +988,38 @@ object Similarity {
     * list is localCheckpoint'ed once (q100/q185 convention) so the
     * quadratic tile join never replays per round. 3 rounds = 3 shuffles,
     * a static plan; at 100 TB the horizon stays the knob (each extra hop
-    * is one more join round) and the q89 sign-LSH candidate stage slots
-    * in front of the edge build unchanged. Distances are small integers —
+    * is one more join round) and the sub-quadratic form is REGISTERED as
+    * q290 (same [[bfs3Reach]] rounds over the q89 sign-LSH candidate
+    * edges — this exact form is its recall oracle, the q185/q258
+    * pairing). Distances are small integers —
     * exact everywhere; unreached nodes are absent from the output (a
     * frontier never visits them), which the oracle mirrors by
     * construction. */
+  /** The 3-round multi-source BFS shared by q227 (exact edges) and q290
+    * (sign-LSH candidate edges) — one helper so the exact form and its
+    * sub-quadratic sibling can never drift. `pairs` is an undirected
+    * (a_id, b_id, …) edge list; seeds are the label-0 vectors at distance
+    * 0. Each round is ONE equi-join + a map-side-combinable MIN. */
+  private def bfs3Reach(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(explode(array(
+          struct(col("a_id").as("src"), col("b_id").as("dst")),
+          struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    val seeds = Tables.embeddings(s, d).filter(col("label") === 0)
+      .select(col("vec_id"), lit(0L).as("dist"))
+    def step(reached: DataFrame): DataFrame =
+      reached.unionByName(
+          edges.join(reached.withColumnRenamed("vec_id", "src"), "src")
+            .select(col("dst").as("vec_id"), (col("dist") + lit(1L)).as("dist")))
+        .groupBy(col("vec_id")).agg(min(col("dist")).as("dist"))
+    step(step(step(seeds))).orderBy(col("vec_id"))
+  }
+
   val q227 = QueryDef(
     "q227_bfs_reach",
-    (s, d) => {
-      val edges = cosineNeardupPairs(s, d, 0.4)
-        .select(explode(array(
-            struct(col("a_id").as("src"), col("b_id").as("dst")),
-            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .localCheckpoint()
-      val seeds = Tables.embeddings(s, d).filter(col("label") === 0)
-        .select(col("vec_id"), lit(0L).as("dist"))
-      def step(reached: DataFrame): DataFrame =
-        reached.unionByName(
-            edges.join(reached.withColumnRenamed("vec_id", "src"), "src")
-              .select(col("dst").as("vec_id"), (col("dist") + lit(1L)).as("dist")))
-          .groupBy(col("vec_id")).agg(min(col("dist")).as("dist"))
-      step(step(step(seeds))).orderBy(col("vec_id"))
-    },
+    (s, d) => bfs3Reach(s, d, cosineNeardupPairs(s, d, 0.4)),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
       ed AS (SELECT a.vec_id AS src, b.vec_id AS dst
         FROM e a JOIN e b ON a.vec_id <> b.vec_id
@@ -1052,38 +1061,73 @@ object Similarity {
     * feature keys (the regime it's built for), with q180's blowup
     * profiler picking between them. The per-user top-k is the
     * TopKAggregateRewrite's target shape (k-row heaps, no full sort). */
+  /** Dense per-user behavior vector + squared norm in ONE keyed agg —
+    * shared by q239 (exact tiled all-pairs) and q291 (sign-LSH composed
+    * form), so the two siblings score IDENTICAL vectors. Vectors are
+    * dense `array<bigint>` over a broadcast feature dictionary (fid =
+    * rank of event_type — the dictionary window is |types|-bounded), so
+    * the pair dot is the codegen'd [[graft.functions.DotLong]] primitive
+    * loop. */
+  private def userVectors(s: SparkSession, d: String): DataFrame = {
+    val uv = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val fidx = broadcast(uv.select(col("event_type")).distinct()
+      .withColumn("fid",
+        (row_number().over(Window.orderBy(col("event_type"))) - 1).cast("int")))
+    val nf = broadcast(fidx.agg(max(col("fid")).as("fmax")))
+    uv.join(fidx, "event_type")
+      .groupBy(col("user_id")).agg(
+        map_from_entries(collect_list(struct(col("fid"), col("c")))).as("m"),
+        sum(col("c") * col("c")).as("nrm"))
+      .crossJoin(nf)
+      .select(col("user_id"),
+        expr("transform(sequence(0, fmax), i -> coalesce(m[i], cast(0 as bigint)))").as("v"),
+        col("nrm"))
+  }
+
+  /** Scored-pair → per-user top-3 peers, shared by q239 and q291 so the
+    * exact and ANN forms rank identically: both orientations of each
+    * (ua, ub, na, nb, dot) pair explode from one pass, cos²·10⁶ is the
+    * exact integer ranking key (q237's no-transcendental trick), and the
+    * per-user rank ≤ 3 is the TopKAggregateRewrite's k-row-heap shape. */
+  private def userPairTop3(dots: DataFrame): DataFrame = {
+    val scored = dots
+      .select(explode(array(
+          struct(col("ua").as("u"), col("ub").as("peer"),
+            col("dot"), col("na").as("nu"), col("nb").as("np")),
+          struct(col("ub").as("u"), col("ua").as("peer"),
+            col("dot"), col("nb").as("nu"), col("na").as("np")))).as("e"))
+      .select(col("e.u").as("user_id"), col("e.peer").as("peer_id"),
+        col("e.dot").as("dot"), col("e.nu").as("nu"), col("e.np").as("np"))
+      .select(col("user_id"), col("peer_id"),
+        expr("(CAST(dot AS DECIMAL(38,0)) * dot * 1000000) div (CAST(nu AS DECIMAL(38,0)) * np)")
+          .as("cos2_ppm"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("cos2_ppm").desc, col("peer_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("user_id"), col("peer_id"), col("rnk"), col("cos2_ppm"))
+      .orderBy(col("user_id"), col("rnk"))
+  }
+
   val q239 = QueryDef(
     "q239_user_similarity",
     (s, d) => {
       import s.implicits._
-      val uv = Tables.events(s, d)
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("c"))
-      // Dense per-user layout: feature vector + squared norm in ONE keyed
-      // agg. With a low-cardinality feature space the inverted-index join
-      // (join on event_type) shuffles |features| partitions of quadratic
-      // key groups — 5 parallel units at any cluster size. The tiled
-      // self-join spreads the same O(n²) pair work evenly over
-      // B(B+1)/2 = 136 cells (q54's layout) and carries the norm with the
-      // vector, so no post-join norm lookups. Vectors are dense
-      // array<bigint> over a broadcast feature dictionary, so the pair
-      // dot is the codegen'd [[graft.functions.DotLong]] primitive loop
-      // (the map_zip_with/aggregate HOF form is CodegenFallback —
-      // interpreted per pair — and pairs are quadratic). The sparse
-      // inverted-index form remains the right shape for HIGH-cardinality
-      // features — see the scaladoc; this corpus is the dense regime.
-      val fidx = broadcast(uv.select(col("event_type")).distinct()
-        .withColumn("fid",
-          (row_number().over(Window.orderBy(col("event_type"))) - 1).cast("int")))
-      val nf = broadcast(fidx.agg(max(col("fid")).as("fmax")))
-      val uvec = uv.join(fidx, "event_type")
-        .groupBy(col("user_id")).agg(
-          map_from_entries(collect_list(struct(col("fid"), col("c")))).as("m"),
-          sum(col("c") * col("c")).as("nrm"))
-        .crossJoin(nf)
-        .select(col("user_id"),
-          expr("transform(sequence(0, fmax), i -> coalesce(m[i], cast(0 as bigint)))").as("v"),
-          col("nrm"))
+      // Dense layout via [[userVectors]]. With a low-cardinality feature
+      // space the inverted-index join (join on event_type) shuffles
+      // |features| partitions of quadratic key groups — 5 parallel units
+      // at any cluster size. The tiled self-join spreads the same O(n²)
+      // pair work evenly over B(B+1)/2 = 136 cells (q54's layout) and
+      // carries the norm with the vector, so no post-join norm lookups.
+      // The sparse inverted-index form remains the right shape for
+      // HIGH-cardinality features — see the scaladoc; this corpus is the
+      // dense regime. The registered sub-quadratic sibling is q291
+      // (sign-LSH bands over the same vectors); THIS query is its exact
+      // oracle, the q185→q258 pairing.
+      val uvec = userVectors(s, d)
       val B = 16
       val blockPairs = broadcast(
         (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("bi", "bj"))
@@ -1109,24 +1153,7 @@ object Similarity {
         // pairs sharing no feature never appear in the inverted-index
         // form — drop them so the ranked peer set is identical
         .filter(col("dot") > 0)
-      val scored = dots
-        .select(explode(array(
-            struct(col("ua").as("u"), col("ub").as("peer"),
-              col("dot"), col("na").as("nu"), col("nb").as("np")),
-            struct(col("ub").as("u"), col("ua").as("peer"),
-              col("dot"), col("nb").as("nu"), col("na").as("np")))).as("e"))
-        .select(col("e.u").as("user_id"), col("e.peer").as("peer_id"),
-          col("e.dot").as("dot"), col("e.nu").as("nu"), col("e.np").as("np"))
-        .select(col("user_id"), col("peer_id"),
-          expr("(CAST(dot AS DECIMAL(38,0)) * dot * 1000000) div (CAST(nu AS DECIMAL(38,0)) * np)")
-            .as("cos2_ppm"))
-      scored
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("user_id"))
-            .orderBy(col("cos2_ppm").desc, col("peer_id"))))
-        .filter(col("rnk") <= 3)
-        .select(col("user_id"), col("peer_id"), col("rnk"), col("cos2_ppm"))
-        .orderBy(col("user_id"), col("rnk"))
+      userPairTop3(dots)
     },
     Some("""WITH uv AS (SELECT user_id, event_type, COUNT(*) AS c
         FROM events GROUP BY 1, 2),
@@ -1151,6 +1178,126 @@ object Similarity {
       SELECT user_id, peer_id, rnk, cos2_ppm FROM r
       WHERE rnk <= 3 ORDER BY user_id, rnk"""),
     doc = "sparse-dot-product user similarity (inverted-index join), exact cos^2 ppm ranking, per-user top-3 via k-row heaps")
+
+  // --------------------------------------------------------------- q291
+  /** Sub-quadratic user similarity — q239's ranking with a sign-LSH
+    * candidate stage instead of the tiled all-pairs join, breaking the
+    * O(users²) barrier the exact form cannot (r07's last unpaired
+    * quadratic). Same [[userVectors]] dense behavior vectors; they are
+    * mean-CENTERED first (behavior counts live in the positive orthant,
+    * where uncentered sign-LSH puts everyone in one bucket) and banded by
+    * the generic [[graft.functions.HyperplaneBands]] (32 planes, 8 bands
+    * of 4 bits, tag "u42" — md5-derived Rademacher planes, so the DuckDB
+    * oracle rebuilds the identical matrix). Users pair ONLY on a
+    * (band, bandHash) equi-join collision; the exact integer dot/cos²
+    * and the per-user top-3 are the shared [[userPairTop3]] — q239 is
+    * this query's exact oracle on sampled slices, the q185→q258 pairing.
+    * At 100 TB the band join's expected group size is tuned by
+    * bands×bits exactly as in q89; no stage touches all pairs. */
+  /** q291's candidate stage — centered sign-LSH band collisions over the
+    * [[userVectors]] frame. Package-visible so ScaleGrowthSpec can count
+    * the scored-pair relation directly (the pruning ratio is a measured
+    * number, not a claim). */
+  private[graft] def annUserCandidates(s: SparkSession, d: String): DataFrame = {
+    val vd = userVectors(s, d).select(col("user_id"),
+      expr("transform(v, x -> cast(x as double))").as("vd"))
+    val mean = vd.select(posexplode(col("vd")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg((sum(col("x").cast(DecimalType(28, 10))).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        p => p.getField("m")).as("mean"))
+    // q89's broadcast-equi-key trick: a keyless 1-row crossJoin plans as
+    // a nested loop; both keys must be data-dependent or folding erases
+    // the condition
+    val centered = vd.withColumn("one", pmod(col("user_id"), lit(1L)))
+      .join(broadcast(mean.withColumn("one",
+        pmod(size(col("mean")).cast("long"), lit(1L)))), "one")
+      .select(col("user_id"),
+        zip_with(col("vd"), col("mean"), (x, m) => x - m).as("cemb"))
+    val bands = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.HyperplaneBands(
+        org.apache.spark.sql.GraftBridge.expression(col("cemb")), 32, 8, "u42"))
+    val buckets = centered
+      .select(col("user_id"), posexplode(bands).as(Seq("band", "bh")))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("ua"), col("y.user_id").as("ub"))
+      .distinct()
+  }
+
+  val q291 = QueryDef(
+    "q291_ann_user_similarity",
+    (s, d) => {
+      val uvec = userVectors(s, d)
+      val cand = annUserCandidates(s, d)
+      val dotCol = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.DotLong(
+          org.apache.spark.sql.GraftBridge.expression(col("a_v")),
+          org.apache.spark.sql.GraftBridge.expression(col("b_v"))))
+      val dots = cand
+        .join(uvec.select(col("user_id").as("ua"), col("v").as("a_v"),
+          col("nrm").as("na")), "ua")
+        .join(uvec.select(col("user_id").as("ub"), col("v").as("b_v"),
+          col("nrm").as("nb")), "ub")
+        .select(col("ua"), col("ub"), col("na"), col("nb"), dotCol.as("dot"))
+        .filter(col("dot") > 0)
+      userPairTop3(dots)
+    },
+    Some("""WITH uv AS (SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      fidx AS (SELECT event_type,
+          CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS INT) AS fid
+        FROM (SELECT DISTINCT event_type FROM uv)),
+      users AS (SELECT DISTINCT user_id FROM uv),
+      grid AS (SELECT u.user_id, f.fid, COALESCE(x.c, 0) AS c
+        FROM users u CROSS JOIN fidx f
+        LEFT JOIN (SELECT uv.user_id, fidx.fid, uv.c
+                   FROM uv JOIN fidx USING (event_type)) x
+          ON x.user_id = u.user_id AND x.fid = f.fid),
+      vec AS (SELECT user_id, list(c ORDER BY fid) AS v,
+          CAST(SUM(c * c) AS BIGINT) AS nrm FROM grid GROUP BY user_id),
+      mn AS (SELECT fid,
+          CAST(SUM(CAST(c AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS m
+        FROM grid GROUP BY fid),
+      cl AS (SELECT g.user_id,
+          list(CAST(g.c AS DOUBLE) - mn.m ORDER BY g.fid) AS cemb
+        FROM grid g JOIN mn USING (fid) GROUP BY g.user_id),
+      planes AS (SELECT j,
+          list(CASE WHEN substr(md5('hp_u42_' || j || '_' || fid), 1, 1) >= '8'
+               THEN 1.0 ELSE -1.0 END ORDER BY fid) AS w
+        FROM range(32) t(j) CROSS JOIN fidx GROUP BY j),
+      bits AS (SELECT c.user_id, p.j,
+          CASE WHEN list_sum(list_transform(list_zip(c.cemb, p.w),
+            x -> x[1] * x[2])) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM cl c CROSS JOIN planes p),
+      bh AS (SELECT user_id, j // 4 AS band,
+          CAST(SUM(bit * (1 << (j % 4))) AS BIGINT) AS bh
+        FROM bits GROUP BY user_id, j // 4),
+      cand AS (SELECT DISTINCT x.user_id AS ua, y.user_id AS ub
+        FROM bh x JOIN bh y ON x.band = y.band AND x.bh = y.bh
+          AND x.user_id < y.user_id),
+      dots AS (SELECT c.ua, c.ub, va.nrm AS na, vb.nrm AS nb,
+          CAST(list_sum(list_transform(list_zip(va.v, vb.v),
+            x -> x[1] * x[2])) AS BIGINT) AS dot
+        FROM cand c JOIN vec va ON va.user_id = c.ua
+        JOIN vec vb ON vb.user_id = c.ub),
+      fdots AS (SELECT * FROM dots WHERE dot > 0),
+      e AS (SELECT ua AS user_id, ub AS peer_id, dot, na AS nu, nb AS np FROM fdots
+        UNION ALL SELECT ub, ua, dot, nb, na FROM fdots),
+      sc AS (SELECT user_id, peer_id,
+          CAST((CAST(dot AS HUGEINT) * dot * 1000000)
+            // (CAST(nu AS HUGEINT) * np) AS BIGINT) AS cos2_ppm
+        FROM e),
+      r AS (SELECT user_id, peer_id, cos2_ppm,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY cos2_ppm DESC, peer_id) AS rnk
+        FROM sc)
+      SELECT user_id, peer_id, rnk, cos2_ppm FROM r
+      WHERE rnk <= 3 ORDER BY user_id, rnk"""),
+    doc = "sign-LSH user similarity: band-collision candidates over centered behavior vectors, exact cos^2 only on collisions — q239's sub-quadratic sibling")
 
   // ---------------------------------------------------------------- q248
   /** Label-noise mining by k-NN label disagreement (the confident-
@@ -1410,6 +1557,43 @@ object Similarity {
         CAST((SUM(flag) * 1000000) // COUNT(*) AS BIGINT) AS flagged_ppm
       FROM f GROUP BY label ORDER BY label"""),
     doc = "k-NN label-disagreement mining over the sign-LSH candidate graph — q248's census with the sub-quadratic ANN front-end")
+
+  // --------------------------------------------------------------- q290
+  /** ANN-composed BFS reach — q227's contamination-propagation grading
+    * with the sign-LSH candidate stage in front of the edge build: edges
+    * are band-collision pairs verified at cosine ≥ 0.4 (exact scoring
+    * only on collisions, never all pairs), then the IDENTICAL
+    * [[bfs3Reach]] Pregel rounds. This closes the last BFS gap in the
+    * graph tier's exact→composed pairing (q185→q258, q109→q260,
+    * q248→q270, q227→q290): every graph primitive now has a registered
+    * form whose candidate generation is an equi-join on (band, bandHash)
+    * — sub-quadratic end to end, with q227 as the exact recall oracle on
+    * sampled slices. Same edge semantics at the same threshold; the only
+    * difference at fixture scale is edges the LSH bands fail to surface,
+    * which the oracle replays via the shared CTE prefix. */
+  val q290 = QueryDef(
+    "q290_ann_bfs_reach",
+    (s, d) => bfs3Reach(s, d,
+      signLshCandidatePairs(s, d).filter(col("c") >= 0.4)
+        .select(col("a_id"), col("b_id"))),
+    Some(s"""WITH $lshCandSql,
+      ed AS (SELECT a_id AS src, b_id AS dst FROM scored WHERE c >= 0.4
+        UNION ALL SELECT b_id, a_id FROM scored WHERE c >= 0.4),
+      d0 AS (SELECT vec_id, CAST(0 AS BIGINT) AS dist FROM embeddings WHERE label = 0),
+      d1 AS (SELECT vec_id, MIN(dist) AS dist FROM (
+          SELECT vec_id, dist FROM d0 UNION ALL
+          SELECT ed.dst, d0.dist + 1 FROM ed JOIN d0 ON d0.vec_id = ed.src)
+        GROUP BY vec_id),
+      d2 AS (SELECT vec_id, MIN(dist) AS dist FROM (
+          SELECT vec_id, dist FROM d1 UNION ALL
+          SELECT ed.dst, d1.dist + 1 FROM ed JOIN d1 ON d1.vec_id = ed.src)
+        GROUP BY vec_id),
+      d3 AS (SELECT vec_id, MIN(dist) AS dist FROM (
+          SELECT vec_id, dist FROM d2 UNION ALL
+          SELECT ed.dst, d2.dist + 1 FROM ed JOIN d2 ON d2.vec_id = ed.src)
+        GROUP BY vec_id)
+      SELECT vec_id, dist FROM d3 ORDER BY vec_id"""),
+    doc = "multi-source BFS over the sign-LSH candidate graph — q227's rounds with the sub-quadratic edge front-end")
 
   // --------------------------------------------------------------- q271
   /** Retrieval-quality eval for the similarity tier: self-retrieval MRR
@@ -1881,5 +2065,5 @@ object Similarity {
     doc = "Kendall tau between BM25 and dense ranks on the common top-50 set: exact tie-free C/D counts, bounded pair join, one-row diagnostic")
 
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283, q290, q291)
 }

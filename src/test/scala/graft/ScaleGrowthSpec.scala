@@ -73,6 +73,22 @@ class ScaleGrowthSpec extends AnyFunSuite {
     }
     embCopies.reduce(_.unionByName(_)).coalesce(4)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // events: EmbRatio disjoint user populations (q239 is O(users²) — 3×
+    // users ≈ 9× pair work, same regime as the embeddings copies). Offsets
+    // keep user/event ids disjoint; per-copy behavior profiles are
+    // identical, so the user-similarity structure replicates per copy.
+    val ev = Tables.events(spark, base)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val evCopies = (0 until EmbRatio).map { k =>
+      if (k == 0) ev
+      else ev.select((col("event_id") + k * 100000000L).as("event_id"), col("ts"),
+        (col("user_id") + k * 1000000L).as("user_id"), col("event_type"),
+        col("value"), col("props"))
+    }
+    evCopies.reduce(_.unionByName(_)).coalesce(8)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
 
@@ -192,5 +208,53 @@ class ScaleGrowthSpec extends AnyFunSuite {
     info(f"big(${EmbRatio}x): exact q185=$tExact%.2fs ann-composed q258=$tAnn%.2fs")
     assert(tAnn <= 0.7 * tExact + 1.0,
       f"ANN-composed build ($tAnn%.2fs) must be materially cheaper than the exact tile join ($tExact%.2fs)")
+  }
+
+  test("q290 (ANN-composed BFS) is materially cheaper than q227's exact edge build at 3x; no cartesian") {
+    // q227→q290 is the q185→q258 pairing for the BFS primitive: identical
+    // bfs3Reach rounds, the only difference is the edge front-end (exact
+    // O(n²) tile join vs sign-LSH band collisions). Edge lists are
+    // localCheckpoint'ed, so the executed plan shows only the BFS rounds —
+    // the candidate stage's equi-join shape is pinned via q89 in the q258
+    // test above; here we pin the end-to-end cost relation + no cartesian.
+    val prPlan = graft.ext.Similarity.q290.fn(spark, bigDir)
+      .queryExecution.executedPlan.toString
+    assert(!prPlan.contains("CartesianProduct"),
+      s"q290 BFS rounds must never plan a cartesian: ${prPlan.take(2000)}")
+    val tExact = time(graft.ext.Similarity.q227, bigDir)
+    val tAnn = time(graft.ext.Similarity.q290, bigDir)
+    info(f"big(${EmbRatio}x): exact q227=$tExact%.2fs ann-composed q290=$tAnn%.2fs")
+    assert(tAnn <= 0.7 * tExact + 1.0,
+      f"ANN-composed BFS ($tAnn%.2fs) must be materially cheaper than the exact edge build ($tExact%.2fs)")
+  }
+
+  test("q291 (sign-LSH user similarity) candidates are a band equi-join that actually prunes; never tiled all-pairs") {
+    // q239's sibling: the pin is STRUCTURAL (candidates from the
+    // (band, bandHash) equi-join — no 136-cell tile join, no cartesian)
+    // plus a measured pruning ratio: scored candidate pairs must stay
+    // strictly below the all-pairs count on the 3x user population. With
+    // 5-dim behavior vectors the collision rate is the honest limit of
+    // sign-LSH pruning (the scaladoc owns it: selectivity grows with
+    // feature dimensionality — band bits are the knob at real scale).
+    val q291 = graft.ext.Similarity.q291
+    val plan = q291.fn(spark, bigDir).queryExecution.executedPlan.toString
+    // BNLJ appears only as the 1-row feature-dict/mean broadcasts (the
+    // registry-wide cartesian audit whitelists exactly those); the pair
+    // generation itself must stay the keyed band join below
+    assert(!plan.contains("CartesianProduct"),
+      s"q291 must never plan a cartesian: ${plan.take(2000)}")
+    assert(plan.contains("band"), "q291 candidates must join on the band key")
+    val users = Tables.events(spark, bigDir).select(col("user_id")).distinct().count()
+    val allPairs = users * (users - 1) / 2
+    val candPairs = graft.ext.Similarity.annUserCandidates(spark, bigDir).count()
+    info(f"3x users=$users allPairs=$allPairs candidates=$candPairs " +
+      f"(${100.0 * candPairs / allPairs}%.1f%% scored)")
+    assert(candPairs < allPairs,
+      s"band collisions ($candPairs) must prune below all-pairs ($allPairs)")
+    val tExact = time(graft.ext.Similarity.q239, bigDir)
+    val tAnn = time(q291, bigDir)
+    info(f"big(${EmbRatio}x): exact q239=$tExact%.2fs lsh q291=$tAnn%.2fs")
+    assert(tAnn <= 1.5 * tExact + 1.0,
+      f"sign-LSH user similarity ($tAnn%.2fs) must not cost more than the exact tile join ($tExact%.2fs) at 3x")
   }
 }

@@ -138,6 +138,7 @@ class ScaleSpec extends AnyFunSuite {
       "q265_ivf_knn_pagerank",  // q184's k-row centroid broadcast + 1-row node count
       "q268_capped_lm_score",   // crossJoin(broadcast(1-row bigram total))
       "q239_user_similarity",   // crossJoin(broadcast(1-row feature-dict size))
+      "q291_ann_user_similarity", // same 1-row feature-dict / mean-vector broadcasts
       "q271_retrieval_mrr",     // q45's shape: constant 20-query broadcast side
       "q272_temperature_mixture", // crossJoin(broadcast(1-row weight/doc totals))
       "q274_rrf_fusion",        // crossJoin(broadcast(1-row census + 1-vector query))
@@ -183,6 +184,7 @@ class ScaleSpec extends AnyFunSuite {
       "q210_event_trigrams" -> "|types|^3 census",
       "q232_roc_auc" -> "<=1e6-row score census",
       "q239_user_similarity" -> "|event types| feature index",
+      "q291_ann_user_similarity" -> "|event types| feature index (shared userVectors dictionary)",
       "q241_avg_precision" -> "top-100 rows",
       "q242_cumulative_gains" -> "10 decile bins",
       "q249_threshold_sweep" -> "<=1e6-row score census",

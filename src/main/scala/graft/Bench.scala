@@ -96,7 +96,19 @@ object Bench {
     // rep pays the bucket CTAS; reps 2+ reuse the tables, so the median
     // is the zero-Exchange join itself)
     val setup = f"""{"q64_bucket_ctas_sec":${graft.operators.Scale.bucketCtasSeconds}%.3f}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rep_spread":$spreads%s,"errors":$errJson%s,"streaming":$streaming%s,"setup":$setup%s,"sf":"$sfDir%s"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rep_spread":$spreads%s,"errors":$errJson%s,"streaming":$streaming%s,"setup":$setup%s,"sf":"$sfDir%s"}"""
+    println(line)
+    // stdout insurance (r07: a clean run still archived as `parsed: null`
+    // because the driver keeps only a short stdout tail and the timing map
+    // prints first) — the full JSON always lands on disk too
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+      System.err.println(s"[bench] json also written to ${out.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: $e")
+    }
     spark.stop()
   }
 
@@ -113,13 +125,13 @@ object Bench {
     // 200k default: at 50k the number was ~70% one-time cost (query
     // start + cold codegen + planning, ~1.6 s — see the dur/startup
     // fields), i.e. it measured JVM startup, not the pipeline. 200k puts
-    // the pipeline in the numerator while keeping the block under ~3 s;
-    // the breakdown fields keep the fixed costs attributable either way.
+    // the pipeline in the numerator while keeping the block bounded; the
+    // breakdown fields keep the fixed costs attributable either way.
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_ROWS", "200000").toInt
     if (n <= 0) return "{}"
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream_").toString
-      val (logDir, outDir, ckpt) = (s"$dir/log", s"$dir/out", s"$dir/ckpt")
+      val logDir = s"$dir/log"
       val epoch0 = 1704103500000L
       val raw = spark.range(n).select(
         lpad(col("id").cast("string"), 56, "0").as("sequenceNumber"),
@@ -132,48 +144,92 @@ object Bench {
         timestamp_millis(lit(epoch0) + col("id")).as("ts"))
       graft.sinks.LineFileSink.writeSeqNamed(raw, logDir, col("ts"), maxRecordsPerFile = 5000)
 
-      val t0 = System.nanoTime()
-      val parsed = graft.streaming.EventStream.parse(
-          graft.sources.Sources.records(spark, logDir))
-        .withColumnRenamed("id", "sequenceNumber")
-        .selectExpr("sequenceNumber", "orig_data AS data",
-          "coalesce(ts, current_timestamp()) AS ts")
-      // 10 ms trigger: the bench measures the PIPELINE, so idle trigger
-      // ticks (processAllAvailable needs a confirming empty cycle) must
-      // not ride the number; production picks its own interval (T1)
-      val q = graft.streaming.EventStream.startLineFileSink(
-        parsed, outDir, ckpt, intervalMs = 10L)
-      val tStarted = System.nanoTime()
-      q.processAllAvailable()
-      val sec = (System.nanoTime() - t0) / 1e9
-      // per-batch truth from the progress log: compute-only throughput
-      // (addBatch wall time over non-empty batches) separates the
-      // pipeline's marginal rate from query-start + planning overhead
-      val allProg = q.recentProgress
-      val prog = allProg.filter(_.numInputRows > 0)
-      val addBatchMs = prog.map(p =>
-        Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)).sum
-      val nBatches = prog.length
-      // phase sums over ALL cycles (incl. the empty confirm batch):
-      // where non-pipeline wall time goes, so a planning/commit
-      // regression is attributable instead of folded into rows_per_sec
-      val phases = Seq("triggerExecution", "addBatch", "walCommit",
-        "queryPlanning", "getBatch", "latestOffset", "commitOffsets")
-      val phaseJson = phases.map { ph =>
-        val ms = allProg.map(p =>
-          Option(p.durationMs.get(ph)).map(_.longValue).getOrElse(0L)).sum
-        f""""$ph%s":${ms / 1e3}%.3f"""
-      }.mkString("{", ",", "}")
-      q.stop()
-      val startupSec = (tStarted - t0) / 1e9
-      val sunk = graft.sinks.LineFileSink.read(spark, outDir).count()
-      f"""{"rows":$n,"sunk":$sunk,"sec":$sec%.3f,"rows_per_sec":${n / sec}%.0f,""" +
-        f""""batches":$nBatches,"add_batch_sec":${addBatchMs / 1e3}%.3f,""" +
-        f""""pipeline_rows_per_sec":${if (addBatchMs > 0) n * 1000.0 / addBatchMs else 0.0}%.0f,""" +
-        f""""startup_sec":$startupSec%.3f,"dur":$phaseJson%s}"""
+      // TWO modes over the same 40-chunk log (r07 ask #4):
+      //  - sustained (top-level): maxChunksPerTrigger caps each micro-batch
+      //    at 4 chunks, driving ~10 batches through the trigger + sink
+      //    commit cycle, so rotation/commit cadence under sustained load is
+      //    MEASURED — steady_rows_per_sec drops batch 0 (cold codegen) and
+      //    p50/p95 are per-batch triggerExecution latencies. Per-batch
+      //    planning + offset listing ride the number honestly; at the 10 ms
+      //    bench trigger they are a visible tax, at a production T1
+      //    interval they amortize (see "dur").
+      //  - burst (nested): one drain-everything batch — the round-over-
+      //    round comparable number every prior round reported.
+      val chunksPerTrigger =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_CHUNKS_PER_TRIGGER", "4").toInt
+      val sustained = runStream(spark, logDir, s"$dir/sus", n, chunksPerTrigger)
+      val burst = runStream(spark, logDir, s"$dir/burst", n, -1)
+      sustained.dropRight(1) + s""","burst":$burst}"""
     } catch {
       case e: Throwable =>
         s"""{"rows":$n,"err":"${e.getClass.getSimpleName}"}"""
     }
+  }
+
+  /** One end-to-end run of the ingest pipeline over an existing seq-named
+    * log: records source (optionally chunk-capped per trigger) → two-level
+    * JSON parse → date-partitioned gzip line sink. Wiring mirrors
+    * Engine.start() verbatim; the sunk row count is re-read after the
+    * clock stops, so silent row loss shows up as sunk != rows. */
+  private def runStream(spark: SparkSession, logDir: String, workDir: String,
+      n: Int, chunksPerTrigger: Int): String = {
+    val (outDir, ckpt) = (s"$workDir/out", s"$workDir/ckpt")
+    val t0 = System.nanoTime()
+    val reader = spark.readStream.format("graft-records")
+    val src = (if (chunksPerTrigger > 0)
+        reader.option("maxChunksPerTrigger", chunksPerTrigger)
+      else reader).load(logDir)
+    val parsed = graft.streaming.EventStream.parse(src)
+      .withColumnRenamed("id", "sequenceNumber")
+      .selectExpr("sequenceNumber", "orig_data AS data",
+        "coalesce(ts, current_timestamp()) AS ts")
+    // 10 ms trigger: the bench measures the PIPELINE, so idle trigger
+    // ticks (processAllAvailable needs a confirming empty cycle) must
+    // not ride the number; production picks its own interval (T1)
+    val q = graft.streaming.EventStream.startLineFileSink(
+      parsed, outDir, ckpt, intervalMs = 10L)
+    val tStarted = System.nanoTime()
+    q.processAllAvailable()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // per-batch truth from the progress log: compute-only throughput
+    // (addBatch wall time over non-empty batches) separates the
+    // pipeline's marginal rate from query-start + planning overhead
+    val allProg = q.recentProgress
+    val prog = allProg.filter(_.numInputRows > 0)
+    val addBatchMs = prog.map(p =>
+      Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)).sum
+    val nBatches = prog.length
+    // per-batch latency distribution + steady-state rate: batch 0 pays
+    // codegen/planning cold starts, so the sustained numbers drop it
+    val batchMs = prog.map(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+    def pct(p: Double): Long =
+      if (batchMs.isEmpty) 0L
+      else batchMs.sorted.apply(math.min(batchMs.size - 1,
+        math.ceil(p * batchMs.size).toInt - 1).max(0))
+    val steady = prog.drop(1)
+    val steadyRows = steady.map(_.numInputRows).sum
+    val steadyMs = steady.map(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)).sum
+    val steadyRps = if (steadyMs > 0) steadyRows * 1000.0 / steadyMs else 0.0
+    // phase sums over ALL cycles (incl. the empty confirm batch):
+    // where non-pipeline wall time goes, so a planning/commit
+    // regression is attributable instead of folded into rows_per_sec
+    val phases = Seq("triggerExecution", "addBatch", "walCommit",
+      "queryPlanning", "getBatch", "latestOffset", "commitOffsets")
+    val phaseJson = phases.map { ph =>
+      val ms = allProg.map(p =>
+        Option(p.durationMs.get(ph)).map(_.longValue).getOrElse(0L)).sum
+      f""""$ph%s":${ms / 1e3}%.3f"""
+    }.mkString("{", ",", "}")
+    q.stop()
+    val startupSec = (tStarted - t0) / 1e9
+    val sunk = graft.sinks.LineFileSink.read(spark, outDir).count()
+    f"""{"rows":$n,"sunk":$sunk,"sec":$sec%.3f,"rows_per_sec":${n / sec}%.0f,""" +
+      f""""batches":$nBatches,"add_batch_sec":${addBatchMs / 1e3}%.3f,""" +
+      f""""pipeline_rows_per_sec":${if (addBatchMs > 0) n * 1000.0 / addBatchMs else 0.0}%.0f,""" +
+      f""""steady_rows_per_sec":$steadyRps%.0f,""" +
+      f""""batch_p50_sec":${pct(0.5) / 1e3}%.3f,"batch_p95_sec":${pct(0.95) / 1e3}%.3f,""" +
+      f""""startup_sec":$startupSec%.3f,"dur":$phaseJson%s}"""
   }
 }

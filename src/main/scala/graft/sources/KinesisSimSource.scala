@@ -147,7 +147,8 @@ private final class KinesisSimReaderFactory(streamName: String, nShards: Int)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KinesisSimPartition]
     new PartitionReader[InternalRow] {
-      private val fs = FileSystem.get(new java.net.URI(p.path), new Configuration())
+      // shared conf — same rationale as RecordsSource.listingConf
+      private val fs = FileSystem.get(new java.net.URI(p.path), RecordsSource.listingConf)
       private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
         new java.util.zip.GZIPInputStream(fs.open(new Path(p.path))), "UTF-8"))
       private val stream = UTF8String.fromString(streamName)

@@ -73,12 +73,46 @@ object RecordsSource {
   private[sources] final case class Chunk(seq: String, path: String,
       datePrefix: String)
 
+  /** One Configuration for every listing and reader: `new Configuration()`
+    * re-parses the Hadoop default XMLs on EVERY construction (~0.25 s), and
+    * latestOffset lists once per trigger — per-trigger construction was
+    * the single largest line in the sustained-mode streaming bench's
+    * latestOffset phase. The conf is read-only here, so sharing is safe;
+    * FileSystem.get additionally caches the FS instance per scheme. */
+  private[sources] lazy val listingConf = new Configuration()
+
   /** List every committed chunk under `root` (recursive; dot-temp files are
     * never visible — the writer renames into place). Driver-side listing of
-    * names only, no data scan. */
+    * names only, no data scan.
+    *
+    * Local roots bypass Hadoop: `RawLocalFileSystem.listFiles` shells out
+    * (`ls -ld`) per entry for permission bits — ~150 ms to list 40 chunks,
+    * paid once per TRIGGER via latestOffset, which made listing the largest
+    * phase of the sustained-mode streaming bench. java.nio walks the same
+    * tree in sub-millisecond time. Remote schemes (s3a, hdfs) keep the
+    * Hadoop path — there the LIST round-trip is the unavoidable cost and
+    * the FS connector is the right abstraction. */
   private[sources] def listChunks(root: String): Seq[Chunk] = {
+    def onceLocal(base: java.nio.file.Path): Seq[Chunk] = {
+      if (!java.nio.file.Files.exists(base)) return Seq.empty
+      val out = ArrayBuffer.empty[Chunk]
+      val stream = java.nio.file.Files.walk(base)
+      try stream.forEach { f =>
+        val name = f.getFileName.toString
+        if (name.endsWith(Suffix) && !name.startsWith(".")) {
+          val rel = base.relativize(f.getParent).toString
+          out += Chunk(name.dropRight(Suffix.length), f.toString, rel)
+        }
+      } finally stream.close()
+      out.sortBy(_.seq).toSeq
+    }
     def once(): Seq[Chunk] = {
-      val fs = FileSystem.get(new java.net.URI(root), new Configuration())
+      val uri = new java.net.URI(root)
+      if (uri.getScheme == null)
+        return onceLocal(java.nio.file.Paths.get(root))
+      if (uri.getScheme == "file")
+        return onceLocal(java.nio.file.Paths.get(uri.getPath))
+      val fs = FileSystem.get(uri, listingConf)
       val p = new Path(root)
       if (!fs.exists(p)) return Seq.empty
       val out = ArrayBuffer.empty[Chunk]
@@ -122,16 +156,32 @@ object RecordsSource {
         case e: java.io.FileNotFoundException =>
           if (attempt >= 3) throw e
           Thread.sleep(50L * attempt)
+        // nio analogue of the stat-after-list race: a writer's dot-temp
+        // file can vanish between Files.walk's listing and its stat
+        case e: java.nio.file.NoSuchFileException =>
+          if (attempt >= 3) throw e
+          Thread.sleep(50L * attempt)
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** A stat-after-list failure on an entry that no longer exists. */
+  /** A stat-after-list failure on an entry that no longer exists. The nio
+    * walk surfaces it as UncheckedIOException(NoSuchFileException) — a
+    * RuntimeException, so it lands here rather than the IOException arm. */
   private def transientListingRace(e: Throwable): Boolean = {
     val msg = Option(e.getMessage).getOrElse("")
     msg.contains("No such file or directory") ||
-      msg.contains("cannot access")
+      msg.contains("cannot access") || {
+        var c: Throwable = e.getCause
+        var hit = false
+        while (c != null && !hit) {
+          hit = c.isInstanceOf[java.nio.file.NoSuchFileException] ||
+            c.isInstanceOf[java.io.FileNotFoundException]
+          c = c.getCause
+        }
+        hit
+      }
   }
 
   /** Can this filter prune chunk FILES from the listing? Sequence bounds
@@ -326,7 +376,9 @@ private final class ChunkReaderFactory(schema: StructType)
         s"graft-records: unknown column '$other'")
     }
     new PartitionReader[InternalRow] {
-      private val fs = FileSystem.get(new java.net.URI(p.path), new Configuration())
+      // shared conf: per-partition `new Configuration()` costs ~0.25 s of
+      // XML parsing per task (see listingConf)
+      private val fs = FileSystem.get(new java.net.URI(p.path), RecordsSource.listingConf)
       private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
         new java.util.zip.GZIPInputStream(fs.open(new Path(p.path))), "UTF-8"))
       private val prefix = UTF8String.fromString(p.datePrefix)

@@ -905,8 +905,14 @@ object PipelineQueries {
     * what's computed (w = n_chars, so long docs are proportionally more
     * likely to be kept; the scheme a token-budgeted subcorpus draw
     * uses when "sample 1% of docs" must mean "1% of tokens"). The sort
-    * key is frozen as ⌊ln(u)/w · 10⁹⌋ (BIGINT) so ranking and output
-    * are integer-exact across engines; ties break on doc_id.
+    * key is frozen as ⌊ln(u)/w · 10⁹⌋ (BIGINT); ties break on doc_id.
+    * Determinism caveat: the frozen key still crosses one transcendental
+    * (ln), so cross-engine equality is by overwhelming likelihood, not
+    * construction — java.lang.Math.log and DuckDB's libm ln agree to the
+    * last ulp on these inputs, and a 1-ulp divergence only flips the key
+    * if the product lands EXACTLY on a floor boundary (~1e-9 per row).
+    * A by-construction variant would precompute ln in one engine and
+    * freeze it into the fixture; not worth the fixture coupling here.
     *
     * Scale shape: the reservoir is a rank-limit window per stratum,
     * which TopKAggregateRewrite turns into the bounded k-row-heap

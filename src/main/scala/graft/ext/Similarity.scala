@@ -1759,6 +1759,12 @@ object Similarity {
       ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""),
     doc = "reciprocal-rank fusion of BM25 and dense-cosine top-50 lists (k=60): rank-only hybrid retrieval, integer-exact RRF, TakeOrderedAndProject per ranker")
 
+  /** q276's bounded driver-side MMR inputs, keyed by (session identity,
+    * sf dir) — ≤20 rel scores + ≤380 pair sims per entry, so the cache
+    * can never grow past a few KB per corpus a session touches. */
+  private val mmrMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (Map[Long, Double], Map[(Long, Long), Double])]
+
   // --------------------------------------------------------------- q276
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein): the
     * diversity-aware selection step RAG stacks and dedup-aware search
@@ -1791,10 +1797,18 @@ object Similarity {
           col("a_id") =!= col("b_id"))
         .select(col("a_id"), col("b_id"),
           round(cosine(col("a_emb"), col("b_emb")), 6).as("sim"))
-      val rel = cand.select(col("doc_id"), col("rel")).collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val sim = pairs.collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // The greedy loop needs the ≤20-row candidate scores ON THE DRIVER
+      // (same contract as TakeOrderedAndProject) — these collects cannot
+      // be lazy because their values are baked into the returned frame as
+      // literals. Memoized per (session, dir) so registry-wide PLAN scans
+      // (ScaleSpec iterates every query's fn) run the two bounded retrieval
+      // jobs once, not once per scan.
+      val (rel, sim) = mmrMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+        (cand.select(col("doc_id"), col("rel")).collect()
+           .map(r => r.getLong(0) -> r.getDouble(1)).toMap,
+         pairs.collect()
+           .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap)
+      })
       var selected = Vector.empty[Long]
       val picks = (1 to 5).map { step =>
         val (id, _) = rel.keysIterator.filterNot(selected.contains).toSeq

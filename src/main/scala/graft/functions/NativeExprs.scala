@@ -299,15 +299,6 @@ case class CosineSim(left: Expression, right: Expression)
   * of distinct words have hex digit b+1 of md5(word) in 8..f). One md5
   * per word instead of 16 (the composed form recomputes the digest per
   * bit — measured 3.5 s at sf0.1). */
-/** Σ aᵢ·bᵢ over two array<bigint> → bigint: the exact integer dot product
-  * the dense-feature similarity tier ranks with (q239). The HOF
-  * composition (map_zip_with + aggregate) is CodegenFallback — an
-  * interpreted expression-tree walk per PAIR, and pair counts are
-  * quadratic in group size — so a primitive loop in the generated stage
-  * is the difference between a scan-bound stage and an interpreter-bound
-  * one. Overflow: callers hold Σc² ≤ ~2³¹ per vector (event counts), so
-  * the bigint product sum cannot wrap; the decimal widening for the ppm
-  * ratio happens downstream. */
 /** Johnson–Lindenstrauss Rademacher projection (dIn → dOut dims) fused
   * into one pass per vector: component_j = double(Σᵢ sign(j,i)·dec10(xᵢ))
   * where dec10 is the decimal-accumulator convention (HALF_UP 10-dp
@@ -320,7 +311,15 @@ case class CosineSim(left: Expression, right: Expression)
   * broadcast join against a dOut·dIn weight table, and two keyed
   * aggregations (one shuffle each) with zero shuffles — at 100 TB the
   * projection becomes a pure map stage. Decimal addition is associative,
-  * so the index-ordered fold equals the aggregate's any-order sum. */
+  * so the index-ordered fold equals the aggregate's any-order sum.
+  *
+  * Range note: this accumulator is unbounded java.math.BigDecimal, while
+  * the composed formulation sums as Spark DECIMAL(28,10), whose overflow
+  * yields null under ANSI-off. The bit-identity claim therefore holds for
+  * sums within DECIMAL(28,10) range (|Σ| < 10¹⁸) — embeddings are
+  * unit-scale, so a 64-term signed sum sits ~16 orders of magnitude
+  * inside it; beyond that the composed form would null where this
+  * returns a value. */
 case class JlProject(child: Expression, dOut: Int, dIn: Int)
     extends UnaryExpression {
 
@@ -375,6 +374,23 @@ case class JlProject(child: Expression, dOut: Int, dIn: Int)
     copy(child = newChild)
 }
 
+/** Primitive-loop integer dot product over two dense `array<bigint>`
+  * vectors — the codegen'd pair-scoring kernel behind q239/q291 (the
+  * `aggregate`/`zip_with` HOF form is CodegenFallback, interpreted per
+  * pair, and pair counts are quadratic).
+  *
+  * Contract (SQL-registered, so enforced rather than assumed):
+  *  - inputs must be `containsNull = false` arrays — the type check
+  *    rejects nullable elements, so "null element read as 0" can never
+  *    happen silently (q239/q291 build dense non-null vectors);
+  *  - arithmetic is EXACT-or-fail: `multiplyExact`/`addExact` raise
+  *    ArithmeticException on i64 overflow instead of wrapping — the
+  *    fail-stop convention every exact-integer kernel in this repo
+  *    follows. Callers keep magnitudes in range (event counts:
+  *    Σ aᵢ·bᵢ ≤ ‖a‖·‖b‖, far inside i64 for any real behavior vector);
+  *    if a corpus ever violates that, the query dies loudly, not with a
+  *    silently wrong similarity. Overflow checks are JIT intrinsics —
+  *    no measurable cost next to the array reads. */
 case class DotLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -382,9 +398,11 @@ case class DotLong(left: Expression, right: Expression)
   override def prettyName: String = "dot_long"
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+      TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"dot_long expects two array<bigint>, got ${l.simpleString}, ${r.simpleString}")
+      "dot_long expects two array<bigint> with non-null elements, got " +
+        s"${l.simpleString} (containsNull must be false), ${r.simpleString}")
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -393,7 +411,10 @@ case class DotLong(left: Expression, right: Expression)
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0L
     var i = 0
-    while (i < n) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      dot = Math.addExact(dot, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
     dot
   }
 
@@ -406,7 +427,8 @@ case class DotLong(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $dot = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getLong($i) * $b.getLong($i);
+         |  $dot = java.lang.Math.addExact($dot,
+         |    java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));
          |}
          |${ev.value} = $dot;
        """.stripMargin

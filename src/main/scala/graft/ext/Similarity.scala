@@ -928,6 +928,118 @@ object Similarity {
       WHERE a.rank <= 5 ORDER BY a.q_id, a.rank"""),
     doc = "PQ encode (8 subspaces x 4 codes) + ADC table-lookup top-5 with exact-top-5 recall flags; vectors never shuffle")
 
+  // --------------------------------------------------------------- q292
+  /** PQ operating curve — the m×k sweep that gives product quantization
+    * the operating-point audit q281 gives IVF (its nprobe recall curve):
+    * for each (subspaces m, codebook size k) configuration, recall@5 of
+    * PQ+ADC against the exact top-5, next to the code size in BITS
+    * (m·log₂k — the number a capacity plan actually trades against
+    * recall; 8×2 = 16 bits/vector vs 512 bytes raw). One row per config
+    * over {4,8}×{2,4}, q194's encode/table/ADC machinery parameterized
+    * verbatim (same fold conventions, same tie-breaks), the exact
+    * ground-truth top-5 computed ONCE and semi-joined by every config.
+    *
+    * Scale: each config is the q194 layout — KB broadcasts, one encode
+    * map pass, (j, code)-keyed lookups — and the sweep is a union of
+    * independent configs, so the audit parallelizes config-wise; in
+    * production it runs on a sampled slice exactly like q259/q281. */
+  val q292 = QueryDef(
+    "q292_pq_operating_curve",
+    (s, d) => {
+      val e = embDouble(s, d)
+      def l2sq(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+      val qv = broadcast(e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb")))
+      val wEx = Window.partitionBy(col("q_id")).orderBy(col("ex").desc, col("vec_id"))
+      val exactTop = e.crossJoin(qv).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(dot(col("emb"), col("q_emb")), 6).as("ex"))
+        .withColumn("xr", row_number().over(wEx)).filter(col("xr") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      def config(m: Int, k: Int): DataFrame = {
+        val subdim = 64 / m
+        val subs = e.select(col("vec_id"),
+          posexplode(transform(sequence(lit(0), lit(m - 1)),
+            j => slice(col("emb"), j * subdim + 1, lit(subdim)))).as(Seq("j", "sub")))
+        val codebook = broadcast(subs.filter(col("vec_id") < k)
+          .select(col("j"), col("vec_id").cast("int").as("code"), col("sub").as("cent")))
+        val codes = subs.join(codebook, Seq("j"))
+          .select(col("vec_id"), col("j"), col("code"),
+            round(l2sq(col("sub"), col("cent")), 6).as("dist"))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+        val table = broadcast(subs.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("j"), col("sub").as("qsub"))
+          .join(codebook, Seq("j"))
+          .select(col("q_id"), col("j"), col("code"),
+            round(dot(col("qsub"), col("cent")), 6).as("part")))
+        val adc = codes.join(table, Seq("j", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(round(sum(col("part").cast(DecimalType(28, 10))).cast("double"), 6).as("adc"))
+        val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+        adc.withColumn("rank", row_number().over(wAdc)).filter(col("rank") <= 5)
+          .join(exactTop, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(m).as("m"), lit(k).as("k"),
+            lit(m * (31 - Integer.numberOfLeadingZeros(k))).as("code_bits"),
+            col("hits"),
+            expr("(hits * 1000000) div 15").as("recall_ppm"))
+      }
+      Seq((4, 2), (4, 4), (8, 2), (8, 4)).map { case (m, k) => config(m, k) }
+        .reduce(_.unionByName(_))
+        .orderBy(col("m"), col("k"))
+    },
+    Some {
+      def block(m: Int, k: Int): String = {
+        val sd = 64 / m
+        val sfx = s"_${m}_$k"
+        s"""subs0$sfx AS (SELECT vec_id, unnest([{'j': j, 'sub': emb[j*$sd+1 : j*$sd+$sd]}
+            for j in range($m)]) AS u FROM e),
+          subs$sfx AS (SELECT vec_id, u.j AS j, u.sub AS sub FROM subs0$sfx),
+          cb$sfx AS (SELECT j, CAST(vec_id AS INT) AS code, sub AS cent
+            FROM subs$sfx WHERE vec_id < $k),
+          enc$sfx AS (SELECT vec_id, j, code, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                ORDER BY round(list_sum([(s.sub[i+1] - c.cent[i+1]) * (s.sub[i+1] - c.cent[i+1])
+                  for i in range($sd)]), 6), code) AS rn
+            FROM subs$sfx s JOIN cb$sfx c USING (j)),
+          codes$sfx AS (SELECT vec_id, j, code FROM enc$sfx WHERE rn = 1),
+          tbl$sfx AS (SELECT s.vec_id AS q_id, s.j, c.code,
+              round(list_sum([s.sub[i+1] * c.cent[i+1] for i in range($sd)]), 6) AS part
+            FROM subs$sfx s JOIN cb$sfx c USING (j) WHERE s.vec_id < 3),
+          adc$sfx AS (SELECT t.q_id, kk.vec_id,
+              round(CAST(SUM(CAST(t.part AS DECIMAL(28,10))) AS DOUBLE), 6) AS adc
+            FROM codes$sfx kk JOIN tbl$sfx t ON t.j = kk.j AND t.code = kk.code
+            WHERE kk.vec_id <> t.q_id GROUP BY t.q_id, kk.vec_id),
+          top$sfx AS (SELECT q_id, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rank
+            FROM adc$sfx),
+          hits$sfx AS (SELECT CAST($m AS INT) AS m, CAST($k AS INT) AS k,
+              CAST(${m * (31 - Integer.numberOfLeadingZeros(k))} AS INT) AS code_bits,
+              COUNT(*) AS hits,
+              CAST((COUNT(*) * 1000000) // 15 AS BIGINT) AS recall_ppm
+            FROM top$sfx t JOIN xtop x ON x.q_id = t.q_id AND x.vec_id = t.vec_id
+            WHERE t.rank <= 5)"""
+      }
+      val configs = Seq((4, 2), (4, 4), (8, 2), (8, 4))
+      val blocks = configs.map { case (m, k) => block(m, k) }.mkString(",\n          ")
+      val selects = configs
+        .map { case (m, k) => s"SELECT * FROM hits_${m}_$k" }
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          xtop AS (SELECT q_id, vec_id FROM (
+              SELECT q.vec_id AS q_id, x.vec_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY round(list_sum([x.emb[i+1] * q.emb[i+1] for i in range(64)]), 6) DESC,
+                    x.vec_id) AS xr
+              FROM e x JOIN e q ON q.vec_id < 3 AND x.vec_id <> q.vec_id)
+            WHERE xr <= 5),
+          $blocks
+          SELECT * FROM ($selects) ORDER BY m, k"""
+    },
+    doc = "PQ m x k operating curve: recall@5 vs code bits for {4,8} subspaces x {2,4} codes, shared exact ground truth — the capacity-planning audit next to q281's IVF nprobe curve")
+
   // ---------------------------------------------------------------- q205
   /** Per-class embedding dispersion (trace of the covariance matrix) —
     * the diversity audit behind coreset selection and class-balance
@@ -1318,7 +1430,14 @@ object Similarity {
     * own label with ≥ 2 of 3 votes, per-class exposure census. Takes the
     * kNN edge list so the exact (q248) and ANN-composed (q270) graphs
     * drive identical downstream machinery. */
-  private def labelNoiseCensus(s: SparkSession, d: String, knn: DataFrame): DataFrame = {
+  /** Per-vector confident-learning flags over an arbitrary k-NN graph:
+    * (vec_id, label, flag) where flag = 1 iff the neighbor-majority label
+    * disagrees with the vector's own label with ≥ 2 votes. Vectors with
+    * no neighbors in `knn` are absent (they cast no votes) — q293's
+    * parity join coalesces them to unflagged. Shared by q248/q270 (which
+    * aggregate it into the per-class census) and q293 (which compares
+    * the two graphs' flags vector-by-vector). */
+  private def labelNoiseFlags(s: SparkSession, d: String, knn: DataFrame): DataFrame = {
     val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
     val votes = knn
       .join(labels.select(col("vec_id").as("dst"), col("label").as("nl")), "dst")
@@ -1327,14 +1446,17 @@ object Similarity {
     val maj = votes.withColumn("r", row_number().over(wv)).filter(col("r") === 1)
       .select(col("src"), col("nl").as("maj_label"), col("votes").as("maj_votes"))
     labels.join(maj, col("vec_id") === col("src"))
-      .select(col("label"),
+      .select(col("vec_id"), col("label"),
         when(col("maj_label") =!= col("label") && col("maj_votes") >= 2, 1L)
           .otherwise(0L).as("flag"))
+  }
+
+  private def labelNoiseCensus(s: SparkSession, d: String, knn: DataFrame): DataFrame =
+    labelNoiseFlags(s, d, knn)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sum(col("flag")).as("flagged"),
         expr("(sum(flag) * 1000000) div count(1)").as("flagged_ppm"))
       .orderBy(col("label"))
-  }
 
   val q248 = QueryDef(
     "q248_label_noise",
@@ -1594,6 +1716,88 @@ object Similarity {
         GROUP BY vec_id)
       SELECT vec_id, dist FROM d3 ORDER BY vec_id"""),
     doc = "multi-source BFS over the sign-LSH candidate graph — q227's rounds with the sub-quadratic edge front-end")
+
+  // --------------------------------------------------------------- q293
+  /** Exact→ANN parity audit for the label-noise detector — q259's
+    * recall-audit discipline applied to the eval tier: q270 runs the
+    * confident-learning census over the sign-LSH candidate graph at full
+    * scale; this query measures, per class, how its verdicts differ from
+    * the exact-graph detector (q248) VECTOR BY VECTOR, so the cheap
+    * form's error is a monitored number instead of a hope. The two flag
+    * sets come from the shared [[labelNoiseFlags]] (they cannot drift
+    * from the censuses they audit); vectors the ANN graph never surfaces
+    * (zero band collisions) coalesce to unflagged — exactly what q270
+    * would report. recall_ppm is the detector-level recall (flagged by
+    * both / flagged by exact; vacuously 10⁶ when exact flags nothing in
+    * a class), agreement_ppm the per-vector verdict agreement. All
+    * integer ppm — engine-exact. In production this runs on a sampled
+    * slice (it contains q248's exact graph by definition), the
+    * q259/q281/q292 audit convention. */
+  val q293 = QueryDef(
+    "q293_label_noise_parity",
+    (s, d) => {
+      val exact = labelNoiseFlags(s, d, top3Knn(cosineNeardupPairs(s, d, -2.0)))
+        .select(col("vec_id"), col("label"), col("flag").as("x_flag"))
+      val ann = labelNoiseFlags(s, d, top3Knn(signLshCandidatePairs(s, d)))
+        .select(col("vec_id"), col("flag").as("a_flag"))
+      exact.join(ann, Seq("vec_id"), "left")
+        .select(col("label"), col("x_flag"),
+          coalesce(col("a_flag"), lit(0L)).as("a_flag"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x_flag")).as("exact_flagged"),
+          sum(col("a_flag")).as("ann_flagged"),
+          sum(col("x_flag") * col("a_flag")).as("both_flagged"),
+          expr("(sum(cast(x_flag = a_flag as bigint)) * 1000000) div count(1)")
+            .as("agreement_ppm"))
+        .withColumn("recall_ppm",
+          expr("CASE WHEN exact_flagged > 0 THEN (both_flagged * 1000000) div exact_flagged ELSE 1000000 END"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH $lshCandSql,
+      el AS (SELECT vec_id, label FROM embeddings),
+      scored_x AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+          round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      knn_x AS (SELECT src, dst FROM (
+          SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+          FROM scored_x) WHERE rn <= 3),
+      nv_x AS (SELECT k.src, el.label AS nl, COUNT(*) AS votes
+        FROM knn_x k JOIN el ON el.vec_id = k.dst GROUP BY 1, 2),
+      mj_x AS (SELECT src, nl AS maj_label, votes AS maj_votes FROM (
+          SELECT src, nl, votes,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY votes DESC, nl) AS r
+          FROM nv_x) WHERE r = 1),
+      f_x AS (SELECT el.vec_id, el.label,
+          CASE WHEN mj.maj_label <> el.label AND mj.maj_votes >= 2 THEN 1 ELSE 0 END AS x_flag
+        FROM el JOIN mj_x mj ON mj.src = el.vec_id),
+      dir_a AS (SELECT a_id AS src, b_id AS dst, round(c, 6) AS sim FROM scored
+        UNION ALL SELECT b_id, a_id, round(c, 6) FROM scored),
+      knn_a AS (SELECT src, dst FROM (
+          SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+          FROM dir_a) WHERE rn <= 3),
+      nv_a AS (SELECT k.src, el.label AS nl, COUNT(*) AS votes
+        FROM knn_a k JOIN el ON el.vec_id = k.dst GROUP BY 1, 2),
+      mj_a AS (SELECT src, nl AS maj_label, votes AS maj_votes FROM (
+          SELECT src, nl, votes,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY votes DESC, nl) AS r
+          FROM nv_a) WHERE r = 1),
+      f_a AS (SELECT el.vec_id,
+          CASE WHEN mj.maj_label <> el.label AND mj.maj_votes >= 2 THEN 1 ELSE 0 END AS a_flag
+        FROM el JOIN mj_a mj ON mj.src = el.vec_id),
+      j AS (SELECT x.label, x.x_flag, COALESCE(a.a_flag, 0) AS a_flag
+        FROM f_x x LEFT JOIN f_a a ON a.vec_id = x.vec_id)
+      SELECT label, COUNT(*) AS n,
+        CAST(SUM(x_flag) AS BIGINT) AS exact_flagged,
+        CAST(SUM(a_flag) AS BIGINT) AS ann_flagged,
+        CAST(SUM(x_flag * a_flag) AS BIGINT) AS both_flagged,
+        CAST((SUM(CASE WHEN x_flag = a_flag THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+          AS agreement_ppm,
+        CAST(CASE WHEN SUM(x_flag) > 0
+          THEN (SUM(x_flag * a_flag) * 1000000) // SUM(x_flag)
+          ELSE 1000000 END AS BIGINT) AS recall_ppm
+      FROM j GROUP BY label ORDER BY label"""),
+    doc = "per-class verdict parity of the ANN label-noise detector (q270) vs the exact one (q248): agreement + detector recall as monitored ppm numbers")
 
   // --------------------------------------------------------------- q271
   /** Retrieval-quality eval for the similarity tier: self-retrieval MRR
@@ -2079,5 +2283,5 @@ object Similarity {
     doc = "Kendall tau between BM25 and dense ranks on the common top-50 set: exact tie-free C/D counts, bounded pair join, one-row diagnostic")
 
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283, q290, q291)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283, q290, q291, q292, q293)
 }

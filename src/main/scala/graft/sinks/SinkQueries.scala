@@ -216,6 +216,45 @@ object SinkQueries {
       ORDER BY key"""),
     doc = "MERGE INTO as a batch operator: LWW changelog collapse + one full outer join; K3's semantics snapshot-scale")
 
+  // --------------------------------------------------------------- q294
+  /** The lakehouse MERGE sink end-to-end: seed customer balances into a
+    * [[ManifestUpsertSink]] table (bucket-partitioned parquet + versioned
+    * manifest), merge an order-derived update batch (updates for the
+    * %7 customers, synthetic-key inserts for the %21 slice, an in-batch
+    * LWW pair per key resolved by order number), then snapshot-read the
+    * committed version back. The oracle states the merged result
+    * relationally — a hash match proves the copy-on-write bucket
+    * rewrite, the manifest commit, and the snapshot read reproduce MERGE
+    * semantics exactly. The replay/no-op and untouched-bucket-zero-IO
+    * contracts are SinkSpec's job; this row pins the data plane. */
+  val q294 = QueryDef(
+    "q294_manifest_merge",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q294_").toString
+      val sink = new ManifestUpsertSink(root, "key", buckets = 8)
+      val base = Tables.customer(s, d).select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("bal"), lit(0L).as("seq"))
+      sink.upsertBatch(base, "seq", batchId = 0L)
+      val upd = Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select(
+          when(pmod(col("o_custkey"), lit(21)) === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).as("key"),
+          col("o_totalprice").cast("double").as("bal"),
+          col("o_orderkey").as("seq"))
+      sink.upsertBatch(upd, "seq", batchId = 1L)
+      sink.read(s).select(col("key"), col("bal")).orderBy(col("key"))
+    },
+    Some("""WITH upd0 AS (SELECT
+          CASE WHEN o_custkey % 21 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS key,
+          CAST(o_totalprice AS DOUBLE) AS bal, o_orderkey AS seq
+        FROM orders WHERE o_custkey % 7 = 0),
+      upd AS (SELECT key, arg_max(bal, seq) AS bal FROM upd0 GROUP BY key),
+      base AS (SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS bal FROM customer)
+      SELECT COALESCE(b.key, u.key) AS key, COALESCE(u.bal, b.bal) AS bal
+      FROM base b FULL OUTER JOIN upd u ON u.key = b.key
+      ORDER BY key"""),
+    doc = "manifest-log lakehouse MERGE round-trip: copy-on-write bucket rewrite + snapshot read reproduce LWW merge semantics bit-for-bit")
+
   // ---------------------------------------------------------------- q214
   /** JDBC as a SOURCE with partitioned parallel reads — the direction the
     * K3 tier hadn't exercised: orders round-trip through an embedded
@@ -343,6 +382,6 @@ object SinkQueries {
       ORDER BY batch, doc_id"""),
     doc = "additive parquet schema evolution: mergeSchema union over partition dirs, old files null-fill the new column")
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q214, q215,
+  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q214, q215,
     q216, q228)
 }

@@ -230,4 +230,52 @@ class SinkSpec extends AnyFunSuite {
         "line-file side holds the record (duplicates on replay are q40's job)")
     } finally q2.stop()
   }
+
+  test("manifest sink: LWW merge, replayed batch is a no-op, untouched buckets never rewrite") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest_").toString
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 8)
+
+    // batch 0: seed 100 keys
+    val b0 = (0L until 100L).map(i => (i, s"v0-$i", 1L)).toDF("id", "payload", "seq")
+    sink.upsertBatch(b0, "seq", batchId = 0L)
+    assert(sink.read(spark).count() == 100)
+
+    // batch 1: update 5 keys (incl. an in-batch LWW pair) + insert 2 new
+    val b1 = ((0L until 5L).map(i => (i, s"v1-$i", 3L)) ++
+      Seq((0L, "stale", 2L), (100L, "new-100", 3L), (101L, "new-101", 3L)))
+      .toDF("id", "payload", "seq")
+    val before = graft.sinks.ManifestUpsertSink.latestManifest(root).get
+    sink.upsertBatch(b1, "seq", batchId = 1L)
+    val after = graft.sinks.ManifestUpsertSink.latestManifest(root).get
+    val got = sink.read(spark).select("id", "payload").as[(Long, String)]
+      .collect().toMap
+    assert(got.size == 102)
+    assert(got(0L) == "v1-0", "in-batch LWW must pick seq=3 over the stale seq=2 row")
+    assert(got(4L) == "v1-4" && got(7L) == "v0-7" && got(100L) == "new-100")
+
+    // copy-on-write contract: buckets b1 never touched keep their EXACT
+    // v0 file paths in the new manifest (zero I/O for untouched data);
+    // bucket identity recomputed through the same in-plan xxhash64
+    val touchedBuckets = Seq(0L, 1L, 2L, 3L, 4L, 100L, 101L).toDF("id")
+      .select(pmod(xxhash64(col("id")), lit(8L)).as("b"))
+      .distinct().as[Long].collect().toSet
+    val beforeByBucket = before.files.groupBy(_.bucket)
+    val afterByBucket = after.files.groupBy(_.bucket)
+    for (b <- 0L until 8L if !touchedBuckets.contains(b); if beforeByBucket.contains(b))
+      assert(afterByBucket(b).map(_.path).sorted == beforeByBucket(b).map(_.path).sorted,
+        s"untouched bucket $b must carry its v0 files forward verbatim")
+    for (b <- touchedBuckets if beforeByBucket.contains(b))
+      assert(afterByBucket(b).map(_.path).toSet.intersect(
+        beforeByBucket(b).map(_.path).toSet).isEmpty,
+        s"touched bucket $b must be fully rewritten (copy-on-write)")
+
+    // replay batch 1 (foreachBatch redelivery): committed id -> no-op
+    sink.upsertBatch(b1.withColumn("payload", lit("replayed")), "seq", batchId = 1L)
+    val m2 = graft.sinks.ManifestUpsertSink.latestManifest(root).get
+    assert(m2.version == after.version && m2.batchId == 1L,
+      "replaying a committed batch must not create a new version")
+    assert(sink.read(spark).select("id", "payload").as[(Long, String)]
+      .collect().toMap.apply(0L) == "v1-0", "replay must not change data")
+  }
 }

@@ -97,6 +97,34 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
 
   /** Snapshot read of the latest committed version. */
   def read(spark: SparkSession): DataFrame = ManifestUpsertSink.read(spark, root)
+
+  /** Compact the current snapshot: rewrite EVERY bucket's live rows as a
+    * fresh one-file-per-bucket set and commit it as a new version. The
+    * small-file answer for sustained micro-batch ingest — each merge
+    * leaves one part-file set per touched bucket per batch; compaction
+    * folds a bucket back to a single file (`repartition` by bucket → one
+    * task → one file). Data content is unchanged, so the committed
+    * manifest KEEPS the last merged batch id — the replay guard still
+    * refers to data batches, and a compaction between a crash and a
+    * redelivery cannot un-guard it. */
+  def compact(spark: SparkSession): Unit = {
+    val cur = latestManifest(root).getOrElse(return)
+    if (cur.files.isEmpty) return
+    val version = cur.version + 1
+    val all = spark.read.parquet(cur.files.map(_.path): _*)
+      .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+      .repartition(buckets, col(BucketCol))
+    val dataDir = s"$root/data/v$version"
+    all.write.mode("overwrite").partitionBy(BucketCol).parquet(dataDir)
+    commit(root, Manifest(version, cur.batchId, listParquet(dataDir)))
+  }
+
+  /** Delete data files no manifest in the newest `keepVersions` versions
+    * references, then the superseded manifests themselves. Bounds storage
+    * after compaction at the cost of time travel past the horizon — the
+    * standard lakehouse VACUUM trade. Never touches the live version. */
+  def vacuum(keepVersions: Int = 1): Unit =
+    ManifestUpsertSink.vacuum(root, math.max(1, keepVersions))
 }
 
 object ManifestUpsertSink {
@@ -114,6 +142,39 @@ object ManifestUpsertSink {
     if (m.files.isEmpty)
       throw new IllegalStateException(s"manifest v${m.version} lists no files")
     spark.read.parquet(m.files.map(_.path): _*).drop(BucketCol)
+  }
+
+  /** Time-travel read: the snapshot AS OF a committed version — the
+    * manifest log keeps every version until [[ManifestUpsertSink.vacuum]]
+    * reclaims it, so any un-vacuumed version reads exactly as it
+    * committed (data files are immutable once referenced). */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val path = Paths.get(root, "_manifest", s"v$version.manifest")
+    if (!Files.exists(path))
+      throw new IllegalStateException(s"version $version not committed (or vacuumed) under $root")
+    val m = decode(Files.readString(path))
+    spark.read.parquet(m.files.map(_.path): _*).drop(BucketCol)
+  }
+
+  private def vacuum(root: String, keep: Int): Unit = {
+    val dir = Paths.get(root, "_manifest")
+    if (!Files.isDirectory(dir)) return
+    val versions = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .toSeq.sorted
+    if (versions.size <= keep) return
+    val (drop, hold) = versions.splitAt(versions.size - keep)
+    val live: Set[String] = hold.flatMap(v =>
+      decode(Files.readString(dir.resolve(s"v$v.manifest"))).files.map(_.path)).toSet
+    // delete data files only the dropped versions reference, then their
+    // manifests; version dirs left empty disappear with their last file
+    for (v <- drop) {
+      val m = decode(Files.readString(dir.resolve(s"v$v.manifest")))
+      for (f <- m.files if !live(f.path)) Files.deleteIfExists(Paths.get(f.path))
+      Files.deleteIfExists(dir.resolve(s"v$v.manifest"))
+    }
   }
 
   /** Plain-text manifest codec — one `bucket<TAB>path` line per file

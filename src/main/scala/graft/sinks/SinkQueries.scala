@@ -255,6 +255,63 @@ object SinkQueries {
       ORDER BY key"""),
     doc = "manifest-log lakehouse MERGE round-trip: copy-on-write bucket rewrite + snapshot read reproduce LWW merge semantics bit-for-bit")
 
+  // --------------------------------------------------------------- q295
+  /** Change data feed from the manifest log: the versioned manifests make
+    * every un-vacuumed snapshot time-travel readable, so "what did batch
+    * N change" is a full-outer diff of two committed versions — the CDC
+    * readout downstream consumers (incremental re-training, cache
+    * invalidation, audit) subscribe to, derived from the log rather than
+    * maintained as a second pipeline. Builds q294's two-version table,
+    * diffs v0 → v1 per key, and reports the per-change-type census with
+    * a key checksum; the oracle reconstructs the same diff relationally.
+    * Scale shape: the diff is one key-hash join of two snapshots — and
+    * because bucket assignment is stable, at scale it prunes to the
+    * buckets version N actually touched (the manifest lists them). */
+  val q295 = QueryDef(
+    "q295_manifest_cdf",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q295_").toString
+      val sink = new ManifestUpsertSink(root, "key", buckets = 8)
+      val base = Tables.customer(s, d).select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("bal"), lit(0L).as("seq"))
+      sink.upsertBatch(base, "seq", batchId = 0L)
+      val upd = Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select(
+          when(pmod(col("o_custkey"), lit(21)) === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).as("key"),
+          col("o_totalprice").cast("double").as("bal"),
+          col("o_orderkey").as("seq"))
+      sink.upsertBatch(upd, "seq", batchId = 1L)
+      val v0 = ManifestUpsertSink.readVersion(s, root, 0L)
+        .select(col("key"), col("bal").as("bal0"))
+      val v1 = ManifestUpsertSink.readVersion(s, root, 1L)
+        .select(col("key"), col("bal").as("bal1"))
+      v0.join(v1, Seq("key"), "full_outer")
+        .select(col("key"),
+          when(col("bal0").isNull, lit("inserted"))
+            .when(col("bal1").isNull, lit("deleted"))
+            .when(col("bal0") =!= col("bal1"), lit("updated"))
+            .otherwise(lit("unchanged")).as("change"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_checksum"))
+        .orderBy(col("change"))
+    },
+    Some("""WITH upd0 AS (SELECT
+          CASE WHEN o_custkey % 21 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS key,
+          CAST(o_totalprice AS DOUBLE) AS bal, o_orderkey AS seq
+        FROM orders WHERE o_custkey % 7 = 0),
+      upd AS (SELECT key, arg_max(bal, seq) AS bal FROM upd0 GROUP BY key),
+      base AS (SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+      j AS (SELECT COALESCE(b.key, u.key) AS key,
+          CASE WHEN b.key IS NULL THEN 'inserted'
+               WHEN u.key IS NULL THEN 'unchanged'
+               WHEN u.bal <> b.bal THEN 'updated'
+               ELSE 'unchanged' END AS change
+        FROM base b FULL OUTER JOIN upd u ON u.key = b.key)
+      SELECT change, COUNT(*) AS n, CAST(SUM(key) AS BIGINT) AS key_checksum
+      FROM j GROUP BY change ORDER BY change"""),
+    doc = "manifest time-travel CDC: full-outer diff of two committed versions -> per-change-type census; the log IS the change feed")
+
   // ---------------------------------------------------------------- q214
   /** JDBC as a SOURCE with partitioned parallel reads — the direction the
     * K3 tier hadn't exercised: orders round-trip through an embedded
@@ -382,6 +439,6 @@ object SinkQueries {
       ORDER BY batch, doc_id"""),
     doc = "additive parquet schema evolution: mergeSchema union over partition dirs, old files null-fill the new column")
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q214, q215,
+  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q214, q215,
     q216, q228)
 }

@@ -116,6 +116,29 @@ object EventStream {
       .trigger(Trigger.ProcessingTime(intervalMs))
       .start()
 
+  /** Streaming → lakehouse: MERGE each micro-batch into a
+    * [[graft.sinks.ManifestUpsertSink]] table. foreachBatch hands the
+    * micro-batch id straight to the sink's replay guard, so a
+    * crash-restart redelivery (the at-least-once window between a sink
+    * commit and the offset-log commit) merges nothing twice — source
+    * offset log + versioned manifest give exactly-once END TO END, the
+    * streaming counterpart of the JDBC path's idempotent upsert but on
+    * object-store parquet. */
+  def startManifestSink(
+      parsed: DataFrame,
+      sink: graft.sinks.ManifestUpsertSink,
+      cols: Seq[String],
+      orderCol: String,
+      checkpoint: String,
+      intervalMs: Long = RotationTrigger.DefaultIntervalMs): StreamingQuery =
+    parsed.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink.upsertBatch(batch.selectExpr(cols: _*), orderCol, id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+
   /** Stream-static join: enrich a stream against a batch dimension table
     * (e.g. parsed events ⋈ a customer/geo dim). The static side is
     * re-planned per micro-batch, so broadcast selection applies normally. */

@@ -278,4 +278,61 @@ class SinkSpec extends AnyFunSuite {
     assert(sink.read(spark).select("id", "payload").as[(Long, String)]
       .collect().toMap.apply(0L) == "v1-0", "replay must not change data")
   }
+
+  test("manifest sink: time travel, compaction preserves data + replay guard, vacuum reclaims") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest2_").toString
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    sink.upsertBatch(Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+
+    // time travel: v0 is the pre-merge snapshot as committed
+    val v0 = graft.sinks.ManifestUpsertSink.readVersion(spark, root, 0L)
+      .select("id", "p").as[(Long, String)].collect().toMap
+    assert(v0 == Map(1L -> "a", 2L -> "b"))
+
+    // compaction: same rows, one file per populated bucket, batchId kept
+    sink.compact(spark)
+    val mc = graft.sinks.ManifestUpsertSink.latestManifest(root).get
+    assert(mc.batchId == 1L, "compaction must keep the last MERGED batch id")
+    assert(mc.files.groupBy(_.bucket).values.forall(_.size == 1),
+      "compaction must leave one file per bucket")
+    assert(sink.read(spark).select("id", "p").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // the replay guard survives compaction: batch 1 redelivery still no-op
+    sink.upsertBatch(Seq((9L, "x", 9L)).toDF("id", "p", "seq"), "seq", 1L)
+    assert(sink.read(spark).count() == 3)
+
+    // vacuum to the live version: old versions unreadable, live intact
+    sink.vacuum(keepVersions = 1)
+    intercept[IllegalStateException] {
+      graft.sinks.ManifestUpsertSink.readVersion(spark, root, 0L)
+    }
+    assert(sink.read(spark).select("id", "p").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("streaming foreachBatch -> manifest sink: micro-batch ids drive the replay guard") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest3_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_manifest3_ck_").toString
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 4)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.EventStream.startManifestSink(
+      input.toDF().toDF("id", "p", "seq"), sink,
+      cols = Seq("id", "p", "seq"), orderCol = "seq", checkpoint = ckpt,
+      intervalMs = 50L)
+    try {
+      input.addData((1L, "a", 1L), (2L, "b", 1L))
+      q.processAllAvailable()
+      input.addData((2L, "b2", 2L), (2L, "stale", 1L), (3L, "c", 2L))
+      q.processAllAvailable()
+      val got = sink.read(spark).select("id", "p").as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"),
+        "in-batch LWW by seq + cross-batch MERGE through the streaming path")
+      val m = graft.sinks.ManifestUpsertSink.latestManifest(root).get
+      assert(m.batchId >= 1L, "manifest must track the micro-batch id")
+    } finally q.stop()
+  }
 }

@@ -284,7 +284,7 @@ object CurationQueries {
       val vals = docs.select(col("v")).distinct()
       val tot = docs.agg(count(lit(1)).as("n"))
       val cumg = csv.groupBy(col("v")).agg(sum(col("c")).as("c"))
-        .select(col("v"), sum(col("c")).over(Window.orderBy(col("v"))).as("cum_g"))
+        .select(col("v"), sum(col("c")).over(graft.operators.BoundedWindow.over(col("v")).orderBy(col("v"))).as("cum_g"))
       val cums = srcs.crossJoin(broadcast(vals))
         .join(csv, Seq("source", "v"), "left")
         .select(col("source"), col("n_s"), col("v"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.operators.BoundedWindow
 
 /** Model-evaluation + time-series tier: the metrics a training pipeline
   * computes after every model refresh (ranking quality, classifier
@@ -54,7 +55,7 @@ object EvalQueries {
         .select(predPpm.as("pred"), posLabel.as("pos"))
         .groupBy(col("pred"))
         .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
-      val w = Window.orderBy(col("pred"))
+      val w = BoundedWindow.over(col("pred")).orderBy(col("pred"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       byScore
         .withColumn("r", sum(col("c")).over(w) - col("c") + 1)
@@ -331,7 +332,7 @@ object EvalQueries {
         .select(predPpm.as("pred"), col("event_id"), posLabel.as("pos"))
         .orderBy(col("pred").desc, col("event_id"))
         .limit(100)
-      val ord = Window.orderBy(col("pred").desc, col("event_id"))
+      val ord = BoundedWindow.over(col("event_id")).orderBy(col("pred").desc, col("event_id"))
       top
         .withColumn("k", row_number().over(ord))
         .withColumn("cum_pos", sum(col("pos")).over(
@@ -380,9 +381,9 @@ object EvalQueries {
         .select(predPpm.as("pred"), posLabel.as("pos"))
         .groupBy(expr("pred div 100000").as("bin"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"))
-      val desc = Window.orderBy(col("bin").desc)
+      val desc = BoundedWindow.over(col("bin")).orderBy(col("bin").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val all = Window.orderBy(col("bin").desc)
+      val all = BoundedWindow.over(col("bin")).orderBy(col("bin").desc)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       bins
         .withColumn("cum_n", sum(col("n")).over(desc))
@@ -501,9 +502,9 @@ object EvalQueries {
         .select(predPpm.as("pred"), posLabel.as("pos"))
         .groupBy(col("pred"))
         .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
-      val desc = Window.orderBy(col("pred").desc)
+      val desc = BoundedWindow.over(col("pred")).orderBy(col("pred").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val all = Window.orderBy(col("pred").desc)
+      val all = BoundedWindow.over(col("pred")).orderBy(col("pred").desc)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val swept = byScore
         .withColumn("tp", sum(col("p")).over(desc))
@@ -591,7 +592,7 @@ object EvalQueries {
         .select(col("b"),
           when(col("sw") > 0, expr("swc div sw")).otherwise(lit(0L)).as("mean_cents"))
       val ranked = means.withColumn("rn",
-        row_number().over(Window.orderBy(col("mean_cents"), col("b"))))
+        row_number().over(BoundedWindow.over(col("b")).orderBy(col("mean_cents"), col("b"))))
       val point = broadcast(ev.agg(
         expr("sum(cents) div count(1)").as("point_cents")))
       ranked

@@ -279,8 +279,7 @@ object PipelineQueries {
   val q108 = QueryDef(
     "q108_mix_weights",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val all = Window.partitionBy()
+      val all = graft.operators.BoundedWindow.over(col("source"))
       Tables.documents(s, d)
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -374,7 +373,7 @@ object PipelineQueries {
       val counts = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
       val vocab = counts.orderBy(col("c").desc, col("w")).limit(20)
         .select(col("w"),
-          row_number().over(Window.orderBy(col("c").desc, col("w"))).as("token_id"))
+          row_number().over(graft.operators.BoundedWindow.over(col("w")).orderBy(col("c").desc, col("w"))).as("token_id"))
       words.join(broadcast(vocab), Seq("w"), "left")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_tok"),

@@ -1186,7 +1186,7 @@ object Similarity {
       .agg(count(lit(1)).as("c"))
     val fidx = broadcast(uv.select(col("event_type")).distinct()
       .withColumn("fid",
-        (row_number().over(Window.orderBy(col("event_type"))) - 1).cast("int")))
+        (row_number().over(graft.operators.BoundedWindow.over(col("event_type")).orderBy(col("event_type"))) - 1).cast("int")))
     val nf = broadcast(fidx.agg(max(col("fid")).as("fmax")))
     uv.join(fidx, "event_type")
       .groupBy(col("user_id")).agg(
@@ -1900,7 +1900,7 @@ object Similarity {
         coalesce(sum(when(col("w") === "join", col("c"))), lit(0.0))
           + coalesce(sum(when(col("w") === "scan", col("c"))), lit(0.0))
           + coalesce(sum(when(col("w") === "shuffle", col("c"))), lit(0.0)), 6).as("bm25"))
-    val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val wLex = graft.operators.BoundedWindow.over(col("doc_id")).orderBy(col("bm25").desc, col("doc_id"))
     bm.orderBy(col("bm25").desc, col("doc_id")).limit(50)
       .withColumn("rank_lex", row_number().over(wLex).cast("long"))
   }
@@ -1914,7 +1914,7 @@ object Similarity {
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id").as("doc_id"),
         round(cosine(col("emb"), col("q_emb")), 6).as("sim"))
-    val wDen = Window.orderBy(col("sim").desc, col("doc_id"))
+    val wDen = graft.operators.BoundedWindow.over(col("doc_id")).orderBy(col("sim").desc, col("doc_id"))
     scored.orderBy(col("sim").desc, col("doc_id")).limit(50)
       .withColumn("rank_dense", row_number().over(wDen).cast("long"))
   }

@@ -579,7 +579,7 @@ object TextStats {
         .groupBy(col("wd")).agg(count(lit(1)).as("c"))
       val vocab = wc
         .withColumn("rn", row_number().over(
-          Window.orderBy(col("c").desc, col("wd"))))
+          graft.operators.BoundedWindow.over(col("wd")).orderBy(col("c").desc, col("wd"))))
         .filter(col("rn") <= 200).select(col("wd"))
       val pairs = toks.filter(size(col("w")) >= 2)
         .select(expr("""explode(zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1),
@@ -613,7 +613,7 @@ object TextStats {
         .select(col("wd"), expr("1000000000000 div nn").as("pr"))
       step(step(p0))
         .withColumn("rn", row_number().over(
-          Window.orderBy(col("pr").desc, col("wd"))))
+          graft.operators.BoundedWindow.over(col("wd")).orderBy(col("pr").desc, col("wd"))))
         .filter(col("rn") <= 10)
         .select(col("wd").as("word"), col("pr"))
         .orderBy(col("pr").desc, col("word"))

@@ -911,7 +911,7 @@ object CoverageQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("nation_rev"))
       val byRegion = Window.partitionBy(col("r_name"))
-      val global = Window.partitionBy()
+      val global = BoundedWindow.over(col("r_name"))
       rev
         .select(col("r_name"), col("n_name"),
           col("nation_rev").cast("double").as("nation_rev"),
@@ -1121,7 +1121,7 @@ object CoverageQueries {
         .agg(count(lit(1)).as("new_users"))
         .select(col("day"), col("new_users"),
           sum(col("new_users"))
-            .over(Window.orderBy(col("day"))).as("cumulative_users"))
+            .over(BoundedWindow.over(col("day")).orderBy(col("day"))).as("cumulative_users"))
         .orderBy(col("day"))
     },
     Some("""WITH firsts AS (SELECT user_id,

@@ -823,7 +823,7 @@ object EventAnalytics {
           lead(col("event_type"), 2).over(w).as("e3"))
         .filter(col("e2").isNotNull && col("e3").isNotNull)
         .groupBy(col("e1"), col("e2"), col("e3")).agg(count(lit(1)).as("n"))
-      tri.withColumn("rk", dense_rank().over(Window.orderBy(col("n").desc)))
+      tri.withColumn("rk", dense_rank().over(BoundedWindow.over(col("n")).orderBy(col("n").desc)))
         .filter(col("rk") <= 10)
         .select(col("rk").cast("long").as("rk"), col("e1"), col("e2"), col("e3"), col("n"))
         .orderBy(col("rk"), col("e1"), col("e2"), col("e3"))

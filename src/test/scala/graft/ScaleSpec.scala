@@ -176,22 +176,12 @@ class ScaleSpec extends AnyFunSuite {
     // top-k, event-type triples), never a relation that grows linearly
     // with the corpus. Adding a new empty-spec window requires adding its
     // name here WITH the boundedness argument.
-    val boundedDomain = Map(
-      "q108_mix_weights" -> "|source x lang| census (bounded slice grid)",
-      "q131_vocab_oov" -> "top-20 vocab",
-      "q132_ks_drift" -> "distinct metric values (bounded value domain)",
-      "q143_percent_of_parent" -> "25-nation rollup (fixed dim grid)",
-      "q160_growth_curve" -> "per-day arrivals (time horizon, not corpus)",
-      "q210_event_trigrams" -> "|types|^3 census",
-      "q232_roc_auc" -> "<=1e6-row score census",
-      "q239_user_similarity" -> "|event types| feature index",
-      "q291_ann_user_similarity" -> "|event types| feature index (shared userVectors dictionary)",
-      "q241_avg_precision" -> "top-100 rows",
-      "q242_cumulative_gains" -> "10 decile bins",
-      "q249_threshold_sweep" -> "<=1e6-row score census",
-      "q250_bootstrap_ci" -> "32 bootstrap replicas",
-      "q274_rrf_fusion" -> "top-50 rank lists",
-      "q283_rank_correlation" -> "top-50 rank lists")
+    // EMPTY by design since round 8: every intentional bounded-domain
+    // single-partition window goes through BoundedWindow.over (non-empty,
+    // non-foldable constant spec), so an empty partitionSpec anywhere in
+    // the registry is an un-reviewed scale bug, full stop. Add an entry
+    // here ONLY with a boundedness argument — and prefer BoundedWindow.
+    val boundedDomain = Map.empty[String, String]
     val withGlobalWindow = SparkEntry.registry.flatMap { q =>
       val hasGlobalWindow = q.fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
@@ -340,8 +330,12 @@ class ScaleSpec extends AnyFunSuite {
         "shared span: pair-bounded gram equi-joins, never corpus-squared"),
       // feature-dict + tile-tag broadcasts; ONE uvec agg exchange feeds both
       // tile sides; pair work meets in the (bi,bj) equi-join (SMJ), norms
-      // ride along (no post-join lookups); top-3 agg + output sort
-      Pin(graft.ext.Similarity.q239, 16, Set("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin"),
+      // ride along (no post-join lookups); top-3 agg + output sort.
+      // 16→18 in r8: the |types|-row feature-dict window moved to
+      // BoundedWindow (hash exchange on a constant key instead of the
+      // SinglePartition exchange), costed once per dict consumer — a
+      // bounded-side bookkeeping change, not a data-path shuffle
+      Pin(graft.ext.Similarity.q239, 18, Set("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin"),
         "user similarity: tiled dense pairing, 136-cell parallelism, dot is codegen'd"),
       // centroid aggs + candidate label-join + ONE tier-tagged rank window
       // + brute ground-truth join; centroids/probes/queries/tiers broadcast

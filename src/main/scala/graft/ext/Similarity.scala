@@ -952,11 +952,14 @@ object Similarity {
       val qv = broadcast(e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb")))
       val wEx = Window.partitionBy(col("q_id")).orderBy(col("ex").desc, col("vec_id"))
+      // lazy checkpoint: all four configs semi-join the SAME 15-row ground
+      // truth — materialize the brute-force pass once, not per config
       val exactTop = e.crossJoin(qv).filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           round(dot(col("emb"), col("q_emb")), 6).as("ex"))
         .withColumn("xr", row_number().over(wEx)).filter(col("xr") <= 5)
         .select(col("q_id"), col("vec_id"))
+        .localCheckpoint(false)
       def config(m: Int, k: Int): DataFrame = {
         val subdim = 64 / m
         val subs = e.select(col("vec_id"),

@@ -79,10 +79,13 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       case Some(m) =>
         val touchedFiles = m.files.filter(f => touched(f.bucket)).map(_.path)
         if (touchedFiles.isEmpty) deduped
-        else spark.read.parquet(touchedFiles: _*)
+        else spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*)
           .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
           .join(deduped.select(col(keyCol)), Seq(keyCol), "left_anti")
-          .unionByName(deduped)
+          // additive schema evolution: a batch may carry columns the
+          // current snapshot lacks (and vice versa after evolution) —
+          // missing sides read as null, the lakehouse ADD COLUMN contract
+          .unionByName(deduped, allowMissingColumns = true)
       case None => deduped
     }
     val dataDir = s"$root/data/v$version"
@@ -111,7 +114,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     val cur = latestManifest(root).getOrElse(return)
     if (cur.files.isEmpty) return
     val version = cur.version + 1
-    val all = spark.read.parquet(cur.files.map(_.path): _*)
+    val all = spark.read.option("mergeSchema", "true").parquet(cur.files.map(_.path): _*)
       .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
       .repartition(buckets, col(BucketCol))
     val dataDir = s"$root/data/v$version"
@@ -141,7 +144,10 @@ object ManifestUpsertSink {
       throw new IllegalStateException(s"no committed manifest under $root"))
     if (m.files.isEmpty)
       throw new IllegalStateException(s"manifest v${m.version} lists no files")
-    spark.read.parquet(m.files.map(_.path): _*).drop(BucketCol)
+    // mergeSchema: after additive evolution a snapshot's buckets can carry
+    // different vintages until the next compaction unifies them
+    spark.read.option("mergeSchema", "true").parquet(m.files.map(_.path): _*)
+      .drop(BucketCol)
   }
 
   /** Time-travel read: the snapshot AS OF a committed version — the
@@ -153,7 +159,8 @@ object ManifestUpsertSink {
     if (!Files.exists(path))
       throw new IllegalStateException(s"version $version not committed (or vacuumed) under $root")
     val m = decode(Files.readString(path))
-    spark.read.parquet(m.files.map(_.path): _*).drop(BucketCol)
+    spark.read.option("mergeSchema", "true").parquet(m.files.map(_.path): _*)
+      .drop(BucketCol)
   }
 
   private def vacuum(root: String, keep: Int): Unit = {

@@ -312,6 +312,26 @@ class SinkSpec extends AnyFunSuite {
       Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("manifest sink: additive schema evolution (new column lands, old rows read null)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest4_").toString
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    // batch 1 carries a NEW column; it must merge (ADD COLUMN semantics)
+    sink.upsertBatch(Seq((2L, "b2", "en", 2L), (3L, "c", "de", 2L))
+      .toDF("id", "p", "lang", "seq"), "seq", 1L)
+    val got = sink.read(spark).select("id", "p", "lang")
+      .as[(Long, String, Option[String])].collect()
+      .map { case (id, p, l) => id -> ((p, l)) }.toMap
+    assert(got == Map(1L -> ("a", None), 2L -> ("b2", Some("en")),
+      3L -> ("c", Some("de"))),
+      "pre-evolution rows read the new column as null; merged rows carry it")
+    // compaction unifies the vintages; data unchanged
+    sink.compact(spark)
+    assert(sink.read(spark).select("id", "lang").as[(Long, Option[String])]
+      .collect().toMap == Map(1L -> None, 2L -> Some("en"), 3L -> Some("de")))
+  }
+
   test("streaming foreachBatch -> manifest sink: micro-batch ids drive the replay guard") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

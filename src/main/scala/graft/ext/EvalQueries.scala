@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.operators.BoundedWindow
+import org.apache.spark.sql.types.DecimalType
 
 /** Model-evaluation + time-series tier: the metrics a training pipeline
   * computes after every model refresh (ranking quality, classifier
@@ -628,6 +629,113 @@ object EvalQueries {
       FROM ci CROSS JOIN pt"""),
     doc = "Poisson-bootstrap CI (B=32, deterministic md5 Binomial(4,1/4) weights) for mean purchase value; order-statistic bounds, one weighted agg")
 
+  // --------------------------------------------------------------- q296
+  /** Bradley–Terry strength fitting over pairwise preferences — the
+    * preference-data shape behind reward-model training and arena-style
+    * evals: given "A beat B" comparisons, fit a latent strength per
+    * player such that P(i beats j) = wᵢ/(wᵢ+wⱼ). Players are the corpus
+    * SOURCES; matches are hash-bucketed cross-source document pairs
+    * (md5-derived buckets — the match-making analogue of LSH blocking:
+    * pair work is n²/B per bucket, never corpus²); the judge is the q50
+    * quality score (ties to the lower doc_id, so every match has a
+    * deterministic winner). Two unrolled MM iterations
+    * (wᵢ ← Wᵢ / Σⱼ nᵢⱼ/(wᵢ+wⱼ), then normalize) from a uniform start —
+    * the minorize-maximize update that monotonically climbs the BT
+    * likelihood.
+    *
+    * Determinism discipline: every per-(i,j) term rounds to 9 dp BEFORE
+    * the decimal-accumulator sum (associative ⇒ order-free), every
+    * iterate rounds to 9 dp, divisions are single IEEE ops — the whole
+    * fit is bit-identical cross-engine without a transcendental. Scale:
+    * after the bucketed pair join everything is |players|²-bounded;
+    * iteration count is the knob (each is one bounded join round). */
+  val q296 = QueryDef(
+    "q296_bradley_terry",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        round(graft.ext.TextStats.qualityScore(col("text")), 6).as("q"),
+        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+          % 50L).as("blk"))
+      val pairs = docs.as("a").join(docs.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id")
+            && col("a.source") =!= col("b.source"))
+        .select(col("a.source").as("sa"), col("b.source").as("sb"),
+          (col("a.q") >= col("b.q")).as("a_wins"))
+      val byPair = pairs.groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n"), sum(when(col("a_wins"), 1L).otherwise(0L)).as("wa"))
+      val g = byPair.select(col("sa").as("i"), col("sb").as("j"), col("n"),
+          col("wa").as("wi"))
+        .unionByName(byPair.select(col("sb").as("i"), col("sa").as("j"), col("n"),
+          (col("n") - col("wa")).as("wi")))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("n")).as("g"), sum(col("wi")).as("wi"))
+      val totals = g.groupBy(col("i"))
+        .agg(sum(col("g")).as("games"), sum(col("wi")).as("wins"))
+      val nPlayers = broadcast(totals.agg(count(lit(1)).as("np")))
+      val w0 = totals.select(col("i")).crossJoin(nPlayers)
+        .select(col("i"), round(lit(1.0) / col("np"), 9).as("wv"))
+      def iterate(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val terms = g
+          .join(w.select(col("i"), col("wv").as("w_i")), "i")
+          .join(w.select(col("i").as("j"), col("wv").as("w_j")), "j")
+          .select(col("i"), round(col("g") / (col("w_i") + col("w_j")), 9).as("t"))
+        val denom = terms.groupBy(col("i"))
+          .agg(sum(col("t").cast(DecimalType(28, 10))).cast("double").as("den"))
+        val raw = totals.join(denom, "i")
+          .select(col("i"), round(col("wins") / col("den"), 9).as("wr"))
+        val tot = broadcast(raw.agg(
+          sum(col("wr").cast(DecimalType(28, 10))).cast("double").as("sw")))
+        raw.crossJoin(tot)
+          .select(col("i"), round(col("wr") / col("sw"), 9).as("wv"))
+      }
+      totals.join(iterate(iterate(w0)), "i")
+        .select(col("i").as("source"), col("games"), col("wins"),
+          round(col("wv"), 6).as("strength"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, source,
+          round(least(len(string_split(lower(text), ' '))::DOUBLE / 50.0, 1.0) * 0.4
+            + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                / greatest(length(text)::DOUBLE, 1.0) * 10.0, 1.0)) * 0.3
+            + (len(list_filter(string_split(lower(text), ' '),
+                x -> x IN ('the','a','of','and','to')))::DOUBLE
+               / len(string_split(lower(text), ' '))::DOUBLE) * 0.3, 6) AS q,
+          CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 50 AS blk
+        FROM documents),
+      pairs AS (SELECT a.source AS sa, b.source AS sb, (a.q >= b.q) AS a_wins
+        FROM docs a JOIN docs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          AND a.source <> b.source),
+      bypair AS (SELECT sa, sb, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN a_wins THEN 1 ELSE 0 END) AS BIGINT) AS wa
+        FROM pairs GROUP BY sa, sb),
+      g AS (SELECT i, j, CAST(SUM(n) AS BIGINT) AS g, CAST(SUM(wi) AS BIGINT) AS wi
+        FROM (SELECT sa AS i, sb AS j, n, wa AS wi FROM bypair
+              UNION ALL SELECT sb, sa, n, n - wa FROM bypair)
+        GROUP BY i, j),
+      totals AS (SELECT i, CAST(SUM(g) AS BIGINT) AS games,
+          CAST(SUM(wi) AS BIGINT) AS wins FROM g GROUP BY i),
+      np AS (SELECT COUNT(*) AS np FROM totals),
+      w0 AS (SELECT i, round(1.0 / np, 9) AS wv FROM totals CROSS JOIN np),
+      t1 AS (SELECT g.i, round(g.g / (a.wv + b.wv), 9) AS t
+        FROM g JOIN w0 a ON a.i = g.i JOIN w0 b ON b.i = g.j),
+      d1 AS (SELECT i, CAST(SUM(CAST(t AS DECIMAL(28,10))) AS DOUBLE) AS den
+        FROM t1 GROUP BY i),
+      r1 AS (SELECT totals.i, round(totals.wins / d1.den, 9) AS wr
+        FROM totals JOIN d1 ON d1.i = totals.i),
+      s1 AS (SELECT CAST(SUM(CAST(wr AS DECIMAL(28,10))) AS DOUBLE) AS sw FROM r1),
+      w1 AS (SELECT i, round(wr / sw, 9) AS wv FROM r1 CROSS JOIN s1),
+      t2 AS (SELECT g.i, round(g.g / (a.wv + b.wv), 9) AS t
+        FROM g JOIN w1 a ON a.i = g.i JOIN w1 b ON b.i = g.j),
+      d2 AS (SELECT i, CAST(SUM(CAST(t AS DECIMAL(28,10))) AS DOUBLE) AS den
+        FROM t2 GROUP BY i),
+      r2 AS (SELECT totals.i, round(totals.wins / d2.den, 9) AS wr
+        FROM totals JOIN d2 ON d2.i = totals.i),
+      s2 AS (SELECT CAST(SUM(CAST(wr AS DECIMAL(28,10))) AS DOUBLE) AS sw FROM r2),
+      w2 AS (SELECT i, round(wr / sw, 9) AS wv FROM r2 CROSS JOIN s2)
+      SELECT totals.i AS source, games, wins, round(w2.wv, 6) AS strength
+      FROM totals JOIN w2 ON w2.i = totals.i ORDER BY source"""),
+    doc = "Bradley-Terry strength fit over hash-bucketed cross-source quality preferences: two decimal-exact MM iterations, the reward-model preference-data audit")
+
   val all: Seq[QueryDef] = Seq(q232, q233, q234, q235, q240, q241, q242, q247,
-    q249, q250)
+    q249, q250, q296)
 }

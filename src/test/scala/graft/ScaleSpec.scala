@@ -120,6 +120,7 @@ class ScaleSpec extends AnyFunSuite {
       "q190_bigram_lm_score",   // crossJoin(broadcast(1-row vocab size))
       "q194_pq_adc_topk",       // q45's shape: constant 3-query broadcast ground-truth side
       "q292_pq_operating_curve", // q194's sweep: same constant 3-query broadcast ground truth
+      "q296_bradley_terry",     // crossJoin(broadcast(1-row player count / strength sum))
       "q201_data_contract",     // crossJoin(broadcast(1-row orders count))
       "q202_benford_audit",     // crossJoin(broadcast(1-row digit total))
       "q218_k_anonymity",       // crossJoin(broadcast(1-row min class size))

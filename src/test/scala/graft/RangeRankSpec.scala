@@ -60,6 +60,35 @@ class RangeRankSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy ties straddling slice boundaries: strict-order contract still yields exact ranks") {
+    // 90% of rows share ONE order-key value, so range boundaries MUST cut
+    // through the tie run — the case that breaks naive two-pass ranks.
+    // The helper's contract (order includes a unique tiebreaker) makes the
+    // compound order strict, so local rank + offset stays exact.
+    val skewed = (0 until 2000).map { i =>
+      (if (i % 10 == 0) i else 7, i.toLong, (i % 5).toLong + 1)
+    }.toDF("v", "id", "w")
+    val got = RangeRank.withOrderedPrefix(skewed, Nil,
+        Seq(col("v"), col("id")), rn = Some("rn"),
+        weights = Seq(RangeRank.Weight("w", "cw")))
+      .select(col("id"), col("rn"), col("cw"))
+    val wOrd = Window.orderBy(col("v"), col("id"))
+    val want = skewed.select(col("id"),
+      row_number().over(wOrd).cast("long").as("rn"),
+      sum(col("w")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cw"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("degenerate inputs: empty frame and single row pass through") {
+    val empty = Seq.empty[(Int, Long)].toDF("v", "id")
+    assert(RangeRank.withOrderedPrefix(empty, Nil, Seq(col("v"), col("id")),
+      rn = Some("rn"), nTotal = Some("n")).count() == 0)
+    val one = Seq((5, 1L)).toDF("v", "id")
+    val row = RangeRank.withOrderedPrefix(one, Nil, Seq(col("v"), col("id")),
+      rn = Some("rn"), nTotal = Some("n")).select("rn", "n").collect().head
+    assert(row.getLong(0) == 1L && row.getLong(1) == 1L)
+  }
+
   test("plan: the corpus-sized sort is partitioned; no empty-spec window anywhere") {
     val plan = RangeRank.withOrderedPrefix(df, Nil,
       Seq(col("v"), col("id")), rn = Some("rn"))

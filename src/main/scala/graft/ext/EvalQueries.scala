@@ -663,12 +663,16 @@ object EvalQueries {
           (col("a.q") >= col("b.q")).as("a_wins"))
       val byPair = pairs.groupBy(col("sa"), col("sb"))
         .agg(count(lit(1)).as("n"), sum(when(col("a_wins"), 1L).otherwise(0L)).as("wa"))
+      // lazy checkpoint: the |players|²-bounded win matrix is referenced by
+      // totals + BOTH iteration rounds — materialize the bucketed pair
+      // join once, not once per reference
       val g = byPair.select(col("sa").as("i"), col("sb").as("j"), col("n"),
           col("wa").as("wi"))
         .unionByName(byPair.select(col("sb").as("i"), col("sa").as("j"), col("n"),
           (col("n") - col("wa")).as("wi")))
         .groupBy(col("i"), col("j"))
         .agg(sum(col("n")).as("g"), sum(col("wi")).as("wi"))
+        .localCheckpoint(false)
       val totals = g.groupBy(col("i"))
         .agg(sum(col("g")).as("games"), sum(col("wi")).as("wins"))
       val nPlayers = broadcast(totals.agg(count(lit(1)).as("np")))

@@ -47,7 +47,8 @@ object CorpusMain {
       cosine: Double = 0.92,
       benchmark: Option[String] = None, // parquet of benchmark docs (text col)
       trainPct: Int = 80,
-      valPct: Int = 10)
+      valPct: Int = 10,
+      incremental: Boolean = false)
 
   val usage: String =
     """graft-corpus [options]
@@ -62,6 +63,12 @@ object CorpusMain {
       |  --cosine X         semantic-dup threshold (default 0.92)
       |  --benchmark PATH   parquet of benchmark docs to decontaminate against
       |  --splits A/B       train/val percents, rest = test (default 80/10)
+      |  --incremental      MERGE into the manifest-log lake at OUTPUT/corpus_lake
+      |                     instead of overwriting OUTPUT/corpus: re-curated docs
+      |                     replace their previous version, new docs append, and
+      |                     only the key buckets the run touches rewrite (upsert-
+      |                     only; deletions go through the erasure path or a full
+      |                     rebuild)
       |""".stripMargin
 
   def parse(args: Seq[String]): Either[String, CorpusConfig] = {
@@ -73,6 +80,7 @@ object CorpusMain {
       case "--max-words" :: v :: t  => go(t, c.copy(maxWords = v.toInt))
       case "--no-normalize" :: t    => go(t, c.copy(normalize = false))
       case "--no-near-dedup" :: t   => go(t, c.copy(nearDedup = false))
+      case "--incremental" :: t     => go(t, c.copy(incremental = true))
       case "--jaccard" :: v :: t    => go(t, c.copy(jaccard = v.toDouble))
       case "--embeddings" :: v :: t => go(t, c.copy(embeddings = Some(v)))
       case "--cosine" :: v :: t     => go(t, c.copy(cosine = v.toDouble))
@@ -223,6 +231,22 @@ object CorpusMain {
     (withSplit, report)
   }
 
+  /** Stage 6: full overwrite of `output/corpus`, or — with --incremental —
+    * a [[graft.sinks.ManifestUpsertSink]] MERGE into `output/corpus_lake`
+    * keyed by doc_id: the re-curation workflow over a GROWING corpus, where
+    * each run rewrites only the key buckets it touches and the manifest log
+    * keeps every prior corpus version time-travel readable (q294/q295
+    * machinery). Each CLI run commits as the next batch id. */
+  def write(out: DataFrame, c: CorpusConfig): Unit =
+    if (c.incremental) {
+      val root = s"${c.output}/corpus_lake"
+      val sink = new graft.sinks.ManifestUpsertSink(root, "doc_id", buckets = 64)
+      val nextId = graft.sinks.ManifestUpsertSink.latestManifest(root)
+        .map(_.batchId + 1).getOrElse(0L)
+      sink.upsertBatch(out, "doc_id", nextId)
+    } else
+      out.write.mode("overwrite").partitionBy("split").parquet(s"${c.output}/corpus")
+
   def main(args: Array[String]): Unit =
     parse(args.toIndexedSeq) match {
       case Left(err) =>
@@ -236,7 +260,7 @@ object CorpusMain {
           .withExtensions(new GraftExtensions)
           .getOrCreate()
         val (out, report) = run(spark, c)
-        out.write.mode("overwrite").partitionBy("split").parquet(s"${c.output}/corpus")
+        write(out, c)
         val splitCounts = out.groupBy(col("split")).count().collect()
           .map(r => s""""${r.getString(0)}": ${r.getLong(1)}""").sorted.mkString(", ")
         val stages = report.toSeq.map { case (k, v) => s""""$k": $v""" }.mkString(", ")

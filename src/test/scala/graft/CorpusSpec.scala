@@ -139,4 +139,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(report2("nfc_changed") == 0L)
     assert(kept.count() == 2, "--no-normalize must keep both byte-distinct docs")
   }
+
+  test("--incremental: second run merges into the lake; only changed docs rewrite") {
+    import spark.implicits._
+    def mkDoc(i: Long, marker: String) =
+      (i, s"doc $marker number $i with the plain words needed to clear the " +
+        s"gate minimum of this fixture run set $i", s"src${i % 2}")
+    val dir = Files.createTempDirectory("graft_corpus_inc_").toString
+    val out = Files.createTempDirectory("graft_corpus_inc_out_").toString
+
+    (1L to 20L).map(i => mkDoc(i, "v1")).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cfg = CorpusMain.CorpusConfig(input = dir, output = out,
+      nearDedup = false, incremental = true)
+    val (o1, _) = CorpusMain.run(spark, cfg)
+    CorpusMain.write(o1, cfg)
+    val lake = s"$out/corpus_lake"
+    assert(graft.sinks.ManifestUpsertSink.read(spark, lake).count() == 20)
+
+    // run 2: doc 3 re-curated with new text, docs 21-22 are new
+    ((1L to 20L).map(i => if (i == 3) mkDoc(i, "v2") else mkDoc(i, "v1"))
+      ++ Seq(mkDoc(21L, "v1"), mkDoc(22L, "v1")))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (o2, _) = CorpusMain.run(spark, cfg)
+    CorpusMain.write(o2, cfg)
+    val merged = graft.sinks.ManifestUpsertSink.read(spark, lake)
+    assert(merged.count() == 22, "new docs append, unchanged docs stay single")
+    assert(merged.filter(col("doc_id") === 3L).select("text").as[String]
+      .head().contains("v2"), "re-curated doc must carry the new version")
+    // replaying the same curated frame as the same batch id is a no-op
+    val before = graft.sinks.ManifestUpsertSink.latestManifest(lake).get
+    new graft.sinks.ManifestUpsertSink(lake, "doc_id", buckets = 64)
+      .upsertBatch(o2, "doc_id", before.batchId)
+    assert(graft.sinks.ManifestUpsertSink.latestManifest(lake).get.version
+      == before.version)
+  }
 }

@@ -1414,6 +1414,66 @@ object Similarity {
       WHERE rnk <= 3 ORDER BY user_id, rnk"""),
     doc = "sign-LSH user similarity: band-collision candidates over centered behavior vectors, exact cos^2 only on collisions — q239's sub-quadratic sibling")
 
+  // --------------------------------------------------------------- q297
+  /** Sparse inverted-index user similarity — the THIRD leg of the
+    * user-similarity triad, the one built for HIGH-cardinality feature
+    * spaces: features are (event_type, props.k) pairs (~|types|·100 keys
+    * on this corpus — two orders of magnitude wider than q239/q291's
+    * 5-dim behavior vectors), and users pair ONLY through features they
+    * share, via one equi-join on the feature key. Work is proportional
+    * to Σ_f |users_f|² — the nnz-driven cost every sparse-vector
+    * similarity engine (items, n-grams, URLs) runs on — and at real
+    * cardinalities each feature's posting list is short, so no stage
+    * ever approaches all-pairs. The triad: q239 = dense exact (oracle
+    * tier, O(users²) by design), q291 = dense sign-LSH (low-dim
+    * profiles), q297 = sparse inverted index (wide features); q180's
+    * blowup profiler is the layout chooser between them, and the skew
+    * knob here is the q63 salting/AQE machinery on a hot feature key.
+    * Scoring and ranking are the shared [[userPairTop3]] — exact integer
+    * cos²·10⁶, per-user top-3 as the k-row-heap aggregate. */
+  val q297 = QueryDef(
+    "q297_sparse_user_similarity",
+    (s, d) => {
+      val uv = Tables.events(s, d)
+        .select(col("user_id"),
+          concat_ws(":", col("event_type"),
+            get_json_object(col("props"), "$.k")).as("f"))
+        .groupBy(col("user_id"), col("f")).agg(count(lit(1)).as("c"))
+      val nrm = uv.groupBy(col("user_id")).agg(sum(col("c") * col("c")).as("nrm"))
+      val dots = uv.as("x").join(uv.as("y"),
+          col("x.f") === col("y.f") && col("x.user_id") < col("y.user_id"))
+        .groupBy(col("x.user_id").as("ua"), col("y.user_id").as("ub"))
+        .agg(sum(col("x.c") * col("y.c")).as("dot"))
+        .join(nrm.select(col("user_id").as("ua"), col("nrm").as("na")), "ua")
+        .join(nrm.select(col("user_id").as("ub"), col("nrm").as("nb")), "ub")
+        .select(col("ua"), col("ub"), col("na"), col("nb"), col("dot"))
+      userPairTop3(dots)
+    },
+    Some("""WITH uv AS (SELECT user_id,
+          event_type || ':' || json_extract_string(props, '$.k') AS f,
+          COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      nm AS (SELECT user_id, CAST(SUM(c * c) AS BIGINT) AS nrm FROM uv GROUP BY 1),
+      dots AS (SELECT x.user_id AS ua, y.user_id AS ub,
+          CAST(SUM(x.c * y.c) AS BIGINT) AS dot
+        FROM uv x JOIN uv y ON x.f = y.f AND x.user_id < y.user_id
+        GROUP BY 1, 2),
+      b AS (SELECT ua, ub, dot, na.nrm AS nu, nb.nrm AS np FROM dots
+        JOIN nm na ON na.user_id = dots.ua JOIN nm nb ON nb.user_id = dots.ub),
+      e AS (SELECT ua AS user_id, ub AS peer_id, dot, nu, np FROM b
+        UNION ALL SELECT ub, ua, dot, np, nu FROM b),
+      sc AS (SELECT user_id, peer_id,
+          CAST((CAST(dot AS HUGEINT) * dot * 1000000)
+            // (CAST(nu AS HUGEINT) * np) AS BIGINT) AS cos2_ppm
+        FROM e),
+      r AS (SELECT user_id, peer_id, cos2_ppm,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY cos2_ppm DESC, peer_id) AS rnk
+        FROM sc)
+      SELECT user_id, peer_id, rnk, cos2_ppm FROM r
+      WHERE rnk <= 3 ORDER BY user_id, rnk"""),
+    doc = "inverted-index user similarity over wide (event_type, props.k) features: nnz-proportional sparse dot products, users pair only through shared features")
+
   // ---------------------------------------------------------------- q248
   /** Label-noise mining by k-NN label disagreement (the confident-
     * learning shape): a vector whose 3 nearest cosine neighbors
@@ -2286,5 +2346,5 @@ object Similarity {
     doc = "Kendall tau between BM25 and dense ranks on the common top-50 set: exact tie-free C/D counts, bounded pair join, one-row diagnostic")
 
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283, q290, q291, q292, q293)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283, q290, q291, q292, q293, q297)
 }

@@ -1430,7 +1430,14 @@ object Similarity {
     * blowup profiler is the layout chooser between them, and the skew
     * knob here is the q63 salting/AQE machinery on a hot feature key.
     * Scoring and ranking are the shared [[userPairTop3]] — exact integer
-    * cos²·10⁶, per-user top-3 as the k-row-heap aggregate. */
+    * cos²·10⁶, per-user top-3 as the k-row-heap aggregate.
+    *
+    * Bench honesty: THIS corpus's 500-key space is still dense (every
+    * posting list holds a sizable share of all users), so the tiled
+    * exact form (q239) measures cheaper here — the crossover q180
+    * exists to catch. The sparse form wins when posting lists are short
+    * relative to the user count (items, n-grams, URLs — the wide-sparse
+    * regime it is registered for). */
   val q297 = QueryDef(
     "q297_sparse_user_similarity",
     (s, d) => {

@@ -1441,14 +1441,24 @@ object Similarity {
   val q297 = QueryDef(
     "q297_sparse_user_similarity",
     (s, d) => {
-      val uv = Tables.events(s, d)
+      val uvStr = Tables.events(s, d)
         .select(col("user_id"),
           concat_ws(":", col("event_type"),
             get_json_object(col("props"), "$.k")).as("f"))
         .groupBy(col("user_id"), col("f")).agg(count(lit(1)).as("c"))
+      // dictionary-encode the feature key before the posting-list
+      // self-join: the join shuffles + sort-compares the key once per
+      // posting entry, and a 4-byte int beats a variable-length string at
+      // every one of those touches. The dictionary is |features|-bounded
+      // (broadcast); ids are rank-of-key, so the encoding is
+      // deterministic. Same group structure, bit-identical dots.
+      val fdict = broadcast(uvStr.select(col("f")).distinct()
+        .withColumn("fid", row_number().over(
+          graft.operators.BoundedWindow.over(col("f")).orderBy(col("f"))).cast("int")))
+      val uv = uvStr.join(fdict, "f").select(col("user_id"), col("fid"), col("c"))
       val nrm = uv.groupBy(col("user_id")).agg(sum(col("c") * col("c")).as("nrm"))
       val dots = uv.as("x").join(uv.as("y"),
-          col("x.f") === col("y.f") && col("x.user_id") < col("y.user_id"))
+          col("x.fid") === col("y.fid") && col("x.user_id") < col("y.user_id"))
         .groupBy(col("x.user_id").as("ua"), col("y.user_id").as("ub"))
         .agg(sum(col("x.c") * col("y.c")).as("dot"))
         .join(nrm.select(col("user_id").as("ua"), col("nrm").as("na")), "ua")

@@ -57,12 +57,17 @@ object JdbcUpsertSink {
     * upserting the parsed-event shape into Postgres. */
   val EventJsonCols: Set[String] = Set("user_data", "cookies", "args", "form", "orig_data")
 
-  /** LWW dedup: keep, per key, the row with the greatest orderCol
-    * (ties break on nothing — orderCol must be a total order per key,
-    * e.g. the Kinesis sequence number, which is monotone per shard).
-    * One shuffle on the key; map-side nothing to combine (row-level op). */
+  /** LWW dedup: keep, per key, the row with the greatest orderCol.
+    * orderCol should be a total order per key (e.g. the Kinesis sequence
+    * number, monotone per shard); when a batch nonetheless carries two
+    * rows tied on (key, orderCol), the winner is chosen by a stable
+    * payload hash (greatest xxhash64 of the name-sorted row JSON) — a
+    * deterministic election, so replays and different partitionings can
+    * never flip which duplicate survives. One shuffle on the key;
+    * map-side nothing to combine (row-level op). */
   def lastWriteWins(df: DataFrame, keyCol: String, orderCol: Column): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(orderCol.desc)
+    val tiebreak = xxhash64(to_json(struct(df.columns.sorted.map(col): _*)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCol.desc, tiebreak.desc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

@@ -1,10 +1,6 @@
 package graft.sinks
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
-
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** K3's semantics on an object store: last-write-wins MERGE into
@@ -17,14 +13,19 @@ import org.apache.spark.sql.functions._
   * Layout under `root`:
   * {{{
   *   data/v<N>/__bucket=<b>/part-*.parquet   (copy-on-write data files)
+  *   _changes/v<N>/part-*.parquet            (per-merge change feed)
   *   _manifest/v<N>.manifest                 (committed versions)
   * }}}
   *
   * A manifest version is the table: a list of (bucket → file) entries
-  * plus the streaming batch id that produced it. Readers list the
-  * manifest dir, take the max committed version, and read exactly its
-  * files — data files are immutable once a manifest references them, so
-  * reads are snapshot-consistent without locking.
+  * plus the streaming batch id that produced it and the table's committed
+  * BUCKET COUNT. Readers list the manifest dir, take the max committed
+  * version, and read exactly its files — data files are immutable once a
+  * manifest references them, so reads are snapshot-consistent without
+  * locking. The bucket count is part of the table, not the writer: a sink
+  * opened with a different `buckets` value would silently mis-route keys
+  * (a replaced key could survive in a bucket the new bucketing considers
+  * untouched), so merge and compaction fail loudly on a mismatch.
   *
   * MERGE shape (the part that must survive 100 TB):
   *  - rows hash into `buckets` stable partitions by key
@@ -40,6 +41,12 @@ import org.apache.spark.sql.functions._
   *    batch away).
   *  - within a batch, LWW per key via [[JdbcUpsertSink.lastWriteWins]]
   *    (the one K3 dedup — JDBC and manifest sinks cannot drift).
+  *  - each merge also emits a ROW-LEVEL CHANGE FEED under `_changes/v<N>`
+  *    — (key, change ∈ inserted|updated, old/new payload hash), computed
+  *    from the touched-bucket rows the merge reads anyway (cost stays
+  *    ∝ touched bytes). Downstream CDC consumers read the feed directly
+  *    ([[ManifestUpsertSink.readChanges]]) instead of diffing snapshots —
+  *    O(changed rows) per question, not O(table).
   *
   * Exactly-once over an at-least-once source: the manifest records the
   * micro-batch id; replaying a committed batch (foreachBatch redelivery
@@ -52,22 +59,27 @@ import org.apache.spark.sql.functions._
   * catalog/lock service's job, out of scope as it is for Delta OSS on
   * plain object stores without a LogStore).
   *
-  * Local-FS paths use java.nio (atomic rename); the same layout on s3a
-  * would swap the two nio calls for the object store's
-  * put-if-absent — the contract (immutable data files + versioned
-  * manifest + batch-id replay guard) is storage-agnostic.
+  * Storage seam: all manifest-log control-plane I/O goes through
+  * [[TableStore]] — java.nio for scheme-less local roots, the Hadoop
+  * `FileSystem` API for `file:`/`hdfs:`/`s3a:` URIs — so the same commit
+  * protocol runs against a real object store unchanged; data files move
+  * through Spark's parquet reader/writer, which speaks Hadoop paths
+  * natively.
   */
 class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     extends Serializable {
   import ManifestUpsertSink._
+
+  private val store: TableStore = TableStore.forPath(root)
 
   /** MERGE a micro-batch: LWW-dedupe on `orderCol` within the batch,
     * replace current rows sharing a key, append the rest. `batchId` is
     * the replay guard — a batch id already committed is skipped. */
   def upsertBatch(batch: DataFrame, orderCol: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val cur = latestManifest(root)
+    val cur = latestManifest(root, store)
     if (cur.exists(_.batchId >= batchId)) return // replayed batch: no-op
+    requireSameBuckets(cur)
     val version = cur.map(_.version + 1).getOrElse(0L)
     val deduped = JdbcUpsertSink.lastWriteWins(batch, keyCol, col(orderCol))
       .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
@@ -75,12 +87,32 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     val touched = deduped.select(col(BucketCol)).distinct()
       .collect().map(_.getLong(0)).toSet
     val carried = cur.toSeq.flatMap(_.files).filterNot(f => touched(f.bucket))
-    val survivors = cur match {
-      case Some(m) =>
-        val touchedFiles = m.files.filter(f => touched(f.bucket)).map(_.path)
-        if (touchedFiles.isEmpty) deduped
-        else spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*)
-          .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+    // current rows of the touched buckets — the one table-side read both
+    // the survivor computation and the change feed share
+    val current: Option[DataFrame] = cur.flatMap { m =>
+      val touchedFiles = m.files.filter(f => touched(f.bucket)).map(_.path)
+      if (touchedFiles.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*))
+    }
+    // ---- change feed: every incoming key is inserted or updated (LWW
+    // upsert never deletes); old/new payload hashes let consumers spot
+    // value-identical rewrites. Written BEFORE the manifest commit — a
+    // crash in between leaves an orphan the replayed batch overwrites.
+    val newHashed = deduped.select(col(keyCol), payloadHash(deduped).as("new_hash"))
+    val changes = (current match {
+      case Some(c) =>
+        newHashed.join(
+          c.select(col(keyCol), payloadHash(c).as("old_hash")),
+          Seq(keyCol), "left_outer")
+      case None => newHashed.withColumn("old_hash", lit(null).cast("long"))
+    }).select(col(keyCol),
+      when(col("old_hash").isNull, lit("inserted")).otherwise(lit("updated")).as("change"),
+      col("old_hash"), col("new_hash"))
+    changes.write.mode("overwrite").parquet(s"$root/_changes/v$version")
+    // ---- copy-on-write bucket rewrite
+    val survivors = current match {
+      case Some(c) =>
+        c.withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
           .join(deduped.select(col(keyCol)), Seq(keyCol), "left_anti")
           // additive schema evolution: a batch may carry columns the
           // current snapshot lacks (and vice versa after evolution) —
@@ -94,9 +126,22 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     // replayed batch must be able to reclaim it
     survivors.write.mode("overwrite").partitionBy(BucketCol).parquet(dataDir)
     // list what was just written (driver-side, ≤ touched buckets × files)
-    val written = listParquet(dataDir)
-    commit(root, Manifest(version, batchId, carried ++ written))
+    val written = listParquet(dataDir, store)
+    commit(root, store, Manifest(version, batchId, Some(buckets), carried ++ written))
   }
+
+  /** Hash of the row's full payload (all columns except the internal
+    * bucket column, name-sorted so column order never changes the hash). */
+  private def payloadHash(df: DataFrame): Column =
+    xxhash64(to_json(struct(df.columns.filterNot(_ == BucketCol).sorted.map(col): _*)))
+
+  private def requireSameBuckets(cur: Option[Manifest]): Unit =
+    cur.flatMap(_.buckets).filter(_ != buckets).foreach { b =>
+      throw new IllegalStateException(
+        s"table at $root is committed with buckets=$b but this sink is configured " +
+          s"with buckets=$buckets — reopening with a different bucket count would " +
+          "mis-route keys; recreate the sink with the committed count or compact first")
+    }
 
   /** Snapshot read of the latest committed version. */
   def read(spark: SparkSession): DataFrame = ManifestUpsertSink.read(spark, root)
@@ -109,32 +154,36 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     * task → one file). Data content is unchanged, so the committed
     * manifest KEEPS the last merged batch id — the replay guard still
     * refers to data batches, and a compaction between a crash and a
-    * redelivery cannot un-guard it. */
+    * redelivery cannot un-guard it. A compaction commits no change feed:
+    * no row changed. */
   def compact(spark: SparkSession): Unit = {
-    val cur = latestManifest(root).getOrElse(return)
+    val cur = latestManifest(root, store).getOrElse(return)
     if (cur.files.isEmpty) return
+    requireSameBuckets(Some(cur))
     val version = cur.version + 1
     val all = spark.read.option("mergeSchema", "true").parquet(cur.files.map(_.path): _*)
       .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
       .repartition(buckets, col(BucketCol))
     val dataDir = s"$root/data/v$version"
     all.write.mode("overwrite").partitionBy(BucketCol).parquet(dataDir)
-    commit(root, Manifest(version, cur.batchId, listParquet(dataDir)))
+    commit(root, store, Manifest(version, cur.batchId, Some(buckets), listParquet(dataDir, store)))
   }
 
   /** Delete data files no manifest in the newest `keepVersions` versions
-    * references, then the superseded manifests themselves. Bounds storage
-    * after compaction at the cost of time travel past the horizon — the
-    * standard lakehouse VACUUM trade. Never touches the live version. */
+    * references, then the superseded manifests, change feeds, and any
+    * directories left empty. Bounds storage after compaction at the cost
+    * of time travel past the horizon — the standard lakehouse VACUUM
+    * trade. Never touches the live version. */
   def vacuum(keepVersions: Int = 1): Unit =
-    ManifestUpsertSink.vacuum(root, math.max(1, keepVersions))
+    ManifestUpsertSink.vacuum(root, store, math.max(1, keepVersions))
 }
 
 object ManifestUpsertSink {
   private val BucketCol = "__bucket"
 
   final case class FileEntry(bucket: Long, path: String)
-  final case class Manifest(version: Long, batchId: Long, files: Seq[FileEntry])
+  final case class Manifest(version: Long, batchId: Long, buckets: Option[Int],
+      files: Seq[FileEntry])
 
   /** Snapshot read: latest manifest's files, bucket column dropped (it is
     * derivable from the key and re-derived on the next merge). An empty
@@ -155,98 +204,117 @@ object ManifestUpsertSink {
     * reclaims it, so any un-vacuumed version reads exactly as it
     * committed (data files are immutable once referenced). */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val path = Paths.get(root, "_manifest", s"v$version.manifest")
-    if (!Files.exists(path))
+    val store = TableStore.forPath(root)
+    val path = s"$root/_manifest/v$version.manifest"
+    if (!store.exists(path))
       throw new IllegalStateException(s"version $version not committed (or vacuumed) under $root")
-    val m = decode(Files.readString(path))
+    val m = decode(store.readString(path))
     spark.read.option("mergeSchema", "true").parquet(m.files.map(_.path): _*)
       .drop(BucketCol)
   }
 
-  private def vacuum(root: String, keep: Int): Unit = {
-    val dir = Paths.get(root, "_manifest")
-    if (!Files.isDirectory(dir)) return
-    val versions = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
-      .toSeq.sorted
+  /** The row-level change feed version `version`'s merge recorded:
+    * (key, change ∈ inserted|updated, old_hash, new_hash). old_hash is
+    * null for inserts; old_hash = new_hash marks a value-identical
+    * rewrite. Compactions record no feed (no row changes). */
+  def readChanges(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val store = TableStore.forPath(root)
+    val dir = s"$root/_changes/v$version"
+    if (store.walkFiles(dir).isEmpty)
+      throw new IllegalStateException(s"no change feed for version $version under $root")
+    spark.read.parquet(dir)
+  }
+
+  private def vacuum(root: String, store: TableStore, keep: Int): Unit = {
+    val versions = manifestVersions(root, store).sorted
     if (versions.size <= keep) return
     val (drop, hold) = versions.splitAt(versions.size - keep)
     val live: Set[String] = hold.flatMap(v =>
-      decode(Files.readString(dir.resolve(s"v$v.manifest"))).files.map(_.path)).toSet
-    // delete data files only the dropped versions reference, then their
-    // manifests; version dirs left empty disappear with their last file
+      decode(store.readString(s"$root/_manifest/v$v.manifest")).files.map(_.path)).toSet
     for (v <- drop) {
-      val m = decode(Files.readString(dir.resolve(s"v$v.manifest")))
-      for (f <- m.files if !live(f.path)) Files.deleteIfExists(Paths.get(f.path))
-      Files.deleteIfExists(dir.resolve(s"v$v.manifest"))
+      val m = decode(store.readString(s"$root/_manifest/v$v.manifest"))
+      // data files only the dropped version references, then its change
+      // feed, its manifest, and any directories the deletes emptied
+      m.files.map(_.path).filterNot(live).foreach(store.deleteFile)
+      deleteTree(store, s"$root/_changes/v$v")
+      store.deleteFile(s"$root/_manifest/v$v.manifest")
+      // the version's own data dir: removable once NO held manifest
+      // references a file inside it (untouched-bucket entries are carried
+      // forward by path, so a held version can keep an older dir alive);
+      // removal also clears the _SUCCESS/.crc markers Spark writes
+      // alongside the parquet parts, which no manifest ever lists
+      val vDir = s"$root/data/v$v"
+      if (!live.exists(_.startsWith(vDir + "/"))) deleteTree(store, vDir)
     }
+  }
+
+  /** Remove every file under `dir`, then its emptied directories
+    * (deepest first — bounded by the version's own file count). */
+  private def deleteTree(store: TableStore, dir: String): Unit = {
+    val files = store.walkFiles(dir)
+    files.foreach(store.deleteFile)
+    val dirs = Iterator.iterate(files.map(p => p.substring(0, p.lastIndexOf('/')))
+        .distinct.filter(_.length > dir.length))(ds =>
+        ds.map(p => p.substring(0, p.lastIndexOf('/'))).distinct.filter(_.length > dir.length))
+      .takeWhile(_.nonEmpty).flatten.toSeq
+    dirs.distinct.sortBy(-_.length).foreach(store.deleteDirIfEmpty)
+    store.deleteDirIfEmpty(dir)
   }
 
   /** Plain-text manifest codec — one `bucket<TAB>path` line per file
-    * after a `version`/`batchId` header. Deliberately not JSON: zero
-    * parser dependencies, diff-able, and append-order stable. */
-  private def encode(m: Manifest): String =
-    (s"version=${m.version}" +: s"batchId=${m.batchId}" +:
-      m.files.map(f => s"${f.bucket}\t${f.path}")).mkString("\n")
+    * after a `version`/`batchId`/`buckets` header. Deliberately not JSON:
+    * zero parser dependencies, diff-able, and append-order stable. */
+  private def encode(m: Manifest): String = {
+    val header = Seq(s"version=${m.version}", s"batchId=${m.batchId}") ++
+      m.buckets.map(b => s"buckets=$b")
+    (header ++ m.files.map(f => s"${f.bucket}\t${f.path}")).mkString("\n")
+  }
 
   private def decode(text: String): Manifest = {
-    // header is positionally the first two lines — file PATHS can contain
-    // '=' (the __bucket=N partition segment), so no content sniffing
+    // header lines are `key=value` and never contain a tab; file lines
+    // are `bucket<TAB>path` and always do (paths can contain '=' — the
+    // __bucket=N partition segment — so the tab is the discriminator)
     val lines = text.linesIterator.toSeq
-    val header = lines.take(2).map { l =>
+    val (headerLines, fileLines) = lines.filter(_.nonEmpty).partition(!_.contains('\t'))
+    val header = headerLines.map { l =>
       val Array(k, v) = l.split("=", 2); k -> v.toLong
     }.toMap
-    val files = lines.drop(2).filter(_.nonEmpty).map { l =>
+    val files = fileLines.map { l =>
       val Array(b, p) = l.split("\t", 2); FileEntry(b.toLong, p)
     }
-    Manifest(header("version"), header("batchId"), files)
+    Manifest(header("version"), header("batchId"), header.get("buckets").map(_.toInt), files)
   }
 
-  private[graft] def latestManifest(root: String): Option[Manifest] = {
-    val dir = Paths.get(root, "_manifest")
-    if (!Files.isDirectory(dir)) return None
-    val versions = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+  private def manifestVersions(root: String, store: TableStore): Seq[Long] =
+    store.listNames(s"$root/_manifest")
       .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
       .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
-      .toSeq
+
+  private[graft] def latestManifest(root: String): Option[Manifest] =
+    latestManifest(root, TableStore.forPath(root))
+
+  private[graft] def latestManifest(root: String, store: TableStore): Option[Manifest] = {
+    val versions = manifestVersions(root, store)
     if (versions.isEmpty) None
-    else Some(decode(Files.readString(dir.resolve(s"v${versions.max}.manifest"))))
+    else Some(decode(store.readString(s"$root/_manifest/v${versions.max}.manifest")))
   }
 
-  /** Atomic commit: temp write + ATOMIC_MOVE onto the version path. A
-    * racing writer committing the same version loses the move and fails
-    * loudly — never a silently merged/partial manifest. */
-  private def commit(root: String, m: Manifest): Unit = {
-    val dir = Paths.get(root, "_manifest")
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s".tmp-v${m.version}-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, encode(m).getBytes(StandardCharsets.UTF_8))
-    val target = dir.resolve(s"v${m.version}.manifest")
-    if (Files.exists(target))
-      throw new IllegalStateException(s"concurrent commit of v${m.version} under $root")
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-  }
+  /** Atomic commit through the store's rename-if-absent: a racing writer
+    * committing the same version loses and fails loudly — never a
+    * silently merged/partial manifest. */
+  private def commit(root: String, store: TableStore, m: Manifest): Unit =
+    store.commitNew(s"$root/_manifest", s"v${m.version}.manifest", encode(m))
 
   /** Bucket→file entries for every parquet part under a version dir. */
-  private def listParquet(dataDir: String): Seq[FileEntry] = {
-    val base = Paths.get(dataDir)
-    if (!Files.isDirectory(base)) return Seq.empty
-    val out = Seq.newBuilder[FileEntry]
-    val stream = Files.walk(base)
-    try stream.iterator().asScala.foreach { p =>
-      val name = p.getFileName.toString
+  private def listParquet(dataDir: String, store: TableStore): Seq[FileEntry] =
+    store.walkFiles(dataDir).flatMap { p =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
       if (name.endsWith(".parquet") && !name.startsWith(".") && !name.startsWith("_")) {
-        val rel = base.relativize(p).toString
-        val bucket = rel.split("/").collectFirst {
+        val bucket = p.split("/").collectFirst {
           case seg if seg.startsWith(s"$BucketCol=") =>
             seg.stripPrefix(s"$BucketCol=").toLong
         }.getOrElse(throw new IllegalStateException(s"unbucketed data file $p"))
-        out += FileEntry(bucket, p.toString)
-      }
-    } finally stream.close()
-    out.result()
-  }
+        Some(FileEntry(bucket, p))
+      } else None
+    }
 }

@@ -312,6 +312,53 @@ object SinkQueries {
       FROM j GROUP BY change ORDER BY change"""),
     doc = "manifest time-travel CDC: full-outer diff of two committed versions -> per-change-type census; the log IS the change feed")
 
+  // --------------------------------------------------------------- q298
+  /** The merge-time change feed: [[ManifestUpsertSink.upsertBatch]] records
+    * (key, inserted|updated, old/new payload hash) for every key it merges,
+    * computed from the touched-bucket rows the merge reads anyway — so
+    * "what did batch N change" is a direct read of `_changes/v<N>`
+    * (O(changed rows)), not a full-outer snapshot diff (O(table), q295's
+    * shape). Builds q294's two-version table and censuses the v1 feed;
+    * the oracle reconstructs the identical census relationally — a key in
+    * the update batch is `inserted` iff absent from the base, `updated`
+    * otherwise, exactly the feed's contract (the feed records physical
+    * rewrites, so value-identical updates stay `updated`; the old/new
+    * hashes are what lets a consumer drop them). A hash match against the
+    * same history q295 diffs IS the feed==diff equivalence, pinned
+    * row-for-row in SinkSpec's change-feed case. */
+  val q298 = QueryDef(
+    "q298_manifest_change_feed",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q298_").toString
+      val sink = new ManifestUpsertSink(root, "key", buckets = 8)
+      val base = Tables.customer(s, d).select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("bal"), lit(0L).as("seq"))
+      sink.upsertBatch(base, "seq", batchId = 0L)
+      val upd = Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select(
+          when(pmod(col("o_custkey"), lit(21)) === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).as("key"),
+          col("o_totalprice").cast("double").as("bal"),
+          col("o_orderkey").as("seq"))
+      sink.upsertBatch(upd, "seq", batchId = 1L)
+      ManifestUpsertSink.readChanges(s, root, 1L)
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_checksum"))
+        .orderBy(col("change"))
+    },
+    Some("""WITH upd0 AS (SELECT
+          CASE WHEN o_custkey % 21 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS key,
+          o_orderkey AS seq
+        FROM orders WHERE o_custkey % 7 = 0),
+      upd AS (SELECT key FROM upd0 GROUP BY key),
+      base AS (SELECT c_custkey AS key FROM customer),
+      j AS (SELECT u.key,
+          CASE WHEN b.key IS NULL THEN 'inserted' ELSE 'updated' END AS change
+        FROM upd u LEFT JOIN base b ON b.key = u.key)
+      SELECT change, COUNT(*) AS n, CAST(SUM(key) AS BIGINT) AS key_checksum
+      FROM j GROUP BY change ORDER BY change"""),
+    doc = "merge-time row-level CDC feed: upsertBatch records inserted/updated keys + payload hashes as it merges; reading batch N's changes is O(changed rows), not an O(table) snapshot diff")
+
   // ---------------------------------------------------------------- q214
   /** JDBC as a SOURCE with partitioned parallel reads — the direction the
     * K3 tier hadn't exercised: orders round-trip through an embedded
@@ -439,6 +486,6 @@ object SinkQueries {
       ORDER BY batch, doc_id"""),
     doc = "additive parquet schema evolution: mergeSchema union over partition dirs, old files null-fill the new column")
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q214, q215,
-    q216, q228)
+  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q214,
+    q215, q216, q228)
 }

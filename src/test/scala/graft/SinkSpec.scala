@@ -355,4 +355,115 @@ class SinkSpec extends AnyFunSuite {
       assert(m.batchId >= 1L, "manifest must track the micro-batch id")
     } finally q.stop()
   }
+
+  test("manifest sink through the Hadoop store (file: scheme): merge, time travel, change feed") {
+    import spark.implicits._
+    val local = java.nio.file.Files.createTempDirectory("graft_manifest5_").toString
+    val root = s"file:$local" // scheme -> HadoopStore control plane
+    assert(graft.sinks.TableStore.forPath(root).isInstanceOf[graft.sinks.TableStore.HadoopStore])
+    assert(graft.sinks.TableStore.forPath(local) eq graft.sinks.TableStore.NioStore)
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    sink.upsertBatch(Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+    assert(sink.read(spark).select("id", "p").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    assert(graft.sinks.ManifestUpsertSink.readVersion(spark, root, 0L)
+      .select("id", "p").as[(Long, String)].collect().toMap == Map(1L -> "a", 2L -> "b"),
+      "time travel must work through the Hadoop store")
+    val feed = graft.sinks.ManifestUpsertSink.readChanges(spark, root, 1L)
+      .select("id", "change").as[(Long, String)].collect().toMap
+    assert(feed == Map(2L -> "updated", 3L -> "inserted"))
+    // replay guard holds across the Hadoop control plane too
+    sink.upsertBatch(Seq((9L, "x", 9L)).toDF("id", "p", "seq"), "seq", 1L)
+    assert(sink.read(spark).count() == 3)
+  }
+
+  test("commit race: a second writer of the same manifest version fails loudly (both stores)") {
+    val stores = Seq(
+      "nio" -> graft.sinks.TableStore.NioStore,
+      "hadoop" -> new graft.sinks.TableStore.HadoopStore)
+    for ((label, store) <- stores) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_race_${label}_").toString
+      store.commitNew(dir, "v0.manifest", "version=0\nbatchId=0")
+      val e = intercept[IllegalStateException] {
+        store.commitNew(dir, "v0.manifest", "version=0\nbatchId=99")
+      }
+      assert(e.getMessage.contains("concurrent commit"), s"$label store race message")
+      assert(store.readString(s"$dir/v0.manifest").contains("batchId=0"),
+        s"$label store: the losing writer must not clobber the committed manifest")
+      assert(store.listNames(dir) == Seq("v0.manifest"),
+        s"$label store: the losing temp file must be cleaned up")
+    }
+  }
+
+  test("manifest sink: bucket count is part of the table — reopening with a different count fails") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest6_").toString
+    new graft.sinks.ManifestUpsertSink(root, "id", buckets = 8)
+      .upsertBatch(Seq((1L, "a", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    assert(graft.sinks.ManifestUpsertSink.latestManifest(root).get.buckets.contains(8),
+      "committed manifests must record the table's bucket count")
+    val wrong = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 4)
+    val e = intercept[IllegalStateException] {
+      wrong.upsertBatch(Seq((2L, "b", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+    }
+    assert(e.getMessage.contains("buckets=8"), "merge must name the committed count")
+    intercept[IllegalStateException] { wrong.compact(spark) }
+    // the correctly-configured sink still works
+    new graft.sinks.ManifestUpsertSink(root, "id", buckets = 8)
+      .upsertBatch(Seq((2L, "b", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+  }
+
+  test("merge-time change feed equals the snapshot diff; vacuum removes emptied dirs") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest7_").toString
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("id", "p", "seq"), "seq", 0L)
+    // batch 1: update key 2 (new value), rewrite key 3 with the IDENTICAL
+    // row (same payload AND seq), insert key 4 — the feed must
+    // distinguish all three
+    sink.upsertBatch(Seq((2L, "b2", 2L), (3L, "c", 1L), (4L, "d", 2L))
+      .toDF("id", "p", "seq"), "seq", 1L)
+
+    val feed = graft.sinks.ManifestUpsertSink.readChanges(spark, root, 1L)
+    val classified = feed.select(col("id"),
+      when(col("old_hash").isNull, lit("inserted"))
+        .when(col("old_hash") === col("new_hash"), lit("rewritten_unchanged"))
+        .otherwise(lit("updated")).as("kind"))
+      .as[(Long, String)].collect().toMap
+    assert(classified == Map(2L -> "updated", 3L -> "rewritten_unchanged", 4L -> "inserted"))
+
+    // the feed must agree with the full snapshot diff on the same history
+    // (restricted to touched keys — untouched rows never enter the feed)
+    val v0 = graft.sinks.ManifestUpsertSink.readVersion(spark, root, 0L)
+      .select(col("id"), col("p").as("p0"), col("seq").as("s0"))
+    val v1 = graft.sinks.ManifestUpsertSink.readVersion(spark, root, 1L)
+      .select(col("id"), col("p").as("p1"), col("seq").as("s1"))
+    val diff = v0.join(v1, Seq("id"), "full_outer")
+      .filter(col("p0").isNull || !(col("p0") <=> col("p1") && col("s0") <=> col("s1")))
+      .select(col("id"),
+        when(col("p0").isNull, lit("inserted")).otherwise(lit("updated")).as("kind"))
+      .as[(Long, String)].collect().toMap
+    // key 3's rewrite carried identical values, so the diff calls it
+    // unchanged while the feed records the physical rewrite; modulo that
+    // documented distinction the two views are identical
+    assert(classified.filter(_._2 != "rewritten_unchanged") == diff)
+
+    // vacuum after compaction: the dropped versions' data AND change dirs
+    // disappear entirely (compaction makes every v0/v1 file dead — an
+    // un-compacted vacuum rightly keeps carried-forward v0 files alive)
+    sink.compact(spark)
+    sink.vacuum(keepVersions = 1)
+    for (v <- Seq("v0", "v1")) {
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "data", v)),
+        s"vacuum must remove the emptied $v data dir, not just its files")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_changes", v)),
+        s"vacuum must reclaim the dropped $v change feed")
+    }
+    intercept[IllegalStateException] {
+      graft.sinks.ManifestUpsertSink.readChanges(spark, root, 0L)
+    }
+    assert(sink.read(spark).count() == 4, "live version intact after vacuum")
+  }
 }

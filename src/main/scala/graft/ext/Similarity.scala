@@ -1292,7 +1292,7 @@ object Similarity {
         FROM sc)
       SELECT user_id, peer_id, rnk, cos2_ppm FROM r
       WHERE rnk <= 3 ORDER BY user_id, rnk"""),
-    doc = "sparse-dot-product user similarity (inverted-index join), exact cos^2 ppm ranking, per-user top-3 via k-row heaps")
+    doc = "dense user similarity: 136-cell tiled all-pairs join over per-user behavior vectors (exact oracle tier), exact cos^2 ppm ranking, per-user top-3 via k-row heaps")
 
   // --------------------------------------------------------------- q291
   /** Sub-quadratic user similarity — q239's ranking with a sign-LSH
@@ -1437,39 +1437,77 @@ object Similarity {
     * exact form (q239) measures cheaper here — the crossover q180
     * exists to catch. The sparse form wins when posting lists are short
     * relative to the user count (items, n-grams, URLs — the wide-sparse
-    * regime it is registered for). */
+    * regime it is registered for).
+    *
+    * HOT-KEY GUARD: one boilerplate feature key shared by d users (a
+    * default event property, an empty-string extraction — exactly the
+    * skew LLM event logs carry) concentrates d²/2 pair generations in a
+    * SINGLE join key group — the one shape that stays unbounded no matter
+    * how the join partitions, because a join key group is indivisible.
+    * The guard is the df-cap stop-feature convention (q105): features
+    * whose posting list exceeds [[SparseDfCap]] are dropped from the
+    * vectors BEFORE the self-join, bounding every join group at cap²/2
+    * pairs. Recall effect (documented, inherent): a feature most of the
+    * corpus shares contributes near-uniform mass to every pair's dot
+    * product — ~zero ranking signal, the similarity-engine analogue of a
+    * stopword — so dropping it perturbs the top-3 far less than keeping
+    * it perturbs the runtime. The cap is mirrored in the oracle SQL, so
+    * the correctness contract holds at ANY scale, biting or not (at this
+    * fixture's max df of ~230 it does not bite: rows are byte-identical
+    * to the unguarded form). ScaleGrowthSpec plants a corpus-wide hot
+    * feature and pins the bounded-group contract structurally. */
+  val SparseDfCap = 4096
+
+  /** q297's guarded posting-list frame: dictionary-encoded (user_id, fid,
+    * c) with hot features (posting list > dfCap) dropped. Package-visible
+    * so ScaleGrowthSpec can measure group sizes and pair counts directly. */
+  private[graft] def sparseUserPostings(s: SparkSession, d: String,
+      dfCap: Int): DataFrame = {
+    val uvStr = Tables.events(s, d)
+      .select(col("user_id"),
+        concat_ws(":", col("event_type"),
+          get_json_object(col("props"), "$.k")).as("f"))
+      .groupBy(col("user_id"), col("f")).agg(count(lit(1)).as("c"))
+    // dictionary-encode the feature key before the posting-list
+    // self-join: the join shuffles + sort-compares the key once per
+    // posting entry, and a 4-byte int beats a variable-length string at
+    // every one of those touches. The dictionary is |features|-bounded
+    // (broadcast); ids are rank-of-key, so the encoding is
+    // deterministic. Same group structure, bit-identical dots.
+    val fdict = broadcast(uvStr.select(col("f")).distinct()
+      .withColumn("fid", row_number().over(
+        graft.operators.BoundedWindow.over(col("f")).orderBy(col("f"))).cast("int")))
+    val uv = uvStr.join(fdict, "f").select(col("user_id"), col("fid"), col("c"))
+    // df-cap: the hot set is |features|-bounded and in practice tiny
+    // (usually empty), so the exclusion is a broadcast anti-join — the
+    // posting lists themselves never re-shuffle for the guard
+    uv.join(broadcast(uv.groupBy(col("fid")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > lit(dfCap)).select(col("fid"))),
+      Seq("fid"), "left_anti")
+  }
+
+  /** Sparse-dot scoring + shared top-3 ranking over a posting frame. */
+  private[graft] def sparseUserTop3(postings: DataFrame): DataFrame = {
+    val nrm = postings.groupBy(col("user_id")).agg(sum(col("c") * col("c")).as("nrm"))
+    val dots = postings.as("x").join(postings.as("y"),
+        col("x.fid") === col("y.fid") && col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("ua"), col("y.user_id").as("ub"))
+      .agg(sum(col("x.c") * col("y.c")).as("dot"))
+      .join(nrm.select(col("user_id").as("ua"), col("nrm").as("na")), "ua")
+      .join(nrm.select(col("user_id").as("ub"), col("nrm").as("nb")), "ub")
+      .select(col("ua"), col("ub"), col("na"), col("nb"), col("dot"))
+    userPairTop3(dots)
+  }
+
   val q297 = QueryDef(
     "q297_sparse_user_similarity",
-    (s, d) => {
-      val uvStr = Tables.events(s, d)
-        .select(col("user_id"),
-          concat_ws(":", col("event_type"),
-            get_json_object(col("props"), "$.k")).as("f"))
-        .groupBy(col("user_id"), col("f")).agg(count(lit(1)).as("c"))
-      // dictionary-encode the feature key before the posting-list
-      // self-join: the join shuffles + sort-compares the key once per
-      // posting entry, and a 4-byte int beats a variable-length string at
-      // every one of those touches. The dictionary is |features|-bounded
-      // (broadcast); ids are rank-of-key, so the encoding is
-      // deterministic. Same group structure, bit-identical dots.
-      val fdict = broadcast(uvStr.select(col("f")).distinct()
-        .withColumn("fid", row_number().over(
-          graft.operators.BoundedWindow.over(col("f")).orderBy(col("f"))).cast("int")))
-      val uv = uvStr.join(fdict, "f").select(col("user_id"), col("fid"), col("c"))
-      val nrm = uv.groupBy(col("user_id")).agg(sum(col("c") * col("c")).as("nrm"))
-      val dots = uv.as("x").join(uv.as("y"),
-          col("x.fid") === col("y.fid") && col("x.user_id") < col("y.user_id"))
-        .groupBy(col("x.user_id").as("ua"), col("y.user_id").as("ub"))
-        .agg(sum(col("x.c") * col("y.c")).as("dot"))
-        .join(nrm.select(col("user_id").as("ua"), col("nrm").as("na")), "ua")
-        .join(nrm.select(col("user_id").as("ub"), col("nrm").as("nb")), "ub")
-        .select(col("ua"), col("ub"), col("na"), col("nb"), col("dot"))
-      userPairTop3(dots)
-    },
-    Some("""WITH uv AS (SELECT user_id,
+    (s, d) => sparseUserTop3(sparseUserPostings(s, d, SparseDfCap)),
+    Some("""WITH uv0 AS (SELECT user_id,
           event_type || ':' || json_extract_string(props, '$.k') AS f,
           COUNT(*) AS c
         FROM events GROUP BY 1, 2),
+      keep AS (SELECT f FROM uv0 GROUP BY f HAVING COUNT(*) <= 4096),
+      uv AS (SELECT uv0.* FROM uv0 JOIN keep USING (f)),
       nm AS (SELECT user_id, CAST(SUM(c * c) AS BIGINT) AS nrm FROM uv GROUP BY 1),
       dots AS (SELECT x.user_id AS ua, y.user_id AS ub,
           CAST(SUM(x.c * y.c) AS BIGINT) AS dot
@@ -1489,7 +1527,7 @@ object Similarity {
         FROM sc)
       SELECT user_id, peer_id, rnk, cos2_ppm FROM r
       WHERE rnk <= 3 ORDER BY user_id, rnk"""),
-    doc = "inverted-index user similarity over wide (event_type, props.k) features: nnz-proportional sparse dot products, users pair only through shared features")
+    doc = "inverted-index user similarity over wide (event_type, props.k) features: nnz-proportional sparse dot products, users pair only through shared features; df-cap stop-feature guard bounds every join key group")
 
   // ---------------------------------------------------------------- q248
   /** Label-noise mining by k-NN label disagreement (the confident-

@@ -228,6 +228,43 @@ class ScaleGrowthSpec extends AnyFunSuite {
       f"ANN-composed BFS ($tAnn%.2fs) must be materially cheaper than the exact edge build ($tExact%.2fs)")
   }
 
+  test("q297's df-cap drops a planted corpus-wide hot feature and bounds every posting-list join group") {
+    import spark.implicits._
+    // The unbounded-blowup shape: one boilerplate feature key shared by
+    // EVERY user concentrates users²/2 pair generations in a single
+    // indivisible join key group. 300 users; 5 cohort features each
+    // (df = 3, the honest sparse regime) + one hot feature all 300 share.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotkey_").toString
+    val rows = (0 until 300).flatMap { u =>
+      (0 until 5).map(i =>
+        (u.toLong * 10 + i, u.toLong, s"t${u / 3}", s"""{"k":"c$i"}""")) :+
+        ((u.toLong * 10 + 9, u.toLong, "boiler", """{"k":"all"}"""))
+    }
+    rows.toDF("event_id", "user_id", "event_type", "props")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("value", lit(1.0))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val cap = 100
+    val uncapped = graft.ext.Similarity.sparseUserPostings(spark, dir, Int.MaxValue)
+    val capped = graft.ext.Similarity.sparseUserPostings(spark, dir, cap)
+    def maxDf(p: org.apache.spark.sql.DataFrame): Long =
+      p.groupBy("fid").count().agg(max("count")).as[Long].head()
+    def pairWork(p: org.apache.spark.sql.DataFrame): Long =
+      p.groupBy("fid").count().agg(sum(col("count") * col("count"))).as[Long].head()
+    assert(maxDf(uncapped) == 300L, "the planted hot feature must reach every user unguarded")
+    assert(maxDf(capped) <= cap,
+      "with the guard, NO posting-list join group may exceed the df-cap")
+    val (wU, wC) = (pairWork(uncapped), pairWork(capped))
+    info(s"pair-work proxy sum(df²): uncapped=$wU capped=$wC")
+    assert(wC * 10 < wU,
+      s"the hot key must dominate the unguarded pair work (capped=$wC uncapped=$wU) — " +
+        "otherwise this fixture isn't testing the blowup the guard exists for")
+    // the guarded pipeline still ranks (hot feature gone, cohorts intact)
+    assert(graft.ext.Similarity.sparseUserTop3(capped).count() > 0)
+  }
+
   test("q291 (sign-LSH user similarity) candidates are a band equi-join that actually prunes; never tiled all-pairs") {
     // q239's sibling: the pin is STRUCTURAL (candidates from the
     // (band, bandHash) equi-join — no 136-cell tile join, no cartesian)

@@ -380,6 +380,22 @@ object Similarity {
   private def signLshCandidatePairs(s: SparkSession, d: String): DataFrame =
     signLshCandidatePairsOf(embDouble(s, d).select(col("vec_id"), col("emb")))
 
+  /** Memoized, lazily local-checkpointed candidate relation shared by the
+    * composed ANN-graph tier (q258/q259/q260/q270/q290/q293). In a real
+    * deployment the ANN index is built ONCE and reused by every graph
+    * consumer — rebuilding the identical centered-LSH banding pipeline
+    * per query is pure waste (six consumers × the full banding join). One
+    * (session, dir)-keyed entry; the lazy localCheckpoint materializes on
+    * first use and truncates lineage, so later consumers scan the stored
+    * candidate blocks instead of re-running the banding join. q89 keeps
+    * the inline pipeline — its job is pinning the stage's PLAN shape and
+    * the DuckDB oracle replica, which a checkpoint scan would hide. */
+  private val lshCandCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def sharedLshCandidates(s: SparkSession, d: String): DataFrame =
+    lshCandCache.computeIfAbsent((s, d),
+      _ => signLshCandidatePairs(s, d).localCheckpoint(false))
+
   /** As above over an arbitrary `(vec_id: long, emb: array<double>)` frame —
     * the reusable form CorpusMain's semantic-dedup stage calls (its vectors
     * come from a user-supplied embeddings parquet, not the corpus table). */
@@ -1622,7 +1638,7 @@ object Similarity {
   val q258 = QueryDef(
     "q258_ann_knn_pagerank",
     (s, d) => integerPagerank2(s, d,
-      top3Knn(signLshCandidatePairs(s, d)).localCheckpoint()),
+      top3Knn(sharedLshCandidates(s, d)).localCheckpoint()),
     Some(s"""WITH $lshCandSql,
       dir AS (SELECT a_id AS src, b_id AS dst, round(c, 6) AS sim FROM scored
         UNION ALL SELECT b_id, a_id, round(c, 6) FROM scored),
@@ -1645,9 +1661,9 @@ object Similarity {
   val q259 = QueryDef(
     "q259_ann_graph_recall",
     (s, d) => {
-      // materialize candidates once — reused for the census and the ANN
-      // kNN side (without this the LSH pipeline would evaluate twice)
-      val cand = signLshCandidatePairs(s, d).localCheckpoint()
+      // the shared memoized candidate index — reused for the census and
+      // the ANN kNN side (and by every other composed-ANN consumer)
+      val cand = sharedLshCandidates(s, d)
       val annKnn = top3Knn(cand)
       val exactKnn = top3Knn(cosineNeardupPairs(s, d, -2.0))
       val nodes = Tables.embeddings(s, d).agg(count(lit(1)).as("nodes"))
@@ -1688,7 +1704,7 @@ object Similarity {
   val q260 = QueryDef(
     "q260_ann_semantic_clusters",
     (s, d) => {
-      val pairs = signLshCandidatePairs(s, d).filter(col("c") >= 0.4)
+      val pairs = sharedLshCandidates(s, d).filter(col("c") >= 0.4)
         .select(col("a_id"), col("b_id"))
       val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node"))
       graft.ext.Dedup.connectedComponents(nodes, pairs)
@@ -1776,7 +1792,7 @@ object Similarity {
     * sampled slice to audit the detector's own recall. */
   val q270 = QueryDef(
     "q270_ann_label_noise",
-    (s, d) => labelNoiseCensus(s, d, top3Knn(signLshCandidatePairs(s, d))),
+    (s, d) => labelNoiseCensus(s, d, top3Knn(sharedLshCandidates(s, d))),
     Some(s"""WITH $lshCandSql,
       dir AS (SELECT a_id AS src, b_id AS dst, round(c, 6) AS sim FROM scored
         UNION ALL SELECT b_id, a_id, round(c, 6) FROM scored),
@@ -1814,7 +1830,7 @@ object Similarity {
   val q290 = QueryDef(
     "q290_ann_bfs_reach",
     (s, d) => bfs3Reach(s, d,
-      signLshCandidatePairs(s, d).filter(col("c") >= 0.4)
+      sharedLshCandidates(s, d).filter(col("c") >= 0.4)
         .select(col("a_id"), col("b_id"))),
     Some(s"""WITH $lshCandSql,
       ed AS (SELECT a_id AS src, b_id AS dst FROM scored WHERE c >= 0.4
@@ -1856,7 +1872,7 @@ object Similarity {
     (s, d) => {
       val exact = labelNoiseFlags(s, d, top3Knn(cosineNeardupPairs(s, d, -2.0)))
         .select(col("vec_id"), col("label"), col("flag").as("x_flag"))
-      val ann = labelNoiseFlags(s, d, top3Knn(signLshCandidatePairs(s, d)))
+      val ann = labelNoiseFlags(s, d, top3Knn(sharedLshCandidates(s, d)))
         .select(col("vec_id"), col("flag").as("a_flag"))
       exact.join(ann, Seq("vec_id"), "left")
         .select(col("label"), col("x_flag"),

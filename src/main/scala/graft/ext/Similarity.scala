@@ -1243,48 +1243,54 @@ object Similarity {
       .orderBy(col("user_id"), col("rnk"))
   }
 
+  /** The tiled dense all-pairs layout over a (user_id, v: array<bigint>,
+    * nrm) frame: B(B+1)/2 = 136 block cells spread the O(n²) pair work
+    * evenly (q54's layout), the norm travels with the vector (no
+    * post-join lookups), and the pair dot is the codegen'd
+    * [[graft.functions.DotLong]] primitive loop. Pairs sharing no
+    * feature (dot = 0) are dropped so the ranked peer set is identical
+    * to the inverted-index layout's — the equality the adaptive chooser
+    * (q299) relies on. Factored from q239 so the 5-dim behavior query
+    * and the chooser's densified wide arm run the SAME physical code. */
+  private[graft] def tiledDenseTop3(s: SparkSession, uvec: DataFrame): DataFrame = {
+    import s.implicits._
+    val B = 16
+    val blockPairs = broadcast(
+      (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("bi", "bj"))
+    val u = uvec.withColumn("blk", pmod(xxhash64(col("user_id")), lit(B)).cast("int"))
+    val lhs = u.join(blockPairs, col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("user_id").as("l_id"),
+        col("v").as("l_v"), col("nrm").as("l_nrm"))
+    val rhs = u.join(blockPairs, col("blk") === col("bj"))
+      .select(col("bi").as("rbi"), col("bj").as("rbj"), col("user_id").as("r_id"),
+        col("v").as("r_v"), col("nrm").as("r_nrm"))
+    val dotCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DotLong(
+        org.apache.spark.sql.GraftBridge.expression(col("l_v")),
+        org.apache.spark.sql.GraftBridge.expression(col("r_v"))))
+    val dots = lhs.join(rhs, col("bi") === col("rbi") && col("bj") === col("rbj")
+        && (col("bi") =!= col("bj") || col("l_id") < col("r_id"))
+        && col("l_id") =!= col("r_id"))
+      .select(least(col("l_id"), col("r_id")).as("ua"),
+        greatest(col("l_id"), col("r_id")).as("ub"),
+        when(col("l_id") < col("r_id"), col("l_nrm")).otherwise(col("r_nrm")).as("na"),
+        when(col("l_id") < col("r_id"), col("r_nrm")).otherwise(col("l_nrm")).as("nb"),
+        dotCol.as("dot"))
+      .filter(col("dot") > 0)
+    userPairTop3(dots)
+  }
+
   val q239 = QueryDef(
     "q239_user_similarity",
     (s, d) => {
-      import s.implicits._
       // Dense layout via [[userVectors]]. With a low-cardinality feature
       // space the inverted-index join (join on event_type) shuffles
       // |features| partitions of quadratic key groups — 5 parallel units
-      // at any cluster size. The tiled self-join spreads the same O(n²)
-      // pair work evenly over B(B+1)/2 = 136 cells (q54's layout) and
-      // carries the norm with the vector, so no post-join norm lookups.
-      // The sparse inverted-index form remains the right shape for
-      // HIGH-cardinality features — see the scaladoc; this corpus is the
-      // dense regime. The registered sub-quadratic sibling is q291
+      // at any cluster size; the tiled self-join spreads the same O(n²)
+      // pair work evenly. The registered sub-quadratic sibling is q291
       // (sign-LSH bands over the same vectors); THIS query is its exact
       // oracle, the q185→q258 pairing.
-      val uvec = userVectors(s, d)
-      val B = 16
-      val blockPairs = broadcast(
-        (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("bi", "bj"))
-      val u = uvec.withColumn("blk", pmod(xxhash64(col("user_id")), lit(B)).cast("int"))
-      val lhs = u.join(blockPairs, col("blk") === col("bi"))
-        .select(col("bi"), col("bj"), col("user_id").as("l_id"),
-          col("v").as("l_v"), col("nrm").as("l_nrm"))
-      val rhs = u.join(blockPairs, col("blk") === col("bj"))
-        .select(col("bi").as("rbi"), col("bj").as("rbj"), col("user_id").as("r_id"),
-          col("v").as("r_v"), col("nrm").as("r_nrm"))
-      val dotCol = org.apache.spark.sql.GraftBridge.column(
-        graft.functions.DotLong(
-          org.apache.spark.sql.GraftBridge.expression(col("l_v")),
-          org.apache.spark.sql.GraftBridge.expression(col("r_v"))))
-      val dots = lhs.join(rhs, col("bi") === col("rbi") && col("bj") === col("rbj")
-          && (col("bi") =!= col("bj") || col("l_id") < col("r_id"))
-          && col("l_id") =!= col("r_id"))
-        .select(least(col("l_id"), col("r_id")).as("ua"),
-          greatest(col("l_id"), col("r_id")).as("ub"),
-          when(col("l_id") < col("r_id"), col("l_nrm")).otherwise(col("r_nrm")).as("na"),
-          when(col("l_id") < col("r_id"), col("r_nrm")).otherwise(col("l_nrm")).as("nb"),
-          dotCol.as("dot"))
-        // pairs sharing no feature never appear in the inverted-index
-        // form — drop them so the ranked peer set is identical
-        .filter(col("dot") > 0)
-      userPairTop3(dots)
+      tiledDenseTop3(s, userVectors(s, d))
     },
     Some("""WITH uv AS (SELECT user_id, event_type, COUNT(*) AS c
         FROM events GROUP BY 1, 2),
@@ -1515,10 +1521,11 @@ object Similarity {
     userPairTop3(dots)
   }
 
-  val q297 = QueryDef(
-    "q297_sparse_user_similarity",
-    (s, d) => sparseUserTop3(sparseUserPostings(s, d, SparseDfCap)),
-    Some("""WITH uv0 AS (SELECT user_id,
+  /** The wide-feature user-similarity oracle, shared by q297 and q299:
+    * both compute the SAME logical result (the adaptive entry's layouts
+    * are exact physical alternatives), so one relational statement pins
+    * them both. */
+  private val sparseUserSimSql = """WITH uv0 AS (SELECT user_id,
           event_type || ':' || json_extract_string(props, '$.k') AS f,
           COUNT(*) AS c
         FROM events GROUP BY 1, 2),
@@ -1542,8 +1549,100 @@ object Similarity {
             ORDER BY cos2_ppm DESC, peer_id) AS rnk
         FROM sc)
       SELECT user_id, peer_id, rnk, cos2_ppm FROM r
-      WHERE rnk <= 3 ORDER BY user_id, rnk"""),
+      WHERE rnk <= 3 ORDER BY user_id, rnk"""
+
+  val q297 = QueryDef(
+    "q297_sparse_user_similarity",
+    (s, d) => sparseUserTop3(sparseUserPostings(s, d, SparseDfCap)),
+    Some(sparseUserSimSql),
     doc = "inverted-index user similarity over wide (event_type, props.k) features: nnz-proportional sparse dot products, users pair only through shared features; df-cap stop-feature guard bounds every join key group")
+
+  // --------------------------------------------------------------- q299
+  /** Bounded layout-decision statistics for the wide user-similarity
+    * query: user count, feature count, nnz, and the Σ df² pair-work sum —
+    * four scalars from two keyed aggregations (the q180/q282 pre-flight
+    * convention: the profile is broadcast-sized, never the data). */
+  private[graft] final case class UserSimStats(
+      users: Long, feats: Long, nnz: Long, sumDf2: BigInt)
+
+  private[graft] def userSimStats(postings: DataFrame): UserSimStats = {
+    val dfs = postings.groupBy(col("fid")).agg(count(lit(1)).as("df"))
+    val r = dfs.agg(count(lit(1)).as("feats"), sum(col("df")).as("nnz"),
+      sum((col("df") * col("df")).cast(DecimalType(38, 0))).as("sum_df2")).head()
+    val users = postings.agg(countDistinct(col("user_id"))).head().getLong(0)
+    UserSimStats(users,
+      if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) BigInt(0) else BigInt(r.getDecimal(2).toBigInteger))
+  }
+
+  /** The layout decision q180/q282's scaladocs promise: a PURE function
+    * of the bounded profile, so the choice is deterministic, auditable,
+    * and spec-testable without running any layout.
+    *
+    * Cost model in primitive-multiply units:
+    *  - inverted index (q297's shape): Σ_f df² — every pair generation
+    *    flows through a posting list;
+    *  - dense tile (q239's shape): users²/2 pairs × feats multiplies
+    *    each (the DotLong loop walks the whole densified vector).
+    * Sparse wins exactly when posting lists are short relative to the
+    * user count — the wide-sparse regime; dense wins when every feature
+    * is corpus-common (posting lists ≈ all users, Σ df² ≈ feats·users²,
+    * a factor 2·feats/dims over the tile).
+    *
+    * The third layout, sign-LSH banding (q291's shape), is APPROXIMATE —
+    * the chooser only returns it when the caller opts in (`approxOk`)
+    * AND both exact layouts exceed the exact-compute budget (a huge user
+    * population with dense wide profiles — the regime where nothing
+    * exact survives). The registered adaptive query keeps approxOk=false
+    * so its rows stay oracle-exact at every scale. */
+  private[graft] def chooseUserSimLayout(st: UserSimStats,
+      approxOk: Boolean = false): String = {
+    val tile = BigInt(st.users) * (st.users - 1) / 2 * st.feats
+    val ExactBudget = BigInt("10000000000000") // 10^13 multiplies
+    if (approxOk && st.sumDf2.min(tile) > ExactBudget) "lsh"
+    else if (st.sumDf2 < tile) "sparse"
+    else "tiled"
+  }
+
+  /** Densify the wide posting frame into (user_id, v, nrm) for the tiled
+    * layout — only ever materialized when the chooser picks "tiled",
+    * i.e. when the feature dictionary is small enough that a dense
+    * array<bigint> per user is the cheaper representation. */
+  private[graft] def densifyPostings(postings: DataFrame): DataFrame = {
+    val nf = broadcast(postings.agg(max(col("fid")).as("fmax")))
+    postings.groupBy(col("user_id")).agg(
+        map_from_entries(collect_list(struct((col("fid") - 1).as("i"), col("c")))).as("m"),
+        sum(col("c") * col("c")).as("nrm"))
+      .crossJoin(nf)
+      .select(col("user_id"),
+        expr("transform(sequence(0, fmax - 1), i -> coalesce(m[i], cast(0 as bigint)))").as("v"),
+        col("nrm"))
+  }
+
+  /** ADAPTIVE user similarity — the chooser the triad's scaladocs
+    * promise, now executing the choice: profile the feature space with
+    * [[userSimStats]] (two bounded aggs), then build the inverted-index
+    * plan (q297's layout) or the densified tile plan (q239's physical
+    * code via [[tiledDenseTop3]]) for the SAME logical query. Both arms
+    * are exact and produce identical rows — the layout changes the
+    * PLAN, never the answer — so one oracle pins the entry regardless of
+    * which arm the data selects (on this corpus: sparse — ~500 short
+    * posting lists beat 150-user tiles × 500-dim vectors). The LSH arm
+    * stays behind `approxOk` (see [[chooseUserSimLayout]]); the
+    * ScaleGrowthSpec chooser case pins that planted corpora actually
+    * flip the decision and that both exact arms agree row-for-row. */
+  val q299 = QueryDef(
+    "q299_adaptive_user_similarity",
+    (s, d) => {
+      val postings = sparseUserPostings(s, d, SparseDfCap)
+      chooseUserSimLayout(userSimStats(postings)) match {
+        case "sparse" => sparseUserTop3(postings)
+        case _        => tiledDenseTop3(s, densifyPostings(postings))
+      }
+    },
+    Some(sparseUserSimSql),
+    doc = "adaptive user similarity: q180/q282-style bounded profile picks the inverted-index or densified-tile layout at build time; both arms exact, same rows — the layout changes the plan, never the answer")
 
   // ---------------------------------------------------------------- q248
   /** Label-noise mining by k-NN label disagreement (the confident-
@@ -2417,5 +2516,5 @@ object Similarity {
     doc = "Kendall tau between BM25 and dense ranks on the common top-50 set: exact tie-free C/D counts, bounded pair join, one-row diagnostic")
 
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283, q290, q291, q292, q293, q297)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283, q290, q291, q292, q293, q297, q299)
 }

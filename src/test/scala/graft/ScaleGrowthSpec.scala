@@ -278,6 +278,58 @@ class ScaleGrowthSpec extends AnyFunSuite {
     assert(graft.ext.Similarity.sparseUserTop3(capped).count() > 0)
   }
 
+  test("q299's layout chooser flips between planted wide-sparse and narrow-dense corpora; exact arms agree row-for-row") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    def plant(rows: Seq[(Long, Long, String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_chooser_").toString
+      rows.toDF("event_id", "user_id", "event_type", "props")
+        .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+        .withColumn("value", lit(1.0))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // wide-sparse: 200 users, each with 6 cohort features of df = 4 —
+    // posting lists tiny relative to users → inverted index must win
+    val wideDir = plant((0 until 200).toSeq.flatMap { u =>
+      (0 until 6).map(i =>
+        (u.toLong * 10 + i, u.toLong, s"t${u / 4}", s"""{"k":"c$i"}"""))
+    })
+    // narrow-dense: 120 users all sharing the SAME 3 features — every
+    // posting list is the whole population → the densified tile must win
+    // (sum df² = 3·users² vs users²/2 · 3 feats)
+    val denseDir = plant((0 until 120).toSeq.flatMap { u =>
+      (0 until 3).map(i =>
+        (u.toLong * 10 + i, u.toLong, s"t$i", s"""{"k":"x"}"""))
+    })
+    val wideStats = Similarity.userSimStats(
+      Similarity.sparseUserPostings(spark, wideDir, Similarity.SparseDfCap))
+    val denseStats = Similarity.userSimStats(
+      Similarity.sparseUserPostings(spark, denseDir, Similarity.SparseDfCap))
+    info(s"wide-sparse stats=$wideStats -> ${Similarity.chooseUserSimLayout(wideStats)}")
+    info(s"narrow-dense stats=$denseStats -> ${Similarity.chooseUserSimLayout(denseStats)}")
+    assert(Similarity.chooseUserSimLayout(wideStats) == "sparse",
+      "short posting lists over many users must select the inverted-index layout")
+    assert(Similarity.chooseUserSimLayout(denseStats) == "tiled",
+      "corpus-common features must select the densified tile layout")
+    // the adaptive entry's two exact arms are PHYSICAL alternatives for
+    // one logical query: on the corpus where the chooser picks "tiled",
+    // the tile's rows must equal the inverted index's rows exactly
+    val densePostings = Similarity.sparseUserPostings(spark, denseDir, Similarity.SparseDfCap)
+    val viaTile = Similarity.q299.fn(spark, denseDir).collect().toSeq
+    val viaIndex = Similarity.sparseUserTop3(densePostings).collect().toSeq
+    assert(viaTile == viaIndex,
+      "layout choice must never change the answer (tiled vs inverted rows)")
+    // the approximate LSH arm: only reachable by opt-in AND when both
+    // exact layouts blow the exact-compute budget (pure-function pin)
+    val huge = Similarity.UserSimStats(users = 50_000_000L, feats = 4096L,
+      nnz = 10_000_000_000L, sumDf2 = BigInt("99999999999999999"))
+    assert(Similarity.chooseUserSimLayout(huge, approxOk = true) == "lsh")
+    assert(Similarity.chooseUserSimLayout(huge, approxOk = false) != "lsh",
+      "without the approximation opt-in the chooser must stay exact")
+  }
+
   test("q291 (sign-LSH user similarity) candidates are a band equi-join that actually prunes; never tiled all-pairs") {
     // q239's sibling: the pin is STRUCTURAL (candidates from the
     // (band, bandHash) equi-join — no 136-cell tile join, no cartesian)

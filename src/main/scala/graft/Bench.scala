@@ -176,9 +176,17 @@ object Bench {
     val (outDir, ckpt) = (s"$workDir/out", s"$workDir/ckpt")
     val t0 = System.nanoTime()
     val reader = spark.readStream.format("graft-records")
-    val src = (if (chunksPerTrigger > 0)
+    val src0 = (if (chunksPerTrigger > 0)
         reader.option("maxChunksPerTrigger", chunksPerTrigger)
       else reader).load(logDir)
+    // a chunk-capped trigger reads one partition per gzip chunk (gzip is
+    // not splittable), so a 4-chunk micro-batch parses on 4 of 32 cores.
+    // A fan-out repartition before the parse was MEASURED WORSE at this
+    // batch size (steady 68k vs 96k rows/s: the extra stage + shuffle
+    // costs more than the idle cores save on ~60 ms of task compute) —
+    // the knob stays for re-measuring at other shapes, default off
+    val fanout = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_FANOUT", "0").toInt
+    val src = if (fanout > 0) src0.repartition(fanout) else src0
     val parsed = graft.streaming.EventStream.parse(src)
       .withColumnRenamed("id", "sequenceNumber")
       .selectExpr("sequenceNumber", "orig_data AS data",

@@ -33,7 +33,13 @@ object Tables {
     * order-dependent under concurrent plan building and surprising to any
     * caller reading other nanos parquet. */
   val sessionConf: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      // local checkpoint metadata through java.nio instead of Hadoop's
+      // LocalFileSystem (which stats via shell-out and doubles writes
+      // with checksums) — kills the per-trigger walCommit/commitOffsets
+      // tax; non-local roots fall back to stock Spark inside the class
+      "spark.sql.streaming.checkpointFileManagerClass" ->
+        "graft.streaming.NioCheckpointFileManager")
 
   /** Exposes BOTH timestamp representations so every query picks the
     * right precision:

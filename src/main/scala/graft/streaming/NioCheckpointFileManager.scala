@@ -1,0 +1,173 @@
+package graft.streaming
+
+import java.io.{ByteArrayInputStream, FileNotFoundException, OutputStream}
+import java.nio.file.{Files, Paths, StandardCopyOption, Path => JPath}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileStatus, FSDataInputStream, Path, PathFilter, PositionedReadable, Seekable}
+import org.apache.spark.sql.execution.streaming.checkpointing.{CheckpointFileManager, FileSystemBasedCheckpointFileManager}
+import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager.CancellableFSDataOutputStream
+
+/** java.nio [[CheckpointFileManager]] for local checkpoint roots — the
+  * engine-level fix for the sustained-streaming commit tax.
+  *
+  * Every micro-batch writes THREE tiny metadata files through this
+  * interface (offset WAL, commit log, and the file-sink's _spark_metadata
+  * entry), plus the exists/list probes around them. Spark's default
+  * manager routes those through Hadoop's LocalFileSystem, whose
+  * `getFileStatus`/`listStatus` shell out per entry for permission bits
+  * and whose checksum layer doubles every write — measured at ~75 ms of
+  * walCommit+commitOffsets per trigger on this box, a fixed tax that
+  * caps sustained micro-batch throughput no matter how fast the
+  * pipeline itself is (the same pathology RecordsSource.listChunks fixed
+  * for the source side in r08). Pure java.nio does the identical
+  * temp-write + atomic-rename protocol in microseconds.
+  *
+  * Non-local roots (hdfs:, s3a:, ...) delegate verbatim to Spark's
+  * [[FileSystemBasedCheckpointFileManager]] — object-store checkpoints
+  * need the Hadoop connector's semantics, and the rename-if-absent
+  * contract there is exactly what the default manager implements. So the
+  * class is safe to set session-wide: local runs (and local[k] tests)
+  * take the fast path, cluster checkpoints behave as stock Spark.
+  *
+  * Contract notes (mirrors FileSystemBasedCheckpointFileManager):
+  *  - createAtomic writes `.tmp-`-prefixed siblings and ATOMIC_MOVEs on
+  *    close; a non-overwrite close onto an existing path raises Hadoop's
+  *    FileAlreadyExistsException — HDFSMetadataLog's concurrent-commit
+  *    detection depends on that exact type;
+  *  - open() materializes the (small) metadata file into a seekable
+  *    byte-array stream — metadata log entries are KB-scale by design;
+  *  - list() on a missing dir raises FileNotFoundException like Hadoop's
+  *    listStatus, delete() ignores missing paths. */
+class NioCheckpointFileManager(root: Path, conf: Configuration)
+    extends CheckpointFileManager {
+
+  private val localRoot: Boolean = {
+    val sch = root.toUri.getScheme
+    sch == null || sch == "file"
+  }
+
+  private lazy val fallback = new FileSystemBasedCheckpointFileManager(root, conf)
+
+  private def jpath(p: Path): JPath = Paths.get(p.toUri.getPath)
+
+  override def createAtomic(path: Path,
+      overwriteIfPossible: Boolean): CancellableFSDataOutputStream =
+    if (!localRoot) fallback.createAtomic(path, overwriteIfPossible)
+    else {
+      val dst = jpath(path)
+      Files.createDirectories(dst.getParent)
+      val tmp = dst.getParent.resolve(
+        s".tmp-${dst.getFileName}-${java.util.UUID.randomUUID()}")
+      val out = Files.newOutputStream(tmp)
+      new CancellableFSDataOutputStream(out) {
+        private var terminated = false
+        override def close(): Unit = synchronized {
+          if (!terminated) {
+            terminated = true
+            out.close()
+            if (!overwriteIfPossible && Files.exists(dst)) {
+              Files.deleteIfExists(tmp)
+              throw new FileAlreadyExistsException(
+                s"rename destination $dst already exists")
+            }
+            Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+        override def cancel(): Unit = synchronized {
+          if (!terminated) {
+            terminated = true
+            out.close()
+            Files.deleteIfExists(tmp)
+          }
+        }
+      }
+    }
+
+  override def open(path: Path): FSDataInputStream =
+    if (!localRoot) fallback.open(path)
+    else {
+      val p = jpath(path)
+      if (!Files.isRegularFile(p)) throw new FileNotFoundException(p.toString)
+      new FSDataInputStream(new NioCheckpointFileManager.SeekableBytes(
+        Files.readAllBytes(p)))
+    }
+
+  override def list(path: Path, filter: PathFilter): Array[FileStatus] =
+    if (!localRoot) fallback.list(path, filter)
+    else {
+      val dir = jpath(path)
+      if (!Files.isDirectory(dir)) throw new FileNotFoundException(dir.toString)
+      val stream = Files.list(dir)
+      try stream.iterator().asScala.flatMap { p =>
+        val hp = new Path(path, p.getFileName.toString)
+        if (!filter.accept(hp)) None
+        else {
+          val isDir = Files.isDirectory(p)
+          val size = if (isDir) 0L else Files.size(p)
+          val mtime = Files.getLastModifiedTime(p).toMillis
+          Some(new FileStatus(size, isDir, 1, 33554432L, mtime, hp))
+        }
+      }.toArray
+      finally stream.close()
+    }
+
+  override def mkdirs(path: Path): Unit =
+    if (!localRoot) fallback.mkdirs(path)
+    else { Files.createDirectories(jpath(path)); () }
+
+  override def exists(path: Path): Boolean =
+    if (!localRoot) fallback.exists(path) else Files.exists(jpath(path))
+
+  override def delete(path: Path): Unit =
+    if (!localRoot) fallback.delete(path)
+    else {
+      val p = jpath(path)
+      if (Files.exists(p)) {
+        val stream = Files.walk(p)
+        try stream.sorted(Comparator.reverseOrder[JPath]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally stream.close()
+      }
+    }
+
+  override def isLocal: Boolean = localRoot
+
+  override def createCheckpointDirectory(): Path =
+    if (!localRoot) fallback.createCheckpointDirectory()
+    else { Files.createDirectories(jpath(root)); root }
+}
+
+object NioCheckpointFileManager {
+  /** The session conf wiring: set this key to the class name and every
+    * streaming checkpoint (offset WAL, commit log, file-sink metadata,
+    * state store) resolves through it. */
+  val ConfKey = "spark.sql.streaming.checkpointFileManagerClass"
+  val ClassName: String = classOf[NioCheckpointFileManager].getName
+
+  /** Seekable in-memory stream — metadata log files are KB-scale. */
+  private final class SeekableBytes(bytes: Array[Byte])
+      extends ByteArrayInputStream(bytes) with Seekable with PositionedReadable {
+    override def seek(newPos: Long): Unit = { pos = newPos.toInt }
+    override def getPos: Long = pos.toLong
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def read(position: Long, buffer: Array[Byte], offset: Int,
+        length: Int): Int = {
+      if (position >= bytes.length) return -1
+      val n = math.min(length, bytes.length - position.toInt)
+      System.arraycopy(bytes, position.toInt, buffer, offset, n)
+      n
+    }
+    override def readFully(position: Long, buffer: Array[Byte], offset: Int,
+        length: Int): Unit = {
+      if (read(position, buffer, offset, length) < length)
+        throw new java.io.EOFException(
+          s"reached end of stream after reading < $length bytes")
+    }
+    override def readFully(position: Long, buffer: Array[Byte]): Unit =
+      readFully(position, buffer, 0, buffer.length)
+  }
+}

@@ -53,6 +53,61 @@ object StreamProfile {
         val dt = (System.nanoTime() - t0) / 1e9
         if (rep > 0) println(f"chunk=$chunk rep=$rep n=$n batch_write_sec=$dt%.3f rows_per_sec=${n / dt}%.0f")
       }
+      // floor decomposition: (a) read+parse only (noop sink), (b) write
+      // job only (pre-materialized rows), (c) empty-job scheduling floor —
+      // attributes the per-micro-batch fixed cost to source, sink, or
+      // scheduler instead of one lumped addBatch number. A listener splits
+      // each job into task compute (sum + max of task run time), task
+      // deserialization, and driver-side gap (job wall - stage wall).
+      val taskStats = new org.apache.spark.scheduler.SparkListener {
+        val runMs = new java.util.concurrent.atomic.AtomicLong
+        val maxMs = new java.util.concurrent.atomic.AtomicLong
+        val deserMs = new java.util.concurrent.atomic.AtomicLong
+        val nTasks = new java.util.concurrent.atomic.AtomicLong
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            runMs.addAndGet(m.executorRunTime)
+            maxMs.getAndUpdate(c => math.max(c, m.executorRunTime))
+            deserMs.addAndGet(m.executorDeserializeTime)
+            nTasks.incrementAndGet()
+          }
+        }
+        def snap(): (Long, Long, Long, Long) = {
+          val r = (runMs.get, maxMs.get, deserMs.get, nTasks.get)
+          runMs.set(0); maxMs.set(0); deserMs.set(0); nTasks.set(0)
+          r
+        }
+      }
+      spark.sparkContext.addSparkListener(taskStats)
+      for (rep <- 0 to 2) {
+        val t0 = System.nanoTime()
+        sel.write.format("noop").mode("overwrite").save()
+        val tRead = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(150) // let the listener bus drain (private API in 4.x)
+        val (rr, rmax, rdes, rn) = taskStats.snap()
+        val cached = sel.localCheckpoint()
+        taskStats.snap()
+        val t1 = System.nanoTime()
+        cached.write.partitionBy("year", "month", "day")
+          .option("compression", "gzip").mode("overwrite").text(s"$dir/out2")
+        val tWrite = (System.nanoTime() - t1) / 1e9
+        Thread.sleep(150) // let the listener bus drain (private API in 4.x)
+        val (wr, wmax, wdes, wn) = taskStats.snap()
+        val t2 = System.nanoTime()
+        spark.range(0, 4, 1, 4).write.format("noop").mode("overwrite").save()
+        val tSched = (System.nanoTime() - t2) / 1e9
+        taskStats.snap()
+        if (rep > 0) {
+          println(f"chunk=$chunk rep=$rep floor: read_parse_sec=$tRead%.3f " +
+            f"write_only_sec=$tWrite%.3f empty_job_sec=$tSched%.3f")
+          println(f"chunk=$chunk rep=$rep tasks: read n=$rn sum_run_ms=$rr max_run_ms=$rmax deser_ms=$rdes " +
+            f"driver_gap_ms=${(tRead * 1000).toLong - rmax}; " +
+            f"write n=$wn sum_run_ms=$wr max_run_ms=$wmax deser_ms=$wdes " +
+            f"driver_gap_ms=${(tWrite * 1000).toLong - wmax}")
+        }
+      }
+      spark.sparkContext.removeSparkListener(taskStats)
     }
     spark.stop()
   }

@@ -185,45 +185,62 @@ object ManifestUpsertSink {
   final case class Manifest(version: Long, batchId: Long, buckets: Option[Int],
       files: Seq[FileEntry])
 
-  /** Snapshot read: latest manifest's files, bucket column dropped (it is
-    * derivable from the key and re-derived on the next merge). An empty
-    * or absent table raises — callers create state by merging a batch. */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val m = latestManifest(root).getOrElse(
-      throw new IllegalStateException(s"no committed manifest under $root"))
+  /** The data files of a committed snapshot (latest when `version` is
+    * None) — the one manifest-resolution path shared by the Scala read
+    * API and the `graft-manifest` DSv2 connector, so the two can never
+    * disagree about what a version contains. */
+  private[graft] def snapshotFiles(root: String, version: Option[Long]): Seq[String] = {
+    val store = TableStore.forPath(root)
+    val m = version match {
+      case Some(v) =>
+        val path = s"$root/_manifest/v$v.manifest"
+        if (!store.exists(path))
+          throw new IllegalStateException(
+            s"version $v not committed (or vacuumed) under $root")
+        decode(store.readString(path))
+      case None => latestManifest(root, store).getOrElse(
+        throw new IllegalStateException(s"no committed manifest under $root"))
+    }
     if (m.files.isEmpty)
       throw new IllegalStateException(s"manifest v${m.version} lists no files")
-    // mergeSchema: after additive evolution a snapshot's buckets can carry
-    // different vintages until the next compaction unifies them
-    spark.read.option("mergeSchema", "true").parquet(m.files.map(_.path): _*)
-      .drop(BucketCol)
+    m.files.map(_.path)
   }
+
+  /** The change-feed files version `version`'s merge recorded. */
+  private[graft] def changeFiles(root: String, version: Long): Seq[String] = {
+    val store = TableStore.forPath(root)
+    val files = store.walkFiles(s"$root/_changes/v$version").filter { p =>
+      val n = p.substring(p.lastIndexOf('/') + 1)
+      n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+    }
+    if (files.isEmpty)
+      throw new IllegalStateException(s"no change feed for version $version under $root")
+    files
+  }
+
+  /** Snapshot read: latest manifest's files, bucket column dropped (it is
+    * derivable from the key and re-derived on the next merge). An empty
+    * or absent table raises — callers create state by merging a batch.
+    * mergeSchema: after additive evolution a snapshot's buckets can carry
+    * different vintages until the next compaction unifies them. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(snapshotFiles(root, None): _*).drop(BucketCol)
 
   /** Time-travel read: the snapshot AS OF a committed version — the
     * manifest log keeps every version until [[ManifestUpsertSink.vacuum]]
     * reclaims it, so any un-vacuumed version reads exactly as it
     * committed (data files are immutable once referenced). */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val store = TableStore.forPath(root)
-    val path = s"$root/_manifest/v$version.manifest"
-    if (!store.exists(path))
-      throw new IllegalStateException(s"version $version not committed (or vacuumed) under $root")
-    val m = decode(store.readString(path))
-    spark.read.option("mergeSchema", "true").parquet(m.files.map(_.path): _*)
-      .drop(BucketCol)
-  }
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(snapshotFiles(root, Some(version)): _*).drop(BucketCol)
 
   /** The row-level change feed version `version`'s merge recorded:
     * (key, change ∈ inserted|updated, old_hash, new_hash). old_hash is
     * null for inserts; old_hash = new_hash marks a value-identical
     * rewrite. Compactions record no feed (no row changes). */
-  def readChanges(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val store = TableStore.forPath(root)
-    val dir = s"$root/_changes/v$version"
-    if (store.walkFiles(dir).isEmpty)
-      throw new IllegalStateException(s"no change feed for version $version under $root")
-    spark.read.parquet(dir)
-  }
+  def readChanges(spark: SparkSession, root: String, version: Long): DataFrame =
+    spark.read.parquet(changeFiles(root, version): _*)
 
   private def vacuum(root: String, store: TableStore, keep: Int): Unit = {
     val versions = manifestVersions(root, store).sorted

@@ -359,6 +359,38 @@ object SinkQueries {
       FROM j GROUP BY change ORDER BY change"""),
     doc = "merge-time row-level CDC feed: upsertBatch records inserted/updated keys + payload hashes as it merges; reading batch N's changes is O(changed rows), not an O(table) snapshot diff")
 
+  // --------------------------------------------------------------- q300
+  /** The lakehouse table's SQL surface: build q294's two-version table,
+    * then read the v0 snapshot back through `format("graft-manifest")`
+    * with `versionAsOf` — time travel through the DSv2 connector instead
+    * of the Scala API — and push a filter + projection through it. The
+    * connector only resolves the manifest (the same snapshotFiles path
+    * the Scala reads use) and delegates to the stock parquet scan, so the
+    * filter lands in PushedFilters and only (key, bal) is read — pinned
+    * by SinkSpec's plan assertion; THIS row pins the data: the filtered
+    * v0 snapshot must equal the relational statement of the seed batch. */
+  val q300 = QueryDef(
+    "q300_manifest_sql_surface",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q300_").toString
+      val sink = new ManifestUpsertSink(root, "key", buckets = 8)
+      val base = Tables.customer(s, d).select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("bal"), lit(0L).as("seq"))
+      sink.upsertBatch(base, "seq", batchId = 0L)
+      val upd = Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select(col("o_custkey").as("key"),
+          col("o_totalprice").cast("double").as("bal"),
+          col("o_orderkey").as("seq"))
+      sink.upsertBatch(upd, "seq", batchId = 1L)
+      s.read.format("graft-manifest").option("versionAsOf", 0L).load(root)
+        .filter(col("bal") > 5000.0)
+        .select(col("key"), col("bal"))
+        .orderBy(col("key"))
+    },
+    Some("""SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE CAST(c_acctbal AS DOUBLE) > 5000 ORDER BY key"""),
+    doc = "lakehouse SQL surface: versionAsOf time travel through the graft-manifest DSv2 connector, filter/projection pushed into the stock parquet scan over the snapshot's immutable files")
+
   // ---------------------------------------------------------------- q214
   /** JDBC as a SOURCE with partitioned parallel reads — the direction the
     * K3 tier hadn't exercised: orders round-trip through an embedded
@@ -486,6 +518,6 @@ object SinkQueries {
       ORDER BY batch, doc_id"""),
     doc = "additive parquet schema evolution: mergeSchema union over partition dirs, old files null-fill the new column")
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q214,
-    q215, q216, q228)
+  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300,
+    q214, q215, q216, q228)
 }

@@ -414,6 +414,39 @@ class SinkSpec extends AnyFunSuite {
       .upsertBatch(Seq((2L, "b", 2L)).toDF("id", "p", "seq"), "seq", 1L)
   }
 
+  test("graft-manifest DSv2 read: latest/versionAsOf/changesOf match the Scala reads; bad version raises") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest8_").toString
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    // schema-evolving second batch: the connector must mergeSchema
+    sink.upsertBatch(Seq((2L, "b2", "en", 2L), (3L, "c", "de", 2L))
+      .toDF("id", "p", "lang", "seq"), "seq", 1L)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "p").as[(Long, String)].collect().toMap
+    val latest = spark.read.format("graft-manifest").load(root)
+    assert(latest.columns.toSet == Set("id", "p", "lang", "seq"),
+      "connector must merge schema vintages across buckets")
+    assert(rows(latest) == rows(sink.read(spark)))
+    assert(rows(spark.read.format("graft-manifest").option("versionAsOf", 0L).load(root))
+      == rows(graft.sinks.ManifestUpsertSink.readVersion(spark, root, 0L)),
+      "versionAsOf must time-travel exactly as the Scala read")
+    val feedSql = spark.read.format("graft-manifest").option("changesOf", 1L).load(root)
+      .select("id", "change").as[(Long, String)].collect().toMap
+    assert(feedSql == Map(2L -> "updated", 3L -> "inserted"))
+    intercept[IllegalStateException] {
+      spark.read.format("graft-manifest").option("versionAsOf", 9L).load(root).collect()
+    }
+    // pushdown sanity: a filtered projection plans as an ordinary parquet
+    // scan with pushed filters — the connector adds resolution, not a
+    // bespoke (and unoptimized) reader
+    val plan = latest.filter(col("id") === 2L).select("p")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"),
+      s"filter must push into the parquet scan:\n${plan.take(1500)}")
+  }
+
   test("merge-time change feed equals the snapshot diff; vacuum removes emptied dirs") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_manifest7_").toString

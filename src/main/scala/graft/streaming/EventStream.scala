@@ -145,6 +145,40 @@ object EventStream {
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** CDC SUBSCRIPTION on a [[graft.sinks.ManifestUpsertSink]] table: a
+    * streaming frame of every row-level change the table's merges record
+    * — (version, key, change ∈ inserted|updated, old_hash, new_hash) —
+    * the feed an incremental re-train / cache-invalidation / audit
+    * consumer tails instead of diffing snapshots.
+    *
+    * Spark-first construction: each merge writes its change files under
+    * `_changes/v<N>/` BEFORE committing the manifest, and change files
+    * are immutable once their version commits — exactly the append-only
+    * layout Spark's built-in file streaming source tails natively. So
+    * the subscription IS `readStream.parquet` over the `_changes` glob:
+    * new-version discovery, per-file exactly-once accounting, and
+    * checkpoint recovery all come from the file source's own offset log
+    * — no bespoke stream machinery to maintain. The version number is
+    * recovered from the file path (`input_file_name`), not stored per
+    * row.
+    *
+    * Delivery contract: exactly-once per FILE in normal operation. The
+    * one at-least-once window is a writer crash BETWEEN the change write
+    * and the manifest commit — the replayed batch overwrites the orphan
+    * dir with fresh file names, so a subscriber that consumed the
+    * orphans sees that version's changes twice; dedupe by (version, key)
+    * if the consumer is not idempotent (same contract Delta CDF has for
+    * uncommitted writers). Schema comes from one batch read of the
+    * existing feed (a subscription starts on a table with ≥1 committed
+    * merge — same precondition as [[graft.sinks.ManifestUpsertSink.read]]). */
+  def changesStream(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    val glob = s"$root/_changes/*"
+    val schema = spark.read.parquet(glob).schema
+    spark.readStream.schema(schema).parquet(glob)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "/_changes/v(\\d+)/", 1).cast("long"))
+  }
+
   /** Custom keyed state via mapGroupsWithState (A5/A6 generalized): a
     * running per-key record count + last-seen sequence number that
     * survives across micro-batches — the engine-owned form of the

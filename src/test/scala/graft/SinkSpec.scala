@@ -414,6 +414,34 @@ class SinkSpec extends AnyFunSuite {
       .upsertBatch(Seq((2L, "b", 2L)).toDF("id", "p", "seq"), "seq", 1L)
   }
 
+  test("changesStream: the CDC subscription tails merge-time feeds across versions, live") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcsub_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcsub_ck_").toString
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    sink.upsertBatch(Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+    val q = graft.streaming.EventStream.changesStream(spark, root)
+      .writeStream.format("memory").queryName("cdc_feed")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .start()
+    try {
+      q.processAllAvailable()
+      def got(): Set[(Long, Long, String)] = spark.table("cdc_feed")
+        .select("version", "id", "change").as[(Long, Long, String)].collect().toSet
+      assert(got() == Set((0L, 1L, "inserted"), (0L, 2L, "inserted"),
+        (1L, 2L, "updated"), (1L, 3L, "inserted")),
+        "the subscription must replay every committed version's feed")
+      // a merge WHILE subscribed: the new version's changes arrive without
+      // restart — the file source discovers the new version dir itself
+      sink.upsertBatch(Seq((4L, "d", 3L)).toDF("id", "p", "seq"), "seq", 2L)
+      q.processAllAvailable()
+      assert(got().filter(_._1 == 2L) == Set((2L, 4L, "inserted")),
+        "a live merge's feed must flow to the subscriber")
+    } finally q.stop()
+  }
+
   test("graft-manifest DSv2 read: latest/versionAsOf/changesOf match the Scala reads; bad version raises") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_manifest8_").toString

@@ -236,7 +236,12 @@ object CorpusMain {
     * keyed by doc_id: the re-curation workflow over a GROWING corpus, where
     * each run rewrites only the key buckets it touches and the manifest log
     * keeps every prior corpus version time-travel readable (q294/q295
-    * machinery). Each CLI run commits as the next batch id. */
+    * machinery). Each CLI run commits as the next batch id. orderCol =
+    * doc_id is sound here: the curation chain ends in exact dedup, so
+    * doc_id is unique within a run (in-batch LWW never has to choose),
+    * cross-run conflicts resolve by replacement regardless of orderCol,
+    * and lastWriteWins' payload-hash tiebreak makes even a pathological
+    * duplicate-id batch deterministic. */
   def write(out: DataFrame, c: CorpusConfig): Unit =
     if (c.incremental) {
       val root = s"${c.output}/corpus_lake"

@@ -107,12 +107,17 @@ object TableStore {
     }
   }
 
+  /** One shared read-only `Configuration` for every Hadoop store:
+    * construction re-parses the default XMLs (~0.25 s), and stores are
+    * created per call on the read paths (`forPath` in snapshotFiles /
+    * the DSv2 connector). Never mutated, so sharing is safe;
+    * `FileSystem.get` additionally caches the FS per scheme. */
+  @transient private lazy val sharedConf = new Configuration()
+
   /** Hadoop `FileSystem` implementation — one code path for `file:`,
-    * `hdfs:`, `s3a:` roots. The `Configuration` is constructed once per
-    * store (XML parsing costs ~0.25 s; this object lives as long as its
-    * sink and is driver-side only). */
+    * `hdfs:`, `s3a:` roots; driver-side only. */
   final class HadoopStore extends TableStore {
-    @transient private lazy val conf = new Configuration()
+    private def conf = TableStore.sharedConf
 
     private def fs(p: HPath): FileSystem = p.getFileSystem(conf)
 

@@ -140,6 +140,7 @@ class ScaleSpec extends AnyFunSuite {
       "q265_ivf_knn_pagerank",  // q184's k-row centroid broadcast + 1-row node count
       "q268_capped_lm_score",   // crossJoin(broadcast(1-row bigram total))
       "q239_user_similarity",   // crossJoin(broadcast(1-row feature-dict size))
+      "q299_adaptive_user_similarity", // tiled arm: crossJoin(broadcast(1-row fid max)), q239's pattern
       "q291_ann_user_similarity", // same 1-row feature-dict / mean-vector broadcasts
       "q271_retrieval_mrr",     // q45's shape: constant 20-query broadcast side
       "q272_temperature_mixture", // crossJoin(broadcast(1-row weight/doc totals))

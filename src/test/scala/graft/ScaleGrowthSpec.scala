@@ -274,8 +274,23 @@ class ScaleGrowthSpec extends AnyFunSuite {
     assert(wC * 10 < wU,
       s"the hot key must dominate the unguarded pair work (capped=$wC uncapped=$wU) — " +
         "otherwise this fixture isn't testing the blowup the guard exists for")
-    // the guarded pipeline still ranks (hot feature gone, cohorts intact)
-    assert(graft.ext.Similarity.sparseUserTop3(capped).count() > 0)
+    // the guard's recall effect, MEASURED not hand-waved: the hot feature
+    // contributes weight 1 to every pair uniformly (zero ranking signal),
+    // so the meaningful neighbors — cohort peers, whose dots carry the
+    // cohort features — survive the cap exactly; what disappears is the
+    // noise tail of cross-cohort pairs whose only shared feature WAS the
+    // boilerplate key (dot drops to 0 → filtered). Pin: every rank-1/2
+    // peer is identical with and without the cap.
+    val un = graft.ext.Similarity.sparseUserTop3(uncapped)
+      .filter(col("rnk") <= 2).select("user_id", "peer_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val cp = graft.ext.Similarity.sparseUserTop3(capped)
+      .filter(col("rnk") <= 2).select("user_id", "peer_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(cp == un,
+      "dropping the uniform hot feature must preserve every meaningful (rank<=2) neighbor")
+    info(s"recall after cap: all ${cp.size} rank-1/2 neighbors identical; " +
+      "only boilerplate-sharing-only cross-cohort pairs dropped")
   }
 
   test("q299's layout chooser flips between planted wide-sparse and narrow-dense corpora; exact arms agree row-for-row") {

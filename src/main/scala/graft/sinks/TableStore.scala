@@ -89,11 +89,25 @@ object TableStore {
       val tmp = d.resolve(s".tmp-$name-${java.util.UUID.randomUUID()}")
       Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
       val target = d.resolve(name)
-      if (Files.exists(target)) {
+      // hard-link is the TRUE atomic create-new: it fails (atomically)
+      // when the target exists, with the full content already durable —
+      // no exists-check race window at all. Filesystems without link
+      // support fall back to exists-check + ATOMIC_MOVE (the Hadoop
+      // store's documented single-writer window).
+      try {
+        Files.createLink(target, tmp)
         Files.deleteIfExists(tmp)
-        throw new IllegalStateException(s"concurrent commit of $name under $dir")
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          throw new IllegalStateException(s"concurrent commit of $name under $dir")
+        case _: UnsupportedOperationException =>
+          if (Files.exists(target)) {
+            Files.deleteIfExists(tmp)
+            throw new IllegalStateException(s"concurrent commit of $name under $dir")
+          }
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       }
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     }
 
     def deleteFile(path: String): Unit = Files.deleteIfExists(Paths.get(path))

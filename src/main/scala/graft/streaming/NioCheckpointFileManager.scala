@@ -68,13 +68,29 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
           if (!terminated) {
             terminated = true
             out.close()
-            if (!overwriteIfPossible && Files.exists(dst)) {
-              Files.deleteIfExists(tmp)
-              throw new FileAlreadyExistsException(
-                s"rename destination $dst already exists")
-            }
-            Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
-              StandardCopyOption.REPLACE_EXISTING)
+            if (overwriteIfPossible)
+              Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+            else
+              // hard-link = atomic create-new (fails atomically when dst
+              // exists — no exists-check race); non-link filesystems fall
+              // back to the checked move
+              try {
+                Files.createLink(dst, tmp)
+                Files.deleteIfExists(tmp)
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException =>
+                  Files.deleteIfExists(tmp)
+                  throw new FileAlreadyExistsException(
+                    s"rename destination $dst already exists")
+                case _: UnsupportedOperationException =>
+                  if (Files.exists(dst)) {
+                    Files.deleteIfExists(tmp)
+                    throw new FileAlreadyExistsException(
+                      s"rename destination $dst already exists")
+                  }
+                  Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+              }
           }
         }
         override def cancel(): Unit = synchronized {

@@ -42,11 +42,14 @@ import org.apache.spark.sql.functions._
   *  - within a batch, LWW per key via [[JdbcUpsertSink.lastWriteWins]]
   *    (the one K3 dedup — JDBC and manifest sinks cannot drift).
   *  - each merge also emits a ROW-LEVEL CHANGE FEED under `_changes/v<N>`
-  *    — (key, change ∈ inserted|updated, old/new payload hash), computed
-  *    from the touched-bucket rows the merge reads anyway (cost stays
-  *    ∝ touched bytes). Downstream CDC consumers read the feed directly
-  *    ([[ManifestUpsertSink.readChanges]]) instead of diffing snapshots —
-  *    O(changed rows) per question, not O(table).
+  *    — (key, change ∈ inserted|updated, old/new payload hash, old/new
+  *    BEFORE/AFTER row image as canonical JSON — the Delta CDF contract),
+  *    computed from the touched-bucket rows the merge reads anyway (cost
+  *    stays ∝ touched bytes). Downstream CDC consumers read the feed
+  *    directly ([[ManifestUpsertSink.readChanges]]) or subscribe to it
+  *    ([[graft.streaming.EventStream.changesStream]]) instead of diffing
+  *    snapshots — O(changed rows) per question, not O(table) — and the
+  *    images let them maintain aggregates differentially (q301).
   *
   * Exactly-once over an at-least-once source: the manifest records the
   * micro-batch id; replaying a committed batch (foreachBatch redelivery
@@ -95,19 +98,28 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       else Some(spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*))
     }
     // ---- change feed: every incoming key is inserted or updated (LWW
-    // upsert never deletes); old/new payload hashes let consumers spot
+    // upsert never deletes); old/new BEFORE/AFTER row images (JSON of the
+    // name-sorted payload — the Delta CDF contract) let a consumer
+    // maintain downstream aggregates differentially without re-reading
+    // the table (q301), and the payload hashes derived from them spot
     // value-identical rewrites. Written BEFORE the manifest commit — a
     // crash in between leaves an orphan the replayed batch overwrites.
-    val newHashed = deduped.select(col(keyCol), payloadHash(deduped).as("new_hash"))
+    val newImaged = deduped.select(col(keyCol),
+      payloadImage(deduped).as("new_image"))
     val changes = (current match {
       case Some(c) =>
-        newHashed.join(
-          c.select(col(keyCol), payloadHash(c).as("old_hash")),
+        newImaged.join(
+          c.select(col(keyCol), payloadImage(c).as("old_image")),
           Seq(keyCol), "left_outer")
-      case None => newHashed.withColumn("old_hash", lit(null).cast("long"))
+      case None => newImaged.withColumn("old_image", lit(null).cast("string"))
     }).select(col(keyCol),
-      when(col("old_hash").isNull, lit("inserted")).otherwise(lit("updated")).as("change"),
-      col("old_hash"), col("new_hash"))
+      when(col("old_image").isNull, lit("inserted")).otherwise(lit("updated")).as("change"),
+      // xxhash64 of a NULL input yields the seed, not null — guard so an
+      // insert's old_hash stays null (the classification consumers key on)
+      when(col("old_image").isNull, lit(null).cast("long"))
+        .otherwise(xxhash64(col("old_image"))).as("old_hash"),
+      xxhash64(col("new_image")).as("new_hash"),
+      col("old_image"), col("new_image"))
     changes.write.mode("overwrite").parquet(s"$root/_changes/v$version")
     // ---- copy-on-write bucket rewrite
     val survivors = current match {
@@ -130,10 +142,11 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     commit(root, store, Manifest(version, batchId, Some(buckets), carried ++ written))
   }
 
-  /** Hash of the row's full payload (all columns except the internal
-    * bucket column, name-sorted so column order never changes the hash). */
-  private def payloadHash(df: DataFrame): Column =
-    xxhash64(to_json(struct(df.columns.filterNot(_ == BucketCol).sorted.map(col): _*)))
+  /** The row's full payload as a canonical JSON image (all columns except
+    * the internal bucket column, name-sorted so column order never
+    * changes the image or the hash derived from it). */
+  private def payloadImage(df: DataFrame): Column =
+    to_json(struct(df.columns.filterNot(_ == BucketCol).sorted.map(col): _*))
 
   private def requireSameBuckets(cur: Option[Manifest]): Unit =
     cur.flatMap(_.buckets).filter(_ != buckets).foreach { b =>
@@ -236,9 +249,13 @@ object ManifestUpsertSink {
       .parquet(snapshotFiles(root, Some(version)): _*).drop(BucketCol)
 
   /** The row-level change feed version `version`'s merge recorded:
-    * (key, change ∈ inserted|updated, old_hash, new_hash). old_hash is
-    * null for inserts; old_hash = new_hash marks a value-identical
-    * rewrite. Compactions record no feed (no row changes). */
+    * (key, change ∈ inserted|updated, old_hash, new_hash, old_image,
+    * new_image) — the images are canonical JSON of the name-sorted
+    * before/after payloads (null old side for inserts), so a consumer
+    * can maintain downstream aggregates DIFFERENTIALLY from the feed
+    * alone (q301's IVM shape) without re-reading the table. old_hash =
+    * new_hash marks a value-identical rewrite. Compactions record no
+    * feed (no row changes). */
   def readChanges(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(changeFiles(root, version): _*)
 

@@ -391,6 +391,80 @@ object SinkQueries {
       FROM customer WHERE CAST(c_acctbal AS DOUBLE) > 5000 ORDER BY key"""),
     doc = "lakehouse SQL surface: versionAsOf time travel through the graft-manifest DSv2 connector, filter/projection pushed into the stock parquet scan over the snapshot's immutable files")
 
+  // --------------------------------------------------------------- q301
+  /** Incremental aggregate maintenance from the CDC feed — the reason a
+    * change feed carries BEFORE/AFTER images: a downstream aggregate
+    * (here per-keygroup balance totals) updates from the feed's deltas
+    * alone, O(changed rows), never re-reading the table. Builds q294's
+    * two-version table, reads batch 1's feed, applies
+    * Σ(new − coalesce(old, 0)) per group on top of the v0 aggregate, and
+    * emits it NEXT TO the v1 aggregate recomputed from the snapshot —
+    * the oracle states both columns relationally, so a hash match IS the
+    * proof that feed-maintained == recomputed for every group (decimal
+    * accumulators both sides; exact, not approximately equal). This is
+    * the IVM-over-CDC composition: the q187/q295 machinery consuming the
+    * q298 feed instead of snapshots. */
+  val q301 = QueryDef(
+    "q301_cdc_incremental_agg",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q301_").toString
+      val sink = new ManifestUpsertSink(root, "key", buckets = 8)
+      val base = Tables.customer(s, d).select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("bal"), lit(0L).as("seq"))
+      sink.upsertBatch(base, "seq", batchId = 0L)
+      val upd = Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select(
+          when(pmod(col("o_custkey"), lit(21)) === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).as("key"),
+          col("o_totalprice").cast("double").as("bal"),
+          col("o_orderkey").as("seq"))
+      sink.upsertBatch(upd, "seq", batchId = 1L)
+      val img = "bal DOUBLE, key BIGINT, seq BIGINT" // name-sorted payload
+      val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+      val delta = ManifestUpsertSink.readChanges(s, root, 1L)
+        .select(pmod(col("key"), lit(10L)).as("grp"),
+          (from_json(col("new_image"), img, Map.empty[String, String]).getField("bal")
+            - coalesce(from_json(col("old_image"), img, Map.empty[String, String])
+                .getField("bal"), lit(0.0))).as("d"))
+        .groupBy(col("grp")).agg(sum(col("d").cast(dec)).as("delta"))
+      def snapshotAgg(version: Long, alias: String) =
+        ManifestUpsertSink.readVersion(s, root, version)
+          .groupBy(pmod(col("key"), lit(10L)).as("grp"))
+          .agg(sum(col("bal").cast(dec)).as(alias))
+      snapshotAgg(0L, "v0_sum")
+        .join(delta, Seq("grp"), "full_outer")
+        .join(snapshotAgg(1L, "v1_sum"), Seq("grp"), "full_outer")
+        .select(col("grp"),
+          col("v1_sum").cast("double").as("recomputed_sum"),
+          (coalesce(col("v0_sum"), lit(0).cast(dec))
+            + coalesce(col("delta"), lit(0).cast(dec)))
+            .cast("double").as("maintained_sum"))
+        .orderBy(col("grp"))
+    },
+    Some("""WITH upd0 AS (SELECT
+          CASE WHEN o_custkey % 21 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS key,
+          CAST(o_totalprice AS DOUBLE) AS bal, o_orderkey AS seq
+        FROM orders WHERE o_custkey % 7 = 0),
+      upd AS (SELECT key, arg_max(bal, seq) AS bal FROM upd0 GROUP BY key),
+      base AS (SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+      v1 AS (SELECT COALESCE(b.key, u.key) AS key, COALESCE(u.bal, b.bal) AS bal
+        FROM base b FULL OUTER JOIN upd u ON u.key = b.key),
+      d AS (SELECT u.key, u.bal - COALESCE(b.bal, 0) AS d
+        FROM upd u LEFT JOIN base b ON b.key = u.key),
+      v0g AS (SELECT key % 10 AS grp, SUM(CAST(bal AS DECIMAL(28,10))) AS s
+        FROM base GROUP BY 1),
+      v1g AS (SELECT key % 10 AS grp, SUM(CAST(bal AS DECIMAL(28,10))) AS s
+        FROM v1 GROUP BY 1),
+      dg AS (SELECT key % 10 AS grp, SUM(CAST(d AS DECIMAL(28,10))) AS s
+        FROM d GROUP BY 1)
+      SELECT COALESCE(v0g.grp, dg.grp, v1g.grp) AS grp,
+        CAST(v1g.s AS DOUBLE) AS recomputed_sum,
+        CAST(COALESCE(v0g.s, 0) + COALESCE(dg.s, 0) AS DOUBLE) AS maintained_sum
+      FROM v0g FULL OUTER JOIN dg ON dg.grp = v0g.grp
+      FULL OUTER JOIN v1g ON v1g.grp = COALESCE(v0g.grp, dg.grp)
+      ORDER BY grp"""),
+    doc = "IVM over CDC: per-group aggregate maintained from the change feed's before/after images (O(changed rows)) emitted next to the full v1 recompute — feed-maintained == recomputed, exactly, via decimal accumulators")
+
   // ---------------------------------------------------------------- q214
   /** JDBC as a SOURCE with partitioned parallel reads — the direction the
     * K3 tier hadn't exercised: orders round-trip through an embedded
@@ -518,6 +592,6 @@ object SinkQueries {
       ORDER BY batch, doc_id"""),
     doc = "additive parquet schema evolution: mergeSchema union over partition dirs, old files null-fill the new column")
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300,
+  val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
     q214, q215, q216, q228)
 }

@@ -179,6 +179,32 @@ object EventStream {
         regexp_extract(input_file_name(), "/_changes/v(\\d+)/", 1).cast("long"))
   }
 
+  /** CONTINUOUSLY-MAINTAINED aggregate over a manifest table — streaming
+    * IVM: the q301 delta algebra on the live [[changesStream]] feed. Each
+    * change row contributes `new − coalesce(old, 0)` of `valueField`
+    * (extracted from the feed's before/after images) to its group, and a
+    * plain streaming sum keeps the per-group running total — after the
+    * subscription has drained version N, the state equals the version-N
+    * snapshot aggregate exactly (decimal accumulator, so the equality is
+    * bit-exact, not approximate). O(sources·groups) state, no watermark
+    * (running totals), O(changed rows) per trigger — the materialized
+    * view the table's merges maintain instead of any consumer rescanning
+    * snapshots. `imageSchema` is the feed image's DDL (name-sorted
+    * payload columns, e.g. "bal DOUBLE, key BIGINT, seq BIGINT").
+    *
+    * Emits (grp, total) in update mode via the caller's writeStream. */
+  def maintainedAggStream(changes: DataFrame, imageSchema: String,
+      groupExpr: org.apache.spark.sql.Column, valueField: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    def img(c: String) =
+      from_json(col(c), imageSchema, Map.empty[String, String]).getField(valueField)
+    changes
+      .select(groupExpr.as("grp"),
+        (img("new_image") - coalesce(img("old_image"), lit(0.0))).as("d"))
+      .groupBy(col("grp"))
+      .agg(sum(col("d").cast(dec)).cast("double").as("total"))
+  }
+
   /** Custom keyed state via mapGroupsWithState (A5/A6 generalized): a
     * running per-key record count + last-seen sequence number that
     * survives across micro-batches — the engine-owned form of the

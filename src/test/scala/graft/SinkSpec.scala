@@ -442,6 +442,41 @@ class SinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maintainedAggStream: streaming IVM over the CDC subscription tracks the snapshot aggregate exactly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ivm_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivm_ck_").toString
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, 10.0, 1L), (2L, 20.0, 1L), (3L, 30.0, 1L))
+      .toDF("id", "v", "seq"), "seq", 0L)
+    sink.upsertBatch(Seq((2L, 25.0, 2L), (4L, 40.0, 2L))
+      .toDF("id", "v", "seq"), "seq", 1L)
+    val q = graft.streaming.EventStream.maintainedAggStream(
+        graft.streaming.EventStream.changesStream(spark, root),
+        imageSchema = "id BIGINT, seq BIGINT, v DOUBLE",
+        groupExpr = pmod(col("id"), lit(2L)), valueField = "v")
+      .writeStream.format("memory").queryName("ivm_totals")
+      .outputMode("complete") // memory sink: full state replaces the table per trigger
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .start()
+    try {
+      q.processAllAvailable()
+      def snapshotAgg(): Map[Long, Double] = sink.read(spark)
+        .groupBy(pmod(col("id"), lit(2L)).as("grp"))
+        .agg(sum(col("v")).as("t")).as[(Long, Double)].collect().toMap
+      def state(): Map[Long, Double] = spark.table("ivm_totals")
+        .select(col("grp"), col("total")).as[(Long, Double)].collect().toMap
+      assert(state() == snapshotAgg(),
+        s"after draining the feed the maintained state must equal the snapshot aggregate")
+      assert(state() == Map(0L -> 65.0, 1L -> 40.0))
+      // a live merge: the maintained view follows without any rescan
+      sink.upsertBatch(Seq((1L, 15.0, 3L), (6L, 60.0, 3L)).toDF("id", "v", "seq"), "seq", 2L)
+      q.processAllAvailable()
+      assert(state() == snapshotAgg() && state() == Map(0L -> 125.0, 1L -> 45.0))
+    } finally q.stop()
+  }
+
   test("graft-manifest DSv2 read: latest/versionAsOf/changesOf match the Scala reads; bad version raises") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_manifest8_").toString

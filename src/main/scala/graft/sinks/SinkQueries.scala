@@ -592,6 +592,86 @@ object SinkQueries {
       ORDER BY batch, doc_id"""),
     doc = "additive parquet schema evolution: mergeSchema union over partition dirs, old files null-fill the new column")
 
+  // --------------------------------------------------------------- q302
+  /** Point lookup with bucket pruning: build q294's two-version table,
+    * then read three keys back through `format("graft-manifest")`. The
+    * manifest records (keyCol, buckets) per table and (bucket, path) per
+    * file, so the connector hashes each literal with the write path's own
+    * `pmod(xxhash64(k), buckets)` and plans a parquet scan over ONLY the
+    * matching buckets' files — at 100 TB a needle lookup opens 1/buckets
+    * of the table (no stats needed, no Bloom filters, just the layout),
+    * which is the difference between an interactive lookup and a
+    * full-table scan. ManifestSkippingSpec pins the scanned-file count
+    * (== the keys' distinct buckets); THIS row pins the data: the pruned
+    * read must return exactly the merged state of the chosen keys —
+    * proof the pruning is sound, not just small. Keys chosen to cover
+    * both merge outcomes: 7 and 14 are %7 customers (updated by the
+    * max-seq order), 9 is untouched (kept at its seed balance). */
+  val q302 = QueryDef(
+    "q302_manifest_point_lookup",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q302_").toString
+      val sink = new ManifestUpsertSink(root, "key", buckets = 8)
+      val base = Tables.customer(s, d).select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("bal"), lit(0L).as("seq"))
+      sink.upsertBatch(base, "seq", batchId = 0L)
+      val upd = Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select(col("o_custkey").as("key"),
+          col("o_totalprice").cast("double").as("bal"),
+          col("o_orderkey").as("seq"))
+      sink.upsertBatch(upd, "seq", batchId = 1L)
+      s.read.format("graft-manifest").load(root)
+        .filter(col("key").isin(7L, 9L, 14L))
+        .select(col("key"), col("bal"))
+        .orderBy(col("key"))
+    },
+    Some("""WITH upd0 AS (SELECT o_custkey AS key,
+          CAST(o_totalprice AS DOUBLE) AS bal, o_orderkey AS seq
+        FROM orders WHERE o_custkey % 7 = 0),
+      upd AS (SELECT key, arg_max(bal, seq) AS bal FROM upd0 GROUP BY key),
+      base AS (SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS bal FROM customer)
+      SELECT COALESCE(b.key, u.key) AS key, COALESCE(u.bal, b.bal) AS bal
+      FROM base b FULL OUTER JOIN upd u ON u.key = b.key
+      WHERE COALESCE(b.key, u.key) IN (7, 9, 14)
+      ORDER BY key"""),
+    doc = "lakehouse point lookup: key-equality filters hash to their manifest buckets and the connector plans a parquet scan over only those files — 1/buckets of the table per key, stats-free")
+
+  // --------------------------------------------------------------- q303
+  /** File-level data skipping over a CLUSTERED layout: seed orders into
+    * the manifest lake, rewrite with `compactClustered` (range-partition
+    * by (bucket, price), sort within) so every data file covers a narrow
+    * price band, then run a price-band predicate through the connector.
+    * Commit-time footer stats (`_manifest/v<N>.stats`) give each file a
+    * [min,max] interval; the connector's may-match evaluator drops every
+    * file whose interval excludes the band BEFORE the parquet scan is
+    * planned — the Delta/Iceberg data-skipping contract, here over plain
+    * parquet + a text manifest. Hash bucketing alone can never skip on a
+    * value predicate (each bucket is a uniform sample of the range); the
+    * clustered rewrite is what converts one full-table shuffle into
+    * every future band query reading only overlapping slices.
+    * ManifestSkippingSpec pins scanned-file counts; this row pins that
+    * the pruned read returns bit-identical rows to the relational
+    * statement of the band. */
+  val q303 = QueryDef(
+    "q303_manifest_skipping",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q303_").toString
+      val sink = new ManifestUpsertSink(root, "key", buckets = 4)
+      val base = Tables.orders(s, d).select(col("o_orderkey").as("key"),
+        col("o_totalprice").cast("double").as("price"), lit(0L).as("seq"))
+      sink.upsertBatch(base, "seq", batchId = 0L)
+      sink.compactClustered(s, Seq("price"), slices = 16)
+      s.read.format("graft-manifest").load(root)
+        .filter(col("price") >= 100000.0 && col("price") < 150000.0)
+        .select(col("key"), col("price"))
+        .orderBy(col("key"))
+    },
+    Some("""SELECT o_orderkey AS key, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+      WHERE CAST(o_totalprice AS DOUBLE) >= 100000 AND CAST(o_totalprice AS DOUBLE) < 150000
+      ORDER BY key"""),
+    doc = "file-level data skipping: clustered compaction gives files narrow [min,max] price intervals; commit-time footer stats let the connector prune non-overlapping files before planning the parquet scan")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
-    q214, q215, q216, q228)
+    q302, q303, q214, q215, q216, q228)
 }

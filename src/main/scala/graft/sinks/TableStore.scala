@@ -48,6 +48,12 @@ trait TableStore extends Serializable {
     * already exists (a concurrent writer won the commit). */
   def commitNew(dir: String, name: String, content: String): Unit
 
+  /** Write `content` to `dir/name`, OVERWRITING any existing file — for
+    * advisory artifacts (the stats sidecar) whose absence or replay must
+    * cost speed, never correctness; the commit protocol proper stays on
+    * [[commitNew]]. */
+  def putString(dir: String, name: String, content: String): Unit
+
   def deleteFile(path: String): Unit
 
   /** Remove `dir` iff it is an empty directory; no-op otherwise. */
@@ -110,6 +116,15 @@ object TableStore {
       }
     }
 
+    def putString(dir: String, name: String, content: String): Unit = {
+      val d = Paths.get(dir)
+      Files.createDirectories(d)
+      val tmp = d.resolve(s".tmp-$name-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, d.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
     def deleteFile(path: String): Unit = Files.deleteIfExists(Paths.get(path))
 
     def deleteDirIfEmpty(dir: String): Unit = {
@@ -127,6 +142,11 @@ object TableStore {
     * the DSv2 connector). Never mutated, so sharing is safe;
     * `FileSystem.get` additionally caches the FS per scheme. */
   @transient private lazy val sharedConf = new Configuration()
+
+  /** The shared conf, for driver-side metadata reads that need a Hadoop
+    * `Configuration` (parquet footer stats) without re-parsing the
+    * default XMLs per call. */
+  private[graft] def hadoopConf: Configuration = sharedConf
 
   /** Hadoop `FileSystem` implementation — one code path for `file:`,
     * `hdfs:`, `s3a:` roots; driver-side only. */
@@ -178,6 +198,20 @@ object TableStore {
         f.delete(tmp, false)
         throw new IllegalStateException(s"concurrent commit of $name under $dir")
       }
+    }
+
+    def putString(dir: String, name: String, content: String): Unit = {
+      val d = new HPath(dir)
+      val f = fs(d)
+      f.mkdirs(d)
+      val tmp = new HPath(d, s".tmp-$name-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      val target = new HPath(d, name)
+      // delete-then-rename is not atomic; a reader racing the window sees
+      // a missing sidecar and simply skips pruning — the advisory contract
+      f.delete(target, false)
+      if (!f.rename(tmp, target)) f.delete(tmp, false)
     }
 
     def deleteFile(path: String): Unit = { val p = new HPath(path); fs(p).delete(p, false); () }

@@ -10,4 +10,12 @@ object GraftBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Catalyst predicate → V1 `Filter`, the protected[sql] translation the
+    * optimizer itself uses before handing filters to a DSv2 source — the
+    * manifest connector reuses it so its file-pruning evaluator sees
+    * exactly the filters the parquet scan will see. */
+  def translateFilter(e: Expression): Option[sources.Filter] =
+    execution.datasources.DataSourceStrategy.translateFilter(
+      e, supportNestedPredicatePushdown = true)
 }

@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.{ManifestStats, ManifestUpsertSink}
+import graft.sinks.ManifestStats.{ColStats, FileStats}
+
+/** File-level data skipping over the manifest lake: footer-collected
+  * stats, the conservative may-match evaluator, write-path bucket
+  * hashing parity, and the DSv2 connector pruning END TO END — scanned
+  * file counts read off the planned `ParquetScan`'s file index, results
+  * pinned against the unpruned read. */
+class ManifestSkippingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Files the planned scan will actually read. */
+  private def scannedFiles(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan match {
+        case p: ParquetScan => p.fileIndex.inputFiles.length
+      }
+    }.sum
+
+  // ------------------------------------------------------ stats + codec
+
+  test("footer stats: min/max/nulls/rows per top-level column, codec round-trips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_").toString
+    Seq((5L, 2.5, "bb", Some(1L)), (1L, -3.0, "aa", None), (9L, 0.0, "zz", Some(7L)))
+      .toDF("k", "v", "s", "opt")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val path = new java.io.File(dir).listFiles()
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+
+    val fs = ManifestStats.collect(Seq(path))(path)
+    assert(fs.rows == 3L)
+    assert(fs.cols("k") == ColStats('L', Some(1L), Some(9L), Some(0L)))
+    // max 0.0 is widened to +0.0 (no-op here); min is the true -3.0
+    assert(fs.cols("v").kind == 'D' && fs.cols("v").min.contains(-3.0)
+      && fs.cols("v").max.contains(2.5))
+    assert(fs.cols("s").min.map(b => new String(b.asInstanceOf[Array[Byte]], "UTF-8"))
+      .contains("aa"))
+    assert(fs.cols("opt").nulls.contains(1L) && fs.cols("opt").max.contains(7L))
+
+    val decoded = ManifestStats.decode(ManifestStats.encode(Map(path -> fs)))(path)
+    assert(decoded.rows == fs.rows && decoded.cols("k") == fs.cols("k"))
+    assert(java.util.Arrays.equals(
+      decoded.cols("s").max.get.asInstanceOf[Array[Byte]],
+      fs.cols("s").max.get.asInstanceOf[Array[Byte]]))
+    // torn sidecar decodes to empty — advisory, never fatal
+    assert(ManifestStats.decode("C\tgarbage").isEmpty)
+  }
+
+  test("mayMatch: interval logic, null counts, And/Or, unknowns stay conservative") {
+    import org.apache.spark.sql.sources._
+    val fs = Some(FileStats(10L, Map(
+      "k" -> ColStats('L', Some(10L), Some(20L), Some(0L)),
+      "s" -> ColStats('S', Some("bb".getBytes("UTF-8")), Some("dd".getBytes("UTF-8")), Some(0L)),
+      "allnull" -> ColStats('L', None, None, Some(10L)))))
+    def m(f: Filter) = ManifestStats.mayMatch(0L, fs, None, f)
+
+    assert(!m(EqualTo("k", 9L)) && m(EqualTo("k", 10L)) && m(EqualTo("k", 15L)))
+    assert(!m(EqualTo("k", 21L)))
+    assert(!m(GreaterThan("k", 20L)) && m(GreaterThanOrEqual("k", 20L)))
+    assert(!m(LessThan("k", 10L)) && m(LessThanOrEqual("k", 10L)))
+    assert(!m(In("k", Array(1L, 5L, 9L))) && m(In("k", Array(1L, 12L))))
+    assert(!m(IsNull("k")) && m(IsNotNull("k")))
+    assert(m(IsNull("allnull")) && !m(IsNotNull("allnull")))
+    assert(!m(EqualTo("s", "aa")) && m(EqualTo("s", "cc")) && !m(EqualTo("s", "ee")))
+    assert(!m(And(EqualTo("k", 15L), EqualTo("s", "ee"))))
+    assert(m(Or(EqualTo("k", 99L), EqualTo("s", "cc"))))
+    // unknown column / unsupported shape / missing stats: never prune
+    assert(m(EqualTo("other", 1L)) && m(Not(EqualTo("k", 15L))))
+    assert(ManifestStats.mayMatch(0L, None, None, EqualTo("k", 999L)))
+    // int literal against a long-statted column (post-coercion widths)
+    assert(!m(EqualTo("k", 9)) && m(EqualTo("k", 15)))
+  }
+
+  test("bucketOf matches the write path's pmod(xxhash64(k), buckets) exactly") {
+    import spark.implicits._
+    val expectLong = Seq(7L, 42L, 1000021L).toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(8L)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    for ((k, b) <- expectLong)
+      assert(ManifestStats.bucketOf(k, 8).contains(b), s"long key $k")
+    val expectStr = Seq("doc-1", "doc-2", "ü-unicode").toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(8L)).as("b"))
+      .as[(String, Long)].collect().toMap
+    for ((k, b) <- expectStr)
+      assert(ManifestStats.bucketOf(k, 8).contains(b), s"string key $k")
+    // unsupported literal type declines rather than guessing
+    assert(ManifestStats.bucketOf(3.14, 8).isEmpty)
+  }
+
+  // --------------------------------------------------------- end to end
+
+  test("point lookup through the connector reads one bucket's files; rows match the full scan") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_skip1_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 8)
+    sink.upsertBatch((1L to 400L).map(i => (i, i * 10.0, 0L)).toDF("id", "v", "seq"), "seq", 0L)
+    sink.compact(spark) // one file per bucket
+    val table = spark.read.format("graft-manifest").load(root)
+    assert(scannedFiles(table) == 8, "uncompacted baseline: 8 bucket files")
+
+    val hit = table.filter(col("id") === 123L)
+    assert(scannedFiles(hit) == 1, "key equality must prune to the key's bucket")
+    assert(hit.select("v").as[Double].collect().toSeq == Seq(1230.0))
+
+    val multi = table.filter(col("id").isin(5L, 123L, 300L))
+    assert(scannedFiles(multi) <= 3 && scannedFiles(multi) >= 1)
+    assert(multi.count() == 3)
+
+    // a filter on a NON-key column must not bucket-prune (hash-bucketed
+    // values span every bucket; only stats could prune, and each bucket
+    // here holds the full value range)
+    assert(scannedFiles(table.filter(col("v") > 0.0)) == 8)
+  }
+
+  test("clustered compaction + range predicate: stats prune files, results match unpruned") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_skip2_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch((1L to 1000L).map(i => (i, i.toDouble, 0L)).toDF("id", "v", "seq"), "seq", 0L)
+    sink.compactClustered(spark, Seq("v"), slices = 16)
+    val table = spark.read.format("graft-manifest").load(root)
+    val total = scannedFiles(table)
+    assert(total >= 16, s"clustered rewrite should produce >= slices files, got $total")
+
+    val band = table.filter(col("v") >= 100.0 && col("v") < 160.0)
+    val scanned = scannedFiles(band)
+    assert(scanned <= total / 4,
+      s"a 6% band over a clustered layout must skip most files: $scanned of $total")
+    assert(band.agg(sum("id")).as[Double].collect().head
+      == (100L until 160L).sum.toDouble)
+
+    // prune-to-zero: a predicate outside the table's range reads nothing
+    val none = table.filter(col("v") > 1e9)
+    assert(scannedFiles(none) == 0 && none.count() == 0)
+
+    // time travel keeps the UNclustered v0 readable and unpruned-correct
+    val v0 = spark.read.format("graft-manifest").option("versionAsOf", 0L).load(root)
+    assert(v0.filter(col("v") >= 100.0 && col("v") < 160.0).count() == 60)
+  }
+
+  test("missing sidecar: reads stay correct with zero pruning; stats survive carried buckets") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_skip3_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch((1L to 100L).map(i => (i, i.toDouble, 0L)).toDF("id", "v", "seq"), "seq", 0L)
+    sink.compact(spark)
+
+    // merge touching ONE bucket: carried buckets keep their stats lines
+    sink.upsertBatch(Seq((7L, 7000.0, 1L)).toDF("id", "v", "seq"), "seq", 2L)
+    val stats = ManifestUpsertSink.loadStats(root,
+      ManifestUpsertSink.snapshotManifest(root, None).version)
+    val entries = ManifestUpsertSink.snapshotManifest(root, None).files
+    assert(entries.forall(e => stats.contains(e.path)),
+      "every snapshot file, carried or new, must keep a stats entry")
+
+    // stats pruning: only the rewritten bucket's file can hold v > 5000
+    val table = spark.read.format("graft-manifest").load(root)
+    val hot = table.filter(col("v") > 5000.0)
+    assert(scannedFiles(hot) == 1 && hot.count() == 1)
+
+    // delete the sidecar: stats pruning off (same rows, full scan), but
+    // BUCKET pruning survives — keyCol/buckets live in the manifest itself
+    val v = ManifestUpsertSink.snapshotManifest(root, None).version
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_manifest", s"v$v.stats"))
+    val unpruned = spark.read.format("graft-manifest").load(root).filter(col("v") > 5000.0)
+    assert(scannedFiles(unpruned) == entries.size, "no sidecar -> no stats pruning")
+    assert(unpruned.count() == 1)
+    val lookup = spark.read.format("graft-manifest").load(root).filter(col("id") === 9L)
+    assert(scannedFiles(lookup) == 1 && lookup.count() == 1,
+      "bucket pruning needs no sidecar")
+  }
+
+  test("key-column mismatch fails loudly, like a bucket-count mismatch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_skip4_").toString
+    new ManifestUpsertSink(root, "id", buckets = 4)
+      .upsertBatch(Seq((1L, 1L)).toDF("id", "seq"), "seq", 0L)
+    val ex = intercept[IllegalStateException] {
+      new ManifestUpsertSink(root, "seq", buckets = 4)
+        .upsertBatch(Seq((2L, 2L)).toDF("id", "seq"), "seq", 1L)
+    }
+    assert(ex.getMessage.contains("keyCol"))
+  }
+}

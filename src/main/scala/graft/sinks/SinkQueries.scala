@@ -672,6 +672,94 @@ object SinkQueries {
       ORDER BY key"""),
     doc = "file-level data skipping: clustered compaction gives files narrow [min,max] price intervals; commit-time footer stats let the connector prune non-overlapping files before planning the parquet scan")
 
+  // --------------------------------------------------------------- q304
+  /** JOIN-view IVM from the CDC feed — the step past q301: there the
+    * maintained group was a pure function of the immutable key, so a row
+    * could never LEAVE its group; here the view is
+    * `SELECT n_name, SUM(bal) FROM table JOIN nation ON nationkey GROUP
+    * BY n_name` and an update may move a customer to a different nation.
+    * The feed's BEFORE/AFTER images carry the group column on both
+    * sides, so each change contributes two signed deltas — −old.bal to
+    * the old row's nation, +new.bal to the new row's — and the
+    * dimension join happens on the DELTAS (O(changed rows) ⋈ broadcast
+    * dim), never on the re-read table. Synthetic churn: every updated
+    * customer is reassigned to nation `custkey % 25`, so most updates
+    * cross groups. Emitted next to the v1 recompute; the oracle states
+    * both columns relationally — feed-maintained == recomputed for every
+    * nation, exactly (decimal accumulators both sides). */
+  val q304 = QueryDef(
+    "q304_cdc_join_ivm",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q304_").toString
+      val sink = new ManifestUpsertSink(root, "key", buckets = 8)
+      val base = Tables.customer(s, d).select(col("c_custkey").as("key"),
+        col("c_nationkey").cast("long").as("nationkey"),
+        col("c_acctbal").cast("double").as("bal"), lit(0L).as("seq"))
+      sink.upsertBatch(base, "seq", batchId = 0L)
+      val upd = Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select(col("o_custkey").as("key"),
+          pmod(col("o_custkey"), lit(25L)).as("nationkey"),
+          col("o_totalprice").cast("double").as("bal"),
+          col("o_orderkey").as("seq"))
+      sink.upsertBatch(upd, "seq", batchId = 1L)
+
+      val img = "bal DOUBLE, key BIGINT, nationkey BIGINT, seq BIGINT" // name-sorted payload
+      val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+      val feed = ManifestUpsertSink.readChanges(s, root, 1L)
+        .select(from_json(col("old_image"), img, Map.empty[String, String]).as("o"),
+          from_json(col("new_image"), img, Map.empty[String, String]).as("n"))
+      // two signed deltas per change: the new row joins in, the old row
+      // (absent for inserts) leaves — group-membership churn included
+      val deltas = feed.select(col("n.nationkey").as("nationkey"),
+          col("n.bal").cast(dec).as("d"))
+        .unionAll(feed.filter(col("o").isNotNull)
+          .select(col("o.nationkey").as("nationkey"), (-col("o.bal")).cast(dec).as("d")))
+        .groupBy(col("nationkey")).agg(sum(col("d")).as("delta"))
+      def snapshotAgg(version: Long, alias: String) =
+        ManifestUpsertSink.readVersion(s, root, version)
+          .groupBy(col("nationkey")).agg(sum(col("bal").cast(dec)).as(alias))
+      snapshotAgg(0L, "v0_sum")
+        .join(deltas, Seq("nationkey"), "full_outer")
+        .join(snapshotAgg(1L, "v1_sum"), Seq("nationkey"), "full_outer")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("nationkey"), col("n_name"))),
+          Seq("nationkey"))
+        .select(col("nationkey"), col("n_name").as("nation"),
+          col("v1_sum").cast("double").as("recomputed_sum"),
+          (coalesce(col("v0_sum"), lit(0).cast(dec))
+            + coalesce(col("delta"), lit(0).cast(dec)))
+            .cast("double").as("maintained_sum"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""WITH upd0 AS (SELECT o_custkey AS key, o_custkey % 25 AS nationkey,
+          CAST(o_totalprice AS DOUBLE) AS bal, o_orderkey AS seq
+        FROM orders WHERE o_custkey % 7 = 0),
+      upd AS (SELECT key, arg_max(nationkey, seq) AS nationkey, arg_max(bal, seq) AS bal
+        FROM upd0 GROUP BY key),
+      base AS (SELECT c_custkey AS key, CAST(c_nationkey AS BIGINT) AS nationkey,
+          CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+      v1 AS (SELECT COALESCE(u.key, b.key) AS key,
+          COALESCE(u.nationkey, b.nationkey) AS nationkey,
+          COALESCE(u.bal, b.bal) AS bal
+        FROM base b FULL OUTER JOIN upd u ON u.key = b.key),
+      deltas AS (SELECT u.nationkey, CAST(u.bal AS DECIMAL(28,10)) AS d FROM upd u
+        UNION ALL
+        SELECT b.nationkey, -CAST(b.bal AS DECIMAL(28,10)) AS d
+        FROM base b JOIN upd u ON u.key = b.key),
+      v0g AS (SELECT nationkey, SUM(CAST(bal AS DECIMAL(28,10))) AS s FROM base GROUP BY 1),
+      v1g AS (SELECT nationkey, SUM(CAST(bal AS DECIMAL(28,10))) AS s FROM v1 GROUP BY 1),
+      dg AS (SELECT nationkey, SUM(d) AS s FROM deltas GROUP BY 1),
+      g AS (SELECT COALESCE(v0g.nationkey, dg.nationkey, v1g.nationkey) AS nationkey,
+          v0g.s AS s0, dg.s AS sd, v1g.s AS s1
+        FROM v0g FULL OUTER JOIN dg ON dg.nationkey = v0g.nationkey
+        FULL OUTER JOIN v1g ON v1g.nationkey = COALESCE(v0g.nationkey, dg.nationkey))
+      SELECT g.nationkey, n.n_name AS nation,
+        CAST(g.s1 AS DOUBLE) AS recomputed_sum,
+        CAST(COALESCE(g.s0, 0) + COALESCE(g.sd, 0) AS DOUBLE) AS maintained_sum
+      FROM g JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = g.nationkey
+      ORDER BY g.nationkey"""),
+    doc = "join-view IVM over CDC: before/after images route two signed deltas through group-membership churn, dimension join on the O(changed rows) deltas — feed-maintained == recomputed per nation, exactly")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
-    q302, q303, q214, q215, q216, q228)
+    q302, q303, q304, q214, q215, q216, q228)
 }

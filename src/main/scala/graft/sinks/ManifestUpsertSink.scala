@@ -223,6 +223,54 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     }
   }
 
+  /** Z-ORDER compaction: like [[compactClustered]] but the range key is a
+    * Morton interleave of the columns' QUANTILE RANKS, so every data file
+    * gets a narrow [min,max] interval in EVERY z-dimension at once — the
+    * layout that makes multi-dimensional predicates file-prunable
+    * (q186 models the effect on a lattice; this produces it physically).
+    * Lexicographic clustering bounds only its leading column: a file
+    * covering one `x` slice still spans all of `y`. The curve bounds
+    * both, at the price of slightly wider per-dimension intervals.
+    *
+    * Rank mapping: 255 approx-percentile boundaries per column (one
+    * cheap agg pass over the snapshot, driver-held, skew-robust — an
+    * equi-depth histogram, Delta's range_partition_id idea without the
+    * extra shuffle), each row's 8-bit bucket per dimension found by a
+    * codegen'd fold over the broadcast boundary array, bits interleaved
+    * bucket-major. The z key orders the rewrite and is dropped before
+    * write — the data files carry only table columns; skipping reads
+    * their ORIGINAL min/max from the stats sidecar, no curve math at
+    * query time. Up to 4 dimensions (8 bits each). */
+  def compactZOrder(spark: SparkSession, zCols: Seq[String], slices: Int): Unit = {
+    require(zCols.nonEmpty && zCols.size <= 4,
+      "z-order supports 1-4 cluster columns (8 bits each)")
+    val zKey = "__zorder"
+    compactInto(spark) { all =>
+      val probs = (1 to 255).map(i => i / 256.0)
+      val ranked = zCols.foldLeft(all) { (df, c) =>
+        val bounds = df.agg(expr(
+          s"approx_percentile(CAST(`$c` AS DOUBLE), array(${probs.mkString(",")}), 10000)"))
+          .head().getSeq[Any](0)
+        val bArr = Option(bounds).map(_.map(v => lit(v.toString.toDouble)))
+          .getOrElse(Seq(lit(0.0)))
+        // equi-depth bucket 0..255: count boundaries the value clears
+        // (nulls compare to null -> add 0 -> bucket 0, a stable corner)
+        df.withColumn(s"__zb_$c", aggregate(array(bArr: _*), lit(0L),
+          (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L)))
+      }
+      val dims = zCols.size
+      val z = (0 until 8).foldLeft(lit(0L)) { (acc, k) =>
+        zCols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+          a + shiftleft(shiftright(col(s"__zb_$c"), k).bitwiseAND(lit(1L)), k * dims + j)
+        }
+      }
+      ranked.withColumn(zKey, z)
+        .repartitionByRange(math.max(slices, 1), col(BucketCol), col(zKey))
+        .sortWithinPartitions(col(BucketCol), col(zKey))
+        .drop(zKey +: zCols.map(c => s"__zb_$c"): _*)
+    }
+  }
+
   private def compactInto(spark: SparkSession)(layout: DataFrame => DataFrame): Unit = {
     val cur = latestManifest(root, store).getOrElse(return)
     if (cur.files.isEmpty) return

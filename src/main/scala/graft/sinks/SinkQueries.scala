@@ -760,6 +760,46 @@ object SinkQueries {
       ORDER BY g.nationkey"""),
     doc = "join-view IVM over CDC: before/after images route two signed deltas through group-membership churn, dimension join on the O(changed rows) deltas — feed-maintained == recomputed per nation, exactly")
 
+  // --------------------------------------------------------------- q305
+  /** Z-order made physical: q186 computes, on an arithmetic lattice, how
+    * many files a (user band × date window) predicate WOULD scan under
+    * natural / 1-D / Morton layouts; this row builds the Morton layout
+    * for real — events into the manifest lake, `compactZOrder` over
+    * (user_id, day), the same two-dimensional predicate through the
+    * connector — and returns the band's aggregate. The commit-time stats
+    * sidecar holds each rewritten file's [min,max] in BOTH dimensions
+    * (curve locality is what makes both intervals narrow at once), so
+    * the connector's may-match pass prunes in two dimensions before the
+    * parquet scan is planned; ManifestSkippingSpec pins the scanned-file
+    * geometry (z-order prunes on x, on y, and hardest on x∧y, where
+    * lexicographic clustering cannot skip its trailing dimension at
+    * all). The oracle states the band aggregate relationally from the
+    * raw events — layout and skipping must be invisible to the answer. */
+  val q305 = QueryDef(
+    "q305_manifest_zorder",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q305_").toString
+      val sink = new ManifestUpsertSink(root, "event_id", buckets = 2)
+      val base = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        expr("ts_ns div 86400000000000").as("dd"),
+        col("value").cast("double").as("value"), lit(0L).as("seq"))
+      sink.upsertBatch(base, "seq", batchId = 0L)
+      sink.compactZOrder(s, Seq("user_id", "dd"), slices = 32)
+      s.read.format("graft-manifest").load(root)
+        .filter(col("user_id").between(32L, 47L) && col("dd").between(19728L, 19735L))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"),
+          sum(col("event_id")).as("id_checksum"))
+    },
+    Some("""SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST(SUM(event_id) AS BIGINT) AS id_checksum
+      FROM events
+      WHERE user_id BETWEEN 32 AND 47
+        AND epoch_ns(ts) // 86400000000000 BETWEEN 19728 AND 19735"""),
+    doc = "physical z-order: compactZOrder rewrites the lake on a Morton curve of quantile ranks; the 2-D band predicate file-prunes in both dimensions via commit-time stats before the parquet scan plans")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
-    q302, q303, q304, q214, q215, q216, q228)
+    q302, q303, q304, q305, q214, q215, q216, q228)
 }

@@ -179,6 +179,41 @@ class ManifestSkippingSpec extends AnyFunSuite {
       "bucket pruning needs no sidecar")
   }
 
+  test("z-order compaction: files bound BOTH dimensions; lexicographic bounds only its leading one") {
+    import spark.implicits._
+    // a 100x100 grid: every (x, y) cell once — geometry is exact
+    val grid = (0L until 10000L).map(i => (i, i % 100L, i / 100L, 0L))
+      .toDF("id", "x", "y", "seq")
+    def build(f: ManifestUpsertSink => Unit): DataFrame = {
+      val root = java.nio.file.Files.createTempDirectory("graft_skipz_").toString
+      val sink = new ManifestUpsertSink(root, "id", buckets = 1)
+      sink.upsertBatch(grid, "seq", 0L)
+      f(sink)
+      spark.read.format("graft-manifest").load(root)
+    }
+    val lex = build(_.compactClustered(spark, Seq("x"), slices = 64))
+    val zed = build(_.compactZOrder(spark, Seq("x", "y"), slices = 64))
+    val total = scannedFiles(zed)
+    assert(total >= 32, s"expected ~64 slice files, got $total")
+
+    def xBand(t: DataFrame) = t.filter(col("x") >= 10L && col("x") < 20L)
+    def yBand(t: DataFrame) = t.filter(col("y") >= 10L && col("y") < 20L)
+    def cell(t: DataFrame) = xBand(t).filter(col("y") >= 10L && col("y") < 20L)
+
+    // lexicographic: x prunes hard, y prunes NOTHING (each file spans all y)
+    assert(scannedFiles(xBand(lex)) <= scannedFiles(lex) / 4)
+    assert(scannedFiles(yBand(lex)) == scannedFiles(lex),
+      "an x-clustered layout cannot skip on y — the gap z-order closes")
+    // z-order: both 1-D bands prune, and their intersection prunes hardest
+    assert(scannedFiles(xBand(zed)) <= total / 2, s"x band: ${scannedFiles(xBand(zed))}/$total")
+    assert(scannedFiles(yBand(zed)) <= total / 2, s"y band: ${scannedFiles(yBand(zed))}/$total")
+    assert(scannedFiles(cell(zed)) <= total / 5, s"2-D cell: ${scannedFiles(cell(zed))}/$total")
+    // pruning is sound: the 1% cell returns exactly its 100 grid points
+    assert(cell(zed).count() == 100 && cell(lex).count() == 100)
+    assert(cell(zed).agg(sum("id")).as[Long].collect().head
+      == cell(lex).agg(sum("id")).as[Long].collect().head)
+  }
+
   test("key-column mismatch fails loudly, like a bucket-count mismatch") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_skip4_").toString

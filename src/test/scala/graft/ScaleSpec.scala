@@ -155,7 +155,8 @@ class ScaleSpec extends AnyFunSuite {
       "q287_conversion_hazard", // crossJoin(broadcast(1-row horizon + 31-row day axis))
       "q288_association_rules", // crossJoin(broadcast(1-row user count))
       "q289_anova_f",           // 1-row-to-1-row final reduction
-      "q279_recency_weighting") // crossJoin(broadcast(1-row corpus horizon))
+      "q279_recency_weighting", // crossJoin(broadcast(1-row corpus horizon))
+      "q306_persistent_ann_index") // q184's k=4 centroid codebook broadcast (assignTo)
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

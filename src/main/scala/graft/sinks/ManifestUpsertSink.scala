@@ -143,6 +143,48 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     commit(root, store, Manifest(version, batchId, Some(buckets), Some(keyCol), carried ++ written))
   }
 
+  /** DELETE by key — the third CDC verb (upsert covers insert/update):
+    * remove every row whose key appears in `keys`, rewriting only the
+    * touched buckets (cost ∝ touched bytes, the same copy-on-write
+    * contract as MERGE) and recording a `deleted` change-feed row with
+    * the BEFORE image for each key that actually existed — so IVM
+    * consumers subtract departures exactly as they add arrivals, and a
+    * delete of an absent key is a clean no-op (no feed row, no rewrite
+    * beyond its bucket). Replay-guarded by `batchId` like the merge; a
+    * bucket whose rows all die simply stops appearing in the manifest. */
+  def deleteKeys(keys: DataFrame, batchId: Long): Unit = {
+    val spark = keys.sparkSession
+    val cur = latestManifest(root, store).getOrElse(return) // empty table: nothing to delete
+    if (cur.batchId >= batchId) return // replayed batch: no-op
+    requireSameBuckets(Some(cur))
+    val version = cur.version + 1
+    val keyed = keys.select(col(keyCol)).distinct()
+      .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+    val touched = keyed.select(col(BucketCol)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val carried = cur.files.filterNot(f => touched(f.bucket))
+    val touchedFiles = cur.files.filter(f => touched(f.bucket)).map(_.path)
+    if (touchedFiles.isEmpty) return // no touched bucket holds data: no-op
+    val current = spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*)
+    // feed first (same crash contract as the merge): one `deleted` row per
+    // key that exists, BEFORE image only
+    val victims = current.join(keyed.select(col(keyCol)), Seq(keyCol), "left_semi")
+    victims.select(col(keyCol), lit("deleted").as("change"),
+        xxhash64(payloadImage(victims)).as("old_hash"),
+        lit(null).cast("long").as("new_hash"),
+        payloadImage(victims).as("old_image"),
+        lit(null).cast("string").as("new_image"))
+      .write.mode("overwrite").parquet(s"$root/_changes/v$version")
+    val survivors = current
+      .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+      .join(keyed.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val dataDir = s"$root/data/v$version"
+    survivors.write.mode("overwrite").partitionBy(BucketCol).parquet(dataDir)
+    val written = listParquet(dataDir, store)
+    writeStats(version, Some(cur.version), carried, written)
+    commit(root, store, Manifest(version, batchId, Some(buckets), Some(keyCol), carried ++ written))
+  }
+
   /** Data-skipping sidecar for version `version`: footer stats of the
     * files this commit WROTE (metadata-only driver reads, cost ∝ new
     * files) plus the previous sidecar's lines for the files it CARRIES —

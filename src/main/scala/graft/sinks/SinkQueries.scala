@@ -800,6 +800,89 @@ object SinkQueries {
         AND epoch_ns(ts) // 86400000000000 BETWEEN 19728 AND 19735"""),
     doc = "physical z-order: compactZOrder rewrites the lake on a Morton curve of quantile ranks; the 2-D band predicate file-prunes in both dimensions via commit-time stats before the parquet scan plans")
 
+  // --------------------------------------------------------------- q307
+  /** The full CRUD lifecycle through the lake, IVM-complete: seed
+    * (insert), merge (update), then DELETE every %5 key — the verb the
+    * LWW merge never emits — and maintain a per-group balance aggregate
+    * from the THREE change feeds alone: +new−old for merges, −old for
+    * deletes (the `deleted` feed row carries the BEFORE image, which is
+    * exactly the subtraction a downstream view needs). Emitted next to
+    * the v2 recompute; the oracle states both relationally, so the hash
+    * match proves the delete path's copy-on-write rewrite, its feed, and
+    * the differential consumer all agree — O(changed rows) maintenance
+    * over inserts, updates, AND removals. */
+  val q307 = QueryDef(
+    "q307_cdc_delete_ivm",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q307_").toString
+      val sink = new ManifestUpsertSink(root, "key", buckets = 8)
+      val base = Tables.customer(s, d).select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("bal"), lit(0L).as("seq"))
+      sink.upsertBatch(base, "seq", batchId = 0L)
+      val upd = Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select(col("o_custkey").as("key"),
+          col("o_totalprice").cast("double").as("bal"),
+          col("o_orderkey").as("seq"))
+      sink.upsertBatch(upd, "seq", batchId = 1L)
+      sink.deleteKeys(Tables.customer(s, d)
+        .filter(pmod(col("c_custkey"), lit(5)) === 0)
+        .select(col("c_custkey").as("key")), batchId = 2L)
+
+      val img = "bal DOUBLE, key BIGINT, seq BIGINT" // name-sorted payload
+      val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+      def grp(c: org.apache.spark.sql.Column) = pmod(c, lit(10L))
+      val d1 = ManifestUpsertSink.readChanges(s, root, 1L)
+        .select(grp(col("key")).as("grp"),
+          (from_json(col("new_image"), img, Map.empty[String, String]).getField("bal")
+            - coalesce(from_json(col("old_image"), img, Map.empty[String, String])
+                .getField("bal"), lit(0.0))).cast(dec).as("d"))
+      val d2 = ManifestUpsertSink.readChanges(s, root, 2L)
+        .select(grp(col("key")).as("grp"),
+          (-from_json(col("old_image"), img, Map.empty[String, String]).getField("bal"))
+            .cast(dec).as("d"))
+      val delta = d1.unionAll(d2).groupBy(col("grp")).agg(sum(col("d")).as("delta"))
+      def snapshotAgg(version: Long, alias: String) =
+        ManifestUpsertSink.readVersion(s, root, version)
+          .groupBy(grp(col("key")).as("grp"))
+          .agg(sum(col("bal").cast(dec)).as(alias))
+      snapshotAgg(0L, "v0_sum")
+        .join(delta, Seq("grp"), "full_outer")
+        .join(snapshotAgg(2L, "v2_sum"), Seq("grp"), "full_outer")
+        .select(col("grp"),
+          col("v2_sum").cast("double").as("recomputed_sum"),
+          (coalesce(col("v0_sum"), lit(0).cast(dec))
+            + coalesce(col("delta"), lit(0).cast(dec)))
+            .cast("double").as("maintained_sum"))
+        .orderBy(col("grp"))
+    },
+    Some("""WITH upd0 AS (SELECT o_custkey AS key,
+          CAST(o_totalprice AS DOUBLE) AS bal, o_orderkey AS seq
+        FROM orders WHERE o_custkey % 7 = 0),
+      upd AS (SELECT key, arg_max(bal, seq) AS bal FROM upd0 GROUP BY key),
+      base AS (SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+      v1 AS (SELECT COALESCE(b.key, u.key) AS key, COALESCE(u.bal, b.bal) AS bal
+        FROM base b FULL OUTER JOIN upd u ON u.key = b.key),
+      v2 AS (SELECT key, bal FROM v1 WHERE key % 5 <> 0),
+      d1 AS (SELECT u.key, u.bal - COALESCE(b.bal, 0) AS d
+        FROM upd u LEFT JOIN base b ON b.key = u.key),
+      d2 AS (SELECT key, -bal AS d FROM v1 WHERE key % 5 = 0),
+      v0g AS (SELECT key % 10 AS grp, SUM(CAST(bal AS DECIMAL(28,10))) AS s
+        FROM base GROUP BY 1),
+      v2g AS (SELECT key % 10 AS grp, SUM(CAST(bal AS DECIMAL(28,10))) AS s
+        FROM v2 GROUP BY 1),
+      dg AS (SELECT grp, SUM(d) AS s FROM (
+          SELECT key % 10 AS grp, CAST(d AS DECIMAL(28,10)) AS d FROM d1
+          UNION ALL
+          SELECT key % 10 AS grp, CAST(d AS DECIMAL(28,10)) AS d FROM d2)
+        GROUP BY grp)
+      SELECT COALESCE(v0g.grp, dg.grp, v2g.grp) AS grp,
+        CAST(v2g.s AS DOUBLE) AS recomputed_sum,
+        CAST(COALESCE(v0g.s, 0) + COALESCE(dg.s, 0) AS DOUBLE) AS maintained_sum
+      FROM v0g FULL OUTER JOIN dg ON dg.grp = v0g.grp
+      FULL OUTER JOIN v2g ON v2g.grp = COALESCE(v0g.grp, dg.grp)
+      ORDER BY grp"""),
+    doc = "CRUD-complete CDC: keyed DELETE rewrites only touched buckets and feeds `deleted` rows with BEFORE images; the maintained aggregate absorbs inserts, updates, and removals from feeds alone — feed-maintained == recomputed, exactly")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
-    q302, q303, q304, q305, q214, q215, q216, q228)
+    q302, q303, q304, q305, q307, q214, q215, q216, q228)
 }

@@ -510,6 +510,51 @@ class SinkSpec extends AnyFunSuite {
       s"filter must push into the parquet scan:\n${plan.take(1500)}")
   }
 
+  test("deleteKeys: touched-bucket rewrite, deleted feed rows with BEFORE images, no-op edges") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest9_").toString
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch((1L to 20L).map(i => (i, s"p$i", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    val before = graft.sinks.ManifestUpsertSink.snapshotManifest(root, None)
+
+    // delete two existing keys and one absent key
+    sink.deleteKeys(Seq(3L, 7L, 999L).toDF("id"), batchId = 1L)
+    val after = graft.sinks.ManifestUpsertSink.snapshotManifest(root, None)
+    assert(sink.read(spark).select("id").as[Long].collect().toSet
+      == (1L to 20L).toSet -- Set(3L, 7L))
+    // untouched buckets carry their ORIGINAL files forward verbatim
+    val touched = Seq(3L, 7L, 999L).toDF("id")
+      .select(pmod(xxhash64(col("id")), lit(4L))).as[Long].collect().toSet
+    val carriedBefore = before.files.filterNot(f => touched(f.bucket)).toSet
+    assert(carriedBefore.subsetOf(after.files.toSet),
+      "deleteKeys must not rewrite untouched buckets")
+    // the feed records ONLY the keys that existed, with BEFORE images
+    val feed = graft.sinks.ManifestUpsertSink.readChanges(spark, root, 1L)
+      .select("id", "change", "old_image", "new_image")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    assert(feed.map(_._1).toSeq == Seq(3L, 7L))
+    assert(feed.forall(r => r._2 == "deleted" && r._3 != null && r._4 == null))
+    assert(feed.head._3.contains("\"p\":\"p3\""), s"BEFORE image carries the payload: ${feed.head._3}")
+
+    // replayed delete is a no-op; so is a delete of only-absent keys
+    sink.deleteKeys(Seq(5L).toDF("id"), batchId = 1L)
+    assert(graft.sinks.ManifestUpsertSink.snapshotManifest(root, None).version == after.version,
+      "replayed batch id must not commit")
+    sink.deleteKeys(Seq(888L).toDF("id"), batchId = 2L)
+    assert(sink.read(spark).count() == 18)
+
+    // deleting a whole bucket's keys makes the bucket vanish from the manifest
+    val bucketOfOne = Seq(1L).toDF("id")
+      .select(pmod(xxhash64(col("id")), lit(4L))).as[Long].collect().head
+    val sameBucket = (1L to 20L).filter(k =>
+      graft.sinks.ManifestStats.bucketOf(k, 4).contains(bucketOfOne))
+    sink.deleteKeys(sameBucket.toDF("id"), batchId = 3L)
+    val m = graft.sinks.ManifestUpsertSink.snapshotManifest(root, None)
+    assert(!m.files.exists(_.bucket == bucketOfOne),
+      "an emptied bucket must stop appearing in the manifest")
+    assert(sink.read(spark).count() == 18 - sameBucket.count(k => k != 3L && k != 7L))
+  }
+
   test("merge-time change feed equals the snapshot diff; vacuum removes emptied dirs") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_manifest7_").toString

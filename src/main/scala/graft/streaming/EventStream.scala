@@ -181,8 +181,10 @@ object EventStream {
 
   /** CONTINUOUSLY-MAINTAINED aggregate over a manifest table — streaming
     * IVM: the q301 delta algebra on the live [[changesStream]] feed. Each
-    * change row contributes `new − coalesce(old, 0)` of `valueField`
-    * (extracted from the feed's before/after images) to its group, and a
+    * change row contributes `coalesce(new, 0) − coalesce(old, 0)` of
+    * `valueField` (extracted from the feed's before/after images) to its
+    * group — inserts add (null old), updates move, DELETES subtract
+    * (null new, the `deleteKeys` feed rows) — and a
     * plain streaming sum keeps the per-group running total — after the
     * subscription has drained version N, the state equals the version-N
     * snapshot aggregate exactly (decimal accumulator, so the equality is
@@ -200,7 +202,8 @@ object EventStream {
       from_json(col(c), imageSchema, Map.empty[String, String]).getField(valueField)
     changes
       .select(groupExpr.as("grp"),
-        (img("new_image") - coalesce(img("old_image"), lit(0.0))).as("d"))
+        (coalesce(img("new_image"), lit(0.0))
+          - coalesce(img("old_image"), lit(0.0))).as("d"))
       .groupBy(col("grp"))
       .agg(sum(col("d").cast(dec)).cast("double").as("total"))
   }

@@ -474,6 +474,11 @@ class SinkSpec extends AnyFunSuite {
       sink.upsertBatch(Seq((1L, 15.0, 3L), (6L, 60.0, 3L)).toDF("id", "v", "seq"), "seq", 2L)
       q.processAllAvailable()
       assert(state() == snapshotAgg() && state() == Map(0L -> 125.0, 1L -> 45.0))
+      // a live DELETE: the `deleted` feed row's BEFORE image subtracts —
+      // the maintained view absorbs all three CDC verbs
+      sink.deleteKeys(Seq(2L, 6L).toDF("id"), batchId = 3L)
+      q.processAllAvailable()
+      assert(state() == snapshotAgg() && state() == Map(0L -> 40.0, 1L -> 45.0))
     } finally q.stop()
   }
 

@@ -136,7 +136,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     // overwrite: a crash AFTER the data write but BEFORE the manifest
     // commit leaves an orphaned v<N> dir no manifest references; the
     // replayed batch must be able to reclaim it
-    survivors.write.mode("overwrite").partitionBy(BucketCol).parquet(dataDir)
+    writeData(survivors, dataDir)
     // list what was just written (driver-side, ≤ touched buckets × files)
     val written = listParquet(dataDir, store)
     writeStats(version, cur.map(_.version), carried, written)
@@ -179,11 +179,22 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
       .join(keyed.select(col(keyCol)), Seq(keyCol), "left_anti")
     val dataDir = s"$root/data/v$version"
-    survivors.write.mode("overwrite").partitionBy(BucketCol).parquet(dataDir)
+    writeData(survivors, dataDir)
     val written = listParquet(dataDir, store)
     writeStats(version, Some(cur.version), carried, written)
     commit(root, store, Manifest(version, batchId, Some(buckets), Some(keyCol), carried ++ written))
   }
+
+  /** The one data-file writer: every version's files are written with a
+    * parquet BLOOM FILTER on the key column, so point lookups that
+    * survive file-level pruning also skip row groups inside the files
+    * they do open (Spark's vectorized reader tests pushed equality
+    * filters against the bloom automatically — free at read time, a few
+    * KB per row group at write time). */
+  private def writeData(df: DataFrame, dataDir: String): Unit =
+    df.write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+      .partitionBy(BucketCol).parquet(dataDir)
 
   /** Data-skipping sidecar for version `version`: footer stats of the
     * files this commit WROTE (metadata-only driver reads, cost ∝ new
@@ -240,6 +251,34 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     * no row changed. */
   def compact(spark: SparkSession): Unit = compactInto(spark) { all =>
     all.repartition(buckets, col(BucketCol))
+  }
+
+  /** INCREMENTAL compaction — the sustained-ingest form: rewrite ONLY the
+    * buckets holding at least `minFilesPerBucket` data files (each merge
+    * leaves a part-file set per touched bucket per batch, so hot buckets
+    * accrete small files) and carry every other bucket's entries forward
+    * verbatim, zero I/O. Cost is ∝ fat-bucket bytes, never table bytes —
+    * a full [[compact]] is the degenerate `minFilesPerBucket = 1`. The
+    * replay guard keeps the merged batch id, like compact. No-op (no new
+    * version) when no bucket crosses the threshold. */
+  def compactIncremental(spark: SparkSession, minFilesPerBucket: Int = 4): Unit = {
+    val cur = latestManifest(root, store).getOrElse(return)
+    if (cur.files.isEmpty) return
+    requireSameBuckets(Some(cur))
+    val fat: Set[Long] = cur.files.groupBy(_.bucket)
+      .collect { case (b, fs) if fs.size >= math.max(1, minFilesPerBucket) => b }.toSet
+    if (fat.isEmpty) return
+    val version = cur.version + 1
+    val carried = cur.files.filterNot(f => fat(f.bucket))
+    val fatFiles = cur.files.filter(f => fat(f.bucket)).map(_.path)
+    val rows = spark.read.option("mergeSchema", "true").parquet(fatFiles: _*)
+      .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+      .repartition(math.max(fat.size, 1), col(BucketCol))
+    val dataDir = s"$root/data/v$version"
+    writeData(rows, dataDir)
+    val written = listParquet(dataDir, store)
+    writeStats(version, Some(cur.version), carried, written)
+    commit(root, store, Manifest(version, cur.batchId, Some(buckets), Some(keyCol), carried ++ written))
   }
 
   /** CLUSTERED compaction: rewrite the snapshot range-partitioned by
@@ -322,7 +361,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       spark.read.option("mergeSchema", "true").parquet(cur.files.map(_.path): _*)
         .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong))))
     val dataDir = s"$root/data/v$version"
-    all.write.mode("overwrite").partitionBy(BucketCol).parquet(dataDir)
+    writeData(all, dataDir)
     val written = listParquet(dataDir, store)
     // a compaction rewrites every file, so its sidecar is all-new stats
     store.putString(s"$root/_manifest", s"v$version.stats",

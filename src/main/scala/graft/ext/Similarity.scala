@@ -2641,6 +2641,103 @@ object Similarity {
       FROM g ORDER BY cid"""),
     doc = "persistent ANN index: q184 codebook + full assignment merged into a vec_id-keyed lake table, corpus delta maintained by re-assigning only changed vectors against the committed centroids — maintained census == full-recompute census per cell")
 
+  // --------------------------------------------------------------- q309
+  /** SERVING from the persisted index — the read half of q306's
+    * lifecycle (build once, MAINTAIN incrementally, QUERY many): the
+    * assignment table (vec_id, cid, csim, emb) is committed to the lake
+    * and then CLUSTERED BY CENTROID ([[graft.sinks.ManifestUpsertSink
+    * .compactClustered]] on `cid`), so a probe's `cid IN (...)`
+    * predicate file-prunes through the connector's stats skipping —
+    * each query reads only its nprobe centroids' posting-list files,
+    * never the corpus (the plan pin lives in ManifestSkippingSpec's
+    * probe case; at 100 TB this is the difference between an index
+    * lookup and a table scan). Probe set: nprobe=2 nearest centroids
+    * per query against the broadcast 4-row codebook, the ≤8 probed cids
+    * collected driver-side so the filter pushes as literals. Candidates
+    * re-rank by EXACT cosine (IVF's re-rank contract) → top-10; the row
+    * reports recall@10 per query against brute force over the same
+    * corpus. The oracle restates index build, probe, serve, and ground
+    * truth relationally from the shared deterministic k-means — a hash
+    * match proves the LAKE round-trip (merge → cluster → prune → serve)
+    * changes nothing about the answer. */
+  val q309 = QueryDef(
+    "q309_ann_index_serve",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q309_").toString
+      val sink = new graft.sinks.ManifestUpsertSink(root, "vec_id", buckets = 4)
+      val cents = kmeansCentroids(s, d)
+      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+      sink.upsertBatch(
+        assignTo(cents, e).join(e, Seq("vec_id")).withColumn("seq", lit(0L)),
+        "seq", batchId = 0L)
+      // serving layout: posting lists clustered by centroid -> prunable
+      sink.compactClustered(s, Seq("cid"), slices = 16)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val probeW = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cid"))
+      val probes = q.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cid"),
+          round(cosine(col("q_emb"), col("c")), 6).as("csim"))
+        .withColumn("pr", row_number().over(probeW))
+        .filter(col("pr") <= 2)
+        .select(col("q_id"), col("cid"))
+      // bounded driver set (≤ queries × nprobe = 10 values): the probe
+      // filter must reach the connector as literals to prune files
+      val probeCids = probes.select(col("cid")).distinct().collect().map(_.get(0))
+      val index = s.read.format("graft-manifest").load(root)
+        .filter(col("cid").isin(probeCids: _*))
+        .select(col("vec_id"), col("cid"), col("emb"))
+      val cand = index.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("emb"), col("q_emb")), 6).as("sim"))
+      val tw = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      val served = cand.withColumn("rk", row_number().over(tw))
+        .filter(col("rk") <= 10).select(col("q_id"), col("vec_id"))
+      val bw = Window.partitionBy(col("q_id")).orderBy(col("bsim").desc, col("vec_id"))
+      val brute = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("emb"), col("q_emb")), 6).as("bsim"))
+        .withColumn("brk", row_number().over(bw))
+        .filter(col("brk") <= 10).select(col("q_id"), col("vec_id"))
+      val hits = served.join(brute, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+      q.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("h"), lit(0L)).as("hits"))
+        .withColumn("recall_ppm", expr("hits * 1000000 div 10"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH $kmeansAssignSql,
+      q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+      probes AS (SELECT q_id, cid FROM (
+          SELECT q.q_id, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id
+              ORDER BY round(list_cosine_similarity(q.q_emb, c.c), 6) DESC, c.cid) AS pr
+          FROM q CROSS JOIN c2 c) WHERE pr <= 2),
+      cand AS (SELECT p.q_id, f.vec_id,
+          round(list_cosine_similarity(e.emb, q.q_emb), 6) AS sim
+        FROM fin f JOIN probes p ON f.cid = p.cid
+        JOIN e ON e.vec_id = f.vec_id
+        JOIN q ON q.q_id = p.q_id
+        WHERE f.vec_id <> p.q_id),
+      served AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+          FROM cand) WHERE rk <= 10),
+      brute AS (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, e.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id
+              ORDER BY round(list_cosine_similarity(e.emb, q.q_emb), 6) DESC, e.vec_id) AS brk
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) WHERE brk <= 10),
+      h AS (SELECT q_id, COUNT(*) AS h FROM served
+        JOIN brute USING (q_id, vec_id) GROUP BY q_id)
+      SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+        CAST(COALESCE(h.h, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+      FROM q LEFT JOIN h ON h.q_id = q.q_id ORDER BY q.q_id"""),
+    doc = "ANN serving from the persisted lake index: cluster posting lists by centroid, probe nprobe=2 cids as pushed literals (file-pruned read), exact re-rank top-10 — recall@10 per query vs brute force, the build-once/query-many loop closed")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283, q290, q291, q292, q293, q297, q299, q306)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283, q290, q291, q292, q293, q297, q299, q306, q309)
 }

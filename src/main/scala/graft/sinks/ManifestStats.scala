@@ -51,8 +51,11 @@ import org.apache.spark.sql.sources._
   *
   * Supported stats kinds (everything else is skipped at collection):
   *  - 'L': integral-ordered — INT32/INT64 incl. DATE (days) and
-  *    TIMESTAMP (micros/millis as written); decimals excluded (scale
-  *    reinterpretation), INT96 excluded (deprecated, no usable stats).
+  *    TIMESTAMP with MILLIS bounds normalized to MICROS at collection
+  *    time (filter literals always convert to micros); NANOS timestamps,
+  *    unsigned ints, TIME, and decimals all decline (no pruning) —
+  *    their stats order or unit doesn't match the literal's. INT96
+  *    excluded (deprecated, no usable stats).
   *  - 'D': FLOAT/DOUBLE widened to double; files whose min/max carry NaN
   *    record no interval (parquet NaN ordering is unreliable), and zero
   *    bounds are widened to ±0.0 so -0.0/+0.0 never prune wrongly.
@@ -76,6 +79,34 @@ object ManifestStats {
   def collect(paths: Seq[String]): Map[String, FileStats] =
     paths.flatMap(p => collectOne(p).map(p -> _)).toMap
 
+  /** File count above which stats collection fans out to executors: a
+    * merge touches a handful of buckets (driver footer reads are ms-
+    * scale, a Spark job costs more than it saves) but a full-rewrite
+    * compaction of a 100-TB table writes tens of thousands of files —
+    * serial driver reads there are minutes of commit-path stall. */
+  private[graft] val DistributedCollectThreshold = 16
+
+  /** Footer stats collected ON EXECUTORS — one task per slice of the
+    * written file list, byte-identical results to the driver path (same
+    * collectOne per file; the merge of per-file maps is associative).
+    * Used by full-rewrite compactions via [[collectAuto]]. */
+  def collectDistributed(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Map[String, FileStats] =
+    spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 64)))
+      .flatMap(p => collectOne(p).map(p -> _))
+      .collect().toMap
+
+  /** Driver reads below [[DistributedCollectThreshold]] files, executor
+    * fan-out at or above it. Falls back to the driver when no session is
+    * active (pure-library callers). */
+  def collectAuto(paths: Seq[String]): Map[String, FileStats] =
+    if (paths.size < DistributedCollectThreshold) collect(paths)
+    else org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => collectDistributed(s, paths)
+      case None => collect(paths)
+    }
+
   private def collectOne(path: String): Option[FileStats] =
     try {
       val in = HadoopInputFile.fromPath(new HPath(path), TableStore.hadoopConf)
@@ -89,9 +120,9 @@ object ManifestStats {
         for (b <- blocks; c <- b.getColumns.asScala if c.getPath.size == 1) {
           val name = c.getPath.toDotString
           kindOf(c.getPrimitiveType) match {
-            case Some(kind) =>
+            case Some((kind, scale)) =>
               seen += name
-              val s = chunkStats(kind, c.getStatistics)
+              val s = chunkStats(kind, scale, c.getStatistics)
               perCol(name) = perCol.get(name) match {
                 case None => s
                 case Some(prev) => mergeCol(kind, prev, s)
@@ -103,38 +134,58 @@ object ManifestStats {
       } finally reader.close()
     } catch { case NonFatal(_) => None }
 
-  private def kindOf(t: PrimitiveType): Option[Char] = {
+  /** (kind, 'L'-scale): the scale multiplies integral bounds into the
+    * SAME unit [[literalToDomain]] converts filter literals to.
+    * Timestamps: literals always become MICROS, so MILLIS-written columns
+    * (spark.sql.parquet.outputTimestampType=TIMESTAMP_MILLIS, or foreign
+    * writers) scale ×1000 at collection time; NANOS and any unit we don't
+    * model DECLINE ('None', no pruning) per the conservative contract.
+    * Unsigned ints (UINT32/UINT64) also decline: parquet stores their
+    * stats as signed two's-complement, Spark's literals are the unsigned
+    * value — the orders disagree past the sign bit. */
+  private def kindOf(t: PrimitiveType): Option[(Char, Long)] = {
     import PrimitiveType.PrimitiveTypeName._
+    import LogicalTypeAnnotation._
     val logical = t.getLogicalTypeAnnotation
-    val isDecimal = logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
-    t.getPrimitiveTypeName match {
-      case INT32 | INT64 if !isDecimal => Some('L')
-      case FLOAT | DOUBLE => Some('D')
-      case BINARY if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-        Some('S')
-      case _ => None // BOOLEAN, INT96, FIXED_LEN, decimals: no skipping
+    logical match {
+      case _: DecimalLogicalTypeAnnotation => None // scale reinterpretation
+      case ts: TimestampLogicalTypeAnnotation => ts.getUnit match {
+        case TimeUnit.MICROS => Some(('L', 1L))
+        case TimeUnit.MILLIS => Some(('L', 1000L))
+        case _ => None // NANOS: Spark models it only via nanosAsLong — decline
+      }
+      case it: IntLogicalTypeAnnotation if !it.isSigned() => None
+      case _: TimeLogicalTypeAnnotation => None // TIME literals unmodeled
+      case _ => t.getPrimitiveTypeName match {
+        case INT32 | INT64 => Some(('L', 1L))
+        case FLOAT | DOUBLE => Some(('D', 1L))
+        case BINARY if logical.isInstanceOf[StringLogicalTypeAnnotation] =>
+          Some(('S', 1L))
+        case _ => None // BOOLEAN, INT96, FIXED_LEN: no skipping
+      }
     }
   }
 
-  private def chunkStats(kind: Char, s: Statistics[_]): ColStats = {
+  private def chunkStats(kind: Char, scale: Long, s: Statistics[_]): ColStats = {
     val nulls = if (s != null && s.isNumNullsSet) Some(s.getNumNulls) else None
     if (s == null || s.isEmpty || !s.hasNonNullValue)
       return ColStats(kind, None, None, nulls)
-    val (mn, mx) = (toDomain(kind, s.genericGetMin), toDomain(kind, s.genericGetMax))
+    val (mn, mx) = (toDomain(kind, scale, s.genericGetMin), toDomain(kind, scale, s.genericGetMax))
     (mn, mx) match {
       case (Some(a), Some(b)) => ColStats(kind, Some(widenMin(kind, a)), Some(widenMax(kind, b)), nulls)
       case _ => ColStats(kind, None, None, nulls)
     }
   }
 
-  private def toDomain(kind: Char, v: Any): Option[Any] = (kind, v) match {
-    case ('L', i: java.lang.Integer) => Some(i.longValue())
-    case ('L', l: java.lang.Long) => Some(l.longValue())
-    case ('D', f: java.lang.Float) if !f.isNaN => Some(f.doubleValue())
-    case ('D', d: java.lang.Double) if !d.isNaN => Some(d.doubleValue())
-    case ('S', b: Binary) => Some(b.getBytes)
-    case _ => None
-  }
+  private def toDomain(kind: Char, scale: Long, v: Any): Option[Any] =
+    try (kind, v) match {
+      case ('L', i: java.lang.Integer) => Some(Math.multiplyExact(i.longValue(), scale))
+      case ('L', l: java.lang.Long) => Some(Math.multiplyExact(l.longValue(), scale))
+      case ('D', f: java.lang.Float) if !f.isNaN => Some(f.doubleValue())
+      case ('D', d: java.lang.Double) if !d.isNaN => Some(d.doubleValue())
+      case ('S', b: Binary) => Some(b.getBytes)
+      case _ => None
+    } catch { case _: ArithmeticException => None } // scaled bound overflows: decline
 
   /** -0.0/+0.0 compare unequal via Double.compare but equal in the data's
     * order; widen zero bounds so neither sign can prune the other. */

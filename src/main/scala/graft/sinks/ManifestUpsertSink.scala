@@ -12,9 +12,16 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `root`:
   * {{{
-  *   data/v<N>/__bucket=<b>/part-*.parquet   (copy-on-write data files)
-  *   _changes/v<N>/part-*.parquet            (per-merge change feed)
-  *   _manifest/v<N>.manifest                 (committed versions)
+  *   data/v<N>-<tag>/__bucket=<b>/part-*.parquet  (copy-on-write data files;
+  *                                                 <tag> makes concurrent
+  *                                                 writers' dirs disjoint)
+  *   _changes/v<N>/part-*.parquet                 (per-merge change feed,
+  *                                                 staged under _stage/<tag>
+  *                                                 until its commit wins —
+  *                                                 subscribers tailing the
+  *                                                 _changes glob can never
+  *                                                 glimpse a stage)
+  *   _manifest/v<N>.manifest                      (committed versions)
   * }}}
   *
   * A manifest version is the table: a list of (bucket → file) entries
@@ -56,11 +63,18 @@ import org.apache.spark.sql.functions._
   * after a crash-restart) is a NO-OP — same contract the JDBC sink gets
   * from idempotent delete+insert, here from the version log. Commit is
   * an atomic rename of a temp manifest into `v<N>.manifest` with
-  * create-new semantics: a concurrent writer racing the same version
-  * loses the rename and fails loudly (single-writer optimistic
-  * concurrency — the Delta model; multi-writer coordination is a
-  * catalog/lock service's job, out of scope as it is for Delta OSS on
-  * plain object stores without a LogStore).
+  * create-new semantics, and a writer that LOSES the rename race
+  * REBASES instead of dying ([[commitRebasing]]): it re-reads the
+  * winner chain, carries the winners' entries for the buckets they
+  * data-changed, keeps its own files for the rest, and retries at the
+  * next version — so an ingest stream and a compactor run concurrently
+  * against one table, and two merges conflict only when they change the
+  * SAME bucket's rows (then the loser aborts loudly; its batch must be
+  * recomputed from the new snapshot). Each write attempt stages into
+  * its own uniquely-tagged data dir, so the data plane has no shared
+  * mutable paths at all; the race is decided entirely by the manifest
+  * rename. This is Delta's optimistic-concurrency model with bucket
+  * granularity standing in for file-level conflict detection.
   *
   * Storage seam: all manifest-log control-plane I/O goes through
   * [[TableStore]] — java.nio for scheme-less local roots, the Hadoop
@@ -81,15 +95,16 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
   def upsertBatch(batch: DataFrame, orderCol: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val cur = latestManifest(root, store)
+    healFeed(cur)
     if (cur.exists(_.batchId >= batchId)) return // replayed batch: no-op
     requireSameBuckets(cur)
     val version = cur.map(_.version + 1).getOrElse(0L)
+    val tag = newTag()
     val deduped = JdbcUpsertSink.lastWriteWins(batch, keyCol, col(orderCol))
       .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
     // touched buckets: bounded driver set (≤ `buckets` rows by construction)
     val touched = deduped.select(col(BucketCol)).distinct()
       .collect().map(_.getLong(0)).toSet
-    val carried = cur.toSeq.flatMap(_.files).filterNot(f => touched(f.bucket))
     // current rows of the touched buckets — the one table-side read both
     // the survivor computation and the change feed share
     val current: Option[DataFrame] = cur.flatMap { m =>
@@ -120,7 +135,13 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
         .otherwise(xxhash64(col("old_image"))).as("old_hash"),
       xxhash64(col("new_image")).as("new_hash"),
       col("old_image"), col("new_image"))
-    changes.write.mode("overwrite").parquet(s"$root/_changes/v$version")
+    // staged OUTSIDE `_changes/` (a tailing file source lists the glob
+    // continuously — even a dot-dir can be latched mid-write) and bound
+    // to the manifest via the feed= header; renamed to its version name
+    // post-commit — so the feed appears atomically, under the FINAL
+    // version even after a rebase, and a crashed writer's stage is never
+    // visible (the vacuum orphan sweep reclaims it)
+    changes.write.mode("overwrite").parquet(s"$root/_stage/$tag")
     // ---- copy-on-write bucket rewrite
     val survivors = current match {
       case Some(c) =>
@@ -132,15 +153,15 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
           .unionByName(deduped, allowMissingColumns = true)
       case None => deduped
     }
-    val dataDir = s"$root/data/v$version"
-    // overwrite: a crash AFTER the data write but BEFORE the manifest
-    // commit leaves an orphaned v<N> dir no manifest references; the
-    // replayed batch must be able to reclaim it
+    // per-attempt unique dir: concurrent writers must never share a data
+    // dir (an overwrite write would clobber the other's files before the
+    // commit race is even decided); the version prefix is informative
+    val dataDir = s"$root/data/v$version-$tag"
     writeData(survivors, dataDir)
     // list what was just written (driver-side, ≤ touched buckets × files)
     val written = listParquet(dataDir, store)
-    writeStats(version, cur.map(_.version), carried, written)
-    commit(root, store, Manifest(version, batchId, Some(buckets), Some(keyCol), carried ++ written))
+    commitRebasing(cur, batchId, dataChanged = touched, replaced = touched,
+      written = written, feedStage = Some(s"_stage/$tag"))
   }
 
   /** DELETE by key — the third CDC verb (upsert covers insert/update):
@@ -155,14 +176,15 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
   def deleteKeys(keys: DataFrame, batchId: Long): Unit = {
     val spark = keys.sparkSession
     val cur = latestManifest(root, store).getOrElse(return) // empty table: nothing to delete
+    healFeed(Some(cur))
     if (cur.batchId >= batchId) return // replayed batch: no-op
     requireSameBuckets(Some(cur))
     val version = cur.version + 1
+    val tag = newTag()
     val keyed = keys.select(col(keyCol)).distinct()
       .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
     val touched = keyed.select(col(BucketCol)).distinct()
       .collect().map(_.getLong(0)).toSet
-    val carried = cur.files.filterNot(f => touched(f.bucket))
     val touchedFiles = cur.files.filter(f => touched(f.bucket)).map(_.path)
     if (touchedFiles.isEmpty) return // no touched bucket holds data: no-op
     val current = spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*)
@@ -174,15 +196,15 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
         lit(null).cast("long").as("new_hash"),
         payloadImage(victims).as("old_image"),
         lit(null).cast("string").as("new_image"))
-      .write.mode("overwrite").parquet(s"$root/_changes/v$version")
+      .write.mode("overwrite").parquet(s"$root/_stage/$tag")
     val survivors = current
       .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
       .join(keyed.select(col(keyCol)), Seq(keyCol), "left_anti")
-    val dataDir = s"$root/data/v$version"
+    val dataDir = s"$root/data/v$version-$tag"
     writeData(survivors, dataDir)
     val written = listParquet(dataDir, store)
-    writeStats(version, Some(cur.version), carried, written)
-    commit(root, store, Manifest(version, batchId, Some(buckets), Some(keyCol), carried ++ written))
+    commitRebasing(Some(cur), batchId, dataChanged = touched, replaced = touched,
+      written = written, feedStage = Some(s"_stage/$tag"))
   }
 
   /** The one data-file writer: every version's files are written with a
@@ -196,21 +218,119 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
       .partitionBy(BucketCol).parquet(dataDir)
 
-  /** Data-skipping sidecar for version `version`: footer stats of the
-    * files this commit WROTE (metadata-only driver reads, cost ∝ new
-    * files) plus the previous sidecar's lines for the files it CARRIES —
-    * immutable files keep their stats forever, so stats collection, like
-    * the merge itself, never touches untouched buckets. Written before
-    * the manifest commit with plain-overwrite semantics: the sidecar is
-    * advisory (a reader without it scans every file, rightly), so a
-    * replayed batch may rewrite it and a torn write costs speed only. */
-  private def writeStats(version: Long, prevVersion: Option[Long],
-      carried: Seq[FileEntry], written: Seq[FileEntry]): Unit = {
-    val prev = prevVersion.map(v => loadStats(root, store, v)).getOrElse(Map.empty)
-    val carriedStats = carried.flatMap(f => prev.get(f.path).map(f.path -> _)).toMap
-    val stats = carriedStats ++ ManifestStats.collect(written.map(_.path))
-    store.putString(s"$root/_manifest", s"v$version.stats", ManifestStats.encode(stats))
+  /** OPTIMISTIC-CONCURRENCY commit: attempt `base.version + 1`; on losing
+    * the rename race, re-read the winner chain and REBASE instead of
+    * dying — the piece that lets a real deployment run ingest and a
+    * compactor against the same table concurrently.
+    *
+    * Inputs describe the commit's claim: `dataChanged` = buckets whose
+    * ROWS this commit changes (empty for compactions), `replaced` =
+    * buckets whose manifest entries this commit's `written` files own
+    * (touched set for merge/delete; every rewritten bucket for
+    * compactions). The rebase rule, per intervening winner commit:
+    *
+    *  - winner's `touched` ∩ my `dataChanged` ≠ ∅ → ABORT loudly: both
+    *    writers changed the same bucket's rows, my survivors were
+    *    computed against data the winner replaced — a true conflict no
+    *    rebase can fix (same as two Delta writers hitting one partition).
+    *  - winner changed rows in a bucket I merely REWROTE (I'm a
+    *    compaction) → drop my files for that bucket, carry the winner's:
+    *    my rewrite of it is stale but everything else stands.
+    *  - disjoint buckets → carry the winner's entries for its buckets,
+    *    mine for mine; commit at the next version. A bucket neither
+    *    writer touched keeps the latest chain's entry.
+    *
+    * Sound because a merge/delete reads ONLY its touched buckets' files,
+    * and those files' CONTENT is what matters: a winner that didn't
+    * data-change my buckets either carried them (same files) or
+    * compacted them (data-identical files), so my survivor computation
+    * still describes the current table. Winners predating the `touched`
+    * header abort conservatively. The batch id re-maxes against the
+    * winner's so the replay guard stays monotonic (multi-writer =
+    * ONE ingest pipeline + maintenance jobs; two independent ingest
+    * pipelines would need per-writer replay ledgers).
+    *
+    * Post-commit (advisory, crash costs speed never rows): the staged
+    * change feed renames to `_changes/v<FINAL>`, and the stats sidecar
+    * writes as carried-forward lines + fresh footer stats of the files
+    * that made it into the manifest. */
+  private def commitRebasing(base: Option[Manifest], batchId: Long,
+      dataChanged: Set[Long], replaced: Set[Long], written: Seq[FileEntry],
+      feedStage: Option[String]): Unit = {
+    var cur = base
+    var keepMine = replaced
+    var id = batchId
+    var attempt = 0
+    while (true) {
+      val version = cur.map(_.version + 1).getOrElse(0L)
+      val files = cur.toSeq.flatMap(_.files).filterNot(f => keepMine(f.bucket)) ++
+        written.filter(f => keepMine(f.bucket))
+      beforeCommit(version)
+      try {
+        commit(root, store, Manifest(version, id, Some(buckets), Some(keyCol),
+          files, Some(dataChanged), feedStage))
+        feedStage.foreach { st =>
+          store.rename(s"$root/$st", s"$root/_changes/v$version")
+          store.deleteDirIfEmpty(s"$root/_stage")
+        }
+        val prev = cur.map(c => loadStats(root, store, c.version)).getOrElse(Map.empty)
+        val carriedStats = files.flatMap(f => prev.get(f.path).map(f.path -> _)).toMap
+        // merges (few files) collect on the driver; full-rewrite
+        // compactions fan the footer reads out to executors
+        val stats = carriedStats ++ ManifestStats.collectAuto(
+          written.filter(f => keepMine(f.bucket)).map(_.path))
+        store.putString(s"$root/_manifest", s"v$version.stats", ManifestStats.encode(stats))
+        return
+      } catch {
+        case e: IllegalStateException if e.getMessage != null
+            && e.getMessage.startsWith("concurrent commit") =>
+          attempt += 1
+          if (attempt >= MaxCommitAttempts)
+            throw new IllegalStateException(
+              s"gave up after $MaxCommitAttempts rebase attempts under $root", e)
+          val latest = latestManifest(root, store).getOrElse(throw e)
+          requireSameBuckets(Some(latest))
+          val winners = (version to latest.version).map { v =>
+            decode(store.readString(s"$root/_manifest/v$v.manifest"))
+          }
+          val wTouched: Set[Long] = winners.flatMap { w =>
+            w.touched.getOrElse(throw new IllegalStateException(
+              s"concurrent commit v${w.version} under $root predates the touched " +
+                "header — cannot prove bucket disjointness, aborting (recommit after " +
+                "the other writer finishes)"))
+          }.toSet
+          val overlap = dataChanged & wTouched
+          if (overlap.nonEmpty)
+            throw new IllegalStateException(
+              s"true write conflict under $root: concurrent commits " +
+                s"v$version..v${latest.version} changed rows in bucket(s) " +
+                s"${overlap.toSeq.sorted.mkString(",")} that this commit also changes — " +
+                "rebase impossible, retry from the new snapshot")
+          keepMine = keepMine -- wTouched
+          id = math.max(id, latest.batchId)
+          cur = Some(latest)
+      }
+    }
   }
+
+  /** Deterministic-test seam: invoked just before each manifest commit
+    * attempt. Production no-op; specs override it to inject a concurrent
+    * winner at the exact race point. */
+  protected def beforeCommit(attemptVersion: Long): Unit = ()
+
+  /** Finalize the latest version's staged change feed if its writer
+    * crashed between manifest commit and feed rename (the crash leaves
+    * exactly the LATEST version unhealed — later commits heal it here). */
+  private def healFeed(cur: Option[Manifest]): Unit =
+    for (m <- cur; st <- m.feed) {
+      val target = s"$root/_changes/v${m.version}"
+      if (!store.exists(target) && store.exists(s"$root/$st")) {
+        store.rename(s"$root/$st", target); ()
+      }
+    }
+
+  private def newTag(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 
   /** The row's full payload as a canonical JSON image (all columns except
     * the internal bucket column, name-sorted so column order never
@@ -263,22 +383,24 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     * version) when no bucket crosses the threshold. */
   def compactIncremental(spark: SparkSession, minFilesPerBucket: Int = 4): Unit = {
     val cur = latestManifest(root, store).getOrElse(return)
+    healFeed(Some(cur))
     if (cur.files.isEmpty) return
     requireSameBuckets(Some(cur))
     val fat: Set[Long] = cur.files.groupBy(_.bucket)
       .collect { case (b, fs) if fs.size >= math.max(1, minFilesPerBucket) => b }.toSet
     if (fat.isEmpty) return
     val version = cur.version + 1
-    val carried = cur.files.filterNot(f => fat(f.bucket))
     val fatFiles = cur.files.filter(f => fat(f.bucket)).map(_.path)
     val rows = spark.read.option("mergeSchema", "true").parquet(fatFiles: _*)
       .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
       .repartition(math.max(fat.size, 1), col(BucketCol))
-    val dataDir = s"$root/data/v$version"
+    val dataDir = s"$root/data/v$version-${newTag()}"
     writeData(rows, dataDir)
     val written = listParquet(dataDir, store)
-    writeStats(version, Some(cur.version), carried, written)
-    commit(root, store, Manifest(version, cur.batchId, Some(buckets), Some(keyCol), carried ++ written))
+    // data-preserving rewrite of the fat buckets: dataChanged is empty,
+    // so a concurrent merge into one of them simply wins that bucket
+    commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
+      replaced = fat, written = written, feedStage = None)
   }
 
   /** CLUSTERED compaction: rewrite the snapshot range-partitioned by
@@ -313,27 +435,25 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     * covering one `x` slice still spans all of `y`. The curve bounds
     * both, at the price of slightly wider per-dimension intervals.
     *
-    * Rank mapping: 255 approx-percentile boundaries per column (one
-    * cheap agg pass over the snapshot, driver-held, skew-robust — an
-    * equi-depth histogram, Delta's range_partition_id idea without the
-    * extra shuffle), each row's 8-bit bucket per dimension found by a
-    * codegen'd fold over the broadcast boundary array, bits interleaved
-    * bucket-major. The z key orders the rewrite and is dropped before
-    * write — the data files carry only table columns; skipping reads
-    * their ORIGINAL min/max from the stats sidecar, no curve math at
-    * query time. Up to 4 dimensions (8 bits each). */
+    * Rank mapping: 255 approx-percentile boundaries per column, ALL
+    * columns computed in ONE agg pass over the snapshot ([[zBoundaries]]
+    * — a single scan no matter how many z-dimensions; driver-held,
+    * skew-robust — an equi-depth histogram, Delta's range_partition_id
+    * idea without the extra shuffle), each row's 8-bit bucket per
+    * dimension found by a codegen'd fold over the broadcast boundary
+    * array, bits interleaved bucket-major. The z key orders the rewrite
+    * and is dropped before write — the data files carry only table
+    * columns; skipping reads their ORIGINAL min/max from the stats
+    * sidecar, no curve math at query time. Up to 4 dimensions (8 bits
+    * each). */
   def compactZOrder(spark: SparkSession, zCols: Seq[String], slices: Int): Unit = {
     require(zCols.nonEmpty && zCols.size <= 4,
       "z-order supports 1-4 cluster columns (8 bits each)")
     val zKey = "__zorder"
     compactInto(spark) { all =>
-      val probs = (1 to 255).map(i => i / 256.0)
+      val bounds = ManifestUpsertSink.zBoundaries(all, zCols)
       val ranked = zCols.foldLeft(all) { (df, c) =>
-        val bounds = df.agg(expr(
-          s"approx_percentile(CAST(`$c` AS DOUBLE), array(${probs.mkString(",")}), 10000)"))
-          .head().getSeq[Any](0)
-        val bArr = Option(bounds).map(_.map(v => lit(v.toString.toDouble)))
-          .getOrElse(Seq(lit(0.0)))
+        val bArr = bounds(c).map(lit)
         // equi-depth bucket 0..255: count boundaries the value clears
         // (nulls compare to null -> add 0 -> bucket 0, a stable corner)
         df.withColumn(s"__zb_$c", aggregate(array(bArr: _*), lit(0L),
@@ -354,36 +474,89 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
 
   private def compactInto(spark: SparkSession)(layout: DataFrame => DataFrame): Unit = {
     val cur = latestManifest(root, store).getOrElse(return)
+    healFeed(Some(cur))
     if (cur.files.isEmpty) return
     requireSameBuckets(Some(cur))
     val version = cur.version + 1
     val all = layout(
       spark.read.option("mergeSchema", "true").parquet(cur.files.map(_.path): _*)
         .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong))))
-    val dataDir = s"$root/data/v$version"
+    val dataDir = s"$root/data/v$version-${newTag()}"
     writeData(all, dataDir)
     val written = listParquet(dataDir, store)
-    // a compaction rewrites every file, so its sidecar is all-new stats
-    store.putString(s"$root/_manifest", s"v$version.stats",
-      ManifestStats.encode(ManifestStats.collect(written.map(_.path))))
-    commit(root, store, Manifest(version, cur.batchId, Some(buckets), Some(keyCol), written))
+    // full data-preserving rewrite: every snapshot bucket's entries are
+    // replaced, no rows change — a concurrent merge wins its buckets at
+    // rebase time (my rewrite of them is stale; the rest stands)
+    commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
+      replaced = cur.files.map(_.bucket).toSet ++ written.map(_.bucket),
+      written = written, feedStage = None)
   }
 
   /** Delete data files no manifest in the newest `keepVersions` versions
     * references, then the superseded manifests, change feeds, and any
     * directories left empty. Bounds storage after compaction at the cost
     * of time travel past the horizon — the standard lakehouse VACUUM
-    * trade. Never touches the live version. */
-  def vacuum(keepVersions: Int = 1): Unit =
-    ManifestUpsertSink.vacuum(root, store, math.max(1, keepVersions))
+    * trade. Never touches the live version.
+    *
+    * `keepChangeVersions` is the CHANGE-FEED retention horizon, separate
+    * from the data horizon because the feed has live tailing consumers
+    * ([[graft.streaming.EventStream.changesStream]] reads `_changes/`
+    * through the file source): vacuuming a feed version a lagging
+    * subscriber has not yet processed fails that stream mid-read (or
+    * silently loses the version under ignoreMissingFiles) — the same
+    * retention-vs-VACUUM caveat Delta documents for its change data
+    * feed. Default (None) keeps feeds on the data horizon, right when
+    * no subscriber lags; deployments with streaming subscribers pass a
+    * horizon ≥ every subscriber's checkpoint lag. */
+  /** `orphanGraceMs`: also sweep data/stage dirs NO manifest references
+    * (crashed writers, rebase losers' stale bucket rewrites) whose newest
+    * file is older than the grace — which must exceed the longest
+    * in-flight write, since an active writer's uncommitted dir looks
+    * identical to a dead one. None (default) skips the sweep. */
+  def vacuum(keepVersions: Int = 1, keepChangeVersions: Option[Int] = None,
+      orphanGraceMs: Option[Long] = None): Unit =
+    ManifestUpsertSink.vacuum(root, store, math.max(1, keepVersions),
+      math.max(1, keepChangeVersions.getOrElse(keepVersions)), orphanGraceMs)
 }
 
 object ManifestUpsertSink {
   private val BucketCol = "__bucket"
 
+  /** Rebase retries before a writer gives up — each retry re-reads the
+    * manifest chain, so sustained loss means a hotter writer owns the
+    * table and backing off to the caller is the right move. */
+  private val MaxCommitAttempts = 5
+
+  /** Equi-depth 255-boundary histograms for EVERY z column in ONE agg
+    * pass — a z-order pre-pass must not scan the snapshot once per
+    * dimension (at 100 TB that's dimensions × full-table reads before
+    * the rewrite even starts). Null/empty percentile results (all-null
+    * column) degrade to a single 0.0 boundary: every row lands in one
+    * z-bucket for that dimension — ordering unaffected, never an error. */
+  private[graft] def zBoundaries(df: DataFrame, zCols: Seq[String]): Map[String, Seq[Double]] = {
+    val probs = (1 to 255).map(i => i / 256.0)
+    val aggs = zCols.map(c => expr(
+      s"approx_percentile(CAST(`$c` AS DOUBLE), array(${probs.mkString(",")}), 10000)"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    zCols.zipWithIndex.map { case (c, i) =>
+      val bounds = Option(if (row.isNullAt(i)) null else row.getSeq[Any](i))
+        .map(_.map(_.toString.toDouble)).filter(_.nonEmpty).getOrElse(Seq(0.0))
+      c -> bounds
+    }.toMap
+  }
+
   final case class FileEntry(bucket: Long, path: String)
+
+  /** `touched`: the buckets whose DATA this commit changed (empty for
+    * compactions, which rewrite files but not rows) — the information a
+    * LOSING concurrent writer needs to decide rebase-vs-abort. None on
+    * pre-concurrency manifests → conservative abort. `feed`: the staged
+    * change-feed dir name this commit's manifest binds (renamed to
+    * `_changes/v<N>` post-commit; readers fall back through this header
+    * inside the crash window). */
   final case class Manifest(version: Long, batchId: Long, buckets: Option[Int],
-      keyCol: Option[String], files: Seq[FileEntry])
+      keyCol: Option[String], files: Seq[FileEntry],
+      touched: Option[Set[Long]] = None, feed: Option[String] = None)
 
   /** The data files of a committed snapshot (latest when `version` is
     * None) — the one manifest-resolution path shared by the Scala read
@@ -422,13 +595,25 @@ object ManifestUpsertSink {
   private[graft] def loadStats(root: String, version: Long): Map[String, ManifestStats.FileStats] =
     loadStats(root, TableStore.forPath(root), version)
 
-  /** The change-feed files version `version`'s merge recorded. */
+  /** The change-feed files version `version`'s merge recorded. Falls
+    * back through the manifest's `feed=` header to the staged dir when
+    * the writer crashed between manifest commit and feed rename (the
+    * next writer's healFeed finalizes the rename). */
   private[graft] def changeFiles(root: String, version: Long): Seq[String] = {
     val store = TableStore.forPath(root)
-    val files = store.walkFiles(s"$root/_changes/v$version").filter { p =>
+    def parquets(dir: String): Seq[String] = store.walkFiles(dir).filter { p =>
       val n = p.substring(p.lastIndexOf('/') + 1)
       n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
     }
+    val direct = parquets(s"$root/_changes/v$version")
+    val files =
+      if (direct.nonEmpty) direct
+      else {
+        val mPath = s"$root/_manifest/v$version.manifest"
+        if (!store.exists(mPath)) Seq.empty
+        else decode(store.readString(mPath)).feed
+          .map(st => parquets(s"$root/$st")).getOrElse(Seq.empty)
+      }
     if (files.isEmpty)
       throw new IllegalStateException(s"no change feed for version $version under $root")
     files
@@ -462,28 +647,75 @@ object ManifestUpsertSink {
   def readChanges(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(changeFiles(root, version): _*)
 
-  private def vacuum(root: String, store: TableStore, keep: Int): Unit = {
+  private def vacuum(root: String, store: TableStore, keep: Int, keepChanges: Int,
+      orphanGrace: Option[Long]): Unit = {
     val versions = manifestVersions(root, store).sorted
-    if (versions.size <= keep) return
-    val (drop, hold) = versions.splitAt(versions.size - keep)
-    val live: Set[String] = hold.flatMap(v =>
-      decode(store.readString(s"$root/_manifest/v$v.manifest")).files.map(_.path)).toSet
+    if (versions.isEmpty) return
+    // feeds survive on their own (≥ data) horizon — see class scaladoc —
+    // and are reclaimed by LISTING `_changes/` rather than walking dropped
+    // manifests: a feed retained past its manifest (an earlier vacuum with
+    // a longer keepChangeVersions) must still age out on a later call
+    val changeHorizon: Long =
+      if (versions.size <= keepChanges) versions.head
+      else versions(versions.size - keepChanges)
+    store.listNames(s"$root/_changes")
+      .flatMap(n => if (n.startsWith("v")) n.stripPrefix("v").toLongOption else None)
+      .filter(_ < changeHorizon)
+      .foreach(v => deleteTree(store, s"$root/_changes/v$v"))
+    store.deleteDirIfEmpty(s"$root/_changes")
+    val (drop, hold) =
+      if (versions.size <= keep) (Seq.empty[Long], versions)
+      else versions.splitAt(versions.size - keep)
+    val heldMs = hold.map(v => decode(store.readString(s"$root/_manifest/v$v.manifest")))
+    val live: Set[String] = heldMs.flatMap(_.files.map(_.path)).toSet
+    // the data dirs held manifests reference (a carried entry keeps its
+    // ORIGINAL commit's dir alive, so reference-count by dir, not version)
+    val heldDirs: Set[String] = live.flatMap(dataDirOf(root, _))
+    val droppedDirs = Set.newBuilder[String]
     for (v <- drop) {
       val m = decode(store.readString(s"$root/_manifest/v$v.manifest"))
-      // data files only the dropped version references, then its change
-      // feed, its manifest + stats sidecar, and any directories the
-      // deletes emptied
+      // data files only the dropped version references, then its
+      // manifest + stats sidecar, and any directories the deletes emptied
       m.files.map(_.path).filterNot(live).foreach(store.deleteFile)
-      deleteTree(store, s"$root/_changes/v$v")
       store.deleteFile(s"$root/_manifest/v$v.manifest")
       store.deleteFile(s"$root/_manifest/v$v.stats")
-      // the version's own data dir: removable once NO held manifest
-      // references a file inside it (untouched-bucket entries are carried
-      // forward by path, so a held version can keep an older dir alive);
-      // removal also clears the _SUCCESS/.crc markers Spark writes
-      // alongside the parquet parts, which no manifest ever lists
-      val vDir = s"$root/data/v$v"
-      if (!live.exists(_.startsWith(vDir + "/"))) deleteTree(store, vDir)
+      droppedDirs ++= m.files.flatMap(f => dataDirOf(root, f.path))
+    }
+    // a dropped version's dirs: removable once NO held manifest references
+    // a file inside them; removal also clears the _SUCCESS/.crc markers
+    // Spark writes alongside the parquet parts, which no manifest lists
+    droppedDirs.result().filterNot(heldDirs).foreach(deleteTree(store, _))
+    // ORPHAN sweep (opt-in, age-gated): dirs NO manifest ever committed —
+    // a writer that crashed before its commit, or a rebase loser's stale
+    // bucket rewrites. Age-gated because an IN-FLIGHT writer's dir is
+    // indistinguishable from a dead one (the Delta tombstone-retention
+    // trade); grace must exceed the longest running write.
+    for (grace <- orphanGrace) {
+      val now = System.currentTimeMillis()
+      def stale(dir: String): Boolean = {
+        val fs = store.walkFiles(dir)
+        val newest = if (fs.isEmpty) store.mtime(dir) else fs.map(store.mtime).max
+        now - newest >= grace
+      }
+      for (name <- store.listNames(s"$root/data");
+           dir = s"$root/data/$name" if !heldDirs(dir) && stale(dir))
+        deleteTree(store, dir)
+      val feedRefs = heldMs.flatMap(_.feed).toSet
+      for (name <- store.listNames(s"$root/_stage")
+           if !feedRefs(s"_stage/$name") && stale(s"$root/_stage/$name"))
+        deleteTree(store, s"$root/_stage/$name")
+      store.deleteDirIfEmpty(s"$root/_stage")
+    }
+  }
+
+  /** The `<root>/data/<dir>` segment a data-file path lives under. */
+  private def dataDirOf(root: String, path: String): Option[String] = {
+    val prefix = s"$root/data/"
+    if (!path.startsWith(prefix)) None
+    else {
+      val rest = path.substring(prefix.length)
+      val cut = rest.indexOf('/')
+      if (cut <= 0) None else Some(prefix + rest.substring(0, cut))
     }
   }
 
@@ -505,7 +737,9 @@ object ManifestUpsertSink {
     * zero parser dependencies, diff-able, and append-order stable. */
   private def encode(m: Manifest): String = {
     val header = Seq(s"version=${m.version}", s"batchId=${m.batchId}") ++
-      m.buckets.map(b => s"buckets=$b") ++ m.keyCol.map(k => s"keyCol=$k")
+      m.buckets.map(b => s"buckets=$b") ++ m.keyCol.map(k => s"keyCol=$k") ++
+      m.touched.map(t => s"touched=${t.toSeq.sorted.mkString(",")}") ++
+      m.feed.map(f => s"feed=$f")
     (header ++ m.files.map(f => s"${f.bucket}\t${f.path}")).mkString("\n")
   }
 
@@ -522,7 +756,10 @@ object ManifestUpsertSink {
       val Array(b, p) = l.split("\t", 2); FileEntry(b.toLong, p)
     }
     Manifest(header("version").toLong, header("batchId").toLong,
-      header.get("buckets").map(_.toInt), header.get("keyCol"), files)
+      header.get("buckets").map(_.toInt), header.get("keyCol"), files,
+      header.get("touched").map(t =>
+        if (t.isEmpty) Set.empty[Long] else t.split(",").map(_.toLong).toSet),
+      header.get("feed"))
   }
 
   private def manifestVersions(root: String, store: TableStore): Seq[Long] =

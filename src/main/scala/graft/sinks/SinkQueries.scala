@@ -883,6 +883,48 @@ object SinkQueries {
       ORDER BY grp"""),
     doc = "CRUD-complete CDC: keyed DELETE rewrites only touched buckets and feeds `deleted` rows with BEFORE images; the maintained aggregate absorbs inserts, updates, and removals from feeds alone — feed-maintained == recomputed, exactly")
 
+  // --------------------------------------------------------------- q308
+  /** The lake's WRITE surface behind the standard DataFrame API: build
+    * the q294 two-version table entirely through
+    * `df.write.format("graft-manifest").mode("append").save(root)` — the
+    * first save CREATES the table (keyCol/buckets from options), the
+    * second MERGEs (a V1Write delegating to upsertBatch, so `save` IS
+    * the committed copy-on-write protocol, never a parallel
+    * implementation) — then read the merged snapshot back through the
+    * same connector. The oracle is q294's relational MERGE statement: a
+    * hash match proves the write path produces the identical table the
+    * Scala API builds. Streaming `writeStream.format` + replay guard are
+    * SinkSpec's DSv2 case. */
+  val q308 = QueryDef(
+    "q308_manifest_dsv2_write",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q308_").toString
+      Tables.customer(s, d).select(col("c_custkey").as("key"),
+          col("c_acctbal").cast("double").as("bal"), lit(0L).as("seq"))
+        .write.format("graft-manifest").option("orderCol", "seq")
+        .option("keyCol", "key").option("buckets", "8").mode("append").save(root)
+      Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select(
+          when(pmod(col("o_custkey"), lit(21)) === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).as("key"),
+          col("o_totalprice").cast("double").as("bal"),
+          col("o_orderkey").as("seq"))
+        .write.format("graft-manifest").option("orderCol", "seq")
+        .mode("append").save(root)
+      s.read.format("graft-manifest").load(root)
+        .select(col("key"), col("bal")).orderBy(col("key"))
+    },
+    Some("""WITH upd0 AS (SELECT
+          CASE WHEN o_custkey % 21 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS key,
+          CAST(o_totalprice AS DOUBLE) AS bal, o_orderkey AS seq
+        FROM orders WHERE o_custkey % 7 = 0),
+      upd AS (SELECT key, arg_max(bal, seq) AS bal FROM upd0 GROUP BY key),
+      base AS (SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS bal FROM customer)
+      SELECT COALESCE(b.key, u.key) AS key, COALESCE(u.bal, b.bal) AS bal
+      FROM base b FULL OUTER JOIN upd u ON u.key = b.key
+      ORDER BY key"""),
+    doc = "DSv2 write surface: df.write.format(graft-manifest).mode(append) creates + MERGEs the lake table through the V1Write->upsertBatch delegation; reading back matches the relational MERGE statement")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
-    q302, q303, q304, q305, q307, q214, q215, q216, q228)
+    q302, q303, q304, q305, q307, q308, q214, q215, q216, q228)
 }

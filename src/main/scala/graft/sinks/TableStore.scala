@@ -1,6 +1,5 @@
 package graft.sinks
 
-import java.net.URI
 import java.nio.charset.StandardCharsets
 import java.nio.file.{DirectoryNotEmptyException, Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
@@ -58,14 +57,27 @@ trait TableStore extends Serializable {
 
   /** Remove `dir` iff it is an empty directory; no-op otherwise. */
   def deleteDirIfEmpty(dir: String): Unit
+
+  /** Rename `src` (file OR directory) to `dst`; false when `dst` already
+    * exists or the move fails. Used to finalize a staged change-feed dir
+    * under its committed version name — advisory (a failed rename is
+    * healed by the next writer), so no loud failure mode. */
+  def rename(src: String, dst: String): Boolean
+
+  /** Last-modified epoch millis of `path`; 0 when absent. Drives the
+    * age-gated orphan sweep in vacuum — never a correctness input. */
+  def mtime(path: String): Long
 }
 
 object TableStore {
 
   /** Scheme dispatch: URIs with a scheme (`file:`, `hdfs:`, `s3a:`, ...)
-    * go through Hadoop's `FileSystem`; bare local paths stay on java.nio. */
+    * go through Hadoop's `FileSystem`; bare local paths stay on java.nio.
+    * The probe is a syntactic scheme match, not `new URI` — a local root
+    * containing spaces or other URI-illegal characters is a valid nio
+    * path and must not blow up sink construction. */
   def forPath(root: String): TableStore =
-    if (new URI(root).getScheme != null) new HadoopStore else NioStore
+    if (root.matches("[a-zA-Z][a-zA-Z0-9+.\\-]*:.*")) new HadoopStore else NioStore
 
   /** java.nio implementation — the local-FS fast path. */
   object NioStore extends TableStore {
@@ -133,6 +145,18 @@ object TableStore {
         try Files.delete(d)
         catch { case _: DirectoryNotEmptyException => () }
       }
+    }
+
+    def rename(src: String, dst: String): Boolean = {
+      val (s, d) = (Paths.get(src), Paths.get(dst))
+      if (!Files.exists(s) || Files.exists(d)) false
+      else try { Files.createDirectories(d.getParent); Files.move(s, d); true }
+      catch { case _: java.io.IOException => false }
+    }
+
+    def mtime(path: String): Long = {
+      val p = Paths.get(path)
+      if (!Files.exists(p)) 0L else Files.getLastModifiedTime(p).toMillis
     }
   }
 
@@ -220,6 +244,19 @@ object TableStore {
       val d = new HPath(dir)
       val f = fs(d)
       if (f.exists(d) && f.listStatus(d).isEmpty) { f.delete(d, false); () }
+    }
+
+    def rename(src: String, dst: String): Boolean = {
+      val (s, d) = (new HPath(src), new HPath(dst))
+      val f = fs(s)
+      try f.exists(s) && !f.exists(d) && { f.mkdirs(d.getParent); f.rename(s, d) }
+      catch { case _: java.io.IOException => false }
+    }
+
+    def mtime(path: String): Long = {
+      val p = new HPath(path)
+      val f = fs(p)
+      if (!f.exists(p)) 0L else f.getFileStatus(p).getModificationTime
     }
   }
 }

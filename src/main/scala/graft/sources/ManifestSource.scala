@@ -4,17 +4,20 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -23,14 +26,36 @@ import graft.sinks.ManifestUpsertSink.FileEntry
 
 /** `format("graft-manifest")` — the SQL surface for the
   * [[graft.sinks.ManifestUpsertSink]] lakehouse table: time travel, the
-  * CDC feed, and FILE-LEVEL DATA SKIPPING become query-able without
-  * touching the Scala API.
+  * CDC feed, FILE-LEVEL DATA SKIPPING, and MERGE WRITES become
+  * query-able without touching the Scala API.
   *
   * {{{
   *   spark.read.format("graft-manifest").load(root)                     // latest snapshot
   *   spark.read.format("graft-manifest").option("versionAsOf", 3).load(root)  // time travel
   *   spark.read.format("graft-manifest").option("changesOf", 3).load(root)    // batch 3's CDC feed
+  *
+  *   df.write.format("graft-manifest")                                  // batch MERGE (append mode)
+  *     .option("orderCol", "seq").option("keyCol", "id")                // keyCol/buckets: new tables only
+  *     .mode("append").save(root)
+  *
+  *   df.writeStream.format("graft-manifest")                            // exactly-once streaming MERGE
+  *     .option("orderCol", "seq").option("keyCol", "id")
+  *     .option("checkpointLocation", ckpt).start(root)
   * }}}
+  *
+  * Writes are MERGES, not blind appends: both the batch path (a
+  * [[org.apache.spark.sql.connector.write.V1Write]] delegating to
+  * [[ManifestUpsertSink.upsertBatch]] — the write IS the committed
+  * copy-on-write protocol, never a second implementation) and the
+  * streaming path (a V1 [[org.apache.spark.sql.execution.streaming.Sink]]
+  * whose `addBatch` hands the micro-batch id straight to the sink's
+  * replay guard — the exactly-once foreachBatch contract, now behind
+  * `writeStream.format`). Batch appends synthesize the next batch id
+  * from the manifest; `keyCol`/`buckets` are read from the committed
+  * manifest for existing tables (options must not contradict them — the
+  * sink's own mismatch guards fire) and from options for a first write.
+  * Overwrite/complete modes are rejected: MERGE semantics make them
+  * ambiguous (truncate-and-load is a new table dir).
   *
   * Design: the connector's jobs are MANIFEST RESOLUTION — it maps
   * (root, options) to the committed file list through the same
@@ -54,7 +79,8 @@ import graft.sinks.ManifestUpsertSink.FileEntry
   * Writes stay with the sink (MERGE needs the LWW/copy-on-write
   * protocol, not a blind append), matching the Delta-OSS-on-plain-store
   * split: connector = read surface, committer = the table's owner. */
-final class ManifestSource extends TableProvider with DataSourceRegister {
+final class ManifestSource extends TableProvider with DataSourceRegister
+    with StreamSinkProvider {
   import ManifestSource._
 
   override def shortName(): String = "graft-manifest"
@@ -77,13 +103,42 @@ final class ManifestSource extends TableProvider with DataSourceRegister {
     }
   }
 
+  /** A write to a not-yet-committed table (signalled by the `keyCol`
+    * option) has no schema to infer — the empty struct plus the
+    * ACCEPT_ANY_SCHEMA capability lets the first append CREATE the
+    * table; reads of an empty root keep failing loudly in resolve(). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    parquetTable(options, resolve(options).files.map(_.path), None).schema
+    if (options.containsKey("keyCol")
+        && Option(options.get("path")).exists(
+          ManifestUpsertSink.latestManifest(_).isEmpty))
+      new StructType()
+    else parquetTable(options, resolve(options).files.map(_.path), None).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new ManifestTable(options, resolve(options), schema)
+    // resolution is lazy: the write path must construct the table before
+    // the first commit exists; the scan path resolves on demand
+    new ManifestTable(options, () => resolve(options), schema)
+  }
+
+  /** V1 streaming sink: the exactly-once manifest MERGE behind
+    * `writeStream.format("graft-manifest")` — `addBatch` hands Spark's
+    * micro-batch id to the sink's replay guard, so checkpoint-recovery
+    * redeliveries are no-ops, exactly the foreachBatch contract. */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
+      s"graft-manifest streaming writes are MERGEs (append/update); got $outputMode")
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit =
+        // re-root the streaming frame as a batch over the planned RDD
+        // (the ForeachBatchSink pattern) — the MERGE takes several
+        // actions on it, which a streaming-planned frame forbids
+        appendBatch(new CaseInsensitiveStringMap(parameters.asJava),
+          GraftBridge.asBatchDF(data), Some(batchId))
+      override def toString: String = "graft-manifest-sink"
+    }
   }
 }
 
@@ -94,6 +149,33 @@ object ManifestSource {
     * buckets) pair that enables bucket pruning. */
   final case class Resolved(files: Seq[FileEntry],
       stats: Map[String, ManifestStats.FileStats], keyInfo: Option[(String, Int)])
+
+  /** The ONE write path both the batch V1Write and the streaming sink
+    * share: MERGE `data` through [[ManifestUpsertSink.upsertBatch]].
+    * keyCol/buckets come from the committed manifest when the table
+    * exists (the sink's own guards catch contradicting options) and
+    * from options on a first write; batch appends synthesize the next
+    * batch id so each save() is its own replay-guarded commit, while
+    * streaming passes Spark's micro-batch id through for exactly-once. */
+  private[graft] def appendBatch(options: CaseInsensitiveStringMap,
+      data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Option[Long]): Unit = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-manifest writes require a table root: .save(<root>) / .start(<root>)"))
+    val orderCol = Option(options.get("orderCol")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-manifest writes require option(\"orderCol\", <col>) — the LWW order"))
+    val cur = ManifestUpsertSink.latestManifest(root)
+    val keyCol = cur.flatMap(_.keyCol).orElse(Option(options.get("keyCol")))
+      .getOrElse(throw new IllegalArgumentException(
+        "first write to a graft-manifest table requires option(\"keyCol\", <col>)"))
+    val buckets = cur.flatMap(_.buckets)
+      .orElse(Option(options.get("buckets")).map(_.toInt)).getOrElse(16)
+    val sink = new ManifestUpsertSink(root, keyCol, buckets)
+    sink.upsertBatch(data.toDF(), orderCol,
+      batchId.getOrElse(cur.map(_.batchId + 1).getOrElse(0L)))
+  }
 
   /** The stock parquet table over an explicit immutable file list — the
     * delegate that owns vectorized reads, pushdown, and schema merge. */
@@ -108,19 +190,41 @@ object ManifestSource {
   }
 
   /** Thin DSv2 table: schema and capabilities come from the parquet
-    * delegate; `newScanBuilder` interposes the file-pruning builder. */
+    * delegate; `newScanBuilder` interposes the file-pruning builder and
+    * `newWriteBuilder` delegates MERGE appends to the sink (V1Write —
+    * the merge protocol needs the whole batch and its own jobs, exactly
+    * the InsertableRelation contract). ACCEPT_ANY_SCHEMA: the sink owns
+    * schema evolution (additive mergeSchema), and first writes CREATE
+    * the table with the batch's schema. */
   private final class ManifestTable(options: CaseInsensitiveStringMap,
-      resolved: Resolved, tableSchema: StructType) extends Table with SupportsRead {
+      resolveFn: () => Resolved, tableSchema: StructType)
+      extends Table with SupportsRead with SupportsWrite {
 
     override def name(): String = s"graft-manifest:${options.get("path")}"
 
     override def schema(): StructType = tableSchema
 
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ)
+      // BATCH_WRITE gates the v2 write plan; V1_BATCH_WRITE routes it to
+      // the InsertableRelation fallback the MERGE protocol needs
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
 
     override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-      new ManifestScanBuilder(caseInsensitiveOptions, resolved, tableSchema)
+      new ManifestScanBuilder(caseInsensitiveOptions, resolveFn(), tableSchema)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+            if (overwrite) throw new UnsupportedOperationException(
+              "graft-manifest writes are MERGEs; overwrite is ambiguous — " +
+                "start a new table root for truncate-and-load")
+            appendBatch(options, data, batchId = None)
+          }
+        }
+      }
+    }
   }
 
   /** The pruning scan builder. It mirrors every pushdown call onto a

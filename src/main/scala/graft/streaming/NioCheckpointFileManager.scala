@@ -37,8 +37,9 @@ import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileMana
   *    close; a non-overwrite close onto an existing path raises Hadoop's
   *    FileAlreadyExistsException — HDFSMetadataLog's concurrent-commit
   *    detection depends on that exact type;
-  *  - open() materializes the (small) metadata file into a seekable
-  *    byte-array stream — metadata log entries are KB-scale by design;
+  *  - open() materializes small (≤1 MB) metadata files into a seekable
+  *    byte-array stream and serves larger files (state-store deltas/
+  *    snapshots, which grow with state) through a FileChannel;
   *  - list() on a missing dir raises FileNotFoundException like Hadoop's
   *    listStatus, delete() ignores missing paths. */
 class NioCheckpointFileManager(root: Path, conf: Configuration)
@@ -108,8 +109,17 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
     else {
       val p = jpath(path)
       if (!Files.isRegularFile(p)) throw new FileNotFoundException(p.toString)
-      new FSDataInputStream(new NioCheckpointFileManager.SeekableBytes(
-        Files.readAllBytes(p)))
+      // metadata-log entries (KB-scale) materialize into a byte array —
+      // one read syscall, seeks free; state-store delta/snapshot files
+      // (which grow with state, not with the log) stream through a
+      // FileChannel instead, so a session-wide manager wiring never pays
+      // full-file heap copies per state load
+      if (Files.size(p) <= NioCheckpointFileManager.InMemoryOpenBytes)
+        new FSDataInputStream(new NioCheckpointFileManager.SeekableBytes(
+          Files.readAllBytes(p)))
+      else
+        new FSDataInputStream(new NioCheckpointFileManager.SeekableChannel(
+          java.nio.channels.FileChannel.open(p)))
     }
 
   override def list(path: Path, filter: PathFilter): Array[FileStatus] =
@@ -164,6 +174,10 @@ object NioCheckpointFileManager {
   val ConfKey = "spark.sql.streaming.checkpointFileManagerClass"
   val ClassName: String = classOf[NioCheckpointFileManager].getName
 
+  /** open() materializes files at or below this size on-heap; larger
+    * files (state-store snapshots) stream through a FileChannel. */
+  private[streaming] val InMemoryOpenBytes: Long = 1L << 20
+
   /** Seekable in-memory stream — metadata log files are KB-scale. */
   private final class SeekableBytes(bytes: Array[Byte])
       extends ByteArrayInputStream(bytes) with Seekable with PositionedReadable {
@@ -182,6 +196,42 @@ object NioCheckpointFileManager {
       if (read(position, buffer, offset, length) < length)
         throw new java.io.EOFException(
           s"reached end of stream after reading < $length bytes")
+    }
+    override def readFully(position: Long, buffer: Array[Byte]): Unit =
+      readFully(position, buffer, 0, buffer.length)
+  }
+
+  /** FileChannel-backed seekable stream for large (state-store) files —
+    * positional reads go straight to pread, nothing materializes. */
+  private final class SeekableChannel(ch: java.nio.channels.FileChannel)
+      extends java.io.InputStream with Seekable with PositionedReadable {
+    override def read(): Int = {
+      val b = java.nio.ByteBuffer.allocate(1)
+      if (ch.read(b) <= 0) -1 else b.get(0) & 0xff
+    }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int =
+      if (len == 0) 0 else ch.read(java.nio.ByteBuffer.wrap(buf, off, len))
+    override def available(): Int =
+      math.min(Int.MaxValue.toLong, math.max(0L, ch.size() - ch.position())).toInt
+    override def close(): Unit = ch.close()
+    override def seek(newPos: Long): Unit = { ch.position(newPos); () }
+    override def getPos: Long = ch.position()
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def read(position: Long, buffer: Array[Byte], offset: Int,
+        length: Int): Int =
+      if (length == 0) 0
+      else ch.read(java.nio.ByteBuffer.wrap(buffer, offset, length), position)
+    override def readFully(position: Long, buffer: Array[Byte], offset: Int,
+        length: Int): Unit = {
+      var done = 0
+      while (done < length) {
+        val n = ch.read(
+          java.nio.ByteBuffer.wrap(buffer, offset + done, length - done),
+          position + done)
+        if (n < 0) throw new java.io.EOFException(
+          s"reached end of stream after reading < $length bytes")
+        done += n
+      }
     }
     override def readFully(position: Long, buffer: Array[Byte]): Unit =
       readFully(position, buffer, 0, buffer.length)

@@ -18,4 +18,17 @@ object GraftBridge {
   def translateFilter(e: Expression): Option[sources.Filter] =
     execution.datasources.DataSourceStrategy.translateFilter(
       e, supportNestedPredicatePushdown = true)
+
+  /** Re-root a V1 streaming Sink's `addBatch` DataFrame as a BATCH frame
+    * over the micro-batch's already-planned RDD — exactly what Spark's
+    * own ForeachBatchSink does before handing the frame to user code
+    * (LogicalRDD.fromDataset + ofRows); without it, any action a sink
+    * takes re-plans the streaming source and fails with "Queries with
+    * streaming sources must be executed with writeStream.start()". */
+  def asBatchDF(df: DataFrame): DataFrame = {
+    val ds = classic.ClassicConversions.castToImpl(df)
+    val rdd = ds.queryExecution.toRdd
+    classic.Dataset.ofRows(ds.sparkSession,
+      execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false))
+  }
 }

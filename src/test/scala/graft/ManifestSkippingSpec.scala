@@ -55,6 +55,35 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(ManifestStats.decode("C\tgarbage").isEmpty)
   }
 
+  test("MILLIS-written timestamp bounds normalize to micros; in-range literals never prune") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources._
+    val dir = java.nio.file.Files.createTempDirectory("graft_statsm_").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    val before = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    // the foreign-writer / legacy-conf case the r09 advisory flagged:
+    // millis physical unit, while filter literals always become micros
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try Seq(t0, t1).toDF("t").coalesce(1).write.mode("overwrite").parquet(dir)
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", before)
+    val path = new java.io.File(dir).listFiles()
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    val fs = ManifestStats.collect(Seq(path))(path)
+    // epoch micros (whole seconds, so exactly getTime*1000)
+    assert(fs.cols("t") == ColStats('L',
+      Some(t0.getTime * 1000L), Some(t1.getTime * 1000L), Some(0L)))
+    def m(f: Filter) = ManifestStats.mayMatch(0L, Some(fs), None, f)
+    // un-normalized millis bounds would compare 1000x small and prune
+    // BOTH of these in-range literals — the silent-empty-result bug
+    assert(m(EqualTo("t", t0)) && m(EqualTo("t", t1)))
+    assert(m(GreaterThan("t", t0)))
+    // sound pruning outside the range still works, in both directions
+    assert(!m(GreaterThan("t", t1)))
+    assert(!m(LessThan("t", t0)))
+    assert(!m(EqualTo("t", java.sql.Timestamp.valueOf("2025-12-31 00:00:00"))))
+  }
+
   test("mayMatch: interval logic, null counts, And/Or, unknowns stay conservative") {
     import org.apache.spark.sql.sources._
     val fs = Some(FileStats(10L, Map(
@@ -212,6 +241,74 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(cell(zed).count() == 100 && cell(lex).count() == 100)
     assert(cell(zed).agg(sum("id")).as[Long].collect().head
       == cell(lex).agg(sum("id")).as[Long].collect().head)
+  }
+
+  test("ANN index probe (q309's read shape): cid IN (...) reads only the probed slices' files") {
+    import spark.implicits._
+    // a synthetic index table: 4000 vectors over 8 centroids, clustered
+    // by cid for serving — exactly how q309 lays out the posting lists
+    val root = java.nio.file.Files.createTempDirectory("graft_skipann_").toString
+    val sink = new ManifestUpsertSink(root, "vec_id", buckets = 4)
+    sink.upsertBatch((1L to 4000L).map(i => (i, (i % 8).toInt, i * 0.001, 0L))
+      .toDF("vec_id", "cid", "csim", "seq"), "seq", 0L)
+    // slices ≈ buckets × centroids: each file covers ~one (bucket, cid)
+    // combo, the granularity a posting-list probe wants
+    sink.compactClustered(spark, Seq("cid"), slices = 32)
+    val table = spark.read.format("graft-manifest").load(root)
+    val total = scannedFiles(table)
+    assert(total >= 16)
+    // nprobe=2 probe: the serving read must NOT touch the other 6
+    // centroids' files — the index-lookup-vs-table-scan distinction
+    val probe = table.filter(col("cid").isin(2, 5))
+    val scanned = scannedFiles(probe)
+    assert(scanned <= total / 2,
+      s"a 2-of-8-centroid probe must prune most slice files: $scanned of $total")
+    assert(probe.count() == 1000, "pruning must not drop candidate rows")
+    assert(probe.agg(sum("vec_id")).as[Long].head()
+      == (1L to 4000L).filter(i => i % 8 == 2 || i % 8 == 5).sum)
+  }
+
+  test("z-order boundary pre-pass is ONE scan regardless of dimension count") {
+    import spark.implicits._
+    val df = (1L to 20000L).map(i => (i % 97, (i * 7) % 89, i % 53, (i * 13) % 31))
+      .toDF("a", "b", "c", "d")
+    val sc = spark.sparkContext
+    def jobsOf(group: String)(body: => Map[String, Seq[Double]]): (Int, Map[String, Seq[Double]]) = {
+      sc.setJobGroup(group, group)
+      val r = try body finally sc.clearJobGroup()
+      (sc.statusTracker.getJobIdsForGroup(group).length, r)
+    }
+    // the pin: job count must NOT scale with dimension count (AQE may
+    // split one query into a couple of stage-jobs — that constant is
+    // fine; a per-column scan would multiply it by 4)
+    val (j1, single) = jobsOf("zb_one")(ManifestUpsertSink.zBoundaries(df, Seq("a")))
+    val (j4, fused) = jobsOf("zb_four")(ManifestUpsertSink.zBoundaries(df, Seq("a", "b", "c", "d")))
+    assert(j4 == j1, s"4 z-dimensions cost $j4 jobs vs $j1 for one — the pre-pass is scanning per column")
+    // fused boundaries are the same histograms a per-column pass computes
+    assert(fused("a") == single("a"), "fused pre-pass must not change the boundaries")
+    for (c <- Seq("b", "c", "d"))
+      assert(fused(c) == ManifestUpsertSink.zBoundaries(df, Seq(c))(c),
+        s"fused pre-pass must not change column $c's boundaries")
+    assert(fused("a").size == 255 && fused("a") == fused("a").sorted)
+  }
+
+  test("executor-side stats collection is byte-identical to the driver path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_statsd_").toString
+    (1L to 5000L).map(i => (i, i * 0.5, s"s$i", if (i % 7 == 0) None else Some(i)))
+      .toDF("k", "v", "s", "opt")
+      .repartition(20).write.mode("overwrite").parquet(dir)
+    val paths = new java.io.File(dir).listFiles()
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    assert(paths.size >= ManifestStats.DistributedCollectThreshold,
+      "fixture must be big enough to exercise the distributed path")
+    val driver = ManifestStats.collect(paths)
+    val dist = ManifestStats.collectDistributed(spark, paths)
+    assert(dist.keySet == driver.keySet)
+    assert(ManifestStats.encode(dist) == ManifestStats.encode(driver),
+      "executor fan-out must produce the exact sidecar bytes the driver path does")
+    assert(ManifestStats.encode(ManifestStats.collectAuto(paths))
+      == ManifestStats.encode(driver))
   }
 
   test("key-column mismatch fails loudly, like a bucket-count mismatch") {

@@ -71,6 +71,39 @@ class NioCheckpointFileManagerSpec extends AnyFunSuite {
     m.delete(new Path(s"$root/log")) // missing: no-op, no throw
   }
 
+  test("open streams large files through a FileChannel with identical read semantics") {
+    val root = Files.createTempDirectory("graft_ncfm4_").toString
+    val m = mgr(root)
+    // > InMemoryOpenBytes: takes the channel path (state-store-snapshot
+    // shape); the byte-array fast path is covered by the small-file test
+    val n = (2 << 20) + 17
+    val bytes = Array.tabulate[Byte](n)(i => (i * 31 & 0xff).toByte)
+    val f = new Path(s"$root/state/1.snapshot")
+    val out = m.createAtomic(f, overwriteIfPossible = false)
+    out.write(bytes)
+    out.close()
+    val in = m.open(f)
+    // sequential read across an internal buffer boundary
+    val head = new Array[Byte](4096)
+    in.readFully(head)
+    assert(head.sameElements(bytes.slice(0, 4096)))
+    // seek + getPos round-trip deep into the file
+    in.seek(n - 5L)
+    assert(in.getPos == n - 5L)
+    val tail = new Array[Byte](5)
+    in.readFully(tail)
+    assert(tail.sameElements(bytes.slice(n - 5, n)))
+    assert(in.read() == -1, "EOF after the last byte")
+    // positioned read must not disturb the stream position
+    in.seek(100L)
+    val mid = new Array[Byte](7)
+    in.readFully(n / 2L, mid)
+    assert(mid.sameElements(bytes.slice(n / 2, n / 2 + 7)))
+    assert(in.getPos == 100L, "pread must leave the seek position alone")
+    intercept[java.io.EOFException] { in.readFully(n - 2L, new Array[Byte](5)) }
+    in.close()
+  }
+
   test("session wiring: CheckpointFileManager.create resolves this class from the shared conf") {
     val root = Files.createTempDirectory("graft_ncfm3_").toString
     val created = CheckpointFileManager.create(

@@ -148,6 +148,7 @@ class ScaleSpec extends AnyFunSuite {
       "q276_mmr_rerank",        // 20x20 candidate pair sims (bounded by construction)
       "q278_curriculum_schedule", // crossJoin(broadcast(1-row min/max bounds))
       "q281_nprobe_recall_curve", // q46's centroid/query broadcasts + 4-row tier-tag join
+      "q309_ann_index_serve",   // q281's shape: 4-row codebook + 5-query broadcast sides over the lake index
       "q283_rank_correlation",  // <=50x50 bounded pair join of two top-k lists + 1-row m
       "q284_group_kfold",       // crossJoin(broadcast(1-row corpus total))
       "q285_group_trend",       // crossJoin(broadcast(1-row day origin))

@@ -378,6 +378,96 @@ class SinkSpec extends AnyFunSuite {
     assert(sink.read(spark).count() == 3)
   }
 
+  test("DSv2 write surface: save() creates and MERGEs; writeStream is exactly-once; overwrite rejected") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2w_").toString
+    // first write CREATES the table (keyCol/buckets from options)
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq")
+      .write.format("graft-manifest").option("orderCol", "seq")
+      .option("keyCol", "id").option("buckets", "4").mode("append").save(root)
+    // second append MERGEs (keyCol/buckets come from the manifest now)
+    Seq((2L, "b2", 2L), (2L, "stale", 1L), (3L, "c", 2L)).toDF("id", "p", "seq")
+      .write.format("graft-manifest").option("orderCol", "seq").mode("append").save(root)
+    val viaConnector = spark.read.format("graft-manifest").load(root)
+      .select("id", "p").as[(Long, String)].collect().toMap
+    assert(viaConnector == Map(1L -> "a", 2L -> "b2", 3L -> "c"),
+      "save() must run the LWW MERGE protocol, not a blind append")
+    // the DSv2-written table IS a sink table: Scala API reads it identically
+    assert(graft.sinks.ManifestUpsertSink.read(spark, root)
+      .select("id", "p").as[(Long, String)].collect().toMap == viaConnector)
+    val m = graft.sinks.ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m.keyCol.contains("id") && m.buckets.contains(4) && m.version == 1L)
+    // overwrite is ambiguous under MERGE semantics — rejected loudly
+    val e = intercept[Exception] {
+      Seq((9L, "x", 9L)).toDF("id", "p", "seq")
+        .write.format("graft-manifest").option("orderCol", "seq")
+        .mode("overwrite").save(root)
+    }
+    assert(e.getMessage != null)
+
+    // streaming: writeStream.format("graft-manifest") = the exactly-once
+    // foreachBatch path behind the standard API
+    implicit val sqlCtx = spark.sqlContext
+    val sroot = java.nio.file.Files.createTempDirectory("graft_dsv2ws_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsv2ws_ck_").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val q = input.toDF().toDF("id", "p", "seq")
+      .writeStream.format("graft-manifest")
+      .option("orderCol", "seq").option("keyCol", "id").option("buckets", "4")
+      .option("checkpointLocation", ckpt)
+      .start(sroot)
+    try {
+      input.addData((1L, "a", 1L), (2L, "b", 1L))
+      q.processAllAvailable()
+      input.addData((2L, "b2", 2L), (3L, "c", 2L))
+      q.processAllAvailable()
+      val got = graft.sinks.ManifestUpsertSink.read(spark, sroot)
+        .select("id", "p").as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+      assert(graft.sinks.ManifestUpsertSink.snapshotManifest(sroot, None).batchId >= 1L,
+        "the manifest must carry Spark's micro-batch id — the replay guard's input")
+    } finally q.stop()
+  }
+
+  test("URI-illegal local roots (spaces) dispatch to nio and work end-to-end") {
+    import spark.implicits._
+    // `new URI(root)` would throw here — the r09 advisory regression; the
+    // syntactic scheme probe must treat this as a plain nio path
+    val root = java.nio.file.Files.createTempDirectory("graft spaced dir ").toString
+    assert(root.contains(" "))
+    assert(graft.sinks.TableStore.forPath(root) eq graft.sinks.TableStore.NioStore)
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    assert(sink.read(spark).select("id", "p").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("vacuum: keepChangeVersions retains the CDC feed past the data horizon for lagging subscribers") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vacfeed_").toString
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 2)
+    for (v <- 0L until 4L)
+      sink.upsertBatch(Seq((v, s"p$v", v)).toDF("id", "p", "seq"), "seq", v)
+    def feedExists(v: Long) =
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "_changes", s"v$v"))
+    // data horizon 1, feed horizon 3: versions 1-3 keep their feeds even
+    // though only v3's data/manifest survive — a subscriber checkpointed
+    // at v1 can still drain
+    sink.vacuum(keepVersions = 1, keepChangeVersions = Some(3))
+    assert(!feedExists(0L), "v0 feed is past BOTH horizons")
+    assert(feedExists(1L) && feedExists(2L) && feedExists(3L),
+      "feeds inside keepChangeVersions must survive data vacuum")
+    assert(graft.sinks.ManifestUpsertSink.readChanges(spark, root, 1L)
+      .select("id").as[Long].collect().toSeq == Seq(1L),
+      "a retained feed version stays readable after its manifest is gone")
+    intercept[IllegalStateException] {
+      graft.sinks.ManifestUpsertSink.readVersion(spark, root, 1L)
+    }
+    // default (None): feed horizon = data horizon — the old behavior
+    sink.vacuum(keepVersions = 1)
+    assert(!feedExists(1L) && !feedExists(2L) && feedExists(3L))
+  }
+
   test("commit race: a second writer of the same manifest version fails loudly (both stores)") {
     val stores = Seq(
       "nio" -> graft.sinks.TableStore.NioStore,
@@ -601,12 +691,14 @@ class SinkSpec extends AnyFunSuite {
     // un-compacted vacuum rightly keeps carried-forward v0 files alive)
     sink.compact(spark)
     sink.vacuum(keepVersions = 1)
-    for (v <- Seq("v0", "v1")) {
-      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "data", v)),
-        s"vacuum must remove the emptied $v data dir, not just its files")
+    val liveDirs = graft.sinks.ManifestUpsertSink.snapshotManifest(root, None).files
+      .map(f => java.nio.file.Paths.get(f.path).getParent.getParent.getFileName.toString)
+      .toSet
+    assert(new java.io.File(s"$root/data").list().toSet == liveDirs,
+      "vacuum must remove dropped version data dirs entirely, not just their files")
+    for (v <- Seq("v0", "v1"))
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_changes", v)),
         s"vacuum must reclaim the dropped $v change feed")
-    }
     intercept[IllegalStateException] {
       graft.sinks.ManifestUpsertSink.readChanges(spark, root, 0L)
     }

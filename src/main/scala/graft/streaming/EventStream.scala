@@ -208,6 +208,64 @@ object EventStream {
       .agg(sum(col("d").cast(dec)).cast("double").as("total"))
   }
 
+  /** The MATERIALIZED-VIEW lifecycle closed into the lake: tail `root`'s
+    * CDC feed, maintain the per-group aggregate differentially
+    * ([[maintainedAggStream]]'s delta algebra, extended with a running
+    * ROW COUNT per group so group death is knowable), and MERGE each
+    * trigger's changed groups back into `mvSink` — a second manifest
+    * table that IS the view: versioned, time-travel readable, with its
+    * own CDC feed (`changesOf` on the MV shows view-level deltas), and
+    * exactly-once via the same replay guard as any manifest write.
+    *
+    * Per trigger the update-mode aggregate emits ONLY the groups the
+    * drained changes touched — O(changed groups) rows merge into the MV,
+    * never a view rescan; groups whose running count hits zero are
+    * DELETED from the MV (their source rows are gone), so MV snapshot ==
+    * recompute-from-source exactly, including group death. The merge and
+    * the delete are two commits, replay-guarded as batch ids 2·id and
+    * 2·id+1 — a redelivered trigger id replays both as no-ops.
+    *
+    * State cost: O(groups) in the stream's store (dead groups keep a
+    * zero entry — the price of exact counts without a TTL), O(changed
+    * groups) write amplification per trigger. `imageSchema` is the feed
+    * image DDL as in [[maintainedAggStream]]; `groupExpr` may reference
+    * any feed column incl. the key. */
+  def startMaintainedView(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      mvSink: graft.sinks.ManifestUpsertSink,
+      imageSchema: String,
+      groupExpr: org.apache.spark.sql.Column,
+      valueField: String,
+      checkpoint: String,
+      intervalMs: Long = RotationTrigger.DefaultIntervalMs): StreamingQuery = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    def img(c: String) =
+      from_json(col(c), imageSchema, Map.empty[String, String]).getField(valueField)
+    val maintained = changesStream(spark, root)
+      .select(groupExpr.as("grp"),
+        (coalesce(img("new_image"), lit(0.0))
+          - coalesce(img("old_image"), lit(0.0))).as("d"),
+        // row-count delta: insert +1, delete -1, update 0
+        (when(col("new_image").isNotNull, 1L).otherwise(0L)
+          - when(col("old_image").isNotNull, 1L).otherwise(0L)).as("dn"))
+      .groupBy(col("grp"))
+      .agg(sum(col("d").cast(dec)).cast("double").as("total"),
+        sum(col("dn")).as("n"))
+    maintained.writeStream
+      .outputMode("update") // only the groups this trigger's changes touched
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val live = batch.filter(col("n") > 0L)
+          .select(col("grp"), col("total"), col("n")).withColumn("seq", lit(id))
+        val dead = batch.filter(col("n") <= 0L).select(col("grp"))
+        if (!live.isEmpty) mvSink.upsertBatch(live, "seq", 2 * id)
+        if (!dead.isEmpty) mvSink.deleteKeys(dead, 2 * id + 1)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+  }
+
   /** Custom keyed state via mapGroupsWithState (A5/A6 generalized): a
     * running per-key record count + last-seen sequence number that
     * survives across micro-batches — the engine-owned form of the

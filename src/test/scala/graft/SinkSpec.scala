@@ -572,6 +572,53 @@ class SinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("materialized view in the lake: CDC in, versioned MV out, == recompute under merges+deletes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_src_").toString
+    val mvRoot = java.nio.file.Files.createTempDirectory("graft_mv_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ck_").toString
+    val src = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 4)
+    src.upsertBatch(Seq((1L, 10.0, 1L), (2L, 20.0, 1L), (3L, 30.0, 1L))
+      .toDF("id", "v", "seq"), "seq", 0L)
+    val mvSink = new graft.sinks.ManifestUpsertSink(mvRoot, "grp", buckets = 2)
+    val q = graft.streaming.EventStream.startMaintainedView(
+      spark, root, mvSink, imageSchema = "id BIGINT, seq BIGINT, v DOUBLE",
+      groupExpr = pmod(col("id"), lit(2L)), valueField = "v",
+      checkpoint = ckpt, intervalMs = 50L)
+    try {
+      def recompute(): Map[Long, Double] = src.read(spark)
+        .groupBy(pmod(col("id"), lit(2L)).as("grp"))
+        .agg(sum(col("v")).as("t")).as[(Long, Double)].collect().toMap
+      def mv(): Map[Long, Double] = mvSink.read(spark)
+        .select(col("grp"), col("total")).as[(Long, Double)].collect().toMap
+      q.processAllAvailable()
+      assert(mv() == recompute() && mv() == Map(0L -> 20.0, 1L -> 40.0),
+        "after draining the seed feed the MV table must equal the recompute")
+      // live merge: O(changed groups) MV maintenance
+      src.upsertBatch(Seq((2L, 25.0, 2L), (4L, 40.0, 2L)).toDF("id", "v", "seq"), "seq", 1L)
+      q.processAllAvailable()
+      assert(mv() == recompute() && mv() == Map(0L -> 65.0, 1L -> 40.0))
+      // live deletes, including GROUP DEATH: killing ids 1 and 3 empties
+      // group 1 — its MV row must be deleted, not left at zero
+      src.deleteKeys(Seq(1L, 3L).toDF("id"), batchId = 2L)
+      q.processAllAvailable()
+      assert(mv() == recompute() && mv() == Map(0L -> 65.0),
+        "an emptied group must vanish from the MV (count-delta group death)")
+      // the MV is itself a lake table: versioned, with its own CDC feed
+      val mvM = graft.sinks.ManifestUpsertSink.snapshotManifest(mvRoot, None)
+      assert(mvM.version >= 2L, "each maintenance trigger commits a new MV version")
+      val mvFeed = spark.read.format("graft-manifest")
+        .option("changesOf", mvM.version).load(mvRoot)
+        .select("grp", "change").as[(Long, String)].collect().toSet
+      assert(mvFeed.nonEmpty, "the MV's own merges/deletes record a change feed")
+      // time travel on the VIEW: the pre-delete MV version still reads
+      val prev = graft.sinks.ManifestUpsertSink
+        .readVersion(spark, mvRoot, mvM.version - 1)
+        .select(col("grp"), col("total")).as[(Long, Double)].collect().toMap
+      assert(prev == Map(0L -> 65.0, 1L -> 40.0))
+    } finally q.stop()
+  }
+
   test("graft-manifest DSv2 read: latest/versionAsOf/changesOf match the Scala reads; bad version raises") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_manifest8_").toString

@@ -110,7 +110,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     val current: Option[DataFrame] = cur.flatMap { m =>
       val touchedFiles = m.files.filter(f => touched(f.bucket)).map(_.path)
       if (touchedFiles.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*))
+      else Some(applyRenames(
+        spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*),
+        m.renames))
     }
     // ---- change feed: every incoming key is inserted or updated (LWW
     // upsert never deletes); old/new BEFORE/AFTER row images (JSON of the
@@ -161,7 +163,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     // list what was just written (driver-side, ≤ touched buckets × files)
     val written = listParquet(dataDir, store)
     commitRebasing(cur, batchId, dataChanged = touched, replaced = touched,
-      written = written, feedStage = Some(s"_stage/$tag"))
+      written = written, feedStage = Some(s"_stage/$tag"),
+      renames = cur.map(_.renames).getOrElse(Nil))
   }
 
   /** DELETE by key — the third CDC verb (upsert covers insert/update):
@@ -187,7 +190,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       .collect().map(_.getLong(0)).toSet
     val touchedFiles = cur.files.filter(f => touched(f.bucket)).map(_.path)
     if (touchedFiles.isEmpty) return // no touched bucket holds data: no-op
-    val current = spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*)
+    val current = applyRenames(
+      spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*), cur.renames)
     // feed first (same crash contract as the merge): one `deleted` row per
     // key that exists, BEFORE image only
     val victims = current.join(keyed.select(col(keyCol)), Seq(keyCol), "left_semi")
@@ -204,7 +208,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     writeData(survivors, dataDir)
     val written = listParquet(dataDir, store)
     commitRebasing(Some(cur), batchId, dataChanged = touched, replaced = touched,
-      written = written, feedStage = Some(s"_stage/$tag"))
+      written = written, feedStage = Some(s"_stage/$tag"), renames = cur.renames)
   }
 
   /** The one data-file writer: every version's files are written with a
@@ -256,10 +260,11 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     * that made it into the manifest. */
   private def commitRebasing(base: Option[Manifest], batchId: Long,
       dataChanged: Set[Long], replaced: Set[Long], written: Seq[FileEntry],
-      feedStage: Option[String]): Unit = {
+      feedStage: Option[String], renames: Seq[(String, String)]): Unit = {
     var cur = base
     var keepMine = replaced
     var id = batchId
+    var rn = renames
     var attempt = 0
     while (true) {
       val version = cur.map(_.version + 1).getOrElse(0L)
@@ -268,7 +273,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       beforeCommit(version)
       try {
         commit(root, store, Manifest(version, id, Some(buckets), Some(keyCol),
-          files, Some(dataChanged), feedStage))
+          files, Some(dataChanged), feedStage, rn))
         feedStage.foreach { st =>
           store.rename(s"$root/$st", s"$root/_changes/v$version")
           store.deleteDirIfEmpty(s"$root/_stage")
@@ -308,6 +313,11 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
                 "rebase impossible, retry from the new snapshot")
           keepMine = keepMine -- wTouched
           id = math.max(id, latest.batchId)
+          // a winner compaction may have materialized (cleared) the
+          // rename mapping; rename/epoch commits themselves are
+          // touched=None and abort above, so adopting the winner's
+          // mapping is always consistent with the carried files
+          rn = latest.renames
           cur = Some(latest)
       }
     }
@@ -391,7 +401,11 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     if (fat.isEmpty) return
     val version = cur.version + 1
     val fatFiles = cur.files.filter(f => fat(f.bucket)).map(_.path)
-    val rows = spark.read.option("mergeSchema", "true").parquet(fatFiles: _*)
+    // rename mapping applied on read: rewritten buckets come out under
+    // logical names; carried buckets keep needing the mapping (header
+    // carried below) until a FULL compaction materializes it everywhere
+    val rows = applyRenames(
+        spark.read.option("mergeSchema", "true").parquet(fatFiles: _*), cur.renames)
       .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
       .repartition(math.max(fat.size, 1), col(BucketCol))
     val dataDir = s"$root/data/v$version-${newTag()}"
@@ -400,7 +414,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     // data-preserving rewrite of the fat buckets: dataChanged is empty,
     // so a concurrent merge into one of them simply wins that bucket
     commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
-      replaced = fat, written = written, feedStage = None)
+      replaced = fat, written = written, feedStage = None, renames = cur.renames)
   }
 
   /** CLUSTERED compaction: rewrite the snapshot range-partitioned by
@@ -472,14 +486,88 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     }
   }
 
+  /** RENAME a column WITHOUT rewriting a byte of data — the metadata-only
+    * schema evolution a 100-TB table demands (a rewrite-rename is a full
+    * table I/O for a name change): commits a new version carrying the
+    * SAME files plus an extended (physical → logical) mapping header
+    * that every read path applies ([[ManifestUpsertSink.applyRenames]]).
+    * Post-rename merges write the new name physically; the next FULL
+    * compaction materializes old vintages and clears the mapping, after
+    * which the DSv2 connector (which refuses un-materialized mappings —
+    * its parquet delegate binds by physical name) serves the table
+    * again. Renaming the KEY column re-keys the sink's config: this sink
+    * instance dies (mismatch guard) and the returned one takes over —
+    * bucket routing is untouched because hashing is over VALUES.
+    * Commits with `touched = None` so any concurrent writer aborts
+    * conservatively rather than rebasing across a schema change. */
+  def renameColumn(spark: SparkSession, oldName: String, newName: String): ManifestUpsertSink = {
+    val cur = latestManifest(root, store).getOrElse(throw new IllegalStateException(
+      s"no committed manifest under $root — nothing to rename"))
+    healFeed(Some(cur))
+    requireSameBuckets(Some(cur))
+    require(oldName != newName, "rename to the same name is a no-op")
+    val newKey = if (keyCol == oldName) newName else keyCol
+    commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
+      Some(newKey), cur.files, touched = None, feed = None,
+      renames = cur.renames :+ (oldName -> newName)))
+    // carry the previous sidecar verbatim: stats stay keyed by PHYSICAL
+    // column names, which is what the (rename-refusing) connector needs
+    val prev = loadStats(root, store, cur.version)
+    if (prev.nonEmpty)
+      store.putString(s"$root/_manifest", s"v${cur.version + 1}.stats",
+        ManifestStats.encode(prev))
+    if (newKey == keyCol) this else new ManifestUpsertSink(root, newKey, buckets)
+  }
+
+  /** RE-CLUSTER epoch change: rewrite the snapshot under a NEW
+    * (keyCol, buckets) pair and commit it as the table's next epoch —
+    * the partition-evolution operation (grew past the bucket count, or
+    * the workload's point-lookup key changed). One full-table shuffle,
+    * like any compaction; pre-epoch versions stay time-travel readable
+    * under their OWN committed bucketing (reads and bucket pruning are
+    * per-version, so history never re-routes), post-epoch lookups prune
+    * with the new one. Commits with `touched = None`: a concurrent
+    * writer must abort and re-open against the new epoch (its bucket
+    * arithmetic is meaningless across the change) — epoch changes are
+    * maintenance windows, not rebase material. Materializes any rename
+    * mapping on the way (it is a full rewrite). Returns the sink bound
+    * to the new epoch; this instance dies on its next write (mismatch
+    * guard names the committed pair). */
+  def recluster(spark: SparkSession, newKeyCol: String, newBuckets: Int): ManifestUpsertSink = {
+    require(newBuckets > 0, "bucket count must be positive")
+    val cur = latestManifest(root, store).getOrElse(throw new IllegalStateException(
+      s"no committed manifest under $root — nothing to re-cluster"))
+    healFeed(Some(cur))
+    requireSameBuckets(Some(cur))
+    val version = cur.version + 1
+    val all = applyRenames(spark.read.option("mergeSchema", "true")
+        .parquet(cur.files.map(_.path): _*), cur.renames)
+      .drop(BucketCol)
+      .withColumn(BucketCol, pmod(xxhash64(col(newKeyCol)), lit(newBuckets.toLong)))
+      .repartition(newBuckets, col(BucketCol))
+    val dataDir = s"$root/data/v$version-${newTag()}"
+    all.write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$newKeyCol", "true")
+      .partitionBy(BucketCol).parquet(dataDir)
+    val written = listParquet(dataDir, store)
+    commit(root, store, Manifest(version, cur.batchId, Some(newBuckets),
+      Some(newKeyCol), written, touched = None, feed = None))
+    store.putString(s"$root/_manifest", s"v$version.stats",
+      ManifestStats.encode(ManifestStats.collectAuto(written.map(_.path))))
+    new ManifestUpsertSink(root, newKeyCol, newBuckets)
+  }
+
   private def compactInto(spark: SparkSession)(layout: DataFrame => DataFrame): Unit = {
     val cur = latestManifest(root, store).getOrElse(return)
     healFeed(Some(cur))
     if (cur.files.isEmpty) return
     requireSameBuckets(Some(cur))
     val version = cur.version + 1
+    // the full rewrite MATERIALIZES the rename mapping: files come out
+    // under logical names and the committed header clears it
     val all = layout(
-      spark.read.option("mergeSchema", "true").parquet(cur.files.map(_.path): _*)
+      applyRenames(spark.read.option("mergeSchema", "true")
+          .parquet(cur.files.map(_.path): _*), cur.renames)
         .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong))))
     val dataDir = s"$root/data/v$version-${newTag()}"
     writeData(all, dataDir)
@@ -489,7 +577,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     // rebase time (my rewrite of them is stale; the rest stands)
     commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
       replaced = cur.files.map(_.bucket).toSet ++ written.map(_.bucket),
-      written = written, feedStage = None)
+      written = written, feedStage = None, renames = Nil)
   }
 
   /** Delete data files no manifest in the newest `keepVersions` versions
@@ -556,7 +644,8 @@ object ManifestUpsertSink {
     * inside the crash window). */
   final case class Manifest(version: Long, batchId: Long, buckets: Option[Int],
       keyCol: Option[String], files: Seq[FileEntry],
-      touched: Option[Set[Long]] = None, feed: Option[String] = None)
+      touched: Option[Set[Long]] = None, feed: Option[String] = None,
+      renames: Seq[(String, String)] = Nil)
 
   /** The data files of a committed snapshot (latest when `version` is
     * None) — the one manifest-resolution path shared by the Scala read
@@ -619,22 +708,46 @@ object ManifestUpsertSink {
     files
   }
 
+  /** COLUMN-MAPPING application — rename-without-rewrite, the Iceberg/
+    * Delta-column-mapping idea with the manifest header as the id table:
+    * each (physical, logical) pair maps files written under the old name
+    * onto the current logical schema. Mixed vintages (old files under
+    * `phys`, post-rename files already under `logical`) coalesce — a row
+    * carries exactly one vintage, so the other side is null by
+    * mergeSchema construction. Compaction materializes the mapping
+    * physically and clears it. */
+  private[graft] def applyRenames(df: DataFrame, renames: Seq[(String, String)]): DataFrame =
+    renames.foldLeft(df) { case (d, (phys, logical)) =>
+      val cols = d.columns.toSet
+      if (cols(phys) && cols(logical))
+        d.withColumn(logical, coalesce(col(logical), col(phys))).drop(phys)
+      else if (cols(phys)) d.withColumnRenamed(phys, logical)
+      else d
+    }
+
   /** Snapshot read: latest manifest's files, bucket column dropped (it is
-    * derivable from the key and re-derived on the next merge). An empty
-    * or absent table raises — callers create state by merging a batch.
-    * mergeSchema: after additive evolution a snapshot's buckets can carry
-    * different vintages until the next compaction unifies them. */
-  def read(spark: SparkSession, root: String): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(snapshotFiles(root, None): _*).drop(BucketCol)
+    * derivable from the key and re-derived on the next merge), rename
+    * mapping applied. An empty or absent table raises — callers create
+    * state by merging a batch. mergeSchema: after additive evolution a
+    * snapshot's buckets can carry different vintages until the next
+    * compaction unifies them. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val m = snapshotManifest(root, None)
+    applyRenames(spark.read.option("mergeSchema", "true")
+      .parquet(m.files.map(_.path): _*).drop(BucketCol), m.renames)
+  }
 
   /** Time-travel read: the snapshot AS OF a committed version — the
     * manifest log keeps every version until [[ManifestUpsertSink.vacuum]]
     * reclaims it, so any un-vacuumed version reads exactly as it
-    * committed (data files are immutable once referenced). */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(snapshotFiles(root, Some(version)): _*).drop(BucketCol)
+    * committed (data files are immutable once referenced), under that
+    * VERSION's OWN rename mapping (a later rename never rewrites
+    * history). */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val m = snapshotManifest(root, Some(version))
+    applyRenames(spark.read.option("mergeSchema", "true")
+      .parquet(m.files.map(_.path): _*).drop(BucketCol), m.renames)
+  }
 
   /** The row-level change feed version `version`'s merge recorded:
     * (key, change ∈ inserted|updated, old_hash, new_hash, old_image,
@@ -739,7 +852,9 @@ object ManifestUpsertSink {
     val header = Seq(s"version=${m.version}", s"batchId=${m.batchId}") ++
       m.buckets.map(b => s"buckets=$b") ++ m.keyCol.map(k => s"keyCol=$k") ++
       m.touched.map(t => s"touched=${t.toSeq.sorted.mkString(",")}") ++
-      m.feed.map(f => s"feed=$f")
+      m.feed.map(f => s"feed=$f") ++
+      (if (m.renames.isEmpty) Nil
+       else Seq(s"rename=${m.renames.map { case (p, l) => s"$p:$l" }.mkString(",")}"))
     (header ++ m.files.map(f => s"${f.bucket}\t${f.path}")).mkString("\n")
   }
 
@@ -759,7 +874,10 @@ object ManifestUpsertSink {
       header.get("buckets").map(_.toInt), header.get("keyCol"), files,
       header.get("touched").map(t =>
         if (t.isEmpty) Set.empty[Long] else t.split(",").map(_.toLong).toSet),
-      header.get("feed"))
+      header.get("feed"),
+      header.get("rename").toSeq.flatMap(_.split(",").toSeq.map { r =>
+        val Array(p, l) = r.split(":", 2); (p, l)
+      }))
   }
 
   private def manifestVersions(root: String, store: TableStore): Seq[Long] =

@@ -98,6 +98,12 @@ final class ManifestSource extends TableProvider with DataSourceRegister
       case None =>
         val m = ManifestUpsertSink.snapshotManifest(root,
           Option(options.get("versionAsOf")).map(_.toLong))
+        if (m.renames.nonEmpty)
+          throw new IllegalStateException(
+            s"table at $root (v${m.version}) carries an un-materialized column-rename " +
+              s"mapping (${m.renames.map { case (p, l) => s"$p->$l" }.mkString(", ")}) — " +
+              "the SQL connector binds columns by physical name; compact() to " +
+              "materialize the rename, or read via the Scala API which applies it")
         Resolved(m.files, ManifestUpsertSink.loadStats(root, m.version),
           for (k <- m.keyCol; b <- m.buckets) yield (k, b))
     }

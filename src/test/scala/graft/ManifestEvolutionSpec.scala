@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.ManifestUpsertSink
+
+/** Schema + partition evolution on the manifest lake: column rename as
+  * a metadata-only mapping (zero data I/O, materialized by the next
+  * full compaction) and re-cluster epoch changes that swap the
+  * committed (keyCol, buckets) pair — history stays readable under each
+  * version's OWN bucketing and mapping. */
+class ManifestEvolutionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def scannedFiles(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan match {
+        case p: ParquetScan => p.fileIndex.inputFiles.length
+      }
+    }.sum
+
+  test("column rename is metadata-only; mixed vintages read correctly; compaction materializes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_ren_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    val filesBefore = ManifestUpsertSink.snapshotManifest(root, None).files.map(_.path).toSet
+
+    sink.renameColumn(spark, "p", "payload")
+    val m1 = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m1.files.map(_.path).toSet == filesBefore,
+      "a rename must not rewrite a single data file")
+    assert(m1.renames == Seq("p" -> "payload"))
+    assert(sink.read(spark).columns.toSet == Set("id", "payload", "seq"))
+    assert(sink.read(spark).select("id", "payload").as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b"), "old files read under the logical name")
+
+    // time travel: v0 predates the rename and reads its OWN schema
+    assert(ManifestUpsertSink.readVersion(spark, root, 0L).columns.contains("p"))
+
+    // merge AFTER the rename: the batch writes `payload` physically; the
+    // touched bucket's old-vintage survivors map through the rename
+    sink.upsertBatch(Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "payload", "seq"), "seq", 1L)
+    assert(sink.read(spark).select("id", "payload").as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b2", 3L -> "c"),
+      "mixed-vintage snapshot must coalesce old and new physical columns")
+
+    // the SQL connector refuses un-materialized mappings, loudly
+    val e = intercept[IllegalStateException] {
+      spark.read.format("graft-manifest").load(root).collect()
+    }
+    assert(e.getMessage.contains("rename") && e.getMessage.contains("compact"))
+
+    // full compaction materializes: mapping cleared, connector serves
+    sink.compact(spark)
+    assert(ManifestUpsertSink.snapshotManifest(root, None).renames.isEmpty)
+    assert(spark.read.format("graft-manifest").load(root)
+      .select("id", "payload").as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("renaming the key column re-keys the table; the old sink handle dies loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_key_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    val rekeyed = sink.renameColumn(spark, "id", "doc_id")
+    assert(ManifestUpsertSink.snapshotManifest(root, None).keyCol.contains("doc_id"))
+    // the stale handle must not silently mis-route keys
+    val e = intercept[IllegalStateException] {
+      sink.upsertBatch(Seq((9L, "x", 9L)).toDF("id", "p", "seq"), "seq", 1L)
+    }
+    assert(e.getMessage.contains("keyCol"))
+    // the re-keyed sink merges under the logical key; hashing is over
+    // VALUES so the carried buckets still route correctly
+    rekeyed.upsertBatch(Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("doc_id", "p", "seq"), "seq", 1L)
+    assert(rekeyed.read(spark).select("doc_id", "p").as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("re-cluster epoch: new (keyCol, buckets) pair; history prunes with its own bucketing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_epoch_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch((1L to 400L).map(i => (i, i % 50L, i * 1.0, 0L))
+      .toDF("id", "user", "v", "seq"), "seq", 0L)
+    val preEpoch = ManifestUpsertSink.snapshotManifest(root, None).version
+
+    // epoch change: the workload's point-lookup key moved to `user`
+    val next = sink.recluster(spark, "user", 8)
+    val m = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m.keyCol.contains("user") && m.buckets.contains(8))
+    assert(next.read(spark).count() == 400, "re-cluster preserves every row")
+
+    // POST-epoch point lookup prunes with the NEW bucketing
+    val table = spark.read.format("graft-manifest").load(root)
+    val total = scannedFiles(table)
+    val post = table.filter(col("user") === 7L)
+    assert(scannedFiles(post) < total && scannedFiles(post) <= total / 4,
+      s"post-epoch lookup must read ~1/8 of files: ${scannedFiles(post)} of $total")
+    assert(post.count() == 8)
+
+    // PRE-epoch snapshot still reads AND PRUNES under the OLD bucketing
+    val v0 = spark.read.format("graft-manifest").option("versionAsOf", preEpoch).load(root)
+    val v0total = scannedFiles(v0)
+    val v0hit = v0.filter(col("id") === 123L)
+    assert(scannedFiles(v0hit) < v0total,
+      "time travel must bucket-prune with the version's own committed pair")
+    assert(v0hit.count() == 1)
+
+    // the old-epoch handle dies loudly; the new one merges on
+    intercept[IllegalStateException] {
+      sink.upsertBatch(Seq((401L, 1L, 1.0, 1L)).toDF("id", "user", "v", "seq"), "seq", 1L)
+    }
+    next.upsertBatch(Seq((401L, 99L, 1.0, 1L)).toDF("id", "user", "v", "seq"), "seq", 1L)
+    assert(next.read(spark).count() == 401)
+  }
+
+  test("a merge racing an epoch change aborts loudly instead of rebasing across it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_race_").toString
+    val seed = new ManifestUpsertSink(root, "id", buckets = 2)
+    seed.upsertBatch((1L to 20L).map(i => (i, i % 5L, s"v$i", 0L))
+      .toDF("id", "user", "p", "seq"), "seq", 0L)
+    val reclusterer = new ManifestUpsertSink(root, "id", buckets = 2)
+    var fired = false
+    val merger = new ManifestUpsertSink(root, "id", buckets = 2) {
+      override protected def beforeCommit(attemptVersion: Long): Unit =
+        if (!fired) { fired = true; reclusterer.recluster(spark, "user", 8); () }
+    }
+    val e = intercept[IllegalStateException] {
+      merger.upsertBatch(Seq((1L, 1L, "mid-epoch", 1L))
+        .toDF("id", "user", "p", "seq"), "seq", 1L)
+    }
+    assert(e.getMessage.contains("buckets") || e.getMessage.contains("keyCol"),
+      s"cross-epoch rebase must abort on the committed-pair guard: ${e.getMessage}")
+    val m = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m.keyCol.contains("user") && m.buckets.contains(8),
+      "the epoch change must stand; the losing merge wrote nothing visible")
+  }
+}

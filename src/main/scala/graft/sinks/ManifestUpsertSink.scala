@@ -298,6 +298,11 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
           val winners = (version to latest.version).map { v =>
             decode(store.readString(s"$root/_manifest/v$v.manifest"))
           }
+          // a winner that crashed between its commit and its feed rename
+          // would stop being the LATEST version the moment we commit on
+          // top — heal its staged feed NOW, or the tailing subscribers
+          // would silently skip that version's changes forever
+          winners.foreach(w => healFeed(Some(w)))
           val wTouched: Set[Long] = winners.flatMap { w =>
             w.touched.getOrElse(throw new IllegalStateException(
               s"concurrent commit v${w.version} under $root predates the touched " +

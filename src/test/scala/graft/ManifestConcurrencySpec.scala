@@ -184,6 +184,33 @@ class ManifestConcurrencySpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, stage)))
   }
 
+  test("a rebasing loser heals the crashed winner's staged feed before committing on top") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_occ_heal2_").toString
+    val seed = new ManifestUpsertSink(root, "id", buckets = 4)
+    seed.upsertBatch((1L to 20L).map(i => (i, s"v0-$i", 0L)).toDF("id", "p", "seq"), "seq", 0L)
+    val (k1, k2) = disjointKeys()
+    val writerA = new ManifestUpsertSink(root, "id", buckets = 4)
+    val writerB = new RacedSink(root, 4)({
+      writerA.upsertBatch(Seq((k1, "A", 1L)).toDF("id", "p", "seq"), "seq", 1L)
+      // simulate A crashing between manifest commit and feed rename
+      val m1 = ManifestUpsertSink.snapshotManifest(root, Some(1L))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_stage"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(root, "_changes", "v1"),
+        java.nio.file.Paths.get(root, m1.feed.get))
+    })
+    writerB.upsertBatch(Seq((k2, "B", 1L)).toDF("id", "p", "seq"), "seq", 2L)
+    // B rebased onto v1 and committed v2 — v1 is no longer the latest, so
+    // only the rebase-time heal could have finalized its feed
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "_changes", "v1")),
+      "the loser must finalize the crashed winner's staged feed or subscribers skip v1")
+    assert(ManifestUpsertSink.readChanges(spark, root, 1L)
+      .select("id").as[Long].collect().toSeq == Seq(k1))
+    assert(ManifestUpsertSink.readChanges(spark, root, 2L)
+      .select("id").as[Long].collect().toSeq == Seq(k2))
+  }
+
   test("vacuum orphan sweep: age-gated reclaim of never-committed dirs, None leaves them alone") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_occ_orphan_").toString

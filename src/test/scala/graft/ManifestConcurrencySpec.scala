@@ -211,6 +211,55 @@ class ManifestConcurrencySpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq == Seq(k2))
   }
 
+  test("live ingest thread racing a live compactor thread: no lost update, no dead writer") {
+    import spark.implicits._
+    // not a seam-injected interleaving: two real threads race the commit
+    // protocol end-to-end, retries included — THE deployment shape the
+    // OCC exists for (one ingest pipeline + a maintenance job; the batch
+    // id replay guard is a single monotonic sequence, so a second
+    // independent ingest pipeline is out of contract by design)
+    val root = java.nio.file.Files.createTempDirectory("graft_occ_threads_").toString
+    val seed = new ManifestUpsertSink(root, "id", buckets = 4)
+    seed.upsertBatch((1L to 40L).map(i => (i, s"seed-$i", 0L)).toDF("id", "p", "seq"), "seq", 0L)
+    val rounds = 6
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ingest = new Thread(() => {
+      try {
+        val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+        for (r <- 1 to rounds)
+          sink.upsertBatch(
+            (1L to 10L).map(i => (i, s"r$r-$i", r.toLong)).toDF("id", "p", "seq"),
+            "seq", r.toLong)
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    val compactor = new Thread(() => {
+      try {
+        val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+        for (_ <- 1 to rounds) sink.compactIncremental(spark, minFilesPerBucket = 2)
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    ingest.start(); compactor.start()
+    ingest.join(180000); compactor.join(180000)
+    assert(!ingest.isAlive && !compactor.isAlive, "writer threads must finish")
+    assert(errors.isEmpty,
+      s"neither ingest nor compactor may die under racing: ${errors.peek()}")
+
+    val m = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m.batchId == rounds.toLong, "the replay guard tracks the last INGESTED batch")
+    val got = seed.read(spark).select("id", "p").as[(Long, String)].collect().toMap
+    assert((1L to 10L).forall(i => got(i) == s"r$rounds-$i"),
+      "the last ingest round's values must survive every concurrent compaction")
+    assert((11L to 40L).forall(i => got(i) == s"seed-$i") && got.size == 40)
+    // every data-changing version's feed landed under its committed name
+    // (compaction versions record no feed — touched is empty)
+    for (v <- 1L to m.version) {
+      val vm = ManifestUpsertSink.snapshotManifest(root, Some(v))
+      if (vm.touched.exists(_.nonEmpty))
+        assert(ManifestUpsertSink.readChanges(spark, root, v).count() == 10L,
+          s"merge version v$v must keep its 10-row feed")
+    }
+  }
+
   test("vacuum orphan sweep: age-gated reclaim of never-committed dirs, None leaves them alone") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_occ_orphan_").toString

@@ -925,6 +925,50 @@ object SinkQueries {
       ORDER BY key"""),
     doc = "DSv2 write surface: df.write.format(graft-manifest).mode(append) creates + MERGEs the lake table through the V1Write->upsertBatch delegation; reading back matches the relational MERGE statement")
 
+  // --------------------------------------------------------------- q310
+  private val q310Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The lake as a SQL CATALOG — zero DataFrame API in the data path:
+    * `CREATE TABLE` declares (keyCol, orderCol, buckets) as table
+    * properties, `INSERT INTO ... SELECT` runs the LWW MERGE (the same
+    * V1Write→upsertBatch delegation as q308, now reached through pure
+    * SQL against a registered catalog), and the final SELECT reads the
+    * merged snapshot back by table NAME. Catalog instances are cached
+    * per name by the session, so each invocation registers a fresh
+    * name over its fresh root (bench reps included). The oracle is the
+    * same relational MERGE statement as q294/q308 — a hash match proves
+    * `spark.sql` end-to-end equals the Scala API table. */
+  val q310 = QueryDef(
+    "q310_manifest_sql_catalog",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q310_").toString
+      val cat = s"graft_q310_${q310Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.customer(s, d).createOrReplaceTempView("q310_customer")
+      Tables.orders(s, d).createOrReplaceTempView("q310_orders")
+      s.sql(s"""CREATE TABLE $cat.bal (key BIGINT, bal DOUBLE, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8')""")
+      s.sql(s"""INSERT INTO $cat.bal
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE), 0L FROM q310_customer""")
+      s.sql(s"""INSERT INTO $cat.bal
+        SELECT CASE WHEN o_custkey % 21 = 0 THEN o_custkey + 1000000 ELSE o_custkey END,
+          CAST(o_totalprice AS DOUBLE), o_orderkey
+        FROM q310_orders WHERE o_custkey % 7 = 0""")
+      s.sql(s"SELECT key, bal FROM $cat.bal ORDER BY key")
+    },
+    Some("""WITH upd0 AS (SELECT
+          CASE WHEN o_custkey % 21 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS key,
+          CAST(o_totalprice AS DOUBLE) AS bal, o_orderkey AS seq
+        FROM orders WHERE o_custkey % 7 = 0),
+      upd AS (SELECT key, arg_max(bal, seq) AS bal FROM upd0 GROUP BY key),
+      base AS (SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS bal FROM customer)
+      SELECT COALESCE(b.key, u.key) AS key, COALESCE(u.bal, b.bal) AS bal
+      FROM base b FULL OUTER JOIN upd u ON u.key = b.key
+      ORDER BY key"""),
+    doc = "lake tables as a SQL catalog: CREATE TABLE + INSERT INTO...SELECT (= LWW MERGE) + SELECT by name through spark.sql — the pure-SQL surface equals the Scala-API table hash-for-hash")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
-    q302, q303, q304, q305, q307, q308, q214, q215, q216, q228)
+    q302, q303, q304, q305, q307, q308, q310, q214, q215, q216, q228)
 }

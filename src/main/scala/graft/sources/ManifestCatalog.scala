@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sinks.{ManifestUpsertSink, TableStore}
+
+/** A DSv2 `TableCatalog` over a directory of manifest-lake tables — the
+  * last step from "a connector you call with paths" to "tables you speak
+  * SQL to":
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[ManifestCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/lake")
+  *
+  *   CREATE TABLE graft.events (id BIGINT, p STRING, seq BIGINT)
+  *     TBLPROPERTIES (keyCol 'id', orderCol 'seq', buckets '8')
+  *   INSERT INTO graft.events VALUES ...        -- the LWW MERGE, not an append
+  *   SELECT * FROM graft.events
+  *   SELECT * FROM graft.events VERSION AS OF 3 -- manifest time travel
+  *   DROP TABLE graft.events
+  * }}}
+  *
+  * Each table lives at `<root>/<name>` in the standard sink layout; the
+  * catalog's only state of its own is a `_catalog.properties` file per
+  * table (keyCol/orderCol/buckets + the declared schema DDL) written by
+  * CREATE TABLE, so INSERT INTO — which cannot carry per-statement
+  * options — finds its LWW order column, and an empty created table has
+  * a schema before its first commit. Tables created by the Scala API or
+  * `df.write.save(path)` under the root are visible too (the committed
+  * manifest is the source of truth for keyCol/buckets; the properties
+  * file only fills what the manifest cannot know). loadTable delegates
+  * to [[ManifestSource]], so SQL reads get the same manifest resolution,
+  * file skipping, and bucket pruning as every other surface, and writes
+  * run the same committed MERGE protocol — a catalog table can never
+  * behave differently from a path table. */
+class ManifestCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+  private lazy val store: TableStore = TableStore.forPath(root)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"catalog $name requires spark.sql.catalog.$name.root=<lake dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  /** Some statements (ALTER TABLE ... RENAME TO c.t2) hand the catalog a
+    * target still qualified with the catalog's own name — strip it. */
+  private def normalize(ident: Identifier): Identifier =
+    if (ident.namespace.headOption.contains(catalogName))
+      Identifier.of(ident.namespace.drop(1), ident.name)
+    else ident
+
+  private def tableDir(ident0: Identifier): String = {
+    val ident = normalize(ident0)
+    (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    store.exists(s"$dir/_manifest") || store.exists(s"$dir/_catalog.properties")
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (root +: namespace.toSeq).mkString("/")
+    store.listNames(dir)
+      .filter(n => tableExists(Identifier.of(namespace, n)))
+      .sorted.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `SELECT ... VERSION AS OF <v>` — manifest time travel through SQL. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version))
+
+  private def load(ident: Identifier, versionAsOf: Option[String]): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val props = readProps(dir)
+    val opts = new util.HashMap[String, String]()
+    opts.put("path", dir)
+    props.foreach { case (k, v) => opts.put(k, v) }
+    versionAsOf.foreach(opts.put("versionAsOf", _))
+    val src = new ManifestSource
+    val cism = new CaseInsensitiveStringMap(opts)
+    val schema = src.inferSchema(cism)
+    src.getTable(schema, Array.empty[Transform], opts)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft-manifest tables bucket by their key column; PARTITIONED BY is not supported")
+    def prop(k: String): Option[String] =
+      Option(properties.get(k)).orElse(Option(properties.get(s"option.$k")))
+    val keyCol = prop("keyCol").getOrElse(throw new IllegalArgumentException(
+      "CREATE TABLE requires TBLPROPERTIES (keyCol '<col>', orderCol '<col>')"))
+    val orderCol = prop("orderCol").getOrElse(throw new IllegalArgumentException(
+      "CREATE TABLE requires TBLPROPERTIES (orderCol '<col>') — the LWW order"))
+    require(schema.fieldNames.contains(keyCol), s"keyCol $keyCol not in schema")
+    require(schema.fieldNames.contains(orderCol), s"orderCol $orderCol not in schema")
+    val lines = Seq(
+      s"keyCol=$keyCol", s"orderCol=$orderCol",
+      s"buckets=${prop("buckets").getOrElse("16")}",
+      s"schemaDDL=${schema.toDDL}")
+    store.putString(tableDir(ident), "_catalog.properties", lines.mkString("\n"))
+    loadTable(ident)
+  }
+
+  private def readProps(dir: String): Map[String, String] = {
+    val p = s"$dir/_catalog.properties"
+    if (!store.exists(p)) Map.empty
+    else store.readString(p).linesIterator.filter(_.contains('='))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use the sink's renameColumn/recluster (schema evolution is a " +
+        "commit, not a catalog edit)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val dir = tableDir(ident)
+    store.walkFiles(dir).foreach(store.deleteFile)
+    // remove emptied directories deepest-first
+    def sweep(d: String): Unit = {
+      store.listNames(d).foreach(n => sweep(s"$d/$n"))
+      store.deleteDirIfEmpty(d)
+    }
+    sweep(dir)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val (oldDir, newDir) = (tableDir(oldIdent), tableDir(newIdent))
+    if (!store.rename(oldDir, newDir))
+      throw new IllegalStateException(s"could not move $oldDir to $newDir")
+    // manifests and stats sidecars record ABSOLUTE data-file paths —
+    // rewrite the moved table's prefix (a maintenance op on a table with
+    // no concurrent writer, like every catalog DDL)
+    val mdir = s"$newDir/_manifest"
+    for (n <- store.listNames(mdir)
+         if n.endsWith(".manifest") || n.endsWith(".stats"))
+      store.putString(mdir, n,
+        store.readString(s"$mdir/$n").replace(s"$oldDir/", s"$newDir/"))
+  }
+}

@@ -95,6 +95,11 @@ final class ManifestSource extends TableProvider with DataSourceRegister
         // sidecar — delegate unpruned (feeds are O(changed rows) already)
         Resolved(ManifestUpsertSink.changeFiles(root, v).map(FileEntry(-1L, _)),
           Map.empty, None)
+      case None if options.containsKey("schemaDDL")
+          && ManifestUpsertSink.latestManifest(root).isEmpty =>
+        // a catalog-created table before its first commit: a declared
+        // schema, zero files — SELECT returns no rows, not an error
+        Resolved(Seq.empty, Map.empty, None)
       case None =>
         val m = ManifestUpsertSink.snapshotManifest(root,
           Option(options.get("versionAsOf")).map(_.toLong))
@@ -110,14 +115,16 @@ final class ManifestSource extends TableProvider with DataSourceRegister
   }
 
   /** A write to a not-yet-committed table (signalled by the `keyCol`
-    * option) has no schema to infer — the empty struct plus the
-    * ACCEPT_ANY_SCHEMA capability lets the first append CREATE the
-    * table; reads of an empty root keep failing loudly in resolve(). */
+    * option) has no schema to infer — a catalog-created table declares
+    * its DDL (`schemaDDL`, written by CREATE TABLE), a plain first
+    * `save()` gets the empty struct + the ACCEPT_ANY_SCHEMA capability;
+    * reads of an empty un-declared root keep failing loudly in
+    * resolve(). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (options.containsKey("keyCol")
         && Option(options.get("path")).exists(
           ManifestUpsertSink.latestManifest(_).isEmpty))
-      new StructType()
+      Option(options.get("schemaDDL")).map(StructType.fromDDL).getOrElse(new StructType())
     else parquetTable(options, resolve(options).files.map(_.path), None).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -210,11 +217,19 @@ object ManifestSource {
 
     override def schema(): StructType = tableSchema
 
-    override def capabilities(): util.Set[TableCapability] =
+    override def capabilities(): util.Set[TableCapability] = {
       // BATCH_WRITE gates the v2 write plan; V1_BATCH_WRITE routes it to
-      // the InsertableRelation fallback the MERGE protocol needs
-      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+      // the InsertableRelation fallback the MERGE protocol needs.
+      // ACCEPT_ANY_SCHEMA ONLY while the table has no schema (a first
+      // path-based save() CREATES it) — once a schema exists, Spark's
+      // own output resolution aligns INSERT INTO positionally and
+      // rejects mismatched appends at analysis time, which is exactly
+      // the SQL contract (schema evolution goes through the sink API).
+      val caps = util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+      caps
+    }
 
     override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
       new ManifestScanBuilder(caseInsensitiveOptions, resolveFn(), tableSchema)

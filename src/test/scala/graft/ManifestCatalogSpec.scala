@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.ManifestUpsertSink
+import graft.sources.ManifestCatalog
+
+/** The lake as a SQL catalog: CREATE TABLE / INSERT INTO (= the LWW
+  * MERGE) / SELECT / VERSION AS OF / RENAME / DROP all through
+  * `spark.sql`, with catalog tables and path tables provably the same
+  * thing underneath. */
+class ManifestCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val catSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fresh catalog NAME per test (instances are cached per name by the
+    * session's CatalogManager, so reusing a name would pin the first
+    * test's root). Passes (catalogName, root) to the body. */
+  private def withCatalog[A](f: (String, String) => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val cat = s"graft_t${catSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    f(cat, root)
+  }
+
+  test("CREATE / INSERT-as-MERGE / SELECT / VERSION AS OF / RENAME / DROP through spark.sql") {
+    import spark.implicits._
+    withCatalog { (cat, root) =>
+      spark.sql(s"""CREATE TABLE $cat.ev (id BIGINT, p STRING, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4')""")
+      assert(spark.sql(s"SELECT * FROM $cat.ev").count() == 0,
+        "a created-but-empty table SELECTs zero rows, not an error")
+      assert(spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).toSeq
+        == Seq("ev"))
+
+      spark.sql(s"INSERT INTO $cat.ev VALUES (1, 'a', 1), (2, 'b', 1)")
+      // the second INSERT shares key 2: it must MERGE (LWW by seq),
+      // never blind-append — the row count stays 3, not 4
+      spark.sql(s"INSERT INTO $cat.ev VALUES (2, 'b2', 2), (3, 'c', 2)")
+      val got = spark.sql(s"SELECT id, p FROM $cat.ev")
+        .as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"),
+        "INSERT INTO a lake table is the LWW MERGE")
+
+      // time travel through SQL syntax
+      assert(spark.sql(s"SELECT * FROM $cat.ev VERSION AS OF 0").count() == 2)
+      assert(spark.sql(s"SELECT p FROM $cat.ev VERSION AS OF 0 WHERE id = 2")
+        .as[String].head() == "b")
+
+      // a catalog table IS a path table: the Scala API reads it verbatim
+      assert(ManifestUpsertSink.read(spark, s"$root/ev")
+        .selectExpr("id", "p").as[(Long, String)].collect().toMap == got)
+      val m = ManifestUpsertSink.snapshotManifest(s"$root/ev", None)
+      assert(m.keyCol.contains("id") && m.buckets.contains(4))
+
+      spark.sql(s"ALTER TABLE $cat.ev RENAME TO $cat.ev2")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ev2").as[Long].head() == 3L)
+      spark.sql(s"DROP TABLE $cat.ev2")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "ev2")),
+        "DROP must reclaim the table dir")
+      assert(spark.sql(s"SHOW TABLES IN $cat").count() == 0)
+    }
+  }
+
+  test("tables built by the Scala API are visible and queryable through the catalog") {
+    import spark.implicits._
+    withCatalog { (cat, root) =>
+      val sink = new ManifestUpsertSink(s"$root/scala_made", "id", buckets = 2)
+      sink.upsertBatch(Seq((1L, "x", 1L), (2L, "y", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+      assert(spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).toSeq
+        == Seq("scala_made"))
+      assert(spark.sql(s"SELECT id, p FROM $cat.scala_made")
+        .as[(Long, String)].collect().toMap == Map(1L -> "x", 2L -> "y"))
+      // no _catalog.properties: INSERT has no orderCol to merge by — loud
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.scala_made VALUES (3, 'z', 2)")
+      }
+      assert(e.getMessage.contains("orderCol"))
+    }
+  }
+
+  test("CREATE TABLE validates keyCol/orderCol; duplicate create fails; missing table raises") {
+    withCatalog { (cat, _) =>
+      intercept[IllegalArgumentException] {
+        spark.sql(s"CREATE TABLE $cat.bad (id BIGINT) TBLPROPERTIES ('keyCol'='id')")
+      }
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.nope").collect()
+      }
+      spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq')""")
+      intercept[Exception] {
+        spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, seq BIGINT)
+          TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq')""")
+      }
+    }
+  }
+}

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
@@ -211,9 +211,54 @@ object ManifestSource {
     * the table with the batch's schema. */
   private final class ManifestTable(options: CaseInsensitiveStringMap,
       resolveFn: () => Resolved, tableSchema: StructType)
-      extends Table with SupportsRead with SupportsWrite {
+      extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
     override def name(): String = s"graft-manifest:${options.get("path")}"
+
+    /** `DELETE FROM t WHERE <key> = v` / `IN (...)` — the sink's keyed
+      * copy-on-write delete (CDC feed, replay guard and all) behind the
+      * SQL verb. Only key-set predicates qualify: they are the shape the
+      * bucket layout deletes without scanning, which is the point; any
+      * other predicate makes Spark fail with "cannot delete", not
+      * silently rewrite the table. */
+    override def canDeleteWhere(filters: Array[Filter]): Boolean =
+      keyDeleteSet(filters).isDefined
+
+    override def deleteWhere(filters: Array[Filter]): Unit = {
+      val keys = keyDeleteSet(filters).getOrElse(throw new IllegalArgumentException(
+        s"graft-manifest DELETE supports key equality/IN predicates only, got " +
+          filters.mkString(", ")))
+      val spark = SparkSession.active
+      val root = options.get("path")
+      val cur = ManifestUpsertSink.latestManifest(root).getOrElse(return)
+      val keyCol = cur.keyCol.getOrElse(throw new IllegalStateException(
+        s"table at $root predates the keyCol header — delete via the Scala API"))
+      val sink = new ManifestUpsertSink(root, keyCol, cur.buckets.getOrElse(16))
+      import org.apache.spark.sql.functions.col
+      val keyDf = spark.createDataFrame(
+        keys.toSeq.map(org.apache.spark.sql.Row(_)).asJava,
+        StructType(Seq(tableSchema(keyCol))))
+      sink.deleteKeys(keyDf.select(col(keyCol)), cur.batchId + 1)
+    }
+
+    /** The key set a filter conjunction pins, when it is exactly
+      * key = v / key IN (...) (optionally AND-ed together). */
+    private def keyDeleteSet(filters: Array[Filter]): Option[Set[Any]] = {
+      val key = Option(options.get("keyCol"))
+        .orElse(ManifestUpsertSink.latestManifest(options.get("path")).flatMap(_.keyCol))
+        .getOrElse(return None)
+      def setOf(f: Filter): Option[Set[Any]] = f match {
+        case org.apache.spark.sql.sources.EqualTo(a, v) if a == key && v != null =>
+          Some(Set(v))
+        case org.apache.spark.sql.sources.In(a, vs) if a == key && vs != null =>
+          Some(vs.filter(_ != null).toSet)
+        case org.apache.spark.sql.sources.And(l, r) =>
+          for (a <- setOf(l); b <- setOf(r)) yield a & b
+        case _ => None
+      }
+      if (filters.isEmpty) None // DELETE without WHERE = truncate: refuse
+      else filters.map(setOf).reduce((a, b) => for (x <- a; y <- b) yield x & y)
+    }
 
     override def schema(): StructType = tableSchema
 

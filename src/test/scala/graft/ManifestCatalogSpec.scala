@@ -64,6 +64,29 @@ class ManifestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("DELETE FROM by key through SQL: keyed copy-on-write delete with CDC feed; non-key predicates refused") {
+    import spark.implicits._
+    withCatalog { (cat, root) =>
+      spark.sql(s"""CREATE TABLE $cat.ev (id BIGINT, p STRING, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4')""")
+      spark.sql(s"INSERT INTO $cat.ev VALUES (1, 'a', 1), (2, 'b', 1), (3, 'c', 1), (4, 'd', 1)")
+      spark.sql(s"DELETE FROM $cat.ev WHERE id = 2")
+      spark.sql(s"DELETE FROM $cat.ev WHERE id IN (4, 99)")
+      assert(spark.sql(s"SELECT id FROM $cat.ev").as[Long].collect().toSet == Set(1L, 3L))
+      // the SQL deletes recorded CDC feed rows with BEFORE images
+      val m = ManifestUpsertSink.snapshotManifest(s"$root/ev", None)
+      val feed = ManifestUpsertSink.readChanges(spark, s"$root/ev", m.version)
+        .select("id", "change").as[(Long, String)].collect().toSet
+      assert(feed == Set((4L, "deleted")), "absent key 99 must not enter the feed")
+      // non-key predicates refuse loudly instead of rewriting the table
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.ev WHERE p = 'a'")
+      }
+      assert(e.getMessage.toLowerCase.contains("delete"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ev").as[Long].head() == 2L)
+    }
+  }
+
   test("tables built by the Scala API are visible and queryable through the catalog") {
     import spark.implicits._
     withCatalog { (cat, root) =>

@@ -91,12 +91,19 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
 
   /** MERGE a micro-batch: LWW-dedupe on `orderCol` within the batch,
     * replace current rows sharing a key, append the rest. `batchId` is
-    * the replay guard — a batch id already committed is skipped. */
+    * the replay guard — a batch id already committed is skipped.
+    * [[ManifestUpsertSink.AdHocBatch]] marks a write OUTSIDE the
+    * streaming sequence (a backfill save(), a SQL INSERT/DELETE): it
+    * bypasses the guard and LEAVES the committed batch id untouched,
+    * exactly as compactions do — synthesizing "next" ids here would
+    * collide with the stream's own future micro-batch ids and silently
+    * swallow them as replays. */
   def upsertBatch(batch: DataFrame, orderCol: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val cur = latestManifest(root, store)
     healFeed(cur)
-    if (cur.exists(_.batchId >= batchId)) return // replayed batch: no-op
+    if (batchId != AdHocBatch && cur.exists(_.batchId >= batchId))
+      return // replayed batch: no-op
     requireSameBuckets(cur)
     val version = cur.map(_.version + 1).getOrElse(0L)
     val tag = newTag()
@@ -162,7 +169,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     writeData(survivors, dataDir)
     // list what was just written (driver-side, ≤ touched buckets × files)
     val written = listParquet(dataDir, store)
-    commitRebasing(cur, batchId, dataChanged = touched, replaced = touched,
+    val commitId =
+      if (batchId == AdHocBatch) cur.map(_.batchId).getOrElse(-1L) else batchId
+    commitRebasing(cur, commitId, dataChanged = touched, replaced = touched,
       written = written, feedStage = Some(s"_stage/$tag"),
       renames = cur.map(_.renames).getOrElse(Nil))
   }
@@ -180,7 +189,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     val spark = keys.sparkSession
     val cur = latestManifest(root, store).getOrElse(return) // empty table: nothing to delete
     healFeed(Some(cur))
-    if (cur.batchId >= batchId) return // replayed batch: no-op
+    if (batchId != AdHocBatch && cur.batchId >= batchId)
+      return // replayed batch: no-op
     requireSameBuckets(Some(cur))
     val version = cur.version + 1
     val tag = newTag()
@@ -207,7 +217,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     val dataDir = s"$root/data/v$version-$tag"
     writeData(survivors, dataDir)
     val written = listParquet(dataDir, store)
-    commitRebasing(Some(cur), batchId, dataChanged = touched, replaced = touched,
+    commitRebasing(Some(cur),
+      if (batchId == AdHocBatch) cur.batchId else batchId,
+      dataChanged = touched, replaced = touched,
       written = written, feedStage = Some(s"_stage/$tag"), renames = cur.renames)
   }
 
@@ -280,10 +292,16 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
         }
         val prev = cur.map(c => loadStats(root, store, c.version)).getOrElse(Map.empty)
         val carriedStats = files.flatMap(f => prev.get(f.path).map(f.path -> _)).toMap
+        val mine = written.filter(f => keepMine(f.bucket)).map(_.path)
+        // carried files MISSING from the previous sidecar (a winner still
+        // mid-write in the rebase window, or a crash-torn sidecar) are
+        // re-read from their footers rather than silently dropped — the
+        // gap is the race window's size, not the table's
+        val gap = files.map(_.path)
+          .filterNot(p => carriedStats.contains(p) || mine.contains(p))
         // merges (few files) collect on the driver; full-rewrite
         // compactions fan the footer reads out to executors
-        val stats = carriedStats ++ ManifestStats.collectAuto(
-          written.filter(f => keepMine(f.bucket)).map(_.path))
+        val stats = carriedStats ++ ManifestStats.collectAuto(gap ++ mine)
         store.putString(s"$root/_manifest", s"v$version.stats", ManifestStats.encode(stats))
         return
       } catch {
@@ -511,6 +529,17 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     healFeed(Some(cur))
     requireSameBuckets(Some(cur))
     require(oldName != newName, "rename to the same name is a no-op")
+    // validate against the CURRENT LOGICAL schema (one merged-footer read,
+    // a fair price for a DDL): renaming onto an existing column would
+    // silently coalesce two unrelated columns, and renaming a phantom
+    // column would wedge the SQL connector behind a junk mapping
+    val logical = applyRenames(
+      spark.read.option("mergeSchema", "true").parquet(cur.files.map(_.path): _*),
+      cur.renames).columns.toSet
+    require(logical(oldName),
+      s"cannot rename: column $oldName does not exist (have ${logical.toSeq.sorted.mkString(", ")})")
+    require(!logical(newName),
+      s"cannot rename: column $newName already exists — renaming onto it would merge two columns")
     val newKey = if (keyCol == oldName) newName else keyCol
     commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
       Some(newKey), cur.files, touched = None, feed = None,
@@ -615,6 +644,13 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
 object ManifestUpsertSink {
   private val BucketCol = "__bucket"
 
+  /** Batch-id sentinel for writes OUTSIDE the streaming sequence (ad-hoc
+    * backfill save(), SQL INSERT/DELETE): bypasses the replay guard and
+    * keeps the committed batch id unchanged, so a live stream's future
+    * micro-batch ids are never shadowed. Ad-hoc idempotence is the
+    * caller's concern, as for any Delta batch append. */
+  val AdHocBatch: Long = Long.MinValue
+
   /** Rebase retries before a writer gives up — each retry re-reads the
     * manifest chain, so sustained loss means a hotter writer owns the
     * table and backing off to the caller is the right move. */
@@ -651,13 +687,6 @@ object ManifestUpsertSink {
       keyCol: Option[String], files: Seq[FileEntry],
       touched: Option[Set[Long]] = None, feed: Option[String] = None,
       renames: Seq[(String, String)] = Nil)
-
-  /** The data files of a committed snapshot (latest when `version` is
-    * None) — the one manifest-resolution path shared by the Scala read
-    * API and the `graft-manifest` DSv2 connector, so the two can never
-    * disagree about what a version contains. */
-  private[graft] def snapshotFiles(root: String, version: Option[Long]): Seq[String] =
-    snapshotManifest(root, version).files.map(_.path)
 
   /** The committed manifest of a snapshot (latest when `version` is None). */
   private[graft] def snapshotManifest(root: String, version: Option[Long]): Manifest = {
@@ -892,6 +921,16 @@ object ManifestUpsertSink {
 
   private[graft] def latestManifest(root: String): Option[Manifest] =
     latestManifest(root, TableStore.forPath(root))
+
+  /** The raw committed manifest of `version`, None when vacuumed/never
+    * committed — unlike [[snapshotManifest]] it does NOT require a
+    * non-empty file list (a fully-deleted snapshot is a real version the
+    * streaming tail must be able to walk past). */
+  private[graft] def manifestAt(root: String, version: Long): Option[Manifest] = {
+    val store = TableStore.forPath(root)
+    val path = s"$root/_manifest/v$version.manifest"
+    if (store.exists(path)) Some(decode(store.readString(path))) else None
+  }
 
   private[graft] def latestManifest(root: String, store: TableStore): Option[Manifest] = {
     val versions = manifestVersions(root, store)

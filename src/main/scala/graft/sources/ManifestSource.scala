@@ -50,10 +50,12 @@ import graft.sinks.ManifestUpsertSink.FileEntry
   * streaming path (a V1 [[org.apache.spark.sql.execution.streaming.Sink]]
   * whose `addBatch` hands the micro-batch id straight to the sink's
   * replay guard — the exactly-once foreachBatch contract, now behind
-  * `writeStream.format`). Batch appends synthesize the next batch id
-  * from the manifest; `keyCol`/`buckets` are read from the committed
-  * manifest for existing tables (options must not contradict them — the
-  * sink's own mismatch guards fire) and from options for a first write.
+  * `writeStream.format`). Batch appends commit as AD-HOC writes — the
+  * replay-guard sentinel leaves the streaming batch-id sequence
+  * untouched, so a backfill save() can never shadow a live stream's
+  * next micro-batch; `keyCol`/`buckets` are read from the committed
+  * manifest for existing tables (contradicting options fail loudly)
+  * and from options for a first write.
   * Overwrite/complete modes are rejected: MERGE semantics make them
   * ambiguous (truncate-and-load is a new table dir).
   *
@@ -180,14 +182,27 @@ object ManifestSource {
       throw new IllegalArgumentException(
         "graft-manifest writes require option(\"orderCol\", <col>) — the LWW order"))
     val cur = ManifestUpsertSink.latestManifest(root)
+    // committed values win, but CONTRADICTING options fail loudly — a
+    // user who passed keyCol/buckets believes the table has them
+    for (m <- cur; committed <- m.keyCol; asked <- Option(options.get("keyCol"))
+         if asked != committed)
+      throw new IllegalArgumentException(
+        s"table at $root is committed with keyCol=$committed; option keyCol=$asked contradicts it")
+    for (m <- cur; committed <- m.buckets; asked <- Option(options.get("buckets"))
+         if asked.toInt != committed)
+      throw new IllegalArgumentException(
+        s"table at $root is committed with buckets=$committed; option buckets=$asked contradicts it")
     val keyCol = cur.flatMap(_.keyCol).orElse(Option(options.get("keyCol")))
       .getOrElse(throw new IllegalArgumentException(
         "first write to a graft-manifest table requires option(\"keyCol\", <col>)"))
     val buckets = cur.flatMap(_.buckets)
       .orElse(Option(options.get("buckets")).map(_.toInt)).getOrElse(16)
     val sink = new ManifestUpsertSink(root, keyCol, buckets)
+    // batch saves are OUTSIDE the streaming sequence: the sentinel keeps
+    // the committed batch id untouched so a live stream's future
+    // micro-batch ids are never shadowed (silent-replay data loss)
     sink.upsertBatch(data.toDF(), orderCol,
-      batchId.getOrElse(cur.map(_.batchId + 1).getOrElse(0L)))
+      batchId.getOrElse(ManifestUpsertSink.AdHocBatch))
   }
 
   /** The stock parquet table over an explicit immutable file list — the
@@ -212,6 +227,12 @@ object ManifestSource {
   private final class ManifestTable(options: CaseInsensitiveStringMap,
       resolveFn: () => Resolved, tableSchema: StructType)
       extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+    // resolved ONCE, lazily: laziness lets the write path construct the
+    // table before the first commit exists, while the memo pins every
+    // scan of this loaded table to ONE snapshot — two actions on frames
+    // derived from one `load()` must never read different versions
+    private lazy val pinned: Resolved = resolveFn()
 
     override def name(): String = s"graft-manifest:${options.get("path")}"
 
@@ -238,7 +259,10 @@ object ManifestSource {
       val keyDf = spark.createDataFrame(
         keys.toSeq.map(org.apache.spark.sql.Row(_)).asJava,
         StructType(Seq(tableSchema(keyCol))))
-      sink.deleteKeys(keyDf.select(col(keyCol)), cur.batchId + 1)
+      // ad-hoc sentinel: a SQL DELETE is outside the streaming sequence —
+      // a synthesized cur.batchId+1 would both shadow the stream's next
+      // micro-batch AND silently no-op when racing another writer
+      sink.deleteKeys(keyDf.select(col(keyCol)), ManifestUpsertSink.AdHocBatch)
     }
 
     /** The key set a filter conjunction pins, when it is exactly
@@ -277,7 +301,7 @@ object ManifestSource {
     }
 
     override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-      new ManifestScanBuilder(caseInsensitiveOptions, resolveFn(), tableSchema)
+      new ManifestScanBuilder(caseInsensitiveOptions, pinned, tableSchema)
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
       override def build(): Write = new V1Write {

@@ -196,16 +196,26 @@ object EventStream {
     *
     * Emits (grp, total) in update mode via the caller's writeStream. */
   def maintainedAggStream(changes: DataFrame, imageSchema: String,
+      groupExpr: org.apache.spark.sql.Column, valueField: String): DataFrame =
+    changeDeltas(changes, imageSchema, groupExpr, valueField)
+      .groupBy(col("grp"))
+      .agg(sum(col("d").cast(DeltaDec)).cast("double").as("total"))
+
+  private val DeltaDec = org.apache.spark.sql.types.DecimalType(28, 10)
+
+  /** THE delta-algebra contract, defined once for every IVM consumer:
+    * per change row, `d` = value delta (insert adds, delete subtracts,
+    * update moves) and `dn` = row-count delta (insert +1, delete −1,
+    * update 0), both extracted from the feed's before/after images. */
+  private def changeDeltas(changes: DataFrame, imageSchema: String,
       groupExpr: org.apache.spark.sql.Column, valueField: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
     def img(c: String) =
       from_json(col(c), imageSchema, Map.empty[String, String]).getField(valueField)
-    changes
-      .select(groupExpr.as("grp"),
-        (coalesce(img("new_image"), lit(0.0))
-          - coalesce(img("old_image"), lit(0.0))).as("d"))
-      .groupBy(col("grp"))
-      .agg(sum(col("d").cast(dec)).cast("double").as("total"))
+    changes.select(groupExpr.as("grp"),
+      (coalesce(img("new_image"), lit(0.0))
+        - coalesce(img("old_image"), lit(0.0))).as("d"),
+      (when(col("new_image").isNotNull, 1L).otherwise(0L)
+        - when(col("old_image").isNotNull, 1L).otherwise(0L)).as("dn"))
   }
 
   /** The MATERIALIZED-VIEW lifecycle closed into the lake: tail `root`'s
@@ -239,27 +249,25 @@ object EventStream {
       valueField: String,
       checkpoint: String,
       intervalMs: Long = RotationTrigger.DefaultIntervalMs): StreamingQuery = {
-    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
-    def img(c: String) =
-      from_json(col(c), imageSchema, Map.empty[String, String]).getField(valueField)
-    val maintained = changesStream(spark, root)
-      .select(groupExpr.as("grp"),
-        (coalesce(img("new_image"), lit(0.0))
-          - coalesce(img("old_image"), lit(0.0))).as("d"),
-        // row-count delta: insert +1, delete -1, update 0
-        (when(col("new_image").isNotNull, 1L).otherwise(0L)
-          - when(col("old_image").isNotNull, 1L).otherwise(0L)).as("dn"))
-      .groupBy(col("grp"))
-      .agg(sum(col("d").cast(dec)).cast("double").as("total"),
-        sum(col("dn")).as("n"))
+    val maintained =
+      changeDeltas(changesStream(spark, root), imageSchema, groupExpr, valueField)
+        .groupBy(col("grp"))
+        .agg(sum(col("d").cast(DeltaDec)).cast("double").as("total"),
+          sum(col("dn")).as("n"))
     maintained.writeStream
       .outputMode("update") // only the groups this trigger's changes touched
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val live = batch.filter(col("n") > 0L)
-          .select(col("grp"), col("total"), col("n")).withColumn("seq", lit(id))
-        val dead = batch.filter(col("n") <= 0L).select(col("grp"))
-        if (!live.isEmpty) mvSink.upsertBatch(live, "seq", 2 * id)
-        if (!dead.isEmpty) mvSink.deleteKeys(dead, 2 * id + 1)
+        // persist: the closure takes several independent actions (the
+        // emptiness probes + the MERGE's and DELETE's own jobs) — without
+        // it each action re-runs the stateful aggregation pipeline
+        batch.persist()
+        try {
+          val live = batch.filter(col("n") > 0L)
+            .select(col("grp"), col("total"), col("n")).withColumn("seq", lit(id))
+          val dead = batch.filter(col("n") <= 0L).select(col("grp"))
+          if (!live.isEmpty) mvSink.upsertBatch(live, "seq", 2 * id)
+          if (!dead.isEmpty) mvSink.deleteKeys(dead, 2 * id + 1)
+        } finally { batch.unpersist(); () }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(intervalMs))

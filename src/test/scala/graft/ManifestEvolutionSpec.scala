@@ -30,6 +30,11 @@ class ManifestEvolutionSpec extends AnyFunSuite {
     sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
     val filesBefore = ManifestUpsertSink.snapshotManifest(root, None).files.map(_.path).toSet
 
+    // invalid renames are rejected upfront: a junk mapping would wedge
+    // the connector, a collision would silently merge two columns
+    intercept[IllegalArgumentException] { sink.renameColumn(spark, "nope", "x") }
+    intercept[IllegalArgumentException] { sink.renameColumn(spark, "p", "seq") }
+
     sink.renameColumn(spark, "p", "payload")
     val m1 = ManifestUpsertSink.snapshotManifest(root, None)
     assert(m1.files.map(_.path).toSet == filesBefore,

@@ -426,6 +426,28 @@ class SinkSpec extends AnyFunSuite {
       assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
       assert(graft.sinks.ManifestUpsertSink.snapshotManifest(sroot, None).batchId >= 1L,
         "the manifest must carry Spark's micro-batch id — the replay guard's input")
+      // an AD-HOC backfill save() into the live stream's table must not
+      // advance the streaming batch-id sequence — synthesizing "next"
+      // ids would make the stream's own next micro-batch look like a
+      // replay and silently drop it (the r10-review data-loss bug)
+      val preBatch = graft.sinks.ManifestUpsertSink.snapshotManifest(sroot, None).batchId
+      Seq((50L, "backfill", 1L)).toDF("id", "p", "seq")
+        .write.format("graft-manifest").option("orderCol", "seq").mode("append").save(sroot)
+      assert(graft.sinks.ManifestUpsertSink.snapshotManifest(sroot, None).batchId == preBatch,
+        "ad-hoc writes must leave the streaming batch id untouched")
+      input.addData((4L, "d", 3L))
+      q.processAllAvailable()
+      val after = graft.sinks.ManifestUpsertSink.read(spark, sroot)
+        .select("id", "p").as[(Long, String)].collect().toMap
+      assert(after(4L) == "d", "the stream's next micro-batch must land, not be shadowed")
+      assert(after(50L) == "backfill" && after.size == 5)
+      // contradicting options on an existing table fail loudly
+      val e2 = intercept[Exception] {
+        Seq((60L, "x", 1L)).toDF("id", "p", "seq")
+          .write.format("graft-manifest").option("orderCol", "seq")
+          .option("keyCol", "p").mode("append").save(sroot)
+      }
+      assert(e2.getMessage.contains("keyCol"))
     } finally q.stop()
   }
 

@@ -14,9 +14,9 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, W
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -41,6 +41,11 @@ import graft.sinks.ManifestUpsertSink.FileEntry
   *   df.writeStream.format("graft-manifest")                            // exactly-once streaming MERGE
   *     .option("orderCol", "seq").option("keyCol", "id")
   *     .option("checkpointLocation", ckpt).start(root)
+  *
+  *   spark.readStream.format("graft-manifest").load(root)               // the table AS A STREAM:
+  *                                                                      // snapshot, then follow upserts
+  *   spark.readStream.format("graft-manifest")                          // CDC tail incl. deletes,
+  *     .option("changes", "true").load(root)                            // version-granular offsets
   * }}}
   *
   * Writes are MERGES, not blind appends: both the batch path (a
@@ -82,7 +87,7 @@ import graft.sinks.ManifestUpsertSink.FileEntry
   * protocol, not a blind append), matching the Delta-OSS-on-plain-store
   * split: connector = read surface, committer = the table's owner. */
 final class ManifestSource extends TableProvider with DataSourceRegister
-    with StreamSinkProvider {
+    with StreamSinkProvider with StreamSourceProvider {
   import ManifestSource._
 
   override def shortName(): String = "graft-manifest"
@@ -155,6 +160,31 @@ final class ManifestSource extends TableProvider with DataSourceRegister
       override def toString: String = "graft-manifest-sink"
     }
   }
+
+  /** V1 streaming source: the lake table as a stream — see
+    * [[ManifestStreamSource]] for the offset/row contracts. The table
+    * provider deliberately does NOT declare MICRO_BATCH_READ, so
+    * `readStream` falls back to this V1 path (the same split as the
+    * sink: V1 keeps the whole micro-batch as one DataFrame, which is all
+    * a manifest-resolution source needs). */
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(ManifestStreamSource.resolveSchema(
+      sqlContext, streamRoot(parameters), parameters.get("changes").exists(_.toBoolean))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val root = streamRoot(parameters)
+    val changes = parameters.get("changes").exists(_.toBoolean)
+    new ManifestStreamSource(sqlContext, root, changes,
+      parameters.get("startingVersion").map(_.toLong),
+      schema.getOrElse(ManifestStreamSource.resolveSchema(sqlContext, root, changes)))
+  }
+
+  private def streamRoot(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-manifest streaming reads require a table root: .load(<root>)"))
 }
 
 object ManifestSource {

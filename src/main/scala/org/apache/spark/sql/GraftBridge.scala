@@ -31,4 +31,18 @@ object GraftBridge {
     classic.Dataset.ofRows(ds.sparkSession,
       execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false))
   }
+
+  /** The inverse re-rooting for a V1 streaming SOURCE's `getBatch`:
+    * MicroBatchExecution asserts the returned frame has
+    * isStreaming=true (it splices the plan in place of the streaming
+    * relation), so a batch-planned read over the micro-batch's files is
+    * re-rooted over its planned RDD with the streaming bit set — the
+    * same move Spark's own file/Kafka sources make via
+    * `internalCreateDataFrame(..., isStreaming = true)`. */
+  def asStreamingDF(df: DataFrame): DataFrame = {
+    val ds = classic.ClassicConversions.castToImpl(df)
+    val rdd = ds.queryExecution.toRdd
+    classic.Dataset.ofRows(ds.sparkSession,
+      execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = true))
+  }
 }

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.ManifestUpsertSink
+
+/** `readStream.format("graft-manifest")` — the lake table as a streaming
+  * source: pinned initial snapshot, version-offset tailing of upserts,
+  * delete visibility rules per mode, exactly-once across a checkpoint
+  * restart, and the loud mid-stream-DDL guard. */
+class ManifestStreamSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Drain a streaming frame into a thread-safe buffer via foreachBatch —
+    * the recovery-honest harness (memory sink isn't fault tolerant). */
+  private def drainTo(df: DataFrame, checkpoint: String,
+      buf: mutable.Buffer[Seq[Any]]): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect().map(_.toSeq).toSeq
+        buf.synchronized { buf ++= rows; () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  test("table-follow: pinned snapshot, upsert tail, silent deletes/compactions, exactly-once restart") {
+    import spark.implicits._
+    val root = tmp("graft_stream_src_")
+    val ckpt = tmp("graft_stream_src_ckpt_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    sink.upsertBatch(Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+
+    val got = mutable.Buffer[Seq[Any]]()
+    val stream = spark.readStream.format("graft-manifest").load(root)
+    assert(stream.isStreaming && stream.columns.toSeq == Seq("id", "p", "seq"))
+    val q = drainTo(stream.select("id", "p"), ckpt, got)
+    try {
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet) == Set(Seq(1L, "a"), Seq(2L, "b2"), Seq(3L, "c")),
+        "batch 0 is the snapshot at stream start — merged history, not per-version replays")
+
+      // a live merge lands as that window's AFTER images only
+      sink.upsertBatch(Seq((1L, "a2", 3L), (4L, "d", 3L)).toDF("id", "p", "seq"), "seq", 2L)
+      q.processAllAvailable()
+      assert(got.synchronized(got.size) == 5 &&
+        got.synchronized(got.toSet).contains(Seq(1L, "a2")) &&
+        got.synchronized(got.toSet).contains(Seq(4L, "d")))
+
+      // deletes emit nothing in table-follow mode; compactions are
+      // feed-less versions the offset walk skips at header cost
+      sink.deleteKeys(Seq(3L).toDF("id"), 3L)
+      sink.compact(spark)
+      q.processAllAvailable()
+      assert(got.synchronized(got.size) == 5, "delete + compaction add no table-follow rows")
+    } finally q.stop()
+
+    // restart from the checkpoint: ONLY versions after the committed
+    // offset arrive — no snapshot replay, no re-delivered images
+    val sink2 = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink2.upsertBatch(Seq((5L, "e", 4L)).toDF("id", "p", "seq"), "seq", 4L)
+    val got2 = mutable.Buffer[Seq[Any]]()
+    val q2 = drainTo(spark.readStream.format("graft-manifest").load(root)
+      .select("id", "p"), ckpt, got2)
+    try {
+      q2.processAllAvailable()
+      assert(got2.synchronized(got2.toSeq) == Seq(Seq(5L, "e")),
+        "restart resumes at the committed version: exactly-once, no snapshot")
+    } finally q2.stop()
+  }
+
+  test("changes mode: full CDC tail with deletes and _version stamps") {
+    import spark.implicits._
+    val root = tmp("graft_stream_cdc_")
+    val ckpt = tmp("graft_stream_cdc_ckpt_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    sink.upsertBatch(Seq((2L, "b2", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+    sink.deleteKeys(Seq(1L).toDF("id"), 2L)
+
+    val got = mutable.Buffer[Seq[Any]]()
+    val stream = spark.readStream.format("graft-manifest")
+      .option("changes", "true").load(root)
+    val q = drainTo(stream.select("id", "change", "_version"), ckpt, got)
+    try {
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet) == Set(
+        Seq(1L, "inserted", 0L), Seq(2L, "inserted", 0L),
+        Seq(2L, "updated", 1L), Seq(1L, "deleted", 2L)),
+        "the CDC tail replays the table's whole change history with version stamps")
+      sink.upsertBatch(Seq((3L, "c", 3L)).toDF("id", "p", "seq"), "seq", 3L)
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet).contains(Seq(3L, "inserted", 3L)))
+    } finally q.stop()
+  }
+
+  test("full topology: ingest -> lake -> IVM materialized view -> the MV's CDC as a stream") {
+    import spark.implicits._
+    val root = tmp("graft_topo_src_")
+    val mvRoot = tmp("graft_topo_mv_")
+    val mvCkpt = tmp("graft_topo_mvck_")
+    val dsCkpt = tmp("graft_topo_dsck_")
+    val src = new ManifestUpsertSink(root, "id", buckets = 4)
+    src.upsertBatch(Seq((1L, 10.0, 1L), (2L, 20.0, 1L)).toDF("id", "v", "seq"), "seq", 0L)
+
+    // stage 2: the IVM view maintains per-group sums into a second lake table
+    val mvSink = new ManifestUpsertSink(mvRoot, "grp", buckets = 2)
+    val mvQ = graft.streaming.EventStream.startMaintainedView(
+      spark, root, mvSink, imageSchema = "id BIGINT, seq BIGINT, v DOUBLE",
+      groupExpr = pmod(col("id"), lit(2L)), valueField = "v",
+      checkpoint = mvCkpt, intervalMs = 50L)
+    // stage 3: a DOWNSTREAM consumer tails the VIEW's own change feed
+    // through the version-offset source — view-level deltas, no rescan
+    val got = mutable.Buffer[Seq[Any]]()
+    var dsQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      mvQ.processAllAvailable()
+      dsQ = drainTo(spark.readStream.format("graft-manifest")
+        .option("changes", "true").load(mvRoot)
+        .select("grp", "change"), dsCkpt, got)
+      dsQ.processAllAvailable()
+      // the seed may drain across several MV triggers (file-source
+      // latching), so pin membership, not the exact multiset
+      assert(Set(Seq(0L, "inserted"), Seq(1L, "inserted"))
+        .subsetOf(got.synchronized(got.toSet)),
+        "the MV's seed maintenance surfaces as view-level inserts downstream")
+
+      // a source merge ripples through: lake CDC -> IVM -> MV merge -> MV CDC
+      src.upsertBatch(Seq((4L, 40.0, 2L)).toDF("id", "v", "seq"), "seq", 1L)
+      mvQ.processAllAvailable()
+      dsQ.processAllAvailable()
+      assert(got.synchronized(got.toSet).contains(Seq(0L, "updated")),
+        "a source-row merge arrives downstream as the touched group's update")
+
+      // group death ripples as a view-level DELETE
+      src.deleteKeys(Seq(1L).toDF("id"), batchId = 2L)
+      mvQ.processAllAvailable()
+      dsQ.processAllAvailable()
+      assert(got.synchronized(got.toSet).contains(Seq(1L, "deleted")),
+        "an emptied group arrives downstream as a view-level delete")
+    } finally { mvQ.stop(); if (dsQ != null) dsQ.stop() }
+  }
+
+  test("startingVersion skips the snapshot; mid-stream rename fails loudly") {
+    import spark.implicits._
+    val root = tmp("graft_stream_sv_")
+    val ckpt = tmp("graft_stream_sv_ckpt_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    sink.upsertBatch(Seq((2L, "b", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+
+    val got = mutable.Buffer[Seq[Any]]()
+    val q = drainTo(spark.readStream.format("graft-manifest")
+      .option("startingVersion", "1").load(root).select("id"), ckpt, got)
+    try {
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSeq) == Seq(Seq(2L)),
+        "startingVersion=1 reads version 1's images only — no snapshot, no v0")
+
+      // a rename DDL mid-stream re-names the fields inside later images:
+      // the source must refuse rather than parse nulls
+      sink.renameColumn(spark, "p", "payload")
+      sink.upsertBatch(Seq((3L, "c", 3L)).toDF("id", "payload", "seq"), "seq", 2L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      assert(e.getMessage.contains("rename") || e.getCause.getMessage.contains("rename"))
+    } finally q.stop()
+  }
+}

@@ -179,6 +179,9 @@ final class ManifestSource extends TableProvider with DataSourceRegister
     val changes = parameters.get("changes").exists(_.toBoolean)
     new ManifestStreamSource(sqlContext, root, changes,
       parameters.get("startingVersion").map(_.toLong),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong).map { n =>
+        require(n > 0, s"maxVersionsPerTrigger must be positive, got $n"); n
+      },
       schema.getOrElse(ManifestStreamSource.resolveSchema(sqlContext, root, changes)))
   }
 

@@ -20,7 +20,14 @@ import graft.sinks.ManifestUpsertSink
   *     .option("changes", "true").load(root)                      // CDC rows incl. deletes, + _version
   *   spark.readStream.format("graft-manifest")
   *     .option("startingVersion", 3).load(root)                   // no snapshot: changes since v3
+  *   spark.readStream.format("graft-manifest")
+  *     .option("maxVersionsPerTrigger", 10).load(root)            // bounded catch-up batches
   * }}}
+  *
+  * `maxVersionsPerTrigger` is ADMISSION CONTROL for catch-up: after
+  * downtime the backlog drains ≤ N versions per micro-batch instead of
+  * one giant batch (the Delta `maxFilesPerTrigger` analogue, best-effort
+  * across a fully-committed restart exactly like Kafka's V1 limiter).
   *
   * OFFSET = committed manifest version (a [[LongOffset]]). `getOffset`
   * is one manifest-dir listing; a micro-batch (start, end] reads exactly
@@ -64,6 +71,7 @@ import graft.sinks.ManifestUpsertSink
   * committed table, are again a stream. */
 final class ManifestStreamSource(sqlContext: SQLContext, root: String,
     changesMode: Boolean, startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Long],
     override val schema: StructType) extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -72,8 +80,34 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
   private val startRenames: Seq[(String, String)] =
     ManifestUpsertSink.latestManifest(root).map(_.renames).getOrElse(Nil)
 
+  /** Highest version already handed to a batch — the admission-control
+    * anchor for `maxVersionsPerTrigger`. Learned from getBatch (recovery
+    * replays initialize it from the checkpointed range) and from our own
+    * getOffset answers; before either, catch-up modes anchor at their
+    * own starting version so even batch 0 is capped. Best-effort across
+    * a fully-committed restart (Kafka's V1 limiter contract): if the
+    * engine hands us no recovery getBatch, the stale anchor costs at
+    * most a few EMPTY micro-batches while it climbs past the committed
+    * offset — `changesBetween` of an inverted range reads nothing, so
+    * correctness never depends on the anchor. */
+  @volatile private var lastSeenEnd: Option[Long] = None
+
   override def getOffset: Option[Offset] =
-    ManifestUpsertSink.latestManifest(root).map(m => LongOffset(m.version))
+    ManifestUpsertSink.latestManifest(root).map { m =>
+      val anchor = lastSeenEnd.orElse {
+        // snapshot mode's batch 0 is ONE pinned snapshot read — capping
+        // it would only snapshot an older version, not bound the I/O
+        if (changesMode || startingVersion.isDefined)
+          Some(startingVersion.getOrElse(0L) - 1L)
+        else None
+      }
+      val capped = (maxVersionsPerTrigger, anchor) match {
+        case (Some(cap), Some(last)) => math.min(m.version, last + cap)
+        case _ => m.version
+      }
+      lastSeenEnd = Some(capped)
+      LongOffset(capped)
+    }
 
   // offsets arrive as LongOffset live and as SerializedOffset from the
   // checkpoint log on recovery — json is the common denominator
@@ -84,6 +118,7 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
+    if (lastSeenEnd.forall(_ < endV)) lastSeenEnd = Some(endV)
     for (m <- ManifestUpsertSink.manifestAt(root, endV)
          if m.renames != startRenames)
       throw new IllegalStateException(

@@ -150,6 +150,36 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     } finally { mvQ.stop(); if (dsQ != null) dsQ.stop() }
   }
 
+  test("maxVersionsPerTrigger bounds catch-up batches") {
+    import spark.implicits._
+    val root = tmp("graft_stream_rate_")
+    val ckpt = tmp("graft_stream_rate_ckpt_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    for (i <- 0L to 5L) // six committed versions of backlog
+      sink.upsertBatch(Seq((i, s"p$i", i)).toDF("id", "p", "seq"), "seq", i)
+
+    val perBatch = mutable.Buffer[Set[Long]]()
+    val q = spark.readStream.format("graft-manifest")
+      .option("changes", "true").option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2").load(root)
+      .select("_version")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.select("_version").collect().map(_.getLong(0)).toSet
+        perBatch.synchronized { perBatch += vs; () }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val all = perBatch.synchronized(perBatch.toSeq)
+      assert(all.flatten.toSet == (0L to 5L).toSet, "the whole backlog drains")
+      assert(all.forall(_.size <= 2),
+        s"no batch may span more than maxVersionsPerTrigger versions: $all")
+      assert(all.count(_.nonEmpty) >= 3, "six versions at cap 2 need >= 3 batches")
+    } finally q.stop()
+  }
+
   test("startingVersion skips the snapshot; mid-stream rename fails loudly") {
     import spark.implicits._
     val root = tmp("graft_stream_sv_")

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
@@ -26,8 +27,13 @@ import graft.sinks.ManifestUpsertSink
   *
   * `maxVersionsPerTrigger` is ADMISSION CONTROL for catch-up: after
   * downtime the backlog drains ≤ N versions per micro-batch instead of
-  * one giant batch (the Delta `maxFilesPerTrigger` analogue, best-effort
-  * across a fully-committed restart exactly like Kafka's V1 limiter).
+  * one giant batch (the Delta `maxFilesPerTrigger` analogue), driven
+  * through [[SupportsAdmissionControl.latestOffset]] — the engine hands
+  * the checkpointed start offset to each call, so the cap is exact
+  * across restarts, and `Trigger.AvailableNow` gets true multi-batch
+  * drain-then-stop semantics via the [[SupportsTriggerAvailableNow]]
+  * latch (the KafkaSource shape; without it a V1 source silently
+  * degrades to one-batch Trigger.Once).
   *
   * OFFSET = committed manifest version (a [[LongOffset]]). `getOffset`
   * is one manifest-dir listing; a micro-batch (start, end] reads exactly
@@ -72,7 +78,8 @@ import graft.sinks.ManifestUpsertSink
 final class ManifestStreamSource(sqlContext: SQLContext, root: String,
     changesMode: Boolean, startingVersion: Option[Long],
     maxVersionsPerTrigger: Option[Long],
-    override val schema: StructType) extends Source {
+    override val schema: StructType) extends Source with SupportsTriggerAvailableNow {
+  import ManifestStreamSource.PreSnapshot
 
   private val spark = sqlContext.sparkSession
 
@@ -80,45 +87,76 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
   private val startRenames: Seq[(String, String)] =
     ManifestUpsertSink.latestManifest(root).map(_.renames).getOrElse(Nil)
 
-  /** Highest version already handed to a batch — the admission-control
-    * anchor for `maxVersionsPerTrigger`. Learned from getBatch (recovery
-    * replays initialize it from the checkpointed range) and from our own
-    * getOffset answers; before either, catch-up modes anchor at their
-    * own starting version so even batch 0 is capped. Best-effort across
-    * a fully-committed restart (Kafka's V1 limiter contract): if the
-    * engine hands us no recovery getBatch, the stale anchor costs at
-    * most a few EMPTY micro-batches while it climbs past the committed
-    * offset — `changesBetween` of an inverted range reads nothing, so
-    * correctness never depends on the anchor. */
-  @volatile private var lastSeenEnd: Option[Long] = None
+  /** Trigger.AvailableNow's latch: versions committed AFTER prepare are
+    * not this run's problem — the engine keeps scheduling batches until
+    * latestOffset stops short of new data, and the latch is what makes
+    * it stop (the KafkaSource contract). */
+  @volatile private var availableNowLatch: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowLatch =
+      Some(ManifestUpsertSink.latestManifest(root).map(_.version).getOrElse(-1L))
+
+  /** ADMISSION CONTROL (the engine calls this, never [[getOffset]], on a
+    * [[SupportsAdmissionControl]] source): the next batch's end version =
+    * start + maxVersionsPerTrigger, clamped to what exists and to the
+    * AvailableNow latch. The engine hands us the true start offset —
+    * checkpointed on restart — so the cap needs no source-side memory of
+    * its own. The pre-snapshot sentinel start (fresh snapshot-mode
+    * stream) is never capped: batch 0 is ONE pinned snapshot read, and
+    * capping it would only snapshot an older version, not bound I/O. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val latest0 = ManifestUpsertSink.latestManifest(root).map(_.version)
+    val latest = availableNowLatch match {
+      case Some(l) => latest0.map(math.min(_, l))
+      case None => latest0
+    }
+    latest match {
+      case None => start // nothing committed yet: no progress
+      case Some(lv) =>
+        // the engine passes NULL (not initialOffset) before the first
+        // batch of a fresh stream — anchor the arithmetic ourselves
+        val startV = if (start == null) ver(initialOffset()) else ver(start)
+        val cap = limit match {
+          case r: ReadMaxRows => Some(r.maxRows)
+          case _ => None
+        }
+        val endV = cap match {
+          case Some(n) if startV != PreSnapshot => math.min(lv, startV + n)
+          case _ => lv
+        }
+        if (endV <= startV && startV != PreSnapshot) start else LongOffset(endV)
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** The fresh-stream anchor for [[latestOffset]]'s arithmetic: the
+    * version just below the catch-up start, or the pre-snapshot sentinel
+    * for a fresh table-follow stream. The engine passes NULL as the
+    * first start rather than calling this — latestOffset substitutes it
+    * itself; getBatch still sees start=None for batch 0. */
+  override def initialOffset(): OffsetV2 =
+    LongOffset(
+      if (changesMode || startingVersion.isDefined) startingVersion.getOrElse(0L) - 1L
+      else PreSnapshot)
+
+  override def deserializeOffset(json: String): OffsetV2 = LongOffset(json.trim.toLong)
 
   override def getOffset: Option[Offset] =
-    ManifestUpsertSink.latestManifest(root).map { m =>
-      val anchor = lastSeenEnd.orElse {
-        // snapshot mode's batch 0 is ONE pinned snapshot read — capping
-        // it would only snapshot an older version, not bound the I/O
-        if (changesMode || startingVersion.isDefined)
-          Some(startingVersion.getOrElse(0L) - 1L)
-        else None
-      }
-      val capped = (maxVersionsPerTrigger, anchor) match {
-        case (Some(cap), Some(last)) => math.min(m.version, last + cap)
-        case _ => m.version
-      }
-      lastSeenEnd = Some(capped)
-      LongOffset(capped)
-    }
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this source") // the SupportsAdmissionControl contract
 
   // offsets arrive as LongOffset live and as SerializedOffset from the
   // checkpoint log on recovery — json is the common denominator
-  private def ver(o: Offset): Long = o match {
+  private def ver(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json.trim.toLong
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
-    if (lastSeenEnd.forall(_ < endV)) lastSeenEnd = Some(endV)
     for (m <- ManifestUpsertSink.manifestAt(root, endV)
          if m.renames != startRenames)
       throw new IllegalStateException(
@@ -139,28 +177,50 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
   }
 
   /** The change rows of versions [from, to] — header-only walk for
-    * feed-less versions, loud failure for vacuumed ones. */
+    * feed-less versions, loud failure for vacuumed ones. All versions'
+    * feeds read as ONE parquet scan (a 1000-version catch-up batch must
+    * not become 1000 union'd scan nodes); changes mode recovers each
+    * row's `_version` by broadcast-joining the file's parent dir against
+    * the driver's (dir → version) walk — ≤ one row per version, and it
+    * works for staged-feed dirs (the crash-heal window) where the path
+    * carries no version. */
   private def changesBetween(from: Long, to: Long): DataFrame = {
-    val perVersion = (from to to).flatMap { v =>
+    val dirOfVersion: Seq[(String, Long)] = (from to to).flatMap { v =>
       ManifestUpsertSink.manifestAt(root, v) match {
         case None =>
           throw new IllegalStateException(
             s"streaming read needs version $v of $root but its manifest is " +
               "vacuumed or missing — size vacuum's keepVersions/keepChangeVersions " +
               "to cover live subscribers")
-        case Some(m) if m.feed.isEmpty => None // compaction/DDL: no row changed
+        case Some(m) if m.feed.isEmpty => Nil // compaction/DDL: no row changed
         case Some(_) =>
-          val feed = spark.read.parquet(ManifestUpsertSink.changeFiles(root, v): _*)
-          Some(
-            if (changesMode) feed.withColumn("_version", lit(v))
-            else feed.filter(col("change") =!= "deleted")
-              .select(from_json(col("new_image"), schema, Map.empty[String, String]).as("r"))
-              .select(schema.fieldNames.map(n => col(s"r.`$n`").as(n)): _*))
+          ManifestUpsertSink.changeFiles(root, v)
+            .map(p => p.substring(0, p.lastIndexOf('/')) -> v).distinct
       }
     }
-    if (perVersion.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else perVersion.reduce(_.unionByName(_))
+    if (dirOfVersion.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val feed = spark.read.parquet(dirOfVersion.map(_._1): _*)
+    if (changesMode) {
+      import spark.implicits._
+      // match on the dir's LAST TWO path segments (`_changes/v<N>` /
+      // `_stage/<tag>`) — unique within the table and immune to the
+      // scheme/percent-encoding differences between input_file_name's
+      // URI form and the driver walk's plain paths
+      def tailSegs(p: String): String =
+        p.split('/').filter(_.nonEmpty).takeRight(2).mkString("/")
+      val dirs = broadcast(
+        dirOfVersion.map { case (d, v) => (tailSegs(d), v) }.toDF("_dir", "_version"))
+      feed
+        .withColumn("_dir",
+          regexp_extract(input_file_name(), "([^/]+/[^/]+)/[^/]*$", 1))
+        .join(dirs, Seq("_dir"))
+        .drop("_dir")
+    } else
+      feed.filter(col("change") =!= "deleted")
+        .select(from_json(col("new_image"), schema, Map.empty[String, String]).as("r"))
+        .select(schema.fieldNames.map(n => col(s"r.`$n`").as(n)): _*)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -170,6 +230,12 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
 }
 
 object ManifestStreamSource {
+
+  /** Sentinel start version for a fresh table-follow stream (its batch 0
+    * is a snapshot, not a version range) — committed versions are ≥ 0
+    * and catch-up anchors are ≥ -1, so -2 is unreachable as a real
+    * offset. */
+  private val PreSnapshot = -2L
 
   /** The stream's pinned schema: the table's logical schema (merged
     * footers under the current rename mapping) for table-follow mode;

@@ -180,6 +180,55 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the whole backlog in capped batches, then stops") {
+    import spark.implicits._
+    val root = tmp("graft_stream_avnow_")
+    val ckpt = tmp("graft_stream_avnow_ckpt_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    for (i <- 0L to 4L)
+      sink.upsertBatch(Seq((i, s"p$i", i)).toDF("id", "p", "seq"), "seq", i)
+
+    val got = mutable.Buffer[Seq[Any]]()
+    val q = spark.readStream.format("graft-manifest")
+      .option("changes", "true").option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2").load(root)
+      .select("_version")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect().map(_.toSeq).toSeq
+        got.synchronized { got ++= rows; () }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must terminate on its own")
+    assert(got.synchronized(got.map(_.head).toSet) == (0L to 4L).map(v => v: Any).toSet,
+      "the batch-backfill pattern: drain EVERYTHING committed (across capped batches), then stop")
+  }
+
+  test("a vacuumed feed inside an unprocessed window fails loudly, not silently skips") {
+    import spark.implicits._
+    val root = tmp("graft_stream_vac_")
+    val ckpt = tmp("graft_stream_vac_ckpt_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    for (i <- 0L to 3L)
+      sink.upsertBatch(Seq((i, s"p$i", i)).toDF("id", "p", "seq"), "seq", i)
+    sink.vacuum(keepVersions = 1) // reclaims v0-v2's manifests and feeds
+
+    val got = mutable.Buffer[Seq[Any]]()
+    val q = drainTo(spark.readStream.format("graft-manifest")
+      .option("changes", "true").option("startingVersion", "0").load(root)
+      .select("id"), ckpt, got)
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("vacuum"), s"the failure must name the vacuum horizon: $msg")
+    } finally q.stop()
+  }
+
   test("startingVersion skips the snapshot; mid-stream rename fails loudly") {
     import spark.implicits._
     val root = tmp("graft_stream_sv_")

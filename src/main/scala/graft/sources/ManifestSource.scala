@@ -150,6 +150,8 @@ final class ManifestSource extends TableProvider with DataSourceRegister
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
       s"graft-manifest streaming writes are MERGEs (append/update); got $outputMode")
+    if (parameters.get("applyChanges").exists(_.toBoolean))
+      return applyChangesSink(parameters)
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit =
         // re-root the streaming frame as a batch over the planned RDD
@@ -158,6 +160,53 @@ final class ManifestSource extends TableProvider with DataSourceRegister
         appendBatch(new CaseInsensitiveStringMap(parameters.asJava),
           GraftBridge.asBatchDF(data), Some(batchId))
       override def toString: String = "graft-manifest-sink"
+    }
+  }
+
+  /** CDC APPLY — exactly-once table REPLICATION as a sink: consume a
+    * `changes = true` stream (or any frame carrying a `change` column),
+    * reduce each key to its LAST action by `orderCol` (a key deleted at
+    * v2 and re-inserted at v5 must survive — naive apply-all-upserts-
+    * then-all-deletes would kill it), then MERGE the live rows and
+    * DELETE the dead ones under paired replay-guarded batch ids
+    * (2·id / 2·id+1 — a crash between the two replays the upsert as a
+    * no-op and completes the delete, the same protocol as the
+    * materialized-view writer). The mirror keeps the order column like
+    * any MERGE; `change` is consumed by the split. */
+  private def applyChangesSink(parameters: Map[String, String]): Sink = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-manifest applyChanges requires a table root: .start(<root>)"))
+    val orderCol = parameters.getOrElse("orderCol", throw new IllegalArgumentException(
+      "applyChanges requires option(\"orderCol\", <col>) — the per-key change order " +
+        "(the changes stream's _version, unless you know better)"))
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val batch = GraftBridge.asBatchDF(data)
+        require(batch.columns.contains("change"),
+          "applyChanges input must carry the feed's `change` column " +
+            "(inserted|updated|deleted) — select it through from the changes stream")
+        val cur = ManifestUpsertSink.latestManifest(root)
+        val keyCol = cur.flatMap(_.keyCol).orElse(parameters.get("keyCol"))
+          .getOrElse(throw new IllegalArgumentException(
+            "first applyChanges write to a new table requires option(\"keyCol\", <col>)"))
+        val buckets = cur.flatMap(_.buckets)
+          .orElse(parameters.get("buckets").map(_.toInt)).getOrElse(16)
+        val sink = new graft.sinks.ManifestUpsertSink(root, keyCol, buckets)
+        // several actions follow (emptiness probes + each verb's own
+        // jobs) — persist so the batch's lineage runs once
+        val last = graft.sinks.JdbcUpsertSink
+          .lastWriteWins(batch, keyCol, org.apache.spark.sql.functions.col(orderCol))
+          .persist()
+        try {
+          val live = last.filter(org.apache.spark.sql.functions.col("change") =!= "deleted")
+            .drop("change")
+          val dead = last.filter(org.apache.spark.sql.functions.col("change") === "deleted")
+            .select(org.apache.spark.sql.functions.col(keyCol))
+          if (!live.isEmpty) sink.upsertBatch(live, orderCol, 2 * batchId)
+          if (!dead.isEmpty) sink.deleteKeys(dead, 2 * batchId + 1)
+        } finally { last.unpersist(); () }
+      }
+      override def toString: String = "graft-manifest-apply-changes-sink"
     }
   }
 

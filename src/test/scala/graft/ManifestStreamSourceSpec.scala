@@ -229,6 +229,53 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC APPLY replication: changes stream -> applyChanges sink == exact mirror") {
+    import spark.implicits._
+    val srcRoot = tmp("graft_repl_src_")
+    val dstRoot = tmp("graft_repl_dst_")
+    val ckpt = tmp("graft_repl_ckpt_")
+    val src = new ManifestUpsertSink(srcRoot, "id", buckets = 4)
+    // history with the nasty orderings: update, delete, DELETE-THEN-
+    // REINSERT (naive upserts-then-deletes apply would kill id=1)
+    src.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("id", "p", "seq"), "seq", 0L)
+    src.upsertBatch(Seq((2L, "b2", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+    src.deleteKeys(Seq(1L, 3L).toDF("id"), 2L)
+    src.upsertBatch(Seq((1L, "back", 3L)).toDF("id", "p", "seq"), "seq", 3L)
+
+    val imgDdl = "id BIGINT, p STRING, seq BIGINT"
+    val parsed = spark.readStream.format("graft-manifest")
+      .option("changes", "true").load(srcRoot)
+      .select(col("id"), col("change"), col("_version"),
+        from_json(col("new_image"), imgDdl, Map.empty[String, String]).getField("p").as("p"),
+        from_json(col("new_image"), imgDdl, Map.empty[String, String]).getField("seq").as("seq"))
+    val q = parsed.writeStream.format("graft-manifest")
+      .option("applyChanges", "true")
+      .option("orderCol", "_version").option("keyCol", "id").option("buckets", "4")
+      .option("checkpointLocation", ckpt)
+      .start(dstRoot)
+    try {
+      q.processAllAvailable()
+      def snap(root: String): Map[Long, (String, Long)] =
+        ManifestUpsertSink.read(spark, root)
+          .select("id", "p", "seq").as[(Long, String, Long)]
+          .collect().map { case (i, p, s) => i -> (p, s) }.toMap
+      assert(snap(dstRoot) == snap(srcRoot) &&
+        snap(dstRoot) == Map(1L -> ("back", 3L), 2L -> ("b2", 2L)),
+        "the mirror must equal the source, including the delete-then-reinsert key")
+
+      // live tail: more verbs ripple through the running replication
+      src.upsertBatch(Seq((4L, "d", 4L)).toDF("id", "p", "seq"), "seq", 4L)
+      src.deleteKeys(Seq(2L).toDF("id"), 5L)
+      q.processAllAvailable()
+      assert(snap(dstRoot) == snap(srcRoot) &&
+        snap(dstRoot) == Map(1L -> ("back", 3L), 4L -> ("d", 4L)))
+
+      // the mirror is a first-class lake table: its own versions + feed
+      assert(ManifestUpsertSink.snapshotManifest(dstRoot, None).version >= 1L)
+    } finally q.stop()
+  }
+
   test("startingVersion skips the snapshot; mid-stream rename fails loudly") {
     import spark.implicits._
     val root = tmp("graft_stream_sv_")

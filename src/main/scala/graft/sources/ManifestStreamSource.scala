@@ -132,6 +132,12 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
   override def getDefaultReadLimit: ReadLimit =
     maxVersionsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
+  /** The TRUE latest version, uncapped — StreamingQueryProgress shows it
+    * next to the admitted endOffset, so a capped catch-up's LAG is
+    * observable (latestOffset − endOffset = versions still queued). */
+  override def reportLatestOffset(): OffsetV2 =
+    ManifestUpsertSink.latestManifest(root).map(m => LongOffset(m.version)).orNull
+
   /** The fresh-stream anchor for [[latestOffset]]'s arithmetic: the
     * version just below the catch-up start, or the pre-snapshot sentinel
     * for a fresh table-follow stream. The engine passes NULL as the

@@ -190,7 +190,7 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
     * the driver's (dir → version) walk — ≤ one row per version, and it
     * works for staged-feed dirs (the crash-heal window) where the path
     * carries no version. */
-  private def changesBetween(from: Long, to: Long): DataFrame = {
+  private[graft] def changesBetween(from: Long, to: Long): DataFrame = {
     val dirOfVersion: Seq[(String, Long)] = (from to to).flatMap { v =>
       ManifestUpsertSink.manifestAt(root, v) match {
         case None =>
@@ -248,7 +248,7 @@ object ManifestStreamSource {
     * the feed contract + `_version` for changes mode. Requires a
     * committed table — there is nothing to pin a schema to before the
     * first commit (create the table, then subscribe). */
-  private[sources] def resolveSchema(sqlContext: SQLContext,
+  private[graft] def resolveSchema(sqlContext: SQLContext,
       root: String, changesMode: Boolean): StructType = {
     val table = ManifestUpsertSink.read(sqlContext.sparkSession, root).schema
     if (!changesMode) table

@@ -229,6 +229,27 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a multi-version catch-up batch plans ONE parquet scan, not one per version") {
+    import spark.implicits._
+    val root = tmp("graft_stream_plan_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    for (i <- 0L to 5L)
+      sink.upsertBatch(Seq((i, s"p$i", i)).toDF("id", "p", "seq"), "seq", i)
+
+    val src = new graft.sources.ManifestStreamSource(spark.sqlContext, root,
+      changesMode = true, startingVersion = Some(0L), maxVersionsPerTrigger = None,
+      graft.sources.ManifestStreamSource.resolveSchema(spark.sqlContext, root, changesMode = true))
+    val batch = src.changesBetween(0L, 5L)
+    val leaves = batch.queryExecution.optimizedPlan.collectLeaves().map(_.nodeName)
+    val scans = leaves.count(n => n.contains("Relation") && !n.contains("Local"))
+    assert(scans == 1,
+      s"a 6-version window must be ONE scan over all feed dirs (a 1000-version " +
+        s"backlog must not build a 1000-leaf plan); leaves: $leaves")
+    // and the broadcast dir->version mapping still stamps each row right
+    val got = batch.select("_version", "id").as[(Long, Long)].collect().toSet
+    assert(got == (0L to 5L).map(v => (v, v)).toSet)
+  }
+
   test("CDC APPLY replication: changes stream -> applyChanges sink == exact mirror") {
     import spark.implicits._
     val srcRoot = tmp("graft_repl_src_")

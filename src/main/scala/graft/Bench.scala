@@ -238,6 +238,82 @@ object Bench {
       f""""pipeline_rows_per_sec":${if (addBatchMs > 0) n * 1000.0 / addBatchMs else 0.0}%.0f,""" +
       f""""steady_rows_per_sec":$steadyRps%.0f,""" +
       f""""batch_p50_sec":${pct(0.5) / 1e3}%.3f,"batch_p95_sec":${pct(0.95) / 1e3}%.3f,""" +
-      f""""startup_sec":$startupSec%.3f,"dur":$phaseJson%s}"""
+      f""""startup_sec":$startupSec%.3f,"dur":$phaseJson%s,"lake":${lakeJson(spark)}%s}"""
+  }
+
+  /** Lake-streaming micro-bench: rows/s through (1) the exactly-once
+    * streaming MERGE sink (`writeStream.format("graft-manifest")` — each
+    * micro-batch is a full copy-on-write commit: LWW, CDC feed, footer
+    * stats) and (2) CDC-APPLY replication (the whole change history of
+    * that table re-applied into a mirror via the version-offset source
+    * under Trigger.AvailableNow). These are COMMIT-bound paths, not
+    * parse-bound like the ingest number above — the measure of what a
+    * lake table costs per version at the bench's batch size, so a
+    * protocol regression (stats pass, staging, rebase bookkeeping) moves
+    * a number round over round. */
+  private def lakeJson(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 50k/10 versions: the per-COMMIT constant dominates at bench batch
+    // sizes (the protocol cost is what this tracks — at production batch
+    // sizes rows/s scales with the batch, the commit cost doesn't)
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_LAKE_ROWS", "50000").toInt
+    val batches = 10
+    if (n <= 0) return "{}"
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_lake_").toString
+      val root = s"$dir/table"
+      val mirror = s"$dir/mirror"
+      // --- (1) streaming MERGE: n rows over `batches` micro-batches,
+      // 20% of each batch updating the previous batch's keys (real merge
+      // work, not a pure append)
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+      val per = n / batches
+      val q = input.toDF().select(
+          pmod(col("value"), lit((n * 0.8).toLong)).as("id"),
+          concat(lit("payload-"), col("value")).as("p"),
+          col("value").as("seq"))
+        .writeStream.format("graft-manifest")
+        .option("orderCol", "seq").option("keyCol", "id").option("buckets", "16")
+        .option("checkpointLocation", s"$dir/ckpt_merge")
+        .start(root)
+      val t0 = System.nanoTime()
+      try {
+        for (b <- 0 until batches) {
+          input.addData((b.toLong * per) until ((b + 1).toLong * per))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val mergeSec = (System.nanoTime() - t0) / 1e9
+      val versions = graft.sinks.ManifestUpsertSink.snapshotManifest(root, None).version + 1
+      // --- (2) CDC-APPLY replication: the table's whole history into a
+      // mirror, drained by the version-offset source in one AvailableNow run
+      val imgDdl = "id BIGINT, p STRING, seq BIGINT"
+      val t1 = System.nanoTime()
+      val changeRows = spark.read.format("graft-manifest").load(root).count() // warm footer cache fairness
+      val rq = spark.readStream.format("graft-manifest")
+        .option("changes", "true").load(root)
+        .select(col("id"), col("change"), col("_version"),
+          from_json(col("new_image"), imgDdl, Map.empty[String, String]).getField("p").as("p"),
+          from_json(col("new_image"), imgDdl, Map.empty[String, String]).getField("seq").as("seq"))
+        .writeStream.format("graft-manifest")
+        .option("applyChanges", "true")
+        .option("orderCol", "_version").option("keyCol", "id").option("buckets", "16")
+        .option("checkpointLocation", s"$dir/ckpt_repl")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(mirror)
+      rq.awaitTermination(600000)
+      val replSec = (System.nanoTime() - t1) / 1e9
+      val mirrorRows = graft.sinks.ManifestUpsertSink.read(spark, mirror).count()
+      val srcRows = graft.sinks.ManifestUpsertSink.read(spark, root).count()
+      f"""{"rows":$n,"versions":$versions,"merge_sec":$mergeSec%.3f,""" +
+        f""""merge_rows_per_sec":${n / mergeSec}%.0f,""" +
+        f""""replicate_sec":$replSec%.3f,"replicate_rows_per_sec":${n / replSec}%.0f,""" +
+        f""""mirror_rows":$mirrorRows,"src_rows":$srcRows,"snapshot_rows":$changeRows}"""
+    } catch {
+      case e: Throwable =>
+        s"""{"error":"${e.getClass.getSimpleName}"}"""
+    }
   }
 }

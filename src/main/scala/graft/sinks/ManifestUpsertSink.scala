@@ -107,6 +107,14 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     requireSameBuckets(cur)
     val version = cur.map(_.version + 1).getOrElse(0L)
     val tag = newTag()
+    // deliberately NOT persisted, though three actions read it (touched
+    // collect, feed write, survivor write): MEASURED at the bench's
+    // 5k-row micro-batches, a MEMORY_AND_DISK persist made the 10-commit
+    // merge loop 16 s → 52-67 s — the cache build (columnar encode of
+    // the wide payload + CacheManager bookkeeping per batch) costs far
+    // more than two recomputes of a small LWW window. A caller merging
+    // truly large batches can persist BEFORE handing the frame over;
+    // the sink must not tax the common micro-batch path for it.
     val deduped = JdbcUpsertSink.lastWriteWins(batch, keyCol, col(orderCol))
       .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
     // touched buckets: bounded driver set (≤ `buckets` rows by construction)

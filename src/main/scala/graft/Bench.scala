@@ -265,13 +265,14 @@ object Bench {
       val root = s"$dir/table"
       val mirror = s"$dir/mirror"
       // --- (1) streaming MERGE: n rows over `batches` micro-batches,
-      // 20% of each batch updating the previous batch's keys (real merge
-      // work, not a pure append)
+      // ids hash-spread over an 80%-of-n keyspace so EVERY batch mixes
+      // inserts with updates of keys earlier batches own (a plain modulo
+      // would make batches 1..8 pure appends and 9-10 pure updates)
       val input =
         org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
       val per = n / batches
       val q = input.toDF().select(
-          pmod(col("value"), lit((n * 0.8).toLong)).as("id"),
+          pmod(col("value") * lit(2654435761L), lit((n * 0.8).toLong)).as("id"),
           concat(lit("payload-"), col("value")).as("p"),
           col("value").as("seq"))
         .writeStream.format("graft-manifest")
@@ -290,8 +291,8 @@ object Bench {
       // --- (2) CDC-APPLY replication: the table's whole history into a
       // mirror, drained by the version-offset source in one AvailableNow run
       val imgDdl = "id BIGINT, p STRING, seq BIGINT"
-      val t1 = System.nanoTime()
       val changeRows = spark.read.format("graft-manifest").load(root).count() // warm footer cache fairness
+      val t1 = System.nanoTime()
       val rq = spark.readStream.format("graft-manifest")
         .option("changes", "true").load(root)
         .select(col("id"), col("change"), col("_version"),
@@ -303,7 +304,8 @@ object Bench {
         .option("checkpointLocation", s"$dir/ckpt_repl")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start(mirror)
-      rq.awaitTermination(600000)
+      val drained = try rq.awaitTermination(600000) finally rq.stop()
+      if (!drained) return """{"error":"replication did not drain in 600s"}"""
       val replSec = (System.nanoTime() - t1) / 1e9
       val mirrorRows = graft.sinks.ManifestUpsertSink.read(spark, mirror).count()
       val srcRows = graft.sinks.ManifestUpsertSink.read(spark, root).count()

@@ -940,6 +940,37 @@ object ManifestUpsertSink {
     if (store.exists(path)) Some(decode(store.readString(path))) else None
   }
 
+  /** All committed (un-vacuumed) manifest versions of a table. */
+  private[graft] def committedVersions(root: String): Seq[Long] =
+    manifestVersions(root, TableStore.forPath(root)).sorted
+
+  /** Files to anchor a snapshot's SCHEMA on: its own files, or — when the
+    * snapshot is FULLY DELETED (every key removed; an empty file list is
+    * a real state) — the newest predecessor that still lists files, since
+    * deletes never change the schema. Empty only for a table that never
+    * held data. */
+  private[graft] def schemaAnchor(root: String, m: Manifest): Seq[String] =
+    if (m.files.nonEmpty) m.files.map(_.path)
+    else committedVersions(root).filter(_ < m.version).reverse.iterator
+      .flatMap(v => manifestAt(root, v))
+      .find(_.files.nonEmpty).map(_.files.map(_.path)).getOrElse(Seq.empty)
+
+  /** Reader-side feed heal: finalize a crashed writer's staged feed
+    * rename for ONE version (idempotent — the same atomic rename the
+    * next writer's healFeed would issue). A streaming subscriber calls
+    * this before resolving a version's feed files so its executors read
+    * the stable `_changes/v<N>` path, never a staged dir a concurrent
+    * writer's heal could rename out from under the scheduled scan. */
+  private[graft] def healFeedAt(root: String, version: Long): Unit = {
+    val store = TableStore.forPath(root)
+    for (m <- manifestAt(root, version); st <- m.feed) {
+      val target = s"$root/_changes/v$version"
+      if (!store.exists(target) && store.exists(s"$root/$st"))
+        try { store.rename(s"$root/$st", target); () }
+        catch { case _: Exception => () } // lost the heal race: target now exists
+    }
+  }
+
   private[graft] def latestManifest(root: String, store: TableStore): Option[Manifest] = {
     val versions = manifestVersions(root, store)
     if (versions.isEmpty) None

@@ -108,8 +108,7 @@ final class ManifestSource extends TableProvider with DataSourceRegister
         // schema, zero files — SELECT returns no rows, not an error
         Resolved(Seq.empty, Map.empty, None)
       case None =>
-        val m = ManifestUpsertSink.snapshotManifest(root,
-          Option(options.get("versionAsOf")).map(_.toLong))
+        val m = snapshotAllowEmpty(root, Option(options.get("versionAsOf")).map(_.toLong))
         if (m.renames.nonEmpty)
           throw new IllegalStateException(
             s"table at $root (v${m.version}) carries an un-materialized column-rename " +
@@ -120,6 +119,18 @@ final class ManifestSource extends TableProvider with DataSourceRegister
           for (k <- m.keyCol; b <- m.buckets) yield (k, b))
     }
   }
+
+  /** Snapshot resolution that treats a FULLY-DELETED snapshot as a real,
+    * zero-row table (the SQL/stream surfaces' semantics — a drained table
+    * SELECTs empty and keeps streaming) rather than the Scala read API's
+    * loud "lists no files". */
+  private def snapshotAllowEmpty(root: String,
+      version: Option[Long]): ManifestUpsertSink.Manifest =
+    version.map(v => ManifestUpsertSink.manifestAt(root, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v not committed (or vacuumed) under $root")))
+      .orElse(ManifestUpsertSink.latestManifest(root))
+      .getOrElse(throw new IllegalStateException(s"no committed manifest under $root"))
 
   /** A write to a not-yet-committed table (signalled by the `keyCol`
     * option) has no schema to infer — a catalog-created table declares
@@ -132,7 +143,22 @@ final class ManifestSource extends TableProvider with DataSourceRegister
         && Option(options.get("path")).exists(
           ManifestUpsertSink.latestManifest(_).isEmpty))
       Option(options.get("schemaDDL")).map(StructType.fromDDL).getOrElse(new StructType())
-    else parquetTable(options, resolve(options).files.map(_.path), None).schema
+    else {
+      val resolved = resolve(options)
+      val paths =
+        if (resolved.files.nonEmpty || options.containsKey("changesOf"))
+          resolved.files.map(_.path)
+        else {
+          // fully-deleted snapshot: anchor the schema on the newest
+          // version that still lists files — deletes don't change schema
+          val root = options.get("path")
+          ManifestUpsertSink.schemaAnchor(root,
+            snapshotAllowEmpty(root, Option(options.get("versionAsOf")).map(_.toLong)))
+        }
+      if (paths.isEmpty)
+        Option(options.get("schemaDDL")).map(StructType.fromDDL).getOrElse(new StructType())
+      else parquetTable(options, paths, None).schema
+    }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -185,12 +211,8 @@ final class ManifestSource extends TableProvider with DataSourceRegister
         require(batch.columns.contains("change"),
           "applyChanges input must carry the feed's `change` column " +
             "(inserted|updated|deleted) — select it through from the changes stream")
-        val cur = ManifestUpsertSink.latestManifest(root)
-        val keyCol = cur.flatMap(_.keyCol).orElse(parameters.get("keyCol"))
-          .getOrElse(throw new IllegalArgumentException(
-            "first applyChanges write to a new table requires option(\"keyCol\", <col>)"))
-        val buckets = cur.flatMap(_.buckets)
-          .orElse(parameters.get("buckets").map(_.toInt)).getOrElse(16)
+        val (keyCol, buckets) = ManifestSource.resolveKeyBuckets(root,
+          parameters.get("keyCol"), parameters.get("buckets").map(_.toInt))
         val sink = new graft.sinks.ManifestUpsertSink(root, keyCol, buckets)
         // several actions follow (emptiness probes + each verb's own
         // jobs) — persist so the batch's lineage runs once
@@ -263,28 +285,33 @@ object ManifestSource {
     val orderCol = Option(options.get("orderCol")).getOrElse(
       throw new IllegalArgumentException(
         "graft-manifest writes require option(\"orderCol\", <col>) — the LWW order"))
-    val cur = ManifestUpsertSink.latestManifest(root)
-    // committed values win, but CONTRADICTING options fail loudly — a
-    // user who passed keyCol/buckets believes the table has them
-    for (m <- cur; committed <- m.keyCol; asked <- Option(options.get("keyCol"))
-         if asked != committed)
-      throw new IllegalArgumentException(
-        s"table at $root is committed with keyCol=$committed; option keyCol=$asked contradicts it")
-    for (m <- cur; committed <- m.buckets; asked <- Option(options.get("buckets"))
-         if asked.toInt != committed)
-      throw new IllegalArgumentException(
-        s"table at $root is committed with buckets=$committed; option buckets=$asked contradicts it")
-    val keyCol = cur.flatMap(_.keyCol).orElse(Option(options.get("keyCol")))
-      .getOrElse(throw new IllegalArgumentException(
-        "first write to a graft-manifest table requires option(\"keyCol\", <col>)"))
-    val buckets = cur.flatMap(_.buckets)
-      .orElse(Option(options.get("buckets")).map(_.toInt)).getOrElse(16)
+    val (keyCol, buckets) = resolveKeyBuckets(root,
+      Option(options.get("keyCol")), Option(options.get("buckets")).map(_.toInt))
     val sink = new ManifestUpsertSink(root, keyCol, buckets)
     // batch saves are OUTSIDE the streaming sequence: the sentinel keeps
     // the committed batch id untouched so a live stream's future
     // micro-batch ids are never shadowed (silent-replay data loss)
     sink.upsertBatch(data.toDF(), orderCol,
       batchId.getOrElse(ManifestUpsertSink.AdHocBatch))
+  }
+
+  /** The ONE keyCol/buckets resolution every write surface shares:
+    * committed values win, CONTRADICTING options fail loudly (a user who
+    * passed keyCol/buckets believes the table has them), options bind a
+    * first write. */
+  private[graft] def resolveKeyBuckets(root: String,
+      keyColOpt: Option[String], bucketsOpt: Option[Int]): (String, Int) = {
+    val cur = ManifestUpsertSink.latestManifest(root)
+    for (m <- cur; committed <- m.keyCol; asked <- keyColOpt if asked != committed)
+      throw new IllegalArgumentException(
+        s"table at $root is committed with keyCol=$committed; option keyCol=$asked contradicts it")
+    for (m <- cur; committed <- m.buckets; asked <- bucketsOpt if asked != committed)
+      throw new IllegalArgumentException(
+        s"table at $root is committed with buckets=$committed; option buckets=$asked contradicts it")
+    val keyCol = cur.flatMap(_.keyCol).orElse(keyColOpt)
+      .getOrElse(throw new IllegalArgumentException(
+        "first write to a graft-manifest table requires option(\"keyCol\", <col>)"))
+    (keyCol, cur.flatMap(_.buckets).orElse(bucketsOpt).getOrElse(16))
   }
 
   /** The stock parquet table over an explicit immutable file list — the

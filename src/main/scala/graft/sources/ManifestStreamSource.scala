@@ -64,11 +64,14 @@ import graft.sinks.ManifestUpsertSink
   *
   * Schema is pinned at stream start (the standard streaming contract).
   * A column-rename DDL mid-stream would silently re-name the fields
-  * inside later images, so `getBatch` compares the end version's rename
-  * mapping against the start's and fails loudly asking for a restart —
-  * after which the re-pinned schema parses old and new feeds alike.
-  * Images written under a PREVIOUS logical name (a `startingVersion`
-  * rewind across an old rename) parse that column as null: the image is
+  * inside later images, so the version walk detects rename DDLs
+  * structurally — a commit whose mapping changed but whose FILE LIST
+  * did not is a metadata-only rename (a compaction that merely
+  * MATERIALIZES the mapping rewrites every file and changes no logical
+  * name, so it passes) — and fails loudly asking for a restart, after
+  * which the re-pinned schema parses old and new feeds alike. Images
+  * written under a PREVIOUS logical name (a `startingVersion` rewind
+  * across an old rename) parse that column as null: the image is
   * canonical JSON by name, renames never rewrite history.
   *
   * Reference anchor: kinesis3 tails a stream into files
@@ -83,9 +86,11 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
 
   private val spark = sqlContext.sparkSession
 
-  /** Rename mapping pinned at start — see the schema-pinning contract. */
-  private val startRenames: Seq[(String, String)] =
-    ManifestUpsertSink.latestManifest(root).map(_.renames).getOrElse(Nil)
+  /** The version the pinned schema reflects (latest at construction):
+    * rename DDLs at or below it are HISTORY the schema already names
+    * correctly; one above it invalidates the pin and must refuse. */
+  private val pinnedAt: Long =
+    ManifestUpsertSink.latestManifest(root).map(_.version).getOrElse(-1L)
 
   /** Trigger.AvailableNow's latch: versions committed AFTER prepare are
     * not this run's problem — the engine keeps scheduling batches until
@@ -163,23 +168,27 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
-    for (m <- ManifestUpsertSink.manifestAt(root, endV)
-         if m.renames != startRenames)
-      throw new IllegalStateException(
-        s"table at $root changed its column-rename mapping mid-stream " +
-          s"(v$endV: ${m.renames}, stream started with $startRenames) — " +
-          "restart the stream so the pinned schema matches the images")
     val batch = start match {
       case None if !changesMode && startingVersion.isEmpty =>
-        // initial snapshot, pinned at endV: deterministic under replay
-        ManifestUpsertSink.readVersion(spark, root, endV)
+        // initial snapshot, pinned at endV: deterministic under replay.
+        // A fully-deleted snapshot is a REAL version (every key removed)
+        // — an empty batch, not an error
+        if (ManifestUpsertSink.manifestAt(root, endV).exists(_.files.isEmpty)) emptyBatch
+        else ManifestUpsertSink.readVersion(spark, root, endV)
       case _ =>
         val from = start.map(ver(_) + 1L)
           .orElse(startingVersion).getOrElse(0L)
         changesBetween(from, endV)
     }
+    // tolerate pinned columns ABSENT from this window's physical feeds
+    // (a startingVersion rewind across an old rename reads images that
+    // only know the previous name): they surface as the documented
+    // nulls instead of an analysis error
+    val present = batch.columns.toSet
     GraftBridge.asStreamingDF(
-      batch.select(schema.map(f => col(f.name).cast(f.dataType)): _*))
+      batch.select(schema.map(f =>
+        (if (present(f.name)) col(f.name) else lit(null))
+          .cast(f.dataType).as(f.name)): _*))
   }
 
   /** The change rows of versions [from, to] — header-only walk for
@@ -191,6 +200,10 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
     * works for staged-feed dirs (the crash-heal window) where the path
     * carries no version. */
   private[graft] def changesBetween(from: Long, to: Long): DataFrame = {
+    var prevRenames: Option[Seq[(String, String)]] =
+      ManifestUpsertSink.manifestAt(root, from - 1).map(_.renames)
+    var prevFiles: Option[Seq[String]] =
+      ManifestUpsertSink.manifestAt(root, from - 1).map(_.files.map(_.path))
     val dirOfVersion: Seq[(String, Long)] = (from to to).flatMap { v =>
       ManifestUpsertSink.manifestAt(root, v) match {
         case None =>
@@ -198,16 +211,39 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
             s"streaming read needs version $v of $root but its manifest is " +
               "vacuumed or missing — size vacuum's keepVersions/keepChangeVersions " +
               "to cover live subscribers")
-        case Some(m) if m.feed.isEmpty => Nil // compaction/DDL: no row changed
-        case Some(_) =>
-          ManifestUpsertSink.changeFiles(root, v)
-            .map(p => p.substring(0, p.lastIndexOf('/')) -> v).distinct
+        case Some(m) =>
+          // a commit whose rename mapping changed WITHOUT rewriting any
+          // file is a rename DDL — later images in this very window carry
+          // the new logical names, which the pinned schema would parse as
+          // silent nulls. (A materializing compaction changes the mapping
+          // too, but rewrites every file and no logical name — it passes.
+          // Renames at or below pinnedAt are history the schema already
+          // reflects: a restarted stream re-pins and sails through.)
+          if (v > pinnedAt && prevRenames.exists(_ != m.renames)
+              && prevFiles.exists(_ == m.files.map(_.path)))
+            throw new IllegalStateException(
+              s"table at $root renamed columns at v$v (mapping ${m.renames}) " +
+                "inside this stream's window — restart the stream so the " +
+                "pinned schema matches the images")
+          prevRenames = Some(m.renames)
+          prevFiles = Some(m.files.map(_.path))
+          if (m.feed.isEmpty) Nil // compaction/DDL: no row changed
+          else {
+            // finalize a crashed writer's staged feed FIRST, so the scan
+            // reads the stable _changes path a concurrent writer's heal
+            // can't rename out from under the scheduled tasks
+            ManifestUpsertSink.healFeedAt(root, v)
+            ManifestUpsertSink.changeFiles(root, v)
+              .map(p => p.substring(0, p.lastIndexOf('/')) -> v).distinct
+          }
       }
     }
-    if (dirOfVersion.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val feed = spark.read.parquet(dirOfVersion.map(_._1): _*)
+    if (dirOfVersion.isEmpty) return emptyBatch
+    // mergeSchema: feeds across a key-column rename carry different
+    // physical key names; the merged schema exposes both (the absent
+    // vintage reads null — see getBatch's tolerant align)
+    val feed = spark.read.option("mergeSchema", "true")
+      .parquet(dirOfVersion.map(_._1): _*)
     if (changesMode) {
       import spark.implicits._
       // match on the dir's LAST TWO path segments (`_changes/v<N>` /
@@ -229,6 +265,10 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
         .select(schema.fieldNames.map(n => col(s"r.`$n`").as(n)): _*)
   }
 
+  private def emptyBatch: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String =
@@ -243,27 +283,51 @@ object ManifestStreamSource {
     * offset. */
   private val PreSnapshot = -2L
 
+  /** Memo for [[resolveSchema]]: every stream start calls it twice
+    * (sourceSchema, then createSource — Spark forwards only a
+    * USER-specified schema between the two), and each resolution is a
+    * distributed footer-merge over the snapshot's files. Keyed by the
+    * latest committed version, so evolution invalidates naturally. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean, Long), StructType]()
+
   /** The stream's pinned schema: the table's logical schema (merged
     * footers under the current rename mapping) for table-follow mode;
-    * the feed contract + `_version` for changes mode. Requires a
-    * committed table — there is nothing to pin a schema to before the
-    * first commit (create the table, then subscribe). */
+    * the feed contract + `_version` for changes mode. Requires a table
+    * with at least one committed DATA version — a FULLY-DELETED current
+    * snapshot pins its schema from the newest version that still lists
+    * files (deletes never change the schema), so a drained-then-refilled
+    * table streams without interruption. */
   private[graft] def resolveSchema(sqlContext: SQLContext,
       root: String, changesMode: Boolean): StructType = {
-    val table = ManifestUpsertSink.read(sqlContext.sparkSession, root).schema
-    if (!changesMode) table
-    else {
-      val keyCol = ManifestUpsertSink.latestManifest(root).flatMap(_.keyCol)
-        .getOrElse(throw new IllegalStateException(
+    val latest = ManifestUpsertSink.latestManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest under $root — create the table, then subscribe"))
+    schemaMemo.computeIfAbsent((root, changesMode, latest.version), { _ =>
+      val spark = sqlContext.sparkSession
+      // newest version that still lists files: the schema anchor even
+      // when the CURRENT snapshot is fully deleted
+      val dataFiles = ManifestUpsertSink.schemaAnchor(root, latest)
+      if (dataFiles.isEmpty)
+        throw new IllegalStateException(
+          s"table at $root has no version with data files — nothing to pin a schema to")
+      val table = ManifestUpsertSink.applyRenames(
+        spark.read.option("mergeSchema", "true").parquet(dataFiles: _*)
+          .drop("__bucket"),
+        latest.renames).schema
+      if (!changesMode) table
+      else {
+        val keyCol = latest.keyCol.getOrElse(throw new IllegalStateException(
           s"table at $root predates the keyCol manifest header — compact once to stamp it"))
-      StructType(Seq(
-        table(keyCol),
-        StructField("change", StringType),
-        StructField("old_hash", LongType),
-        StructField("new_hash", LongType),
-        StructField("old_image", StringType),
-        StructField("new_image", StringType),
-        StructField("_version", LongType)))
-    }
+        StructType(Seq(
+          table(keyCol),
+          StructField("change", StringType),
+          StructField("old_hash", LongType),
+          StructField("new_hash", LongType),
+          StructField("old_image", StringType),
+          StructField("new_image", StringType),
+          StructField("_version", LongType)))
+      }
+    })
   }
 }

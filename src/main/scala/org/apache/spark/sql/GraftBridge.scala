@@ -25,12 +25,7 @@ object GraftBridge {
     * (LogicalRDD.fromDataset + ofRows); without it, any action a sink
     * takes re-plans the streaming source and fails with "Queries with
     * streaming sources must be executed with writeStream.start()". */
-  def asBatchDF(df: DataFrame): DataFrame = {
-    val ds = classic.ClassicConversions.castToImpl(df)
-    val rdd = ds.queryExecution.toRdd
-    classic.Dataset.ofRows(ds.sparkSession,
-      execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false))
-  }
+  def asBatchDF(df: DataFrame): DataFrame = reRoot(df, isStreaming = false)
 
   /** The inverse re-rooting for a V1 streaming SOURCE's `getBatch`:
     * MicroBatchExecution asserts the returned frame has
@@ -39,10 +34,12 @@ object GraftBridge {
     * re-rooted over its planned RDD with the streaming bit set — the
     * same move Spark's own file/Kafka sources make via
     * `internalCreateDataFrame(..., isStreaming = true)`. */
-  def asStreamingDF(df: DataFrame): DataFrame = {
+  def asStreamingDF(df: DataFrame): DataFrame = reRoot(df, isStreaming = true)
+
+  private def reRoot(df: DataFrame, isStreaming: Boolean): DataFrame = {
     val ds = classic.ClassicConversions.castToImpl(df)
     val rdd = ds.queryExecution.toRdd
     classic.Dataset.ofRows(ds.sparkSession,
-      execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = true))
+      execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = isStreaming))
   }
 }

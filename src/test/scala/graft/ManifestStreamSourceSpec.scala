@@ -297,6 +297,102 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a rename hidden by a later compaction in the same window still fails loudly") {
+    import spark.implicits._
+    val root = tmp("graft_stream_rc_")
+    val ckpt = tmp("graft_stream_rc_ckpt_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+
+    val got = mutable.Buffer[Seq[Any]]()
+    val q = drainTo(spark.readStream.format("graft-manifest").load(root)
+      .select("id"), ckpt, got)
+    try {
+      q.processAllAvailable()
+      // rename DDL, a merge under the NEW name, then a compaction that
+      // MATERIALIZES the mapping (renames == Nil again): an
+      // endpoint-only guard would compare Nil == Nil and silently parse
+      // the renamed images as null — the walk must still refuse
+      sink.renameColumn(spark, "p", "payload")
+      sink.upsertBatch(Seq((2L, "b", 2L)).toDF("id", "payload", "seq"), "seq", 1L)
+      sink.compact(spark)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("rename"))
+    } finally q.stop()
+
+    // a RESTARTED stream (schema re-pinned under the new names) sails
+    // straight through the same window, and a materializing compaction
+    // alone never trips the guard
+    val got2 = mutable.Buffer[Seq[Any]]()
+    val ckpt2 = tmp("graft_stream_rc_ckpt2_")
+    val q2 = drainTo(spark.readStream.format("graft-manifest")
+      .option("startingVersion", "1").load(root)
+      .select("id", "payload"), ckpt2, got2)
+    try {
+      q2.processAllAvailable()
+      assert(got2.synchronized(got2.toSet).contains(Seq(2L, "b")),
+        "post-restart, the re-pinned schema parses the post-rename images")
+      val sink2 = new ManifestUpsertSink(root, "id", buckets = 2)
+      sink2.compact(spark) // plain maintenance mid-stream: mapping already Nil
+      sink2.upsertBatch(Seq((3L, "c", 3L)).toDF("id", "payload", "seq"), "seq", 2L)
+      q2.processAllAvailable()
+      assert(got2.synchronized(got2.toSet).contains(Seq(3L, "c")))
+    } finally q2.stop()
+  }
+
+  test("a fully-deleted table still pins a schema, streams, and restarts") {
+    import spark.implicits._
+    val root = tmp("graft_stream_empty_")
+    val ckpt = tmp("graft_stream_empty_ckpt_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    sink.deleteKeys(Seq(1L, 2L).toDF("id"), 1L) // snapshot now lists ZERO files
+
+    // a FRESH changes stream on the drained table: schema anchors on the
+    // newest version that still lists files (deletes don't change schema)
+    val got = mutable.Buffer[Seq[Any]]()
+    val q = drainTo(spark.readStream.format("graft-manifest")
+      .option("changes", "true").load(root).select("id", "change"), ckpt, got)
+    try {
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet) == Set(
+        Seq(1L, "inserted"), Seq(2L, "inserted"),
+        Seq(1L, "deleted"), Seq(2L, "deleted")))
+    } finally q.stop()
+
+    // restart from the checkpoint while still empty, then refill live
+    val got2 = mutable.Buffer[Seq[Any]]()
+    val q2 = drainTo(spark.readStream.format("graft-manifest")
+      .option("changes", "true").load(root).select("id", "change"), ckpt, got2)
+    try {
+      q2.processAllAvailable()
+      assert(got2.synchronized(got2.isEmpty), "nothing new since the checkpoint")
+      sink.upsertBatch(Seq((3L, "c", 2L)).toDF("id", "p", "seq"), "seq", 2L)
+      q2.processAllAvailable()
+      assert(got2.synchronized(got2.toSet) == Set(Seq(3L, "inserted")))
+    } finally q2.stop()
+
+    // the table-follow snapshot of a drained table is an EMPTY batch 0
+    val got3 = mutable.Buffer[Seq[Any]]()
+    val root2 = {
+      val r = tmp("graft_stream_empty2_")
+      val s = new ManifestUpsertSink(r, "id", buckets = 2)
+      s.upsertBatch(Seq((9L, "z", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+      s.deleteKeys(Seq(9L).toDF("id"), 1L)
+      r
+    }
+    val q3 = drainTo(spark.readStream.format("graft-manifest").load(root2)
+      .select("id"), tmp("graft_stream_empty_ckpt3_"), got3)
+    try {
+      q3.processAllAvailable()
+      assert(got3.synchronized(got3.isEmpty), "empty snapshot, not an error")
+    } finally q3.stop()
+  }
+
   test("startingVersion skips the snapshot; mid-stream rename fails loudly") {
     import spark.implicits._
     val root = tmp("graft_stream_sv_")

@@ -200,10 +200,9 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
     * works for staged-feed dirs (the crash-heal window) where the path
     * carries no version. */
   private[graft] def changesBetween(from: Long, to: Long): DataFrame = {
-    var prevRenames: Option[Seq[(String, String)]] =
-      ManifestUpsertSink.manifestAt(root, from - 1).map(_.renames)
-    var prevFiles: Option[Seq[String]] =
-      ManifestUpsertSink.manifestAt(root, from - 1).map(_.files.map(_.path))
+    val beforeWindow = ManifestUpsertSink.manifestAt(root, from - 1)
+    var prevRenames: Option[Seq[(String, String)]] = beforeWindow.map(_.renames)
+    var prevFiles: Option[Seq[String]] = beforeWindow.map(_.files.map(_.path))
     val dirOfVersion: Seq[(String, Long)] = (from to to).flatMap { v =>
       ManifestUpsertSink.manifestAt(root, v) match {
         case None =>

@@ -969,6 +969,69 @@ object SinkQueries {
       ORDER BY key"""),
     doc = "lake tables as a SQL catalog: CREATE TABLE + INSERT INTO...SELECT (= LWW MERGE) + SELECT by name through spark.sql — the pure-SQL surface equals the Scala-API table hash-for-hash")
 
+  // --------------------------------------------------------------- q311
+  /** SCD TYPE-2 HISTORY derived from the CDC feed — the classic
+    * warehouse dimension-history build, expressed as a pure window
+    * function over the lake's own change log: every feed row (insert,
+    * update, delete) is an event at its commit version; `lead(version)
+    * OVER (PARTITION BY key ORDER BY version)` closes each interval at
+    * the key's NEXT change (null = still current), and delete events
+    * close their predecessor without opening a row. No snapshot diffing,
+    * no table scans — O(changed rows) history maintenance, the same
+    * reason the IVM tier reads the feed (q301/q304/q307). Three-version
+    * lifecycle: customer base (v0), LWW order-derived updates incl. new
+    * keys (v1, q298's batch), keyed deletes of every base key ≡ 0 mod 5
+    * (v2). The oracle reconstructs the identical intervals relationally
+    * from the raw tables: base/update/delete events, arg_max LWW inside
+    * the update batch, the same lead(). At 100 TB the window partitions
+    * by key — Spark shuffles the FEED (changed rows), never the table. */
+  val q311 = QueryDef(
+    "q311_scd2_history",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q311_").toString
+      val sink = new ManifestUpsertSink(root, "key", buckets = 8)
+      val base = Tables.customer(s, d).select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("bal"), lit(0L).as("seq"))
+      sink.upsertBatch(base, "seq", batchId = 0L)
+      val upd = Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select(
+          when(pmod(col("o_custkey"), lit(21)) === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).as("key"),
+          col("o_totalprice").cast("double").as("bal"),
+          col("o_orderkey").as("seq"))
+      sink.upsertBatch(upd, "seq", batchId = 1L)
+      sink.deleteKeys(base.filter(pmod(col("key"), lit(5)) === 0).select(col("key")), batchId = 2L)
+      val events = (0L to 2L).map { v =>
+        ManifestUpsertSink.readChanges(s, root, v)
+          .select(col("key"), col("change"),
+            from_json(col("new_image"), "bal DOUBLE, key BIGINT, seq BIGINT",
+              Map.empty[String, String]).getField("bal").as("bal"),
+            lit(v).as("ver"))
+      }.reduce(_.unionByName(_))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("ver"))
+      events
+        .withColumn("valid_to", org.apache.spark.sql.functions.lead(col("ver"), 1).over(w))
+        .filter(col("change") =!= "deleted")
+        .select(col("key"), col("bal"), col("ver").as("valid_from"), col("valid_to"))
+    },
+    Some("""WITH base AS (SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS bal,
+          CAST(0 AS BIGINT) AS ver, FALSE AS is_del FROM customer),
+      upd0 AS (SELECT
+          CASE WHEN o_custkey % 21 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS key,
+          CAST(o_totalprice AS DOUBLE) AS bal, o_orderkey AS seq
+        FROM orders WHERE o_custkey % 7 = 0),
+      upd AS (SELECT key, arg_max(bal, seq) AS bal, CAST(1 AS BIGINT) AS ver, FALSE AS is_del
+        FROM upd0 GROUP BY key),
+      del AS (SELECT key, CAST(NULL AS DOUBLE) AS bal, CAST(2 AS BIGINT) AS ver, TRUE AS is_del
+        FROM base WHERE key % 5 = 0),
+      ev AS (SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del),
+      hist AS (SELECT key, bal, ver AS valid_from,
+          lead(ver) OVER (PARTITION BY key ORDER BY ver) AS valid_to, is_del
+        FROM ev)
+      SELECT key, bal, valid_from, valid_to FROM hist WHERE NOT is_del"""),
+    doc = "SCD type-2 dimension history from the CDC feed: lead(version) over each key's change events closes intervals, deletes close without opening — O(changed rows), no snapshot diff")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
-    q302, q303, q304, q305, q307, q308, q310, q214, q215, q216, q228)
+    q302, q303, q304, q305, q307, q308, q310, q311, q214, q215, q216, q228)
 }

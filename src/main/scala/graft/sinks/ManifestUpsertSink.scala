@@ -694,7 +694,8 @@ object ManifestUpsertSink {
   final case class Manifest(version: Long, batchId: Long, buckets: Option[Int],
       keyCol: Option[String], files: Seq[FileEntry],
       touched: Option[Set[Long]] = None, feed: Option[String] = None,
-      renames: Seq[(String, String)] = Nil)
+      renames: Seq[(String, String)] = Nil,
+      ts: Option[Long] = None)
 
   /** The committed manifest of a snapshot (latest when `version` is None). */
   private[graft] def snapshotManifest(root: String, version: Option[Long]): Manifest = {
@@ -790,6 +791,12 @@ object ManifestUpsertSink {
     applyRenames(spark.read.option("mergeSchema", "true")
       .parquet(m.files.map(_.path): _*).drop(BucketCol), m.renames)
   }
+
+  /** TIMESTAMP time travel for the Scala API: the snapshot current as of
+    * `tsMs` epoch millis ([[versionAtTimestamp]] for the resolution
+    * contract, incl. the running-max answer to writer clock skew). */
+  def readTimestamp(spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    readVersion(spark, root, versionAtTimestamp(root, tsMs))
 
   /** The row-level change feed version `version`'s merge recorded:
     * (key, change ∈ inserted|updated, old_hash, new_hash, old_image,
@@ -894,7 +901,7 @@ object ManifestUpsertSink {
     val header = Seq(s"version=${m.version}", s"batchId=${m.batchId}") ++
       m.buckets.map(b => s"buckets=$b") ++ m.keyCol.map(k => s"keyCol=$k") ++
       m.touched.map(t => s"touched=${t.toSeq.sorted.mkString(",")}") ++
-      m.feed.map(f => s"feed=$f") ++
+      m.feed.map(f => s"feed=$f") ++ m.ts.map(t => s"ts=$t") ++
       (if (m.renames.isEmpty) Nil
        else Seq(s"rename=${m.renames.map { case (p, l) => s"$p:$l" }.mkString(",")}"))
     (header ++ m.files.map(f => s"${f.bucket}\t${f.path}")).mkString("\n")
@@ -919,7 +926,8 @@ object ManifestUpsertSink {
       header.get("feed"),
       header.get("rename").toSeq.flatMap(_.split(",").toSeq.map { r =>
         val Array(p, l) = r.split(":", 2); (p, l)
-      }))
+      }),
+      header.get("ts").map(_.toLong))
   }
 
   private def manifestVersions(root: String, store: TableStore): Seq[Long] =
@@ -943,6 +951,28 @@ object ManifestUpsertSink {
   /** All committed (un-vacuumed) manifest versions of a table. */
   private[graft] def committedVersions(root: String): Seq[Long] =
     manifestVersions(root, TableStore.forPath(root)).sorted
+
+  /** TIMESTAMP time travel: the version current AS OF `tsMs` — the
+    * newest version whose RUNNING-MAX commit timestamp is ≤ the ask
+    * (commit clocks can skew across concurrent writers; the running max
+    * keeps resolution monotone in version order, Delta's contract).
+    * Loud when the ask predates the first stamped commit, and when the
+    * chain predates timestamping entirely. */
+  private[graft] def versionAtTimestamp(root: String, tsMs: Long): Long = {
+    val stamped = committedVersions(root)
+      .flatMap(v => manifestAt(root, v)).flatMap(m => m.ts.map(m.version -> _))
+    if (stamped.isEmpty)
+      throw new IllegalStateException(
+        s"table at $root has no timestamped commits — timestampAsOf needs a " +
+          "post-timestamping table; use versionAsOf")
+    val monotone = stamped.scanLeft((-1L, Long.MinValue)) {
+      case ((_, runMax), (v, t)) => (v, math.max(runMax, t))
+    }.tail
+    monotone.takeWhile(_._2 <= tsMs).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(
+        s"timestampAsOf $tsMs predates the first commit of $root " +
+          s"(${monotone.head._2}) — nothing existed yet"))
+  }
 
   /** Files to anchor a snapshot's SCHEMA on: its own files, or — when the
     * snapshot is FULLY DELETED (every key removed; an empty file list is
@@ -981,7 +1011,12 @@ object ManifestUpsertSink {
     * committing the same version loses and fails loudly — never a
     * silently merged/partial manifest. */
   private def commit(root: String, store: TableStore, m: Manifest): Unit =
-    store.commitNew(s"$root/_manifest", s"v${m.version}.manifest", encode(m))
+    // commit-time wall clock stamped here, the one choke point every
+    // writer passes — the input to timestampAsOf time travel. Clock skew
+    // between writers can make ts non-monotone across versions;
+    // versionAtTimestamp resolves over the running max to stay sane.
+    store.commitNew(s"$root/_manifest", s"v${m.version}.manifest",
+      encode(m.copy(ts = Some(System.currentTimeMillis()))))
 
   /** Bucket→file entries for every parquet part under a version dir. */
   private def listParquet(dataDir: String, store: TableStore): Seq[FileEntry] =

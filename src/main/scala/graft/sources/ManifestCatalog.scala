@@ -85,6 +85,14 @@ class ManifestCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version))
 
+  /** `SELECT ... TIMESTAMP AS OF <t>` — Spark hands MICROseconds since
+    * the epoch; the manifest's commit stamps are millis. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    load(ident, Some(graft.sinks.ManifestUpsertSink
+      .versionAtTimestamp(tableDir(ident), timestamp / 1000L).toString))
+  }
+
   private def load(ident: Identifier, versionAsOf: Option[String]): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)

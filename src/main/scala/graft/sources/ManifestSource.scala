@@ -108,7 +108,7 @@ final class ManifestSource extends TableProvider with DataSourceRegister
         // schema, zero files — SELECT returns no rows, not an error
         Resolved(Seq.empty, Map.empty, None)
       case None =>
-        val m = snapshotAllowEmpty(root, Option(options.get("versionAsOf")).map(_.toLong))
+        val m = snapshotAllowEmpty(root, resolveVersionOpt(root, options))
         if (m.renames.nonEmpty)
           throw new IllegalStateException(
             s"table at $root (v${m.version}) carries an un-materialized column-rename " +
@@ -119,6 +119,18 @@ final class ManifestSource extends TableProvider with DataSourceRegister
           for (k <- m.keyCol; b <- m.buckets) yield (k, b))
     }
   }
+
+  /** versionAsOf wins when both are given (they'd otherwise race);
+    * timestampAsOf accepts epoch millis or an ISO-8601 instant. */
+  private def resolveVersionOpt(root: String,
+      options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map(_.toLong).orElse(
+      Option(options.get("timestampAsOf")).map { t =>
+        val ms =
+          if (t.forall(c => c.isDigit || c == '-') && !t.contains("T")) t.toLong
+          else java.time.Instant.parse(t).toEpochMilli
+        ManifestUpsertSink.versionAtTimestamp(root, ms)
+      })
 
   /** Snapshot resolution that treats a FULLY-DELETED snapshot as a real,
     * zero-row table (the SQL/stream surfaces' semantics — a drained table
@@ -153,7 +165,7 @@ final class ManifestSource extends TableProvider with DataSourceRegister
           // version that still lists files — deletes don't change schema
           val root = options.get("path")
           ManifestUpsertSink.schemaAnchor(root,
-            snapshotAllowEmpty(root, Option(options.get("versionAsOf")).map(_.toLong)))
+            snapshotAllowEmpty(root, resolveVersionOpt(root, options)))
         }
       if (paths.isEmpty)
         Option(options.get("schemaDDL")).map(StructType.fromDDL).getOrElse(new StructType())

@@ -36,6 +36,7 @@ class ManifestCatalogSpec extends AnyFunSuite {
         == Seq("ev"))
 
       spark.sql(s"INSERT INTO $cat.ev VALUES (1, 'a', 1), (2, 'b', 1)")
+      Thread.sleep(25) // distinct commit stamps for the TIMESTAMP AS OF case
       // the second INSERT shares key 2: it must MERGE (LWW by seq),
       // never blind-append — the row count stays 3, not 4
       spark.sql(s"INSERT INTO $cat.ev VALUES (2, 'b2', 2), (3, 'c', 2)")
@@ -48,6 +49,12 @@ class ManifestCatalogSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT * FROM $cat.ev VERSION AS OF 0").count() == 2)
       assert(spark.sql(s"SELECT p FROM $cat.ev VERSION AS OF 0 WHERE id = 2")
         .as[String].head() == "b")
+      // ... and by WALL CLOCK: the v0 commit's stamp resolves to v0
+      val ts0 = ManifestUpsertSink.manifestAt(s"$root/ev", 0L).get.ts.get
+      assert(spark.sql(
+        s"SELECT p FROM $cat.ev TIMESTAMP AS OF timestamp_millis(${ts0}L) WHERE id = 2")
+        .as[String].head() == "b",
+        "TIMESTAMP AS OF the first commit's stamp reads the v0 snapshot")
 
       // a catalog table IS a path table: the Scala API reads it verbatim
       assert(ManifestUpsertSink.read(spark, s"$root/ev")

@@ -641,6 +641,33 @@ class SinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("timestampAsOf time travel: commit stamps resolve snapshots by wall clock") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tsasof_").toString
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    val ts0 = graft.sinks.ManifestUpsertSink.snapshotManifest(root, None).ts.get
+    Thread.sleep(25) // distinct wall-clock stamps
+    sink.upsertBatch(Seq((1L, "b", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+    val ts1 = graft.sinks.ManifestUpsertSink.snapshotManifest(root, None).ts.get
+    assert(ts0 < ts1)
+
+    def pAt(tsMs: Long): String = graft.sinks.ManifestUpsertSink
+      .readTimestamp(spark, root, tsMs).select("p").as[String].head()
+    assert(pAt(ts0) == "a" && pAt(ts1 - 1) == "a",
+      "between the commits, the v0 snapshot is current")
+    assert(pAt(ts1) == "b" && pAt(ts1 + 60000) == "b",
+      "at/after the last commit, the latest snapshot is current")
+    intercept[IllegalStateException] { pAt(ts0 - 10) } // predates the table
+
+    // the DSv2 option: epoch millis and ISO-8601 both resolve
+    assert(spark.read.format("graft-manifest").option("timestampAsOf", ts0)
+      .load(root).select("p").as[String].head() == "a")
+    assert(spark.read.format("graft-manifest")
+      .option("timestampAsOf", java.time.Instant.ofEpochMilli(ts0).toString)
+      .load(root).select("p").as[String].head() == "a")
+  }
+
   test("graft-manifest DSv2 read: latest/versionAsOf/changesOf match the Scala reads; bad version raises") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_manifest8_").toString

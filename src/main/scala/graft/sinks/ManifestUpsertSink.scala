@@ -798,6 +798,21 @@ object ManifestUpsertSink {
   def readTimestamp(spark: SparkSession, root: String, tsMs: Long): DataFrame =
     readVersion(spark, root, versionAtTimestamp(root, tsMs))
 
+  /** DESCRIBE HISTORY: the committed manifest log as a DataFrame — one
+    * row per un-vacuumed version with its commit stamp, replay-guard
+    * batch id, layout pair, file count, the buckets the commit changed,
+    * and whether it recorded a change feed. Driver-side cost ∝ committed
+    * versions (one small manifest read each) — the same walk the
+    * streaming source does; data files are never touched. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    committedVersions(root).flatMap(v => manifestAt(root, v)).map { m =>
+      (m.version, m.ts, m.batchId, m.keyCol, m.buckets, m.files.size.toLong,
+        m.touched.map(_.toSeq.sorted), m.feed.isDefined, m.renames.nonEmpty)
+    }.toDF("version", "ts", "batch_id", "key_col", "buckets", "n_files",
+      "touched_buckets", "has_change_feed", "has_renames")
+  }
+
   /** The row-level change feed version `version`'s merge recorded:
     * (key, change ∈ inserted|updated, old_hash, new_hash, old_image,
     * new_image) — the images are canonical JSON of the name-sorted

@@ -35,8 +35,9 @@ import graft.sinks.ManifestUpsertSink
   * latch (the KafkaSource shape; without it a V1 source silently
   * degrades to one-batch Trigger.Once).
   *
-  * OFFSET = committed manifest version (a [[LongOffset]]). `getOffset`
-  * is one manifest-dir listing; a micro-batch (start, end] reads exactly
+  * OFFSET = committed manifest version (a [[LongOffset]]). Offset
+  * discovery (`latestOffset`) is one manifest-dir listing plus one
+  * manifest read; a micro-batch (start, end] reads exactly
   * the change feeds of versions start+1..end — immutable once committed,
   * so checkpoint-recovery replays are bit-identical and the existing
   * `keepChangeVersions` vacuum horizon is the subscriber-retention knob

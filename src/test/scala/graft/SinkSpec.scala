@@ -668,6 +668,29 @@ class SinkSpec extends AnyFunSuite {
       .load(root).select("p").as[String].head() == "a")
   }
 
+  test("history: the manifest log as a DataFrame, one row per committed version") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_hist_").toString
+    val sink = new graft.sinks.ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    sink.deleteKeys(Seq(2L).toDF("id"), 1L)
+    sink.compact(spark)
+    val h = graft.sinks.ManifestUpsertSink.history(spark, root)
+      .orderBy("version")
+      .select("version", "batch_id", "has_change_feed", "n_files", "key_col")
+      .as[(Long, Long, Boolean, Long, Option[String])].collect().toSeq
+    assert(h.map(_._1) == Seq(0L, 1L, 2L), "one row per committed version")
+    assert(h.map(_._3) == Seq(true, true, false),
+      "merge and delete record feeds; compaction changes no rows")
+    assert(h.map(_._2) == Seq(0L, 1L, 1L),
+      "compaction keeps the last data batch id — the replay guard's contract")
+    assert(h.forall(_._4 > 0) && h.forall(_._5.contains("id")))
+    val ts = graft.sinks.ManifestUpsertSink.history(spark, root)
+      .orderBy("version").select("ts").as[Option[Long]].collect()
+    assert(ts.forall(_.isDefined) && ts.flatten.sliding(2).forall(p => p(0) <= p(1)),
+      "every commit is stamped; single-writer stamps are monotone")
+  }
+
   test("graft-manifest DSv2 read: latest/versionAsOf/changesOf match the Scala reads; bad version raises") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_manifest8_").toString

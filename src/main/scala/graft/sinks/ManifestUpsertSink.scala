@@ -974,6 +974,24 @@ object ManifestUpsertSink {
     * Loud when the ask predates the first stamped commit, and when the
     * chain predates timestamping entirely. */
   private[graft] def versionAtTimestamp(root: String, tsMs: Long): Long = {
+    // one resolve = one walk of the committed chain; the DSv2 read path
+    // resolves up to three times per query (inferSchema, the drained-
+    // table schema fallback, the scan's lazy pin), so memoize per
+    // (root, ask, chain head) — deterministic for a fixed chain
+    val head = committedVersions(root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $root"))
+    // the head's own stamp in the key guards drop-and-recreate at the
+    // same path reaching the same version number
+    val headTs = manifestAt(root, head).flatMap(_.ts)
+    if (tsMemo.size > 1024) tsMemo.clear()
+    tsMemo.computeIfAbsent((root, tsMs, head, headTs),
+      _ => versionAtTimestampUncached(root, tsMs))
+  }
+
+  private val tsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Option[Long]), Long]()
+
+  private def versionAtTimestampUncached(root: String, tsMs: Long): Long = {
     val stamped = committedVersions(root)
       .flatMap(v => manifestAt(root, v)).flatMap(m => m.ts.map(m.version -> _))
     if (stamped.isEmpty)
@@ -1010,9 +1028,16 @@ object ManifestUpsertSink {
     val store = TableStore.forPath(root)
     for (m <- manifestAt(root, version); st <- m.feed) {
       val target = s"$root/_changes/v$version"
-      if (!store.exists(target) && store.exists(s"$root/$st"))
+      if (!store.exists(target) && store.exists(s"$root/$st")) {
         try { store.rename(s"$root/$st", target); () }
-        catch { case _: Exception => () } // lost the heal race: target now exists
+        catch { case _: Exception => () } // maybe lost the heal race — verified below
+        // swallowing an exception is only legitimate if SOMEONE healed:
+        // a genuinely failed rename must not silently reopen the
+        // staged-dir race this call exists to close
+        if (!store.exists(target) && store.exists(s"$root/$st"))
+          throw new IllegalStateException(
+            s"could not finalize staged change feed $st -> _changes/v$version under $root")
+      }
     }
   }
 

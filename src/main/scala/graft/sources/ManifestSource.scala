@@ -121,16 +121,27 @@ final class ManifestSource extends TableProvider with DataSourceRegister
   }
 
   /** versionAsOf wins when both are given (they'd otherwise race);
-    * timestampAsOf accepts epoch millis or an ISO-8601 instant. */
+    * timestampAsOf accepts epoch millis, an ISO-8601 instant, a
+    * zone-less datetime (read as UTC), or a date (UTC midnight). */
   private def resolveVersionOpt(root: String,
       options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("versionAsOf")).map(_.toLong).orElse(
-      Option(options.get("timestampAsOf")).map { t =>
-        val ms =
-          if (t.forall(c => c.isDigit || c == '-') && !t.contains("T")) t.toLong
-          else java.time.Instant.parse(t).toEpochMilli
-        ManifestUpsertSink.versionAtTimestamp(root, ms)
-      })
+      Option(options.get("timestampAsOf")).map(t =>
+        ManifestUpsertSink.versionAtTimestamp(root, parseTsMs(t))))
+
+  private def parseTsMs(t: String): Long = {
+    def attempt(f: => Long): Option[Long] =
+      try Some(f) catch { case _: RuntimeException => None }
+    attempt(t.toLong)
+      .orElse(attempt(java.time.Instant.parse(t).toEpochMilli))
+      .orElse(attempt(java.time.LocalDateTime.parse(t)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+      .orElse(attempt(java.time.LocalDate.parse(t)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli))
+      .getOrElse(throw new IllegalArgumentException(
+        s"timestampAsOf '$t' is not epoch millis, an ISO-8601 instant, " +
+          "a datetime (read as UTC), or a date (UTC midnight)"))
+  }
 
   /** Snapshot resolution that treats a FULLY-DELETED snapshot as a real,
     * zero-row table (the SQL/stream surfaces' semantics — a drained table

@@ -89,9 +89,14 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
 
   /** The version the pinned schema reflects (latest at construction):
     * rename DDLs at or below it are HISTORY the schema already names
-    * correctly; one above it invalidates the pin and must refuse. */
-  private val pinnedAt: Long =
-    ManifestUpsertSink.latestManifest(root).map(_.version).getOrElse(-1L)
+    * correctly; one above it invalidates the pin and must refuse. The
+    * mapping and key column as of the pin back the conservative guards
+    * when a version's predecessor manifest is vacuumed. */
+  private val pinnedManifest = ManifestUpsertSink.latestManifest(root)
+  private val pinnedAt: Long = pinnedManifest.map(_.version).getOrElse(-1L)
+  private val pinnedRenames: Seq[(String, String)] =
+    pinnedManifest.map(_.renames).getOrElse(Nil)
+  private val pinnedKeyCol: Option[String] = pinnedManifest.flatMap(_.keyCol)
 
   /** Trigger.AvailableNow's latch: versions committed AFTER prepare are
     * not this run's problem — the engine keeps scheduling batches until
@@ -213,18 +218,36 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
               "to cover live subscribers")
         case Some(m) =>
           // a commit whose rename mapping changed WITHOUT rewriting any
-          // file is a rename DDL — later images in this very window carry
-          // the new logical names, which the pinned schema would parse as
-          // silent nulls. (A materializing compaction changes the mapping
-          // too, but rewrites every file and no logical name — it passes.
-          // Renames at or below pinnedAt are history the schema already
-          // reflects: a restarted stream re-pins and sails through.)
-          if (v > pinnedAt && prevRenames.exists(_ != m.renames)
-              && prevFiles.exists(_ == m.files.map(_.path)))
+          // file is a rename DDL — images on its two sides carry
+          // DIFFERENT logical names, and the pinned schema can only name
+          // one side. Refuse when the DDL postdates the schema pin
+          // (future feeds unknown to the schema) OR when this window
+          // holds feeds from BEFORE it (a restart backlog spanning the
+          // rename: the re-pinned schema would silently null the old
+          // names). A materializing compaction changes the mapping too,
+          // but rewrites every file and no logical name — it passes; a
+          // restart whose window starts AT the rename passes (no
+          // pre-rename feeds left to mis-parse).
+          val isRenameDdl = prevRenames.exists(_ != m.renames) &&
+            prevFiles.exists(_ == m.files.map(_.path))
+          // predecessor vacuumed → can't classify: refuse conservatively
+          // when the mapping drifted from the pin after the pin
+          val unclassifiable =
+            prevRenames.isEmpty && v > pinnedAt && m.renames != pinnedRenames
+          if ((isRenameDdl && (v > pinnedAt || from < v)) || unclassifiable)
             throw new IllegalStateException(
               s"table at $root renamed columns at v$v (mapping ${m.renames}) " +
-                "inside this stream's window — restart the stream so the " +
-                "pinned schema matches the images")
+                s"inside this stream's window [$from, $to] — restart the stream " +
+                "(or start at startingVersion >= the rename) so the pinned " +
+                "schema matches the images")
+          // a RE-KEY (recluster to a new key column) after the pin makes
+          // later feeds name their key column differently — same silent-
+          // null hazard, same answer
+          if (v > pinnedAt)
+            for (pk <- pinnedKeyCol; mk <- m.keyCol if mk != pk)
+              throw new IllegalStateException(
+                s"table at $root re-keyed $pk -> $mk at v$v mid-stream — " +
+                  "restart the stream to re-pin the schema")
           prevRenames = Some(m.renames)
           prevFiles = Some(m.files.map(_.path))
           if (m.feed.isEmpty) Nil // compaction/DDL: no row changed
@@ -289,7 +312,7 @@ object ManifestStreamSource {
     * distributed footer-merge over the snapshot's files. Keyed by the
     * latest committed version, so evolution invalidates naturally. */
   private val schemaMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Boolean, Long), StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean, Long, Option[Long]), StructType]()
 
   /** The stream's pinned schema: the table's logical schema (merged
     * footers under the current rename mapping) for table-follow mode;
@@ -303,7 +326,12 @@ object ManifestStreamSource {
     val latest = ManifestUpsertSink.latestManifest(root).getOrElse(
       throw new IllegalStateException(
         s"no committed manifest under $root — create the table, then subscribe"))
-    schemaMemo.computeIfAbsent((root, changesMode, latest.version), { _ =>
+    // bounded, and keyed by the latest commit's STAMP as well as its
+    // version: a table dropped and recreated at the same path reaches
+    // the same version numbers with different stamps, and must never
+    // inherit the old table's pinned schema
+    if (schemaMemo.size > 256) schemaMemo.clear()
+    schemaMemo.computeIfAbsent((root, changesMode, latest.version, latest.ts), { _ =>
       val spark = sqlContext.sparkSession
       // newest version that still lists files: the schema anchor even
       // when the CURRENT snapshot is fully deleted

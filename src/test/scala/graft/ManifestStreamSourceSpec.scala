@@ -344,6 +344,63 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("a restart whose backlog spans a rename refuses; a mid-stream re-key refuses") {
+    import spark.implicits._
+    val root = tmp("graft_stream_span_")
+    val ckpt = tmp("graft_stream_span_ckpt_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    // drain to v0, then stop
+    val got = mutable.Buffer[Seq[Any]]()
+    val q = drainTo(spark.readStream.format("graft-manifest")
+      .option("changes", "true").load(root).select("id"), ckpt, got)
+    try q.processAllAvailable() finally q.stop()
+
+    // while down: a pre-rename merge, the rename, a post-rename merge,
+    // and a compaction that MATERIALIZES the mapping (without it the
+    // connector already refuses at stream creation — resolve() rejects
+    // un-materialized mappings — so this is the reachable hazard path)
+    sink.upsertBatch(Seq((2L, "b", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+    sink.renameColumn(spark, "p", "payload")
+    sink.upsertBatch(Seq((3L, "c", 3L)).toDF("id", "payload", "seq"), "seq", 2L)
+    sink.compact(spark)
+
+    // restart: the re-pinned schema names 'payload', but the backlog
+    // holds v1 images that only know 'p' — refusing beats silent nulls
+    val got2 = mutable.Buffer[Seq[Any]]()
+    val q2 = drainTo(spark.readStream.format("graft-manifest")
+      .option("changes", "true").load(root).select("id"), ckpt, got2)
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+        q2.awaitTermination(10000)
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("rename"), s"must refuse the spanning backlog: $msg")
+    } finally q2.stop()
+
+    // a RE-KEY mid-stream (recluster to a new key column) also refuses —
+    // later feeds name their key column differently
+    val root2 = tmp("graft_stream_rekey_")
+    val sink2 = new ManifestUpsertSink(root2, "id", buckets = 2)
+    sink2.upsertBatch(Seq((1L, 7L, "a", 1L)).toDF("id", "user", "p", "seq"), "seq", 0L)
+    val got3 = mutable.Buffer[Seq[Any]]()
+    val q3 = drainTo(spark.readStream.format("graft-manifest")
+      .option("changes", "true").load(root2).select("id"),
+      tmp("graft_stream_rekey_ckpt_"), got3)
+    try {
+      q3.processAllAvailable()
+      val next = sink2.recluster(spark, "user", 4)
+      next.upsertBatch(Seq((2L, 8L, "b", 2L)).toDF("id", "user", "p", "seq"), "seq", 1L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+        q3.awaitTermination(10000)
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("re-keyed"), s"must refuse the mid-stream re-key: $msg")
+    } finally q3.stop()
+  }
+
   test("a fully-deleted table still pins a schema, streams, and restarts") {
     import spark.implicits._
     val root = tmp("graft_stream_empty_")

@@ -24,6 +24,7 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Preflight.sweepStaleTemp().foreach(System.err.println)
     Preflight.report(spark, sfDir).foreach(System.err.println)
 
     def jsonEsc(s: String): String = s.flatMap {

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Schema-drift preflight for Verify/Bench: before any query runs, print one
@@ -12,6 +14,40 @@ import org.apache.spark.sql.SparkSession
   * preflight costs milliseconds even at large SF.
   */
 object Preflight {
+
+  /** Reclaim STALE graft temp dirs before a run. Every lake-building
+    * query materializes a physical table under `graft_*` in tmpdir and
+    * nothing deletes it (a shutdown hook per query would race the JVM's
+    * exit) — at 300+ such queries per Verify/Bench invocation, repeated
+    * rounds filled 79 GB and killed a test run with TASK_WRITE_FAILED
+    * (disk full, round 10). Sweeping our own prefix older than 2 h at
+    * main start keeps the current run's dirs (and any concurrent run's)
+    * intact while bounding the accumulation at one round's worth. */
+  def sweepStaleTemp(maxAgeHours: Long = 2): Seq[String] = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - maxAgeHours * 3600 * 1000
+    val doomed =
+      try {
+        val s = java.nio.file.Files.list(tmp)
+        try s.iterator().asScala.filter { p =>
+            p.getFileName.toString.startsWith("graft_") &&
+              (try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+               catch { case _: Exception => false })
+          }.toList
+        finally s.close()
+      } catch { case _: Exception => Nil }
+    var n = 0L
+    doomed.foreach { d =>
+      try {
+        java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        n += 1
+      } catch { case _: Exception => () } // races with a concurrent sweep: fine
+    }
+    if (n > 0) Seq(s"[preflight] swept $n stale graft_* temp dirs (> ${maxAgeHours}h old)")
+    else Nil
+  }
+
   def report(spark: SparkSession, sfDir: String): Seq[String] =
     Tables.names.flatMap { t =>
       try {

@@ -23,6 +23,7 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    Preflight.sweepStaleTemp().foreach(System.err.println)
     Preflight.report(spark, sfDir).foreach(System.err.println)
     // derived counts, not hand-tallied (coverage denominators drift otherwise)
     System.err.println(s"[verify] registry=${SparkEntry.registry.size} " +

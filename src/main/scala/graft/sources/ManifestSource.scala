@@ -32,6 +32,8 @@ import graft.sinks.ManifestUpsertSink.FileEntry
   * {{{
   *   spark.read.format("graft-manifest").load(root)                     // latest snapshot
   *   spark.read.format("graft-manifest").option("versionAsOf", 3).load(root)  // time travel
+  *   spark.read.format("graft-manifest")                                 // ... by wall clock
+  *     .option("timestampAsOf", "2026-08-15T06:00:00Z").load(root)       // (millis/ISO/date ok)
   *   spark.read.format("graft-manifest").option("changesOf", 3).load(root)    // batch 3's CDC feed
   *
   *   df.write.format("graft-manifest")                                  // batch MERGE (append mode)

@@ -1032,6 +1032,35 @@ object SinkQueries {
       SELECT key, bal, valid_from, valid_to FROM hist WHERE NOT is_del"""),
     doc = "SCD type-2 dimension history from the CDC feed: lead(version) over each key's change events closes intervals, deletes close without opening — O(changed rows), no snapshot diff")
 
+  // --------------------------------------------------------------- q312
+  /** TIMESTAMP time travel end-to-end through the connector: commit two
+    * versions, then read the snapshot current one millisecond BEFORE the
+    * second commit's stamp — resolution must land on v0 no matter what
+    * the wall clock said (the stamps are read back from the manifest,
+    * the CONTENT asserted is deterministic). The 10 ms pause guarantees
+    * distinct stamps; the oracle is the relational statement of the seed
+    * batch. Exercises versionAtTimestamp's running-max walk + the DSv2
+    * `timestampAsOf` option in the per-round correctness gate. */
+  val q312 = QueryDef(
+    "q312_timestamp_travel",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q312_").toString
+      val sink = new ManifestUpsertSink(root, "key", buckets = 8)
+      sink.upsertBatch(Tables.customer(s, d).select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("bal"), lit(0L).as("seq")), "seq", 0L)
+      Thread.sleep(10) // distinct commit stamps
+      sink.upsertBatch(Tables.orders(s, d).filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select(col("o_custkey").as("key"),
+          col("o_totalprice").cast("double").as("bal"),
+          col("o_orderkey").as("seq")), "seq", 1L)
+      val ts1 = ManifestUpsertSink.manifestAt(root, 1L).get.ts.get
+      s.read.format("graft-manifest").option("timestampAsOf", (ts1 - 1).toString)
+        .load(root).select(col("key"), col("bal")).orderBy(col("key"))
+    },
+    Some("""SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer ORDER BY key"""),
+    doc = "timestampAsOf time travel through the DSv2 connector: a wall-clock ask strictly between two commits' stamps reads exactly the earlier snapshot")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
-    q302, q303, q304, q305, q307, q308, q310, q311, q214, q215, q216, q228)
+    q302, q303, q304, q305, q307, q308, q310, q311, q312, q214, q215, q216, q228)
 }

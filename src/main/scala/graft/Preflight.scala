@@ -22,7 +22,12 @@ object Preflight {
     * rounds filled 79 GB and killed a test run with TASK_WRITE_FAILED
     * (disk full, round 10). Sweeping our own prefix older than 2 h at
     * main start keeps the current run's dirs (and any concurrent run's)
-    * intact while bounding the accumulation at one round's worth. */
+    * intact while bounding the accumulation at one round's worth.
+    * Staleness is judged by the NEWEST entry under the tree, not the
+    * root dir's mtime — a lake table root's mtime freezes once its
+    * data/_manifest children exist, so a root-mtime gate would doom a
+    * concurrent run's LIVE tables after 2 h of appends-to-subdirs (the
+    * same newest-file rule vacuum's orphan sweep uses). */
   def sweepStaleTemp(maxAgeHours: Long = 2): Seq[String] = {
     val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - maxAgeHours * 3600 * 1000
@@ -30,9 +35,7 @@ object Preflight {
       try {
         val s = java.nio.file.Files.list(tmp)
         try s.iterator().asScala.filter { p =>
-            p.getFileName.toString.startsWith("graft_") &&
-              (try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
-               catch { case _: Exception => false })
+            p.getFileName.toString.startsWith("graft_") && newestMtime(p) < cutoff
           }.toList
         finally s.close()
       } catch { case _: Exception => Nil }
@@ -47,6 +50,20 @@ object Preflight {
     if (n > 0) Seq(s"[preflight] swept $n stale graft_* temp dirs (> ${maxAgeHours}h old)")
     else Nil
   }
+
+  /** Newest last-modified time of any entry under `p` (the dir itself,
+    * every subdir, every file). Any walk/stat error reports "fresh"
+    * (Long.MaxValue) — a tree we cannot age must never be deleted. */
+  private[graft] def newestMtime(p: java.nio.file.Path): Long =
+    try {
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.foldLeft(Long.MinValue) { (acc, e) =>
+          math.max(acc,
+            try java.nio.file.Files.getLastModifiedTime(e).toMillis
+            catch { case _: Exception => Long.MaxValue })
+        }
+      finally s.close()
+    } catch { case _: Exception => Long.MaxValue }
 
   def report(spark: SparkSession, sfDir: String): Seq[String] =
     Tables.names.flatMap { t =>

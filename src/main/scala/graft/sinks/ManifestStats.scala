@@ -209,11 +209,23 @@ object ManifestStats {
 
   // ------------------------------------------------------------- codec
 
-  /** Sidecar text form. `F<TAB>path<TAB>rows` per file, then
+  /** Sidecar FORMAT VERSION, first line `V<TAB>2`. Bumped when the
+    * meaning of encoded bounds changes — v2 = timestamp bounds scaled to
+    * MICROS at collection time. A sidecar without the current version
+    * line decodes EMPTY: its 'L' bounds may be in the wrong unit (a
+    * MILLIS-vintage line carried forward by commitRebasing would compare
+    * 1000× low against micros filter literals and prune live rows), and
+    * stats are advisory — a discarded sidecar costs a re-collect or an
+    * unpruned scan, never rows. */
+  val FormatVersion = 2
+
+  /** Sidecar text form. `V<TAB>2` version line, then `F<TAB>path<TAB>rows`
+    * per file, then
     * `C<TAB>path<TAB>col<TAB>kind<TAB>nulls<TAB>min<TAB>max` per column
     * ('S' values base64; nulls -1 = unknown; empty min/max = unknown). */
   def encode(stats: Map[String, FileStats]): String = {
     val sb = new StringBuilder
+    sb.append("V\t").append(FormatVersion).append('\n')
     for ((path, fs) <- stats.toSeq.sortBy(_._1)) {
       sb.append("F\t").append(path).append('\t').append(fs.rows).append('\n')
       for ((col, cs) <- fs.cols.toSeq.sortBy(_._1)) {
@@ -228,14 +240,19 @@ object ManifestStats {
     sb.result()
   }
 
-  /** Tolerant decode: any malformed input yields an EMPTY map — stats are
-    * advisory, a torn sidecar must cost speed, not correctness. */
+  /** Tolerant decode: any malformed input — including a sidecar from a
+    * PREVIOUS format version, whose bounds may mean something else —
+    * yields an EMPTY map. Stats are advisory; a torn or outdated sidecar
+    * must cost speed, not correctness. */
   def decode(text: String): Map[String, FileStats] =
     try {
       val files = scala.collection.mutable.LinkedHashMap[String, Long]()
       val cols = scala.collection.mutable.Map[String, Map[String, ColStats]]()
         .withDefaultValue(Map.empty)
-      for (line <- text.linesIterator if line.nonEmpty) line.split("\t", -1) match {
+      val lines = text.linesIterator.filter(_.nonEmpty)
+      if (!lines.hasNext || lines.next() != s"V\t$FormatVersion")
+        return Map.empty // pre-versioning or foreign-version sidecar: discard
+      for (line <- lines) line.split("\t", -1) match {
         case Array("F", path, rows) => files(path) = rows.toLong
         case Array("C", path, col, kind, nulls, mn, mx) =>
           val k = kind.charAt(0)

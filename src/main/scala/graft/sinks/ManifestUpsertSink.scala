@@ -105,6 +105,17 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     if (batchId != AdHocBatch && cur.exists(_.batchId >= batchId))
       return // replayed batch: no-op
     requireSameBuckets(cur)
+    // while a rename mapping is live, an incoming batch must not carry a
+    // RETIRED physical name: additive schema evolution would write it
+    // physically and every read's applyRenames would coalesce the new
+    // column into the rename's old target (silent nulls) — the same
+    // reuse hazard renameColumn refuses, reachable with no DDL at all
+    for (m <- cur if m.renames.nonEmpty) {
+      val resurrected = m.renames.map(_._1).toSet & batch.columns.toSet
+      require(resurrected.isEmpty,
+        s"batch carries column(s) ${resurrected.toSeq.sorted.mkString(", ")} retired by a " +
+          "live rename mapping — compact() to materialize the rename first")
+    }
     val version = cur.map(_.version + 1).getOrElse(0L)
     val tag = newTag()
     // deliberately NOT persisted, though three actions read it (touched
@@ -537,17 +548,31 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     healFeed(Some(cur))
     requireSameBuckets(Some(cur))
     require(oldName != newName, "rename to the same name is a no-op")
-    // validate against the CURRENT LOGICAL schema (one merged-footer read,
-    // a fair price for a DDL): renaming onto an existing column would
-    // silently coalesce two unrelated columns, and renaming a phantom
-    // column would wedge the SQL connector behind a junk mapping
-    val logical = applyRenames(
-      spark.read.option("mergeSchema", "true").parquet(cur.files.map(_.path): _*),
-      cur.renames).columns.toSet
+    // validate against BOTH current schemas (one merged-footer read, a
+    // fair price for a DDL). Logical: renaming onto an existing column
+    // would silently coalesce two unrelated columns, and renaming a
+    // phantom column would wedge the SQL connector behind a junk
+    // mapping. PHYSICAL: a name that is still a mapping SOURCE (retired
+    // by an earlier rename) or present only in the raw file schema must
+    // not be REUSED — applyRenames binds by physical name and applies
+    // pairs in order, so after `a->b` a later `c->a` would make every
+    // new-vintage physical `a` coalesce into b and read null as logical
+    // a until a full compaction (Delta's column mapping guards the same
+    // hazard with field ids; the name-keyed mapping must refuse reuse).
+    val physDf = spark.read.option("mergeSchema", "true")
+      .parquet(cur.files.map(_.path): _*)
+    val physical = physDf.columns.toSet
+    val logical = applyRenames(physDf, cur.renames).columns.toSet
+    val retired = cur.renames.map(_._1).toSet ++ physical.diff(logical)
     require(logical(oldName),
       s"cannot rename: column $oldName does not exist (have ${logical.toSeq.sorted.mkString(", ")})")
     require(!logical(newName),
       s"cannot rename: column $newName already exists — renaming onto it would merge two columns")
+    require(!retired(newName),
+      s"cannot rename to $newName: the name is retired by an earlier rename (still a " +
+        "physical source in the mapping or file schema) — compact() to materialize first")
+    require(!retired(oldName),
+      s"cannot rename $oldName: the name is retired by an earlier rename — compact() first")
     val newKey = if (keyCol == oldName) newName else keyCol
     commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
       Some(newKey), cur.files, touched = None, feed = None,
@@ -597,6 +622,138 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     store.putString(s"$root/_manifest", s"v$version.stats",
       ManifestStats.encode(ManifestStats.collectAuto(written.map(_.path))))
     new ManifestUpsertSink(root, newKeyCol, newBuckets)
+  }
+
+  /** RESTORE the table to committed `version` — rollback as a NEW
+    * commit (Delta RESTORE parity): the restored manifest REFERENCES the
+    * target version's files verbatim (zero data copy — data files are
+    * immutable, and an un-vacuumed version's files are still retained or
+    * time travel to it would already be dead), adopts that version's
+    * (keyCol, buckets) epoch and rename mapping, and keeps the current
+    * batch id so the replay guard stays monotonic. History is preserved:
+    * the rolled-back versions stay time-travel readable until vacuum.
+    *
+    * Unlike a compaction, a restore CHANGES ROWS — so it emits a REAL
+    * change feed: the per-key diff of current→target as inserted /
+    * updated / deleted rows with before/after images (two snapshot scans
+    * + one full-outer join, the honest price of rolling back a table
+    * others subscribe to; CDC consumers and IVM views absorb a restore
+    * like any other version). Commits `touched = None`: a concurrent
+    * writer's survivors were computed against rows the restore may
+    * resurrect or kill, so it must abort and re-open — restores are
+    * maintenance windows, like epoch changes.
+    *
+    * Refused across a KEY-IDENTITY change (the target's key column is
+    * absent from the current logical schema, i.e. the key was renamed in
+    * between): per-key diff semantics are undefined there — roll the
+    * rename forward instead. Returns a sink bound to the restored epoch
+    * (the pair may differ when rolling back across a recluster); this
+    * instance dies on its next write if the pair changed. */
+  def restore(spark: SparkSession, version: Long): ManifestUpsertSink = {
+    val cur = latestManifest(root, store).getOrElse(throw new IllegalStateException(
+      s"no committed manifest under $root — nothing to restore"))
+    healFeed(Some(cur))
+    requireSameBuckets(Some(cur))
+    if (version == cur.version) return this // restoring the head: no-op
+    require(version < cur.version,
+      s"cannot restore to v$version: the table is at v${cur.version}")
+    val target = manifestAt(root, version).getOrElse(throw new IllegalStateException(
+      s"version $version not committed (or vacuumed) under $root — past the retention horizon"))
+    val tKey = target.keyCol.getOrElse(keyCol)
+    val tBuckets = target.buckets.getOrElse(buckets)
+    def snapshot(m: Manifest): Option[DataFrame] =
+      if (m.files.isEmpty) None
+      else Some(applyRenames(
+        spark.read.option("mergeSchema", "true").parquet(m.files.map(_.path): _*),
+        m.renames))
+    val curDf = snapshot(cur)
+    val tgtDf = snapshot(target)
+    for (c <- curDf)
+      require(c.columns.contains(tKey),
+        s"cannot restore across a key rename: v$version is keyed by $tKey, absent " +
+          s"from the current schema (${c.columns.sorted.mkString(", ")})")
+    // the diff feed: full-outer join of the two snapshots' payload images
+    val oldSide = curDf.map(c => c.select(col(tKey), payloadImage(c).as("old_image")))
+    val newSide = tgtDf.map(t => t.select(col(tKey), payloadImage(t).as("new_image")))
+    val joined = (oldSide, newSide) match {
+      case (Some(o), Some(n)) => o.join(n, Seq(tKey), "full_outer")
+      case (Some(o), None) => o.withColumn("new_image", lit(null).cast("string"))
+      case (None, Some(n)) => n.withColumn("old_image", lit(null).cast("string"))
+      case (None, None) => return this // both empty: nothing to do
+    }
+    val diff = joined
+      .filter(col("old_image").isNull || col("new_image").isNull ||
+        col("old_image") =!= col("new_image"))
+      .select(col(tKey),
+        when(col("old_image").isNull, lit("inserted"))
+          .when(col("new_image").isNull, lit("deleted"))
+          .otherwise(lit("updated")).as("change"),
+        when(col("old_image").isNull, lit(null).cast("long"))
+          .otherwise(xxhash64(col("old_image"))).as("old_hash"),
+        when(col("new_image").isNull, lit(null).cast("long"))
+          .otherwise(xxhash64(col("new_image"))).as("new_hash"),
+        col("old_image"), col("new_image"))
+    val tag = newTag()
+    diff.write.mode("overwrite").parquet(s"$root/_stage/$tag")
+    val newVersion = cur.version + 1
+    commit(root, store, Manifest(newVersion, cur.batchId, Some(tBuckets),
+      Some(tKey), target.files, touched = None, feed = Some(s"_stage/$tag"),
+      renames = target.renames))
+    store.rename(s"$root/_stage/$tag", s"$root/_changes/v$newVersion")
+    store.deleteDirIfEmpty(s"$root/_stage")
+    // the restored files ARE the target version's: its sidecar is exact
+    val prev = loadStats(root, store, version)
+    if (prev.nonEmpty)
+      store.putString(s"$root/_manifest", s"v$newVersion.stats",
+        ManifestStats.encode(prev))
+    if (tKey == keyCol && tBuckets == buckets) this
+    else new ManifestUpsertSink(root, tKey, tBuckets)
+  }
+
+  /** CLONE the table's latest snapshot to `targetRoot` as a NEW table at
+    * v0. Shallow (default): the clone's manifest REFERENCES the source's
+    * data files — zero data copy (Delta SHALLOW CLONE): copy-on-write
+    * means neither table ever mutates a shared file, so both evolve
+    * independently from one committed byte set; the clone's merges write
+    * under its own root, and its vacuum never reclaims foreign-root
+    * files. The documented caveat is Delta's too: VACUUM on the SOURCE
+    * does not know about clones and can reclaim files a shallow clone
+    * still references — a clone that must outlive the source's retention
+    * uses `deep = true`, which REWRITES the snapshot under the clone's
+    * root (one table scan+write, rename mapping materialized on the
+    * way). Carries the source's batch id so the replay-guard arithmetic
+    * of a re-pointed stream stays monotonic; the shallow clone carries
+    * the source's rename mapping and stats sidecar verbatim (same
+    * physical files — the stats are exact). */
+  def cloneTo(spark: SparkSession, targetRoot: String,
+      deep: Boolean = false): ManifestUpsertSink = {
+    val cur = latestManifest(root, store).getOrElse(throw new IllegalStateException(
+      s"no committed manifest under $root — nothing to clone"))
+    healFeed(Some(cur))
+    requireSameBuckets(Some(cur))
+    val tStore = TableStore.forPath(targetRoot)
+    require(latestManifest(targetRoot, tStore).isEmpty,
+      s"clone target $targetRoot already holds a committed table")
+    if (!deep) {
+      commit(targetRoot, tStore, Manifest(0L, cur.batchId, Some(buckets),
+        Some(keyCol), cur.files, touched = None, feed = None, renames = cur.renames))
+      val stats = loadStats(root, store, cur.version)
+      if (stats.nonEmpty)
+        tStore.putString(s"$targetRoot/_manifest", "v0.stats", ManifestStats.encode(stats))
+    } else {
+      val all = applyRenames(spark.read.option("mergeSchema", "true")
+          .parquet(cur.files.map(_.path): _*), cur.renames)
+        .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+        .repartition(buckets, col(BucketCol))
+      val dataDir = s"$targetRoot/data/v0-${newTag()}"
+      writeData(all, dataDir)
+      val written = listParquet(dataDir, tStore)
+      commit(targetRoot, tStore, Manifest(0L, cur.batchId, Some(buckets),
+        Some(keyCol), written, touched = None, feed = None, renames = Nil))
+      tStore.putString(s"$targetRoot/_manifest", "v0.stats",
+        ManifestStats.encode(ManifestStats.collectAuto(written.map(_.path))))
+    }
+    new ManifestUpsertSink(targetRoot, keyCol, buckets)
   }
 
   private def compactInto(spark: SparkSession)(layout: DataFrame => DataFrame): Unit = {
@@ -852,8 +1009,12 @@ object ManifestUpsertSink {
     for (v <- drop) {
       val m = decode(store.readString(s"$root/_manifest/v$v.manifest"))
       // data files only the dropped version references, then its
-      // manifest + stats sidecar, and any directories the deletes emptied
-      m.files.map(_.path).filterNot(live).foreach(store.deleteFile)
+      // manifest + stats sidecar, and any directories the deletes emptied.
+      // NEVER outside this table's root: a shallow clone's early versions
+      // reference the SOURCE's files — those are the source table's to
+      // retain or reclaim, not the clone's
+      m.files.map(_.path).filterNot(live).filter(_.startsWith(s"$root/"))
+        .foreach(store.deleteFile)
       store.deleteFile(s"$root/_manifest/v$v.manifest")
       store.deleteFile(s"$root/_manifest/v$v.stats")
       droppedDirs ++= m.files.flatMap(f => dataDirOf(root, f.path))
@@ -1047,16 +1208,36 @@ object ManifestUpsertSink {
     else Some(decode(store.readString(s"$root/_manifest/v${versions.max}.manifest")))
   }
 
+  /** The manifest header is a plain `key=value`-per-line, tab-discriminated
+    * text codec with NO escaping (deliberately: diff-able, zero parser
+    * deps) — so names that reach header VALUES must not contain the
+    * codec's separators. Enforced at commit time, the one choke point:
+    * a keyCol with a tab/newline, or a rename name with ':'/',' on top,
+    * would otherwise encode a manifest that decodes wrong or not at all. */
+  private def requireHeaderSafe(m: Manifest): Unit = {
+    def bad(name: String, extra: String): Boolean =
+      name.isEmpty || name.exists(c => c == '\t' || c == '\n' || c == '\r') ||
+        name.exists(extra.contains(_))
+    for (k <- m.keyCol)
+      require(!bad(k, ""), s"keyCol '$k' contains a manifest separator (tab/newline) — " +
+        "rename the column before using it as a lake key")
+    for ((p, l) <- m.renames; n <- Seq(p, l))
+      require(!bad(n, ":,"), s"renamed column '$n' contains a manifest separator " +
+        "(tab/newline/':'/',') — such names cannot enter the rename mapping")
+  }
+
   /** Atomic commit through the store's rename-if-absent: a racing writer
     * committing the same version loses and fails loudly — never a
     * silently merged/partial manifest. */
-  private def commit(root: String, store: TableStore, m: Manifest): Unit =
+  private def commit(root: String, store: TableStore, m: Manifest): Unit = {
+    requireHeaderSafe(m)
     // commit-time wall clock stamped here, the one choke point every
     // writer passes — the input to timestampAsOf time travel. Clock skew
     // between writers can make ts non-monotone across versions;
     // versionAtTimestamp resolves over the running max to stay sane.
     store.commitNew(s"$root/_manifest", s"v${m.version}.manifest",
       encode(m.copy(ts = Some(System.currentTimeMillis()))))
+  }
 
   /** Bucket→file entries for every parquet part under a version dir. */
   private def listParquet(dataDir: String, store: TableStore): Seq[FileEntry] =

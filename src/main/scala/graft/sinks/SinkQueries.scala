@@ -1061,6 +1061,158 @@ object SinkQueries {
       FROM customer ORDER BY key"""),
     doc = "timestampAsOf time travel through the DSv2 connector: a wall-clock ask strictly between two commits' stamps reads exactly the earlier snapshot")
 
+  // --------------------------------------------------------------- q313
+  /** RESTORE — rollback as a first-class, CDC-visible commit. Lifecycle:
+    * v0 seeds customers; v1 MERGEs updates (key%7, doubled balance) plus
+    * brand-new keys (key%13 shifted by 100000); v2 DELETEs key%11; then
+    * `restore(v0)` commits v3 referencing v0's files VERBATIM (zero data
+    * copy — rollback is a manifest operation, not a rewrite). Because a
+    * restore CHANGES ROWS, it emits a real change feed: the per-key diff
+    * of v2→v0 — deleted-at-v2 keys come back as `inserted`, v1's new
+    * keys go out as `deleted`, surviving updated keys revert as
+    * `updated`. The output reads that feed through `changesOf` (counts +
+    * key-sums per change kind) next to the restored snapshot's own
+    * census; the oracle restates all four rows from the base tables.
+    * Subscribers and IVM views absorb a rollback like any other version
+    * — no "out-of-band reset" path exists. */
+  val q313 = QueryDef(
+    "q313_restore",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q313_").toString
+      val sink = new ManifestUpsertSink(root, "key", buckets = 8)
+      val cust = Tables.customer(s, d)
+      val base = cust.select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("bal"), lit(0L).as("seq"))
+      sink.upsertBatch(base, "seq", batchId = 0L) // v0
+      val ups = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey").as("key"),
+          (col("c_acctbal") * 2).cast("double").as("bal"), lit(1L).as("seq"))
+      val ins = cust.filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .select((col("c_custkey") + 100000L).as("key"),
+          col("c_acctbal").cast("double").as("bal"), lit(1L).as("seq"))
+      sink.upsertBatch(ups.unionByName(ins), "seq", batchId = 1L) // v1
+      sink.deleteKeys(cust.filter(pmod(col("c_custkey"), lit(11)) === 0)
+        .select(col("c_custkey").as("key")), batchId = 2L) // v2
+      sink.restore(s, 0L) // v3 == v0's rows, with a diff feed
+      val feed = s.read.format("graft-manifest").option("changesOf", 3).load(root)
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+      val snap = s.read.format("graft-manifest").load(root)
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+        .select(lit("snapshot").as("change"), col("n"), col("key_sum"))
+      feed.unionByName(snap).orderBy(col("change"))
+    },
+    Some("""SELECT 'deleted' AS change, COUNT(*) AS n, CAST(SUM(c_custkey + 100000) AS BIGINT) AS key_sum
+        FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT 'inserted', COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+        FROM customer WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT 'updated', COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+        FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+      UNION ALL
+      SELECT 'snapshot', COUNT(*), CAST(SUM(c_custkey) AS BIGINT) FROM customer
+      ORDER BY change"""),
+    doc = "RESTORE to a committed version: zero-copy manifest rollback that emits the per-key current->target diff as a real CDC feed (resurrections inserted, post-target keys deleted, reverts updated); snapshot census == the restored version's")
+
+  // --------------------------------------------------------------- q314
+  /** Data-quality EXPECTATIONS routed through the lake: every document
+    * is gated by named rules ([[graft.ext.Expectations]] — NULL
+    * violates, unlike SQL CHECK), accepted rows MERGE into the corpus
+    * table and each failing row lands in a sibling QUARANTINE table
+    * carrying the comma-joined list of rules it broke — the audit trail
+    * of a 100-TB ingest is a queryable table, not a log grep. The gate
+    * itself is one codegen'd projection (no UDF, no shuffle); the
+    * routing is two ordinary manifest merges. Output: per-rule violation
+    * census read back from the quarantine table THROUGH the connector,
+    * next to the accepted-table census; the oracle restates the rules
+    * relationally with COALESCE(cond, FALSE) pinning the null-violates
+    * contract. */
+  val q314 = QueryDef(
+    "q314_quality_quarantine",
+    (s, d) => {
+      val acceptRoot = Files.createTempDirectory("graft_q314a_").toString
+      val quarRoot = Files.createTempDirectory("graft_q314q_").toString
+      val rules = Seq(
+        "lang_latin" -> col("lang").isin("en", "de", "fr", "es"),
+        "len_min" -> (col("n_chars") >= 100L))
+      val docs = Tables.documents(s, d).withColumn("seq", lit(0L))
+      val ok = graft.ext.Expectations.accepted(docs, rules)
+      val bad = graft.ext.Expectations.quarantined(docs, rules)
+      new ManifestUpsertSink(acceptRoot, "doc_id", buckets = 8)
+        .upsertBatch(ok, "seq", batchId = 0L)
+      new ManifestUpsertSink(quarRoot, "doc_id", buckets = 8)
+        .upsertBatch(bad, "seq", batchId = 0L)
+      val perRule = s.read.format("graft-manifest").load(quarRoot)
+        .select(explode(split(col("violations"), ",")).as("rule"), col("doc_id"))
+        .groupBy(col("rule"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("key_sum"))
+      val acceptedRow = s.read.format("graft-manifest").load(acceptRoot)
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("key_sum"))
+        .select(lit("__accepted").as("rule"), col("n"), col("key_sum"))
+      perRule.unionByName(acceptedRow).orderBy(col("rule"))
+    },
+    Some("""WITH v AS (SELECT doc_id,
+        NOT COALESCE(lang IN ('en','de','fr','es'), FALSE) AS lang_latin,
+        NOT COALESCE(n_chars >= 100, FALSE) AS len_min
+        FROM documents)
+      SELECT rule, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS key_sum FROM (
+        SELECT doc_id, 'lang_latin' AS rule FROM v WHERE lang_latin
+        UNION ALL
+        SELECT doc_id, 'len_min' FROM v WHERE len_min)
+      GROUP BY rule
+      UNION ALL
+      SELECT '__accepted', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+        FROM v WHERE NOT lang_latin AND NOT len_min
+      ORDER BY rule"""),
+    doc = "expectations gate + quarantine: named quality rules (null violates) route rows to corpus vs quarantine lake tables in one codegen'd projection; per-rule violation census reads back through the connector")
+
+  // --------------------------------------------------------------- q315
+  /** SHALLOW CLONE — zero-copy table fork: the clone's v0 manifest
+    * references the source's immutable data files, then BOTH tables
+    * evolve independently under copy-on-write (the clone's merge
+    * rewrites its touched buckets under its OWN root; the source's
+    * merge never perturbs the clone because no shared file is ever
+    * mutated). The dev/test-against-production-data pattern at manifest
+    * cost, Delta SHALLOW CLONE parity — including the documented vacuum
+    * caveat (ManifestLifecycleSpec pins both the zero-copy structure
+    * and the caveat; deep = true is the retention-safe variant). Output:
+    * both tables' censuses after divergent merges; the oracle restates
+    * each fork from the base table. */
+  val q315 = QueryDef(
+    "q315_shallow_clone",
+    (s, d) => {
+      val srcRoot = Files.createTempDirectory("graft_q315s_").toString
+      val clRoot = Files.createTempDirectory("graft_q315c_").toString
+      val sink = new ManifestUpsertSink(srcRoot, "key", buckets = 4)
+      val base = Tables.part(s, d).select(col("p_partkey").as("key"),
+        col("p_retailprice").cast("double").as("price"), lit(0L).as("seq"))
+      sink.upsertBatch(base, "seq", batchId = 0L)
+      val clone = sink.cloneTo(s, clRoot) // shallow: references source files
+      clone.upsertBatch(base.filter(pmod(col("key"), lit(3)) === 0)
+        .withColumn("price", col("price") * 2).withColumn("seq", lit(1L)),
+        "seq", batchId = 1L)
+      sink.upsertBatch(base.filter(pmod(col("key"), lit(5)) === 0)
+        .withColumn("price", col("price") + 10).withColumn("seq", lit(1L)),
+        "seq", batchId = 1L)
+      def census(root: String, name: String) =
+        s.read.format("graft-manifest").load(root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("price").cast("decimal(28,10)")).cast("double").as("price_sum"))
+          .select(lit(name).as("tbl"), col("n"), col("price_sum"))
+      census(clRoot, "clone").unionByName(census(srcRoot, "source")).orderBy(col("tbl"))
+    },
+    Some("""WITH base AS (SELECT p_partkey AS key, CAST(p_retailprice AS DOUBLE) AS price FROM part),
+      cl AS (SELECT key, CASE WHEN key % 3 = 0 THEN price * 2 ELSE price END AS price FROM base),
+      src AS (SELECT key, CASE WHEN key % 5 = 0 THEN price + 10 ELSE price END AS price FROM base)
+      SELECT 'clone' AS tbl, COUNT(*) AS n,
+        CAST(SUM(CAST(price AS DECIMAL(28,10))) AS DOUBLE) AS price_sum FROM cl
+      UNION ALL
+      SELECT 'source', COUNT(*), CAST(SUM(CAST(price AS DECIMAL(28,10))) AS DOUBLE) FROM src
+      ORDER BY tbl"""),
+    doc = "shallow clone: zero-copy table fork off the manifest (clone v0 references source files verbatim); divergent merges stay isolated under copy-on-write — dev-vs-prod forking at manifest cost")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
-    q302, q303, q304, q305, q307, q308, q310, q311, q312, q214, q215, q216, q228)
+    q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315,
+    q214, q215, q216, q228)
 }

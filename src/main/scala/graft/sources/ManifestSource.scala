@@ -94,6 +94,21 @@ final class ManifestSource extends TableProvider with DataSourceRegister
 
   override def shortName(): String = "graft-manifest"
 
+  /** The snapshot `inferSchema` resolved, keyed by its options — so
+    * `getTable` on the SAME load() hands the scan the SAME resolution
+    * instead of re-resolving lazily at first action. Without this, a
+    * commit landing between schema inference and the first scan serves
+    * data from a newer snapshot than the schema came from ("one snapshot
+    * per load()" demands one resolve). Spark constructs a fresh provider
+    * per load(), so the memo's lifetime IS the load. */
+  @volatile private var inferred: Option[(java.util.Map[String, String], Resolved)] = None
+
+  private def resolveMemo(options: CaseInsensitiveStringMap): Resolved = {
+    val r = resolve(options)
+    inferred = Some((options.asCaseSensitiveMap(), r))
+    r
+  }
+
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
@@ -169,7 +184,7 @@ final class ManifestSource extends TableProvider with DataSourceRegister
           ManifestUpsertSink.latestManifest(_).isEmpty))
       Option(options.get("schemaDDL")).map(StructType.fromDDL).getOrElse(new StructType())
     else {
-      val resolved = resolve(options)
+      val resolved = resolveMemo(options)
       val paths =
         if (resolved.files.nonEmpty || options.containsKey("changesOf"))
           resolved.files.map(_.path)
@@ -188,9 +203,16 @@ final class ManifestSource extends TableProvider with DataSourceRegister
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    // resolution is lazy: the write path must construct the table before
-    // the first commit exists; the scan path resolves on demand
-    new ManifestTable(options, () => resolve(options), schema)
+    // reuse inferSchema's resolution when this is the same load() (same
+    // options): the table's schema and its scans then describe ONE
+    // snapshot even if a commit lands in between. Resolution stays lazy
+    // otherwise — the write path must construct the table before the
+    // first commit exists
+    val resolveFn: () => Resolved = inferred match {
+      case Some((opts, r)) if opts == options.asCaseSensitiveMap() => () => r
+      case _ => () => resolve(options)
+    }
+    new ManifestTable(options, resolveFn, schema)
   }
 
   /** V1 streaming sink: the exactly-once manifest MERGE behind

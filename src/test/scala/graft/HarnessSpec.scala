@@ -39,4 +39,26 @@ class HarnessSpec extends AnyFunSuite {
     assert(oracle.startsWith("{") && oracle.endsWith("}") &&
       oracle.contains("q01_pricing_summary"))
   }
+
+  test("temp sweep ages by the NEWEST entry under the tree, not the root dir mtime") {
+    // a lake table root's mtime freezes once data/_manifest exist — a
+    // root-mtime gate would doom a >2h concurrent run's LIVE tables.
+    val dir = Files.createTempDirectory("graft_sweepage_test_")
+    try {
+      val sub = Files.createDirectories(dir.resolve("data").resolve("__bucket=0"))
+      val f = Files.writeString(sub.resolve("part.parquet"), "fresh")
+      val oldTs = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10 * 3600 * 1000L)
+      Files.setLastModifiedTime(dir, oldTs) // the exact failure shape: stale root, live leaves
+      val cutoff2h = System.currentTimeMillis() - 2 * 3600 * 1000L
+      assert(Preflight.newestMtime(dir) >= cutoff2h,
+        "a tree with a fresh leaf must read as FRESH despite a stale root mtime")
+      // when every entry is old, the tree is genuinely stale
+      Seq(f, sub, sub.getParent, dir).foreach(Files.setLastModifiedTime(_, oldTs))
+      assert(Preflight.newestMtime(dir) < cutoff2h)
+    } finally {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
 }

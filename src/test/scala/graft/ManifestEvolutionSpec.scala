@@ -68,6 +68,58 @@ class ManifestEvolutionSpec extends AnyFunSuite {
       == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("a retired physical name cannot be reused — rename-time and merge-time guards") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_reuse_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    sink.renameColumn(spark, "p", "payload")
+
+    // rename seq->p would pass a logical-only check (`p` is mapped away)
+    // but post-rename merges write physical `p`, which applyRenames'
+    // earlier (p,payload) pair would coalesce INTO payload — the reused
+    // column would silently read null. Refuse at DDL time.
+    val e = intercept[IllegalArgumentException] { sink.renameColumn(spark, "seq", "p") }
+    assert(e.getMessage.contains("retired"), e.getMessage)
+
+    // schema evolution reaches the same hazard with NO DDL: a batch
+    // carrying the retired name must be refused at merge time
+    val e2 = intercept[IllegalArgumentException] {
+      sink.upsertBatch(Seq((2L, "x", "boom", 2L))
+        .toDF("id", "payload", "p", "seq"), "seq", 1L)
+    }
+    assert(e2.getMessage.contains("retired"), e2.getMessage)
+
+    // chained renames stay legal (payload->body; old physical `p` maps
+    // through both pairs in order)
+    sink.renameColumn(spark, "payload", "body")
+    assert(sink.read(spark).select("id", "body").as[(Long, String)].collect().toMap
+      == Map(1L -> "a"))
+
+    // compaction materializes the chain — the names are then free again
+    sink.compact(spark)
+    assert(ManifestUpsertSink.snapshotManifest(root, None).renames.isEmpty)
+    sink.renameColumn(spark, "body", "p")
+    assert(sink.read(spark).columns.toSet == Set("id", "p", "seq"))
+  }
+
+  test("manifest header separators in column names are rejected at commit time") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_names_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    // the rename mapping encodes as `phys:logical,phys:logical` on one
+    // header line — names carrying the codec's separators would commit
+    // a manifest that decodes wrong (or not at all); refuse them
+    for (badName <- Seq("a:b", "a,b", "a\tb", "a\nb")) {
+      val e = intercept[IllegalArgumentException] { sink.renameColumn(spark, "p", badName) }
+      assert(e.getMessage.contains("separator"), s"'$badName': ${e.getMessage}")
+    }
+    // the table is untouched by the refused DDLs
+    assert(ManifestUpsertSink.snapshotManifest(root, None).renames.isEmpty)
+    assert(sink.read(spark).count() == 1)
+  }
+
   test("renaming the key column re-keys the table; the old sink handle dies loudly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_evo_key_").toString

@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ManifestUpsertSink
+
+/** RESTORE + CLONE on the manifest lake: rollback as a zero-copy,
+  * CDC-visible commit, and zero-copy table forks with the Delta shallow
+  * -clone vacuum caveat pinned in BOTH directions (clone's vacuum never
+  * reaches into the source; source's vacuum CAN strand a shallow clone,
+  * and deep = true is the retention-safe variant). */
+class ManifestLifecycleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(root: String): Map[Long, (String, Long)] =
+    ManifestUpsertSink.read(spark, root).select("id", "p", "seq")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("restore: zero-copy rollback with a real diff feed; history intact") {
+    val root = tmp("graft_restore_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    val base = (1L to 20L).map(i => (i, s"v$i", 0L)).toDF("id", "p", "seq")
+    sink.upsertBatch(base, "seq", 0L) // v0
+    sink.upsertBatch(
+      ((1L to 20L).filter(_ % 4 == 0).map(i => (i, s"upd$i", 1L)) ++
+        Seq((101L, "new", 1L), (102L, "new", 1L))).toDF("id", "p", "seq"),
+      "seq", 1L) // v1: update 4,8,12,16,20; insert 101,102
+    sink.deleteKeys(Seq(5L, 10L, 15L, 20L).toDF("id"), 2L) // v2
+
+    val restored = sink.restore(spark, 0L) // v3
+    assert(restored eq sink, "same epoch: restore returns the same handle")
+
+    // the snapshot IS v0 again — and its manifest references v0's files
+    // verbatim (rollback = manifest op, zero data copy)
+    assert(rows(root) == (1L to 20L).map(i => i -> (s"v$i", 0L)).toMap)
+    val m0 = ManifestUpsertSink.snapshotManifest(root, Some(0L))
+    val m3 = ManifestUpsertSink.snapshotManifest(root, Some(3L))
+    assert(m3.files.map(_.path).toSet == m0.files.map(_.path).toSet,
+      "restore must reference the target version's files, not rewrite them")
+
+    // the diff feed: resurrections inserted, post-target keys deleted,
+    // surviving updates reverted as updated
+    val feed = spark.read.format("graft-manifest").option("changesOf", 3).load(root)
+    val byChange = feed.groupBy("change").agg(collect_list(col("id")).as("ids"))
+      .as[(String, Seq[Long])].collect().map(r => r._1 -> r._2.sorted).toMap
+    assert(byChange("inserted") == Seq(5L, 10L, 15L, 20L), "deleted-at-v2 keys come back")
+    assert(byChange("deleted") == Seq(101L, 102L), "v1's new keys go out")
+    assert(byChange("updated") == Seq(4L, 8L, 12L, 16L), "surviving updates revert")
+
+    // history is preserved: the rolled-back state stays time-travelable
+    assert(ManifestUpsertSink.readVersion(spark, root, 2L)
+      .filter(col("id") === 8L).select("p").as[String].head() == "upd8")
+
+    // guards: head restore is a no-op version-wise; future/vacuumed loud
+    val head = ManifestUpsertSink.snapshotManifest(root, None).version
+    sink.restore(spark, head)
+    assert(ManifestUpsertSink.snapshotManifest(root, None).version == head)
+    intercept[IllegalArgumentException] { sink.restore(spark, head + 5) }
+
+    // the replay guard survives the rollback: batch 2 is already
+    // committed, so its redelivery must still no-op after the restore
+    sink.deleteKeys(Seq(1L).toDF("id"), 2L)
+    assert(rows(root).contains(1L), "redelivered pre-restore batch id must replay as a no-op")
+  }
+
+  test("restore across a recluster rolls the epoch back; across a key rename it refuses") {
+    val root = tmp("graft_restore_epoch_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch((1L to 40L).map(i => (i, i % 5L, 0L)).toDF("id", "user", "seq"),
+      "seq", 0L) // v0: keyed (id, 2)
+    val next = sink.recluster(spark, "user", 8) // v1: keyed (user, 8)
+    val back = next.restore(spark, 0L) // v2: keyed (id, 2) again
+    val m = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m.keyCol.contains("id") && m.buckets.contains(2),
+      "restore adopts the target version's epoch pair")
+    // the post-epoch handle is now stale; the returned one merges on
+    intercept[IllegalStateException] {
+      next.upsertBatch(Seq((41L, 1L, 1L)).toDF("id", "user", "seq"), "seq", 1L)
+    }
+    back.upsertBatch(Seq((41L, 1L, 1L)).toDF("id", "user", "seq"), "seq", 1L)
+    assert(ManifestUpsertSink.read(spark, root).count() == 41)
+
+    // across a KEY RENAME the per-key diff is undefined: refuse loudly
+    val root2 = tmp("graft_restore_ren_")
+    val s2 = new ManifestUpsertSink(root2, "id", buckets = 2)
+    s2.upsertBatch(Seq((1L, "a", 0L)).toDF("id", "p", "seq"), "seq", 0L)
+    val renamed = s2.renameColumn(spark, "id", "doc_id")
+    val e = intercept[IllegalArgumentException] { renamed.restore(spark, 0L) }
+    assert(e.getMessage.contains("key rename"), e.getMessage)
+  }
+
+  test("shallow clone: zero copy, isolated divergence, vacuum never crosses roots") {
+    val srcRoot = tmp("graft_clone_src_")
+    val clRoot = tmp("graft_clone_cl_")
+    val src = new ManifestUpsertSink(srcRoot, "id", buckets = 4)
+    src.upsertBatch((1L to 20L).map(i => (i, s"v$i", 0L)).toDF("id", "p", "seq"), "seq", 0L)
+
+    val clone = src.cloneTo(spark, clRoot)
+    val srcFiles = ManifestUpsertSink.snapshotManifest(srcRoot, None).files.map(_.path).toSet
+    val clFiles = ManifestUpsertSink.snapshotManifest(clRoot, None).files.map(_.path).toSet
+    assert(clFiles == srcFiles, "shallow clone references the source's files verbatim")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(clRoot, "data")),
+      "shallow clone copies zero data bytes")
+    intercept[IllegalArgumentException] { src.cloneTo(spark, clRoot) } // occupied target
+
+    // divergent merges stay isolated under copy-on-write
+    clone.upsertBatch(Seq((1L, "clone1", 1L)).toDF("id", "p", "seq"), "seq", 1L)
+    src.upsertBatch(Seq((2L, "src2", 1L)).toDF("id", "p", "seq"), "seq", 1L)
+    assert(rows(clRoot)(1L) == ("clone1", 1L) && rows(clRoot)(2L) == ("v2", 0L))
+    assert(rows(srcRoot)(1L) == ("v1", 0L) && rows(srcRoot)(2L) == ("src2", 1L))
+
+    // the CLONE's vacuum drops its v0 (which references source files) —
+    // and must NOT delete a byte outside its own root
+    clone.vacuum(keepVersions = 1)
+    assert(rows(srcRoot).size == 20, "clone vacuum must never reach into the source root")
+    assert(rows(clRoot).size == 20, "clone still reads (its head carries shared+own files)")
+
+    // the DOCUMENTED caveat, pinned: the source doesn't know about
+    // clones — compact+vacuum on the source strands the shallow clone
+    src.compact(spark)
+    src.vacuum(keepVersions = 1)
+    intercept[Exception] {
+      ManifestUpsertSink.read(spark, clRoot).collect()
+    }
+  }
+
+  test("deep clone materializes its own files and survives source compact+vacuum") {
+    val srcRoot = tmp("graft_dclone_src_")
+    val clRoot = tmp("graft_dclone_cl_")
+    val src = new ManifestUpsertSink(srcRoot, "id", buckets = 4)
+    src.upsertBatch((1L to 20L).map(i => (i, s"v$i", 0L)).toDF("id", "p", "seq"), "seq", 0L)
+    val clone = src.cloneTo(spark, clRoot, deep = true)
+    assert(ManifestUpsertSink.snapshotManifest(clRoot, None).files
+      .forall(_.path.startsWith(clRoot)), "deep clone owns every file it references")
+    src.compact(spark)
+    src.vacuum(keepVersions = 1)
+    assert(rows(clRoot) == (1L to 20L).map(i => i -> (s"v$i", 0L)).toMap,
+      "deep clone is retention-independent of the source")
+    // and it is a fully functional table
+    clone.upsertBatch(Seq((21L, "new", 1L)).toDF("id", "p", "seq"), "seq", 1L)
+    assert(rows(clRoot).size == 21)
+  }
+}

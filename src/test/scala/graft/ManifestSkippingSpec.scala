@@ -55,6 +55,37 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(ManifestStats.decode("C\tgarbage").isEmpty)
   }
 
+  test("sidecar format is versioned: pre-version sidecars are discarded, not carried") {
+    val fs = FileStats(10L, Map("c" -> ColStats('L', Some(5L), Some(9L), Some(0L))))
+    val enc = ManifestStats.encode(Map("f1" -> fs))
+    assert(enc.startsWith(s"V\t${ManifestStats.FormatVersion}\n"),
+      "every encoded sidecar leads with the format version line")
+    assert(ManifestStats.decode(enc) == Map("f1" -> fs))
+    // a sidecar WITHOUT the version line is a pre-versioning vintage —
+    // its 'L' bounds may be in a retired unit (the MILLIS-era timestamp
+    // scaling), and commitRebasing would carry the poison forever: it
+    // must decode EMPTY (unpruned scan, never wrong pruning)
+    val legacy = enc.linesIterator.drop(1).mkString("\n")
+    assert(legacy.startsWith("F\t") && ManifestStats.decode(legacy).isEmpty)
+    // a FUTURE version is equally foreign
+    assert(ManifestStats.decode(s"V\t${ManifestStats.FormatVersion + 1}\n" + legacy).isEmpty)
+  }
+
+  test("one load() = one snapshot: a commit landing after load is not served by its scans") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pin_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch((1L to 10L).map(i => (i, s"v$i", 0L)).toDF("id", "p", "seq"), "seq", 0L)
+    // load() infers the schema from the resolved snapshot; the scan must
+    // reuse THAT resolution, not re-resolve at first action — otherwise
+    // a commit in between serves rows the schema was never inferred from
+    val pinned = spark.read.format("graft-manifest").load(root)
+    sink.upsertBatch((11L to 15L).map(i => (i, s"v$i", 1L)).toDF("id", "p", "seq"), "seq", 1L)
+    assert(pinned.count() == 10, "the loaded frame serves the load-time snapshot")
+    assert(spark.read.format("graft-manifest").load(root).count() == 15,
+      "a fresh load() sees the new commit")
+  }
+
   test("MILLIS-written timestamp bounds normalize to micros; in-range literals never prune") {
     import spark.implicits._
     import org.apache.spark.sql.sources._

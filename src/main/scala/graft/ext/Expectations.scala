@@ -29,6 +29,15 @@ object Expectations {
   def withViolations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "expectations need at least one rule")
     require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    // the quarantine column serializes violations comma-joined and the
+    // per-rule census splits them back on ',' — a rule name carrying the
+    // separator (or nothing but whitespace) would silently corrupt that
+    // census, so refuse it here, the one entry point (the manifest
+    // header's requireHeaderSafe lesson applied to rule names)
+    for (name <- rules.map(_._1))
+      require(name.trim.nonEmpty && !name.contains(","),
+        s"rule name '$name' is empty or contains ',' — names are serialized " +
+          "comma-joined into the quarantine column and split back for the census")
     df.withColumn("violations", array_compact(array(rules.map { case (name, cond) =>
       when(!coalesce(cond, lit(false)), lit(name)).otherwise(lit(null).cast("string"))
     }: _*)))

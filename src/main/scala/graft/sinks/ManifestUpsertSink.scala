@@ -635,10 +635,15 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     *
     * Unlike a compaction, a restore CHANGES ROWS — so it emits a REAL
     * change feed: the per-key diff of current→target as inserted /
-    * updated / deleted rows with before/after images (two snapshot scans
-    * + one full-outer join, the honest price of rolling back a table
-    * others subscribe to; CDC consumers and IVM views absorb a restore
-    * like any other version). Commits `touched = None`: a concurrent
+    * updated / deleted rows with before/after images. The diff is
+    * BUCKET-PRUNED: only buckets whose manifest file lists differ
+    * between the two versions are scanned (an identical file list under
+    * copy-on-write proves an identical bucket), so backing out one bad
+    * merge on a 100-TB table costs the touched buckets from both
+    * versions, not 2× the table; pruning degrades gracefully to the full
+    * diff across an epoch/rename change. A diff-less restore (rolling
+    * back only an epoch or rename) still commits, with no feed, like a
+    * compaction. Commits `touched = None`: a concurrent
     * writer's survivors were computed against rows the restore may
     * resurrect or kill, so it must abort and re-open — restores are
     * maintenance windows, like epoch changes.
@@ -661,46 +666,80 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       s"version $version not committed (or vacuumed) under $root — past the retention horizon"))
     val tKey = target.keyCol.getOrElse(keyCol)
     val tBuckets = target.buckets.getOrElse(buckets)
-    def snapshot(m: Manifest): Option[DataFrame] =
-      if (m.files.isEmpty) None
+    // BUCKET-PRUNED diff: under copy-on-write, a bucket whose file-entry
+    // list is IDENTICAL between the current and target manifests cannot
+    // contain a row diff — restoring a 100-TB table to back out one bad
+    // merge must scan only the touched buckets' files from both versions,
+    // never 2× the table. Prunable only when the two versions share the
+    // (keyCol, buckets) epoch (bucket numbers are otherwise incomparable)
+    // AND the rename mapping (identical files under a different mapping
+    // read as different logical rows). Conservative under compaction-only
+    // differences: the file lists churned, so the bucket is read and the
+    // image-equality filter drops it — extra I/O, never wrong rows.
+    val (curDiffFiles, tgtDiffFiles) =
+      restoreDiffEntries(cur, target, keyCol, buckets)
+    def side(files: Seq[FileEntry], renames: Seq[(String, String)]): Option[DataFrame] =
+      if (files.isEmpty) None
       else Some(applyRenames(
-        spark.read.option("mergeSchema", "true").parquet(m.files.map(_.path): _*),
-        m.renames))
-    val curDf = snapshot(cur)
-    val tgtDf = snapshot(target)
+        spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*),
+        renames))
+    val curDf = side(curDiffFiles, cur.renames)
+    val tgtDf = side(tgtDiffFiles, target.renames)
     for (c <- curDf)
       require(c.columns.contains(tKey),
         s"cannot restore across a key rename: v$version is keyed by $tKey, absent " +
           s"from the current schema (${c.columns.sorted.mkString(", ")})")
-    // the diff feed: full-outer join of the two snapshots' payload images
+    // across a RECLUSTER the current snapshot is keyed by a DIFFERENT
+    // column, so tKey values need not be unique in it — a duplicate would
+    // emit conflicting diff rows per key, breaking the per-key CDC/IVM
+    // contract of the feed (the restored snapshot itself would still be
+    // right, which makes the corruption silent). Refuse loudly, like the
+    // key-rename case: collapse the duplicates (merge/delete) first.
+    if (cur.keyCol.getOrElse(keyCol) != tKey) for (c <- curDf) {
+      val r = c.agg(count(lit(1)).as("n"), countDistinct(col(tKey)).as("d")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"cannot restore to v$version: the current snapshot (keyed by " +
+          s"${cur.keyCol.getOrElse(keyCol)}) holds ${r.getLong(0) - r.getLong(1)} " +
+          s"duplicate value(s) of the restore key $tKey — the per-key diff feed " +
+          "would be ambiguous; deduplicate or roll the recluster forward instead")
+    }
+    // the diff feed: full-outer join of the two (pruned) snapshots'
+    // payload images. Both sides empty ⇒ no row diff — the restore must
+    // STILL commit (it may be rolling back an epoch/rename change), just
+    // with no feed, exactly like a compaction
     val oldSide = curDf.map(c => c.select(col(tKey), payloadImage(c).as("old_image")))
     val newSide = tgtDf.map(t => t.select(col(tKey), payloadImage(t).as("new_image")))
     val joined = (oldSide, newSide) match {
-      case (Some(o), Some(n)) => o.join(n, Seq(tKey), "full_outer")
-      case (Some(o), None) => o.withColumn("new_image", lit(null).cast("string"))
-      case (None, Some(n)) => n.withColumn("old_image", lit(null).cast("string"))
-      case (None, None) => return this // both empty: nothing to do
+      case (Some(o), Some(n)) => Some(o.join(n, Seq(tKey), "full_outer"))
+      case (Some(o), None) => Some(o.withColumn("new_image", lit(null).cast("string")))
+      case (None, Some(n)) => Some(n.withColumn("old_image", lit(null).cast("string")))
+      case (None, None) => None
     }
-    val diff = joined
-      .filter(col("old_image").isNull || col("new_image").isNull ||
-        col("old_image") =!= col("new_image"))
-      .select(col(tKey),
-        when(col("old_image").isNull, lit("inserted"))
-          .when(col("new_image").isNull, lit("deleted"))
-          .otherwise(lit("updated")).as("change"),
-        when(col("old_image").isNull, lit(null).cast("long"))
-          .otherwise(xxhash64(col("old_image"))).as("old_hash"),
-        when(col("new_image").isNull, lit(null).cast("long"))
-          .otherwise(xxhash64(col("new_image"))).as("new_hash"),
-        col("old_image"), col("new_image"))
-    val tag = newTag()
-    diff.write.mode("overwrite").parquet(s"$root/_stage/$tag")
     val newVersion = cur.version + 1
+    val feedStage = joined.map { j =>
+      val diff = j
+        .filter(col("old_image").isNull || col("new_image").isNull ||
+          col("old_image") =!= col("new_image"))
+        .select(col(tKey),
+          when(col("old_image").isNull, lit("inserted"))
+            .when(col("new_image").isNull, lit("deleted"))
+            .otherwise(lit("updated")).as("change"),
+          when(col("old_image").isNull, lit(null).cast("long"))
+            .otherwise(xxhash64(col("old_image"))).as("old_hash"),
+          when(col("new_image").isNull, lit(null).cast("long"))
+            .otherwise(xxhash64(col("new_image"))).as("new_hash"),
+          col("old_image"), col("new_image"))
+      val tag = newTag()
+      diff.write.mode("overwrite").parquet(s"$root/_stage/$tag")
+      s"_stage/$tag"
+    }
     commit(root, store, Manifest(newVersion, cur.batchId, Some(tBuckets),
-      Some(tKey), target.files, touched = None, feed = Some(s"_stage/$tag"),
+      Some(tKey), target.files, touched = None, feed = feedStage,
       renames = target.renames))
-    store.rename(s"$root/_stage/$tag", s"$root/_changes/v$newVersion")
-    store.deleteDirIfEmpty(s"$root/_stage")
+    feedStage.foreach { st =>
+      store.rename(s"$root/$st", s"$root/_changes/v$newVersion")
+      store.deleteDirIfEmpty(s"$root/_stage")
+    }
     // the restored files ARE the target version's: its sidecar is exact
     val prev = loadStats(root, store, version)
     if (prev.nonEmpty)
@@ -731,6 +770,16 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       s"no committed manifest under $root — nothing to clone"))
     healFeed(Some(cur))
     requireSameBuckets(Some(cur))
+    // nested roots are forbidden in BOTH directions: vacuum's own-root
+    // guard is a path-prefix test, so a table living inside another
+    // table's root would pass the outer table's guard and could be
+    // reclaimed by it (and vice versa for the clone registry below)
+    val srcNorm = normRoot(root)
+    val tgtNorm = normRoot(targetRoot)
+    require(tgtNorm != srcNorm && !tgtNorm.startsWith(srcNorm + "/") &&
+        !srcNorm.startsWith(tgtNorm + "/"),
+      s"clone target $targetRoot is nested with the source root $root — nested " +
+        "table roots would let one table's vacuum reclaim the other's files")
     val tStore = TableStore.forPath(targetRoot)
     require(latestManifest(targetRoot, tStore).isEmpty,
       s"clone target $targetRoot already holds a committed table")
@@ -740,6 +789,13 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       val stats = loadStats(root, store, cur.version)
       if (stats.nonEmpty)
         tStore.putString(s"$targetRoot/_manifest", "v0.stats", ManifestStats.encode(stats))
+      // register the shallow clone under the SOURCE's manifest dir: the
+      // source's vacuum reads these refs and SKIPS files a still-live
+      // clone references — the documented Delta strand-the-clone caveat
+      // becomes an explicit hold instead of silent data loss. A dropped
+      // clone (its manifest log gone) releases the hold; deep clones
+      // hold nothing (own files)
+      store.putString(s"$root/_manifest", s"clone-${newTag()}.ref", tgtNorm)
     } else {
       val all = applyRenames(spark.read.option("mergeSchema", "true")
           .parquet(cur.files.map(_.path): _*), cur.renames)
@@ -1001,7 +1057,31 @@ object ManifestUpsertSink {
       if (versions.size <= keep) (Seq.empty[Long], versions)
       else versions.splitAt(versions.size - keep)
     val heldMs = hold.map(v => decode(store.readString(s"$root/_manifest/v$v.manifest")))
-    val live: Set[String] = heldMs.flatMap(_.files.map(_.path)).toSet
+    // trailing slashes normalized so the own-root prefix guard below can
+    // never be silently disabled by a `root/` spelling
+    val rootNorm = normRoot(root)
+    // files a REGISTERED shallow clone still references under THIS root
+    // stay live: cloneTo records each clone in `_manifest/clone-*.ref`,
+    // so the Delta caveat (source vacuum strands shallow clones) is an
+    // explicit skip here. A clone whose manifest log is gone releases
+    // its hold and the stale ref is removed; an unreadable clone root
+    // holds conservatively (never reclaim on a doubt).
+    val cloneHeld: Set[String] = store.listNames(s"$root/_manifest")
+      .filter(n => n.startsWith("clone-") && n.endsWith(".ref"))
+      .flatMap { ref =>
+        val cRoot = store.readString(s"$root/_manifest/$ref").trim
+        try {
+          val cStore = TableStore.forPath(cRoot)
+          val cVersions = manifestVersions(cRoot, cStore)
+          if (cVersions.isEmpty) { store.deleteFile(s"$root/_manifest/$ref"); Nil }
+          else cVersions
+            .flatMap(v => decode(cStore.readString(s"$cRoot/_manifest/v$v.manifest")).files)
+            .map(_.path).filter(_.startsWith(s"$rootNorm/"))
+        } catch { case _: Exception =>
+          heldMs.flatMap(_.files.map(_.path)) // unreadable: hold everything held here
+        }
+      }.toSet
+    val live: Set[String] = heldMs.flatMap(_.files.map(_.path)).toSet ++ cloneHeld
     // the data dirs held manifests reference (a carried entry keeps its
     // ORIGINAL commit's dir alive, so reference-count by dir, not version)
     val heldDirs: Set[String] = live.flatMap(dataDirOf(root, _))
@@ -1013,7 +1093,7 @@ object ManifestUpsertSink {
       // NEVER outside this table's root: a shallow clone's early versions
       // reference the SOURCE's files — those are the source table's to
       // retain or reclaim, not the clone's
-      m.files.map(_.path).filterNot(live).filter(_.startsWith(s"$root/"))
+      m.files.map(_.path).filterNot(live).filter(_.startsWith(s"$rootNorm/"))
         .foreach(store.deleteFile)
       store.deleteFile(s"$root/_manifest/v$v.manifest")
       store.deleteFile(s"$root/_manifest/v$v.stats")
@@ -1044,6 +1124,39 @@ object ManifestUpsertSink {
         deleteTree(store, s"$root/_stage/$name")
       store.deleteDirIfEmpty(s"$root/_stage")
     }
+  }
+
+  /** The file entries [[ManifestUpsertSink.restore]]'s diff feed must
+    * scan from each side — pruned to the buckets whose file lists DIFFER
+    * between the two manifests, when the versions share the (keyCol,
+    * buckets) epoch and the rename mapping (identical files otherwise
+    * read as different logical rows). Falls back to the full lists
+    * across an epoch/rename change. Pure, so the pruning contract is
+    * directly testable. */
+  private[graft] def restoreDiffEntries(cur: Manifest, target: Manifest,
+      fallbackKey: String, fallbackBuckets: Int): (Seq[FileEntry], Seq[FileEntry]) = {
+    val prunable =
+      cur.keyCol.getOrElse(fallbackKey) == target.keyCol.getOrElse(fallbackKey) &&
+      cur.buckets.getOrElse(fallbackBuckets) == target.buckets.getOrElse(fallbackBuckets) &&
+      cur.renames == target.renames
+    if (!prunable) (cur.files, target.files)
+    else {
+      val curBy = cur.files.groupBy(_.bucket).view.mapValues(_.map(_.path).toSet).toMap
+      val tgtBy = target.files.groupBy(_.bucket).view.mapValues(_.map(_.path).toSet).toMap
+      val changed = (curBy.keySet ++ tgtBy.keySet).filter(b =>
+        curBy.getOrElse(b, Set.empty) != tgtBy.getOrElse(b, Set.empty))
+      (cur.files.filter(f => changed(f.bucket)),
+        target.files.filter(f => changed(f.bucket)))
+    }
+  }
+
+  /** Root with trailing slashes stripped — the ONE spelling every
+    * path-prefix guard (vacuum own-root, clone registry, nested-root
+    * refusal) compares against. */
+  private def normRoot(root: String): String = {
+    var r = root
+    while (r.length > 1 && r.endsWith("/")) r = r.dropRight(1)
+    r
   }
 
   /** The `<root>/data/<dir>` segment a data-file path lives under. */

@@ -120,12 +120,121 @@ class ManifestLifecycleSpec extends AnyFunSuite {
     assert(rows(srcRoot).size == 20, "clone vacuum must never reach into the source root")
     assert(rows(clRoot).size == 20, "clone still reads (its head carries shared+own files)")
 
-    // the DOCUMENTED caveat, pinned: the source doesn't know about
-    // clones — compact+vacuum on the source strands the shallow clone
+    // the Delta strand-the-clone caveat is CLOSED here: cloneTo registered
+    // the clone under the source's _manifest, so the source's vacuum
+    // SKIPS the files the clone still references — compact+vacuum on the
+    // source leaves the clone fully readable
     src.compact(spark)
     src.vacuum(keepVersions = 1)
-    intercept[Exception] {
-      ManifestUpsertSink.read(spark, clRoot).collect()
+    assert(rows(clRoot)(3L) == ("v3", 0L) && rows(clRoot).size == 20,
+      "source vacuum must skip files a registered live clone references")
+
+    // DROPPING the clone (its manifest log gone) releases the hold: the
+    // next source vacuum reclaims the shared files and the stale ref
+    val clManifests = new java.io.File(clRoot, "_manifest").listFiles()
+    clManifests.foreach(f => { java.nio.file.Files.delete(f.toPath); () })
+    src.compact(spark)
+    src.vacuum(keepVersions = 1)
+    assert(!new java.io.File(srcRoot, "_manifest").listFiles()
+      .exists(_.getName.startsWith("clone-")), "dropped clone's ref is swept")
+    assert(rows(srcRoot).size == 20, "the source itself is unaffected")
+  }
+
+  test("cloneTo refuses nested roots (either direction)") {
+    val srcRoot = tmp("graft_nest_src_")
+    val src = new ManifestUpsertSink(srcRoot, "id", buckets = 2)
+    src.upsertBatch(Seq((1L, "a", 0L)).toDF("id", "p", "seq"), "seq", 0L)
+    // descendant of the source root — would pass the source's own-root
+    // vacuum guard and get reclaimed
+    val e1 = intercept[IllegalArgumentException] {
+      src.cloneTo(spark, s"$srcRoot/sub")
+    }
+    assert(e1.getMessage.contains("nested"), e1.getMessage)
+    // ancestor (with a trailing-slash spelling for the normalizer)
+    val parent = srcRoot.substring(0, srcRoot.lastIndexOf('/'))
+    val e2 = intercept[IllegalArgumentException] {
+      src.cloneTo(spark, parent + "/")
+    }
+    assert(e2.getMessage.contains("nested"), e2.getMessage)
+  }
+
+  test("restore's diff feed is bucket-pruned: a single-bucket rollback reads only that bucket's files from both versions") {
+    val root = tmp("graft_restore_prune_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 8)
+    sink.upsertBatch((1L to 400L).map(i => (i, s"v$i", 0L)).toDF("id", "p", "seq"),
+      "seq", 0L) // v0: all 8 buckets
+    // one bad merge touching exactly ONE key (⇒ one bucket)
+    sink.upsertBatch(Seq((7L, "BAD", 1L)).toDF("id", "p", "seq"), "seq", 1L) // v1
+    val m0 = ManifestUpsertSink.snapshotManifest(root, Some(0L))
+    val m1 = ManifestUpsertSink.snapshotManifest(root, Some(1L))
+    val touched = m1.touched.get
+    assert(touched.size == 1, "one key must touch one bucket")
+    // the scan-pin: the diff must read ONLY the touched bucket's files —
+    // from BOTH versions — never 2× the table
+    val (curSide, tgtSide) = ManifestUpsertSink.restoreDiffEntries(m1, m0, "id", 8)
+    assert(curSide.nonEmpty && curSide.forall(f => touched(f.bucket)),
+      s"current side must scan only bucket ${touched.head}: ${curSide.map(_.bucket).distinct}")
+    assert(tgtSide.nonEmpty && tgtSide.forall(f => touched(f.bucket)),
+      s"target side must scan only bucket ${touched.head}: ${tgtSide.map(_.bucket).distinct}")
+    assert(curSide.size < m1.files.size && tgtSide.size < m0.files.size,
+      "pruning must actually shrink the read")
+    // ... and pruning must not change the feed: exactly the one revert
+    sink.restore(spark, 0L) // v2
+    val feed = ManifestUpsertSink.readChanges(spark, root, 2L)
+      .select("id", "change").as[(Long, String)].collect().toSeq
+    assert(feed == Seq((7L, "updated")), s"pruned diff feed must be exact: $feed")
+    assert(rows(root)(7L) == ("v7", 0L), "the snapshot is v0 again")
+    // across an epoch change pruning degrades to the full diff (bucket
+    // numbers are incomparable)
+    val m2 = ManifestUpsertSink.snapshotManifest(root, Some(2L))
+    val reEpoch = m2.copy(buckets = Some(16))
+    val (fullCur, fullTgt) = ManifestUpsertSink.restoreDiffEntries(reEpoch, m0, "id", 16)
+    assert(fullCur.size == m2.files.size && fullTgt.size == m0.files.size,
+      "epoch change must fall back to the unpruned diff")
+  }
+
+  test("restore across a recluster refuses when the restore key is not unique in the current snapshot") {
+    val root = tmp("graft_restore_dup_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    // v0 keyed by id: `user` carries DUPLICATE values by construction
+    sink.upsertBatch((1L to 10L).map(i => (i, i % 3L, 0L)).toDF("id", "user", "seq"),
+      "seq", 0L)
+    val next = sink.recluster(spark, "user", 4) // v1 keyed by user — 3 rows survive? no:
+    // recluster is a rewrite, not a dedup — all 10 rows persist, keyed by
+    // user going forward; restoring to v0 (keyed by id) is fine because id
+    // IS unique. Now make the CURRENT snapshot hold duplicate ids:
+    // re-insert an existing id under a fresh user key
+    next.upsertBatch(Seq((3L, 77L, 1L)).toDF("id", "user", "seq"), "seq", 1L) // v2
+    // current snapshot now holds id=3 twice (user=0 vintage and user=77);
+    // a v0 restore's per-id diff would emit conflicting rows — refuse
+    val e = intercept[IllegalArgumentException] { next.restore(spark, 0L) }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    // the snapshot itself is untouched by the refusal
+    assert(ManifestUpsertSink.read(spark, root).count() == 11)
+  }
+
+  test("restore with an empty row diff still commits the epoch rollback (emptied table across a recluster)") {
+    val root = tmp("graft_restore_empty_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, 5L, 0L), (2L, 6L, 0L)).toDF("id", "user", "seq"), "seq", 0L)
+    sink.deleteKeys(Seq(1L, 2L).toDF("id"), 1L) // v1: emptied, keyed (id,2)
+    sink.upsertBatch(Seq((1L, 5L, 1L), (2L, 6L, 1L)).toDF("id", "user", "seq"), "seq", 2L) // v2
+    val next = sink.recluster(spark, "user", 8) // v3: keyed (user,8)
+    next.deleteKeys(Seq(5L, 6L).toDF("user"), 3L) // v4: emptied, keyed (user,8)
+    // both snapshots (v4 current, v1 target) list no files — but the
+    // restore MUST still roll the (keyCol, buckets) epoch back and
+    // return a handle bound to it, not silently no-op
+    val back = next.restore(spark, 1L) // v5
+    val m = ManifestUpsertSink.manifestAt(root, 5L).get
+    assert(m.files.isEmpty, "an empty-diff restore still commits (as a real, empty version)")
+    assert(m.keyCol.contains("id") && m.buckets.contains(2),
+      "the epoch rolls back even when no row changed")
+    // the returned handle is bound to the restored epoch: a merge works
+    back.upsertBatch(Seq((9L, 1L, 4L)).toDF("id", "user", "seq"), "seq", 4L)
+    assert(ManifestUpsertSink.read(spark, root).count() == 1)
+    // ... and the stale post-recluster handle dies loudly
+    intercept[IllegalStateException] {
+      next.upsertBatch(Seq((10L, 1L, 5L)).toDF("id", "user", "seq"), "seq", 5L)
     }
   }
 

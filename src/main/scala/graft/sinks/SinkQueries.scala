@@ -1212,7 +1212,101 @@ object SinkQueries {
       ORDER BY tbl"""),
     doc = "shallow clone: zero-copy table fork off the manifest (clone v0 references source files verbatim); divergent merges stay isolated under copy-on-write — dev-vs-prod forking at manifest cost")
 
+  // --------------------------------------------------------------- q316
+  private val q316Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** SQL `MERGE INTO` — the warehouse verb the reference explicitly punts
+    * on (`db.clj:83-85` throws Unsupported; its own comment says "would
+    * be MERGE whenMatched update"). The statement runs through the
+    * catalog's [[graft.sources.ManifestDeltaOperation]]: Spark's
+    * row-level rewrite plans the matching and clause arbitration, the
+    * per-row verdicts (update / insert / delete) stage as UnsafeRow
+    * deltas and apply through the SAME committed copy-on-write protocol
+    * as every other write — matched high-balance keys update, matched
+    * low-balance keys DELETE, unmatched keys insert. The oracle restates
+    * the three-clause arbitration relationally; a hash match proves the
+    * pure-SQL MERGE equals the relational semantics end-to-end
+    * (ManifestRowLevelSpec separately pins MERGE == Scala upsertBatch). */
+  val q316 = QueryDef(
+    "q316_sql_merge_into",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q316_").toString
+      val cat = s"graft_q316_${q316Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.customer(s, d).createOrReplaceTempView("q316_customer")
+      Tables.orders(s, d).createOrReplaceTempView("q316_orders")
+      s.sql(s"""CREATE TABLE $cat.bal (key BIGINT, bal DOUBLE, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8')""")
+      s.sql(s"""INSERT INTO $cat.bal
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE), 0L FROM q316_customer""")
+      // MERGE sources must be key-unique (Spark enforces the cardinality
+      // check) — the LWW dedup moves INTO the source query, by max seq
+      s.sql(s"""MERGE INTO $cat.bal AS t USING (
+          SELECT o_custkey AS key,
+            CAST(max_by(o_totalprice, o_orderkey) AS DOUBLE) AS bal,
+            MAX(o_orderkey) AS seq
+          FROM q316_orders WHERE o_custkey % 7 = 0 GROUP BY o_custkey
+        ) AS src ON t.key = src.key
+        WHEN MATCHED AND src.bal < 50000.0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET t.bal = src.bal, t.seq = src.seq
+        WHEN NOT MATCHED THEN INSERT (key, bal, seq) VALUES (src.key, src.bal, src.seq)""")
+      s.sql(s"SELECT key, bal FROM $cat.bal ORDER BY key")
+    },
+    Some("""WITH src AS (SELECT o_custkey AS key,
+          CAST(arg_max(o_totalprice, o_orderkey) AS DOUBLE) AS bal
+        FROM orders WHERE o_custkey % 7 = 0 GROUP BY o_custkey),
+      base AS (SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS bal FROM customer)
+      SELECT b.key, b.bal FROM base b LEFT JOIN src s ON s.key = b.key
+        WHERE s.key IS NULL                               -- untouched
+      UNION ALL
+      SELECT s.key, s.bal FROM src s JOIN base b ON b.key = s.key
+        WHERE s.bal >= 50000.0                            -- matched update
+      UNION ALL
+      SELECT s.key, s.bal FROM src s LEFT JOIN base b ON b.key = s.key
+        WHERE b.key IS NULL                               -- not-matched insert
+      ORDER BY key"""),
+    doc = "SQL MERGE INTO through the catalog (SupportsDelta row-level op): matched update, matched-and-predicate DELETE, not-matched insert — per-row verdicts staged distributed and applied via the committed copy-on-write MERGE/DELETE")
+
+  // --------------------------------------------------------------- q317
+  private val q317Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** SQL `UPDATE` with an ARBITRARY (non-key) predicate, then a
+    * predicate `DELETE` — the row-level pair on one table: the UPDATE's
+    * matching side reads through the connector's pruning scan, its
+    * verdicts rewrite only the touched buckets, and the DELETE beyond
+    * the key-equality shapes (which [[ManifestCatalog]] already served)
+    * takes the same path instead of refusing. The oracle restates the
+    * two statements as CASE/anti-filter algebra. */
+  val q317 = QueryDef(
+    "q317_sql_update",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q317_").toString
+      val cat = s"graft_q317_${q317Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.part(s, d).createOrReplaceTempView("q317_part")
+      s.sql(s"""CREATE TABLE $cat.parts (key BIGINT, price DOUBLE, size BIGINT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8')""")
+      s.sql(s"""INSERT INTO $cat.parts
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE), CAST(p_size AS BIGINT), 0L
+        FROM q317_part""")
+      s.sql(s"UPDATE $cat.parts SET price = price * 1.1 WHERE size >= 25")
+      s.sql(s"DELETE FROM $cat.parts WHERE price < 950.0")
+      s.sql(s"SELECT key, price, size FROM $cat.parts ORDER BY key")
+    },
+    Some("""WITH upd AS (SELECT p_partkey AS key,
+          CASE WHEN p_size >= 25 THEN CAST(p_retailprice AS DOUBLE) * 1.1
+               ELSE CAST(p_retailprice AS DOUBLE) END AS price,
+          CAST(p_size AS BIGINT) AS size
+        FROM part)
+      SELECT key, price, size FROM upd WHERE NOT (price < 950.0)
+      ORDER BY key"""),
+    doc = "SQL UPDATE + predicate DELETE through the catalog: non-key predicates plan via the row-level rewrite over the pruning scan; verdicts apply through the keyed copy-on-write protocol with CDC feeds")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
-    q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315,
+    q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317,
     q214, q215, q216, q228)
 }

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
@@ -178,27 +178,43 @@ final class ManifestSource extends TableProvider with DataSourceRegister
     * `save()` gets the empty struct + the ACCEPT_ANY_SCHEMA capability;
     * reads of an empty un-declared root keep failing loudly in
     * resolve(). */
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.containsKey("keyCol")
-        && Option(options.get("path")).exists(
-          ManifestUpsertSink.latestManifest(_).isEmpty))
-      Option(options.get("schemaDDL")).map(StructType.fromDDL).getOrElse(new StructType())
-    else {
-      val resolved = resolveMemo(options)
-      val paths =
-        if (resolved.files.nonEmpty || options.containsKey("changesOf"))
-          resolved.files.map(_.path)
-        else {
-          // fully-deleted snapshot: anchor the schema on the newest
-          // version that still lists files — deletes don't change schema
-          val root = options.get("path")
-          ManifestUpsertSink.schemaAnchor(root,
-            snapshotAllowEmpty(root, resolveVersionOpt(root, options)))
-        }
-      if (paths.isEmpty)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    var keyInfo: Option[String] = Option(options.get("keyCol"))
+    val base =
+      if (options.containsKey("keyCol")
+          && Option(options.get("path")).exists(
+            ManifestUpsertSink.latestManifest(_).isEmpty))
         Option(options.get("schemaDDL")).map(StructType.fromDDL).getOrElse(new StructType())
-      else parquetTable(options, paths, None).schema
-    }
+      else {
+        val resolved = resolveMemo(options)
+        keyInfo = keyInfo.orElse(resolved.keyInfo.map(_._1))
+        val paths =
+          if (resolved.files.nonEmpty || options.containsKey("changesOf"))
+            resolved.files.map(_.path)
+          else {
+            // fully-deleted snapshot: anchor the schema on the newest
+            // version that still lists files — deletes don't change schema
+            val root = options.get("path")
+            ManifestUpsertSink.schemaAnchor(root,
+              snapshotAllowEmpty(root, resolveVersionOpt(root, options)))
+          }
+        if (paths.isEmpty)
+          Option(options.get("schemaDDL")).map(StructType.fromDDL).getOrElse(new StructType())
+        else parquetTable(options, paths, None).schema
+      }
+    // the key column is non-nullable BY CONTRACT — it is the merge/bucket
+    // key every verb routes on, and the row identity the SQL row-level
+    // rewrites (UPDATE/MERGE INTO) require to be non-null. Parquet
+    // inference defaults every field to nullable; correcting it here
+    // makes the whole SQL surface see the real invariant (and INSERTs of
+    // an actually-null key fail at the store-assignment check instead of
+    // silently hashing the null).
+    keyInfo.filter(_ => !options.containsKey("changesOf"))
+      .filter(base.fieldNames.contains)
+      .map(k => StructType(base.fields.map(f =>
+        if (f.name == k) f.copy(nullable = false) else f)))
+      .getOrElse(base)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -382,7 +398,17 @@ object ManifestSource {
     * the table with the batch's schema. */
   private final class ManifestTable(options: CaseInsensitiveStringMap,
       resolveFn: () => Resolved, tableSchema: StructType)
-      extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+      extends Table with SupportsRead with SupportsWrite with SupportsDelete
+      with SupportsRowLevelOperations {
+
+    /** SQL `UPDATE` / `MERGE INTO` (and predicate DELETEs beyond the key
+      * shapes [[deleteWhere]] takes): Spark's row-level rewrites plan the
+      * matching; [[ManifestDeltaOperation]] receives per-row verdicts and
+      * applies them through the sink's committed MERGE/DELETE protocol. */
+    override def newRowLevelOperationBuilder(
+        info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+        : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      () => new ManifestDeltaOperation(info.command(), options, () => pinned, tableSchema)
 
     // resolved ONCE, lazily: laziness lets the write path construct the
     // table before the first commit exists, while the memo pins every
@@ -481,7 +507,7 @@ object ManifestSource {
     * rebuilt over the surviving subset with the same pushdown state. The
     * emitted scan is an ordinary `ParquetScan` either way — Catalyst and
     * Tungsten never see a bespoke reader, only a shorter file list. */
-  private final class ManifestScanBuilder(options: CaseInsensitiveStringMap,
+  private[sources] final class ManifestScanBuilder(options: CaseInsensitiveStringMap,
       resolved: Resolved, tableSchema: StructType)
       extends ScanBuilder with SupportsPushDownCatalystFilters
       with SupportsPushDownRequiredColumns {

@@ -36,6 +36,17 @@ object GraftBridge {
     * `internalCreateDataFrame(..., isStreaming = true)`. */
   def asStreamingDF(df: DataFrame): DataFrame = reRoot(df, isStreaming = true)
 
+  /** A batch DataFrame over an RDD of already-encoded InternalRows — the
+    * private[sql] constructor Spark's own sources use. The manifest
+    * table's SQL MERGE/UPDATE write path decodes its staged row deltas
+    * (UnsafeRow bytes) DISTRIBUTED and re-enters the DataFrame API here,
+    * so the copy-on-write apply never funnels rows through the driver. */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+      schema: types.StructType): DataFrame =
+    classic.ClassicConversions.castToImpl(spark)
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   private def reRoot(df: DataFrame, isStreaming: Boolean): DataFrame = {
     val ds = classic.ClassicConversions.castToImpl(df)
     val rdd = ds.queryExecution.toRdd

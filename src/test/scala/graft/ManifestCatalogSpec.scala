@@ -71,7 +71,7 @@ class ManifestCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("DELETE FROM by key through SQL: keyed copy-on-write delete with CDC feed; non-key predicates refused") {
+  test("DELETE FROM by key through SQL: keyed copy-on-write delete with CDC feed; non-key predicates take the row-level path") {
     import spark.implicits._
     withCatalog { (cat, root) =>
       spark.sql(s"""CREATE TABLE $cat.ev (id BIGINT, p STRING, seq BIGINT)
@@ -85,12 +85,16 @@ class ManifestCatalogSpec extends AnyFunSuite {
       val feed = ManifestUpsertSink.readChanges(spark, s"$root/ev", m.version)
         .select("id", "change").as[(Long, String)].collect().toSet
       assert(feed == Set((4L, "deleted")), "absent key 99 must not enter the feed")
-      // non-key predicates refuse loudly instead of rewriting the table
-      val e = intercept[Exception] {
-        spark.sql(s"DELETE FROM $cat.ev WHERE p = 'a'")
-      }
-      assert(e.getMessage.toLowerCase.contains("delete"))
-      assert(spark.sql(s"SELECT count(*) FROM $cat.ev").as[Long].head() == 2L)
+      // non-key predicates don't qualify for deleteWhere's metadata-only
+      // path — Spark falls back to the row-level DELETE rewrite, which
+      // scans the matches and routes them through the same keyed
+      // copy-on-write delete (upgraded from a refusal in r12)
+      spark.sql(s"DELETE FROM $cat.ev WHERE p = 'a'")
+      assert(spark.sql(s"SELECT id FROM $cat.ev").as[Long].collect().toSet == Set(3L))
+      val m2 = ManifestUpsertSink.snapshotManifest(s"$root/ev", None)
+      val feed2 = ManifestUpsertSink.readChanges(spark, s"$root/ev", m2.version)
+        .select("id", "change").as[(Long, String)].collect().toSet
+      assert(feed2 == Set((1L, "deleted")), "the predicate delete records its CDC feed")
     }
   }
 

@@ -66,8 +66,12 @@ object JdbcUpsertSink {
     * never flip which duplicate survives. One shuffle on the key;
     * map-side nothing to combine (row-level op). */
   def lastWriteWins(df: DataFrame, keyCol: String, orderCol: Column): DataFrame = {
+    // `keyCol` may be a comma-separated composite spec (the manifest
+    // sink's key identity) — LWW then holds per key TUPLE, one window
+    // shuffle over all components
+    val keys = keyCol.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val tiebreak = xxhash64(to_json(struct(df.columns.sorted.map(col): _*)))
-    val w = Window.partitionBy(col(keyCol)).orderBy(orderCol.desc, tiebreak.desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol.desc, tiebreak.desc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

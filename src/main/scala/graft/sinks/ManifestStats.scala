@@ -358,15 +358,22 @@ object ManifestStats {
     * (integral, string) are supported; anything else declines to prune.
     * V1 filter literals are post-coercion, so their type matches the
     * written column type and the hash matches the writer's bytes. */
-  def bucketOf(v: Any, buckets: Int): Option[Long] = {
-    val lit = v match {
+  def bucketOf(v: Any, buckets: Int): Option[Long] = bucketOfTuple(Seq(v), buckets)
+
+  /** Composite form: the bucket `pmod(xxhash64(v1, v2, ...), buckets)`
+    * assigns — one hash over ALL key components in spec order, exactly
+    * the write path's variadic `xxhash64`. Any unsupported component
+    * type declines to prune. */
+  def bucketOfTuple(vs: Seq[Any], buckets: Int): Option[Long] = {
+    val lits = vs.map {
       case i: java.lang.Integer => Some(Literal(i.intValue()))
       case l: java.lang.Long => Some(Literal(l.longValue()))
       case s: String => Some(Literal(s))
       case _ => None
     }
-    lit.map { l =>
-      val h = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
+    if (lits.exists(_.isEmpty)) None
+    else Some {
+      val h = new XxHash64(lits.flatten).eval(null).asInstanceOf[Long]
       ((h % buckets) + buckets) % buckets
     }
   }

@@ -87,7 +87,27 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     extends Serializable {
   import ManifestUpsertSink._
 
+  /** COMPOSITE KEYS: `keyCol` may be a comma-separated column list
+    * ("tenant_id,entity_id") — real tables key on tuples, and forcing a
+    * pre-concatenated synthetic column would cost an extra stored column
+    * plus a codegen barrier on every merge. The spec string is the
+    * table's committed key identity verbatim (manifest header, epoch
+    * guards, connector options, catalog TBLPROPERTIES all speak it
+    * unchanged); everything row-level — bucket hashing, LWW, joins, the
+    * CDC feed, delete routing, bucket pruning — operates on the
+    * component columns. Component order matters (it feeds the hash):
+    * "a,b" and "b,a" are different epochs, like any key change. */
+  private val keyCols: Seq[String] = ManifestUpsertSink.splitKeyCols(keyCol)
+
   private val store: TableStore = TableStore.forPath(root)
+
+  /** The write-path bucket assignment — one xxhash64 over ALL key
+    * components (seed 42, the Column-function default), matching
+    * [[ManifestStats.bucketOf]] exactly. */
+  private def bucketExpr: Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong))
+
+  private def keyColumns: Seq[Column] = keyCols.map(col)
 
   /** MERGE a micro-batch: LWW-dedupe on `orderCol` within the batch,
     * replace current rows sharing a key, append the rest. `batchId` is
@@ -127,7 +147,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     // truly large batches can persist BEFORE handing the frame over;
     // the sink must not tax the common micro-batch path for it.
     val deduped = JdbcUpsertSink.lastWriteWins(batch, keyCol, col(orderCol))
-      .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+      .withColumn(BucketCol, bucketExpr)
     // touched buckets: bounded driver set (≤ `buckets` rows by construction)
     val touched = deduped.select(col(BucketCol)).distinct()
       .collect().map(_.getLong(0)).toSet
@@ -147,22 +167,22 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     // the table (q301), and the payload hashes derived from them spot
     // value-identical rewrites. Written BEFORE the manifest commit — a
     // crash in between leaves an orphan the replayed batch overwrites.
-    val newImaged = deduped.select(col(keyCol),
-      payloadImage(deduped).as("new_image"))
+    val newImaged = deduped.select(keyColumns :+
+      payloadImage(deduped).as("new_image"): _*)
     val changes = (current match {
       case Some(c) =>
         newImaged.join(
-          c.select(col(keyCol), payloadImage(c).as("old_image")),
-          Seq(keyCol), "left_outer")
+          c.select(keyColumns :+ payloadImage(c).as("old_image"): _*),
+          keyCols, "left_outer")
       case None => newImaged.withColumn("old_image", lit(null).cast("string"))
-    }).select(col(keyCol),
+    }).select(keyColumns ++ Seq(
       when(col("old_image").isNull, lit("inserted")).otherwise(lit("updated")).as("change"),
       // xxhash64 of a NULL input yields the seed, not null — guard so an
       // insert's old_hash stays null (the classification consumers key on)
       when(col("old_image").isNull, lit(null).cast("long"))
         .otherwise(xxhash64(col("old_image"))).as("old_hash"),
       xxhash64(col("new_image")).as("new_hash"),
-      col("old_image"), col("new_image"))
+      col("old_image"), col("new_image")): _*)
     // staged OUTSIDE `_changes/` (a tailing file source lists the glob
     // continuously — even a dot-dir can be latched mid-write) and bound
     // to the manifest via the feed= header; renamed to its version name
@@ -173,8 +193,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     // ---- copy-on-write bucket rewrite
     val survivors = current match {
       case Some(c) =>
-        c.withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
-          .join(deduped.select(col(keyCol)), Seq(keyCol), "left_anti")
+        c.withColumn(BucketCol, bucketExpr)
+          .join(deduped.select(keyColumns: _*), keyCols, "left_anti")
           // additive schema evolution: a batch may carry columns the
           // current snapshot lacks (and vice versa after evolution) —
           // missing sides read as null, the lakehouse ADD COLUMN contract
@@ -213,8 +233,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     requireSameBuckets(Some(cur))
     val version = cur.version + 1
     val tag = newTag()
-    val keyed = keys.select(col(keyCol)).distinct()
-      .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+    val keyed = keys.select(keyColumns: _*).distinct()
+      .withColumn(BucketCol, bucketExpr)
     val touched = keyed.select(col(BucketCol)).distinct()
       .collect().map(_.getLong(0)).toSet
     val touchedFiles = cur.files.filter(f => touched(f.bucket)).map(_.path)
@@ -223,16 +243,16 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*), cur.renames)
     // feed first (same crash contract as the merge): one `deleted` row per
     // key that exists, BEFORE image only
-    val victims = current.join(keyed.select(col(keyCol)), Seq(keyCol), "left_semi")
-    victims.select(col(keyCol), lit("deleted").as("change"),
+    val victims = current.join(keyed.select(keyColumns: _*), keyCols, "left_semi")
+    victims.select(keyColumns ++ Seq(lit("deleted").as("change"),
         xxhash64(payloadImage(victims)).as("old_hash"),
         lit(null).cast("long").as("new_hash"),
         payloadImage(victims).as("old_image"),
-        lit(null).cast("string").as("new_image"))
+        lit(null).cast("string").as("new_image")): _*)
       .write.mode("overwrite").parquet(s"$root/_stage/$tag")
     val survivors = current
-      .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
-      .join(keyed.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .withColumn(BucketCol, bucketExpr)
+      .join(keyed.select(keyColumns: _*), keyCols, "left_anti")
     val dataDir = s"$root/data/v$version-$tag"
     writeData(survivors, dataDir)
     val written = listParquet(dataDir, store)
@@ -249,9 +269,12 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     * filters against the bloom automatically — free at read time, a few
     * KB per row group at write time). */
   private def writeData(df: DataFrame, dataDir: String): Unit =
-    df.write.mode("overwrite")
-      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
-      .partitionBy(BucketCol).parquet(dataDir)
+    writeDataKeyed(df, dataDir, keyCols)
+
+  private def writeDataKeyed(df: DataFrame, dataDir: String, cols: Seq[String]): Unit =
+    cols.foldLeft(df.write.mode("overwrite")) { (w, k) =>
+      w.option(s"parquet.bloom.filter.enabled#$k", "true")
+    }.partitionBy(BucketCol).parquet(dataDir)
 
   /** OPTIMISTIC-CONCURRENCY commit: attempt `base.version + 1`; on losing
     * the rename race, re-read the winner chain and REBASE instead of
@@ -448,7 +471,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     // carried below) until a FULL compaction materializes it everywhere
     val rows = applyRenames(
         spark.read.option("mergeSchema", "true").parquet(fatFiles: _*), cur.renames)
-      .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+      .withColumn(BucketCol, bucketExpr)
       .repartition(math.max(fat.size, 1), col(BucketCol))
     val dataDir = s"$root/data/v$version-${newTag()}"
     writeData(rows, dataDir)
@@ -573,7 +596,10 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
         "physical source in the mapping or file schema) — compact() to materialize first")
     require(!retired(oldName),
       s"cannot rename $oldName: the name is retired by an earlier rename — compact() first")
-    val newKey = if (keyCol == oldName) newName else keyCol
+    // a composite key re-keys component-wise (renaming any component is
+    // a key-identity change: the spec string — and with it the epoch —
+    // moves to the new spelling; hashing is over VALUES, so routing holds)
+    val newKey = keyCols.map(c => if (c == oldName) newName else c).mkString(",")
     commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
       Some(newKey), cur.files, touched = None, feed = None,
       renames = cur.renames :+ (oldName -> newName)))
@@ -607,15 +633,15 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     healFeed(Some(cur))
     requireSameBuckets(Some(cur))
     val version = cur.version + 1
+    val newKeyCols = splitKeyCols(newKeyCol)
     val all = applyRenames(spark.read.option("mergeSchema", "true")
         .parquet(cur.files.map(_.path): _*), cur.renames)
       .drop(BucketCol)
-      .withColumn(BucketCol, pmod(xxhash64(col(newKeyCol)), lit(newBuckets.toLong)))
+      .withColumn(BucketCol,
+        pmod(xxhash64(newKeyCols.map(col): _*), lit(newBuckets.toLong)))
       .repartition(newBuckets, col(BucketCol))
     val dataDir = s"$root/data/v$version-${newTag()}"
-    all.write.mode("overwrite")
-      .option(s"parquet.bloom.filter.enabled#$newKeyCol", "true")
-      .partitionBy(BucketCol).parquet(dataDir)
+    writeDataKeyed(all, dataDir, newKeyCols)
     val written = listParquet(dataDir, store)
     commit(root, store, Manifest(version, cur.batchId, Some(newBuckets),
       Some(newKeyCol), written, touched = None, feed = None))
@@ -665,6 +691,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     val target = manifestAt(root, version).getOrElse(throw new IllegalStateException(
       s"version $version not committed (or vacuumed) under $root — past the retention horizon"))
     val tKey = target.keyCol.getOrElse(keyCol)
+    val tKeys = splitKeyCols(tKey)
     val tBuckets = target.buckets.getOrElse(buckets)
     // BUCKET-PRUNED diff: under copy-on-write, a bucket whose file-entry
     // list is IDENTICAL between the current and target manifests cannot
@@ -686,7 +713,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     val curDf = side(curDiffFiles, cur.renames)
     val tgtDf = side(tgtDiffFiles, target.renames)
     for (c <- curDf)
-      require(c.columns.contains(tKey),
+      require(tKeys.forall(c.columns.contains),
         s"cannot restore across a key rename: v$version is keyed by $tKey, absent " +
           s"from the current schema (${c.columns.sorted.mkString(", ")})")
     // across a RECLUSTER the current snapshot is keyed by a DIFFERENT
@@ -696,7 +723,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     // right, which makes the corruption silent). Refuse loudly, like the
     // key-rename case: collapse the duplicates (merge/delete) first.
     if (cur.keyCol.getOrElse(keyCol) != tKey) for (c <- curDf) {
-      val r = c.agg(count(lit(1)).as("n"), countDistinct(col(tKey)).as("d")).head()
+      val r = c.agg(count(lit(1)).as("n"),
+        countDistinct(col(tKeys.head), tKeys.tail.map(col): _*).as("d")).head()
       require(r.getLong(0) == r.getLong(1),
         s"cannot restore to v$version: the current snapshot (keyed by " +
           s"${cur.keyCol.getOrElse(keyCol)}) holds ${r.getLong(0) - r.getLong(1)} " +
@@ -707,10 +735,12 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     // payload images. Both sides empty ⇒ no row diff — the restore must
     // STILL commit (it may be rolling back an epoch/rename change), just
     // with no feed, exactly like a compaction
-    val oldSide = curDf.map(c => c.select(col(tKey), payloadImage(c).as("old_image")))
-    val newSide = tgtDf.map(t => t.select(col(tKey), payloadImage(t).as("new_image")))
+    val oldSide = curDf.map(c =>
+      c.select(tKeys.map(col) :+ payloadImage(c).as("old_image"): _*))
+    val newSide = tgtDf.map(t =>
+      t.select(tKeys.map(col) :+ payloadImage(t).as("new_image"): _*))
     val joined = (oldSide, newSide) match {
-      case (Some(o), Some(n)) => Some(o.join(n, Seq(tKey), "full_outer"))
+      case (Some(o), Some(n)) => Some(o.join(n, tKeys, "full_outer"))
       case (Some(o), None) => Some(o.withColumn("new_image", lit(null).cast("string")))
       case (None, Some(n)) => Some(n.withColumn("old_image", lit(null).cast("string")))
       case (None, None) => None
@@ -720,7 +750,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       val diff = j
         .filter(col("old_image").isNull || col("new_image").isNull ||
           col("old_image") =!= col("new_image"))
-        .select(col(tKey),
+        .select(tKeys.map(col) ++ Seq(
           when(col("old_image").isNull, lit("inserted"))
             .when(col("new_image").isNull, lit("deleted"))
             .otherwise(lit("updated")).as("change"),
@@ -728,7 +758,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
             .otherwise(xxhash64(col("old_image"))).as("old_hash"),
           when(col("new_image").isNull, lit(null).cast("long"))
             .otherwise(xxhash64(col("new_image"))).as("new_hash"),
-          col("old_image"), col("new_image"))
+          col("old_image"), col("new_image")): _*)
       val tag = newTag()
       diff.write.mode("overwrite").parquet(s"$root/_stage/$tag")
       s"_stage/$tag"
@@ -823,7 +853,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     val all = layout(
       applyRenames(spark.read.option("mergeSchema", "true")
           .parquet(cur.files.map(_.path): _*), cur.renames)
-        .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong))))
+        .withColumn(BucketCol, bucketExpr))
     val dataDir = s"$root/data/v$version-${newTag()}"
     writeData(all, dataDir)
     val written = listParquet(dataDir, store)
@@ -864,6 +894,20 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
 
 object ManifestUpsertSink {
   private val BucketCol = "__bucket"
+
+  /** Key spec → component columns: a comma-separated list, trimmed. The
+    * spec string is the table's key IDENTITY (component order feeds the
+    * hash), so "a,b" ≠ "b,a"; a column whose real name contains ',' can
+    * never be a lake key — the manifest header and every option surface
+    * reserve the comma as the list separator. */
+  private[graft] def splitKeyCols(spec: String): Seq[String] = {
+    val cols = spec.split(",", -1).map(_.trim).toSeq
+    require(cols.nonEmpty && cols.forall(_.nonEmpty),
+      s"bad key spec '$spec' — expected a column name or comma-separated list")
+    require(cols.distinct.size == cols.size,
+      s"bad key spec '$spec' — duplicate component")
+    cols
+  }
 
   /** Batch-id sentinel for writes OUTSIDE the streaming sequence (ad-hoc
     * backfill save(), SQL INSERT/DELETE): bypasses the replay guard and
@@ -1331,8 +1375,12 @@ object ManifestUpsertSink {
     def bad(name: String, extra: String): Boolean =
       name.isEmpty || name.exists(c => c == '\t' || c == '\n' || c == '\r') ||
         name.exists(extra.contains(_))
-    for (k <- m.keyCol)
-      require(!bad(k, ""), s"keyCol '$k' contains a manifest separator (tab/newline) — " +
+    // keyCol is a (possibly composite) comma-separated spec: validate
+    // each COMPONENT — empty components (stray commas) and codec
+    // separators are refused; the commas between components are the
+    // spec's own syntax
+    for (k <- m.keyCol; c <- splitKeyCols(k))
+      require(!bad(c, ""), s"key column '$c' contains a manifest separator (tab/newline) — " +
         "rename the column before using it as a lake key")
     for ((p, l) <- m.renames; n <- Seq(p, l))
       require(!bad(n, ":,"), s"renamed column '$n' contains a manifest separator " +

@@ -1306,7 +1306,59 @@ object SinkQueries {
       ORDER BY key"""),
     doc = "SQL UPDATE + predicate DELETE through the catalog: non-key predicates plan via the row-level rewrite over the pruning scan; verdicts apply through the keyed copy-on-write protocol with CDC feeds")
 
+  // --------------------------------------------------------------- q318
+  private val q318Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** COMPOSITE KEYS end-to-end through pure SQL: the table keys on the
+    * (tenant, entity) TUPLE — `keyCol = 'tenant,entity'` — so the same
+    * entity id under two tenants is two rows (the single-key trap), the
+    * second INSERT LWW-merges per tuple, and the row-level UPDATE's
+    * identity is the tuple. Real tables key on composites; forcing
+    * pre-concatenation costs a stored column and loses bucket pruning on
+    * the components. The oracle restates the tuple-keyed merge + update
+    * relationally. */
+  val q318 = QueryDef(
+    "q318_composite_key",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q318_").toString
+      val cat = s"graft_q318_${q318Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.customer(s, d).createOrReplaceTempView("q318_customer")
+      s.sql(s"""CREATE TABLE $cat.acct (tenant BIGINT, entity BIGINT, bal DOUBLE, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='tenant,entity', 'orderCol'='seq', 'buckets'='8')""")
+      s.sql(s"""INSERT INTO $cat.acct
+        SELECT CAST(c_nationkey AS BIGINT), c_custkey, CAST(c_acctbal AS DOUBLE), 0L
+        FROM q318_customer""")
+      // overlapping tuples LWW-replace; the SAME entities under a shifted
+      // tenant INSERT as new rows — tuple identity, not entity identity
+      s.sql(s"""INSERT INTO $cat.acct
+        SELECT CAST(c_nationkey AS BIGINT), c_custkey, CAST(c_acctbal AS DOUBLE) + 1000.0, 1L
+        FROM q318_customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT CAST(c_nationkey AS BIGINT) + 100, c_custkey, CAST(c_acctbal AS DOUBLE), 1L
+        FROM q318_customer WHERE c_custkey % 5 = 0""")
+      s.sql(s"UPDATE $cat.acct SET bal = bal * 2.0 WHERE entity % 7 = 0")
+      s.sql(s"SELECT tenant, entity, bal FROM $cat.acct ORDER BY tenant, entity")
+    },
+    Some("""WITH seed AS (SELECT CAST(c_nationkey AS BIGINT) AS tenant, c_custkey AS entity,
+          CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+      upd AS (SELECT CAST(c_nationkey AS BIGINT) AS tenant, c_custkey AS entity,
+          CAST(c_acctbal AS DOUBLE) + 1000.0 AS bal FROM customer WHERE c_custkey % 5 = 0),
+      newt AS (SELECT CAST(c_nationkey AS BIGINT) + 100 AS tenant, c_custkey AS entity,
+          CAST(c_acctbal AS DOUBLE) AS bal FROM customer WHERE c_custkey % 5 = 0),
+      merged AS (
+        SELECT s.tenant, s.entity, COALESCE(u.bal, s.bal) AS bal
+        FROM seed s LEFT JOIN upd u ON u.tenant = s.tenant AND u.entity = s.entity
+        UNION ALL
+        SELECT tenant, entity, bal FROM newt)
+      SELECT tenant, entity,
+        CASE WHEN entity % 7 = 0 THEN bal * 2.0 ELSE bal END AS bal
+      FROM merged ORDER BY tenant, entity"""),
+    doc = "composite keys (keyCol='tenant,entity'): tuple-identity LWW MERGE, same entity under two tenants coexists, row-level UPDATE keyed by the tuple, conjunctive-equality bucket pruning on the components")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
-    q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317,
+    q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318,
     q214, q215, q216, q228)
 }

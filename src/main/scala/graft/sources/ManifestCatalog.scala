@@ -118,7 +118,11 @@ class ManifestCatalog extends TableCatalog {
       "CREATE TABLE requires TBLPROPERTIES (keyCol '<col>', orderCol '<col>')"))
     val orderCol = prop("orderCol").getOrElse(throw new IllegalArgumentException(
       "CREATE TABLE requires TBLPROPERTIES (orderCol '<col>') — the LWW order"))
-    require(schema.fieldNames.contains(keyCol), s"keyCol $keyCol not in schema")
+    // keyCol may be a comma-separated composite spec — validate each
+    // component against the declared schema
+    for (k <- keyCol.split(",").map(_.trim))
+      require(k.nonEmpty && schema.fieldNames.contains(k),
+        s"key column '$k' (of keyCol '$keyCol') not in schema")
     require(schema.fieldNames.contains(orderCol), s"orderCol $orderCol not in schema")
     val lines = Seq(
       s"keyCol=$keyCol", s"orderCol=$orderCol",

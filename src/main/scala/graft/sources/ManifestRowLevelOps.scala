@@ -60,13 +60,18 @@ private[graft] final class ManifestDeltaOperation(
   private val keyCol: String = ManifestSource.resolveKeyBuckets(root,
     Option(tableOptions.get("keyCol")), Option(tableOptions.get("buckets")).map(_.toInt))._1
 
+  private val keyCols: Seq[String] =
+    keyCol.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String = s"graft-manifest $cmd on $root keyed by $keyCol"
 
-  /** Row identity = the table's key column: the same identity every
-    * other verb (merge LWW, delete, CDC feed, bucket routing) uses. */
-  override def rowId(): Array[NamedReference] = Array(Expressions.column(keyCol))
+  /** Row identity = the table's key column(s): the same identity every
+    * other verb (merge LWW, delete, CDC feed, bucket routing) uses —
+    * a composite key declares every component, in spec order. */
+  override def rowId(): Array[NamedReference] =
+    keyCols.map(Expressions.column).toArray
 
   /** The matching side reads through the SAME pruning scan as every
     * other query — a keyed `UPDATE ... WHERE key = v` file-prunes to one
@@ -77,7 +82,7 @@ private[graft] final class ManifestDeltaOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new ManifestDeltaWrite(root, keyCol,
-        Option(tableOptions.get("orderCol")).getOrElse(keyCol),
+        Option(tableOptions.get("orderCol")).getOrElse(keyCols.head),
         info.schema(), info.rowIdSchema().orElseThrow(() =>
           new IllegalStateException("delta write without a rowId schema")))
     }
@@ -190,14 +195,19 @@ private[graft] object ManifestRowLevelOps {
       dataSchema: StructType, idSchema: StructType): Unit = {
     val sc = spark.sparkContext
     val nData = dataSchema.length
+    val keyCols = keyCol.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     // a pure-DELETE delta ships no data rows at all — its write schema is
-    // empty and only 'D' records exist, so the key position in the data
-    // row is needed (and defined) only when updates can occur
-    val keyIdx = if (dataSchema.fieldNames.contains(keyCol))
-      dataSchema.fieldIndex(keyCol) else -1
-    val keyType = idSchema(0).dataType
+    // empty and only 'D' records exist, so the key positions in the data
+    // row are needed (and defined) only when updates can occur.
+    // idSchema's field order is rowId() order = the key spec's order.
+    val keyIdxs: Seq[Int] = keyCols.map(c =>
+      if (dataSchema.fieldNames.contains(c)) dataSchema.fieldIndex(c) else -1)
+    val keyTypes = idSchema.fields.map(_.dataType).toSeq
     val files = sc.parallelize(paths, math.max(1, math.min(paths.size, 64)))
     def decoded = files.flatMap(p => readRecords(p, nData, idSchema.length))
+    def keyMoved(id: InternalRow, row: InternalRow): Boolean =
+      keyTypes.indices.exists(i => !java.util.Objects.equals(
+        id.get(i, keyTypes(i)), row.get(keyIdxs(i), keyTypes(i))))
     // upserts: the final row images of every INSERT and UPDATE
     val upserts = GraftBridge.internalCreateDataFrame(spark,
       decoded.collect { case (op, _, row) if op != 'D' => row.asInstanceOf[InternalRow] },
@@ -206,9 +216,7 @@ private[graft] object ManifestRowLevelOps {
     val delKeys = GraftBridge.internalCreateDataFrame(spark,
       decoded.flatMap {
         case ('D', id, _) => Some(id.asInstanceOf[InternalRow])
-        case ('U', id, row) if !java.util.Objects.equals(
-            id.get(0, keyType), row.get(keyIdx, keyType)) =>
-          Some(id.asInstanceOf[InternalRow])
+        case ('U', id, row) if keyMoved(id, row) => Some(id.asInstanceOf[InternalRow])
         case _ => None
       }, idSchema)
     val (kc, buckets) = ManifestSource.resolveKeyBuckets(root, Some(keyCol), None)
@@ -221,7 +229,7 @@ private[graft] object ManifestRowLevelOps {
       // via a key-changing update — the anti-join keeps re-occupied keys
       val dels =
         if (!hasUps) delKeys
-        else delKeys.join(ups.select(col(keyCol)), Seq(keyCol), "left_anti")
+        else delKeys.join(ups.select(keyCols.map(col): _*), keyCols, "left_anti")
       if (!dels.isEmpty) sink.deleteKeys(dels, ManifestUpsertSink.AdHocBatch)
     } finally { ups.unpersist(); () }
   }

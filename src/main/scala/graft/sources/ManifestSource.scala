@@ -210,9 +210,11 @@ final class ManifestSource extends TableProvider with DataSourceRegister
     // an actually-null key fail at the store-assignment check instead of
     // silently hashing the null).
     keyInfo.filter(_ => !options.containsKey("changesOf"))
-      .filter(base.fieldNames.contains)
-      .map(k => StructType(base.fields.map(f =>
-        if (f.name == k) f.copy(nullable = false) else f)))
+      .map { spec =>
+        val keySet = spec.split(",").map(_.trim).toSet
+        StructType(base.fields.map(f =>
+          if (keySet(f.name)) f.copy(nullable = false) else f))
+      }
       .getOrElse(base)
   }
 
@@ -286,7 +288,8 @@ final class ManifestSource extends TableProvider with DataSourceRegister
           val live = last.filter(org.apache.spark.sql.functions.col("change") =!= "deleted")
             .drop("change")
           val dead = last.filter(org.apache.spark.sql.functions.col("change") === "deleted")
-            .select(org.apache.spark.sql.functions.col(keyCol))
+            .select(keyCol.split(",").map(_.trim)
+              .map(org.apache.spark.sql.functions.col).toSeq: _*)
           if (!live.isEmpty) sink.upsertBatch(live, orderCol, 2 * batchId)
           if (!dead.isEmpty) sink.deleteKeys(dead, 2 * batchId + 1)
         } finally { last.unpersist(); () }
@@ -533,8 +536,26 @@ object ManifestSource {
 
     override def build(): Scan = {
       val v1: Seq[Filter] = pushedExprs.flatMap(GraftBridge.translateFilter)
-      val kept = resolved.files.filter(e => v1.forall(
-        ManifestStats.mayMatch(e.bucket, resolved.stats.get(e.path), resolved.keyInfo, _)))
+      // COMPOSITE-key bucket pruning: mayMatch sees one conjunct at a
+      // time, so a multi-column key's bucket is computable only here,
+      // across the top-level conjunction — when every component is
+      // pinned by an EqualTo, the point lookup reads one bucket's files
+      // (single-column keys keep the per-filter path inside mayMatch)
+      val tupleBucket: Option[Long] = resolved.keyInfo.flatMap { case (spec, buckets) =>
+        val keyCols = spec.split(",").map(_.trim).toSeq
+        if (keyCols.size <= 1) None
+        else {
+          val eqs: Map[String, Any] = v1.collect {
+            case org.apache.spark.sql.sources.EqualTo(a, v) if v != null => a -> v
+          }.toMap
+          if (keyCols.forall(eqs.contains))
+            ManifestStats.bucketOfTuple(keyCols.map(eqs), buckets)
+          else None
+        }
+      }
+      val kept = resolved.files.filter(e =>
+        tupleBucket.forall(_ == e.bucket) && v1.forall(
+          ManifestStats.mayMatch(e.bucket, resolved.stats.get(e.path), resolved.keyInfo, _)))
       if (kept.size == resolved.files.size) full.build()
       else {
         // replay the pushdown protocol onto a builder over the pruned list

@@ -720,8 +720,12 @@ class SinkSpec extends AnyFunSuite {
     // bespoke (and unoptimized) reader
     val plan = latest.filter(col("id") === 2L).select("p")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"),
+    // the key column is non-nullable by contract (r12), so Catalyst
+    // drops the redundant IsNotNull and pushes only the equality
+    assert(plan.contains("PushedFilters: [EqualTo(id,2)]"),
       s"filter must push into the parquet scan:\n${plan.take(1500)}")
+    assert(!plan.contains("IsNotNull(id)"),
+      "a non-nullable key must not generate an IsNotNull guard")
   }
 
   test("deleteKeys: touched-bucket rewrite, deleted feed rows with BEFORE images, no-op edges") {

@@ -309,6 +309,50 @@ object ManifestStats {
     case _ => true // Not, StringStartsWith, ... : no model, never prune
   }
 
+  /** May a file whose ENTIRE content lives in date partition `pv`
+    * (ISO yyyy-MM-dd) satisfy `filter`? Used by the connector's
+    * partition pruning: unlike min/max stats, the partition value bounds
+    * the file exactly, so equality and ranges on the partition column
+    * refute files outright. Conservative for everything it cannot model;
+    * only strict-ISO string literals and date literals participate (a
+    * loosely-spelled date string would compare against the canonical
+    * partition form and prune a file that matches in-scan). A dated file
+    * provably holds NO nulls of the partition column, so IsNull prunes.
+    *
+    * `rangesOk` must be true ONLY for DateType partition columns: there
+    * the raw value IS the date, so canonical-ISO order equals the scan's
+    * comparison order. A STRING column may hold non-canonical spellings
+    * whose lexicographic order diverges from their dates' ("2024-1-5" >
+    * "2024-01-15" as strings, earlier as dates) — ranges there could
+    * prune files whose raw values match in-scan, so only equality (where
+    * canonicalization can never produce a false mismatch against an ISO
+    * literal) participates. */
+  def partMayMatch(pv: String, pcol: String, filter: Filter,
+      rangesOk: Boolean = true): Boolean = {
+    def dateStr(v: Any): Option[String] = v match {
+      case d: java.sql.Date => Some(d.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case s: String if s.matches("\\d{4}-\\d{2}-\\d{2}") => Some(s)
+      case _ => None
+    }
+    filter match {
+      case And(l, r) => partMayMatch(pv, pcol, l, rangesOk) && partMayMatch(pv, pcol, r, rangesOk)
+      case Or(l, r) => partMayMatch(pv, pcol, l, rangesOk) || partMayMatch(pv, pcol, r, rangesOk)
+      case EqualTo(a, v) if a == pcol => dateStr(v).forall(_ == pv)
+      case EqualNullSafe(a, v) if a == pcol && v != null => dateStr(v).forall(_ == pv)
+      case EqualNullSafe(a, _) if a == pcol => false // <=> NULL: dated file has none
+      case In(a, vs) if a == pcol =>
+        vs == null || vs.isEmpty ||
+          vs.exists(v => v != null && dateStr(v).forall(_ == pv))
+      case GreaterThan(a, v) if a == pcol && rangesOk => dateStr(v).forall(pv > _)
+      case GreaterThanOrEqual(a, v) if a == pcol && rangesOk => dateStr(v).forall(pv >= _)
+      case LessThan(a, v) if a == pcol && rangesOk => dateStr(v).forall(pv < _)
+      case LessThanOrEqual(a, v) if a == pcol && rangesOk => dateStr(v).forall(pv <= _)
+      case IsNull(a) if a == pcol => false
+      case _ => true
+    }
+  }
+
   private def nullMayMatch(fs: Option[FileStats], a: String): Boolean =
     (for (f <- fs; c <- f.cols.get(a); n <- c.nulls) yield n > 0).getOrElse(true)
 

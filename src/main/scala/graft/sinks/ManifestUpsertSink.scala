@@ -83,7 +83,8 @@ import org.apache.spark.sql.functions._
   * through Spark's parquet reader/writer, which speaks Hadoop paths
   * natively.
   */
-class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
+class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
+    partitionCol: Option[String] = None)
     extends Serializable {
   import ManifestUpsertSink._
 
@@ -108,6 +109,21 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong))
 
   private def keyColumns: Seq[Column] = keyCols.map(col)
+
+  /** DATE PARTITIONING (the reference's own K2 layout, core.clj:47-50,
+    * lifted to the lake): when `partitionCol` names a date-valued column,
+    * every data file additionally lands under a `__pdate=yyyy-MM-dd`
+    * directory derived from it — so at 100 TB, time-range scans prune
+    * whole partitions through the connector BY CONSTRUCTION (not by the
+    * advisory stats sidecar, which merges without clustering can't
+    * bound), and retention is a manifest operation
+    * ([[dropPartitionsBefore]]) instead of a full-table delete. The
+    * partition column is part of the committed LAYOUT, like buckets:
+    * header `partCol=`, mismatching writers fail loudly. Rewrite
+    * granularity stays the bucket (a replaced key's old row may live in
+    * any date), so merges cost what they always did; the partition buys
+    * reads and retention, which dominate at scale. */
+  private val PdateCol = ManifestUpsertSink.PdateCol
 
   /** MERGE a micro-batch: LWW-dedupe on `orderCol` within the batch,
     * replace current rows sharing a key, append the rest. `batchId` is
@@ -271,10 +287,21 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
   private def writeData(df: DataFrame, dataDir: String): Unit =
     writeDataKeyed(df, dataDir, keyCols)
 
-  private def writeDataKeyed(df: DataFrame, dataDir: String, cols: Seq[String]): Unit =
-    cols.foldLeft(df.write.mode("overwrite")) { (w, k) =>
+  private def writeDataKeyed(df: DataFrame, dataDir: String, cols: Seq[String]): Unit = {
+    // the partition value is DERIVED at write (date_format handles date,
+    // timestamp, and ISO-string columns) and lives only in the directory
+    // name — data files carry exactly the table columns, reads never see
+    // it, and pruning parses it back off the path
+    val (framed, partBy) = partitionCol match {
+      case Some(p) =>
+        (df.withColumn(PdateCol, date_format(col(p), "yyyy-MM-dd")),
+          Seq(BucketCol, PdateCol))
+      case None => (df, Seq(BucketCol))
+    }
+    cols.foldLeft(framed.write.mode("overwrite")) { (w, k) =>
       w.option(s"parquet.bloom.filter.enabled#$k", "true")
-    }.partitionBy(BucketCol).parquet(dataDir)
+    }.partitionBy(partBy: _*).parquet(dataDir)
+  }
 
   /** OPTIMISTIC-CONCURRENCY commit: attempt `base.version + 1`; on losing
     * the rename race, re-read the winner chain and REBASE instead of
@@ -327,7 +354,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       beforeCommit(version)
       try {
         commit(root, store, Manifest(version, id, Some(buckets), Some(keyCol),
-          files, Some(dataChanged), feedStage, rn))
+          files, Some(dataChanged), feedStage, rn, partCol = partitionCol))
         feedStage.foreach { st =>
           store.rename(s"$root/$st", s"$root/_changes/v$version")
           store.deleteDirIfEmpty(s"$root/_stage")
@@ -429,6 +456,15 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
         s"table at $root is committed with keyCol=$k but this sink is configured " +
           s"with keyCol=$keyCol — a different key column would mis-route keys")
     }
+    // the partition column is part of the committed LAYOUT too: a writer
+    // with a different (or missing) one would mix partitioned and
+    // unpartitioned files, silently degrading pruning and retention.
+    // Manifests predating the header are unpartitioned tables (None).
+    for (m <- cur if m.partCol != partitionCol)
+      throw new IllegalStateException(
+        s"table at $root is committed with partitionCol=${m.partCol.getOrElse("<none>")} " +
+          s"but this sink is configured with ${partitionCol.getOrElse("<none>")} — " +
+          "the partition layout is the table's, not the writer's")
   }
 
   /** Snapshot read of the latest committed version. */
@@ -600,16 +636,18 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     // a key-identity change: the spec string — and with it the epoch —
     // moves to the new spelling; hashing is over VALUES, so routing holds)
     val newKey = keyCols.map(c => if (c == oldName) newName else c).mkString(",")
+    val newPart = partitionCol.map(p => if (p == oldName) newName else p)
     commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
       Some(newKey), cur.files, touched = None, feed = None,
-      renames = cur.renames :+ (oldName -> newName)))
+      renames = cur.renames :+ (oldName -> newName), partCol = newPart))
     // carry the previous sidecar verbatim: stats stay keyed by PHYSICAL
     // column names, which is what the (rename-refusing) connector needs
     val prev = loadStats(root, store, cur.version)
     if (prev.nonEmpty)
       store.putString(s"$root/_manifest", s"v${cur.version + 1}.stats",
         ManifestStats.encode(prev))
-    if (newKey == keyCol) this else new ManifestUpsertSink(root, newKey, buckets)
+    if (newKey == keyCol && newPart == partitionCol) this
+    else new ManifestUpsertSink(root, newKey, buckets, newPart)
   }
 
   /** RE-CLUSTER epoch change: rewrite the snapshot under a NEW
@@ -644,10 +682,10 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     writeDataKeyed(all, dataDir, newKeyCols)
     val written = listParquet(dataDir, store)
     commit(root, store, Manifest(version, cur.batchId, Some(newBuckets),
-      Some(newKeyCol), written, touched = None, feed = None))
+      Some(newKeyCol), written, touched = None, feed = None, partCol = partitionCol))
     store.putString(s"$root/_manifest", s"v$version.stats",
       ManifestStats.encode(ManifestStats.collectAuto(written.map(_.path))))
-    new ManifestUpsertSink(root, newKeyCol, newBuckets)
+    new ManifestUpsertSink(root, newKeyCol, newBuckets, partitionCol)
   }
 
   /** RESTORE the table to committed `version` — rollback as a NEW
@@ -765,7 +803,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     }
     commit(root, store, Manifest(newVersion, cur.batchId, Some(tBuckets),
       Some(tKey), target.files, touched = None, feed = feedStage,
-      renames = target.renames))
+      renames = target.renames, partCol = target.partCol))
     feedStage.foreach { st =>
       store.rename(s"$root/$st", s"$root/_changes/v$newVersion")
       store.deleteDirIfEmpty(s"$root/_stage")
@@ -775,8 +813,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
     if (prev.nonEmpty)
       store.putString(s"$root/_manifest", s"v$newVersion.stats",
         ManifestStats.encode(prev))
-    if (tKey == keyCol && tBuckets == buckets) this
-    else new ManifestUpsertSink(root, tKey, tBuckets)
+    if (tKey == keyCol && tBuckets == buckets && target.partCol == partitionCol) this
+    else new ManifestUpsertSink(root, tKey, tBuckets, target.partCol)
   }
 
   /** CLONE the table's latest snapshot to `targetRoot` as a NEW table at
@@ -815,7 +853,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       s"clone target $targetRoot already holds a committed table")
     if (!deep) {
       commit(targetRoot, tStore, Manifest(0L, cur.batchId, Some(buckets),
-        Some(keyCol), cur.files, touched = None, feed = None, renames = cur.renames))
+        Some(keyCol), cur.files, touched = None, feed = None, renames = cur.renames,
+        partCol = partitionCol))
       val stats = loadStats(root, store, cur.version)
       if (stats.nonEmpty)
         tStore.putString(s"$targetRoot/_manifest", "v0.stats", ManifestStats.encode(stats))
@@ -835,11 +874,12 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       writeData(all, dataDir)
       val written = listParquet(dataDir, tStore)
       commit(targetRoot, tStore, Manifest(0L, cur.batchId, Some(buckets),
-        Some(keyCol), written, touched = None, feed = None, renames = Nil))
+        Some(keyCol), written, touched = None, feed = None, renames = Nil,
+        partCol = partitionCol))
       tStore.putString(s"$targetRoot/_manifest", "v0.stats",
         ManifestStats.encode(ManifestStats.collectAuto(written.map(_.path))))
     }
-    new ManifestUpsertSink(targetRoot, keyCol, buckets)
+    new ManifestUpsertSink(targetRoot, keyCol, buckets, partitionCol)
   }
 
   private def compactInto(spark: SparkSession)(layout: DataFrame => DataFrame): Unit = {
@@ -890,10 +930,80 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16)
       orphanGraceMs: Option[Long] = None): Unit =
     ManifestUpsertSink.vacuum(root, store, math.max(1, keepVersions),
       math.max(1, keepChangeVersions.getOrElse(keepVersions)), orphanGraceMs)
+
+  /** RETENTION on a date-partitioned table: commit a new version WITHOUT
+    * the files whose partition date precedes `cutoff` (ISO `yyyy-MM-dd`,
+    * exclusive) — a pure manifest operation, zero data I/O, the reason
+    * the partition layout exists: expiring a year of a 100-TB event
+    * table must not cost a table rewrite. The dropped files stay on disk
+    * for time travel until [[vacuum]] reclaims them (the dropped-version
+    * sweep sees no held manifest referencing them). Files in the null
+    * partition, or written before the table was partitioned, are never
+    * dropped (their dates are unproven).
+    *
+    * `cdc = false` (default) commits NO change feed — retention is a
+    * storage-lifecycle event, like Delta's partition-drop + VACUUM, and
+    * reading every expiring row to emit its image would make expiry
+    * O(dropped bytes). Subscribers that must see expiry as deletions
+    * pass `cdc = true` and pay that read. Commits `touched = None`
+    * (concurrent writers abort — a merge's survivors may live in files
+    * this commit removes). */
+  def dropPartitionsBefore(spark: SparkSession, cutoff: String,
+      cdc: Boolean = false): Unit = {
+    require(partitionCol.nonEmpty,
+      "dropPartitionsBefore requires a partitioned table (partitionCol)")
+    require(cutoff.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"cutoff '$cutoff' is not an ISO yyyy-MM-dd date")
+    val cur = latestManifest(root, store).getOrElse(return)
+    healFeed(Some(cur))
+    requireSameBuckets(Some(cur))
+    // ISO dates compare lexicographically; unproven partitions (None or
+    // the null-partition dir, which sorts above all digits) are kept
+    val (dead, kept) = cur.files.partition(f =>
+      partOf(f.path).exists(p => p.matches("\\d{4}-\\d{2}-\\d{2}") && p < cutoff))
+    if (dead.isEmpty) return
+    val version = cur.version + 1
+    val feedStage = if (!cdc) None else Some {
+      val victims = applyRenames(spark.read.option("mergeSchema", "true")
+        .parquet(dead.map(_.path): _*), cur.renames)
+      val tag = newTag()
+      victims.select(keyColumns ++ Seq(lit("deleted").as("change"),
+          xxhash64(payloadImage(victims)).as("old_hash"),
+          lit(null).cast("long").as("new_hash"),
+          payloadImage(victims).as("old_image"),
+          lit(null).cast("string").as("new_image")): _*)
+        .write.mode("overwrite").parquet(s"$root/_stage/$tag")
+      s"_stage/$tag"
+    }
+    commit(root, store, Manifest(version, cur.batchId, Some(buckets),
+      Some(keyCol), kept, touched = None, feed = feedStage,
+      renames = cur.renames, partCol = partitionCol))
+    feedStage.foreach { st =>
+      store.rename(s"$root/$st", s"$root/_changes/v$version")
+      store.deleteDirIfEmpty(s"$root/_stage")
+    }
+    // kept files are unchanged: carry their sidecar lines verbatim
+    val prev = loadStats(root, store, cur.version)
+    val carried = kept.flatMap(f => prev.get(f.path).map(f.path -> _)).toMap
+    if (carried.nonEmpty)
+      store.putString(s"$root/_manifest", s"v$version.stats",
+        ManifestStats.encode(carried))
+  }
 }
 
 object ManifestUpsertSink {
   private val BucketCol = "__bucket"
+
+  /** The derived date-partition directory name. Like [[BucketCol]], it
+    * never materializes as a data column: derived at write, encoded only
+    * in the path, parsed back for pruning and retention. */
+  private[graft] val PdateCol = "__pdate"
+
+  /** The `__pdate=<value>` segment of a data-file path, if any. */
+  private[graft] def partOf(path: String): Option[String] =
+    path.split("/").collectFirst {
+      case seg if seg.startsWith(s"$PdateCol=") => seg.stripPrefix(s"$PdateCol=")
+    }
 
   /** Key spec → component columns: a comma-separated list, trimmed. The
     * spec string is the table's key IDENTITY (component order feeds the
@@ -952,7 +1062,8 @@ object ManifestUpsertSink {
       keyCol: Option[String], files: Seq[FileEntry],
       touched: Option[Set[Long]] = None, feed: Option[String] = None,
       renames: Seq[(String, String)] = Nil,
-      ts: Option[Long] = None)
+      ts: Option[Long] = None,
+      partCol: Option[String] = None)
 
   /** The committed manifest of a snapshot (latest when `version` is None). */
   private[graft] def snapshotManifest(root: String, version: Option[Long]): Manifest = {
@@ -1233,6 +1344,7 @@ object ManifestUpsertSink {
   private def encode(m: Manifest): String = {
     val header = Seq(s"version=${m.version}", s"batchId=${m.batchId}") ++
       m.buckets.map(b => s"buckets=$b") ++ m.keyCol.map(k => s"keyCol=$k") ++
+      m.partCol.map(p => s"partCol=$p") ++
       m.touched.map(t => s"touched=${t.toSeq.sorted.mkString(",")}") ++
       m.feed.map(f => s"feed=$f") ++ m.ts.map(t => s"ts=$t") ++
       (if (m.renames.isEmpty) Nil
@@ -1260,7 +1372,8 @@ object ManifestUpsertSink {
       header.get("rename").toSeq.flatMap(_.split(",").toSeq.map { r =>
         val Array(p, l) = r.split(":", 2); (p, l)
       }),
-      header.get("ts").map(_.toLong))
+      header.get("ts").map(_.toLong),
+      header.get("partCol"))
   }
 
   private def manifestVersions(root: String, store: TableStore): Seq[Long] =
@@ -1385,6 +1498,9 @@ object ManifestUpsertSink {
     for ((p, l) <- m.renames; n <- Seq(p, l))
       require(!bad(n, ":,"), s"renamed column '$n' contains a manifest separator " +
         "(tab/newline/':'/',') — such names cannot enter the rename mapping")
+    for (p <- m.partCol)
+      require(!bad(p, ""), s"partitionCol '$p' contains a manifest separator " +
+        "(tab/newline) — rename the column before partitioning on it")
   }
 
   /** Atomic commit through the store's rename-if-absent: a racing writer

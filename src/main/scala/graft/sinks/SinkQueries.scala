@@ -1358,7 +1358,46 @@ object SinkQueries {
       FROM merged ORDER BY tenant, entity"""),
     doc = "composite keys (keyCol='tenant,entity'): tuple-identity LWW MERGE, same entity under two tenants coexists, row-level UPDATE keyed by the tuple, conjunctive-equality bucket pruning on the components")
 
+  // --------------------------------------------------------------- q319
+  /** DATE-PARTITIONED lake table + retention: the table partitions on a
+    * derived year date (`partitionCol`) alongside key buckets — the
+    * reference's own K2 date layout (core.clj:47-50) lifted to the lake,
+    * because at 100 TB time-range scans and retention dominate the
+    * access pattern and the advisory stats sidecar can't bound what a
+    * merge never clustered. `dropPartitionsBefore` then expires the
+    * first two years as a pure manifest edit (ManifestPartitionSpec pins
+    * the zero-jobs claim and the partition-pruned scan); the final
+    * census reads the surviving years back through the connector. The
+    * oracle restates retention as a WHERE clause. */
+  val q319 = QueryDef(
+    "q319_partitioned_retention",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q319_").toString
+      val sink = new ManifestUpsertSink(root, "key", buckets = 4,
+        partitionCol = Some("year_date"))
+      val rows = Tables.orders(s, d).select(
+        col("o_orderkey").as("key"),
+        to_date(date_trunc("year", col("o_orderdate"))).as("year_date"),
+        col("o_totalprice").cast("double").as("price"),
+        lit(0L).as("seq"))
+      sink.upsertBatch(rows, "seq", batchId = 0L)
+      sink.dropPartitionsBefore(s, "1994-01-01")
+      s.read.format("graft-manifest").load(root)
+        .groupBy(col("year_date"))
+        .agg(count(lit(1)).as("n"),
+          // exact integer cents: double sums differ across engines by ulps
+          sum(round(col("price") * 100).cast("long")).as("cents"))
+        .orderBy(col("year_date"))
+    },
+    Some("""SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year_date,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      WHERE CAST(date_trunc('year', o_orderdate) AS DATE) >= DATE '1994-01-01'
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "date-partitioned lake (partitionCol alongside key buckets): __pdate layout, partition-pruned reads through the connector, and dropPartitionsBefore retention as a zero-I/O manifest edit")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
-    q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318,
+    q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319,
     q214, q215, q216, q228)
 }

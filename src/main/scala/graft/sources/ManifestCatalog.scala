@@ -124,9 +124,14 @@ class ManifestCatalog extends TableCatalog {
       require(k.nonEmpty && schema.fieldNames.contains(k),
         s"key column '$k' (of keyCol '$keyCol') not in schema")
     require(schema.fieldNames.contains(orderCol), s"orderCol $orderCol not in schema")
+    // optional date-partition layout: TBLPROPERTIES ('partCol'='event_date')
+    val partLine = prop("partCol").map { p =>
+      require(schema.fieldNames.contains(p), s"partCol $p not in schema")
+      s"partCol=$p"
+    }
     val lines = Seq(
       s"keyCol=$keyCol", s"orderCol=$orderCol",
-      s"buckets=${prop("buckets").getOrElse("16")}",
+      s"buckets=${prop("buckets").getOrElse("16")}") ++ partLine ++ Seq(
       s"schemaDDL=${schema.toDDL}")
     store.putString(tableDir(ident), "_catalog.properties", lines.mkString("\n"))
     loadTable(ident)

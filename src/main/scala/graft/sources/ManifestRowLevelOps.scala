@@ -220,7 +220,8 @@ private[graft] object ManifestRowLevelOps {
         case _ => None
       }, idSchema)
     val (kc, buckets) = ManifestSource.resolveKeyBuckets(root, Some(keyCol), None)
-    val sink = new ManifestUpsertSink(root, kc, buckets)
+    val sink = new ManifestUpsertSink(root, kc, buckets,
+      ManifestSource.resolvePartCol(root, None))
     val ups = upserts.persist()
     try {
       val hasUps = !ups.isEmpty

@@ -133,7 +133,7 @@ final class ManifestSource extends TableProvider with DataSourceRegister
               "the SQL connector binds columns by physical name; compact() to " +
               "materialize the rename, or read via the Scala API which applies it")
         Resolved(m.files, ManifestUpsertSink.loadStats(root, m.version),
-          for (k <- m.keyCol; b <- m.buckets) yield (k, b))
+          for (k <- m.keyCol; b <- m.buckets) yield (k, b), m.partCol)
     }
   }
 
@@ -278,7 +278,8 @@ final class ManifestSource extends TableProvider with DataSourceRegister
             "(inserted|updated|deleted) — select it through from the changes stream")
         val (keyCol, buckets) = ManifestSource.resolveKeyBuckets(root,
           parameters.get("keyCol"), parameters.get("buckets").map(_.toInt))
-        val sink = new graft.sinks.ManifestUpsertSink(root, keyCol, buckets)
+        val sink = new graft.sinks.ManifestUpsertSink(root, keyCol, buckets,
+          ManifestSource.resolvePartCol(root, parameters.get("partCol")))
         // several actions follow (emptiness probes + each verb's own
         // jobs) — persist so the batch's lineage runs once
         val last = graft.sinks.JdbcUpsertSink
@@ -333,7 +334,8 @@ object ManifestSource {
     * sidecar, and — when the manifest records them — the (keyCol,
     * buckets) pair that enables bucket pruning. */
   final case class Resolved(files: Seq[FileEntry],
-      stats: Map[String, ManifestStats.FileStats], keyInfo: Option[(String, Int)])
+      stats: Map[String, ManifestStats.FileStats], keyInfo: Option[(String, Int)],
+      partCol: Option[String] = None)
 
   /** The ONE write path both the batch V1Write and the streaming sink
     * share: MERGE `data` through [[ManifestUpsertSink.upsertBatch]].
@@ -353,7 +355,8 @@ object ManifestSource {
         "graft-manifest writes require option(\"orderCol\", <col>) — the LWW order"))
     val (keyCol, buckets) = resolveKeyBuckets(root,
       Option(options.get("keyCol")), Option(options.get("buckets")).map(_.toInt))
-    val sink = new ManifestUpsertSink(root, keyCol, buckets)
+    val sink = new ManifestUpsertSink(root, keyCol, buckets,
+      resolvePartCol(root, Option(options.get("partCol"))))
     // batch saves are OUTSIDE the streaming sequence: the sentinel keeps
     // the committed batch id untouched so a live stream's future
     // micro-batch ids are never shadowed (silent-replay data loss)
@@ -378,6 +381,24 @@ object ManifestSource {
       .getOrElse(throw new IllegalArgumentException(
         "first write to a graft-manifest table requires option(\"keyCol\", <col>)"))
     (keyCol, cur.flatMap(_.buckets).orElse(bucketsOpt).getOrElse(16))
+  }
+
+  /** The partition-column resolution every write surface shares, same
+    * contract as keyCol/buckets: the committed layout wins, a
+    * contradicting option fails loudly, an option binds a first write —
+    * and a committed UNPARTITIONED table cannot silently become
+    * partitioned (mixed layouts degrade pruning and retention). */
+  private[graft] def resolvePartCol(root: String, opt: Option[String]): Option[String] = {
+    val cur = ManifestUpsertSink.latestManifest(root)
+    val committed = cur.flatMap(_.partCol)
+    for (c <- committed; asked <- opt if asked != c)
+      throw new IllegalArgumentException(
+        s"table at $root is committed with partitionCol=$c; option partCol=$asked contradicts it")
+    if (cur.nonEmpty && committed.isEmpty && opt.nonEmpty)
+      throw new IllegalArgumentException(
+        s"table at $root is committed UNPARTITIONED; partCol=${opt.get} would mix layouts — " +
+          "recreate the table (or recluster) to adopt a partition column")
+    committed.orElse(opt)
   }
 
   /** The stock parquet table over an explicit immutable file list — the
@@ -439,7 +460,8 @@ object ManifestSource {
       val cur = ManifestUpsertSink.latestManifest(root).getOrElse(return)
       val keyCol = cur.keyCol.getOrElse(throw new IllegalStateException(
         s"table at $root predates the keyCol header — delete via the Scala API"))
-      val sink = new ManifestUpsertSink(root, keyCol, cur.buckets.getOrElse(16))
+      val sink = new ManifestUpsertSink(root, keyCol, cur.buckets.getOrElse(16),
+        cur.partCol)
       import org.apache.spark.sql.functions.col
       val keyDf = spark.createDataFrame(
         keys.toSeq.map(org.apache.spark.sql.Row(_)).asJava,
@@ -553,9 +575,26 @@ object ManifestSource {
           else None
         }
       }
-      val kept = resolved.files.filter(e =>
-        tupleBucket.forall(_ == e.bucket) && v1.forall(
-          ManifestStats.mayMatch(e.bucket, resolved.stats.get(e.path), resolved.keyInfo, _)))
+      val kept = resolved.files.filter { e =>
+        // partition pruning BY CONSTRUCTION: a file under __pdate=<d>
+        // holds only rows whose partition column formats to <d> — refute
+        // the pushed conjunction against that date and the file never
+        // opens. Null-partition files and unpartitioned vintages carry
+        // no segment and are always kept (conservative).
+        val partOk = (for {
+          pc <- resolved.partCol
+          pv <- ManifestUpsertSink.partOf(e.path)
+          if pv.matches("\\d{4}-\\d{2}-\\d{2}")
+        } yield {
+          // range pruning is sound only when the raw column orders like
+          // its canonical date form — i.e. for DateType (see partMayMatch)
+          val rangesOk = tableSchema.fields.find(_.name == pc)
+            .exists(_.dataType == org.apache.spark.sql.types.DateType)
+          v1.forall(ManifestStats.partMayMatch(pv, pc, _, rangesOk))
+        }).getOrElse(true)
+        partOk && tupleBucket.forall(_ == e.bucket) && v1.forall(
+          ManifestStats.mayMatch(e.bucket, resolved.stats.get(e.path), resolved.keyInfo, _))
+      }
       if (kept.size == resolved.files.size) full.build()
       else {
         // replay the pushdown protocol onto a builder over the pruned list

@@ -188,5 +188,66 @@ object Bpe {
       FROM pc ORDER BY pair_count DESC, l, r LIMIT 1"""),
     doc = "round-1 BPE pair election, fully oracle-checked (the one round a non-iterative engine can replicate)")
 
-  val all: Seq[QueryDef] = Seq(q134, q135, q261)
+  // --------------------------------------------------------------- q320
+  /** MULTI-ROUND BPE training with a full DuckDB oracle — closing q261's
+    * documented one-round limitation. Rounds ≥ 2 depend on the previous
+    * round's argmax, which a recursive CTE cannot express (no aggregates
+    * in the recursive term) — but a FIXED round count can be UNROLLED:
+    * the oracle chains one (pair-count → argmax → apply-merge) CTE block
+    * per round. The merge application crosses the engine boundary as a
+    * plain string `replace`: the symbol state is piped as
+    * `||s1||s2||...||` and merging (l, r) replaces `|l||r|` with `|lr|`
+    * — each boundary contributes two pipes and the pattern consumes only
+    * the inner one per side, so left-to-right non-overlapping `replace`
+    * is EXACTLY the greedy fold semantics of [[mergePair]] ([a,a,a] →
+    * [aa,a]; no false matches across symbol boundaries; a replacement
+    * never re-merges into its own tail — `replace` resumes after the
+    * replacement, the fold never reconsiders). The vocabulary restricts
+    * to ^[a-z]+$ words in BOTH engines so the pipe delimiter stays
+    * out-of-band. The Spark side is the REAL driver-iterative trainer —
+    * a hash match proves the whole election+rewrite loop, not a
+    * SQL-shaped twin. */
+  val q320 = QueryDef(
+    "q320_bpe_multiround",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      import s.implicits._
+      trainMerges(vocab, 3)
+        .toDF("merge_rank", "left", "right", "pair_count")
+        .orderBy(col("merge_rank"))
+    },
+    Some {
+      // one CTE block per unrolled round: pair counts over the previous
+      // state, the deterministic argmax, the piped-string merge rewrite
+      def round(k: Int): String = {
+        val prev = if (k == 1) "s0" else s"s${k - 1}"
+        s"""l$k AS (SELECT freq, string_split(trim(s, '|'), '||') AS ls FROM $prev),
+      px$k AS (SELECT freq, ls, generate_subscripts(ls, 1) AS i, unnest(ls) AS l FROM l$k),
+      pr$k AS (SELECT l, ls[i + 1] AS r, freq FROM px$k WHERE i < len(ls)),
+      pc$k AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM pr$k GROUP BY l, r),
+      m$k AS (SELECT l, r, pair_count FROM pc$k ORDER BY pair_count DESC, l, r LIMIT 1),
+      s$k AS (SELECT freq,
+          replace(s, '|' || m$k.l || '||' || m$k.r || '|', '|' || m$k.l || m$k.r || '|') AS s
+        FROM $prev CROSS JOIN m$k)"""
+      }
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      v AS (SELECT word, COUNT(*) AS freq FROM w
+        WHERE regexp_matches(word, '^[a-z]+${"$"}') GROUP BY word),
+      s0 AS (SELECT freq,
+          '||' || array_to_string(list_append(string_split(word, ''), '</w>'), '||') || '||' AS s
+        FROM v),
+      ${round(1)},
+      ${round(2)},
+      ${round(3)}
+      SELECT 1 AS merge_rank, l AS "left", r AS "right", pair_count FROM m1
+      UNION ALL SELECT 2, l, r, pair_count FROM m2
+      UNION ALL SELECT 3, l, r, pair_count FROM m3
+      ORDER BY merge_rank"""
+    },
+    doc = "3 BPE merge rounds fully oracle-checked: the argmax-dependent iteration unrolled as chained CTEs, the greedy merge rewrite expressed as boundary-safe string replace — multi-round training crosses the engine boundary")
+
+  val all: Seq[QueryDef] = Seq(q134, q135, q261, q320)
 }

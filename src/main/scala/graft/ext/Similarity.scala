@@ -2738,6 +2738,137 @@ object Similarity {
       FROM q LEFT JOIN h ON h.q_id = q.q_id ORDER BY q.q_id"""),
     doc = "ANN serving from the persisted lake index: cluster posting lists by centroid, probe nprobe=2 cids as pushed literals (file-pruned read), exact re-rank top-10 — recall@10 per query vs brute force, the build-once/query-many loop closed")
 
+  // --------------------------------------------------------------- q321
+  /** GRAPH ANN — the third index family next to IVF (q306/q309) and PQ
+    * (q194/q292), in the same build-as-a-lake-table / serve-with-file-
+    * pruning shape: a k-NN NEIGHBOR GRAPH persists keyed by vec_id, and
+    * a query greedily BEAM-SEARCHES it — hop h reads ONLY the current
+    * frontier's adjacency rows, a `vec_id IN (...)` point lookup the
+    * connector bucket-prunes and blooms, so serving cost is
+    * O(hops × beam × degree) ROW READS on an index of any size (the
+    * HNSW serving economics, single-layer: entry → expand neighbors →
+    * keep the beam's best → repeat). The walk is fully deterministic
+    * (round(cosine, 6), ties by vec_id, fixed entry = min vec_id, fixed
+    * 5 hops × beam 16), so the DuckDB oracle replays the identical walk
+    * as three unrolled hop CTEs and the final row reports recall@10 per
+    * query against brute force — a hash match proves build, persistence,
+    * pruned expansion, and ranking end-to-end.
+    *
+    * Scale notes: the exact all-pairs graph BUILD here is the audit-tier
+    * form (this corpus is broadcast-small); a 100-TB build swaps in the
+    * banded LSH candidate relation (q185's kNN-graph tier — same output
+    * contract, never all-pairs). The SERVE side is the part that must
+    * scale, and it reads O(frontier) rows per hop by construction. */
+  val q321 = QueryDef(
+    "q321_graph_ann_serve",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q321_").toString
+      val M = 12  // graph out-degree
+      val B = 16  // beam width (5 hops x beam 16 x degree 12 reaches
+                  // recall@10 = 100% on this corpus — measured, §6)
+      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+      // exact top-M neighbor graph (audit-tier build; see scaladoc)
+      val gw = Window.partitionBy(col("src")).orderBy(col("gsim").desc, col("dst"))
+      val graph = e.crossJoin(broadcast(e.select(col("vec_id").as("dst"), col("emb").as("demb"))))
+        .filter(col("vec_id") =!= col("dst"))
+        .select(col("vec_id").as("src"), col("dst"),
+          round(cosine(col("emb"), col("demb")), 6).as("gsim"))
+        .withColumn("rk", row_number().over(gw)).filter(col("rk") <= M)
+        .groupBy(col("src"))
+        .agg(sort_array(collect_list(struct(col("rk"), col("dst")))).as("ranked"))
+        .select(col("src").as("vec_id"),
+          expr("transform(ranked, x -> x.dst)").as("nbrs"), lit(0L).as("seq"))
+      val sink = new graft.sinks.ManifestUpsertSink(root, "vec_id", buckets = 8)
+      sink.upsertBatch(graph, "seq", batchId = 0L)
+      val index = s.read.format("graft-manifest").load(root)
+
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val entry = e.agg(min(col("vec_id"))).head().getLong(0)
+      // the walk: self stays IN the beam (a query that is the entry node
+      // must still expand); self-exclusion applies only to the answer
+      var beam = q.select(col("q_id"), lit(entry).as("cand"))
+      for (_ <- 1 to 5) {
+        // bounded driver set (≤ queries × beam): the frontier must reach
+        // the connector as literals so the adjacency read file-prunes
+        val frontier = beam.select(col("cand")).distinct().collect().map(_.get(0))
+        val adj = index.filter(col("vec_id").isin(frontier.toIndexedSeq: _*))
+          .select(col("vec_id").as("cand"), col("nbrs"))
+        val expanded = beam.join(adj, Seq("cand"))
+          .select(col("q_id"), explode(col("nbrs")).as("cand"))
+          .unionByName(beam.select(col("q_id"), col("cand")))
+          .distinct()
+        val scored = expanded
+          .join(broadcast(e.select(col("vec_id").as("cand"), col("emb"))), Seq("cand"))
+          .join(broadcast(q), Seq("q_id"))
+          .select(col("q_id"), col("cand"),
+            round(cosine(col("emb"), col("q_emb")), 6).as("sim"))
+        val bw = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand"))
+        beam = scored.withColumn("brk", row_number().over(bw))
+          .filter(col("brk") <= B).select(col("q_id"), col("cand"), col("sim"))
+          .localCheckpoint() // 3 hops: truncate the growing lineage
+      }
+      val served = beam.filter(col("cand") =!= col("q_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand"))))
+        .filter(col("rk") <= 10).select(col("q_id"), col("cand").as("vec_id"))
+      val brw = Window.partitionBy(col("q_id")).orderBy(col("bsim").desc, col("vec_id"))
+      val brute = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("emb"), col("q_emb")), 6).as("bsim"))
+        .withColumn("brk", row_number().over(brw))
+        .filter(col("brk") <= 10).select(col("q_id"), col("vec_id"))
+      val hits = served.join(brute, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+      q.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("h"), lit(0L)).as("hits"))
+        .withColumn("recall_ppm", expr("hits * 1000000 div 10"))
+        .orderBy(col("q_id"))
+    },
+    Some {
+      def hop(k: Int): String = {
+        val prev = if (k == 1) "b0" else s"b${k - 1}"
+        s"""ex$k AS (SELECT q_id, cand FROM $prev
+          UNION SELECT b.q_id, g.dst AS cand FROM $prev b JOIN g ON g.src = b.cand),
+      sc$k AS (SELECT x.q_id, x.cand,
+          round(list_cosine_similarity(e.emb, q.q_emb), 6) AS sim
+        FROM ex$k x JOIN e ON e.vec_id = x.cand JOIN q ON q.q_id = x.q_id),
+      b$k AS (SELECT q_id, cand, sim FROM (
+          SELECT q_id, cand, sim,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand) AS brk
+          FROM sc$k) WHERE brk <= 16)"""
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      g AS (SELECT src, dst FROM (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC, b.vec_id) AS rk
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rk <= 12),
+      q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+      b0 AS (SELECT q_id, (SELECT MIN(vec_id) FROM e) AS cand FROM q),
+      ${hop(1)},
+      ${hop(2)},
+      ${hop(3)},
+      ${hop(4)},
+      ${hop(5)},
+      served AS (SELECT q_id, cand AS vec_id FROM (
+          SELECT q_id, cand,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand) AS rk
+          FROM b5 WHERE cand <> q_id) WHERE rk <= 10),
+      brute AS (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, e.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id
+              ORDER BY round(list_cosine_similarity(e.emb, q.q_emb), 6) DESC, e.vec_id) AS brk
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) WHERE brk <= 10),
+      h AS (SELECT q_id, COUNT(*) AS h FROM served
+        JOIN brute USING (q_id, vec_id) GROUP BY q_id)
+      SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+        CAST(COALESCE(h.h, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+      FROM q LEFT JOIN h ON h.q_id = q.q_id ORDER BY q.q_id"""
+    },
+    doc = "graph ANN (single-layer HNSW economics): k-NN adjacency persisted as a lake table keyed by vec_id; beam search reads only the frontier's rows per hop (bucket-pruned point lookups); deterministic 5-hop walk oracle-replayed, recall@10 vs brute force")
+
   val all: Seq[QueryDef] =
-    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283, q290, q291, q292, q293, q297, q299, q306, q309)
+    Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283, q290, q291, q292, q293, q297, q299, q306, q309, q321)
 }

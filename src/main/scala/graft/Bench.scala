@@ -175,6 +175,16 @@ object Bench {
   private def runStream(spark: SparkSession, logDir: String, workDir: String,
       n: Int, chunksPerTrigger: Int): String = {
     val (outDir, ckpt) = (s"$workDir/out", s"$workDir/ckpt")
+    // live /stats over the sustained run: the reference README publishes a
+    // sample payload (README.md:20-50); the bench artifact carries OURS,
+    // fetched over HTTP from the real K4 server while the stream runs —
+    // listener, EWMA meters, histograms, and routes all exercised live
+    val statsPair = if (chunksPerTrigger > 0) {
+      val m = new graft.stats.StreamMetrics
+      spark.streams.addListener(m)
+      val srv = new graft.stats.StatsServer(0, "graft-bench", m)
+      Some((m, srv, srv.start()))
+    } else None
     val t0 = System.nanoTime()
     val reader = spark.readStream.format("graft-records")
     val src0 = (if (chunksPerTrigger > 0)
@@ -231,10 +241,21 @@ object Bench {
         Option(p.durationMs.get(ph)).map(_.longValue).getOrElse(0L)).sum
       f""""$ph%s":${ms / 1e3}%.3f"""
     }.mkString("{", ",", "}")
+    // fetch the live payload BEFORE stopping the query (listener events
+    // are async — give the last progress event a beat to land)
+    val statsSample = statsPair.map { case (m, srv, port) =>
+      try {
+        Thread.sleep(200)
+        val in = new java.net.URL(s"http://127.0.0.1:$port/stats").openStream()
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        body.replaceAll("\\s*\\n\\s*", "") // one-line bench JSON contract
+      } finally { srv.stop(); spark.streams.removeListener(m) }
+    }
     q.stop()
     val startupSec = (tStarted - t0) / 1e9
     val sunk = graft.sinks.LineFileSink.read(spark, outDir).count()
-    f"""{"rows":$n,"sunk":$sunk,"sec":$sec%.3f,"rows_per_sec":${n / sec}%.0f,""" +
+    val statsField = statsSample.map(s => s""""stats_sample":$s,""").getOrElse("")
+    f"""{$statsField%s"rows":$n,"sunk":$sunk,"sec":$sec%.3f,"rows_per_sec":${n / sec}%.0f,""" +
       f""""batches":$nBatches,"add_batch_sec":${addBatchMs / 1e3}%.3f,""" +
       f""""pipeline_rows_per_sec":${if (addBatchMs > 0) n * 1000.0 / addBatchMs else 0.0}%.0f,""" +
       f""""steady_rows_per_sec":$steadyRps%.0f,""" +

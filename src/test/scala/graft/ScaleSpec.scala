@@ -157,7 +157,10 @@ class ScaleSpec extends AnyFunSuite {
       "q288_association_rules", // crossJoin(broadcast(1-row user count))
       "q289_anova_f",           // 1-row-to-1-row final reduction
       "q279_recency_weighting", // crossJoin(broadcast(1-row corpus horizon))
-      "q306_persistent_ann_index") // q184's k=4 centroid codebook broadcast (assignTo)
+      "q306_persistent_ann_index", // q184's k=4 centroid codebook broadcast (assignTo)
+      "q321_graph_ann_serve")   // exact kNN-graph BUILD (audit-tier, broadcast side;
+                                // scale build = banded candidates, q185's contract) +
+                                // q309-shape 5-query broadcast brute-force ground truth
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||

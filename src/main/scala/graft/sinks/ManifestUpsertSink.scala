@@ -931,6 +931,25 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     ManifestUpsertSink.vacuum(root, store, math.max(1, keepVersions),
       math.max(1, keepChangeVersions.getOrElse(keepVersions)), orphanGraceMs)
 
+  /** TRUNCATE: commit a new version listing NO files — a pure manifest
+    * edit (zero data I/O; the Iceberg truncate shape), preserving the
+    * (keyCol, buckets, partitionCol) epoch and the rename mapping so the
+    * table keeps its identity and the next merge just starts over. The
+    * truncated rows stay time-travel readable until vacuum. No change
+    * feed (reading every row to emit its image would make truncate
+    * O(table) — subscribers that need deletion images use deleteKeys);
+    * commits `touched = None`, so concurrent writers abort. No-op on an
+    * already-empty (or never-written) table. */
+  def truncate(): Unit = {
+    val cur = latestManifest(root, store).getOrElse(return)
+    healFeed(Some(cur))
+    requireSameBuckets(Some(cur))
+    if (cur.files.isEmpty) return
+    commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
+      Some(keyCol), Seq.empty, touched = None, feed = None,
+      renames = cur.renames, partCol = partitionCol))
+  }
+
   /** RETENTION on a date-partitioned table: commit a new version WITHOUT
     * the files whose partition date precedes `cutoff` (ISO `yyyy-MM-dd`,
     * exclusive) — a pure manifest operation, zero data I/O, the reason

@@ -1397,7 +1397,58 @@ object SinkQueries {
       GROUP BY 1 ORDER BY 1"""),
     doc = "date-partitioned lake (partitionCol alongside key buckets): __pdate layout, partition-pruned reads through the connector, and dropPartitionsBefore retention as a zero-I/O manifest edit")
 
+  // --------------------------------------------------------------- q322
+  private val q322Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The OPERATOR lifecycle through pure SQL — `CALL` maintenance
+    * procedures (Spark 4's native ProcedureCatalog) + `TRUNCATE TABLE`:
+    * ingest three LWW batches, `CALL system.compact` (file counts fold,
+    * spec-pinned), `CALL system.restore` back to v1, `CALL system.vacuum`
+    * the rolled-back history, then read the census. A second scratch
+    * table is TRUNCATEd (a zero-I/O manifest edit) and re-inserted to
+    * prove the epoch survives. The oracle restates what the data must be
+    * after the verb sequence — maintenance must never change rows it
+    * didn't promise to (restore promises exactly the v1 state). */
+  val q322 = QueryDef(
+    "q322_sql_maintenance",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q322_").toString
+      val cat = s"graft_q322_${q322Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.customer(s, d).createOrReplaceTempView("q322_customer")
+      s.sql(s"""CREATE TABLE $cat.bal (key BIGINT, bal DOUBLE, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8')""")
+      s.sql(s"""INSERT INTO $cat.bal
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE), 0L FROM q322_customer""") // v0
+      s.sql(s"""INSERT INTO $cat.bal
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) * 2, 1L
+        FROM q322_customer WHERE c_custkey % 3 = 0""") // v1
+      s.sql(s"""INSERT INTO $cat.bal
+        SELECT c_custkey, 0.0, 2L FROM q322_customer WHERE c_custkey % 5 = 0""") // v2
+      s.sql(s"CALL $cat.system.compact('bal')") // v3: layout only
+      s.sql(s"CALL $cat.system.restore('bal', 1)") // v4 == v1's rows
+      s.sql(s"CALL $cat.system.vacuum('bal', 1)")
+      // TRUNCATE on a scratch table: zero-I/O manifest edit, epoch kept
+      s.sql(s"""CREATE TABLE $cat.scratch (key BIGINT, v DOUBLE, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='2')""")
+      s.sql(s"INSERT INTO $cat.scratch SELECT c_custkey, 1.0, 0L FROM q322_customer")
+      s.sql(s"TRUNCATE TABLE $cat.scratch")
+      s.sql(s"INSERT INTO $cat.scratch VALUES (42, 7.0, 1)")
+      s.sql(s"""SELECT b.key, b.bal, s.v
+        FROM $cat.bal b LEFT JOIN $cat.scratch s ON s.key = b.key
+        ORDER BY b.key""")
+    },
+    Some("""WITH base AS (SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS bal
+        FROM customer),
+      v1 AS (SELECT key, CASE WHEN key % 3 = 0 THEN bal * 2 ELSE bal END AS bal
+        FROM base)
+      SELECT key, bal, CASE WHEN key = 42 THEN 7.0 ELSE NULL END AS v
+      FROM v1 ORDER BY key"""),
+    doc = "SQL CALL maintenance procedures + TRUNCATE TABLE: compact (layout-only), restore (exactly v1's rows), vacuum (history reclaim), truncate (zero-I/O manifest edit, epoch kept) — the operator surface with zero Scala, data provably preserved")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
     q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319,
-    q214, q215, q216, q228)
+    q322, q214, q215, q216, q228)
 }

@@ -41,7 +41,19 @@ import graft.sinks.{ManifestUpsertSink, TableStore}
   * file skipping, and bucket pruning as every other surface, and writes
   * run the same committed MERGE protocol — a catalog table can never
   * behave differently from a path table. */
-class ManifestCatalog extends TableCatalog {
+class ManifestCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** Maintenance verbs behind SQL `CALL` (see [[ManifestProcedures]]):
+    * compaction, clustering, z-order, vacuum, restore, partition expiry
+    * — the operator surface, no Scala required. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    ManifestProcedures.load(name => tableDir(Identifier.of(Array.empty, name)),
+      normalize(ident).name)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    ManifestProcedures.names.map(Identifier.of(namespace, _)).toArray
 
   private var catalogName: String = _
   private var root: String = _

@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+import graft.sinks.ManifestUpsertSink
+
+/** SQL `CALL` procedures for manifest-lake maintenance — the verbs a
+  * warehouse operator runs on a schedule (compaction, clustering,
+  * retention, rollback), exposed through Spark 4's native
+  * ProcedureCatalog so a deployment needs no Scala at all:
+  *
+  * {{{
+  *   CALL graft.system.compact('events')
+  *   CALL graft.system.compact_incremental('events', 4)
+  *   CALL graft.system.cluster('events', 'price', 16)
+  *   CALL graft.system.zorder('events', 'price,size', 16)
+  *   CALL graft.system.vacuum('events', 2)
+  *   CALL graft.system.restore('events', 3)
+  *   CALL graft.system.expire_partitions('events', '2024-01-01')
+  * }}}
+  *
+  * Each call binds the sink from the COMMITTED manifest (keyCol /
+  * buckets / partitionCol are the table's, never the caller's), runs the
+  * same Scala-API operation every other surface uses, and returns one
+  * row — the table's post-call (version, n_files) — so operators see the
+  * effect without a second query. The namespace segment is conventional
+  * ("system"); any spelling resolves. */
+private[graft] object ManifestProcedures {
+
+  private val Table = ProcedureParameter.in("table", StringType).build()
+
+  private final case class Spec(name: String, params: Seq[ProcedureParameter],
+      run: (SparkSession, String, InternalRow) => Unit)
+
+  private def specs(tableDir: String => String): Seq[Spec] = Seq(
+    Spec("compact", Seq(Table),
+      (s, root, _) => sinkFor(root).compact(s)),
+    Spec("compact_incremental", Seq(Table,
+        ProcedureParameter.in("min_files", IntegerType).build()),
+      (s, root, in) => sinkFor(root).compactIncremental(s, in.getInt(1))),
+    Spec("cluster", Seq(Table,
+        ProcedureParameter.in("cols", StringType).build(),
+        ProcedureParameter.in("slices", IntegerType).build()),
+      (s, root, in) => sinkFor(root).compactClustered(s,
+        in.getUTF8String(1).toString.split(",").map(_.trim).toSeq, in.getInt(2))),
+    Spec("zorder", Seq(Table,
+        ProcedureParameter.in("cols", StringType).build(),
+        ProcedureParameter.in("slices", IntegerType).build()),
+      (s, root, in) => sinkFor(root).compactZOrder(s,
+        in.getUTF8String(1).toString.split(",").map(_.trim).toSeq, in.getInt(2))),
+    Spec("vacuum", Seq(Table,
+        ProcedureParameter.in("keep_versions", IntegerType).build()),
+      (_, root, in) => sinkFor(root).vacuum(keepVersions = in.getInt(1))),
+    Spec("restore", Seq(Table,
+        ProcedureParameter.in("version", LongType).build()),
+      (s, root, in) => { sinkFor(root).restore(s, in.getLong(1)); () }),
+    Spec("expire_partitions", Seq(Table,
+        ProcedureParameter.in("cutoff", StringType).build()),
+      (s, root, in) => sinkFor(root).dropPartitionsBefore(s,
+        in.getUTF8String(1).toString)))
+
+  def names: Seq[String] = specs(identity).map(_.name)
+
+  def load(tableDir: String => String, name: String): UnboundProcedure = {
+    val spec = specs(tableDir).find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure $name — have ${names.mkString(", ")}"))
+    new UnboundProcedure {
+      override def name(): String = spec.name
+      override def description(): String = s"graft-manifest maintenance: ${spec.name}"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = spec.name
+        override def description(): String = s"graft-manifest maintenance: ${spec.name}"
+        override def parameters(): Array[ProcedureParameter] = spec.params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = tableDir(input.getUTF8String(0).toString)
+          spec.run(SparkSession.active, root, input)
+          // one status row: the table's post-call head — vacuum can leave
+          // the same version, every other verb commits a new one
+          val m = ManifestUpsertSink.latestManifest(root)
+          val row: InternalRow = new GenericInternalRow(Array[Any](
+            m.map(_.version).getOrElse(-1L), m.map(_.files.size.toLong).getOrElse(0L)))
+          val scan: Scan = new LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = StructType(Seq(
+              StructField("version", LongType, nullable = false),
+              StructField("n_files", LongType, nullable = false)))
+          }
+          Collections.singletonList(scan).iterator()
+        }
+      }
+    }
+  }
+
+  /** The sink bound from the COMMITTED manifest — procedures always act
+    * with the table's own layout. */
+  private def sinkFor(root: String): ManifestUpsertSink = {
+    val m = ManifestUpsertSink.latestManifest(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $root"))
+    val key = m.keyCol.getOrElse(throw new IllegalStateException(
+      s"table at $root predates the keyCol header — maintain via the Scala API"))
+    new ManifestUpsertSink(root, key, m.buckets.getOrElse(16), m.partCol)
+  }
+}

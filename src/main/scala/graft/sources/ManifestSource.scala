@@ -491,6 +491,19 @@ object ManifestSource {
       else filters.map(setOf).reduce((a, b) => for (x <- a; y <- b) yield x & y)
     }
 
+    /** SQL `TRUNCATE TABLE`: a pure manifest edit — commit a version
+      * listing no files (epoch and renames preserved, history time-
+      * travels until vacuum; see [[ManifestUpsertSink.truncate]]). */
+    override def truncateTable(): Boolean = {
+      val root = options.get("path")
+      val cur = ManifestUpsertSink.latestManifest(root).getOrElse(return true)
+      val keyCol = cur.keyCol.getOrElse(throw new IllegalStateException(
+        s"table at $root predates the keyCol header — truncate via the Scala API"))
+      new ManifestUpsertSink(root, keyCol, cur.buckets.getOrElse(16), cur.partCol)
+        .truncate()
+      true
+    }
+
     override def schema(): StructType = tableSchema
 
     override def capabilities(): util.Set[TableCapability] = {

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ManifestUpsertSink
+import graft.sources.ManifestCatalog
+
+/** SQL `CALL` maintenance procedures + `TRUNCATE TABLE` on manifest-lake
+  * tables: the operator surface — compaction, clustering, vacuum,
+  * restore, partition expiry — reachable with zero Scala, each call
+  * running the same committed Scala-API operation and returning the
+  * table's post-call (version, n_files). */
+class ManifestProcedureSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val catSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def withCatalog[A](f: (String, String) => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("graft_proc_").toString
+    val cat = s"graft_proc${catSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    f(cat, root)
+  }
+
+  /** Batches insert DISJOINT id ranges (b*100+i) so per-batch files
+    * accumulate per bucket — the shape compaction exists for. */
+  private def seed(cat: String, rows: Int = 40, batches: Int = 3): Unit = {
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, p STRING, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4')""")
+    for (b <- 1 to batches)
+      spark.sql(s"INSERT INTO $cat.t VALUES " +
+        (1 to rows).map(i => s"(${b * 100 + i}, 'b$b-$i', $b)").mkString(", "))
+  }
+
+  test("CALL compact folds per-batch files and returns the post-call (version, n_files)") {
+    withCatalog { (cat, root) =>
+      seed(cat)
+      val before = ManifestUpsertSink.snapshotManifest(s"$root/t", None)
+      assert(before.files.size > 4, "3 merges leave several part files per touched bucket")
+      val res = spark.sql(s"CALL $cat.system.compact('t')")
+        .as[(Long, Long)].collect().toSeq
+      val after = ManifestUpsertSink.snapshotManifest(s"$root/t", None)
+      assert(res == Seq((after.version, after.files.size.toLong)),
+        "the status row is the table's post-call head")
+      assert(after.version == before.version + 1)
+      assert(after.files.size == 4, "full compact = one file per bucket")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 120)
+    }
+  }
+
+  test("CALL vacuum reclaims history; CALL restore rolls back; both through SQL only") {
+    withCatalog { (cat, root) =>
+      seed(cat)
+      // v0/v1/v2 = the three inserts; restore to v1 drops batch 3's keys
+      spark.sql(s"CALL $cat.system.restore('t', 1)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 80)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE id = 307").as[Long].head() == 0,
+        "batch 3's keys are rolled back")
+      // vacuum to the live version only: time travel past it dies
+      spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+      intercept[Exception] {
+        ManifestUpsertSink.readVersion(spark, s"$root/t", 2L).collect()
+      }
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 80,
+        "the live snapshot survives vacuum")
+    }
+  }
+
+  test("CALL cluster/zorder rewrite the layout; expire_partitions drops old dates") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"""CREATE TABLE $cat.ev (id BIGINT, day DATE, v DOUBLE, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='2', 'partCol'='day')""")
+      spark.sql(s"INSERT INTO $cat.ev SELECT id, DATE'2024-01-01' + CAST(id % 4 AS INT), " +
+        s"CAST(id AS DOUBLE), 0 FROM range(200)")
+      spark.sql(s"CALL $cat.system.zorder('ev', 'v,id', 8)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ev").as[Long].head() == 200,
+        "z-order rewrite preserves rows")
+      spark.sql(s"CALL $cat.system.expire_partitions('ev', '2024-01-03')")
+      val parts = ManifestUpsertSink.snapshotManifest(s"$root/ev", None)
+        .files.flatMap(f => ManifestUpsertSink.partOf(f.path)).distinct.sorted
+      assert(parts == Seq("2024-01-03", "2024-01-04"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ev").as[Long].head() == 100)
+      // unknown procedure refuses loudly (Spark wraps the cause as
+      // FAILED_TO_LOAD_ROUTINE; the cause carries the available list)
+      intercept[Exception] { spark.sql(s"CALL $cat.system.nope('ev')") }
+    }
+  }
+
+  test("TRUNCATE TABLE: metadata-only empty version, epoch preserved, history until vacuum") {
+    withCatalog { (cat, root) =>
+      seed(cat, rows = 30, batches = 1)
+      val before = ManifestUpsertSink.snapshotManifest(s"$root/t", None)
+      val sc = spark.sparkContext
+      sc.setJobGroup("trunc", "trunc")
+      spark.sql(s"TRUNCATE TABLE $cat.t")
+      val truncJobs = sc.statusTracker.getJobIdsForGroup("trunc").length
+      sc.clearJobGroup()
+      // the statement machinery may run one empty command job; the table's
+      // data is provably untouched (no scan could finish in it — and the
+      // manifest edit is the only filesystem effect, asserted below)
+      assert(truncJobs <= 1, s"truncate must not scan the table: $truncJobs jobs")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 0)
+      val m = ManifestUpsertSink.manifestAt(s"$root/t", before.version + 1).get
+      assert(m.files.isEmpty && m.keyCol == before.keyCol && m.buckets == before.buckets)
+      // history intact; the next merge starts over under the same epoch
+      assert(ManifestUpsertSink.readVersion(spark, s"$root/t", before.version).count() == 30)
+      assert(m.partCol.isEmpty)
+      spark.sql(s"INSERT INTO $cat.t VALUES (1, 'again', 9)")
+      assert(spark.sql(s"SELECT p FROM $cat.t").as[String].collect().toSeq == Seq("again"))
+    }
+  }
+}

@@ -36,6 +36,32 @@ private[graft] object ManifestProcedures {
 
   private val Table = ProcedureParameter.in("table", StringType).build()
 
+  /** `CALL graft.system.history('t')` — DESCRIBE HISTORY as a procedure:
+    * one row per un-vacuumed version (commit stamp, replay-guard batch
+    * id, layout pair, file count, feed/rename flags), straight off the
+    * manifest log, no data files touched. */
+  private def historyRows(root: String): Array[InternalRow] =
+    ManifestUpsertSink.committedVersions(root)
+      .flatMap(v => ManifestUpsertSink.manifestAt(root, v)).map { m =>
+        new GenericInternalRow(Array[Any](
+          m.version, m.ts.map(Long.box).orNull, m.batchId,
+          m.keyCol.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+          m.buckets.map(b => Long.box(b.toLong)).orNull,
+          m.partCol.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+          m.files.size.toLong, m.feed.isDefined, m.renames.nonEmpty)): InternalRow
+      }.toArray
+
+  private val HistorySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("ts", LongType),
+    StructField("batch_id", LongType, nullable = false),
+    StructField("key_col", StringType),
+    StructField("buckets", LongType),
+    StructField("partition_col", StringType),
+    StructField("n_files", LongType, nullable = false),
+    StructField("has_change_feed", BooleanType, nullable = false),
+    StructField("has_renames", BooleanType, nullable = false)))
+
   private final case class Spec(name: String, params: Seq[ProcedureParameter],
       run: (SparkSession, String, InternalRow) => Unit)
 
@@ -66,9 +92,10 @@ private[graft] object ManifestProcedures {
       (s, root, in) => sinkFor(root).dropPartitionsBefore(s,
         in.getUTF8String(1).toString)))
 
-  def names: Seq[String] = specs(identity).map(_.name)
+  def names: Seq[String] = specs(identity).map(_.name) :+ "history"
 
   def load(tableDir: String => String, name: String): UnboundProcedure = {
+    if (name == "history") return historyProcedure(tableDir)
     val spec = specs(tableDir).find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
         s"unknown procedure $name — have ${names.mkString(", ")}"))
@@ -99,6 +126,26 @@ private[graft] object ManifestProcedures {
       }
     }
   }
+
+  private def historyProcedure(tableDir: String => String): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "history"
+      override def description(): String = "manifest log as rows (DESCRIBE HISTORY)"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = "history"
+        override def description(): String = "manifest log as rows (DESCRIBE HISTORY)"
+        override def parameters(): Array[ProcedureParameter] = Array(Table)
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val root = tableDir(input.getUTF8String(0).toString)
+          val scan: Scan = new LocalScan {
+            override def rows(): Array[InternalRow] = historyRows(root)
+            override def readSchema(): StructType = HistorySchema
+          }
+          Collections.singletonList(scan).iterator()
+        }
+      }
+    }
 
   /** The sink bound from the COMMITTED manifest — procedures always act
     * with the table's own layout. */

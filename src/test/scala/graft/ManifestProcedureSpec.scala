@@ -86,6 +86,16 @@ class ManifestProcedureSpec extends AnyFunSuite {
       // unknown procedure refuses loudly (Spark wraps the cause as
       // FAILED_TO_LOAD_ROUTINE; the cause carries the available list)
       intercept[Exception] { spark.sql(s"CALL $cat.system.nope('ev')") }
+      // DESCRIBE HISTORY as a procedure: one row per committed version,
+      // straight off the manifest log
+      val hist = spark.sql(s"CALL $cat.system.history('ev')")
+        .select("version", "n_files", "partition_col").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      // CREATE TABLE writes only catalog properties — commits start at
+      // the first INSERT: insert(v0), zorder(v1), expire(v2)
+      assert(hist.length == 3, s"insert/zorder/expire = 3 versions: ${hist.toSeq}")
+      assert(hist.forall(_._3 == "day"))
+      assert(hist.map(_._1).toSeq == hist.map(_._1).toSeq.sorted)
     }
   }
 

@@ -131,6 +131,39 @@ class ManifestRowLevelSpec extends AnyFunSuite {
     }
   }
 
+  test("a failing MERGE aborts cleanly: no staged delta survives, the table is untouched") {
+    import spark.implicits._
+    withCatalog { (cat, root) =>
+      seed(cat)
+      val before = ManifestUpsertSink.snapshotManifest(s"$root/t", None)
+      // two source rows match one target key -> Spark's MERGE cardinality
+      // check throws mid-execution; the delta write must abort
+      Seq((1L, 1.0, 1L), (1L, 2.0, 2L)).toDF("id", "bal", "seq")
+        .createOrReplaceTempView("rlo_dup")
+      intercept[Exception] {
+        spark.sql(s"""MERGE INTO $cat.t AS t USING rlo_dup AS s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET t.bal = s.bal, t.seq = s.seq""")
+      }
+      val after = ManifestUpsertSink.snapshotManifest(s"$root/t", None)
+      assert(after.version == before.version, "no commit from an aborted statement")
+      assert(!new java.io.File(s"$root/t/_stage").exists(),
+        "the aborted statement's staged delta must be cleaned up")
+      assert(spark.sql(s"SELECT sum(bal) FROM $cat.t").as[Double].head()
+        == (1L to 12L).map(_ * 10.0).sum, "rows unchanged")
+    }
+  }
+
+  test("INSERT of a NULL key refuses loudly (the key is non-nullable by contract)") {
+    withCatalog { (cat, root) =>
+      seed(cat)
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.t VALUES (NULL, 'x', 0.0, 9)")
+      }
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0).getLong(0) == 12L,
+        "a refused null-key insert must not land rows")
+    }
+  }
+
   test("MERGE INTO whose source only inserts commits a single merge version") {
     import spark.implicits._
     withCatalog { (cat, root) =>

@@ -98,6 +98,37 @@ class ManifestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE RENAME COLUMN: metadata-only; SQL reads refuse until CALL compact; orderCol renames keep INSERT working") {
+    import spark.implicits._
+    withCatalog { (cat, root) =>
+      spark.sql(s"""CREATE TABLE $cat.ev (id BIGINT, p STRING, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4')""")
+      spark.sql(s"INSERT INTO $cat.ev VALUES (1, 'a', 1), (2, 'b', 1)")
+      spark.sql(s"ALTER TABLE $cat.ev RENAME COLUMN p TO payload")
+      // the committed mapping is live but un-materialized: the SQL read
+      // path refuses with the materialization step named
+      val e = intercept[Exception] { spark.sql(s"SELECT * FROM $cat.ev").collect() }
+      assert(e.getMessage.contains("compact"), e.getMessage)
+      spark.sql(s"CALL $cat.system.compact('ev')")
+      assert(spark.sql(s"SELECT payload FROM $cat.ev WHERE id = 1").as[String].head() == "a")
+      // renaming the ORDER column must keep catalog INSERTs merging
+      spark.sql(s"ALTER TABLE $cat.ev RENAME COLUMN seq TO version")
+      spark.sql(s"CALL $cat.system.compact('ev')")
+      spark.sql(s"INSERT INTO $cat.ev VALUES (1, 'a2', 2)")
+      assert(spark.sql(s"SELECT payload FROM $cat.ev WHERE id = 1").as[String].head() == "a2")
+      // a created-but-never-written table renames instantly (declared
+      // schema only — nothing to materialize)
+      spark.sql(s"""CREATE TABLE $cat.empty (k BIGINT, v STRING, s BIGINT)
+        TBLPROPERTIES ('keyCol'='k', 'orderCol'='s', 'buckets'='2')""")
+      spark.sql(s"ALTER TABLE $cat.empty RENAME COLUMN v TO w")
+      assert(spark.sql(s"SELECT w FROM $cat.empty").count() == 0)
+      // everything else refuses loudly
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN extra STRING")
+      }
+    }
+  }
+
   test("tables built by the Scala API are visible and queryable through the catalog") {
     import spark.implicits._
     withCatalog { (cat, root) =>

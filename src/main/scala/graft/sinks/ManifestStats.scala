@@ -70,7 +70,12 @@ object ManifestStats {
     * Long ('L'), Double ('D'), or Array[Byte] ('S'). */
   final case class ColStats(kind: Char, min: Option[Any], max: Option[Any], nulls: Option[Long])
 
-  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+  /** `bytes` = the file's on-disk length (-1 = unknown, pre-bytes
+    * sidecars) — collected with the footer stats so the DSv2 scan can
+    * report POST-PRUNING sizeInBytes/rowCount to Spark's planner
+    * (auto-broadcast of small/pruned sides) with zero planning-time
+    * filesystem calls. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats], bytes: Long = -1L)
 
   // ------------------------------------------------------------ collect
 
@@ -130,7 +135,7 @@ object ManifestStats {
             case None => ()
           }
         }
-        Some(FileStats(rows, perCol.toMap))
+        Some(FileStats(rows, perCol.toMap, in.getLength))
       } finally reader.close()
     } catch { case NonFatal(_) => None }
 
@@ -219,15 +224,18 @@ object ManifestStats {
     * unpruned scan, never rows. */
   val FormatVersion = 2
 
-  /** Sidecar text form. `V<TAB>2` version line, then `F<TAB>path<TAB>rows`
-    * per file, then
+  /** Sidecar text form. `V<TAB>2` version line, then
+    * `F<TAB>path<TAB>rows<TAB>bytes` per file (bytes ADDITIVE within v2 —
+    * -1 = unknown, and the decoder accepts the old 3-field form, so
+    * carried-forward lines from pre-bytes sidecars keep pruning), then
     * `C<TAB>path<TAB>col<TAB>kind<TAB>nulls<TAB>min<TAB>max` per column
     * ('S' values base64; nulls -1 = unknown; empty min/max = unknown). */
   def encode(stats: Map[String, FileStats]): String = {
     val sb = new StringBuilder
     sb.append("V\t").append(FormatVersion).append('\n')
     for ((path, fs) <- stats.toSeq.sortBy(_._1)) {
-      sb.append("F\t").append(path).append('\t').append(fs.rows).append('\n')
+      sb.append("F\t").append(path).append('\t').append(fs.rows)
+        .append('\t').append(fs.bytes).append('\n')
       for ((col, cs) <- fs.cols.toSeq.sortBy(_._1)) {
         sb.append("C\t").append(path).append('\t').append(enc(col))
           .append('\t').append(cs.kind)
@@ -246,14 +254,15 @@ object ManifestStats {
     * must cost speed, not correctness. */
   def decode(text: String): Map[String, FileStats] =
     try {
-      val files = scala.collection.mutable.LinkedHashMap[String, Long]()
+      val files = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
       val cols = scala.collection.mutable.Map[String, Map[String, ColStats]]()
         .withDefaultValue(Map.empty)
       val lines = text.linesIterator.filter(_.nonEmpty)
       if (!lines.hasNext || lines.next() != s"V\t$FormatVersion")
         return Map.empty // pre-versioning or foreign-version sidecar: discard
       for (line <- lines) line.split("\t", -1) match {
-        case Array("F", path, rows) => files(path) = rows.toLong
+        case Array("F", path, rows) => files(path) = (rows.toLong, -1L)
+        case Array("F", path, rows, bytes) => files(path) = (rows.toLong, bytes.toLong)
         case Array("C", path, col, kind, nulls, mn, mx) =>
           val k = kind.charAt(0)
           cols(path) = cols(path) + (dec(col) -> ColStats(k,
@@ -262,7 +271,7 @@ object ManifestStats {
             if (nulls == "-1") None else Some(nulls.toLong)))
         case _ => throw new IllegalArgumentException(s"bad stats line: $line")
       }
-      files.map { case (p, r) => p -> FileStats(r, cols(p)) }.toMap
+      files.map { case (p, (r, b)) => p -> FileStats(r, cols(p), b) }.toMap
     } catch { case NonFatal(_) => Map.empty }
 
   private def enc(s: String): String =

@@ -1448,7 +1448,151 @@ object SinkQueries {
       FROM v1 ORDER BY key"""),
     doc = "SQL CALL maintenance procedures + TRUNCATE TABLE: compact (layout-only), restore (exactly v1's rows), vacuum (history reclaim), truncate (zero-I/O manifest edit, epoch kept) — the operator surface with zero Scala, data provably preserved")
 
+  // --------------------------------------------------------------- q323
+  /** LAKE STAR JOIN with NO hints: a per-customer spend fact table and
+    * two dimension tables (customer state, nation), all manifest-lake,
+    * joined through the connector. The plan quality is the point — the
+    * scan now implements `SupportsReportStatistics` (post-pruning
+    * size/rows straight from the commit-time sidecar), so Spark
+    * AUTO-BROADCASTS both dims (ManifestSkippingSpec pins
+    * `BroadcastHashJoinExec` in the STATIC plan, before AQE could rescue
+    * it) and `SupportsRuntimeFiltering` lets a selective dim hand the
+    * fact scan a join-time IN-set that drops whole buckets' files —
+    * without these, every lake join is an unsized-v2 shuffle join at
+    * 100 TB (the planner assumes Long.Max for unsized scans). The oracle
+    * restates the star relationally over the raw tables. */
+  val q323 = QueryDef(
+    "q323_lake_star_join",
+    (s, d) => {
+      val root1 = Files.createTempDirectory("graft_q323f_").toString
+      val root2 = Files.createTempDirectory("graft_q323c_").toString
+      val root3 = Files.createTempDirectory("graft_q323n_").toString
+      // fact: per-customer spend rolled up from orders, keyed by cust
+      val spend = Tables.orders(s, d).groupBy(col("o_custkey").as("cust"))
+        .agg(sum(col("o_totalprice").cast("decimal(28,10)")).cast("double").as("spend"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("seq", lit(0L))
+      new ManifestUpsertSink(root1, "cust", buckets = 8)
+        .upsertBatch(spend, "seq", batchId = 0L)
+      new ManifestUpsertSink(root2, "cust", buckets = 4).upsertBatch(
+        Tables.customer(s, d).select(col("c_custkey").as("cust"),
+          col("c_nationkey").as("nation"), col("c_mktsegment").as("mkt"),
+          lit(0L).as("seq")),
+        "seq", batchId = 0L)
+      new ManifestUpsertSink(root3, "nkey", buckets = 1).upsertBatch(
+        Tables.nation(s, d).select(col("n_nationkey").as("nkey"),
+          col("n_name").as("nname"), lit(0L).as("seq")),
+        "seq", batchId = 0L)
+      val fact = s.read.format("graft-manifest").load(root1)
+      val cust = s.read.format("graft-manifest").load(root2)
+      val nat = s.read.format("graft-manifest").load(root3)
+      fact.join(cust, "cust")
+        .join(nat, cust("nation") === nat("nkey"))
+        .filter(col("mkt") === "BUILDING")
+        .groupBy(col("nname"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("spend").cast("decimal(28,10)")).cast("double").as("total_spend"),
+          sum(col("n_orders")).as("total_orders"))
+        .orderBy(col("nname"))
+    },
+    Some("""WITH spend AS (
+        SELECT o_custkey AS cust,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS spend,
+          COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey)
+      SELECT n.n_name AS nname, COUNT(*) AS n_cust,
+        CAST(SUM(CAST(f.spend AS DECIMAL(28,10))) AS DOUBLE) AS total_spend,
+        CAST(SUM(f.n_orders) AS BIGINT) AS total_orders
+      FROM spend f
+      JOIN customer c ON c.c_custkey = f.cust
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY n.n_name ORDER BY nname"""),
+    doc = "lake star join, zero hints: SupportsReportStatistics (post-pruning sidecar size/rows) auto-broadcasts the dims; SupportsRuntimeFiltering bucket-prunes the fact from the join's runtime IN-set — the two planner contracts that keep a 100-TB star join off the shuffle path")
+
+  // --------------------------------------------------------------- q324
+  private val q324Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** ZERO-I/O column rename SERVED LIVE through SQL: `ALTER TABLE RENAME
+    * COLUMN` commits a metadata-only mapping (same files), the next
+    * INSERT merges rows under the NEW physical name — a genuinely
+    * mixed-vintage table — and the SELECT reads it IMMEDIATELY: the
+    * connector's rename-folding scan coalesces old/new physical columns
+    * per row (Delta/Iceberg column-mapping parity; compaction remains the
+    * vectorization optimization, not a read prerequisite). The oracle
+    * restates the rename+merge as plain algebra over the raw table; a
+    * hash match proves no row, value, or vintage is lost or nulled. */
+  val q324 = QueryDef(
+    "q324_sql_rename_serve",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q324_").toString
+      val cat = s"graft_q324_${q324Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.part(s, d).createOrReplaceTempView("q324_part")
+      s.sql(s"""CREATE TABLE $cat.pp (key BIGINT, price DOUBLE, sz BIGINT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8')""")
+      s.sql(s"""INSERT INTO $cat.pp
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE), CAST(p_size AS BIGINT), 0L
+        FROM q324_part""")
+      s.sql(s"ALTER TABLE $cat.pp RENAME COLUMN price TO retail")
+      // merge UNDER the new name while the mapping is live: the touched
+      // buckets rewrite under `retail`, untouched buckets keep `price`
+      // physically — the read below spans both vintages
+      s.sql(s"""INSERT INTO $cat.pp
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE) + 5.0, CAST(p_size AS BIGINT), 1L
+        FROM q324_part WHERE p_partkey % 4 = 0""")
+      s.sql(s"SELECT key, retail, sz FROM $cat.pp ORDER BY key")
+    },
+    Some("""SELECT p_partkey AS key,
+        CASE WHEN p_partkey % 4 = 0 THEN CAST(p_retailprice AS DOUBLE) + 5.0
+             ELSE CAST(p_retailprice AS DOUBLE) END AS retail,
+        CAST(p_size AS BIGINT) AS sz
+      FROM part ORDER BY key"""),
+    doc = "metadata-only RENAME COLUMN served live through SQL: rename-folding scan coalesces mixed physical vintages per row (column-mapping parity), merges continue under the new name, compaction stays an optimization")
+
+  // --------------------------------------------------------------- q325
+  private val q325Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `CALL system.detail('t')` — DESCRIBE DETAIL from the manifest log +
+    * stats sidecar: committed layout pair, file/row totals, partition
+    * census, version count — the same commit-time metadata the scan's
+    * `SupportsReportStatistics` feeds the planner, made SQL-visible with
+    * ZERO data-file reads. The oracle restates the deterministic facts
+    * (layout literals, the LWW row count) relationally; file counts and
+    * byte totals vary with write parallelism and are deliberately left
+    * out of the checked projection. */
+  val q325 = QueryDef(
+    "q325_sql_describe_detail",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q325_").toString
+      val cat = s"graft_q325_${q325Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.customer(s, d).createOrReplaceTempView("q325_customer")
+      s.sql(s"""CREATE TABLE $cat.bal (key BIGINT, bal DOUBLE, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8')""")
+      s.sql(s"""INSERT INTO $cat.bal
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE), 0L FROM q325_customer""") // v0
+      s.sql(s"""INSERT INTO $cat.bal
+        SELECT c_custkey + 1000000, 0.0, 1L FROM q325_customer
+        WHERE c_custkey % 10 = 0""") // v1: pure inserts
+      s.sql(s"CALL $cat.system.detail('bal')")
+        .select(col("key_col"), col("buckets"), col("partition_col"),
+          col("total_rows"), col("n_partitions"), col("n_versions"),
+          col("has_renames"))
+    },
+    Some("""SELECT 'key' AS key_col, CAST(8 AS BIGINT) AS buckets,
+        CAST(NULL AS VARCHAR) AS partition_col,
+        (SELECT COUNT(*) + COUNT(*) FILTER (c_custkey % 10 = 0) FROM customer)
+          AS total_rows,
+        CAST(0 AS BIGINT) AS n_partitions, CAST(2 AS BIGINT) AS n_versions,
+        FALSE AS has_renames"""),
+    doc = "CALL system.detail: DESCRIBE DETAIL off the manifest log + stats sidecar (layout pair, sidecar row totals, partition census, version count) — the planner's SupportsReportStatistics inputs made SQL-visible, zero data reads")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
     q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319,
-    q322, q214, q215, q216, q228)
+    q322, q323, q324, q325, q214, q215, q216, q228)
 }

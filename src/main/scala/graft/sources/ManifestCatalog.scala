@@ -158,14 +158,15 @@ class ManifestCatalog extends TableCatalog
 
   /** `ALTER TABLE t RENAME COLUMN a TO b` — the sink's METADATA-ONLY
     * rename (a committed mapping header over the same files; zero data
-    * I/O). The SQL read path refuses un-materialized mappings by design
-    * (its parquet delegate binds physically), so the SQL-only sequence is
-    * `ALTER ... RENAME COLUMN; CALL system.compact('t'); SELECT ...` —
-    * the error message names the step. Catalog properties (keyCol /
-    * orderCol / partCol / schemaDDL) are re-spelled in step, so INSERTs
-    * keep finding their LWW order column. Other ALTER changes refuse:
-    * additive evolution is merge-time (write the new column), everything
-    * else is a maintenance commit, not a catalog edit. */
+    * I/O). SQL reads serve the live mapping IMMEDIATELY — the connector's
+    * rename-folding scan coalesces physical vintages per row — and the
+    * next `CALL system.compact('t')` materializes it physically (the
+    * vectorized-scan optimization, not a read prerequisite). Catalog
+    * properties (keyCol / orderCol / partCol / schemaDDL) are re-spelled
+    * in step, so INSERTs keep finding their LWW order column. Other
+    * ALTER changes refuse: additive evolution is merge-time (write the
+    * new column), everything else is a maintenance commit, not a catalog
+    * edit. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
@@ -185,20 +186,7 @@ class ManifestCatalog extends TableCatalog
         s"ALTER TABLE ${c.getClass.getSimpleName}: unsupported — add columns by writing " +
           "them (additive merge-time evolution); recluster/restore via CALL procedures")
     }
-    // the renamed table is deliberately unreadable through SQL until the
-    // mapping materializes (CALL system.compact) — return a placeholder
-    // rather than trip the read refusal inside the DDL itself
-    try loadTable(ident) catch {
-      case e: IllegalStateException
-          if e.getMessage != null && e.getMessage.contains("un-materialized") =>
-        new Table {
-          override def name(): String = s"graft-manifest:$dir (rename pending compaction)"
-          override def schema(): StructType = new StructType()
-          override def capabilities()
-              : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
-            util.Collections.emptySet()
-        }
-    }
+    loadTable(ident)
   }
 
   /** Re-spell `old` → `nu` across the catalog-properties file: the

@@ -7,9 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering, Statistics => V2Statistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -126,14 +126,8 @@ final class ManifestSource extends TableProvider with DataSourceRegister
         Resolved(Seq.empty, Map.empty, None)
       case None =>
         val m = snapshotAllowEmpty(root, resolveVersionOpt(root, options))
-        if (m.renames.nonEmpty)
-          throw new IllegalStateException(
-            s"table at $root (v${m.version}) carries an un-materialized column-rename " +
-              s"mapping (${m.renames.map { case (p, l) => s"$p->$l" }.mkString(", ")}) — " +
-              "the SQL connector binds columns by physical name; compact() to " +
-              "materialize the rename, or read via the Scala API which applies it")
         Resolved(m.files, ManifestUpsertSink.loadStats(root, m.version),
-          for (k <- m.keyCol; b <- m.buckets) yield (k, b), m.partCol)
+          for (k <- m.keyCol; b <- m.buckets) yield (k, b), m.partCol, m.renames)
     }
   }
 
@@ -200,7 +194,13 @@ final class ManifestSource extends TableProvider with DataSourceRegister
           }
         if (paths.isEmpty)
           Option(options.get("schemaDDL")).map(StructType.fromDDL).getOrElse(new StructType())
-        else parquetTable(options, paths, None).schema
+        else
+          // the union footer schema is PHYSICAL (mixed vintages until a
+          // compaction materializes a live rename); the SQL surface
+          // speaks logical names, so the mapping folds here exactly as
+          // the Scala read path folds columns
+          applyRenamesSchema(parquetTable(options, paths, None).schema,
+            resolved.renames)
       }
     // the key column is non-nullable BY CONTRACT — it is the merge/bucket
     // key every verb routes on, and the row identity the SQL row-level
@@ -331,11 +331,13 @@ final class ManifestSource extends TableProvider with DataSourceRegister
 object ManifestSource {
 
   /** A resolved read: the snapshot's (bucket, path) entries, its stats
-    * sidecar, and — when the manifest records them — the (keyCol,
-    * buckets) pair that enables bucket pruning. */
+    * sidecar, when the manifest records them the (keyCol, buckets) pair
+    * that enables bucket pruning, and the snapshot's live column-rename
+    * mapping (physical → logical, fold order) the scan must apply. */
   final case class Resolved(files: Seq[FileEntry],
       stats: Map[String, ManifestStats.FileStats], keyInfo: Option[(String, Int)],
-      partCol: Option[String] = None)
+      partCol: Option[String] = None,
+      renames: Seq[(String, String)] = Nil)
 
   /** The ONE write path both the batch V1Write and the streaming sink
     * share: MERGE `data` through [[ManifestUpsertSink.upsertBatch]].
@@ -541,19 +543,25 @@ object ManifestSource {
     * delegate [[ParquetTable]] scan builder over the FULL file list (so
     * `pushedFilters`/column pruning behave exactly as stock parquet), and
     * at `build()` evaluates the pushed filters against each file's
-    * bucket + stats: if any file is provably filter-free, the delegate is
-    * rebuilt over the surviving subset with the same pushdown state. The
-    * emitted scan is an ordinary `ParquetScan` either way — Catalyst and
-    * Tungsten never see a bespoke reader, only a shorter file list. */
+    * bucket + stats: files provably filter-free are dropped before the
+    * list is handed to Spark's parquet scan. The emitted [[ManifestScan]]
+    * wraps that ordinary `ParquetScan` — Catalyst and Tungsten never see
+    * a bespoke reader, only a shorter file list — and adds the two
+    * planner contracts stock parquet can't supply here:
+    * [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]
+    * (post-pruning size/rows from the manifest sidecar, so a small or
+    * pruned side AUTO-BROADCASTS) and
+    * [[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]]
+    * (join-time IN-sets on the key/partition columns re-prune the file
+    * list — the DPP analog for bucket layout). */
   private[sources] final class ManifestScanBuilder(options: CaseInsensitiveStringMap,
       resolved: Resolved, tableSchema: StructType)
       extends ScanBuilder with SupportsPushDownCatalystFilters
       with SupportsPushDownRequiredColumns {
 
-    private def delegate(paths: Seq[String]) =
-      parquetTable(options, paths, Some(tableSchema)).newScanBuilder(options)
-
-    private val full = delegate(resolved.files.map(_.path))
+    private val full =
+      parquetTable(options, resolved.files.map(_.path), Some(tableSchema))
+        .newScanBuilder(options)
     private var pushedExprs: Seq[Expression] = Nil
     private var required: Option[StructType] = None
 
@@ -571,51 +579,341 @@ object ManifestSource {
 
     override def build(): Scan = {
       val v1: Seq[Filter] = pushedExprs.flatMap(GraftBridge.translateFilter)
-      // COMPOSITE-key bucket pruning: mayMatch sees one conjunct at a
-      // time, so a multi-column key's bucket is computable only here,
-      // across the top-level conjunction — when every component is
-      // pinned by an EqualTo, the point lookup reads one bucket's files
-      // (single-column keys keep the per-filter path inside mayMatch)
-      val tupleBucket: Option[Long] = resolved.keyInfo.flatMap { case (spec, buckets) =>
-        val keyCols = spec.split(",").map(_.trim).toSeq
-        if (keyCols.size <= 1) None
-        else {
-          val eqs: Map[String, Any] = v1.collect {
-            case org.apache.spark.sql.sources.EqualTo(a, v) if v != null => a -> v
-          }.toMap
-          if (keyCols.forall(eqs.contains))
-            ManifestStats.bucketOfTuple(keyCols.map(eqs), buckets)
-          else None
-        }
+      val kept = pruneEntries(resolved.files, resolved, tableSchema, v1)
+      if (resolved.renames.isEmpty)
+        new ManifestScan(options, resolved, tableSchema, kept, pushedExprs, required)
+      else
+        new ManifestRenameScan(options, resolved, tableSchema, kept, pushedExprs, required)
+    }
+  }
+
+  /** The rename fold at SCHEMA level — the exact StructType counterpart
+    * of [[ManifestUpsertSink.applyRenames]]'s column fold over a merged
+    * (physical-name) footer schema: a pair whose physical and logical
+    * names are both present coalesces (drop the physical field, the
+    * logical one keeps its slot), a physical-only pair renames in place. */
+  private[graft] def applyRenamesSchema(st: StructType,
+      renames: Seq[(String, String)]): StructType =
+    renames.foldLeft(st) { case (s, (phys, logical)) =>
+      val names = s.fieldNames.toSet
+      if (names(phys) && names(logical))
+        StructType(s.fields.filterNot(_.name == phys))
+      else if (names(phys))
+        StructType(s.fields.map(f => if (f.name == phys) f.copy(name = logical) else f))
+      else s
+    }
+
+  /** Per LOGICAL column, its coalesce-ordered physical source names —
+    * derived by replaying the rename fold SYMBOLICALLY over the name
+    * universe (current logical names ∪ every retired physical source),
+    * so chained renames (`a→b` then `b→c`) resolve to `c ← (c, b, a)`
+    * exactly as the Scala path's nested coalesce does. Names with a
+    * single source (themselves) are untouched columns. */
+  private[graft] def renameSources(tableSchema: StructType,
+      renames: Seq[(String, String)]): Map[String, Seq[String]] = {
+    val universe = tableSchema.fieldNames.toSeq ++ renames.map(_._1)
+    var m: Map[String, Seq[String]] = universe.distinct.map(n => n -> Seq(n)).toMap
+    for ((phys, logical) <- renames if m.contains(phys)) {
+      m =
+        if (m.contains(logical)) m.updated(logical, m(logical) ++ m(phys)) - phys
+        else m.updated(logical, m(phys)) - phys
+    }
+    m
+  }
+
+  /** Post-pruning planner statistics from the commit-time sidecar —
+    * shared by both scan shapes. Never under-reports: files missing
+    * byte sizes fall back to rows × schema width; any file missing from
+    * the sidecar entirely makes the whole estimate "unknown" (a too-
+    * small guess would broadcast a huge table, worse than a missed
+    * broadcast). */
+  private def sidecarStats(kept: Seq[FileEntry], resolved: Resolved,
+      tableSchema: StructType): V2Statistics = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val stats = kept.map(e => resolved.stats.get(e.path))
+    val rows: Option[Long] =
+      if (stats.forall(_.isDefined)) Some(stats.flatten.map(_.rows).sum) else None
+    // per-row width for files whose sidecar predates byte sizes
+    val rowWidth = math.max(1L, tableSchema.defaultSize.toLong)
+    val bytes: Option[Long] =
+      if (stats.forall(_.isDefined))
+        Some(stats.flatten.map(s =>
+          if (s.bytes >= 0) (s.bytes * conf.fileCompressionFactor).toLong
+          else s.rows * rowWidth).sum)
+      else None
+    new V2Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytes.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
+  /** The scan for a snapshot with a LIVE rename mapping: SQL reads work
+    * immediately after a metadata-only RENAME COLUMN — no compaction
+    * prerequisite. The delegate parquet scan reads an EXPANDED physical
+    * schema (each renamed logical column plus all its retired source
+    * names, typed alike; mergeSchema nulls the vintages a file lacks)
+    * and a per-row codegen'd projection folds them back:
+    * `logical = coalesce(newest, ..., oldest)` — exactly the Scala
+    * path's [[ManifestUpsertSink.applyRenames]], applied inside the
+    * reader so Catalyst sees only logical names. Within one FILE only
+    * one vintage is ever non-null (upsertBatch refuses resurrected
+    * physical names), so the coalesce is a per-file column pick.
+    *
+    * Deliberately ROW-based (no columnar batches) — correctness first;
+    * the table reverts to the fully-vectorized [[ManifestScan]] the
+    * moment a compaction materializes the mapping, which stays the
+    * performance answer for a table that lives renamed. Pushed filters
+    * on a renamed column cannot bind inside old-vintage files (the
+    * physical name differs), which is safe: file-source data filters are
+    * always re-evaluated by the retained post-scan Filter, now over the
+    * folded rows. */
+  private[graft] final class ManifestRenameScan(options: CaseInsensitiveStringMap,
+      resolved: Resolved, tableSchema: StructType, kept: Seq[FileEntry],
+      pushedExprs: Seq[Expression], required: Option[StructType])
+      extends Scan with org.apache.spark.sql.connector.read.Batch
+      with SupportsReportStatistics {
+
+    private[graft] def plannedFiles: Seq[String] = kept.map(_.path)
+
+    private val logical: StructType = required.getOrElse(tableSchema)
+    private val sources: Map[String, Seq[String]] =
+      renameSources(tableSchema, resolved.renames)
+    private def expand(st: StructType): StructType = StructType(st.fields.flatMap(f =>
+      sources.getOrElse(f.name, Seq(f.name))
+        .map(s => org.apache.spark.sql.types.StructField(s, f.dataType, nullable = true))))
+    private val physRequired = expand(logical)
+    // positions of each logical field's sources within the expanded row
+    private val positions: Seq[Seq[Int]] = {
+      var i = -1
+      logical.fields.toSeq.map(f =>
+        sources.getOrElse(f.name, Seq(f.name)).map { _ => i += 1; i })
+    }
+
+    private val delegate: Scan = {
+      val b = parquetTable(options, kept.map(_.path), Some(expand(tableSchema)))
+        .newScanBuilder(options)
+      if (pushedExprs.nonEmpty) b.pushFilters(pushedExprs)
+      b.pruneColumns(physRequired)
+      b.build()
+    }
+
+    override def readSchema(): StructType = logical
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+    override def description(): String =
+      s"graft-manifest(rename-folding) files=${kept.size}/${resolved.files.size} " +
+        delegate.description()
+    override def estimateStatistics(): V2Statistics =
+      sidecarStats(kept, resolved, tableSchema)
+
+    override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+      delegate.toBatch.planInputPartitions()
+    override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      new RenameFoldReaderFactory(delegate.toBatch.createReaderFactory(),
+        logical.fields.map(_.dataType).toSeq, positions)
+  }
+
+  /** Row-level rename fold: wraps the delegate's (row-based) readers with
+    * a codegen'd `coalesce` projection from the expanded physical row to
+    * the logical schema. Built per reader ON the executor — only
+    * (dataTypes, positions) ship. */
+  private final class RenameFoldReaderFactory(
+      delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+      dataTypes: Seq[org.apache.spark.sql.types.DataType],
+      positions: Seq[Seq[Int]])
+      extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+    override def supportColumnarReads(
+        p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+
+    override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Coalesce, UnsafeProjection}
+      val inner = delegate.createReader(p)
+      val exprs = positions.zip(dataTypes).map { case (ps, dt) =>
+        if (ps.size == 1) BoundReference(ps.head, dt, nullable = true)
+        else Coalesce(ps.map(i => BoundReference(i, dt, nullable = true)))
       }
-      val kept = resolved.files.filter { e =>
-        // partition pruning BY CONSTRUCTION: a file under __pdate=<d>
-        // holds only rows whose partition column formats to <d> — refute
-        // the pushed conjunction against that date and the file never
-        // opens. Null-partition files and unpartitioned vintages carry
-        // no segment and are always kept (conservative).
-        val partOk = (for {
-          pc <- resolved.partCol
-          pv <- ManifestUpsertSink.partOf(e.path)
-          if pv.matches("\\d{4}-\\d{2}-\\d{2}")
-        } yield {
-          // range pruning is sound only when the raw column orders like
-          // its canonical date form — i.e. for DateType (see partMayMatch)
-          val rangesOk = tableSchema.fields.find(_.name == pc)
-            .exists(_.dataType == org.apache.spark.sql.types.DateType)
-          v1.forall(ManifestStats.partMayMatch(pv, pc, _, rangesOk))
-        }).getOrElse(true)
-        partOk && tupleBucket.forall(_ == e.bucket) && v1.forall(
-          ManifestStats.mayMatch(e.bucket, resolved.stats.get(e.path), resolved.keyInfo, _))
-      }
-      if (kept.size == resolved.files.size) full.build()
-      else {
-        // replay the pushdown protocol onto a builder over the pruned list
-        val b = delegate(kept.map(_.path))
-        if (pushedExprs.nonEmpty) b.pushFilters(pushedExprs)
-        required.foreach(b.pruneColumns)
-        b.build()
+      val proj = UnsafeProjection.create(exprs)
+      new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = proj(inner.get())
+        override def close(): Unit = inner.close()
       }
     }
+  }
+
+  /** Static + runtime file pruning, shared by `build()` and the runtime
+    * `filter()` re-prune: partition refutation, composite-key tuple
+    * bucket, and per-file bucket/stats `mayMatch` — all conservative
+    * (unknown = keep). */
+  private[sources] def pruneEntries(files: Seq[FileEntry], resolved: Resolved,
+      tableSchema: StructType, v1: Seq[Filter]): Seq[FileEntry] = {
+    // COMPOSITE-key bucket pruning: mayMatch sees one conjunct at a
+    // time, so a multi-column key's bucket is computable only here,
+    // across the top-level conjunction — when every component is
+    // pinned by an EqualTo, the point lookup reads one bucket's files
+    // (single-column keys keep the per-filter path inside mayMatch)
+    val tupleBucket: Option[Long] = resolved.keyInfo.flatMap { case (spec, buckets) =>
+      val keyCols = spec.split(",").map(_.trim).toSeq
+      if (keyCols.size <= 1) None
+      else {
+        val eqs: Map[String, Any] = v1.collect {
+          case org.apache.spark.sql.sources.EqualTo(a, v) if v != null => a -> v
+        }.toMap
+        if (keyCols.forall(eqs.contains))
+          ManifestStats.bucketOfTuple(keyCols.map(eqs), buckets)
+        else None
+      }
+    }
+    files.filter { e =>
+      // partition pruning BY CONSTRUCTION: a file under __pdate=<d>
+      // holds only rows whose partition column formats to <d> — refute
+      // the pushed conjunction against that date and the file never
+      // opens. Null-partition files and unpartitioned vintages carry
+      // no segment and are always kept (conservative).
+      val partOk = (for {
+        pc <- resolved.partCol
+        pv <- ManifestUpsertSink.partOf(e.path)
+        if pv.matches("\\d{4}-\\d{2}-\\d{2}")
+      } yield {
+        // range pruning is sound only when the raw column orders like
+        // its canonical date form — i.e. for DateType (see partMayMatch)
+        val rangesOk = tableSchema.fields.find(_.name == pc)
+          .exists(_.dataType == org.apache.spark.sql.types.DateType)
+        v1.forall(ManifestStats.partMayMatch(pv, pc, _, rangesOk))
+      }).getOrElse(true)
+      partOk && tupleBucket.forall(_ == e.bucket) && v1.forall(
+        ManifestStats.mayMatch(e.bucket, resolved.stats.get(e.path), resolved.keyInfo, _))
+    }
+  }
+
+  /** Spec probe: the last runtime re-prune's (root, filesBefore,
+    * filesAfter) — how ManifestSkippingSpec pins that a join-time filter
+    * actually dropped buckets without reaching into Spark internals. */
+  private[graft] object RuntimeFilterProbe {
+    @volatile var last: Option[(String, Int, Int)] = None
+    def reset(): Unit = { last = None }
+  }
+
+  /** The scan the connector hands Spark: an ordinary parquet scan over
+    * the pruned file list, PLUS planner statistics and runtime filtering.
+    *
+    *  - [[SupportsReportStatistics]]: sizeInBytes/rowCount summed from
+    *    the manifest's stats sidecar over the POST-PRUNING file list —
+    *    zero planning-time filesystem calls (the bytes were recorded at
+    *    commit time, with the footer stats). A dimension table — or a
+    *    fact table pruned to one bucket by a pushed point predicate —
+    *    reports its true small size, so Spark AUTO-BROADCASTS it; without
+    *    this every lake join defaults to shuffle (the planner assumes
+    *    `defaultSizeInBytes` = huge for unsized v2 scans), the single
+    *    biggest silent plan miss at 100× scale. Files missing from the
+    *    sidecar fall back to rows × schema width, then to "unknown"
+    *    (never under-report: a too-small guess would broadcast a huge
+    *    table — worse than a missed broadcast).
+    *  - [[SupportsRuntimeFiltering]]: at execution start, a join against
+    *    a filtered dimension hands this scan an IN-set on the join key;
+    *    re-running the same conservative pruning maps those keys through
+    *    `pmod(xxhash64(key), buckets)` and drops every non-matching
+    *    bucket's files — dynamic partition pruning re-expressed for the
+    *    bucket layout (plus `__pdate` partition dirs when the runtime
+    *    filter is on the partition column). A 100-TB star join then
+    *    reads 1/buckets of the fact table instead of all of it. */
+  private[graft] final class ManifestScan(private val options: CaseInsensitiveStringMap,
+      resolved: Resolved, tableSchema: StructType, keptInit: Seq[FileEntry],
+      private val pushedExprs: Seq[Expression],
+      private val required: Option[StructType])
+      extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+    @volatile private var kept: Seq[FileEntry] = keptInit
+
+    /** Spec window: the file list this scan will read (post static AND
+      * any runtime pruning) — the counterpart of ParquetScan's
+      * `fileIndex.inputFiles` the plan-pin helpers read. */
+    private[graft] def plannedFiles: Seq[String] = kept.map(_.path)
+
+    private def buildDelegate(): Scan = {
+      val b = parquetTable(options, kept.map(_.path), Some(tableSchema))
+        .newScanBuilder(options)
+      if (pushedExprs.nonEmpty) b.pushFilters(pushedExprs)
+      required.foreach(b.pruneColumns)
+      b.build()
+    }
+
+    // the delegate is REBUILT on runtime filter (shorter file list, same
+    // pushdown state); BatchScanExec re-calls toBatch after filter() and
+    // plans partitions from the rebuilt scan
+    @volatile private var delegate: Scan = buildDelegate()
+
+    override def readSchema(): StructType = delegate.readSchema()
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+    override def description(): String =
+      s"graft-manifest files=${kept.size}/${resolved.files.size} ${delegate.description()}"
+    override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      delegate.supportedCustomMetrics()
+    override def columnarSupportMode(): Scan.ColumnarSupportMode =
+      delegate.columnarSupportMode()
+
+    /** Post-pruning planner statistics from the commit-time sidecar. */
+    override def estimateStatistics(): V2Statistics = {
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val stats = kept.map(e => resolved.stats.get(e.path))
+      val rows: Option[Long] =
+        if (stats.forall(_.isDefined)) Some(stats.flatten.map(_.rows).sum) else None
+      // per-row width for files whose sidecar predates byte sizes
+      val rowWidth = math.max(1L, tableSchema.defaultSize.toLong)
+      val bytes: Option[Long] =
+        if (stats.forall(_.exists(s => s.bytes >= 0 || s.rows >= 0)))
+          Some(stats.flatten.map(s =>
+            if (s.bytes >= 0) (s.bytes * conf.fileCompressionFactor).toLong
+            else s.rows * rowWidth).sum)
+        else None
+      new V2Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          bytes.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+        override def numRows(): java.util.OptionalLong =
+          rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+      }
+    }
+
+    /** The columns a join-time runtime filter can prune on: the key
+      * component(s) (bucket pruning + sidecar ranges) and the partition
+      * column (`__pdate` dirs). Restricted to the scan's pruned OUTPUT —
+      * Spark resolves these against the scan relation's attributes and
+      * fails the whole query on a miss, so a projected-away key must not
+      * be offered. */
+    override def filterAttributes(): Array[NamedReference] = {
+      val out = readSchema().fieldNames.toSet
+      val keyAttrs = resolved.keyInfo.toSeq.flatMap(_._1.split(",").map(_.trim))
+      (keyAttrs ++ resolved.partCol).distinct
+        .filter(out.contains)
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+        .toArray
+    }
+
+    override def filter(filters: Array[Filter]): Unit = {
+      val pruned = pruneEntries(kept, resolved, tableSchema, filters.toSeq)
+      RuntimeFilterProbe.last = Some((options.get("path"), kept.size, pruned.size))
+      if (pruned.size < kept.size) {
+        kept = pruned
+        delegate = buildDelegate()
+      }
+    }
+
+    /** Value equality so exchange/scan reuse keeps working across two
+      * loads of the same snapshot (the stock ParquetScan is a case class;
+      * a reference-equality wrapper would silently disable reuse for
+      * self-joins). Conservative: pushdown state compares by string. */
+    override def equals(other: Any): Boolean = other match {
+      case o: ManifestScan =>
+        options.asCaseSensitiveMap() == o.options.asCaseSensitiveMap() &&
+          kept == o.kept && pushedExprs.map(_.canonicalized) == o.pushedExprs.map(_.canonicalized) &&
+          required == o.required
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Objects.hash(options.asCaseSensitiveMap(), kept, required)
   }
 }

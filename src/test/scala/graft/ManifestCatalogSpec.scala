@@ -98,22 +98,25 @@ class ManifestCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("ALTER TABLE RENAME COLUMN: metadata-only; SQL reads refuse until CALL compact; orderCol renames keep INSERT working") {
+  test("ALTER TABLE RENAME COLUMN: metadata-only; SQL serves the mapping immediately; compact stays an optimization") {
     import spark.implicits._
     withCatalog { (cat, root) =>
       spark.sql(s"""CREATE TABLE $cat.ev (id BIGINT, p STRING, seq BIGINT)
         TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4')""")
       spark.sql(s"INSERT INTO $cat.ev VALUES (1, 'a', 1), (2, 'b', 1)")
       spark.sql(s"ALTER TABLE $cat.ev RENAME COLUMN p TO payload")
-      // the committed mapping is live but un-materialized: the SQL read
-      // path refuses with the materialization step named
-      val e = intercept[Exception] { spark.sql(s"SELECT * FROM $cat.ev").collect() }
-      assert(e.getMessage.contains("compact"), e.getMessage)
+      // the committed mapping is live: SQL reads fold it IMMEDIATELY —
+      // a zero-I/O rename must not make the table unreadable
+      assert(spark.sql(s"SELECT payload FROM $cat.ev WHERE id = 1").as[String].head() == "a")
+      assert(spark.sql(s"SELECT id, payload FROM $cat.ev ORDER BY id")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+      // compaction MATERIALIZES the mapping (vectorized scan returns) —
+      // an optimization, no longer a read prerequisite
       spark.sql(s"CALL $cat.system.compact('ev')")
       assert(spark.sql(s"SELECT payload FROM $cat.ev WHERE id = 1").as[String].head() == "a")
-      // renaming the ORDER column must keep catalog INSERTs merging
+      // renaming the ORDER column must keep catalog INSERTs merging,
+      // INCLUDING while the mapping is live (no compact in between)
       spark.sql(s"ALTER TABLE $cat.ev RENAME COLUMN seq TO version")
-      spark.sql(s"CALL $cat.system.compact('ev')")
       spark.sql(s"INSERT INTO $cat.ev VALUES (1, 'a2', 2)")
       assert(spark.sql(s"SELECT payload FROM $cat.ev WHERE id = 1").as[String].head() == "a2")
       // a created-but-never-written table renames instantly (declared

@@ -24,6 +24,7 @@ class ManifestCompositeKeySpec extends AnyFunSuite {
   private def scannedFiles(df: DataFrame): Int =
     df.queryExecution.sparkPlan.collect {
       case b: BatchScanExec => b.scan match {
+        case m: graft.sources.ManifestSource.ManifestScan => m.plannedFiles.length
         case p: ParquetScan => p.fileIndex.inputFiles.length
       }
     }.sum
@@ -86,6 +87,7 @@ class ManifestCompositeKeySpec extends AnyFunSuite {
     val bucketFiles = m.files.filter(_.bucket == want).map(_.path).toSet
     val probedFiles = probe.queryExecution.sparkPlan.collect {
       case b: BatchScanExec => b.scan match {
+        case m: graft.sources.ManifestSource.ManifestScan => m.plannedFiles.toSet
         // the file index reports file:/// URIs; the manifest stores plain paths
         case p: ParquetScan =>
           p.fileIndex.inputFiles.map(_.replaceFirst("^file:/*", "/")).toSet

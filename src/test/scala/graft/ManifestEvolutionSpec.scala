@@ -19,6 +19,7 @@ class ManifestEvolutionSpec extends AnyFunSuite {
   private def scannedFiles(df: DataFrame): Int =
     df.queryExecution.sparkPlan.collect {
       case b: BatchScanExec => b.scan match {
+        case m: graft.sources.ManifestSource.ManifestScan => m.plannedFiles.length
         case p: ParquetScan => p.fileIndex.inputFiles.length
       }
     }.sum
@@ -54,13 +55,19 @@ class ManifestEvolutionSpec extends AnyFunSuite {
       == Map(1L -> "a", 2L -> "b2", 3L -> "c"),
       "mixed-vintage snapshot must coalesce old and new physical columns")
 
-    // the SQL connector refuses un-materialized mappings, loudly
-    val e = intercept[IllegalStateException] {
-      spark.read.format("graft-manifest").load(root).collect()
-    }
-    assert(e.getMessage.contains("rename") && e.getMessage.contains("compact"))
+    // the SQL connector serves the LIVE mapping immediately — mixed
+    // vintages fold inside the scan (coalesce of new/old physical
+    // columns), no compaction prerequisite
+    assert(spark.read.format("graft-manifest").load(root)
+      .select("id", "payload").as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b2", 3L -> "c"),
+      "SQL read must fold the rename mapping across mixed vintages")
+    // and a point lookup on the renamed KEY still bucket-prunes + matches
+    assert(spark.read.format("graft-manifest").load(root)
+      .filter($"id" === 2L).select("payload").as[String].collect().toSeq == Seq("b2"))
 
-    // full compaction materializes: mapping cleared, connector serves
+    // full compaction MATERIALIZES (an optimization, not a prerequisite):
+    // mapping cleared, the fully-vectorized scan takes over
     sink.compact(spark)
     assert(ManifestUpsertSink.snapshotManifest(root, None).renames.isEmpty)
     assert(spark.read.format("graft-manifest").load(root)

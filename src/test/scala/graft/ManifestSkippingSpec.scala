@@ -21,6 +21,7 @@ class ManifestSkippingSpec extends AnyFunSuite {
   private def scannedFiles(df: DataFrame): Int =
     df.queryExecution.sparkPlan.collect {
       case b: BatchScanExec => b.scan match {
+        case m: graft.sources.ManifestSource.ManifestScan => m.plannedFiles.length
         case p: ParquetScan => p.fileIndex.inputFiles.length
       }
     }.sum
@@ -352,5 +353,90 @@ class ManifestSkippingSpec extends AnyFunSuite {
         .upsertBatch(Seq((2L, 2L)).toDF("id", "seq"), "seq", 1L)
     }
     assert(ex.getMessage.contains("keyCol"))
+  }
+
+  // ------------------------------------------- planner statistics + DPP
+
+  test("scan reports post-pruning statistics: true rowCount/size, and a point lookup reports the pruned size") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val root = java.nio.file.Files.createTempDirectory("graft_repstats_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 8)
+    sink.upsertBatch((1L to 2000L).map(i => (i, s"payload-$i", 0L)).toDF("id", "p", "seq"),
+      "seq", 0L)
+    def scanStats(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.stats
+    }.head
+    val full = spark.read.format("graft-manifest").load(root)
+    val st = scanStats(full)
+    assert(st.rowCount.contains(BigInt(2000)),
+      s"manifest sidecar row counts must reach the planner, got ${st.rowCount}")
+    // the sum of real parquet file sizes — NOT the unsized-v2 default
+    // (spark.sql.defaultSizeInBytes = Long.Max), which is what blocks
+    // auto-broadcast for every unsized source
+    assert(st.sizeInBytes > 0 && st.sizeInBytes < 100L * 1024 * 1024,
+      s"sizeInBytes must be the files' true size, got ${st.sizeInBytes}")
+    // a pushed point predicate prunes to one bucket BEFORE stats are
+    // reported: the planner sees the pruned size (so even a huge table's
+    // point-lookup side can broadcast)
+    val point = scanStats(full.filter(col("id") === 7L))
+    assert(point.sizeInBytes < st.sizeInBytes && point.rowCount.get < st.rowCount.get,
+      s"point lookup must report post-pruning stats: $point vs full $st")
+  }
+
+  test("small lake dim AUTO-broadcasts with no hint (statics, pre-AQE plan)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val factRoot = java.nio.file.Files.createTempDirectory("graft_bjf_").toString
+    val dimRoot = java.nio.file.Files.createTempDirectory("graft_bjd_").toString
+    new ManifestUpsertSink(factRoot, "id", buckets = 8).upsertBatch(
+      (1L to 5000L).map(i => (i, i % 50, i * 1.5, 0L)).toDF("id", "dim_id", "v", "seq"),
+      "seq", 0L)
+    new ManifestUpsertSink(dimRoot, "dim_id", buckets = 2).upsertBatch(
+      (0L until 50L).map(i => (i, s"dim-$i", 0L)).toDF("dim_id", "name", "seq"),
+      "seq", 0L)
+    val fact = spark.read.format("graft-manifest").load(factRoot)
+    val dim = spark.read.format("graft-manifest").load(dimRoot)
+    val joined = fact.join(dim, "dim_id").groupBy("name").agg(sum("v").as("sv"))
+    // sparkPlan = the STATIC plan, before AQE can rescue a bad estimate
+    // from runtime sizes — this pins that estimateStatistics alone is
+    // enough to pick the broadcast join
+    val bhj = joined.queryExecution.sparkPlan.collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      s"a 50-row lake dim must auto-broadcast statically:\n${joined.queryExecution.sparkPlan}")
+    assert(joined.count() == 50L)
+  }
+
+  test("runtime filtering: a join-time IN-set on the fact's key drops non-matching buckets' files") {
+    import spark.implicits._
+    import graft.sources.ManifestSource.RuntimeFilterProbe
+    val factRoot = java.nio.file.Files.createTempDirectory("graft_dppf_").toString
+    val dimRoot = java.nio.file.Files.createTempDirectory("graft_dppd_").toString
+    // per-cust state table KEYED (and so bucketed) by cust — the star
+    // join's runtime filter arrives on the bucket key
+    new ManifestUpsertSink(factRoot, "cust", buckets = 32).upsertBatch(
+      (1L to 4000L).map(i => (i, i * 2.0, 0L)).toDF("cust", "v", "seq"),
+      "seq", 0L)
+    new ManifestUpsertSink(dimRoot, "cust", buckets = 2).upsertBatch(
+      (1L to 4000L).map(i => (i, s"c-$i", i % 800, 0L)).toDF("cust", "name", "seg", "seq"),
+      "seq", 0L)
+    val fact = spark.read.format("graft-manifest").load(factRoot)
+    // selective dim predicate: 5 of 4000 keys → a handful of buckets
+    val dim = spark.read.format("graft-manifest").load(dimRoot).filter(col("seg") === 7)
+    RuntimeFilterProbe.reset()
+    val joined = fact.join(dim, "cust").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val row = joined.head()
+    val (_, before, after) = RuntimeFilterProbe.last.getOrElse(
+      fail("no runtime filter reached the manifest scan — DPP did not inject"))
+    assert(after < before,
+      s"the runtime IN-set must drop non-matching buckets' files ($after vs $before)")
+    // correctness: equals the same join computed from plain frames
+    val factDf = (1L to 4000L).map(i => (i, i * 2.0)).toDF("cust", "v")
+    val dimDf = (1L to 4000L).map(i => (i, s"c-$i", i % 800)).toDF("cust", "name", "seg")
+      .filter(col("seg") === 7)
+    val want = factDf.join(dimDf, "cust").agg(count(lit(1)), sum("v")).head()
+    assert(row.getLong(0) == want.getLong(0) && row.getDouble(1) == want.getDouble(1))
   }
 }

@@ -357,9 +357,9 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
 
     // while down: a pre-rename merge, the rename, a post-rename merge,
-    // and a compaction that MATERIALIZES the mapping (without it the
-    // connector already refuses at stream creation — resolve() rejects
-    // un-materialized mappings — so this is the reachable hazard path)
+    // and a compaction that MATERIALIZES the mapping — the hazard is the
+    // BACKLOG of change-feed images spanning the rename, which no live
+    // mapping can heal (images are canonical JSON by name)
     sink.upsertBatch(Seq((2L, "b", 2L)).toDF("id", "p", "seq"), "seq", 1L)
     sink.renameColumn(spark, "p", "payload")
     sink.upsertBatch(Seq((3L, "c", 3L)).toDF("id", "payload", "seq"), "seq", 2L)

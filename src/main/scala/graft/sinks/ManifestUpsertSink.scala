@@ -164,9 +164,12 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // the sink must not tax the common micro-batch path for it.
     val deduped = JdbcUpsertSink.lastWriteWins(batch, keyCol, col(orderCol))
       .withColumn(BucketCol, bucketExpr)
-    // touched buckets: bounded driver set (≤ `buckets` rows by construction)
-    val touched = deduped.select(col(BucketCol)).distinct()
-      .collect().map(_.getLong(0)).toSet
+    // touched buckets: bounded driver set (≤ 2·`buckets` rows by
+    // construction). The null-key probe piggybacks on this one collect —
+    // the key is non-nullable BY CONTRACT (the DSv2 schema advertises it
+    // to Catalyst, which folds IsNull away on it), so every write path
+    // must enforce it, not just SQL INSERT's store-assignment check.
+    val touched = collectTouchedRequireKeys(deduped)
     // current rows of the touched buckets — the one table-side read both
     // the survivor computation and the change feed share
     val current: Option[DataFrame] = cur.flatMap { m =>
@@ -251,8 +254,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val tag = newTag()
     val keyed = keys.select(keyColumns: _*).distinct()
       .withColumn(BucketCol, bucketExpr)
-    val touched = keyed.select(col(BucketCol)).distinct()
-      .collect().map(_.getLong(0)).toSet
+    // same piggybacked null-key refusal as the merge: deleting "key =
+    // null" would silently hash the null and rewrite a bucket for nothing
+    val touched = collectTouchedRequireKeys(keyed)
     val touchedFiles = cur.files.filter(f => touched(f.bucket)).map(_.path)
     if (touchedFiles.isEmpty) return // no touched bucket holds data: no-op
     val current = applyRenames(
@@ -278,6 +282,125 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       written = written, feedStage = Some(s"_stage/$tag"), renames = cur.renames)
   }
 
+  /** SINGLE-COMMIT row-level apply: MERGE `batch` and DELETE `delKeys`
+    * as ONE committed version with ONE change feed — the atomicity a SQL
+    * statement needs. A key-moving `UPDATE t SET key = key + 1` (or a
+    * MERGE mixing WHEN MATCHED UPDATE/DELETE) produces upserts at new
+    * keys AND deletes of vacated old keys; applying them as two commits
+    * (upsertBatch then deleteKeys) would let a crash between them leave
+    * the statement half-applied — rows live at both old and new keys,
+    * with readers observing that intermediate version as a committed
+    * snapshot. Here survivors of every touched bucket are computed once
+    * against (upserted keys ∪ deleted keys) and the combined feed
+    * (inserted/updated/deleted, with before/after images) lands under
+    * the single version. A key BOTH upserted and deleted in one call is
+    * an UPSERT (the row-level caller anti-joins re-occupied keys out of
+    * its delete set already; this just makes the verb total). Replay
+    * guard and rename/bucket/null-key hygiene exactly as the two
+    * component verbs. */
+  def applyDelta(batch: DataFrame, delKeys: DataFrame, orderCol: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cur = latestManifest(root, store)
+    healFeed(cur)
+    if (batchId != AdHocBatch && cur.exists(_.batchId >= batchId))
+      return // replayed batch: no-op
+    requireSameBuckets(cur)
+    for (m <- cur if m.renames.nonEmpty) {
+      val resurrected = m.renames.map(_._1).toSet & batch.columns.toSet
+      require(resurrected.isEmpty,
+        s"batch carries column(s) ${resurrected.toSeq.sorted.mkString(", ")} retired by a " +
+          "live rename mapping — compact() to materialize the rename first")
+    }
+    val version = cur.map(_.version + 1).getOrElse(0L)
+    val tag = newTag()
+    // a PURE-DELETE statement ships a schema-less upsert frame (a SQL
+    // DELETE's delta carries no row images) — there is nothing to LWW or
+    // anti-join against
+    val hasUps = batch.columns.nonEmpty
+    val deduped =
+      if (hasUps)
+        JdbcUpsertSink.lastWriteWins(batch, keyCol, col(orderCol))
+          .withColumn(BucketCol, bucketExpr)
+      else batch
+    val touchedUps = if (hasUps) collectTouchedRequireKeys(deduped) else Set.empty[Long]
+    // deletes of keys re-occupied by an upsert resolve as upserts
+    val keyedDel = {
+      val base = delKeys.select(keyColumns: _*).distinct()
+      (if (hasUps) base.join(deduped.select(keyColumns: _*), keyCols, "left_anti")
+       else base).withColumn(BucketCol, bucketExpr)
+    }
+    val touchedDel = collectTouchedRequireKeys(keyedDel)
+    val touched = touchedUps ++ touchedDel
+    if (touched.isEmpty) return // empty statement: nothing to commit
+    val current: Option[DataFrame] = cur.flatMap { m =>
+      val touchedFiles = m.files.filter(f => touched(f.bucket)).map(_.path)
+      if (touchedFiles.isEmpty) None
+      else Some(applyRenames(
+        spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*),
+        m.renames))
+    }
+    // pure delete touching no stored bucket (or an empty table): no-op,
+    // matching deleteKeys — a DELETE must never CREATE a version
+    if (touchedUps.isEmpty && current.isEmpty) return
+    // combined feed: the merge half classifies inserted/updated against
+    // the current rows; the delete half records only keys that EXIST
+    val upChanges: Option[DataFrame] = if (!hasUps) None else Some {
+      val newImaged = deduped.select(keyColumns :+
+        payloadImage(deduped).as("new_image"): _*)
+      (current match {
+        case Some(c) =>
+          newImaged.join(
+            c.select(keyColumns :+ payloadImage(c).as("old_image"): _*),
+            keyCols, "left_outer")
+        case None => newImaged.withColumn("old_image", lit(null).cast("string"))
+      }).select(keyColumns ++ Seq(
+        when(col("old_image").isNull, lit("inserted")).otherwise(lit("updated")).as("change"),
+        when(col("old_image").isNull, lit(null).cast("long"))
+          .otherwise(xxhash64(col("old_image"))).as("old_hash"),
+        xxhash64(col("new_image")).as("new_hash"),
+        col("old_image"), col("new_image")): _*)
+    }
+    val delChanges: Option[DataFrame] = current.map { c =>
+      val victims = c.join(keyedDel.select(keyColumns: _*), keyCols, "left_semi")
+      victims.select(keyColumns ++ Seq(lit("deleted").as("change"),
+        xxhash64(payloadImage(victims)).as("old_hash"),
+        lit(null).cast("long").as("new_hash"),
+        payloadImage(victims).as("old_image"),
+        lit(null).cast("string").as("new_image")): _*)
+    }
+    val changes = (upChanges, delChanges) match {
+      case (Some(u), Some(dl)) => u.unionByName(dl)
+      case (Some(u), None) => u
+      case (None, Some(dl)) => dl
+      case (None, None) => return // unreachable: guarded above
+    }
+    changes.write.mode("overwrite").parquet(s"$root/_stage/$tag")
+    // one survivor pass per touched bucket: drop replaced AND deleted
+    // keys, union the new row images
+    val gone =
+      if (hasUps) deduped.select(keyColumns: _*)
+        .unionByName(keyedDel.select(keyColumns: _*))
+      else keyedDel.select(keyColumns: _*)
+    val survivors = (current, hasUps) match {
+      case (Some(c), true) =>
+        c.withColumn(BucketCol, bucketExpr)
+          .join(gone, keyCols, "left_anti")
+          .unionByName(deduped, allowMissingColumns = true)
+      case (Some(c), false) =>
+        c.withColumn(BucketCol, bucketExpr).join(gone, keyCols, "left_anti")
+      case (None, _) => deduped
+    }
+    val dataDir = s"$root/data/v$version-$tag"
+    writeData(survivors, dataDir)
+    val written = listParquet(dataDir, store)
+    val commitId =
+      if (batchId == AdHocBatch) cur.map(_.batchId).getOrElse(-1L) else batchId
+    commitRebasing(cur, commitId, dataChanged = touched, replaced = touched,
+      written = written, feedStage = Some(s"_stage/$tag"),
+      renames = cur.map(_.renames).getOrElse(Nil))
+  }
+
   /** The one data-file writer: every version's files are written with a
     * parquet BLOOM FILTER on the key column, so point lookups that
     * survive file-level pruning also skip row groups inside the files
@@ -287,12 +410,16 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
   private def writeData(df: DataFrame, dataDir: String): Unit =
     writeDataKeyed(df, dataDir, keyCols)
 
-  private def writeDataKeyed(df: DataFrame, dataDir: String, cols: Seq[String]): Unit = {
+  private def writeDataKeyed(df: DataFrame, dataDir: String, cols: Seq[String]): Unit =
+    writeDataPartitioned(df, dataDir, cols, partitionCol)
+
+  private def writeDataPartitioned(df: DataFrame, dataDir: String,
+      cols: Seq[String], partCol: Option[String]): Unit = {
     // the partition value is DERIVED at write (date_format handles date,
     // timestamp, and ISO-string columns) and lives only in the directory
     // name — data files carry exactly the table columns, reads never see
     // it, and pruning parses it back off the path
-    val (framed, partBy) = partitionCol match {
+    val (framed, partBy) = partCol match {
       case Some(p) =>
         (df.withColumn(PdateCol, date_format(col(p), "yyyy-MM-dd")),
           Seq(BucketCol, PdateCol))
@@ -433,6 +560,24 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
 
   private def newTag(): String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  /** The touched-bucket collect, with the NON-NULL KEY invariant enforced
+    * in the same single action: the frame's distinct (bucket, any-key-
+    * component-null) pairs are ≤ 2·buckets rows, so the probe costs
+    * nothing beyond the collect the merge needs anyway. A null key
+    * component fails loudly — the SQL surface advertises the key as
+    * non-nullable to Catalyst (which folds IsNull on it), so a write path
+    * that admitted one would make that contract silently wrong. */
+  private def collectTouchedRequireKeys(keyed: DataFrame): Set[Long] = {
+    val rows = keyed.select(col(BucketCol),
+        keyCols.map(c => col(c).isNull).reduce(_ || _).as("nullkey"))
+      .distinct().collect()
+    require(!rows.exists(_.getBoolean(1)),
+      s"batch carries a NULL key component ($keyCol) — the lake key is " +
+        "non-nullable by contract (it is the merge/bucket/row identity); " +
+        "filter or coalesce null keys before writing")
+    rows.map(_.getLong(0)).toSet
+  }
 
   /** The row's full payload as a canonical JSON image (all columns except
     * the internal bucket column, name-sorted so column order never
@@ -592,11 +737,12 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     * table I/O for a name change): commits a new version carrying the
     * SAME files plus an extended (physical → logical) mapping header
     * that every read path applies ([[ManifestUpsertSink.applyRenames]]).
-    * Post-rename merges write the new name physically; the next FULL
-    * compaction materializes old vintages and clears the mapping, after
-    * which the DSv2 connector (which refuses un-materialized mappings —
-    * its parquet delegate binds by physical name) serves the table
-    * again. Renaming the KEY column re-keys the sink's config: this sink
+    * Post-rename merges write the new name physically; the DSv2
+    * connector serves the LIVE mapping immediately (its rename-folding
+    * scan coalesces vintages per row), and the next FULL compaction
+    * materializes old vintages and clears the mapping — returning the
+    * table to the fully-vectorized scan.
+    * Renaming the KEY column re-keys the sink's config: this sink
     * instance dies (mismatch guard) and the returned one takes over —
     * bucket routing is untouched because hashing is over VALUES.
     * Commits with `touched = None` so any concurrent writer aborts
@@ -688,6 +834,46 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     new ManifestUpsertSink(root, newKeyCol, newBuckets, partitionCol)
   }
 
+  /** PARTITION EVOLUTION: adopt, change, or drop the table's date
+    * `partitionCol` on a LIVE table as an epoch commit — the layout move
+    * a table makes when its access pattern shifts (time-range scans and
+    * retention start to dominate, or stop mattering). One full-table
+    * rewrite under the NEW layout (the [[recluster]] precedent — bucket
+    * epoch changes and partition epoch changes are the same class of
+    * maintenance), committed `touched = None` so every concurrent writer
+    * ABORTS and re-opens against the new layout (its survivor
+    * computation assumed the old one). Old versions keep their OWN
+    * committed `partCol` and time-travel-prune under it — the connector
+    * resolves partition pruning per version, so history never re-prunes
+    * under a layout it wasn't written with. Materializes any live rename
+    * mapping on the way (it is a full rewrite). Returns the sink bound
+    * to the new layout; this instance dies on its next write (the
+    * partition-column mismatch guard names the committed value). */
+  def repartitionBy(spark: SparkSession, newPartCol: Option[String]): ManifestUpsertSink = {
+    val cur = latestManifest(root, store).getOrElse(throw new IllegalStateException(
+      s"no committed manifest under $root — nothing to re-partition"))
+    healFeed(Some(cur))
+    requireSameBuckets(Some(cur))
+    if (newPartCol == partitionCol) return this // same layout: no-op
+    val version = cur.version + 1
+    val all = applyRenames(spark.read.option("mergeSchema", "true")
+        .parquet(cur.files.map(_.path): _*), cur.renames)
+      .drop(BucketCol)
+      .withColumn(BucketCol, bucketExpr)
+      .repartition(buckets, col(BucketCol))
+    for (p <- newPartCol)
+      require(all.columns.contains(p),
+        s"cannot partition by $p: no such column (have ${all.columns.sorted.mkString(", ")})")
+    val dataDir = s"$root/data/v$version-${newTag()}"
+    writeDataPartitioned(all, dataDir, keyCols, newPartCol)
+    val written = listParquet(dataDir, store)
+    commit(root, store, Manifest(version, cur.batchId, Some(buckets),
+      Some(keyCol), written, touched = None, feed = None, partCol = newPartCol))
+    store.putString(s"$root/_manifest", s"v$version.stats",
+      ManifestStats.encode(ManifestStats.collectAuto(written.map(_.path))))
+    new ManifestUpsertSink(root, keyCol, buckets, newPartCol)
+  }
+
   /** RESTORE the table to committed `version` — rollback as a NEW
     * commit (Delta RESTORE parity): the restored manifest REFERENCES the
     * target version's files verbatim (zero data copy — data files are
@@ -761,13 +947,18 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // right, which makes the corruption silent). Refuse loudly, like the
     // key-rename case: collapse the duplicates (merge/delete) first.
     if (cur.keyCol.getOrElse(keyCol) != tKey) for (c <- curDf) {
-      val r = c.agg(count(lit(1)).as("n"),
-        countDistinct(col(tKeys.head), tKeys.tail.map(col): _*).as("d")).head()
-      require(r.getLong(0) == r.getLong(1),
+      // null-safe duplicate probe: group by the key TUPLE (null key
+      // components form their own groups, exactly the per-key diff's
+      // join semantics) — a count(*)-vs-countDistinct comparison would
+      // ignore null-component rows and spuriously refuse a restore whose
+      // non-null keys are unique
+      val dups = c.groupBy(tKeys.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      require(dups == 0L,
         s"cannot restore to v$version: the current snapshot (keyed by " +
-          s"${cur.keyCol.getOrElse(keyCol)}) holds ${r.getLong(0) - r.getLong(1)} " +
-          s"duplicate value(s) of the restore key $tKey — the per-key diff feed " +
-          "would be ambiguous; deduplicate or roll the recluster forward instead")
+          s"${cur.keyCol.getOrElse(keyCol)}) holds duplicate value(s) of the " +
+          s"restore key $tKey — the per-key diff feed would be ambiguous; " +
+          "deduplicate or roll the recluster forward instead")
     }
     // the diff feed: full-outer join of the two (pruned) snapshots'
     // payload images. Both sides empty ⇒ no row diff — the restore must
@@ -925,11 +1116,24 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     * (crashed writers, rebase losers' stale bucket rewrites) whose newest
     * file is older than the grace — which must exceed the longest
     * in-flight write, since an active writer's uncommitted dir looks
-    * identical to a dead one. None (default) skips the sweep. */
+    * identical to a dead one. None (default) skips the sweep.
+    *
+    * `retainMs`: AGE-BASED retention, the horizon an operator's SLA
+    * actually speaks ("7 days of time travel") — version-count retention
+    * is meaningless to them (a hot table burns versions in minutes, a
+    * cold one in months). A version is reclaimable only when it stopped
+    * being current BEFORE `now − retainMs`: resolved against the same
+    * RUNNING-MAX commit stamps `timestampAsOf` uses (writer clock skew
+    * cannot reorder the horizon), via the SUCCESSOR's stamp — so every
+    * `timestampAsOf` inside the window keeps resolving after the sweep.
+    * Composes with `keepVersions` as a UNION of holds (both horizons are
+    * promises); versions predating commit timestamping are never
+    * age-reclaimed (their currency window is unprovable). */
   def vacuum(keepVersions: Int = 1, keepChangeVersions: Option[Int] = None,
-      orphanGraceMs: Option[Long] = None): Unit =
+      orphanGraceMs: Option[Long] = None, retainMs: Option[Long] = None): Unit =
     ManifestUpsertSink.vacuum(root, store, math.max(1, keepVersions),
-      math.max(1, keepChangeVersions.getOrElse(keepVersions)), orphanGraceMs)
+      math.max(1, keepChangeVersions.getOrElse(keepVersions)), orphanGraceMs,
+      retainMs)
 
   /** TRUNCATE: commit a new version listing NO files — a pure manifest
     * edit (zero data I/O; the Iceberg truncate shape), preserving the
@@ -1212,25 +1416,49 @@ object ManifestUpsertSink {
     spark.read.parquet(changeFiles(root, version): _*)
 
   private def vacuum(root: String, store: TableStore, keep: Int, keepChanges: Int,
-      orphanGrace: Option[Long]): Unit = {
+      orphanGrace: Option[Long], retainMs: Option[Long] = None): Unit = {
     val versions = manifestVersions(root, store).sorted
     if (versions.isEmpty) return
+    // AGE hold: version at index i is age-reclaimable iff its SUCCESSOR's
+    // running-max commit stamp precedes the horizon (i.e. v stopped being
+    // current before it) — the running max is the same monotone clock
+    // timestampAsOf resolves on, so a resolvable ask inside the window
+    // can never point at a reclaimed version. Unstamped successors keep
+    // the version (currency unprovable = never reclaim on a doubt).
+    val ageKeeps: Long => Boolean = retainMs match {
+      case None => _ => false
+      case Some(r) =>
+        val horizon = System.currentTimeMillis() - math.max(0L, r)
+        val runMax = versions.scanLeft(Option.empty[Long]) { (acc, v) =>
+          val ts = decode(store.readString(s"$root/_manifest/v$v.manifest")).ts
+          (acc, ts) match {
+            case (Some(a), Some(t)) => Some(math.max(a, t))
+            case (a, t) => t.orElse(a)
+          }
+        }.tail
+        val keepAt = versions.indices.map { i =>
+          i == versions.size - 1 || runMax(i + 1).forall(_ > horizon)
+        }
+        val byVersion = versions.zip(keepAt).toMap
+        v => byVersion.getOrElse(v, true)
+    }
     // feeds survive on their own (≥ data) horizon — see class scaladoc —
     // and are reclaimed by LISTING `_changes/` rather than walking dropped
     // manifests: a feed retained past its manifest (an earlier vacuum with
-    // a longer keepChangeVersions) must still age out on a later call
-    val changeHorizon: Long =
+    // a longer keepChangeVersions) must still age out on a later call.
+    // The age hold floors the feed horizon too: a version whose DATA the
+    // SLA retains keeps its feed.
+    val countChangeHorizon: Long =
       if (versions.size <= keepChanges) versions.head
       else versions(versions.size - keepChanges)
+    val ageChangeFloor: Long =
+      versions.find(ageKeeps).getOrElse(countChangeHorizon)
+    val changeHorizon: Long = math.min(countChangeHorizon, ageChangeFloor)
     store.listNames(s"$root/_changes")
       .flatMap(n => if (n.startsWith("v")) n.stripPrefix("v").toLongOption else None)
       .filter(_ < changeHorizon)
       .foreach(v => deleteTree(store, s"$root/_changes/v$v"))
     store.deleteDirIfEmpty(s"$root/_changes")
-    val (drop, hold) =
-      if (versions.size <= keep) (Seq.empty[Long], versions)
-      else versions.splitAt(versions.size - keep)
-    val heldMs = hold.map(v => decode(store.readString(s"$root/_manifest/v$v.manifest")))
     // trailing slashes normalized so the own-root prefix guard below can
     // never be silently disabled by a `root/` spelling
     val rootNorm = normRoot(root)
@@ -1238,8 +1466,14 @@ object ManifestUpsertSink {
     // stay live: cloneTo records each clone in `_manifest/clone-*.ref`,
     // so the Delta caveat (source vacuum strands shallow clones) is an
     // explicit skip here. A clone whose manifest log is gone releases
-    // its hold and the stale ref is removed; an unreadable clone root
-    // holds conservatively (never reclaim on a doubt).
+    // its hold and the stale ref is removed; an UNREADABLE clone root
+    // (transient store error, a race with the clone's own maintenance)
+    // aborts this run's drop sweep entirely — holding only the held
+    // manifests' paths would be a no-op (they are live regardless) and
+    // the dropped versions' files the clone references would be deleted,
+    // the exact loss the registry exists to prevent. Never reclaim on a
+    // doubt; the next vacuum retries.
+    var cloneUnreadable = false
     val cloneHeld: Set[String] = store.listNames(s"$root/_manifest")
       .filter(n => n.startsWith("clone-") && n.endsWith(".ref"))
       .flatMap { ref =>
@@ -1252,9 +1486,17 @@ object ManifestUpsertSink {
             .flatMap(v => decode(cStore.readString(s"$cRoot/_manifest/v$v.manifest")).files)
             .map(_.path).filter(_.startsWith(s"$rootNorm/"))
         } catch { case _: Exception =>
-          heldMs.flatMap(_.files.map(_.path)) // unreadable: hold everything held here
+          cloneUnreadable = true; Nil
         }
       }.toSet
+    val drop0 =
+      if (versions.size <= keep || cloneUnreadable) Seq.empty[Long]
+      else versions.dropRight(keep)
+    // union of holds: count keeps the newest `keep`, age keeps every
+    // version still current inside the retain window
+    val drop = drop0.filterNot(ageKeeps)
+    val hold = versions.filterNot(drop.toSet)
+    val heldMs = hold.map(v => decode(store.readString(s"$root/_manifest/v$v.manifest")))
     val live: Set[String] = heldMs.flatMap(_.files.map(_.path)).toSet ++ cloneHeld
     // the data dirs held manifests reference (a carried entry keeps its
     // ORIGINAL commit's dir alive, so reference-count by dir, not version)

@@ -22,8 +22,11 @@ import graft.sinks.ManifestUpsertSink
   *   CALL graft.system.cluster('events', 'price', 16)
   *   CALL graft.system.zorder('events', 'price,size', 16)
   *   CALL graft.system.vacuum('events', 2)
+  *   CALL graft.system.vacuum_retain('events', 168.0)   -- keep 7 days of time travel
   *   CALL graft.system.restore('events', 3)
   *   CALL graft.system.expire_partitions('events', '2024-01-01')
+  *   CALL graft.system.history('events')                -- DESCRIBE HISTORY
+  *   CALL graft.system.detail('events')                 -- DESCRIBE DETAIL
   * }}}
   *
   * Each call binds the sink from the COMMITTED manifest (keyCol /
@@ -84,6 +87,13 @@ private[graft] object ManifestProcedures {
     Spec("vacuum", Seq(Table,
         ProcedureParameter.in("keep_versions", IntegerType).build()),
       (_, root, in) => sinkFor(root).vacuum(keepVersions = in.getInt(1))),
+    // age-based retention: the horizon an SLA speaks ("keep 168 hours of
+    // time travel") — resolved against the running-max commit stamps, so
+    // every timestampAsOf inside the window survives the sweep
+    Spec("vacuum_retain", Seq(Table,
+        ProcedureParameter.in("retain_hours", DoubleType).build()),
+      (_, root, in) => sinkFor(root).vacuum(keepVersions = 1,
+        retainMs = Some((in.getDouble(1) * 3600 * 1000).toLong))),
     Spec("restore", Seq(Table,
         ProcedureParameter.in("version", LongType).build()),
       (s, root, in) => { sinkFor(root).restore(s, in.getLong(1)); () }),
@@ -92,10 +102,56 @@ private[graft] object ManifestProcedures {
       (s, root, in) => sinkFor(root).dropPartitionsBefore(s,
         in.getUTF8String(1).toString)))
 
-  def names: Seq[String] = specs(identity).map(_.name) :+ "history"
+  /** `CALL graft.system.detail('t')` — DESCRIBE DETAIL: the table's
+    * layout and size as ONE row, straight off the manifest log and its
+    * stats sidecar (file counts, sidecar row/byte totals, committed
+    * layout pair, partition census) — the same commit-time metadata the
+    * scan's `SupportsReportStatistics` feeds the planner, made
+    * SQL-visible. Zero data files touched. */
+  private def detailRows(root: String): Array[InternalRow] = {
+    val m = ManifestUpsertSink.latestManifest(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $root"))
+    val stats = ManifestUpsertSink.loadStats(root, m.version)
+    val covered = m.files.flatMap(f => stats.get(f.path))
+    val rows =
+      if (covered.size == m.files.size) Some(covered.map(_.rows).sum) else None
+    val bytes =
+      if (covered.nonEmpty && covered.forall(_.bytes >= 0))
+        Some(covered.map(_.bytes).sum) else None
+    val partitions = m.files.flatMap(f => ManifestUpsertSink.partOf(f.path))
+      .distinct.size.toLong
+    val row: InternalRow = new GenericInternalRow(Array[Any](
+      m.version,
+      m.keyCol.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+      m.buckets.map(b => Long.box(b.toLong)).orNull,
+      m.partCol.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+      m.files.size.toLong,
+      rows.map(Long.box).orNull,
+      bytes.map(Long.box).orNull,
+      partitions,
+      ManifestUpsertSink.committedVersions(root).size.toLong,
+      m.renames.nonEmpty))
+    Array(row)
+  }
+
+  private val DetailSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("key_col", StringType),
+    StructField("buckets", LongType),
+    StructField("partition_col", StringType),
+    StructField("n_files", LongType, nullable = false),
+    StructField("total_rows", LongType),
+    StructField("total_bytes", LongType),
+    StructField("n_partitions", LongType, nullable = false),
+    StructField("n_versions", LongType, nullable = false),
+    StructField("has_renames", BooleanType, nullable = false)))
+
+  def names: Seq[String] = specs(identity).map(_.name) ++ Seq("history", "detail")
 
   def load(tableDir: String => String, name: String): UnboundProcedure = {
     if (name == "history") return historyProcedure(tableDir)
+    if (name == "detail") return rowsProcedure(tableDir, "detail",
+      "table layout + sidecar size census (DESCRIBE DETAIL)", DetailSchema, detailRows)
     val spec = specs(tableDir).find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
         s"unknown procedure $name — have ${names.mkString(", ")}"))
@@ -128,19 +184,26 @@ private[graft] object ManifestProcedures {
   }
 
   private def historyProcedure(tableDir: String => String): UnboundProcedure =
+    rowsProcedure(tableDir, "history", "manifest log as rows (DESCRIBE HISTORY)",
+      HistorySchema, historyRows)
+
+  /** A read-only procedure returning metadata rows for one table. */
+  private def rowsProcedure(tableDir: String => String, procName: String,
+      desc: String, schema: StructType,
+      mkRows: String => Array[InternalRow]): UnboundProcedure =
     new UnboundProcedure {
-      override def name(): String = "history"
-      override def description(): String = "manifest log as rows (DESCRIBE HISTORY)"
+      override def name(): String = procName
+      override def description(): String = desc
       override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
-        override def name(): String = "history"
-        override def description(): String = "manifest log as rows (DESCRIBE HISTORY)"
+        override def name(): String = procName
+        override def description(): String = desc
         override def parameters(): Array[ProcedureParameter] = Array(Table)
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val root = tableDir(input.getUTF8String(0).toString)
           val scan: Scan = new LocalScan {
-            override def rows(): Array[InternalRow] = historyRows(root)
-            override def readSchema(): StructType = HistorySchema
+            override def rows(): Array[InternalRow] = mkRows(root)
+            override def readSchema(): StructType = schema
           }
           Collections.singletonList(scan).iterator()
         }

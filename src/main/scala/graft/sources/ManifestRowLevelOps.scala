@@ -101,8 +101,16 @@ private final class ManifestDeltaWrite(root: String, keyCol: String,
     private val stageDir =
       s"$root/_stage/rlo-${java.util.UUID.randomUUID().toString.take(8)}"
 
+    // the SESSION's resolved Hadoop configuration (spark.hadoop.*
+    // settings, credentials), shipped to the stage writers — a bare
+    // `new Configuration()` on executors would bind the wrong filesystem
+    // for an object-store table root even though the committed write
+    // itself goes through TableStore
+    private val hconf =
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
+
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-      new ManifestDeltaWriterFactory(stageDir, dataSchema, idSchema)
+      new ManifestDeltaWriterFactory(stageDir, dataSchema, idSchema, hconf)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val spark = SparkSession.active
@@ -110,12 +118,12 @@ private final class ManifestDeltaWrite(root: String, keyCol: String,
       try {
         if (paths.nonEmpty)
           ManifestRowLevelOps.applyStaged(spark, root, keyCol, orderCol,
-            paths, dataSchema, idSchema)
-      } finally ManifestRowLevelOps.deleteDir(stageDir)
+            paths, dataSchema, idSchema, hconf)
+      } finally ManifestRowLevelOps.deleteDir(stageDir, hconf.value)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
-      ManifestRowLevelOps.deleteDir(stageDir)
+      ManifestRowLevelOps.deleteDir(stageDir, hconf.value)
   }
 }
 
@@ -124,8 +132,26 @@ private final class ManifestDeltaWrite(root: String, keyCol: String,
 private final case class ManifestDeltaCommit(path: Option[String])
     extends WriterCommitMessage
 
+/** Minimal serializable Hadoop-conf carrier (Spark's own
+  * `SerializableConfiguration` is `private[spark]`): the standard
+  * writeObject/readFields codec, shipping the DRIVER session's resolved
+  * configuration to executor-side stage IO. */
+private[graft] final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private final class ManifestDeltaWriterFactory(stageDir: String,
-    dataSchema: StructType, idSchema: StructType) extends DeltaWriterFactory {
+    dataSchema: StructType, idSchema: StructType,
+    hconf: SerializableHadoopConf) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
@@ -142,7 +168,7 @@ private final class ManifestDeltaWriterFactory(stageDir: String,
         if (out == null) {
           val p = new HPath(path)
           out = new DataOutputStream(
-            p.getFileSystem(new Configuration()).create(p, false))
+            p.getFileSystem(hconf.value).create(p, false))
         }
         out
       }
@@ -174,7 +200,7 @@ private final class ManifestDeltaWriterFactory(stageDir: String,
         if (out != null) {
           out.close()
           val p = new HPath(path)
-          p.getFileSystem(new Configuration()).delete(p, false)
+          p.getFileSystem(hconf.value).delete(p, false)
           ()
         }
       }
@@ -186,13 +212,19 @@ private final class ManifestDeltaWriterFactory(stageDir: String,
 private[graft] object ManifestRowLevelOps {
 
   /** Decode the committed staged files DISTRIBUTED and apply them through
-    * the sink's committed protocol: inserts+updates MERGE, deletes (and
-    * updated-away old keys) DELETE — keys re-occupied by an
-    * insert/update survive (`UPDATE t SET key = key + 1` moves every row
-    * exactly once). */
+    * the sink's committed protocol IN ONE COMMIT ([[ManifestUpsertSink
+    * .applyDelta]]): inserts+updates MERGE, deletes (and updated-away old
+    * keys) DELETE, under a single version with a single combined change
+    * feed — so a key-moving `UPDATE t SET key = key + 1` is atomic: no
+    * crash window or reader-visible intermediate version with rows at
+    * both old and new keys (the two-commit shape this replaced had
+    * exactly that hole). Keys re-occupied by an insert/update survive
+    * (the anti-join keeps them out of the delete set; applyDelta would
+    * resolve the overlap the same way). */
   private[sources] def applyStaged(spark: SparkSession, root: String,
       keyCol: String, orderCol: String, paths: Seq[String],
-      dataSchema: StructType, idSchema: StructType): Unit = {
+      dataSchema: StructType, idSchema: StructType,
+      hconf: SerializableHadoopConf): Unit = {
     val sc = spark.sparkContext
     val nData = dataSchema.length
     val keyCols = keyCol.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -204,7 +236,7 @@ private[graft] object ManifestRowLevelOps {
       if (dataSchema.fieldNames.contains(c)) dataSchema.fieldIndex(c) else -1)
     val keyTypes = idSchema.fields.map(_.dataType).toSeq
     val files = sc.parallelize(paths, math.max(1, math.min(paths.size, 64)))
-    def decoded = files.flatMap(p => readRecords(p, nData, idSchema.length))
+    def decoded = files.flatMap(p => readRecords(p, nData, idSchema.length, hconf))
     def keyMoved(id: InternalRow, row: InternalRow): Boolean =
       keyTypes.indices.exists(i => !java.util.Objects.equals(
         id.get(i, keyTypes(i)), row.get(keyIdxs(i), keyTypes(i))))
@@ -224,23 +256,23 @@ private[graft] object ManifestRowLevelOps {
       ManifestSource.resolvePartCol(root, None))
     val ups = upserts.persist()
     try {
-      val hasUps = !ups.isEmpty
-      if (hasUps) sink.upsertBatch(ups, orderCol, ManifestUpsertSink.AdHocBatch)
       // a key can be deleted-from AND re-occupied in one statement only
       // via a key-changing update — the anti-join keeps re-occupied keys
+      // (a pure-DELETE delta ships a schema-less upsert frame: nothing to
+      // anti-join against, applyDelta handles it as deletes-only)
       val dels =
-        if (!hasUps) delKeys
+        if (dataSchema.isEmpty) delKeys
         else delKeys.join(ups.select(keyCols.map(col): _*), keyCols, "left_anti")
-      if (!dels.isEmpty) sink.deleteKeys(dels, ManifestUpsertSink.AdHocBatch)
+      sink.applyDelta(ups, dels, orderCol, ManifestUpsertSink.AdHocBatch)
     } finally { ups.unpersist(); () }
   }
 
   /** Decode one staged file: (op, idRow, dataRow) records — UnsafeRows
     * over freshly-read byte arrays, safe to hold. */
   private def readRecords(path: String, nData: Int,
-      nId: Int): Iterator[(Char, UnsafeRow, UnsafeRow)] = {
+      nId: Int, hconf: SerializableHadoopConf): Iterator[(Char, UnsafeRow, UnsafeRow)] = {
     val p = new HPath(path)
-    val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
+    val in = new DataInputStream(p.getFileSystem(hconf.value).open(p))
     def readRow(n: Int): UnsafeRow = {
       val len = in.readInt()
       if (len == 0) null
@@ -267,9 +299,9 @@ private[graft] object ManifestRowLevelOps {
     }
   }
 
-  private[sources] def deleteDir(dir: String): Unit = {
+  private[sources] def deleteDir(dir: String, conf: Configuration): Unit = {
     val p = new HPath(dir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     if (fs.exists(p)) { fs.delete(p, true); () }
     // a statement must leave no `_stage/` husk behind (the sink's own
     // feed staging applies the same hygiene)

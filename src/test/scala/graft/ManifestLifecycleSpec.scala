@@ -254,4 +254,46 @@ class ManifestLifecycleSpec extends AnyFunSuite {
     clone.upsertBatch(Seq((21L, "new", 1L)).toDF("id", "p", "seq"), "seq", 1L)
     assert(rows(clRoot).size == 21)
   }
+
+  test("age-based vacuum: retain window holds versions an SLA promises; timestampAsOf inside the window survives") {
+    val root = tmp("graft_age_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 0L)).toDF("id", "p", "seq"), "seq", 0L) // v0
+    sink.upsertBatch(Seq((1L, "b", 1L)).toDF("id", "p", "seq"), "seq", 1L) // v1
+    Thread.sleep(30) // let wall clock advance past v0/v1's currency window
+    val midTs = System.currentTimeMillis()
+    Thread.sleep(30)
+    sink.upsertBatch(Seq((1L, "c", 2L)).toDF("id", "p", "seq"), "seq", 2L) // v2
+    // a one-hour retain window holds EVERYTHING (all versions were
+    // current within it) even though keepVersions=1 would drop v0/v1
+    sink.vacuum(keepVersions = 1, retainMs = Some(3600L * 1000))
+    assert(ManifestUpsertSink.committedVersions(root) == Seq(0L, 1L, 2L),
+      "age hold must override the count horizon")
+    // timestampAsOf inside the window still resolves (v1 was current at
+    // midTs — v2 hadn't committed yet)
+    assert(ManifestUpsertSink.readTimestamp(spark, root, midTs)
+      .select("p").as[String].head() == "b")
+    // a zero retain window imposes no age hold: count horizon applies
+    sink.vacuum(keepVersions = 1, retainMs = Some(0L))
+    assert(ManifestUpsertSink.committedVersions(root) == Seq(2L),
+      "expired versions reclaim once outside the window")
+    assert(ManifestUpsertSink.read(spark, root)
+      .select("p").as[String].head() == "c")
+  }
+
+  test("SQL CALL system.vacuum_retain: the age horizon through the catalog") {
+    val root = tmp("graft_agecat_")
+    val cat = s"graft_agecat_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, p STRING, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a', 0)") // v0
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'b', 1)") // v1
+    spark.sql(s"CALL $cat.system.vacuum_retain('t', 1.0)") // 1 hour: holds all
+    assert(ManifestUpsertSink.committedVersions(s"$root/t") == Seq(0L, 1L))
+    spark.sql(s"CALL $cat.system.vacuum_retain('t', 0.0)") // expired: count floor
+    assert(ManifestUpsertSink.committedVersions(s"$root/t") == Seq(1L))
+  }
 }

@@ -25,6 +25,7 @@ class ManifestPartitionSpec extends AnyFunSuite {
   private def scannedFiles(df: DataFrame): Int =
     df.queryExecution.sparkPlan.collect {
       case b: BatchScanExec => b.scan match {
+        case m: graft.sources.ManifestSource.ManifestScan => m.plannedFiles.length
         case p: ParquetScan => p.fileIndex.inputFiles.length
       }
     }.sum
@@ -154,5 +155,54 @@ class ManifestPartitionSpec extends AnyFunSuite {
     val total = scannedFiles(spark.sql(s"SELECT * FROM $cat.ev"))
     assert(scannedFiles(spark.sql(
       s"SELECT * FROM $cat.ev WHERE day >= DATE'2024-02-01'")) < total)
+  }
+
+  test("partition evolution: repartitionBy adopts a date layout as an epoch commit; history prunes under its own layout; stale writers abort") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pevo_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2) // UNPARTITIONED
+    val rows = (1 to 8).map(i => (i.toLong,
+      java.sql.Date.valueOf(f"2024-0${i % 2 + 1}%d-01"), i * 1.0, 0L))
+    sink.upsertBatch(rows.toDF("id", "day", "v", "seq"), "seq", 0L) // v0
+    assert(ManifestUpsertSink.snapshotManifest(root, None).files
+      .forall(f => ManifestUpsertSink.partOf(f.path).isEmpty),
+      "v0 files carry no partition segment")
+
+    val parted = sink.repartitionBy(spark, Some("day")) // v1: epoch commit
+    val m1 = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m1.partCol.contains("day"))
+    assert(m1.files.forall(f => ManifestUpsertSink.partOf(f.path).isDefined),
+      "post-evolution files land under __pdate")
+    // rows byte-identical across the layout change
+    assert(ManifestUpsertSink.read(spark, root).select("id", "v")
+      .as[(Long, Double)].collect().toMap == rows.map(r => r._1 -> r._3).toMap)
+
+    // NEW layout prunes through the connector; OLD version time-travels
+    // under its own (unpartitioned) layout — no pruning, full read
+    val cur = spark.read.format("graft-manifest").load(root)
+    val total = scannedFiles(cur)
+    assert(scannedFiles(cur.filter(col("day") >= java.sql.Date.valueOf("2024-02-01"))) < total,
+      "the evolved layout must partition-prune")
+    assert(spark.read.format("graft-manifest").option("versionAsOf", 0).load(root)
+      .count() == 8, "pre-evolution history reads under its own layout")
+
+    // a writer still holding the OLD layout aborts loudly
+    intercept[IllegalStateException] {
+      sink.upsertBatch(Seq((9L, java.sql.Date.valueOf("2024-03-01"), 9.0, 1L))
+        .toDF("id", "day", "v", "seq"), "seq", 1L)
+    }
+    // the returned handle continues; retention now works as a manifest edit
+    parted.upsertBatch(Seq((9L, java.sql.Date.valueOf("2024-03-01"), 9.0, 1L))
+      .toDF("id", "day", "v", "seq"), "seq", 1L)
+    parted.dropPartitionsBefore(spark, "2024-02-01")
+    assert(ManifestUpsertSink.read(spark, root).agg(min(col("day"))).head()
+      .getDate(0).toString >= "2024-02-01")
+    // and dropping the partition column is the same epoch move in reverse
+    val flat = parted.repartitionBy(spark, None)
+    assert(ManifestUpsertSink.snapshotManifest(root, None).partCol.isEmpty)
+    flat.upsertBatch(Seq((10L, java.sql.Date.valueOf("2024-04-01"), 10.0, 2L))
+      .toDF("id", "day", "v", "seq"), "seq", 2L)
+    assert(ManifestUpsertSink.read(spark, root).count() ==
+      ManifestUpsertSink.read(spark, root).select("id").distinct().count())
   }
 }

@@ -122,4 +122,23 @@ class ManifestProcedureSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT p FROM $cat.t").as[String].collect().toSeq == Seq("again"))
     }
   }
+
+  test("CALL detail: layout + sidecar size census, zero data-file reads") {
+    withCatalog { (cat, root) =>
+      seed(cat, rows = 40, batches = 2)
+      val sc = spark.sparkContext
+      sc.setJobGroup("detail", "detail")
+      val d = spark.sql(s"CALL $cat.system.detail('t')").collect().head
+      sc.clearJobGroup()
+      assert(sc.statusTracker.getJobIdsForGroup("detail").length <= 1,
+        "DESCRIBE DETAIL must come off the manifest log, not a table scan")
+      assert(d.getAs[String]("key_col") == "id")
+      assert(d.getAs[Long]("buckets") == 4L)
+      assert(d.getAs[Long]("total_rows") == 80L, "sidecar row totals must be exact")
+      assert(d.getAs[Long]("total_bytes") > 0L, "commit-time byte sizes recorded")
+      assert(d.getAs[Long]("n_versions") == 2L)
+      assert(d.getAs[Long]("n_partitions") == 0L && d.getAs[String]("partition_col") == null)
+      assert(!d.getAs[Boolean]("has_renames"))
+    }
+  }
 }

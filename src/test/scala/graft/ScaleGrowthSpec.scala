@@ -241,6 +241,26 @@ class ScaleGrowthSpec extends AnyFunSuite {
       "(reported, not asserted: the composed form's win is structural at this scale)")
   }
 
+  test("q321 graph ANN build is candidate-bounded, not pairs-bounded") {
+    // the adjacency is built FROM the banded LSH candidate relation, so
+    // its directed edge count is ≤ 2 × candidate pairs by construction —
+    // pinned here against the all-pairs bound so the build can never
+    // silently regress to the old exact crossJoin (which emitted exactly
+    // n×M edges from n(n−1) scored pairs)
+    val n = Tables.embeddings(spark, bigDir).count()
+    val cand = graft.ext.Similarity.sharedLshCandidates(spark, bigDir).count()
+    val adj = graft.ext.Similarity.graphAnnAdjacency(spark, bigDir)
+    val edges = adj.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("nbrs")))).head().getLong(0)
+    assert(edges <= 2 * cand,
+      s"adjacency ($edges directed edges) must be bounded by symmetrized candidates (${2 * cand})")
+    assert(edges < n * (n - 1),
+      s"adjacency must stay strictly below the all-pairs bound (${n * (n - 1)})")
+    info(f"${EmbRatio}x vecs=$n candidates=$cand directed-edges=$edges " +
+      f"(${100.0 * edges / (n * (n - 1))}%.1f%% of all-pairs)")
+  }
+
   test("q297's df-cap drops a planted corpus-wide hot feature and bounds every posting-list join group") {
     import spark.implicits._
     // The unbounded-blowup shape: one boilerplate feature key shared by

@@ -28,3 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// A FULL `sbt test` sweeps stale report XMLs first, so the artifact set
+// under target/test-reports always equals the live suite set (a deleted
+// suite's old XML once survived a rename and skewed the reported test
+// count). `testOnly` deliberately does NOT sweep — partial runs would
+// otherwise leave an incomplete artifact set.
+lazy val sweepTestReports = taskKey[Unit]("delete stale test-report XMLs before a full test run")
+sweepTestReports := IO.delete(target.value / "test-reports")
+Test / test := (Test / test).dependsOn(sweepTestReports).value

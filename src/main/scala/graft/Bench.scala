@@ -93,11 +93,15 @@ object Bench {
       if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_STREAM_ROWS"))
         streamingJson(spark)
       else "{}"
+    val streamJoin =
+      if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_JOIN_ROWS"))
+        streamJoinJson(spark)
+      else "{}"
     // one-time costs measured outside the per-query medians (q64's first
     // rep pays the bucket CTAS; reps 2+ reuse the tables, so the median
     // is the zero-Exchange join itself)
     val setup = f"""{"q64_bucket_ctas_sec":${graft.operators.Scale.bucketCtasSeconds}%.3f}"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rep_spread":$spreads%s,"errors":$errJson%s,"streaming":$streaming%s,"setup":$setup%s,"sf":"$sfDir%s"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rep_spread":$spreads%s,"errors":$errJson%s,"streaming":$streaming%s,"stream_join":$streamJoin%s,"setup":$setup%s,"sf":"$sfDir%s"}"""
     println(line)
     // stdout insurance (r07: a clean run still archived as `parsed: null`
     // because the driver keeps only a short stdout tail and the timing map
@@ -261,6 +265,79 @@ object Bench {
       f""""steady_rows_per_sec":$steadyRps%.0f,""" +
       f""""batch_p50_sec":${pct(0.5) / 1e3}%.3f,"batch_p95_sec":${pct(0.95) / 1e3}%.3f,""" +
       f""""startup_sec":$startupSec%.3f,"dur":$phaseJson%s,"lake":${lakeJson(spark)}%s}"""
+  }
+
+  /** Stream-stream join topology, bench-visible end to end (the one
+    * declared streaming shape previously exercised only in specs): TWO
+    * kinesis-sim streams (the wire-schema double over seq-named chunk
+    * logs) → two-level JSON parse each → watermarked INTERVAL JOIN
+    * (event-time bound ±5 min, watermark 10 min — state provably
+    * bounded) → exactly-once manifest MERGE sink. Runs in TWO phases
+    * against one checkpoint: drain the first half of both logs, STOP,
+    * append the second half, RESTART — the joined table must hold
+    * exactly one row per key with zero duplicates, so checkpoint
+    * recovery + the sink's replay guard are measured in the artifact,
+    * not just asserted in StreamingSpec. */
+  private def streamJoinJson(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_JOIN_ROWS", "100000").toInt
+    if (n <= 0) return "{}"
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_ssj_").toString
+      val (leftLog, rightLog) = (s"$dir/left", s"$dir/right")
+      val epoch0 = 1704103500000L
+      // right-side events land 60 s after their left partner: inside the
+      // ±5 min bound, so every key joins exactly once
+      def log(path: String, lo: Int, hi: Int, skewMs: Long): Unit = {
+        val raw = spark.range(lo, hi).select(
+          lpad(col("id").cast("string"), 56, "0").as("sequenceNumber"),
+          to_json(struct(
+            (lit(epoch0) + col("id") + lit(skewMs)).as("epoch"),
+            to_json(struct(
+              concat(lit("id-"), col("id")).as("id"),
+              concat(lit("http://bench/j"), col("id") % 100).as("url"),
+              (lit(epoch0) + col("id") + lit(skewMs)).as("t"))).as("body"))).as("data"),
+          timestamp_millis(lit(epoch0) + col("id") + lit(skewMs)).as("ts"))
+        graft.sinks.LineFileSink.writeSeqNamed(raw, path, col("ts"),
+          maxRecordsPerFile = 5000)
+      }
+      val root = s"$dir/joined"
+      def runPhase(): Long = {
+        val l = graft.streaming.EventStream.parse(graft.sources.Sources
+            .fromKinesisWire(graft.sources.Sources.kinesisSim(spark, leftLog)))
+          .select(col("id").as("k"), col("ts"))
+        val r = graft.streaming.EventStream.parse(graft.sources.Sources
+            .fromKinesisWire(graft.sources.Sources.kinesisSim(spark, rightLog, "enrich")))
+          .select(col("id").as("r_k"), col("ts").as("r_ts"))
+        val joined = graft.streaming.EventStream
+          .intervalJoin(l, r, "k", watermark = "10 minutes", bound = "5 minutes")
+          .select(col("k"), col("ts"), col("r_ts"),
+            unix_millis(col("ts")).as("seq"))
+        val t = System.nanoTime()
+        val q = joined.writeStream.format("graft-manifest")
+          .option("orderCol", "seq").option("keyCol", "k").option("buckets", "16")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .start(root)
+        try q.processAllAvailable() finally q.stop()
+        System.nanoTime() - t
+      }
+      // phase 1: first half of both logs
+      log(leftLog, 0, n / 2, 0L); log(rightLog, 0, n / 2, 60000L)
+      val ns1 = runPhase()
+      // phase 2: append the second half, RESTART from the checkpoint
+      log(leftLog, n / 2, n, 0L); log(rightLog, n / 2, n, 60000L)
+      val ns2 = runPhase()
+      val out = graft.sinks.ManifestUpsertSink.read(spark, root)
+      val joinedRows = out.count()
+      val distinctKeys = out.select(col("k")).distinct().count()
+      val sec = (ns1 + ns2) / 1e9
+      f"""{"rows_per_side":$n,"joined_rows":$joinedRows,"distinct_keys":$distinctKeys,""" +
+        f""""dupes":${joinedRows - distinctKeys},"sec":$sec%.3f,""" +
+        f""""pairs_per_sec":${joinedRows / sec}%.0f,""" +
+        f""""phase1_sec":${ns1 / 1e9}%.3f,"phase2_sec":${ns2 / 1e9}%.3f}"""
+    } catch {
+      case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+    }
   }
 
   /** Lake-streaming micro-bench: rows/s through (1) the exactly-once

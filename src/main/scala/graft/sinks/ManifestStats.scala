@@ -205,6 +205,11 @@ object ManifestStats {
     for (x <- a.max; y <- b.max) yield if (cmp(kind, x, y) >= 0) x else y,
     for (x <- a.nulls; y <- b.nulls) yield x + y)
 
+  /** The sidecar bound-domain comparator, exposed for the connector's
+    * metadata-only aggregate pushdown (MIN/MAX reduce over per-file
+    * bounds must use exactly the order the bounds were collected in). */
+  def cmpPublic(kind: Char, a: Any, b: Any): Int = cmp(kind, a, b)
+
   private def cmp(kind: Char, a: Any, b: Any): Int = kind match {
     case 'L' => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case 'D' => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])

@@ -1592,7 +1592,45 @@ object SinkQueries {
         FALSE AS has_renames"""),
     doc = "CALL system.detail: DESCRIBE DETAIL off the manifest log + stats sidecar (layout pair, sidecar row totals, partition census, version count) — the planner's SupportsReportStatistics inputs made SQL-visible, zero data reads")
 
+  // --------------------------------------------------------------- q326
+  /** METADATA-ONLY aggregate census: unfiltered COUNT(*) / COUNT(col) /
+    * MIN / MAX over a lake table answer from the commit-time stats
+    * sidecar alone — the connector's `SupportsPushDownAggregates` plans
+    * a driver-local one-row scan (ManifestSkippingSpec pins
+    * `LocalTableScan`, zero parquet in the plan), Delta/Iceberg's
+    * metadata-only optimization. At 100 TB this census costs a manifest
+    * read instead of a full-table pass. The oracle computes the same
+    * census from the raw table the lake was loaded from, so the hash
+    * match proves the sidecar-derived values EQUAL the data-derived
+    * truth (count with nulls, integral and string bounds, date bounds). */
+  val q326 = QueryDef(
+    "q326_lake_metadata_census",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q326_").toString
+      val rows = Tables.orders(s, d).select(
+        col("o_orderkey").as("key"),
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("prio_opt"),
+        to_date(col("o_orderdate")).as("odate"),
+        lit(0L).as("seq"))
+      new ManifestUpsertSink(root, "key", buckets = 8)
+        .upsertBatch(rows, "seq", batchId = 0L)
+      s.read.format("graft-manifest").load(root)
+        .agg(count(lit(1)).as("n"), count(col("prio_opt")).as("n_prio"),
+          min(col("key")).as("mn_key"), max(col("key")).as("mx_key"),
+          min(col("prio_opt")).as("mn_prio"), max(col("prio_opt")).as("mx_prio"),
+          min(col("odate")).as("mn_date"), max(col("odate")).as("mx_date"))
+    },
+    Some("""SELECT COUNT(*) AS n,
+        COUNT(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END) AS n_prio,
+        MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+        MIN(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END) AS mn_prio,
+        MAX(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END) AS mx_prio,
+        MIN(CAST(o_orderdate AS DATE)) AS mn_date, MAX(CAST(o_orderdate AS DATE)) AS mx_date
+      FROM orders"""),
+    doc = "metadata-only aggregate census (SupportsPushDownAggregates): unfiltered COUNT/COUNT(col)/MIN/MAX answered from the stats sidecar as a driver-local one-row scan — zero data files opened; conservative declines for filters, groups, floats, uncovered files")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
     q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319,
-    q322, q323, q324, q325, q214, q215, q216, q228)
+    q322, q323, q324, q325, q326, q214, q215, q216, q228)
 }

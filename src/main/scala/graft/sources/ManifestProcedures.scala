@@ -25,6 +25,8 @@ import graft.sinks.ManifestUpsertSink
   *   CALL graft.system.vacuum_retain('events', 168.0)   -- keep 7 days of time travel
   *   CALL graft.system.restore('events', 3)
   *   CALL graft.system.expire_partitions('events', '2024-01-01')
+  *   CALL graft.system.repartition_by('events', 'day')  -- partition evolution ('' drops)
+  *   CALL graft.system.clone('events', 'events_dev', false)  -- shallow fork
   *   CALL graft.system.history('events')                -- DESCRIBE HISTORY
   *   CALL graft.system.detail('events')                 -- DESCRIBE DETAIL
   * }}}
@@ -100,7 +102,23 @@ private[graft] object ManifestProcedures {
     Spec("expire_partitions", Seq(Table,
         ProcedureParameter.in("cutoff", StringType).build()),
       (s, root, in) => sinkFor(root).dropPartitionsBefore(s,
-        in.getUTF8String(1).toString)))
+        in.getUTF8String(1).toString)),
+    // partition evolution as an epoch commit (empty col = drop the layout)
+    Spec("repartition_by", Seq(Table,
+        ProcedureParameter.in("partition_col", StringType).build()),
+      (s, root, in) => {
+        val p = Option(in.getUTF8String(1)).map(_.toString.trim).filter(_.nonEmpty)
+        sinkFor(root).repartitionBy(s, p); ()
+      }),
+    // zero-copy (shallow) or rewriting (deep) table fork; the target is a
+    // same-catalog TABLE NAME, so the clone is immediately SQL-visible
+    Spec("clone", Seq(Table,
+        ProcedureParameter.in("target_table", StringType).build(),
+        ProcedureParameter.in("deep", BooleanType).build()),
+      (s, root, in) => {
+        val target = tableDir(in.getUTF8String(1).toString)
+        sinkFor(root).cloneTo(s, target, deep = in.getBoolean(2)); ()
+      }))
 
   /** `CALL graft.system.detail('t')` — DESCRIBE DETAIL: the table's
     * layout and size as ONE row, straight off the manifest log and its

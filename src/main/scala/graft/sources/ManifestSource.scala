@@ -557,13 +557,15 @@ object ManifestSource {
   private[sources] final class ManifestScanBuilder(options: CaseInsensitiveStringMap,
       resolved: Resolved, tableSchema: StructType)
       extends ScanBuilder with SupportsPushDownCatalystFilters
-      with SupportsPushDownRequiredColumns {
+      with SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
     private val full =
       parquetTable(options, resolved.files.map(_.path), Some(tableSchema))
         .newScanBuilder(options)
     private var pushedExprs: Seq[Expression] = Nil
     private var required: Option[StructType] = None
+    private var aggAnswer: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
       pushedExprs = filters
@@ -577,14 +579,115 @@ object ManifestSource {
       full.pruneColumns(requiredSchema)
     }
 
-    override def build(): Scan = {
-      val v1: Seq[Filter] = pushedExprs.flatMap(GraftBridge.translateFilter)
-      val kept = pruneEntries(resolved.files, resolved, tableSchema, v1)
-      if (resolved.renames.isEmpty)
-        new ManifestScan(options, resolved, tableSchema, kept, pushedExprs, required)
-      else
-        new ManifestRenameScan(options, resolved, tableSchema, kept, pushedExprs, required)
+    /** METADATA-ONLY aggregates: an unfiltered, ungrouped
+      * COUNT(*) / COUNT(col) / MIN(col) / MAX(col) over the snapshot is
+      * answered from the stats sidecar alone — zero data files opened, a
+      * driver-local one-row scan — exactly Delta/Iceberg's metadata-only
+      * query optimization, and at 100 TB the difference between a census
+      * and a full-table read. Declared PARTIAL (Spark still runs its
+      * final merge over the one row), so engine semantics — empty-input
+      * NULLs for min/max, overflow checks — stay Spark's.
+      *
+      * CONSERVATIVE by the same rule as file skipping — any doubt
+      * declines the push and the ordinary scan answers:
+      *  - only with no pushed filters, no grouping, no live renames;
+      *  - COUNT(*): every file must carry a sidecar row count;
+      *  - COUNT(col): additionally that column's null count per file;
+      *  - MIN/MAX(col): both bounds known in every file, and only for
+      *    types whose sidecar domain reconstructs the exact Spark value
+      *    (int/long/short/byte/date/timestamp/string). Floating point
+      *    DECLINES: the sidecar widens ±0.0 bounds (a reported -0.0 for
+      *    a true +0.0 min would be wrong) and drops NaN intervals. */
+    override def supportCompletePushDown(
+        aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+      false
+
+    override def pushAggregation(
+        aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+      import org.apache.spark.sql.connector.expressions.aggregate._
+      import org.apache.spark.sql.types._
+      if (pushedExprs.nonEmpty || aggregation.groupByExpressions.nonEmpty ||
+          resolved.renames.nonEmpty || options.containsKey("changesOf")) return false
+      val perFile = resolved.files.map(f => resolved.stats.get(f.path))
+      if (perFile.exists(_.isEmpty)) return false // uncovered file: decline
+      val fs = perFile.flatten
+      def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+        e match {
+          case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+          case _ => None
+        }
+      def dt(name: String): Option[DataType] =
+        tableSchema.fields.find(_.name == name).map(_.dataType)
+      // sidecar 'L'/'S' domain value -> the column's Spark-internal value
+      def fromDomain(v: Any, t: DataType): Option[Any] = (v, t) match {
+        case (l: Long, LongType) => Some(l)
+        case (l: Long, IntegerType) => Some(l.toInt)
+        case (l: Long, ShortType) => Some(l.toShort)
+        case (l: Long, ByteType) => Some(l.toByte)
+        case (l: Long, DateType) => Some(l.toInt) // days
+        case (l: Long, TimestampType) => Some(l) // micros (sidecar-normalized)
+        case (b: Array[Byte], StringType) =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(b.clone()))
+        case _ => None // incl. 'D' doubles: ±0.0 widening makes bounds inexact
+      }
+      def bound(name: String, isMin: Boolean): Option[(DataType, Any)] = for {
+        t <- dt(name)
+        // every file must bound the column (all-null or stat-less files decline)
+        bounds <- Some(fs.map(_.cols.get(name).flatMap(c => if (isMin) c.min else c.max)))
+        if bounds.forall(_.isDefined) && bounds.nonEmpty
+        kinds = fs.flatMap(_.cols.get(name)).map(_.kind).distinct
+        if kinds.size == 1
+        best = bounds.flatten.reduce((a, b) =>
+          if (isMin ^ (ManifestStats.cmpPublic(kinds.head, a, b) > 0)) a else b)
+        v <- fromDomain(best, t)
+      } yield (t, v)
+      val answers: Seq[Option[(DataType, Any)]] =
+        aggregation.aggregateExpressions.toSeq.map {
+          case _: CountStar =>
+            Some((LongType, fs.map(_.rows).sum))
+          case c: Count if !c.isDistinct =>
+            for {
+              n <- colOf(c.column)
+              if tableSchema.fieldNames.contains(n)
+              nulls <- Some(fs.map(_.cols.get(n).flatMap(_.nulls)))
+              if nulls.forall(_.isDefined)
+            } yield (LongType, fs.map(_.rows).sum - nulls.flatten.sum)
+          case m: Min => colOf(m.column).flatMap(bound(_, isMin = true))
+          case m: Max => colOf(m.column).flatMap(bound(_, isMin = false))
+          case _ => None
+        }
+      if (answers.exists(_.isEmpty)) return false
+      val schema = StructType(answers.flatten.zipWithIndex.map { case ((t, _), i) =>
+        StructField(s"agg_$i", t, nullable = true)
+      })
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        answers.flatten.map(_._2).toArray)
+      aggAnswer = Some((schema, row))
+      true
     }
+
+    override def build(): Scan = aggAnswer match {
+      case Some((schema, row)) =>
+        new ManifestAggScan(options.get("path"), resolved.files.size, schema, row)
+      case None =>
+        val v1: Seq[Filter] = pushedExprs.flatMap(GraftBridge.translateFilter)
+        val kept = pruneEntries(resolved.files, resolved, tableSchema, v1)
+        if (resolved.renames.isEmpty)
+          new ManifestScan(options, resolved, tableSchema, kept, pushedExprs, required)
+        else
+          new ManifestRenameScan(options, resolved, tableSchema, kept, pushedExprs, required)
+    }
+  }
+
+  /** The one-row, driver-local answer to a sidecar-covered aggregate:
+    * plans as a LocalTableScan — zero tasks, zero data-file I/O. */
+  private[graft] final class ManifestAggScan(path: String, nFiles: Int,
+      schema: StructType, row: org.apache.spark.sql.catalyst.InternalRow)
+      extends org.apache.spark.sql.connector.read.LocalScan {
+    override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+    override def readSchema(): StructType = schema
+    override def description(): String =
+      s"graft-manifest(sidecar-aggregate over $nFiles files) $path"
   }
 
   /** The rename fold at SCHEMA level — the exact StructType counterpart

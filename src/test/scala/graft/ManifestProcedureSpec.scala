@@ -123,6 +123,31 @@ class ManifestProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL repartition_by: partition evolution through SQL; CALL clone: SQL-visible shallow fork") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, day DATE, v DOUBLE, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='2')""")
+      spark.sql(s"""INSERT INTO $cat.t VALUES
+        (1, DATE'2024-01-01', 1.0, 0), (2, DATE'2024-02-01', 2.0, 0)""")
+      spark.sql(s"CALL $cat.system.repartition_by('t', 'day')")
+      val m = ManifestUpsertSink.snapshotManifest(s"$root/t", None)
+      assert(m.partCol.contains("day"))
+      assert(m.files.forall(f => ManifestUpsertSink.partOf(f.path).isDefined))
+      assert(spark.sql(s"SELECT sum(v) FROM $cat.t").as[Double].head() == 3.0)
+      // expire through the evolved layout, then drop the layout again
+      spark.sql(s"CALL $cat.system.expire_partitions('t', '2024-02-01')")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 1L)
+      spark.sql(s"CALL $cat.system.repartition_by('t', '')")
+      assert(ManifestUpsertSink.snapshotManifest(s"$root/t", None).partCol.isEmpty)
+      // shallow clone: zero copy, immediately SQL-visible, isolated
+      spark.sql(s"CALL $cat.system.clone('t', 't_dev', false)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t_dev").as[Long].head() == 1L)
+      spark.sql(s"DELETE FROM $cat.t WHERE id = 2")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t_dev").as[Long].head() == 1L,
+        "clone must not see post-fork source changes")
+    }
+  }
+
   test("CALL detail: layout + sidecar size census, zero data-file reads") {
     withCatalog { (cat, root) =>
       seed(cat, rows = 40, batches = 2)

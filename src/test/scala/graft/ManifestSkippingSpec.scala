@@ -409,6 +409,43 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(joined.count() == 50L)
   }
 
+  test("metadata-only aggregates: COUNT/MIN/MAX answer from the sidecar as a LocalTableScan; filters/floats decline") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_aggpd_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch((1L to 500L).map(i =>
+        (i, s"s$i", i * 0.5, java.sql.Date.valueOf("2024-01-01").toLocalDate.plusDays(i % 30),
+          if (i % 5 == 0) None else Some(i), 0L))
+      .map(t => (t._1, t._2, t._3, java.sql.Date.valueOf(t._4), t._5, t._6))
+      .toDF("id", "s", "v", "d", "opt", "seq"), "seq", 0L)
+    val t = spark.read.format("graft-manifest").load(root)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // COUNT(*), COUNT(col with nulls), MIN/MAX over long/string/date: one
+    // driver-local row, no parquet scan in the plan
+    val agg = t.agg(count(lit(1)).as("n"), count(col("opt")).as("nn"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"),
+      min(col("s")).as("smn"), max(col("d")).as("dmx"))
+    val p = planOf(agg)
+    assert(p.contains("LocalTableScan") && !p.contains("ParquetScan"),
+      s"sidecar-covered aggregate must not open data files:\n${p.take(1500)}")
+    val r = agg.head()
+    assert(r.getLong(0) == 500L && r.getLong(1) == 400L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 500L)
+    assert(r.getString(4) == "s1" && r.getDate(5).toString == "2024-01-30")
+    // a FILTER declines the push (sidecar can't subtotal) — the ordinary
+    // pruning scan answers, correctly
+    val filtered = t.filter(col("id") <= 10L).agg(count(lit(1)))
+    assert(planOf(filtered).contains("Scan") && filtered.head().getLong(0) == 10L)
+    // floating-point MIN declines (±0.0-widened bounds are inexact) but
+    // still answers right through the data path
+    val dmin = t.agg(min(col("v")))
+    assert(!planOf(dmin).contains("LocalTableScan"))
+    assert(dmin.head().getDouble(0) == 0.5)
+    // GROUP BY declines
+    assert(t.groupBy(col("id") % 2).count().count() == 2)
+  }
+
   test("runtime filtering: a join-time IN-set on the fact's key drops non-matching buckets' files") {
     import spark.implicits._
     import graft.sources.ManifestSource.RuntimeFilterProbe

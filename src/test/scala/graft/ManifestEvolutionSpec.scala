@@ -102,6 +102,11 @@ class ManifestEvolutionSpec extends AnyFunSuite {
     sink.renameColumn(spark, "payload", "body")
     assert(sink.read(spark).select("id", "body").as[(Long, String)].collect().toMap
       == Map(1L -> "a"))
+    // the SQL scan folds the CHAIN too: body <- coalesce(body, payload, p)
+    // across all three physical vintages, live, no compaction
+    assert(spark.read.format("graft-manifest").load(root)
+      .select("id", "body").as[(Long, String)].collect().toMap == Map(1L -> "a"),
+      "SQL read must fold chained renames across vintages")
 
     // compaction materializes the chain — the names are then free again
     sink.compact(spark)

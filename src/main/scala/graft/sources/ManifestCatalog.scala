@@ -42,7 +42,8 @@ import graft.sinks.{ManifestUpsertSink, TableStore}
   * run the same committed MERGE protocol — a catalog table can never
   * behave differently from a path table. */
 class ManifestCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   /** Maintenance verbs behind SQL `CALL` (see [[ManifestProcedures]]):
     * compaction, clustering, z-order, vacuum, restore, partition expiry
@@ -54,6 +55,19 @@ class ManifestCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     ManifestProcedures.names.map(Identifier.of(namespace, _)).toArray
+
+  /** The one catalog function: the lake's canonical `bucket` transform,
+    * which lets Spark resolve the connector's reported
+    * `KeyGroupedPartitioning(bucket(n, key...))` and plan
+    * STORAGE-PARTITIONED JOINS between same-layout tables (zero
+    * shuffle; gated behind `spark.sql.sources.v2.bucketing.enabled`). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (normalize(ident).name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
 
   private var catalogName: String = _
   private var root: String = _

@@ -679,6 +679,68 @@ object ManifestSource {
     }
   }
 
+  /** Source-side opt-in for STORAGE-PARTITIONED-JOIN layout (the Iceberg
+    * `preserve-data-grouping` model): with this AND Spark's
+    * `spark.sql.sources.v2.bucketing.enabled` both true, keyed manifest
+    * scans plan one InputPartition per bucket and report
+    * `KeyGroupedPartitioning`, letting same-layout lake joins run with
+    * zero shuffle — at the price of capping each scan's task count at
+    * the bucket count, which is why it is not the default. */
+  val PreserveGroupingConf = "spark.sql.graft.preserveDataGrouping"
+
+  /** The SPJ-mode Batch: the delegate's size-planned splits regrouped
+    * into one [[KeyedFilePartition]] per bucket. VALUE equality on
+    * (delegate batch, buckets) — `BatchScanExec.equals` compares `batch`
+    * objects, and DPP's broadcast-exchange reuse (`sameResult`) depends
+    * on two independently-built scans of one snapshot comparing equal;
+    * an identity-equal anonymous Batch here was MEASURED to silently
+    * kill that reuse (the DPP filter degrades to `true`). */
+  private final class GroupedBatch(
+      private val inner: org.apache.spark.sql.connector.read.Batch,
+      private val bucketIds: Seq[Long])
+      extends org.apache.spark.sql.connector.read.Batch {
+    override def planInputPartitions()
+        : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+      import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+      // splits of one file share a bucket; a bucket whose files a runtime
+      // filter pruned still plans (empty) so the reported partition count
+      // stays true
+      val files: Array[PartitionedFile] = inner.planInputPartitions()
+        .flatMap { case fp: FilePartition => fp.files }
+      val byBucket = files.groupBy { f =>
+        f.filePath.toString.split("/").collectFirst {
+          case seg if seg.startsWith("__bucket=") =>
+            seg.stripPrefix("__bucket=").toLong
+        }.getOrElse(-1L)
+      }
+      bucketIds.zipWithIndex.map { case (b, i) =>
+        new KeyedFilePartition(i, byBucket.getOrElse(b, Array.empty),
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](b.toInt)))
+      }.toArray
+    }
+    override def createReaderFactory()
+        : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      inner.createReaderFactory()
+    override def equals(other: Any): Boolean = other match {
+      case o: GroupedBatch => inner == o.inner && bucketIds == o.bucketIds
+      case _ => false
+    }
+    override def hashCode(): Int = java.util.Objects.hash(inner, bucketIds)
+  }
+
+  /** A size-planned file split pinned to its bucket's partition key —
+    * the `HasPartitionKey` unit [[ManifestScan]]'s SPJ mode plans, one
+    * per bucket. Extends the stock FilePartition so the delegate parquet
+    * reader factory consumes it unchanged. */
+  private final class KeyedFilePartition(idx: Int,
+      files0: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+      key: org.apache.spark.sql.catalyst.InternalRow)
+      extends org.apache.spark.sql.execution.datasources.FilePartition(idx, files0)
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  }
+
   /** The one-row, driver-local answer to a sidecar-covered aggregate:
     * plans as a LocalTableScan — zero tasks, zero data-file I/O. */
   private[graft] final class ManifestAggScan(path: String, nFiles: Int,
@@ -928,9 +990,55 @@ object ManifestSource {
       resolved: Resolved, tableSchema: StructType, keptInit: Seq[FileEntry],
       private val pushedExprs: Seq[Expression],
       private val required: Option[StructType])
-      extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
+      extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering
+      with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
     @volatile private var kept: Seq[FileEntry] = keptInit
+
+    /** STORAGE-PARTITIONED-JOIN mode: when the user enables Spark's v2
+      * bucketing (`spark.sql.sources.v2.bucketing.enabled`) and the
+      * snapshot has a key layout whose every component survives column
+      * pruning, the scan (a) reports
+      * `KeyGroupedPartitioning(bucket(n, key...), |buckets present|)` —
+      * resolvable through the catalog's [[GraftBucketFunction]] — and
+      * (b) plans ONE InputPartition per bucket (each `HasPartitionKey`),
+      * so a join between two same-layout lake tables on the bucket key
+      * runs with ZERO shuffle: every task reads both sides' files of one
+      * bucket. The bucket-id GROUP SET is pinned at scan construction:
+      * a runtime filter may empty a group's file list but never drops
+      * the group, keeping the reported partition count true. Off (the
+      * default), partition planning stays Spark's size-based splitting —
+      * SPJ trades per-scan parallelism (≤ buckets tasks) for the absent
+      * shuffle, the operator's call to make per workload. */
+    private val spjBuckets: Option[Seq[Long]] = {
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      // the SOURCE-side opt-in (the Iceberg preserve-data-grouping model):
+      // grouping caps a scan's task count at the bucket count, which is
+      // only worth paying when the workload actually joins same-layout
+      // tables — and Spark's own v2.bucketing.enabled is default-TRUE in
+      // 4.x, so it alone must not flip every lake scan into SPJ layout
+      val on = conf.v2BucketingEnabled && conf.getConfString(
+        ManifestSource.PreserveGroupingConf, "false").toBoolean
+      val outCols = required.getOrElse(tableSchema).fieldNames.toSet
+      resolved.keyInfo match {
+        case Some((spec, _)) if on && kept.nonEmpty &&
+            spec.split(",").map(_.trim).forall(outCols.contains) =>
+          Some(kept.map(_.bucket).distinct.sorted)
+        case _ => None
+      }
+    }
+
+    override def outputPartitioning()
+        : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+      (spjBuckets, resolved.keyInfo) match {
+        case (Some(bs), Some((spec, nb))) =>
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+              nb, spec.split(",").map(_.trim): _*)),
+            bs.size)
+        case _ =>
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      }
 
     /** Spec window: the file list this scan will read (post static AND
       * any runtime pruning) — the counterpart of ParquetScan's
@@ -951,7 +1059,12 @@ object ManifestSource {
     @volatile private var delegate: Scan = buildDelegate()
 
     override def readSchema(): StructType = delegate.readSchema()
-    override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = spjBuckets match {
+      case None => delegate.toBatch
+      case Some(bucketIds) => new GroupedBatch(delegate.toBatch, bucketIds)
+    }
+
     override def description(): String =
       s"graft-manifest files=${kept.size}/${resolved.files.size} ${delegate.description()}"
     override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =

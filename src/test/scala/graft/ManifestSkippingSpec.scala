@@ -446,6 +446,55 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(t.groupBy(col("id") % 2).count().count() == 2)
   }
 
+  test("storage-partitioned join: same-layout lake tables join with ZERO shuffle under v2 bucketing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_spj_").toString
+    val cat = s"graft_spj_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"""CREATE TABLE $cat.a (id BIGINT, v DOUBLE, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='8')""")
+    spark.sql(s"""CREATE TABLE $cat.b (id BIGINT, w DOUBLE, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='8')""")
+    (1L to 2000L).map(i => (i, i * 1.0, 0L)).toDF("id", "v", "seq")
+      .createOrReplaceTempView("spj_a")
+    (1L to 2000L).map(i => (i, i * 2.0, 0L)).toDF("id", "w", "seq")
+      .createOrReplaceTempView("spj_b")
+    spark.sql(s"INSERT INTO $cat.a SELECT * FROM spj_a")
+    spark.sql(s"INSERT INTO $cat.b SELECT * FROM spj_b")
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      graft.sources.ManifestSource.PreserveGroupingConf,
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // the SOURCE-side opt-in: without it keyed scans keep Spark's
+      // size-based split planning (full parallelism, no SPJ)
+      spark.conf.set(graft.sources.ManifestSource.PreserveGroupingConf, "true")
+      // kill auto-broadcast (the reported stats would otherwise pick a
+      // BHJ and hide the shuffle question entirely)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.sql(
+        s"SELECT sum(a.v * b.w) AS s FROM $cat.a a JOIN $cat.b b ON a.id = b.id")
+      assert(j.head().getDouble(0) ==
+        (1L to 2000L).map(i => i * 1.0 * i * 2.0).sum)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a shuffle-class join:\n${plan.take(1200)}")
+      // the one legitimate Exchange is the final SinglePartition gather
+      // for the global sum; the JOIN must see no hash repartitioning —
+      // each task reads both sides' files of one bucket directly
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"same-layout lake tables must join WITHOUT a shuffle (storage-partitioned join):\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime filtering: a join-time IN-set on the fact's key drops non-matching buckets' files") {
     import spark.implicits._
     import graft.sources.ManifestSource.RuntimeFilterProbe

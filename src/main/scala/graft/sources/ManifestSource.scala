@@ -558,7 +558,8 @@ object ManifestSource {
       resolved: Resolved, tableSchema: StructType)
       extends ScanBuilder with SupportsPushDownCatalystFilters
       with SupportsPushDownRequiredColumns
-      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
     private val full =
       parquetTable(options, resolved.files.map(_.path), Some(tableSchema))
@@ -566,6 +567,23 @@ object ManifestSource {
     private var pushedExprs: Seq[Expression] = Nil
     private var required: Option[StructType] = None
     private var aggAnswer: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+    private var limit: Option[Int] = None
+
+    /** FILE-LEVEL limit pruning: an UNORDERED `LIMIT n` is satisfied by
+      * ANY n rows, so when no data filter is pushed (a filter makes a
+      * file's matching-row count unknowable) the scan keeps only the
+      * file-list prefix whose sidecar row counts cover `n` — at 100 TB,
+      * `SELECT * FROM t LIMIT 10` opens one file instead of launching a
+      * full-table scan's tasks. Declared PARTIALLY pushed (the default),
+      * so Spark's own GlobalLimit still trims the exact row count;
+      * ordered limits (TopN) never reach this path — a Sort between the
+      * Limit and the relation blocks the pushdown. Files missing from
+      * the sidecar decline (their row contribution is unknowable). */
+    override def pushLimit(n: Int): Boolean = {
+      if (pushedExprs.nonEmpty) return false
+      limit = Some(n)
+      true
+    }
 
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
       pushedExprs = filters
@@ -671,7 +689,17 @@ object ManifestSource {
         new ManifestAggScan(options.get("path"), resolved.files.size, schema, row)
       case None =>
         val v1: Seq[Filter] = pushedExprs.flatMap(GraftBridge.translateFilter)
-        val kept = pruneEntries(resolved.files, resolved, tableSchema, v1)
+        val pruned = pruneEntries(resolved.files, resolved, tableSchema, v1)
+        val kept = limit match {
+          case Some(n) if pushedExprs.isEmpty &&
+              pruned.forall(e => resolved.stats.contains(e.path)) =>
+            // prefix whose sidecar row counts cover n (see pushLimit)
+            var acc = 0L
+            pruned.takeWhile { e =>
+              val take = acc < n; acc += resolved.stats(e.path).rows; take
+            }
+          case _ => pruned
+        }
         if (resolved.renames.isEmpty)
           new ManifestScan(options, resolved, tableSchema, kept, pushedExprs, required)
         else

@@ -446,6 +446,28 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(t.groupBy(col("id") % 2).count().count() == 2)
   }
 
+  test("limit pushdown: an unordered LIMIT keeps only the file prefix covering n rows; filters decline") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_limpd_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 8)
+    sink.upsertBatch((1L to 800L).map(i => (i, s"p$i", 0L)).toDF("id", "p", "seq"), "seq", 0L)
+    val t = spark.read.format("graft-manifest").load(root)
+    val total = scannedFiles(t)
+    assert(total >= 8, s"fixture should span buckets, got $total files")
+    val lim = t.limit(5)
+    assert(scannedFiles(lim) < total,
+      "LIMIT must prune the file list to a covering prefix")
+    assert(lim.count() == 5L)
+    // a pushed data filter makes per-file matching counts unknowable:
+    // the limit prune declines and the result stays exact
+    val filtered = t.filter(col("id") > 750L).limit(5)
+    assert(filtered.count() == 5L)
+    assert(filtered.select(col("id")).as[Long].collect().forall(_ > 750L))
+    // ordered limit (TopN) never reaches the file prune — exact answer
+    assert(t.orderBy(col("id")).limit(3).select("id").as[Long].collect().toSeq
+      == Seq(1L, 2L, 3L))
+  }
+
   test("storage-partitioned join: same-layout lake tables join with ZERO shuffle under v2 bucketing") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_spj_").toString

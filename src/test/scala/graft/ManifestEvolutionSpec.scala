@@ -115,6 +115,52 @@ class ManifestEvolutionSpec extends AnyFunSuite {
     assert(sink.read(spark).columns.toSet == Set("id", "p", "seq"))
   }
 
+  test("rename-fold parity: the SQL scan's schema fold and source map replay applyRenames exactly") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // the SQL surface re-derives the Scala path's column fold TWICE —
+    // applyRenamesSchema (logical schema from a union footer schema) and
+    // renameSources (per-logical coalesce order) — so chained and
+    // disjoint mappings over every vintage subset must agree with the
+    // ground-truth DataFrame fold, or the two surfaces silently drift
+    val chains: Seq[Seq[(String, String)]] = Seq(
+      Seq("a" -> "b"),
+      Seq("a" -> "b", "b" -> "c"),            // chained: c <- (c, b, a)
+      Seq("a" -> "b", "x" -> "y"),            // disjoint pairs
+      Seq("a" -> "b", "b" -> "c", "x" -> "y"))
+    for (renames <- chains) {
+      val sources = renames.map(_._1).toSet
+      val logical = renames.map(_._2).toSet -- sources
+      val universe = (sources ++ logical + "k").toSeq.sorted
+      // every subset of the universe is a possible union footer schema
+      // (each file vintage contributes some physical columns)
+      for (bits <- 0 until (1 << universe.size); if bits != 0) {
+        val present = universe.zipWithIndex.collect {
+          case (c, i) if (bits & (1 << i)) != 0 => c }
+        val df = spark.range(1).selectExpr(
+          present.map(c => s"'v_$c' AS `$c`"): _*)
+        val truth = ManifestUpsertSink.applyRenames(df, renames)
+        val foldedSchema = graft.sources.ManifestSource.applyRenamesSchema(
+          StructType(present.map(StructField(_, StringType))), renames)
+        assert(foldedSchema.fieldNames.toSeq == truth.columns.toSeq,
+          s"schema fold drifted for renames=$renames present=$present")
+        // source map: logical <- coalesce(sources...) order must equal the
+        // DataFrame fold's nested-coalesce value on a full-universe frame
+        val srcMap = graft.sources.ManifestSource.renameSources(
+          StructType(truth.columns.map(StructField(_, StringType))), renames)
+        for ((lname, srcs) <- srcMap if srcs.size > 1) {
+          val firstPresent = srcs.find(present.contains)
+          val got = truth.columns.indexOf(lname) match {
+            case -1 => None
+            case i => Option(truth.head().getString(i))
+          }
+          assert(got == firstPresent.map(c => s"v_$c"),
+            s"coalesce order drifted for $lname: renames=$renames present=$present " +
+              s"srcs=$srcs got=$got")
+        }
+      }
+    }
+  }
+
   test("manifest header separators in column names are rejected at commit time") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_evo_names_").toString

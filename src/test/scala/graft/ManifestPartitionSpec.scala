@@ -157,6 +157,45 @@ class ManifestPartitionSpec extends AnyFunSuite {
       s"SELECT * FROM $cat.ev WHERE day >= DATE'2024-02-01'")) < total)
   }
 
+  test("runtime DATE pruning: a join against a filtered date dim drops other partitions' files at execution") {
+    import spark.implicits._
+    import graft.sources.ManifestSource.RuntimeFilterProbe
+    val factRoot = java.nio.file.Files.createTempDirectory("graft_dppdate_").toString
+    val dimRoot = java.nio.file.Files.createTempDirectory("graft_dppdated_").toString
+    // 60 daily partitions, 2 buckets: the runtime filter arrives on the
+    // PARTITION column, the __pdate analog of classic DPP
+    new ManifestUpsertSink(factRoot, "id", buckets = 2,
+      partitionCol = Some("day")).upsertBatch(
+      (1L to 3000L).map(i => (i,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i % 60)),
+        i * 1.0, 0L)).toDF("id", "day", "v", "seq"), "seq", 0L)
+    new ManifestUpsertSink(dimRoot, "day", buckets = 1).upsertBatch(
+      (0L until 60L).map(d => (
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)),
+        if (d % 20 == 3) "promo" else "normal", 0L)).toDF("day", "kind", "seq"),
+      "seq", 0L)
+    val fact = spark.read.format("graft-manifest").load(factRoot)
+    val dim = spark.read.format("graft-manifest").load(dimRoot)
+      .filter(col("kind") === "promo") // 3 of 60 days
+    RuntimeFilterProbe.reset()
+    val joined = fact.join(dim, "day").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val row = joined.head()
+    val (_, before, after) = RuntimeFilterProbe.last.getOrElse(
+      fail("no runtime filter reached the fact scan"))
+    assert(after < before,
+      s"the join-time date IN-set must drop other partitions' files ($after vs $before)")
+    // correctness vs plain frames
+    val factDf = (1L to 3000L).map(i => (i,
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i % 60)),
+      i * 1.0)).toDF("id", "day", "v")
+    val dimDf = (0L until 60L).map(d => (
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)),
+      if (d % 20 == 3) "promo" else "normal")).toDF("day", "kind")
+      .filter(col("kind") === "promo")
+    val want = factDf.join(dimDf, "day").agg(count(lit(1)), sum("v")).head()
+    assert(row.getLong(0) == want.getLong(0) && row.getDouble(1) == want.getDouble(1))
+  }
+
   test("partition evolution: repartitionBy adopts a date layout as an epoch commit; history prunes under its own layout; stale writers abort") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_pevo_").toString

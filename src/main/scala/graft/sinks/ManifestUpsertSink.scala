@@ -110,6 +110,22 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
 
   private def keyColumns: Seq[Column] = keyCols.map(col)
 
+  /** While metadata-only evolution is live, an incoming batch must not
+    * carry a RETIRED name: a rename SOURCE would be coalesced into the
+    * rename's target by every read's fold (silent nulls), and a
+    * logically-DROPPED name would resurrect the pre-drop bytes still
+    * sitting in old files the moment the fold stops dropping it — the
+    * same reuse hazards the DDL verbs refuse, reachable with no DDL at
+    * all. compact() materializes the evolution and frees the names. */
+  private def requireNoRetiredColumns(cur: Option[Manifest], batchCols: Seq[String]): Unit =
+    for (m <- cur if m.renames.nonEmpty || m.droppedCols.nonEmpty) {
+      val retired = m.renames.map(_._1).toSet ++ m.droppedCols
+      val resurrected = retired & batchCols.toSet
+      require(resurrected.isEmpty,
+        s"batch carries column(s) ${resurrected.toSeq.sorted.mkString(", ")} retired by a " +
+          "live rename mapping or DROP COLUMN — compact() to materialize the evolution first")
+    }
+
   /** DATE PARTITIONING (the reference's own K2 layout, core.clj:47-50,
     * lifted to the lake): when `partitionCol` names a date-valued column,
     * every data file additionally lands under a `__pdate=yyyy-MM-dd`
@@ -141,17 +157,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     if (batchId != AdHocBatch && cur.exists(_.batchId >= batchId))
       return // replayed batch: no-op
     requireSameBuckets(cur)
-    // while a rename mapping is live, an incoming batch must not carry a
-    // RETIRED physical name: additive schema evolution would write it
-    // physically and every read's applyRenames would coalesce the new
-    // column into the rename's old target (silent nulls) — the same
-    // reuse hazard renameColumn refuses, reachable with no DDL at all
-    for (m <- cur if m.renames.nonEmpty) {
-      val resurrected = m.renames.map(_._1).toSet & batch.columns.toSet
-      require(resurrected.isEmpty,
-        s"batch carries column(s) ${resurrected.toSeq.sorted.mkString(", ")} retired by a " +
-          "live rename mapping — compact() to materialize the rename first")
-    }
+    requireNoRetiredColumns(cur, batch.columns)
     val version = cur.map(_.version + 1).getOrElse(0L)
     val tag = newTag()
     // deliberately NOT persisted, though three actions read it (touched
@@ -175,9 +181,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val current: Option[DataFrame] = cur.flatMap { m =>
       val touchedFiles = m.files.filter(f => touched(f.bucket)).map(_.path)
       if (touchedFiles.isEmpty) None
-      else Some(applyRenames(
-        spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*),
-        m.renames))
+      else Some(applyEvolution(
+        spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*), m))
     }
     // ---- change feed: every incoming key is inserted or updated (LWW
     // upsert never deletes); old/new BEFORE/AFTER row images (JSON of the
@@ -231,7 +236,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       if (batchId == AdHocBatch) cur.map(_.batchId).getOrElse(-1L) else batchId
     commitRebasing(cur, commitId, dataChanged = touched, replaced = touched,
       written = written, feedStage = Some(s"_stage/$tag"),
-      renames = cur.map(_.renames).getOrElse(Nil))
+      renames = cur.map(_.renames).getOrElse(Nil),
+      addedCols = cur.map(_.addedCols).getOrElse(Nil),
+      droppedCols = cur.map(_.droppedCols).getOrElse(Nil))
   }
 
   /** DELETE by key — the third CDC verb (upsert covers insert/update):
@@ -259,8 +266,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val touched = collectTouchedRequireKeys(keyed)
     val touchedFiles = cur.files.filter(f => touched(f.bucket)).map(_.path)
     if (touchedFiles.isEmpty) return // no touched bucket holds data: no-op
-    val current = applyRenames(
-      spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*), cur.renames)
+    val current = applyEvolution(
+      spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*), cur)
     // feed first (same crash contract as the merge): one `deleted` row per
     // key that exists, BEFORE image only
     val victims = current.join(keyed.select(keyColumns: _*), keyCols, "left_semi")
@@ -279,7 +286,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     commitRebasing(Some(cur),
       if (batchId == AdHocBatch) cur.batchId else batchId,
       dataChanged = touched, replaced = touched,
-      written = written, feedStage = Some(s"_stage/$tag"), renames = cur.renames)
+      written = written, feedStage = Some(s"_stage/$tag"), renames = cur.renames,
+      addedCols = cur.addedCols, droppedCols = cur.droppedCols)
   }
 
   /** SINGLE-COMMIT row-level apply: MERGE `batch` and DELETE `delKeys`
@@ -306,12 +314,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     if (batchId != AdHocBatch && cur.exists(_.batchId >= batchId))
       return // replayed batch: no-op
     requireSameBuckets(cur)
-    for (m <- cur if m.renames.nonEmpty) {
-      val resurrected = m.renames.map(_._1).toSet & batch.columns.toSet
-      require(resurrected.isEmpty,
-        s"batch carries column(s) ${resurrected.toSeq.sorted.mkString(", ")} retired by a " +
-          "live rename mapping — compact() to materialize the rename first")
-    }
+    requireNoRetiredColumns(cur, batch.columns)
     val version = cur.map(_.version + 1).getOrElse(0L)
     val tag = newTag()
     // a PURE-DELETE statement ships a schema-less upsert frame (a SQL
@@ -336,9 +339,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val current: Option[DataFrame] = cur.flatMap { m =>
       val touchedFiles = m.files.filter(f => touched(f.bucket)).map(_.path)
       if (touchedFiles.isEmpty) None
-      else Some(applyRenames(
-        spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*),
-        m.renames))
+      else Some(applyEvolution(
+        spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*), m))
     }
     // pure delete touching no stored bucket (or an empty table): no-op,
     // matching deleteKeys — a DELETE must never CREATE a version
@@ -398,7 +400,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       if (batchId == AdHocBatch) cur.map(_.batchId).getOrElse(-1L) else batchId
     commitRebasing(cur, commitId, dataChanged = touched, replaced = touched,
       written = written, feedStage = Some(s"_stage/$tag"),
-      renames = cur.map(_.renames).getOrElse(Nil))
+      renames = cur.map(_.renames).getOrElse(Nil),
+      addedCols = cur.map(_.addedCols).getOrElse(Nil),
+      droppedCols = cur.map(_.droppedCols).getOrElse(Nil))
   }
 
   /** The one data-file writer: every version's files are written with a
@@ -468,11 +472,14 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     * that made it into the manifest. */
   private def commitRebasing(base: Option[Manifest], batchId: Long,
       dataChanged: Set[Long], replaced: Set[Long], written: Seq[FileEntry],
-      feedStage: Option[String], renames: Seq[(String, String)]): Unit = {
+      feedStage: Option[String], renames: Seq[(String, String)],
+      addedCols: Seq[(String, String)], droppedCols: Seq[String]): Unit = {
     var cur = base
     var keepMine = replaced
     var id = batchId
     var rn = renames
+    var added = addedCols
+    var droppedC = droppedCols
     var attempt = 0
     while (true) {
       val version = cur.map(_.version + 1).getOrElse(0L)
@@ -481,7 +488,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       beforeCommit(version)
       try {
         commit(root, store, Manifest(version, id, Some(buckets), Some(keyCol),
-          files, Some(dataChanged), feedStage, rn, partCol = partitionCol))
+          files, Some(dataChanged), feedStage, rn, partCol = partitionCol,
+          addedCols = added, droppedCols = droppedC))
         feedStage.foreach { st =>
           store.rename(s"$root/$st", s"$root/_changes/v$version")
           store.deleteDirIfEmpty(s"$root/_stage")
@@ -533,10 +541,12 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
           keepMine = keepMine -- wTouched
           id = math.max(id, latest.batchId)
           // a winner compaction may have materialized (cleared) the
-          // rename mapping; rename/epoch commits themselves are
-          // touched=None and abort above, so adopting the winner's
+          // evolution headers; rename/add/drop/epoch commits themselves
+          // are touched=None and abort above, so adopting the winner's
           // mapping is always consistent with the carried files
           rn = latest.renames
+          added = latest.addedCols
+          droppedC = latest.droppedCols
           cur = Some(latest)
       }
     }
@@ -647,11 +657,11 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     if (fat.isEmpty) return
     val version = cur.version + 1
     val fatFiles = cur.files.filter(f => fat(f.bucket)).map(_.path)
-    // rename mapping applied on read: rewritten buckets come out under
-    // logical names; carried buckets keep needing the mapping (header
+    // evolution fold applied on read: rewritten buckets come out under
+    // the logical schema; carried buckets keep needing the fold (headers
     // carried below) until a FULL compaction materializes it everywhere
-    val rows = applyRenames(
-        spark.read.option("mergeSchema", "true").parquet(fatFiles: _*), cur.renames)
+    val rows = applyEvolution(
+        spark.read.option("mergeSchema", "true").parquet(fatFiles: _*), cur)
       .withColumn(BucketCol, bucketExpr)
       .repartition(math.max(fat.size, 1), col(BucketCol))
     val dataDir = s"$root/data/v$version-${newTag()}"
@@ -660,7 +670,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // data-preserving rewrite of the fat buckets: dataChanged is empty,
     // so a concurrent merge into one of them simply wins that bucket
     commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
-      replaced = fat, written = written, feedStage = None, renames = cur.renames)
+      replaced = fat, written = written, feedStage = None, renames = cur.renames,
+      addedCols = cur.addedCols, droppedCols = cur.droppedCols)
   }
 
   /** CLUSTERED compaction: rewrite the snapshot range-partitioned by
@@ -767,15 +778,20 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val physDf = spark.read.option("mergeSchema", "true")
       .parquet(cur.files.map(_.path): _*)
     val physical = physDf.columns.toSet
-    val logical = applyRenames(physDf, cur.renames).columns.toSet
-    val retired = cur.renames.map(_._1).toSet ++ physical.diff(logical)
+    val logical = applyEvolution(physDf, cur).columns.toSet
+    // retired names: rename SOURCES, physical-only vintages, and
+    // logically-DROPPED columns (their bytes still sit in pre-drop
+    // files — reusing the name would resurrect them through the fold)
+    val retired = cur.renames.map(_._1).toSet ++ physical.diff(logical) ++
+      cur.droppedCols
     require(logical(oldName),
       s"cannot rename: column $oldName does not exist (have ${logical.toSeq.sorted.mkString(", ")})")
     require(!logical(newName),
       s"cannot rename: column $newName already exists — renaming onto it would merge two columns")
     require(!retired(newName),
-      s"cannot rename to $newName: the name is retired by an earlier rename (still a " +
-        "physical source in the mapping or file schema) — compact() to materialize first")
+      s"cannot rename to $newName: the name is retired by an earlier rename or DROP " +
+        "COLUMN (still a physical source in the mapping or file schema) — compact() " +
+        "to materialize first")
     require(!retired(oldName),
       s"cannot rename $oldName: the name is retired by an earlier rename — compact() first")
     // a composite key re-keys component-wise (renaming any component is
@@ -783,9 +799,17 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // moves to the new spelling; hashing is over VALUES, so routing holds)
     val newKey = keyCols.map(c => if (c == oldName) newName else c).mkString(",")
     val newPart = partitionCol.map(p => if (p == oldName) newName else p)
+    // renaming a metadata-only ADDED column re-spells its null-backed
+    // header entry too (the fold applies renames BEFORE the add-fill, so
+    // the entry must live under the new name); post-add files that carry
+    // it physically are covered by the ordinary rename pair
+    val newAdded = cur.addedCols.map { case (n, t) =>
+      (if (n == oldName) newName else n, t)
+    }
     commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
       Some(newKey), cur.files, touched = None, feed = None,
-      renames = cur.renames :+ (oldName -> newName), partCol = newPart))
+      renames = cur.renames :+ (oldName -> newName), partCol = newPart,
+      addedCols = newAdded, droppedCols = cur.droppedCols))
     // carry the previous sidecar verbatim: stats stay keyed by PHYSICAL
     // column names, which is what the (rename-refusing) connector needs
     val prev = loadStats(root, store, cur.version)
@@ -794,6 +818,99 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         ManifestStats.encode(prev))
     if (newKey == keyCol && newPart == partitionCol) this
     else new ManifestUpsertSink(root, newKey, buckets, newPart)
+  }
+
+  /** ADD a column WITHOUT rewriting a byte of data — metadata-only
+    * additive evolution (Delta/Iceberg ADD COLUMN): commits a new
+    * version carrying the SAME files plus a null-backed header entry
+    * `(name, type DDL)` that every read fold fills as a typed null
+    * where no file carries the column yet. Post-add writes carry it
+    * physically (merge-time additive evolution was always allowed; the
+    * header is what makes the column EXIST in the SQL schema before any
+    * write); the next FULL compaction materializes it everywhere and
+    * clears the header. Refuses a name retired by a live rename or an
+    * earlier DROP — old files still hold bytes under that name, and the
+    * fold would resurrect them (the same reuse hazard renameColumn
+    * guards; Delta's column mapping dodges it with field ids, a
+    * name-keyed format must refuse). Commits `touched = None` so any
+    * concurrent writer aborts rather than rebasing across a schema
+    * change. */
+  def addColumn(spark: SparkSession, name: String, typeDdl: String): Unit = {
+    val cur = latestManifest(root, store).getOrElse(throw new IllegalStateException(
+      s"no committed manifest under $root — nothing to alter"))
+    healFeed(Some(cur))
+    requireSameBuckets(Some(cur))
+    require(name.nonEmpty && !name.exists(c =>
+        c == ':' || c == ';' || c == ',' || c == '\t' || c == '\n' || c == '\r'),
+      s"column name '$name' contains a manifest separator (':'/';'/','/tab/newline)")
+    require(!typeDdl.exists(c => c == ';' || c == '\t' || c == '\n' || c == '\r'),
+      s"type DDL '$typeDdl' contains a manifest separator (';'/tab/newline)")
+    // parses-or-throws: a junk type must fail the DDL, not every read
+    org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    val physDf = spark.read.option("mergeSchema", "true")
+      .parquet(cur.files.map(_.path): _*)
+    val physical = physDf.columns.toSet
+    val logical = applyEvolution(physDf, cur).columns.toSet
+    require(!logical(name), s"cannot add: column $name already exists")
+    val retired = cur.renames.map(_._1).toSet ++ physical.diff(logical) ++
+      cur.droppedCols
+    require(!retired(name),
+      s"cannot add $name: the name is retired by a live rename or DROP COLUMN — " +
+        "old files still hold bytes under it; compact() to materialize first")
+    commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
+      Some(keyCol), cur.files, touched = None, feed = None,
+      renames = cur.renames, partCol = partitionCol,
+      addedCols = cur.addedCols :+ (name -> typeDdl), droppedCols = cur.droppedCols))
+    val prev = loadStats(root, store, cur.version)
+    if (prev.nonEmpty)
+      store.putString(s"$root/_manifest", s"v${cur.version + 1}.stats",
+        ManifestStats.encode(prev))
+  }
+
+  /** DROP a column WITHOUT rewriting a byte of data — metadata-only
+    * destructive evolution (Delta's zero-I/O DROP COLUMN): commits a new
+    * version carrying the SAME files plus a header entry every read fold
+    * projects the column away on; the bytes stay in pre-drop files until
+    * a FULL compaction materializes the drop and clears the header. The
+    * name stays RETIRED until then — re-adding or renaming onto it would
+    * resurrect the old bytes through the fold, so both refuse. Dropping
+    * a metadata-only ADDED column that no file carries yet simply
+    * retracts the add header (nothing physical to retire — the name is
+    * immediately reusable). Key components and the partition column
+    * refuse (they are the table's committed layout, not payload).
+    * Commits `touched = None`: concurrent writers abort. */
+  def dropColumn(spark: SparkSession, name: String): Unit = {
+    val cur = latestManifest(root, store).getOrElse(throw new IllegalStateException(
+      s"no committed manifest under $root — nothing to alter"))
+    healFeed(Some(cur))
+    requireSameBuckets(Some(cur))
+    require(!keyCols.contains(name),
+      s"cannot drop $name: it is a key column — the merge/bucket identity of every row")
+    require(!partitionCol.contains(name),
+      s"cannot drop $name: it is the table's partition column (committed layout)")
+    require(!name.contains(","),
+      s"column name '$name' contains a manifest separator (',')")
+    val physDf = spark.read.option("mergeSchema", "true")
+      .parquet(cur.files.map(_.path): _*)
+    val physical = physDf.columns.toSet
+    val logical = applyEvolution(physDf, cur).columns.toSet
+    require(logical(name),
+      s"cannot drop: column $name does not exist (have ${logical.toSeq.sorted.mkString(", ")})")
+    val newAdded = cur.addedCols.filterNot(_._1 == name)
+    // physically present anywhere (incl. as a rename TARGET whose
+    // retired sources still carry bytes) → the name must stay retired
+    val sources = cur.renames.filter(_._2 == name).map(_._1)
+    val physicallyHeld = physical(name) || sources.exists(physical)
+    val newDropped =
+      if (physicallyHeld) cur.droppedCols :+ name else cur.droppedCols
+    commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
+      Some(keyCol), cur.files, touched = None, feed = None,
+      renames = cur.renames, partCol = partitionCol,
+      addedCols = newAdded, droppedCols = newDropped))
+    val prev = loadStats(root, store, cur.version)
+    if (prev.nonEmpty)
+      store.putString(s"$root/_manifest", s"v${cur.version + 1}.stats",
+        ManifestStats.encode(prev))
   }
 
   /** RE-CLUSTER epoch change: rewrite the snapshot under a NEW
@@ -818,8 +935,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     requireSameBuckets(Some(cur))
     val version = cur.version + 1
     val newKeyCols = splitKeyCols(newKeyCol)
-    val all = applyRenames(spark.read.option("mergeSchema", "true")
-        .parquet(cur.files.map(_.path): _*), cur.renames)
+    val all = applyEvolution(spark.read.option("mergeSchema", "true")
+        .parquet(cur.files.map(_.path): _*), cur)
       .drop(BucketCol)
       .withColumn(BucketCol,
         pmod(xxhash64(newKeyCols.map(col): _*), lit(newBuckets.toLong)))
@@ -856,8 +973,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     requireSameBuckets(Some(cur))
     if (newPartCol == partitionCol) return this // same layout: no-op
     val version = cur.version + 1
-    val all = applyRenames(spark.read.option("mergeSchema", "true")
-        .parquet(cur.files.map(_.path): _*), cur.renames)
+    val all = applyEvolution(spark.read.option("mergeSchema", "true")
+        .parquet(cur.files.map(_.path): _*), cur)
       .drop(BucketCol)
       .withColumn(BucketCol, bucketExpr)
       .repartition(buckets, col(BucketCol))
@@ -929,13 +1046,12 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // image-equality filter drops it — extra I/O, never wrong rows.
     val (curDiffFiles, tgtDiffFiles) =
       restoreDiffEntries(cur, target, keyCol, buckets)
-    def side(files: Seq[FileEntry], renames: Seq[(String, String)]): Option[DataFrame] =
+    def side(files: Seq[FileEntry], m: Manifest): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(applyRenames(
-        spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*),
-        renames))
-    val curDf = side(curDiffFiles, cur.renames)
-    val tgtDf = side(tgtDiffFiles, target.renames)
+      else Some(applyEvolution(
+        spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*), m))
+    val curDf = side(curDiffFiles, cur)
+    val tgtDf = side(tgtDiffFiles, target)
     for (c <- curDf)
       require(tKeys.forall(c.columns.contains),
         s"cannot restore across a key rename: v$version is keyed by $tKey, absent " +
@@ -994,7 +1110,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     }
     commit(root, store, Manifest(newVersion, cur.batchId, Some(tBuckets),
       Some(tKey), target.files, touched = None, feed = feedStage,
-      renames = target.renames, partCol = target.partCol))
+      renames = target.renames, partCol = target.partCol,
+      addedCols = target.addedCols, droppedCols = target.droppedCols))
     feedStage.foreach { st =>
       store.rename(s"$root/$st", s"$root/_changes/v$newVersion")
       store.deleteDirIfEmpty(s"$root/_stage")
@@ -1045,7 +1162,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     if (!deep) {
       commit(targetRoot, tStore, Manifest(0L, cur.batchId, Some(buckets),
         Some(keyCol), cur.files, touched = None, feed = None, renames = cur.renames,
-        partCol = partitionCol))
+        partCol = partitionCol, addedCols = cur.addedCols,
+        droppedCols = cur.droppedCols))
       val stats = loadStats(root, store, cur.version)
       if (stats.nonEmpty)
         tStore.putString(s"$targetRoot/_manifest", "v0.stats", ManifestStats.encode(stats))
@@ -1057,8 +1175,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       // hold nothing (own files)
       store.putString(s"$root/_manifest", s"clone-${newTag()}.ref", tgtNorm)
     } else {
-      val all = applyRenames(spark.read.option("mergeSchema", "true")
-          .parquet(cur.files.map(_.path): _*), cur.renames)
+      val all = applyEvolution(spark.read.option("mergeSchema", "true")
+          .parquet(cur.files.map(_.path): _*), cur)
         .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
         .repartition(buckets, col(BucketCol))
       val dataDir = s"$targetRoot/data/v0-${newTag()}"
@@ -1079,11 +1197,13 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     if (cur.files.isEmpty) return
     requireSameBuckets(Some(cur))
     val version = cur.version + 1
-    // the full rewrite MATERIALIZES the rename mapping: files come out
-    // under logical names and the committed header clears it
+    // the full rewrite MATERIALIZES the whole evolution fold: files come
+    // out under logical names, with metadata-only added columns written
+    // physically and dropped columns' bytes gone — and the committed
+    // headers clear, returning the table to the fully-vectorized scan
     val all = layout(
-      applyRenames(spark.read.option("mergeSchema", "true")
-          .parquet(cur.files.map(_.path): _*), cur.renames)
+      applyEvolution(spark.read.option("mergeSchema", "true")
+          .parquet(cur.files.map(_.path): _*), cur)
         .withColumn(BucketCol, bucketExpr))
     val dataDir = s"$root/data/v$version-${newTag()}"
     writeData(all, dataDir)
@@ -1093,7 +1213,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // rebase time (my rewrite of them is stale; the rest stands)
     commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
       replaced = cur.files.map(_.bucket).toSet ++ written.map(_.bucket),
-      written = written, feedStage = None, renames = Nil)
+      written = written, feedStage = None, renames = Nil,
+      addedCols = Nil, droppedCols = Nil)
   }
 
   /** Delete data files no manifest in the newest `keepVersions` versions
@@ -1151,7 +1272,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     if (cur.files.isEmpty) return
     commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
       Some(keyCol), Seq.empty, touched = None, feed = None,
-      renames = cur.renames, partCol = partitionCol))
+      renames = cur.renames, partCol = partitionCol,
+      addedCols = cur.addedCols, droppedCols = cur.droppedCols))
   }
 
   /** RETENTION on a date-partitioned table: commit a new version WITHOUT
@@ -1187,8 +1309,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     if (dead.isEmpty) return
     val version = cur.version + 1
     val feedStage = if (!cdc) None else Some {
-      val victims = applyRenames(spark.read.option("mergeSchema", "true")
-        .parquet(dead.map(_.path): _*), cur.renames)
+      val victims = applyEvolution(spark.read.option("mergeSchema", "true")
+        .parquet(dead.map(_.path): _*), cur)
       val tag = newTag()
       victims.select(keyColumns ++ Seq(lit("deleted").as("change"),
           xxhash64(payloadImage(victims)).as("old_hash"),
@@ -1200,7 +1322,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     }
     commit(root, store, Manifest(version, cur.batchId, Some(buckets),
       Some(keyCol), kept, touched = None, feed = feedStage,
-      renames = cur.renames, partCol = partitionCol))
+      renames = cur.renames, partCol = partitionCol,
+      addedCols = cur.addedCols, droppedCols = cur.droppedCols))
     feedStage.foreach { st =>
       store.rename(s"$root/$st", s"$root/_changes/v$version")
       store.deleteDirIfEmpty(s"$root/_stage")
@@ -1286,7 +1409,15 @@ object ManifestUpsertSink {
       touched: Option[Set[Long]] = None, feed: Option[String] = None,
       renames: Seq[(String, String)] = Nil,
       ts: Option[Long] = None,
-      partCol: Option[String] = None)
+      partCol: Option[String] = None,
+      addedCols: Seq[(String, String)] = Nil,
+      droppedCols: Seq[String] = Nil) {
+    /** Any live metadata-only schema-evolution state (rename mapping,
+      * null-backed added columns, logically-dropped columns) — the
+      * condition under which reads must fold and a FULL rewrite clears. */
+    def hasEvolution: Boolean =
+      renames.nonEmpty || addedCols.nonEmpty || droppedCols.nonEmpty
+  }
 
   /** The committed manifest of a snapshot (latest when `version` is None). */
   private[graft] def snapshotManifest(root: String, version: Option[Long]): Manifest = {
@@ -1359,6 +1490,30 @@ object ManifestUpsertSink {
       else d
     }
 
+  /** The FULL metadata-only schema-evolution fold, physical → logical:
+    * the rename mapping ([[applyRenames]]), then logically-DROPPED
+    * columns projected away (their bytes stay in pre-drop files until a
+    * full rewrite materializes the drop — the zero-I/O DROP COLUMN
+    * contract), then metadata-only ADDED columns filled as typed nulls
+    * where no file carries them yet (post-add writes carry them
+    * physically; the fill is add-if-missing, never an overwrite). Every
+    * read surface — sink reads, the DSv2 schema, merge-time `current`
+    * frames — speaks the output of this fold. */
+  private[graft] def applyEvolution(df: DataFrame, renames: Seq[(String, String)],
+      addedCols: Seq[(String, String)], droppedCols: Seq[String]): DataFrame = {
+    val renamed = applyRenames(df, renames)
+    val dropped = droppedCols.foldLeft(renamed)((d, c) =>
+      if (d.columns.contains(c)) d.drop(c) else d)
+    addedCols.foldLeft(dropped) { case (d, (name, ddl)) =>
+      if (d.columns.contains(name)) d
+      else d.withColumn(name, lit(null).cast(
+        org.apache.spark.sql.types.DataType.fromDDL(ddl)))
+    }
+  }
+
+  private[graft] def applyEvolution(df: DataFrame, m: Manifest): DataFrame =
+    applyEvolution(df, m.renames, m.addedCols, m.droppedCols)
+
   /** Snapshot read: latest manifest's files, bucket column dropped (it is
     * derivable from the key and re-derived on the next merge), rename
     * mapping applied. An empty or absent table raises — callers create
@@ -1367,8 +1522,8 @@ object ManifestUpsertSink {
     * compaction unifies them. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val m = snapshotManifest(root, None)
-    applyRenames(spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(_.path): _*).drop(BucketCol), m.renames)
+    applyEvolution(spark.read.option("mergeSchema", "true")
+      .parquet(m.files.map(_.path): _*).drop(BucketCol), m)
   }
 
   /** Time-travel read: the snapshot AS OF a committed version — the
@@ -1379,8 +1534,8 @@ object ManifestUpsertSink {
     * history). */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val m = snapshotManifest(root, Some(version))
-    applyRenames(spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(_.path): _*).drop(BucketCol), m.renames)
+    applyEvolution(spark.read.option("mergeSchema", "true")
+      .parquet(m.files.map(_.path): _*).drop(BucketCol), m)
   }
 
   /** TIMESTAMP time travel for the Scala API: the snapshot current as of
@@ -1554,7 +1709,8 @@ object ManifestUpsertSink {
     val prunable =
       cur.keyCol.getOrElse(fallbackKey) == target.keyCol.getOrElse(fallbackKey) &&
       cur.buckets.getOrElse(fallbackBuckets) == target.buckets.getOrElse(fallbackBuckets) &&
-      cur.renames == target.renames
+      cur.renames == target.renames &&
+      cur.addedCols == target.addedCols && cur.droppedCols == target.droppedCols
     if (!prunable) (cur.files, target.files)
     else {
       val curBy = cur.files.groupBy(_.bucket).view.mapValues(_.map(_.path).toSet).toMap
@@ -1609,7 +1765,15 @@ object ManifestUpsertSink {
       m.touched.map(t => s"touched=${t.toSeq.sorted.mkString(",")}") ++
       m.feed.map(f => s"feed=$f") ++ m.ts.map(t => s"ts=$t") ++
       (if (m.renames.isEmpty) Nil
-       else Seq(s"rename=${m.renames.map { case (p, l) => s"$p:$l" }.mkString(",")}"))
+       else Seq(s"rename=${m.renames.map { case (p, l) => s"$p:$l" }.mkString(",")}")) ++
+      // added-column types are DDL strings which may contain ',' (e.g.
+      // decimal(10,2)) but never ';' or a leading-name ':' — entries are
+      // ';'-separated and split on the FIRST ':' (names refuse those
+      // characters at addColumn time)
+      (if (m.addedCols.isEmpty) Nil
+       else Seq(s"addcols=${m.addedCols.map { case (n, t) => s"$n:$t" }.mkString(";")}")) ++
+      (if (m.droppedCols.isEmpty) Nil
+       else Seq(s"dropcols=${m.droppedCols.mkString(",")}"))
     (header ++ m.files.map(f => s"${f.bucket}\t${f.path}")).mkString("\n")
   }
 
@@ -1634,7 +1798,11 @@ object ManifestUpsertSink {
         val Array(p, l) = r.split(":", 2); (p, l)
       }),
       header.get("ts").map(_.toLong),
-      header.get("partCol"))
+      header.get("partCol"),
+      header.get("addcols").toSeq.flatMap(_.split(";").toSeq.map { e =>
+        val Array(n, t) = e.split(":", 2); (n, t)
+      }),
+      header.get("dropcols").toSeq.flatMap(_.split(",").toSeq))
   }
 
   private def manifestVersions(root: String, store: TableStore): Seq[Long] =
@@ -1759,6 +1927,15 @@ object ManifestUpsertSink {
     for ((p, l) <- m.renames; n <- Seq(p, l))
       require(!bad(n, ":,"), s"renamed column '$n' contains a manifest separator " +
         "(tab/newline/':'/',') — such names cannot enter the rename mapping")
+    for ((n, t) <- m.addedCols) {
+      require(!bad(n, ":;,"), s"added column '$n' contains a manifest separator " +
+        "(tab/newline/':'/';'/',') — such names cannot enter the add header")
+      require(t.nonEmpty && !t.exists(c => c == ';' || c == '\t' || c == '\n' || c == '\r'),
+        s"added column type '$t' contains a manifest separator (';'/tab/newline)")
+    }
+    for (n <- m.droppedCols)
+      require(!bad(n, ","), s"dropped column '$n' contains a manifest separator " +
+        "(tab/newline/',') — such names cannot enter the drop header")
     for (p <- m.partCol)
       require(!bad(p, ""), s"partitionCol '$p' contains a manifest separator " +
         "(tab/newline) — rename the column before partitioning on it")

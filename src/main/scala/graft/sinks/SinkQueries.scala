@@ -1630,7 +1630,50 @@ object SinkQueries {
       FROM orders"""),
     doc = "metadata-only aggregate census (SupportsPushDownAggregates): unfiltered COUNT/COUNT(col)/MIN/MAX answered from the stats sidecar as a driver-local one-row scan — zero data files opened; conservative declines for filters, groups, floats, uncovered files")
 
+  // --------------------------------------------------------------- q327
+  private val q327Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** ZERO-I/O ADD + DROP COLUMN served LIVE through SQL: `ALTER TABLE
+    * ADD COLUMN` commits a null-backed header (same files — the scan
+    * null-fills the typed column immediately), a row-level UPDATE
+    * populates it for a keyed subset (copy-on-write of the touched
+    * buckets only, so the table becomes genuinely mixed-vintage:
+    * rewritten files carry the column physically, carried files keep
+    * null-filling through the fold), and `DROP COLUMN` retires another
+    * column metadata-only (bytes stay in place, every read projects it
+    * away — Delta's zero-I/O drop contract). The oracle restates the
+    * whole lifecycle as plain algebra over the raw table; a hash match
+    * proves the fold loses no row and resurrects no dropped byte. */
+  val q327 = QueryDef(
+    "q327_sql_add_drop_column",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q327_").toString
+      val cat = s"graft_q327_${q327Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.part(s, d).createOrReplaceTempView("q327_part")
+      s.sql(s"""CREATE TABLE $cat.pp (key BIGINT, price DOUBLE, sz BIGINT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8')""")
+      s.sql(s"""INSERT INTO $cat.pp
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE), CAST(p_size AS BIGINT), 0L
+        FROM q327_part""")
+      // metadata-only ADD: same files, SELECTable as typed nulls at once
+      s.sql(s"ALTER TABLE $cat.pp ADD COLUMN disc DOUBLE")
+      // populate a keyed subset: the delta rewrite touches only those
+      // buckets — every other file keeps null-filling through the fold
+      s.sql(s"UPDATE $cat.pp SET disc = price * 0.1 WHERE key % 3 = 0")
+      // metadata-only DROP: bytes stay physical, reads project them away
+      s.sql(s"ALTER TABLE $cat.pp DROP COLUMN sz")
+      s.sql(s"SELECT key, price, disc FROM $cat.pp ORDER BY key")
+    },
+    Some("""SELECT p_partkey AS key, CAST(p_retailprice AS DOUBLE) AS price,
+        CASE WHEN p_partkey % 3 = 0 THEN CAST(p_retailprice AS DOUBLE) * 0.1
+             ELSE NULL END AS disc
+      FROM part ORDER BY key"""),
+    doc = "metadata-only ADD/DROP COLUMN served live through SQL: null-backed add header, row-level UPDATE materializes touched buckets (mixed vintages null-fill through the fold), zero-I/O drop projects retired bytes away; compaction stays an optimization")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
     q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319,
-    q322, q323, q324, q325, q326, q214, q215, q216, q228)
+    q322, q323, q324, q325, q326, q327, q214, q215, q216, q228)
 }

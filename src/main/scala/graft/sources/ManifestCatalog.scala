@@ -170,35 +170,59 @@ class ManifestCatalog extends TableCatalog
       .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
   }
 
-  /** `ALTER TABLE t RENAME COLUMN a TO b` — the sink's METADATA-ONLY
-    * rename (a committed mapping header over the same files; zero data
-    * I/O). SQL reads serve the live mapping IMMEDIATELY — the connector's
-    * rename-folding scan coalesces physical vintages per row — and the
-    * next `CALL system.compact('t')` materializes it physically (the
-    * vectorized-scan optimization, not a read prerequisite). Catalog
-    * properties (keyCol / orderCol / partCol / schemaDDL) are re-spelled
-    * in step, so INSERTs keep finding their LWW order column. Other
-    * ALTER changes refuse: additive evolution is merge-time (write the
-    * new column), everything else is a maintenance commit, not a catalog
-    * edit. */
+  /** `ALTER TABLE t RENAME COLUMN a TO b` / `ADD COLUMN c <type>` /
+    * `DROP COLUMN c` — the sink's METADATA-ONLY schema evolution (a
+    * committed header over the same files; zero data I/O for all
+    * three). SQL reads serve the live state IMMEDIATELY — the
+    * connector's scan folds rename vintages per row, null-fills
+    * metadata-only added columns, and never reads dropped ones — and
+    * the next `CALL system.compact('t')` materializes it physically
+    * (the vectorized-scan optimization, not a read prerequisite).
+    * Catalog properties (keyCol / orderCol / partCol / schemaDDL) are
+    * re-spelled in step, so INSERTs keep finding their LWW order
+    * column. Other ALTER changes refuse: they are maintenance commits
+    * (CALL procedures), not catalog edits. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
+    def committedSink(m: ManifestUpsertSink.Manifest): ManifestUpsertSink = {
+      val keyCol = m.keyCol.getOrElse(throw new UnsupportedOperationException(
+        s"table at $dir predates the keyCol header — alter via the Scala API"))
+      new ManifestUpsertSink(dir, keyCol, m.buckets.getOrElse(16), m.partCol)
+    }
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "RENAME COLUMN supports top-level columns only")
         val oldName = r.fieldNames.head
-        for (m <- ManifestUpsertSink.latestManifest(dir)) {
-          val keyCol = m.keyCol.getOrElse(throw new UnsupportedOperationException(
-            s"table at $dir predates the keyCol header — rename via the Scala API"))
-          new ManifestUpsertSink(dir, keyCol, m.buckets.getOrElse(16), m.partCol)
+        for (m <- ManifestUpsertSink.latestManifest(dir))
+          committedSink(m)
             .renameColumn(org.apache.spark.sql.SparkSession.active, oldName, r.newName)
-        } // a created-but-never-written table has only its declared schema
+        // a created-but-never-written table has only its declared schema
         renameInProps(dir, oldName, r.newName)
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ADD COLUMN supports top-level columns only")
+        val name = a.fieldNames.head
+        val ddl = a.dataType().sql
+        for (m <- ManifestUpsertSink.latestManifest(dir))
+          committedSink(m).addColumn(org.apache.spark.sql.SparkSession.active, name, ddl)
+        addInProps(dir, name, ddl)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "DROP COLUMN supports top-level columns only")
+        val name = d.fieldNames.head
+        // the LWW order column is part of the write contract, not just
+        // the schema: every INSERT routes through it
+        for (oc <- readProps(dir).get("orderCol"))
+          require(oc != name,
+            s"cannot drop $name: it is the table's LWW order column (orderCol)")
+        for (m <- ManifestUpsertSink.latestManifest(dir))
+          committedSink(m).dropColumn(org.apache.spark.sql.SparkSession.active, name)
+        dropInProps(dir, name)
       case c => throw new UnsupportedOperationException(
-        s"ALTER TABLE ${c.getClass.getSimpleName}: unsupported — add columns by writing " +
-          "them (additive merge-time evolution); recluster/restore via CALL procedures")
+        s"ALTER TABLE ${c.getClass.getSimpleName}: unsupported — " +
+          "recluster/restore/compact via CALL procedures")
     }
     loadTable(ident)
   }
@@ -216,6 +240,47 @@ class ManifestCatalog extends TableCatalog
       case ("schemaDDL", v) =>
         "schemaDDL" -> StructType(StructType.fromDDL(v).fields.map(f =>
           if (f.name == old) f.copy(name = nu) else f)).toDDL
+      case kv => kv
+    }
+    store.putString(dir, "_catalog.properties",
+      updated.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+  }
+
+  /** Append `name type` to the declared schema DDL (nullable — a
+    * metadata-only add is null-backed by definition). No-op when the
+    * props file is absent (Scala-API tables). */
+  private def addInProps(dir: String, name: String, typeDdl: String): Unit = {
+    val props = readProps(dir)
+    if (props.isEmpty) return
+    val updated = props.map {
+      case ("schemaDDL", v) =>
+        val st = StructType.fromDDL(v)
+        require(!st.fieldNames.contains(name),
+          s"cannot add: column $name already exists in the declared schema")
+        "schemaDDL" -> StructType(st.fields :+
+          org.apache.spark.sql.types.StructField(name,
+            org.apache.spark.sql.types.DataType.fromDDL(typeDdl),
+            nullable = true)).toDDL
+      case kv => kv
+    }
+    store.putString(dir, "_catalog.properties",
+      updated.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+  }
+
+  /** Remove `name` from the declared schema DDL; refuses key/partition
+    * columns (committed layout). No-op when the props file is absent. */
+  private def dropInProps(dir: String, name: String): Unit = {
+    val props = readProps(dir)
+    if (props.isEmpty) return
+    for (k <- props.get("keyCol"))
+      require(!k.split(",").map(_.trim).contains(name),
+        s"cannot drop $name: it is a key column of the table")
+    for (p <- props.get("partCol"))
+      require(p != name, s"cannot drop $name: it is the table's partition column")
+    val updated = props.map {
+      case ("schemaDDL", v) =>
+        "schemaDDL" -> StructType(
+          StructType.fromDDL(v).fields.filterNot(_.name == name)).toDDL
       case kv => kv
     }
     store.putString(dir, "_catalog.properties",

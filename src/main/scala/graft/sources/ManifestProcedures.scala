@@ -148,7 +148,8 @@ private[graft] object ManifestProcedures {
       bytes.map(Long.box).orNull,
       partitions,
       ManifestUpsertSink.committedVersions(root).size.toLong,
-      m.renames.nonEmpty))
+      m.renames.nonEmpty,
+      m.hasEvolution))
     Array(row)
   }
 
@@ -162,7 +163,10 @@ private[graft] object ManifestProcedures {
     StructField("total_bytes", LongType),
     StructField("n_partitions", LongType, nullable = false),
     StructField("n_versions", LongType, nullable = false),
-    StructField("has_renames", BooleanType, nullable = false)))
+    StructField("has_renames", BooleanType, nullable = false),
+    // any live metadata-only evolution (rename/add/drop) — true means
+    // reads are folding and a CALL system.compact would materialize
+    StructField("has_evolution", BooleanType, nullable = false)))
 
   def names: Seq[String] = specs(identity).map(_.name) ++ Seq("history", "detail")
 

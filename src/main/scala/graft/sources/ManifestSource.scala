@@ -127,7 +127,8 @@ final class ManifestSource extends TableProvider with DataSourceRegister
       case None =>
         val m = snapshotAllowEmpty(root, resolveVersionOpt(root, options))
         Resolved(m.files, ManifestUpsertSink.loadStats(root, m.version),
-          for (k <- m.keyCol; b <- m.buckets) yield (k, b), m.partCol, m.renames)
+          for (k <- m.keyCol; b <- m.buckets) yield (k, b), m.partCol, m.renames,
+          m.addedCols, m.droppedCols)
     }
   }
 
@@ -196,11 +197,13 @@ final class ManifestSource extends TableProvider with DataSourceRegister
           Option(options.get("schemaDDL")).map(StructType.fromDDL).getOrElse(new StructType())
         else
           // the union footer schema is PHYSICAL (mixed vintages until a
-          // compaction materializes a live rename); the SQL surface
-          // speaks logical names, so the mapping folds here exactly as
-          // the Scala read path folds columns
-          applyRenamesSchema(parquetTable(options, paths, None).schema,
-            resolved.renames)
+          // compaction materializes live evolution); the SQL surface
+          // speaks logical names, so the full evolution fold — renames,
+          // logically-dropped columns projected away, metadata-only
+          // added columns appended as nullable typed fields — applies
+          // here exactly as the Scala read path folds columns
+          applyEvolutionSchema(parquetTable(options, paths, None).schema,
+            resolved)
       }
     // the key column is non-nullable BY CONTRACT — it is the merge/bucket
     // key every verb routes on, and the row identity the SQL row-level
@@ -337,7 +340,9 @@ object ManifestSource {
   final case class Resolved(files: Seq[FileEntry],
       stats: Map[String, ManifestStats.FileStats], keyInfo: Option[(String, Int)],
       partCol: Option[String] = None,
-      renames: Seq[(String, String)] = Nil)
+      renames: Seq[(String, String)] = Nil,
+      addedCols: Seq[(String, String)] = Nil,
+      droppedCols: Seq[String] = Nil)
 
   /** The ONE write path both the batch V1Write and the streaming sink
     * share: MERGE `data` through [[ManifestUpsertSink.upsertBatch]].
@@ -795,6 +800,22 @@ object ManifestSource {
         StructType(s.fields.map(f => if (f.name == phys) f.copy(name = logical) else f))
       else s
     }
+
+  /** The FULL evolution fold at SCHEMA level — the StructType counterpart
+    * of [[ManifestUpsertSink.applyEvolution]]'s column fold: renames
+    * first, then logically-DROPPED columns filtered away (their bytes
+    * stay physical until a rewrite), then metadata-only ADDED columns
+    * appended as nullable typed fields where no file carries them yet. */
+  private[graft] def applyEvolutionSchema(st: StructType, r: Resolved): StructType = {
+    val renamed = applyRenamesSchema(st, r.renames)
+    val droppedSet = r.droppedCols.toSet
+    val dropped = StructType(renamed.fields.filterNot(f => droppedSet(f.name)))
+    r.addedCols.foldLeft(dropped) { case (s, (n, ddl)) =>
+      if (s.fieldNames.contains(n)) s
+      else StructType(s.fields :+ org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.DataType.fromDDL(ddl), nullable = true))
+    }
+  }
 
   /** Per LOGICAL column, its coalesce-ordered physical source names —
     * derived by replaying the rename fold SYMBOLICALLY over the name

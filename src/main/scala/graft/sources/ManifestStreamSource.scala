@@ -94,8 +94,12 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
     * when a version's predecessor manifest is vacuumed. */
   private val pinnedManifest = ManifestUpsertSink.latestManifest(root)
   private val pinnedAt: Long = pinnedManifest.map(_.version).getOrElse(-1L)
-  private val pinnedRenames: Seq[(String, String)] =
-    pinnedManifest.map(_.renames).getOrElse(Nil)
+  // the full metadata-evolution state (renames, added, dropped) as of
+  // the pin — any of the three changing mid-window is the same
+  // images-name-columns-the-schema-can't hazard
+  private val pinnedEvo: (Seq[(String, String)], Seq[(String, String)], Seq[String]) =
+    pinnedManifest.map(m => (m.renames, m.addedCols, m.droppedCols))
+      .getOrElse((Nil, Nil, Nil))
   private val pinnedKeyCol: Option[String] = pinnedManifest.flatMap(_.keyCol)
 
   /** Trigger.AvailableNow's latch: versions committed AFTER prepare are
@@ -207,7 +211,9 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
     * carries no version. */
   private[graft] def changesBetween(from: Long, to: Long): DataFrame = {
     val beforeWindow = ManifestUpsertSink.manifestAt(root, from - 1)
-    var prevRenames: Option[Seq[(String, String)]] = beforeWindow.map(_.renames)
+    def evoOf(m: ManifestUpsertSink.Manifest) = (m.renames, m.addedCols, m.droppedCols)
+    var prevEvo: Option[(Seq[(String, String)], Seq[(String, String)], Seq[String])] =
+      beforeWindow.map(evoOf)
     var prevFiles: Option[Seq[String]] = beforeWindow.map(_.files.map(_.path))
     val dirOfVersion: Seq[(String, Long)] = (from to to).flatMap { v =>
       ManifestUpsertSink.manifestAt(root, v) match {
@@ -228,17 +234,17 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
           // but rewrites every file and no logical name — it passes; a
           // restart whose window starts AT the rename passes (no
           // pre-rename feeds left to mis-parse).
-          val isRenameDdl = prevRenames.exists(_ != m.renames) &&
+          val isRenameDdl = prevEvo.exists(_ != evoOf(m)) &&
             prevFiles.exists(_ == m.files.map(_.path))
           // predecessor vacuumed → can't classify: refuse conservatively
-          // when the mapping drifted from the pin after the pin
+          // when the evolution state drifted from the pin after the pin
           val unclassifiable =
-            prevRenames.isEmpty && v > pinnedAt && m.renames != pinnedRenames
+            prevEvo.isEmpty && v > pinnedAt && evoOf(m) != pinnedEvo
           if ((isRenameDdl && (v > pinnedAt || from < v)) || unclassifiable)
             throw new IllegalStateException(
-              s"table at $root renamed columns at v$v (mapping ${m.renames}) " +
+              s"table at $root changed schema (rename/add/drop) at v$v " +
                 s"inside this stream's window [$from, $to] — restart the stream " +
-                "(or start at startingVersion >= the rename) so the pinned " +
+                "(or start at startingVersion >= the DDL) so the pinned " +
                 "schema matches the images")
           // a RE-KEY (recluster to a new key column) after the pin makes
           // later feeds name their key column differently — same silent-
@@ -248,7 +254,7 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
               throw new IllegalStateException(
                 s"table at $root re-keyed $pk -> $mk at v$v mid-stream — " +
                   "restart the stream to re-pin the schema")
-          prevRenames = Some(m.renames)
+          prevEvo = Some(evoOf(m))
           prevFiles = Some(m.files.map(_.path))
           if (m.feed.isEmpty) Nil // compaction/DDL: no row changed
           else {
@@ -339,10 +345,10 @@ object ManifestStreamSource {
       if (dataFiles.isEmpty)
         throw new IllegalStateException(
           s"table at $root has no version with data files — nothing to pin a schema to")
-      val table = ManifestUpsertSink.applyRenames(
+      val table = ManifestUpsertSink.applyEvolution(
         spark.read.option("mergeSchema", "true").parquet(dataFiles: _*)
           .drop("__bucket"),
-        latest.renames).schema
+        latest).schema
       if (!changesMode) table
       else {
         val keyCol = latest.keyCol.getOrElse(throw new IllegalStateException(

@@ -125,10 +125,63 @@ class ManifestCatalogSpec extends AnyFunSuite {
         TBLPROPERTIES ('keyCol'='k', 'orderCol'='s', 'buckets'='2')""")
       spark.sql(s"ALTER TABLE $cat.empty RENAME COLUMN v TO w")
       assert(spark.sql(s"SELECT w FROM $cat.empty").count() == 0)
-      // everything else refuses loudly
+      // non-evolution ALTERs refuse loudly
       intercept[Exception] {
-        spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN extra STRING")
+        spark.sql(s"ALTER TABLE $cat.ev ALTER COLUMN payload TYPE BIGINT")
       }
+    }
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMN: metadata-only; SQL serves the fold immediately; UPDATE populates") {
+    import spark.implicits._
+    withCatalog { (cat, root) =>
+      spark.sql(s"""CREATE TABLE $cat.ev (id BIGINT, p STRING, junk BIGINT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4')""")
+      spark.sql(s"INSERT INTO $cat.ev VALUES (1, 'a', 9, 1), (2, 'b', 8, 1)")
+      val filesBefore =
+        ManifestUpsertSink.snapshotManifest(s"$root/ev", None).files.map(_.path).toSet
+
+      // ADD COLUMN: zero data I/O, immediately SELECTable as typed nulls
+      spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN score DOUBLE")
+      assert(ManifestUpsertSink.snapshotManifest(s"$root/ev", None)
+        .files.map(_.path).toSet == filesBefore, "ADD COLUMN must rewrite nothing")
+      assert(spark.sql(s"SELECT score FROM $cat.ev WHERE id = 1").as[Option[Double]].head().isEmpty)
+      assert(spark.table(s"$cat.ev").schema("score").dataType
+        == org.apache.spark.sql.types.DoubleType)
+
+      // a row-level UPDATE populates it (copy-on-write of touched buckets)
+      spark.sql(s"UPDATE $cat.ev SET score = 0.5 WHERE id = 2")
+      assert(spark.sql(s"SELECT id, score FROM $cat.ev ORDER BY id")
+        .as[(Long, Option[Double])].collect().toSeq
+        == Seq((1L, None), (2L, Some(0.5))))
+      // INSERT with the full evolved schema merges as ever
+      spark.sql(s"INSERT INTO $cat.ev VALUES (3, 'c', 7, 2, 1.25)")
+      assert(spark.sql(s"SELECT score FROM $cat.ev WHERE id = 3").as[Double].head() == 1.25)
+
+      // DROP COLUMN: zero data I/O, the column vanishes from SQL at once
+      spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN junk")
+      assert(!spark.table(s"$cat.ev").columns.contains("junk"))
+      intercept[Exception] { spark.sql(s"SELECT junk FROM $cat.ev").collect() }
+      // time travel still reads the pre-drop schema
+      assert(spark.sql(s"SELECT junk FROM $cat.ev VERSION AS OF 0 WHERE id = 1")
+        .as[Long].head() == 9L)
+      // layout columns refuse
+      intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN id") }
+      intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN seq") }
+
+      // compact materializes both; reads unchanged after
+      spark.sql(s"CALL $cat.system.compact('ev')")
+      assert(!ManifestUpsertSink.snapshotManifest(s"$root/ev", None).hasEvolution)
+      assert(spark.sql(s"SELECT id, score FROM $cat.ev ORDER BY id")
+        .as[(Long, Option[Double])].collect().toSeq
+        == Seq((1L, None), (2L, Some(0.5)), (3L, Some(1.25))))
+
+      // a created-but-never-written table evolves instantly (props only)
+      spark.sql(s"""CREATE TABLE $cat.empty (k BIGINT, v STRING, s BIGINT)
+        TBLPROPERTIES ('keyCol'='k', 'orderCol'='s', 'buckets'='2')""")
+      spark.sql(s"ALTER TABLE $cat.empty ADD COLUMN extra STRING")
+      spark.sql(s"ALTER TABLE $cat.empty DROP COLUMN v")
+      assert(spark.table(s"$cat.empty").columns.toSeq == Seq("k", "s", "extra"))
     }
   }
 

@@ -257,4 +257,104 @@ class ManifestEvolutionSpec extends AnyFunSuite {
     assert(m.keyCol.contains("user") && m.buckets.contains(8),
       "the epoch change must stand; the losing merge wrote nothing visible")
   }
+
+  test("ADD COLUMN is metadata-only: typed null fill, mixed vintages, compaction materializes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_add_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("id", "p", "seq"), "seq", 0L)
+    val filesBefore = ManifestUpsertSink.snapshotManifest(root, None).files.map(_.path).toSet
+
+    intercept[IllegalArgumentException] { sink.addColumn(spark, "p", "string") } // exists
+    intercept[Exception] { sink.addColumn(spark, "junk", "not a type") } // junk DDL
+
+    sink.addColumn(spark, "score", "double")
+    val m1 = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m1.files.map(_.path).toSet == filesBefore,
+      "ADD COLUMN must not rewrite a single data file")
+    assert(m1.addedCols == Seq("score" -> "double"))
+    // Scala read: typed null where no file carries the column
+    val r1 = sink.read(spark)
+    assert(r1.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(r1.filter(col("score").isNull).count() == 3)
+    // SQL connector serves it immediately, same typed nulls
+    val sql1 = spark.read.format("graft-manifest").load(root)
+    assert(sql1.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(sql1.filter(col("score").isNull).count() == 3)
+    // time travel: v0 predates the add and has no score column
+    assert(!ManifestUpsertSink.readVersion(spark, root, 0L).columns.contains("score"))
+
+    // post-add merge writes the column physically; untouched buckets
+    // keep null-filling through the fold
+    sink.upsertBatch(Seq((2L, "b2", 0.5, 2L)).toDF("id", "p", "score", "seq"), "seq", 1L)
+    val got = sink.read(spark).select("id", "score")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> None, 2L -> Some(0.5), 3L -> None),
+      "mixed vintages: physical value where written, typed null elsewhere")
+    assert(spark.read.format("graft-manifest").load(root).select("id", "score")
+      .as[(Long, Option[Double])].collect().toMap == got,
+      "the SQL scan must null-fill exactly as the Scala fold")
+
+    // a FULL compaction materializes: header clears, every file carries it
+    sink.compact(spark)
+    val m2 = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m2.addedCols.isEmpty && !m2.hasEvolution)
+    assert(sink.read(spark).select("id", "score")
+      .as[(Long, Option[Double])].collect().toMap == got)
+  }
+
+  test("DROP COLUMN is metadata-only: fold projects it away, name stays retired until compaction") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_drop_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 9L, 1L), (2L, "b", 8L, 1L))
+      .toDF("id", "p", "junk", "seq"), "seq", 0L)
+    val filesBefore = ManifestUpsertSink.snapshotManifest(root, None).files.map(_.path).toSet
+
+    intercept[IllegalArgumentException] { sink.dropColumn(spark, "id") } // key column
+    intercept[IllegalArgumentException] { sink.dropColumn(spark, "ghost") } // absent
+
+    sink.dropColumn(spark, "junk")
+    val m1 = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m1.files.map(_.path).toSet == filesBefore,
+      "DROP COLUMN must not rewrite a single data file")
+    assert(m1.droppedCols == Seq("junk"))
+    assert(!sink.read(spark).columns.contains("junk"))
+    assert(!spark.read.format("graft-manifest").load(root).columns.contains("junk"),
+      "the SQL schema drops the column immediately")
+    // time travel: the pre-drop version still reads it
+    assert(ManifestUpsertSink.readVersion(spark, root, 0L)
+      .select("junk").as[Long].collect().sorted.toSeq == Seq(8L, 9L))
+
+    // the name is RETIRED: merges, re-adds, and renames onto it refuse —
+    // pre-drop files still hold bytes the fold would resurrect
+    intercept[IllegalArgumentException] {
+      sink.upsertBatch(Seq((3L, "c", 7L, 2L)).toDF("id", "p", "junk", "seq"), "seq", 2L)
+    }
+    intercept[IllegalArgumentException] { sink.addColumn(spark, "junk", "bigint") }
+    intercept[IllegalArgumentException] { sink.renameColumn(spark, "p", "junk") }
+
+    // merges NOT touching the name keep working; survivors drop the bytes
+    // of rewritten buckets, carried buckets keep folding
+    sink.upsertBatch(Seq((2L, "b2", 2L)).toDF("id", "p", "seq"), "seq", 2L)
+    assert(sink.read(spark).select("id", "p").as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b2"))
+
+    // compaction materializes the drop and frees the name for reuse
+    sink.compact(spark)
+    assert(!ManifestUpsertSink.snapshotManifest(root, None).hasEvolution)
+    sink.addColumn(spark, "junk", "string")
+    assert(sink.read(spark).schema("junk").dataType
+      == org.apache.spark.sql.types.StringType)
+
+    // dropping a never-written metadata-only add retracts the header and
+    // frees the name IMMEDIATELY (nothing physical to retire)
+    sink.dropColumn(spark, "junk")
+    val m2 = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m2.addedCols.isEmpty && m2.droppedCols.isEmpty)
+    sink.addColumn(spark, "junk", "int")
+    assert(sink.read(spark).schema("junk").dataType
+      == org.apache.spark.sql.types.IntegerType)
+  }
 }

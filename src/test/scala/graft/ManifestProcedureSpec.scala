@@ -164,6 +164,14 @@ class ManifestProcedureSpec extends AnyFunSuite {
       assert(d.getAs[Long]("n_versions") == 2L)
       assert(d.getAs[Long]("n_partitions") == 0L && d.getAs[String]("partition_col") == null)
       assert(!d.getAs[Boolean]("has_renames"))
+      assert(!d.getAs[Boolean]("has_evolution"))
+      // any metadata-only DDL flips the evolution flag; compact clears it
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN extra DOUBLE")
+      assert(spark.sql(s"CALL $cat.system.detail('t')")
+        .collect().head.getAs[Boolean]("has_evolution"))
+      spark.sql(s"CALL $cat.system.compact('t')")
+      assert(!spark.sql(s"CALL $cat.system.detail('t')")
+        .collect().head.getAs[Boolean]("has_evolution"))
     }
   }
 }

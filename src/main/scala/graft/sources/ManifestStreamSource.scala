@@ -94,12 +94,17 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
     * when a version's predecessor manifest is vacuumed. */
   private val pinnedManifest = ManifestUpsertSink.latestManifest(root)
   private val pinnedAt: Long = pinnedManifest.map(_.version).getOrElse(-1L)
-  // the full metadata-evolution state (renames, added, dropped) as of
-  // the pin — any of the three changing mid-window is the same
-  // images-name-columns-the-schema-can't hazard
-  private val pinnedEvo: (Seq[(String, String)], Seq[(String, String)], Seq[String]) =
-    pinnedManifest.map(m => (m.renames, m.addedCols, m.droppedCols))
-      .getOrElse((Nil, Nil, Nil))
+  // the BREAKING metadata-evolution state (renames, dropped) as of the
+  // pin — either changing mid-window is the images-name-columns-the-
+  // pinned-schema-can't hazard (a rename respells them, a drop silently
+  // nulls a column consumers still see). A metadata-only ADD is purely
+  // ADDITIVE and deliberately NOT breaking: the pinned projection is
+  // stable (post-add batch columns the pin doesn't know are projected
+  // away; post-add images simply carry an extra JSON field) — a live
+  // stream must not die for the most common evolution. A restart
+  // re-pins and picks the new column up.
+  private val pinnedEvo: (Seq[(String, String)], Seq[String]) =
+    pinnedManifest.map(m => (m.renames, m.droppedCols)).getOrElse((Nil, Nil))
   private val pinnedKeyCol: Option[String] = pinnedManifest.flatMap(_.keyCol)
 
   /** Trigger.AvailableNow's latch: versions committed AFTER prepare are
@@ -211,8 +216,9 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
     * carries no version. */
   private[graft] def changesBetween(from: Long, to: Long): DataFrame = {
     val beforeWindow = ManifestUpsertSink.manifestAt(root, from - 1)
-    def evoOf(m: ManifestUpsertSink.Manifest) = (m.renames, m.addedCols, m.droppedCols)
-    var prevEvo: Option[(Seq[(String, String)], Seq[(String, String)], Seq[String])] =
+    // breaking evolution only — ADD COLUMN passes (see pinnedEvo)
+    def evoOf(m: ManifestUpsertSink.Manifest) = (m.renames, m.droppedCols)
+    var prevEvo: Option[(Seq[(String, String)], Seq[String])] =
       beforeWindow.map(evoOf)
     var prevFiles: Option[Seq[String]] = beforeWindow.map(_.files.map(_.path))
     val dirOfVersion: Seq[(String, Long)] = (from to to).flatMap { v =>
@@ -242,7 +248,7 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
             prevEvo.isEmpty && v > pinnedAt && evoOf(m) != pinnedEvo
           if ((isRenameDdl && (v > pinnedAt || from < v)) || unclassifiable)
             throw new IllegalStateException(
-              s"table at $root changed schema (rename/add/drop) at v$v " +
+              s"table at $root changed schema (rename/drop) at v$v " +
                 s"inside this stream's window [$from, $to] — restart the stream " +
                 "(or start at startingVersion >= the DDL) so the pinned " +
                 "schema matches the images")

@@ -185,6 +185,26 @@ class ManifestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE AS SELECT: one statement creates the lake table and merges the seed") {
+    import spark.implicits._
+    withCatalog { (cat, root) =>
+      Seq((1L, "a", 1L), (2L, "b", 1L), (2L, "b2", 2L))
+        .toDF("id", "p", "seq").createOrReplaceTempView("ctas_src")
+      spark.sql(s"""CREATE TABLE $cat.x
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4')
+        AS SELECT * FROM ctas_src""")
+      // the CTAS write IS the LWW merge: duplicate key 2 resolves by seq
+      assert(spark.sql(s"SELECT id, p FROM $cat.x").as[(Long, String)].collect().toMap
+        == Map(1L -> "a", 2L -> "b2"))
+      val m = ManifestUpsertSink.snapshotManifest(s"$root/x", None)
+      assert(m.keyCol.contains("id") && m.buckets.contains(4),
+        "CTAS must commit the declared layout, not defaults")
+      // and the table keeps merging like any created-then-inserted one
+      spark.sql(s"INSERT INTO $cat.x VALUES (1, 'a2', 3)")
+      assert(spark.sql(s"SELECT p FROM $cat.x WHERE id = 1").as[String].head() == "a2")
+    }
+  }
+
   test("tables built by the Scala API are visible and queryable through the catalog") {
     import spark.implicits._
     withCatalog { (cat, root) =>

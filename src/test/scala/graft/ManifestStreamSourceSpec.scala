@@ -477,4 +477,53 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
       assert(e.getMessage.contains("rename") || e.getCause.getMessage.contains("rename"))
     } finally q.stop()
   }
+
+  test("mid-stream ADD COLUMN is additive-safe: the stream keeps running; DROP fail-stops") {
+    import spark.implicits._
+    val root = tmp("graft_stream_add_")
+    val ckpt = tmp("graft_stream_add_ckpt_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 9L, 1L)).toDF("id", "p", "junk", "seq"), "seq", 0L)
+
+    val got = mutable.Buffer[Seq[Any]]()
+    val q = drainTo(spark.readStream.format("graft-manifest").load(root)
+      .select("id", "p"), ckpt, got)
+    try {
+      q.processAllAvailable()
+      // ADD COLUMN mid-stream, then merges with AND without the new
+      // column: the pinned projection is stable (the unknown column is
+      // projected away) — a live stream must not die for an additive DDL
+      sink.addColumn(spark, "score", "double")
+      sink.upsertBatch(Seq((2L, "b", 8L, 0.5, 2L))
+        .toDF("id", "p", "junk", "score", "seq"), "seq", 1L)
+      sink.upsertBatch(Seq((3L, "c", 7L, 3L)).toDF("id", "p", "junk", "seq"), "seq", 2L)
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet).map(_.head) == Set(1L, 2L, 3L),
+        "the stream must keep draining across an ADD COLUMN")
+
+      // DROP COLUMN mid-stream: the pinned schema still names `junk`,
+      // and post-drop batches would silently null it — fail-stop
+      sink.dropColumn(spark, "junk")
+      sink.upsertBatch(Seq((4L, "d", 4L)).toDF("id", "p", "seq"), "seq", 3L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("rename/drop"), s"must refuse the mid-stream drop: $msg")
+    } finally q.stop()
+
+    // a fresh stream re-pins: the new schema (score in, junk out)
+    // serves the whole snapshot, mixed vintages included
+    val got2 = mutable.Buffer[Seq[Any]]()
+    val q2 = drainTo(spark.readStream.format("graft-manifest").load(root)
+      .select("id", "score"), tmp("graft_stream_add_ckpt2_"), got2)
+    try {
+      q2.processAllAvailable()
+      assert(got2.synchronized(got2.toSet).contains(Seq(4L, null)),
+        "post-restart the re-pinned schema serves the post-drop tail")
+      assert(got2.synchronized(got2.toSet).contains(Seq(2L, 0.5)),
+        "the re-pinned schema reads the physically-carried added column")
+    } finally q2.stop()
+  }
 }

@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** K3's semantics on an object store: last-write-wins MERGE into
   * bucket-partitioned parquet under a versioned manifest log — the
@@ -181,8 +182,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val current: Option[DataFrame] = cur.flatMap { m =>
       val touchedFiles = m.files.filter(f => touched(f.bucket)).map(_.path)
       if (touchedFiles.isEmpty) None
-      else Some(applyEvolution(
-        spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*), m))
+      else Some(applyEvolution(readPhysical(spark, m, touchedFiles), m))
     }
     // ---- change feed: every incoming key is inserted or updated (LWW
     // upsert never deletes); old/new BEFORE/AFTER row images (JSON of the
@@ -238,7 +238,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       written = written, feedStage = Some(s"_stage/$tag"),
       renames = cur.map(_.renames).getOrElse(Nil),
       addedCols = cur.map(_.addedCols).getOrElse(Nil),
-      droppedCols = cur.map(_.droppedCols).getOrElse(Nil))
+      droppedCols = cur.map(_.droppedCols).getOrElse(Nil),
+      writtenSchema = survivors.schema)
   }
 
   /** DELETE by key — the third CDC verb (upsert covers insert/update):
@@ -266,8 +267,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val touched = collectTouchedRequireKeys(keyed)
     val touchedFiles = cur.files.filter(f => touched(f.bucket)).map(_.path)
     if (touchedFiles.isEmpty) return // no touched bucket holds data: no-op
-    val current = applyEvolution(
-      spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*), cur)
+    val current = applyEvolution(readPhysical(spark, cur, touchedFiles), cur)
     // feed first (same crash contract as the merge): one `deleted` row per
     // key that exists, BEFORE image only
     val victims = current.join(keyed.select(keyColumns: _*), keyCols, "left_semi")
@@ -287,7 +287,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       if (batchId == AdHocBatch) cur.batchId else batchId,
       dataChanged = touched, replaced = touched,
       written = written, feedStage = Some(s"_stage/$tag"), renames = cur.renames,
-      addedCols = cur.addedCols, droppedCols = cur.droppedCols)
+      addedCols = cur.addedCols, droppedCols = cur.droppedCols,
+      writtenSchema = survivors.schema)
   }
 
   /** SINGLE-COMMIT row-level apply: MERGE `batch` and DELETE `delKeys`
@@ -339,8 +340,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val current: Option[DataFrame] = cur.flatMap { m =>
       val touchedFiles = m.files.filter(f => touched(f.bucket)).map(_.path)
       if (touchedFiles.isEmpty) None
-      else Some(applyEvolution(
-        spark.read.option("mergeSchema", "true").parquet(touchedFiles: _*), m))
+      else Some(applyEvolution(readPhysical(spark, m, touchedFiles), m))
     }
     // pure delete touching no stored bucket (or an empty table): no-op,
     // matching deleteKeys — a DELETE must never CREATE a version
@@ -402,7 +402,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       written = written, feedStage = Some(s"_stage/$tag"),
       renames = cur.map(_.renames).getOrElse(Nil),
       addedCols = cur.map(_.addedCols).getOrElse(Nil),
-      droppedCols = cur.map(_.droppedCols).getOrElse(Nil))
+      droppedCols = cur.map(_.droppedCols).getOrElse(Nil),
+      writtenSchema = survivors.schema)
   }
 
   /** The one data-file writer: every version's files are written with a
@@ -473,7 +474,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
   private def commitRebasing(base: Option[Manifest], batchId: Long,
       dataChanged: Set[Long], replaced: Set[Long], written: Seq[FileEntry],
       feedStage: Option[String], renames: Seq[(String, String)],
-      addedCols: Seq[(String, String)], droppedCols: Seq[String]): Unit = {
+      addedCols: Seq[(String, String)], droppedCols: Seq[String],
+      writtenSchema: org.apache.spark.sql.types.StructType): Unit = {
     var cur = base
     var keepMine = replaced
     var id = batchId
@@ -483,13 +485,21 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     var attempt = 0
     while (true) {
       val version = cur.map(_.version + 1).getOrElse(0L)
-      val files = cur.toSeq.flatMap(_.files).filterNot(f => keepMine(f.bucket)) ++
-        written.filter(f => keepMine(f.bucket))
+      val carried = cur.toSeq.flatMap(_.files).filterNot(f => keepMine(f.bucket))
+      val files = carried ++ written.filter(f => keepMine(f.bucket))
+      // per-attempt schema stamp: when NO file is carried (a full rewrite
+      // that won its race, or a fresh table) the stamp is EXACTLY what
+      // was written — a union would keep retired columns the rewrite just
+      // purged, phantom against the cleared fold headers; with carried
+      // files it is the rebase base's stamp ∪ the written schema
+      val stamp =
+        if (carried.isEmpty) exactPhysSchema(writtenSchema)
+        else unionPhysSchema(cur, writtenSchema)
       beforeCommit(version)
       try {
         commit(root, store, Manifest(version, id, Some(buckets), Some(keyCol),
           files, Some(dataChanged), feedStage, rn, partCol = partitionCol,
-          addedCols = added, droppedCols = droppedC))
+          addedCols = added, droppedCols = droppedC, physSchema = stamp))
         feedStage.foreach { st =>
           store.rename(s"$root/$st", s"$root/_changes/v$version")
           store.deleteDirIfEmpty(s"$root/_stage")
@@ -660,8 +670,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // evolution fold applied on read: rewritten buckets come out under
     // the logical schema; carried buckets keep needing the fold (headers
     // carried below) until a FULL compaction materializes it everywhere
-    val rows = applyEvolution(
-        spark.read.option("mergeSchema", "true").parquet(fatFiles: _*), cur)
+    val rows = applyEvolution(readPhysical(spark, cur, fatFiles), cur)
       .withColumn(BucketCol, bucketExpr)
       .repartition(math.max(fat.size, 1), col(BucketCol))
     val dataDir = s"$root/data/v$version-${newTag()}"
@@ -671,7 +680,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // so a concurrent merge into one of them simply wins that bucket
     commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
       replaced = fat, written = written, feedStage = None, renames = cur.renames,
-      addedCols = cur.addedCols, droppedCols = cur.droppedCols)
+      addedCols = cur.addedCols, droppedCols = cur.droppedCols,
+      writtenSchema = rows.schema)
   }
 
   /** CLUSTERED compaction: rewrite the snapshot range-partitioned by
@@ -775,8 +785,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // new-vintage physical `a` coalesce into b and read null as logical
     // a until a full compaction (Delta's column mapping guards the same
     // hazard with field ids; the name-keyed mapping must refuse reuse).
-    val physDf = spark.read.option("mergeSchema", "true")
-      .parquet(cur.files.map(_.path): _*)
+    val physDf = readPhysical(spark, cur, cur.files.map(_.path))
     val physical = physDf.columns.toSet
     val logical = applyEvolution(physDf, cur).columns.toSet
     // retired names: rename SOURCES, physical-only vintages, and
@@ -809,7 +818,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
       Some(newKey), cur.files, touched = None, feed = None,
       renames = cur.renames :+ (oldName -> newName), partCol = newPart,
-      addedCols = newAdded, droppedCols = cur.droppedCols))
+      addedCols = newAdded, droppedCols = cur.droppedCols,
+      physSchema = cur.physSchema))
     // carry the previous sidecar verbatim: stats stay keyed by PHYSICAL
     // column names, which is what the (rename-refusing) connector needs
     val prev = loadStats(root, store, cur.version)
@@ -847,8 +857,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       s"type DDL '$typeDdl' contains a manifest separator (';'/tab/newline)")
     // parses-or-throws: a junk type must fail the DDL, not every read
     org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
-    val physDf = spark.read.option("mergeSchema", "true")
-      .parquet(cur.files.map(_.path): _*)
+    val physDf = readPhysical(spark, cur, cur.files.map(_.path))
     val physical = physDf.columns.toSet
     val logical = applyEvolution(physDf, cur).columns.toSet
     require(!logical(name), s"cannot add: column $name already exists")
@@ -860,7 +869,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
       Some(keyCol), cur.files, touched = None, feed = None,
       renames = cur.renames, partCol = partitionCol,
-      addedCols = cur.addedCols :+ (name -> typeDdl), droppedCols = cur.droppedCols))
+      addedCols = cur.addedCols :+ (name -> typeDdl), droppedCols = cur.droppedCols,
+      physSchema = cur.physSchema))
     val prev = loadStats(root, store, cur.version)
     if (prev.nonEmpty)
       store.putString(s"$root/_manifest", s"v${cur.version + 1}.stats",
@@ -890,8 +900,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       s"cannot drop $name: it is the table's partition column (committed layout)")
     require(!name.contains(","),
       s"column name '$name' contains a manifest separator (',')")
-    val physDf = spark.read.option("mergeSchema", "true")
-      .parquet(cur.files.map(_.path): _*)
+    val physDf = readPhysical(spark, cur, cur.files.map(_.path))
     val physical = physDf.columns.toSet
     val logical = applyEvolution(physDf, cur).columns.toSet
     require(logical(name),
@@ -906,7 +915,86 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
       Some(keyCol), cur.files, touched = None, feed = None,
       renames = cur.renames, partCol = partitionCol,
-      addedCols = newAdded, droppedCols = newDropped))
+      addedCols = newAdded, droppedCols = newDropped,
+      physSchema = cur.physSchema))
+    val prev = loadStats(root, store, cur.version)
+    if (prev.nonEmpty)
+      store.putString(s"$root/_manifest", s"v${cur.version + 1}.stats",
+        ManifestStats.encode(prev))
+  }
+
+  /** WIDEN a column's type WITHOUT rewriting a byte of data — the third
+    * metadata-only evolution verb (Iceberg v3 type promotion): commits a
+    * new version whose schema STAMP respells the column (and every
+    * rename-retired physical source of it) at the wider type; every
+    * stamped read then requests the wide type and Spark's parquet
+    * vectorized reader PROMOTES old narrow vintages per file
+    * (int32→long, float→double — the reader-level widening Spark 4
+    * ships), while post-widen writes carry the wide type physically.
+    * Only provably-lossless promotions are allowed: byte→short→int→long
+    * along the integral chain, float→double, and byte/short/int→double
+    * (exact in a double's 53-bit mantissa; long→double is NOT — it
+    * rounds above 2^53). The KEY and partition columns refuse: bucket
+    * routing hashes VALUES BY TYPE (xxhash64 of int 5 ≠ long 5), so a
+    * widened key would mis-route every future merge. Requires a
+    * schema-stamped table (pre-stamp vintages: compact() once — the
+    * rewrite stamps exactly). Commits `touched = None`: concurrent
+    * writers abort across a schema change. */
+  def widenColumn(spark: SparkSession, name: String, toDdl: String): Unit = {
+    import org.apache.spark.sql.types._
+    val cur = latestManifest(root, store).getOrElse(throw new IllegalStateException(
+      s"no committed manifest under $root — nothing to alter"))
+    healFeed(Some(cur))
+    requireSameBuckets(Some(cur))
+    require(!keyCols.contains(name),
+      s"cannot widen $name: it is a key column — bucket routing hashes values " +
+        "by type, so a widened key would mis-route every future merge (recluster instead)")
+    require(!partitionCol.contains(name),
+      s"cannot widen $name: it is the table's partition column (committed layout)")
+    val stampDdl = cur.physSchema.getOrElse(throw new IllegalStateException(
+      s"cannot widen $name: table at $root predates schema stamping — " +
+        "compact() once to stamp it, then widen"))
+    val stamp = StructType.fromDDL(stampDdl)
+    val to = DataType.fromDDL(toDdl)
+    // the column's physical spellings: itself plus every rename-retired
+    // source (reverse pre-image chase handles chained renames a→b→c)
+    var spellings = Set(name)
+    for ((p, l) <- cur.renames.reverse if spellings(l)) spellings += p
+    val inStamp = stamp.fields.filter(f => spellings(f.name))
+    val inAdded = cur.addedCols.filter(_._1 == name)
+    require(inStamp.nonEmpty || inAdded.nonEmpty,
+      s"cannot widen: column $name does not exist")
+    require(!cur.droppedCols.contains(name),
+      s"cannot widen $name: the column is dropped")
+    val widenable: Set[(DataType, DataType)] = Set(
+      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+      (ShortType, IntegerType), (ShortType, LongType),
+      (IntegerType, LongType),
+      (FloatType, DoubleType),
+      (ByteType, DoubleType), (ShortType, DoubleType), (IntegerType, DoubleType))
+    for (f <- inStamp)
+      require(f.dataType == to || widenable((f.dataType, to)),
+        s"cannot widen $name: ${f.dataType.simpleString} -> ${to.simpleString} is not a " +
+          "lossless reader-promotable widening (allowed: byte/short/int -> wider " +
+          "integral or double, float -> double)")
+    for ((_, t) <- inAdded) {
+      val from = DataType.fromDDL(t)
+      require(from == to || widenable((from, to)),
+        s"cannot widen $name: ${from.simpleString} -> ${to.simpleString} is not a " +
+          "lossless widening")
+    }
+    val newStamp = StructType(stamp.fields.map(f =>
+      if (spellings(f.name)) f.copy(dataType = to) else f)).toDDL
+    val newAdded = cur.addedCols.map { case (n, t) =>
+      if (n == name) (n, to.sql) else (n, t)
+    }
+    commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
+      Some(keyCol), cur.files, touched = None, feed = None,
+      renames = cur.renames, partCol = partitionCol,
+      addedCols = newAdded, droppedCols = cur.droppedCols,
+      physSchema = Some(newStamp)))
+    // sidecar carried verbatim: integral domains are stored as longs and
+    // float/double as doubles, so the widened column's bounds stay exact
     val prev = loadStats(root, store, cur.version)
     if (prev.nonEmpty)
       store.putString(s"$root/_manifest", s"v${cur.version + 1}.stats",
@@ -935,8 +1023,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     requireSameBuckets(Some(cur))
     val version = cur.version + 1
     val newKeyCols = splitKeyCols(newKeyCol)
-    val all = applyEvolution(spark.read.option("mergeSchema", "true")
-        .parquet(cur.files.map(_.path): _*), cur)
+    val all = applyEvolution(readPhysical(spark, cur, cur.files.map(_.path)), cur)
       .drop(BucketCol)
       .withColumn(BucketCol,
         pmod(xxhash64(newKeyCols.map(col): _*), lit(newBuckets.toLong)))
@@ -945,7 +1032,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     writeDataKeyed(all, dataDir, newKeyCols)
     val written = listParquet(dataDir, store)
     commit(root, store, Manifest(version, cur.batchId, Some(newBuckets),
-      Some(newKeyCol), written, touched = None, feed = None, partCol = partitionCol))
+      Some(newKeyCol), written, touched = None, feed = None, partCol = partitionCol,
+      physSchema = exactPhysSchema(all.schema)))
     store.putString(s"$root/_manifest", s"v$version.stats",
       ManifestStats.encode(ManifestStats.collectAuto(written.map(_.path))))
     new ManifestUpsertSink(root, newKeyCol, newBuckets, partitionCol)
@@ -973,8 +1061,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     requireSameBuckets(Some(cur))
     if (newPartCol == partitionCol) return this // same layout: no-op
     val version = cur.version + 1
-    val all = applyEvolution(spark.read.option("mergeSchema", "true")
-        .parquet(cur.files.map(_.path): _*), cur)
+    val all = applyEvolution(readPhysical(spark, cur, cur.files.map(_.path)), cur)
       .drop(BucketCol)
       .withColumn(BucketCol, bucketExpr)
       .repartition(buckets, col(BucketCol))
@@ -985,7 +1072,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     writeDataPartitioned(all, dataDir, keyCols, newPartCol)
     val written = listParquet(dataDir, store)
     commit(root, store, Manifest(version, cur.batchId, Some(buckets),
-      Some(keyCol), written, touched = None, feed = None, partCol = newPartCol))
+      Some(keyCol), written, touched = None, feed = None, partCol = newPartCol,
+      physSchema = exactPhysSchema(all.schema)))
     store.putString(s"$root/_manifest", s"v$version.stats",
       ManifestStats.encode(ManifestStats.collectAuto(written.map(_.path))))
     new ManifestUpsertSink(root, keyCol, buckets, newPartCol)
@@ -1048,8 +1136,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       restoreDiffEntries(cur, target, keyCol, buckets)
     def side(files: Seq[FileEntry], m: Manifest): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(applyEvolution(
-        spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*), m))
+      else Some(applyEvolution(readPhysical(spark, m, files.map(_.path)), m))
     val curDf = side(curDiffFiles, cur)
     val tgtDf = side(tgtDiffFiles, target)
     for (c <- curDf)
@@ -1111,7 +1198,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     commit(root, store, Manifest(newVersion, cur.batchId, Some(tBuckets),
       Some(tKey), target.files, touched = None, feed = feedStage,
       renames = target.renames, partCol = target.partCol,
-      addedCols = target.addedCols, droppedCols = target.droppedCols))
+      addedCols = target.addedCols, droppedCols = target.droppedCols,
+      physSchema = target.physSchema))
     feedStage.foreach { st =>
       store.rename(s"$root/$st", s"$root/_changes/v$newVersion")
       store.deleteDirIfEmpty(s"$root/_stage")
@@ -1163,7 +1251,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       commit(targetRoot, tStore, Manifest(0L, cur.batchId, Some(buckets),
         Some(keyCol), cur.files, touched = None, feed = None, renames = cur.renames,
         partCol = partitionCol, addedCols = cur.addedCols,
-        droppedCols = cur.droppedCols))
+        droppedCols = cur.droppedCols, physSchema = cur.physSchema))
       val stats = loadStats(root, store, cur.version)
       if (stats.nonEmpty)
         tStore.putString(s"$targetRoot/_manifest", "v0.stats", ManifestStats.encode(stats))
@@ -1175,16 +1263,17 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       // hold nothing (own files)
       store.putString(s"$root/_manifest", s"clone-${newTag()}.ref", tgtNorm)
     } else {
-      val all = applyEvolution(spark.read.option("mergeSchema", "true")
-          .parquet(cur.files.map(_.path): _*), cur)
-        .withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+      // bucketExpr, not col(keyCol): a composite key spec ("a,b") is not
+      // a column name — the write-path expression hashes all components
+      val all = applyEvolution(readPhysical(spark, cur, cur.files.map(_.path)), cur)
+        .withColumn(BucketCol, bucketExpr)
         .repartition(buckets, col(BucketCol))
       val dataDir = s"$targetRoot/data/v0-${newTag()}"
       writeData(all, dataDir)
       val written = listParquet(dataDir, tStore)
       commit(targetRoot, tStore, Manifest(0L, cur.batchId, Some(buckets),
         Some(keyCol), written, touched = None, feed = None, renames = Nil,
-        partCol = partitionCol))
+        partCol = partitionCol, physSchema = exactPhysSchema(all.schema)))
       tStore.putString(s"$targetRoot/_manifest", "v0.stats",
         ManifestStats.encode(ManifestStats.collectAuto(written.map(_.path))))
     }
@@ -1202,8 +1291,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // physically and dropped columns' bytes gone — and the committed
     // headers clear, returning the table to the fully-vectorized scan
     val all = layout(
-      applyEvolution(spark.read.option("mergeSchema", "true")
-          .parquet(cur.files.map(_.path): _*), cur)
+      applyEvolution(readPhysical(spark, cur, cur.files.map(_.path)), cur)
         .withColumn(BucketCol, bucketExpr))
     val dataDir = s"$root/data/v$version-${newTag()}"
     writeData(all, dataDir)
@@ -1214,7 +1302,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
       replaced = cur.files.map(_.bucket).toSet ++ written.map(_.bucket),
       written = written, feedStage = None, renames = Nil,
-      addedCols = Nil, droppedCols = Nil)
+      addedCols = Nil, droppedCols = Nil, writtenSchema = all.schema)
   }
 
   /** Delete data files no manifest in the newest `keepVersions` versions
@@ -1273,7 +1361,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
       Some(keyCol), Seq.empty, touched = None, feed = None,
       renames = cur.renames, partCol = partitionCol,
-      addedCols = cur.addedCols, droppedCols = cur.droppedCols))
+      addedCols = cur.addedCols, droppedCols = cur.droppedCols,
+      physSchema = cur.physSchema))
   }
 
   /** RETENTION on a date-partitioned table: commit a new version WITHOUT
@@ -1309,8 +1398,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     if (dead.isEmpty) return
     val version = cur.version + 1
     val feedStage = if (!cdc) None else Some {
-      val victims = applyEvolution(spark.read.option("mergeSchema", "true")
-        .parquet(dead.map(_.path): _*), cur)
+      val victims = applyEvolution(readPhysical(spark, cur, dead.map(_.path)), cur)
       val tag = newTag()
       victims.select(keyColumns ++ Seq(lit("deleted").as("change"),
           xxhash64(payloadImage(victims)).as("old_hash"),
@@ -1323,7 +1411,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     commit(root, store, Manifest(version, cur.batchId, Some(buckets),
       Some(keyCol), kept, touched = None, feed = feedStage,
       renames = cur.renames, partCol = partitionCol,
-      addedCols = cur.addedCols, droppedCols = cur.droppedCols))
+      addedCols = cur.addedCols, droppedCols = cur.droppedCols,
+      physSchema = cur.physSchema))
     feedStage.foreach { st =>
       store.rename(s"$root/$st", s"$root/_changes/v$version")
       store.deleteDirIfEmpty(s"$root/_stage")
@@ -1411,7 +1500,8 @@ object ManifestUpsertSink {
       ts: Option[Long] = None,
       partCol: Option[String] = None,
       addedCols: Seq[(String, String)] = Nil,
-      droppedCols: Seq[String] = Nil) {
+      droppedCols: Seq[String] = Nil,
+      physSchema: Option[String] = None) {
     /** Any live metadata-only schema-evolution state (rename mapping,
       * null-backed added columns, logically-dropped columns) — the
       * condition under which reads must fold and a FULL rewrite clears. */
@@ -1514,6 +1604,61 @@ object ManifestUpsertSink {
   private[graft] def applyEvolution(df: DataFrame, m: Manifest): DataFrame =
     applyEvolution(df, m.renames, m.addedCols, m.droppedCols)
 
+  /** Normalize a written frame's schema into STAMP form: the layout
+    * columns out (`__bucket`/`__pdate` live in directory names, never in
+    * file bytes — a stamped read must not request them) and everything
+    * nullable (the stamp may cover files that lack a column; the reader
+    * null-fills, so a non-null claim would lie to Catalyst). */
+  private def stampForm(written: StructType): StructType =
+    StructType(written.fields
+      .filterNot(f => f.name == BucketCol || f.name == PdateCol)
+      .map(_.copy(nullable = true)))
+
+  /** The stamp of a commit whose files are all freshly written (a full
+    * rewrite, a fresh table): exactly the written schema. */
+  private[graft] def exactPhysSchema(written: StructType): Option[String] =
+    Some(stampForm(written).toDDL)
+
+  /** The next commit's PHYSICAL-union schema stamp: previous stamp ∪ the
+    * newly-written files' schema, matched by name. The stamp is allowed
+    * to be a SUPERSET of the live files' union (carried-bucket commits
+    * never shrink it): every surplus name is, by construction, a
+    * rename-retired source or a dropped column — the evolution fold
+    * coalesces or projects those away, and parquet null-fills a
+    * requested-but-absent column — so a superset is read-safe. Rules:
+    *  - fresh table (no base manifest): the written schema, exactly;
+    *  - base predates stamping (no stamp): stays UNSTAMPED — the carried
+    *    files' schema is unknown, and a wrong stamp would silently null
+    *    columns; the next FULL rewrite stamps exactly;
+    *  - same-name fields with DIFFERENT types: drop the stamp (read
+    *    falls back to the mergeSchema footer walk — never guess). */
+  private[graft] def unionPhysSchema(base: Option[Manifest],
+      written: StructType): Option[String] = {
+    val w = stampForm(written)
+    base match {
+      case None => Some(w.toDDL)
+      case Some(m) => m.physSchema.flatMap { prevDdl =>
+        val prev = StructType.fromDDL(prevDdl)
+        val prevNames = prev.fieldNames.toSet
+        val conflict = w.fields.exists(f =>
+          prev.fields.exists(p => p.name == f.name && p.dataType != f.dataType))
+        if (conflict) None
+        else Some(StructType(
+          prev.fields ++ w.fields.filterNot(f => prevNames(f.name))).toDDL)
+      }
+    }
+  }
+
+  /** Physical read of `paths` under `m`'s committed schema stamp — ZERO
+    * footer I/O (the mergeSchema fallback reads EVERY footer at planning,
+    * an O(files) cost a 100-TB read must not pay per merge). Unstamped
+    * manifests (pre-stamp vintages) keep the footer walk. */
+  private[graft] def readPhysical(spark: SparkSession, m: Manifest,
+      paths: Seq[String]): DataFrame = m.physSchema match {
+    case Some(ddl) => spark.read.schema(StructType.fromDDL(ddl)).parquet(paths: _*)
+    case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
+
   /** Snapshot read: latest manifest's files, bucket column dropped (it is
     * derivable from the key and re-derived on the next merge), rename
     * mapping applied. An empty or absent table raises — callers create
@@ -1522,8 +1667,7 @@ object ManifestUpsertSink {
     * compaction unifies them. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val m = snapshotManifest(root, None)
-    applyEvolution(spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(_.path): _*).drop(BucketCol), m)
+    applyEvolution(readPhysical(spark, m, m.files.map(_.path)).drop(BucketCol), m)
   }
 
   /** Time-travel read: the snapshot AS OF a committed version — the
@@ -1534,8 +1678,7 @@ object ManifestUpsertSink {
     * history). */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val m = snapshotManifest(root, Some(version))
-    applyEvolution(spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(_.path): _*).drop(BucketCol), m)
+    applyEvolution(readPhysical(spark, m, m.files.map(_.path)).drop(BucketCol), m)
   }
 
   /** TIMESTAMP time travel for the Scala API: the snapshot current as of
@@ -1773,7 +1916,11 @@ object ManifestUpsertSink {
       (if (m.addedCols.isEmpty) Nil
        else Seq(s"addcols=${m.addedCols.map { case (n, t) => s"$n:$t" }.mkString(";")}")) ++
       (if (m.droppedCols.isEmpty) Nil
-       else Seq(s"dropcols=${m.droppedCols.mkString(",")}"))
+       else Seq(s"dropcols=${m.droppedCols.mkString(",")}")) ++
+      // the committed PHYSICAL union schema of the listed files (DDL;
+      // no tab/newline by the header-safety rules) — what lets every
+      // read skip footer I/O entirely
+      m.physSchema.map(s => s"schema=$s")
     (header ++ m.files.map(f => s"${f.bucket}\t${f.path}")).mkString("\n")
   }
 
@@ -1802,7 +1949,8 @@ object ManifestUpsertSink {
       header.get("addcols").toSeq.flatMap(_.split(";").toSeq.map { e =>
         val Array(n, t) = e.split(":", 2); (n, t)
       }),
-      header.get("dropcols").toSeq.flatMap(_.split(",").toSeq))
+      header.get("dropcols").toSeq.flatMap(_.split(",").toSeq),
+      header.get("schema"))
   }
 
   private def manifestVersions(root: String, store: TableStore): Seq[Long] =

@@ -1673,7 +1673,53 @@ object SinkQueries {
       FROM part ORDER BY key"""),
     doc = "metadata-only ADD/DROP COLUMN served live through SQL: null-backed add header, row-level UPDATE materializes touched buckets (mixed vintages null-fill through the fold), zero-I/O drop projects retired bytes away; compaction stays an optimization")
 
+  // --------------------------------------------------------------- q328
+  private val q328Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** ZERO-I/O TYPE WIDENING served LIVE through SQL: `ALTER COLUMN n
+    * TYPE BIGINT` respells the column in the committed schema STAMP
+    * (same files — no rewrite; Iceberg v3 type promotion), every stamped
+    * read requests the wide type and Spark's parquet vectorized reader
+    * PROMOTES the old int32 vintages per file, and a post-widen INSERT
+    * beyond Int.MaxValue lands physically wide — a genuinely
+    * mixed-width table the SELECT reads as one BIGINT column. The
+    * oracle restates the lifecycle as plain algebra (CAST + the
+    * post-widen row) over the raw table; a hash match proves no value
+    * is truncated or mis-promoted across vintages. */
+  val q328 = QueryDef(
+    "q328_sql_type_widening",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q328_").toString
+      val cat = s"graft_q328_${q328Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.part(s, d).createOrReplaceTempView("q328_part")
+      s.sql(s"""CREATE TABLE $cat.pp (key BIGINT, sz INT, price FLOAT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8')""")
+      s.sql(s"""INSERT INTO $cat.pp
+        SELECT p_partkey, CAST(p_size AS INT), CAST(p_retailprice AS FLOAT), 0L
+        FROM q328_part""")
+      // metadata-only widenings: same files, reads promote per vintage
+      s.sql(s"ALTER TABLE $cat.pp ALTER COLUMN sz TYPE BIGINT")
+      s.sql(s"ALTER TABLE $cat.pp ALTER COLUMN price TYPE DOUBLE")
+      // a post-widen merge writes beyond the old type's range: the
+      // snapshot now spans int32 and int64 vintages of one column
+      s.sql(s"""INSERT INTO $cat.pp
+        SELECT p_partkey, CAST(p_size AS BIGINT) + ${Int.MaxValue}L,
+               CAST(CAST(p_retailprice AS FLOAT) AS DOUBLE) + 1.0, 1L
+        FROM q328_part WHERE p_partkey % 5 = 0""")
+      s.sql(s"SELECT key, sz, price FROM $cat.pp ORDER BY key")
+    },
+    Some(s"""SELECT p_partkey AS key,
+        CASE WHEN p_partkey % 5 = 0 THEN CAST(p_size AS BIGINT) + ${Int.MaxValue}
+             ELSE CAST(p_size AS BIGINT) END AS sz,
+        CASE WHEN p_partkey % 5 = 0 THEN CAST(CAST(p_retailprice AS FLOAT) AS DOUBLE) + 1.0
+             ELSE CAST(CAST(p_retailprice AS FLOAT) AS DOUBLE) END AS price
+      FROM part ORDER BY key"""),
+    doc = "metadata-only ALTER COLUMN TYPE widening (Iceberg v3 promotion parity): the committed schema stamp respells the column, stamped reads promote old narrow vintages per file via the vectorized reader, post-widen writes land wide — zero data rewritten")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
     q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319,
-    q322, q323, q324, q325, q326, q327, q214, q215, q216, q228)
+    q322, q323, q324, q325, q326, q327, q328, q214, q215, q216, q228)
 }

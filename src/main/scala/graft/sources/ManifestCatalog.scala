@@ -208,6 +208,14 @@ class ManifestCatalog extends TableCatalog
         for (m <- ManifestUpsertSink.latestManifest(dir))
           committedSink(m).addColumn(org.apache.spark.sql.SparkSession.active, name, ddl)
         addInProps(dir, name, ddl)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "ALTER COLUMN TYPE supports top-level columns only")
+        val name = u.fieldNames.head
+        for (m <- ManifestUpsertSink.latestManifest(dir))
+          committedSink(m).widenColumn(org.apache.spark.sql.SparkSession.active,
+            name, u.newDataType().sql)
+        widenInProps(dir, name, u.newDataType())
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "DROP COLUMN supports top-level columns only")
@@ -261,6 +269,24 @@ class ManifestCatalog extends TableCatalog
           org.apache.spark.sql.types.StructField(name,
             org.apache.spark.sql.types.DataType.fromDDL(typeDdl),
             nullable = true)).toDDL
+      case kv => kv
+    }
+    store.putString(dir, "_catalog.properties",
+      updated.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+  }
+
+  /** Respell `name`'s type in the declared schema DDL (the sink verb
+    * already validated the widening against the committed stamp; a
+    * never-written table has nothing physical to promote, so any
+    * respell is safe there). No-op when the props file is absent. */
+  private def widenInProps(dir: String,
+      name: String, to: org.apache.spark.sql.types.DataType): Unit = {
+    val props = readProps(dir)
+    if (props.isEmpty) return
+    val updated = props.map {
+      case ("schemaDDL", v) =>
+        "schemaDDL" -> StructType(StructType.fromDDL(v).fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f)).toDDL
       case kv => kv
     }
     store.putString(dir, "_catalog.properties",

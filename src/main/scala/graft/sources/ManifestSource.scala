@@ -128,7 +128,7 @@ final class ManifestSource extends TableProvider with DataSourceRegister
         val m = snapshotAllowEmpty(root, resolveVersionOpt(root, options))
         Resolved(m.files, ManifestUpsertSink.loadStats(root, m.version),
           for (k <- m.keyCol; b <- m.buckets) yield (k, b), m.partCol, m.renames,
-          m.addedCols, m.droppedCols)
+          m.addedCols, m.droppedCols, m.physSchema)
     }
   }
 
@@ -183,27 +183,37 @@ final class ManifestSource extends TableProvider with DataSourceRegister
       else {
         val resolved = resolveMemo(options)
         keyInfo = keyInfo.orElse(resolved.keyInfo.map(_._1))
-        val paths =
-          if (resolved.files.nonEmpty || options.containsKey("changesOf"))
-            resolved.files.map(_.path)
-          else {
-            // fully-deleted snapshot: anchor the schema on the newest
-            // version that still lists files — deletes don't change schema
-            val root = options.get("path")
-            ManifestUpsertSink.schemaAnchor(root,
-              snapshotAllowEmpty(root, resolveVersionOpt(root, options)))
-          }
-        if (paths.isEmpty)
-          Option(options.get("schemaDDL")).map(StructType.fromDDL).getOrElse(new StructType())
-        else
-          // the union footer schema is PHYSICAL (mixed vintages until a
-          // compaction materializes live evolution); the SQL surface
-          // speaks logical names, so the full evolution fold — renames,
-          // logically-dropped columns projected away, metadata-only
-          // added columns appended as nullable typed fields — applies
-          // here exactly as the Scala read path folds columns
-          applyEvolutionSchema(parquetTable(options, paths, None).schema,
-            resolved)
+        resolved.physSchema match {
+          case Some(stamp) =>
+            // the snapshot's COMMITTED schema stamp: planning reads ZERO
+            // parquet footers (the fallback below walks every footer —
+            // an O(files) planning cost a 100-TB table must not pay per
+            // load), and a fully-deleted snapshot keeps its schema with
+            // no anchor juggling. The stamp is PHYSICAL (union, possibly
+            // a superset whose surplus names are all rename-retired or
+            // dropped); the SQL surface speaks logical names, so the
+            // full evolution fold applies exactly as on the read path.
+            applyEvolutionSchema(StructType.fromDDL(stamp), resolved)
+          case None =>
+            val paths =
+              if (resolved.files.nonEmpty || options.containsKey("changesOf"))
+                resolved.files.map(_.path)
+              else {
+                // fully-deleted UNSTAMPED snapshot: anchor the schema on
+                // the newest version that still lists files — deletes
+                // don't change schema
+                val root = options.get("path")
+                ManifestUpsertSink.schemaAnchor(root,
+                  snapshotAllowEmpty(root, resolveVersionOpt(root, options)))
+              }
+            if (paths.isEmpty)
+              Option(options.get("schemaDDL")).map(StructType.fromDDL).getOrElse(new StructType())
+            else
+              // pre-stamp vintages: the union FOOTER schema, then the
+              // same evolution fold
+              applyEvolutionSchema(parquetTable(options, paths, None).schema,
+                resolved)
+        }
       }
     // the key column is non-nullable BY CONTRACT — it is the merge/bucket
     // key every verb routes on, and the row identity the SQL row-level
@@ -342,7 +352,8 @@ object ManifestSource {
       partCol: Option[String] = None,
       renames: Seq[(String, String)] = Nil,
       addedCols: Seq[(String, String)] = Nil,
-      droppedCols: Seq[String] = Nil)
+      droppedCols: Seq[String] = Nil,
+      physSchema: Option[String] = None)
 
   /** The ONE write path both the batch V1Write and the streaming sink
     * share: MERGE `data` through [[ManifestUpsertSink.upsertBatch]].
@@ -806,11 +817,16 @@ object ManifestSource {
     * first, then logically-DROPPED columns filtered away (their bytes
     * stay physical until a rewrite), then metadata-only ADDED columns
     * appended as nullable typed fields where no file carries them yet. */
-  private[graft] def applyEvolutionSchema(st: StructType, r: Resolved): StructType = {
-    val renamed = applyRenamesSchema(st, r.renames)
-    val droppedSet = r.droppedCols.toSet
+  private[graft] def applyEvolutionSchema(st: StructType, r: Resolved): StructType =
+    applyEvolutionSchema(st, r.renames, r.addedCols, r.droppedCols)
+
+  private[graft] def applyEvolutionSchema(st: StructType,
+      renames: Seq[(String, String)], addedCols: Seq[(String, String)],
+      droppedCols: Seq[String]): StructType = {
+    val renamed = applyRenamesSchema(st, renames)
+    val droppedSet = droppedCols.toSet
     val dropped = StructType(renamed.fields.filterNot(f => droppedSet(f.name)))
-    r.addedCols.foldLeft(dropped) { case (s, (n, ddl)) =>
+    addedCols.foldLeft(dropped) { case (s, (n, ddl)) =>
       if (s.fieldNames.contains(n)) s
       else StructType(s.fields :+ org.apache.spark.sql.types.StructField(
         n, org.apache.spark.sql.types.DataType.fromDDL(ddl), nullable = true))

@@ -347,14 +347,23 @@ object ManifestStreamSource {
       val spark = sqlContext.sparkSession
       // newest version that still lists files: the schema anchor even
       // when the CURRENT snapshot is fully deleted
-      val dataFiles = ManifestUpsertSink.schemaAnchor(root, latest)
-      if (dataFiles.isEmpty)
-        throw new IllegalStateException(
-          s"table at $root has no version with data files — nothing to pin a schema to")
-      val table = ManifestUpsertSink.applyEvolution(
-        spark.read.option("mergeSchema", "true").parquet(dataFiles: _*)
-          .drop("__bucket"),
-        latest).schema
+      val table = latest.physSchema match {
+        case Some(stamp) =>
+          // the committed schema stamp pins the stream's schema with
+          // ZERO file I/O (and no anchor juggling on a drained table)
+          ManifestSource.applyEvolutionSchema(
+            org.apache.spark.sql.types.StructType.fromDDL(stamp),
+            latest.renames, latest.addedCols, latest.droppedCols)
+        case None =>
+          val dataFiles = ManifestUpsertSink.schemaAnchor(root, latest)
+          if (dataFiles.isEmpty)
+            throw new IllegalStateException(
+              s"table at $root has no version with data files — nothing to pin a schema to")
+          ManifestUpsertSink.applyEvolution(
+            spark.read.option("mergeSchema", "true").parquet(dataFiles: _*)
+              .drop("__bucket"),
+            latest).schema
+      }
       if (!changesMode) table
       else {
         val keyCol = latest.keyCol.getOrElse(throw new IllegalStateException(

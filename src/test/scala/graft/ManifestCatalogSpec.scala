@@ -185,6 +185,31 @@ class ManifestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER COLUMN TYPE: metadata-only widening; old vintages read promoted") {
+    import spark.implicits._
+    withCatalog { (cat, root) =>
+      spark.sql(s"""CREATE TABLE $cat.w (id BIGINT, n INT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4')""")
+      spark.sql(s"INSERT INTO $cat.w VALUES (1, 10, 1), (2, 20, 1)")
+      val filesBefore =
+        ManifestUpsertSink.snapshotManifest(s"$root/w", None).files.map(_.path).toSet
+      spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN n TYPE BIGINT")
+      assert(ManifestUpsertSink.snapshotManifest(s"$root/w", None)
+        .files.map(_.path).toSet == filesBefore, "widening must rewrite nothing")
+      assert(spark.table(s"$cat.w").schema("n").dataType
+        == org.apache.spark.sql.types.LongType)
+      // an INSERT beyond Int.MaxValue proves the widened write path, and
+      // the old int32 files read promoted next to it
+      val big = Int.MaxValue.toLong + 5L
+      spark.sql(s"INSERT INTO $cat.w VALUES (3, $big, 2)")
+      assert(spark.sql(s"SELECT id, n FROM $cat.w ORDER BY id")
+        .as[(Long, Long)].collect().toSeq == Seq((1L, 10L), (2L, 20L), (3L, big)))
+      // lossy changes refuse
+      intercept[Exception] { spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN n TYPE INT") }
+      intercept[Exception] { spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN id TYPE DOUBLE") }
+    }
+  }
+
   test("CREATE TABLE AS SELECT: one statement creates the lake table and merges the seed") {
     import spark.implicits._
     withCatalog { (cat, root) =>

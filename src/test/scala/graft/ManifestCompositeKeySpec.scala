@@ -151,4 +151,22 @@ class ManifestCompositeKeySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { new ManifestUpsertSink(root, "a,a", 2) }
     intercept[IllegalArgumentException] { new ManifestUpsertSink(root, ",", 2) }
   }
+
+  test("deep clone of a composite-key table buckets by the full tuple") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ck_clone_").toString
+    val clRoot = java.nio.file.Files.createTempDirectory("graft_ck_clone_tgt_").toString
+    java.nio.file.Files.delete(java.nio.file.Paths.get(clRoot))
+    val sink = new ManifestUpsertSink(root, "tenant,entity", buckets = 4)
+    sink.upsertBatch((1L to 20L).map(i => (i % 3, i, s"v$i", 0L))
+      .toDF("tenant", "entity", "p", "seq"), "seq", 0L)
+    val clone = sink.cloneTo(spark, clRoot, deep = true)
+    assert(clone.read(spark).count() == 20)
+    // the clone's bucketing is the write-path tuple hash: a post-clone
+    // merge must land in the same buckets (a mis-bucketed clone would
+    // duplicate keys on its next merge)
+    clone.upsertBatch(Seq((1L, 1L, "upd", 1L)).toDF("tenant", "entity", "p", "seq"), "seq", 1L)
+    assert(clone.read(spark).count() == 20, "tuple-keyed merge must replace, not append")
+    assert(clone.read(spark).filter(col("p") === "upd").count() == 1)
+  }
 }

@@ -357,4 +357,102 @@ class ManifestEvolutionSpec extends AnyFunSuite {
     assert(sink.read(spark).schema("junk").dataType
       == org.apache.spark.sql.types.IntegerType)
   }
+
+  test("commit-time schema stamp: every commit carries it; unstamped vintages fall back") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_stamp_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    val m0 = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m0.physSchema.isDefined, "a fresh table's first commit stamps its schema")
+    val st0 = org.apache.spark.sql.types.StructType.fromDDL(m0.physSchema.get)
+    assert(st0.fieldNames.toSet == Set("id", "p", "seq"),
+      "the stamp excludes the __bucket/__pdate layout columns")
+
+    // merges union the stamp; additive merge-time evolution extends it
+    sink.upsertBatch(Seq((2L, "b", 1.5, 2L)).toDF("id", "p", "extra", "seq"), "seq", 1L)
+    val m1 = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(org.apache.spark.sql.types.StructType.fromDDL(m1.physSchema.get)
+      .fieldNames.toSet == Set("id", "p", "extra", "seq"))
+    assert(sink.read(spark).where(col("id") === 1L).select("extra")
+      .as[Option[Double]].head().isEmpty, "stamped read null-fills the old vintage")
+
+    // a LEGACY manifest (pre-stamp vintage): strip the header — reads,
+    // merges, and SQL must fall back to the footer walk, and the next
+    // FULL rewrite re-stamps exactly
+    val mPath = java.nio.file.Paths.get(root, "_manifest", s"v${m1.version}.manifest")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("schema=")).mkString("\n")
+    java.nio.file.Files.write(mPath, stripped.getBytes("UTF-8"))
+    assert(ManifestUpsertSink.snapshotManifest(root, None).physSchema.isEmpty)
+    assert(sink.read(spark).count() == 2, "unstamped snapshot reads via mergeSchema")
+    assert(spark.read.format("graft-manifest").load(root).count() == 2,
+      "unstamped snapshot SQL-reads via footer inference")
+    // a merge on an unstamped base must NOT guess a stamp (carried files
+    // unknown) ...
+    sink.upsertBatch(Seq((3L, "c", 2.5, 3L)).toDF("id", "p", "extra", "seq"), "seq", 2L)
+    assert(ManifestUpsertSink.snapshotManifest(root, None).physSchema.isEmpty,
+      "a merge over an unstamped base stays unstamped — never guess carried schemas")
+    // ... and the full rewrite re-stamps exactly
+    sink.compact(spark)
+    val mC = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(mC.physSchema.isDefined, "a full rewrite re-stamps")
+    assert(sink.read(spark).count() == 3)
+  }
+
+  test("type widening is metadata-only: stamped reads promote old vintages per file") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_widen_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, 10, 1.5f, 1L), (2L, 20, 2.5f, 1L))
+      .toDF("id", "n", "f", "seq"), "seq", 0L)
+    val filesBefore = ManifestUpsertSink.snapshotManifest(root, None).files.map(_.path).toSet
+
+    // refusals: key column, non-lossless, unknown, dropped
+    intercept[IllegalArgumentException] { sink.widenColumn(spark, "id", "double") }
+    intercept[IllegalArgumentException] { sink.widenColumn(spark, "n", "string") }
+    intercept[IllegalArgumentException] { sink.widenColumn(spark, "id2", "bigint") }
+
+    sink.widenColumn(spark, "n", "bigint")
+    sink.widenColumn(spark, "f", "double")
+    val m1 = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m1.files.map(_.path).toSet == filesBefore,
+      "widening must not rewrite a single data file")
+    // old int32/float vintages read PROMOTED through the stamped schema
+    val r = sink.read(spark)
+    assert(r.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(r.schema("f").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(r.select("id", "n").as[(Long, Long)].collect().toMap
+      == Map(1L -> 10L, 2L -> 20L))
+    // SQL scan promotes identically (vectorized path, explicit schema)
+    val sqlDf = spark.read.format("graft-manifest").load(root)
+    assert(sqlDf.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(sqlDf.select("id", "f").as[(Long, Double)].collect().toMap
+      == Map(1L -> 1.5, 2L -> 2.5))
+    // time travel: v0 reads its OWN committed stamp (still int/float)
+    val v0 = ManifestUpsertSink.readVersion(spark, root, 0L)
+    assert(v0.schema("n").dataType == org.apache.spark.sql.types.IntegerType)
+
+    // post-widen merge with a value beyond Int.MaxValue: genuinely
+    // mixed narrow/wide vintages in one snapshot
+    val big = Int.MaxValue.toLong + 7L
+    sink.upsertBatch(Seq((3L, big, 9.0, 2L)).toDF("id", "n", "f", "seq"), "seq", 1L)
+    assert(sink.read(spark).select("id", "n").as[(Long, Long)].collect().toMap
+      == Map(1L -> 10L, 2L -> 20L, 3L -> big))
+    assert(spark.read.format("graft-manifest").load(root)
+      .where(col("n") > Int.MaxValue.toLong).select("id").as[Long].collect().toSeq
+      == Seq(3L), "filters on the widened column evaluate over promoted vintages")
+
+    // compaction materializes: every file wide, values preserved
+    sink.compact(spark)
+    assert(sink.read(spark).select("id", "n").as[(Long, Long)].collect().toMap
+      == Map(1L -> 10L, 2L -> 20L, 3L -> big))
+
+    // widening a RENAMED column widens its retired physical sources too
+    sink.renameColumn(spark, "f", "g")
+    val sink2 = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink2.widenColumn(spark, "g", "double") // idempotent-safe: already double
+    assert(sink2.read(spark).select("id", "g").as[(Long, Double)].collect()
+      .toMap.view.mapValues(v => v).toMap.size == 3)
+  }
 }

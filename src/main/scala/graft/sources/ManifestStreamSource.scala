@@ -105,6 +105,14 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
   // re-pins and picks the new column up.
   private val pinnedEvo: (Seq[(String, String)], Seq[String]) =
     pinnedManifest.map(m => (m.renames, m.droppedCols)).getOrElse((Nil, Nil))
+  // shared-name column types as of the pin (off the schema stamp) — a
+  // later WIDENING of a pinned column is breaking (the pinned cast would
+  // silently overflow), while stamp growth is additive and passes
+  private val pinnedTypes: Map[String, String] =
+    pinnedManifest.flatMap(_.physSchema).map(ddl =>
+      org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fields.map(f => f.name -> f.dataType.simpleString).toMap)
+      .getOrElse(Map.empty)
   private val pinnedKeyCol: Option[String] = pinnedManifest.flatMap(_.keyCol)
 
   /** Trigger.AvailableNow's latch: versions committed AFTER prepare are
@@ -218,8 +226,20 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
     val beforeWindow = ManifestUpsertSink.manifestAt(root, from - 1)
     // breaking evolution only — ADD COLUMN passes (see pinnedEvo)
     def evoOf(m: ManifestUpsertSink.Manifest) = (m.renames, m.droppedCols)
+    // per-column types off the schema stamp: a mid-window TYPE WIDENING
+    // is breaking too — the pinned projection would cast wide values
+    // back to the narrow pinned type, silently overflowing — but stamp
+    // GROWTH (new columns from merges/adds) is additive and must pass,
+    // so the check is shared-name type drift, never stamp equality
+    def typesOf(m: ManifestUpsertSink.Manifest): Map[String, String] =
+      m.physSchema.map(ddl => org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fields.map(f => f.name -> f.dataType.simpleString).toMap)
+        .getOrElse(Map.empty)
+    def typeDrift(prev: Map[String, String], curT: Map[String, String]): Boolean =
+      prev.exists { case (n, t) => curT.get(n).exists(_ != t) }
     var prevEvo: Option[(Seq[(String, String)], Seq[String])] =
       beforeWindow.map(evoOf)
+    var prevTypes: Option[Map[String, String]] = beforeWindow.map(typesOf)
     var prevFiles: Option[Seq[String]] = beforeWindow.map(_.files.map(_.path))
     val dirOfVersion: Seq[(String, Long)] = (from to to).flatMap { v =>
       ManifestUpsertSink.manifestAt(root, v) match {
@@ -240,15 +260,18 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
           // but rewrites every file and no logical name — it passes; a
           // restart whose window starts AT the rename passes (no
           // pre-rename feeds left to mis-parse).
-          val isRenameDdl = prevEvo.exists(_ != evoOf(m)) &&
+          val isRenameDdl =
+            (prevEvo.exists(_ != evoOf(m)) ||
+              prevTypes.exists(typeDrift(_, typesOf(m)))) &&
             prevFiles.exists(_ == m.files.map(_.path))
           // predecessor vacuumed → can't classify: refuse conservatively
           // when the evolution state drifted from the pin after the pin
           val unclassifiable =
-            prevEvo.isEmpty && v > pinnedAt && evoOf(m) != pinnedEvo
+            prevEvo.isEmpty && v > pinnedAt &&
+              (evoOf(m) != pinnedEvo || typeDrift(pinnedTypes, typesOf(m)))
           if ((isRenameDdl && (v > pinnedAt || from < v)) || unclassifiable)
             throw new IllegalStateException(
-              s"table at $root changed schema (rename/drop) at v$v " +
+              s"table at $root changed schema (rename/drop/widen) at v$v " +
                 s"inside this stream's window [$from, $to] — restart the stream " +
                 "(or start at startingVersion >= the DDL) so the pinned " +
                 "schema matches the images")
@@ -261,6 +284,7 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
                 s"table at $root re-keyed $pk -> $mk at v$v mid-stream — " +
                   "restart the stream to re-pin the schema")
           prevEvo = Some(evoOf(m))
+          prevTypes = Some(typesOf(m))
           prevFiles = Some(m.files.map(_.path))
           if (m.feed.isEmpty) Nil // compaction/DDL: no row changed
           else {

@@ -526,4 +526,37 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
         "the re-pinned schema reads the physically-carried added column")
     } finally q2.stop()
   }
+
+  test("mid-stream type widening fail-stops: the pinned cast would silently overflow") {
+    import spark.implicits._
+    val root = tmp("graft_stream_widen_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, 10, 1L)).toDF("id", "n", "seq"), "seq", 0L)
+    val got = mutable.Buffer[Seq[Any]]()
+    val q = drainTo(spark.readStream.format("graft-manifest").load(root)
+      .select("id", "n"), tmp("graft_stream_widen_ckpt_"), got)
+    try {
+      q.processAllAvailable()
+      sink.widenColumn(spark, "n", "bigint")
+      sink.upsertBatch(Seq((2L, Int.MaxValue.toLong + 9L, 2L))
+        .toDF("id", "n", "seq"), "seq", 1L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("widen"), s"must refuse the mid-stream widening: $msg")
+    } finally q.stop()
+
+    // a fresh stream re-pins wide and reads both vintages
+    val got2 = mutable.Buffer[Seq[Any]]()
+    val q2 = drainTo(spark.readStream.format("graft-manifest").load(root)
+      .select("id", "n"), tmp("graft_stream_widen_ckpt2_"), got2)
+    try {
+      q2.processAllAvailable()
+      assert(got2.synchronized(got2.toSet) ==
+        Set(Seq(1L, 10L), Seq(2L, Int.MaxValue.toLong + 9L)),
+        "the re-pinned wide schema promotes the old vintage and reads the new")
+    } finally q2.stop()
+  }
 }

@@ -455,4 +455,24 @@ class ManifestEvolutionSpec extends AnyFunSuite {
     assert(sink2.read(spark).select("id", "g").as[(Long, Double)].collect()
       .toMap.view.mapValues(v => v).toMap.size == 3)
   }
+
+  test("widening a LIVE-renamed column serves through both the Scala fold and the SQL folding scan") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_wr_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, 10, 1L), (2L, 20, 1L)).toDF("id", "n", "seq"), "seq", 0L)
+    sink.renameColumn(spark, "n", "m") // mapping stays LIVE (no compact)
+    sink.widenColumn(spark, "m", "bigint") // widens m AND retired source n
+    // post-DDL merge: the new vintage carries m physically as int64
+    sink.upsertBatch(Seq((3L, Int.MaxValue.toLong + 3L, 2L))
+      .toDF("id", "m", "seq"), "seq", 1L)
+    val want = Map(1L -> 10L, 2L -> 20L, 3L -> (Int.MaxValue.toLong + 3L))
+    assert(sink.read(spark).select("id", "m").as[(Long, Long)].collect().toMap == want)
+    // SQL path: renames live -> the row-based folding scan, whose
+    // delegate must ALSO promote the old int32 vintage (regression pin:
+    // the widening contract holds on both reader paths)
+    val sql = spark.read.format("graft-manifest").load(root)
+    assert(sql.schema("m").dataType == org.apache.spark.sql.types.LongType)
+    assert(sql.select("id", "m").as[(Long, Long)].collect().toMap == want)
+  }
 }

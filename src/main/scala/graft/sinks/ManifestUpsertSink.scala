@@ -1697,9 +1697,10 @@ object ManifestUpsertSink {
     import spark.implicits._
     committedVersions(root).flatMap(v => manifestAt(root, v)).map { m =>
       (m.version, m.ts, m.batchId, m.keyCol, m.buckets, m.files.size.toLong,
-        m.touched.map(_.toSeq.sorted), m.feed.isDefined, m.renames.nonEmpty)
+        m.touched.map(_.toSeq.sorted), m.feed.isDefined, m.renames.nonEmpty,
+        m.hasEvolution)
     }.toDF("version", "ts", "batch_id", "key_col", "buckets", "n_files",
-      "touched_buckets", "has_change_feed", "has_renames")
+      "touched_buckets", "has_change_feed", "has_renames", "has_evolution")
   }
 
   /** The row-level change feed version `version`'s merge recorded:

@@ -53,7 +53,8 @@ private[graft] object ManifestProcedures {
           m.keyCol.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
           m.buckets.map(b => Long.box(b.toLong)).orNull,
           m.partCol.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
-          m.files.size.toLong, m.feed.isDefined, m.renames.nonEmpty)): InternalRow
+          m.files.size.toLong, m.feed.isDefined, m.renames.nonEmpty,
+          m.hasEvolution)): InternalRow
       }.toArray
 
   private val HistorySchema = StructType(Seq(
@@ -65,7 +66,8 @@ private[graft] object ManifestProcedures {
     StructField("partition_col", StringType),
     StructField("n_files", LongType, nullable = false),
     StructField("has_change_feed", BooleanType, nullable = false),
-    StructField("has_renames", BooleanType, nullable = false)))
+    StructField("has_renames", BooleanType, nullable = false),
+    StructField("has_evolution", BooleanType, nullable = false)))
 
   private final case class Spec(name: String, params: Seq[ProcedureParameter],
       run: (SparkSession, String, InternalRow) => Unit)

@@ -475,4 +475,30 @@ class ManifestEvolutionSpec extends AnyFunSuite {
     assert(sql.schema("m").dataType == org.apache.spark.sql.types.LongType)
     assert(sql.select("id", "m").as[(Long, Long)].collect().toMap == want)
   }
+
+  test("stamped planning reads ZERO footers: schema resolves with every data file unreadable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_zf_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "p", "seq"), "seq", 0L)
+    // clobber EVERY data file with garbage: any footer read now throws,
+    // so a resolved schema PROVES planning never opened one — the
+    // O(files) planning cost the stamp exists to eliminate at 100 TB
+    val m = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m.physSchema.isDefined)
+    for (f <- m.files)
+      java.nio.file.Files.write(java.nio.file.Paths.get(f.path),
+        "not a parquet file".getBytes("UTF-8"))
+    assert(spark.read.format("graft-manifest").load(root).schema
+      .fieldNames.toSet == Set("id", "p", "seq"),
+      "SQL schema must come off the manifest stamp, zero footer I/O")
+    assert(ManifestUpsertSink.read(spark, root).schema
+      .fieldNames.toSet == Set("id", "p", "seq"),
+      "Scala read planning must come off the stamp too")
+    // the files really are unreadable — executing the scan fails, which
+    // is what certifies the schema above never touched them
+    intercept[Exception] {
+      spark.read.format("graft-manifest").load(root).collect()
+    }
+  }
 }

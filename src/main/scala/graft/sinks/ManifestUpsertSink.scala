@@ -1614,10 +1614,18 @@ object ManifestUpsertSink {
       .filterNot(f => f.name == BucketCol || f.name == PdateCol)
       .map(_.copy(nullable = true)))
 
+  /** A DDL safe to embed in the manifest codec: the tab is the
+    * header/file-line discriminator and newlines end lines, so a column
+    * name carrying either cannot be stamped — DECLINE the stamp (reads
+    * fall back to the footer walk, the pre-stamp behavior) rather than
+    * failing a merge that used to succeed. */
+  private def codecSafe(ddl: String): Option[String] =
+    if (ddl.exists(c => c == '\t' || c == '\n' || c == '\r')) None else Some(ddl)
+
   /** The stamp of a commit whose files are all freshly written (a full
     * rewrite, a fresh table): exactly the written schema. */
   private[graft] def exactPhysSchema(written: StructType): Option[String] =
-    Some(stampForm(written).toDDL)
+    codecSafe(stampForm(written).toDDL)
 
   /** The next commit's PHYSICAL-union schema stamp: previous stamp ∪ the
     * newly-written files' schema, matched by name. The stamp is allowed
@@ -1636,14 +1644,14 @@ object ManifestUpsertSink {
       written: StructType): Option[String] = {
     val w = stampForm(written)
     base match {
-      case None => Some(w.toDDL)
+      case None => codecSafe(w.toDDL)
       case Some(m) => m.physSchema.flatMap { prevDdl =>
         val prev = StructType.fromDDL(prevDdl)
         val prevNames = prev.fieldNames.toSet
         val conflict = w.fields.exists(f =>
           prev.fields.exists(p => p.name == f.name && p.dataType != f.dataType))
         if (conflict) None
-        else Some(StructType(
+        else codecSafe(StructType(
           prev.fields ++ w.fields.filterNot(f => prevNames(f.name))).toDDL)
       }
     }

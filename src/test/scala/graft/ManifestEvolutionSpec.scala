@@ -501,4 +501,18 @@ class ManifestEvolutionSpec extends AnyFunSuite {
       spark.read.format("graft-manifest").load(root).collect()
     }
   }
+
+  test("a column name carrying a codec separator declines the stamp, never corrupts the manifest") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_tab_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    // a tab in a column name would collide with the manifest codec's
+    // header/file discriminator — the commit must DECLINE the stamp
+    // (footer-walk fallback, the pre-stamp behavior), not corrupt the log
+    sink.upsertBatch(Seq((1L, "x", 1L)).toDF("id", "a\tb", "seq"), "seq", 0L)
+    val m = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m.physSchema.isEmpty, "separator-bearing names must decline the stamp")
+    assert(sink.read(spark).count() == 1, "the table still reads via the fallback")
+    assert(sink.read(spark).columns.contains("a\tb"))
+  }
 }

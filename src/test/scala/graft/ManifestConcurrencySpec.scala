@@ -76,6 +76,34 @@ class ManifestConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("rebase unions the winner's schema stamp: both writers' new columns survive the race") {
+    import spark.implicits._
+    val (k1, k2) = disjointKeys()
+    val root = java.nio.file.Files.createTempDirectory("graft_occ_stamp_").toString
+    val seed = new ManifestUpsertSink(root, "id", buckets = 4)
+    seed.upsertBatch((1L to 20L).map(i => (i, s"v0-$i", 0L)).toDF("id", "p", "seq"), "seq", 0L)
+    // A's batch carries extra column `ax`, B's carries `bx` — the loser's
+    // stamp must re-union against the WINNER's files (which hold ax), or
+    // stamped reads would silently null the winner's column
+    val writerA = new ManifestUpsertSink(root, "id", buckets = 4)
+    val writerB = new RacedSink(root, 4)({
+      writerA.upsertBatch(Seq((k1, "A", 1.5, 1L)).toDF("id", "p", "ax", "seq"), "seq", 1L)
+    })
+    writerB.upsertBatch(Seq((k2, "B", 7L, 1L)).toDF("id", "p", "bx", "seq"), "seq", 2L)
+    val m = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m.physSchema.isDefined, "the rebased commit keeps a stamp")
+    val names = org.apache.spark.sql.types.StructType.fromDDL(m.physSchema.get)
+      .fieldNames.toSet
+    assert(names == Set("id", "p", "ax", "bx", "seq"),
+      s"the rebased stamp must union BOTH writers' columns, got $names")
+    val got = seed.read(spark)
+    assert(got.where(col("id") === k1).select("ax").as[Double].head() == 1.5,
+      "the winner's column reads through the loser's stamped commit")
+    assert(got.where(col("id") === k2).select("bx").as[Long].head() == 7L)
+    assert(got.where(col("id") === k1).select("bx").as[Option[Long]].head().isEmpty,
+      "null-fill where a vintage lacks the other writer's column")
+  }
+
   test("merge vs merge on the SAME bucket: true conflict aborts loudly, winner's commit intact") {
     import spark.implicits._
     val k1 = 1L

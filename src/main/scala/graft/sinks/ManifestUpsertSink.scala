@@ -956,30 +956,38 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         "compact() once to stamp it, then widen"))
     val stamp = StructType.fromDDL(stampDdl)
     val to = DataType.fromDDL(toDdl)
+    // resolve the name LOGICALLY, like every other evolution verb — a
+    // rename-retired physical name must refuse, not silently widen an
+    // old vintage out from under the live column (which could even be
+    // the old spelling of the KEY, corrupting bucket routing)
+    val logical: Set[String] = {
+      var names = stamp.fieldNames.toSet
+      for ((p, l) <- cur.renames)
+        if (names(p) && names(l)) names -= p
+        else if (names(p)) names = names - p + l
+      names = names -- cur.droppedCols
+      names ++ cur.addedCols.map(_._1)
+    }
+    val retired = cur.renames.map(_._1).toSet ++
+      stamp.fieldNames.toSet.diff(logical) ++ cur.droppedCols
+    require(logical(name),
+      s"cannot widen: column $name does not exist (have ${logical.toSeq.sorted.mkString(", ")})")
+    require(!retired(name),
+      s"cannot widen $name: the name is retired by a rename or DROP COLUMN — compact() first")
     // the column's physical spellings: itself plus every rename-retired
     // source (reverse pre-image chase handles chained renames a→b→c)
     var spellings = Set(name)
     for ((p, l) <- cur.renames.reverse if spellings(l)) spellings += p
     val inStamp = stamp.fields.filter(f => spellings(f.name))
     val inAdded = cur.addedCols.filter(_._1 == name)
-    require(inStamp.nonEmpty || inAdded.nonEmpty,
-      s"cannot widen: column $name does not exist")
-    require(!cur.droppedCols.contains(name),
-      s"cannot widen $name: the column is dropped")
-    val widenable: Set[(DataType, DataType)] = Set(
-      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
-      (ShortType, IntegerType), (ShortType, LongType),
-      (IntegerType, LongType),
-      (FloatType, DoubleType),
-      (ByteType, DoubleType), (ShortType, DoubleType), (IntegerType, DoubleType))
     for (f <- inStamp)
-      require(f.dataType == to || widenable((f.dataType, to)),
+      require(f.dataType == to || LosslessWidenings((f.dataType, to)),
         s"cannot widen $name: ${f.dataType.simpleString} -> ${to.simpleString} is not a " +
           "lossless reader-promotable widening (allowed: byte/short/int -> wider " +
           "integral or double, float -> double)")
     for ((_, t) <- inAdded) {
       val from = DataType.fromDDL(t)
-      require(from == to || widenable((from, to)),
+      require(from == to || LosslessWidenings((from, to)),
         s"cannot widen $name: ${from.simpleString} -> ${to.simpleString} is not a " +
           "lossless widening")
     }
@@ -1614,6 +1622,21 @@ object ManifestUpsertSink {
       .filterNot(f => f.name == BucketCol || f.name == PdateCol)
       .map(_.copy(nullable = true)))
 
+  /** The lossless, reader-promotable widenings ([[ManifestUpsertSink.widenColumn]]
+    * allows exactly these; Spark 4's parquet readers promote them per
+    * file). Shared with the stamp union so a mixed narrow/wide race or
+    * merge resolves to the WIDE type instead of dropping the stamp. */
+  private[graft] val LosslessWidenings: Set[(org.apache.spark.sql.types.DataType,
+      org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Set(
+      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+      (ShortType, IntegerType), (ShortType, LongType),
+      (IntegerType, LongType),
+      (FloatType, DoubleType),
+      (ByteType, DoubleType), (ShortType, DoubleType), (IntegerType, DoubleType))
+  }
+
   /** A DDL safe to embed in the manifest codec: the tab is the
     * header/file-line discriminator and newlines end lines, so a column
     * name carrying either cannot be stamped — DECLINE the stamp (reads
@@ -1638,8 +1661,14 @@ object ManifestUpsertSink {
     *  - base predates stamping (no stamp): stays UNSTAMPED — the carried
     *    files' schema is unknown, and a wrong stamp would silently null
     *    columns; the next FULL rewrite stamps exactly;
-    *  - same-name fields with DIFFERENT types: drop the stamp (read
-    *    falls back to the mergeSchema footer walk — never guess). */
+    *  - same-name fields whose types differ by a LOSSLESS WIDENING
+    *    resolve to the WIDE type (a post-widen merge whose batch still
+    *    carries the narrow spelling — e.g. one that touched only empty
+    *    buckets, so no wide `current` frame coerced it — must not
+    *    un-widen the table or drop its stamp; the narrow new file reads
+    *    promoted like any old vintage);
+    *  - any OTHER type conflict drops the stamp (read falls back to the
+    *    mergeSchema footer walk — never guess). */
   private[graft] def unionPhysSchema(base: Option[Manifest],
       written: StructType): Option[String] = {
     val w = stampForm(written)
@@ -1647,12 +1676,23 @@ object ManifestUpsertSink {
       case None => codecSafe(w.toDDL)
       case Some(m) => m.physSchema.flatMap { prevDdl =>
         val prev = StructType.fromDDL(prevDdl)
-        val prevNames = prev.fieldNames.toSet
-        val conflict = w.fields.exists(f =>
-          prev.fields.exists(p => p.name == f.name && p.dataType != f.dataType))
-        if (conflict) None
-        else codecSafe(StructType(
-          prev.fields ++ w.fields.filterNot(f => prevNames(f.name))).toDDL)
+        val wByName = w.fields.map(f => f.name -> f).toMap
+        val unresolvable = prev.fields.exists { p =>
+          wByName.get(p.name).exists(f => f.dataType != p.dataType &&
+            !LosslessWidenings((f.dataType, p.dataType)) &&
+            !LosslessWidenings((p.dataType, f.dataType)))
+        }
+        if (unresolvable) None
+        else {
+          val prevNames = prev.fieldNames.toSet
+          val merged = prev.fields.map { p =>
+            wByName.get(p.name) match {
+              case Some(f) if LosslessWidenings((p.dataType, f.dataType)) => f.copy(nullable = true)
+              case _ => p // equal, or p is already the wider of the two
+            }
+          } ++ w.fields.filterNot(f => prevNames(f.name))
+          codecSafe(StructType(merged).toDDL)
+        }
       }
     }
   }

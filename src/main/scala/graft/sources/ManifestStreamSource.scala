@@ -105,14 +105,13 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
   // re-pins and picks the new column up.
   private val pinnedEvo: (Seq[(String, String)], Seq[String]) =
     pinnedManifest.map(m => (m.renames, m.droppedCols)).getOrElse((Nil, Nil))
-  // shared-name column types as of the pin (off the schema stamp) — a
-  // later WIDENING of a pinned column is breaking (the pinned cast would
-  // silently overflow), while stamp growth is additive and passes
+  // shared-name column types as of the pin (schema stamp ∪ metadata-only
+  // added columns — an add has a type before any file carries it) — a
+  // later TYPE CHANGE of a pinned column is breaking (the pinned
+  // projection would silently overflow or coerce), while name-set
+  // growth is additive and passes
   private val pinnedTypes: Map[String, String] =
-    pinnedManifest.flatMap(_.physSchema).map(ddl =>
-      org.apache.spark.sql.types.StructType.fromDDL(ddl)
-        .fields.map(f => f.name -> f.dataType.simpleString).toMap)
-      .getOrElse(Map.empty)
+    pinnedManifest.map(ManifestStreamSource.allTypesOf).getOrElse(Map.empty)
   private val pinnedKeyCol: Option[String] = pinnedManifest.flatMap(_.keyCol)
 
   /** Trigger.AvailableNow's latch: versions committed AFTER prepare are
@@ -226,20 +225,17 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
     val beforeWindow = ManifestUpsertSink.manifestAt(root, from - 1)
     // breaking evolution only — ADD COLUMN passes (see pinnedEvo)
     def evoOf(m: ManifestUpsertSink.Manifest) = (m.renames, m.droppedCols)
-    // per-column types off the schema stamp: a mid-window TYPE WIDENING
-    // is breaking too — the pinned projection would cast wide values
-    // back to the narrow pinned type, silently overflowing — but stamp
-    // GROWTH (new columns from merges/adds) is additive and must pass,
-    // so the check is shared-name type drift, never stamp equality
-    def typesOf(m: ManifestUpsertSink.Manifest): Map[String, String] =
-      m.physSchema.map(ddl => org.apache.spark.sql.types.StructType.fromDDL(ddl)
-        .fields.map(f => f.name -> f.dataType.simpleString).toMap)
-        .getOrElse(Map.empty)
-    def typeDrift(prev: Map[String, String], curT: Map[String, String]): Boolean =
-      prev.exists { case (n, t) => curT.get(n).exists(_ != t) }
+    // a post-pin TYPE CHANGE of any column the pin names is breaking —
+    // the pinned projection would coerce wide/retyped values silently
+    // (a widening overflows, a drop+re-add at a new type mis-parses) —
+    // so every post-pin version's types are checked against the PIN
+    // directly (name-set growth is additive and passes; the check never
+    // compares whole stamps). Pre-pin backlog types are safe: the pin is
+    // the newest schema, and a narrower old vintage parses INTO it.
+    def typeDrift(curT: Map[String, String]): Boolean =
+      pinnedTypes.exists { case (n, t) => curT.get(n).exists(_ != t) }
     var prevEvo: Option[(Seq[(String, String)], Seq[String])] =
       beforeWindow.map(evoOf)
-    var prevTypes: Option[Map[String, String]] = beforeWindow.map(typesOf)
     var prevFiles: Option[Seq[String]] = beforeWindow.map(_.files.map(_.path))
     val dirOfVersion: Seq[(String, Long)] = (from to to).flatMap { v =>
       ManifestUpsertSink.manifestAt(root, v) match {
@@ -260,15 +256,21 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
           // but rewrites every file and no logical name — it passes; a
           // restart whose window starts AT the rename passes (no
           // pre-rename feeds left to mis-parse).
-          val isRenameDdl =
-            (prevEvo.exists(_ != evoOf(m)) ||
-              prevTypes.exists(typeDrift(_, typesOf(m)))) &&
+          val isRenameDdl = prevEvo.exists(_ != evoOf(m)) &&
             prevFiles.exists(_ == m.files.map(_.path))
           // predecessor vacuumed → can't classify: refuse conservatively
           // when the evolution state drifted from the pin after the pin
           val unclassifiable =
-            prevEvo.isEmpty && v > pinnedAt &&
-              (evoOf(m) != pinnedEvo || typeDrift(pinnedTypes, typesOf(m)))
+            prevEvo.isEmpty && v > pinnedAt && evoOf(m) != pinnedEvo
+          // post-pin type drift needs no DDL classification: ANY version
+          // after the pin whose shared-name types left the pin's breaks
+          // the pinned projection, whether committed by a DDL, a
+          // post-widen merge, or a materializing compaction
+          if (v > pinnedAt && typeDrift(ManifestStreamSource.allTypesOf(m)))
+            throw new IllegalStateException(
+              s"table at $root changed a pinned column's type (widen or re-add) " +
+                s"at v$v inside this stream's window [$from, $to] — restart the " +
+                "stream so the pinned schema matches the data")
           if ((isRenameDdl && (v > pinnedAt || from < v)) || unclassifiable)
             throw new IllegalStateException(
               s"table at $root changed schema (rename/drop/widen) at v$v " +
@@ -284,7 +286,6 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
                 s"table at $root re-keyed $pk -> $mk at v$v mid-stream — " +
                   "restart the stream to re-pin the schema")
           prevEvo = Some(evoOf(m))
-          prevTypes = Some(typesOf(m))
           prevFiles = Some(m.files.map(_.path))
           if (m.feed.isEmpty) Nil // compaction/DDL: no row changed
           else {
@@ -341,6 +342,18 @@ object ManifestStreamSource {
     * and catch-up anchors are ≥ -1, so -2 is unreachable as a real
     * offset. */
   private val PreSnapshot = -2L
+
+  /** A version's per-column types: the schema stamp ∪ metadata-only
+    * added columns (an add has a declared type before any file carries
+    * it). One DDL parse per call — the mid-window type-drift guard
+    * calls this once per version walked. */
+  private[sources] def allTypesOf(m: ManifestUpsertSink.Manifest): Map[String, String] =
+    m.physSchema.map(ddl => org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fields.map(f => f.name -> f.dataType.simpleString).toMap)
+      .getOrElse(Map.empty) ++
+      m.addedCols.map { case (n, t) =>
+        n -> org.apache.spark.sql.types.DataType.fromDDL(t).simpleString
+      }
 
   /** Memo for [[resolveSchema]]: every stream start calls it twice
     * (sourceSchema, then createSource — Spark forwards only a

@@ -466,6 +466,11 @@ class ManifestEvolutionSpec extends AnyFunSuite {
     // post-DDL merge: the new vintage carries m physically as int64
     sink.upsertBatch(Seq((3L, Int.MaxValue.toLong + 3L, 2L))
       .toDF("id", "m", "seq"), "seq", 1L)
+    // the RETIRED spelling must refuse — widening an old vintage out
+    // from under the live column would make the fold's coalesce coerce
+    // types behind the declared schema (and could even re-type the old
+    // spelling of a renamed KEY, corrupting bucket routing)
+    intercept[IllegalArgumentException] { sink.widenColumn(spark, "n", "bigint") }
     val want = Map(1L -> 10L, 2L -> 20L, 3L -> (Int.MaxValue.toLong + 3L))
     assert(sink.read(spark).select("id", "m").as[(Long, Long)].collect().toMap == want)
     // SQL path: renames live -> the row-based folding scan, whose
@@ -500,6 +505,31 @@ class ManifestEvolutionSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.read.format("graft-manifest").load(root).collect()
     }
+  }
+
+  test("a narrow-typed merge into empty buckets after a widen keeps the wide stamp") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_wn_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    val k1 = 1L
+    sink.upsertBatch(Seq((k1, 10, 1L)).toDF("id", "n", "seq"), "seq", 0L)
+    sink.widenColumn(spark, "n", "bigint")
+    // a batch still spelling n as INT whose key lands in an EMPTY bucket:
+    // no `current` frame coerces it, so the file is written narrow — the
+    // stamp union must resolve to the WIDE type (the narrow new file
+    // reads promoted like any old vintage), never un-widen or drop
+    val b1 = graft.sinks.ManifestStats.bucketOf(k1, 4).get
+    val k2 = (2L to 50L).find(k =>
+      graft.sinks.ManifestStats.bucketOf(k, 4).get != b1).get
+    sink.upsertBatch(Seq((k2, 20, 2L)).toDF("id", "n", "seq"), "seq", 1L)
+    val m = ManifestUpsertSink.snapshotManifest(root, None)
+    assert(m.physSchema.isDefined, "the stamp must survive the narrow merge")
+    assert(org.apache.spark.sql.types.StructType.fromDDL(m.physSchema.get)("n").dataType
+      == org.apache.spark.sql.types.LongType,
+      "the union must keep the WIDE type — un-widening would revert the DDL")
+    assert(sink.read(spark).schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(sink.read(spark).select("id", "n").as[(Long, Long)].collect().toMap
+      == Map(k1 -> 10L, k2 -> 20L))
   }
 
   test("a column name carrying a codec separator declines the stamp, never corrupts the manifest") {

@@ -532,6 +532,32 @@ class ManifestEvolutionSpec extends AnyFunSuite {
       == Map(k1 -> 10L, k2 -> 20L))
   }
 
+  test("ADD/DROP serve through the plain VECTORIZED scan; only renames take the folding scan") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_vec_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 9L, 1L)).toDF("id", "p", "junk", "seq"), "seq", 0L)
+    sink.addColumn(spark, "score", "double")
+    sink.dropColumn(spark, "junk")
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan
+      }.get
+    // add/drop are pure schema moves the stock parquet scan expresses
+    // (null-fill absent, don't request dropped) — the performance path
+    // must stay whole-stage/columnar, no row-based fallback
+    val evolved = spark.read.format("graft-manifest").load(root).select("id", "score")
+    assert(scanOf(evolved).isInstanceOf[graft.sources.ManifestSource.ManifestScan],
+      "add/drop must plan the plain vectorized scan")
+    assert(evolved.as[(Long, Option[Double])].collect().toSeq == Seq((1L, None)))
+    // a live rename is the one shape that needs the per-row fold
+    sink.renameColumn(spark, "p", "payload")
+    val renamed = spark.read.format("graft-manifest").load(root).select("id", "payload")
+    assert(!scanOf(renamed).isInstanceOf[graft.sources.ManifestSource.ManifestScan],
+      "a live rename takes the folding scan until compaction materializes")
+    assert(renamed.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
   test("a column name carrying a codec separator declines the stamp, never corrupts the manifest") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_evo_tab_").toString

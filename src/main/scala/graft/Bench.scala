@@ -97,11 +97,15 @@ object Bench {
       if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_JOIN_ROWS"))
         streamJoinJson(spark)
       else "{}"
+    val writers =
+      if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_WRITERS"))
+        writersJson(spark)
+      else "{}"
     // one-time costs measured outside the per-query medians (q64's first
     // rep pays the bucket CTAS; reps 2+ reuse the tables, so the median
     // is the zero-Exchange join itself)
     val setup = f"""{"q64_bucket_ctas_sec":${graft.operators.Scale.bucketCtasSeconds}%.3f}"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rep_spread":$spreads%s,"errors":$errJson%s,"streaming":$streaming%s,"stream_join":$streamJoin%s,"setup":$setup%s,"sf":"$sfDir%s"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rep_spread":$spreads%s,"errors":$errJson%s,"streaming":$streaming%s,"stream_join":$streamJoin%s,"writers":$writers%s,"setup":$setup%s,"sf":"$sfDir%s"}"""
     println(line)
     // stdout insurance (r07: a clean run still archived as `parsed: null`
     // because the driver keeps only a short stdout tail and the timing map
@@ -115,6 +119,119 @@ object Bench {
       System.err.println(s"[bench] could not write target/bench.json: $e")
     }
     spark.stop()
+  }
+
+  /** CONCURRENT-WRITER bench, two phases against one lake table:
+    *
+    *  - DISJOINT: each of N writers owns 1/N of the BUCKETS (keys
+    *    filtered by the same pmod(xxhash64) the sink routes on), so
+    *    concurrent commits race only on the manifest rename and resolve
+    *    by REBASE — the parallel-ingest throughput path. Deterministic
+    *    end state: every key's last writer is its owner, final seq =
+    *    the owner's last commit.
+    *  - CONTENDED: every writer hammers one shared key range, so every
+    *    pair of in-flight commits is a TRUE conflict — losers abort,
+    *    recompute from the fresh snapshot, retry until committed. The
+    *    table serializes; the end state is one whole committed batch
+    *    (all shared keys carry a single seq).
+    *
+    * Reports commits/s, the internal rebase count (ManifestUpsertSink
+    * .rebaseRetries delta) and caller-level conflict retries, plus a
+    * zero-lost-updates invariant per phase (row count + seq checksum /
+    * single-batch-wins). The OCC protocol itself is spec-pinned by
+    * ManifestConcurrencySpec; this block is its measured throughput. */
+  private def writersJson(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.ManifestUpsertSink
+    val nWriters = sys.env.getOrElse("SPARK_GRAFT_BENCH_WRITERS", "4").toInt
+    if (nWriters <= 0) return "{}"
+    val buckets = 16
+    val commitsPer = 4
+    try {
+      // ---- phase 1: bucket-disjoint writers (rebase path)
+      val root1 = java.nio.file.Files.createTempDirectory("graft_bench_wrd_").toString
+      val keys = 20000L
+      val perW = buckets / nWriters
+      val rebase0 = ManifestUpsertSink.rebaseRetries.get()
+      val conflicts1 = new java.util.concurrent.atomic.AtomicLong(0)
+      val t1 = System.nanoTime()
+      val phase1 = (0 until nWriters).map { w =>
+        new Thread(() => {
+          val sink = new ManifestUpsertSink(root1, "id", buckets)
+          val mine = spark.range(keys).where(
+            pmod(xxhash64(col("id")), lit(buckets.toLong))
+              .between(w * perW, w * perW + perW - 1))
+          for (c <- 0 until commitsPer) {
+            val batch = mine.select(col("id"), lit(c.toLong).as("seq"),
+              concat(lit(s"w$w-c$c-"), col("id")).as("payload"))
+            var done = false
+            while (!done) {
+              try { sink.upsertBatch(batch, "seq", ManifestUpsertSink.AdHocBatch); done = true }
+              catch { case _: IllegalStateException => conflicts1.incrementAndGet(); () }
+            }
+          }
+        }, s"bench-wrd-$w")
+      }
+      phase1.foreach(_.start()); phase1.foreach(_.join())
+      val secs1 = (System.nanoTime() - t1) / 1e9
+      val rebases = ManifestUpsertSink.rebaseRetries.get() - rebase0
+      // deterministic end state: all keys present once, every key's final
+      // seq is its owner's LAST commit (owners are the only writers of
+      // their buckets) — any deviation is a lost update
+      val fin1 = ManifestUpsertSink.read(spark, root1)
+        .agg(count(lit(1)), sum(col("seq")), countDistinct(col("id"))).head()
+      val lost1 = fin1.getLong(0) != keys || fin1.getLong(2) != keys ||
+        fin1.getLong(1) != keys * (commitsPer - 1)
+
+      // ---- phase 2: fully-contended writers (abort/retry path).
+      // 2 commits per writer: total contention serializes commits and
+      // each abort recomputes a full merge, so the phase costs
+      // O(attempts x merge) wall-clock — 8 commits with ~2x retry
+      // amplification demonstrates the protocol without dominating the
+      // bench's wall budget
+      val contendedCommits = 2
+      val root2 = java.nio.file.Files.createTempDirectory("graft_bench_wrc_").toString
+      val sharedRows = 2000L
+      val conflicts2 = new java.util.concurrent.atomic.AtomicLong(0)
+      val committed2 = new java.util.concurrent.atomic.AtomicLong(0)
+      val t2 = System.nanoTime()
+      val phase2 = (0 until nWriters).map { w =>
+        new Thread(() => {
+          val sink = new ManifestUpsertSink(root2, "id", buckets)
+          for (c <- 0 until contendedCommits) {
+            val batch = spark.range(sharedRows).select(col("id"),
+              lit((c * 10 + w).toLong).as("seq"),
+              concat(lit(s"s$w-c$c-"), col("id")).as("payload"))
+            var done = false
+            while (!done) {
+              try {
+                sink.upsertBatch(batch, "seq", ManifestUpsertSink.AdHocBatch)
+                done = true; committed2.incrementAndGet(); ()
+              } catch {
+                case e: IllegalStateException
+                    if Option(e.getMessage).exists(m =>
+                      m.contains("true write conflict") || m.contains("rebase attempts")) =>
+                  conflicts2.incrementAndGet(); ()
+              }
+            }
+          }
+        }, s"bench-wrc-$w")
+      }
+      phase2.foreach(_.start()); phase2.foreach(_.join())
+      val secs2 = (System.nanoTime() - t2) / 1e9
+      // commits serialize under total contention: the final state must be
+      // exactly ONE whole committed batch — every shared key present once,
+      // all carrying a single seq (a torn mix of two batches = lost update)
+      val fin2 = ManifestUpsertSink.read(spark, root2)
+        .agg(count(lit(1)), countDistinct(col("seq"))).head()
+      val lost2 = fin2.getLong(0) != sharedRows || fin2.getLong(1) != 1L
+
+      val nCommits = nWriters.toLong * commitsPer
+      f"""{"writers":$nWriters,"disjoint":{"commits":$nCommits,"rebases":$rebases,"conflict_retries":${conflicts1.get()},"secs":$secs1%.3f,"commits_per_sec":${nCommits / secs1}%.3f,"lost_updates":${if (lost1) 1L else 0L}},"contended":{"commits":${committed2.get()},"conflict_retries":${conflicts2.get()},"secs":$secs2%.3f,"commits_per_sec":${committed2.get() / secs2}%.3f,"lost_updates":${if (lost2) 1L else 0L}}}"""
+    } catch {
+      case e: Throwable =>
+        s"""{"writers":$nWriters,"err":"${e.getClass.getSimpleName}"}"""
+    }
   }
 
   /** Streaming throughput micro-bench: the Engine's ingest path — records

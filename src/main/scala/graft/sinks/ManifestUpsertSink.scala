@@ -180,9 +180,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // current rows of the touched buckets — the one table-side read both
     // the survivor computation and the change feed share
     val current: Option[DataFrame] = cur.flatMap { m =>
-      val touchedFiles = m.files.filter(f => touched(f.bucket)).map(_.path)
-      if (touchedFiles.isEmpty) None
-      else Some(applyEvolution(readPhysical(spark, m, touchedFiles), m))
+      val touchedEntries = m.files.filter(f => touched(f.bucket))
+      if (touchedEntries.isEmpty) None
+      else Some(readLogical(spark, m, touchedEntries)) // evolution + dv fold
     }
     // ---- change feed: every incoming key is inserted or updated (LWW
     // upsert never deletes); old/new BEFORE/AFTER row images (JSON of the
@@ -239,7 +239,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       renames = cur.map(_.renames).getOrElse(Nil),
       addedCols = cur.map(_.addedCols).getOrElse(Nil),
       droppedCols = cur.map(_.droppedCols).getOrElse(Nil),
-      writtenSchema = survivors.schema)
+      writtenSchema = survivors.schema,
+      dvWritten = Nil, dvReplaced = touched,
+      defaults = cur.map(_.defaults).getOrElse(Nil))
   }
 
   /** DELETE by key — the third CDC verb (upsert covers insert/update):
@@ -265,9 +267,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // same piggybacked null-key refusal as the merge: deleting "key =
     // null" would silently hash the null and rewrite a bucket for nothing
     val touched = collectTouchedRequireKeys(keyed)
-    val touchedFiles = cur.files.filter(f => touched(f.bucket)).map(_.path)
-    if (touchedFiles.isEmpty) return // no touched bucket holds data: no-op
-    val current = applyEvolution(readPhysical(spark, cur, touchedFiles), cur)
+    val touchedEntries = cur.files.filter(f => touched(f.bucket))
+    if (touchedEntries.isEmpty) return // no touched bucket holds data: no-op
+    val current = readLogical(spark, cur, touchedEntries)
     // feed first (same crash contract as the merge): one `deleted` row per
     // key that exists, BEFORE image only
     val victims = current.join(keyed.select(keyColumns: _*), keyCols, "left_semi")
@@ -288,7 +290,112 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       dataChanged = touched, replaced = touched,
       written = written, feedStage = Some(s"_stage/$tag"), renames = cur.renames,
       addedCols = cur.addedCols, droppedCols = cur.droppedCols,
-      writtenSchema = survivors.schema)
+      writtenSchema = survivors.schema,
+      dvWritten = Nil, dvReplaced = touched,
+      defaults = cur.defaults)
+  }
+
+  /** MERGE-ON-READ DELETE — the deletion-vector verb: remove keys by
+    * committing a tiny per-bucket KEY-LIST sidecar instead of rewriting
+    * the touched buckets' data files (which stay BYTE-IDENTICAL — the
+    * commit is a manifest edit plus a small parquet of the deleted key
+    * tuples, the Iceberg-v2 equality-delete shape). At 100 TB with
+    * trickle deletes this is the difference between O(keys) and
+    * O(bucket bytes) per statement — copy-on-write `deleteKeys` rewrites
+    * every touched bucket for a one-row DELETE. Every read surface folds
+    * the sidecar (anti-join by key, broadcast — see
+    * [[ManifestUpsertSink.applyDv]]); the next rewrite of a bucket
+    * (merge, CoW delete, compaction) MATERIALIZES its dvs and clears
+    * them.
+    *
+    * The CDC contract is identical to the CoW delete: one `deleted` feed
+    * row with the BEFORE image per key that actually existed (the
+    * touched buckets are READ to classify — O(touched bytes) read, zero
+    * data write), deleting an absent or already-dv-deleted key is a
+    * clean no-op, and a statement with zero victims commits nothing.
+    *
+    * `maxDvRowsPerBucket` bounds the merge-on-read debt: when a touched
+    * bucket's accumulated dv keys (live + this statement's) would exceed
+    * it, the WHOLE statement falls back to the copy-on-write delete —
+    * which materializes that bucket's backlog as it rewrites. The cap is
+    * what keeps the read-side fold a broadcast and the DSv2 scan's
+    * driver-held key set bounded by construction. */
+  def deleteKeysMergeOnRead(keys: DataFrame, batchId: Long,
+      maxDvRowsPerBucket: Long = DefaultDvMaxRowsPerBucket): Unit = {
+    val spark = keys.sparkSession
+    val cur = latestManifest(root, store).getOrElse(return) // empty table: nothing to delete
+    healFeed(Some(cur))
+    if (batchId != AdHocBatch && cur.batchId >= batchId)
+      return // replayed batch: no-op
+    requireSameBuckets(Some(cur))
+    val version = cur.version + 1
+    val tag = newTag()
+    val keyed = keys.select(keyColumns: _*).distinct()
+      .withColumn(BucketCol, bucketExpr)
+    val touched = collectTouchedRequireKeys(keyed)
+    val touchedEntries = cur.files.filter(f => touched(f.bucket))
+    if (touchedEntries.isEmpty) return // no touched bucket holds data: no-op
+    // current = evolution + EXISTING dv fold: a re-delete of a
+    // dv-deleted key sees it absent and records nothing — each key lives
+    // in at most one dv file, keeping the sidecar arithmetic exact
+    val current = readLogical(spark, cur, touchedEntries)
+    val victims = current.join(keyed.select(keyColumns: _*), keyCols, "left_semi")
+    // feed first (same crash contract as the CoW delete)
+    victims.select(keyColumns ++ Seq(lit("deleted").as("change"),
+        xxhash64(payloadImage(victims)).as("old_hash"),
+        lit(null).cast("long").as("new_hash"),
+        payloadImage(victims).as("old_image"),
+        lit(null).cast("string").as("new_image")): _*)
+      .write.mode("overwrite").parquet(s"$root/_stage/$tag")
+    // the dv sidecar: ONLY the victim key tuples, bucket-partitioned —
+    // one small file per touched bucket
+    val dvDir = s"$root/data/v$version-$tag-dv"
+    victims.select(keyColumns: _*).withColumn(BucketCol, bucketExpr)
+      .repartition(math.max(touched.size, 1), col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(dvDir)
+    val dvFiles = listParquet(dvDir, store)
+    // exact per-file key counts from the freshly-written footers (a few
+    // tiny files): recorded in the manifest so cap checks and
+    // metadata-only COUNT stay driver arithmetic
+    val dvStats = ManifestStats.collectAuto(dvFiles.map(_.path))
+    val newDvs = dvFiles.map(f => DvEntry(f.bucket,
+        dvStats.get(f.path).map(_.rows).getOrElse(throw new IllegalStateException(
+          s"could not read footer row count of freshly-written dv file ${f.path}")),
+        f.path))
+      .filter(_.rows > 0)
+    if (newDvs.isEmpty) { // zero victims: a DELETE must never create a version
+      deleteTree(store, dvDir)
+      deleteTree(store, s"$root/_stage/$tag")
+      store.deleteDirIfEmpty(s"$root/_stage")
+      return
+    }
+    val dvTouched = newDvs.map(_.bucket).toSet
+    // cap: accumulated dv debt per bucket stays broadcast-sized, or the
+    // statement routes to copy-on-write (which materializes the backlog)
+    val overCap = dvTouched.exists { b =>
+      cur.dvsOf(b).map(_.rows).sum +
+        newDvs.filter(_.bucket == b).map(_.rows).sum > math.max(1L, maxDvRowsPerBucket)
+    }
+    if (overCap) {
+      deleteTree(store, dvDir)
+      deleteTree(store, s"$root/_stage/$tag")
+      store.deleteDirIfEmpty(s"$root/_stage")
+      deleteKeys(keys, batchId)
+      return
+    }
+    commitRebasing(Some(cur),
+      if (batchId == AdHocBatch) cur.batchId else batchId,
+      dataChanged = dvTouched, replaced = Set.empty,
+      written = Nil, feedStage = Some(s"_stage/$tag"), renames = cur.renames,
+      addedCols = cur.addedCols, droppedCols = cur.droppedCols,
+      // no data file written: an empty written-schema union keeps the
+      // chain's stamp verbatim
+      writtenSchema = new StructType(),
+      // this commit OWNS the victim buckets' dv state: the chain's
+      // entries for them plus the new sidecar files
+      dvWritten = cur.dvs.filter(d => dvTouched(d.bucket)) ++ newDvs,
+      dvReplaced = dvTouched,
+      defaults = cur.defaults)
   }
 
   /** SINGLE-COMMIT row-level apply: MERGE `batch` and DELETE `delKeys`
@@ -338,9 +445,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val touched = touchedUps ++ touchedDel
     if (touched.isEmpty) return // empty statement: nothing to commit
     val current: Option[DataFrame] = cur.flatMap { m =>
-      val touchedFiles = m.files.filter(f => touched(f.bucket)).map(_.path)
-      if (touchedFiles.isEmpty) None
-      else Some(applyEvolution(readPhysical(spark, m, touchedFiles), m))
+      val touchedEntries = m.files.filter(f => touched(f.bucket))
+      if (touchedEntries.isEmpty) None
+      else Some(readLogical(spark, m, touchedEntries)) // evolution + dv fold
     }
     // pure delete touching no stored bucket (or an empty table): no-op,
     // matching deleteKeys — a DELETE must never CREATE a version
@@ -403,7 +510,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       renames = cur.map(_.renames).getOrElse(Nil),
       addedCols = cur.map(_.addedCols).getOrElse(Nil),
       droppedCols = cur.map(_.droppedCols).getOrElse(Nil),
-      writtenSchema = survivors.schema)
+      writtenSchema = survivors.schema,
+      dvWritten = Nil, dvReplaced = touched,
+      defaults = cur.map(_.defaults).getOrElse(Nil))
   }
 
   /** The one data-file writer: every version's files are written with a
@@ -430,7 +539,18 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
           Seq(BucketCol, PdateCol))
       case None => (df, Seq(BucketCol))
     }
-    cols.foldLeft(framed.write.mode("overwrite")) { (w, k) =>
+    // KEY-SORTED files: each task's rows sort by (partition dirs, key
+    // tuple), so the dynamic-partition writer emits every file with its
+    // rows in key order — nearly free (a per-task sort the partitioned
+    // writer would pay most of anyway), and what lets a compacted
+    // one-file-per-bucket snapshot report its ordering to the planner
+    // (SupportsReportOrdering): same-layout SPJ joins then plan with NO
+    // per-task SortExec. The manifest's `sortedBy` stamp tracks whether
+    // EVERY live file was written this way (full rewrites stamp; carried
+    // pre-sorting vintages clear it until the next compaction).
+    cols.foldLeft(framed
+        .sortWithinPartitions((partBy ++ cols).map(col): _*)
+        .write.mode("overwrite")) { (w, k) =>
       w.option(s"parquet.bloom.filter.enabled#$k", "true")
     }.partitionBy(partBy: _*).parquet(dataDir)
   }
@@ -471,22 +591,35 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     * change feed renames to `_changes/v<FINAL>`, and the stats sidecar
     * writes as carried-forward lines + fresh footer stats of the files
     * that made it into the manifest. */
+  /** `dvReplaced`: buckets whose DELETION-VECTOR entries this commit
+    * owns — for any bucket REWRITE (merge, CoW delete, compaction) the
+    * rewritten buckets, whose dvs the rewrite read-folded and therefore
+    * MATERIALIZED (carrying them would double-count the deletion in the
+    * sidecar arithmetic); for a merge-on-read delete its touched
+    * buckets, owned as base-dvs + the new sidecar. Other buckets carry
+    * the chain's dv entries verbatim, like their file entries. */
   private def commitRebasing(base: Option[Manifest], batchId: Long,
       dataChanged: Set[Long], replaced: Set[Long], written: Seq[FileEntry],
       feedStage: Option[String], renames: Seq[(String, String)],
       addedCols: Seq[(String, String)], droppedCols: Seq[String],
-      writtenSchema: org.apache.spark.sql.types.StructType): Unit = {
+      writtenSchema: org.apache.spark.sql.types.StructType,
+      dvWritten: Seq[DvEntry], dvReplaced: Set[Long],
+      defaults: Seq[(String, String)]): Unit = {
     var cur = base
     var keepMine = replaced
+    var dvKeep = dvReplaced
     var id = batchId
     var rn = renames
     var added = addedCols
     var droppedC = droppedCols
+    var dflts = defaults
     var attempt = 0
     while (true) {
       val version = cur.map(_.version + 1).getOrElse(0L)
       val carried = cur.toSeq.flatMap(_.files).filterNot(f => keepMine(f.bucket))
       val files = carried ++ written.filter(f => keepMine(f.bucket))
+      val dvs = cur.toSeq.flatMap(_.dvs).filterNot(d => dvKeep(d.bucket)) ++
+        dvWritten.filter(d => dvKeep(d.bucket))
       // per-attempt schema stamp: when NO file is carried (a full rewrite
       // that won its race, or a fresh table) the stamp is EXACTLY what
       // was written — a union would keep retired columns the rewrite just
@@ -495,11 +628,18 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       val stamp =
         if (carried.isEmpty) exactPhysSchema(writtenSchema)
         else unionPhysSchema(cur, writtenSchema)
+      // sortedness: a full rewrite's files are all freshly key-sorted;
+      // a partial commit keeps the stamp only if the carried chain
+      // already had it (under the SAME key spec)
+      val sortedStamp =
+        if (carried.isEmpty && written.nonEmpty) Some(keyCol)
+        else cur.flatMap(_.sortedBy).filter(_ == keyCol)
       beforeCommit(version)
       try {
         commit(root, store, Manifest(version, id, Some(buckets), Some(keyCol),
           files, Some(dataChanged), feedStage, rn, partCol = partitionCol,
-          addedCols = added, droppedCols = droppedC, physSchema = stamp))
+          addedCols = added, droppedCols = droppedC, physSchema = stamp,
+          dvs = dvs, defaults = dflts, sortedBy = sortedStamp))
         feedStage.foreach { st =>
           store.rename(s"$root/$st", s"$root/_changes/v$version")
           store.deleteDirIfEmpty(s"$root/_stage")
@@ -548,7 +688,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
                 s"v$version..v${latest.version} changed rows in bucket(s) " +
                 s"${overlap.toSeq.sorted.mkString(",")} that this commit also changes — " +
                 "rebase impossible, retry from the new snapshot")
+          ManifestUpsertSink.rebaseRetries.incrementAndGet()
           keepMine = keepMine -- wTouched
+          dvKeep = dvKeep -- wTouched
           id = math.max(id, latest.batchId)
           // a winner compaction may have materialized (cleared) the
           // evolution headers; rename/add/drop/epoch commits themselves
@@ -557,6 +699,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
           rn = latest.renames
           added = latest.addedCols
           droppedC = latest.droppedCols
+          dflts = latest.defaults
           cur = Some(latest)
       }
     }
@@ -635,6 +778,18 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
   /** Snapshot read of the latest committed version. */
   def read(spark: SparkSession): DataFrame = ManifestUpsertSink.read(spark, root)
 
+  /** The physical snapshot frame the DDL verbs validate name sets
+    * against. A snapshot listing ZERO files (legacy truncated table)
+    * must not reach `readPhysical` — an unstamped zero-path
+    * `spark.read.parquet()` throws an opaque "Unable to infer schema"
+    * for an otherwise legal DDL; the schema is the stamp when present,
+    * else empty (nothing physical to validate against). */
+  private def physSnapshotForDdl(spark: SparkSession, cur: Manifest): DataFrame =
+    if (cur.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        cur.physSchema.map(StructType.fromDDL).getOrElse(new StructType()))
+    else readPhysical(spark, cur, cur.files.map(_.path))
+
   /** Compact the current snapshot: rewrite EVERY bucket's live rows as a
     * fresh one-file-per-bucket set and commit it as a new version. The
     * small-file answer for sustained micro-batch ingest — each merge
@@ -662,15 +817,20 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     healFeed(Some(cur))
     if (cur.files.isEmpty) return
     requireSameBuckets(Some(cur))
+    // dv sidecars count toward the threshold: a bucket dragging
+    // deletion vectors costs every read its anti-join, so incremental
+    // maintenance folds them exactly as it folds small files
     val fat: Set[Long] = cur.files.groupBy(_.bucket)
-      .collect { case (b, fs) if fs.size >= math.max(1, minFilesPerBucket) => b }.toSet
+      .collect { case (b, fs)
+        if fs.size + cur.dvsOf(b).size >= math.max(1, minFilesPerBucket) => b }.toSet
     if (fat.isEmpty) return
     val version = cur.version + 1
-    val fatFiles = cur.files.filter(f => fat(f.bucket)).map(_.path)
-    // evolution fold applied on read: rewritten buckets come out under
-    // the logical schema; carried buckets keep needing the fold (headers
-    // carried below) until a FULL compaction materializes it everywhere
-    val rows = applyEvolution(readPhysical(spark, cur, fatFiles), cur)
+    val fatEntries = cur.files.filter(f => fat(f.bucket))
+    // evolution + dv fold applied on read: rewritten buckets come out
+    // under the logical schema with their deletion vectors materialized;
+    // carried buckets keep needing the folds (headers/entries carried
+    // below) until a FULL compaction materializes them everywhere
+    val rows = readLogical(spark, cur, fatEntries)
       .withColumn(BucketCol, bucketExpr)
       .repartition(math.max(fat.size, 1), col(BucketCol))
     val dataDir = s"$root/data/v$version-${newTag()}"
@@ -681,7 +841,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
       replaced = fat, written = written, feedStage = None, renames = cur.renames,
       addedCols = cur.addedCols, droppedCols = cur.droppedCols,
-      writtenSchema = rows.schema)
+      writtenSchema = rows.schema,
+      dvWritten = Nil, dvReplaced = fat, // fat buckets' dvs are materialized
+      defaults = cur.defaults)
   }
 
   /** CLUSTERED compaction: rewrite the snapshot range-partitioned by
@@ -785,7 +947,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // new-vintage physical `a` coalesce into b and read null as logical
     // a until a full compaction (Delta's column mapping guards the same
     // hazard with field ids; the name-keyed mapping must refuse reuse).
-    val physDf = readPhysical(spark, cur, cur.files.map(_.path))
+    val physDf = physSnapshotForDdl(spark, cur)
     val physical = physDf.columns.toSet
     val logical = applyEvolution(physDf, cur).columns.toSet
     // retired names: rename SOURCES, physical-only vintages, and
@@ -815,11 +977,15 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val newAdded = cur.addedCols.map { case (n, t) =>
       (if (n == oldName) newName else n, t)
     }
+    val newDefaults = cur.defaults.map { case (n, d) =>
+      (if (n == oldName) newName else n, d)
+    }
     commit(root, store, Manifest(cur.version + 1, cur.batchId, Some(buckets),
       Some(newKey), cur.files, touched = None, feed = None,
       renames = cur.renames :+ (oldName -> newName), partCol = newPart,
       addedCols = newAdded, droppedCols = cur.droppedCols,
-      physSchema = cur.physSchema))
+      physSchema = cur.physSchema, dvs = cur.dvs, defaults = newDefaults,
+      sortedBy = cur.sortedBy.map(_ => newKey)))
     // carry the previous sidecar verbatim: stats stay keyed by PHYSICAL
     // column names, which is what the (rename-refusing) connector needs
     val prev = loadStats(root, store, cur.version)
@@ -845,11 +1011,32 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     * name-keyed format must refuse). Commits `touched = None` so any
     * concurrent writer aborts rather than rebasing across a schema
     * change. */
-  def addColumn(spark: SparkSession, name: String, typeDdl: String): Unit = {
+  def addColumn(spark: SparkSession, name: String, typeDdl: String,
+      defaultSql: Option[String] = None): Unit = {
     val cur = latestManifest(root, store).getOrElse(throw new IllegalStateException(
       s"no committed manifest under $root — nothing to alter"))
     healFeed(Some(cur))
     requireSameBuckets(Some(cur))
+    // NOT-NULL-DEFAULT add (Iceberg initial-default shape): the fold
+    // reads absent/null as the LITERAL everywhere until a rewrite
+    // materializes it. Literals only — a non-literal default would
+    // re-evaluate per read; and the codec separators are refused like
+    // every other header value.
+    for (d <- defaultSql) {
+      require(d.nonEmpty && !d.exists(c => c == ';' || c == '\t' || c == '\n' || c == '\r'),
+        s"DEFAULT literal '$d' is empty or contains a manifest separator (';'/tab/newline)")
+      val parsed =
+        try org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(d)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"DEFAULT '$d' does not parse: ${e.getMessage}") }
+      require(parsed.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal],
+        s"DEFAULT must be a LITERAL (got '$d') — non-literal defaults would " +
+          "re-evaluate per read")
+      val t = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+      require(org.apache.spark.sql.catalyst.expressions.Cast.canCast(
+          parsed.dataType, t),
+        s"DEFAULT '$d' (${parsed.dataType.simpleString}) cannot cast to ${t.simpleString}")
+    }
     require(name.nonEmpty && !name.exists(c =>
         c == ':' || c == ';' || c == ',' || c == '\t' || c == '\n' || c == '\r'),
       s"column name '$name' contains a manifest separator (':'/';'/','/tab/newline)")
@@ -857,7 +1044,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       s"type DDL '$typeDdl' contains a manifest separator (';'/tab/newline)")
     // parses-or-throws: a junk type must fail the DDL, not every read
     org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
-    val physDf = readPhysical(spark, cur, cur.files.map(_.path))
+    val physDf = physSnapshotForDdl(spark, cur)
     val physical = physDf.columns.toSet
     val logical = applyEvolution(physDf, cur).columns.toSet
     require(!logical(name), s"cannot add: column $name already exists")
@@ -870,7 +1057,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       Some(keyCol), cur.files, touched = None, feed = None,
       renames = cur.renames, partCol = partitionCol,
       addedCols = cur.addedCols :+ (name -> typeDdl), droppedCols = cur.droppedCols,
-      physSchema = cur.physSchema))
+      physSchema = cur.physSchema, dvs = cur.dvs,
+      defaults = cur.defaults ++ defaultSql.map(name -> _),
+      sortedBy = cur.sortedBy))
     val prev = loadStats(root, store, cur.version)
     if (prev.nonEmpty)
       store.putString(s"$root/_manifest", s"v${cur.version + 1}.stats",
@@ -900,7 +1089,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       s"cannot drop $name: it is the table's partition column (committed layout)")
     require(!name.contains(","),
       s"column name '$name' contains a manifest separator (',')")
-    val physDf = readPhysical(spark, cur, cur.files.map(_.path))
+    val physDf = physSnapshotForDdl(spark, cur)
     val physical = physDf.columns.toSet
     val logical = applyEvolution(physDf, cur).columns.toSet
     require(logical(name),
@@ -916,7 +1105,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       Some(keyCol), cur.files, touched = None, feed = None,
       renames = cur.renames, partCol = partitionCol,
       addedCols = newAdded, droppedCols = newDropped,
-      physSchema = cur.physSchema))
+      physSchema = cur.physSchema, dvs = cur.dvs,
+      defaults = cur.defaults.filterNot(_._1 == name),
+      sortedBy = cur.sortedBy))
     val prev = loadStats(root, store, cur.version)
     if (prev.nonEmpty)
       store.putString(s"$root/_manifest", s"v${cur.version + 1}.stats",
@@ -1000,7 +1191,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       Some(keyCol), cur.files, touched = None, feed = None,
       renames = cur.renames, partCol = partitionCol,
       addedCols = newAdded, droppedCols = cur.droppedCols,
-      physSchema = Some(newStamp)))
+      physSchema = Some(newStamp), dvs = cur.dvs, defaults = cur.defaults,
+      sortedBy = cur.sortedBy))
     // sidecar carried verbatim: integral domains are stored as longs and
     // float/double as doubles, so the widened column's bounds stay exact
     val prev = loadStats(root, store, cur.version)
@@ -1031,7 +1223,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     requireSameBuckets(Some(cur))
     val version = cur.version + 1
     val newKeyCols = splitKeyCols(newKeyCol)
-    val all = applyEvolution(readPhysical(spark, cur, cur.files.map(_.path)), cur)
+    val all = readLogical(spark, cur, cur.files)
       .drop(BucketCol)
       .withColumn(BucketCol,
         pmod(xxhash64(newKeyCols.map(col): _*), lit(newBuckets.toLong)))
@@ -1041,7 +1233,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val written = listParquet(dataDir, store)
     commit(root, store, Manifest(version, cur.batchId, Some(newBuckets),
       Some(newKeyCol), written, touched = None, feed = None, partCol = partitionCol,
-      physSchema = exactPhysSchema(all.schema)))
+      physSchema = exactPhysSchema(all.schema), sortedBy = Some(newKeyCol)))
     store.putString(s"$root/_manifest", s"v$version.stats",
       ManifestStats.encode(ManifestStats.collectAuto(written.map(_.path))))
     new ManifestUpsertSink(root, newKeyCol, newBuckets, partitionCol)
@@ -1069,7 +1261,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     requireSameBuckets(Some(cur))
     if (newPartCol == partitionCol) return this // same layout: no-op
     val version = cur.version + 1
-    val all = applyEvolution(readPhysical(spark, cur, cur.files.map(_.path)), cur)
+    val all = readLogical(spark, cur, cur.files)
       .drop(BucketCol)
       .withColumn(BucketCol, bucketExpr)
       .repartition(buckets, col(BucketCol))
@@ -1081,7 +1273,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val written = listParquet(dataDir, store)
     commit(root, store, Manifest(version, cur.batchId, Some(buckets),
       Some(keyCol), written, touched = None, feed = None, partCol = newPartCol,
-      physSchema = exactPhysSchema(all.schema)))
+      physSchema = exactPhysSchema(all.schema), sortedBy = Some(keyCol)))
     store.putString(s"$root/_manifest", s"v$version.stats",
       ManifestStats.encode(ManifestStats.collectAuto(written.map(_.path))))
     new ManifestUpsertSink(root, keyCol, buckets, newPartCol)
@@ -1144,7 +1336,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       restoreDiffEntries(cur, target, keyCol, buckets)
     def side(files: Seq[FileEntry], m: Manifest): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(applyEvolution(readPhysical(spark, m, files.map(_.path)), m))
+      else Some(readLogical(spark, m, files)) // each side folds its OWN dvs
     val curDf = side(curDiffFiles, cur)
     val tgtDf = side(tgtDiffFiles, target)
     for (c <- curDf)
@@ -1207,7 +1399,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       Some(tKey), target.files, touched = None, feed = feedStage,
       renames = target.renames, partCol = target.partCol,
       addedCols = target.addedCols, droppedCols = target.droppedCols,
-      physSchema = target.physSchema))
+      physSchema = target.physSchema, dvs = target.dvs,
+      defaults = target.defaults, sortedBy = target.sortedBy))
     feedStage.foreach { st =>
       store.rename(s"$root/$st", s"$root/_changes/v$newVersion")
       store.deleteDirIfEmpty(s"$root/_stage")
@@ -1259,7 +1452,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       commit(targetRoot, tStore, Manifest(0L, cur.batchId, Some(buckets),
         Some(keyCol), cur.files, touched = None, feed = None, renames = cur.renames,
         partCol = partitionCol, addedCols = cur.addedCols,
-        droppedCols = cur.droppedCols, physSchema = cur.physSchema))
+        droppedCols = cur.droppedCols, physSchema = cur.physSchema,
+        dvs = cur.dvs, defaults = cur.defaults, sortedBy = cur.sortedBy))
       val stats = loadStats(root, store, cur.version)
       if (stats.nonEmpty)
         tStore.putString(s"$targetRoot/_manifest", "v0.stats", ManifestStats.encode(stats))
@@ -1273,7 +1467,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     } else {
       // bucketExpr, not col(keyCol): a composite key spec ("a,b") is not
       // a column name — the write-path expression hashes all components
-      val all = applyEvolution(readPhysical(spark, cur, cur.files.map(_.path)), cur)
+      val all = readLogical(spark, cur, cur.files)
         .withColumn(BucketCol, bucketExpr)
         .repartition(buckets, col(BucketCol))
       val dataDir = s"$targetRoot/data/v0-${newTag()}"
@@ -1281,7 +1475,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       val written = listParquet(dataDir, tStore)
       commit(targetRoot, tStore, Manifest(0L, cur.batchId, Some(buckets),
         Some(keyCol), written, touched = None, feed = None, renames = Nil,
-        partCol = partitionCol, physSchema = exactPhysSchema(all.schema)))
+        partCol = partitionCol, physSchema = exactPhysSchema(all.schema),
+        sortedBy = Some(keyCol)))
       tStore.putString(s"$targetRoot/_manifest", "v0.stats",
         ManifestStats.encode(ManifestStats.collectAuto(written.map(_.path))))
     }
@@ -1298,9 +1493,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // out under logical names, with metadata-only added columns written
     // physically and dropped columns' bytes gone — and the committed
     // headers clear, returning the table to the fully-vectorized scan
+    // evolution AND deletion-vector fold: the rewrite MATERIALIZES both
     val all = layout(
-      applyEvolution(readPhysical(spark, cur, cur.files.map(_.path)), cur)
-        .withColumn(BucketCol, bucketExpr))
+      readLogical(spark, cur, cur.files).withColumn(BucketCol, bucketExpr))
     val dataDir = s"$root/data/v$version-${newTag()}"
     writeData(all, dataDir)
     val written = listParquet(dataDir, store)
@@ -1310,7 +1505,12 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
       replaced = cur.files.map(_.bucket).toSet ++ written.map(_.bucket),
       written = written, feedStage = None, renames = Nil,
-      addedCols = Nil, droppedCols = Nil, writtenSchema = all.schema)
+      addedCols = Nil, droppedCols = Nil, writtenSchema = all.schema,
+      // the full rewrite folded EVERY bucket's dvs into its new files
+      dvWritten = Nil,
+      dvReplaced = cur.files.map(_.bucket).toSet ++ written.map(_.bucket) ++
+        cur.dvs.map(_.bucket),
+      defaults = Nil) // the full rewrite materialized every default
   }
 
   /** Delete data files no manifest in the newest `keepVersions` versions
@@ -1370,7 +1570,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       Some(keyCol), Seq.empty, touched = None, feed = None,
       renames = cur.renames, partCol = partitionCol,
       addedCols = cur.addedCols, droppedCols = cur.droppedCols,
-      physSchema = cur.physSchema))
+      physSchema = cur.physSchema, defaults = cur.defaults,
+      sortedBy = cur.sortedBy))
   }
 
   /** RETENTION on a date-partitioned table: commit a new version WITHOUT
@@ -1406,7 +1607,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     if (dead.isEmpty) return
     val version = cur.version + 1
     val feedStage = if (!cdc) None else Some {
-      val victims = applyEvolution(readPhysical(spark, cur, dead.map(_.path)), cur)
+      // dv fold included: a dv-deleted key in an expiring file is already
+      // deleted and must not emit a second deletion image
+      val victims = readLogical(spark, cur, dead)
       val tag = newTag()
       victims.select(keyColumns ++ Seq(lit("deleted").as("change"),
           xxhash64(payloadImage(victims)).as("old_hash"),
@@ -1420,7 +1623,10 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       Some(keyCol), kept, touched = None, feed = feedStage,
       renames = cur.renames, partCol = partitionCol,
       addedCols = cur.addedCols, droppedCols = cur.droppedCols,
-      physSchema = cur.physSchema))
+      // dvs carried: a dv key whose row expired with its file simply
+      // stops matching anything (retention never resurrects)
+      physSchema = cur.physSchema, dvs = cur.dvs, defaults = cur.defaults,
+      sortedBy = cur.sortedBy))
     feedStage.foreach { st =>
       store.rename(s"$root/$st", s"$root/_changes/v$version")
       store.deleteDirIfEmpty(s"$root/_stage")
@@ -1474,6 +1680,19 @@ object ManifestUpsertSink {
     * table and backing off to the caller is the right move. */
   private val MaxCommitAttempts = 5
 
+  /** Observability counter: successful REBASES (lost the rename race,
+    * proved bucket disjointness, carried the winners' entries, retried)
+    * across every sink in the JVM — what the concurrent-writer bench
+    * reports as the rebase rate. Monotonic; readers take deltas. */
+  private[graft] val rebaseRetries = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Per-bucket ceiling on accumulated deletion-vector keys before a
+    * merge-on-read DELETE routes to copy-on-write: 64k keys × a few
+    * tens of bytes is comfortably broadcast- and driver-collect-sized,
+    * and a bucket with more deleted keys than that is overdue for the
+    * rewrite anyway (the read-side anti-join debt compounds). */
+  val DefaultDvMaxRowsPerBucket: Long = 65536L
+
   /** Equi-depth 255-boundary histograms for EVERY z column in ONE agg
     * pass — a z-order pre-pass must not scan the snapshot once per
     * dimension (at 100 TB that's dimensions × full-table reads before
@@ -1494,13 +1713,28 @@ object ManifestUpsertSink {
 
   final case class FileEntry(bucket: Long, path: String)
 
+  /** A DELETION-VECTOR sidecar file: a small parquet of deleted KEY
+    * tuples scoped to one bucket (the Iceberg-v2 equality-delete shape —
+    * positional bitmaps need row ids this key-addressed lake never
+    * tracks; the key IS the row identity everywhere else, so it is here
+    * too). Every read of the bucket anti-joins these keys away; a
+    * bucket rewrite (merge, CoW delete, compaction) MATERIALIZES and
+    * clears them. `rows` is the file's exact key count, recorded at
+    * commit so cap checks and metadata-only COUNT stay driver
+    * arithmetic — and each dv'd key exists EXACTLY ONCE in the bucket's
+    * data (LWW uniqueness) and in at most one dv file (a re-delete of a
+    * dv-deleted key sees it absent from `current` and records nothing),
+    * so subtraction is exact. */
+  final case class DvEntry(bucket: Long, rows: Long, path: String)
+
   /** `touched`: the buckets whose DATA this commit changed (empty for
     * compactions, which rewrite files but not rows) — the information a
     * LOSING concurrent writer needs to decide rebase-vs-abort. None on
     * pre-concurrency manifests → conservative abort. `feed`: the staged
     * change-feed dir name this commit's manifest binds (renamed to
     * `_changes/v<N>` post-commit; readers fall back through this header
-    * inside the crash window). */
+    * inside the crash window). `dvs`: the snapshot's live deletion-vector
+    * sidecars (merge-on-read deletes not yet materialized by a rewrite). */
   final case class Manifest(version: Long, batchId: Long, buckets: Option[Int],
       keyCol: Option[String], files: Seq[FileEntry],
       touched: Option[Set[Long]] = None, feed: Option[String] = None,
@@ -1509,12 +1743,17 @@ object ManifestUpsertSink {
       partCol: Option[String] = None,
       addedCols: Seq[(String, String)] = Nil,
       droppedCols: Seq[String] = Nil,
-      physSchema: Option[String] = None) {
+      physSchema: Option[String] = None,
+      dvs: Seq[DvEntry] = Nil,
+      defaults: Seq[(String, String)] = Nil,
+      sortedBy: Option[String] = None) {
     /** Any live metadata-only schema-evolution state (rename mapping,
       * null-backed added columns, logically-dropped columns) — the
       * condition under which reads must fold and a FULL rewrite clears. */
     def hasEvolution: Boolean =
       renames.nonEmpty || addedCols.nonEmpty || droppedCols.nonEmpty
+    /** The dv entries covering `bucket`. */
+    def dvsOf(bucket: Long): Seq[DvEntry] = dvs.filter(_.bucket == bucket)
   }
 
   /** The committed manifest of a snapshot (latest when `version` is None). */
@@ -1598,19 +1837,66 @@ object ManifestUpsertSink {
     * read surface — sink reads, the DSv2 schema, merge-time `current`
     * frames — speaks the output of this fold. */
   private[graft] def applyEvolution(df: DataFrame, renames: Seq[(String, String)],
-      addedCols: Seq[(String, String)], droppedCols: Seq[String]): DataFrame = {
+      addedCols: Seq[(String, String)], droppedCols: Seq[String],
+      defaults: Seq[(String, String)] = Nil): DataFrame = {
     val renamed = applyRenames(df, renames)
     val dropped = droppedCols.foldLeft(renamed)((d, c) =>
       if (d.columns.contains(c)) d.drop(c) else d)
+    val defaultOf = defaults.toMap
     addedCols.foldLeft(dropped) { case (d, (name, ddl)) =>
-      if (d.columns.contains(name)) d
-      else d.withColumn(name, lit(null).cast(
-        org.apache.spark.sql.types.DataType.fromDDL(ddl)))
+      val t = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+      defaultOf.get(name) match {
+        // NOT-NULL-DEFAULT add: absent/null reads as the default — exact
+        // because the column admits no explicit null (declared NOT NULL;
+        // the engine treats null bytes as "absent"), so pre-add vintages
+        // AND post-add files that missed the column both fill
+        case Some(dsql) if d.columns.contains(name) =>
+          d.withColumn(name, coalesce(col(name), expr(dsql).cast(t)))
+        case Some(dsql) =>
+          d.withColumn(name, expr(dsql).cast(t))
+        case None =>
+          if (d.columns.contains(name)) d
+          else d.withColumn(name, lit(null).cast(t))
+      }
     }
   }
 
   private[graft] def applyEvolution(df: DataFrame, m: Manifest): DataFrame =
-    applyEvolution(df, m.renames, m.addedCols, m.droppedCols)
+    applyEvolution(df, m.renames, m.addedCols, m.droppedCols, m.defaults)
+
+  /** MERGE-ON-READ fold: anti-join away every key a live deletion-vector
+    * sidecar of `buckets` (all when None) lists — the read-time half of
+    * [[ManifestUpsertSink.deleteKeysMergeOnRead]]. The dv side is tiny
+    * by the write-path cap, so the anti-join is an explicit broadcast:
+    * cost ∝ data already being read + a few KB shipped. dv files carry
+    * the key columns under their write-time physical names; the rename
+    * fold maps old-vintage dv files onto the current logical key exactly
+    * as it does data files. Expects `df` to speak LOGICAL names (i.e.
+    * post-[[applyEvolution]]). */
+  private[graft] def applyDv(df: DataFrame, m: Manifest,
+      buckets: Option[Set[Long]] = None): DataFrame = {
+    val dvs = buckets match {
+      case Some(bs) => m.dvs.filter(d => bs(d.bucket))
+      case None => m.dvs
+    }
+    if (dvs.isEmpty) df
+    else {
+      val keyCols = splitKeyCols(m.keyCol.getOrElse(throw new IllegalStateException(
+        "manifest carries deletion vectors but no keyCol header — corrupt manifest")))
+      val dvKeys = applyRenames(
+        df.sparkSession.read.parquet(dvs.map(_.path): _*), m.renames)
+        .select(keyCols.map(col): _*)
+      df.join(broadcast(dvKeys), keyCols, "left_anti")
+    }
+  }
+
+  /** The LOGICAL rows of `paths` under manifest `m`: physical read →
+    * evolution fold → deletion-vector fold scoped to the files' buckets
+    * — what every row-reading verb means by "current". */
+  private[graft] def readLogical(spark: SparkSession, m: Manifest,
+      entries: Seq[FileEntry]): DataFrame =
+    applyDv(applyEvolution(readPhysical(spark, m, entries.map(_.path)), m),
+      m, Some(entries.map(_.bucket).toSet))
 
   /** Normalize a written frame's schema into STAMP form: the layout
     * columns out (`__bucket`/`__pdate` live in directory names, never in
@@ -1715,7 +2001,8 @@ object ManifestUpsertSink {
     * compaction unifies them. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val m = snapshotManifest(root, None)
-    applyEvolution(readPhysical(spark, m, m.files.map(_.path)).drop(BucketCol), m)
+    applyDv(applyEvolution(
+      readPhysical(spark, m, m.files.map(_.path)).drop(BucketCol), m), m)
   }
 
   /** Time-travel read: the snapshot AS OF a committed version — the
@@ -1726,7 +2013,8 @@ object ManifestUpsertSink {
     * history). */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val m = snapshotManifest(root, Some(version))
-    applyEvolution(readPhysical(spark, m, m.files.map(_.path)).drop(BucketCol), m)
+    applyDv(applyEvolution(
+      readPhysical(spark, m, m.files.map(_.path)).drop(BucketCol), m), m)
   }
 
   /** TIMESTAMP time travel for the Scala API: the snapshot current as of
@@ -1830,8 +2118,9 @@ object ManifestUpsertSink {
           val cVersions = manifestVersions(cRoot, cStore)
           if (cVersions.isEmpty) { store.deleteFile(s"$root/_manifest/$ref"); Nil }
           else cVersions
-            .flatMap(v => decode(cStore.readString(s"$cRoot/_manifest/v$v.manifest")).files)
-            .map(_.path).filter(_.startsWith(s"$rootNorm/"))
+            .map(v => decode(cStore.readString(s"$cRoot/_manifest/v$v.manifest")))
+            .flatMap(m => m.files.map(_.path) ++ m.dvs.map(_.path))
+            .filter(_.startsWith(s"$rootNorm/"))
         } catch { case _: Exception =>
           cloneUnreadable = true; Nil
         }
@@ -1844,7 +2133,8 @@ object ManifestUpsertSink {
     val drop = drop0.filterNot(ageKeeps)
     val hold = versions.filterNot(drop.toSet)
     val heldMs = hold.map(v => decode(store.readString(s"$root/_manifest/v$v.manifest")))
-    val live: Set[String] = heldMs.flatMap(_.files.map(_.path)).toSet ++ cloneHeld
+    val live: Set[String] =
+      heldMs.flatMap(m => m.files.map(_.path) ++ m.dvs.map(_.path)).toSet ++ cloneHeld
     // the data dirs held manifests reference (a carried entry keeps its
     // ORIGINAL commit's dir alive, so reference-count by dir, not version)
     val heldDirs: Set[String] = live.flatMap(dataDirOf(root, _))
@@ -1856,11 +2146,13 @@ object ManifestUpsertSink {
       // NEVER outside this table's root: a shallow clone's early versions
       // reference the SOURCE's files — those are the source table's to
       // retain or reclaim, not the clone's
-      m.files.map(_.path).filterNot(live).filter(_.startsWith(s"$rootNorm/"))
+      (m.files.map(_.path) ++ m.dvs.map(_.path))
+        .filterNot(live).filter(_.startsWith(s"$rootNorm/"))
         .foreach(store.deleteFile)
       store.deleteFile(s"$root/_manifest/v$v.manifest")
       store.deleteFile(s"$root/_manifest/v$v.stats")
-      droppedDirs ++= m.files.flatMap(f => dataDirOf(root, f.path))
+      droppedDirs ++= (m.files.map(_.path) ++ m.dvs.map(_.path))
+        .flatMap(dataDirOf(root, _))
     }
     // a dropped version's dirs: removable once NO held manifest references
     // a file inside them; removal also clears the _SUCCESS/.crc markers
@@ -1902,13 +2194,21 @@ object ManifestUpsertSink {
       cur.keyCol.getOrElse(fallbackKey) == target.keyCol.getOrElse(fallbackKey) &&
       cur.buckets.getOrElse(fallbackBuckets) == target.buckets.getOrElse(fallbackBuckets) &&
       cur.renames == target.renames &&
-      cur.addedCols == target.addedCols && cur.droppedCols == target.droppedCols
+      cur.addedCols == target.addedCols && cur.droppedCols == target.droppedCols &&
+      cur.defaults == target.defaults
     if (!prunable) (cur.files, target.files)
     else {
       val curBy = cur.files.groupBy(_.bucket).view.mapValues(_.map(_.path).toSet).toMap
       val tgtBy = target.files.groupBy(_.bucket).view.mapValues(_.map(_.path).toSet).toMap
-      val changed = (curBy.keySet ++ tgtBy.keySet).filter(b =>
-        curBy.getOrElse(b, Set.empty) != tgtBy.getOrElse(b, Set.empty))
+      // a bucket is provably identical only when BOTH its file list and
+      // its deletion-vector list match — same files under different dvs
+      // are different logical rows
+      val curDvBy = cur.dvs.groupBy(_.bucket).view.mapValues(_.map(_.path).toSet).toMap
+      val tgtDvBy = target.dvs.groupBy(_.bucket).view.mapValues(_.map(_.path).toSet).toMap
+      val changed = (curBy.keySet ++ tgtBy.keySet ++
+          curDvBy.keySet ++ tgtDvBy.keySet).filter(b =>
+        curBy.getOrElse(b, Set.empty) != tgtBy.getOrElse(b, Set.empty) ||
+        curDvBy.getOrElse(b, Set.empty) != tgtDvBy.getOrElse(b, Set.empty))
       (cur.files.filter(f => changed(f.bucket)),
         target.files.filter(f => changed(f.bucket)))
     }
@@ -1966,24 +2266,42 @@ object ManifestUpsertSink {
        else Seq(s"addcols=${m.addedCols.map { case (n, t) => s"$n:$t" }.mkString(";")}")) ++
       (if (m.droppedCols.isEmpty) Nil
        else Seq(s"dropcols=${m.droppedCols.mkString(",")}")) ++
+      // DEFAULT literals of NOT-NULL-DEFAULT added columns: ';'-separated
+      // `name:<sql literal>` entries, split on the FIRST ':' (the literal
+      // may carry ':'; names refuse ':' at addColumn time, literals
+      // refuse ';'/tab/newline)
+      (if (m.defaults.isEmpty) Nil
+       else Seq(s"defcols=${m.defaults.map { case (n, d) => s"$n:$d" }.mkString(";")}")) ++
+      // every live data file's rows are sorted by this key tuple within
+      // the file (cleared while any pre-sorting vintage is carried)
+      m.sortedBy.map(k => s"sortedBy=$k") ++
       // the committed PHYSICAL union schema of the listed files (DDL;
       // no tab/newline by the header-safety rules) — what lets every
       // read skip footer I/O entirely
       m.physSchema.map(s => s"schema=$s")
-    (header ++ m.files.map(f => s"${f.bucket}\t${f.path}")).mkString("\n")
+    // dv lines are `dv<TAB>bucket<TAB>rows<TAB>path` — the leading
+    // non-numeric token separates them from data-file lines (whose first
+    // field is the numeric bucket)
+    (header ++ m.files.map(f => s"${f.bucket}\t${f.path}") ++
+      m.dvs.map(d => s"dv\t${d.bucket}\t${d.rows}\t${d.path}")).mkString("\n")
   }
 
   private def decode(text: String): Manifest = {
     // header lines are `key=value` and never contain a tab; file lines
     // are `bucket<TAB>path` and always do (paths can contain '=' — the
-    // __bucket=N partition segment — so the tab is the discriminator)
+    // __bucket=N partition segment — so the tab is the discriminator);
+    // dv lines additionally lead with the literal `dv` token
     val lines = text.linesIterator.toSeq
-    val (headerLines, fileLines) = lines.filter(_.nonEmpty).partition(!_.contains('\t'))
+    val (tabLines, headerLines) = lines.filter(_.nonEmpty).partition(_.contains('\t'))
+    val (dvLines, fileLines) = tabLines.partition(_.startsWith("dv\t"))
     val header = headerLines.map { l =>
       val Array(k, v) = l.split("=", 2); k -> v
     }.toMap
     val files = fileLines.map { l =>
       val Array(b, p) = l.split("\t", 2); FileEntry(b.toLong, p)
+    }
+    val dvs = dvLines.map { l =>
+      val Array(_, b, r, p) = l.split("\t", 4); DvEntry(b.toLong, r.toLong, p)
     }
     Manifest(header("version").toLong, header("batchId").toLong,
       header.get("buckets").map(_.toInt), header.get("keyCol"), files,
@@ -1999,7 +2317,12 @@ object ManifestUpsertSink {
         val Array(n, t) = e.split(":", 2); (n, t)
       }),
       header.get("dropcols").toSeq.flatMap(_.split(",").toSeq),
-      header.get("schema"))
+      header.get("schema"),
+      dvs,
+      header.get("defcols").toSeq.flatMap(_.split(";").toSeq.map { e =>
+        val Array(n, d) = e.split(":", 2); (n, d)
+      }),
+      header.get("sortedBy"))
   }
 
   private def manifestVersions(root: String, store: TableStore): Seq[Long] =
@@ -2133,6 +2456,12 @@ object ManifestUpsertSink {
     for (n <- m.droppedCols)
       require(!bad(n, ","), s"dropped column '$n' contains a manifest separator " +
         "(tab/newline/',') — such names cannot enter the drop header")
+    for ((n, d) <- m.defaults) {
+      require(!bad(n, ":;"), s"defaulted column '$n' contains a manifest separator " +
+        "(tab/newline/':'/';') — such names cannot enter the defaults header")
+      require(d.nonEmpty && !d.exists(c => c == ';' || c == '\t' || c == '\n' || c == '\r'),
+        s"DEFAULT literal '$d' contains a manifest separator (';'/tab/newline)")
+    }
     for (p <- m.partCol)
       require(!bad(p, ""), s"partitionCol '$p' contains a manifest separator " +
         "(tab/newline) — rename the column before partitioning on it")

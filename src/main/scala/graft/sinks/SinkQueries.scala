@@ -1719,7 +1719,112 @@ object SinkQueries {
       FROM part ORDER BY key"""),
     doc = "metadata-only ALTER COLUMN TYPE widening (Iceberg v3 promotion parity): the committed schema stamp respells the column, stamped reads promote old narrow vintages per file via the vectorized reader, post-widen writes land wide — zero data rewritten")
 
+  // --------------------------------------------------------------- q329
+  private val q329Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** MERGE-ON-READ DELETION VECTORS through pure SQL — the full
+    * lifecycle on a `mergeOnRead` table: DELETEs commit a per-bucket
+    * key-list sidecar (manifest edit + tiny parquet; the touched
+    * buckets' data files stay BYTE-IDENTICAL — ManifestDvSpec pins
+    * that), reads fold the sidecar (anti-join by key inside the
+    * connector's row-level fold scan; metadata-only COUNT(*) subtracts
+    * the manifest-recorded dv rows), a row-level UPDATE rewrites its
+    * touched buckets copy-on-write — materializing their dvs on the way
+    * — and `CALL system.compact` materializes the rest. At 100 TB this
+    * is the difference between O(keys) and O(bucket bytes) per trickle
+    * DELETE, the Iceberg-v2 equality-delete / Delta deletion-vector
+    * economics. The oracle restates the verb sequence as pure algebra;
+    * a hash match proves no surface — fold scan, census, update, compact
+    * — loses or resurrects a row. */
+  val q329 = QueryDef(
+    "q329_deletion_vectors",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q329_").toString
+      val cat = s"graft_q329_${q329Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.part(s, d).createOrReplaceTempView("q329_part")
+      s.sql(s"""CREATE TABLE $cat.pp (key BIGINT, price DOUBLE, sz BIGINT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8',
+          'mergeOnRead'='true')""")
+      s.sql(s"""INSERT INTO $cat.pp
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE), CAST(p_size AS BIGINT), 0L
+        FROM q329_part""")
+      // two trickle DELETEs: each a deletion-vector commit (zero data
+      // files rewritten — the dv sidecar accumulates across statements)
+      s.sql(s"DELETE FROM $cat.pp WHERE key IN (7, 13, 19)")
+      s.sql(s"DELETE FROM $cat.pp WHERE key = 42")
+      // the dv'd table serves reads mid-lifecycle: a row-level UPDATE's
+      // matching side reads through the fold (a dv-deleted key must not
+      // match), and its rewrite materializes the touched buckets' dvs
+      s.sql(s"UPDATE $cat.pp SET price = price + 1000.0 WHERE sz >= 40")
+      // compact materializes the remaining dvs; the final read must be
+      // identical before and after (the fold and the materialization are
+      // the same rows) — the census goes through the post-compact scan
+      s.sql(s"CALL $cat.system.compact('pp')")
+      s.sql(s"SELECT key, price, sz FROM $cat.pp ORDER BY key")
+    },
+    Some("""SELECT p_partkey AS key,
+        CASE WHEN p_size >= 40 THEN CAST(p_retailprice AS DOUBLE) + 1000.0
+             ELSE CAST(p_retailprice AS DOUBLE) END AS price,
+        CAST(p_size AS BIGINT) AS sz
+      FROM part
+      WHERE p_partkey NOT IN (7, 13, 19, 42)
+      ORDER BY key"""),
+    doc = "merge-on-read deletion vectors (Iceberg-v2 equality-delete economics): SQL DELETE commits a per-bucket key sidecar with data files byte-identical, every read folds it, UPDATE/compact materialize — O(keys) not O(bucket bytes) per trickle delete")
+
+  // --------------------------------------------------------------- q330
+  private val q330Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** ZERO-I/O `ADD COLUMN ... NOT NULL DEFAULT` served LIVE through SQL
+    * — the Iceberg-v3 initial-default shape: the ALTER commits a literal
+    * in the manifest header (same files), every read folds absent/null
+    * bytes to the literal (pre-add vintages fill with no rewrite; the
+    * connector's fold scan coalesces per row), Spark's own INSERT
+    * default-resolution fills the column when a post-add INSERT omits it
+    * (the catalog declares SUPPORT_COLUMN_DEFAULT_VALUE and the schema
+    * carries CURRENT/EXISTS default metadata), explicit post-add values
+    * stick, and `CALL system.compact` materializes the literal
+    * physically and clears the header. The oracle restates the
+    * lifecycle as a CASE over the raw table; a hash match proves no
+    * vintage reads null where the default was declared. */
+  val q330 = QueryDef(
+    "q330_add_column_default",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q330_").toString
+      val cat = s"graft_q330_${q330Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.part(s, d).createOrReplaceTempView("q330_part")
+      s.sql(s"""CREATE TABLE $cat.pp (key BIGINT, price DOUBLE, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8')""")
+      s.sql(s"""INSERT INTO $cat.pp
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE), 0L FROM q330_part""")
+      // metadata-only defaulted add: same files, pre-add rows read 'std'
+      s.sql(s"ALTER TABLE $cat.pp ADD COLUMN tier STRING NOT NULL DEFAULT 'std'")
+      // post-add merge with EXPLICIT values for a keyed subset: the
+      // table becomes genuinely mixed-vintage (rewritten buckets carry
+      // tier physically, carried buckets fill through the fold)
+      s.sql(s"""INSERT INTO $cat.pp
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE), 1L, 'gold'
+        FROM q330_part WHERE p_partkey % 4 = 0""")
+      // ... and an INSERT that OMITS the column: Spark fills the default
+      s.sql(s"INSERT INTO $cat.pp (key, price, seq) VALUES (2000001, 1.5, 1)")
+      // materialize, then read — values must be identical to the live fold
+      s.sql(s"CALL $cat.system.compact('pp')")
+      s.sql(s"SELECT key, price, tier FROM $cat.pp ORDER BY key")
+    },
+    Some("""SELECT p_partkey AS key, CAST(p_retailprice AS DOUBLE) AS price,
+        CASE WHEN p_partkey % 4 = 0 THEN 'gold' ELSE 'std' END AS tier
+      FROM part
+      UNION ALL
+      SELECT 2000001, 1.5, 'std'
+      ORDER BY key"""),
+    doc = "metadata-only ADD COLUMN NOT NULL DEFAULT (Iceberg-v3 initial-default shape): header literal, zero data I/O, reads fold absent/null to the default across mixed vintages, INSERT omission fills via Spark's default resolution, compact materializes")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
     q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319,
-    q322, q323, q324, q325, q326, q327, q328, q214, q215, q216, q228)
+    q322, q323, q324, q325, q326, q327, q328, q329, q330, q214, q215, q216, q228)
 }

@@ -69,6 +69,16 @@ class ManifestCatalog extends TableCatalog
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "bucket"))
 
+  /** Declares column-DEFAULT support so `ALTER TABLE ADD COLUMN ... NOT
+    * NULL DEFAULT <lit>` reaches the catalog (Spark gates the syntax on
+    * this) and INSERTs fill omitted defaulted columns from the schema
+    * metadata the connector serves. CREATE TABLE with DEFAULT still
+    * refuses (see createTable) — the declared-schema roundtrip has
+    * nowhere to keep it before the first commit. */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCatalogCapability
+      .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private var catalogName: String = _
   private var root: String = _
   private lazy val store: TableStore = TableStore.forPath(root)
@@ -150,14 +160,30 @@ class ManifestCatalog extends TableCatalog
       require(k.nonEmpty && schema.fieldNames.contains(k),
         s"key column '$k' (of keyCol '$keyCol') not in schema")
     require(schema.fieldNames.contains(orderCol), s"orderCol $orderCol not in schema")
+    // column DEFAULTs on CREATE TABLE refuse: the declared-schema DDL
+    // roundtrip (_catalog.properties) cannot hold the default before the
+    // first commit exists — adopt them post-creation via
+    // ALTER TABLE ADD COLUMN ... NOT NULL DEFAULT <literal>
+    for (f <- schema.fields)
+      require(!f.metadata.contains(org.apache.spark.sql.catalyst.util
+          .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY),
+        s"column ${f.name}: DEFAULT on CREATE TABLE is unsupported — " +
+          "add defaulted columns via ALTER TABLE ADD COLUMN ... NOT NULL DEFAULT")
     // optional date-partition layout: TBLPROPERTIES ('partCol'='event_date')
     val partLine = prop("partCol").map { p =>
       require(schema.fieldNames.contains(p), s"partCol $p not in schema")
       s"partCol=$p"
     }
+    // merge-on-read deletes: DELETEs commit deletion-vector sidecars
+    // instead of copy-on-write bucket rewrites (see
+    // ManifestUpsertSink.deleteKeysMergeOnRead)
+    val morLine = prop("mergeOnRead").map { v =>
+      require(v == "true" || v == "false", s"mergeOnRead must be true/false, got '$v'")
+      s"mergeOnRead=$v"
+    }
     val lines = Seq(
       s"keyCol=$keyCol", s"orderCol=$orderCol",
-      s"buckets=${prop("buckets").getOrElse("16")}") ++ partLine ++ Seq(
+      s"buckets=${prop("buckets").getOrElse("16")}") ++ partLine ++ morLine ++ Seq(
       s"schemaDDL=${schema.toDDL}")
     store.putString(tableDir(ident), "_catalog.properties", lines.mkString("\n"))
     loadTable(ident)
@@ -190,32 +216,68 @@ class ManifestCatalog extends TableCatalog
         s"table at $dir predates the keyCol header — alter via the Scala API"))
       new ManifestUpsertSink(dir, keyCol, m.buckets.getOrElse(16), m.partCol)
     }
+    // each case PLANS the catalog-properties rewrite (running its
+    // validations) BEFORE committing the sink-level DDL, then writes the
+    // planned content after — so either both surfaces change or neither:
+    // a props-side require firing after the manifest evolved would leave
+    // half-applied state behind a reported failure
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "RENAME COLUMN supports top-level columns only")
         val oldName = r.fieldNames.head
+        val plan = renamePropsPlan(dir, oldName, r.newName)
         for (m <- ManifestUpsertSink.latestManifest(dir))
           committedSink(m)
             .renameColumn(org.apache.spark.sql.SparkSession.active, oldName, r.newName)
         // a created-but-never-written table has only its declared schema
-        renameInProps(dir, oldName, r.newName)
+        plan.foreach(writeProps(dir, _))
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "ADD COLUMN supports top-level columns only")
+        val dflt = Option(a.defaultValue()).flatMap(d => Option(d.getSql))
+        // a plain metadata-only ADD COLUMN is null-backed: committing a
+        // NOT NULL add would serve nulls for a column the user declared
+        // non-null — refuse loudly. The supported non-null add is
+        // `ADD COLUMN c <type> NOT NULL DEFAULT <literal>`: the fold
+        // reads absent/null as the literal, which is exact ONLY when the
+        // column admits no explicit null — so a NULLABLE default refuses
+        // too (an inserted NULL would silently read as the default).
+        if (dflt.isDefined)
+          require(!a.isNullable,
+            "a nullable DEFAULT is ambiguous under the metadata-only fold " +
+              "(an explicit NULL would read as the default) — declare " +
+              "ADD COLUMN c <type> NOT NULL DEFAULT <literal>")
+        else
+          require(a.isNullable,
+            "metadata-only ADD COLUMN is null-backed — NOT NULL adds are " +
+              "unsupported without a DEFAULT")
+        require(a.position() == null,
+          "ADD COLUMN FIRST/AFTER is unsupported — metadata-only adds " +
+            "append at the end of the schema")
         val name = a.fieldNames.head
         val ddl = a.dataType().sql
+        // the default lives in the manifest header: a created-but-never-
+        // written table has no manifest to hold it, and dropping it
+        // silently would serve nulls later — refuse until first write
+        if (dflt.isDefined)
+          require(ManifestUpsertSink.latestManifest(dir).nonEmpty,
+            "ADD COLUMN ... DEFAULT needs a committed table (the default " +
+              "lives in the manifest) — insert at least one row first")
+        val plan = addPropsPlan(dir, name, a.dataType(), nullable = a.isNullable)
         for (m <- ManifestUpsertSink.latestManifest(dir))
-          committedSink(m).addColumn(org.apache.spark.sql.SparkSession.active, name, ddl)
-        addInProps(dir, name, ddl)
+          committedSink(m).addColumn(org.apache.spark.sql.SparkSession.active,
+            name, ddl, dflt)
+        plan.foreach(writeProps(dir, _))
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames.length == 1,
           "ALTER COLUMN TYPE supports top-level columns only")
         val name = u.fieldNames.head
+        val plan = widenPropsPlan(dir, name, u.newDataType())
         for (m <- ManifestUpsertSink.latestManifest(dir))
           committedSink(m).widenColumn(org.apache.spark.sql.SparkSession.active,
             name, u.newDataType().sql)
-        widenInProps(dir, name, u.newDataType())
+        plan.foreach(writeProps(dir, _))
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "DROP COLUMN supports top-level columns only")
@@ -225,9 +287,10 @@ class ManifestCatalog extends TableCatalog
         for (oc <- readProps(dir).get("orderCol"))
           require(oc != name,
             s"cannot drop $name: it is the table's LWW order column (orderCol)")
+        val plan = dropPropsPlan(dir, name)
         for (m <- ManifestUpsertSink.latestManifest(dir))
           committedSink(m).dropColumn(org.apache.spark.sql.SparkSession.active, name)
-        dropInProps(dir, name)
+        plan.foreach(writeProps(dir, _))
       case c => throw new UnsupportedOperationException(
         s"ALTER TABLE ${c.getClass.getSimpleName}: unsupported — " +
           "recluster/restore/compact via CALL procedures")
@@ -235,13 +298,22 @@ class ManifestCatalog extends TableCatalog
     loadTable(ident)
   }
 
+  private def writeProps(dir: String, content: String): Unit =
+    store.putString(dir, "_catalog.properties", content)
+
+  private def renderProps(props: Map[String, String]): String =
+    props.map { case (k, v) => s"$k=$v" }.mkString("\n")
+
   /** Re-spell `old` → `nu` across the catalog-properties file: the
     * keyCol spec (component-wise), orderCol, partCol, and the declared
-    * schema DDL. No-op when the file is absent (Scala-API tables). */
-  private def renameInProps(dir: String, old: String, nu: String): Unit = {
+    * schema DDL. None when the file is absent (Scala-API tables). All
+    * `*PropsPlan` helpers VALIDATE and render the new file content
+    * without writing — alterTable commits the sink DDL in between, so a
+    * failing validation aborts before either surface changes. */
+  private def renamePropsPlan(dir: String, old: String, nu: String): Option[String] = {
     val props = readProps(dir)
-    if (props.isEmpty) return
-    val updated = props.map {
+    if (props.isEmpty) return None
+    Some(renderProps(props.map {
       case ("keyCol", v) =>
         "keyCol" -> v.split(",").map(c => if (c.trim == old) nu else c.trim).mkString(",")
       case (k @ ("orderCol" | "partCol"), v) => k -> (if (v == old) nu else v)
@@ -249,68 +321,61 @@ class ManifestCatalog extends TableCatalog
         "schemaDDL" -> StructType(StructType.fromDDL(v).fields.map(f =>
           if (f.name == old) f.copy(name = nu) else f)).toDDL
       case kv => kv
-    }
-    store.putString(dir, "_catalog.properties",
-      updated.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+    }))
   }
 
   /** Append `name type` to the declared schema DDL (nullable — a
-    * metadata-only add is null-backed by definition). No-op when the
+    * metadata-only add is null-backed by definition). None when the
     * props file is absent (Scala-API tables). */
-  private def addInProps(dir: String, name: String, typeDdl: String): Unit = {
+  private def addPropsPlan(dir: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      nullable: Boolean = true): Option[String] = {
     val props = readProps(dir)
-    if (props.isEmpty) return
-    val updated = props.map {
+    if (props.isEmpty) return None
+    Some(renderProps(props.map {
       case ("schemaDDL", v) =>
         val st = StructType.fromDDL(v)
         require(!st.fieldNames.contains(name),
           s"cannot add: column $name already exists in the declared schema")
         "schemaDDL" -> StructType(st.fields :+
-          org.apache.spark.sql.types.StructField(name,
-            org.apache.spark.sql.types.DataType.fromDDL(typeDdl),
-            nullable = true)).toDDL
+          org.apache.spark.sql.types.StructField(name, dataType,
+            nullable = nullable)).toDDL
       case kv => kv
-    }
-    store.putString(dir, "_catalog.properties",
-      updated.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+    }))
   }
 
   /** Respell `name`'s type in the declared schema DDL (the sink verb
-    * already validated the widening against the committed stamp; a
-    * never-written table has nothing physical to promote, so any
-    * respell is safe there). No-op when the props file is absent. */
-  private def widenInProps(dir: String,
-      name: String, to: org.apache.spark.sql.types.DataType): Unit = {
+    * validates the widening against the committed stamp; a never-written
+    * table has nothing physical to promote, so any respell is safe
+    * there). None when the props file is absent. */
+  private def widenPropsPlan(dir: String,
+      name: String, to: org.apache.spark.sql.types.DataType): Option[String] = {
     val props = readProps(dir)
-    if (props.isEmpty) return
-    val updated = props.map {
+    if (props.isEmpty) return None
+    Some(renderProps(props.map {
       case ("schemaDDL", v) =>
         "schemaDDL" -> StructType(StructType.fromDDL(v).fields.map(f =>
           if (f.name == name) f.copy(dataType = to) else f)).toDDL
       case kv => kv
-    }
-    store.putString(dir, "_catalog.properties",
-      updated.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+    }))
   }
 
   /** Remove `name` from the declared schema DDL; refuses key/partition
-    * columns (committed layout). No-op when the props file is absent. */
-  private def dropInProps(dir: String, name: String): Unit = {
+    * columns (committed layout). None when the props file is absent. */
+  private def dropPropsPlan(dir: String, name: String): Option[String] = {
     val props = readProps(dir)
-    if (props.isEmpty) return
+    if (props.isEmpty) return None
     for (k <- props.get("keyCol"))
       require(!k.split(",").map(_.trim).contains(name),
         s"cannot drop $name: it is a key column of the table")
     for (p <- props.get("partCol"))
       require(p != name, s"cannot drop $name: it is the table's partition column")
-    val updated = props.map {
+    Some(renderProps(props.map {
       case ("schemaDDL", v) =>
         "schemaDDL" -> StructType(
           StructType.fromDDL(v).fields.filterNot(_.name == name)).toDDL
       case kv => kv
-    }
-    store.putString(dir, "_catalog.properties",
-      updated.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+    }))
   }
 
   override def dropTable(ident: Identifier): Boolean = {

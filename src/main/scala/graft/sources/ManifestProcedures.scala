@@ -133,8 +133,12 @@ private[graft] object ManifestProcedures {
       throw new IllegalArgumentException(s"no committed table at $root"))
     val stats = ManifestUpsertSink.loadStats(root, m.version)
     val covered = m.files.flatMap(f => stats.get(f.path))
+    // live deletion vectors: each dv'd key exists exactly once in its
+    // bucket's data and in one dv file, so subtraction is exact
+    val dvRows = m.dvs.map(_.rows).sum
     val rows =
-      if (covered.size == m.files.size) Some(covered.map(_.rows).sum) else None
+      if (covered.size == m.files.size) Some(covered.map(_.rows).sum - dvRows)
+      else None
     val bytes =
       if (covered.nonEmpty && covered.forall(_.bytes >= 0))
         Some(covered.map(_.bytes).sum) else None
@@ -151,7 +155,9 @@ private[graft] object ManifestProcedures {
       partitions,
       ManifestUpsertSink.committedVersions(root).size.toLong,
       m.renames.nonEmpty,
-      m.hasEvolution))
+      m.hasEvolution,
+      m.dvs.size.toLong,
+      dvRows))
     Array(row)
   }
 
@@ -168,7 +174,11 @@ private[graft] object ManifestProcedures {
     StructField("has_renames", BooleanType, nullable = false),
     // any live metadata-only evolution (rename/add/drop) — true means
     // reads are folding and a CALL system.compact would materialize
-    StructField("has_evolution", BooleanType, nullable = false)))
+    StructField("has_evolution", BooleanType, nullable = false),
+    // merge-on-read delete debt: live dv sidecar files and the exact
+    // deleted-key count they hold (already subtracted from total_rows)
+    StructField("n_dv_files", LongType, nullable = false),
+    StructField("dv_rows", LongType, nullable = false)))
 
   def names: Seq[String] = specs(identity).map(_.name) ++ Seq("history", "detail")
 

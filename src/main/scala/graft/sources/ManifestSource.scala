@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sinks.{ManifestStats, ManifestUpsertSink}
-import graft.sinks.ManifestUpsertSink.FileEntry
+import graft.sinks.ManifestUpsertSink.{DvEntry, FileEntry}
 
 /** `format("graft-manifest")` — the SQL surface for the
   * [[graft.sinks.ManifestUpsertSink]] lakehouse table: time travel, the
@@ -128,7 +128,7 @@ final class ManifestSource extends TableProvider with DataSourceRegister
         val m = snapshotAllowEmpty(root, resolveVersionOpt(root, options))
         Resolved(m.files, ManifestUpsertSink.loadStats(root, m.version),
           for (k <- m.keyCol; b <- m.buckets) yield (k, b), m.partCol, m.renames,
-          m.addedCols, m.droppedCols, m.physSchema)
+          m.addedCols, m.droppedCols, m.physSchema, m.dvs, m.defaults, m.sortedBy)
     }
   }
 
@@ -353,7 +353,10 @@ object ManifestSource {
       renames: Seq[(String, String)] = Nil,
       addedCols: Seq[(String, String)] = Nil,
       droppedCols: Seq[String] = Nil,
-      physSchema: Option[String] = None)
+      physSchema: Option[String] = None,
+      dvs: Seq[DvEntry] = Nil,
+      defaults: Seq[(String, String)] = Nil,
+      sortedBy: Option[String] = None)
 
   /** The ONE write path both the batch V1Write and the streaming sink
     * share: MERGE `data` through [[ManifestUpsertSink.upsertBatch]].
@@ -486,8 +489,15 @@ object ManifestSource {
         StructType(Seq(tableSchema(keyCol))))
       // ad-hoc sentinel: a SQL DELETE is outside the streaming sequence —
       // a synthesized cur.batchId+1 would both shadow the stream's next
-      // micro-batch AND silently no-op when racing another writer
-      sink.deleteKeys(keyDf.select(col(keyCol)), ManifestUpsertSink.AdHocBatch)
+      // micro-batch AND silently no-op when racing another writer.
+      // mergeOnRead tables commit a deletion-vector sidecar (manifest
+      // edit + tiny key parquet; data files byte-identical) instead of
+      // the copy-on-write bucket rewrite.
+      if (Option(options.get("mergeOnRead")).exists(_.toBoolean))
+        sink.deleteKeysMergeOnRead(keyDf.select(col(keyCol)),
+          ManifestUpsertSink.AdHocBatch)
+      else
+        sink.deleteKeys(keyDf.select(col(keyCol)), ManifestUpsertSink.AdHocBatch)
     }
 
     /** The key set a filter conjunction pins, when it is exactly
@@ -596,7 +606,9 @@ object ManifestSource {
       * Limit and the relation blocks the pushdown. Files missing from
       * the sidecar decline (their row contribution is unknowable). */
     override def pushLimit(n: Int): Boolean = {
-      if (pushedExprs.nonEmpty) return false
+      // live deletion vectors make sidecar row counts an OVER-count: a
+      // prefix "covering" n could hold fewer than n live rows — decline
+      if (pushedExprs.nonEmpty || resolved.dvs.nonEmpty) return false
       limit = Some(n)
       true
     }
@@ -675,10 +687,17 @@ object ManifestSource {
           if (isMin ^ (ManifestStats.cmpPublic(kinds.head, a, b) > 0)) a else b)
         v <- fromDomain(best, t)
       } yield (t, v)
+      // live deletion vectors: COUNT(*) stays answerable — each dv'd key
+      // exists exactly once in its bucket's data and in one dv file, so
+      // sidecar rows minus manifest-recorded dv rows is exact. Everything
+      // else declines: a dv'd row could hold the min/max or the non-null
+      // census the per-file stats still count.
+      val dvRows = resolved.dvs.map(_.rows).sum
       val answers: Seq[Option[(DataType, Any)]] =
         aggregation.aggregateExpressions.toSeq.map {
           case _: CountStar =>
-            Some((LongType, fs.map(_.rows).sum))
+            Some((LongType, fs.map(_.rows).sum - dvRows))
+          case _ if resolved.dvs.nonEmpty => None
           case c: Count if !c.isDistinct =>
             for {
               n <- colOf(c.column)
@@ -716,10 +735,13 @@ object ManifestSource {
             }
           case _ => pruned
         }
-        if (resolved.renames.isEmpty)
+        val keptBuckets = kept.map(_.bucket).toSet
+        val keptDvs = resolved.dvs.filter(d => keptBuckets(d.bucket))
+        if (resolved.renames.isEmpty && keptDvs.isEmpty && resolved.defaults.isEmpty)
           new ManifestScan(options, resolved, tableSchema, kept, pushedExprs, required)
         else
-          new ManifestRenameScan(options, resolved, tableSchema, kept, pushedExprs, required)
+          new ManifestRenameScan(options, resolved, tableSchema, kept, pushedExprs,
+            required, keptDvs)
     }
   }
 
@@ -758,7 +780,12 @@ object ManifestSource {
         }.getOrElse(-1L)
       }
       bucketIds.zipWithIndex.map { case (b, i) =>
-        new KeyedFilePartition(i, byBucket.getOrElse(b, Array.empty),
+        // splits of one file concatenate in offset order, so a bucket
+        // whose single key-sorted file was size-split still reads in key
+        // order — the SupportsReportOrdering contract depends on it
+        new KeyedFilePartition(i,
+          byBucket.getOrElse(b, Array.empty)
+            .sortBy(f => (f.filePath.toString, f.start)),
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             Array[Any](b.toInt)))
       }.toArray
@@ -818,18 +845,40 @@ object ManifestSource {
     * stay physical until a rewrite), then metadata-only ADDED columns
     * appended as nullable typed fields where no file carries them yet. */
   private[graft] def applyEvolutionSchema(st: StructType, r: Resolved): StructType =
-    applyEvolutionSchema(st, r.renames, r.addedCols, r.droppedCols)
+    applyEvolutionSchema(st, r.renames, r.addedCols, r.droppedCols, r.defaults)
 
   private[graft] def applyEvolutionSchema(st: StructType,
       renames: Seq[(String, String)], addedCols: Seq[(String, String)],
-      droppedCols: Seq[String]): StructType = {
+      droppedCols: Seq[String],
+      defaults: Seq[(String, String)] = Nil): StructType = {
     val renamed = applyRenamesSchema(st, renames)
     val droppedSet = droppedCols.toSet
     val dropped = StructType(renamed.fields.filterNot(f => droppedSet(f.name)))
+    val defaultOf = defaults.toMap
     addedCols.foldLeft(dropped) { case (s, (n, ddl)) =>
-      if (s.fieldNames.contains(n)) s
-      else StructType(s.fields :+ org.apache.spark.sql.types.StructField(
-        n, org.apache.spark.sql.types.DataType.fromDDL(ddl), nullable = true))
+      val base = org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.DataType.fromDDL(ddl), nullable = true)
+      val field = defaultOf.get(n) match {
+        // a NOT-NULL-DEFAULT add: the fold always produces the literal
+        // where bytes are absent/null, so the column IS non-nullable —
+        // and the CURRENT/EXISTS default metadata lets Spark's own
+        // INSERT resolution fill omitted columns with the declared
+        // literal (the SUPPORT_COLUMN_DEFAULT_VALUE contract)
+        case Some(dsql) =>
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+              .CURRENT_DEFAULT_COLUMN_METADATA_KEY, dsql)
+            .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+              .EXISTS_DEFAULT_COLUMN_METADATA_KEY, dsql)
+            .build()
+          base.copy(nullable = false, metadata = md)
+        case None => base
+      }
+      if (s.fieldNames.contains(n))
+        // post-add files carry the column physically; a defaulted add
+        // still re-types the FIELD (non-null + metadata) on top
+        StructType(s.fields.map(f => if (f.name == n) field else f))
+      else StructType(s.fields :+ field)
     }
   }
 
@@ -901,25 +950,87 @@ object ManifestSource {
     * folded rows. */
   private[graft] final class ManifestRenameScan(options: CaseInsensitiveStringMap,
       resolved: Resolved, tableSchema: StructType, kept: Seq[FileEntry],
-      pushedExprs: Seq[Expression], required: Option[StructType])
+      pushedExprs: Seq[Expression], required: Option[StructType],
+      dvs: Seq[DvEntry] = Nil)
       extends Scan with org.apache.spark.sql.connector.read.Batch
       with SupportsReportStatistics {
 
     private[graft] def plannedFiles: Seq[String] = kept.map(_.path)
 
     private val logical: StructType = required.getOrElse(tableSchema)
+
+    /** The columns the READER must produce: the query's pruned output,
+      * plus — only while deletion vectors are live — any key component
+      * the pruning dropped (the per-row dv filter tests the key tuple;
+      * the surplus is projected away after the filter). */
+    private val fetched: StructType =
+      if (dvs.isEmpty) logical
+      else {
+        val have = logical.fieldNames.toSet
+        val keyNames = resolved.keyInfo.toSeq.flatMap(_._1.split(",").map(_.trim))
+        StructType(logical.fields ++
+          keyNames.filterNot(have).map(n => tableSchema(tableSchema.fieldIndex(n))))
+      }
+
     private val sources: Map[String, Seq[String]] =
       renameSources(tableSchema, resolved.renames)
     private def expand(st: StructType): StructType = StructType(st.fields.flatMap(f =>
       sources.getOrElse(f.name, Seq(f.name))
         .map(s => org.apache.spark.sql.types.StructField(s, f.dataType, nullable = true))))
-    private val physRequired = expand(logical)
-    // positions of each logical field's sources within the expanded row
+    private val physRequired = expand(fetched)
+    // positions of each fetched field's sources within the expanded row
     private val positions: Seq[Seq[Int]] = {
       var i = -1
-      logical.fields.toSeq.map(f =>
+      fetched.fields.toSeq.map(f =>
         sources.getOrElse(f.name, Seq(f.name)).map { _ => i += 1; i })
     }
+
+    /** The per-row DELETION-VECTOR filter inputs, resolved ONCE at scan
+      * construction: key positions/types within the fetched row and the
+      * deleted key tuples as UnsafeRow bytes — driver-held and shipped
+      * in the factory closure, bounded by the write path's per-bucket
+      * cap. dv files carry write-time physical names; the same rename
+      * fold maps them onto the current logical key. */
+    private val dvFold: Option[(Seq[Int], Seq[org.apache.spark.sql.types.DataType], Array[Array[Byte]])] =
+      if (dvs.isEmpty) None
+      else {
+        val keyNames = resolved.keyInfo.getOrElse(throw new IllegalStateException(
+          "deletion vectors on a table without a keyCol header"))._1
+          .split(",").map(_.trim).toSeq
+        val keyIdx = keyNames.map(fetched.fieldIndex)
+        val keyTypes = keyIdx.map(fetched(_).dataType)
+        val spark = SparkSession.active
+        import org.apache.spark.sql.functions.col
+        val dvKeys = ManifestUpsertSink.applyRenames(
+          spark.read.parquet(dvs.map(_.path): _*), resolved.renames)
+          .select(keyNames.zip(keyTypes).map { case (n, t) => col(n).cast(t) }: _*)
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(keyTypes.toArray)
+        val bytes = dvKeys.queryExecution.toRdd.collect()
+          .map(r => proj(r).copy().getBytes)
+        Some((keyIdx, keyTypes, bytes))
+      }
+
+    /** DEFAULT literals of NOT-NULL-DEFAULT added columns, resolved to
+      * their INTERNAL values once at scan construction (fetched-field
+      * index → value): the per-row fold coalesces absent/null bytes to
+      * the literal, so pre-add vintages and null-carrying files read the
+      * declared default with zero rewrite. */
+    private val defaultVals: Map[Int, Any] =
+      if (resolved.defaults.isEmpty) Map.empty
+      else {
+        val byName = resolved.defaults.toMap
+        val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+        fetched.fields.zipWithIndex.flatMap { case (f, i) =>
+          byName.get(f.name).map { dsql =>
+            val l = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(dsql)
+              .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+            i -> org.apache.spark.sql.catalyst.expressions.Cast(
+              l, f.dataType, Some(tz)).eval(null)
+          }
+        }.toMap
+      }
 
     private val delegate: Scan = {
       val b = parquetTable(options, kept.map(_.path), Some(expand(tableSchema)))
@@ -932,26 +1043,44 @@ object ManifestSource {
     override def readSchema(): StructType = logical
     override def toBatch: org.apache.spark.sql.connector.read.Batch = this
     override def description(): String =
-      s"graft-manifest(rename-folding) files=${kept.size}/${resolved.files.size} " +
-        delegate.description()
-    override def estimateStatistics(): V2Statistics =
-      sidecarStats(kept, resolved, tableSchema)
+      s"graft-manifest(fold${if (resolved.renames.nonEmpty) " renames" else ""}" +
+        s"${if (dvs.nonEmpty) s" dv=${dvs.map(_.rows).sum}keys" else ""}) " +
+        s"files=${kept.size}/${resolved.files.size} " + delegate.description()
+    override def estimateStatistics(): V2Statistics = {
+      val base = sidecarStats(kept, resolved, tableSchema)
+      if (dvs.isEmpty) base
+      else new V2Statistics { // subtract the known-deleted rows
+        override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+        override def numRows(): java.util.OptionalLong = {
+          val r = base.numRows()
+          if (r.isPresent)
+            java.util.OptionalLong.of(math.max(0L, r.getAsLong - dvs.map(_.rows).sum))
+          else r
+        }
+      }
+    }
 
     override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
       delegate.toBatch.planInputPartitions()
     override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
       new RenameFoldReaderFactory(delegate.toBatch.createReaderFactory(),
-        logical.fields.map(_.dataType).toSeq, positions)
+        fetched.fields.map(_.dataType).toSeq, positions, dvFold, logical.length,
+        defaultVals)
   }
 
-  /** Row-level rename fold: wraps the delegate's (row-based) readers with
-    * a codegen'd `coalesce` projection from the expanded physical row to
-    * the logical schema. Built per reader ON the executor — only
-    * (dataTypes, positions) ship. */
+  /** Row-level fold: wraps the delegate's (row-based) readers with a
+    * codegen'd `coalesce` projection from the expanded physical row to
+    * the fetched schema, then — when deletion vectors are live — drops
+    * rows whose key tuple is in the deleted set and projects surplus
+    * key columns away. Built per reader ON the executor — only
+    * (dataTypes, positions, dv bytes) ship. */
   private final class RenameFoldReaderFactory(
       delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory,
       dataTypes: Seq[org.apache.spark.sql.types.DataType],
-      positions: Seq[Seq[Int]])
+      positions: Seq[Seq[Int]],
+      dvFold: Option[(Seq[Int], Seq[org.apache.spark.sql.types.DataType], Array[Array[Byte]])],
+      outFields: Int,
+      defaultVals: Map[Int, Any] = Map.empty)
       extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
     override def supportColumnarReads(
@@ -960,17 +1089,63 @@ object ManifestSource {
     override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
         : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
       import org.apache.spark.sql.catalyst.InternalRow
-      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Coalesce, UnsafeProjection}
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Coalesce, UnsafeProjection, UnsafeRow}
+      import org.apache.spark.sql.catalyst.expressions.Literal
       val inner = delegate.createReader(p)
-      val exprs = positions.zip(dataTypes).map { case (ps, dt) =>
-        if (ps.size == 1) BoundReference(ps.head, dt, nullable = true)
-        else Coalesce(ps.map(i => BoundReference(i, dt, nullable = true)))
+      val exprs = positions.zipWithIndex.zip(dataTypes).map { case ((ps, idx), dt) =>
+        val refs = ps.map(i =>
+          BoundReference(i, dt, nullable = true)
+            : org.apache.spark.sql.catalyst.expressions.Expression)
+        // a defaulted column coalesces to its literal LAST — absent or
+        // null bytes read as the declared default
+        val withDefault = defaultVals.get(idx) match {
+          case Some(v) => refs :+ (Literal(v, dt)
+            : org.apache.spark.sql.catalyst.expressions.Expression)
+          case None => refs
+        }
+        if (withDefault.size == 1) withDefault.head else Coalesce(withDefault)
       }
       val proj = UnsafeProjection.create(exprs)
-      new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-        override def next(): Boolean = inner.next()
-        override def get(): InternalRow = proj(inner.get())
-        override def close(): Unit = inner.close()
+      dvFold match {
+        case None =>
+          new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+            override def next(): Boolean = inner.next()
+            override def get(): InternalRow = proj(inner.get())
+            override def close(): Unit = inner.close()
+          }
+        case Some((keyIdx, keyTypes, keyBytes)) =>
+          val deleted = new java.util.HashSet[UnsafeRow](
+            math.max(16, keyBytes.length * 2))
+          for (b <- keyBytes) {
+            val r = new UnsafeRow(keyTypes.length)
+            r.pointTo(b, b.length)
+            deleted.add(r)
+          }
+          val keyProj = UnsafeProjection.create(
+            keyIdx.zip(keyTypes).map { case (i, t) =>
+              BoundReference(i, t, nullable = true)
+            })
+          // surplus key columns (fetched for the filter only) truncate away
+          val outProj =
+            if (outFields == dataTypes.length) null
+            else UnsafeProjection.create(
+              (0 until outFields).map(i =>
+                BoundReference(i, dataTypes(i), nullable = true)))
+          new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+            private var cur: InternalRow = _
+            override def next(): Boolean = {
+              while (inner.next()) {
+                val folded = proj(inner.get())
+                if (!deleted.contains(keyProj(folded))) {
+                  cur = if (outProj == null) folded else outProj(folded)
+                  return true
+                }
+              }
+              false
+            }
+            override def get(): InternalRow = cur
+            override def close(): Unit = inner.close()
+          }
       }
     }
   }
@@ -1056,7 +1231,8 @@ object ManifestSource {
       private val pushedExprs: Seq[Expression],
       private val required: Option[StructType])
       extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering
-      with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+      with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+      with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
     @volatile private var kept: Seq[FileEntry] = keptInit
 
@@ -1092,6 +1268,28 @@ object ManifestSource {
         case _ => None
       }
     }
+
+    /** KEY ORDERING report — the piece that removes the per-task
+      * SortExec from a storage-partitioned join: valid ONLY when (a) SPJ
+      * mode is on (each InputPartition is one bucket), (b) the manifest
+      * stamps every live file key-sorted under the CURRENT key spec, and
+      * (c) no bucket holds more than one physical file (two sorted files
+      * concatenated are not sorted — a fresh compact() restores the
+      * one-file-per-bucket layout). Splits of the single file read in
+      * offset order (GroupedBatch sorts them), so the partition-wide
+      * order claim holds. Ascending nulls-first, matching both the
+      * writer's sortWithinPartitions and Spark's default sort key. */
+    override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      (spjBuckets, resolved.keyInfo) match {
+        case (Some(_), Some((spec, _)))
+            if resolved.sortedBy.contains(spec) &&
+              kept.groupBy(_.bucket).values.forall(_.size <= 1) =>
+          spec.split(",").map(_.trim).map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions.column(c),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        case _ => Array.empty
+      }
 
     override def outputPartitioning()
         : org.apache.spark.sql.connector.read.partitioning.Partitioning =

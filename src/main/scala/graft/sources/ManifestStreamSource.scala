@@ -112,6 +112,15 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
   // growth is additive and passes
   private val pinnedTypes: Map[String, String] =
     pinnedManifest.map(ManifestStreamSource.allTypesOf).getOrElse(Map.empty)
+  // whether the PIN itself carried a schema stamp: a post-pin commit that
+  // LOSES the stamp (unionPhysSchema drops it on an unresolvable same-name
+  // type conflict, e.g. a merge re-typing a column int -> string, which
+  // Union coercion lets through) then carries NO types for the drift guard
+  // to compare — treating the loss itself as drift closes the blind spot
+  // (a pinned from_json projection would otherwise silently parse the
+  // re-typed values as nulls). Pre-stamp-vintage tables (pin unstamped)
+  // keep the old behavior: their commits were never stamped to begin with.
+  private val pinnedStamped: Boolean = pinnedManifest.exists(_.physSchema.nonEmpty)
   private val pinnedKeyCol: Option[String] = pinnedManifest.flatMap(_.keyCol)
 
   /** Trigger.AvailableNow's latch: versions committed AFTER prepare are
@@ -266,6 +275,17 @@ final class ManifestStreamSource(sqlContext: SQLContext, root: String,
           // after the pin whose shared-name types left the pin's breaks
           // the pinned projection, whether committed by a DDL, a
           // post-widen merge, or a materializing compaction
+          // post-pin stamp LOSS is drift too: an unstamped successor of a
+          // stamped pin means a commit's written schema conflicted with
+          // the stamp unresolvably (re-type through Union coercion) — the
+          // exact silent-corruption case the type check exists to catch,
+          // invisible to it because allTypesOf of an unstamped manifest
+          // is empty
+          if (v > pinnedAt && pinnedStamped && m.physSchema.isEmpty)
+            throw new IllegalStateException(
+              s"table at $root lost its schema stamp at v$v inside this stream's " +
+                s"window [$from, $to] — a commit re-typed a column unresolvably; " +
+                "restart the stream so the pinned schema matches the data")
           if (v > pinnedAt && typeDrift(ManifestStreamSource.allTypesOf(m)))
             throw new IllegalStateException(
               s"table at $root changed a pinned column's type (widen or re-add) " +
@@ -388,6 +408,11 @@ object ManifestStreamSource {
         case Some(stamp) =>
           // the committed schema stamp pins the stream's schema with
           // ZERO file I/O (and no anchor juggling on a drained table)
+          // deliberately WITHOUT the defaults fold: the stream's schema
+          // feeds from_json over backlog images, and a pre-add image
+          // reads the defaulted column as null — a non-nullable pinned
+          // field would lie to codegen. The rewind-reads-null contract
+          // is the documented one for every metadata evolution here.
           ManifestSource.applyEvolutionSchema(
             org.apache.spark.sql.types.StructType.fromDDL(stamp),
             latest.renames, latest.addedCols, latest.droppedCols)

@@ -263,4 +263,48 @@ class ManifestCatalogSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ADD COLUMN refuses NOT NULL (null-backed) and FIRST/AFTER positions, loudly") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='2')""")
+      spark.sql(s"INSERT INTO $cat.t VALUES (1, 0)")
+      // a metadata-only add is null-backed: committing a NOT NULL column
+      // would serve nulls for a column the user declared non-null
+      val e1 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.t ADD COLUMN c INT NOT NULL")
+      }
+      assert(e1.getMessage.contains("null-backed"), e1.getMessage)
+      // positions are silently-appended lies: refuse, don't reorder
+      val e2 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.t ADD COLUMN c INT FIRST")
+      }
+      assert(e2.getMessage.contains("FIRST/AFTER"), e2.getMessage)
+      // neither refusal touched the manifest
+      assert(ManifestUpsertSink.latestManifest(s"$root/t").get.addedCols.isEmpty,
+        "a refused ADD COLUMN must not evolve the manifest")
+    }
+  }
+
+  test("ALTER validates catalog props BEFORE committing the sink DDL: both surfaces change or neither") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='2')""")
+      spark.sql(s"INSERT INTO $cat.t VALUES (1, 0)")
+      // simulate schemaDDL drift: the declared schema already carries the
+      // name about to be added (a hand-edited or drifted props file)
+      val propsPath = java.nio.file.Paths.get(root, "t", "_catalog.properties")
+      val drifted = new String(java.nio.file.Files.readAllBytes(propsPath), "UTF-8")
+        .linesIterator.map(l =>
+          if (l.startsWith("schemaDDL=")) s"$l,c INT" else l).mkString("\n")
+      java.nio.file.Files.write(propsPath, drifted.getBytes("UTF-8"))
+      val before = ManifestUpsertSink.latestManifest(s"$root/t").get
+      val e = intercept[Exception] { spark.sql(s"ALTER TABLE $cat.t ADD COLUMN c INT") }
+      assert(e.getMessage.contains("already exists"), e.getMessage)
+      val after = ManifestUpsertSink.latestManifest(s"$root/t").get
+      assert(after.version == before.version && after.addedCols.isEmpty,
+        "a props-side validation failure must abort BEFORE the manifest evolves — " +
+          "no half-applied ALTER")
+    }
+  }
 }

@@ -1,0 +1,238 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.ManifestUpsertSink
+
+/** MERGE-ON-READ deletion vectors: a DELETE commits a tiny per-bucket
+  * key-list sidecar (manifest edit + small parquet) instead of
+  * rewriting the touched buckets — data files stay BYTE-IDENTICAL.
+  * Every read surface folds the sidecar; rewrites (merge, compaction,
+  * CoW delete) materialize and clear it; the per-bucket cap routes
+  * bulk deletes back to copy-on-write. */
+class ManifestDvSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def seed(root: String, n: Int = 40, buckets: Int = 4): ManifestUpsertSink = {
+    import spark.implicits._
+    val sink = new ManifestUpsertSink(root, "id", buckets)
+    sink.upsertBatch((1 to n).map(i => (i.toLong, s"p$i", 1L))
+      .toDF("id", "p", "seq"), "seq", 0L)
+    sink
+  }
+
+  private def fileBytes(paths: Seq[String]): Map[String, Long] =
+    paths.map(p => p -> Files.size(Paths.get(p))).toMap
+
+  test("MoR delete: data files byte-identical, manifest edit + dv sidecar only; reads fold") {
+    import spark.implicits._
+    val root = tmp("graft_dv_basic_")
+    val sink = seed(root)
+    val v0 = ManifestUpsertSink.latestManifest(root).get
+    val bytesBefore = fileBytes(v0.files.map(_.path))
+
+    sink.deleteKeysMergeOnRead(Seq(7L, 13L).toDF("id"), 1L)
+
+    val v1 = ManifestUpsertSink.latestManifest(root).get
+    assert(v1.version == v0.version + 1)
+    // THE pin: the snapshot's data files are the SAME paths with the
+    // SAME bytes — the delete wrote no data file
+    assert(v1.files.map(_.path).toSet == v0.files.map(_.path).toSet,
+      "a merge-on-read delete must not rewrite any data file")
+    assert(fileBytes(v1.files.map(_.path)) == bytesBefore,
+      "data files must stay byte-identical")
+    assert(v1.dvs.nonEmpty && v1.dvs.map(_.rows).sum == 2L,
+      s"the dv sidecar holds exactly the two deleted keys, got ${v1.dvs}")
+
+    // Scala read folds
+    val ids = sink.read(spark).select("id").as[Long].collect().toSet
+    assert(!ids.contains(7L) && !ids.contains(13L) && ids.size == 38)
+    // time travel: the pre-delete version still shows them
+    assert(ManifestUpsertSink.readVersion(spark, root, v0.version).count() == 40)
+    // CDC feed: two deleted rows with before images
+    val feed = ManifestUpsertSink.readChanges(spark, root, v1.version)
+    assert(feed.filter(col("change") === "deleted").count() == 2)
+    assert(feed.filter(col("old_image").isNull).count() == 0)
+
+    // DSv2 scan folds — with the key projected away (the fold fetches it
+    // back internally) and with a pushed filter
+    val sql = spark.read.format("graft-manifest").load(root)
+    assert(sql.count() == 38)
+    assert(sql.select("p").as[String].collect().toSet ==
+      (1 to 40).filterNot(i => i == 7 || i == 13).map(i => s"p$i").toSet,
+      "a key-pruned projection still folds the dv")
+    assert(sql.filter(col("id") === 7L).count() == 0,
+      "a point lookup of a dv-deleted key reads empty")
+    assert(sql.filter(col("id") === 8L).count() == 1)
+  }
+
+  test("re-delete and absent-key delete are clean no-ops; zero-victim statements commit nothing") {
+    import spark.implicits._
+    val root = tmp("graft_dv_noop_")
+    val sink = seed(root)
+    sink.deleteKeysMergeOnRead(Seq(5L).toDF("id"), 1L)
+    val v1 = ManifestUpsertSink.latestManifest(root).get
+    // re-deleting a dv-deleted key: it is absent from `current`, so the
+    // statement has zero victims and must not create a version (nor a
+    // second dv entry for the key — the sidecar arithmetic stays exact)
+    sink.deleteKeysMergeOnRead(Seq(5L).toDF("id"), 2L)
+    sink.deleteKeysMergeOnRead(Seq(99999L).toDF("id"), 3L)
+    assert(ManifestUpsertSink.latestManifest(root).get.version == v1.version,
+      "zero-victim deletes must not commit")
+    assert(ManifestUpsertSink.latestManifest(root).get.dvs.map(_.rows).sum == 1L)
+  }
+
+  test("a merge into a dv'd bucket materializes its dvs; compaction clears them all") {
+    import spark.implicits._
+    val root = tmp("graft_dv_mat_")
+    val sink = seed(root)
+    sink.deleteKeysMergeOnRead((1 to 10).map(_.toLong).toDF("id"), 1L)
+    val v1 = ManifestUpsertSink.latestManifest(root).get
+    assert(v1.dvs.map(_.rows).sum == 10L)
+    // merge a batch touching SOME buckets: those buckets rewrite with the
+    // dv folded (deleted keys stay gone, no dv entry remains for them)
+    sink.upsertBatch(Seq((2L, "back", 2L)).toDF("id", "p", "seq"), "seq", 2L)
+    val v2 = ManifestUpsertSink.latestManifest(root).get
+    val touchedBucket = v2.touched.get
+    assert(v2.dvs.forall(d => !touchedBucket(d.bucket)),
+      "a rewritten bucket's dv entries must clear (materialized)")
+    val ids2 = sink.read(spark).select("id").as[Long].collect().toSet
+    assert(ids2.contains(2L), "the re-inserted key is back")
+    assert((1 to 10).filterNot(_ == 2).forall(i => !ids2.contains(i.toLong)),
+      "other deleted keys stay deleted across the partial materialization")
+    // full compaction: all dvs materialize, rows unchanged
+    sink.compact(spark)
+    val v3 = ManifestUpsertSink.latestManifest(root).get
+    assert(v3.dvs.isEmpty, "compact() materializes every deletion vector")
+    assert(sink.read(spark).select("id").as[Long].collect().toSet == ids2)
+  }
+
+  test("metadata-only COUNT(*) subtracts dv rows and stays a LocalTableScan; MIN/MAX falls back") {
+    import spark.implicits._
+    val root = tmp("graft_dv_count_")
+    val sink = seed(root, n = 30)
+    sink.deleteKeysMergeOnRead(Seq(1L, 2L, 3L).toDF("id"), 1L)
+    val df = spark.read.format("graft-manifest").load(root).agg(count(lit(1)).as("n"))
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"COUNT(*) must stay sidecar-answered under dvs:\n${df.queryExecution.executedPlan}")
+    assert(df.as[Long].head() == 27L)
+    // MIN over a dv'd snapshot cannot trust the sidecar (the min row may
+    // be deleted) — it must fall back to a real scan and still be right
+    val mn = spark.read.format("graft-manifest").load(root).agg(min(col("id")))
+    assert(!mn.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(mn.as[Long].head() == 4L)
+  }
+
+  test("per-bucket cap routes bulk deletes to copy-on-write, which materializes the backlog") {
+    import spark.implicits._
+    val root = tmp("graft_dv_cap_")
+    val sink = seed(root, n = 100)
+    sink.deleteKeysMergeOnRead(Seq(1L).toDF("id"), 1L)
+    assert(ManifestUpsertSink.latestManifest(root).get.dvs.nonEmpty)
+    // a delete that would push some bucket past the cap: the WHOLE
+    // statement becomes a CoW delete — files rewrite, dvs clear
+    sink.deleteKeysMergeOnRead((2 to 60).map(_.toLong).toDF("id"), 2L,
+      maxDvRowsPerBucket = 4L)
+    val v = ManifestUpsertSink.latestManifest(root).get
+    assert(v.dvs.forall(d => !v.touched.get(d.bucket)),
+      "rewritten buckets carry no dv entries after the CoW fallback")
+    assert(sink.read(spark).count() == 40L)
+    assert(sink.read(spark).select("id").as[Long].collect().toSet ==
+      (61 to 100).map(_.toLong).toSet)
+  }
+
+  test("restore across dv versions: each side folds its own dvs; resurrect and re-kill") {
+    import spark.implicits._
+    val root = tmp("graft_dv_restore_")
+    val sink = seed(root, n = 20)
+    sink.deleteKeysMergeOnRead(Seq(4L, 5L).toDF("id"), 1L) // v1
+    val restored = sink.restore(spark, 0L) // v2 == v0's rows
+    assert(restored.read(spark).count() == 20, "restore resurrects dv-deleted rows")
+    // the restore feed records the two resurrections as inserts
+    val feed = ManifestUpsertSink.readChanges(spark, root, 2L)
+    assert(feed.filter(col("change") === "inserted").count() == 2)
+    val back = restored.restore(spark, 1L) // v3 == v1: dvs live again
+    assert(back.read(spark).count() == 18, "restoring a dv version re-applies its dvs")
+    assert(ManifestUpsertSink.latestManifest(root).get.dvs.map(_.rows).sum == 2L)
+  }
+
+  test("vacuum keeps dv sidecars of held versions, reclaims dropped ones, and dv'd reads survive") {
+    import spark.implicits._
+    val root = tmp("graft_dv_vacuum_")
+    val sink = seed(root, n = 20)
+    sink.deleteKeysMergeOnRead(Seq(3L).toDF("id"), 1L) // v1: dv
+    sink.compact(spark) // v2: materialized
+    val dvPath = {
+      val v1 = ManifestUpsertSink.manifestAt(root, 1L).get
+      v1.dvs.head.path
+    }
+    assert(Files.exists(Paths.get(dvPath)))
+    sink.vacuum(keepVersions = 2) // v1 held: its dv file must survive
+    assert(Files.exists(Paths.get(dvPath)),
+      "a held version's dv sidecar must survive vacuum")
+    assert(ManifestUpsertSink.readVersion(spark, root, 1L).count() == 19)
+    sink.vacuum(keepVersions = 1) // v1 dropped: dv file reclaimed
+    assert(!Files.exists(Paths.get(dvPath)),
+      "a dropped version's dv sidecar is reclaimed")
+    assert(sink.read(spark).count() == 19)
+  }
+
+  test("streaming across a dv delete: changes mode carries the deletion; snapshot folds dvs") {
+    import spark.implicits._
+    val root = tmp("graft_dv_stream_")
+    val sink = seed(root, n = 10)
+    sink.deleteKeysMergeOnRead(Seq(6L).toDF("id"), 1L)
+    // a NEW stream's batch-0 snapshot is the dv-folded table
+    val snap = new graft.sources.ManifestStreamSource(spark.sqlContext, root,
+      changesMode = false, startingVersion = None, maxVersionsPerTrigger = None,
+      graft.sources.ManifestStreamSource.resolveSchema(spark.sqlContext, root, false))
+    // the dv commit's window carries the standard deleted feed row, so a
+    // changes-mode subscriber sees the retraction like any CoW delete
+    val changes = new graft.sources.ManifestStreamSource(spark.sqlContext, root,
+      changesMode = true, startingVersion = Some(0L), maxVersionsPerTrigger = None,
+      graft.sources.ManifestStreamSource.resolveSchema(spark.sqlContext, root, true))
+    val rows = changes.changesBetween(1L, 1L)
+      .select("id", "change").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((6L, "deleted")),
+      s"the dv commit must stream as a standard deletion, got $rows")
+    val snapIds = ManifestUpsertSink.readVersion(spark, root,
+      ManifestUpsertSink.latestManifest(root).get.version)
+      .select("id").as[Long].collect().toSet
+    assert(!snapIds.contains(6L) && snapIds.size == 9)
+    assert(snap.schema.fieldNames.contains("id"))
+  }
+
+  test("SQL lifecycle on a mergeOnRead table: DELETE is a manifest edit; UPDATE folds + clears") {
+    val root = tmp("graft_dv_sql_")
+    val cat = "graft_dvsql"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, p STRING, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4',
+        'mergeOnRead'='true')""")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('p', id), 0L FROM range(1, 41)")
+    val v0 = ManifestUpsertSink.latestManifest(s"$root/t").get
+    spark.sql(s"DELETE FROM $cat.t WHERE id IN (7, 13)")
+    val v1 = ManifestUpsertSink.latestManifest(s"$root/t").get
+    assert(v1.files.map(_.path).toSet == v0.files.map(_.path).toSet,
+      "SQL DELETE on a mergeOnRead table must not rewrite data files")
+    assert(v1.dvs.map(_.rows).sum == 2L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 38L)
+    assert(spark.sql(s"SELECT p FROM $cat.t WHERE id = 7").count() == 0)
+    // row-level UPDATE rewrites its touched buckets copy-on-write,
+    // folding + clearing their dvs on the way
+    spark.sql(s"UPDATE $cat.t SET p = 'upd' WHERE id % 10 = 0")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE p = 'upd'").head().getLong(0) == 4L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 38L)
+    spark.sql(s"CALL $cat.system.compact('t')")
+    assert(ManifestUpsertSink.latestManifest(s"$root/t").get.dvs.isEmpty)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 38L)
+  }
+}

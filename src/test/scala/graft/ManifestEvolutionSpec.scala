@@ -571,4 +571,99 @@ class ManifestEvolutionSpec extends AnyFunSuite {
     assert(sink.read(spark).count() == 1, "the table still reads via the fallback")
     assert(sink.read(spark).columns.contains("a\tb"))
   }
+
+  test("ADD COLUMN NOT NULL DEFAULT: metadata-only literal fill, mixed vintages, compaction materializes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_dflt_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch((1 to 20).map(i => (i.toLong, s"p$i", 1L))
+      .toDF("id", "p", "seq"), "seq", 0L) // v0: pre-add vintage
+    sink.addColumn(spark, "tier", "string", Some("'std'")) // v1: metadata only
+    assert(ManifestUpsertSink.latestManifest(root).get.files ==
+      ManifestUpsertSink.manifestAt(root, 0L).get.files,
+      "a defaulted add commits the SAME files — zero data I/O")
+    // every read fills the literal for pre-add rows, Scala and SQL alike
+    assert(sink.read(spark).select("tier").as[String].collect().toSet == Set("std"))
+    val sql = spark.read.format("graft-manifest").load(root)
+    assert(sql.schema("tier").nullable == false,
+      "a NOT-NULL-DEFAULT column reports non-nullable")
+    assert(sql.select("tier").as[String].collect().toSet == Set("std"))
+    // post-add merge carries explicit values: genuinely mixed vintages
+    sink.upsertBatch(Seq((2L, "p2", "gold", 2L), (21L, "p21", "gold", 2L))
+      .toDF("id", "p", "tier", "seq"), "seq", 1L)
+    def tiers(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select("id", "tier").as[(Long, String)].collect().toMap
+    val expected = (1 to 21).map(i =>
+      i.toLong -> (if (i == 2 || i == 21) "gold" else "std")).toMap
+    assert(tiers(sink.read(spark)) == expected)
+    assert(tiers(spark.read.format("graft-manifest").load(root)) == expected)
+    // a batch carrying explicit NULL in the defaulted column: the engine
+    // treats null as "absent" (the column is declared NOT NULL) — it
+    // reads as the default, the documented fold contract
+    sink.upsertBatch(Seq((3L, "p3", null.asInstanceOf[String], 3L))
+      .toDF("id", "p", "tier", "seq"), "seq", 2L)
+    assert(tiers(sink.read(spark))(3L) == "std")
+    // compaction materializes: headers clear, values physical, rows same
+    val before = tiers(sink.read(spark))
+    sink.compact(spark)
+    val m = ManifestUpsertSink.latestManifest(root).get
+    assert(m.addedCols.isEmpty && m.defaults.isEmpty,
+      "compact() materializes the defaulted add and clears its headers")
+    assert(tiers(sink.read(spark)) == before)
+    assert(tiers(spark.read.format("graft-manifest").load(root)) == before)
+  }
+
+  test("SQL ADD COLUMN NOT NULL DEFAULT: literal fill served live; INSERT fills omitted column") {
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_dfltsql_").toString
+    val cat = "graft_evo_dflt"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, p STRING, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('p', id), 0L FROM range(1, 11)")
+    // a nullable DEFAULT refuses (an explicit NULL would silently read
+    // as the default); NOT NULL DEFAULT is the supported form
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN bad INT DEFAULT 7")
+    }
+    assert(e.getMessage.contains("NOT NULL DEFAULT"), e.getMessage)
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN score INT NOT NULL DEFAULT 42")
+    assert(spark.sql(s"SELECT DISTINCT score FROM $cat.t").collect()
+      .map(_.getInt(0)).toSeq == Seq(42), "pre-add rows read the literal")
+    // INSERT omitting the defaulted column: Spark's own default
+    // resolution fills it from the schema metadata the connector serves
+    spark.sql(s"INSERT INTO $cat.t (id, p, seq) VALUES (11, 'p11', 1)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (12, 'p12', 1, 99)")
+    val got = spark.sql(s"SELECT id, score FROM $cat.t").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == ((1 to 11).map(_.toLong -> 42) :+ (12L -> 99)).toMap,
+      s"omitted column fills the default, explicit values stick: $got")
+    spark.sql(s"CALL $cat.system.compact('t')")
+    assert(spark.sql(s"SELECT id, score FROM $cat.t").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap == got,
+      "materialization changes no value")
+  }
+
+  test("DDL on a truncated UNSTAMPED table works: zero files must not reach the footer walk") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_trunc_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    sink.truncate() // v1: zero files
+    // simulate a LEGACY truncated table: strip the schema stamp, so the
+    // DDL's name-set validation has neither files nor a stamp to read —
+    // the zero-path footer walk used to throw an opaque AnalysisException
+    val p = java.nio.file.Paths.get(root, "_manifest", "v1.manifest")
+    val kept = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("schema=")).mkString("\n")
+    java.nio.file.Files.write(p, kept.getBytes("UTF-8"))
+    sink.addColumn(spark, "flag", "boolean") // legal DDL: must not throw
+    assert(ManifestUpsertSink.latestManifest(root).get.addedCols ==
+      Seq("flag" -> "boolean"))
+    // the table refills and serves the added column
+    sink.upsertBatch(Seq((2L, "b", true, 2L)).toDF("id", "p", "flag", "seq"), "seq", 1L)
+    assert(sink.read(spark).select("id", "p", "flag").as[(Long, String, Boolean)]
+      .collect().toSeq == Seq((2L, "b", true)))
+  }
 }

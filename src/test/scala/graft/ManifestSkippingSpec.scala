@@ -511,6 +511,27 @@ class ManifestSkippingSpec extends AnyFunSuite {
       // each task reads both sides' files of one bucket directly
       assert(!plan.contains("Exchange hashpartitioning"),
         s"same-layout lake tables must join WITHOUT a shuffle (storage-partitioned join):\n${plan.take(2000)}")
+
+      // ---- ordering report: after compact() each bucket is ONE
+      // key-sorted file, the manifest stamps sortedBy, and the scan
+      // reports the key ordering (SupportsReportOrdering) — the SMJ then
+      // plans with NO per-task SortExec on either side. Before the
+      // compact, multi-file buckets must NOT report (two sorted files
+      // concatenated are not sorted), so the join above legitimately
+      // sorted.
+      assert(ManifestUpsertSink.latestManifest(s"$root/a").get.sortedBy
+        == Some("id"), "fresh full writes stamp sortedBy")
+      spark.sql(s"CALL $cat.system.compact('a')")
+      spark.sql(s"CALL $cat.system.compact('b')")
+      val j2 = spark.sql(
+        s"SELECT sum(a.v * b.w) AS s FROM $cat.a a JOIN $cat.b b ON a.id = b.id")
+      assert(j2.head().getDouble(0) ==
+        (1L to 2000L).map(i => i * 1.0 * i * 2.0).sum)
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert(plan2.contains("SortMergeJoin"), plan2.take(1200))
+      assert(!plan2.contains("Exchange hashpartitioning"), plan2.take(2000))
+      assert(!plan2.contains("Sort ["),
+        s"a compacted key-sorted SPJ join must plan with NO SortExec:\n${plan2.take(2000)}")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -558,5 +559,49 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
         Set(Seq(1L, 10L), Seq(2L, Int.MaxValue.toLong + 9L)),
         "the re-pinned wide schema promotes the old vintage and reads the new")
     } finally q2.stop()
+  }
+
+  /** Strip the `schema=` stamp header from one committed manifest —
+    * simulates a commit whose written schema conflicted unresolvably
+    * with the stamp (unionPhysSchema drops the stamp rather than guess),
+    * and legacy pre-stamp vintages. */
+  private def stripStamp(root: String, version: Long): Unit = {
+    val p = java.nio.file.Paths.get(root, "_manifest", s"v$version.manifest")
+    val kept = java.nio.file.Files.readAllLines(p).asScala
+      .filterNot(_.startsWith("schema=")).asJava
+    java.nio.file.Files.write(p, kept)
+  }
+
+  test("post-pin stamp LOSS fail-stops: an unstamped successor of a stamped pin is drift") {
+    import spark.implicits._
+    val root = tmp("graft_stream_stamploss_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    // pin a source at stamped v0, then commit v1 and strip its stamp — a
+    // post-pin commit that LOST the stamp (unresolvable re-type through
+    // Union coercion drops it). The type-drift guard sees an empty type
+    // map for it, so the LOSS itself must be the signal; the pinned
+    // from_json projection would otherwise parse re-typed values as
+    // silent nulls.
+    val pinned = new graft.sources.ManifestStreamSource(spark.sqlContext, root,
+      changesMode = false, startingVersion = None, maxVersionsPerTrigger = None,
+      graft.sources.ManifestStreamSource.resolveSchema(spark.sqlContext, root, false))
+    sink.upsertBatch(Seq((2L, "b", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+    stripStamp(root, 1L)
+    val e = intercept[IllegalStateException] { pinned.changesBetween(1L, 1L).collect() }
+    assert(e.getMessage.contains("stamp"), e.getMessage)
+
+    // vintage carve-out: a source PINNED on an unstamped table (legacy
+    // pre-stamp vintage) keeps tailing unstamped commits — its commits
+    // were never stamped to begin with, nothing was "lost"
+    stripStamp(root, 0L)
+    val legacyPin = new graft.sources.ManifestStreamSource(spark.sqlContext, root,
+      changesMode = false, startingVersion = None, maxVersionsPerTrigger = None,
+      graft.sources.ManifestStreamSource.resolveSchema(spark.sqlContext, root, false))
+    sink.upsertBatch(Seq((3L, "c", 3L)).toDF("id", "p", "seq"), "seq", 2L)
+    stripStamp(root, 2L)
+    assert(legacyPin.changesBetween(2L, 2L).select("id", "p")
+      .as[(Long, String)].collect().toSeq == Seq((3L, "c")),
+      "an unstamped-pin stream tails unstamped commits without spurious fail-stops")
   }
 }

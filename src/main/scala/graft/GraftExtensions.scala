@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => JaccardFusion)
     ext.injectOptimizerRule(_ => TopKAggregateRewrite)
+    // standard-SQL ANALYZE TABLE over manifest-lake catalogs (Spark has
+    // no v2 ANALYZE path of its own — see GraftAnalyzeRule)
+    ext.injectResolutionRule(_ => graft.sources.GraftAnalyzeRule)
   }
 }
 

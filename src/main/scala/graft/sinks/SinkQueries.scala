@@ -1824,7 +1824,49 @@ object SinkQueries {
       ORDER BY key"""),
     doc = "metadata-only ADD COLUMN NOT NULL DEFAULT (Iceberg-v3 initial-default shape): header literal, zero data I/O, reads fold absent/null to the default across mixed vintages, INSERT omission fills via Spark's default resolution, compact materializes")
 
+  // --------------------------------------------------------------- q331
+  private val q331Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Standard-SQL `ANALYZE TABLE ... COMPUTE STATISTICS` — BI tooling's
+    * default stats vocabulary aliased onto the engine's commit-time
+    * census: Spark has no v2 ANALYZE execution, so the extension's
+    * resolution rule ([[graft.sources.GraftAnalyzeRule]]) rewrites the
+    * statement into a footer-walk rebuild of the stats sidecar. The
+    * query simulates the case ANALYZE exists for — a MISSING sidecar
+    * (pre-stats vintage / crashed post-commit write), under which the
+    * census degrades to unknown — then ANALYZEs and reads the healed
+    * census through `CALL system.detail`. The oracle restates the
+    * deterministic facts (layout literals, the exact row count)
+    * relationally over the raw table. */
+  val q331 = QueryDef(
+    "q331_analyze_table",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q331_").toString
+      val cat = s"graft_q331_${q331Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.part(s, d).createOrReplaceTempView("q331_part")
+      s.sql(s"""CREATE TABLE $cat.pp (key BIGINT, price DOUBLE, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8')""")
+      s.sql(s"""INSERT INTO $cat.pp
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE), 0L FROM q331_part""")
+      // tear the sidecar off: the census must degrade to unknown, and
+      // ANALYZE must rebuild it exactly from the parquet footers
+      val v = ManifestUpsertSink.latestManifest(s"$root/pp").get.version
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(root, "pp", "_manifest", s"v$v.stats"))
+      s.sql(s"ANALYZE TABLE $cat.pp COMPUTE STATISTICS")
+      s.sql(s"CALL $cat.system.detail('pp')")
+        .select(col("key_col"), col("buckets"), col("total_rows"),
+          col("n_versions"), col("dv_rows"))
+    },
+    Some("""SELECT 'key' AS key_col, CAST(8 AS BIGINT) AS buckets,
+        (SELECT COUNT(*) FROM part) AS total_rows,
+        CAST(1 AS BIGINT) AS n_versions, CAST(0 AS BIGINT) AS dv_rows"""),
+    doc = "standard ANALYZE TABLE COMPUTE STATISTICS over the lake catalog (resolution-rule alias onto the commit-time census): rebuilds a torn/missing stats sidecar from parquet footers, re-lighting planner statistics, metadata-only aggregates, and DESCRIBE DETAIL")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
     q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319,
-    q322, q323, q324, q325, q326, q327, q328, q329, q330, q214, q215, q216, q228)
+    q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q214, q215, q216, q228)
 }

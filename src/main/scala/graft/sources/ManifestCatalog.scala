@@ -98,6 +98,10 @@ class ManifestCatalog extends TableCatalog
       Identifier.of(ident.namespace.drop(1), ident.name)
     else ident
 
+  /** The table root for `ident` — the resolution the ANALYZE rule and
+    * other extension hooks need from outside the catalog. */
+  private[graft] def dirOf(ident: Identifier): String = tableDir(ident)
+
   private def tableDir(ident0: Identifier): String = {
     val ident = normalize(ident0)
     (root +: ident.namespace.toSeq :+ ident.name).mkString("/")

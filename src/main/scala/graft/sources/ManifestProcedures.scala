@@ -27,6 +27,7 @@ import graft.sinks.ManifestUpsertSink
   *   CALL graft.system.expire_partitions('events', '2024-01-01')
   *   CALL graft.system.repartition_by('events', 'day')  -- partition evolution ('' drops)
   *   CALL graft.system.clone('events', 'events_dev', false)  -- shallow fork
+  *   CALL graft.system.export_symlinks('events')        -- external-reader file list
   *   CALL graft.system.history('events')                -- DESCRIBE HISTORY
   *   CALL graft.system.detail('events')                 -- DESCRIBE DETAIL
   * }}}
@@ -111,6 +112,27 @@ private[graft] object ManifestProcedures {
       (s, root, in) => {
         val p = Option(in.getUTF8String(1)).map(_.toString.trim).filter(_.nonEmpty)
         sinkFor(root).repartitionBy(s, p); ()
+      }),
+    // EXTERNAL-READER export: write a Hive-style symlink manifest of the
+    // CURRENT version's data files under `_symlink/v<N>/`, so engines
+    // without the connector (DuckDB, Trino, plain spark.read.parquet)
+    // read a CONSISTENT snapshot by file list instead of globbing a
+    // directory that mixes live and dead versions. Refuses while
+    // merge-on-read deletion vectors or metadata-only evolution are live
+    // — an external reader cannot fold either; compact first.
+    Spec("export_symlinks", Seq(Table),
+      (_, root, _) => {
+        val m = ManifestUpsertSink.latestManifest(root).getOrElse(
+          throw new IllegalArgumentException(s"no committed table at $root"))
+        require(m.dvs.isEmpty,
+          "cannot export: live merge-on-read deletion vectors — external readers " +
+            "cannot fold them; CALL system.compact first")
+        require(!m.hasEvolution,
+          "cannot export: live metadata-only schema evolution (rename/add/drop) — " +
+            "external readers cannot fold it; CALL system.compact first")
+        graft.sinks.TableStore.forPath(root).putString(
+          s"$root/_symlink/v${m.version}", "symlink-manifest.txt",
+          m.files.map(_.path).mkString("\n"))
       }),
     // zero-copy (shallow) or rewriting (deep) table fork; the target is a
     // same-catalog TABLE NAME, so the clone is immediately SQL-visible

@@ -174,4 +174,56 @@ class ManifestProcedureSpec extends AnyFunSuite {
         .collect().head.getAs[Boolean]("has_evolution"))
     }
   }
+
+  test("CALL export_symlinks: consistent snapshot for external readers; dv/evolution refuse") {
+    withCatalog { (cat, root) =>
+      seed(cat, rows = 40, batches = 2)
+      spark.sql(s"CALL $cat.system.export_symlinks('t')")
+      val m = ManifestUpsertSink.latestManifest(s"$root/t").get
+      val listed = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "t", "_symlink", s"v${m.version}",
+          "symlink-manifest.txt")), "UTF-8").linesIterator.toSeq
+      // the export IS the manifest's file list — an external engine
+      // reading exactly these paths sees the committed snapshot
+      assert(listed.toSet == m.files.map(_.path).toSet && listed.nonEmpty)
+      val direct = spark.read.parquet(listed: _*).drop("__bucket")
+      val viaConnector = spark.sql(s"SELECT * FROM $cat.t")
+      assert(direct.count() == viaConnector.count())
+      assert(direct.select("id", "p").as[(Long, String)].collect().toSet ==
+        viaConnector.select("id", "p").as[(Long, String)].collect().toSet,
+        "plain spark.read.parquet over the export equals the connector read")
+      // a live metadata-only evolution makes the raw files unreadable as
+      // the logical table: the export must refuse, not mislead
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN extra DOUBLE")
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.export_symlinks('t')")
+      }
+      assert(e.getMessage.contains("compact"), e.getMessage)
+    }
+  }
+
+  test("ANALYZE TABLE COMPUTE STATISTICS rebuilds the sidecar; census comes back exact") {
+    withCatalog { (cat, root) =>
+      seed(cat, rows = 40, batches = 2)
+      val m = ManifestUpsertSink.latestManifest(s"$root/t").get
+      val sidecar = java.nio.file.Paths.get(root, "t", "_manifest", s"v${m.version}.stats")
+      // simulate a torn/missing sidecar (pre-stats vintage, crashed
+      // post-commit write): the census degrades to unknown
+      java.nio.file.Files.delete(sidecar)
+      assert(spark.sql(s"CALL $cat.system.detail('t')")
+        .collect().head.isNullAt(
+          spark.sql(s"CALL $cat.system.detail('t')").schema.fieldIndex("total_rows")),
+        "a missing sidecar reports unknown rows, never a guess")
+      // the standard vocabulary heals it: footer census, no data scan
+      spark.sql(s"ANALYZE TABLE $cat.t COMPUTE STATISTICS")
+      assert(java.nio.file.Files.exists(sidecar))
+      assert(spark.sql(s"CALL $cat.system.detail('t')")
+        .collect().head.getAs[Long]("total_rows") == 80L,
+        "ANALYZE recomputes the exact commit-time census")
+      // NOSCAN is the same footer-only census
+      spark.sql(s"ANALYZE TABLE $cat.t COMPUTE STATISTICS NOSCAN")
+      assert(spark.sql(s"CALL $cat.system.detail('t')")
+        .collect().head.getAs[Long]("total_rows") == 80L)
+    }
+  }
 }

@@ -620,6 +620,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       val files = carried ++ written.filter(f => keepMine(f.bucket))
       val dvs = cur.toSeq.flatMap(_.dvs).filterNot(d => dvKeep(d.bucket)) ++
         dvWritten.filter(d => dvKeep(d.bucket))
+      // inexactness clears only when the LAST dv entry does (a partial
+      // materialization cannot prove which entries over-count)
+      val dvInexact = cur.exists(_.dvInexact) && dvs.nonEmpty
       // per-attempt schema stamp: when NO file is carried (a full rewrite
       // that won its race, or a fresh table) the stamp is EXACTLY what
       // was written — a union would keep retired columns the rewrite just
@@ -639,7 +642,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         commit(root, store, Manifest(version, id, Some(buckets), Some(keyCol),
           files, Some(dataChanged), feedStage, rn, partCol = partitionCol,
           addedCols = added, droppedCols = droppedC, physSchema = stamp,
-          dvs = dvs, defaults = dflts, sortedBy = sortedStamp))
+          dvs = dvs, defaults = dflts, sortedBy = sortedStamp,
+          dvInexact = dvInexact))
         feedStage.foreach { st =>
           store.rename(s"$root/$st", s"$root/_changes/v$version")
           store.deleteDirIfEmpty(s"$root/_stage")
@@ -985,7 +989,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       renames = cur.renames :+ (oldName -> newName), partCol = newPart,
       addedCols = newAdded, droppedCols = cur.droppedCols,
       physSchema = cur.physSchema, dvs = cur.dvs, defaults = newDefaults,
-      sortedBy = cur.sortedBy.map(_ => newKey)))
+      sortedBy = cur.sortedBy.map(_ => newKey), dvInexact = cur.dvInexact))
     // carry the previous sidecar verbatim: stats stay keyed by PHYSICAL
     // column names, which is what the (rename-refusing) connector needs
     val prev = loadStats(root, store, cur.version)
@@ -1059,7 +1063,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       addedCols = cur.addedCols :+ (name -> typeDdl), droppedCols = cur.droppedCols,
       physSchema = cur.physSchema, dvs = cur.dvs,
       defaults = cur.defaults ++ defaultSql.map(name -> _),
-      sortedBy = cur.sortedBy))
+      sortedBy = cur.sortedBy, dvInexact = cur.dvInexact))
     val prev = loadStats(root, store, cur.version)
     if (prev.nonEmpty)
       store.putString(s"$root/_manifest", s"v${cur.version + 1}.stats",
@@ -1107,7 +1111,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       addedCols = newAdded, droppedCols = newDropped,
       physSchema = cur.physSchema, dvs = cur.dvs,
       defaults = cur.defaults.filterNot(_._1 == name),
-      sortedBy = cur.sortedBy))
+      sortedBy = cur.sortedBy, dvInexact = cur.dvInexact))
     val prev = loadStats(root, store, cur.version)
     if (prev.nonEmpty)
       store.putString(s"$root/_manifest", s"v${cur.version + 1}.stats",
@@ -1192,7 +1196,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       renames = cur.renames, partCol = partitionCol,
       addedCols = newAdded, droppedCols = cur.droppedCols,
       physSchema = Some(newStamp), dvs = cur.dvs, defaults = cur.defaults,
-      sortedBy = cur.sortedBy))
+      sortedBy = cur.sortedBy, dvInexact = cur.dvInexact))
     // sidecar carried verbatim: integral domains are stored as longs and
     // float/double as doubles, so the widened column's bounds stay exact
     val prev = loadStats(root, store, cur.version)
@@ -1400,7 +1404,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       renames = target.renames, partCol = target.partCol,
       addedCols = target.addedCols, droppedCols = target.droppedCols,
       physSchema = target.physSchema, dvs = target.dvs,
-      defaults = target.defaults, sortedBy = target.sortedBy))
+      defaults = target.defaults, sortedBy = target.sortedBy,
+      dvInexact = target.dvInexact))
     feedStage.foreach { st =>
       store.rename(s"$root/$st", s"$root/_changes/v$newVersion")
       store.deleteDirIfEmpty(s"$root/_stage")
@@ -1453,7 +1458,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         Some(keyCol), cur.files, touched = None, feed = None, renames = cur.renames,
         partCol = partitionCol, addedCols = cur.addedCols,
         droppedCols = cur.droppedCols, physSchema = cur.physSchema,
-        dvs = cur.dvs, defaults = cur.defaults, sortedBy = cur.sortedBy))
+        dvs = cur.dvs, defaults = cur.defaults, sortedBy = cur.sortedBy,
+        dvInexact = cur.dvInexact))
       val stats = loadStats(root, store, cur.version)
       if (stats.nonEmpty)
         tStore.putString(s"$targetRoot/_manifest", "v0.stats", ManifestStats.encode(stats))
@@ -1624,9 +1630,13 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       renames = cur.renames, partCol = partitionCol,
       addedCols = cur.addedCols, droppedCols = cur.droppedCols,
       // dvs carried: a dv key whose row expired with its file simply
-      // stops matching anything (retention never resurrects)
+      // stops matching anything (retention never resurrects) — but the
+      // dv row counts may now OVER-estimate the deleted rows, so the
+      // commit flags them inexact; metadata-only COUNT declines until a
+      // full materialization clears the dvs
       physSchema = cur.physSchema, dvs = cur.dvs, defaults = cur.defaults,
-      sortedBy = cur.sortedBy))
+      sortedBy = cur.sortedBy,
+      dvInexact = cur.dvInexact || cur.dvs.nonEmpty))
     feedStage.foreach { st =>
       store.rename(s"$root/$st", s"$root/_changes/v$version")
       store.deleteDirIfEmpty(s"$root/_stage")
@@ -1724,7 +1734,13 @@ object ManifestUpsertSink {
     * arithmetic — and each dv'd key exists EXACTLY ONCE in the bucket's
     * data (LWW uniqueness) and in at most one dv file (a re-delete of a
     * dv-deleted key sees it absent from `current` and records nothing),
-    * so subtraction is exact. */
+    * so subtraction is exact — UNLESS partition retention expired files
+    * out from under live dv entries (a dv'd key may then exist in ZERO
+    * files); the manifest's `dvInexact` flag records that, and every
+    * consumer of the subtraction (metadata-only COUNT, detail's
+    * total_rows) declines until a full materialization clears the dvs.
+    * Read correctness never depends on exactness: anti-joining an
+    * absent key is a no-op. */
   final case class DvEntry(bucket: Long, rows: Long, path: String)
 
   /** `touched`: the buckets whose DATA this commit changed (empty for
@@ -1746,7 +1762,8 @@ object ManifestUpsertSink {
       physSchema: Option[String] = None,
       dvs: Seq[DvEntry] = Nil,
       defaults: Seq[(String, String)] = Nil,
-      sortedBy: Option[String] = None) {
+      sortedBy: Option[String] = None,
+      dvInexact: Boolean = false) {
     /** Any live metadata-only schema-evolution state (rename mapping,
       * null-backed added columns, logically-dropped columns) — the
       * condition under which reads must fold and a FULL rewrite clears. */
@@ -1883,8 +1900,11 @@ object ManifestUpsertSink {
     else {
       val keyCols = splitKeyCols(m.keyCol.getOrElse(throw new IllegalStateException(
         "manifest carries deletion vectors but no keyCol header — corrupt manifest")))
+      // mergeSchema: dv files span key-rename vintages; the rename fold
+      // coalesces old and new spellings exactly as it does for data files
       val dvKeys = applyRenames(
-        df.sparkSession.read.parquet(dvs.map(_.path): _*), m.renames)
+        df.sparkSession.read.option("mergeSchema", "true")
+          .parquet(dvs.map(_.path): _*), m.renames)
         .select(keyCols.map(col): _*)
       df.join(broadcast(dvKeys), keyCols, "left_anti")
     }
@@ -2275,6 +2295,9 @@ object ManifestUpsertSink {
       // every live data file's rows are sorted by this key tuple within
       // the file (cleared while any pre-sorting vintage is carried)
       m.sortedBy.map(k => s"sortedBy=$k") ++
+      // set when partition retention expired files under live dv entries:
+      // dv row counts are then an over-estimate of the deleted rows
+      (if (m.dvInexact) Seq("dvInexact=true") else Nil) ++
       // the committed PHYSICAL union schema of the listed files (DDL;
       // no tab/newline by the header-safety rules) — what lets every
       // read skip footer I/O entirely
@@ -2322,7 +2345,8 @@ object ManifestUpsertSink {
       header.get("defcols").toSeq.flatMap(_.split(";").toSeq.map { e =>
         val Array(n, d) = e.split(":", 2); (n, d)
       }),
-      header.get("sortedBy"))
+      header.get("sortedBy"),
+      header.get("dvInexact").contains("true"))
   }
 
   private def manifestVersions(root: String, store: TableStore): Seq[Long] =

@@ -159,8 +159,9 @@ private[graft] object ManifestProcedures {
     // bucket's data and in one dv file, so subtraction is exact
     val dvRows = m.dvs.map(_.rows).sum
     val rows =
-      if (covered.size == m.files.size) Some(covered.map(_.rows).sum - dvRows)
-      else None
+      if (covered.size == m.files.size && !m.dvInexact)
+        Some(covered.map(_.rows).sum - dvRows)
+      else None // uncovered file or retention-inexact dvs: never guess
     val bytes =
       if (covered.nonEmpty && covered.forall(_.bytes >= 0))
         Some(covered.map(_.bytes).sum) else None

@@ -128,7 +128,8 @@ final class ManifestSource extends TableProvider with DataSourceRegister
         val m = snapshotAllowEmpty(root, resolveVersionOpt(root, options))
         Resolved(m.files, ManifestUpsertSink.loadStats(root, m.version),
           for (k <- m.keyCol; b <- m.buckets) yield (k, b), m.partCol, m.renames,
-          m.addedCols, m.droppedCols, m.physSchema, m.dvs, m.defaults, m.sortedBy)
+          m.addedCols, m.droppedCols, m.physSchema, m.dvs, m.defaults, m.sortedBy,
+          m.dvInexact)
     }
   }
 
@@ -356,7 +357,8 @@ object ManifestSource {
       physSchema: Option[String] = None,
       dvs: Seq[DvEntry] = Nil,
       defaults: Seq[(String, String)] = Nil,
-      sortedBy: Option[String] = None)
+      sortedBy: Option[String] = None,
+      dvInexact: Boolean = false)
 
   /** The ONE write path both the batch V1Write and the streaming sink
     * share: MERGE `data` through [[ManifestUpsertSink.upsertBatch]].
@@ -695,18 +697,29 @@ object ManifestSource {
       val dvRows = resolved.dvs.map(_.rows).sum
       val answers: Seq[Option[(DataType, Any)]] =
         aggregation.aggregateExpressions.toSeq.map {
-          case _: CountStar =>
+          // dvInexact: retention expired files under live dv entries, so
+          // the subtraction would over-count — decline, the fold answers
+          case _: CountStar if !resolved.dvInexact =>
             Some((LongType, fs.map(_.rows).sum - dvRows))
           case _ if resolved.dvs.nonEmpty => None
+          // a column with a live DEFAULT is unanswerable from file stats:
+          // physical nulls/absences READ as the default, so the sidecar's
+          // null counts over-count and its min/max may miss the default
+          // value entirely — decline, the ordinary (folding) scan answers
           case c: Count if !c.isDistinct =>
             for {
               n <- colOf(c.column)
               if tableSchema.fieldNames.contains(n)
+              if !resolved.defaults.exists(_._1 == n)
               nulls <- Some(fs.map(_.cols.get(n).flatMap(_.nulls)))
               if nulls.forall(_.isDefined)
             } yield (LongType, fs.map(_.rows).sum - nulls.flatten.sum)
-          case m: Min => colOf(m.column).flatMap(bound(_, isMin = true))
-          case m: Max => colOf(m.column).flatMap(bound(_, isMin = false))
+          case m: Min => colOf(m.column)
+            .filterNot(n => resolved.defaults.exists(_._1 == n))
+            .flatMap(bound(_, isMin = true))
+          case m: Max => colOf(m.column)
+            .filterNot(n => resolved.defaults.exists(_._1 == n))
+            .flatMap(bound(_, isMin = false))
           case _ => None
         }
       if (answers.exists(_.isEmpty)) return false
@@ -1001,12 +1014,18 @@ object ManifestSource {
         val keyTypes = keyIdx.map(fetched(_).dataType)
         val spark = SparkSession.active
         import org.apache.spark.sql.functions.col
+        // mergeSchema: dv files span KEY-RENAME vintages (old files spell
+        // the retired name); the same rename fold that maps data files
+        // coalesces them onto the current key
         val dvKeys = ManifestUpsertSink.applyRenames(
-          spark.read.parquet(dvs.map(_.path): _*), resolved.renames)
+          spark.read.option("mergeSchema", "true").parquet(dvs.map(_.path): _*),
+          resolved.renames)
           .select(keyNames.zip(keyTypes).map { case (n, t) => col(n).cast(t) }: _*)
         val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
           .create(keyTypes.toArray)
-        val bytes = dvKeys.queryExecution.toRdd.collect()
+        // toRdd rows are MUTABLE buffer views — copy on the executor
+        // before collect, or every key in a partition aliases the last
+        val bytes = dvKeys.queryExecution.toRdd.map(_.copy()).collect()
           .map(r => proj(r).copy().getBytes)
         Some((keyIdx, keyTypes, bytes))
       }

@@ -208,6 +208,119 @@ class ManifestDvSpec extends AnyFunSuite {
     assert(snap.schema.fieldNames.contains("id"))
   }
 
+  test("deletion vectors on a COMPOSITE key: tuple identity; pruned projections still fold") {
+    import spark.implicits._
+    val root = tmp("graft_dv_comp_")
+    val sink = new ManifestUpsertSink(root, "tenant,entity", buckets = 4)
+    val rows = (1 to 20).map(i => ((i % 3).toLong, i.toLong, s"p$i", 1L))
+      .toDF("tenant", "entity", "p", "seq")
+    sink.upsertBatch(rows, "seq", 0L)
+    // delete two TUPLES: (1, 4) and (2, 5) — entity 4 under tenant 2
+    // must survive (tuple identity, the single-key trap)
+    sink.deleteKeysMergeOnRead(Seq((1L, 4L), (2L, 5L)).toDF("tenant", "entity"), 1L)
+    val m = ManifestUpsertSink.latestManifest(root).get
+    assert(m.dvs.map(_.rows).sum == 2L)
+    assert(sink.read(spark).count() == 18)
+    val sql = spark.read.format("graft-manifest").load(root)
+    // a projection keeping NEITHER key component: the fold scan fetches
+    // both back internally, filters, projects them away
+    assert(sql.select("p").as[String].collect().toSet ==
+      (1 to 20).filterNot(i => i == 4 || i == 5).map(i => s"p$i").toSet)
+    assert(sql.filter(col("tenant") === 1L && col("entity") === 4L).count() == 0)
+    assert(sql.filter(col("tenant") === 2L && col("entity") === 4L).count() == 0,
+      "(2,4) was never inserted") // i%3: entity 4 -> tenant 1 only
+    assert(sql.filter(col("entity") === 4L).count() == 0)
+    assert(sql.filter(col("entity") === 5L).count() == 0)
+    assert(sql.filter(col("entity") === 6L).count() == 1)
+  }
+
+  test("deletion vectors survive a column rename: old-name dv files fold onto the new key") {
+    import spark.implicits._
+    val root = tmp("graft_dv_ren_")
+    var sink = seed(root, n = 12)
+    sink.deleteKeysMergeOnRead(Seq(3L, 7L).toDF("id"), 1L)
+    // rename a NON-key column while dvs live: dv files carry only keys
+    sink.renameColumn(spark, "p", "payload")
+    assert(sink.read(spark).columns.contains("payload"))
+    assert(sink.read(spark).count() == 10)
+    // rename the KEY column: dv files still spell the OLD name — the
+    // rename fold maps them onto the new key exactly as it maps data
+    sink = sink.renameColumn(spark, "id", "key")
+    assert(sink.read(spark).select("key").as[Long].collect().toSet ==
+      (1 to 12).map(_.toLong).toSet -- Set(3L, 7L),
+      "old-name dv sidecars keep deleting through the rename fold")
+    val sql = spark.read.format("graft-manifest").load(root)
+    assert(sql.count() == 10 && sql.filter(col("key") === 3L).count() == 0)
+    // and post-rename dv deletes spell the new name; both vintages fold
+    sink.deleteKeysMergeOnRead(Seq(8L).toDF("key"), 2L)
+    assert(sink.read(spark).count() == 9)
+    assert(spark.read.format("graft-manifest").load(root).count() == 9)
+  }
+
+  test("deletion vectors on a date-partitioned table: manifest edit only, partition pruning intact") {
+    import spark.implicits._
+    val root = tmp("graft_dv_part_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2,
+      partitionCol = Some("d"))
+    val rows = (1 to 20).map(i =>
+      (i.toLong, java.sql.Date.valueOf(if (i <= 10) "2024-01-01" else "2024-02-01"), 1L))
+      .toDF("id", "d", "seq")
+    sink.upsertBatch(rows, "seq", 0L)
+    val before = ManifestUpsertSink.latestManifest(root).get.files.map(_.path).toSet
+    sink.deleteKeysMergeOnRead(Seq(2L, 12L).toDF("id"), 1L)
+    val m = ManifestUpsertSink.latestManifest(root).get
+    assert(m.files.map(_.path).toSet == before, "partitioned files untouched")
+    assert(sink.read(spark).count() == 18)
+    val jan = spark.read.format("graft-manifest").load(root)
+      .filter(col("d") === java.sql.Date.valueOf("2024-01-01"))
+    assert(jan.count() == 9)
+    // retention composes: dropping January leaves February's dv live —
+    // but key 2's dv now references ZERO files, so the dv row counts
+    // over-estimate and the commit flags them INEXACT: the metadata-only
+    // COUNT declines (a sidecar-minus-dv answer would read 8, one short)
+    // and the folding scan answers the true 9
+    sink.dropPartitionsBefore(spark, "2024-02-01")
+    assert(ManifestUpsertSink.latestManifest(root).get.dvInexact,
+      "expiring files under live dvs must flag the counts inexact")
+    assert(sink.read(spark).count() == 9, "Feb rows minus the dv'd key 12")
+    assert(spark.read.format("graft-manifest").load(root).count() == 9)
+    // materialization clears the debt AND the flag
+    sink.compact(spark)
+    val m3 = ManifestUpsertSink.latestManifest(root).get
+    assert(m3.dvs.isEmpty && !m3.dvInexact)
+    assert(spark.read.format("graft-manifest").load(root).count() == 9)
+  }
+
+  test("a dv delete racing a disjoint-bucket merge REBASES: both effects land") {
+    import spark.implicits._
+    val root = tmp("graft_dv_race_")
+    // keys 1 and 2 in different buckets of 4
+    val k1 = 1L
+    val b1 = graft.sinks.ManifestStats.bucketOf(k1, 4).get
+    val k2 = (2L to 50L).find(k =>
+      graft.sinks.ManifestStats.bucketOf(k, 4).get != b1).get
+    val seedSink = new ManifestUpsertSink(root, "id", buckets = 4)
+    seedSink.upsertBatch(Seq((k1, "a", 1L), (k2, "b", 1L)).toDF("id", "p", "seq"),
+      "seq", 0L)
+    // the loser: a MoR delete of k1 whose first commit attempt is
+    // preempted by a merge into k2's bucket
+    var fired = false
+    val racedSink = new ManifestUpsertSink(root, "id", 4) {
+      override protected def beforeCommit(attemptVersion: Long): Unit =
+        if (!fired) {
+          fired = true
+          new ManifestUpsertSink(root, "id", 4).upsertBatch(
+            Seq((k2, "b2", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+        }
+    }
+    racedSink.deleteKeysMergeOnRead(Seq(k1).toDF("id"), 2L)
+    val got = ManifestUpsertSink.read(spark, root)
+      .select("id", "p").as[(Long, String)].collect().toMap
+    assert(got == Map(k2 -> "b2"),
+      s"the rebased dv delete and the winning merge must both land: $got")
+    assert(ManifestUpsertSink.latestManifest(root).get.dvs.map(_.rows).sum == 1L)
+  }
+
   test("SQL lifecycle on a mergeOnRead table: DELETE is a manifest edit; UPDATE folds + clears") {
     val root = tmp("graft_dv_sql_")
     val cat = "graft_dvsql"

@@ -613,6 +613,30 @@ class ManifestEvolutionSpec extends AnyFunSuite {
     assert(tiers(spark.read.format("graft-manifest").load(root)) == before)
   }
 
+  test("metadata-only aggregates DECLINE on defaulted columns: physical nulls read as the default") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_dfltagg_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 1)
+    sink.upsertBatch((1 to 10).map(i => (i.toLong, s"p$i", 1L))
+      .toDF("id", "p", "seq"), "seq", 0L)
+    sink.addColumn(spark, "tier", "string", Some("'std'"))
+    // rewrite EVERY row with an explicit-null tier: the snapshot's files
+    // now ALL carry the column physically, with sidecar null counts of
+    // 10 — a sidecar-answered COUNT(tier) would say 0 and a sidecar MIN
+    // would miss 'std' entirely, but the fold reads every null as the
+    // default. The agg pushdown must decline and let the folding scan
+    // answer.
+    sink.upsertBatch((1 to 10).map(i => (i.toLong, s"p$i", null.asInstanceOf[String], 2L))
+      .toDF("id", "p", "tier", "seq"), "seq", 1L)
+    val agg = spark.read.format("graft-manifest").load(root)
+      .agg(count(col("tier")).as("n"), min(col("tier")).as("mn"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "COUNT/MIN of a defaulted column must not answer from the sidecar")
+    val row = agg.head()
+    assert(row.getLong(0) == 10L && row.getString(1) == "std",
+      s"the fold answers: every physical null reads as the default — got $row")
+  }
+
   test("SQL ADD COLUMN NOT NULL DEFAULT: literal fill served live; INSERT fills omitted column") {
     val root = java.nio.file.Files.createTempDirectory("graft_evo_dfltsql_").toString
     val cat = "graft_evo_dflt"

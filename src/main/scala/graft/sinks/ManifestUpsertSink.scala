@@ -59,6 +59,18 @@ import org.apache.spark.sql.types.StructType
   *    snapshots — O(changed rows) per question, not O(table) — and the
   *    images let them maintain aggregates differentially (q301).
   *
+  * MERGE-ON-READ DELETES ([[deleteKeysMergeOnRead]]): a `mergeOnRead`
+  * table's DELETEs commit a per-bucket deleted-KEY sidecar instead of
+  * rewriting the touched buckets (the Iceberg-v2 equality-delete shape),
+  * folded by every read as a broadcast anti-join and materialized by the
+  * next bucket rewrite. Deliberately DELETE-only: a merge-on-read UPSERT
+  * (append new rows + dv the replaced keys) is unsound under key-scoped
+  * deletion — the anti-join would kill the replacement row too. Making
+  * it sound needs per-row provenance (Iceberg sequence numbers /
+  * positional bitmaps), which this key-addressed format does not track;
+  * the CoW merge is already ∝ touched-bucket bytes, so the upsert side
+  * has no O(table) cliff to fix.
+  *
   * Exactly-once over an at-least-once source: the manifest records the
   * micro-batch id; replaying a committed batch (foreachBatch redelivery
   * after a crash-restart) is a NO-OP — same contract the JDBC sink gets

@@ -84,12 +84,14 @@ private[graft] final class ManifestDeltaOperation(
       override def build(): DeltaWrite = new ManifestDeltaWrite(root, keyCol,
         Option(tableOptions.get("orderCol")).getOrElse(keyCols.head),
         info.schema(), info.rowIdSchema().orElseThrow(() =>
-          new IllegalStateException("delta write without a rowId schema")))
+          new IllegalStateException("delta write without a rowId schema")),
+        mergeOnRead = Option(tableOptions.get("mergeOnRead")).exists(_.toBoolean))
     }
 }
 
 private final class ManifestDeltaWrite(root: String, keyCol: String,
-    orderCol: String, dataSchema: StructType, idSchema: StructType)
+    orderCol: String, dataSchema: StructType, idSchema: StructType,
+    mergeOnRead: Boolean)
     extends DeltaWrite {
 
   override def description(): String = s"graft-manifest delta write to $root"
@@ -118,7 +120,7 @@ private final class ManifestDeltaWrite(root: String, keyCol: String,
       try {
         if (paths.nonEmpty)
           ManifestRowLevelOps.applyStaged(spark, root, keyCol, orderCol,
-            paths, dataSchema, idSchema, hconf)
+            paths, dataSchema, idSchema, hconf, mergeOnRead)
       } finally ManifestRowLevelOps.deleteDir(stageDir, hconf.value)
     }
 
@@ -224,7 +226,7 @@ private[graft] object ManifestRowLevelOps {
   private[sources] def applyStaged(spark: SparkSession, root: String,
       keyCol: String, orderCol: String, paths: Seq[String],
       dataSchema: StructType, idSchema: StructType,
-      hconf: SerializableHadoopConf): Unit = {
+      hconf: SerializableHadoopConf, mergeOnRead: Boolean = false): Unit = {
     val sc = spark.sparkContext
     val nData = dataSchema.length
     val keyCols = keyCol.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -254,6 +256,15 @@ private[graft] object ManifestRowLevelOps {
     val (kc, buckets) = ManifestSource.resolveKeyBuckets(root, Some(keyCol), None)
     val sink = new ManifestUpsertSink(root, kc, buckets,
       ManifestSource.resolvePartCol(root, None))
+    // a PURE DELETE on a mergeOnRead table takes the deletion-vector
+    // path — a predicate DELETE (`WHERE price < x`) is then a manifest
+    // edit + key sidecar like the key-equality shapes, never a bucket
+    // rewrite. Statements with upserts keep copy-on-write applyDelta:
+    // their touched buckets rewrite anyway (and materialize dvs doing it).
+    if (dataSchema.isEmpty && mergeOnRead) {
+      sink.deleteKeysMergeOnRead(delKeys, ManifestUpsertSink.AdHocBatch)
+      return
+    }
     val ups = upserts.persist()
     try {
       // a key can be deleted-from AND re-occupied in one statement only

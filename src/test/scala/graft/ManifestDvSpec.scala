@@ -339,13 +339,22 @@ class ManifestDvSpec extends AnyFunSuite {
     assert(v1.dvs.map(_.rows).sum == 2L)
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 38L)
     assert(spark.sql(s"SELECT p FROM $cat.t WHERE id = 7").count() == 0)
+    // a NON-key-predicate DELETE routes through the row-level rewrite —
+    // on a mergeOnRead table its pure-delete verdicts ALSO commit as a
+    // deletion vector: data files still byte-identical
+    spark.sql(s"DELETE FROM $cat.t WHERE p = 'p21'")
+    val v2 = ManifestUpsertSink.latestManifest(s"$root/t").get
+    assert(v2.files.map(_.path).toSet == v0.files.map(_.path).toSet,
+      "a predicate DELETE on a mergeOnRead table must not rewrite data files")
+    assert(v2.dvs.map(_.rows).sum == 3L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 37L)
     // row-level UPDATE rewrites its touched buckets copy-on-write,
     // folding + clearing their dvs on the way
     spark.sql(s"UPDATE $cat.t SET p = 'upd' WHERE id % 10 = 0")
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE p = 'upd'").head().getLong(0) == 4L)
-    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 38L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 37L)
     spark.sql(s"CALL $cat.system.compact('t')")
     assert(ManifestUpsertSink.latestManifest(s"$root/t").get.dvs.isEmpty)
-    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 38L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 37L)
   }
 }

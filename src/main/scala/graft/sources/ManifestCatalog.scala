@@ -184,6 +184,9 @@ class ManifestCatalog extends TableCatalog
     val morLine = prop("mergeOnRead").map { v =>
       require(v == "true" || v == "false", s"mergeOnRead must be true/false, got '$v'")
       s"mergeOnRead=$v"
+    } ++ prop("dvMaxRowsPerBucket").map { v =>
+      require(v.toLong > 0, s"dvMaxRowsPerBucket must be positive, got '$v'")
+      s"dvMaxRowsPerBucket=$v"
     }
     val lines = Seq(
       s"keyCol=$keyCol", s"orderCol=$orderCol",

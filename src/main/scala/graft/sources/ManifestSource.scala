@@ -497,7 +497,9 @@ object ManifestSource {
       // the copy-on-write bucket rewrite.
       if (Option(options.get("mergeOnRead")).exists(_.toBoolean))
         sink.deleteKeysMergeOnRead(keyDf.select(col(keyCol)),
-          ManifestUpsertSink.AdHocBatch)
+          ManifestUpsertSink.AdHocBatch,
+          Option(options.get("dvMaxRowsPerBucket")).map(_.toLong)
+            .getOrElse(ManifestUpsertSink.DefaultDvMaxRowsPerBucket))
       else
         sink.deleteKeys(keyDf.select(col(keyCol)), ManifestUpsertSink.AdHocBatch)
     }
@@ -962,13 +964,43 @@ object ManifestSource {
     * always re-evaluated by the retained post-scan Filter, now over the
     * folded rows. */
   private[graft] final class ManifestRenameScan(options: CaseInsensitiveStringMap,
-      resolved: Resolved, tableSchema: StructType, kept: Seq[FileEntry],
+      resolved: Resolved, tableSchema: StructType, keptInit: Seq[FileEntry],
       pushedExprs: Seq[Expression], required: Option[StructType],
       dvs: Seq[DvEntry] = Nil)
       extends Scan with org.apache.spark.sql.connector.read.Batch
-      with SupportsReportStatistics {
+      with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+    @volatile private var kept: Seq[FileEntry] = keptInit
 
     private[graft] def plannedFiles: Seq[String] = kept.map(_.path)
+
+    /** Join-time runtime filtering, exactly as [[ManifestScan]] offers it
+      * — a table mid-evolution (live rename, NOT-NULL-DEFAULT add, or
+      * deletion vectors) must not lose DPP-class bucket pruning until a
+      * compaction materializes the fold. The offered attributes are
+      * restricted to the scan's pruned OUTPUT, and renamed key columns
+      * are withheld: the runtime IN-set values arrive under the LOGICAL
+      * name, which is only provably the stored physical value when the
+      * name was never remapped (a folded coalesce may differ per
+      * vintage). */
+    override def filterAttributes(): Array[NamedReference] = {
+      val out = readSchema().fieldNames.toSet
+      val remapped = resolved.renames.map(_._2).toSet
+      val keyAttrs = resolved.keyInfo.toSeq.flatMap(_._1.split(",").map(_.trim))
+      (keyAttrs ++ resolved.partCol).distinct
+        .filter(n => out.contains(n) && !remapped.contains(n))
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+        .toArray
+    }
+
+    override def filter(filters: Array[Filter]): Unit = {
+      val pruned = pruneEntries(kept, resolved, tableSchema, filters.toSeq)
+      RuntimeFilterProbe.last = Some((options.get("path"), kept.size, pruned.size))
+      if (pruned.size < kept.size) {
+        kept = pruned
+        delegate = buildDelegate()
+      }
+    }
 
     private val logical: StructType = required.getOrElse(tableSchema)
 
@@ -1051,13 +1083,15 @@ object ManifestSource {
         }.toMap
       }
 
-    private val delegate: Scan = {
+    private def buildDelegate(): Scan = {
       val b = parquetTable(options, kept.map(_.path), Some(expand(tableSchema)))
         .newScanBuilder(options)
       if (pushedExprs.nonEmpty) b.pushFilters(pushedExprs)
       b.pruneColumns(physRequired)
       b.build()
     }
+
+    @volatile private var delegate: Scan = buildDelegate()
 
     override def readSchema(): StructType = logical
     override def toBatch: org.apache.spark.sql.connector.read.Batch = this

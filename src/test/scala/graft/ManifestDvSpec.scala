@@ -321,6 +321,52 @@ class ManifestDvSpec extends AnyFunSuite {
     assert(ManifestUpsertSink.latestManifest(root).get.dvs.map(_.rows).sum == 1L)
   }
 
+  test("dvMaxRowsPerBucket table property: SQL DELETEs over the cap route to copy-on-write") {
+    val root = tmp("graft_dv_capsql_")
+    val cat = "graft_dvcap"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, p STRING, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='1',
+        'mergeOnRead'='true', 'dvMaxRowsPerBucket'='2')""")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('p', id), 0L FROM range(1, 21)")
+    spark.sql(s"DELETE FROM $cat.t WHERE id IN (1, 2)") // at the cap: dv
+    assert(ManifestUpsertSink.latestManifest(s"$root/t").get.dvs.map(_.rows).sum == 2L)
+    spark.sql(s"DELETE FROM $cat.t WHERE id IN (3, 4)") // over: CoW materializes
+    val m = ManifestUpsertSink.latestManifest(s"$root/t").get
+    assert(m.dvs.isEmpty, "an over-cap DELETE routes to copy-on-write and clears the debt")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 16L)
+  }
+
+  test("runtime filtering survives the fold scan: a dv'd fact still bucket-prunes from a join") {
+    import spark.implicits._
+    import graft.sources.ManifestSource.RuntimeFilterProbe
+    val factRoot = tmp("graft_dv_rf_f_")
+    val dimRoot = tmp("graft_dv_rf_d_")
+    new ManifestUpsertSink(factRoot, "cust", buckets = 32).upsertBatch(
+      (1L to 4000L).map(i => (i, i * 2.0, 0L)).toDF("cust", "v", "seq"),
+      "seq", 0L)
+    // dv-delete a slice: the fact now reads through the FOLD scan, which
+    // must still accept the join-time IN-set and drop non-matching
+    // buckets' files (a table mid-evolution must not lose DPP)
+    new ManifestUpsertSink(factRoot, "cust", buckets = 32)
+      .deleteKeysMergeOnRead(Seq(7L, 807L).toDF("cust"), 1L)
+    new ManifestUpsertSink(dimRoot, "cust", buckets = 2).upsertBatch(
+      (1L to 4000L).map(i => (i, i % 800, 0L)).toDF("cust", "seg", "seq"),
+      "seq", 0L)
+    val fact = spark.read.format("graft-manifest").load(factRoot)
+    val dim = spark.read.format("graft-manifest").load(dimRoot).filter(col("seg") === 7)
+    RuntimeFilterProbe.reset()
+    val row = fact.join(dim, "cust").agg(count(lit(1)), sum("v")).head()
+    val (_, before, after) = RuntimeFilterProbe.last.getOrElse(
+      fail("no runtime filter reached the fold scan"))
+    assert(after < before, s"join-time IN-set must prune ($after vs $before)")
+    // keys ≡ 7 (mod 800): 7 and 807 are dv-deleted, 1607/2407/3207 live
+    assert(row.getLong(0) == 3L && row.getDouble(1) == (1607L + 2407L + 3207L) * 2.0,
+      s"the pruned fold still deletes dv'd keys: $row")
+  }
+
   test("SQL lifecycle on a mergeOnRead table: DELETE is a manifest edit; UPDATE folds + clears") {
     val root = tmp("graft_dv_sql_")
     val cat = "graft_dvsql"

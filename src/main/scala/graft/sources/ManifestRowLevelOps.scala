@@ -85,13 +85,15 @@ private[graft] final class ManifestDeltaOperation(
         Option(tableOptions.get("orderCol")).getOrElse(keyCols.head),
         info.schema(), info.rowIdSchema().orElseThrow(() =>
           new IllegalStateException("delta write without a rowId schema")),
-        mergeOnRead = Option(tableOptions.get("mergeOnRead")).exists(_.toBoolean))
+        mergeOnRead = Option(tableOptions.get("mergeOnRead")).exists(_.toBoolean),
+        dvMaxRowsPerBucket = Option(tableOptions.get("dvMaxRowsPerBucket"))
+          .map(_.toLong).getOrElse(ManifestUpsertSink.DefaultDvMaxRowsPerBucket))
     }
 }
 
 private final class ManifestDeltaWrite(root: String, keyCol: String,
     orderCol: String, dataSchema: StructType, idSchema: StructType,
-    mergeOnRead: Boolean)
+    mergeOnRead: Boolean, dvMaxRowsPerBucket: Long)
     extends DeltaWrite {
 
   override def description(): String = s"graft-manifest delta write to $root"
@@ -120,7 +122,7 @@ private final class ManifestDeltaWrite(root: String, keyCol: String,
       try {
         if (paths.nonEmpty)
           ManifestRowLevelOps.applyStaged(spark, root, keyCol, orderCol,
-            paths, dataSchema, idSchema, hconf, mergeOnRead)
+            paths, dataSchema, idSchema, hconf, mergeOnRead, dvMaxRowsPerBucket)
       } finally ManifestRowLevelOps.deleteDir(stageDir, hconf.value)
     }
 
@@ -226,7 +228,8 @@ private[graft] object ManifestRowLevelOps {
   private[sources] def applyStaged(spark: SparkSession, root: String,
       keyCol: String, orderCol: String, paths: Seq[String],
       dataSchema: StructType, idSchema: StructType,
-      hconf: SerializableHadoopConf, mergeOnRead: Boolean = false): Unit = {
+      hconf: SerializableHadoopConf, mergeOnRead: Boolean = false,
+      dvMaxRowsPerBucket: Long = ManifestUpsertSink.DefaultDvMaxRowsPerBucket): Unit = {
     val sc = spark.sparkContext
     val nData = dataSchema.length
     val keyCols = keyCol.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -262,7 +265,8 @@ private[graft] object ManifestRowLevelOps {
     // rewrite. Statements with upserts keep copy-on-write applyDelta:
     // their touched buckets rewrite anyway (and materialize dvs doing it).
     if (dataSchema.isEmpty && mergeOnRead) {
-      sink.deleteKeysMergeOnRead(delKeys, ManifestUpsertSink.AdHocBatch)
+      sink.deleteKeysMergeOnRead(delKeys, ManifestUpsertSink.AdHocBatch,
+        dvMaxRowsPerBucket)
       return
     }
     val ups = upserts.persist()

@@ -2190,6 +2190,18 @@ object ManifestUpsertSink {
     // a file inside them; removal also clears the _SUCCESS/.crc markers
     // Spark writes alongside the parquet parts, which no manifest lists
     droppedDirs.result().filterNot(heldDirs).foreach(deleteTree(store, _))
+    // stale external-reader exports: a `_symlink/v<N>` manifest whose
+    // version is vacuumed points at files this sweep may have reclaimed —
+    // an external engine reading it would fail mid-list (or worse, read a
+    // half-reclaimed snapshot). Exports live exactly as long as their
+    // version's time travel.
+    val heldSet = hold.toSet
+    store.listNames(s"$root/_symlink")
+      .flatMap(n => if (n.startsWith("v")) n.stripPrefix("v").toLongOption
+        .map(n -> _) else None)
+      .filterNot { case (_, v) => heldSet(v) }
+      .foreach { case (n, _) => deleteTree(store, s"$root/_symlink/$n") }
+    store.deleteDirIfEmpty(s"$root/_symlink")
     // ORPHAN sweep (opt-in, age-gated): dirs NO manifest ever committed —
     // a writer that crashed before its commit, or a rebase loser's stale
     // bucket rewrites. Age-gated because an IN-FLIGHT writer's dir is

@@ -963,10 +963,12 @@ object ManifestSource {
     * physical name differs), which is safe: file-source data filters are
     * always re-evaluated by the retained post-scan Filter, now over the
     * folded rows. */
-  private[graft] final class ManifestRenameScan(options: CaseInsensitiveStringMap,
+  private[graft] final class ManifestRenameScan(
+      private val options: CaseInsensitiveStringMap,
       resolved: Resolved, tableSchema: StructType, keptInit: Seq[FileEntry],
-      pushedExprs: Seq[Expression], required: Option[StructType],
-      dvs: Seq[DvEntry] = Nil)
+      private val pushedExprs: Seq[Expression],
+      private val required: Option[StructType],
+      private val dvs: Seq[DvEntry] = Nil)
       extends Scan with org.apache.spark.sql.connector.read.Batch
       with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -1119,6 +1121,22 @@ object ManifestSource {
       new RenameFoldReaderFactory(delegate.toBatch.createReaderFactory(),
         fetched.fields.map(_.dataType).toSeq, positions, dvFold, logical.length,
         defaultVals)
+
+    /** Value equality so scan/exchange reuse works for self-joins of a
+      * table mid-evolution (live rename / defaulted add / dvs) — same
+      * contract as [[ManifestScan.equals]]. `dvs` are (bucket, rows,
+      * path) triples of immutable files, so list equality is snapshot
+      * equality. */
+    override def equals(other: Any): Boolean = other match {
+      case o: ManifestRenameScan =>
+        options.asCaseSensitiveMap() == o.options.asCaseSensitiveMap() &&
+          kept == o.kept && dvs == o.dvs &&
+          pushedExprs.map(_.canonicalized) == o.pushedExprs.map(_.canonicalized) &&
+          required == o.required
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Objects.hash(options.asCaseSensitiveMap(), kept, dvs, required)
   }
 
   /** Row-level fold: wraps the delegate's (row-based) readers with a

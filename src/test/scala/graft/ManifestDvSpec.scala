@@ -321,6 +321,22 @@ class ManifestDvSpec extends AnyFunSuite {
     assert(ManifestUpsertSink.latestManifest(root).get.dvs.map(_.rows).sum == 1L)
   }
 
+  test("two loads of one dv'd snapshot plan EQUAL scans: exchange/scan reuse stays possible") {
+    import spark.implicits._
+    val root = tmp("graft_dv_eq_")
+    val sink = seed(root, n = 20)
+    sink.deleteKeysMergeOnRead(Seq(3L).toDF("id"), 1L)
+    def scanOf(df: org.apache.spark.sql.DataFrame): Any =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.get
+    val a = scanOf(spark.read.format("graft-manifest").load(root).select("id", "p"))
+    val b = scanOf(spark.read.format("graft-manifest").load(root).select("id", "p"))
+    assert(a == b && a.hashCode == b.hashCode,
+      "independently-built fold scans of one snapshot must compare EQUAL — " +
+        "reference equality silently disables exchange reuse for self-joins")
+  }
+
   test("dvMaxRowsPerBucket table property: SQL DELETEs over the cap route to copy-on-write") {
     val root = tmp("graft_dv_capsql_")
     val cat = "graft_dvcap"

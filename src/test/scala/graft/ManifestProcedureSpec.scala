@@ -202,6 +202,22 @@ class ManifestProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum reclaims stale symlink exports with their versions") {
+    withCatalog { (cat, root) =>
+      seed(cat, rows = 40, batches = 2) // v0, v1
+      spark.sql(s"CALL $cat.system.export_symlinks('t')") // _symlink/v1
+      spark.sql(s"INSERT INTO $cat.t VALUES (9001, 'x', 9)") // v2
+      spark.sql(s"CALL $cat.system.export_symlinks('t')") // _symlink/v2
+      spark.sql(s"CALL $cat.system.vacuum('t', 1)") // hold v2 only
+      val base = java.nio.file.Paths.get(root, "t", "_symlink")
+      assert(!java.nio.file.Files.exists(base.resolve("v1")),
+        "a vacuumed version's export points at reclaimable files — it must go with it")
+      assert(java.nio.file.Files.exists(
+        base.resolve("v2").resolve("symlink-manifest.txt")),
+        "the held version's export survives")
+    }
+  }
+
   test("ANALYZE TABLE COMPUTE STATISTICS rebuilds the sidecar; census comes back exact") {
     withCatalog { (cat, root) =>
       seed(cat, rows = 40, batches = 2)

@@ -351,6 +351,10 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // dv-deleted key sees it absent and records nothing — each key lives
     // in at most one dv file, keeping the sidecar arithmetic exact
     val current = readLogical(spark, cur, touchedEntries)
+    // deliberately NOT persisted, like the merge's `deduped` (see the
+    // measured rationale there): two actions read `victims` — the feed
+    // write and the tiny dv write — and two recomputes of a key-pruned
+    // semi-join cost less than a columnar cache build per statement
     val victims = current.join(keyed.select(keyColumns: _*), keyCols, "left_semi")
     // feed first (same crash contract as the CoW delete)
     victims.select(keyColumns ++ Seq(lit("deleted").as("change"),
@@ -1027,6 +1031,14 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     * name-keyed format must refuse). Commits `touched = None` so any
     * concurrent writer aborts rather than rebasing across a schema
     * change. */
+  /** `defaultSql` (NOT-NULL-DEFAULT add): the literal lives in the
+    * manifest header and every read folds absent/null bytes to it; the
+    * next FULL compaction MATERIALIZES the value physically and clears
+    * the header — after which the column is an ordinary (nullable)
+    * materialized column, like every other cleared evolution. A
+    * deployment that wants the NOT NULL constraint to outlive
+    * materialization enforces it at the write edge (the SQL surface's
+    * store assignment does, while the header lives). */
   def addColumn(spark: SparkSession, name: String, typeDdl: String,
       defaultSql: Option[String] = None): Unit = {
     val cur = latestManifest(root, store).getOrElse(throw new IllegalStateException(

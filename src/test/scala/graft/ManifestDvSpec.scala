@@ -321,6 +321,35 @@ class ManifestDvSpec extends AnyFunSuite {
     assert(ManifestUpsertSink.latestManifest(root).get.dvs.map(_.rows).sum == 1L)
   }
 
+  test("shallow clone of a dv'd table: the clone folds, evolves independently, holds dv files against source vacuum") {
+    import spark.implicits._
+    val srcRoot = tmp("graft_dv_clone_s_")
+    val clRoot = tmp("graft_dv_clone_c_")
+    val sink = seed(srcRoot, n = 20)
+    sink.deleteKeysMergeOnRead(Seq(3L, 9L).toDF("id"), 1L)
+    val dvPath = ManifestUpsertSink.latestManifest(srcRoot).get.dvs.head.path
+    val clone = sink.cloneTo(spark, clRoot, deep = false)
+    // the clone's v0 carries the dv entries: it reads the folded snapshot
+    assert(clone.read(spark).count() == 18)
+    assert(spark.read.format("graft-manifest").load(clRoot).count() == 18)
+    // DSv2 time travel to the dv'd version reads its own dv state (while
+    // the version is still retained)
+    assert(spark.read.format("graft-manifest")
+      .option("versionAsOf", 1).load(srcRoot).count() == 18,
+      "versionAsOf a dv'd version folds that version's dvs through SQL")
+    assert(spark.read.format("graft-manifest")
+      .option("versionAsOf", 0).load(srcRoot).count() == 20)
+    // the SOURCE compacts (materializes its dvs) and vacuums its history:
+    // the dv file is only referenced by the CLONE now — the clone
+    // registry must hold it, or the clone silently resurrects 2 rows
+    sink.compact(spark)
+    sink.vacuum(keepVersions = 1)
+    assert(Files.exists(Paths.get(dvPath)),
+      "a shallow clone's dv sidecar must survive the source's vacuum")
+    assert(clone.read(spark).count() == 18,
+      "the clone still folds its dv after the source moved on")
+  }
+
   test("two loads of one dv'd snapshot plan EQUAL scans: exchange/scan reuse stays possible") {
     import spark.implicits._
     val root = tmp("graft_dv_eq_")

@@ -407,11 +407,133 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       // no data file written: an empty written-schema union keeps the
       // chain's stamp verbatim
       writtenSchema = new StructType(),
-      // this commit OWNS the victim buckets' dv state: the chain's
-      // entries for them plus the new sidecar files
-      dvWritten = cur.dvs.filter(d => dvTouched(d.bucket)) ++ newDvs,
-      dvReplaced = dvTouched,
-      defaults = cur.defaults)
+      // APPEND shape: only the NEW sidecar files ship; the base dv
+      // entries are composed from the WINNING chain's snapshot on every
+      // commit attempt inside commitRebasing — a pre-race capture of
+      // cur.dvs here would re-attach entries a concurrent compaction
+      // just materialized and silently break the COUNT subtraction's
+      // exactness (the r14 advisory)
+      dvWritten = newDvs,
+      dvReplaced = Set.empty,
+      defaults = cur.defaults,
+      append = true)
+  }
+
+  /** MERGE-ON-READ UPSERT — the write-economics counterpart of
+    * [[deleteKeysMergeOnRead]] for trickle UPDATES: merge `batch` by
+    * APPENDING its rows as new data files and committing a deletion
+    * vector for the keys that already existed, leaving every prior data
+    * file BYTE-IDENTICAL. A 10-row update on a 100-TB table is then
+    * O(10 rows + key sidecar), not O(touched bucket bytes) — the
+    * copy-on-write [[upsertBatch]] rewrites every touched bucket.
+    *
+    * Soundness comes from COMMIT-SEQUENCE PROVENANCE (the Iceberg-v2
+    * sequence-number model): every file and dv entry carries the version
+    * of the commit that produced it, and the read fold masks a dv'd key
+    * only in files with `file.seq < dv.seq` — so the dv this commit
+    * writes retires the key's OLD rows (older sequences) while the
+    * replacement row, written at the dv's own sequence, survives. A
+    * key-scoped dv without the sequence test would anti-join the
+    * replacement away — the refusal documented in earlier rounds, now
+    * lifted by the provenance.
+    *
+    * Contract mirrors [[upsertBatch]]: LWW-dedupe within the batch,
+    * replay-guarded by `batchId`, CDC feed classifying inserted/updated
+    * with before/after images, additive schema evolution. The dv lists
+    * ONLY keys that currently exist (each upsert masks exactly one live
+    * instance, keeping the manifest's row subtraction exact: COUNT =
+    * Σfile rows − Σdv rows still holds with stacked upserts). The
+    * per-bucket dv cap routes an over-cap statement to the
+    * copy-on-write merge, which materializes the bucket's backlog as it
+    * rewrites — the same debt bound as the MoR delete. Reads of buckets
+    * with interleaved file/dv sequences take the sequence-aware fold
+    * ([[ManifestUpsertSink.readLogical]]); compaction collapses them
+    * back to the single-anti-join shape. */
+  def upsertMergeOnRead(batch: DataFrame, orderCol: String, batchId: Long,
+      maxDvRowsPerBucket: Long = DefaultDvMaxRowsPerBucket): Unit = {
+    val spark = batch.sparkSession
+    val cur = latestManifest(root, store)
+    healFeed(cur)
+    if (batchId != AdHocBatch && cur.exists(_.batchId >= batchId))
+      return // replayed batch: no-op
+    requireSameBuckets(cur)
+    requireNoRetiredColumns(cur, batch.columns)
+    val version = cur.map(_.version + 1).getOrElse(0L)
+    val tag = newTag()
+    val deduped = JdbcUpsertSink.lastWriteWins(batch, keyCol, col(orderCol))
+      .withColumn(BucketCol, bucketExpr)
+    val touched = collectTouchedRequireKeys(deduped)
+    val current: Option[DataFrame] = cur.flatMap { m =>
+      val touchedEntries = m.files.filter(f => touched(f.bucket))
+      if (touchedEntries.isEmpty) None
+      else Some(readLogical(spark, m, touchedEntries)) // evolution + dv fold
+    }
+    // change feed: identical classification to the CoW merge — the
+    // reader-visible semantics of the two merge shapes must not differ
+    val newImaged = deduped.select(keyColumns :+
+      payloadImage(deduped).as("new_image"): _*)
+    val changes = (current match {
+      case Some(c) =>
+        newImaged.join(
+          c.select(keyColumns :+ payloadImage(c).as("old_image"): _*),
+          keyCols, "left_outer")
+      case None => newImaged.withColumn("old_image", lit(null).cast("string"))
+    }).select(keyColumns ++ Seq(
+      when(col("old_image").isNull, lit("inserted")).otherwise(lit("updated")).as("change"),
+      when(col("old_image").isNull, lit(null).cast("long"))
+        .otherwise(xxhash64(col("old_image"))).as("old_hash"),
+      xxhash64(col("new_image")).as("new_hash"),
+      col("old_image"), col("new_image")): _*)
+    changes.write.mode("overwrite").parquet(s"$root/_stage/$tag")
+    // the dv sidecar: keys that ALREADY EXIST (the replaced instances) —
+    // pure inserts need no masking and must not enter the subtraction
+    val dvDir = s"$root/data/v$version-$tag-dv"
+    val newDvs: Seq[DvEntry] = current match {
+      case None => Nil
+      case Some(c) =>
+        val victims = deduped.select(keyColumns: _*)
+          .join(c.select(keyColumns: _*), keyCols, "left_semi")
+          .withColumn(BucketCol, bucketExpr)
+        victims.repartition(math.max(touched.size, 1), col(BucketCol))
+          .write.mode("overwrite").partitionBy(BucketCol).parquet(dvDir)
+        val dvFiles = listParquet(dvDir, store)
+        val dvStats = ManifestStats.collectAuto(dvFiles.map(_.path))
+        val out = dvFiles.map(f => DvEntry(f.bucket,
+            dvStats.get(f.path).map(_.rows).getOrElse(throw new IllegalStateException(
+              s"could not read footer row count of freshly-written dv file ${f.path}")),
+            f.path))
+          .filter(_.rows > 0)
+        if (out.isEmpty) deleteTree(store, dvDir)
+        out
+    }
+    // cap: accumulated dv debt per bucket stays broadcast-sized, or the
+    // statement routes to copy-on-write (which materializes the backlog)
+    val overCap = cur.exists(m => touched.exists { b =>
+      m.dvsOf(b).map(_.rows).sum +
+        newDvs.filter(_.bucket == b).map(_.rows).sum > math.max(1L, maxDvRowsPerBucket)
+    })
+    if (overCap) {
+      if (newDvs.nonEmpty) deleteTree(store, dvDir)
+      deleteTree(store, s"$root/_stage/$tag")
+      store.deleteDirIfEmpty(s"$root/_stage")
+      upsertBatch(batch, orderCol, batchId)
+      return
+    }
+    // the appended row images — every prior data file stays byte-identical
+    val dataDir = s"$root/data/v$version-$tag"
+    writeData(deduped, dataDir)
+    val written = listParquet(dataDir, store)
+    val commitId =
+      if (batchId == AdHocBatch) cur.map(_.batchId).getOrElse(-1L) else batchId
+    commitRebasing(cur, commitId, dataChanged = touched, replaced = Set.empty,
+      written = written, feedStage = Some(s"_stage/$tag"),
+      renames = cur.map(_.renames).getOrElse(Nil),
+      addedCols = cur.map(_.addedCols).getOrElse(Nil),
+      droppedCols = cur.map(_.droppedCols).getOrElse(Nil),
+      writtenSchema = deduped.schema,
+      dvWritten = newDvs, dvReplaced = Set.empty,
+      defaults = cur.map(_.defaults).getOrElse(Nil),
+      append = true)
   }
 
   /** SINGLE-COMMIT row-level apply: MERGE `batch` and DELETE `delKeys`
@@ -611,16 +733,35 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     * owns — for any bucket REWRITE (merge, CoW delete, compaction) the
     * rewritten buckets, whose dvs the rewrite read-folded and therefore
     * MATERIALIZED (carrying them would double-count the deletion in the
-    * sidecar arithmetic); for a merge-on-read delete its touched
-    * buckets, owned as base-dvs + the new sidecar. Other buckets carry
-    * the chain's dv entries verbatim, like their file entries. */
+    * sidecar arithmetic). Other buckets carry the chain's dv entries
+    * verbatim, like their file entries.
+    *
+    * `append = true` is the MERGE-ON-READ commit shape: this commit
+    * REPLACES nothing — the CURRENT chain's file and dv entries all
+    * carry, and `written`/`dvWritten` land ON TOP. Crucially the base
+    * entries are re-read from the winning chain on EVERY rebase attempt
+    * (mirroring how renames/defaults are re-adopted from `latest`): a
+    * fixed pre-race capture of `cur.dvs` would re-attach dv entries a
+    * concurrent compaction just materialized, silently under-counting
+    * metadata-only COUNT(*) with `dvInexact = false` — the exactness
+    * invariant broken in precisely the ingest+compactor concurrency the
+    * design advertises.
+    *
+    * Per attempt, `written`/`dvWritten` entries are stamped with the
+    * attempt's version as their commit SEQUENCE — under a rebase the
+    * files were written into a `v<attempt>` path but commit at a later
+    * version, and the dv fold's `file.seq < dv.seq` test must order by
+    * the COMMITTED sequence (a compaction that won the race carries the
+    * attempted version; a path-derived stamp would tie with it and
+    * un-mask the rows the dv retires). */
   private def commitRebasing(base: Option[Manifest], batchId: Long,
       dataChanged: Set[Long], replaced: Set[Long], written: Seq[FileEntry],
       feedStage: Option[String], renames: Seq[(String, String)],
       addedCols: Seq[(String, String)], droppedCols: Seq[String],
       writtenSchema: org.apache.spark.sql.types.StructType,
       dvWritten: Seq[DvEntry], dvReplaced: Set[Long],
-      defaults: Seq[(String, String)]): Unit = {
+      defaults: Seq[(String, String)],
+      append: Boolean = false): Unit = {
     var cur = base
     var keepMine = replaced
     var dvKeep = dvReplaced
@@ -632,10 +773,17 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     var attempt = 0
     while (true) {
       val version = cur.map(_.version + 1).getOrElse(0L)
-      val carried = cur.toSeq.flatMap(_.files).filterNot(f => keepMine(f.bucket))
-      val files = carried ++ written.filter(f => keepMine(f.bucket))
-      val dvs = cur.toSeq.flatMap(_.dvs).filterNot(d => dvKeep(d.bucket)) ++
-        dvWritten.filter(d => dvKeep(d.bucket))
+      val mineStamped = (if (append) written else written.filter(f => keepMine(f.bucket)))
+        .map(_.copy(seq = version))
+      val carried =
+        if (append) cur.toSeq.flatMap(_.files)
+        else cur.toSeq.flatMap(_.files).filterNot(f => keepMine(f.bucket))
+      val files = carried ++ mineStamped
+      val dvs =
+        (if (append) cur.toSeq.flatMap(_.dvs)
+         else cur.toSeq.flatMap(_.dvs).filterNot(d => dvKeep(d.bucket)) ++
+           dvWritten.filter(d => dvKeep(d.bucket)).map(_.copy(seq = version))) ++
+          (if (append) dvWritten.map(_.copy(seq = version)) else Nil)
       // inexactness clears only when the LAST dv entry does (a partial
       // materialization cannot prove which entries over-count)
       val dvInexact = cur.exists(_.dvInexact) && dvs.nonEmpty
@@ -666,7 +814,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         }
         val prev = cur.map(c => loadStats(root, store, c.version)).getOrElse(Map.empty)
         val carriedStats = files.flatMap(f => prev.get(f.path).map(f.path -> _)).toMap
-        val mine = written.filter(f => keepMine(f.bucket)).map(_.path)
+        val mine = mineStamped.map(_.path)
         // carried files MISSING from the previous sidecar (a winner still
         // mid-write in the rebase window, or a crash-torn sidecar) are
         // re-read from their footers rather than silently dropped — the
@@ -1060,10 +1208,32 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       require(parsed.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal],
         s"DEFAULT must be a LITERAL (got '$d') — non-literal defaults would " +
           "re-evaluate per read")
+      val litExpr = parsed.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+      // a NULL default is a contradiction: the defaulted add stamps the
+      // column NOT NULL (the fold always produces the literal), so a
+      // null-valued literal would push actual nulls through an attribute
+      // Catalyst constant-folds IsNull away on — wrong results or codegen
+      // reading the field without a null check (the r14 advisory)
+      require(litExpr.value != null,
+        s"DEFAULT '$d' is NULL — the metadata-only defaulted add declares the " +
+          "column NOT NULL, so a null default would serve nulls through a " +
+          "non-nullable attribute; use a plain nullable ADD COLUMN instead")
       val t = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
       require(org.apache.spark.sql.catalyst.expressions.Cast.canCast(
           parsed.dataType, t),
         s"DEFAULT '$d' (${parsed.dataType.simpleString}) cannot cast to ${t.simpleString}")
+      // same refusal POST-CAST: under non-ANSI eval a cast can yield null
+      // from a non-null literal (e.g. DEFAULT 'abc' as INT) — evaluate the
+      // exact expression the read fold would and refuse a null (or
+      // failing) result at DDL time, not at every scan
+      val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+      val castedVal =
+        try org.apache.spark.sql.catalyst.expressions.Cast(litExpr, t, Some(tz)).eval(null)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"DEFAULT '$d' fails to cast to ${t.simpleString}: ${e.getMessage}") }
+      require(castedVal != null,
+        s"DEFAULT '$d' casts to NULL as ${t.simpleString} — refused for the same " +
+          "reason as an explicit NULL default (the column is declared NOT NULL)")
     }
     require(name.nonEmpty && !name.exists(c =>
         c == ':' || c == ';' || c == ',' || c == '\t' || c == '\n' || c == '\r'),
@@ -1745,7 +1915,24 @@ object ManifestUpsertSink {
     }.toMap
   }
 
-  final case class FileEntry(bucket: Long, path: String)
+  /** A committed data file. `seq` is the COMMIT SEQUENCE the file's rows
+    * entered the table at (the manifest version of the commit that wrote
+    * it, stamped by [[ManifestUpsertSink.commitRebasing]] per attempt so
+    * a rebased commit carries its FINAL version) — the per-file
+    * provenance that makes merge-on-read UPSERTS sound: a deletion
+    * vector with sequence s masks a key only in files with seq < s, so
+    * the replacement row (written at s) survives the very dv that
+    * retires its predecessors. Manifests predating the field decode it
+    * from the file's own `data/v<N>-<tag>` path segment (exact for
+    * non-rebased commits; pre-seq tables never mixed dvs newer than
+    * files in a bucket, so the fallback is always order-correct). */
+  final case class FileEntry(bucket: Long, path: String, seq: Long = -1L)
+
+  /** The commit sequence a `data/v<N>-…` path encodes, if any — the
+    * decode-time fallback for entries committed before the explicit
+    * `seq` field. */
+  private[graft] def seqOfPath(path: String): Option[Long] =
+    "/v(\\d+)-".r.findFirstMatchIn(path).map(_.group(1).toLong)
 
   /** A DELETION-VECTOR sidecar file: a small parquet of deleted KEY
     * tuples scoped to one bucket (the Iceberg-v2 equality-delete shape —
@@ -1764,8 +1951,17 @@ object ManifestUpsertSink {
     * consumer of the subtraction (metadata-only COUNT, detail's
     * total_rows) declines until a full materialization clears the dvs.
     * Read correctness never depends on exactness: anti-joining an
-    * absent key is a no-op. */
-  final case class DvEntry(bucket: Long, rows: Long, path: String)
+    * absent key is a no-op.
+    *
+    * `seq` is the dv's COMMIT SEQUENCE (see [[FileEntry.seq]]): the fold
+    * masks a listed key only in data files with `file.seq < dv.seq`.
+    * Delete-only dvs are always newer than every file in their bucket
+    * (any later file write rewrites the bucket and materializes them),
+    * so the sequence test is a no-op there; it exists for merge-on-read
+    * UPSERTS, whose replacement file commits at the SAME sequence as the
+    * dv that retires the old rows. Legacy entries decode their seq from
+    * the `v<N>-<tag>-dv` path. */
+  final case class DvEntry(bucket: Long, rows: Long, path: String, seq: Long = -1L)
 
   /** `touched`: the buckets whose DATA this commit changed (empty for
     * compactions, which rewrite files but not rows) — the information a
@@ -1934,13 +2130,62 @@ object ManifestUpsertSink {
     }
   }
 
+  /** Whether the dv SEQUENCE test actually bites for this read: a dv
+    * masks a key only in files OLDER than it (`file.seq < dv.seq`), so
+    * when every in-scope dv is newer than every file in its bucket — the
+    * invariant delete-only tables hold by construction (any later file
+    * write rewrites the bucket and materializes its dvs) — the per-file
+    * test is vacuous and ONE plain anti-join serves. Merge-on-read
+    * UPSERTS break the invariant on purpose: their replacement files
+    * commit at the same sequence as the dv that retires the old rows. */
+  private[graft] def dvNeedsSeq(dvs: Seq[DvEntry], entries: Seq[FileEntry]): Boolean = {
+    val maxFileSeq: Map[Long, Long] =
+      entries.groupBy(_.bucket).map { case (b, es) => b -> es.map(_.seq).max }
+    dvs.exists(d => maxFileSeq.get(d.bucket).exists(_ >= d.seq))
+  }
+
   /** The LOGICAL rows of `paths` under manifest `m`: physical read →
     * evolution fold → deletion-vector fold scoped to the files' buckets
-    * — what every row-reading verb means by "current". */
+    * — what every row-reading verb means by "current". `prep` runs on
+    * the raw physical frame before the folds (the snapshot surfaces drop
+    * a legacy-materialized bucket column there).
+    *
+    * Two dv shapes: when every dv is newer than every file in its bucket
+    * (always, for delete-only tables) the fold is ONE broadcast
+    * anti-join over the whole read — zero plan change vs pre-seq rounds.
+    * When merge-on-read upserts have interleaved file and dv sequences,
+    * the read groups files BY COMMIT SEQUENCE (same logical schema per
+    * group — a union, not a join), stamps each group's rows with their
+    * file sequence, and anti-joins on (key match AND dv.seq > file.seq):
+    * the replacement row written at the dv's own sequence survives the
+    * dv that retires its predecessors. Group count = distinct live
+    * commit sequences, bounded by files-per-bucket (compaction collapses
+    * it back to 1). */
   private[graft] def readLogical(spark: SparkSession, m: Manifest,
-      entries: Seq[FileEntry]): DataFrame =
-    applyDv(applyEvolution(readPhysical(spark, m, entries.map(_.path)), m),
-      m, Some(entries.map(_.bucket).toSet))
+      entries: Seq[FileEntry], prep: DataFrame => DataFrame = identity): DataFrame = {
+    val bucketSet = entries.map(_.bucket).toSet
+    val dvs = m.dvs.filter(d => bucketSet(d.bucket))
+    def plain = applyEvolution(prep(readPhysical(spark, m, entries.map(_.path))), m)
+    if (dvs.isEmpty) plain
+    else if (!dvNeedsSeq(dvs, entries)) applyDv(plain, m, Some(bucketSet))
+    else {
+      val keyCols = splitKeyCols(m.keyCol.getOrElse(throw new IllegalStateException(
+        "manifest carries deletion vectors but no keyCol header — corrupt manifest")))
+      val FseqCol = "__fseq"
+      val data = entries.groupBy(_.seq).toSeq.sortBy(_._1).map { case (s, es) =>
+        applyEvolution(prep(readPhysical(spark, m, es.map(_.path))), m)
+          .withColumn(FseqCol, lit(s))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val dvKeys = dvs.groupBy(_.seq).toSeq.sortBy(_._1).map { case (s, ds) =>
+        applyRenames(spark.read.option("mergeSchema", "true")
+            .parquet(ds.map(_.path): _*), m.renames)
+          .select(keyCols.map(col): _*).withColumn("__dvseq", lit(s))
+      }.reduce(_.unionByName(_))
+      val cond = keyCols.map(k => data(k) === dvKeys(k)).reduce(_ && _) &&
+        dvKeys("__dvseq") > data(FseqCol)
+      data.join(broadcast(dvKeys), cond, "left_anti").drop(FseqCol)
+    }
+  }
 
   /** Normalize a written frame's schema into STAMP form: the layout
     * columns out (`__bucket`/`__pdate` live in directory names, never in
@@ -2045,8 +2290,7 @@ object ManifestUpsertSink {
     * compaction unifies them. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val m = snapshotManifest(root, None)
-    applyDv(applyEvolution(
-      readPhysical(spark, m, m.files.map(_.path)).drop(BucketCol), m), m)
+    readLogical(spark, m, m.files, _.drop(BucketCol))
   }
 
   /** Time-travel read: the snapshot AS OF a committed version — the
@@ -2057,8 +2301,7 @@ object ManifestUpsertSink {
     * history). */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val m = snapshotManifest(root, Some(version))
-    applyDv(applyEvolution(
-      readPhysical(spark, m, m.files.map(_.path)).drop(BucketCol), m), m)
+    readLogical(spark, m, m.files, _.drop(BucketCol))
   }
 
   /** TIMESTAMP time travel for the Scala API: the snapshot current as of
@@ -2338,11 +2581,19 @@ object ManifestUpsertSink {
       // no tab/newline by the header-safety rules) — what lets every
       // read skip footer I/O entirely
       m.physSchema.map(s => s"schema=$s")
-    // dv lines are `dv<TAB>bucket<TAB>rows<TAB>path` — the leading
-    // non-numeric token separates them from data-file lines (whose first
-    // field is the numeric bucket)
-    (header ++ m.files.map(f => s"${f.bucket}\t${f.path}") ++
-      m.dvs.map(d => s"dv\t${d.bucket}\t${d.rows}\t${d.path}")).mkString("\n")
+    // dv lines are `dv<TAB>bucket<TAB>rows<TAB>seq<TAB>path` — the
+    // leading non-numeric token separates them from data-file lines
+    // (whose first field is the numeric bucket, format
+    // `bucket<TAB>seq<TAB>path`). A still-unstamped seq (-1, only
+    // reachable through direct commit() callers like deep clone) falls
+    // back to the path's version segment at encode time, so committed
+    // manifests always carry a resolved sequence.
+    def fileSeq(f: FileEntry): Long =
+      if (f.seq >= 0) f.seq else seqOfPath(f.path).getOrElse(0L)
+    def dvSeq(d: DvEntry): Long =
+      if (d.seq >= 0) d.seq else seqOfPath(d.path).getOrElse(Long.MaxValue)
+    (header ++ m.files.map(f => s"${f.bucket}\t${fileSeq(f)}\t${f.path}") ++
+      m.dvs.map(d => s"dv\t${d.bucket}\t${d.rows}\t${dvSeq(d)}\t${d.path}")).mkString("\n")
   }
 
   private def decode(text: String): Manifest = {
@@ -2356,11 +2607,30 @@ object ManifestUpsertSink {
     val header = headerLines.map { l =>
       val Array(k, v) = l.split("=", 2); k -> v
     }.toMap
+    // both vintages decode: `bucket\tpath` (pre-seq) resolves the
+    // sequence from the path's version segment; `bucket\tseq\tpath`
+    // carries it explicitly (paths start with '/' or a scheme, never a
+    // bare integer field, so the arity is unambiguous)
     val files = fileLines.map { l =>
-      val Array(b, p) = l.split("\t", 2); FileEntry(b.toLong, p)
+      l.split("\t", 3) match {
+        case Array(b, s, p) if s.forall(_.isDigit) =>
+          FileEntry(b.toLong, p, s.toLong)
+        case _ =>
+          val Array(b, p) = l.split("\t", 2)
+          FileEntry(b.toLong, p, seqOfPath(p).getOrElse(0L))
+      }
     }
     val dvs = dvLines.map { l =>
-      val Array(_, b, r, p) = l.split("\t", 4); DvEntry(b.toLong, r.toLong, p)
+      l.split("\t", 5) match {
+        case Array(_, b, r, s, p) if s.forall(_.isDigit) =>
+          DvEntry(b.toLong, r.toLong, p, s.toLong)
+        case _ =>
+          val Array(_, b, r, p) = l.split("\t", 4)
+          // a legacy dv is newer than every file in its bucket by the
+          // pre-seq protocol (any later file write materialized it), so
+          // an unparseable path safely defaults to "applies to all"
+          DvEntry(b.toLong, r.toLong, p, seqOfPath(p).getOrElse(Long.MaxValue))
+      }
     }
     Manifest(header("version").toLong, header("batchId").toLong,
       header.get("buckets").map(_.toInt), header.get("keyCol"), files,

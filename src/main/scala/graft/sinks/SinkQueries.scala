@@ -1728,11 +1728,12 @@ object SinkQueries {
     * buckets' data files stay BYTE-IDENTICAL — ManifestDvSpec pins
     * that), reads fold the sidecar (anti-join by key inside the
     * connector's row-level fold scan; metadata-only COUNT(*) subtracts
-    * the manifest-recorded dv rows), a row-level UPDATE rewrites its
-    * touched buckets copy-on-write — materializing their dvs on the way
-    * — and `CALL system.compact` materializes the rest. At 100 TB this
-    * is the difference between O(keys) and O(bucket bytes) per trickle
-    * DELETE, the Iceberg-v2 equality-delete / Delta deletion-vector
+    * the manifest-recorded dv rows), a row-level UPDATE is merge-on-read
+    * TOO (new row images append at the commit's sequence, a dv retires
+    * the old rows — see q332 for the isolated upsert lifecycle), and
+    * `CALL system.compact` materializes everything. At 100 TB this is
+    * the difference between O(keys) and O(bucket bytes) per trickle
+    * DELETE or UPDATE, the Iceberg-v2 equality-delete + sequence-number
     * economics. The oracle restates the verb sequence as pure algebra;
     * a hash match proves no surface — fold scan, census, update, compact
     * — loses or resurrects a row. */
@@ -1755,9 +1756,12 @@ object SinkQueries {
       // files rewritten — the dv sidecar accumulates across statements)
       s.sql(s"DELETE FROM $cat.pp WHERE key IN (7, 13, 19)")
       s.sql(s"DELETE FROM $cat.pp WHERE key = 42")
-      // the dv'd table serves reads mid-lifecycle: a row-level UPDATE's
-      // matching side reads through the fold (a dv-deleted key must not
-      // match), and its rewrite materializes the touched buckets' dvs
+      // the dv'd table serves WRITES mid-lifecycle too: a row-level
+      // UPDATE's matching side reads through the fold (a dv-deleted key
+      // must not match), and on a mergeOnRead table the update itself is
+      // MERGE-ON-READ — new row images append as new files, a
+      // sequence-stamped dv retires the old rows, every prior data file
+      // stays byte-identical (ManifestDvSpec pins the bytes)
       s.sql(s"UPDATE $cat.pp SET price = price + 1000.0 WHERE sz >= 40")
       // compact materializes the remaining dvs; the final read must be
       // identical before and after (the fold and the materialization are

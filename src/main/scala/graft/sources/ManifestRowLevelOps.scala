@@ -269,6 +269,19 @@ private[graft] object ManifestRowLevelOps {
         dvMaxRowsPerBucket)
       return
     }
+    // an UPSERT-ONLY statement (non-key-moving UPDATE, MERGE without
+    // DELETE branches) on a mergeOnRead table takes the merge-on-read
+    // UPSERT: new row images append as new files, a dv with the commit's
+    // sequence retires the old rows, every prior data file stays
+    // byte-identical — trickle updates cost O(changed rows), not
+    // O(touched bucket bytes). Key-moving/mixed statements keep the
+    // single-commit copy-on-write applyDelta (their atomicity contract
+    // spans deletes at vacated keys).
+    if (mergeOnRead && delKeys.isEmpty) {
+      sink.upsertMergeOnRead(upserts, orderCol, ManifestUpsertSink.AdHocBatch,
+        dvMaxRowsPerBucket)
+      return
+    }
     val ups = upserts.persist()
     try {
       // a key can be deleted-from AND re-occupied in one statement only

@@ -1033,12 +1033,24 @@ object ManifestSource {
     }
 
     /** The per-row DELETION-VECTOR filter inputs, resolved ONCE at scan
-      * construction: key positions/types within the fetched row and the
-      * deleted key tuples as UnsafeRow bytes — driver-held and shipped
-      * in the factory closure, bounded by the write path's per-bucket
-      * cap. dv files carry write-time physical names; the same rename
-      * fold maps them onto the current logical key. */
-    private val dvFold: Option[(Seq[Int], Seq[org.apache.spark.sql.types.DataType], Array[Array[Byte]])] =
+      * construction: key positions/types within the fetched row and a
+      * REAL Spark broadcast of the deleted key tuples GROUPED BY BUCKET
+      * (with each key's dv commit sequence) plus the kept data files'
+      * own sequences. One executor-resident copy regardless of task
+      * count, and each reader loads ONLY its partition's buckets' keys —
+      * the factory closure carries just the broadcast handle, so scan
+      * setup cost is flat in bucket count (the r14 scale finding: the
+      * old global driver array shipped every bucket's keys in every
+      * task closure — ~67M keys at 1024 buckets × the 64k cap).
+      *
+      * Keys are FLOAT-NORMALIZED (−0.0 → 0.0, canonical NaN) on both the
+      * collection side here and the per-row projection in the reader, so
+      * byte equality agrees with the sink-side SQL anti-join on
+      * float/double key components. dv files carry write-time physical
+      * names; the same rename fold maps them onto the current logical
+      * key. */
+    private val dvFold: Option[(Seq[Int], Seq[org.apache.spark.sql.types.DataType],
+        org.apache.spark.broadcast.Broadcast[DvFoldData])] =
       if (dvs.isEmpty) None
       else {
         val keyNames = resolved.keyInfo.getOrElse(throw new IllegalStateException(
@@ -1047,21 +1059,45 @@ object ManifestSource {
         val keyIdx = keyNames.map(fetched.fieldIndex)
         val keyTypes = keyIdx.map(fetched(_).dataType)
         val spark = SparkSession.active
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, input_file_name}
         // mergeSchema: dv files span KEY-RENAME vintages (old files spell
         // the retired name); the same rename fold that maps data files
-        // coalesces them onto the current key
+        // coalesces them onto the current key. input_file_name ties each
+        // key back to its dv entry's (bucket, seq).
         val dvKeys = ManifestUpsertSink.applyRenames(
           spark.read.option("mergeSchema", "true").parquet(dvs.map(_.path): _*),
           resolved.renames)
-          .select(keyNames.zip(keyTypes).map { case (n, t) => col(n).cast(t) }: _*)
+          .select(keyNames.zip(keyTypes).map { case (n, t) => col(n).cast(t) } :+
+            input_file_name().as("__dvfile"): _*)
         val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-          .create(keyTypes.toArray)
+          .create(keyTypes.zipWithIndex.map { case (t, i) =>
+            GraftBridge.normalizeFloats(
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                i, t, nullable = true))
+          })
+        val metaByPath: Map[String, (Long, Long)] =
+          dvs.map(d => pathKey(d.path) -> ((d.bucket, d.seq))).toMap
+        val n = keyTypes.length
         // toRdd rows are MUTABLE buffer views — copy on the executor
         // before collect, or every key in a partition aliases the last
-        val bytes = dvKeys.queryExecution.toRdd.map(_.copy()).collect()
-          .map(r => proj(r).copy().getBytes)
-        Some((keyIdx, keyTypes, bytes))
+        val rows = dvKeys.queryExecution.toRdd.map(_.copy()).collect()
+        val byBucket: Map[Long, Array[(Long, Array[Byte])]] = rows
+          .map { r =>
+            val file = r.getUTF8String(n).toString
+            val (bucket, seq) = metaByPath.getOrElse(pathKey(file),
+              throw new IllegalStateException(
+                s"dv key file $file matches no manifest dv entry — path-normalization bug"))
+            (bucket, (seq, proj(r).copy().getBytes))
+          }
+          .groupBy(_._1).map { case (b, arr) => b -> arr.map(_._2) }
+        val fileSeq: Map[String, Long] = {
+          val dvBuckets = dvs.map(_.bucket).toSet
+          kept.filter(e => dvBuckets(e.bucket))
+            .map(e => pathKey(e.path) -> e.seq).toMap
+        }
+        val bc = spark.sparkContext.broadcast(DvFoldData(byBucket, fileSeq))
+        DvFoldProbe.totalKeys = rows.length
+        Some((keyIdx, keyTypes, bc))
       }
 
     /** DEFAULT literals of NOT-NULL-DEFAULT added columns, resolved to
@@ -1117,10 +1153,21 @@ object ManifestSource {
 
     override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
       delegate.toBatch.planInputPartitions()
-    override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
-      new RenameFoldReaderFactory(delegate.toBatch.createReaderFactory(),
+    override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+      val factory = new RenameFoldReaderFactory(delegate.toBatch.createReaderFactory(),
         fetched.fields.map(_.dataType).toSeq, positions, dvFold, logical.length,
         defaultVals)
+      // spec probe: the factory IS the task closure's dv payload — its
+      // serialized size must stay flat in table-wide dv volume (the keys
+      // travel once per executor via the broadcast, not per task)
+      if (dvFold.nonEmpty) DvFoldProbe.lastFactoryBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val oos = new java.io.ObjectOutputStream(bos)
+        oos.writeObject(factory); oos.close()
+        bos.size().toLong
+      }
+      factory
+    }
 
     /** Value equality so scan/exchange reuse works for self-joins of a
       * table mid-evolution (live rename / defaulted add / dvs) — same
@@ -1139,17 +1186,69 @@ object ManifestSource {
       java.util.Objects.hash(options.asCaseSensitiveMap(), kept, dvs, required)
   }
 
+  /** The broadcast payload of a deletion-vector fold: per bucket, the
+    * deleted key tuples as (dv commit sequence, normalized UnsafeRow
+    * bytes); plus each kept data file's own commit sequence (dv'd
+    * buckets only) — a dv masks a key only in files with
+    * `file.seq < dv.seq`, the provenance that lets a merge-on-read
+    * UPSERT's replacement row survive the dv retiring its
+    * predecessors. */
+  private[graft] final case class DvFoldData(
+      byBucket: Map[Long, Array[(Long, Array[Byte])]],
+      fileSeq: Map[String, Long]) extends Serializable
+
+  /** Path → bucket, parsed from the `__bucket=N` layout segment (how
+    * every surface — manifest listing, SPJ grouping, the reader-side
+    * fold — derives a file's bucket; the column never materializes). */
+  private[graft] def bucketOfPath(path: String): Long =
+    path.split("/").collectFirst {
+      case seg if seg.startsWith("__bucket=") =>
+        seg.stripPrefix("__bucket=").toLong
+    }.getOrElse(-1L)
+
+  /** Scheme-insensitive path identity: Spark's `input_file_name` and
+    * `PartitionedFile.filePath` speak URIs (`file:///root/...`) while
+    * the manifest records store paths (`/root/...`) — strip the scheme
+    * and collapse duplicate slashes so the two sides key one map. */
+  private[graft] def pathKey(p: String): String = {
+    val raw =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath
+      else p
+    raw.replaceAll("/{2,}", "/")
+  }
+
+  /** Spec probe for the dv fold's DISTRIBUTION shape: the serialized
+    * factory size (the per-task closure cost — must be flat in total dv
+    * volume) and the largest per-reader key set actually loaded (must
+    * track the reader's own buckets, not the table). Local-mode only:
+    * executor threads share the JVM. */
+  private[graft] object DvFoldProbe {
+    @volatile var lastFactoryBytes: Long = -1L
+    @volatile var maxReaderKeys: Int = -1
+    @volatile var totalKeys: Int = -1
+    def reset(): Unit = { lastFactoryBytes = -1L; maxReaderKeys = -1; totalKeys = -1 }
+  }
+
   /** Row-level fold: wraps the delegate's (row-based) readers with a
     * codegen'd `coalesce` projection from the expanded physical row to
     * the fetched schema, then — when deletion vectors are live — drops
     * rows whose key tuple is in the deleted set and projects surplus
-    * key columns away. Built per reader ON the executor — only
-    * (dataTypes, positions, dv bytes) ship. */
+    * key columns away. Built per reader ON the executor; the factory
+    * ships only (dataTypes, positions, broadcast handle), and each
+    * reader materializes ONLY its own buckets' keys from the broadcast.
+    *
+    * Sequence awareness: when every applicable dv is newer than every
+    * file in the partition's buckets (always, for delete-only tables)
+    * one key set serves the whole partition — the r14 shape, zero
+    * overhead. Interleaved sequences (merge-on-read upserts) split the
+    * partition into per-file sub-readers, each filtering by exactly the
+    * dvs newer than ITS file. */
   private final class RenameFoldReaderFactory(
       delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory,
       dataTypes: Seq[org.apache.spark.sql.types.DataType],
       positions: Seq[Seq[Int]],
-      dvFold: Option[(Seq[Int], Seq[org.apache.spark.sql.types.DataType], Array[Array[Byte]])],
+      dvFold: Option[(Seq[Int], Seq[org.apache.spark.sql.types.DataType],
+        org.apache.spark.broadcast.Broadcast[DvFoldData])],
       outFields: Int,
       defaultVals: Map[Int, Any] = Map.empty)
       extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
@@ -1162,7 +1261,6 @@ object ManifestSource {
       import org.apache.spark.sql.catalyst.InternalRow
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, Coalesce, UnsafeProjection, UnsafeRow}
       import org.apache.spark.sql.catalyst.expressions.Literal
-      val inner = delegate.createReader(p)
       val exprs = positions.zipWithIndex.zip(dataTypes).map { case ((ps, idx), dt) =>
         val refs = ps.map(i =>
           BoundReference(i, dt, nullable = true)
@@ -1179,22 +1277,19 @@ object ManifestSource {
       val proj = UnsafeProjection.create(exprs)
       dvFold match {
         case None =>
+          val inner = delegate.createReader(p)
           new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
             override def next(): Boolean = inner.next()
             override def get(): InternalRow = proj(inner.get())
             override def close(): Unit = inner.close()
           }
-        case Some((keyIdx, keyTypes, keyBytes)) =>
-          val deleted = new java.util.HashSet[UnsafeRow](
-            math.max(16, keyBytes.length * 2))
-          for (b <- keyBytes) {
-            val r = new UnsafeRow(keyTypes.length)
-            r.pointTo(b, b.length)
-            deleted.add(r)
-          }
+        case Some((keyIdx, keyTypes, bc)) =>
+          val data = bc.value
+          // the same normalization the collection side applied — byte
+          // equality then agrees with SQL join equality on float keys
           val keyProj = UnsafeProjection.create(
             keyIdx.zip(keyTypes).map { case (i, t) =>
-              BoundReference(i, t, nullable = true)
+              GraftBridge.normalizeFloats(BoundReference(i, t, nullable = true))
             })
           // surplus key columns (fetched for the filter only) truncate away
           val outProj =
@@ -1202,20 +1297,86 @@ object ManifestSource {
             else UnsafeProjection.create(
               (0 until outFields).map(i =>
                 BoundReference(i, dataTypes(i), nullable = true)))
-          new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-            private var cur: InternalRow = _
-            override def next(): Boolean = {
-              while (inner.next()) {
-                val folded = proj(inner.get())
-                if (!deleted.contains(keyProj(folded))) {
-                  cur = if (outProj == null) folded else outProj(folded)
-                  return true
-                }
-              }
-              false
+          def setOf(keys: Iterable[Array[Byte]]): java.util.HashSet[UnsafeRow] = {
+            val s = new java.util.HashSet[UnsafeRow](math.max(16, keys.size * 2))
+            for (b <- keys) {
+              val r = new UnsafeRow(keyTypes.length)
+              r.pointTo(b, b.length)
+              s.add(r)
             }
-            override def get(): InternalRow = cur
-            override def close(): Unit = inner.close()
+            if (s.size > DvFoldProbe.maxReaderKeys) DvFoldProbe.maxReaderKeys = s.size
+            s
+          }
+          def filtered(inner: org.apache.spark.sql.connector.read.PartitionReader[InternalRow],
+              deleted: java.util.HashSet[UnsafeRow])
+              : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+            new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+              private var cur: InternalRow = _
+              override def next(): Boolean = {
+                while (inner.next()) {
+                  val folded = proj(inner.get())
+                  if (!deleted.contains(keyProj(folded))) {
+                    cur = if (outProj == null) folded else outProj(folded)
+                    return true
+                  }
+                }
+                false
+              }
+              override def get(): InternalRow = cur
+              override def close(): Unit = inner.close()
+            }
+          import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+          // dvs with seq > the file's seq apply; -1 (unknown file seq,
+          // shouldn't happen for manifest-listed files) is conservative:
+          // every dv applies, matching the pre-seq protocol
+          def appliedSeqs(f: PartitionedFile): (Long, Seq[Long]) = {
+            val b = bucketOfPath(f.filePath.toString)
+            val fs = data.fileSeq.getOrElse(pathKey(f.filePath.toString), -1L)
+            (b, data.byBucket.getOrElse(b, Array.empty[(Long, Array[Byte])])
+              .collect { case (s, _) if s > fs => s }.toSeq.sorted)
+          }
+          def keysFor(files: Array[PartitionedFile]): Iterable[Array[Byte]] =
+            files.map(f => (bucketOfPath(f.filePath.toString),
+                data.fileSeq.getOrElse(pathKey(f.filePath.toString), -1L)))
+              .distinct.toSeq.flatMap { case (b, fs) =>
+                data.byBucket.getOrElse(b, Array.empty[(Long, Array[Byte])])
+                  .collect { case (s, k) if s > fs => k }.toSeq
+              }
+          p match {
+            case fp: FilePartition
+                if fp.files.groupBy(f => bucketOfPath(f.filePath.toString))
+                  .values.forall(_.map(appliedSeqs).distinct.length <= 1) =>
+              // uniform per bucket: one key set serves the whole partition
+              // (cross-bucket keys can never collide — a key hashes to
+              // exactly one bucket)
+              filtered(delegate.createReader(p), setOf(keysFor(fp.files)))
+            case fp: FilePartition =>
+              // interleaved file/dv sequences: per-file sub-readers, each
+              // masked by exactly the dvs NEWER than its file
+              new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+                private val queue = fp.files.iterator
+                private var inner: org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = _
+                override def next(): Boolean = {
+                  while (true) {
+                    if (inner != null && inner.next()) return true
+                    if (inner != null) { inner.close(); inner = null }
+                    if (!queue.hasNext) return false
+                    val f = queue.next()
+                    inner = filtered(
+                      delegate.createReader(FilePartition(fp.index, Array(f))),
+                      setOf(keysFor(Array(f))))
+                  }
+                  false
+                }
+                override def get(): InternalRow = inner.get()
+                override def close(): Unit = if (inner != null) inner.close()
+              }
+            case _ =>
+              // non-file partition (unreachable for the parquet delegate):
+              // conservative — the union of every bucket's keys, the
+              // pre-seq semantics
+              filtered(delegate.createReader(p),
+                setOf(data.byBucket.values.flatten.map(_._2)))
           }
       }
     }

@@ -36,6 +36,15 @@ object GraftBridge {
     * `internalCreateDataFrame(..., isStreaming = true)`. */
   def asStreamingDF(df: DataFrame): DataFrame = reRoot(df, isStreaming = true)
 
+  /** Float normalization (−0.0 → 0.0, canonical NaN) exactly as the
+    * optimizer inserts on join/group keys — the manifest deletion-vector
+    * fold tests key membership by UnsafeRow BYTE equality, which must
+    * agree with SQL join equality on float/double key components (raw
+    * bytes disagree on −0.0 vs 0.0 and NaN payloads). Identity for
+    * non-float types. */
+  def normalizeFloats(e: Expression): Expression =
+    catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** A batch DataFrame over an RDD of already-encoded InternalRows — the
     * private[sql] constructor Spark's own sources use. The manifest
     * table's SQL MERGE/UPDATE write path decodes its staged row deltas

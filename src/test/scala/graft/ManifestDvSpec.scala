@@ -439,13 +439,197 @@ class ManifestDvSpec extends AnyFunSuite {
       "a predicate DELETE on a mergeOnRead table must not rewrite data files")
     assert(v2.dvs.map(_.rows).sum == 3L)
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 37L)
-    // row-level UPDATE rewrites its touched buckets copy-on-write,
-    // folding + clearing their dvs on the way
+    // row-level UPDATE on a mergeOnRead table is MERGE-ON-READ too:
+    // the new row images APPEND as new files, a sequence-stamped dv
+    // retires the old rows, and every pre-update data file stays
+    // byte-identical — trickle updates cost O(changed rows)
+    val bytesBefore = v2.files.map(f => f.path -> Files.size(Paths.get(f.path))).toMap
     spark.sql(s"UPDATE $cat.t SET p = 'upd' WHERE id % 10 = 0")
+    val v3 = ManifestUpsertSink.latestManifest(s"$root/t").get
+    assert(v2.files.map(_.path).toSet.subsetOf(v3.files.map(_.path).toSet),
+      "a MoR UPDATE appends — every prior data file is carried")
+    assert(v2.files.map(_.path).forall(p => Files.size(Paths.get(p)) == bytesBefore(p)),
+      "a MoR UPDATE must leave prior data files byte-identical")
+    assert(v3.dvs.map(_.rows).sum == 7L,
+      s"the UPDATE's dv lists its 4 replaced keys on top of the 3 deletes: ${v3.dvs}")
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE p = 'upd'").head().getLong(0) == 4L)
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 37L)
     spark.sql(s"CALL $cat.system.compact('t')")
     assert(ManifestUpsertSink.latestManifest(s"$root/t").get.dvs.isEmpty)
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 37L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE p = 'upd'").head().getLong(0) == 4L)
+  }
+
+  test("MoR UPSERT: prior files byte-identical, sequence-stamped dv, replacement row survives") {
+    import spark.implicits._
+    val root = tmp("graft_dv_ups_")
+    val sink = seed(root) // 40 rows, 4 buckets
+    val v0 = ManifestUpsertSink.latestManifest(root).get
+    val bytesBefore = fileBytes(v0.files.map(_.path))
+
+    // mixed batch: 3 updates + 2 inserts
+    sink.upsertMergeOnRead(
+      Seq((7L, "u7", 2L), (13L, "u13", 2L), (21L, "u21", 2L),
+        (101L, "n101", 2L), (102L, "n102", 2L)).toDF("id", "p", "seq"),
+      "seq", 1L)
+
+    val v1 = ManifestUpsertSink.latestManifest(root).get
+    assert(v0.files.map(_.path).toSet.subsetOf(v1.files.map(_.path).toSet),
+      "a merge-on-read upsert APPENDS — every prior data file is carried")
+    assert(fileBytes(v0.files.map(_.path)) == bytesBefore,
+      "prior data files must stay byte-identical")
+    // dv lists ONLY the replaced (existing) keys — inserts don't mask
+    assert(v1.dvs.map(_.rows).sum == 3L, s"dv = the 3 updated keys, got ${v1.dvs}")
+    // sequence provenance: the dv and the new files share the commit's
+    // sequence; prior files are strictly older
+    val newFiles = v1.files.filterNot(f => v0.files.map(_.path).contains(f.path))
+    assert(newFiles.nonEmpty && newFiles.forall(_.seq == v1.version))
+    assert(v1.dvs.forall(_.seq == v1.version))
+    assert(v0.files.forall(f => v1.files.find(_.path == f.path).get.seq < v1.version))
+
+    // Scala read: replacements visible, old rows masked, inserts present
+    val got = sink.read(spark).select("id", "p").as[(Long, String)].collect().toMap
+    assert(got.size == 42 && got(7L) == "u7" && got(13L) == "u13" &&
+      got(21L) == "u21" && got(101L) == "n101" && got(8L) == "p8", s"got $got")
+    // DSv2 scan (byte-path fold with interleaved sequences): same answer
+    val sql = spark.read.format("graft-manifest").load(root)
+    assert(sql.count() == 42)
+    assert(sql.filter(col("id") === 7L).select("p").as[String].head() == "u7",
+      "the replacement row must survive the dv that retires its predecessor")
+    // metadata-only COUNT stays exact: Σfile rows − Σdv rows = 40+5−3
+    val census = sql.agg(count(lit(1)).as("n"))
+    assert(census.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(census.as[Long].head() == 42L)
+    // CDC: 3 updated (with before images) + 2 inserted
+    val feed = ManifestUpsertSink.readChanges(spark, root, v1.version)
+    assert(feed.filter(col("change") === "updated").count() == 3)
+    assert(feed.filter(col("change") === "inserted").count() == 2)
+    // time travel: pre-upsert version unchanged
+    assert(ManifestUpsertSink.readVersion(spark, root, v0.version)
+      .filter(col("id") === 7L).select("p").as[String].head() == "p7")
+
+    // STACKED upserts on the same key stay exact (each dv masks exactly
+    // one live instance), and a MoR delete of an upserted key wins
+    sink.upsertMergeOnRead(Seq((7L, "u7b", 3L)).toDF("id", "p", "seq"), "seq", 2L)
+    assert(sink.read(spark).filter(col("id") === 7L)
+      .select("p").as[String].head() == "u7b")
+    assert(spark.read.format("graft-manifest").load(root).count() == 42)
+    sink.deleteKeysMergeOnRead(Seq(7L).toDF("id"), 3L)
+    assert(spark.read.format("graft-manifest").load(root)
+      .filter(col("id") === 7L).count() == 0,
+      "a MoR delete (newest sequence) masks every prior instance")
+    assert(spark.read.format("graft-manifest").load(root).count() == 41)
+    // compaction materializes the whole stack; answers unchanged
+    sink.compact(spark)
+    val vf = ManifestUpsertSink.latestManifest(root).get
+    assert(vf.dvs.isEmpty)
+    val after = sink.read(spark).select("id", "p").as[(Long, String)].collect().toMap
+    assert(after.size == 41 && !after.contains(7L) && after(13L) == "u13")
+  }
+
+  test("MoR dv commit racing a concurrent compact: rebase recomposes dvs from the WINNING chain") {
+    import spark.implicits._
+    val root = tmp("graft_dv_race_compact_")
+    val sink = seed(root) // 40 rows
+    // pre-existing dv debt in the SAME bucket the racer will touch — the
+    // discriminating shape: the old code captured dvWritten =
+    // cur.dvs(touched bucket) ++ new BEFORE the race, so a winning
+    // compaction's materialization of that bucket's backlog got
+    // re-attached by the rebase and the census under-counted forever
+    val bX = graft.sinks.ManifestStats.bucketOf(1L, 4).get
+    val kSame = (2L to 50L).find(k =>
+      graft.sinks.ManifestStats.bucketOf(k, 4).get == bX).get
+    sink.deleteKeysMergeOnRead(Seq(1L).toDF("id"), 1L)
+    var fired = false
+    val racedSink = new ManifestUpsertSink(root, "id", 4) {
+      override protected def beforeCommit(attemptVersion: Long): Unit =
+        if (!fired) {
+          fired = true
+          // the winner: a full compaction materializes the 1-key backlog
+          new ManifestUpsertSink(root, "id", 4).compact(spark)
+        }
+    }
+    racedSink.deleteKeysMergeOnRead(Seq(kSame).toDF("id"), 2L)
+    val m = ManifestUpsertSink.latestManifest(root).get
+    assert(m.dvs.map(_.rows).sum == 1L,
+      s"only the racer's own dv survives the rebase (the backlog materialized): ${m.dvs}")
+    assert(!m.dvInexact)
+    // the invariant the advisory protects: metadata-only COUNT(*) exact
+    val census = spark.read.format("graft-manifest").load(root).agg(count(lit(1)).as("n"))
+    assert(census.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(census.as[Long].head() == 38L,
+      "Σfile rows − Σdv rows must stay exact across the compact/dv race")
+    assert(sink.read(spark).count() == 38L)
+  }
+
+  test("dv fold ships per-bucket via broadcast: task closure flat, readers load only their buckets") {
+    import spark.implicits._
+    import graft.sources.ManifestSource.DvFoldProbe
+    val root = tmp("graft_dv_dist_")
+    val buckets = 64
+    val sink = new ManifestUpsertSink(root, "id", buckets)
+    sink.upsertBatch((1L to 6400L).map(i => (i, s"p$i", 0L)).toDF("id", "p", "seq"),
+      "seq", 0L)
+    // dv keys spread across (almost) every bucket
+    sink.deleteKeysMergeOnRead((1L to 640L).toDF("id"), 1L)
+    val m = ManifestUpsertSink.latestManifest(root).get
+    assert(m.dvs.map(_.bucket).distinct.size > 32, "the debt spans many buckets")
+    DvFoldProbe.reset()
+    // a SUM is not sidecar-answerable — it must run the real fold scan
+    // (COUNT(*) would short-circuit to the metadata-only LocalTableScan)
+    assert(spark.read.format("graft-manifest").load(root)
+      .agg(sum(col("id"))).head().getLong(0) ==
+      6400L * 6401L / 2 - 640L * 641L / 2)
+    assert(DvFoldProbe.totalKeys == 640, s"fold collected ${DvFoldProbe.totalKeys}")
+    // the factory (= what every task closure serializes) must carry the
+    // broadcast HANDLE, not the keys: flat in dv volume
+    assert(DvFoldProbe.lastFactoryBytes > 0 && DvFoldProbe.lastFactoryBytes < 64 * 1024,
+      s"factory closure is ${DvFoldProbe.lastFactoryBytes} bytes — the keys are leaking into it")
+    // and no single reader materialized the global set
+    assert(DvFoldProbe.maxReaderKeys > 0 && DvFoldProbe.maxReaderKeys < 640,
+      s"a reader loaded ${DvFoldProbe.maxReaderKeys} of 640 keys — per-bucket scoping is broken")
+  }
+
+  test("float key identity: dv byte-equality agrees with SQL equality on -0.0 (normalized both sides)") {
+    import spark.implicits._
+    val root = tmp("graft_dv_float_")
+    val sink = new ManifestUpsertSink(root, "k", buckets = 2)
+    // stored key is NEGATIVE zero
+    sink.upsertBatch(Seq((-0.0, "old", 1L)).toDF("k", "p", "seq"), "seq", 0L)
+    // the upsert arrives as POSITIVE zero: SQL equality says same key, so
+    // the dv (written from the batch's byte form) must mask the stored
+    // -0.0 row in the byte-path DSv2 fold too
+    sink.upsertMergeOnRead(Seq((0.0, "new", 2L)).toDF("k", "p", "seq"), "seq", 1L)
+    val scala = sink.read(spark).select("p").as[String].collect().toSet
+    assert(scala == Set("new"), s"sink-side SQL fold: $scala")
+    val sql = spark.read.format("graft-manifest").load(root)
+      .select("p").as[String].collect().toSet
+    assert(sql == Set("new"),
+      s"DSv2 byte fold diverged from SQL equality on -0.0 vs 0.0: $sql")
+  }
+
+  test("pre-seq manifest vintages decode: sequences fall back to the path's version segment") {
+    import spark.implicits._
+    val root = tmp("graft_dv_legacy_")
+    val sink = seed(root, n = 20)
+    sink.deleteKeysMergeOnRead(Seq(3L, 9L).toDF("id"), 1L)
+    // rewrite the committed manifest in the PRE-SEQ line format:
+    // `bucket\tpath` and `dv\tbucket\trows\tpath`
+    val mPath = Paths.get(s"$root/_manifest/v1.manifest")
+    val legacy = new String(Files.readAllBytes(mPath), "UTF-8").linesIterator.map { l =>
+      if (l.startsWith("dv\t")) {
+        val Array(d, b, r, _, p) = l.split("\t", 5); s"$d\t$b\t$r\t$p"
+      } else if (l.contains('\t')) {
+        val Array(b, _, p) = l.split("\t", 3); s"$b\t$p"
+      } else l
+    }.mkString("\n")
+    Files.write(mPath, legacy.getBytes("UTF-8"))
+    // both read surfaces still fold the dv (legacy dvs apply to every
+    // file in their bucket — the pre-seq protocol's invariant)
+    assert(sink.read(spark).count() == 18)
+    assert(spark.read.format("graft-manifest").load(root).count() == 18)
+    val m = ManifestUpsertSink.latestManifest(root).get
+    assert(m.files.forall(_.seq >= 0) && m.dvs.forall(_.seq > 0),
+      "decode must resolve sequences from the path segments")
   }
 }

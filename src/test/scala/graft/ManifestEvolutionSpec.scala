@@ -669,6 +669,45 @@ class ManifestEvolutionSpec extends AnyFunSuite {
       "materialization changes no value")
   }
 
+  test("a NULL default refuses — literal NULL, post-cast null, and the SQL surface alike") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_dfltnull_").toString
+    val sink = new ManifestUpsertSink(root, "id", buckets = 2)
+    sink.upsertBatch(Seq((1L, "a", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+    // DEFAULT NULL parses to Literal(null): the defaulted add stamps the
+    // column NOT NULL, so admitting it would push real nulls through an
+    // attribute Catalyst constant-folds IsNull away on (the r14 advisory)
+    val e1 = intercept[IllegalArgumentException] {
+      sink.addColumn(spark, "bad", "int", Some("NULL"))
+    }
+    assert(e1.getMessage.contains("NULL"), e1.getMessage)
+    // a non-null literal that CASTS to null under non-ANSI eval is the
+    // same hole one cast later
+    val e2 = intercept[IllegalArgumentException] {
+      sink.addColumn(spark, "bad", "int", Some("'abc'"))
+    }
+    assert(e2.getMessage.toLowerCase.contains("null"), e2.getMessage)
+    // CAST(NULL AS INT) is not a bare literal — the literal gate refuses
+    intercept[IllegalArgumentException] {
+      sink.addColumn(spark, "bad", "int", Some("CAST(NULL AS INT)"))
+    }
+    assert(ManifestUpsertSink.latestManifest(root).get.defaults.isEmpty,
+      "no refused default may reach the manifest")
+    // the SQL ALTER path routes through the same validation
+    val cat = "graft_evo_dfltnull"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Files.createTempDirectory("graft_evo_dfltnull_c_").toString)
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 0)")
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN bad INT NOT NULL DEFAULT NULL")
+    }
+    assert(e3.getMessage.contains("NULL"), e3.getMessage)
+  }
+
   test("DDL on a truncated UNSTAMPED table works: zero files must not reach the footer walk") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_evo_trunc_").toString

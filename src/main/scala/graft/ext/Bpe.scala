@@ -26,12 +26,19 @@ import graft.{QueryDef, Tables}
   *  - the per-round election is `orderBy(...).limit(1)` — planned as
   *    TakeOrderedAndProject (a k=1 top-k, never a global sort).
   *
-  * No SQL oracle exists for an iterative argmax-dependent rewrite
-  * (aggregates are not allowed in a recursive CTE's recursive term), so
-  * q134 is registered WITHOUT oracle SQL — the driver records a
-  * rows-only check and correctness is pinned by BpeSpec against an
-  * independent single-threaded reference implementation plus the classic
-  * hand-computed fixture. */
+  * A RECURSIVE SQL oracle cannot express an iterative argmax-dependent
+  * rewrite (aggregates are barred from a recursive CTE's recursive
+  * term) — but a FIXED round count UNROLLS: one (pair-count → argmax →
+  * apply-merge) CTE block per round, with the greedy merge rewrite
+  * expressed as a boundary-safe string `replace` over a pipe-delimited
+  * symbol state (see [[Bpe.q320]]'s scaladoc for the safety argument).
+  * q134/q135 train 10 rounds and carry the 10-round unrolled oracle;
+  * their vocabularies restrict to `^[a-z]+$` words IN BOTH ENGINES so
+  * the pipe delimiter stays out-of-band (q261 keeps the UNRESTRICTED
+  * vocabulary fully oracle-checked for the one round that needs no
+  * state rewrite). BpeSpec additionally pins the trainer against an
+  * independent single-threaded reference implementation on the
+  * unrestricted vocabulary plus the classic hand-computed fixture. */
 object Bpe {
 
   /** End-of-word sentinel; distinguishes "est" inside a word from "est"
@@ -95,21 +102,59 @@ object Bpe {
     (merges.result(), state)
   }
 
+  /** The shared DuckDB-side unrolled trainer: `rounds` chained
+    * (pair-count → argmax → merge-rewrite) CTE blocks over the `[a-z]+`
+    * word vocabulary, ending before `finalSelect`. State CTEs are
+    * MATERIALIZED — each round references its predecessor twice (the
+    * election chain and the rewrite), so an inlining engine would
+    * otherwise re-evaluate s0 2^rounds times. */
+  private def unrolledOracle(rounds: Int, finalSelect: String): String = {
+    def round(k: Int): String = {
+      val prev = if (k == 1) "s0" else s"s${k - 1}"
+      s"""l$k AS (SELECT freq, string_split(trim(s, '|'), '||') AS ls FROM $prev),
+      px$k AS (SELECT freq, ls, generate_subscripts(ls, 1) AS i, unnest(ls) AS l FROM l$k),
+      pr$k AS (SELECT l, ls[i + 1] AS r, freq FROM px$k WHERE i < len(ls)),
+      pc$k AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM pr$k GROUP BY l, r),
+      m$k AS MATERIALIZED (SELECT l, r, pair_count FROM pc$k ORDER BY pair_count DESC, l, r LIMIT 1),
+      s$k AS MATERIALIZED (SELECT freq,
+          replace(s, '|' || m$k.l || '||' || m$k.r || '|', '|' || m$k.l || m$k.r || '|') AS s
+        FROM $prev CROSS JOIN m$k)"""
+    }
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      v AS (SELECT word, COUNT(*) AS freq FROM w
+        WHERE regexp_matches(word, '^[a-z]+${"$"}') GROUP BY word),
+      s0 AS MATERIALIZED (SELECT freq,
+          '||' || array_to_string(list_append(string_split(word, ''), '</w>'), '||') || '||' AS s
+        FROM v),
+      ${(1 to rounds).map(round).mkString(",\n      ")}
+      $finalSelect"""
+  }
+
   // --------------------------------------------------------------- q134
-  /** The first 10 BPE merges learned from the corpus word vocabulary. */
+  /** The first 10 BPE merges learned from the corpus word vocabulary
+    * (`[a-z]+` words — the precondition that keeps the oracle's pipe
+    * delimiter out-of-band; q261 oracle-checks the unrestricted
+    * vocabulary's election). Oracle: the 10-round UNROLLED trainer —
+    * every election and every rewrite crosses the engine boundary,
+    * retiring the rows-only status this query carried since r4. */
   val q134 = QueryDef(
     "q134_bpe_merges",
     (s, d) => {
       val vocab = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       import s.implicits._
       trainMerges(vocab, 10)
         .toDF("merge_rank", "left", "right", "pair_count")
         .orderBy(col("merge_rank"))
     },
-    None, // iterative argmax-dependent rewrite: not SQL-expressible (see scaladoc)
-    doc = "first 10 BPE merges over the word vocabulary; BpeSpec pins vs independent impl")
+    Some(unrolledOracle(10,
+      (1 to 10).map(k =>
+        s"""${if (k == 1) "SELECT" else "UNION ALL SELECT"} $k AS merge_rank,
+           l AS "left", r AS "right", pair_count FROM m$k""").mkString("\n      ") +
+        "\n      ORDER BY merge_rank")),
+    doc = "first 10 BPE merges over the [a-z]+ word vocabulary, fully oracle-checked via the 10-round unrolled CTE trainer; BpeSpec additionally pins vs an independent impl on the unrestricted vocabulary")
 
   /** Posexplode trick above: `try_element_at(syms, i + 2)` pairs element
     * i (0-based from posexplode) with its successor (element_at is
@@ -132,6 +177,7 @@ object Bpe {
     (s, d) => {
       val vocab = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       val (_, state) = train(vocab, 10)
       val syms = state.select(col("freq"),
@@ -149,8 +195,24 @@ object Bpe {
             .as("compression"),
           col("vocab_symbols"))
     },
-    None, // depends on the iterative trainer (see q134)
-    doc = "10-merge BPE applied to the vocab; frequency-weighted compression census")
+    // the census over the SAME 10-round unrolled state: token counts,
+    // compression ratio, and the induced symbol inventory all cross the
+    // engine boundary (retires the second rows-only row)
+    Some(unrolledOracle(10,
+      """, fin AS (SELECT freq, string_split(trim(s, '|'), '||') AS ls FROM s10),
+      census AS (SELECT
+          CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(freq * (len(array_to_string(ls, '')) - len('</w>') + 1)) AS BIGINT)
+            AS tokens_char,
+          CAST(SUM(freq * len(ls)) AS BIGINT) AS tokens_bpe
+        FROM fin),
+      symbols AS (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_symbols
+        FROM (SELECT unnest(ls) AS sym FROM fin) u)
+      SELECT n_words, tokens_char, tokens_bpe,
+        round(1.0 - CAST(tokens_bpe AS DOUBLE) / tokens_char, 6) AS compression,
+        vocab_symbols
+      FROM census CROSS JOIN symbols""")),
+    doc = "10-merge BPE applied to the [a-z]+ vocab; frequency-weighted compression census, fully oracle-checked over the unrolled trainer's final state")
 
   // --------------------------------------------------------------- q261
   /** Round 1 of the merge election as a standalone query WITH a full
@@ -219,34 +281,12 @@ object Bpe {
         .toDF("merge_rank", "left", "right", "pair_count")
         .orderBy(col("merge_rank"))
     },
-    Some {
-      // one CTE block per unrolled round: pair counts over the previous
-      // state, the deterministic argmax, the piped-string merge rewrite
-      def round(k: Int): String = {
-        val prev = if (k == 1) "s0" else s"s${k - 1}"
-        s"""l$k AS (SELECT freq, string_split(trim(s, '|'), '||') AS ls FROM $prev),
-      px$k AS (SELECT freq, ls, generate_subscripts(ls, 1) AS i, unnest(ls) AS l FROM l$k),
-      pr$k AS (SELECT l, ls[i + 1] AS r, freq FROM px$k WHERE i < len(ls)),
-      pc$k AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM pr$k GROUP BY l, r),
-      m$k AS (SELECT l, r, pair_count FROM pc$k ORDER BY pair_count DESC, l, r LIMIT 1),
-      s$k AS (SELECT freq,
-          replace(s, '|' || m$k.l || '||' || m$k.r || '|', '|' || m$k.l || m$k.r || '|') AS s
-        FROM $prev CROSS JOIN m$k)"""
-      }
-      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-      v AS (SELECT word, COUNT(*) AS freq FROM w
-        WHERE regexp_matches(word, '^[a-z]+${"$"}') GROUP BY word),
-      s0 AS (SELECT freq,
-          '||' || array_to_string(list_append(string_split(word, ''), '</w>'), '||') || '||' AS s
-        FROM v),
-      ${round(1)},
-      ${round(2)},
-      ${round(3)}
-      SELECT 1 AS merge_rank, l AS "left", r AS "right", pair_count FROM m1
+    // the shared unrolled-CTE trainer (see [[unrolledOracle]]), 3 rounds
+    Some(unrolledOracle(3,
+      """SELECT 1 AS merge_rank, l AS "left", r AS "right", pair_count FROM m1
       UNION ALL SELECT 2, l, r, pair_count FROM m2
       UNION ALL SELECT 3, l, r, pair_count FROM m3
-      ORDER BY merge_rank"""
-    },
+      ORDER BY merge_rank""")),
     doc = "3 BPE merge rounds fully oracle-checked: the argmax-dependent iteration unrolled as chained CTEs, the greedy merge rewrite expressed as boundary-safe string replace — multi-round training crosses the engine boundary")
 
   val all: Seq[QueryDef] = Seq(q134, q135, q261, q320)

@@ -1870,7 +1870,79 @@ object SinkQueries {
         CAST(1 AS BIGINT) AS n_versions, CAST(0 AS BIGINT) AS dv_rows"""),
     doc = "standard ANALYZE TABLE COMPUTE STATISTICS over the lake catalog (resolution-rule alias onto the commit-time census): rebuilds a torn/missing stats sidecar from parquet footers, re-lighting planner statistics, metadata-only aggregates, and DESCRIBE DETAIL")
 
+  // --------------------------------------------------------------- q332
+  private val q332Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** MERGE-ON-READ UPSERTS through pure SQL — the write-economics twin
+    * of q329's deletes, unlocked by COMMIT-SEQUENCE PROVENANCE: on a
+    * `mergeOnRead` table a row-level UPDATE (and a MERGE without DELETE
+    * branches) APPENDS its new row images as new files and commits a
+    * sequence-stamped deletion vector retiring the old rows — every
+    * prior data file stays byte-identical (ManifestDvSpec pins the
+    * bytes), so a 10-row update on a 100-TB table costs O(10 rows), not
+    * O(touched bucket bytes). The fold masks a dv'd key only in files
+    * with `file.seq < dv.seq`, which is what lets the replacement row —
+    * written at the dv's own sequence — survive; stacked updates, a
+    * MERGE upsert, and a trailing dv DELETE interleave sequences, and
+    * the FINAL read runs pre-compaction through the live seq-aware fold
+    * (per-file sub-readers in the DSv2 scan). The oracle restates the
+    * statement stack as one CASE; a hash match proves no instance of a
+    * key — original, first update, second update, merge image — leaks
+    * through or is over-masked. */
+  val q332 = QueryDef(
+    "q332_mor_upsert",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q332_").toString
+      val cat = s"graft_q332_${q332Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.part(s, d).createOrReplaceTempView("q332_part")
+      s.sql(s"""CREATE TABLE $cat.pp (key BIGINT, price DOUBLE, sz BIGINT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8',
+          'mergeOnRead'='true')""")
+      s.sql(s"""INSERT INTO $cat.pp
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE), CAST(p_size AS BIGINT), 0L
+        FROM q332_part""")
+      // trickle UPDATE #1: appends new row images + a dv at this commit's
+      // sequence — zero prior files rewritten
+      s.sql(s"UPDATE $cat.pp SET price = price * 2 WHERE sz <= 5")
+      // STACKED update over a subset of the same keys: its dv must mask
+      // both the originals AND update #1's rows, while its own survive
+      s.sql(s"UPDATE $cat.pp SET price = price + 10.0 WHERE sz <= 3")
+      // MERGE without DELETE branches is merge-on-read too: one matched
+      // update (overriding everything above for key 5) + one insert
+      s.sql(s"""MERGE INTO $cat.pp t USING (
+          SELECT CAST(5 AS BIGINT) AS key, CAST(123.0 AS DOUBLE) AS price,
+                 CAST(-1 AS BIGINT) AS sz, CAST(9 AS BIGINT) AS seq
+          UNION ALL
+          SELECT CAST(2000001 AS BIGINT), CAST(1.5 AS DOUBLE),
+                 CAST(99 AS BIGINT), CAST(9 AS BIGINT)
+        ) s ON t.key = s.key
+        WHEN MATCHED THEN UPDATE SET price = s.price, sz = s.sz, seq = s.seq
+        WHEN NOT MATCHED THEN INSERT *""")
+      // a dv DELETE on top: its sequence (newest) masks every prior
+      // instance of the keys, including their upserted replacements
+      s.sql(s"DELETE FROM $cat.pp WHERE key IN (11, 17)")
+      // read PRE-compaction: the answer comes from the live interleaved
+      // fold, not a materialized rewrite
+      s.sql(s"SELECT key, price, sz FROM $cat.pp ORDER BY key")
+    },
+    Some("""SELECT key, price, sz FROM (
+        SELECT p_partkey AS key,
+          CASE WHEN p_partkey = 5 THEN CAST(123.0 AS DOUBLE)
+               WHEN p_size <= 3 THEN CAST(p_retailprice AS DOUBLE) * 2 + 10.0
+               WHEN p_size <= 5 THEN CAST(p_retailprice AS DOUBLE) * 2
+               ELSE CAST(p_retailprice AS DOUBLE) END AS price,
+          CASE WHEN p_partkey = 5 THEN CAST(-1 AS BIGINT)
+               ELSE CAST(p_size AS BIGINT) END AS sz
+        FROM part WHERE p_partkey NOT IN (11, 17)
+        UNION ALL
+        SELECT CAST(2000001 AS BIGINT), CAST(1.5 AS DOUBLE), CAST(99 AS BIGINT)
+      ) t ORDER BY key"""),
+    doc = "merge-on-read UPSERTs via commit-sequence provenance (Iceberg-v2 sequence-number economics): UPDATE/MERGE on a mergeOnRead table appends row images + a sequence-stamped dv, prior files byte-identical, stacked updates + deletes interleave and the live seq-aware fold answers pre-compaction")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
     q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319,
-    q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q214, q215, q216, q228)
+    q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q214, q215, q216, q228)
 }

@@ -284,6 +284,39 @@ object ManifestStats {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
+  // ------------------------------------------------ column-level (ndv)
+
+  /** TABLE-LEVEL per-column statistics — the CBO vocabulary the per-file
+    * sidecar can't supply: `ndv` (exact distinct count) and `nulls`,
+    * computed by `ANALYZE TABLE ... FOR COLUMNS` over the logical
+    * snapshot and stored per VERSION (`_manifest/v<N>.colstats`). A new
+    * commit gets no colstats file, so stale ndv can never mislead the
+    * planner — the census simply goes dark until the next ANALYZE, the
+    * standard warehouse contract. */
+  final case class ColNdv(ndv: Long, nulls: Long)
+
+  /** Encode/decode of the colstats sidecar: `N<TAB>name<TAB>ndv<TAB>nulls`
+    * lines under the same version header + tolerant-decode rules as the
+    * file sidecar (a torn file reads as "no column stats"). */
+  def encodeCol(stats: Map[String, ColNdv]): String = {
+    val sb = new StringBuilder
+    sb.append("V\t").append(FormatVersion).append('\n')
+    for ((name, cs) <- stats.toSeq.sortBy(_._1))
+      sb.append("N\t").append(enc(name)).append('\t').append(cs.ndv)
+        .append('\t').append(cs.nulls).append('\n')
+    sb.result()
+  }
+
+  def decodeCol(text: String): Map[String, ColNdv] =
+    try {
+      val lines = text.linesIterator.filter(_.nonEmpty)
+      if (!lines.hasNext || lines.next() != s"V\t$FormatVersion") return Map.empty
+      lines.map(_.split("\t", -1) match {
+        case Array("N", name, ndv, nulls) => dec(name) -> ColNdv(ndv.toLong, nulls.toLong)
+        case l => throw new IllegalArgumentException(s"bad colstats line: ${l.mkString("\t")}")
+      }).toMap
+    } catch { case NonFatal(_) => Map.empty }
+
   private def encVal(kind: Char, v: Any): String = kind match {
     case 'L' => v.asInstanceOf[Long].toString
     case 'D' => v.asInstanceOf[Double].toString // Double.toString round-trips exactly

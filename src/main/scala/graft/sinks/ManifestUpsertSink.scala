@@ -2023,6 +2023,18 @@ object ManifestUpsertSink {
   private[graft] def loadStats(root: String, version: Long): Map[String, ManifestStats.FileStats] =
     loadStats(root, TableStore.forPath(root), version)
 
+  /** The version's TABLE-LEVEL column statistics (ndv + nulls), written
+    * by `ANALYZE TABLE ... FOR COLUMNS`; empty when never analyzed at
+    * this version (commits never carry colstats forward — data changed,
+    * so a stale ndv must go dark, not mislead the planner). */
+  private[graft] def loadColStats(root: String,
+      version: Long): Map[String, ManifestStats.ColNdv] = {
+    val store = TableStore.forPath(root)
+    val path = s"$root/_manifest/v$version.colstats"
+    if (!store.exists(path)) Map.empty
+    else ManifestStats.decodeCol(store.readString(path))
+  }
+
   /** The change-feed files version `version`'s merge recorded. Falls
     * back through the manifest's `feed=` header to the staged dir when
     * the writer crashed between manifest commit and feed rename (the
@@ -2438,6 +2450,7 @@ object ManifestUpsertSink {
         .foreach(store.deleteFile)
       store.deleteFile(s"$root/_manifest/v$v.manifest")
       store.deleteFile(s"$root/_manifest/v$v.stats")
+      store.deleteFile(s"$root/_manifest/v$v.colstats")
       droppedDirs ++= (m.files.map(_.path) ++ m.dvs.map(_.path))
         .flatMap(dataDirOf(root, _))
     }

@@ -1942,7 +1942,51 @@ object SinkQueries {
       ) t ORDER BY key"""),
     doc = "merge-on-read UPSERTs via commit-sequence provenance (Iceberg-v2 sequence-number economics): UPDATE/MERGE on a mergeOnRead table appends row images + a sequence-stamped dv, prior files byte-identical, stacked updates + deletes interleave and the live seq-aware fold answers pre-compaction")
 
+  // --------------------------------------------------------------- q333
+  private val q333Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` — the
+    * COLUMN-LEVEL census (exact ndv + null count per column, one
+    * aggregation pass over the logical snapshot) stored per version and
+    * served back through `CALL system.col_stats` AND through the scan's
+    * DSv2 column statistics, where it feeds Spark's cost-based join
+    * cardinality estimation and DP join reordering
+    * (AnalyzeColumnsSpec pins a 3-table reorder flipping once ndv
+    * exists — without it CBO orders lake joins by size alone). The
+    * oracle recomputes each column's distinct/null census relationally
+    * over the raw table. */
+  val q333 = QueryDef(
+    "q333_analyze_columns",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q333_").toString
+      val cat = s"graft_q333_${q333Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.part(s, d).createOrReplaceTempView("q333_part")
+      s.sql(s"""CREATE TABLE $cat.pp (key BIGINT, brand STRING, sz BIGINT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8')""")
+      s.sql(s"""INSERT INTO $cat.pp
+        SELECT p_partkey, p_brand, CAST(p_size AS BIGINT), 0L FROM q333_part""")
+      s.sql(s"ANALYZE TABLE $cat.pp COMPUTE STATISTICS FOR COLUMNS key, brand, sz")
+      s.sql(s"CALL $cat.system.col_stats('pp')")
+        .orderBy(col("column_name"))
+    },
+    Some("""SELECT * FROM (
+        SELECT 'brand' AS column_name,
+          CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS ndv,
+          CAST(SUM(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count
+        FROM part
+        UNION ALL
+        SELECT 'key', CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+          CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM part
+        UNION ALL
+        SELECT 'sz', CAST(COUNT(DISTINCT p_size) AS BIGINT),
+          CAST(SUM(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM part
+      ) t ORDER BY column_name"""),
+    doc = "ANALYZE TABLE ... FOR COLUMNS over the lake catalog: exact per-column ndv/null census stored per version, served via CALL system.col_stats and the scan's DSv2 column statistics — the feed that turns on CBO join cardinality estimation and join reordering for lake tables")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
     q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319,
-    q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q214, q215, q216, q228)
+    q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q214, q215, q216, q228)
 }

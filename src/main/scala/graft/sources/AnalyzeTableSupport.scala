@@ -38,6 +38,12 @@ object GraftAnalyzeRule extends Rule[LogicalPlan] {
             "the stats sidecar is per-file; analyze the whole table")
       GraftAnalyzeTableCommand(
         r.catalog.asInstanceOf[ManifestCatalog].dirOf(r.identifier))
+    case org.apache.spark.sql.catalyst.plans.logical.AnalyzeColumn(
+        r: ResolvedTable, columnNames, allColumns)
+        if r.catalog.isInstanceOf[ManifestCatalog] =>
+      GraftAnalyzeColumnsCommand(
+        r.catalog.asInstanceOf[ManifestCatalog].dirOf(r.identifier),
+        columnNames, allColumns)
   }
 }
 
@@ -50,5 +56,57 @@ private[graft] final case class GraftAnalyzeTableCommand(root: String)
     TableStore.forPath(root).putString(s"$root/_manifest",
       s"v${m.version}.stats", ManifestStats.encode(stats))
     Seq.empty // ANALYZE returns no rows, like the built-in
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS FOR [ALL] COLUMNS [...]` — the
+  * COLUMN-LEVEL census the per-file sidecar cannot answer: exact
+  * distinct counts (and null counts) per requested column, computed in
+  * ONE aggregation pass over the LOGICAL snapshot (evolution + deletion
+  * vectors folded — the planner must see the table readers see) and
+  * stored per version as `_manifest/v<N>.colstats`. The connector's
+  * [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]
+  * surfaces them as DSv2 column statistics, which is what lights up
+  * Spark's COST-BASED join estimation and DP join reordering on lake
+  * tables — without ndv, multi-join cardinality estimates return
+  * unknown and CBO keeps the written join order (AnalyzeColumnsSpec
+  * pins the flip). Exact by design: ANALYZE is an explicit maintenance
+  * verb whose one full scan buys correct plans table-wide; a 100-TB
+  * deployment that prefers the cheaper ±5% HLL census can swap the
+  * aggregate for `approx_count_distinct` without touching the sidecar
+  * format (the consumer only reads numbers). A later commit gets NO
+  * colstats file — data changed, so the census goes dark rather than
+  * stale, the standard warehouse contract. */
+private[graft] final case class GraftAnalyzeColumnsCommand(root: String,
+    columnNames: Option[Seq[String]], allColumns: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions._
+    val m = ManifestUpsertSink.latestManifest(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $root"))
+    val df = ManifestUpsertSink.read(spark, root)
+    val names: Seq[String] =
+      if (allColumns) df.columns.toSeq
+      else {
+        val asked = columnNames.getOrElse(Seq.empty)
+        val have = df.columns.toSet
+        val missing = asked.filterNot(have)
+        require(missing.isEmpty,
+          s"ANALYZE ... FOR COLUMNS: column(s) ${missing.mkString(", ")} not in " +
+            s"the table (have ${df.columns.sorted.mkString(", ")})")
+        asked
+      }
+    require(names.nonEmpty, "ANALYZE ... FOR COLUMNS: no columns requested")
+    val aggs = names.flatMap(n => Seq(
+      count_distinct(col(n)).as(s"__ndv__$n"),
+      sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nulls__$n")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val stats = names.zipWithIndex.map { case (n, i) =>
+      n -> ManifestStats.ColNdv(row.getLong(2 * i),
+        if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1))
+    }.toMap
+    TableStore.forPath(root).putString(s"$root/_manifest",
+      s"v${m.version}.colstats", ManifestStats.encodeCol(stats))
+    Seq.empty
   }
 }

@@ -203,12 +203,38 @@ private[graft] object ManifestProcedures {
     StructField("n_dv_files", LongType, nullable = false),
     StructField("dv_rows", LongType, nullable = false)))
 
-  def names: Seq[String] = specs(identity).map(_.name) ++ Seq("history", "detail")
+  /** `CALL graft.system.col_stats('t')` — the ANALYZE ... FOR COLUMNS
+    * census as rows: one (column_name, ndv, null_count) per analyzed
+    * column of the CURRENT version, empty when the version was never
+    * column-analyzed (the census never carries across commits — see
+    * [[GraftAnalyzeColumnsCommand]]). What the planner's DSv2 column
+    * statistics feed on, made SQL-visible. */
+  private def colStatsRows(root: String): Array[InternalRow] = {
+    val m = ManifestUpsertSink.latestManifest(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $root"))
+    ManifestUpsertSink.loadColStats(root, m.version).toSeq.sortBy(_._1).map {
+      case (n, cs) =>
+        new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(n),
+          cs.ndv, cs.nulls)): InternalRow
+    }.toArray
+  }
+
+  private val ColStatsSchema = StructType(Seq(
+    StructField("column_name", StringType, nullable = false),
+    StructField("ndv", LongType, nullable = false),
+    StructField("null_count", LongType, nullable = false)))
+
+  def names: Seq[String] = specs(identity).map(_.name) ++
+    Seq("history", "detail", "col_stats")
 
   def load(tableDir: String => String, name: String): UnboundProcedure = {
     if (name == "history") return historyProcedure(tableDir)
     if (name == "detail") return rowsProcedure(tableDir, "detail",
       "table layout + sidecar size census (DESCRIBE DETAIL)", DetailSchema, detailRows)
+    if (name == "col_stats") return rowsProcedure(tableDir, "col_stats",
+      "ANALYZE ... FOR COLUMNS census as rows (ndv + null count per column)",
+      ColStatsSchema, colStatsRows)
     val spec = specs(tableDir).find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
         s"unknown procedure $name — have ${names.mkString(", ")}"))

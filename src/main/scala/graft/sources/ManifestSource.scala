@@ -129,7 +129,11 @@ final class ManifestSource extends TableProvider with DataSourceRegister
         Resolved(m.files, ManifestUpsertSink.loadStats(root, m.version),
           for (k <- m.keyCol; b <- m.buckets) yield (k, b), m.partCol, m.renames,
           m.addedCols, m.droppedCols, m.physSchema, m.dvs, m.defaults, m.sortedBy,
-          m.dvInexact)
+          m.dvInexact,
+          // ANALYZE ... FOR COLUMNS census of THIS version, if any — the
+          // CBO feed (renames would misbind names; go dark mid-evolution)
+          if (m.renames.isEmpty) ManifestUpsertSink.loadColStats(root, m.version)
+          else Map.empty)
     }
   }
 
@@ -358,7 +362,8 @@ object ManifestSource {
       dvs: Seq[DvEntry] = Nil,
       defaults: Seq[(String, String)] = Nil,
       sortedBy: Option[String] = None,
-      dvInexact: Boolean = false)
+      dvInexact: Boolean = false,
+      colStats: Map[String, ManifestStats.ColNdv] = Map.empty)
 
   /** The ONE write path both the batch V1Write and the streaming sink
     * share: MERGE `data` through [[ManifestUpsertSink.upsertBatch]].
@@ -913,6 +918,43 @@ object ManifestSource {
         else m.updated(logical, m(phys)) - phys
     }
     m
+  }
+
+  /** ESTIMATE-GRADE table min/max of a column from the per-file stats
+    * sidecar, as the catalyst-INTERNAL value catalyst `ColumnStat`
+    * expects — the planner-statistics companion of the ndv census.
+    * Laxer than the metadata-only aggregate's `bound` (which must be
+    * EXACT and so declines doubles and dv'd snapshots): a CBO estimate
+    * tolerates ±0.0-widened float bounds and deleted extremes; it must
+    * only never report an interval NARROWER than the data (that could
+    * zero a join estimate that has rows). Any uncovered file or mixed
+    * sidecar kind declines. */
+  private[sources] def sidecarMinMax(kept: Seq[FileEntry], resolved: Resolved,
+      tableSchema: StructType, name: String, isMin: Boolean): Option[Any] = {
+    import org.apache.spark.sql.types._
+    for {
+      f <- tableSchema.fields.find(_.name == name)
+      perFile <- Some(kept.map(e => resolved.stats.get(e.path)))
+      if perFile.nonEmpty && perFile.forall(_.isDefined)
+      bounds = perFile.flatten.map(_.cols.get(name).flatMap(c =>
+        if (isMin) c.min else c.max))
+      if bounds.forall(_.isDefined)
+      kinds = perFile.flatten.flatMap(_.cols.get(name)).map(_.kind).distinct
+      if kinds.size == 1
+      best = bounds.flatten.reduce((a, b) =>
+        if (isMin ^ (ManifestStats.cmpPublic(kinds.head, a, b) > 0)) a else b)
+      v <- (best, f.dataType) match {
+        case (l: Long, LongType) => Some(l)
+        case (l: Long, IntegerType) => Some(l.toInt)
+        case (l: Long, ShortType) => Some(l.toShort)
+        case (l: Long, ByteType) => Some(l.toByte)
+        case (l: Long, DateType) => Some(l.toInt) // days
+        case (l: Long, TimestampType) => Some(l) // micros
+        case (d: Double, DoubleType) => Some(d)
+        case (d: Double, FloatType) => Some(d.toFloat)
+        case _ => None // strings: join estimation ignores their bounds
+      }
+    } yield v
   }
 
   /** Post-pruning planner statistics from the commit-time sidecar —
@@ -1567,7 +1609,17 @@ object ManifestSource {
     override def columnarSupportMode(): Scan.ColumnarSupportMode =
       delegate.columnarSupportMode()
 
-    /** Post-pruning planner statistics from the commit-time sidecar. */
+    /** Post-pruning planner statistics from the commit-time sidecar,
+      * plus — when an `ANALYZE ... FOR COLUMNS` census exists for this
+      * version — DSv2 COLUMN statistics (ndv + null count per analyzed
+      * column still in the pruned output). Spark translates these into
+      * catalyst attribute stats, which is what makes cost-based join
+      * cardinality estimation (and DP join reordering) work on lake
+      * tables: without ndv a multi-join's intermediate cardinalities are
+      * unknown and CBO keeps the written order. Table-level ndv is
+      * reported unscaled after file pruning — an over-estimate of the
+      * pruned subset's ndv, the conventional (and planner-safe)
+      * approximation. */
     override def estimateStatistics(): V2Statistics = {
       val conf = org.apache.spark.sql.internal.SQLConf.get
       val stats = kept.map(e => resolved.stats.get(e.path))
@@ -1581,11 +1633,40 @@ object ManifestSource {
             if (s.bytes >= 0) (s.bytes * conf.fileCompressionFactor).toLong
             else s.rows * rowWidth).sum)
         else None
+      val out = readSchema().fieldNames.toSet
+      val colStats = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      for ((n, cs) <- resolved.colStats if out.contains(n)) {
+        // min/max from the per-file sidecar (post-pruning, catalyst-
+        // internal values): REQUIRED alongside ndv — join estimation
+        // intersects the key ranges, and a numeric key with unknown
+        // bounds reads as an EMPTY interval (0-row estimate, measured),
+        // which would make the ndv census WORSEN plans. Estimate-lax:
+        // dv'd extremes and ±0.0-widened float bounds are fine here
+        // (planner estimates, never answers).
+        val mn = sidecarMinMax(kept, resolved, tableSchema, n, isMin = true)
+        val mx = sidecarMinMax(kept, resolved, tableSchema, n, isMin = false)
+        colStats.put(org.apache.spark.sql.connector.expressions.Expressions.column(n),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(cs.ndv)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(cs.nulls)
+            override def min(): java.util.Optional[Object] =
+              mn.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+          })
+      }
       new V2Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           bytes.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
         override def numRows(): java.util.OptionalLong =
           rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+        override def columnStats(): java.util.Map[NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
       }
     }
 

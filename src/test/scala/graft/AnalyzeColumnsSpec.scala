@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.ManifestUpsertSink
+
+/** `ANALYZE TABLE ... FOR COLUMNS` — the column-level (ndv) census and
+  * its planner consumption: the colstats sidecar, the `col_stats`
+  * procedure, DSv2 column statistics reaching catalyst attribute stats,
+  * and THE point of the feature — cost-based join reordering flipping a
+  * 3-table join once ndv exists (without it, intermediate join
+  * cardinalities are unknown and CBO keeps the written order). */
+class AnalyzeColumnsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def mkCatalog(name: String): String = {
+    val root = tmp(s"graft_${name}_")
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    root
+  }
+
+  test("FOR COLUMNS writes the colstats sidecar; col_stats serves it; commits invalidate it") {
+    val cat = "graft_ndv_basic"
+    val root = mkCatalog(cat)
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, grp STRING, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4')""")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('g', id % 7), 0L FROM range(0, 100)")
+    // unknown column refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"ANALYZE TABLE $cat.t COMPUTE STATISTICS FOR COLUMNS nope")
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    spark.sql(s"ANALYZE TABLE $cat.t COMPUTE STATISTICS FOR COLUMNS id, grp")
+    val got = spark.sql(s"CALL $cat.system.col_stats('t')").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("grp", 7L, 0L), ("id", 100L, 0L)), s"census rows: $got")
+    // the sidecar is version-keyed: a new commit goes dark (never stale)
+    spark.sql(s"INSERT INTO $cat.t VALUES (100, 'g_new', 1)")
+    assert(spark.sql(s"CALL $cat.system.col_stats('t')").count() == 0,
+      "a commit after ANALYZE must invalidate the column census")
+    // FOR ALL COLUMNS covers everything, and ndv reflects the new row
+    spark.sql(s"ANALYZE TABLE $cat.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    val all = spark.sql(s"CALL $cat.system.col_stats('t')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("id" -> 101L, "grp" -> 8L, "seq" -> 2L), s"$all")
+  }
+
+  test("ndv census folds deletion vectors: the planner sees the LOGICAL table") {
+    import spark.implicits._
+    val root = tmp("graft_ndv_dv_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch((1L to 50L).map(i => (i, s"g${i % 10}", 0L))
+      .toDF("id", "grp", "seq"), "seq", 0L)
+    sink.deleteKeysMergeOnRead((41L to 50L).toDF("id"), 1L)
+    val cat = "graft_ndv_dvc"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(root).getParent.toString)
+    val tbl = java.nio.file.Paths.get(root).getFileName.toString
+    spark.sql(s"ANALYZE TABLE $cat.`$tbl` COMPUTE STATISTICS FOR COLUMNS id")
+    val got = spark.sql(s"CALL $cat.system.col_stats('$tbl')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("id" -> 40L), s"dv-deleted keys must not count: $got")
+  }
+
+  test("column stats reach catalyst, and CBO join reordering FLIPS once ndv exists") {
+    val cat = "graft_ndv_cbo"
+    mkCatalog(cat)
+    spark.sql(s"""CREATE TABLE $cat.f (k BIGINT, j BIGINT, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='k', 'orderCol'='seq', 'buckets'='4')""")
+    spark.sql(s"""CREATE TABLE $cat.b (k BIGINT, bv BIGINT, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='k', 'orderCol'='seq', 'buckets'='4')""")
+    spark.sql(s"""CREATE TABLE $cat.c (j BIGINT, cv BIGINT, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='j', 'orderCol'='seq', 'buckets'='4')""")
+    // The discriminating shape: WITHOUT column stats CBO can only order
+    // by relation size, and c (50 rows) looks cheaper than b (100 rows) —
+    // but f.j has ndv 5, so (f ⋈ c on j) EXPLODES to ~5000 rows, while
+    // (f ⋈ b on k, ndv 5000) REDUCES to ~100. Only the ndv census can
+    // see that; size-only ordering picks the wrong dimension first.
+    spark.sql(s"INSERT INTO $cat.f SELECT id, id % 5, 0L FROM range(0, 5000)")
+    spark.sql(s"INSERT INTO $cat.b SELECT id * 50, id * 2, 0L FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.c SELECT id, id * 3, 0L FROM range(0, 50)")
+    val q =
+      s"""SELECT count(*) AS n FROM $cat.f f
+         JOIN $cat.b b ON f.k = b.k
+         JOIN $cat.c c ON f.j = c.j"""
+    // the join tree's leaf order: table names left-to-right
+    def leafOrder(sql: String): Seq[String] =
+      spark.sql(sql).queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.table.name()
+      }.map(n => n.substring(n.lastIndexOf('/') + 1))
+    val cboConfs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val saved = cboConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      cboConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // WITHOUT ndv: size-only ordering grabs the smaller-by-rows c first
+      // — the cardinality-blind (and wrong) choice
+      val before = leafOrder(q)
+      assert(before.take(2).toSet == Set("f", "c"),
+        s"without column stats CBO orders by size alone (c is smaller), got $before")
+      spark.sql(s"ANALYZE TABLE $cat.f COMPUTE STATISTICS FOR COLUMNS k, j")
+      spark.sql(s"ANALYZE TABLE $cat.b COMPUTE STATISTICS FOR COLUMNS k")
+      spark.sql(s"ANALYZE TABLE $cat.c COMPUTE STATISTICS FOR COLUMNS j")
+      // the DSv2 column stats must land in catalyst attribute stats
+      val fStats = spark.sql(s"SELECT k, j FROM $cat.f").queryExecution
+        .optimizedPlan.stats
+      val ndvs = fStats.attributeStats.toSeq
+        .map { case (a, s) => a.name -> s.distinctCount.map(_.toLong) }.toMap
+      assert(ndvs.get("k").flatten.contains(5000L) &&
+        ndvs.get("j").flatten.contains(5L),
+        s"analyzed ndv must reach catalyst attribute stats: ${fStats.attributeStats}")
+      // WITH ndv (+ the sidecar-derived key ranges — join estimation
+      // zeroes on unknown numeric bounds): (f ⋈ b) estimates ≈ 100 rows
+      // vs (f ⋈ c) ≈ 5000, and the DP reorder joins the REDUCING
+      // dimension first — the flip
+      val fc = spark.sql(s"SELECT * FROM $cat.f f JOIN $cat.c c ON f.j = c.j")
+        .queryExecution.optimizedPlan.stats.rowCount
+      val fb = spark.sql(s"SELECT * FROM $cat.f f JOIN $cat.b b ON f.k = b.k")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(fc.exists(_ == BigInt(5000)) && fb.exists(_ == BigInt(100)),
+        s"ndv-based join cardinality estimates must be exact here: f⋈c=$fc f⋈b=$fb")
+      val after = leafOrder(q)
+      assert(after != before && after.take(2).toSet == Set("f", "b"),
+        s"CBO join reordering must flip to (f ⋈ b) ⋈ c once ndv exists, got $after")
+      // and the answer is unchanged
+      assert(spark.sql(q).head().getLong(0) == 100L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

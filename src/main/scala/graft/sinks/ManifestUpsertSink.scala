@@ -979,8 +979,21 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     * verbatim, zero I/O. Cost is ∝ fat-bucket bytes, never table bytes —
     * a full [[compact]] is the degenerate `minFilesPerBucket = 1`. The
     * replay guard keeps the merged batch id, like compact. No-op (no new
-    * version) when no bucket crosses the threshold. */
-  def compactIncremental(spark: SparkSession, minFilesPerBucket: Int = 4): Unit = {
+    * version) when no bucket crosses the threshold.
+    *
+    * `maxDvFraction` is the DELETE-DEBT policy: a bucket whose live
+    * deletion-vector rows exceed this fraction of its sidecar-recorded
+    * data rows also rewrites (materializing the dvs), EVEN below the
+    * file-count threshold — so merge-on-read read amplification (every
+    * row filtered against the dv set, COUNT answered by subtraction) is
+    * bounded by a scheduled policy rather than operator vigilance, the
+    * Delta `delectedRowFraction`-style auto-materialization knob. The
+    * default 1.0 never triggers on fraction alone (a dv can't exceed
+    * its bucket's rows); 0.1 means "rewrite once ≥10% of a bucket's
+    * rows are dv-masked". Buckets with unknown sidecar rows decline the
+    * fraction test (never guess). */
+  def compactIncremental(spark: SparkSession, minFilesPerBucket: Int = 4,
+      maxDvFraction: Double = 1.0): Unit = {
     val cur = latestManifest(root, store).getOrElse(return)
     healFeed(Some(cur))
     if (cur.files.isEmpty) return
@@ -988,9 +1001,21 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // dv sidecars count toward the threshold: a bucket dragging
     // deletion vectors costs every read its anti-join, so incremental
     // maintenance folds them exactly as it folds small files
+    val sidecar = loadStats(root, store, cur.version)
+    def dvHeavy(b: Long, fs: Seq[FileEntry]): Boolean = {
+      if (maxDvFraction >= 1.0) return false
+      val dvRows = cur.dvsOf(b).map(_.rows).sum
+      if (dvRows == 0) return false
+      val rows = fs.map(f => sidecar.get(f.path).map(_.rows))
+      rows.forall(_.isDefined) && {
+        val total = rows.flatten.sum
+        total > 0 && dvRows.toDouble / total > maxDvFraction
+      }
+    }
     val fat: Set[Long] = cur.files.groupBy(_.bucket)
       .collect { case (b, fs)
-        if fs.size + cur.dvsOf(b).size >= math.max(1, minFilesPerBucket) => b }.toSet
+        if fs.size + cur.dvsOf(b).size >= math.max(1, minFilesPerBucket) ||
+          dvHeavy(b, fs) => b }.toSet
     if (fat.isEmpty) return
     val version = cur.version + 1
     val fatEntries = cur.files.filter(f => fat(f.bucket))
@@ -2023,6 +2048,56 @@ object ManifestUpsertSink {
   private[graft] def loadStats(root: String, version: Long): Map[String, ManifestStats.FileStats] =
     loadStats(root, TableStore.forPath(root), version)
 
+  // ------------------------------------------------------- named refs
+
+  /** NAMED TAGS — zero-copy refs into the version graph (`_manifest/
+    * tag-<name>.ref` holds the version number): `CALL system.tag` pins
+    * the current version under a name, `VERSION AS OF '<name>'` time-
+    * travels to it, and [[vacuum]] HOLDS tagged versions past every
+    * count/age horizon (a tag is a retention promise — "the audit
+    * snapshot stays readable" — not a hint). Tag names share the
+    * manifest-header safety rules; a name that parses as a bare integer
+    * is refused (it would shadow numeric version resolution). */
+  private[graft] def validTagName(name: String): Boolean =
+    name.nonEmpty && name.length <= 128 &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.') &&
+      !name.forall(_.isDigit)
+
+  private[graft] def setTag(root: String, name: String, version: Long): Unit = {
+    val store = TableStore.forPath(root)
+    require(validTagName(name),
+      s"bad tag name '$name' — letters/digits/-/_/. only, not all-digits")
+    require(store.exists(s"$root/_manifest/v$version.manifest"),
+      s"cannot tag v$version: not committed (or vacuumed) under $root")
+    require(!store.exists(s"$root/_manifest/tag-$name.ref"),
+      s"tag '$name' already exists (drop_tag first — tags are immutable refs)")
+    store.putString(s"$root/_manifest", s"tag-$name.ref", version.toString)
+  }
+
+  private[graft] def dropTag(root: String, name: String): Unit = {
+    val store = TableStore.forPath(root)
+    require(store.exists(s"$root/_manifest/tag-$name.ref"),
+      s"no tag '$name' under $root")
+    store.deleteFile(s"$root/_manifest/tag-$name.ref")
+  }
+
+  /** All named tags of a table: name → version. Unreadable or
+    * non-numeric ref files are skipped (vacuum treats them
+    * conservatively — see the hold computation). */
+  private[graft] def tags(root: String): Map[String, Long] = {
+    val store = TableStore.forPath(root)
+    store.listNames(s"$root/_manifest")
+      .filter(n => n.startsWith("tag-") && n.endsWith(".ref"))
+      .flatMap { n =>
+        val name = n.stripPrefix("tag-").stripSuffix(".ref")
+        store.readString(s"$root/_manifest/$n").trim.toLongOption.map(name -> _)
+      }.toMap
+  }
+
+  /** The version a tag names, if the tag exists. */
+  private[graft] def tagVersion(root: String, name: String): Option[Long] =
+    tags(root).get(name)
+
   /** The version's TABLE-LEVEL column statistics (ndv + nulls), written
     * by `ANALYZE TABLE ... FOR COLUMNS`; empty when never analyzed at
     * this version (commits never carry colstats forward — data changed,
@@ -2428,8 +2503,10 @@ object ManifestUpsertSink {
       if (versions.size <= keep || cloneUnreadable) Seq.empty[Long]
       else versions.dropRight(keep)
     // union of holds: count keeps the newest `keep`, age keeps every
-    // version still current inside the retain window
-    val drop = drop0.filterNot(ageKeeps)
+    // version still current inside the retain window, and NAMED TAGS
+    // keep their versions unconditionally (a tag is a retention promise)
+    val tagged: Set[Long] = tags(root).values.toSet
+    val drop = drop0.filterNot(ageKeeps).filterNot(tagged)
     val hold = versions.filterNot(drop.toSet)
     val heldMs = hold.map(v => decode(store.readString(s"$root/_manifest/v$v.manifest")))
     val live: Set[String] =

@@ -76,9 +76,15 @@ private[graft] object ManifestProcedures {
   private def specs(tableDir: String => String): Seq[Spec] = Seq(
     Spec("compact", Seq(Table),
       (s, root, _) => sinkFor(root).compact(s)),
+    // max_dv_fraction: the delete-debt policy — a bucket whose dv rows
+    // exceed this fraction of its data rows rewrites even below the
+    // file-count threshold (bounded merge-on-read read amplification)
     Spec("compact_incremental", Seq(Table,
-        ProcedureParameter.in("min_files", IntegerType).build()),
-      (s, root, in) => sinkFor(root).compactIncremental(s, in.getInt(1))),
+        ProcedureParameter.in("min_files", IntegerType).build(),
+        ProcedureParameter.in("max_dv_fraction", DoubleType)
+          .defaultValue("1.0").build()),
+      (s, root, in) => sinkFor(root).compactIncremental(s, in.getInt(1),
+        if (in.isNullAt(2)) 1.0 else in.getDouble(2))),
     Spec("cluster", Seq(Table,
         ProcedureParameter.in("cols", StringType).build(),
         ProcedureParameter.in("slices", IntegerType).build()),
@@ -119,17 +125,28 @@ private[graft] object ManifestProcedures {
     // read a CONSISTENT snapshot by file list instead of globbing a
     // directory that mixes live and dead versions. Refuses while
     // merge-on-read deletion vectors or metadata-only evolution are live
-    // — an external reader cannot fold either; compact first.
-    Spec("export_symlinks", Seq(Table),
-      (_, root, _) => {
-        val m = ManifestUpsertSink.latestManifest(root).getOrElse(
+    // — an external reader cannot fold either. `materialize => true`
+    // runs the compaction FIRST (folding dvs + evolution into plain
+    // files) and exports the post-compaction version, so "give external
+    // readers a snapshot of this evolving table" is one call instead of
+    // a compact-then-export pair that can interleave with other commits.
+    Spec("export_symlinks", Seq(Table,
+        ProcedureParameter.in("materialize", BooleanType)
+          .defaultValue("false").build()),
+      (s, root, in) => {
+        val materialize = !in.isNullAt(1) && in.getBoolean(1)
+        val cur = ManifestUpsertSink.latestManifest(root).getOrElse(
           throw new IllegalArgumentException(s"no committed table at $root"))
+        if (materialize && (cur.dvs.nonEmpty || cur.hasEvolution))
+          sinkFor(root).compact(s)
+        val m = ManifestUpsertSink.latestManifest(root).get
         require(m.dvs.isEmpty,
           "cannot export: live merge-on-read deletion vectors — external readers " +
-            "cannot fold them; CALL system.compact first")
+            "cannot fold them; pass materialize => true (or CALL system.compact first)")
         require(!m.hasEvolution,
           "cannot export: live metadata-only schema evolution (rename/add/drop) — " +
-            "external readers cannot fold it; CALL system.compact first")
+            "external readers cannot fold it; pass materialize => true " +
+            "(or CALL system.compact first)")
         graft.sinks.TableStore.forPath(root).putString(
           s"$root/_symlink/v${m.version}", "symlink-manifest.txt",
           m.files.map(_.path).mkString("\n"))
@@ -142,7 +159,23 @@ private[graft] object ManifestProcedures {
       (s, root, in) => {
         val target = tableDir(in.getUTF8String(1).toString)
         sinkFor(root).cloneTo(s, target, deep = in.getBoolean(2)); ()
-      }))
+      }),
+    // NAMED TAG: a zero-copy ref pinning the CURRENT version under a
+    // name — `VERSION AS OF '<name>'` time-travels to it and vacuum
+    // HOLDS it past every count/age horizon until drop_tag releases it.
+    // (A writable named fork — a "branch" — is `clone` with a shallow
+    // copy: same zero-copy version graft, its own commit chain.)
+    Spec("tag", Seq(Table,
+        ProcedureParameter.in("name", StringType).build()),
+      (_, root, in) => {
+        val m = ManifestUpsertSink.latestManifest(root).getOrElse(
+          throw new IllegalArgumentException(s"no committed table at $root"))
+        ManifestUpsertSink.setTag(root, in.getUTF8String(1).toString, m.version)
+      }),
+    Spec("drop_tag", Seq(Table,
+        ProcedureParameter.in("name", StringType).build()),
+      (_, root, in) =>
+        ManifestUpsertSink.dropTag(root, in.getUTF8String(1).toString)))
 
   /** `CALL graft.system.detail('t')` — DESCRIBE DETAIL: the table's
     * layout and size as ONE row, straight off the manifest log and its
@@ -225,11 +258,24 @@ private[graft] object ManifestProcedures {
     StructField("ndv", LongType, nullable = false),
     StructField("null_count", LongType, nullable = false)))
 
+  /** `CALL graft.system.tags('t')` — the named refs as rows. */
+  private def tagsRows(root: String): Array[InternalRow] =
+    ManifestUpsertSink.tags(root).toSeq.sortBy(_._1).map { case (n, v) =>
+      new GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(n), v)): InternalRow
+    }.toArray
+
+  private val TagsSchema = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
   def names: Seq[String] = specs(identity).map(_.name) ++
-    Seq("history", "detail", "col_stats")
+    Seq("history", "detail", "col_stats", "tags")
 
   def load(tableDir: String => String, name: String): UnboundProcedure = {
     if (name == "history") return historyProcedure(tableDir)
+    if (name == "tags") return rowsProcedure(tableDir, "tags",
+      "named version refs as rows", TagsSchema, tagsRows)
     if (name == "detail") return rowsProcedure(tableDir, "detail",
       "table layout + sidecar size census (DESCRIBE DETAIL)", DetailSchema, detailRows)
     if (name == "col_stats") return rowsProcedure(tableDir, "col_stats",

@@ -139,12 +139,21 @@ final class ManifestSource extends TableProvider with DataSourceRegister
 
   /** versionAsOf wins when both are given (they'd otherwise race);
     * timestampAsOf accepts epoch millis, an ISO-8601 instant, a
-    * zone-less datetime (read as UTC), or a date (UTC midnight). */
+    * zone-less datetime (read as UTC), or a date (UTC midnight).
+    * A non-numeric versionAsOf is a NAMED TAG (`VERSION AS OF
+    * 'v-audit'`) — resolved through the table's tag refs, loud on a
+    * miss. */
   private def resolveVersionOpt(root: String,
       options: CaseInsensitiveStringMap): Option[Long] =
-    Option(options.get("versionAsOf")).map(_.toLong).orElse(
-      Option(options.get("timestampAsOf")).map(t =>
-        ManifestUpsertSink.versionAtTimestamp(root, parseTsMs(t))))
+    Option(options.get("versionAsOf")).map(v =>
+      v.toLongOption.getOrElse(
+        ManifestUpsertSink.tagVersion(root, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"versionAsOf '$v' is neither a version number nor a tag of $root " +
+              s"(have tags: ${ManifestUpsertSink.tags(root).keys.toSeq.sorted.mkString(", ")})"))))
+      .orElse(
+        Option(options.get("timestampAsOf")).map(t =>
+          ManifestUpsertSink.versionAtTimestamp(root, parseTsMs(t))))
 
   private def parseTsMs(t: String): Long = {
     def attempt(f: => Long): Option[Long] =

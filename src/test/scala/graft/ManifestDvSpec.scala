@@ -608,6 +608,39 @@ class ManifestDvSpec extends AnyFunSuite {
       s"DSv2 byte fold diverged from SQL equality on -0.0 vs 0.0: $sql")
   }
 
+  test("dv-fraction compaction policy: delete debt above the threshold auto-materializes") {
+    import spark.implicits._
+    val root = tmp("graft_dv_policy_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 1)
+    sink.upsertBatch((1L to 100L).map(i => (i, s"p$i", 0L)).toDF("id", "p", "seq"),
+      "seq", 0L)
+    // 5% dv debt: below a 10% policy, and below any file-count threshold
+    sink.deleteKeysMergeOnRead((1L to 5L).toDF("id"), 1L)
+    val v1 = ManifestUpsertSink.latestManifest(root).get
+    sink.compactIncremental(spark, minFilesPerBucket = 99, maxDvFraction = 0.1)
+    assert(ManifestUpsertSink.latestManifest(root).get.version == v1.version,
+      "below the dv fraction: no rewrite commits")
+    // push the debt over 10%: the policy rewrites the bucket even though
+    // the file count is far under the threshold
+    sink.deleteKeysMergeOnRead((6L to 15L).toDF("id"), 2L)
+    sink.compactIncremental(spark, minFilesPerBucket = 99, maxDvFraction = 0.1)
+    val m = ManifestUpsertSink.latestManifest(root).get
+    assert(m.dvs.isEmpty,
+      s"dv debt over the fraction must materialize, got ${m.dvs}")
+    assert(sink.read(spark).count() == 85L)
+    // the SQL procedure speaks the same policy
+    val cat = "graft_dv_policy"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(root).getParent.toString)
+    val tbl = java.nio.file.Paths.get(root).getFileName.toString
+    sink.deleteKeysMergeOnRead((16L to 40L).toDF("id"), 3L)
+    spark.sql(s"CALL $cat.system.compact_incremental('$tbl', 99, max_dv_fraction => 0.1)")
+    assert(ManifestUpsertSink.latestManifest(root).get.dvs.isEmpty)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`$tbl`").head().getLong(0) == 60L)
+  }
+
   test("pre-seq manifest vintages decode: sequences fall back to the path's version segment") {
     import spark.implicits._
     val root = tmp("graft_dv_legacy_")

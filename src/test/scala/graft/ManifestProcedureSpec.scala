@@ -202,6 +202,77 @@ class ManifestProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL export_symlinks materialize => true: compacts the live dvs/evolution, then exports") {
+    withCatalog { (cat, root) =>
+      seed(cat, rows = 40, batches = 2)
+      // live deletion vectors + a metadata-only add: the plain export
+      // refuses (external readers can fold neither)
+      new ManifestUpsertSink(s"$root/t", "id", 4)
+        .deleteKeysMergeOnRead(Seq(103L, 209L).toDF("id"), 99L)
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN extra DOUBLE")
+      intercept[Exception] { spark.sql(s"CALL $cat.system.export_symlinks('t')") }
+      // materialize => true runs the compaction first and exports the
+      // post-compaction version atomically
+      spark.sql(s"CALL $cat.system.export_symlinks('t', materialize => true)")
+      val m = ManifestUpsertSink.latestManifest(s"$root/t").get
+      assert(m.dvs.isEmpty && !m.hasEvolution, "the export materialized first")
+      val listed = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "t", "_symlink", s"v${m.version}",
+          "symlink-manifest.txt")), "UTF-8").linesIterator.toSeq
+      assert(listed.toSet == m.files.map(_.path).toSet && listed.nonEmpty)
+      // the external read equals the connector read on a table that HAD
+      // live dvs — the deleted keys are physically gone from the export
+      val direct = spark.read.parquet(listed: _*).drop("__bucket")
+      val viaConnector = spark.sql(s"SELECT id, p FROM $cat.t")
+      assert(direct.count() == 78L && viaConnector.count() == 78L)
+      assert(direct.select("id", "p").as[(Long, String)].collect().toSet ==
+        viaConnector.as[(Long, String)].collect().toSet)
+      // already-clean tables export without a spurious compaction commit
+      val vBefore = ManifestUpsertSink.latestManifest(s"$root/t").get.version
+      spark.sql(s"CALL $cat.system.export_symlinks('t', materialize => true)")
+      assert(ManifestUpsertSink.latestManifest(s"$root/t").get.version == vBefore,
+        "materialize on a clean table must not commit a pointless rewrite")
+    }
+  }
+
+  test("named tags: zero-copy refs, VERSION AS OF by name, vacuum holds them until dropped") {
+    withCatalog { (cat, root) =>
+      seed(cat, rows = 10, batches = 2) // v0 (ids 101..110), v1 (+ 201..210)
+      spark.sql(s"CALL $cat.system.tag('t', 'v-audit')") // pins v1
+      spark.sql(s"INSERT INTO $cat.t VALUES (9001, 'x', 9)") // v2
+      spark.sql(s"INSERT INTO $cat.t VALUES (9002, 'y', 9)") // v3
+      // time travel BY NAME through SQL and through the reader option
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 'v-audit'")
+        .head().getLong(0) == 20L)
+      assert(spark.read.format("graft-manifest").option("versionAsOf", "v-audit")
+        .load(s"$root/t").count() == 20L)
+      val tagsDf = spark.sql(s"CALL $cat.system.tags('t')").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(tagsDf == Map("v-audit" -> 1L), s"$tagsDf")
+      // an unknown tag is loud, with the known tags listed
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'nope'").collect()
+      }
+      assert(e.getMessage.contains("v-audit"), e.getMessage)
+      // tags are immutable refs; bad names refuse
+      intercept[Exception] { spark.sql(s"CALL $cat.system.tag('t', 'v-audit')") }
+      intercept[Exception] { spark.sql(s"CALL $cat.system.tag('t', '42')") }
+      intercept[Exception] { spark.sql(s"CALL $cat.system.tag('t', 'a/b')") }
+      // RETENTION: vacuum keep-1 would reclaim v1 — the tag HOLDS it
+      spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 'v-audit'")
+        .head().getLong(0) == 20L,
+        "a tagged version must survive vacuum and stay readable")
+      // drop_tag releases the hold; the next vacuum reclaims it
+      spark.sql(s"CALL $cat.system.drop_tag('t', 'v-audit')")
+      spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").collect()
+      }
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 22L)
+    }
+  }
+
   test("vacuum reclaims stale symlink exports with their versions") {
     withCatalog { (cat, root) =>
       seed(cat, rows = 40, batches = 2) // v0, v1

@@ -101,11 +101,19 @@ object Bench {
       if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_WRITERS"))
         writersJson(spark)
       else "{}"
+    val trickle =
+      if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_TRICKLE"))
+        trickleDeleteJson(spark)
+      else "{}"
+    val dvScan =
+      if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_DVSCAN"))
+        dvScanJson(spark)
+      else "{}"
     // one-time costs measured outside the per-query medians (q64's first
     // rep pays the bucket CTAS; reps 2+ reuse the tables, so the median
     // is the zero-Exchange join itself)
     val setup = f"""{"q64_bucket_ctas_sec":${graft.operators.Scale.bucketCtasSeconds}%.3f}"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rep_spread":$spreads%s,"errors":$errJson%s,"streaming":$streaming%s,"stream_join":$streamJoin%s,"writers":$writers%s,"setup":$setup%s,"sf":"$sfDir%s"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rep_spread":$spreads%s,"errors":$errJson%s,"streaming":$streaming%s,"stream_join":$streamJoin%s,"writers":$writers%s,"trickle_delete":$trickle%s,"dv_scan":$dvScan%s,"setup":$setup%s,"sf":"$sfDir%s"}"""
     println(line)
     // stdout insurance (r07: a clean run still archived as `parsed: null`
     // because the driver keeps only a short stdout tail and the timing map
@@ -119,6 +127,123 @@ object Bench {
       System.err.println(s"[bench] could not write target/bench.json: $e")
     }
     spark.stop()
+  }
+
+  /** TRICKLE-DELETE economics, measured: N single-row DELETEs against
+    * two identical lake tables — one merge-on-read (deletion-vector
+    * sidecars), one copy-on-write (bucket rewrites) — reporting wall
+    * per statement and BYTES WRITTEN under each table's data dir. The
+    * dv design's O(keys)-vs-O(bucket-bytes) claim as an artifact number
+    * instead of architecture prose: MoR bytes-written should sit orders
+    * of magnitude under CoW (each CoW statement rewrites its whole
+    * touched bucket; each MoR statement writes a one-key parquet +
+    * manifest edit, data files byte-identical). */
+  private def trickleDeleteJson(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.ManifestUpsertSink
+    try {
+      val rows = 200000L
+      val buckets = 16
+      val deletes = 50
+      def dirBytes(root: String): Long = {
+        val p = java.nio.file.Paths.get(root, "data")
+        if (!java.nio.file.Files.exists(p)) 0L
+        else {
+          val s = java.nio.file.Files.walk(p)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+      }
+      def seed(prefix: String): (ManifestUpsertSink, String) = {
+        val root = java.nio.file.Files.createTempDirectory(prefix).toString
+        val sink = new ManifestUpsertSink(root, "id", buckets)
+        sink.upsertBatch(
+          spark.range(rows).select(col("id"),
+            sha2(col("id").cast("string"), 256).as("payload"),
+            lit(0L).as("seq")),
+          "seq", 0L)
+        (sink, root)
+      }
+      val (morSink, morRoot) = seed("graft_bench_trickle_mor_")
+      val (cowSink, cowRoot) = seed("graft_bench_trickle_cow_")
+      import spark.implicits._
+      def phase(f: Long => Unit, root: String): (Double, Long) = {
+        val base = dirBytes(root)
+        val t0 = System.nanoTime()
+        // spread across buckets: consecutive ids hash to distinct buckets
+        (1L to deletes.toLong).foreach(k => f(k * 37L))
+        ((System.nanoTime() - t0) / 1e9, dirBytes(root) - base)
+      }
+      val (morSecs, morBytes) = phase(
+        k => morSink.deleteKeysMergeOnRead(Seq(k).toDF("id"), ManifestUpsertSink.AdHocBatch),
+        morRoot)
+      val (cowSecs, cowBytes) = phase(
+        k => cowSink.deleteKeys(Seq(k).toDF("id"), ManifestUpsertSink.AdHocBatch),
+        cowRoot)
+      // zero lost rows: both tables agree and dropped exactly `deletes`
+      val morCount = morSink.read(spark).count()
+      val cowCount = cowSink.read(spark).count()
+      val ok = morCount == rows - deletes && cowCount == rows - deletes
+      f"""{"rows":$rows,"deletes":$deletes,"mor":{"secs":$morSecs%.3f,"sec_per_delete":${morSecs / deletes}%.4f,"bytes_written":$morBytes},"cow":{"secs":$cowSecs%.3f,"sec_per_delete":${cowSecs / deletes}%.4f,"bytes_written":$cowBytes},"cow_over_mor_bytes":${if (morBytes > 0) cowBytes.toDouble / morBytes else -1.0}%.1f,"rows_exact":${if (ok) 1 else 0}}"""
+    } catch { case e: Throwable =>
+      s"""{"err":"${e.getClass.getSimpleName}"}"""
+    }
+  }
+
+  /** DV-FOLD distribution at bucket-count scale: full scans of dv'd
+    * tables at increasing bucket counts (same total rows and dv keys),
+    * reporting scan wall and the SERIALIZED READER-FACTORY SIZE — the
+    * per-task closure cost. The r14 finding was a global driver key
+    * array shipped in every task closure (O(total dv keys) per task,
+    * growing with bucket count × cap); the broadcast fold's factory
+    * bytes must stay FLAT as buckets grow. */
+  private def dvScanJson(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.ManifestUpsertSink
+    try {
+      import spark.implicits._
+      val rows = 64000L
+      val dvKeys = 2048L
+      val points = Seq(16, 64, 256).map { buckets =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_bench_dvscan_${buckets}_").toString
+        val sink = new ManifestUpsertSink(root, "id", buckets)
+        sink.upsertBatch(
+          spark.range(rows).select(col("id"),
+            (col("id") * 3).as("v"), lit(0L).as("seq")),
+          "seq", 0L)
+        sink.deleteKeysMergeOnRead(spark.range(dvKeys).select(col("id")), 1L)
+        graft.sources.ManifestSource.DvFoldProbe.reset()
+        // median of 3: the point is the dv fold's cost SHAPE vs bucket
+        // count, not first-scan session effects (codegen, footer cache)
+        def scanOnce(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val got = spark.read.format("graft-manifest").load(root)
+            .agg(sum(col("v"))).head().getLong(0)
+          ((System.nanoTime() - t0) / 1e9, got)
+        }
+        val runs = (1 to 3).map(_ => scanOnce())
+        val secs = runs.map(_._1).sorted.apply(1)
+        val got = runs.head._2
+        val want = (0L until rows).map(_ * 3).sum - (0L until dvKeys).map(_ * 3).sum
+        val factoryBytes = graft.sources.ManifestSource.DvFoldProbe.lastFactoryBytes
+        val maxReader = graft.sources.ManifestSource.DvFoldProbe.maxReaderKeys
+        // control: the same file layout scanned WITHOUT the fold (plain
+        // parquet over the data files) — attributes the per-file cost of
+        // many small files to the layout, not the dv machinery
+        val ctrl = {
+          val m = graft.sinks.ManifestUpsertSink.latestManifest(root).get
+          val t0 = System.nanoTime()
+          spark.read.parquet(m.files.map(_.path): _*).agg(sum(col("v"))).head()
+          (System.nanoTime() - t0) / 1e9
+        }
+        f"""{"buckets":$buckets,"scan_sec":$secs%.3f,"plain_parquet_sec":$ctrl%.3f,"factory_bytes":$factoryBytes,"max_reader_keys":$maxReader,"correct":${if (got == want) 1 else 0}}"""
+      }
+      s"""{"rows":$rows,"dv_keys":$dvKeys,"points":[${points.mkString(",")}]}"""
+    } catch { case e: Throwable =>
+      s"""{"err":"${e.getClass.getSimpleName}"}"""
+    }
   }
 
   /** CONCURRENT-WRITER bench, two phases against one lake table:

@@ -129,6 +129,22 @@ object Bench {
     spark.stop()
   }
 
+  /** Best-effort recursive delete of a bench-block temp table: the
+    * blocks write multi-GB scratch tables (bloom filters make even tiny
+    * bucket files ~1 MB each), and two bench invocations in one session
+    * MEASURABLY filled the disk before the next run's stale-temp sweep
+    * could help — each block reclaims its own scratch. */
+  private def rmTree(root: String): Unit =
+    try {
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally s.close()
+      }
+    } catch { case _: Throwable => () }
+
   /** TRICKLE-DELETE economics, measured: N single-row DELETEs against
     * two identical lake tables — one merge-on-read (deletion-vector
     * sidecars), one copy-on-write (bucket rewrites) — reporting wall
@@ -185,6 +201,7 @@ object Bench {
       val morCount = morSink.read(spark).count()
       val cowCount = cowSink.read(spark).count()
       val ok = morCount == rows - deletes && cowCount == rows - deletes
+      rmTree(morRoot); rmTree(cowRoot)
       f"""{"rows":$rows,"deletes":$deletes,"mor":{"secs":$morSecs%.3f,"sec_per_delete":${morSecs / deletes}%.4f,"bytes_written":$morBytes},"cow":{"secs":$cowSecs%.3f,"sec_per_delete":${cowSecs / deletes}%.4f,"bytes_written":$cowBytes},"cow_over_mor_bytes":${if (morBytes > 0) cowBytes.toDouble / morBytes else -1.0}%.1f,"rows_exact":${if (ok) 1 else 0}}"""
     } catch { case e: Throwable =>
       s"""{"err":"${e.getClass.getSimpleName}"}"""
@@ -238,6 +255,7 @@ object Bench {
           spark.read.parquet(m.files.map(_.path): _*).agg(sum(col("v"))).head()
           (System.nanoTime() - t0) / 1e9
         }
+        rmTree(root)
         f"""{"buckets":$buckets,"scan_sec":$secs%.3f,"plain_parquet_sec":$ctrl%.3f,"factory_bytes":$factoryBytes,"max_reader_keys":$maxReader,"correct":${if (got == want) 1 else 0}}"""
       }
       s"""{"rows":$rows,"dv_keys":$dvKeys,"points":[${points.mkString(",")}]}"""
@@ -352,6 +370,7 @@ object Bench {
       val lost2 = fin2.getLong(0) != sharedRows || fin2.getLong(1) != 1L
 
       val nCommits = nWriters.toLong * commitsPer
+      rmTree(root1); rmTree(root2)
       f"""{"writers":$nWriters,"disjoint":{"commits":$nCommits,"rebases":$rebases,"conflict_retries":${conflicts1.get()},"secs":$secs1%.3f,"commits_per_sec":${nCommits / secs1}%.3f,"lost_updates":${if (lost1) 1L else 0L}},"contended":{"commits":${committed2.get()},"conflict_retries":${conflicts2.get()},"secs":$secs2%.3f,"commits_per_sec":${committed2.get() / secs2}%.3f,"lost_updates":${if (lost2) 1L else 0L}}}"""
     } catch {
       case e: Throwable =>

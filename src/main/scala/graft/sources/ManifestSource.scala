@@ -966,6 +966,41 @@ object ManifestSource {
     } yield v
   }
 
+  /** The DSv2 column-statistics map both scan shapes serve from an
+    * `ANALYZE ... FOR COLUMNS` census: ndv + null count from the
+    * colstats sidecar, min/max from the per-file sidecar (post-pruning,
+    * catalyst-internal values). min/max is REQUIRED alongside ndv —
+    * join estimation intersects the key ranges, and a numeric key with
+    * unknown bounds reads as an EMPTY interval (0-row estimate,
+    * measured), which would make the ndv census WORSEN plans.
+    * Estimate-lax: dv'd extremes and ±0.0-widened float bounds are fine
+    * here (planner estimates, never answers). */
+  private def colStatsMap(kept: Seq[FileEntry], resolved: Resolved,
+      tableSchema: StructType, out: Set[String])
+      : java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val m = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    for ((n, cs) <- resolved.colStats if out.contains(n)) {
+      val mn = sidecarMinMax(kept, resolved, tableSchema, n, isMin = true)
+      val mx = sidecarMinMax(kept, resolved, tableSchema, n, isMin = false)
+      m.put(org.apache.spark.sql.connector.expressions.Expressions.column(n),
+        new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(cs.ndv)
+          override def nullCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(cs.nulls)
+          override def min(): java.util.Optional[Object] =
+            mn.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty[Object]())
+          override def max(): java.util.Optional[Object] =
+            mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty[Object]())
+        })
+    }
+    m
+  }
+
   /** Post-pruning planner statistics from the commit-time sidecar —
     * shared by both scan shapes. Never under-reports: files missing
     * byte sizes fall back to rows × schema width; any file missing from
@@ -1190,8 +1225,15 @@ object ManifestSource {
         s"files=${kept.size}/${resolved.files.size} " + delegate.description()
     override def estimateStatistics(): V2Statistics = {
       val base = sidecarStats(kept, resolved, tableSchema)
-      if (dvs.isEmpty) base
-      else new V2Statistics { // subtract the known-deleted rows
+      // column stats flow through the FOLD scan too: an ANALYZE ... FOR
+      // COLUMNS census is computed over the logical snapshot (dv fold
+      // included) and keyed to this exact version, so a dv'd or
+      // defaulted table's joins keep their CBO cardinalities (live
+      // RENAMES never get here with colStats — resolve() goes dark on
+      // them, the names would misbind)
+      val cols = colStatsMap(kept, resolved, tableSchema,
+        readSchema().fieldNames.toSet)
+      new V2Statistics { // subtract the known-deleted rows
         override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
         override def numRows(): java.util.OptionalLong = {
           val r = base.numRows()
@@ -1199,6 +1241,8 @@ object ManifestSource {
             java.util.OptionalLong.of(math.max(0L, r.getAsLong - dvs.map(_.rows).sum))
           else r
         }
+        override def columnStats(): java.util.Map[NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
       }
     }
 
@@ -1642,33 +1686,8 @@ object ManifestSource {
             if (s.bytes >= 0) (s.bytes * conf.fileCompressionFactor).toLong
             else s.rows * rowWidth).sum)
         else None
-      val out = readSchema().fieldNames.toSet
-      val colStats = new java.util.HashMap[NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      for ((n, cs) <- resolved.colStats if out.contains(n)) {
-        // min/max from the per-file sidecar (post-pruning, catalyst-
-        // internal values): REQUIRED alongside ndv — join estimation
-        // intersects the key ranges, and a numeric key with unknown
-        // bounds reads as an EMPTY interval (0-row estimate, measured),
-        // which would make the ndv census WORSEN plans. Estimate-lax:
-        // dv'd extremes and ±0.0-widened float bounds are fine here
-        // (planner estimates, never answers).
-        val mn = sidecarMinMax(kept, resolved, tableSchema, n, isMin = true)
-        val mx = sidecarMinMax(kept, resolved, tableSchema, n, isMin = false)
-        colStats.put(org.apache.spark.sql.connector.expressions.Expressions.column(n),
-          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-            override def distinctCount(): java.util.OptionalLong =
-              java.util.OptionalLong.of(cs.ndv)
-            override def nullCount(): java.util.OptionalLong =
-              java.util.OptionalLong.of(cs.nulls)
-            override def min(): java.util.Optional[Object] =
-              mn.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
-                .getOrElse(java.util.Optional.empty[Object]())
-            override def max(): java.util.Optional[Object] =
-              mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
-                .getOrElse(java.util.Optional.empty[Object]())
-          })
-      }
+      val colStats = colStatsMap(kept, resolved, tableSchema,
+        readSchema().fieldNames.toSet)
       new V2Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           bytes.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())

@@ -68,6 +68,22 @@ class AnalyzeColumnsSpec extends AnyFunSuite {
     val got = spark.sql(s"CALL $cat.system.col_stats('$tbl')").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("id" -> 40L), s"dv-deleted keys must not count: $got")
+    // and the census reaches the planner THROUGH the dv fold scan: the
+    // dv'd table's relation stats carry the ndv (CBO sees the logical
+    // table, version-keyed so it can never be stale)
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.read.format("graft-manifest").load(root)
+        .select("id").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_ == BigInt(40)), s"$stats")
+      assert(stats.attributeStats.toSeq.exists { case (a, s) =>
+        a.name == "id" && s.distinctCount.exists(_ == BigInt(40)) },
+        s"the fold scan must serve column stats: ${stats.attributeStats}")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
   }
 
   test("column stats reach catalyst, and CBO join reordering FLIPS once ndv exists") {

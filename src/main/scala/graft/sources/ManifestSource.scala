@@ -375,12 +375,22 @@ object ManifestSource {
       colStats: Map[String, ManifestStats.ColNdv] = Map.empty)
 
   /** The ONE write path both the batch V1Write and the streaming sink
-    * share: MERGE `data` through [[ManifestUpsertSink.upsertBatch]].
-    * keyCol/buckets come from the committed manifest when the table
-    * exists (the sink's own guards catch contradicting options) and
-    * from options on a first write; batch appends synthesize the next
-    * batch id so each save() is its own replay-guarded commit, while
-    * streaming passes Spark's micro-batch id through for exactly-once. */
+    * share: MERGE `data` through [[ManifestUpsertSink.upsertBatch]] —
+    * or, on a `mergeOnRead` table, through
+    * [[ManifestUpsertSink.upsertMergeOnRead]]: INSERT INTO / save() /
+    * writeStream then APPEND the batch's row images (+ a
+    * sequence-stamped dv for any replaced keys) instead of rewriting
+    * every touched bucket — on a 100-TB table a micro-batch costs
+    * O(batch rows), not O(touched bucket bytes), and a pure-new-keys
+    * append writes no dv at all. The per-bucket dv cap routes over-cap
+    * batches back to the copy-on-write merge (materializing the debt),
+    * so semantics are identical either way — reads, CDC, replay guard,
+    * LWW all shared. keyCol/buckets come from the committed manifest
+    * when the table exists (the sink's own guards catch contradicting
+    * options) and from options on a first write; batch appends
+    * synthesize the next batch id so each save() is its own
+    * replay-guarded commit, while streaming passes Spark's micro-batch
+    * id through for exactly-once. */
   private[graft] def appendBatch(options: CaseInsensitiveStringMap,
       data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Option[Long]): Unit = {
@@ -397,8 +407,13 @@ object ManifestSource {
     // batch saves are OUTSIDE the streaming sequence: the sentinel keeps
     // the committed batch id untouched so a live stream's future
     // micro-batch ids are never shadowed (silent-replay data loss)
-    sink.upsertBatch(data.toDF(), orderCol,
-      batchId.getOrElse(ManifestUpsertSink.AdHocBatch))
+    val id = batchId.getOrElse(ManifestUpsertSink.AdHocBatch)
+    if (Option(options.get("mergeOnRead")).exists(_.toBoolean))
+      sink.upsertMergeOnRead(data.toDF(), orderCol, id,
+        Option(options.get("dvMaxRowsPerBucket")).map(_.toLong)
+          .getOrElse(ManifestUpsertSink.DefaultDvMaxRowsPerBucket))
+    else
+      sink.upsertBatch(data.toDF(), orderCol, id)
   }
 
   /** The ONE keyCol/buckets resolution every write surface shares:

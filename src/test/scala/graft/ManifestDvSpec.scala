@@ -608,6 +608,46 @@ class ManifestDvSpec extends AnyFunSuite {
       s"DSv2 byte fold diverged from SQL equality on -0.0 vs 0.0: $sql")
   }
 
+  test("INSERT INTO / save() on a mergeOnRead table is merge-on-read: appends, never rewrites") {
+    import spark.implicits._
+    val root = tmp("graft_dv_ins_")
+    val cat = "graft_dvins"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      java.nio.file.Paths.get(root).getParent.toString)
+    val tbl = java.nio.file.Paths.get(root).getFileName.toString
+    spark.sql(s"""CREATE TABLE $cat.`$tbl` (id BIGINT, p STRING, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4',
+        'mergeOnRead'='true')""")
+    spark.sql(s"INSERT INTO $cat.`$tbl` SELECT id, concat('p', id), 0L FROM range(1, 21)")
+    val v0 = ManifestUpsertSink.latestManifest(root).get
+    assert(v0.dvs.isEmpty, "a first insert has nothing to mask")
+    val bytes0 = fileBytes(v0.files.map(_.path))
+    // a second INSERT with 2 replaced + 2 new keys: prior files stay
+    // byte-identical (the CoW merge would rewrite every touched bucket,
+    // even for the brand-new keys), the dv lists only the replaced pair
+    spark.sql(s"INSERT INTO $cat.`$tbl` VALUES (3, 'u3', 1), (9, 'u9', 1), " +
+      "(21, 'n21', 1), (22, 'n22', 1)")
+    val v1 = ManifestUpsertSink.latestManifest(root).get
+    assert(v0.files.map(_.path).toSet.subsetOf(v1.files.map(_.path).toSet) &&
+      fileBytes(v0.files.map(_.path)) == bytes0,
+      "INSERT INTO a mergeOnRead table must append, not rewrite")
+    assert(v1.dvs.map(_.rows).sum == 2L, s"only replaced keys mask: ${v1.dvs}")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`$tbl`").head().getLong(0) == 22L)
+    assert(spark.sql(s"SELECT p FROM $cat.`$tbl` WHERE id = 3").head().getString(0) == "u3")
+    assert(spark.sql(s"SELECT p FROM $cat.`$tbl` WHERE id = 4").head().getString(0) == "p4")
+    // the path-based save() shares the routing via the writer option
+    Seq((9L, "u9b", 2L)).toDF("id", "p", "seq").write.format("graft-manifest")
+      .option("orderCol", "seq").option("mergeOnRead", "true")
+      .mode("append").save(root)
+    val v2 = ManifestUpsertSink.latestManifest(root).get
+    assert(v1.files.map(_.path).toSet.subsetOf(v2.files.map(_.path).toSet))
+    assert(v2.dvs.map(_.rows).sum == 3L)
+    assert(ManifestUpsertSink.read(spark, root)
+      .filter(col("id") === 9L).select("p").as[String].head() == "u9b")
+  }
+
   test("dv-fraction compaction policy: delete debt above the threshold auto-materializes") {
     import spark.implicits._
     val root = tmp("graft_dv_policy_")

@@ -1672,8 +1672,16 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val tStore = TableStore.forPath(targetRoot)
     require(latestManifest(targetRoot, tStore).isEmpty,
       s"clone target $targetRoot already holds a committed table")
+    // the clone STARTS AT THE SOURCE'S VERSION NUMBER, not 0: carried
+    // file/dv entries keep their source commit SEQUENCES, and the fold's
+    // `file.seq < dv.seq` ordering must stay monotone under the clone's
+    // FUTURE commits — a clone reset to v0 would issue its next dv at
+    // sequence 1, below carried sequences, silently failing to mask the
+    // very rows it deletes/replaces. Version numbers are chain-local
+    // names, so the gap costs nothing; the clone's history simply begins
+    // where the fork happened.
     if (!deep) {
-      commit(targetRoot, tStore, Manifest(0L, cur.batchId, Some(buckets),
+      commit(targetRoot, tStore, Manifest(cur.version, cur.batchId, Some(buckets),
         Some(keyCol), cur.files, touched = None, feed = None, renames = cur.renames,
         partCol = partitionCol, addedCols = cur.addedCols,
         droppedCols = cur.droppedCols, physSchema = cur.physSchema,
@@ -1681,7 +1689,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         dvInexact = cur.dvInexact))
       val stats = loadStats(root, store, cur.version)
       if (stats.nonEmpty)
-        tStore.putString(s"$targetRoot/_manifest", "v0.stats", ManifestStats.encode(stats))
+        tStore.putString(s"$targetRoot/_manifest", s"v${cur.version}.stats",
+          ManifestStats.encode(stats))
       // register the shallow clone under the SOURCE's manifest dir: the
       // source's vacuum reads these refs and SKIPS files a still-live
       // clone references — the documented Delta strand-the-clone caveat
@@ -1695,14 +1704,14 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       val all = readLogical(spark, cur, cur.files)
         .withColumn(BucketCol, bucketExpr)
         .repartition(buckets, col(BucketCol))
-      val dataDir = s"$targetRoot/data/v0-${newTag()}"
+      val dataDir = s"$targetRoot/data/v${cur.version}-${newTag()}"
       writeData(all, dataDir)
-      val written = listParquet(dataDir, tStore)
-      commit(targetRoot, tStore, Manifest(0L, cur.batchId, Some(buckets),
+      val written = listParquet(dataDir, tStore).map(_.copy(seq = cur.version))
+      commit(targetRoot, tStore, Manifest(cur.version, cur.batchId, Some(buckets),
         Some(keyCol), written, touched = None, feed = None, renames = Nil,
         partCol = partitionCol, physSchema = exactPhysSchema(all.schema),
         sortedBy = Some(keyCol)))
-      tStore.putString(s"$targetRoot/_manifest", "v0.stats",
+      tStore.putString(s"$targetRoot/_manifest", s"v${cur.version}.stats",
         ManifestStats.encode(ManifestStats.collectAuto(written.map(_.path))))
     }
     new ManifestUpsertSink(targetRoot, keyCol, buckets, partitionCol)

@@ -208,6 +208,57 @@ class ManifestDvSpec extends AnyFunSuite {
     assert(snap.schema.fieldNames.contains("id"))
   }
 
+  test("streaming across a MoR upsert: changes mode carries inserted/updated; snapshot folds the stack") {
+    import spark.implicits._
+    val root = tmp("graft_dv_stream_ups_")
+    val sink = seed(root, n = 10) // v0
+    sink.upsertMergeOnRead(Seq((3L, "u3", 2L), (101L, "n101", 2L))
+      .toDF("id", "p", "seq"), "seq", 1L) // v1: 1 update + 1 insert
+    val changes = new graft.sources.ManifestStreamSource(spark.sqlContext, root,
+      changesMode = true, startingVersion = Some(0L), maxVersionsPerTrigger = None,
+      graft.sources.ManifestStreamSource.resolveSchema(spark.sqlContext, root, true))
+    val rows = changes.changesBetween(1L, 1L)
+      .select("id", "change").as[(Long, String)].collect().toSet
+    assert(rows == Set((3L, "updated"), (101L, "inserted")),
+      s"the MoR upsert commit must stream standard upsert rows, got $rows")
+    val snap = ManifestUpsertSink.readVersion(spark, root,
+      ManifestUpsertSink.latestManifest(root).get.version)
+      .select("id", "p").as[(Long, String)].collect().toMap
+    assert(snap.size == 11 && snap(3L) == "u3" && snap(101L) == "n101")
+  }
+
+  test("MoR verbs on a SHALLOW CLONE: carried sequences stay monotone under the clone's commits") {
+    import spark.implicits._
+    val srcRoot = tmp("graft_dv_clone_mor_s_")
+    val clRoot = tmp("graft_dv_clone_mor_c_")
+    val sink = seed(srcRoot, n = 20) // v0
+    // build HIGH carried sequences: two stacked MoR upserts on key 7
+    sink.upsertMergeOnRead(Seq((7L, "u7", 2L)).toDF("id", "p", "seq"), "seq", 1L)  // v1
+    sink.upsertMergeOnRead(Seq((7L, "u7b", 3L)).toDF("id", "p", "seq"), "seq", 2L) // v2
+    val clone = sink.cloneTo(spark, clRoot)
+    // the clone BEGINS at the source's version (not 0): its next commits'
+    // sequences must exceed every carried file/dv sequence, or a clone-
+    // side dv at seq 1 would silently fail to mask the carried seq-2
+    // replacement file — the resurrection bug this pins
+    assert(ManifestUpsertSink.latestManifest(clRoot).get.version == 2L,
+      "a shallow clone forks AT the source's version to keep sequences monotone")
+    // MoR DELETE of the twice-upserted key ON THE CLONE
+    val clSink = new ManifestUpsertSink(clRoot, "id", 4)
+    clSink.deleteKeysMergeOnRead(Seq(7L).toDF("id"), 10L)
+    assert(clSink.read(spark).filter(col("id") === 7L).count() == 0,
+      "the clone's dv must mask every carried instance, including the newest")
+    assert(spark.read.format("graft-manifest").load(clRoot)
+      .filter(col("id") === 7L).count() == 0)
+    // MoR UPSERT of another carried key ON THE CLONE
+    clSink.upsertMergeOnRead(Seq((9L, "c9", 9L)).toDF("id", "p", "seq"), "seq", 11L)
+    val got = clSink.read(spark).select("id", "p").as[(Long, String)].collect().toMap
+    assert(got.size == 19 && got(9L) == "c9" && !got.contains(7L), s"$got")
+    assert(spark.read.format("graft-manifest").load(clRoot).count() == 19)
+    // the SOURCE is untouched by all of it
+    assert(sink.read(spark).filter(col("id") === 7L)
+      .select("p").as[String].head() == "u7b")
+  }
+
   test("deletion vectors on a COMPOSITE key: tuple identity; pruned projections still fold") {
     import spark.implicits._
     val root = tmp("graft_dv_comp_")

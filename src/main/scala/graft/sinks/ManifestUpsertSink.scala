@@ -2091,8 +2091,10 @@ object ManifestUpsertSink {
   }
 
   /** All named tags of a table: name → version. Unreadable or
-    * non-numeric ref files are skipped (vacuum treats them
-    * conservatively — see the hold computation). */
+    * non-numeric ref files are skipped HERE (listing is advisory);
+    * vacuum reads the refs itself and ABORTS its sweep on any doubt —
+    * a skipped broken tag would drop the exact version it was
+    * holding. */
   private[graft] def tags(root: String): Map[String, Long] = {
     val store = TableStore.forPath(root)
     store.listNames(s"$root/_manifest")
@@ -2508,13 +2510,23 @@ object ManifestUpsertSink {
           cloneUnreadable = true; Nil
         }
       }.toSet
+    // NAMED TAGS hold their versions unconditionally (a tag is a
+    // retention promise). Same never-reclaim-on-a-doubt rule as the
+    // clone registry: an UNREADABLE or unparseable tag ref aborts this
+    // run's sweep entirely — skipping it would drop the exact version
+    // the broken tag was holding.
+    val (tagged: Set[Long], tagUnreadable: Boolean) =
+      try {
+        val refs = store.listNames(s"$root/_manifest")
+          .filter(n => n.startsWith("tag-") && n.endsWith(".ref"))
+        val vs = refs.map(n => store.readString(s"$root/_manifest/$n").trim.toLong)
+        (vs.toSet, false)
+      } catch { case _: Exception => (Set.empty[Long], true) }
     val drop0 =
-      if (versions.size <= keep || cloneUnreadable) Seq.empty[Long]
+      if (versions.size <= keep || cloneUnreadable || tagUnreadable) Seq.empty[Long]
       else versions.dropRight(keep)
     // union of holds: count keeps the newest `keep`, age keeps every
-    // version still current inside the retain window, and NAMED TAGS
-    // keep their versions unconditionally (a tag is a retention promise)
-    val tagged: Set[Long] = tags(root).values.toSet
+    // version still current inside the retain window, tags forever
     val drop = drop0.filterNot(ageKeeps).filterNot(tagged)
     val hold = versions.filterNot(drop.toSet)
     val heldMs = hold.map(v => decode(store.readString(s"$root/_manifest/v$v.manifest")))

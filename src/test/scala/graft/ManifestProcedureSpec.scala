@@ -273,6 +273,25 @@ class ManifestProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("a corrupt tag ref ABORTS the vacuum sweep: never reclaim on a doubt") {
+    withCatalog { (cat, root) =>
+      seed(cat, rows = 10, batches = 3) // v0..v2
+      // a torn/garbage tag ref (crashed writer, bit rot): vacuum cannot
+      // know which version it held — the sweep must drop NOTHING
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "t", "_manifest", "tag-broken.ref"),
+        "not-a-version".getBytes("UTF-8"))
+      spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+      assert(ManifestUpsertSink.committedVersions(s"$root/t") == Seq(0L, 1L, 2L),
+        "an unreadable tag ref must abort the sweep, not be skipped")
+      // removing the husk re-enables retention
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(root, "t", "_manifest", "tag-broken.ref"))
+      spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+      assert(ManifestUpsertSink.committedVersions(s"$root/t") == Seq(2L))
+    }
+  }
+
   test("vacuum reclaims stale symlink exports with their versions") {
     withCatalog { (cat, root) =>
       seed(cat, rows = 40, batches = 2) // v0, v1

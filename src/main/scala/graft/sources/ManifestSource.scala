@@ -318,8 +318,22 @@ final class ManifestSource extends TableProvider with DataSourceRegister
           val dead = last.filter(org.apache.spark.sql.functions.col("change") === "deleted")
             .select(keyCol.split(",").map(_.trim)
               .map(org.apache.spark.sql.functions.col).toSeq: _*)
-          if (!live.isEmpty) sink.upsertBatch(live, orderCol, 2 * batchId)
-          if (!dead.isEmpty) sink.deleteKeys(dead, 2 * batchId + 1)
+          // a mergeOnRead MIRROR replicates with merge-on-read economics
+          // too: upserts append + sequence-stamped dv, deletes commit dv
+          // sidecars — O(changed rows) per micro-batch, the same routing
+          // as every other write surface (over-cap batches fall back to
+          // copy-on-write inside the verbs)
+          val mor = parameters.get("mergeOnRead").exists(_.toBoolean)
+          val cap = parameters.get("dvMaxRowsPerBucket").map(_.toLong)
+            .getOrElse(ManifestUpsertSink.DefaultDvMaxRowsPerBucket)
+          if (!live.isEmpty) {
+            if (mor) sink.upsertMergeOnRead(live, orderCol, 2 * batchId, cap)
+            else sink.upsertBatch(live, orderCol, 2 * batchId)
+          }
+          if (!dead.isEmpty) {
+            if (mor) sink.deleteKeysMergeOnRead(dead, 2 * batchId + 1, cap)
+            else sink.deleteKeys(dead, 2 * batchId + 1)
+          }
         } finally { last.unpersist(); () }
       }
       override def toString: String = "graft-manifest-apply-changes-sink"

@@ -298,6 +298,59 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC APPLY with mergeOnRead: the mirror replicates by append + dv, still exact") {
+    import spark.implicits._
+    val srcRoot = tmp("graft_replm_src_")
+    val dstRoot = tmp("graft_replm_dst_")
+    val ckpt = tmp("graft_replm_ckpt_")
+    val src = new ManifestUpsertSink(srcRoot, "id", buckets = 4)
+    src.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("id", "p", "seq"), "seq", 0L)
+    src.upsertBatch(Seq((2L, "b2", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+    src.deleteKeys(Seq(3L).toDF("id"), 2L)
+
+    val imgDdl = "id BIGINT, p STRING, seq BIGINT"
+    val parsed = spark.readStream.format("graft-manifest")
+      .option("changes", "true").load(srcRoot)
+      .select(col("id"), col("change"), col("_version"),
+        from_json(col("new_image"), imgDdl, Map.empty[String, String]).getField("p").as("p"),
+        from_json(col("new_image"), imgDdl, Map.empty[String, String]).getField("seq").as("seq"))
+    val q = parsed.writeStream.format("graft-manifest")
+      .option("applyChanges", "true").option("mergeOnRead", "true")
+      .option("orderCol", "_version").option("keyCol", "id").option("buckets", "4")
+      .option("checkpointLocation", ckpt)
+      .start(dstRoot)
+    try {
+      q.processAllAvailable()
+      def snap(root: String): Map[Long, (String, Long)] =
+        ManifestUpsertSink.read(spark, root)
+          .select("id", "p", "seq").as[(Long, String, Long)]
+          .collect().map { case (i, p, s) => i -> (p, s) }.toMap
+      assert(snap(dstRoot) == snap(srcRoot) &&
+        snap(dstRoot) == Map(1L -> ("a", 1L), 2L -> ("b2", 2L)))
+      // first window: every key's LAST action is an insert (or a delete
+      // of a never-mirrored key) — nothing to mask, so no dv debt yet
+      val m0 = ManifestUpsertSink.latestManifest(dstRoot).get
+      assert(m0.dvs.isEmpty, "pure inserts need no deletion vectors")
+      // live tail: an UPDATE and a DELETE of existing mirrored keys —
+      // the MoR routing commits dv sidecars instead of bucket rewrites
+      src.upsertBatch(Seq((1L, "a2", 3L)).toDF("id", "p", "seq"), "seq", 3L)
+      src.deleteKeys(Seq(2L).toDF("id"), 4L)
+      q.processAllAvailable()
+      assert(snap(dstRoot) == snap(srcRoot) &&
+        snap(dstRoot) == Map(1L -> ("a2", 3L)))
+      val m1 = ManifestUpsertSink.latestManifest(dstRoot).get
+      assert(m1.dvs.map(_.rows).sum == 2L,
+        s"the update and the delete each mask one prior instance: ${m1.dvs}")
+      assert(m0.files.map(_.path).toSet.subsetOf(m1.files.map(_.path).toSet),
+        "the mirror's prior data files are carried, never rewritten")
+      // and the debt compacts away with answers unchanged
+      new ManifestUpsertSink(dstRoot, "id", 4).compact(spark)
+      assert(ManifestUpsertSink.latestManifest(dstRoot).get.dvs.isEmpty)
+      assert(snap(dstRoot) == Map(1L -> ("a2", 3L)))
+    } finally q.stop()
+  }
+
   test("a rename hidden by a later compaction in the same window still fails loudly") {
     import spark.implicits._
     val root = tmp("graft_stream_rc_")

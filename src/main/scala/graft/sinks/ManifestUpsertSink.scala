@@ -1879,7 +1879,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
 }
 
 object ManifestUpsertSink {
-  private val BucketCol = "__bucket"
+  private[graft] val BucketCol = "__bucket"
 
   /** The derived date-partition directory name. Like [[BucketCol]], it
     * never materializes as a data column: derived at write, encoded only
@@ -1964,9 +1964,13 @@ object ManifestUpsertSink {
 
   /** The commit sequence a `data/v<N>-…` path encodes, if any — the
     * decode-time fallback for entries committed before the explicit
-    * `seq` field. */
+    * `seq` field. Anchored to the `data/v<N>-` directory this sink
+    * always writes (never a bare `/vN-`, which a table ROOT could
+    * contain, e.g. `/data/v2-prod/table`), and taking the LAST match so
+    * a root that itself ends in a data-shaped segment still resolves
+    * the file's own version directory. */
   private[graft] def seqOfPath(path: String): Option[Long] =
-    "/v(\\d+)-".r.findFirstMatchIn(path).map(_.group(1).toLong)
+    "/data/v(\\d+)-".r.findAllMatchIn(path).toSeq.lastOption.map(_.group(1).toLong)
 
   /** A DELETION-VECTOR sidecar file: a small parquet of deleted KEY
     * tuples scoped to one bucket (the Iceberg-v2 equality-delete shape —
@@ -2078,9 +2082,15 @@ object ManifestUpsertSink {
       s"bad tag name '$name' — letters/digits/-/_/. only, not all-digits")
     require(store.exists(s"$root/_manifest/v$version.manifest"),
       s"cannot tag v$version: not committed (or vacuumed) under $root")
-    require(!store.exists(s"$root/_manifest/tag-$name.ref"),
-      s"tag '$name' already exists (drop_tag first — tags are immutable refs)")
-    store.putString(s"$root/_manifest", s"tag-$name.ref", version.toString)
+    // commitNew is the store's atomic create-if-absent (the same
+    // primitive manifest commits race on) — an exists-check followed by
+    // putString would let two concurrent CALLs both pass and the second
+    // silently re-point an "immutable" ref (possibly a vacuum hold).
+    try store.commitNew(s"$root/_manifest", s"tag-$name.ref", version.toString)
+    catch { case e: IllegalStateException =>
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists (drop_tag first — tags are immutable refs)", e)
+    }
   }
 
   private[graft] def dropTag(root: String, name: String): Unit = {
@@ -2743,8 +2753,22 @@ object ManifestUpsertSink {
           DvEntry(b.toLong, r.toLong, p, seqOfPath(p).getOrElse(Long.MaxValue))
       }
     }
-    Manifest(header("version").toLong, header("batchId").toLong,
-      header.get("buckets").map(_.toInt), header.get("keyCol"), files,
+    // Self-consistency clamp: no entry's commit sequence can exceed the
+    // version of a manifest that lists it (the commit that wrote it IS a
+    // version <= this one). A larger value is path-derived garbage from a
+    // legacy shallow clone that committed at v0/v1 while CARRYING source
+    // paths (a carried `data/v5-…` file decodes to seq 5 while the
+    // clone's own dvs decode to seq 1 — the dv would mask nothing and
+    // deleted rows would resurface). Restore the pre-seq semantics those
+    // vintages were written under: such files drop to seq 0 (every dv
+    // masks them) and such dvs rise to applies-to-all.
+    val version = header("version").toLong
+    val safeFiles =
+      files.map(f => if (f.seq > version) f.copy(seq = 0L) else f)
+    val safeDvs =
+      dvs.map(d => if (d.seq > version) d.copy(seq = Long.MaxValue) else d)
+    Manifest(version, header("batchId").toLong,
+      header.get("buckets").map(_.toInt), header.get("keyCol"), safeFiles,
       header.get("touched").map(t =>
         if (t.isEmpty) Set.empty[Long] else t.split(",").map(_.toLong).toSet),
       header.get("feed"),
@@ -2758,7 +2782,7 @@ object ManifestUpsertSink {
       }),
       header.get("dropcols").toSeq.flatMap(_.split(",").toSeq),
       header.get("schema"),
-      dvs,
+      safeDvs,
       header.get("defcols").toSeq.flatMap(_.split(";").toSeq.map { e =>
         val Array(n, d) = e.split(":", 2); (n, d)
       }),

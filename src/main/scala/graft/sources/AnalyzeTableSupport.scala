@@ -82,9 +82,14 @@ private[graft] final case class GraftAnalyzeColumnsCommand(root: String,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions._
+    // Resolve the manifest ONCE and census that snapshot's own file
+    // list — re-resolving the latest version for the read would let a
+    // commit landing between the two store a census computed over
+    // version N+1's data under vN.colstats, served as exact for N.
     val m = ManifestUpsertSink.latestManifest(root).getOrElse(
       throw new IllegalArgumentException(s"no committed table at $root"))
-    val df = ManifestUpsertSink.read(spark, root)
+    val df = ManifestUpsertSink.readLogical(spark, m, m.files,
+      _.drop(ManifestUpsertSink.BucketCol))
     val names: Seq[String] =
       if (allColumns) df.columns.toSeq
       else {

@@ -468,7 +468,10 @@ object ManifestSource {
   }
 
   /** The stock parquet table over an explicit immutable file list — the
-    * delegate that owns vectorized reads, pushdown, and schema merge. */
+    * delegate that owns vectorized reads, pushdown, and schema merge.
+    * LEGACY-vintage use only (schema inference needs footer reads):
+    * stamped scans go through [[parquetScanBuilder]], whose file index
+    * never touches the filesystem. */
   private def parquetTable(options: CaseInsensitiveStringMap, paths: Seq[String],
       schema: Option[StructType]): ParquetTable = {
     val opts = new util.HashMap[String, String](options.asCaseSensitiveMap())
@@ -477,6 +480,69 @@ object ManifestSource {
     ParquetTable(s"graft-manifest:${options.get("path")}",
       SparkSession.active, new CaseInsensitiveStringMap(opts),
       paths, schema, classOf[ParquetFileFormat])
+  }
+
+  /** The stock parquet SCAN BUILDER over an explicit file list, with the
+    * file index served ENTIRELY from the manifest: the snapshot IS the
+    * listing, and the commit-time stats sidecar carries each file's
+    * exact on-disk length (recorded from the footer walk), so planning
+    * performs ZERO filesystem listing. This is the lakehouse-format
+    * contract (Delta/Iceberg plan from their own metadata for the same
+    * reason) and the r16 scale finding: `InMemoryFileIndex` over N
+    * explicit leaf paths costs a driver listing pass ∝ N per scan — at
+    * 8k files that was ~10 s, paid TWICE (pushdown mirror + delegate),
+    * which is exactly the dv_scan bench's "fold ≈ 2× plain parquet".
+    * Files a legacy sidecar doesn't cover fall back to one
+    * getFileStatus each (exact length is a SPLIT-CORRECTNESS input —
+    * a short length would silently drop tail row groups). */
+  private def parquetScanBuilder(options: CaseInsensitiveStringMap,
+      paths: Seq[String], resolved: Resolved, schema: StructType)
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = {
+    val opts = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    opts.putIfAbsent("mergeSchema", "true")
+    val statuses = paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      // QUALIFIED paths are load-bearing: PartitioningAwareFileIndex
+      // qualifies each root path before looking it up in leafFiles — an
+      // unqualified key ('/tmp/...' vs 'file:/tmp/...') silently misses
+      // and the scan reads ZERO files
+      val fs = hp.getFileSystem(graft.sinks.TableStore.hadoopConf)
+      val q = fs.makeQualified(hp)
+      resolved.stats.get(p).map(_.bytes).filter(_ >= 0L) match {
+        case Some(len) =>
+          new org.apache.hadoop.fs.FileStatus(len, false, 1, 0L, 0L, q)
+        case None => fs.getFileStatus(q)
+      }
+    }
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+      SparkSession.active, new ManifestFileIndex(SparkSession.active, statuses),
+      schema, schema, new CaseInsensitiveStringMap(opts))
+  }
+
+  /** A [[org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex]]
+    * whose leaf files come from the manifest, not a filesystem walk —
+    * see [[parquetScanBuilder]]. Partition inference is empty by
+    * construction (the delegate always received LEAF file paths; layout
+    * columns live in the manifest, pruning happens before the delegate
+    * ever sees a path). */
+  private[sources] final class ManifestFileIndex(spark: SparkSession,
+      statuses: Seq[org.apache.hadoop.fs.FileStatus])
+      extends org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex(
+        spark, Map.empty, None) {
+    override val leafFiles: scala.collection.mutable.LinkedHashMap[
+        org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileStatus] = {
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileStatus]
+      statuses.foreach(s => m.put(s.getPath, s))
+      m
+    }
+    override val leafDirToChildrenFiles: Map[
+        org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus]] =
+      statuses.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+    override def partitionSpec(): org.apache.spark.sql.execution.datasources.PartitionSpec =
+      org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec
+    override def rootPaths: Seq[org.apache.hadoop.fs.Path] = statuses.map(_.getPath)
+    override def refresh(): Unit = ()
   }
 
   /** Thin DSv2 table: schema and capabilities come from the parquet
@@ -634,9 +700,10 @@ object ManifestSource {
       with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
       with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
-    private val full =
-      parquetTable(options, resolved.files.map(_.path), Some(tableSchema))
-        .newScanBuilder(options)
+    // the mirror exists for its pushdown BEHAVIOR (filter split, column
+    // pruning, pushedFilters reporting), which is schema-driven — an
+    // empty file index keeps it free of any listing or status cost
+    private val full = parquetScanBuilder(options, Nil, resolved, tableSchema)
     private var pushedExprs: Seq[Expression] = Nil
     private var required: Option[StructType] = None
     private var aggAnswer: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
@@ -1008,11 +1075,24 @@ object ManifestSource {
       tableSchema: StructType, out: Set[String])
       : java.util.HashMap[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.types._
     val m = new java.util.HashMap[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     for ((n, cs) <- resolved.colStats if out.contains(n)) {
       val mn = sidecarMinMax(kept, resolved, tableSchema, n, isMin = true)
       val mx = sidecarMinMax(kept, resolved, tableSchema, n, isMin = false)
+      // Join estimation intersects VALUE INTERVALS for range-comparable
+      // types and reads unknown bounds as an EMPTY interval (0-row join
+      // estimate). When the sidecar can't produce bounds for such a
+      // column (missing per-file stats, mixed kinds), serving ndv alone
+      // would make the census actively WORSEN plans — skip the column
+      // entirely. Strings are safe without bounds (estimation ignores
+      // their intervals), so their ndv still serves.
+      val needsBounds = tableSchema.fields.find(_.name == n).exists(_.dataType match {
+        case _: NumericType | DateType | TimestampType | BooleanType => true
+        case _ => false
+      })
+      if (!needsBounds || (mn.isDefined && mx.isDefined))
       m.put(org.apache.spark.sql.connector.expressions.Expressions.column(n),
         new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
           override def distinctCount(): java.util.OptionalLong =
@@ -1237,8 +1317,8 @@ object ManifestSource {
       }
 
     private def buildDelegate(): Scan = {
-      val b = parquetTable(options, kept.map(_.path), Some(expand(tableSchema)))
-        .newScanBuilder(options)
+      val b = parquetScanBuilder(options, kept.map(_.path), resolved,
+        expand(tableSchema))
       if (pushedExprs.nonEmpty) b.pushFilters(pushedExprs)
       b.pruneColumns(physRequired)
       b.build()
@@ -1377,8 +1457,79 @@ object ManifestSource {
       defaultVals: Map[Int, Any] = Map.empty)
       extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
+    /** Whether the fold is expressible COLUMNAR-side: every field that
+      * needs per-row coalescing (multi-source rename chain or NOT-NULL
+      * default) must be an atomic type — [[CoalesceVector]] delegates
+      * typed getters and cannot re-root nested children across sources.
+      * Single-source fields pass the delegate's vector through untouched
+      * at ANY type, so plain dv folds and simple renames always qualify. */
+    private val columnarOk: Boolean = {
+      import org.apache.spark.sql.types._
+      def atomic(dt: DataType): Boolean = dt match {
+        case _: StructType | _: ArrayType | _: MapType |
+             _: CalendarIntervalType | _: VariantType => false
+        case _ => true
+      }
+      positions.zipWithIndex.forall { case (ps, i) =>
+        (ps.size == 1 && !defaultVals.contains(i)) || atomic(dataTypes(i))
+      }
+    }
+
+    /** The fold stays on the delegate's VECTORIZED parquet read whenever
+      * the delegate offers it — dv masking is a row-id selection mapping
+      * and rename/default coalescing a per-value wrapper, both zero-copy
+      * over the delegate's ColumnarBatch (the r15 finding: forcing the
+      * row-based parquet reader held the fold at ~1.9× plain parquet at
+      * every bucket count; the decode loop was the cost, not the mask). */
     override def supportColumnarReads(
-        p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+        p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+      columnarOk && delegate.supportColumnarReads(p)
+
+    // ---- shared per-reader dv helpers (row + columnar paths) ----
+
+    private def setOf(keyWidth: Int, keys: Iterable[Array[Byte]])
+        : java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow] = {
+      import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+      val s = new java.util.HashSet[UnsafeRow](math.max(16, keys.size * 2))
+      for (b <- keys) {
+        val r = new UnsafeRow(keyWidth)
+        r.pointTo(b, b.length)
+        s.add(r)
+      }
+      if (s.size > DvFoldProbe.maxReaderKeys) DvFoldProbe.maxReaderKeys = s.size
+      s
+    }
+
+    /** dvs with seq > the file's seq apply; -1 (unknown file seq,
+      * shouldn't happen for manifest-listed files) is conservative:
+      * every dv applies, matching the pre-seq protocol. */
+    private def appliedSeqs(data: DvFoldData,
+        f: org.apache.spark.sql.execution.datasources.PartitionedFile): (Long, Seq[Long]) = {
+      val b = bucketOfPath(f.filePath.toString)
+      val fs = data.fileSeq.getOrElse(pathKey(f.filePath.toString), -1L)
+      (b, data.byBucket.getOrElse(b, Array.empty[(Long, Array[Byte])])
+        .collect { case (s, _) if s > fs => s }.toSeq.sorted)
+    }
+
+    private def keysFor(data: DvFoldData,
+        files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile])
+        : Iterable[Array[Byte]] =
+      files.map(f => (bucketOfPath(f.filePath.toString),
+          data.fileSeq.getOrElse(pathKey(f.filePath.toString), -1L)))
+        .distinct.toSeq.flatMap { case (b, fs) =>
+          data.byBucket.getOrElse(b, Array.empty[(Long, Array[Byte])])
+            .collect { case (s, k) if s > fs => k }.toSeq
+        }
+
+    /** One key set serves the whole partition when the applicable dv
+      * sequences are uniform per bucket (always, for delete-only
+      * tables — cross-bucket keys can never collide: a key hashes to
+      * exactly one bucket). Interleaved file/dv sequences (merge-on-read
+      * upserts) need per-file masking instead. */
+    private def uniformPerBucket(data: DvFoldData,
+        fp: org.apache.spark.sql.execution.datasources.FilePartition): Boolean =
+      fp.files.groupBy(f => bucketOfPath(f.filePath.toString))
+        .values.forall(_.map(appliedSeqs(data, _)).distinct.length <= 1)
 
     override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
         : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
@@ -1421,16 +1572,6 @@ object ManifestSource {
             else UnsafeProjection.create(
               (0 until outFields).map(i =>
                 BoundReference(i, dataTypes(i), nullable = true)))
-          def setOf(keys: Iterable[Array[Byte]]): java.util.HashSet[UnsafeRow] = {
-            val s = new java.util.HashSet[UnsafeRow](math.max(16, keys.size * 2))
-            for (b <- keys) {
-              val r = new UnsafeRow(keyTypes.length)
-              r.pointTo(b, b.length)
-              s.add(r)
-            }
-            if (s.size > DvFoldProbe.maxReaderKeys) DvFoldProbe.maxReaderKeys = s.size
-            s
-          }
           def filtered(inner: org.apache.spark.sql.connector.read.PartitionReader[InternalRow],
               deleted: java.util.HashSet[UnsafeRow])
               : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
@@ -1449,31 +1590,11 @@ object ManifestSource {
               override def get(): InternalRow = cur
               override def close(): Unit = inner.close()
             }
-          import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
-          // dvs with seq > the file's seq apply; -1 (unknown file seq,
-          // shouldn't happen for manifest-listed files) is conservative:
-          // every dv applies, matching the pre-seq protocol
-          def appliedSeqs(f: PartitionedFile): (Long, Seq[Long]) = {
-            val b = bucketOfPath(f.filePath.toString)
-            val fs = data.fileSeq.getOrElse(pathKey(f.filePath.toString), -1L)
-            (b, data.byBucket.getOrElse(b, Array.empty[(Long, Array[Byte])])
-              .collect { case (s, _) if s > fs => s }.toSeq.sorted)
-          }
-          def keysFor(files: Array[PartitionedFile]): Iterable[Array[Byte]] =
-            files.map(f => (bucketOfPath(f.filePath.toString),
-                data.fileSeq.getOrElse(pathKey(f.filePath.toString), -1L)))
-              .distinct.toSeq.flatMap { case (b, fs) =>
-                data.byBucket.getOrElse(b, Array.empty[(Long, Array[Byte])])
-                  .collect { case (s, k) if s > fs => k }.toSeq
-              }
+          import org.apache.spark.sql.execution.datasources.FilePartition
           p match {
-            case fp: FilePartition
-                if fp.files.groupBy(f => bucketOfPath(f.filePath.toString))
-                  .values.forall(_.map(appliedSeqs).distinct.length <= 1) =>
-              // uniform per bucket: one key set serves the whole partition
-              // (cross-bucket keys can never collide — a key hashes to
-              // exactly one bucket)
-              filtered(delegate.createReader(p), setOf(keysFor(fp.files)))
+            case fp: FilePartition if uniformPerBucket(data, fp) =>
+              filtered(delegate.createReader(p),
+                setOf(keyTypes.length, keysFor(data, fp.files)))
             case fp: FilePartition =>
               // interleaved file/dv sequences: per-file sub-readers, each
               // masked by exactly the dvs NEWER than its file
@@ -1488,7 +1609,7 @@ object ManifestSource {
                     val f = queue.next()
                     inner = filtered(
                       delegate.createReader(FilePartition(fp.index, Array(f))),
-                      setOf(keysFor(Array(f))))
+                      setOf(keyTypes.length, keysFor(data, Array(f))))
                   }
                   false
                 }
@@ -1500,10 +1621,210 @@ object ManifestSource {
               // conservative — the union of every bucket's keys, the
               // pre-seq semantics
               filtered(delegate.createReader(p),
-                setOf(data.byBucket.values.flatten.map(_._2)))
+                setOf(keyTypes.length, data.byBucket.values.flatten.map(_._2)))
           }
       }
     }
+
+    // ---- columnar path: the delegate's vectorized parquet batches pass
+    // through with (a) rename/default coalescing as per-value wrapper
+    // vectors, (b) dv masking as a row-id selection mapping, (c) surplus
+    // key truncation as column dropping — parquet DECODE stays
+    // vectorized and downstream ColumnarToRow keeps its batch loop.
+
+    /** Build the FETCHED-schema vectors over a delegate batch: one
+      * pass-through vector per single-source undefaulted field, a
+      * [[CoalesceVector]] where the fold must pick per row. */
+    private def fetchedVectors(src: org.apache.spark.sql.vectorized.ColumnarBatch)
+        : Array[org.apache.spark.sql.vectorized.ColumnVector] =
+      positions.zipWithIndex.zip(dataTypes).map { case ((ps, idx), dt) =>
+        val d = defaultVals.get(idx)
+        if (ps.size == 1 && d.isEmpty) src.column(ps.head)
+        else new CoalesceVector(dt, ps.map(src.column).toArray, d.orNull)
+      }.toArray
+
+    private def foldedColumnar(
+        inner: org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+        deleted: java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow],
+        keyProj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection)
+        : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      new org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+        private var cur: ColumnarBatch = _
+        override def next(): Boolean = {
+          if (!inner.next()) return false
+          val src = inner.get()
+          val n = src.numRows()
+          val fetched = fetchedVectors(src)
+          val out = if (outFields == fetched.length) fetched else fetched.take(outFields)
+          cur =
+            if (deleted == null || deleted.isEmpty || n == 0) new ColumnarBatch(out, n)
+            else {
+              val probe = new ColumnarBatch(fetched, n)
+              val sel = new Array[Int](n)
+              var k = 0
+              var i = 0
+              while (i < n) {
+                if (!deleted.contains(keyProj(probe.getRow(i)))) { sel(k) = i; k += 1 }
+                i += 1
+              }
+              if (k == n) new ColumnarBatch(out, n)
+              else new ColumnarBatch( // survivors via row-id indirection — no value copies
+                out.map(v => new SelectVector(v, sel): ColumnVector), k)
+            }
+          true
+        }
+        override def get(): ColumnarBatch = cur
+        override def close(): Unit = inner.close()
+      }
+
+    override def createColumnarReader(p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      import org.apache.spark.sql.vectorized.ColumnarBatch
+      dvFold match {
+        case None => foldedColumnar(delegate.createColumnarReader(p), null, null)
+        case Some((keyIdx, keyTypes, bc)) =>
+          val data = bc.value
+          val keyProj = UnsafeProjection.create(
+            keyIdx.zip(keyTypes).map { case (i, t) =>
+              GraftBridge.normalizeFloats(BoundReference(i, t, nullable = true))
+            })
+          p match {
+            case fp: FilePartition if uniformPerBucket(data, fp) =>
+              foldedColumnar(delegate.createColumnarReader(p),
+                setOf(keyTypes.length, keysFor(data, fp.files)), keyProj)
+            case fp: FilePartition =>
+              new org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] {
+                private val queue = fp.files.iterator
+                private var inner: org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] = _
+                override def next(): Boolean = {
+                  while (true) {
+                    if (inner != null && inner.next()) return true
+                    if (inner != null) { inner.close(); inner = null }
+                    if (!queue.hasNext) return false
+                    val f = queue.next()
+                    inner = foldedColumnar(
+                      delegate.createColumnarReader(FilePartition(fp.index, Array(f))),
+                      setOf(keyTypes.length, keysFor(data, Array(f))), keyProj)
+                  }
+                  false
+                }
+                override def get(): ColumnarBatch = inner.get()
+                override def close(): Unit = if (inner != null) inner.close()
+              }
+            case _ =>
+              foldedColumnar(delegate.createColumnarReader(p),
+                setOf(keyTypes.length, data.byBucket.values.flatten.map(_._2)), keyProj)
+          }
+      }
+    }
+  }
+
+  /** Row-id INDIRECTION over a base vector — the dv fold's selection
+    * mapping: position `i` of this vector is position `sel(i)` of the
+    * base. Zero-copy; the base stays owned by the delegate's batch
+    * (close is a no-op here). `numNulls` reports the base's count — an
+    * upper bound for the selected subset, which is the safe direction
+    * (consumers treat it as "may contain nulls" and fall back to
+    * per-row `isNullAt`). */
+  private final class SelectVector(
+      base: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
+      extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType()) {
+    override def close(): Unit = ()
+    override def hasNull: Boolean = base.hasNull
+    override def numNulls: Int = base.numNulls
+    override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
+    override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
+    override def getByte(i: Int): Byte = base.getByte(sel(i))
+    override def getShort(i: Int): Short = base.getShort(sel(i))
+    override def getInt(i: Int): Int = base.getInt(sel(i))
+    override def getLong(i: Int): Long = base.getLong(sel(i))
+    override def getFloat(i: Int): Float = base.getFloat(sel(i))
+    override def getDouble(i: Int): Double = base.getDouble(sel(i))
+    override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+      base.getDecimal(sel(i), p, s)
+    override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+      base.getUTF8String(sel(i))
+    override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
+    override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      base.getArray(sel(i))
+    override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      base.getMap(sel(i))
+    override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+      base.getInterval(sel(i))
+    // struct/variant access routes through children with the TOP-level
+    // row id — wrap them in the same selection so it lands on base rows
+    override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+      new SelectVector(base.getChild(ordinal), sel)
+  }
+
+  /** Per-value COALESCE across rename-chain source vectors, with an
+    * optional NOT-NULL-DEFAULT internal value as the last resort — the
+    * columnar form of the fold's `Coalesce(sources :+ default)`
+    * projection. Atomic types only (the factory's `columnarOk` gate);
+    * nested types fall back to the row path. */
+  private final class CoalesceVector(
+      dt: org.apache.spark.sql.types.DataType,
+      sources: Array[org.apache.spark.sql.vectorized.ColumnVector],
+      default: Any)
+      extends org.apache.spark.sql.vectorized.ColumnVector(dt) {
+    private def src(i: Int): org.apache.spark.sql.vectorized.ColumnVector = {
+      var j = 0
+      while (j < sources.length) {
+        if (!sources(j).isNullAt(i)) return sources(j)
+        j += 1
+      }
+      null
+    }
+    override def close(): Unit = ()
+    // "may contain nulls" is the safe over-report when any source may
+    // leave a row uncovered and no default backstops it
+    override def hasNull: Boolean = default == null && sources.exists(_.hasNull)
+    override def numNulls: Int = if (default == null) sources.map(_.numNulls).min else 0
+    override def isNullAt(i: Int): Boolean = default == null && src(i) == null
+    override def getBoolean(i: Int): Boolean = {
+      val v = src(i); if (v != null) v.getBoolean(i) else default.asInstanceOf[Boolean]
+    }
+    override def getByte(i: Int): Byte = {
+      val v = src(i); if (v != null) v.getByte(i) else default.asInstanceOf[Byte]
+    }
+    override def getShort(i: Int): Short = {
+      val v = src(i); if (v != null) v.getShort(i) else default.asInstanceOf[Short]
+    }
+    override def getInt(i: Int): Int = {
+      val v = src(i); if (v != null) v.getInt(i) else default.asInstanceOf[Int]
+    }
+    override def getLong(i: Int): Long = {
+      val v = src(i); if (v != null) v.getLong(i) else default.asInstanceOf[Long]
+    }
+    override def getFloat(i: Int): Float = {
+      val v = src(i); if (v != null) v.getFloat(i) else default.asInstanceOf[Float]
+    }
+    override def getDouble(i: Int): Double = {
+      val v = src(i); if (v != null) v.getDouble(i) else default.asInstanceOf[Double]
+    }
+    override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal = {
+      val v = src(i)
+      if (v != null) v.getDecimal(i, p, s)
+      else default.asInstanceOf[org.apache.spark.sql.types.Decimal]
+    }
+    override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String = {
+      val v = src(i)
+      if (v != null) v.getUTF8String(i)
+      else default.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    }
+    override def getBinary(i: Int): Array[Byte] = {
+      val v = src(i)
+      if (v != null) v.getBinary(i) else default.asInstanceOf[Array[Byte]]
+    }
+    override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      throw new UnsupportedOperationException("nested coalesce takes the row path")
+    override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      throw new UnsupportedOperationException("nested coalesce takes the row path")
+    override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+      throw new UnsupportedOperationException("nested coalesce takes the row path")
   }
 
   /** Static + runtime file pruning, shared by `build()` and the runtime
@@ -1665,8 +1986,7 @@ object ManifestSource {
     private[graft] def plannedFiles: Seq[String] = kept.map(_.path)
 
     private def buildDelegate(): Scan = {
-      val b = parquetTable(options, kept.map(_.path), Some(tableSchema))
-        .newScanBuilder(options)
+      val b = parquetScanBuilder(options, kept.map(_.path), resolved, tableSchema)
       if (pushedExprs.nonEmpty) b.pushFilters(pushedExprs)
       required.foreach(b.pruneColumns)
       b.build()

@@ -51,6 +51,43 @@ class AnalyzeColumnsSpec extends AnyFunSuite {
     assert(all == Map("id" -> 101L, "grp" -> 8L, "seq" -> 2L), s"$all")
   }
 
+  test("numeric ndv without derivable bounds is WITHHELD (empty-interval hazard); string ndv still serves") {
+    val cat = "graft_ndv_nobounds"
+    val root = mkCatalog(cat)
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, grp STRING, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4')""")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('g', id % 7), 0L FROM range(0, 100)")
+    spark.sql(s"ANALYZE TABLE $cat.t COMPUTE STATISTICS FOR COLUMNS id, grp")
+    def attrStats() = {
+      val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql(s"SELECT id, grp FROM $cat.t").queryExecution.optimizedPlan
+          .stats.attributeStats.toSeq
+          .map { case (a, s) => a.name -> s.distinctCount.map(_.toLong) }.toMap
+      } finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+    val before = attrStats()
+    assert(before.get("id").flatten.contains(100L) &&
+      before.get("grp").flatten.contains(7L), s"$before")
+    // destroy the per-file stats sidecar: numeric min/max can no longer
+    // be derived. Join estimation reads unknown numeric bounds as an
+    // EMPTY interval (0-row join estimate) — serving ndv alone would
+    // make the census actively worsen plans, so the numeric column must
+    // vanish from DSv2 column stats; the string column (whose bounds
+    // estimation ignores) keeps serving its ndv.
+    val v = ManifestUpsertSink.latestManifest(s"$root/t").get.version
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/t/_manifest/v$v.stats"))
+    val after = attrStats()
+    assert(after.get("id").flatten.isEmpty,
+      s"numeric ndv with unknown bounds must be withheld: $after")
+    assert(after.get("grp").flatten.contains(7L),
+      s"string ndv must keep serving without bounds: $after")
+  }
+
   test("ndv census folds deletion vectors: the planner sees the LOGICAL table") {
     import spark.implicits._
     val root = tmp("graft_ndv_dv_")

@@ -756,4 +756,99 @@ class ManifestDvSpec extends AnyFunSuite {
     assert(m.files.forall(_.seq >= 0) && m.dvs.forall(_.seq > 0),
       "decode must resolve sequences from the path segments")
   }
+
+  test("the dv fold scan stays COLUMNAR: vectorized parquet decode survives the mask") {
+    import spark.implicits._
+    val root = tmp("graft_dv_columnar_")
+    val sink = seed(root, n = 100)
+    sink.deleteKeysMergeOnRead(Seq(3L, 9L).toDF("id"), 1L)
+    val df = spark.read.format("graft-manifest").load(root)
+    // the fold factory must OFFER columnar (selection-mapped) batches so
+    // the plan keeps the delegate's vectorized parquet decode — the r15
+    // bench pinned the forced row-based reader at ~1.9× plain parquet
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"dv fold scan must stay columnar:\n$plan")
+    assert(df.count() == 98)
+    assert(df.agg(sum($"id")).head().getLong(0) == (1L to 100).sum - 12L)
+    // MoR upsert stack (interleaved file/dv sequences → per-file masking)
+    // stays columnar AND exact: the replacement row survives its own dv
+    sink.upsertMergeOnRead(Seq((5L, "P5", 2L)).toDF("id", "p", "seq"), "seq", 2L)
+    val df2 = spark.read.format("graft-manifest").load(root)
+    assert(df2.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(df2.count() == 98)
+    assert(df2.where($"id" === 5L).select($"p").head().getString(0) == "P5")
+    // evolution fold (rename + NOT-NULL-DEFAULT add) keeps columnar too:
+    // single-source renames pass vectors through, defaults coalesce
+    sink.renameColumn(spark, "p", "payload")
+    sink.addColumn(spark, "grade", "BIGINT", Some("7"))
+    val df3 = spark.read.format("graft-manifest").load(root)
+    assert(df3.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "rename+default fold must stay columnar")
+    assert(df3.agg(sum($"grade")).head().getLong(0) == 98L * 7)
+    assert(df3.where($"id" === 5L).select($"payload").head().getString(0) == "P5")
+  }
+
+  test("legacy-clone vintage: carried path seqs above the manifest version clamp — deleted rows stay dead") {
+    import spark.implicits._
+    val root = tmp("graft_dv_cloneclamp_")
+    val sink = seed(root, n = 20)
+    sink.deleteKeysMergeOnRead(Seq(3L, 9L).toDF("id"), 1L)
+    // Simulate the manifest a PRE-FIX shallow clone wrote: committed at
+    // a LOW version while CARRYING source data paths from a HIGHER one
+    // (clone-at-v0 holding the source's data/v5-… files next to its own
+    // v1 dv). Move the v0 data dir to v5 on disk and rewrite the
+    // manifest in the pre-seq line format pointing at it; the dv stays
+    // at v1. Path-derived decode alone would give file.seq=5 > dv.seq=1
+    // — the dv would mask NOTHING and the deleted rows resurface. The
+    // self-consistency clamp (file seq can never exceed the listing
+    // manifest's version) restores dv-applies-to-all.
+    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName)
+    val v0dir = dataDirs.find(n => n.startsWith("v0-") && !n.endsWith("-dv")).get
+    val v5dir = "v5-" + v0dir.stripPrefix("v0-")
+    Files.move(Paths.get(s"$root/data/$v0dir"), Paths.get(s"$root/data/$v5dir"))
+    val mPath = Paths.get(s"$root/_manifest/v1.manifest")
+    val legacy = new String(Files.readAllBytes(mPath), "UTF-8").linesIterator.map { l =>
+      if (l.startsWith("dv\t")) {
+        val Array(d, b, r, _, p) = l.split("\t", 5); s"$d\t$b\t$r\t$p"
+      } else if (l.contains('\t')) {
+        val Array(b, _, p) = l.split("\t", 3)
+        s"$b\t${p.replace(s"/data/$v0dir/", s"/data/$v5dir/")}"
+      } else l
+    }.mkString("\n")
+    Files.write(mPath, legacy.getBytes("UTF-8"))
+    val m = ManifestUpsertSink.latestManifest(root).get
+    assert(m.files.forall(_.seq <= m.version),
+      "decode must clamp path-derived file seqs above the manifest's own version")
+    assert(sink.read(spark).count() == 18,
+      "the clone's dv must keep masking carried files on upgrade")
+    assert(spark.read.format("graft-manifest").load(root).count() == 18)
+  }
+
+  test("seqOfPath anchors to the data/v<N>- segment: a version-shaped ROOT cannot poison decode") {
+    assert(ManifestUpsertSink.seqOfPath(
+      "/bulk/data/v2-prod/tbl/data/v7-abc/__bucket=0/part-0.parquet").contains(7L))
+    assert(ManifestUpsertSink.seqOfPath(
+      "/bulk/data/v2-prod/tbl/data/v3-abc-dv/part-0.parquet").contains(3L))
+    assert(ManifestUpsertSink.seqOfPath("/v4-notdata/tbl/part-0.parquet").isEmpty)
+    // end-to-end: a table whose ROOT contains a data/v<N>- segment still
+    // decodes pre-seq manifests from its OWN version directories
+    import spark.implicits._
+    val base = tmp("graft_dv_vroot_")
+    val root = s"$base/data/v2-prod/tbl"
+    val sink = seed(root, n = 20)
+    sink.deleteKeysMergeOnRead(Seq(3L, 9L).toDF("id"), 1L)
+    val mPath = Paths.get(s"$root/_manifest/v1.manifest")
+    val legacy = new String(Files.readAllBytes(mPath), "UTF-8").linesIterator.map { l =>
+      if (l.startsWith("dv\t")) {
+        val Array(d, b, r, _, p) = l.split("\t", 5); s"$d\t$b\t$r\t$p"
+      } else if (l.contains('\t')) {
+        val Array(b, _, p) = l.split("\t", 3); s"$b\t$p"
+      } else l
+    }.mkString("\n")
+    Files.write(mPath, legacy.getBytes("UTF-8"))
+    val m = ManifestUpsertSink.latestManifest(root).get
+    assert(m.files.forall(f => f.seq == 0L) && m.dvs.forall(_.seq == 1L),
+      s"root's v2 segment must not poison seq decode: ${m.files.map(_.seq)} / ${m.dvs.map(_.seq)}")
+    assert(sink.read(spark).count() == 18)
+  }
 }

@@ -273,6 +273,27 @@ class ManifestProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("tag creation is atomic create-if-absent: concurrent racers get exactly one winner") {
+    withCatalog { (cat, root) =>
+      seed(cat, rows = 5, batches = 1)
+      // an exists-check + put would let several racers pass the check in
+      // the same window and silently re-point the "immutable" ref; the
+      // store's create-new primitive admits exactly one
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val attempts = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          override def call(): Int =
+            try { ManifestUpsertSink.setTag(s"$root/t", "race", 0L); 1 }
+            catch { case _: Exception => 0 }
+        })
+      }
+      val wins = attempts.map(_.get()).sum
+      pool.shutdown()
+      assert(wins == 1, s"exactly one concurrent tag create may win (got $wins)")
+      assert(ManifestUpsertSink.tagVersion(s"$root/t", "race").contains(0L))
+    }
+  }
+
   test("a corrupt tag ref ABORTS the vacuum sweep: never reclaim on a doubt") {
     withCatalog { (cat, root) =>
       seed(cat, rows = 10, batches = 3) // v0..v2

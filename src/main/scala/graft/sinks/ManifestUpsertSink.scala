@@ -592,36 +592,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     if (touchedUps.isEmpty && current.isEmpty) return
     // combined feed: the merge half classifies inserted/updated against
     // the current rows; the delete half records only keys that EXIST
-    val upChanges: Option[DataFrame] = if (!hasUps) None else Some {
-      val newImaged = deduped.select(keyColumns :+
-        payloadImage(deduped).as("new_image"): _*)
-      (current match {
-        case Some(c) =>
-          newImaged.join(
-            c.select(keyColumns :+ payloadImage(c).as("old_image"): _*),
-            keyCols, "left_outer")
-        case None => newImaged.withColumn("old_image", lit(null).cast("string"))
-      }).select(keyColumns ++ Seq(
-        when(col("old_image").isNull, lit("inserted")).otherwise(lit("updated")).as("change"),
-        when(col("old_image").isNull, lit(null).cast("long"))
-          .otherwise(xxhash64(col("old_image"))).as("old_hash"),
-        xxhash64(col("new_image")).as("new_hash"),
-        col("old_image"), col("new_image")): _*)
-    }
-    val delChanges: Option[DataFrame] = current.map { c =>
-      val victims = c.join(keyedDel.select(keyColumns: _*), keyCols, "left_semi")
-      victims.select(keyColumns ++ Seq(lit("deleted").as("change"),
-        xxhash64(payloadImage(victims)).as("old_hash"),
-        lit(null).cast("long").as("new_hash"),
-        payloadImage(victims).as("old_image"),
-        lit(null).cast("string").as("new_image")): _*)
-    }
-    val changes = (upChanges, delChanges) match {
-      case (Some(u), Some(dl)) => u.unionByName(dl)
-      case (Some(u), None) => u
-      case (None, Some(dl)) => dl
-      case (None, None) => return // unreachable: guarded above
-    }
+    val changes = deltaChanges(deduped, keyedDel, current, hasUps)
+      .getOrElse(return) // unreachable: guarded above
     changes.write.mode("overwrite").parquet(s"$root/_stage/$tag")
     // one survivor pass per touched bucket: drop replaced AND deleted
     // keys, union the new row images
@@ -651,6 +623,155 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       writtenSchema = survivors.schema,
       dvWritten = Nil, dvReplaced = touched,
       defaults = cur.map(_.defaults).getOrElse(Nil))
+  }
+
+  /** The row-level statement's combined change feed — IDENTICAL
+    * classification for the copy-on-write ([[applyDelta]]) and
+    * merge-on-read ([[applyDeltaMergeOnRead]]) apply shapes: the CDC
+    * semantics readers observe must not depend on which write economics
+    * served the statement. The merge half classifies inserted/updated
+    * against the current rows; the delete half records only keys that
+    * EXIST. None when the statement produced no changes at all. */
+  private def deltaChanges(deduped: DataFrame, keyedDel: DataFrame,
+      current: Option[DataFrame], hasUps: Boolean): Option[DataFrame] = {
+    val upChanges: Option[DataFrame] = if (!hasUps) None else Some {
+      val newImaged = deduped.select(keyColumns :+
+        payloadImage(deduped).as("new_image"): _*)
+      (current match {
+        case Some(c) =>
+          newImaged.join(
+            c.select(keyColumns :+ payloadImage(c).as("old_image"): _*),
+            keyCols, "left_outer")
+        case None => newImaged.withColumn("old_image", lit(null).cast("string"))
+      }).select(keyColumns ++ Seq(
+        when(col("old_image").isNull, lit("inserted")).otherwise(lit("updated")).as("change"),
+        when(col("old_image").isNull, lit(null).cast("long"))
+          .otherwise(xxhash64(col("old_image"))).as("old_hash"),
+        xxhash64(col("new_image")).as("new_hash"),
+        col("old_image"), col("new_image")): _*)
+    }
+    val delChanges: Option[DataFrame] = current.map { c =>
+      val victims = c.join(keyedDel.select(keyColumns: _*), keyCols, "left_semi")
+      victims.select(keyColumns ++ Seq(lit("deleted").as("change"),
+        xxhash64(payloadImage(victims)).as("old_hash"),
+        lit(null).cast("long").as("new_hash"),
+        payloadImage(victims).as("old_image"),
+        lit(null).cast("string").as("new_image")): _*)
+    }
+    (upChanges, delChanges) match {
+      case (Some(u), Some(dl)) => Some(u.unionByName(dl))
+      case (u, dl) => u.orElse(dl)
+    }
+  }
+
+  /** SINGLE-COMMIT merge-on-read row-level apply — the MIXED-statement
+    * write economics: a MERGE with DELETE branches, or a key-moving
+    * UPDATE, on a `mergeOnRead` table commits ONE version that (a)
+    * APPENDS the statement's new row images as new files and (b)
+    * records ONE deletion-vector generation listing every retired LIVE
+    * instance — replaced keys, deleted keys, and moved-away old keys —
+    * at the same commit sequence. Every prior data file stays
+    * byte-identical; the sequence-aware fold serves reads (a
+    * replacement row written at sequence s survives the dv at s because
+    * the mask applies only to files with `file.seq < dv.seq`, while the
+    * deleted and moved-away keys — with no replacement at s — fold
+    * away). Statement cost is O(changed rows), not O(touched-bucket
+    * bytes): the last row-level statement class that paid copy-on-write.
+    *
+    * Contract: [[applyDelta]]'s atomicity (one version, one combined
+    * change feed; a key both upserted and deleted resolves as an
+    * upsert) + [[upsertMergeOnRead]]'s dv bookkeeping (the dv lists
+    * only keys that currently exist — each statement retires exactly
+    * one live instance per key, so COUNT = Σfile rows − Σdv rows stays
+    * exact under stacking; the per-bucket dv cap routes over-cap
+    * statements to the copy-on-write [[applyDelta]], which materializes
+    * the bucket's backlog as it rewrites). Pure deletes take
+    * [[deleteKeysMergeOnRead]] (no data files to append); this method
+    * requires row images. */
+  def applyDeltaMergeOnRead(batch: DataFrame, delKeys: DataFrame,
+      orderCol: String, batchId: Long,
+      maxDvRowsPerBucket: Long = DefaultDvMaxRowsPerBucket): Unit = {
+    require(batch.columns.nonEmpty,
+      "applyDeltaMergeOnRead needs row images — pure deletes take deleteKeysMergeOnRead")
+    val spark = batch.sparkSession
+    val cur = latestManifest(root, store)
+    healFeed(cur)
+    if (batchId != AdHocBatch && cur.exists(_.batchId >= batchId))
+      return // replayed batch: no-op
+    requireSameBuckets(cur)
+    requireNoRetiredColumns(cur, batch.columns)
+    val version = cur.map(_.version + 1).getOrElse(0L)
+    val tag = newTag()
+    val deduped = JdbcUpsertSink.lastWriteWins(batch, keyCol, col(orderCol))
+      .withColumn(BucketCol, bucketExpr)
+    val touchedUps = collectTouchedRequireKeys(deduped)
+    // deletes of keys re-occupied by an upsert resolve as upserts
+    val keyedDel = delKeys.select(keyColumns: _*).distinct()
+      .join(deduped.select(keyColumns: _*), keyCols, "left_anti")
+      .withColumn(BucketCol, bucketExpr)
+    val touchedDel = collectTouchedRequireKeys(keyedDel)
+    val touched = touchedUps ++ touchedDel
+    if (touched.isEmpty) return // empty statement: nothing to commit
+    val current: Option[DataFrame] = cur.flatMap { m =>
+      val touchedEntries = m.files.filter(f => touched(f.bucket))
+      if (touchedEntries.isEmpty) None
+      else Some(readLogical(spark, m, touchedEntries)) // evolution + dv fold
+    }
+    val changes = deltaChanges(deduped, keyedDel, current, hasUps = true)
+      .getOrElse(return) // unreachable: hasUps guaranteed
+    changes.write.mode("overwrite").parquet(s"$root/_stage/$tag")
+    // ONE dv generation for the whole statement: every LIVE instance it
+    // retires — replaced keys (the upserts' current rows) and deleted
+    // keys. Keys with no live row (pure inserts, deletes of absent keys)
+    // must not enter the subtraction.
+    val dvDir = s"$root/data/v$version-$tag-dv"
+    val newDvs: Seq[DvEntry] = current match {
+      case None => Nil
+      case Some(c) =>
+        val retired = deduped.select(keyColumns: _*)
+          .unionByName(keyedDel.select(keyColumns: _*))
+        val victims = retired.join(c.select(keyColumns: _*), keyCols, "left_semi")
+          .withColumn(BucketCol, bucketExpr)
+        victims.repartition(math.max(touched.size, 1), col(BucketCol))
+          .write.mode("overwrite").partitionBy(BucketCol).parquet(dvDir)
+        val dvFiles = listParquet(dvDir, store)
+        val dvStats = ManifestStats.collectAuto(dvFiles.map(_.path))
+        val out = dvFiles.map(f => DvEntry(f.bucket,
+            dvStats.get(f.path).map(_.rows).getOrElse(throw new IllegalStateException(
+              s"could not read footer row count of freshly-written dv file ${f.path}")),
+            f.path))
+          .filter(_.rows > 0)
+        if (out.isEmpty) deleteTree(store, dvDir)
+        out
+    }
+    // cap: accumulated dv debt per bucket stays broadcast-sized, or the
+    // statement routes to copy-on-write (which materializes the backlog)
+    val overCap = cur.exists(m => touched.exists { b =>
+      m.dvsOf(b).map(_.rows).sum +
+        newDvs.filter(_.bucket == b).map(_.rows).sum > math.max(1L, maxDvRowsPerBucket)
+    })
+    if (overCap) {
+      if (newDvs.nonEmpty) deleteTree(store, dvDir)
+      deleteTree(store, s"$root/_stage/$tag")
+      store.deleteDirIfEmpty(s"$root/_stage")
+      applyDelta(batch, delKeys, orderCol, batchId)
+      return
+    }
+    // the appended row images — every prior data file stays byte-identical
+    val dataDir = s"$root/data/v$version-$tag"
+    writeData(deduped, dataDir)
+    val written = listParquet(dataDir, store)
+    val commitId =
+      if (batchId == AdHocBatch) cur.map(_.batchId).getOrElse(-1L) else batchId
+    commitRebasing(cur, commitId, dataChanged = touched, replaced = Set.empty,
+      written = written, feedStage = Some(s"_stage/$tag"),
+      renames = cur.map(_.renames).getOrElse(Nil),
+      addedCols = cur.map(_.addedCols).getOrElse(Nil),
+      droppedCols = cur.map(_.droppedCols).getOrElse(Nil),
+      writtenSchema = deduped.schema,
+      dvWritten = newDvs, dvReplaced = Set.empty,
+      defaults = cur.map(_.defaults).getOrElse(Nil),
+      append = true)
   }
 
   /** The one data-file writer: every version's files are written with a

@@ -1986,7 +1986,76 @@ object SinkQueries {
       ) t ORDER BY column_name"""),
     doc = "ANALYZE TABLE ... FOR COLUMNS over the lake catalog: exact per-column ndv/null census stored per version, served via CALL system.col_stats and the scan's DSv2 column statistics — the feed that turns on CBO join cardinality estimation and join reordering for lake tables")
 
+  // --------------------------------------------------------------- q334
+  private val q334Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** MERGE-ON-READ for MIXED row-level statements — the write-economics
+    * capstone over q329 (pure deletes) and q332 (upsert-only
+    * statements): a MERGE with DELETE branches and a KEY-MOVING UPDATE
+    * on a `mergeOnRead` table each commit ONE version that appends the
+    * statement's new row images and records ONE deletion-vector
+    * generation covering replaced ∪ deleted ∪ moved-away old keys at
+    * the same commit sequence
+    * ([[graft.sinks.ManifestUpsertSink.applyDeltaMergeOnRead]]) — every
+    * prior data file stays byte-identical (ManifestDvSpec pins the
+    * bytes and the combined change feed), so no statement class pays
+    * O(touched-bucket bytes) anymore. The replacement rows survive
+    * their own commit's dv (file.seq < dv.seq masking); the vacated and
+    * deleted keys — with no replacement at that sequence — fold away.
+    * The final read runs PRE-compaction through the live sequence-aware
+    * fold; the oracle restates the statement stack relationally. */
+  val q334 = QueryDef(
+    "q334_mor_mixed_merge",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q334_").toString
+      val cat = s"graft_q334_${q334Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.part(s, d).createOrReplaceTempView("q334_part")
+      s.sql(s"""CREATE TABLE $cat.pp (key BIGINT, price DOUBLE, sz BIGINT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8',
+          'mergeOnRead'='true')""")
+      s.sql(s"""INSERT INTO $cat.pp
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE), CAST(p_size AS BIGINT), 0L
+        FROM q334_part""")
+      // MIXED MERGE: two matched DELETEs, two matched UPDATEs, one
+      // NOT-MATCHED INSERT — one commit, one appended file set, one dv
+      s.sql(s"""MERGE INTO $cat.pp t USING (
+          SELECT CAST(2 AS BIGINT) AS key, CAST(0.0 AS DOUBLE) AS price,
+                 CAST(-1 AS BIGINT) AS sz, CAST(1 AS BIGINT) AS seq
+          UNION ALL SELECT CAST(3 AS BIGINT), CAST(0.0 AS DOUBLE),
+                 CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+          UNION ALL SELECT CAST(4 AS BIGINT), CAST(0.0 AS DOUBLE),
+                 CAST(77 AS BIGINT), CAST(1 AS BIGINT)
+          UNION ALL SELECT CAST(5 AS BIGINT), CAST(0.0 AS DOUBLE),
+                 CAST(77 AS BIGINT), CAST(1 AS BIGINT)
+          UNION ALL SELECT CAST(2000001 AS BIGINT), CAST(9.5 AS DOUBLE),
+                 CAST(88 AS BIGINT), CAST(1 AS BIGINT)
+        ) s ON t.key = s.key
+        WHEN MATCHED AND s.sz < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET price = t.price + 7.0, sz = s.sz, seq = s.seq
+        WHEN NOT MATCHED THEN INSERT *""")
+      // KEY-MOVING UPDATE: vacated keys dv away, rows land at new keys —
+      // still merge-on-read, still one commit
+      s.sql(s"UPDATE $cat.pp SET key = key + 3000000 WHERE sz = 1")
+      s.sql(s"SELECT key, price, sz FROM $cat.pp ORDER BY key")
+    },
+    Some("""SELECT CASE WHEN sz = 1 THEN key + 3000000 ELSE key END AS key,
+          price, sz FROM (
+        SELECT p_partkey AS key,
+          CASE WHEN p_partkey IN (4, 5)
+               THEN CAST(p_retailprice AS DOUBLE) + 7.0
+               ELSE CAST(p_retailprice AS DOUBLE) END AS price,
+          CASE WHEN p_partkey IN (4, 5) THEN CAST(77 AS BIGINT)
+               ELSE CAST(p_size AS BIGINT) END AS sz
+        FROM part WHERE p_partkey NOT IN (2, 3)
+        UNION ALL
+        SELECT CAST(2000001 AS BIGINT), CAST(9.5 AS DOUBLE), CAST(88 AS BIGINT)
+      ) t ORDER BY key"""),
+    doc = "merge-on-read for MIXED row-level statements: MERGE with DELETE branches and key-moving UPDATE each append row images + ONE sequence-stamped dv covering replaced/deleted/moved-away keys — no statement class pays O(touched-bucket bytes); live seq-aware fold answers pre-compaction")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
     q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319,
-    q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q214, q215, q216, q228)
+    q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q214, q215, q216, q228)
 }

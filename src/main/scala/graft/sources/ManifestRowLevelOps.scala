@@ -262,8 +262,7 @@ private[graft] object ManifestRowLevelOps {
     // a PURE DELETE on a mergeOnRead table takes the deletion-vector
     // path — a predicate DELETE (`WHERE price < x`) is then a manifest
     // edit + key sidecar like the key-equality shapes, never a bucket
-    // rewrite. Statements with upserts keep copy-on-write applyDelta:
-    // their touched buckets rewrite anyway (and materialize dvs doing it).
+    // rewrite.
     if (dataSchema.isEmpty && mergeOnRead) {
       sink.deleteKeysMergeOnRead(delKeys, ManifestUpsertSink.AdHocBatch,
         dvMaxRowsPerBucket)
@@ -274,12 +273,19 @@ private[graft] object ManifestRowLevelOps {
     // UPSERT: new row images append as new files, a dv with the commit's
     // sequence retires the old rows, every prior data file stays
     // byte-identical — trickle updates cost O(changed rows), not
-    // O(touched bucket bytes). Key-moving/mixed statements keep the
-    // single-commit copy-on-write applyDelta (their atomicity contract
-    // spans deletes at vacated keys).
-    if (mergeOnRead && delKeys.isEmpty) {
-      sink.upsertMergeOnRead(upserts, orderCol, ManifestUpsertSink.AdHocBatch,
-        dvMaxRowsPerBucket)
+    // O(touched bucket bytes). MIXED statements (MERGE with DELETE
+    // branches, key-moving UPDATEs) take the single-commit merge-on-read
+    // apply: the same append + one dv generation covering replaced ∪
+    // deleted ∪ moved-away old keys at one sequence — the atomicity
+    // contract spanning deletes at vacated keys holds because it is ONE
+    // commit, and no statement class pays O(touched-bucket bytes).
+    if (mergeOnRead) {
+      if (delKeys.isEmpty)
+        sink.upsertMergeOnRead(upserts, orderCol, ManifestUpsertSink.AdHocBatch,
+          dvMaxRowsPerBucket)
+      else
+        sink.applyDeltaMergeOnRead(upserts, delKeys, orderCol,
+          ManifestUpsertSink.AdHocBatch, dvMaxRowsPerBucket)
       return
     }
     val ups = upserts.persist()

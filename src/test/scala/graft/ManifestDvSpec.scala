@@ -578,6 +578,72 @@ class ManifestDvSpec extends AnyFunSuite {
     assert(after.size == 41 && !after.contains(7L) && after(13L) == "u13")
   }
 
+  test("MIXED statements are merge-on-read: MERGE with DELETE branch / key-moving UPDATE append + one dv") {
+    val root = tmp("graft_dv_mixed_")
+    val cat = "graft_dvmixed"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, p STRING, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4',
+        'mergeOnRead'='true')""")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('p', id), 0L FROM range(1, 41)")
+    val v0 = ManifestUpsertSink.latestManifest(s"$root/t").get
+    val bytesBefore = fileBytes(v0.files.map(_.path))
+    // MIXED MERGE: one matched UPDATE (id 7), one matched DELETE (id 13),
+    // one NOT MATCHED INSERT (id 101) — the statement class that used to
+    // pay copy-on-write
+    spark.sql(s"""MERGE INTO $cat.t t USING (
+        SELECT CAST(7 AS BIGINT) AS id, 'u7' AS p, CAST(1 AS BIGINT) AS seq
+        UNION ALL SELECT CAST(13 AS BIGINT), 'dead', CAST(1 AS BIGINT)
+        UNION ALL SELECT CAST(101 AS BIGINT), 'n101', CAST(1 AS BIGINT)
+      ) s ON t.id = s.id
+      WHEN MATCHED AND s.p = 'dead' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET p = s.p, seq = s.seq
+      WHEN NOT MATCHED THEN INSERT *""")
+    val v1 = ManifestUpsertSink.latestManifest(s"$root/t").get
+    assert(v0.files.map(_.path).toSet.subsetOf(v1.files.map(_.path).toSet),
+      "a mixed MoR statement APPENDS — every prior data file is carried")
+    assert(fileBytes(v0.files.map(_.path)) == bytesBefore,
+      "prior data files must stay byte-identical")
+    assert(v1.dvs.map(_.rows).sum == 2L,
+      s"ONE dv generation listing exactly the retired instances (replaced id 7 + deleted id 13): ${v1.dvs}")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 40L,
+      "metadata COUNT must stay exact: 40 - 1 deleted + 1 inserted")
+    assert(spark.sql(s"SELECT p FROM $cat.t WHERE id = 7").head().getString(0) == "u7",
+      "the replacement row survives the dv that retired its predecessor")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE id = 13").head().getLong(0) == 0L)
+    assert(spark.sql(s"SELECT p FROM $cat.t WHERE id = 101").head().getString(0) == "n101")
+    // combined change feed under the single version
+    val feed = spark.read.format("graft-manifest")
+      .option("changesOf", v1.version.toString).load(s"$root/t")
+      .select("id", "change").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feed == Map(7L -> "updated", 13L -> "deleted", 101L -> "inserted"), s"$feed")
+    // KEY-MOVING UPDATE stacks on top, still merge-on-read: the old key
+    // folds away, the new key's row lands, prior files untouched
+    spark.sql(s"UPDATE $cat.t SET id = id + 1000 WHERE id IN (21, 22)")
+    val v2 = ManifestUpsertSink.latestManifest(s"$root/t").get
+    assert(v1.files.map(_.path).toSet.subsetOf(v2.files.map(_.path).toSet),
+      "a key-moving MoR UPDATE appends — every prior data file is carried")
+    assert(fileBytes(v0.files.map(_.path)) == bytesBefore)
+    assert(v2.dvs.map(_.rows).sum == 4L,
+      s"the move retires the two vacated keys on top of the merge's two: ${v2.dvs}")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 40L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE id IN (21, 22)").head().getLong(0) == 0L)
+    assert(spark.sql(s"SELECT p FROM $cat.t WHERE id = 1021").head().getString(0) == "p21",
+      "the moved row reads at its new key with its old payload")
+    // a key re-occupied in the SAME statement resolves as an upsert, not
+    // a delete: move 30 onto 31 (31's old row retires, 30 vacates)
+    spark.sql(s"UPDATE $cat.t SET id = 31, p = 'shifted', seq = 9 WHERE id = 30")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 39L)
+    assert(spark.sql(s"SELECT p FROM $cat.t WHERE id = 31").head().getString(0) == "shifted")
+    // compaction clears the stacked dvs and preserves the answer
+    spark.sql(s"CALL $cat.system.compact('t')")
+    assert(ManifestUpsertSink.latestManifest(s"$root/t").get.dvs.isEmpty)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 39L)
+    assert(spark.sql(s"SELECT p FROM $cat.t WHERE id = 31").head().getString(0) == "shifted")
+  }
+
   test("MoR dv commit racing a concurrent compact: rebase recomposes dvs from the WINNING chain") {
     import spark.implicits._
     val root = tmp("graft_dv_race_compact_")

@@ -112,7 +112,7 @@ object Bench {
     // one-time costs measured outside the per-query medians (q64's first
     // rep pays the bucket CTAS; reps 2+ reuse the tables, so the median
     // is the zero-Exchange join itself)
-    val setup = f"""{"q64_bucket_ctas_sec":${graft.operators.Scale.bucketCtasSeconds}%.3f}"""
+    val setup = f"""{"q64_bucket_ctas_sec":${graft.operators.Scale.bucketCtasSeconds}%.3f,"q214_jdbc_seed_sec":${graft.sinks.SinkQueries.jdbcSeedSeconds}%.3f}"""
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rep_spread":$spreads%s,"errors":$errJson%s,"streaming":$streaming%s,"stream_join":$streamJoin%s,"writers":$writers%s,"trickle_delete":$trickle%s,"dv_scan":$dvScan%s,"setup":$setup%s,"sf":"$sfDir%s"}"""
     println(line)
     // stdout insurance (r07: a clean run still archived as `parsed: null`

@@ -289,21 +289,75 @@ object ManifestStats {
   /** TABLE-LEVEL per-column statistics — the CBO vocabulary the per-file
     * sidecar can't supply: `ndv` (exact distinct count) and `nulls`,
     * computed by `ANALYZE TABLE ... FOR COLUMNS` over the logical
-    * snapshot and stored per VERSION (`_manifest/v<N>.colstats`). A new
-    * commit gets no colstats file, so stale ndv can never mislead the
-    * planner — the census simply goes dark until the next ANALYZE, the
-    * standard warehouse contract. */
-  final case class ColNdv(ndv: Long, nulls: Long)
+    * snapshot and stored per VERSION (`_manifest/v<N>.colstats`).
+    *
+    * `sketch` is the column's mergeable HLL sketch (Apache DataSketches
+    * binary image over `xxhash64(value)`, nulls excluded — the
+    * Iceberg-Puffin shape) recorded alongside the exact census: it is
+    * what lets a LATER commit FOLD the census forward
+    * ([[ManifestUpsertSink.foldColStats]]) instead of going dark —
+    * union the batch's one-pass sketch, add its null counts, serve the
+    * merged estimate with `exact=false`. Deletes and replaced rows
+    * cannot subtract from a sketch, so folded entries are
+    * ESTIMATE-grade upper bounds — exactly what the planner's
+    * cardinality feed wants; a fresh ANALYZE restores exactness.
+    * Sketch-less entries (pre-sketch vintages) fold to dark, the old
+    * contract. */
+  final case class ColNdv(ndv: Long, nulls: Long,
+      sketch: Option[Array[Byte]] = None, exact: Boolean = true,
+      hist: Option[EquiHist] = None)
 
-  /** Encode/decode of the colstats sidecar: `N<TAB>name<TAB>ndv<TAB>nulls`
-    * lines under the same version header + tolerant-decode rules as the
-    * file sidecar (a torn file reads as "no column stats"). */
+  /** An EQUI-HEIGHT histogram of one column (catalyst's shape: every
+    * bin holds ~`height` rows; `bins` are (lo, hi, ndv) in the column's
+    * double domain — numeric value, date days, timestamp micros).
+    * Computed by `ANALYZE ... FOR COLUMNS` (percentile endpoints + one
+    * ndv-per-interval pass) and served through the scan's DSv2 column
+    * statistics, where Spark's filter estimation reads SKEW that
+    * ndv+bounds alone cannot express (a hot key's equality selectivity
+    * is its bins' mass, not 1/ndv). Folds DROP the histogram (bin
+    * masses can't incrementally merge the way sketches do) — it serves
+    * until the next commit, exactness until the next ANALYZE. */
+  final case class EquiHist(height: Double, bins: Seq[(Double, Double, Long)])
+
+  /** The `lgConfigK` of every colstats HLL sketch — matching sketches
+    * union losslessly; ~1.6% standard error. */
+  val HllLgK = 12
+
+  /** Union-merge two colstats HLL sketch images → (merged image,
+    * estimated distinct count). */
+  def mergeHll(a: Array[Byte], b: Array[Byte]): (Array[Byte], Long) = {
+    val u = new org.apache.datasketches.hll.Union(HllLgK)
+    u.update(org.apache.datasketches.hll.HllSketch.heapify(a))
+    u.update(org.apache.datasketches.hll.HllSketch.heapify(b))
+    val r = u.getResult
+    (r.toCompactByteArray, Math.round(r.getEstimate))
+  }
+
+  /** Encode/decode of the colstats sidecar:
+    * `N<TAB>name<TAB>ndv<TAB>nulls[<TAB>sketchB64<TAB>exact01]` lines
+    * under the same version header + tolerant-decode rules as the file
+    * sidecar (a torn file reads as "no column stats"; the short arity is
+    * the pre-sketch vintage). */
   def encodeCol(stats: Map[String, ColNdv]): String = {
     val sb = new StringBuilder
     sb.append("V\t").append(FormatVersion).append('\n')
-    for ((name, cs) <- stats.toSeq.sortBy(_._1))
+    for ((name, cs) <- stats.toSeq.sortBy(_._1)) {
       sb.append("N\t").append(enc(name)).append('\t').append(cs.ndv)
-        .append('\t').append(cs.nulls).append('\n')
+        .append('\t').append(cs.nulls)
+      cs.sketch.foreach { sk =>
+        sb.append('\t').append(Base64.getEncoder.encodeToString(sk))
+          .append('\t').append(if (cs.exact) "1" else "0")
+      }
+      sb.append('\n')
+      // histogram line: `H<TAB>name<TAB>height<TAB>lo:hi:ndv;...`
+      // (Double.toString round-trips exactly; names can't carry ';')
+      cs.hist.foreach { h =>
+        sb.append("H\t").append(enc(name)).append('\t').append(h.height)
+          .append('\t')
+          .append(h.bins.map { case (lo, hi, nd) => s"$lo:$hi:$nd" }.mkString(";"))
+          .append('\n')
+      }
+    }
     sb.result()
   }
 
@@ -311,10 +365,24 @@ object ManifestStats {
     try {
       val lines = text.linesIterator.filter(_.nonEmpty)
       if (!lines.hasNext || lines.next() != s"V\t$FormatVersion") return Map.empty
-      lines.map(_.split("\t", -1) match {
-        case Array("N", name, ndv, nulls) => dec(name) -> ColNdv(ndv.toLong, nulls.toLong)
+      val cols = scala.collection.mutable.LinkedHashMap.empty[String, ColNdv]
+      for (l <- lines) l.split("\t", -1) match {
+        case Array("N", name, ndv, nulls) =>
+          cols(dec(name)) = ColNdv(ndv.toLong, nulls.toLong)
+        case Array("N", name, ndv, nulls, sk, ex) =>
+          cols(dec(name)) = ColNdv(ndv.toLong, nulls.toLong,
+            Some(Base64.getDecoder.decode(sk)), ex == "1")
+        case Array("H", name, height, bins) =>
+          val n = dec(name)
+          val parsed = if (bins.isEmpty) Nil else bins.split(";").toSeq.map { b =>
+            val Array(lo, hi, nd) = b.split(":", 3)
+            (lo.toDouble, hi.toDouble, nd.toLong)
+          }
+          // an H line for an unlisted column is a torn file: fail the decode
+          cols(n) = cols(n).copy(hist = Some(EquiHist(height.toDouble, parsed)))
         case l => throw new IllegalArgumentException(s"bad colstats line: ${l.mkString("\t")}")
-      }).toMap
+      }
+      cols.toMap
     } catch { case NonFatal(_) => Map.empty }
 
   private def encVal(kind: Char, v: Any): String = kind match {

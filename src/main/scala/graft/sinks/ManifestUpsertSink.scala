@@ -246,7 +246,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val written = listParquet(dataDir, store)
     val commitId =
       if (batchId == AdHocBatch) cur.map(_.batchId).getOrElse(-1L) else batchId
-    commitRebasing(cur, commitId, dataChanged = touched, replaced = touched,
+    val committedV = commitRebasing(cur, commitId,
+      dataChanged = touched, replaced = touched,
       written = written, feedStage = Some(s"_stage/$tag"),
       renames = cur.map(_.renames).getOrElse(Nil),
       addedCols = cur.map(_.addedCols).getOrElse(Nil),
@@ -254,6 +255,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       writtenSchema = survivors.schema,
       dvWritten = Nil, dvReplaced = touched,
       defaults = cur.map(_.defaults).getOrElse(Nil))
+    foldColStats(committedV, Some(deduped))
   }
 
   /** DELETE by key — the third CDC verb (upsert covers insert/update):
@@ -297,7 +299,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val dataDir = s"$root/data/v$version-$tag"
     writeData(survivors, dataDir)
     val written = listParquet(dataDir, store)
-    commitRebasing(Some(cur),
+    val committedV = commitRebasing(Some(cur),
       if (batchId == AdHocBatch) cur.batchId else batchId,
       dataChanged = touched, replaced = touched,
       written = written, feedStage = Some(s"_stage/$tag"), renames = cur.renames,
@@ -305,6 +307,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       writtenSchema = survivors.schema,
       dvWritten = Nil, dvReplaced = touched,
       defaults = cur.defaults)
+    foldColStats(committedV, None)
   }
 
   /** MERGE-ON-READ DELETE — the deletion-vector verb: remove keys by
@@ -399,7 +402,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       deleteKeys(keys, batchId)
       return
     }
-    commitRebasing(Some(cur),
+    val committedV = commitRebasing(Some(cur),
       if (batchId == AdHocBatch) cur.batchId else batchId,
       dataChanged = dvTouched, replaced = Set.empty,
       written = Nil, feedStage = Some(s"_stage/$tag"), renames = cur.renames,
@@ -417,6 +420,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       dvReplaced = Set.empty,
       defaults = cur.defaults,
       append = true)
+    foldColStats(committedV, None)
   }
 
   /** MERGE-ON-READ UPSERT — the write-economics counterpart of
@@ -525,7 +529,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val written = listParquet(dataDir, store)
     val commitId =
       if (batchId == AdHocBatch) cur.map(_.batchId).getOrElse(-1L) else batchId
-    commitRebasing(cur, commitId, dataChanged = touched, replaced = Set.empty,
+    val committedV = commitRebasing(cur, commitId,
+      dataChanged = touched, replaced = Set.empty,
       written = written, feedStage = Some(s"_stage/$tag"),
       renames = cur.map(_.renames).getOrElse(Nil),
       addedCols = cur.map(_.addedCols).getOrElse(Nil),
@@ -534,6 +539,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       dvWritten = newDvs, dvReplaced = Set.empty,
       defaults = cur.map(_.defaults).getOrElse(Nil),
       append = true)
+    foldColStats(committedV, Some(deduped))
   }
 
   /** SINGLE-COMMIT row-level apply: MERGE `batch` and DELETE `delKeys`
@@ -615,7 +621,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val written = listParquet(dataDir, store)
     val commitId =
       if (batchId == AdHocBatch) cur.map(_.batchId).getOrElse(-1L) else batchId
-    commitRebasing(cur, commitId, dataChanged = touched, replaced = touched,
+    val committedV = commitRebasing(cur, commitId,
+      dataChanged = touched, replaced = touched,
       written = written, feedStage = Some(s"_stage/$tag"),
       renames = cur.map(_.renames).getOrElse(Nil),
       addedCols = cur.map(_.addedCols).getOrElse(Nil),
@@ -623,6 +630,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       writtenSchema = survivors.schema,
       dvWritten = Nil, dvReplaced = touched,
       defaults = cur.map(_.defaults).getOrElse(Nil))
+    foldColStats(committedV, Some(deduped))
   }
 
   /** The row-level statement's combined change feed — IDENTICAL
@@ -763,7 +771,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val written = listParquet(dataDir, store)
     val commitId =
       if (batchId == AdHocBatch) cur.map(_.batchId).getOrElse(-1L) else batchId
-    commitRebasing(cur, commitId, dataChanged = touched, replaced = Set.empty,
+    val committedV = commitRebasing(cur, commitId,
+      dataChanged = touched, replaced = Set.empty,
       written = written, feedStage = Some(s"_stage/$tag"),
       renames = cur.map(_.renames).getOrElse(Nil),
       addedCols = cur.map(_.addedCols).getOrElse(Nil),
@@ -772,6 +781,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       dvWritten = newDvs, dvReplaced = Set.empty,
       defaults = cur.map(_.defaults).getOrElse(Nil),
       append = true)
+    foldColStats(committedV, Some(deduped))
   }
 
   /** The one data-file writer: every version's files are written with a
@@ -882,7 +892,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       writtenSchema: org.apache.spark.sql.types.StructType,
       dvWritten: Seq[DvEntry], dvReplaced: Set[Long],
       defaults: Seq[(String, String)],
-      append: Boolean = false): Unit = {
+      append: Boolean = false): Long = {
     var cur = base
     var keepMine = replaced
     var dvKeep = dvReplaced
@@ -946,7 +956,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         // compactions fan the footer reads out to executors
         val stats = carriedStats ++ ManifestStats.collectAuto(gap ++ mine)
         store.putString(s"$root/_manifest", s"v$version.stats", ManifestStats.encode(stats))
-        return
+        return version
       } catch {
         case e: IllegalStateException if e.getMessage != null
             && e.getMessage.startsWith("concurrent commit") =>
@@ -992,12 +1002,73 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
           cur = Some(latest)
       }
     }
+    throw new IllegalStateException("unreachable: the commit loop returns or throws")
   }
 
   /** Deterministic-test seam: invoked just before each manifest commit
     * attempt. Production no-op; specs override it to inject a concurrent
     * winner at the exact race point. */
   protected def beforeCommit(attemptVersion: Long): Unit = ()
+
+  /** INCREMENTAL column-statistics fold — CBO inputs that survive
+    * trickle writes: when version `version − 1` carries a column census
+    * WITH mergeable HLL sketches (stored by `ANALYZE ... FOR COLUMNS`,
+    * folded forward here), the freshly committed `version` derives its
+    * census instead of going dark. Batch columns union their one-pass
+    * HLL sketch (over `xxhash64(value)`, nulls excluded — the same
+    * canonical input ANALYZE sketches) into the previous image and add
+    * their null counts; columns the batch doesn't carry add the batch's
+    * row count to nulls (additive evolution reads them as null).
+    * Deletes and replaced rows cannot subtract from a sketch, so folded
+    * entries serve ESTIMATE-grade upper bounds (`exact = false`) — the
+    * right grade for the DSv2 cardinality feed; a fresh ANALYZE
+    * restores exactness. `contentUnchanged` (compaction) carries the
+    * census verbatim, exactness included. Cost: one aggregation pass
+    * over the BATCH — O(changed rows); never-analyzed tables pay one
+    * sidecar existence check. The census is advisory: any failure here
+    * must never fail a committed write. */
+  private def foldColStats(version: Long, batch: Option[DataFrame],
+      contentUnchanged: Boolean = false, dropped: Seq[String] = Nil): Unit =
+    try {
+      if (version <= 0) return
+      val prev = ManifestUpsertSink.loadColStats(root, version - 1) -- dropped
+      if (prev.isEmpty || prev.values.exists(_.sketch.isEmpty)) return
+      val out: Map[String, ManifestStats.ColNdv] =
+        if (contentUnchanged) prev
+        else batch match {
+          // folds drop the histogram: bin masses can't merge the way
+          // sketches union — stale skew would misestimate worse than none
+          case None => prev.map { case (n, c) =>
+            n -> c.copy(exact = false, hist = None) }
+          case Some(b) =>
+            val cols = b.columns.toSet
+            val names = prev.keys.toSeq.sorted
+            val inBatch = names.filter(cols)
+            val aggs = count(lit(1)).as("__rows") +: inBatch.flatMap(n => Seq(
+              hll_sketch_agg(when(col(n).isNotNull, xxhash64(col(n))),
+                ManifestStats.HllLgK).as(s"__hll__$n"),
+              sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nulls__$n")))
+            val row = b.agg(aggs.head, aggs.tail: _*).head()
+            val batchRows = row.getLong(0)
+            val folded = inBatch.zipWithIndex.map { case (n, i) =>
+              val c = prev(n)
+              val bSketch = row.getAs[Array[Byte]](1 + 2 * i)
+              val bNulls = if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i)
+              val (merged, est) =
+                if (bSketch == null) (c.sketch.get, c.ndv)
+                else ManifestStats.mergeHll(c.sketch.get, bSketch)
+              n -> ManifestStats.ColNdv(math.max(est, c.ndv), c.nulls + bNulls,
+                Some(merged), exact = false)  // hist: dropped (can't merge)
+            }.toMap
+            val absent = names.filterNot(cols).map { n =>
+              val c = prev(n)
+              n -> c.copy(nulls = c.nulls + batchRows, exact = false, hist = None)
+            }.toMap
+            folded ++ absent
+        }
+      store.putString(s"$root/_manifest", s"v$version.colstats",
+        ManifestStats.encodeCol(out))
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Finalize the latest version's staged change feed if its writer
     * crashed between manifest commit and feed rename (the crash leaves
@@ -1152,12 +1223,14 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val written = listParquet(dataDir, store)
     // data-preserving rewrite of the fat buckets: dataChanged is empty,
     // so a concurrent merge into one of them simply wins that bucket
-    commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
+    val committedV = commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
       replaced = fat, written = written, feedStage = None, renames = cur.renames,
       addedCols = cur.addedCols, droppedCols = cur.droppedCols,
       writtenSchema = rows.schema,
       dvWritten = Nil, dvReplaced = fat, // fat buckets' dvs are materialized
       defaults = cur.defaults)
+    // a compaction changes no logical row: the census carries verbatim
+    foldColStats(committedV, None, contentUnchanged = true)
   }
 
   /** CLUSTERED compaction: rewrite the snapshot range-partitioned by
@@ -1838,6 +1911,50 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     new ManifestUpsertSink(targetRoot, keyCol, buckets, partitionCol)
   }
 
+  /** CREATE a writable BRANCH: a named commit chain INSIDE the table's
+    * own root (`<root>/_branches/<name>`), forked zero-copy from the
+    * current snapshot — the in-root form of the shallow clone, with the
+    * same fork-at-source-version rule (carried file/dv entries keep
+    * their commit sequences, and the branch's next commit lands ABOVE
+    * them, so the fold's `file.seq < dv.seq` ordering stays monotone).
+    * Branch commits are invisible on main and vice versa; `VERSION AS
+    * OF '<name>'` resolves the branch HEAD; the SQL surface addresses
+    * the branch as `` `t@<name>` `` for EVERY verb (read, insert,
+    * merge, row-level ops, procedures). Living inside the root is what
+    * replaces the clone registry: main's vacuum ENUMERATES `_branches/`
+    * and holds every file a branch still references, while the branch's
+    * own vacuum never touches main's files (the own-root prefix guard).
+    * The catalog properties copy keeps write options (orderCol,
+    * mergeOnRead) identical on the branch. */
+  def createBranch(name: String): ManifestUpsertSink = {
+    require(ManifestUpsertSink.validTagName(name),
+      s"bad branch name '$name' — letters/digits/-/_/. only, not all-digits")
+    val cur = latestManifest(root, store).getOrElse(throw new IllegalStateException(
+      s"no committed manifest under $root — nothing to branch"))
+    healFeed(Some(cur))
+    requireSameBuckets(Some(cur))
+    val bRoot = ManifestUpsertSink.branchRoot(root, name)
+    val bStore = TableStore.forPath(bRoot)
+    require(latestManifest(bRoot, bStore).isEmpty,
+      s"branch '$name' already exists under $root (drop_branch first)")
+    commit(bRoot, bStore, Manifest(cur.version, cur.batchId, Some(buckets),
+      Some(keyCol), cur.files, touched = None, feed = None, renames = cur.renames,
+      partCol = partitionCol, addedCols = cur.addedCols,
+      droppedCols = cur.droppedCols, physSchema = cur.physSchema,
+      dvs = cur.dvs, defaults = cur.defaults, sortedBy = cur.sortedBy,
+      dvInexact = cur.dvInexact))
+    // the fork's files ARE the source's: sidecar and catalog write
+    // options carry verbatim
+    val stats = loadStats(root, store, cur.version)
+    if (stats.nonEmpty)
+      bStore.putString(s"$bRoot/_manifest", s"v${cur.version}.stats",
+        ManifestStats.encode(stats))
+    if (store.exists(s"$root/_catalog.properties"))
+      bStore.putString(bRoot, "_catalog.properties",
+        store.readString(s"$root/_catalog.properties"))
+    new ManifestUpsertSink(bRoot, keyCol, buckets, partitionCol)
+  }
+
   private def compactInto(spark: SparkSession)(layout: DataFrame => DataFrame): Unit = {
     val cur = latestManifest(root, store).getOrElse(return)
     healFeed(Some(cur))
@@ -1857,7 +1974,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // full data-preserving rewrite: every snapshot bucket's entries are
     // replaced, no rows change — a concurrent merge wins its buckets at
     // rebase time (my rewrite of them is stale; the rest stands)
-    commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
+    val committedV = commitRebasing(Some(cur), cur.batchId, dataChanged = Set.empty,
       replaced = cur.files.map(_.bucket).toSet ++ written.map(_.bucket),
       written = written, feedStage = None, renames = Nil,
       addedCols = Nil, droppedCols = Nil, writtenSchema = all.schema,
@@ -1866,6 +1983,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       dvReplaced = cur.files.map(_.bucket).toSet ++ written.map(_.bucket) ++
         cur.dvs.map(_.bucket),
       defaults = Nil) // the full rewrite materialized every default
+    // a compaction changes no logical row: the census carries verbatim
+    foldColStats(committedV, None, contentUnchanged = true)
   }
 
   /** Delete data files no manifest in the newest `keepVersions` versions
@@ -2240,10 +2359,45 @@ object ManifestUpsertSink {
   private[graft] def tagVersion(root: String, name: String): Option[Long] =
     tags(root).get(name)
 
+  /** The root of branch `name` — a full table root of its own, nested
+    * under the parent's so vacuum can SEE it (see
+    * [[ManifestUpsertSink!.createBranch]]). */
+  private[graft] def branchRoot(root: String, name: String): String =
+    s"$root/_branches/$name"
+
+  private[graft] def branchExists(root: String, name: String): Boolean =
+    validTagName(name) &&
+      TableStore.forPath(root).exists(s"${branchRoot(root, name)}/_manifest")
+
+  /** All live branches of a table (committed chains under `_branches/`). */
+  private[graft] def branches(root: String): Seq[String] = {
+    val store = TableStore.forPath(root)
+    store.listNames(s"$root/_branches")
+      .filter(n => store.exists(s"$root/_branches/$n/_manifest"))
+      .sorted
+  }
+
+  /** DROP a branch: delete its chain (manifest log, own data files, own
+    * dvs) — files carried from main die with main's own retention, and
+    * main's next vacuum stops holding whatever only this branch still
+    * referenced. */
+  private[graft] def dropBranch(root: String, name: String): Unit = {
+    require(validTagName(name), s"bad branch name '$name'")
+    val bRoot = branchRoot(root, name)
+    val store = TableStore.forPath(root)
+    require(store.exists(s"$bRoot/_manifest"), s"no branch '$name' under $root")
+    deleteTree(store, bRoot)
+    store.deleteDirIfEmpty(s"$root/_branches")
+  }
+
   /** The version's TABLE-LEVEL column statistics (ndv + nulls), written
-    * by `ANALYZE TABLE ... FOR COLUMNS`; empty when never analyzed at
-    * this version (commits never carry colstats forward — data changed,
-    * so a stale ndv must go dark, not mislead the planner). */
+    * by `ANALYZE TABLE ... FOR COLUMNS` (exact, with a mergeable HLL
+    * sketch) or derived by a commit's incremental fold
+    * ([[ManifestUpsertSink!.foldColStats]]: estimate-grade, the batch
+    * sketch unioned into the previous census). Empty when never
+    * analyzed, when the chain predates sketches, or when a fold could
+    * not run — a census must serve fresh numbers or none, never stale
+    * ones. */
   private[graft] def loadColStats(root: String,
       version: Long): Map[String, ManifestStats.ColNdv] = {
     val store = TableStore.forPath(root)
@@ -2625,14 +2779,20 @@ object ManifestUpsertSink {
     // the exact loss the registry exists to prevent. Never reclaim on a
     // doubt; the next vacuum retries.
     var cloneUnreadable = false
-    val cloneHeld: Set[String] = store.listNames(s"$root/_manifest")
+    // BRANCHES hold exactly like registered clones — they are in-root
+    // shallow forks, enumerated directly (no registry needed: the chain
+    // lives where this vacuum can see it). Every version of every
+    // branch chain holds its referenced files; drop_branch releases.
+    val branchRoots = branches(root).map(branchRoot(root, _))
+    val cloneHeld: Set[String] = (store.listNames(s"$root/_manifest")
       .filter(n => n.startsWith("clone-") && n.endsWith(".ref"))
-      .flatMap { ref =>
-        val cRoot = store.readString(s"$root/_manifest/$ref").trim
+      .map(ref => (Some(ref), store.readString(s"$root/_manifest/$ref").trim)) ++
+      branchRoots.map(b => (None, b)))
+      .flatMap { case (ref, cRoot) =>
         try {
           val cStore = TableStore.forPath(cRoot)
           val cVersions = manifestVersions(cRoot, cStore)
-          if (cVersions.isEmpty) { store.deleteFile(s"$root/_manifest/$ref"); Nil }
+          if (cVersions.isEmpty) { ref.foreach(r => store.deleteFile(s"$root/_manifest/$r")); Nil }
           else cVersions
             .map(v => decode(cStore.readString(s"$cRoot/_manifest/v$v.manifest")))
             .flatMap(m => m.files.map(_.path) ++ m.dvs.map(_.path))

@@ -21,6 +21,12 @@ object SinkQueries {
   private val jdbcSeeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val jdbcDbCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Wall seconds the LAST q214 Derby seed took — reported by Bench's
+    * `setup` block (the q64 bucketCtasSeconds precedent), so a
+    * single-rep run (the sf1 protocol) can attribute the one-time
+    * seeding insert separately from the partitioned read under test. */
+  @volatile var jdbcSeedSeconds: Double = 0.0
+
   // ---------------------------------------------------------------- q38
   /** K1/K2 round-trip: events → "<seq> <data>" date-partitioned gzip text
     * → re-read via the F11 split → original rows. The oracle states the
@@ -488,10 +494,12 @@ object SinkQueries {
     (s, d) => {
       val key = s"${System.identityHashCode(s)}:$d"
       val url = jdbcSeeded.computeIfAbsent(key, { _ =>
+        val t0 = System.nanoTime()
         val u = s"jdbc:derby:memory:graftq214_${jdbcDbCounter.getAndIncrement()};create=true"
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .write.mode("overwrite").jdbc(u, "ORDERS_T", new java.util.Properties())
+        jdbcSeedSeconds = (System.nanoTime() - t0) / 1e9
         u
       })
       s.read.format("jdbc")

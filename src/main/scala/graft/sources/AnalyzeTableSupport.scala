@@ -71,12 +71,13 @@ private[graft] final case class GraftAnalyzeTableCommand(root: String)
   * tables — without ndv, multi-join cardinality estimates return
   * unknown and CBO keeps the written join order (AnalyzeColumnsSpec
   * pins the flip). Exact by design: ANALYZE is an explicit maintenance
-  * verb whose one full scan buys correct plans table-wide; a 100-TB
-  * deployment that prefers the cheaper ±5% HLL census can swap the
-  * aggregate for `approx_count_distinct` without touching the sidecar
-  * format (the consumer only reads numbers). A later commit gets NO
-  * colstats file — data changed, so the census goes dark rather than
-  * stale, the standard warehouse contract. */
+  * verb whose one full scan buys correct plans table-wide. Alongside
+  * the exact census it stores a MERGEABLE HLL sketch per column, so
+  * later commits FOLD the census forward
+  * ([[graft.sinks.ManifestUpsertSink.foldColStats]]: batch sketch
+  * unioned in, estimate-grade `exact=false` entries) instead of going
+  * dark — CBO inputs survive trickle writes without re-ANALYZE, and a
+  * fresh ANALYZE restores exactness. */
 private[graft] final case class GraftAnalyzeColumnsCommand(root: String,
     columnNames: Option[Seq[String]], allColumns: Boolean)
     extends LeafRunnableCommand {
@@ -102,16 +103,95 @@ private[graft] final case class GraftAnalyzeColumnsCommand(root: String,
         asked
       }
     require(names.nonEmpty, "ANALYZE ... FOR COLUMNS: no columns requested")
+    // exact census + a mergeable HLL sketch per column (over
+    // xxhash64(value), nulls excluded — the canonical sketch input every
+    // commit-time fold reuses): the sketch is what lets LATER commits
+    // fold the census forward (ManifestUpsertSink.foldColStats) instead
+    // of going dark until the next ANALYZE
     val aggs = names.flatMap(n => Seq(
       count_distinct(col(n)).as(s"__ndv__$n"),
-      sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nulls__$n")))
+      sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nulls__$n"),
+      hll_sketch_agg(when(col(n).isNotNull, xxhash64(col(n))),
+        ManifestStats.HllLgK).as(s"__hll__$n")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val stats = names.zipWithIndex.map { case (n, i) =>
-      n -> ManifestStats.ColNdv(row.getLong(2 * i),
-        if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1))
+      n -> ManifestStats.ColNdv(row.getLong(3 * i),
+        if (row.isNullAt(3 * i + 1)) 0L else row.getLong(3 * i + 1),
+        // an all-null column aggregates to no sketch — store the EMPTY
+        // sketch so the fold contract (sketch present = foldable) holds
+        Option(row.getAs[Array[Byte]](3 * i + 2)).orElse(Some(
+          new org.apache.datasketches.hll.HllSketch(ManifestStats.HllLgK)
+            .toCompactByteArray)))
     }.toMap
+    // EQUI-HEIGHT HISTOGRAMS for range-comparable columns — the
+    // selectivity input ndv+bounds cannot express: a skewed column's hot
+    // key is its bins' MASS, not 1/ndv. Spark's own two-pass recipe:
+    // equi-mass endpoints from approx percentiles, then one
+    // ndv-per-interval aggregation (the catalyst interval sketch).
+    // Domains are catalyst-internal doubles (numeric value, date days,
+    // timestamp micros) — what FilterEstimation compares against.
+    import org.apache.spark.sql.types._
+    val numBins = math.max(2, spark.sessionState.conf
+      .getConfString("spark.sql.statistics.histogram.numBins", "64").toInt)
+    def dbl(n: String): org.apache.spark.sql.Column = df.schema(n).dataType match {
+      case DateType =>
+        datediff(col(n), lit(java.sql.Date.valueOf("1970-01-01"))).cast("double")
+      case TimestampType => unix_micros(col(n)).cast("double")
+      case _ => col(n).cast("double")
+    }
+    val histCols = names.filter(n => df.schema(n).dataType match {
+      case _: NumericType | DateType | TimestampType => true
+      case _ => false
+    })
+    val withHist: Map[String, ManifestStats.ColNdv] =
+      if (histCols.isEmpty) stats
+      else {
+        val pcts = (1 until numBins).map(i => i.toDouble / numBins)
+        val epAggs = histCols.flatMap(n => Seq(
+          min(dbl(n)).as(s"__lo__$n"),
+          max(dbl(n)).as(s"__hi__$n"),
+          percentile_approx(dbl(n),
+            array(pcts.map(lit): _*), lit(10000)).as(s"__p__$n"),
+          count(dbl(n)).as(s"__n__$n")))
+        val ep = df.agg(epAggs.head, epAggs.tail: _*).head()
+        // endpoints per column (duplicates KEPT: a hot value collapses
+        // several equi-mass endpoints onto itself — point bins are how
+        // the histogram spells skew); all-null columns decline
+        val endpoints: Seq[(String, Array[Double], Long)] = histCols.zipWithIndex
+          .flatMap { case (n, i) =>
+            val base = 4 * i
+            if (ep.isNullAt(base) || ep.isNullAt(base + 2)) None
+            else Some((n,
+              (ep.getDouble(base) +: ep.getSeq[Double](base + 2) :+
+                ep.getDouble(base + 1)).toArray,
+              ep.getLong(base + 3)))
+          }
+        if (endpoints.isEmpty) stats
+        else {
+          import org.apache.spark.sql.GraftBridge
+          import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+          val ndvAggs = endpoints.map { case (n, eps, _) =>
+            GraftBridge.column(
+              org.apache.spark.sql.catalyst.expressions.aggregate
+                .ApproxCountDistinctForIntervals(
+                  GraftBridge.expression(dbl(n)),
+                  CreateArray(eps.toIndexedSeq.map(Literal(_))), 0.05)
+                .toAggregateExpression()).as(s"__hist__$n")
+          }
+          val hrow = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+          val hists: Map[String, ManifestStats.EquiHist] = endpoints.zipWithIndex
+            .map { case ((n, eps, nonNull), i) =>
+              val ndvs = hrow.getSeq[Long](i)
+              val bins = eps.toIndexedSeq.sliding(2).zip(ndvs.iterator).map {
+                case (Seq(lo, hi), nd) => (lo, hi, nd)
+              }.toSeq
+              n -> ManifestStats.EquiHist(nonNull.toDouble / bins.size, bins)
+            }.toMap
+          stats.map { case (n, c) => n -> c.copy(hist = hists.get(n)) }
+        }
+      }
     TableStore.forPath(root).putString(s"$root/_manifest",
-      s"v${m.version}.colstats", ManifestStats.encodeCol(stats))
+      s"v${m.version}.colstats", ManifestStats.encodeCol(withHist))
     Seq.empty
   }
 }

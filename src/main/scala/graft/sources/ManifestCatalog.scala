@@ -104,7 +104,14 @@ class ManifestCatalog extends TableCatalog
 
   private def tableDir(ident0: Identifier): String = {
     val ident = normalize(ident0)
-    (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
+    val base = (root +: ident.namespace.toSeq).mkString("/")
+    // `t@dev` addresses BRANCH `dev` of table `t` (quote it: `` `t@dev` ``)
+    // — a full table root of its own under the parent's `_branches/`, so
+    // every verb (read, write, row-level, procedures) just works on it
+    ident.name.split("@", 2) match {
+      case Array(t, b) if t.nonEmpty && b.nonEmpty => s"$base/$t/_branches/$b"
+      case _ => s"$base/${ident.name}"
+    }
   }
 
   override def tableExists(ident: Identifier): Boolean = {
@@ -150,6 +157,9 @@ class ManifestCatalog extends TableCatalog
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (ident.name.contains("@")) throw new IllegalArgumentException(
+      s"'${ident.name}' addresses a BRANCH — branches are created with " +
+        "CALL system.branch('<table>', '<name>'), not CREATE TABLE")
     if (partitions.nonEmpty) throw new UnsupportedOperationException(
       "graft-manifest tables bucket by their key column; PARTITIONED BY is not supported")
     def prop(k: String): Option[String] =

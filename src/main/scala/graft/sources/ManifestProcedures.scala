@@ -85,6 +85,29 @@ private[graft] object ManifestProcedures {
           .defaultValue("1.0").build()),
       (s, root, in) => sinkFor(root).compactIncremental(s, in.getInt(1),
         if (in.isNullAt(2)) 1.0 else in.getDouble(2))),
+    // one-verb MAINTENANCE: apply the incremental-compaction policy to
+    // the table AND every live branch, so merge-on-read read-amp debt
+    // (small files + dv anti-joins) stays bounded without operator
+    // vigilance — the scheduled-job entry point. Policy defaults
+    // (min_files=4, max_dv_fraction=0.1) override per table via
+    // TBLPROPERTIES maintainMinFiles / maintainMaxDvFraction; only the
+    // over-threshold buckets rewrite (compactIncremental's contract), so
+    // a clean table is a cheap no-op.
+    Spec("maintain", Seq(Table),
+      (s, root, _) => {
+        val props = {
+          val p = s"$root/_catalog.properties"
+          val st = graft.sinks.TableStore.forPath(root)
+          if (!st.exists(p)) Map.empty[String, String]
+          else st.readString(p).linesIterator.filter(_.contains('='))
+            .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+        }
+        val minFiles = props.get("maintainMinFiles").map(_.toInt).getOrElse(4)
+        val maxDv = props.get("maintainMaxDvFraction").map(_.toDouble).getOrElse(0.1)
+        (root +: ManifestUpsertSink.branches(root)
+            .map(ManifestUpsertSink.branchRoot(root, _)))
+          .foreach(r => sinkFor(r).compactIncremental(s, minFiles, maxDv))
+      }),
     Spec("cluster", Seq(Table,
         ProcedureParameter.in("cols", StringType).build(),
         ProcedureParameter.in("slices", IntegerType).build()),
@@ -175,7 +198,20 @@ private[graft] object ManifestProcedures {
     Spec("drop_tag", Seq(Table,
         ProcedureParameter.in("name", StringType).build()),
       (_, root, in) =>
-        ManifestUpsertSink.dropTag(root, in.getUTF8String(1).toString)))
+        ManifestUpsertSink.dropTag(root, in.getUTF8String(1).toString)),
+    // WRITABLE BRANCH: a named commit chain inside the table's own root,
+    // forked zero-copy from the current snapshot — `VERSION AS OF
+    // '<name>'` reads its head, `` `t@<name>` `` addresses it for every
+    // verb, main's vacuum holds whatever a branch still references
+    Spec("branch", Seq(Table,
+        ProcedureParameter.in("name", StringType).build()),
+      (_, root, in) => {
+        sinkFor(root).createBranch(in.getUTF8String(1).toString); ()
+      }),
+    Spec("drop_branch", Seq(Table,
+        ProcedureParameter.in("name", StringType).build()),
+      (_, root, in) =>
+        ManifestUpsertSink.dropBranch(root, in.getUTF8String(1).toString)))
 
   /** `CALL graft.system.detail('t')` — DESCRIBE DETAIL: the table's
     * layout and size as ONE row, straight off the manifest log and its
@@ -269,11 +305,27 @@ private[graft] object ManifestProcedures {
     StructField("tag", StringType, nullable = false),
     StructField("version", LongType, nullable = false)))
 
+  /** `CALL graft.system.branches('t')` — live branches with their heads. */
+  private def branchesRows(root: String): Array[InternalRow] =
+    ManifestUpsertSink.branches(root).map { n =>
+      val head = ManifestUpsertSink
+        .latestManifest(ManifestUpsertSink.branchRoot(root, n))
+        .map(_.version).getOrElse(-1L)
+      new GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(n), head)): InternalRow
+    }.toArray
+
+  private val BranchesSchema = StructType(Seq(
+    StructField("branch", StringType, nullable = false),
+    StructField("head_version", LongType, nullable = false)))
+
   def names: Seq[String] = specs(identity).map(_.name) ++
-    Seq("history", "detail", "col_stats", "tags")
+    Seq("history", "detail", "col_stats", "tags", "branches")
 
   def load(tableDir: String => String, name: String): UnboundProcedure = {
     if (name == "history") return historyProcedure(tableDir)
+    if (name == "branches") return rowsProcedure(tableDir, "branches",
+      "live writable branches with their head versions", BranchesSchema, branchesRows)
     if (name == "tags") return rowsProcedure(tableDir, "tags",
       "named version refs as rows", TagsSchema, tagsRows)
     if (name == "detail") return rowsProcedure(tableDir, "detail",

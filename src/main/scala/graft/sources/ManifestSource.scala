@@ -124,6 +124,17 @@ final class ManifestSource extends TableProvider with DataSourceRegister
         // a catalog-created table before its first commit: a declared
         // schema, zero files — SELECT returns no rows, not an error
         Resolved(Seq.empty, Map.empty, None)
+      case None if Option(options.get("versionAsOf")).exists(v =>
+          v.toLongOption.isEmpty && ManifestUpsertSink.tagVersion(root, v).isEmpty &&
+            ManifestUpsertSink.branchExists(root, v)) =>
+        // `VERSION AS OF '<branch>'` — the branch HEAD, resolved as a
+        // read of the branch's OWN root (its stats/colstats sidecars
+        // live there; tags win on a name collision)
+        val bOpts = new util.HashMap[String, String](options.asCaseSensitiveMap())
+        bOpts.put("path",
+          ManifestUpsertSink.branchRoot(root, options.get("versionAsOf")))
+        bOpts.remove("versionAsOf")
+        resolve(new CaseInsensitiveStringMap(bOpts))
       case None =>
         val m = snapshotAllowEmpty(root, resolveVersionOpt(root, options))
         Resolved(m.files, ManifestUpsertSink.loadStats(root, m.version),
@@ -149,8 +160,9 @@ final class ManifestSource extends TableProvider with DataSourceRegister
       v.toLongOption.getOrElse(
         ManifestUpsertSink.tagVersion(root, v).getOrElse(
           throw new IllegalArgumentException(
-            s"versionAsOf '$v' is neither a version number nor a tag of $root " +
-              s"(have tags: ${ManifestUpsertSink.tags(root).keys.toSeq.sorted.mkString(", ")})"))))
+            s"versionAsOf '$v' is neither a version number, a tag, nor a branch of $root " +
+              s"(have tags: ${ManifestUpsertSink.tags(root).keys.toSeq.sorted.mkString(", ")}; " +
+              s"branches: ${ManifestUpsertSink.branches(root).mkString(", ")})"))))
       .orElse(
         Option(options.get("timestampAsOf")).map(t =>
           ManifestUpsertSink.versionAtTimestamp(root, parseTsMs(t))))
@@ -1105,6 +1117,27 @@ object ManifestSource {
           override def max(): java.util.Optional[Object] =
             mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
               .getOrElse(java.util.Optional.empty[Object]())
+          // the ANALYZE-time equi-height histogram (skew selectivity:
+          // a hot key's equality estimate is its bins' MASS, not 1/ndv)
+          // — Spark's transformV2Stats folds it into catalyst ColumnStat
+          override def histogram(): java.util.Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            cs.hist.map { h =>
+              val binArr = h.bins.map { case (lo0, hi0, nd) =>
+                new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                  override def lo(): Double = lo0
+                  override def hi(): Double = hi0
+                  override def ndv(): Long = nd
+                }
+              }.toArray
+              java.util.Optional.of(
+                new org.apache.spark.sql.connector.read.colstats.Histogram {
+                  override def height(): Double = h.height
+                  override def bins(): Array[
+                      org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                    binArr
+                }: org.apache.spark.sql.connector.read.colstats.Histogram)
+            }.getOrElse(java.util.Optional.empty())
         })
     }
     m

@@ -25,7 +25,7 @@ class AnalyzeColumnsSpec extends AnyFunSuite {
     root
   }
 
-  test("FOR COLUMNS writes the colstats sidecar; col_stats serves it; commits invalidate it") {
+  test("FOR COLUMNS writes the colstats sidecar; col_stats serves it; commits fold it forward") {
     val cat = "graft_ndv_basic"
     val root = mkCatalog(cat)
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, grp STRING, seq BIGINT)
@@ -40,15 +40,114 @@ class AnalyzeColumnsSpec extends AnyFunSuite {
     val got = spark.sql(s"CALL $cat.system.col_stats('t')").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("grp", 7L, 0L), ("id", 100L, 0L)), s"census rows: $got")
-    // the sidecar is version-keyed: a new commit goes dark (never stale)
+    // the census FOLDS FORWARD across commits: the batch's HLL sketch
+    // unions into the stored one, so the new version still serves ndv
+    // (estimate-grade) instead of going dark until the next ANALYZE
     spark.sql(s"INSERT INTO $cat.t VALUES (100, 'g_new', 1)")
-    assert(spark.sql(s"CALL $cat.system.col_stats('t')").count() == 0,
-      "a commit after ANALYZE must invalidate the column census")
-    // FOR ALL COLUMNS covers everything, and ndv reflects the new row
+    val folded = spark.sql(s"CALL $cat.system.col_stats('t')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded.keySet == Set("id", "grp"),
+      s"a commit after ANALYZE must fold the census forward, not go dark: $folded")
+    assert(folded("id") >= 99L && folded("id") <= 103L,
+      s"folded ndv(id) must track 101 within HLL error: $folded")
+    assert(folded("grp") == 8L, // tiny cardinalities are HLL-exact
+      s"folded ndv(grp) must see the new group: $folded")
+    // FOR ALL COLUMNS covers everything, and ndv comes back EXACT
     spark.sql(s"ANALYZE TABLE $cat.t COMPUTE STATISTICS FOR ALL COLUMNS")
     val all = spark.sql(s"CALL $cat.system.col_stats('t')").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(all == Map("id" -> 101L, "grp" -> 8L, "seq" -> 2L), s"$all")
+  }
+
+  test("incremental census: trickle commits fold the sketch forward; deletes carry upper bounds; compaction preserves") {
+    val cat = "graft_ndv_fold"
+    val root = mkCatalog(cat)
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, grp STRING, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4',
+        'mergeOnRead'='true')""")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('g', id % 7), 0L FROM range(0, 1000)")
+    spark.sql(s"ANALYZE TABLE $cat.t COMPUTE STATISTICS FOR COLUMNS id, grp")
+    def ndv() = spark.sql(s"CALL $cat.system.col_stats('t')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // several trickle commits WITHOUT re-ANALYZE: the census keeps serving
+    for (k <- 1 to 3)
+      spark.sql(s"INSERT INTO $cat.t SELECT id, concat('h', id % 5), 1L " +
+        s"FROM range(${1000 + 200 * (k - 1)}, ${1000 + 200 * k})")
+    val afterInserts = ndv()
+    assert(afterInserts.nonEmpty, "census must survive trickle inserts")
+    val idNdv = afterInserts("id")
+    assert(idNdv >= 1550 && idNdv <= 1650,
+      s"folded ndv(id) must track 1600 within HLL error: $afterInserts")
+    assert(afterInserts("grp") == 12L, s"7 g-groups + 5 h-groups: $afterInserts")
+    // a MoR delete can't subtract from a sketch: the census carries as an
+    // UPPER BOUND rather than going dark (estimate-grade is the contract)
+    spark.sql(s"DELETE FROM $cat.t WHERE id < 10")
+    val afterDelete = ndv()
+    assert(afterDelete.get("id").contains(idNdv),
+      s"a delete carries the census as an upper bound: $afterDelete")
+    // the planner consumes the folded numbers: attribute stats still flow
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.sql(s"SELECT id, grp FROM $cat.t").queryExecution
+        .optimizedPlan.stats.attributeStats.toSeq
+        .map { case (a, s) => a.name -> s.distinctCount.map(_.toLong) }.toMap
+      assert(stats.get("id").flatten.contains(idNdv),
+        s"folded ndv must reach catalyst attribute stats: $stats")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+    // compaction changes no logical row: the census carries verbatim
+    spark.sql(s"CALL $cat.system.compact('t')")
+    assert(ndv() == afterDelete,
+      "a compaction must carry the census verbatim")
+  }
+
+  test("equi-height histograms: skewed equality selectivity that ndv alone gets WRONG") {
+    val cat = "graft_hist"
+    val root = mkCatalog(cat)
+    spark.sql(s"""CREATE TABLE $cat.f (k BIGINT, s BIGINT, seq BIGINT)
+      TBLPROPERTIES ('keyCol'='k', 'orderCol'='seq', 'buckets'='4')""")
+    // SKEW: 90% of rows carry the hot key s=0; the rest spread over 1..1000
+    spark.sql(s"""INSERT INTO $cat.f
+      SELECT id, CASE WHEN id < 9000 THEN 0L ELSE id % 1000 + 1 END, 0L
+      FROM range(0, 10000)""")
+    spark.sql(s"ANALYZE TABLE $cat.f COMPUTE STATISTICS FOR COLUMNS s")
+    def estimate(v: Int): Option[BigInt] = {
+      val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql(s"SELECT * FROM $cat.f WHERE s = $v").queryExecution
+          .optimizedPlan.stats.rowCount
+      } finally saved match {
+        case Some(x) => spark.conf.set("spark.sql.cbo.enabled", x)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+    // ndv alone reads EVERY equality as rows/ndv ≈ 10 — the histogram's
+    // point bins carry the hot key's true mass
+    val hot = estimate(0)
+    val cold = estimate(500)
+    assert(hot.exists(_ >= BigInt(5000)),
+      s"hot-key estimate must carry the bin mass (~9000), got $hot")
+    assert(cold.exists(_ <= BigInt(500)),
+      s"cold-key estimate must stay small, got $cold")
+    assert(hot.get > cold.get * 10,
+      s"skew must separate the estimates: hot=$hot cold=$cold")
+    // CONTROL: strip the histogram lines from the sidecar — ndv-only
+    // estimation reads the hot and cold keys as the SAME selectivity,
+    // which is exactly the misestimate the histogram exists to fix
+    val v = ManifestUpsertSink.latestManifest(s"$root/f").get.version
+    val sidecar = java.nio.file.Paths.get(s"$root/f/_manifest/v$v.colstats")
+    java.nio.file.Files.writeString(sidecar,
+      java.nio.file.Files.readAllLines(sidecar).stream()
+        .filter(l => !l.startsWith("H\t")).reduce((a, b) => a + "\n" + b).get)
+    val hotNoH = estimate(0)
+    assert(hotNoH.exists(_ <= BigInt(50)),
+      s"without the histogram the hot key reads as ~rows/ndv — tiny: $hotNoH")
+    assert(hot.get > hotNoH.get * 100,
+      s"the histogram must lift the hot key's estimate: $hot vs ndv-only $hotNoH")
   }
 
   test("numeric ndv without derivable bounds is WITHHELD (empty-interval hazard); string ndv still serves") {
@@ -172,15 +271,17 @@ class AnalyzeColumnsSpec extends AnyFunSuite {
         ndvs.get("j").flatten.contains(5L),
         s"analyzed ndv must reach catalyst attribute stats: ${fStats.attributeStats}")
       // WITH ndv (+ the sidecar-derived key ranges — join estimation
-      // zeroes on unknown numeric bounds): (f ⋈ b) estimates ≈ 100 rows
-      // vs (f ⋈ c) ≈ 5000, and the DP reorder joins the REDUCING
-      // dimension first — the flip
+      // zeroes on unknown numeric bounds): (f ⋈ b) estimates ~100 rows
+      // vs (f ⋈ c) in the thousands, and the DP reorder joins the
+      // REDUCING dimension first — the flip. (Estimates are band, not
+      // exact: ANALYZE also records equi-height histograms now, and
+      // histogram-based join estimation refines the pure ndv formula.)
       val fc = spark.sql(s"SELECT * FROM $cat.f f JOIN $cat.c c ON f.j = c.j")
         .queryExecution.optimizedPlan.stats.rowCount
       val fb = spark.sql(s"SELECT * FROM $cat.f f JOIN $cat.b b ON f.k = b.k")
         .queryExecution.optimizedPlan.stats.rowCount
-      assert(fc.exists(_ == BigInt(5000)) && fb.exists(_ == BigInt(100)),
-        s"ndv-based join cardinality estimates must be exact here: f⋈c=$fc f⋈b=$fb")
+      assert(fc.exists(_ >= BigInt(2000)) && fb.exists(_ <= BigInt(500)),
+        s"join cardinality must separate the exploding and reducing dims: f⋈c=$fc f⋈b=$fb")
       val after = leafOrder(q)
       assert(after != before && after.take(2).toSet == Set("f", "b"),
         s"CBO join reordering must flip to (f ⋈ b) ⋈ c once ndv exists, got $after")

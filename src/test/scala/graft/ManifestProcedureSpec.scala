@@ -273,6 +273,108 @@ class ManifestProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("writable branches: fork, diverge, time-travel by name, vacuum holds both chains") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, p STRING, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4',
+          'mergeOnRead'='true')""")
+      spark.sql(s"INSERT INTO $cat.t SELECT id, concat('p', id), 0L FROM range(1, 41)")
+      spark.sql(s"CALL $cat.system.branch('t', 'dev')")
+      val listed = spark.sql(s"CALL $cat.system.branches('t')").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(listed == Map("dev" -> 0L), s"$listed")
+      // a branch commit is INVISIBLE on main; main sees 40, dev sees 41
+      spark.sql(s"INSERT INTO $cat.`t@dev` VALUES (9001, 'dev-only', 1)")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 40L)
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t@dev`").head().getLong(0) == 41L)
+      // MoR DELETE on the branch masks CARRIED rows — zero-copy fork,
+      // deletion folds only on the branch's chain
+      spark.sql(s"DELETE FROM $cat.`t@dev` WHERE id IN (7, 13)")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t@dev`").head().getLong(0) == 39L)
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 40L,
+        "a branch's deletion vector must not leak onto main")
+      // main keeps evolving independently; VERSION AS OF 'dev' reads the
+      // branch HEAD through the main table name
+      spark.sql(s"INSERT INTO $cat.t VALUES (9002, 'main-only', 1)")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 41L)
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 'dev'")
+        .head().getLong(0) == 39L)
+      assert(spark.sql(s"SELECT p FROM $cat.t VERSION AS OF 'dev' WHERE id = 9001")
+        .head().getString(0) == "dev-only")
+      // MAIN's rewrites + vacuum must NOT reclaim files the branch still
+      // references: compact main (all files replaced), vacuum keep-1
+      spark.sql(s"CALL $cat.system.compact('t')")
+      spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t@dev`").head().getLong(0) == 39L,
+        "vacuum on main must hold every file a live branch references")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 41L)
+      // branch verbs are full-table verbs: UPDATE + compact ON the branch
+      spark.sql(s"UPDATE $cat.`t@dev` SET p = 'upd' WHERE id = 21")
+      spark.sql(s"CALL $cat.system.compact('t@dev')")
+      assert(spark.sql(s"SELECT p FROM $cat.`t@dev` WHERE id = 21")
+        .head().getString(0) == "upd")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 41L,
+        "branch compaction must not change main")
+      // CREATE TABLE on a branch name refuses with the right hint
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.`x@y` (id BIGINT, seq BIGINT) " +
+          "TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq')")
+      }
+      assert(e.getMessage.contains("system.branch"), e.getMessage)
+      // drop_branch releases the hold; the branch address dies
+      spark.sql(s"CALL $cat.system.drop_branch('t', 'dev')")
+      assert(spark.sql(s"CALL $cat.system.branches('t')").count() == 0)
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.`t@dev`").collect()
+      }
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 41L)
+    }
+  }
+
+  test("CALL maintain: one verb applies the debt policy to table + branches; clean tables no-op") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, p STRING, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='1',
+          'mergeOnRead'='true')""")
+      spark.sql(s"INSERT INTO $cat.t SELECT id, concat('p', id), 0L FROM range(1, 101)")
+      // start from a settled layout (one file per bucket): the insert's
+      // shuffle writes several part files, which IS small-file debt the
+      // policy would rightly fold — this test isolates the DV policy
+      spark.sql(s"CALL $cat.system.compact('t')")
+      spark.sql(s"CALL $cat.system.branch('t', 'dev')")
+      // 5% dv debt: under the default 10% policy — maintain must NOT
+      // commit a rewrite (a clean-enough table is a cheap no-op)
+      spark.sql(s"DELETE FROM $cat.t WHERE id <= 5")
+      val vBefore = ManifestUpsertSink.latestManifest(s"$root/t").get.version
+      spark.sql(s"CALL $cat.system.maintain('t')")
+      assert(ManifestUpsertSink.latestManifest(s"$root/t").get.version == vBefore,
+        "below-threshold debt must not trigger a rewrite")
+      // stacked trickle deletes push main over 10% AND the branch too:
+      // one maintain call settles both chains
+      spark.sql(s"DELETE FROM $cat.t WHERE id > 5 AND id <= 15")
+      spark.sql(s"DELETE FROM $cat.`t@dev` WHERE id <= 20")
+      spark.sql(s"CALL $cat.system.maintain('t')")
+      val m = ManifestUpsertSink.latestManifest(s"$root/t").get
+      assert(m.dvs.isEmpty, s"over-threshold debt must materialize on main: ${m.dvs}")
+      val b = ManifestUpsertSink.latestManifest(s"$root/t/_branches/dev").get
+      assert(b.dvs.isEmpty, s"maintain must settle branch debt too: ${b.dvs}")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 85L)
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t@dev`").head().getLong(0) == 80L)
+      // per-table policy override: a 0.0 fraction rewrites ANY debt
+      spark.sql(s"DELETE FROM $cat.t WHERE id = 99")
+      spark.sql(s"CALL $cat.system.maintain('t')") // 1/85 ≈ 1.2% < 10%: no-op
+      assert(ManifestUpsertSink.latestManifest(s"$root/t").get.dvs.nonEmpty)
+      val props = s"$root/t/_catalog.properties"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(props),
+        java.nio.file.Files.readString(java.nio.file.Paths.get(props)) +
+          "\nmaintainMaxDvFraction=0.0")
+      spark.sql(s"CALL $cat.system.maintain('t')")
+      assert(ManifestUpsertSink.latestManifest(s"$root/t").get.dvs.isEmpty,
+        "a per-table zero-tolerance policy must settle any debt")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 84L)
+    }
+  }
+
   test("tag creation is atomic create-if-absent: concurrent racers get exactly one winner") {
     withCatalog { (cat, root) =>
       seed(cat, rows = 5, batches = 1)

@@ -1955,6 +1955,117 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     new ManifestUpsertSink(bRoot, keyCol, buckets, partitionCol)
   }
 
+  /** PUBLISH a branch: fast-forward main's commit chain to the branch
+    * HEAD — the closing verb of write-audit-publish (stage commits on a
+    * branch, audit them there, publish by ref move). Legal ONLY when
+    * main has not committed since the fork: the branch's oldest
+    * retained commit must be main's CURRENT head, checked by content
+    * (version + batchId + file/dv entry sets — version numbers alone
+    * can collide after a branch-side vacuum), so a diverged main always
+    * refuses loudly and a rewrite merge stays an explicit, separate
+    * decision.
+    *
+    * Mechanically a REPLAY, not a squash: every branch commit above the
+    * fork lands on main as its own version — history, time travel, and
+    * (critically) the CDC contract survive, because a squash commit
+    * with `feed=None` would read as "no row changed" to every changes
+    * tail ([[graft.sources.ManifestStreamSource]]). Per version, the
+    * branch's own data/dv files (paths under the branch root) MOVE to
+    * the same relative location under main's root FIRST — a manifest is
+    * only ever committed over live paths — then the change feed and the
+    * stats/census sidecars adopt (skipping-stats keys rewritten to the
+    * moved paths), then the manifest commits through the normal atomic
+    * create-new with entry paths rewritten. Explicit `seq` provenance
+    * carries verbatim and branch versions already continue main's
+    * numbering (the fork-at-source-version rule), so the merge-on-read
+    * `file.seq < dv.seq` fold ordering stays monotone across the
+    * publish and main's next commit lands above the adopted head.
+    * Carried-from-main entries were never under the branch root: they
+    * are untouched — the publish moves only what the branch itself
+    * wrote, O(branch-own files) metadata work and zero data bytes
+    * copied.
+    *
+    * A successful publish RETIRES the branch (its own files now live in
+    * main's chain; what remains under its root is dead metadata); a
+    * branch with nothing to publish is left intact and the call no-ops.
+    * Branch-side ALTERs publish too (the catalog-properties file
+    * adopts). Concurrent main commits during the replay lose the
+    * version-commit race and abort the publish mid-chain — every
+    * already-adopted version is a complete readable snapshot, so main
+    * is never torn, merely advanced partway. Returns main's new head
+    * version. */
+  def fastForwardFrom(name: String): Long = {
+    require(validTagName(name),
+      s"bad branch name '$name' — letters/digits/-/_/. only, not all-digits")
+    val bRoot = ManifestUpsertSink.branchRoot(root, name)
+    val bStore = TableStore.forPath(bRoot)
+    require(bStore.exists(s"$bRoot/_manifest"), s"no branch '$name' under $root")
+    val cur = latestManifest(root, store).getOrElse(throw new IllegalStateException(
+      s"no committed manifest under $root — nothing to fast-forward"))
+    healFeed(Some(cur))
+    val bVersions = manifestVersions(bRoot, bStore).sorted
+    require(bVersions.nonEmpty, s"branch '$name' has no committed chain")
+    val forkM = decode(bStore.readString(
+      s"$bRoot/_manifest/v${bVersions.head}.manifest"))
+    require(cur.version == forkM.version && cur.batchId == forkM.batchId &&
+      cur.files.toSet == forkM.files.toSet && cur.dvs.toSet == forkM.dvs.toSet,
+      s"cannot fast-forward '$root' to branch '$name': main has committed since " +
+        s"the fork (main at v${cur.version}, branch's oldest retained commit " +
+        s"v${forkM.version}) — diverged chains need a rewrite merge, not a " +
+        "fast-forward (and the branch must retain its fork commit to publish)")
+    val publish = bVersions.filter(_ > cur.version)
+    if (publish.isEmpty) return cur.version // nothing staged; branch kept
+    val bPrefix = s"${normRoot(bRoot)}/"
+    def adopted(p: String): String =
+      if (p.startsWith(bPrefix)) s"${normRoot(root)}/${p.substring(bPrefix.length)}" else p
+    val bms = publish.map(v => v -> decode(
+      bStore.readString(s"$bRoot/_manifest/v$v.manifest")))
+    // 1. the branch's OWN data + dv files move under main's root first:
+    //    every manifest committed below references only live paths.
+    //    skip-if-destination-exists makes a crashed publish re-runnable.
+    bms.flatMap { case (_, m) =>
+      (m.files.map(_.path) ++ m.dvs.map(_.path)).filter(_.startsWith(bPrefix))
+    }.distinct.foreach { src =>
+      val dst = adopted(src)
+      if (!store.exists(dst))
+        require(store.rename(src, dst), s"fast_forward: cannot move $src -> $dst")
+    }
+    // 2. replay ascending: feed, sidecars, then the manifest (the commit
+    //    point) — each adopted version is a complete snapshot the moment
+    //    it becomes main's head
+    bms.foreach { case (v, bm) =>
+      for (st <- bm.feed) { // heal a crashed branch writer's staged feed first
+        val bTarget = s"$bRoot/_changes/v$v"
+        if (!bStore.exists(bTarget) && bStore.exists(s"$bRoot/$st")) {
+          bStore.rename(s"$bRoot/$st", bTarget); ()
+        }
+      }
+      if (bStore.exists(s"$bRoot/_changes/v$v") && !store.exists(s"$root/_changes/v$v"))
+        require(store.rename(s"$bRoot/_changes/v$v", s"$root/_changes/v$v"),
+          s"fast_forward: cannot adopt change feed v$v")
+      val statsPath = s"$bRoot/_manifest/v$v.stats"
+      if (bStore.exists(statsPath))
+        store.putString(s"$root/_manifest", s"v$v.stats",
+          ManifestStats.encode(ManifestStats.decode(bStore.readString(statsPath))
+            .map { case (p, fs) => adopted(p) -> fs }))
+      val colPath = s"$bRoot/_manifest/v$v.colstats"
+      if (bStore.exists(colPath))
+        store.putString(s"$root/_manifest", s"v$v.colstats", bStore.readString(colPath))
+      commit(root, store, bm.copy(
+        files = bm.files.map(f => f.copy(path = adopted(f.path))),
+        dvs = bm.dvs.map(d => d.copy(path = adopted(d.path)))))
+    }
+    // 3. branch-side ALTERs publish with the chain
+    if (bStore.exists(s"$bRoot/_catalog.properties"))
+      store.putString(root, "_catalog.properties",
+        bStore.readString(s"$bRoot/_catalog.properties"))
+    // 4. retire: own files moved out, carried files never lived here —
+    //    what's left under the branch root is dead metadata
+    deleteTree(store, bRoot)
+    store.deleteDirIfEmpty(s"$root/_branches")
+    publish.last
+  }
+
   private def compactInto(spark: SparkSession)(layout: DataFrame => DataFrame): Unit = {
     val cur = latestManifest(root, store).getOrElse(return)
     healFeed(Some(cur))

@@ -2063,7 +2063,62 @@ object SinkQueries {
       ) t ORDER BY key"""),
     doc = "merge-on-read for MIXED row-level statements: MERGE with DELETE branches and key-moving UPDATE each append row images + ONE sequence-stamped dv covering replaced/deleted/moved-away keys — no statement class pays O(touched-bucket bytes); live seq-aware fold answers pre-compaction")
 
+  // --------------------------------------------------------------- q335
+  private val q335Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** WRITE-AUDIT-PUBLISH over writable branches — the ref-surface
+    * capstone: stage a statement stack (insert + MoR delete + MoR
+    * update) on a branch while main stays pinned at the fork, then
+    * `CALL system.fast_forward` REPLAYS the branch's commits onto main
+    * ([[graft.sinks.ManifestUpsertSink.fastForwardFrom]]) — branch-own
+    * data/dv files move under main's root, change feeds and stats
+    * sidecars adopt, explicit commit-sequence provenance carries so the
+    * merge-on-read `file.seq < dv.seq` fold stays monotone across the
+    * publish, and the branch retires. The final read runs on MAIN
+    * through the adopted deletion vectors pre-compaction; the oracle
+    * restates the staged statements relationally. */
+  val q335 = QueryDef(
+    "q335_branch_fast_forward",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft_q335_").toString
+      val cat = s"graft_q335_${q335Seq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.ManifestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.part(s, d).createOrReplaceTempView("q335_part")
+      s.sql(s"""CREATE TABLE $cat.bt (key BIGINT, price DOUBLE, sz BIGINT, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='key', 'orderCol'='seq', 'buckets'='8',
+          'mergeOnRead'='true')""")
+      s.sql(s"""INSERT INTO $cat.bt
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE), CAST(p_size AS BIGINT), 0L
+        FROM q335_part""")
+      // stage on the branch: main stays pinned at the fork
+      s.sql(s"CALL $cat.system.branch('bt', 'wap')")
+      s.sql(s"""INSERT INTO $cat.`bt@wap` VALUES
+        (CAST(4000001 AS BIGINT), CAST(1.5 AS DOUBLE), CAST(11 AS BIGINT), CAST(1 AS BIGINT)),
+        (CAST(4000002 AS BIGINT), CAST(2.5 AS DOUBLE), CAST(12 AS BIGINT), CAST(1 AS BIGINT))""")
+      s.sql(s"DELETE FROM $cat.`bt@wap` WHERE key IN (2, 3)")
+      s.sql(s"UPDATE $cat.`bt@wap` SET price = price + 5.0, seq = 1 WHERE key IN (10, 11)")
+      // publish: main fast-forwards to the branch head, branch retires
+      s.sql(s"CALL $cat.system.fast_forward('bt', 'wap')")
+      s.sql(s"SELECT key, price, sz FROM $cat.bt ORDER BY key")
+    },
+    Some("""SELECT key, price, sz FROM (
+        SELECT p_partkey AS key,
+          CASE WHEN p_partkey IN (10, 11)
+               THEN CAST(p_retailprice AS DOUBLE) + 5.0
+               ELSE CAST(p_retailprice AS DOUBLE) END AS price,
+          CAST(p_size AS BIGINT) AS sz
+        FROM part WHERE p_partkey NOT IN (2, 3)
+        UNION ALL
+        SELECT CAST(4000001 AS BIGINT), CAST(1.5 AS DOUBLE), CAST(11 AS BIGINT)
+        UNION ALL
+        SELECT CAST(4000002 AS BIGINT), CAST(2.5 AS DOUBLE), CAST(12 AS BIGINT)
+      ) t ORDER BY key"""),
+    doc = "write-audit-publish: statements stage on a writable branch, CALL system.fast_forward replays them onto main (files/feeds/sidecars adopt, seq provenance carries, branch retires) — main answers through the adopted deletion vectors pre-compaction")
+
   val all: Seq[QueryDef] = Seq(q38, q39, q90, q163, q164, q165, q187, q294, q295, q298, q300, q301,
     q302, q303, q304, q305, q307, q308, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319,
-    q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q214, q215, q216, q228)
+    q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q214, q215,
+    q216, q228)
 }

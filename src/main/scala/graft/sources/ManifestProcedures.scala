@@ -211,7 +211,18 @@ private[graft] object ManifestProcedures {
     Spec("drop_branch", Seq(Table,
         ProcedureParameter.in("name", StringType).build()),
       (_, root, in) =>
-        ManifestUpsertSink.dropBranch(root, in.getUTF8String(1).toString)))
+        ManifestUpsertSink.dropBranch(root, in.getUTF8String(1).toString)),
+    // PUBLISH: fast-forward main to a branch's head — the closing verb
+    // of write-audit-publish. Replays the branch's commits (manifests,
+    // change feeds, stats sidecars; branch-own files move under main's
+    // root), refuses when main has committed since the fork, and
+    // retires the published branch. A branch with nothing staged is a
+    // no-op and stays.
+    Spec("fast_forward", Seq(Table,
+        ProcedureParameter.in("branch", StringType).build()),
+      (_, root, in) => {
+        sinkFor(root).fastForwardFrom(in.getUTF8String(1).toString); ()
+      }))
 
   /** `CALL graft.system.detail('t')` — DESCRIBE DETAIL: the table's
     * layout and size as ONE row, straight off the manifest log and its

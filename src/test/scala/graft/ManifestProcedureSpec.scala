@@ -331,6 +331,94 @@ class ManifestProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL fast_forward: write-audit-publish — branch commits replay onto main, branch retires") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, p STRING, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4',
+          'mergeOnRead'='true')""")
+      spark.sql(s"INSERT INTO $cat.t SELECT id, concat('p', id), 0L FROM range(1, 41)")
+      val forkBytes = ManifestUpsertSink.latestManifest(s"$root/t").get.files.map(_.path)
+        .map(p => p -> java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)).toSeq)
+        .toMap
+      spark.sql(s"CALL $cat.system.branch('t', 'wap')")
+      // STAGE on the branch: insert (v1), MoR delete (v2), MoR update (v3)
+      spark.sql(s"INSERT INTO $cat.`t@wap` VALUES (9001, 'staged', 1)")
+      spark.sql(s"DELETE FROM $cat.`t@wap` WHERE id IN (7, 13)")
+      spark.sql(s"UPDATE $cat.`t@wap` SET p = 'upd', seq = 2 WHERE id = 21")
+      // AUDIT window: main still pinned at the fork
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 40L)
+      // PUBLISH
+      spark.sql(s"CALL $cat.system.fast_forward('t', 'wap')")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 39L)
+      assert(spark.sql(s"SELECT p FROM $cat.t WHERE id = 21").head().getString(0) == "upd")
+      assert(spark.sql(s"SELECT p FROM $cat.t WHERE id = 9001").head().getString(0) == "staged")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE id IN (7, 13)")
+        .head().getLong(0) == 0L)
+      // the replay is zero-copy for carried files: the fork commit's data
+      // files are byte-identical after the publish
+      forkBytes.foreach { case (p, bytes) =>
+        assert(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)).toSeq == bytes,
+          s"fast_forward must not rewrite a carried data file: $p")
+      }
+      // branch-own files (including the MoR delete's dv) now live under
+      // MAIN's chain, outside _branches
+      val headM = ManifestUpsertSink.latestManifest(s"$root/t").get
+      assert(headM.version == 3L, s"main must adopt the branch HEAD, got v${headM.version}")
+      assert(headM.dvs.nonEmpty, "the staged MoR delete's dv must publish")
+      assert((headM.files.map(_.path) ++ headM.dvs.map(_.path))
+        .forall(p => !p.contains("_branches")), "adopted paths must leave the branch root")
+      // the published branch is retired
+      assert(spark.sql(s"CALL $cat.system.branches('t')").count() == 0)
+      intercept[Exception] { spark.sql(s"SELECT * FROM $cat.`t@wap`").collect() }
+      // HISTORY survives the publish: intermediate adopted versions
+      // time-travel on main
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 1")
+        .head().getLong(0) == 41L)
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 2")
+        .head().getLong(0) == 39L)
+      // the CDC contract survives: a changes tail over the adopted window
+      // replays the branch's verbs with their version stamps
+      val src = new graft.sources.ManifestStreamSource(spark.sqlContext, s"$root/t",
+        changesMode = true, startingVersion = Some(0L), maxVersionsPerTrigger = None,
+        graft.sources.ManifestStreamSource.resolveSchema(spark.sqlContext, s"$root/t",
+          changesMode = true))
+      val got = src.changesBetween(1L, 3L).select("id", "change", "_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((9001L, "inserted", 1L), (7L, "deleted", 2L),
+        (13L, "deleted", 2L), (21L, "updated", 3L)),
+        s"the adopted feed must replay the staged statements: $got")
+      // life goes on: main commits above the adopted head; vacuum keeps
+      // the published snapshot readable
+      spark.sql(s"INSERT INTO $cat.t VALUES (9002, 'after', 3)")
+      spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 40L)
+      assert(ManifestUpsertSink.latestManifest(s"$root/t").get.version == 4L)
+    }
+  }
+
+  test("CALL fast_forward refuses a diverged main; a branch with nothing staged no-ops and stays") {
+    withCatalog { (cat, root) =>
+      spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, p STRING, seq BIGINT)
+        TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4')""")
+      spark.sql(s"INSERT INTO $cat.t SELECT id, concat('p', id), 0L FROM range(1, 41)")
+      spark.sql(s"CALL $cat.system.branch('t', 'dev')")
+      // nothing staged: publish is a no-op and the branch SURVIVES
+      spark.sql(s"CALL $cat.system.fast_forward('t', 'dev')")
+      assert(spark.sql(s"CALL $cat.system.branches('t')").count() == 1)
+      assert(ManifestUpsertSink.latestManifest(s"$root/t").get.version == 0L)
+      // diverge both chains
+      spark.sql(s"INSERT INTO $cat.t VALUES (9002, 'main-only', 1)")
+      spark.sql(s"INSERT INTO $cat.`t@dev` VALUES (9001, 'dev-only', 1)")
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.fast_forward('t', 'dev')")
+      }
+      assert(e.getMessage.contains("diverged"), e.getMessage)
+      // refusal is clean: both chains read on
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 41L)
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t@dev`").head().getLong(0) == 41L)
+    }
+  }
+
   test("CALL maintain: one verb applies the debt policy to table + branches; clean tables no-op") {
     withCatalog { (cat, root) =>
       spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, p STRING, seq BIGINT)

@@ -657,4 +657,41 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq == Seq((3L, "c")),
       "an unstamped-pin stream tails unstamped commits without spurious fail-stops")
   }
+
+  test("WAP end-to-end: a LIVE main CDC tail sees nothing while staged, everything on publish") {
+    import spark.implicits._
+    val root = tmp("graft_stream_wap_")
+    val ckpt = tmp("graft_stream_wap_ckpt_")
+    val sink = new ManifestUpsertSink(root, "id", buckets = 4)
+    sink.upsertBatch(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "p", "seq"), "seq", 0L)
+
+    val got = mutable.Buffer[Seq[Any]]()
+    val q = drainTo(spark.readStream.format("graft-manifest")
+      .option("changes", "true").load(root)
+      .select("id", "change", "_version"), ckpt, got)
+    try {
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet) ==
+        Set(Seq(1L, "inserted", 0L), Seq(2L, "inserted", 0L)))
+      // STAGE on a branch — the live tail on main must see NOTHING: the
+      // whole point of write-audit-publish is that unaudited commits are
+      // invisible to every downstream consumer, CDC mirrors included
+      val bSink = sink.createBranch("wap")
+      bSink.upsertBatch(Seq((3L, "c", 2L)).toDF("id", "p", "seq"), "seq", 1L)
+      bSink.deleteKeys(Seq(1L).toDF("id"), 2L)
+      q.processAllAvailable()
+      assert(got.synchronized(got.size) == 2,
+        "staged branch commits must be invisible to main's live tail")
+      // PUBLISH — the SAME live tail (no restart, same checkpoint)
+      // advances through the adopted versions with their verbs intact,
+      // because fast_forward replays commits + feeds rather than
+      // squashing into a feed-less version the tail would skip
+      sink.fastForwardFrom("wap")
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet) == Set(
+        Seq(1L, "inserted", 0L), Seq(2L, "inserted", 0L),
+        Seq(3L, "inserted", 1L), Seq(1L, "deleted", 2L)),
+        s"publish must replay through the live tail: ${got.synchronized(got.toSet)}")
+    } finally q.stop()
+  }
 }

@@ -89,7 +89,7 @@ object ManifestStats {
     * scale, a Spark job costs more than it saves) but a full-rewrite
     * compaction of a 100-TB table writes tens of thousands of files —
     * serial driver reads there are minutes of commit-path stall. */
-  private[graft] val DistributedCollectThreshold = 16
+  private[graft] val DistributedCollectThreshold = 64
 
   /** Footer stats collected ON EXECUTORS — one task per slice of the
     * written file list, byte-identical results to the driver path (same

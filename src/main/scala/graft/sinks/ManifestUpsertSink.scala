@@ -225,7 +225,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // post-commit — so the feed appears atomically, under the FINAL
     // version even after a rebase, and a crashed writer's stage is never
     // visible (the vacuum orphan sweep reclaims it)
-    changes.write.mode("overwrite").parquet(s"$root/_stage/$tag")
+    writeFeed(changes, tag)
     // ---- copy-on-write bucket rewrite
     val survivors = current match {
       case Some(c) =>
@@ -292,7 +292,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         lit(null).cast("long").as("new_hash"),
         payloadImage(victims).as("old_image"),
         lit(null).cast("string").as("new_image")): _*)
-      .write.mode("overwrite").parquet(s"$root/_stage/$tag")
+      .transform(writeFeedFn(tag))
     val survivors = current
       .withColumn(BucketCol, bucketExpr)
       .join(keyed.select(keyColumns: _*), keyCols, "left_anti")
@@ -354,36 +354,24 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // dv-deleted key sees it absent and records nothing — each key lives
     // in at most one dv file, keeping the sidecar arithmetic exact
     val current = readLogical(spark, cur, touchedEntries)
-    // deliberately NOT persisted, like the merge's `deduped` (see the
-    // measured rationale there): two actions read `victims` — the feed
-    // write and the tiny dv write — and two recomputes of a key-pruned
-    // semi-join cost less than a columnar cache build per statement
     val victims = current.join(keyed.select(keyColumns: _*), keyCols, "left_semi")
     // feed first (same crash contract as the CoW delete)
-    victims.select(keyColumns ++ Seq(lit("deleted").as("change"),
+    val feed = victims.select(keyColumns ++ Seq(lit("deleted").as("change"),
         xxhash64(payloadImage(victims)).as("old_hash"),
         lit(null).cast("long").as("new_hash"),
         payloadImage(victims).as("old_image"),
         lit(null).cast("string").as("new_image")): _*)
-      .write.mode("overwrite").parquet(s"$root/_stage/$tag")
-    // the dv sidecar: ONLY the victim key tuples, bucket-partitioned —
-    // one small file per touched bucket
-    val dvDir = s"$root/data/v$version-$tag-dv"
-    victims.select(keyColumns: _*).withColumn(BucketCol, bucketExpr)
-      .repartition(math.max(touched.size, 1), col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(dvDir)
-    val dvFiles = listParquet(dvDir, store)
-    // exact per-file key counts from the freshly-written footers (a few
-    // tiny files): recorded in the manifest so cap checks and
-    // metadata-only COUNT stay driver arithmetic
-    val dvStats = ManifestStats.collectAuto(dvFiles.map(_.path))
-    val newDvs = dvFiles.map(f => DvEntry(f.bucket,
-        dvStats.get(f.path).map(_.rows).getOrElse(throw new IllegalStateException(
-          s"could not read footer row count of freshly-written dv file ${f.path}")),
-        f.path))
-      .filter(_.rows > 0)
+    writeFeed(feed, tag)
+    // the dv sidecar: ONLY the victim key tuples — read back from the
+    // just-staged feed (O(victims), already classified) instead of
+    // recomputing the O(touched-bucket-bytes) semi-join a second time.
+    // Explicit schema: a victimless statement stages ZERO part files,
+    // which schema inference would refuse.
+    val newDvs = writeDvSidecar(
+      spark.read.schema(feed.schema).parquet(s"$root/_stage/$tag")
+        .select(keyColumns: _*),
+      version, tag, touched.size)
     if (newDvs.isEmpty) { // zero victims: a DELETE must never create a version
-      deleteTree(store, dvDir)
       deleteTree(store, s"$root/_stage/$tag")
       store.deleteDirIfEmpty(s"$root/_stage")
       return
@@ -396,7 +384,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         newDvs.filter(_.bucket == b).map(_.rows).sum > math.max(1L, maxDvRowsPerBucket)
     }
     if (overCap) {
-      deleteTree(store, dvDir)
+      deleteTree(store, s"$root/data/v$version-$tag-dv")
       deleteTree(store, s"$root/_stage/$tag")
       store.deleteDirIfEmpty(s"$root/_stage")
       deleteKeys(keys, batchId)
@@ -488,27 +476,22 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         .otherwise(xxhash64(col("old_image"))).as("old_hash"),
       xxhash64(col("new_image")).as("new_hash"),
       col("old_image"), col("new_image")): _*)
-    changes.write.mode("overwrite").parquet(s"$root/_stage/$tag")
+    writeFeed(changes, tag)
     // the dv sidecar: keys that ALREADY EXIST (the replaced instances) —
-    // pure inserts need no masking and must not enter the subtraction
-    val dvDir = s"$root/data/v$version-$tag-dv"
+    // pure inserts need no masking and must not enter the subtraction.
+    // Derived from the JUST-STAGED feed (change = 'updated' ⇔ the key had
+    // a live row) instead of a second readLogical + semi-join against the
+    // touched buckets: the feed is O(batch) and already classified — the
+    // recompute was O(touched-bucket bytes) per statement (guide §1.2:
+    // don't compute things twice that one pass already knows).
     val newDvs: Seq[DvEntry] = current match {
       case None => Nil
-      case Some(c) =>
-        val victims = deduped.select(keyColumns: _*)
-          .join(c.select(keyColumns: _*), keyCols, "left_semi")
-          .withColumn(BucketCol, bucketExpr)
-        victims.repartition(math.max(touched.size, 1), col(BucketCol))
-          .write.mode("overwrite").partitionBy(BucketCol).parquet(dvDir)
-        val dvFiles = listParquet(dvDir, store)
-        val dvStats = ManifestStats.collectAuto(dvFiles.map(_.path))
-        val out = dvFiles.map(f => DvEntry(f.bucket,
-            dvStats.get(f.path).map(_.rows).getOrElse(throw new IllegalStateException(
-              s"could not read footer row count of freshly-written dv file ${f.path}")),
-            f.path))
-          .filter(_.rows > 0)
-        if (out.isEmpty) deleteTree(store, dvDir)
-        out
+      case Some(_) =>
+        val victims = spark.read.schema(changes.schema)
+          .parquet(s"$root/_stage/$tag")
+          .filter(col("change") === "updated")
+          .select(keyColumns: _*)
+        writeDvSidecar(victims, version, tag, touched.size)
     }
     // cap: accumulated dv debt per bucket stays broadcast-sized, or the
     // statement routes to copy-on-write (which materializes the backlog)
@@ -517,7 +500,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         newDvs.filter(_.bucket == b).map(_.rows).sum > math.max(1L, maxDvRowsPerBucket)
     })
     if (overCap) {
-      if (newDvs.nonEmpty) deleteTree(store, dvDir)
+      if (newDvs.nonEmpty) deleteTree(store, s"$root/data/v$version-$tag-dv")
       deleteTree(store, s"$root/_stage/$tag")
       store.deleteDirIfEmpty(s"$root/_stage")
       upsertBatch(batch, orderCol, batchId)
@@ -600,7 +583,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // the current rows; the delete half records only keys that EXIST
     val changes = deltaChanges(deduped, keyedDel, current, hasUps)
       .getOrElse(return) // unreachable: guarded above
-    changes.write.mode("overwrite").parquet(s"$root/_stage/$tag")
+    writeFeed(changes, tag)
     // one survivor pass per touched bucket: drop replaced AND deleted
     // keys, union the new row images
     val gone =
@@ -727,30 +710,22 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     }
     val changes = deltaChanges(deduped, keyedDel, current, hasUps = true)
       .getOrElse(return) // unreachable: hasUps guaranteed
-    changes.write.mode("overwrite").parquet(s"$root/_stage/$tag")
+    writeFeed(changes, tag)
     // ONE dv generation for the whole statement: every LIVE instance it
     // retires — replaced keys (the upserts' current rows) and deleted
     // keys. Keys with no live row (pure inserts, deletes of absent keys)
-    // must not enter the subtraction.
-    val dvDir = s"$root/data/v$version-$tag-dv"
+    // must not enter the subtraction. Derived from the just-staged feed
+    // (change = 'updated' ⇔ a replaced live row, 'deleted' ⇔ a deleted
+    // live row) — O(changes) instead of a second O(touched-bucket-bytes)
+    // semi-join against the snapshot.
     val newDvs: Seq[DvEntry] = current match {
       case None => Nil
-      case Some(c) =>
-        val retired = deduped.select(keyColumns: _*)
-          .unionByName(keyedDel.select(keyColumns: _*))
-        val victims = retired.join(c.select(keyColumns: _*), keyCols, "left_semi")
-          .withColumn(BucketCol, bucketExpr)
-        victims.repartition(math.max(touched.size, 1), col(BucketCol))
-          .write.mode("overwrite").partitionBy(BucketCol).parquet(dvDir)
-        val dvFiles = listParquet(dvDir, store)
-        val dvStats = ManifestStats.collectAuto(dvFiles.map(_.path))
-        val out = dvFiles.map(f => DvEntry(f.bucket,
-            dvStats.get(f.path).map(_.rows).getOrElse(throw new IllegalStateException(
-              s"could not read footer row count of freshly-written dv file ${f.path}")),
-            f.path))
-          .filter(_.rows > 0)
-        if (out.isEmpty) deleteTree(store, dvDir)
-        out
+      case Some(_) =>
+        val victims = spark.read.schema(changes.schema)
+          .parquet(s"$root/_stage/$tag")
+          .filter(col("change") =!= "inserted")
+          .select(keyColumns: _*)
+        writeDvSidecar(victims, version, tag, touched.size)
     }
     // cap: accumulated dv debt per bucket stays broadcast-sized, or the
     // statement routes to copy-on-write (which materializes the backlog)
@@ -759,7 +734,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         newDvs.filter(_.bucket == b).map(_.rows).sum > math.max(1L, maxDvRowsPerBucket)
     })
     if (overCap) {
-      if (newDvs.nonEmpty) deleteTree(store, dvDir)
+      if (newDvs.nonEmpty) deleteTree(store, s"$root/data/v$version-$tag-dv")
       deleteTree(store, s"$root/_stage/$tag")
       store.deleteDirIfEmpty(s"$root/_stage")
       applyDelta(batch, delKeys, orderCol, batchId)
@@ -790,14 +765,17 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     * they do open (Spark's vectorized reader tests pushed equality
     * filters against the bloom automatically — free at read time, a few
     * KB per row group at write time). */
-  private def writeData(df: DataFrame, dataDir: String): Unit =
-    writeDataKeyed(df, dataDir, keyCols)
+  private def writeData(df: DataFrame, dataDir: String,
+      relayout: Boolean = true): Unit =
+    writeDataKeyed(df, dataDir, keyCols, relayout)
 
-  private def writeDataKeyed(df: DataFrame, dataDir: String, cols: Seq[String]): Unit =
-    writeDataPartitioned(df, dataDir, cols, partitionCol)
+  private def writeDataKeyed(df: DataFrame, dataDir: String, cols: Seq[String],
+      relayout: Boolean = true): Unit =
+    writeDataPartitioned(df, dataDir, cols, partitionCol, relayout)
 
   private def writeDataPartitioned(df: DataFrame, dataDir: String,
-      cols: Seq[String], partCol: Option[String]): Unit = {
+      cols: Seq[String], partCol: Option[String],
+      relayout: Boolean = true): Unit = {
     // the partition value is DERIVED at write (date_format handles date,
     // timestamp, and ISO-string columns) and lives only in the directory
     // name — data files carry exactly the table columns, reads never see
@@ -808,6 +786,22 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
           Seq(BucketCol, PdateCol))
       case None => (df, Seq(BucketCol))
     }
+    // LAYOUT before write (`relayout`, the merge/delete/append default):
+    // an AQE REBALANCE by the partition dirs. Without it a commit writes
+    // (input partitions × touched buckets) files — a 32-task survivor
+    // frame over 16 buckets emitted ~512 near-empty files PER COMMIT,
+    // and every later scan, footer-stats pass, and sidecar fold paid
+    // that amplification (measured: a 10-commit 16-bucket merge loop
+    // accreted 781 files). The rebalance is the Iceberg
+    // write.distribution-mode=hash shape and scale-adaptive in both
+    // directions: tiny commits coalesce to one file per (bucket, pdate),
+    // oversized buckets split at spark.sql.adaptive.advisoryPartitionSize
+    // (skew-aware), so production-sized commits still fan out. Callers
+    // that already shuffled into a deliberate layout (compaction slices,
+    // recluster, partition evolution) pass relayout = false.
+    val placed =
+      if (relayout) framed.hint("rebalance", partBy.map(col): _*)
+      else framed
     // KEY-SORTED files: each task's rows sort by (partition dirs, key
     // tuple), so the dynamic-partition writer emits every file with its
     // rows in key order — nearly free (a per-task sort the partitioned
@@ -817,9 +811,17 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // per-task SortExec. The manifest's `sortedBy` stamp tracks whether
     // EVERY live file was written this way (full rewrites stamp; carried
     // pre-sorting vintages clear it until the next compaction).
-    cols.foldLeft(framed
+    cols.foldLeft(placed
         .sortWithinPartitions((partBy ++ cols).map(col): _*)
-        .write.mode("overwrite")) { (w, k) =>
+        .write.mode("overwrite")
+        // ADAPTIVE bloom sizing (parquet-mr 1.14+): without it every
+        // bloom is allocated at parquet.bloom.filter.max.bytes (1 MB)
+        // regardless of the file's actual ndv, so a trickle commit's
+        // one-bucket file was ~97% bloom bytes. Adaptive sizes the
+        // filter to the observed distinct count — same false-positive
+        // target, orders of magnitude fewer bytes on small files,
+        // unchanged on big ones.
+        .option("parquet.bloom.filter.adaptive.enabled", "true")) { (w, k) =>
       w.option(s"parquet.bloom.filter.enabled#$k", "true")
     }.partitionBy(partBy: _*).parquet(dataDir)
   }
@@ -1084,6 +1086,43 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
   private def newTag(): String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 
+  /** The staged change-feed write. Deliberately NOT rebalanced: unlike
+    * the data write (whose dynamic `partitionBy` multiplied files by
+    * plan-partitions × buckets), a feed lands at most one file per plan
+    * partition — and a controlled A/B showed the extra exchange costs
+    * every statement more than the few avoided file opens save its CDC
+    * readers. */
+  private def writeFeed(changes: DataFrame, tag: String): Unit =
+    changes.write.mode("overwrite").parquet(s"$root/_stage/$tag")
+
+  /** [[writeFeed]] as a pass-through for `.transform` chains. */
+  private def writeFeedFn(tag: String)(changes: DataFrame): DataFrame = {
+    writeFeed(changes, tag); changes
+  }
+
+  /** Write a statement's deletion-vector sidecar — the victim KEY TUPLES,
+    * bucket-partitioned, one small file per touched bucket — and return
+    * its manifest entries with exact per-file key counts read from the
+    * freshly-written footers (a few tiny files, driver-side), so cap
+    * checks and metadata-only COUNT stay driver arithmetic. A victimless
+    * statement leaves no dir behind. */
+  private def writeDvSidecar(victims: DataFrame, version: Long, tag: String,
+      touchedCount: Int): Seq[DvEntry] = {
+    val dvDir = s"$root/data/v$version-$tag-dv"
+    victims.withColumn(BucketCol, bucketExpr)
+      .repartition(math.max(touchedCount, 1), col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(dvDir)
+    val dvFiles = listParquet(dvDir, store)
+    val dvStats = ManifestStats.collectAuto(dvFiles.map(_.path))
+    val out = dvFiles.map(f => DvEntry(f.bucket,
+        dvStats.get(f.path).map(_.rows).getOrElse(throw new IllegalStateException(
+          s"could not read footer row count of freshly-written dv file ${f.path}")),
+        f.path))
+      .filter(_.rows > 0)
+    if (out.isEmpty) deleteTree(store, dvDir)
+    out
+  }
+
   /** The touched-bucket collect, with the NON-NULL KEY invariant enforced
     * in the same single action: the frame's distinct (bucket, any-key-
     * component-null) pairs are ≤ 2·buckets rows, so the probe costs
@@ -1165,9 +1204,10 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
   }
 
   /** INCREMENTAL compaction — the sustained-ingest form: rewrite ONLY the
-    * buckets holding at least `minFilesPerBucket` data files (each merge
-    * leaves a part-file set per touched bucket per batch, so hot buckets
-    * accrete small files) and carry every other bucket's entries forward
+    * buckets holding at least `minFilesPerBucket` data files (each
+    * MERGE-ON-READ append leaves per-batch files per touched bucket, so
+    * hot MoR buckets accrete small files; copy-on-write merges rebalance
+    * to one file per bucket) and carry every other bucket's entries forward
     * verbatim, zero I/O. Cost is ∝ fat-bucket bytes, never table bytes —
     * a full [[compact]] is the degenerate `minFilesPerBucket = 1`. The
     * replay guard keeps the merged batch id, like compact. No-op (no new
@@ -1219,7 +1259,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       .withColumn(BucketCol, bucketExpr)
       .repartition(math.max(fat.size, 1), col(BucketCol))
     val dataDir = s"$root/data/v$version-${newTag()}"
-    writeData(rows, dataDir)
+    writeData(rows, dataDir, relayout = false)
     val written = listParquet(dataDir, store)
     // data-preserving rewrite of the fat buckets: dataChanged is empty,
     // so a concurrent merge into one of them simply wins that bucket
@@ -1646,7 +1686,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         pmod(xxhash64(newKeyCols.map(col): _*), lit(newBuckets.toLong)))
       .repartition(newBuckets, col(BucketCol))
     val dataDir = s"$root/data/v$version-${newTag()}"
-    writeDataKeyed(all, dataDir, newKeyCols)
+    writeDataKeyed(all, dataDir, newKeyCols, relayout = false)
     val written = listParquet(dataDir, store)
     commit(root, store, Manifest(version, cur.batchId, Some(newBuckets),
       Some(newKeyCol), written, touched = None, feed = None, partCol = partitionCol,
@@ -1686,7 +1726,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
       require(all.columns.contains(p),
         s"cannot partition by $p: no such column (have ${all.columns.sorted.mkString(", ")})")
     val dataDir = s"$root/data/v$version-${newTag()}"
-    writeDataPartitioned(all, dataDir, keyCols, newPartCol)
+    writeDataPartitioned(all, dataDir, keyCols, newPartCol, relayout = false)
     val written = listParquet(dataDir, store)
     commit(root, store, Manifest(version, cur.batchId, Some(buckets),
       Some(keyCol), written, touched = None, feed = None, partCol = newPartCol,
@@ -1809,7 +1849,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
             .otherwise(xxhash64(col("new_image"))).as("new_hash"),
           col("old_image"), col("new_image")): _*)
       val tag = newTag()
-      diff.write.mode("overwrite").parquet(s"$root/_stage/$tag")
+      writeFeed(diff, tag)
       s"_stage/$tag"
     }
     commit(root, store, Manifest(newVersion, cur.batchId, Some(tBuckets),
@@ -1899,7 +1939,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         .withColumn(BucketCol, bucketExpr)
         .repartition(buckets, col(BucketCol))
       val dataDir = s"$targetRoot/data/v${cur.version}-${newTag()}"
-      writeData(all, dataDir)
+      writeData(all, dataDir, relayout = false)
       val written = listParquet(dataDir, tStore).map(_.copy(seq = cur.version))
       commit(targetRoot, tStore, Manifest(cur.version, cur.batchId, Some(buckets),
         Some(keyCol), written, touched = None, feed = None, renames = Nil,
@@ -2080,7 +2120,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val all = layout(
       readLogical(spark, cur, cur.files).withColumn(BucketCol, bucketExpr))
     val dataDir = s"$root/data/v$version-${newTag()}"
-    writeData(all, dataDir)
+    writeData(all, dataDir, relayout = false)
     val written = listParquet(dataDir, store)
     // full data-preserving rewrite: every snapshot bucket's entries are
     // replaced, no rows change — a concurrent merge wins its buckets at
@@ -2201,7 +2241,7 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
           lit(null).cast("long").as("new_hash"),
           payloadImage(victims).as("old_image"),
           lit(null).cast("string").as("new_image")): _*)
-        .write.mode("overwrite").parquet(s"$root/_stage/$tag")
+        .transform(writeFeedFn(tag))
       s"_stage/$tag"
     }
     commit(root, store, Manifest(version, cur.batchId, Some(buckets),

@@ -25,11 +25,14 @@ class ManifestProcedureSpec extends AnyFunSuite {
     f(cat, root)
   }
 
-  /** Batches insert DISJOINT id ranges (b*100+i) so per-batch files
-    * accumulate per bucket — the shape compaction exists for. */
-  private def seed(cat: String, rows: Int = 40, batches: Int = 3): Unit = {
+  /** Batches insert DISJOINT id ranges (b*100+i). `props` lets a test
+    * opt into the layouts that ACCRETE files per batch (mergeOnRead
+    * appends) — the copy-on-write merge no longer does, since its
+    * survivor write rebalances to one file per touched bucket. */
+  private def seed(cat: String, rows: Int = 40, batches: Int = 3,
+      props: String = ""): Unit = {
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, p STRING, seq BIGINT)
-      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4')""")
+      TBLPROPERTIES ('keyCol'='id', 'orderCol'='seq', 'buckets'='4'$props)""")
     for (b <- 1 to batches)
       spark.sql(s"INSERT INTO $cat.t VALUES " +
         (1 to rows).map(i => s"(${b * 100 + i}, 'b$b-$i', $b)").mkString(", "))
@@ -37,9 +40,12 @@ class ManifestProcedureSpec extends AnyFunSuite {
 
   test("CALL compact folds per-batch files and returns the post-call (version, n_files)") {
     withCatalog { (cat, root) =>
-      seed(cat)
+      // merge-on-read: each INSERT appends its own per-bucket files, the
+      // accretion shape compaction exists for (the CoW merge now leaves
+      // exactly one file per touched bucket by construction)
+      seed(cat, props = ", 'mergeOnRead'='true'")
       val before = ManifestUpsertSink.snapshotManifest(s"$root/t", None)
-      assert(before.files.size > 4, "3 merges leave several part files per touched bucket")
+      assert(before.files.size > 4, "3 MoR appends leave per-batch files per touched bucket")
       val res = spark.sql(s"CALL $cat.system.compact('t')")
         .as[(Long, Long)].collect().toSeq
       val after = ManifestUpsertSink.snapshotManifest(s"$root/t", None)

@@ -188,7 +188,10 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     // the key is non-nullable BY CONTRACT (the DSv2 schema advertises it
     // to Catalyst, which folds IsNull away on it), so every write path
     // must enforce it, not just SQL INSERT's store-assignment check.
-    val touched = collectTouchedRequireKeys(deduped)
+    // Probed on the RAW batch keys: LWW never changes the key set, and
+    // pre-window probing skips a full sort shuffle of the batch.
+    val touched = collectTouchedRequireKeys(
+      batch.select(keyColumns: _*).withColumn(BucketCol, bucketExpr))
     // current rows of the touched buckets — the one table-side read both
     // the survivor computation and the change feed share
     val current: Option[DataFrame] = cur.flatMap { m =>
@@ -454,7 +457,9 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val tag = newTag()
     val deduped = JdbcUpsertSink.lastWriteWins(batch, keyCol, col(orderCol))
       .withColumn(BucketCol, bucketExpr)
-    val touched = collectTouchedRequireKeys(deduped)
+    // raw-batch probe: LWW never changes the key set (see upsertBatch)
+    val touched = collectTouchedRequireKeys(
+      batch.select(keyColumns: _*).withColumn(BucketCol, bucketExpr))
     val current: Option[DataFrame] = cur.flatMap { m =>
       val touchedEntries = m.files.filter(f => touched(f.bucket))
       if (touchedEntries.isEmpty) None
@@ -561,7 +566,10 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
         JdbcUpsertSink.lastWriteWins(batch, keyCol, col(orderCol))
           .withColumn(BucketCol, bucketExpr)
       else batch
-    val touchedUps = if (hasUps) collectTouchedRequireKeys(deduped) else Set.empty[Long]
+    val touchedUps =
+      if (hasUps) collectTouchedRequireKeys(
+        batch.select(keyColumns: _*).withColumn(BucketCol, bucketExpr))
+      else Set.empty[Long]
     // deletes of keys re-occupied by an upsert resolve as upserts
     val keyedDel = {
       val base = delKeys.select(keyColumns: _*).distinct()
@@ -695,7 +703,8 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
     val tag = newTag()
     val deduped = JdbcUpsertSink.lastWriteWins(batch, keyCol, col(orderCol))
       .withColumn(BucketCol, bucketExpr)
-    val touchedUps = collectTouchedRequireKeys(deduped)
+    val touchedUps = collectTouchedRequireKeys(
+      batch.select(keyColumns: _*).withColumn(BucketCol, bucketExpr))
     // deletes of keys re-occupied by an upsert resolve as upserts
     val keyedDel = delKeys.select(keyColumns: _*).distinct()
       .join(deduped.select(keyColumns: _*), keyCols, "left_anti")

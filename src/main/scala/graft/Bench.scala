@@ -115,17 +115,38 @@ object Bench {
     val setup = f"""{"q64_bucket_ctas_sec":${graft.operators.Scale.bucketCtasSeconds}%.3f,"q214_jdbc_seed_sec":${graft.sinks.SinkQueries.jdbcSeedSeconds}%.3f}"""
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rep_spread":$spreads%s,"errors":$errJson%s,"streaming":$streaming%s,"stream_join":$streamJoin%s,"writers":$writers%s,"trickle_delete":$trickle%s,"dv_scan":$dvScan%s,"setup":$setup%s,"sf":"$sfDir%s"}"""
     println(line)
+    // The full line above is ~21 KB at 334 queries, and the driver archives
+    // only a ~2,000-char stdout TAIL — every BENCH_r12..r16 stored a tail
+    // that starts mid-line and parsed as null, which cost five rounds their
+    // per-query ground truth. The LAST stdout line is therefore a compact
+    // summary guaranteed to fit that capture window (total, per-tier
+    // subtotals, error names); the per-query map stays in the full line
+    // and in target/bench.json / target/bench_c<cpus>.json on disk.
+    // ≤20 names keeps the compact line under the capture window even in a
+    // catastrophic run; n_errors still reports the true count
+    val errNames = errs.take(20).map(e => "\"" + jsonEsc(e._1) + "\"").mkString("[", ",", "]")
+    val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + jsonEsc(k) + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    def tierSum(prefix: String => Boolean): Double =
+      results.collect { case (k, v, _) if v > 0 && prefix(k) => v }.sum
+    val lakeSec = tierSum(k => k >= "q294" && k <= "q335z")
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}%d,"n_errors":${errs.size}%d,"errors":$errNames%s,"lake_sec":$lakeSec%.3f,"slowest":$slowest%s,"full_json":"target/bench.json","cpus":$cpus%s,"sf":"$sfDir%s"}"""
     // stdout insurance (r07: a clean run still archived as `parsed: null`
     // because the driver keeps only a short stdout tail and the timing map
-    // prints first) — the full JSON always lands on disk too
+    // prints first) — the full JSON always lands on disk too, and per-cpus
+    // so a c8 scaling run no longer overwrites the c32 artifact
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, line + "\n")
-      System.err.println(s"[bench] json also written to ${out.toAbsolutePath}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"target/bench_c$cpus.json"), line + "\n")
+      System.err.println(s"[bench] json also written to ${out.toAbsolutePath} and target/bench_c$cpus.json")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: $e")
     }
+    println(compact)
     spark.stop()
   }
 

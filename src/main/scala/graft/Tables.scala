@@ -34,6 +34,13 @@ object Tables {
     * caller reading other nanos parquet. */
   val sessionConf: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      // AQE pinned ON (it is the Spark 3.2+ default, but the manifest
+      // sink's commit-write REBALANCE layout depends on it: with AQE off,
+      // RebalancePartitions plans as a plain hash shuffle and a large
+      // copy-on-write bucket rewrite funnels through ONE task — the
+      // rebalance is only scale-adaptive because AQE splits oversized
+      // partitions at advisoryPartitionSizeInBytes and coalesces tiny ones)
+      "spark.sql.adaptive.enabled" -> "true",
       // local checkpoint metadata through java.nio instead of Hadoop's
       // LocalFileSystem (which stats via shell-out and doubles writes
       // with checksums) — kills the per-trigger walCommit/commitOffsets

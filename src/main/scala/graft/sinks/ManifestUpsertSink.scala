@@ -1118,7 +1118,14 @@ class ManifestUpsertSink(root: String, keyCol: String, buckets: Int = 16,
   private def writeDvSidecar(victims: DataFrame, version: Long, tag: String,
       touchedCount: Int): Seq[DvEntry] = {
     val dvDir = s"$root/data/v$version-$tag-dv"
-    victims.withColumn(BucketCol, bucketExpr)
+    // distinct: the sidecar is a key SET, and the COUNT arithmetic
+    // (Σfile rows − Σdv rows) assumes one dv row per retired live
+    // instance. The feed-derived victims are unique per key on a healthy
+    // snapshot; if a corrupt commit ever left duplicate live rows for a
+    // key, the feed's left_outer join would emit several victim rows and
+    // silently compound the corruption — dedupe defensively (the frame is
+    // O(statement), the extra exchange is noise).
+    victims.distinct().withColumn(BucketCol, bucketExpr)
       .repartition(math.max(touchedCount, 1), col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(dvDir)
     val dvFiles = listParquet(dvDir, store)

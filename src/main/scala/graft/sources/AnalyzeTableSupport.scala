@@ -108,11 +108,46 @@ private[graft] final case class GraftAnalyzeColumnsCommand(root: String,
     // commit-time fold reuses): the sketch is what lets LATER commits
     // fold the census forward (ManifestUpsertSink.foldColStats) instead
     // of going dark until the next ANALYZE
+    // ONE census pass (guide §1.2): the exact ndv/null/HLL aggregates and
+    // the histogram ENDPOINT aggregates (min/max/percentiles/non-null
+    // count) are independent aggregations over the same snapshot, so they
+    // fuse into a single scan — only the interval-ndv pass below must
+    // stay separate (its bin boundaries are data the first pass produces).
+    import org.apache.spark.sql.types._
+    val numBins = math.max(2, spark.sessionState.conf
+      .getConfString("spark.sql.statistics.histogram.numBins", "64").toInt)
+    def dbl(n: String): org.apache.spark.sql.Column = df.schema(n).dataType match {
+      case DateType =>
+        datediff(col(n), lit(java.sql.Date.valueOf("1970-01-01"))).cast("double")
+      case TimestampType => unix_micros(col(n)).cast("double")
+      case _ => col(n).cast("double")
+    }
+    // Histograms are gated on spark.sql.statistics.histogram.enabled —
+    // stock Spark's ANALYZE contract (default FALSE: the stock command
+    // computes them only when asked). They are a selectivity refinement,
+    // not a correctness input, and the endpoint + interval-ndv aggregates
+    // are the dominant cost of the census at scale; paying them on every
+    // ANALYZE regardless of the session's own histogram setting is what
+    // regressed the analyze lifecycle 1.85× at sf1.
+    val histEnabled = spark.sessionState.conf
+      .getConfString("spark.sql.statistics.histogram.enabled", "false").toBoolean
+    val histCols = if (!histEnabled) Nil else names.filter(n =>
+      df.schema(n).dataType match {
+        case _: NumericType | DateType | TimestampType => true
+        case _ => false
+      })
+    val pcts = (1 until numBins).map(i => i.toDouble / numBins)
     val aggs = names.flatMap(n => Seq(
       count_distinct(col(n)).as(s"__ndv__$n"),
       sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nulls__$n"),
       hll_sketch_agg(when(col(n).isNotNull, xxhash64(col(n))),
-        ManifestStats.HllLgK).as(s"__hll__$n")))
+        ManifestStats.HllLgK).as(s"__hll__$n"))) ++
+      histCols.flatMap(n => Seq(
+        min(dbl(n)).as(s"__lo__$n"),
+        max(dbl(n)).as(s"__hi__$n"),
+        percentile_approx(dbl(n),
+          array(pcts.map(lit): _*), lit(10000)).as(s"__p__$n"),
+        count(dbl(n)).as(s"__n__$n")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val stats = names.zipWithIndex.map { case (n, i) =>
       n -> ManifestStats.ColNdv(row.getLong(3 * i),
@@ -125,46 +160,27 @@ private[graft] final case class GraftAnalyzeColumnsCommand(root: String,
     }.toMap
     // EQUI-HEIGHT HISTOGRAMS for range-comparable columns — the
     // selectivity input ndv+bounds cannot express: a skewed column's hot
-    // key is its bins' MASS, not 1/ndv. Spark's own two-pass recipe:
-    // equi-mass endpoints from approx percentiles, then one
-    // ndv-per-interval aggregation (the catalyst interval sketch).
-    // Domains are catalyst-internal doubles (numeric value, date days,
-    // timestamp micros) — what FilterEstimation compares against.
-    import org.apache.spark.sql.types._
-    val numBins = math.max(2, spark.sessionState.conf
-      .getConfString("spark.sql.statistics.histogram.numBins", "64").toInt)
-    def dbl(n: String): org.apache.spark.sql.Column = df.schema(n).dataType match {
-      case DateType =>
-        datediff(col(n), lit(java.sql.Date.valueOf("1970-01-01"))).cast("double")
-      case TimestampType => unix_micros(col(n)).cast("double")
-      case _ => col(n).cast("double")
-    }
-    val histCols = names.filter(n => df.schema(n).dataType match {
-      case _: NumericType | DateType | TimestampType => true
-      case _ => false
-    })
+    // key is its bins' MASS, not 1/ndv. Spark's own recipe: equi-mass
+    // endpoints from approx percentiles (fused into the census pass
+    // above), then one ndv-per-interval aggregation (the catalyst
+    // interval sketch). Domains are catalyst-internal doubles (numeric
+    // value, date days, timestamp micros) — what FilterEstimation
+    // compares against.
     val withHist: Map[String, ManifestStats.ColNdv] =
       if (histCols.isEmpty) stats
       else {
-        val pcts = (1 until numBins).map(i => i.toDouble / numBins)
-        val epAggs = histCols.flatMap(n => Seq(
-          min(dbl(n)).as(s"__lo__$n"),
-          max(dbl(n)).as(s"__hi__$n"),
-          percentile_approx(dbl(n),
-            array(pcts.map(lit): _*), lit(10000)).as(s"__p__$n"),
-          count(dbl(n)).as(s"__n__$n")))
-        val ep = df.agg(epAggs.head, epAggs.tail: _*).head()
+        val epBase = 3 * names.size
         // endpoints per column (duplicates KEPT: a hot value collapses
         // several equi-mass endpoints onto itself — point bins are how
         // the histogram spells skew); all-null columns decline
         val endpoints: Seq[(String, Array[Double], Long)] = histCols.zipWithIndex
           .flatMap { case (n, i) =>
-            val base = 4 * i
-            if (ep.isNullAt(base) || ep.isNullAt(base + 2)) None
+            val base = epBase + 4 * i
+            if (row.isNullAt(base) || row.isNullAt(base + 2)) None
             else Some((n,
-              (ep.getDouble(base) +: ep.getSeq[Double](base + 2) :+
-                ep.getDouble(base + 1)).toArray,
-              ep.getLong(base + 3)))
+              (row.getDouble(base) +: row.getSeq[Double](base + 2) :+
+                row.getDouble(base + 1)).toArray,
+              row.getLong(base + 3)))
           }
         if (endpoints.isEmpty) stats
         else {

@@ -41,6 +41,11 @@ object CommitProfile {
     import graft.sinks.ManifestUpsertSink
     val n = args.headOption.map(_.toInt).getOrElse(50000)
     val batches = 10
+    // small-n guard: below `batches` rows the per-commit slice is empty and
+    // (n * 0.8).toLong = 0 makes pmod yield null ids, which the sink's
+    // non-null key check turns into a confusing crash
+    require(n >= batches * 10,
+      s"CommitProfile needs n >= ${batches * 10} rows (got $n)")
     val per = n / batches
     val root = java.nio.file.Files.createTempDirectory("graft_commit_profile_").toString
     val sink = new ManifestUpsertSink(root, "id", 16)

@@ -113,7 +113,11 @@ class AnalyzeColumnsSpec extends AnyFunSuite {
     spark.sql(s"""INSERT INTO $cat.f
       SELECT id, CASE WHEN id < 9000 THEN 0L ELSE id % 1000 + 1 END, 0L
       FROM range(0, 10000)""")
-    spark.sql(s"ANALYZE TABLE $cat.f COMPUTE STATISTICS FOR COLUMNS s")
+    // histograms follow stock Spark's ANALYZE gate: computed only when
+    // spark.sql.statistics.histogram.enabled is on (default false)
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    try spark.sql(s"ANALYZE TABLE $cat.f COMPUTE STATISTICS FOR COLUMNS s")
+    finally spark.conf.unset("spark.sql.statistics.histogram.enabled")
     def estimate(v: Int): Option[BigInt] = {
       val saved = spark.conf.getOption("spark.sql.cbo.enabled")
       try {
